@@ -1,0 +1,12 @@
+from trial_submission_studio_spark.operators.normalize import (  # noqa: F401
+    NormalizationContext,
+    Rule,
+    compile_pipeline,
+)
+from trial_submission_studio_spark.operators.sequence import add_sequence_number  # noqa: F401
+from trial_submission_studio_spark.operators.ct_lookup import apply_ct_normalization  # noqa: F401
+from trial_submission_studio_spark.operators.codelist_decode import apply_codelist_decode  # noqa: F401
+from trial_submission_studio_spark.operators.reshape import (  # noqa: F401
+    reciprocal_augment,
+    supp_unpivot,
+)

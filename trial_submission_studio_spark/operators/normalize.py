@@ -1,0 +1,214 @@
+"""The normalization plan compiler (SURVEY.md §1.1, §2.3, §3).
+
+The reference's IR is ``NormalizationPipeline { rules:
+Vec<NormalizationRule> }`` executed rule-by-rule with row loops
+(tss-submit/src/normalize/types.rs:85-140, executor.rs:24-99). Here
+the same IR compiles to **one** ``df.select([...])``: every rule
+becomes a Column expression, so the whole domain transform is a
+single narrow-dependency stage under whole-stage codegen — Catalyst
+does projection pruning/CSE, parquet gets column pruning, and the
+only shuffles are the ones the semantics force (the --SEQ window and
+the DM reference-date join).
+
+Join-shaped rules (CT lookup, study-codelist decode, per-subject
+reference date) are applied as broadcast pre-joins before the final
+select; scalar rules are pure expressions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from trial_submission_studio_spark.functions import (
+    normalize_iso_date,
+    normalize_iso_datetime,
+    normalize_iso_duration,
+    parse_numeric,
+    study_day,
+    usubjid_prefix,
+)
+from trial_submission_studio_spark.operators.ct_lookup import apply_ct_normalization
+
+#: transform kinds ≙ the reference's NormalizationType variants
+#: (tss-submit/src/normalize/types.rs:16-64)
+TRANSFORMS = (
+    "constant",
+    "usubjid_prefix",
+    "sequence",
+    "iso_datetime",
+    "iso_date",
+    "iso_duration",
+    "study_day",
+    "ct",
+    "numeric",
+    "copy",
+)
+
+
+@dataclass
+class Rule:
+    target: str
+    transform: str
+    source: str | None = None
+    params: dict[str, Any] = field(default_factory=dict)
+    order: int = 0
+
+    def __post_init__(self) -> None:
+        if self.transform not in TRANSFORMS:
+            raise ValueError(f"unknown transform {self.transform!r} for {self.target}")
+
+
+@dataclass
+class NormalizationContext:
+    study_id: str
+    domain_code: str
+    order_col: str = "_row_id"
+    subject_col: str = "USUBJID"
+    ct_lookup: DataFrame | None = None
+    ref_date_df: DataFrame | None = None  # (USUBJID, RFSTDTC) from DM
+    global_ref_date: str | None = None  # reference-parity mode (one study date)
+    omitted: set[str] = field(default_factory=set)
+
+
+def infer_rules(
+    variables: list[dict[str, Any]],
+    mappings: dict[str, str],
+    ctx: NormalizationContext,
+) -> list[Rule]:
+    """Metadata → rules, with the reference's inference priority
+    (normalize/inference.rs:44-131): name pattern > described value
+    domain > codelist > dtype > copy.
+
+    ``variables``: dicts with keys name, data_type, codelist_code,
+    order (an SDTM-IG Variables.csv row). ``mappings``: target
+    variable → source column.
+    """
+    rules: list[Rule] = []
+    dom = ctx.domain_code.upper()
+    for i, v in enumerate(variables):
+        name = v["name"].upper()
+        src = mappings.get(name)
+        order = int(v.get("order", i + 1))
+        if name in ctx.omitted:
+            continue
+        if name == "STUDYID":
+            rules.append(Rule(name, "constant", params={"value": ctx.study_id}, order=order))
+        elif name == "DOMAIN":
+            rules.append(Rule(name, "constant", params={"value": dom}, order=order))
+        elif name == "USUBJID":
+            rules.append(Rule(name, "usubjid_prefix", source=src, order=order))
+        elif name == f"{dom}SEQ":
+            rules.append(Rule(name, "sequence", order=order))
+        elif name.endswith("DY"):
+            # --DY derives from the sibling --DTC (inference.rs:70-75)
+            rules.append(
+                Rule(name, "study_day", source=name[:-2] + "DTC", order=order)
+            )
+        elif src is None:
+            continue  # unmapped & not derivable → SUPP candidate
+        elif name.endswith(("DTC", "DTM")):
+            rules.append(Rule(name, "iso_datetime", source=src, order=order))
+        elif name.endswith("DT"):
+            rules.append(Rule(name, "iso_date", source=src, order=order))
+        elif name.endswith("DUR"):
+            rules.append(Rule(name, "iso_duration", source=src, order=order))
+        elif v.get("codelist_code"):
+            rules.append(
+                Rule(name, "ct", source=src, params={"codelist_code": v["codelist_code"]}, order=order)
+            )
+        elif str(v.get("data_type", "")).lower() in ("num", "numeric", "number", "float", "integer"):
+            rules.append(Rule(name, "numeric", source=src, order=order))
+        else:
+            rules.append(Rule(name, "copy", source=src, order=order))
+    return sorted(rules, key=lambda r: r.order)
+
+
+def compile_pipeline(df: DataFrame, rules: list[Rule], ctx: NormalizationContext) -> DataFrame:
+    """Compile the rule list into (pre-joins +) one ``select``."""
+    work = df
+
+    # Pre-join 1: CT lookups rewrite their source column in place
+    # (one broadcast join per CT-coded column; no shuffle).
+    ct_rules = [r for r in rules if r.transform == "ct"]
+    ct_out: dict[str, str] = {}
+    for r in ct_rules:
+        if ctx.ct_lookup is None:
+            ct_out[r.target] = r.source  # no registry → copy semantics
+            continue
+        tmp = f"__ct_{r.target}"
+        work = apply_ct_normalization(
+            work, r.source, tmp, ctx.ct_lookup, r.params["codelist_code"]
+        )
+        ct_out[r.target] = tmp
+
+    # Pre-join 2: per-subject reference date for study-day rules.
+    needs_ref = [r for r in rules if r.transform == "study_day"]
+    ref_col = "__ref_dtc"
+    if needs_ref and ctx.ref_date_df is not None:
+        subj = ctx.subject_col
+        ref = ctx.ref_date_df.select(
+            F.col(subj).alias("__ref_subj"), F.col("RFSTDTC").alias(ref_col)
+        )
+        # DM is one row per subject — small relative to event domains,
+        # but can still be large in absolute terms; let AQE pick
+        # broadcast vs shuffle join rather than forcing a hint.
+        work = work.join(ref, work[subj] == ref["__ref_subj"], "left").drop("__ref_subj")
+
+    exprs: list[Column] = []
+    seq_rules: list[Rule] = []
+    for r in rules:
+        t = r.target
+        if r.transform == "constant":
+            exprs.append(F.lit(str(r.params["value"])).alias(t))
+        elif r.transform == "usubjid_prefix":
+            exprs.append(usubjid_prefix(F.col(r.source), ctx.study_id).alias(t))
+        elif r.transform == "sequence":
+            seq_rules.append(r)  # window applied after the select
+        elif r.transform == "iso_datetime":
+            exprs.append(normalize_iso_datetime(F.col(r.source)).alias(t))
+        elif r.transform == "iso_date":
+            exprs.append(normalize_iso_date(F.col(r.source)).alias(t))
+        elif r.transform == "iso_duration":
+            exprs.append(normalize_iso_duration(F.col(r.source)).alias(t))
+        elif r.transform == "study_day":
+            evt = normalize_iso_datetime(F.col(r.source)) if r.source in work.columns else F.lit(None).cast("string")
+            ref_expr = (
+                F.col(ref_col)
+                if ref_col in work.columns
+                else F.lit(ctx.global_ref_date).cast("string")
+            )
+            exprs.append(study_day(evt, ref_expr).alias(t))
+        elif r.transform == "ct":
+            exprs.append(F.col(ct_out[t]).alias(t))
+        elif r.transform == "numeric":
+            exprs.append(parse_numeric(F.col(r.source)).alias(t))
+        elif r.transform == "copy":
+            exprs.append(F.col(r.source).cast("string").alias(t))
+
+    # Keep the carrier columns the window needs, then drop them.
+    carry = [c for c in {ctx.order_col, ctx.subject_col} if c in work.columns]
+    out = work.select(*exprs, *[F.col(c).alias(f"__carry_{c}") for c in carry])
+
+    for r in seq_rules:
+        subj_out = "USUBJID" if "USUBJID" in [x.target for x in rules] else None
+        part = [subj_out] if subj_out else (
+            [f"__carry_{ctx.subject_col}"] if f"__carry_{ctx.subject_col}" in out.columns else []
+        )
+        order = (
+            [f"__carry_{ctx.order_col}"]
+            if f"__carry_{ctx.order_col}" in out.columns
+            else part
+        )
+        w = (
+            Window.partitionBy(*part).orderBy(*order)
+            if part
+            else Window.orderBy(*order)
+        )
+        out = out.withColumn(r.target, F.row_number().over(w).cast("long"))
+
+    ordered_targets = [r.target for r in sorted(rules, key=lambda r: r.order)]
+    return out.select(*ordered_targets)

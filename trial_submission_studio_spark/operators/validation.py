@@ -1,0 +1,286 @@
+"""Validation rule engine (SURVEY.md §2.11 V1–V8 + §2.5 J1–J6).
+
+The reference runs 8 per-domain checks plus cross-domain referential
+checks, producing an issue report (tss-submit/src/validate/). Every
+check here is a DataFrame query producing rows of one shared issue
+schema, unioned into a single report:
+
+    (domain, variable, category, severity, count, samples)
+
+categories ≙ validate/issue.rs taxonomy: Presence, Format,
+Consistency, Limit, Terminology, CrossReference.
+
+Scale shape: per-domain checks are one aggregation pass per domain
+(all per-column predicates in a single ``agg``); cross-domain checks
+are anti joins, broadcast where the build side is a key set.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from trial_submission_studio_spark.functions.datetime_iso import ISO_PARTIAL_RE
+
+ISSUE_SCHEMA = T.StructType(
+    [
+        T.StructField("domain", T.StringType()),
+        T.StructField("variable", T.StringType()),
+        T.StructField("category", T.StringType()),
+        T.StructField("severity", T.StringType()),
+        T.StructField("count", T.LongType()),
+        T.StructField("samples", T.ArrayType(T.StringType())),
+    ]
+)
+
+#: variable-name suffixes that must hold ISO-8601 partial-precision
+#: values (reference: validate/checks/dates.rs:28)
+DATE_SUFFIXES = ("DTC", "DTM", "DT", "TM", "STDTC", "ENDTC", "STDT", "ENDT")
+
+
+@dataclass
+class VariableSpec:
+    name: str
+    core: str = "Perm"  # Req | Exp | Perm
+    data_type: str = "Char"  # Char | Num
+    length: int | None = None
+    role: str = ""
+    codelist_code: str | None = None
+
+
+def _blank(c: Column) -> Column:
+    return c.isNull() | (F.trim(c.cast("string")) == "")
+
+
+def _sample_agg(value: Column, pred: Column, n: int = 5) -> Column:
+    return F.slice(
+        F.sort_array(F.collect_set(F.when(pred, F.trim(value.cast("string"))))), 1, n
+    )
+
+
+def validate_domain(
+    df: DataFrame,
+    domain: str,
+    variables: list[VariableSpec],
+    not_collected: set[str] | None = None,
+) -> DataFrame:
+    """V1–V7 in one scan + driver-side assembly of the issue frame."""
+    not_collected = not_collected or set()
+    spark = df.sparkSession
+    present = {c.upper(): c for c in df.columns}
+    n_total_expr = [F.count(F.lit(1)).alias("__n")]
+
+    aggs: list[Column] = list(n_total_expr)
+    for v in variables:
+        c = present.get(v.name.upper())
+        if c is None:
+            continue
+        col = F.col(c)
+        aggs.append(F.sum(F.when(_blank(col), 1).otherwise(0)).alias(f"{v.name}__nulls"))
+        if v.data_type.lower() in ("num", "numeric"):
+            bad = ~_blank(col) & F.regexp_replace(
+                F.trim(col.cast("string")), "[,\\s]", ""
+            ).try_cast("double").isNull()
+            aggs.append(F.sum(F.when(bad, 1).otherwise(0)).alias(f"{v.name}__badnum"))
+            aggs.append(_sample_agg(col, bad).alias(f"{v.name}__badnum_samples"))
+        if v.name.upper().endswith(DATE_SUFFIXES):
+            bad = ~_blank(col) & ~F.trim(col.cast("string")).rlike(ISO_PARTIAL_RE)
+            aggs.append(F.sum(F.when(bad, 1).otherwise(0)).alias(f"{v.name}__baddate"))
+            aggs.append(_sample_agg(col, bad).alias(f"{v.name}__baddate_samples"))
+        if v.length and v.data_type.lower() == "char":
+            over = F.length(F.rtrim(col.cast("string"))) > v.length
+            aggs.append(F.sum(F.when(over, 1).otherwise(0)).alias(f"{v.name}__toolong"))
+            aggs.append(
+                F.max(F.length(F.rtrim(col.cast("string")))).alias(f"{v.name}__maxlen")
+            )
+
+    row = df.agg(*aggs).collect()[0].asDict()
+    n = row["__n"]
+
+    issues: list[tuple] = []
+
+    def add(variable: str, category: str, severity: str, count: int, samples=None):
+        issues.append((domain, variable, category, severity, int(count), samples or []))
+
+    for v in variables:
+        c = present.get(v.name.upper())
+        core = v.core.lower()
+        if c is None:
+            if core == "req":
+                add(v.name, "Presence", "Error", 1)  # RequiredMissing
+            elif core == "exp" and v.name.upper() not in not_collected:
+                add(v.name, "Presence", "Warning", 1)  # ExpectedMissing
+            continue
+        nulls = row.get(f"{v.name}__nulls", 0) or 0
+        if core == "req":
+            if n > 0 and nulls == n:
+                add(v.name, "Presence", "Error", n)  # all-null ≙ missing
+            elif nulls > 0:
+                add(v.name, "Presence", "Error", nulls)  # RequiredEmpty
+        elif core == "exp" and n > 0 and nulls == n and v.name.upper() not in not_collected:
+            add(v.name, "Presence", "Warning", n)
+        if v.role.lower() == "identifier" and nulls > 0:
+            add(v.name, "Presence", "Error", nulls)  # V7 IdentifierNull
+        badnum = row.get(f"{v.name}__badnum", 0) or 0
+        if badnum:
+            add(v.name, "Format", "Error", badnum, row.get(f"{v.name}__badnum_samples"))
+        baddate = row.get(f"{v.name}__baddate", 0) or 0
+        if baddate:
+            add(v.name, "Format", "Error", baddate, row.get(f"{v.name}__baddate_samples"))
+        toolong = row.get(f"{v.name}__toolong", 0) or 0
+        if toolong:
+            add(v.name, "Limit", "Warning", toolong)
+
+    return spark.createDataFrame(issues, ISSUE_SCHEMA)
+
+
+def duplicate_sequence_issues(df: DataFrame, domain: str, subject_col: str = "USUBJID") -> DataFrame:
+    """V5 DuplicateSequence as an issue frame (A5 under the hood)."""
+    spark = df.sparkSession
+    seq_cols = [c for c in df.columns if c.upper() == f"{domain.upper()}SEQ"]
+    if not seq_cols or subject_col not in df.columns:
+        return spark.createDataFrame([], ISSUE_SCHEMA)
+    seq = seq_cols[0]
+    dups = (
+        df.groupBy(subject_col, seq)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(
+            F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("extra"),
+            _sample_agg(F.concat_ws("/", subject_col, seq), F.lit(True)).alias("samples"),
+        )
+        .collect()[0]
+    )
+    if not dups["extra"]:
+        return spark.createDataFrame([], ISSUE_SCHEMA)
+    return spark.createDataFrame(
+        [(domain, seq, "Consistency", "Error", int(dups["extra"]), dups["samples"])],
+        ISSUE_SCHEMA,
+    )
+
+
+# --- cross-domain checks (J1-J6) -------------------------------------------
+
+
+def usubjid_not_in_dm(dom_df: DataFrame, dm_df: DataFrame, domain: str) -> DataFrame:
+    """J1/V9: USUBJID values absent from DM — left anti join + agg."""
+    dm_keys = dm_df.select(F.col("USUBJID")).filter(~_blank(F.col("USUBJID"))).distinct()
+    missing = (
+        dom_df.select("USUBJID")
+        .filter(~_blank(F.col("USUBJID")))
+        .join(dm_keys, "USUBJID", "left_anti")
+    )
+    agg = missing.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        _sample_agg(F.col("USUBJID"), F.lit(True)).alias("samples"),
+    ).collect()[0]
+    spark = dom_df.sparkSession
+    if not agg["cnt"]:
+        return spark.createDataFrame([], ISSUE_SCHEMA)
+    return spark.createDataFrame(
+        [(domain, "USUBJID", "CrossReference", "Error", int(agg["cnt"]), agg["samples"])],
+        ISSUE_SCHEMA,
+    )
+
+
+def rdomain_invalid(df: DataFrame, domain: str, submitted_domains: list[str]) -> DataFrame:
+    """J2/V10: RDOMAIN must be a submitted domain code."""
+    spark = df.sparkSession
+    if "RDOMAIN" not in df.columns:
+        return spark.createDataFrame([], ISSUE_SCHEMA)
+    bad = df.filter(
+        ~_blank(F.col("RDOMAIN"))
+        & ~F.upper(F.trim("RDOMAIN")).isin([d.upper() for d in submitted_domains])
+    )
+    agg = bad.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        _sample_agg(F.col("RDOMAIN"), F.lit(True)).alias("samples"),
+    ).collect()[0]
+    if not agg["cnt"]:
+        return spark.createDataFrame([], ISSUE_SCHEMA)
+    return spark.createDataFrame(
+        [(domain, "RDOMAIN", "CrossReference", "Error", int(agg["cnt"]), agg["samples"])],
+        ISSUE_SCHEMA,
+    )
+
+
+def relsub_not_bidirectional(rel: DataFrame, domain: str = "RELSUB") -> DataFrame:
+    """J4/V12: (U,R) pairs lacking the reverse (R,U) — self anti join."""
+    spark = rel.sparkSession
+    a, b = rel.alias("a"), rel.alias("b")
+    missing = a.join(
+        b,
+        (F.col("a.USUBJID") == F.col("b.RSUBJID"))
+        & (F.col("a.RSUBJID") == F.col("b.USUBJID")),
+        "left_anti",
+    )
+    agg = missing.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        _sample_agg(F.concat_ws("->", "USUBJID", "RSUBJID"), F.lit(True)).alias("samples"),
+    ).collect()[0]
+    if not agg["cnt"]:
+        return spark.createDataFrame([], ISSUE_SCHEMA)
+    return spark.createDataFrame(
+        [(domain, "RSUBJID", "CrossReference", "Warning", int(agg["cnt"]), agg["samples"])],
+        ISSUE_SCHEMA,
+    )
+
+
+def relrec_invalid_references(
+    relrec: DataFrame, domain_keys: DataFrame, domain: str = "RELREC"
+) -> DataFrame:
+    """J6/V13: (RDOMAIN, IDVAR, IDVARVAL) probes against the melted
+    per-domain key universe; invalids grouped by RDOMAIN.
+
+    ``domain_keys``: long frame (rdomain, idvar, idvarval) built by
+    unpivoting each domain's --SEQ/--GRPID/--REFID/--LNKID key columns.
+    """
+    probes = relrec.filter(~_blank(F.col("IDVARVAL")) & ~_blank(F.col("IDVAR")))
+    missing = probes.join(
+        domain_keys,
+        (F.upper(F.trim(probes["RDOMAIN"])) == F.upper(domain_keys["rdomain"]))
+        & (F.upper(F.trim(probes["IDVAR"])) == F.upper(domain_keys["idvar"]))
+        & (F.trim(probes["IDVARVAL"].cast("string")) == domain_keys["idvarval"].cast("string")),
+        "left_anti",
+    )
+    grouped = missing.groupBy(F.upper(F.trim("RDOMAIN")).alias("rd")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        _sample_agg(F.concat_ws("=", "IDVAR", "IDVARVAL"), F.lit(True)).alias("samples"),
+    )
+    rows = [
+        (domain, f"RDOMAIN={r['rd']}", "CrossReference", "Error", int(r["cnt"]), r["samples"])
+        for r in grouped.collect()
+    ]
+    return relrec.sparkSession.createDataFrame(rows, ISSUE_SCHEMA)
+
+
+def melt_domain_keys(frames: dict[str, DataFrame]) -> DataFrame:
+    """Build the J6 key universe: unpivot each domain's record-key
+    columns to (rdomain, idvar, idvarval) and union."""
+    parts = []
+    for code, df in frames.items():
+        key_cols = [
+            c
+            for c in df.columns
+            if c.upper().endswith(("SEQ", "GRPID", "REFID", "LNKID"))
+            or c.upper() == "VISITNUM"
+        ]
+        if not key_cols:
+            continue
+        long = df.select(
+            [F.col(c).cast("string").alias(c) for c in key_cols]
+        ).unpivot([], key_cols, "idvar", "idvarval")
+        parts.append(
+            long.filter(~_blank(F.col("idvarval"))).select(
+                F.lit(code.upper()).alias("rdomain"),
+                F.upper("idvar").alias("idvar"),
+                F.trim("idvarval").alias("idvarval"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()

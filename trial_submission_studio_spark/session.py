@@ -1,0 +1,56 @@
+"""SparkSession factory tuned for this engine.
+
+The engine's expressions are written to be ANSI-safe (``try_*``
+variants everywhere a cast/parse can fail), so they behave identically
+whether the hosting session runs with ``spark.sql.ansi.enabled`` true
+(Spark 4 default) or false. The factory below is what our own tests
+and bench use; library code never assumes these configs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "trial_submission_studio_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or get) a SparkSession with scale-aware defaults.
+
+    - ``spark.sql.adaptive.enabled``: AQE re-plans shuffles at runtime
+      (coalesces small partitions, splits skewed ones) — essential at
+      100 TB, harmless locally.
+    - ``spark.sql.session.timeZone=UTC``: all temporal semantics in
+      this engine are wall-clock ISO-8601 strings; UTC pins the
+      string<->timestamp boundary.
+    - Arrow enabled: every Pandas-UDF path (duration grammar, XPT
+      export staging) rides vectorized Arrow batches.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if str(cpus).isdigit() else 32
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

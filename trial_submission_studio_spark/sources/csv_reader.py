@@ -1,0 +1,163 @@
+"""EDC CSV ingest — the reference's tss-ingest surface, Spark-first.
+
+Reference semantics reproduced (SURVEY.md §2.1 S1–S4):
+
+- ``list_csv_files``: case-insensitive ``*.csv`` discovery, sorted by
+  filename (reference: tss-ingest/src/discovery.rs:10-53).
+- encoding detection by BOM sniff: UTF-8 (±BOM) passthrough, UTF-16
+  LE/BE accepted (reference: tss-ingest/src/csv/reader.rs:97-167).
+  Spark's CSV reader handles the encodings natively via the
+  ``encoding`` option; we only sniff the BOM on the driver (first 4
+  bytes) to pick the option value.
+- 1- or 2-row headers: row 1 = human labels (optional), row 2 =
+  column names, data after (reference: tss-ingest/src/csv/reader.rs:
+  239-264, csv/header.rs:58-91). Labels are returned as a
+  driver-side dict (schema-sized metadata, not data-plane).
+- empty-string ≡ missing: the reference trims + special-cases blank
+  strings in every operator (e.g. normalize/executor.rs:152-160); we
+  normalize whitespace-only cells to NULL once at ingest instead.
+- ``_row_id``: the reference relies on implicit file row order for
+  --SEQ numbering and Dataset-XML row sequence. Under Spark
+  parallelism order must be explicit, so ingest attaches a
+  deterministic ``_row_id`` reconstructed from file-split offsets
+  (``monotonically_increasing_id`` is monotone in (partition, offset)
+  for a single-file scan).
+
+Scale note: CSV is the *compatibility* ingest path (the reference caps
+it at 500 MB per file); the engine's native at-scale source is
+parquet via :mod:`~trial_submission_studio_spark.sources.tables`.
+"""
+
+from __future__ import annotations
+
+import codecs
+import csv
+import io
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def list_csv_files(directory: str) -> list[str]:
+    """Case-insensitive *.csv listing, sorted by filename."""
+    out = [
+        os.path.join(directory, name)
+        for name in os.listdir(directory)
+        if name.lower().endswith(".csv") and os.path.isfile(os.path.join(directory, name))
+    ]
+    return sorted(out, key=lambda p: os.path.basename(p).lower())
+
+
+def detect_encoding(path: str) -> str:
+    """BOM sniff → Spark CSV ``encoding`` option value."""
+    with open(path, "rb") as fh:
+        head = fh.read(4)
+    if head.startswith(codecs.BOM_UTF8):
+        return "UTF-8"
+    if head.startswith(codecs.BOM_UTF16_LE):
+        return "UTF-16LE"
+    if head.startswith(codecs.BOM_UTF16_BE):
+        return "UTF-16BE"
+    return "UTF-8"
+
+
+def _read_head_lines(path: str, encoding: str, n: int) -> list[list[str]]:
+    """Parse the first ``n`` CSV records on the driver (headers only)."""
+    py_enc = {"UTF-8": "utf-8-sig", "UTF-16LE": "utf-16", "UTF-16BE": "utf-16"}[encoding]
+    with open(path, "r", encoding=py_enc, newline="") as fh:
+        reader = csv.reader(fh)
+        rows: list[list[str]] = []
+        for row in reader:
+            rows.append(row)
+            if len(rows) >= n:
+                break
+    return rows
+
+
+@dataclass
+class SourceTable:
+    """A loaded source domain table: data + schema-sized metadata."""
+
+    df: DataFrame
+    columns: list[str]
+    labels: dict[str, str] = field(default_factory=dict)
+    encoding: str = "UTF-8"
+    path: str = ""
+
+    ROW_ID = "_row_id"
+
+
+def validate_shape(columns: list[str], path: str = "") -> list[str]:
+    """Shape guards (reference: csv/reader.rs:175-202). Returns warnings."""
+    if not columns:
+        raise ValueError(f"CSV has no columns: {path}")
+    empties = [i for i, c in enumerate(columns) if not c.strip()]
+    if empties:
+        raise ValueError(f"CSV has empty column names at positions {empties}: {path}")
+    warnings = []
+    if len(columns) > 500:
+        warnings.append(f"wide table: {len(columns)} columns (> 500) in {path}")
+    return warnings
+
+
+def read_source_csv(
+    spark: SparkSession,
+    path: str,
+    header_rows: int = 2,
+    encoding: str | None = None,
+    blank_as_null: bool = True,
+) -> SourceTable:
+    """Read an EDC export CSV with 1- or 2-row header.
+
+    All data columns come back as strings (the reference's SAS-transport
+    type discipline keeps everything Char until an explicit
+    NumericConversion — SURVEY.md §1.2); whitespace-only cells are
+    normalized to NULL; a deterministic ``_row_id`` (1-based file row
+    order) is attached for --SEQ and sink row numbering.
+    """
+    if header_rows not in (1, 2):
+        raise ValueError("header_rows must be 1 or 2")
+    enc = encoding or detect_encoding(path)
+    head = _read_head_lines(path, enc, header_rows)
+    if len(head) < header_rows:
+        raise ValueError(f"CSV shorter than its declared header ({header_rows} rows): {path}")
+    names = [c.strip() for c in head[-1]]
+    labels = (
+        {n: l.strip() for n, l in zip(names, head[0])} if header_rows == 2 else {n: n for n in names}
+    )
+    validate_shape(names, path)
+
+    raw = (
+        spark.read.option("header", "false")
+        .option("encoding", enc)
+        .option("multiLine", "false")
+        .csv(path)
+    )
+    # Positional rename (inferred _c0.._cN → declared names).
+    if len(raw.columns) != len(names):
+        raise ValueError(
+            f"CSV column count mismatch: header declares {len(names)}, data has {len(raw.columns)}: {path}"
+        )
+    df = raw.toDF(*names)
+
+    # File order is deterministic for a single-file scan: partition
+    # index follows byte offset, so monotonically_increasing_id is
+    # monotone in file position. The global window is acceptable on
+    # the CSV compatibility path (bounded at hundreds of MB).
+    order_key = F.monotonically_increasing_id()
+    df = df.withColumn(SourceTable.ROW_ID, F.row_number().over(Window.orderBy(order_key)))
+    df = df.filter(F.col(SourceTable.ROW_ID) > header_rows).withColumn(
+        SourceTable.ROW_ID, (F.col(SourceTable.ROW_ID) - header_rows).cast("long")
+    )
+
+    if blank_as_null:
+        df = df.select(
+            *[
+                F.when(F.trim(F.col(c)) == "", None).otherwise(F.col(c)).alias(c)
+                for c in names
+            ],
+            SourceTable.ROW_ID,
+        )
+    return SourceTable(df=df, columns=names, labels=labels, encoding=enc, path=path)

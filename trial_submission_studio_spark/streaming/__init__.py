@@ -1,0 +1,4 @@
+from trial_submission_studio_spark.streaming.events import (  # noqa: F401
+    tumbling_window_counts,
+    stream_events,
+)

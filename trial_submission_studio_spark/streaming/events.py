@@ -1,0 +1,53 @@
+"""Structured Streaming ingest (north-star extension; the reference is
+batch-only — SURVEY.md §2.12).
+
+The same transformation applies to a batch DataFrame and a streaming
+one (Structured Streaming's core contract), so
+:func:`tumbling_window_counts` is the single definition used by both
+the oracle-checked batch query and the streaming smoke test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def tumbling_window_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per (tumbling window, event_type): count + value sum.
+
+    Batch and streaming share this plan; in streaming mode the
+    watermark bounds state for late data.
+    """
+    src = events
+    if watermark and events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.window(ts_col, window_duration).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_events(
+    spark: SparkSession,
+    path: str,
+    schema: str = "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+) -> DataFrame:
+    """readStream over the events parquet directory (smoke path; a
+    production deployment points this at Kafka/files with the same
+    downstream plan)."""
+    return spark.readStream.schema(schema).parquet(path)
