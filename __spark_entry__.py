@@ -1,38 +1,1117 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the PySpark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is the declared, oracle-checked form of one
+operator family from SURVEY.md §2 (plus the north-star extension
+operators), expressed over the driver's synthetic tables. The
+matching ``oracle_sql()`` entry is ANSI SQL for DuckDB over the same
+parquet.
+
+Determinism rules used throughout (SURVEY.md §4.2):
+- every float output is ``round()``-ed (sums to 2dp, ratios to 4-6dp)
+  so associativity-order noise cannot flip the value hash;
+- integer outputs are cast to BIGINT on both sides (DuckDB returns
+  BIGINT/HUGEINT where Spark returns int/long);
+- parser queries rebuild the *identical* raw string on both sides and
+  parse it, so decimal→binary conversion is bit-identical;
+- all orderings that feed a LIMIT have a unique tiebreak column.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from trial_submission_studio_spark.functions import (
+    normalize_iso_datetime,
+    normalize_iso_duration,
+    parse_numeric,
+    render_numeric,
+    usubjid_prefix,
+)
+from trial_submission_studio_spark.functions.datetime_iso import ISO_PARTIAL_RE
+from trial_submission_studio_spark.functions.studyday import study_day
+from trial_submission_studio_spark.operators.codelist_decode import apply_codelist_decode
+from trial_submission_studio_spark.operators.ct_lookup import apply_ct_normalization
+from trial_submission_studio_spark.operators.dedup import (
+    exact_duplicates,
+    fingerprint,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash_from_hashes,
+    token_hashes,
+)
+from trial_submission_studio_spark.operators.reshape import reciprocal_augment, supp_unpivot
+from trial_submission_studio_spark.operators.sequence import (
+    add_sequence_number,
+    duplicate_sequence_counts,
+)
+from trial_submission_studio_spark.operators.similarity import brute_force_topk
+from trial_submission_studio_spark.operators.textstats import (
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from trial_submission_studio_spark.operators.normalize import (
+    NormalizationContext,
+    Rule,
+    compile_pipeline,
+)
+from trial_submission_studio_spark.streaming.events import tumbling_window_counts
+
+SMOKE_DIR = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark rejects by
+    default; read ns-as-long then rebuild a microsecond timestamp
+    (integer division — float division would lose µs precision at
+    1.7e18 ns magnitudes)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter + 8-agg groupBy (S1/A-family).
+
+    Money sums use decimal-exact arithmetic (inputs have exactly 2
+    decimals) so the result is independent of double summation order —
+    the oracle does the same, making the value hash exact, not
+    approximately-rounded.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2000-09-02")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    one = F.lit(1).cast("decimal(4,2)")
+    disc_f = one - F.col("l_discount").cast("decimal(4,2)")
+    tax_f = one + F.col("l_tax").cast("decimal(4,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * disc_f).cast("double").alias("sum_disc_price"),
+            F.sum(price * disc_f * tax_f).cast("double").alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+def q3_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + grouped revenue (J-family at scale)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-06-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-06-01")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc_f = F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(F.sum(price * disc_f).cast("double").alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# T-family: column transforms
+# --------------------------------------------------------------------------
+
+def t1_constant_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 Constant: STUDYID/DOMAIN context fill."""
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.lit("STUDY01").alias("studyid"),
+        F.lit("XX").alias("domain"),
+    )
+
+
+def t2_usubjid_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 UsubjidPrefix incl. blank-subject edge case."""
+    c = _t(spark, sf_dir, "customer")
+    subj = F.when(F.col("c_custkey") % 11 == 0, F.lit(" ")).otherwise(F.col("c_name"))
+    return c.select(
+        "c_custkey", usubjid_prefix(subj, "STUDY01").alias("usubjid")
+    )
+
+
+def t3_sequence_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 --SEQ: row_number per subject over a deterministic order."""
+    o = _t(spark, sf_dir, "orders")
+    return add_sequence_number(
+        o, "oseq", order_by=[F.col("o_orderdate"), F.col("o_orderkey")],
+        partition_by=["o_custkey"],
+    ).select("o_orderkey", "o_custkey", "oseq")
+
+
+def t4_iso8601_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4/T5: the multi-format → ISO ladder with partial-precision
+    preservation and verbatim passthrough. The EU-format rung also
+    locks in the documented US-first ambiguity order."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    m = F.col("o_orderkey") % 6
+    raw = (
+        F.when(m == 0, F.date_format(d, "yyyy-MM-dd"))
+        .when(m == 1, F.date_format(d, "MM/dd/yyyy"))
+        .when(m == 2, F.date_format(d, "dd/MM/yyyy"))
+        .when(m == 3, F.date_format(d, "dd-MMM-yyyy"))
+        .when(m == 4, F.date_format(d, "yyyy-MM"))
+        .otherwise(F.lit("NOT-A-DATE"))
+    )
+    return o.select(
+        "o_orderkey", normalize_iso_datetime(raw).alias("dtc")
+    )
+
+
+def t6_duration_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: ISO-duration grammar (numeric days, free text, passthrough)."""
+    p = _t(spark, sf_dir, "part")
+    m = F.col("p_partkey") % 8
+    raw = (
+        F.when(m == 0, F.lit("5"))
+        .when(m == 1, F.lit("1.5"))
+        .when(m == 2, F.lit("0.5"))
+        .when(m == 3, F.lit("2 hours 30 minutes"))
+        .when(m == 4, F.lit("2 weeks"))
+        .when(m == 5, F.lit("30min"))
+        .when(m == 6, F.lit("P3Y6M4DT12H30M5S"))
+        .otherwise(F.lit("not a duration"))
+    )
+    return p.select("p_partkey", normalize_iso_duration(raw).alias("dur"))
+
+
+def t7_study_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 StudyDay: +1 on/after reference (no day 0), NULL on partial."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    m = F.col("l_linenumber") % 4
+    evt = (
+        F.when(m == 0, F.date_format("l_shipdate", "yyyy-MM-dd"))
+        .when(m == 1, F.date_format("l_shipdate", "yyyy-MM"))
+        .when(m == 2, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .otherwise(F.lit("bad-date"))
+    )
+    ref = F.when(m == 2, F.date_format("l_shipdate", "yyyy-MM-dd")).otherwise(
+        F.date_format("o_orderdate", "yyyy-MM-dd")
+    )
+    return j.select(
+        "l_orderkey", "l_linenumber", study_day(evt, ref).alias("dy")
+    )
+
+
+def _returnflag_ct_lookup(spark: SparkSession) -> DataFrame:
+    rows = [
+        ("CLRF", "R", "RETURNED", False),
+        ("CLRF", "RET", "RETURNED", False),
+        ("CLRF", "RETURNED", "RETURNED", False),
+        ("CLRF", "A", "ACCEPTED", False),
+        ("CLRF", "ACCEPTED", "ACCEPTED", False),
+        ("CLRF", "N", "NONE", False),
+        ("CLRF", "NONE", "NONE", False),
+    ]
+    return spark.createDataFrame(
+        rows, "codelist_code string, lookup_key string, submission_value string, extensible boolean"
+    )
+
+
+def t8_ct_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 CtNormalization: case/whitespace-insensitive synonym lookup
+    via broadcast join; misses preserved verbatim."""
+    li = _t(spark, sf_dir, "lineitem")
+    m = F.col("l_orderkey") % 4
+    raw = (
+        F.when(m == 0, F.col("l_returnflag"))
+        .when(m == 1, F.lower("l_returnflag"))
+        .when(m == 2, F.concat(F.col("l_returnflag"), F.lit(" ")))
+        .otherwise(F.lit("ZZZ"))
+    )
+    df = li.select("l_orderkey", "l_linenumber", raw.alias("rawflag"))
+    out = apply_ct_normalization(
+        df, "rawflag", "decoded", _returnflag_ct_lookup(spark), "CLRF"
+    )
+    return out.groupBy("decoded").agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+def t9_numeric_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 NumericConversion: separators/spaces/scientific/inf/garbage."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty_int = F.col("l_quantity").cast("bigint").cast("string")
+    m = F.col("l_linenumber") % 4
+    raw = (
+        F.when(m == 0, F.concat(F.lit(" "), qty_int, F.lit(",000.5 ")))
+        .when(m == 1, F.concat(qty_int, F.lit(".5e2")))
+        .when(m == 2, F.lit("abc"))
+        .otherwise(F.lit("inf"))
+    )
+    return li.select(
+        "l_orderkey", "l_linenumber", parse_numeric(raw).alias("val")
+    )
+
+
+def t11_codelist_decode_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11: study-codelist decode with fill-empty-only semantics and
+    numeric key normalization ('12.0' ≡ '12')."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    codelist = n.select(
+        F.col("n_nationkey").cast("string").alias("code_value"),
+        F.col("n_name").alias("code_text"),
+    )
+    df = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("")).otherwise(F.lit("PRESET")).alias("NATION"),
+        F.col("c_nationkey").cast("double").cast("string").alias("NATCD"),
+    )
+    out = apply_codelist_decode(df, "NATCD", codelist, target_col="NATION")
+    return out.select("c_custkey", F.col("NATION").alias("nation_name"))
+
+
+def t13_numeric_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13: float → string without trailing zeros (40.0 → '40')."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        render_numeric(F.col("p_size").cast("double")).alias("r_int"),
+        render_numeric(F.col("p_size").cast("double") + 0.25).alias("r_frac"),
+        render_numeric(F.col("p_size").cast("double") + 0.5).alias("r_half"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A-family: aggregations / profiling
+# --------------------------------------------------------------------------
+
+def a1_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2 hints: one-pass profile aggregates."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("l_returnflag").cast("long").alias("rf_distinct"),
+        F.countDistinct("l_suppkey").cast("long").alias("supp_distinct"),
+        F.max(F.length("l_returnflag")).cast("long").alias("rf_max_len"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+    )
+
+
+def a3_distinct_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/O4: first N distinct values, sorted."""
+    p = _t(spark, sf_dir, "part")
+    return p.select("p_brand").distinct().orderBy("p_brand").limit(5)
+
+
+def a4_max_observed_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: XPT char length = max trimmed length (floor 1)."""
+    p = _t(spark, sf_dir, "part")
+    return p.agg(
+        F.greatest(F.max(F.length(F.rtrim("p_name"))), F.lit(1)).cast("long").alias("len_name"),
+        F.greatest(F.max(F.length(F.rtrim("p_brand"))), F.lit(1)).cast("long").alias("len_brand"),
+        F.greatest(F.max(F.length(F.rtrim("p_type"))), F.lit(1)).cast("long").alias("len_type"),
+    )
+
+
+def a5_duplicate_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/V5: duplicate (subject, seq) detection."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("USUBJID"),
+        (F.col("o_orderkey") % 10).alias("XSEQ"),
+    )
+    return duplicate_sequence_counts(o, "USUBJID", "XSEQ")
+
+
+def a8_invalid_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: invalid-value count + bounded sorted distinct samples."""
+    p = _t(spark, sf_dir, "part")
+    m = F.col("p_partkey") % 5
+    raw = (
+        F.when(m == 0, F.col("p_size").cast("string"))
+        .when(m == 1, F.lit("N/A"))
+        .when(m == 2, F.lit("abc"))
+        .when(m == 3, F.lit("12.5"))
+        .otherwise(F.lit("?"))
+    )
+    df = p.select(raw.alias("v"))
+    bad = F.col("v").try_cast("double").isNull()
+    return df.agg(
+        F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias("invalid_cnt"),
+        F.concat_ws(
+            "|", F.slice(F.sort_array(F.collect_set(F.when(bad, F.col("v")))), 1, 5)
+        ).alias("samples"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J-family: joins / referential checks
+# --------------------------------------------------------------------------
+
+def j1_orphan_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: anti join — subjects with no records on the other side."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < "1996-01-01")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    return c.join(o, "c_custkey", "left_anti").select("c_custkey")
+
+
+def j2_semi_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: semi join — suppliers that appear in lineitem."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("s_suppkey"))
+    return s.join(li, "s_suppkey", "left_semi").select("s_suppkey", "s_name")
+
+
+def j4_bidirectional_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: self anti join on the swapped key (RELSUB bidirectionality)."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("usubj"), F.col("l_partkey").alias("rsubj")
+    ).distinct()
+    a, b = edges.alias("a"), edges.alias("b")
+    missing = a.join(
+        b,
+        (F.col("a.usubj") == F.col("b.rsubj")) & (F.col("a.rsubj") == F.col("b.usubj")),
+        "left_anti",
+    )
+    return missing.agg(F.count(F.lit(1)).cast("long").alias("one_way_cnt"))
+
+
+def j6_relrec_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: melted per-domain key universe probed by (IDVAR, IDVARVAL)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    keys = o.selectExpr(
+        "stack(2, 'ORDERKEY', cast(o_orderkey as string),"
+        " 'CUSTKEY', cast(o_custkey as string)) as (idvar, idvarval)"
+    ).distinct()
+    probes = (
+        li.select(
+            F.lit("ORDERKEY").alias("idvar"),
+            (F.col("l_orderkey") * 2).cast("string").alias("idvarval"),
+        )
+        .distinct()
+        .unionByName(
+            li.select(
+                F.lit("BADVAR").alias("idvar"),
+                F.col("l_orderkey").cast("string").alias("idvarval"),
+            ).distinct()
+        )
+    )
+    missing = probes.join(keys, ["idvar", "idvarval"], "left_anti")
+    return missing.groupBy("idvar").agg(
+        F.count(F.lit(1)).cast("long").alias("missing_cnt")
+    )
+
+
+# --------------------------------------------------------------------------
+# R-family: reshape
+# --------------------------------------------------------------------------
+
+def r1_supp_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1: SUPP-- unpivot to SUPPQUAL long format."""
+    p = _t(spark, sf_dir, "part").withColumn(
+        "USUBJID", F.col("p_partkey").cast("string")
+    )
+    return supp_unpivot(p, ["p_brand", "p_type"], "TPCH", "PT")
+
+
+def r2_reciprocal_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2: synthesize reverse relationship rows via anti join + map join."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    rel = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter((F.col("c_nationkey") * 2 + F.col("s_nationkey")) % 5 == 0)
+        .select(
+            F.col("c_nationkey").alias("usubj"),
+            F.col("s_nationkey").alias("rsubj"),
+        )
+        .distinct()
+        .withColumn(
+            "srel",
+            F.when(F.col("usubj") < F.col("rsubj"), F.lit("MOTHER, BIOLOGICAL"))
+            .when(F.col("usubj") > F.col("rsubj"), F.lit("SPOUSE"))
+            .otherwise(F.lit("TWIN")),
+        )
+    )
+    return reciprocal_augment(
+        rel,
+        usubjid_col="usubj",
+        rsubjid_col="rsubj",
+        srel_col="srel",
+        reciprocal_map={
+            "MOTHER, BIOLOGICAL": "CHILD, BIOLOGICAL",
+            "SPOUSE": "SPOUSE",
+            "TWIN": "TWIN",
+        },
+    )
+
+
+# --------------------------------------------------------------------------
+# V-family: validation queries
+# --------------------------------------------------------------------------
+
+def v1_required_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1/A7: null-or-blank counting."""
+    c = _t(spark, sf_dir, "customer")
+    v = F.when(F.col("c_custkey") % 7 == 0, F.lit(" ")).otherwise(F.col("c_mktsegment"))
+    blank = v.isNull() | (F.trim(v) == "")
+    return c.agg(
+        F.sum(F.when(blank, 1).otherwise(0)).cast("long").alias("n_blank"),
+        F.sum(F.when(~blank, 1).otherwise(0)).cast("long").alias("n_filled"),
+    )
+
+
+def v4_invalid_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V4 InvalidDate: ISO partial-precision regex over --DTC values."""
+    e = _events(spark, sf_dir)
+    m = F.col("event_id") % 5
+    raw = (
+        F.when(m == 0, F.date_format("ts", "yyyy-MM-dd"))
+        .when(m == 1, F.date_format("ts", "yyyy-MM-dd'T'HH:mm"))
+        .when(m == 2, F.lit("2024-13-45"))
+        .when(m == 3, F.date_format("ts", "yyyy-MM"))
+        .otherwise(F.lit("garbage"))
+    )
+    valid = raw.rlike(ISO_PARTIAL_RE)
+    return e.agg(
+        F.sum(F.when(valid, 1).otherwise(0)).cast("long").alias("n_valid"),
+        F.sum(F.when(~valid, 1).otherwise(0)).cast("long").alias("n_invalid"),
+    )
+
+
+def v6_text_too_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V6 TextTooLong: length-limit violations + observed max."""
+    p = _t(spark, sf_dir, "part")
+    ln = F.length(F.rtrim("p_name"))
+    return p.agg(
+        F.sum(F.when(ln > 30, 1).otherwise(0)).cast("long").alias("n_over"),
+        F.max(ln).cast("long").alias("max_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# window extension
+# --------------------------------------------------------------------------
+
+def w1_days_since_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() window: days since the subject's previous record."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag(F.col("o_orderdate")).over(w)
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), prev.cast("date"))
+        .cast("long")
+        .alias("days_since_prev"),
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup / text / similarity extensions
+# --------------------------------------------------------------------------
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a corpus with planted duplicates (the corpus
+    itself is dup-free, so copies of every 20th doc are unioned in)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dupes = d.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return exact_duplicates(d.unionByName(dupes), "doc_id", "text", normalized=False)
+
+
+def dedup_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5-of-normalized-text fingerprinting (near-exact dedup key)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("text").cast("long").alias("n_exact"),
+        F.countDistinct(fingerprint("text")).cast("long").alias("n_norm"),
+    )
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(token_count("text")).cast("long").alias("total_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stopword-ratio language heuristic vs the labeled lang column."""
+    d = _t(spark, sf_dir, "documents")
+    pred_en = stopword_ratio("text") >= 0.12
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(pred_en, 1).otherwise(0)).cast("long").alias("n_pred_en"),
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score("text").alias("quality"))
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """brute-force cosine top-10 neighbors of vec_id=0 (exact ANN baseline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    top = brute_force_topk(corpus, list(qvec), k=10, id_col="vec_id", vec_col="embedding")
+    return top.select("vec_id", F.round("sim", 6).alias("sim"))
+
+
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-shaped tumbling-window aggregation (batch == stream plan)."""
+    e = _events(spark, sf_dir)
+    return tumbling_window_counts(e, "1 hour")
+
+
+# --------------------------------------------------------------------------
+# end-to-end: the metadata-compiled CDISC pipeline over TPC-H shapes
+# --------------------------------------------------------------------------
+
+def e2e_cdisc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The plan compiler end-to-end: constants, USUBJID, --SEQ window,
+    CT broadcast lookup, ISO dates, numeric parse, per-subject study
+    day — all compiled into one select (SURVEY.md §3)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    src = o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey",
+        F.col("c_name").alias("SUBJ"),
+        F.date_format("o_orderdate", "MM/dd/yyyy").alias("DTCRAW"),
+        F.col("o_totalprice").cast("string").alias("NUMRAW"),
+        F.col("o_orderpriority").alias("PRIORAW"),
+    )
+    prio_rows = [
+        ("CLPR", k, v, False)
+        for k, v in [
+            ("1-URGENT", "URGENT"), ("2-HIGH", "HIGH"), ("3-MEDIUM", "MEDIUM"),
+            ("4-NOT SPECIFIED", "NOT SPECIFIED"), ("5-LOW", "LOW"),
+        ]
+    ]
+    lookup = spark.createDataFrame(
+        prio_rows,
+        "codelist_code string, lookup_key string, submission_value string, extensible boolean",
+    )
+    ref = (
+        src.groupBy("SUBJ")
+        .agg(F.min(F.to_date("DTCRAW", "MM/dd/yyyy")).alias("d"))
+        .select("SUBJ", F.date_format("d", "yyyy-MM-dd").alias("RFSTDTC"))
+    )
+    ctx = NormalizationContext(
+        study_id="STUDY01",
+        domain_code="XX",
+        order_col="o_orderkey",
+        subject_col="SUBJ",
+        ct_lookup=lookup,
+        ref_date_df=ref,
+    )
+    rules = [
+        Rule("STUDYID", "constant", params={"value": "STUDY01"}, order=1),
+        Rule("DOMAIN", "constant", params={"value": "XX"}, order=2),
+        Rule("USUBJID", "usubjid_prefix", source="SUBJ", order=3),
+        Rule("XXSEQ", "sequence", order=4),
+        Rule("XXPRIOR", "ct", source="PRIORAW", params={"codelist_code": "CLPR"}, order=5),
+        Rule("XXSTDTC", "iso_datetime", source="DTCRAW", order=6),
+        Rule("XXDOSE", "numeric", source="NUMRAW", order=7),
+        Rule("XXDY", "study_day", source="XXSTDTC", order=8),
+    ]
+    # study_day sources the *raw* date column (the compiler normalizes it)
+    rules[7] = Rule("XXDY", "study_day", source="DTCRAW", order=8)
+    return compile_pipeline(src, rules, ctx)
+
+
+# --------------------------------------------------------------------------
+# non-SQL-expressible extensions (rows-only checks)
+# --------------------------------------------------------------------------
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pair generation (no SQL oracle; checked
+    rows-only). Bands×rows = 8×4 over 32 minhashes of 5-gram shingles."""
+    d = _t(spark, sf_dir, "documents")
+    sig = minhash_signatures(d, "doc_id", "text", k=5, num_hashes=32)
+    return lsh_candidate_pairs(sig, "doc_id", bands=8, rows_per_band=4)
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (no SQL oracle: engine-specific
+    xxhash64; checked rows-only)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", token_hashes("text").alias("__h")).select(
+        "doc_id", simhash_from_hashes("__h").alias("simhash64")
+    )
+
+
+# --------------------------------------------------------------------------
+# driver contract
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q1_pricing_summary(spark, SMOKE_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_order_revenue": q3_order_revenue,
+        "t1_constant_projection": t1_constant_projection,
+        "t2_usubjid_prefix": t2_usubjid_prefix,
+        "t3_sequence_number": t3_sequence_number,
+        "t4_iso8601_normalize": t4_iso8601_normalize,
+        "t6_duration_normalize": t6_duration_normalize,
+        "t7_study_day": t7_study_day,
+        "t8_ct_normalize": t8_ct_normalize,
+        "t9_numeric_parse": t9_numeric_parse,
+        "t11_codelist_decode_fill": t11_codelist_decode_fill,
+        "t13_numeric_render": t13_numeric_render,
+        "a1_column_profile": a1_column_profile,
+        "a3_distinct_samples": a3_distinct_samples,
+        "a4_max_observed_length": a4_max_observed_length,
+        "a5_duplicate_sequence": a5_duplicate_sequence,
+        "a8_invalid_samples": a8_invalid_samples,
+        "j1_orphan_customers": j1_orphan_customers,
+        "j2_semi_suppliers": j2_semi_suppliers,
+        "j4_bidirectional_missing": j4_bidirectional_missing,
+        "j6_relrec_probe": j6_relrec_probe,
+        "r1_supp_unpivot": r1_supp_unpivot,
+        "r2_reciprocal_union": r2_reciprocal_union,
+        "v1_required_empty": v1_required_empty,
+        "v4_invalid_dates": v4_invalid_dates,
+        "v6_text_too_long": v6_text_too_long,
+        "w1_days_since_prev": w1_days_since_prev,
+        "dedup_exact_docs": dedup_exact_docs,
+        "dedup_fingerprint_stats": dedup_fingerprint_stats,
+        "text_token_stats": text_token_stats,
+        "text_lang_id": text_lang_id,
+        "text_quality": text_quality,
+        "ann_cosine_topk": ann_cosine_topk,
+        "events_tumbling_window": events_tumbling_window,
+        "e2e_cdisc_pipeline": e2e_cdisc_pipeline,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "simhash_fingerprints": simhash_fingerprints,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_STOPWORDS_SQL = "'" + "','".join(
+    (
+        "the", "a", "an", "and", "or", "of", "to", "in", "is", "are",
+        "was", "were", "it", "that", "this", "with", "for", "on", "as",
+        "at", "by", "be", "from", "not", "but", "they", "he", "she",
+    )
+) + "'"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    iso_re = ISO_PARTIAL_RE
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                     AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                     AS DOUBLE) AS sum_disc_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                     * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))))
+                     AS DOUBLE) AS sum_charge,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_order_revenue": """
+            SELECT o_orderkey,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                     AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1997-06-01'
+              AND l_shipdate > TIMESTAMP '1997-06-01'
+            GROUP BY o_orderkey
+        """,
+        "t1_constant_projection": """
+            SELECT o_orderkey, 'STUDY01' AS studyid, 'XX' AS domain FROM orders
+        """,
+        "t2_usubjid_prefix": """
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 11 = 0 THEN ''
+                        ELSE 'STUDY01-' || trim(c_name) END AS usubjid
+            FROM customer
+        """,
+        "t3_sequence_number": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(row_number() OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS oseq
+            FROM orders
+        """,
+        "t4_iso8601_normalize": """
+            SELECT o_orderkey,
+                   CASE o_orderkey % 6
+                     WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+                     WHEN 1 THEN strftime(o_orderdate, '%Y-%m-%d')
+                     WHEN 2 THEN CASE
+                        WHEN day(o_orderdate) <= 12 THEN strftime(
+                          make_date(year(o_orderdate), day(o_orderdate), month(o_orderdate)),
+                          '%Y-%m-%d')
+                        ELSE strftime(o_orderdate, '%Y-%m-%d') END
+                     WHEN 3 THEN strftime(o_orderdate, '%Y-%m-%d')
+                     WHEN 4 THEN strftime(o_orderdate, '%Y-%m')
+                     ELSE 'NOT-A-DATE'
+                   END AS dtc
+            FROM orders
+        """,
+        "t6_duration_normalize": """
+            SELECT p_partkey,
+                   CASE p_partkey % 8
+                     WHEN 0 THEN 'P5D'
+                     WHEN 1 THEN 'P1DT12H'
+                     WHEN 2 THEN 'PT12H'
+                     WHEN 3 THEN 'PT2H30M'
+                     WHEN 4 THEN 'P2W'
+                     WHEN 5 THEN 'PT30M'
+                     WHEN 6 THEN 'P3Y6M4DT12H30M5S'
+                     ELSE 'not a duration'
+                   END AS dur
+            FROM part
+        """,
+        "t7_study_day": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(CASE l_linenumber % 4
+                     WHEN 0 THEN CASE WHEN d0 >= 0 THEN d0 + 1 ELSE d0 END
+                     WHEN 2 THEN CASE WHEN d2 >= 0 THEN d2 + 1 ELSE d2 END
+                     ELSE NULL
+                   END AS INTEGER) AS dy
+            FROM (
+              SELECT l_orderkey, l_linenumber,
+                     datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS d0,
+                     datediff('day', CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE)) AS d2
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            )
+        """,
+        "t8_ct_normalize": """
+            SELECT CASE WHEN l_orderkey % 4 = 3 THEN 'ZZZ'
+                        WHEN l_returnflag = 'R' THEN 'RETURNED'
+                        WHEN l_returnflag = 'A' THEN 'ACCEPTED'
+                        ELSE 'NONE' END AS decoded,
+                   count(*) AS n
+            FROM lineitem
+            GROUP BY 1
+        """,
+        "t9_numeric_parse": """
+            SELECT l_orderkey, l_linenumber,
+                   CASE l_linenumber % 4
+                     WHEN 0 THEN TRY_CAST(
+                       replace(replace(' ' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+                               || ',000.5 ', ',', ''), ' ', '') AS DOUBLE)
+                     WHEN 1 THEN TRY_CAST(
+                       CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) || '.5e2' AS DOUBLE)
+                     WHEN 2 THEN NULL
+                     ELSE CAST('inf' AS DOUBLE)
+                   END AS val
+            FROM lineitem
+        """,
+        "t11_codelist_decode_fill": """
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 3 = 0 THEN n_name ELSE 'PRESET' END AS nation_name
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+        """,
+        "t13_numeric_render": """
+            SELECT p_partkey,
+                   CAST(p_size AS VARCHAR) AS r_int,
+                   CAST(p_size AS VARCHAR) || '.25' AS r_frac,
+                   CAST(p_size AS VARCHAR) || '.5' AS r_half
+            FROM part
+        """,
+        "a1_column_profile": """
+            SELECT count(*) AS n,
+                   count(DISTINCT l_returnflag) AS rf_distinct,
+                   count(DISTINCT l_suppkey) AS supp_distinct,
+                   CAST(max(length(l_returnflag)) AS BIGINT) AS rf_max_len,
+                   round(avg(l_quantity), 4) AS avg_qty
+            FROM lineitem
+        """,
+        "a3_distinct_samples": """
+            SELECT DISTINCT p_brand FROM part ORDER BY p_brand LIMIT 5
+        """,
+        "a4_max_observed_length": """
+            SELECT CAST(greatest(max(length(rtrim(p_name))), 1) AS BIGINT) AS len_name,
+                   CAST(greatest(max(length(rtrim(p_brand))), 1) AS BIGINT) AS len_brand,
+                   CAST(greatest(max(length(rtrim(p_type))), 1) AS BIGINT) AS len_type
+            FROM part
+        """,
+        "a5_duplicate_sequence": """
+            WITH g AS (
+              SELECT o_custkey, o_orderkey % 10 AS seq, count(*) AS n
+              FROM orders GROUP BY 1, 2 HAVING count(*) > 1
+            )
+            SELECT CAST(count(*) AS BIGINT) AS dup_groups,
+                   CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS extra_rows
+            FROM g
+        """,
+        "a8_invalid_samples": """
+            WITH v AS (
+              SELECT CASE p_partkey % 5
+                       WHEN 0 THEN CAST(p_size AS VARCHAR)
+                       WHEN 1 THEN 'N/A'
+                       WHEN 2 THEN 'abc'
+                       WHEN 3 THEN '12.5'
+                       ELSE '?' END AS v
+              FROM part
+            )
+            SELECT CAST(sum(CASE WHEN TRY_CAST(v AS DOUBLE) IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS invalid_cnt,
+                   array_to_string(
+                     (list_sort(list(DISTINCT CASE WHEN TRY_CAST(v AS DOUBLE) IS NULL THEN v END)
+                      ))[1:5], '|') AS samples
+            FROM v
+        """,
+        "j1_orphan_customers": """
+            SELECT c_custkey FROM customer
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderdate < TIMESTAMP '1996-01-01')
+        """,
+        "j2_semi_suppliers": """
+            SELECT s_suppkey, s_name FROM supplier
+            WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+        """,
+        "j4_bidirectional_missing": """
+            WITH e AS (SELECT DISTINCT l_suppkey AS usubj, l_partkey AS rsubj FROM lineitem)
+            SELECT CAST(count(*) AS BIGINT) AS one_way_cnt
+            FROM e a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM e b WHERE b.usubj = a.rsubj AND b.rsubj = a.usubj)
+        """,
+        "j6_relrec_probe": """
+            WITH keys AS (
+              SELECT 'ORDERKEY' AS idvar, CAST(o_orderkey AS VARCHAR) AS idvarval FROM orders
+              UNION ALL
+              SELECT 'CUSTKEY', CAST(o_custkey AS VARCHAR) FROM orders
+            ),
+            probes AS (
+              SELECT DISTINCT 'ORDERKEY' AS idvar, CAST(l_orderkey * 2 AS VARCHAR) AS idvarval
+              FROM lineitem
+              UNION ALL
+              SELECT DISTINCT 'BADVAR', CAST(l_orderkey AS VARCHAR) FROM lineitem
+            )
+            SELECT idvar, CAST(count(*) AS BIGINT) AS missing_cnt
+            FROM probes p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM keys k WHERE k.idvar = p.idvar AND k.idvarval = p.idvarval)
+            GROUP BY idvar
+        """,
+        "r1_supp_unpivot": """
+            SELECT 'TPCH' AS "STUDYID", 'PT' AS "RDOMAIN",
+                   CAST(p_partkey AS VARCHAR) AS "USUBJID",
+                   '' AS "IDVAR", '' AS "IDVARVAL",
+                   'PBRAND' AS "QNAM", 'p_brand' AS "QLABEL",
+                   p_brand AS "QVAL", 'CRF' AS "QORIG", '' AS "QEVAL"
+            FROM part WHERE p_brand IS NOT NULL AND trim(p_brand) != ''
+            UNION ALL
+            SELECT 'TPCH', 'PT', CAST(p_partkey AS VARCHAR), '', '',
+                   'PTYPE', 'p_type', p_type, 'CRF', ''
+            FROM part WHERE p_type IS NOT NULL AND trim(p_type) != ''
+        """,
+        "r2_reciprocal_union": """
+            WITH rel AS (
+              SELECT DISTINCT c_nationkey AS usubj, s_nationkey AS rsubj,
+                     CASE WHEN c_nationkey < s_nationkey THEN 'MOTHER, BIOLOGICAL'
+                          WHEN c_nationkey > s_nationkey THEN 'SPOUSE'
+                          ELSE 'TWIN' END AS srel
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              WHERE (c_nationkey * 2 + s_nationkey) % 5 = 0
+            ),
+            missing AS (
+              SELECT * FROM rel a
+              WHERE NOT EXISTS (
+                SELECT 1 FROM rel b WHERE b.usubj = a.rsubj AND b.rsubj = a.usubj)
+            )
+            SELECT usubj, rsubj, srel FROM rel
+            UNION ALL
+            SELECT rsubj AS usubj, usubj AS rsubj,
+                   CASE srel WHEN 'MOTHER, BIOLOGICAL' THEN 'CHILD, BIOLOGICAL'
+                             ELSE srel END AS srel
+            FROM missing
+        """,
+        "v1_required_empty": """
+            SELECT CAST(sum(CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_blank,
+                   CAST(sum(CASE WHEN c_custkey % 7 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_filled
+            FROM customer
+        """,
+        "v4_invalid_dates": f"""
+            WITH v AS (
+              SELECT CASE event_id % 5
+                       WHEN 0 THEN strftime(ts, '%Y-%m-%d')
+                       WHEN 1 THEN strftime(ts, '%Y-%m-%dT%H:%M')
+                       WHEN 2 THEN '2024-13-45'
+                       WHEN 3 THEN strftime(ts, '%Y-%m')
+                       ELSE 'garbage' END AS raw
+              FROM events
+            )
+            SELECT CAST(sum(CASE WHEN regexp_matches(raw, '{iso_re}') THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_valid,
+                   CAST(sum(CASE WHEN regexp_matches(raw, '{iso_re}') THEN 0 ELSE 1 END) AS BIGINT)
+                     AS n_invalid
+            FROM v
+        """,
+        "v6_text_too_long": """
+            SELECT CAST(sum(CASE WHEN length(rtrim(p_name)) > 30 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_over,
+                   CAST(max(length(rtrim(p_name))) AS BIGINT) AS max_len
+            FROM part
+        """,
+        "w1_days_since_prev": """
+            SELECT o_orderkey,
+                   CAST(datediff('day',
+                     CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey) AS DATE),
+                     CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev
+            FROM orders
+        """,
+        "dedup_exact_docs": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0
+            )
+            SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+                   count(*) AS dup_count
+            FROM corpus GROUP BY text HAVING count(*) > 1
+        """,
+        "dedup_fingerprint_stats": """
+            SELECT count(*) AS n_docs,
+                   count(DISTINCT text) AS n_exact,
+                   count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+                     AS n_norm
+            FROM documents
+        """,
+        "text_token_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT)
+                     AS total_tokens,
+                   round(avg(n_chars), 4) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "text_lang_id": f"""
+            WITH t AS (
+              SELECT lang,
+                     CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks
+              FROM documents
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN len(toks) > 0 AND
+                     CAST(len(list_filter(toks, x -> x IN ({_STOPWORDS_SQL}))) AS DOUBLE)
+                       / len(toks) >= 0.12
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en
+            FROM t GROUP BY lang
+        """,
+        "text_quality": """
+            WITH t AS (
+              SELECT doc_id, trim(text) AS s,
+                     CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ntok
+              FROM documents
+            )
+            SELECT doc_id,
+                   round(
+                     least(length(s) / 200.0, 1.0)
+                     * greatest(0.0, 1.0 - (length(regexp_replace(s, '[A-Za-z0-9\\s]', '', 'g'))
+                         / CAST(length(s) AS DOUBLE)) * 4)
+                     * CASE WHEN ntok > 0 AND length(s) / CAST(ntok AS DOUBLE) >= 3
+                                 AND length(s) / CAST(ntok AS DOUBLE) <= 12
+                            THEN 1.0 ELSE 0.5 END,
+                   4) AS quality
+            FROM t
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id, round(sim, 6) AS sim FROM (
+              SELECT vec_id,
+                     list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+                       / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                CAST(embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product(qv, qv))) AS sim
+              FROM embeddings, q
+              WHERE vec_id != 0
+            )
+            ORDER BY sim DESC, vec_id LIMIT 10
+        """,
+        "events_tumbling_window": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "e2e_cdisc_pipeline": """
+            WITH src AS (
+              SELECT o_orderkey, c_name, o_orderdate, o_totalprice, o_orderpriority
+              FROM orders JOIN customer ON o_custkey = c_custkey
+            ),
+            ref AS (
+              SELECT c_name, min(CAST(o_orderdate AS DATE)) AS rfdate
+              FROM src GROUP BY c_name
+            )
+            SELECT 'STUDY01' AS "STUDYID", 'XX' AS "DOMAIN",
+                   'STUDY01-' || trim(s.c_name) AS "USUBJID",
+                   CAST(row_number() OVER (PARTITION BY s.c_name ORDER BY s.o_orderkey)
+                        AS BIGINT) AS "XXSEQ",
+                   CASE s.o_orderpriority
+                     WHEN '1-URGENT' THEN 'URGENT' WHEN '2-HIGH' THEN 'HIGH'
+                     WHEN '3-MEDIUM' THEN 'MEDIUM'
+                     WHEN '4-NOT SPECIFIED' THEN 'NOT SPECIFIED'
+                     ELSE 'LOW' END AS "XXPRIOR",
+                   strftime(s.o_orderdate, '%Y-%m-%d') AS "XXSTDTC",
+                   s.o_totalprice AS "XXDOSE",
+                   CAST(CASE WHEN datediff('day', r.rfdate, CAST(s.o_orderdate AS DATE)) >= 0
+                             THEN datediff('day', r.rfdate, CAST(s.o_orderdate AS DATE)) + 1
+                             ELSE datediff('day', r.rfdate, CAST(s.o_orderdate AS DATE)) END
+                        AS INTEGER) AS "XXDY"
+            FROM src s JOIN ref r ON s.c_name = r.c_name
+        """,
+    }
