@@ -54,6 +54,7 @@ from trial_submission_studio_spark.operators.sequence import (
     duplicate_sequence_counts,
 )
 from trial_submission_studio_spark.operators.similarity import brute_force_topk
+from trial_submission_studio_spark.sources.local import values_df
 from trial_submission_studio_spark.operators.textstats import (
     quality_score,
     stopword_ratio,
@@ -230,8 +231,10 @@ def _returnflag_ct_lookup(spark: SparkSession) -> DataFrame:
         ("CLRF", "N", "NONE", False),
         ("CLRF", "NONE", "NONE", False),
     ]
-    return spark.createDataFrame(
-        rows, "codelist_code string, lookup_key string, submission_value string, extensible boolean"
+    return values_df(
+        spark,
+        rows,
+        "codelist_code string, lookup_key string, submission_value string, extensible boolean",
     )
 
 
@@ -620,14 +623,19 @@ def e2e_cdisc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("4-NOT SPECIFIED", "NOT SPECIFIED"), ("5-LOW", "LOW"),
         ]
     ]
-    lookup = spark.createDataFrame(
+    lookup = values_df(
+        spark,
         prio_rows,
         "codelist_code string, lookup_key string, submission_value string, extensible boolean",
     )
+    # per-subject reference date from the native date column (no
+    # string re-parse), aggregated before the name join — one scan of
+    # orders, one broadcastable 1-row-per-subject frame
     ref = (
-        src.groupBy("SUBJ")
-        .agg(F.min(F.to_date("DTCRAW", "MM/dd/yyyy")).alias("d"))
-        .select("SUBJ", F.date_format("d", "yyyy-MM-dd").alias("RFSTDTC"))
+        o.groupBy("o_custkey")
+        .agg(F.min("o_orderdate").alias("d"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(F.col("c_name").alias("SUBJ"), F.date_format("d", "yyyy-MM-dd").alias("RFSTDTC"))
     )
     ctx = NormalizationContext(
         study_id="STUDY01",
@@ -647,8 +655,6 @@ def e2e_cdisc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         Rule("XXDOSE", "numeric", source="NUMRAW", order=7),
         Rule("XXDY", "study_day", source="XXSTDTC", order=8),
     ]
-    # study_day sources the *raw* date column (the compiler normalizes it)
-    rules[7] = Rule("XXDY", "study_day", source="DTCRAW", order=8)
     return compile_pipeline(src, rules, ctx)
 
 

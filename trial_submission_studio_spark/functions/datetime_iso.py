@@ -94,23 +94,77 @@ def is_iso_partial(c: Column | str) -> Column:
     return F.trim(_col(c).cast("string")).rlike(ISO_PARTIAL_RE)
 
 
+def _render_date(ts: Column) -> Column:
+    return F.date_format(ts, "yyyy-MM-dd")
+
+
+def _render_datetime(ts: Column) -> Column:
+    return F.when(F.second(ts) == 0, F.date_format(ts, "yyyy-MM-dd'T'HH:mm")).otherwise(
+        F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss")
+    )
+
+
 def normalize_iso_datetime(c: Column | str) -> Column:
     """T4 Iso8601DateTime: reformat to ISO, preserve partial precision,
-    pass unparseable values through verbatim."""
+    pass unparseable values through verbatim.
+
+    Performance shape: the format ladder is *gated by cheap shape
+    regexes*, so a value tries at most ~3 ``try_to_timestamp`` parses
+    instead of the full 24-rung ladder — on a 100 TB scan the common
+    case (already ISO) costs exactly one regex match. Ladder order
+    within the slash branch preserves the documented US-before-EU
+    ambiguity resolution.
+    """
     s = F.trim(_col(c).cast("string"))
-    dt = _ladder(s, DATETIME_FORMATS)
-    d = _ladder(s, DATE_FORMATS)
-    ym = _ladder(s, YEAR_MONTH_FORMATS)
-    render_dt = F.when(
-        F.second(dt) == 0, F.date_format(dt, "yyyy-MM-dd'T'HH:mm")
-    ).otherwise(F.date_format(dt, "yyyy-MM-dd'T'HH:mm:ss"))
+
+    slash_date = _ladder(s, ("MM/dd/yyyy", "dd/MM/yyyy"))
+    slash_dt = _ladder(
+        s,
+        ("MM/dd/yyyy HH:mm:ss", "MM/dd/yyyy HH:mm", "dd/MM/yyyy HH:mm:ss", "dd/MM/yyyy HH:mm"),
+    )
+    ymd_slash = _ladder(s, ("yyyy/MM/dd", "yyyy/MM"))
+    ymd_slash_dt = _ladder(s, ("yyyy/MM/dd HH:mm:ss", "yyyy/MM/dd HH:mm"))
+    alpha_date = _ladder(s, ("dd-MMM-yyyy", "ddMMMyyyy", "MMM dd, yyyy", "dd MMM yyyy"))
+    alpha_dt = _ladder(s, ("dd-MMM-yyyy HH:mm:ss", "dd-MMM-yyyy HH:mm"))
+    alpha_ym = _ladder(s, ("MMM yyyy", "MMM-yyyy"))
+    compact = _ladder(s, ("yyyyMMdd",))
+    compact_dt = _ladder(s, ("yyyyMMdd HH:mm:ss",))
+    dotted = _ladder(s, ("dd.MM.yyyy",))
+    month_slash = _ladder(s, ("MM/yyyy",))
+    iso_dt = _ladder(s, ("yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd HH:mm"))
+
+    def d(ts: Column) -> Column:
+        return _render_date(ts)
+
+    def dt(ts: Column) -> Column:
+        return _render_datetime(ts)
+
     return (
         F.when(s.isNull() | (s == ""), F.lit(None).cast("string"))
         .when(s.rlike(ISO_PARTIAL_RE), s)
         .when(s.rlike(ISO_SPACE_RE), F.regexp_replace(s, " ", "T"))
-        .when(dt.isNotNull(), render_dt)
-        .when(d.isNotNull(), F.date_format(d, "yyyy-MM-dd"))
-        .when(ym.isNotNull(), F.date_format(ym, "yyyy-MM"))
+        .when(s.rlike(r"^\d{1,2}/\d{1,2}/\d{4}$"), F.coalesce(d(slash_date), s))
+        .when(s.rlike(r"^\d{1,2}/\d{1,2}/\d{4} \d"), F.coalesce(dt(slash_dt), s))
+        .when(s.rlike(r"^\d{4}/\d{1,2}(/\d{1,2})?$"), F.coalesce(
+            d(_ladder(s, ("yyyy/MM/dd",))),
+            F.date_format(ymd_slash, "yyyy-MM"),
+            s,
+        ))
+        .when(s.rlike(r"^\d{4}/\d{1,2}/\d{1,2} \d"), F.coalesce(dt(ymd_slash_dt), s))
+        .when(s.rlike(r"^\d{1,2}/\d{4}$"), F.coalesce(F.date_format(month_slash, "yyyy-MM"), s))
+        .when(s.rlike(r"^\d{8}$"), F.coalesce(d(compact), s))
+        .when(s.rlike(r"^\d{8} \d"), F.coalesce(dt(compact_dt), s))
+        .when(s.rlike(r"^\d{1,2}\.\d{1,2}\.\d{4}$"), F.coalesce(d(dotted), s))
+        .when(s.rlike(r"^\d{4}-\d{2}-\d{2} \d"), F.coalesce(dt(iso_dt), s))
+        .when(
+            s.rlike(r"[A-Za-z]") & s.rlike(r"\d{4}"),
+            F.coalesce(
+                dt(alpha_dt),
+                d(alpha_date),
+                F.date_format(alpha_ym, "yyyy-MM"),
+                s,
+            ),
+        )
         .otherwise(s)
     )
 

@@ -128,7 +128,16 @@ def infer_rules(
 
 
 def compile_pipeline(df: DataFrame, rules: list[Rule], ctx: NormalizationContext) -> DataFrame:
-    """Compile the rule list into (pre-joins +) one ``select``."""
+    """Compile the rule list into pre-joins + a two-stage ``select``.
+
+    Stage A evaluates every scalar transform once (CT pre-joins, the
+    ISO ladder, numeric parses). Stage B derives the order-dependent
+    and sibling-dependent targets — --SEQ windows and --DY study days
+    — from stage-A *outputs*, so a --DY whose sibling --DTC is in the
+    pipeline reuses the already-normalized value instead of running
+    the format ladder twice (the reference does the same by reading
+    the already-built column: executor.rs:300-351).
+    """
     work = df
 
     # Pre-join 1: CT lookups rewrite their source column in place
@@ -148,6 +157,7 @@ def compile_pipeline(df: DataFrame, rules: list[Rule], ctx: NormalizationContext
     # Pre-join 2: per-subject reference date for study-day rules.
     needs_ref = [r for r in rules if r.transform == "study_day"]
     ref_col = "__ref_dtc"
+    have_ref = False
     if needs_ref and ctx.ref_date_df is not None:
         subj = ctx.subject_col
         ref = ctx.ref_date_df.select(
@@ -157,31 +167,25 @@ def compile_pipeline(df: DataFrame, rules: list[Rule], ctx: NormalizationContext
         # but can still be large in absolute terms; let AQE pick
         # broadcast vs shuffle join rather than forcing a hint.
         work = work.join(ref, work[subj] == ref["__ref_subj"], "left").drop("__ref_subj")
+        have_ref = True
 
+    target_names = {r.target for r in rules}
     exprs: list[Column] = []
-    seq_rules: list[Rule] = []
+    stage_b: list[Rule] = []
     for r in rules:
         t = r.target
         if r.transform == "constant":
             exprs.append(F.lit(str(r.params["value"])).alias(t))
         elif r.transform == "usubjid_prefix":
             exprs.append(usubjid_prefix(F.col(r.source), ctx.study_id).alias(t))
-        elif r.transform == "sequence":
-            seq_rules.append(r)  # window applied after the select
+        elif r.transform in ("sequence", "study_day"):
+            stage_b.append(r)
         elif r.transform == "iso_datetime":
             exprs.append(normalize_iso_datetime(F.col(r.source)).alias(t))
         elif r.transform == "iso_date":
             exprs.append(normalize_iso_date(F.col(r.source)).alias(t))
         elif r.transform == "iso_duration":
             exprs.append(normalize_iso_duration(F.col(r.source)).alias(t))
-        elif r.transform == "study_day":
-            evt = normalize_iso_datetime(F.col(r.source)) if r.source in work.columns else F.lit(None).cast("string")
-            ref_expr = (
-                F.col(ref_col)
-                if ref_col in work.columns
-                else F.lit(ctx.global_ref_date).cast("string")
-            )
-            exprs.append(study_day(evt, ref_expr).alias(t))
         elif r.transform == "ct":
             exprs.append(F.col(ct_out[t]).alias(t))
         elif r.transform == "numeric":
@@ -189,12 +193,40 @@ def compile_pipeline(df: DataFrame, rules: list[Rule], ctx: NormalizationContext
         elif r.transform == "copy":
             exprs.append(F.col(r.source).cast("string").alias(t))
 
-    # Keep the carrier columns the window needs, then drop them.
-    carry = [c for c in {ctx.order_col, ctx.subject_col} if c in work.columns]
-    out = work.select(*exprs, *[F.col(c).alias(f"__carry_{c}") for c in carry])
+    # Carry what stage B needs (order/subject keys, raw sources whose
+    # normalized form isn't a stage-A target, the joined ref date).
+    carry: dict[str, Column] = {}
+    for c in {ctx.order_col, ctx.subject_col}:
+        if c in work.columns:
+            carry[f"__carry_{c}"] = F.col(c)
+    if have_ref:
+        carry[ref_col] = F.col(ref_col)
+    for r in stage_b:
+        if r.transform == "study_day" and r.source and r.source not in target_names:
+            if r.source in work.columns:
+                carry[f"__raw_{r.source}"] = F.col(r.source)
+    out = work.select(*exprs, *[c.alias(n) for n, c in carry.items()])
 
-    for r in seq_rules:
-        subj_out = "USUBJID" if "USUBJID" in [x.target for x in rules] else None
+    for r in stage_b:
+        if r.transform != "study_day":
+            continue
+        if r.source in target_names:
+            evt = F.col(r.source)  # reuse the normalized sibling --DTC
+        elif f"__raw_{r.source}" in out.columns:
+            evt = normalize_iso_datetime(F.col(f"__raw_{r.source}"))
+        else:
+            evt = F.lit(None).cast("string")
+        ref_expr = (
+            F.col(ref_col)
+            if have_ref
+            else F.lit(ctx.global_ref_date).cast("string")
+        )
+        out = out.withColumn(r.target, study_day(evt, ref_expr))
+
+    for r in stage_b:
+        if r.transform != "sequence":
+            continue
+        subj_out = "USUBJID" if "USUBJID" in target_names else None
         part = [subj_out] if subj_out else (
             [f"__carry_{ctx.subject_col}"] if f"__carry_{ctx.subject_col}" in out.columns else []
         )

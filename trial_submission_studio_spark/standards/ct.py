@@ -96,6 +96,10 @@ def codelist_lookup_df(spark: SparkSession, codelists: dict[str, Codelist]) -> D
             for k in keys:
                 if k:
                     rows.append((cl.code, k, t.submission_value, cl.extensible))
-    return spark.createDataFrame(
-        rows, "codelist_code string, lookup_key string, submission_value string, extensible boolean"
+    from trial_submission_studio_spark.sources.local import values_df
+
+    return values_df(
+        spark,
+        rows,
+        "codelist_code string, lookup_key string, submission_value string, extensible boolean",
     ).dropDuplicates(["codelist_code", "lookup_key"])
