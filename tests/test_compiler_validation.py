@@ -1,0 +1,182 @@
+"""Plan compiler + validation engine end-to-end on an AE-shaped fixture."""
+
+from pyspark.sql import functions as F
+
+from tests.conftest import rows
+from trial_submission_studio_spark.operators.normalize import (
+    NormalizationContext,
+    Rule,
+    compile_pipeline,
+    infer_rules,
+)
+from trial_submission_studio_spark.operators.validation import (
+    VariableSpec,
+    duplicate_sequence_issues,
+    melt_domain_keys,
+    rdomain_invalid,
+    relrec_invalid_references,
+    relsub_not_bidirectional,
+    usubjid_not_in_dm,
+    validate_domain,
+)
+from trial_submission_studio_spark.sources.local import values_df
+
+
+def _src(spark):
+    return values_df(
+        spark,
+        [
+            ("S-001", "Sun stroke", "2023-09-30", "Moderate", "10", 1),
+            ("S-001", "Headache", "01/15/2024", "mild", "1,234.5", 2),
+            ("S-002", "Nausea", "2024-01", "SEVERE", "abc", 3),
+        ],
+        "SubjectId string, AETERM string, AESTDAT string, AESEV string, AEDOSE string, _row_id int",
+    )
+
+
+def _ct(spark):
+    return values_df(
+        spark,
+        [
+            ("C66769", "MILD", "MILD", False),
+            ("C66769", "MODERATE", "MODERATE", False),
+            ("C66769", "SEVERE", "SEVERE", False),
+        ],
+        "codelist_code string, lookup_key string, submission_value string, extensible boolean",
+    )
+
+
+def test_compile_pipeline_end_to_end(spark):
+    ref = values_df(
+        spark, [("S-001", "2023-09-30"), ("S-002", "2024-01-01")],
+        "SubjectId string, RFSTDTC string",
+    )
+    ctx = NormalizationContext(
+        study_id="ST", domain_code="AE", order_col="_row_id",
+        subject_col="SubjectId", ct_lookup=_ct(spark), ref_date_df=ref,
+    )
+    out = compile_pipeline(
+        _src(spark),
+        [
+            Rule("STUDYID", "constant", params={"value": "ST"}, order=1),
+            Rule("DOMAIN", "constant", params={"value": "AE"}, order=2),
+            Rule("USUBJID", "usubjid_prefix", source="SubjectId", order=3),
+            Rule("AESEQ", "sequence", order=4),
+            Rule("AESEV", "ct", source="AESEV", params={"codelist_code": "C66769"}, order=5),
+            Rule("AESTDTC", "iso_datetime", source="AESTDAT", order=6),
+            Rule("AESTDY", "study_day", source="AESTDTC", order=7),
+            Rule("AEDOSE", "numeric", source="AEDOSE", order=8),
+        ],
+        ctx,
+    )
+    assert out.columns == [
+        "STUDYID", "DOMAIN", "USUBJID", "AESEQ", "AESEV", "AESTDTC", "AESTDY", "AEDOSE",
+    ]
+    got = {r["USUBJID"] + "/" + str(r["AESEQ"]): r.asDict() for r in out.collect()}
+    r1 = got["ST-S-001/1"]
+    assert (r1["AESTDTC"], r1["AESTDY"], r1["AESEV"], r1["AEDOSE"]) == (
+        "2023-09-30", 1, "MODERATE", 10.0,
+    )
+    r2 = got["ST-S-001/2"]
+    assert (r2["AESTDTC"], r2["AESTDY"], r2["AEDOSE"]) == ("2024-01-15", 108, 1234.5)
+    r3 = got["ST-S-002/1"]
+    assert (r3["AESTDTC"], r3["AESTDY"], r3["AEDOSE"]) == ("2024-01", None, None)
+
+
+def test_infer_rules_priority():
+    variables = [
+        {"name": "STUDYID", "order": 1},
+        {"name": "DOMAIN", "order": 2},
+        {"name": "USUBJID", "order": 3},
+        {"name": "SUBJID", "order": 3.5},
+        {"name": "AESEQ", "order": 4},
+        {"name": "AETERM", "order": 5, "data_type": "Char"},
+        {"name": "AESTDTC", "order": 6},
+        {"name": "AESTDY", "order": 7},
+        {"name": "AESEV", "order": 8, "codelist_code": "C66769"},
+        {"name": "AEDOSE", "order": 9, "data_type": "Num"},
+        {"name": "AEUNMAPPED", "order": 10},
+    ]
+    ctx = NormalizationContext(study_id="ST", domain_code="AE")
+    mapped = {
+        "SUBJID": "SubjectId", "AETERM": "Term", "AESTDTC": "StartDate",
+        "AESEV": "Severity", "AEDOSE": "Dose",
+    }
+    inferred = infer_rules(variables, mapped, ctx)
+    got = {r.target: r.transform for r in inferred}
+    assert got == {
+        "STUDYID": "constant", "DOMAIN": "constant", "USUBJID": "usubjid_prefix",
+        "SUBJID": "copy", "AESEQ": "sequence", "AETERM": "copy",
+        "AESTDTC": "iso_datetime", "AESTDY": "study_day", "AESEV": "ct",
+        "AEDOSE": "numeric",
+    }
+    # USUBJID derives from the SUBJID source column (executor.rs:124-174)
+    assert {r.target: r.source for r in inferred}["USUBJID"] == "SubjectId"
+
+
+def test_validate_domain(spark):
+    df = values_df(
+        spark,
+        [("S1", "ok", "2024-01-15", "12"), ("S2", None, "13/13/2024", "xx"), (None, "y", "2024", "5")],
+        "USUBJID string, AETERM string, AESTDTC string, AEDOSE string",
+    )
+    specs = [
+        VariableSpec("USUBJID", core="Req", role="Identifier"),
+        VariableSpec("AETERM", core="Req"),
+        VariableSpec("AESTDTC", core="Exp"),
+        VariableSpec("AEDOSE", core="Perm", data_type="Num"),
+        VariableSpec("AEMISSING", core="Exp"),
+        VariableSpec("AETERM2", core="Req"),
+    ]
+    issues = {(r["variable"], r["category"]): r for r in validate_domain(df, "AE", specs).collect()}
+    assert issues[("USUBJID", "Presence")]["count"] == 1
+    assert issues[("AETERM", "Presence")]["count"] == 1
+    assert issues[("AESTDTC", "Format")]["samples"] == ["13/13/2024"]
+    assert issues[("AEDOSE", "Format")]["count"] == 1
+    assert issues[("AEMISSING", "Presence")]["severity"] == "Warning"
+    assert issues[("AETERM2", "Presence")]["severity"] == "Error"
+
+
+def test_cross_domain_checks(spark):
+    dm = values_df(spark, [("S1",), ("S2",)], "USUBJID string")
+    ae = values_df(spark, [("S1",), ("S3",)], "USUBJID string")
+    got = usubjid_not_in_dm(ae, dm, "AE").collect()
+    assert got[0]["count"] == 1 and got[0]["samples"] == ["S3"]
+
+    co = values_df(spark, [("AE",), ("ZZ",)], "RDOMAIN string")
+    got = rdomain_invalid(co, "CO", ["AE", "DM"]).collect()
+    assert got[0]["count"] == 1 and got[0]["samples"] == ["ZZ"]
+
+    rel = values_df(
+        spark, [("S1", "S2", "SPOUSE"), ("S2", "S1", "SPOUSE"), ("S3", "S4", "TWIN")],
+        "USUBJID string, RSUBJID string, SREL string",
+    )
+    got = relsub_not_bidirectional(rel).collect()
+    assert got[0]["count"] == 1 and got[0]["samples"] == ["S3->S4"]
+
+
+def test_relrec_probe(spark):
+    frames = {
+        "AE": values_df(spark, [("S1", 1), ("S1", 2)], "USUBJID string, AESEQ int"),
+        "LB": values_df(spark, [("S1", "G1")], "USUBJID string, LBGRPID string"),
+    }
+    keys = melt_domain_keys(frames)
+    assert rows(keys) == [
+        ("AE", "AESEQ", "1"), ("AE", "AESEQ", "2"), ("LB", "LBGRPID", "G1"),
+    ]
+    relrec = values_df(
+        spark,
+        [("AE", "AESEQ", "1"), ("AE", "AESEQ", "9"), ("LB", "LBGRPID", "G1")],
+        "RDOMAIN string, IDVAR string, IDVARVAL string",
+    )
+    got = relrec_invalid_references(relrec, keys).collect()
+    assert len(got) == 1 and got[0]["count"] == 1
+    assert got[0]["samples"] == ["AESEQ=9"]
+
+
+def test_duplicate_sequence_issues(spark):
+    df = values_df(
+        spark, [("S1", 1), ("S1", 1), ("S2", 1)], "USUBJID string, AESEQ int"
+    )
+    got = duplicate_sequence_issues(df, "AE").collect()
+    assert len(got) == 1 and got[0]["count"] == 1

@@ -1,0 +1,138 @@
+"""Scalar transform semantics — the reference's inline-test corpus
+(FIXTURES.md F8) ported as the seed cases."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from trial_submission_studio_spark.functions import (
+    normalize_iso_datetime,
+    parse_numeric,
+    render_numeric,
+    usubjid_prefix,
+    bool_yn,
+    qnam_autogen,
+)
+from trial_submission_studio_spark.functions.duration import normalize_duration_str
+from trial_submission_studio_spark.functions.studyday import study_day
+
+
+def _one(spark, expr, **cols):
+    df = spark.createDataFrame([tuple(cols.values())], list(cols.keys()))
+    return df.select(expr.alias("out")).first()["out"]
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("2024-01", "2024-01"),  # partial preserved (datetime.rs:322-326)
+        ("2024", "2024"),
+        ("2024-01-15", "2024-01-15"),
+        ("01/15/2024", "2024-01-15"),  # US (datetime.rs:329-338)
+        ("15/01/2024", "2024-01-15"),  # EU day-first fallback
+        ("15-Jan-2024", "2024-01-15"),
+        ("20240115", "2024-01-15"),
+        ("15.01.2024", "2024-01-15"),
+        ("Jan 2024", "2024-01"),
+        ("2024-01-15 10:30", "2024-01-15T10:30"),
+        ("2024-01-15T10:30", "2024-01-15T10:30"),
+        ("01/15/2024 10:30:45", "2024-01-15T10:30:45"),
+        ("invalid date", "invalid date"),  # verbatim (datetime.rs:341-345)
+        ("2023-10-NK", "2023-10-NK"),
+        ("2024-13-45", "2024-13-45"),  # out-of-range = not ISO = preserved
+    ],
+)
+def test_iso_datetime(spark, raw, expected):
+    assert _one(spark, normalize_iso_datetime(F.col("v")), v=raw) == expected
+
+
+def test_iso_datetime_ambiguity_us_first(spark):
+    # 05/03/1995 is ambiguous; the ladder resolves US month-first
+    assert _one(spark, normalize_iso_datetime(F.col("v")), v="05/03/1995") == "1995-05-03"
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("5", "P5D"),
+        ("1.5", "P1DT12H"),
+        ("0.5", "PT12H"),
+        ("2 hours 30 minutes", "PT2H30M"),
+        ("2 weeks", "P2W"),
+        ("30min", "PT30M"),
+        ("5d", "P5D"),
+        ("2h", "PT2H"),
+        ("P3Y6M4DT12H30M5S", "P3Y6M4DT12H30M5S"),
+        ("p2w", "P2W"),  # ISO passthrough is upcased
+        ("not a duration", "not a duration"),
+        ("", ""),
+    ],
+)
+def test_duration(raw, expected):
+    assert normalize_duration_str(raw) == expected
+
+
+def test_duration_none():
+    assert normalize_duration_str(None) is None
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("1,234,567", 1234567.0),
+        ("1.23e5", 123000.0),
+        (" 123 ", 123.0),
+        ("abc", None),
+        ("", None),
+    ],
+)
+def test_parse_numeric(spark, raw, expected):
+    got = _one(spark, parse_numeric(F.col("v")), v=raw)
+    assert got == expected
+
+
+def test_parse_numeric_specials(spark):
+    assert _one(spark, parse_numeric(F.col("v")), v="inf") == math.inf
+    assert math.isnan(_one(spark, parse_numeric(F.col("v")), v="nan"))
+
+
+@pytest.mark.parametrize(
+    "value,expected",
+    [(40.0, "40"), (1.5, "1.5"), (0.25, "0.25"), (-3.0, "-3"), (1234567.0, "1234567")],
+)
+def test_render_numeric(spark, value, expected):
+    assert _one(spark, render_numeric(F.lit(value)), v="x") == expected
+
+
+def test_usubjid_blank(spark):
+    # empty SUBJID -> empty USUBJID, not 'STUDY-' (executor.rs:151-160)
+    assert _one(spark, usubjid_prefix(F.col("v"), "STUDY"), v="  ") == ""
+    assert _one(spark, usubjid_prefix(F.col("v"), "STUDY"), v=" S1 ") == "STUDY-S1"
+
+
+def test_bool_yn(spark):
+    df = spark.createDataFrame([(True,), (False,), (None,)], "v boolean")
+    got = [r["out"] for r in df.select(bool_yn("v").alias("out")).collect()]
+    assert got == ["Y", "N", None]
+
+
+def test_qnam(spark):
+    assert _one(spark, qnam_autogen(F.col("v")), v="ae_acns_other_long") == "AEACNSOT"
+
+
+@pytest.mark.parametrize(
+    "evt,ref,expected",
+    [
+        ("2024-01-10", "2024-01-10", 1),  # same day = day 1 (no day 0)
+        ("2024-01-11", "2024-01-10", 2),
+        ("2024-01-09", "2024-01-10", -1),  # day before = -1
+        ("2024-01", "2024-01-10", None),  # partial event -> null
+        ("2024-01-10", "2024-01", None),  # partial ref -> null
+        ("garbage", "2024-01-10", None),
+        ("2024-01-15T10:30", "2024-01-10", 6),  # time stripped
+    ],
+)
+def test_study_day(spark, evt, ref, expected):
+    df = spark.createDataFrame([(evt, ref)], "e string, r string")
+    assert df.select(study_day("e", "r").alias("dy")).first()["dy"] == expected

@@ -1,0 +1,181 @@
+"""Sinks (XPT/Dataset-XML/Define-XML/project) and the fuzzy mapper."""
+
+import struct
+import xml.dom.minidom
+
+import pytest
+
+from trial_submission_studio_spark.io.dataset_xml import write_dataset_xml
+from trial_submission_studio_spark.io.define_xml import DefineDataset, DefineVariable, write_define_xml
+from trial_submission_studio_spark.io.project import (
+    file_sha256,
+    load_project,
+    save_project,
+    sources_changed,
+)
+from trial_submission_studio_spark.io.xpt import XptVariable, ibm_float, ibm_to_ieee, write_xpt
+from trial_submission_studio_spark.mapping import (
+    MappingState,
+    MappingStatus,
+    jaro_winkler,
+    normalize_name,
+    score_pair,
+    suggest_mappings,
+)
+from trial_submission_studio_spark.sources.local import values_df
+
+
+@pytest.mark.parametrize("v", [0.0, 1.0, -1.0, 0.1, 123.456, 1e10, -2.5e-8, 55.0])
+def test_ibm_float_roundtrip(v):
+    got = ibm_to_ieee(ibm_float(v))
+    assert got == pytest.approx(v, rel=1e-15)
+
+
+def test_ibm_float_missing():
+    assert ibm_float(None) == b"\x2e" + b"\x00" * 7
+    assert ibm_to_ieee(ibm_float(None)) is None
+
+
+def test_write_xpt(spark, tmp_path):
+    df = values_df(
+        spark,
+        [("ST", "S-001", 55.0), ("ST", "S-002", None)],
+        "STUDYID string, USUBJID string, AGE double",
+    )
+    variables = [
+        XptVariable("STUDYID", "Study Identifier", False, 2),
+        XptVariable("USUBJID", "Unique Subject Identifier", False, 5),
+        XptVariable("AGE", "Age", True),
+    ]
+    path = str(tmp_path / "dm.xpt")
+    n = write_xpt(df.orderBy("USUBJID"), path, variables, "DM", "Demographics")
+    assert n == 2
+    blob = open(path, "rb").read()
+    assert len(blob) % 80 == 0
+    assert blob.startswith(b"HEADER RECORD*******LIBRARY HEADER RECORD!!!!!!!")
+    assert b"NAMESTR HEADER RECORD!!!!!!!0000000003" in blob
+    # first NAMESTR record starts right after its header record
+    ns_off = blob.index(b"NAMESTR HEADER") - 20 + 80
+    ntype, _, nlng, nvar0, name = struct.unpack(">hhhh8s", blob[ns_off : ns_off + 16])
+    assert (ntype, nlng, nvar0, name) == (2, 2, 1, b"STUDYID ")
+    # obs: row = 2 + 5 + 8 bytes; age of S-001 = IBM 55.0
+    obs_off = blob.index(b"OBS     HEADER") - 20 + 80
+    row1 = blob[obs_off : obs_off + 15]
+    assert row1[:7] == b"STS-001"
+    assert ibm_to_ieee(row1[7:15]) == 55.0
+    row2 = blob[obs_off + 15 : obs_off + 30]
+    assert ibm_to_ieee(row2[7:15]) is None  # missing = '.'
+
+
+def test_write_dataset_xml(spark, tmp_path):
+    df = values_df(
+        spark,
+        [("ST", "S-001", "Sun <stroke>", 1), ("ST", "S-002", "", 2)],
+        "STUDYID string, USUBJID string, AETERM string, _row_id int",
+    )
+    path = str(tmp_path / "ae.xml")
+    n = write_dataset_xml(df, path, "AE", "ST.STUDY", order_col="_row_id")
+    assert n == 2
+    doc = xml.dom.minidom.parse(path)  # well-formed
+    groups = doc.getElementsByTagName("ItemGroupData")
+    assert len(groups) == 2
+    assert groups[0].getAttribute("data:ItemGroupDataSeq") == "1"
+    items0 = groups[0].getElementsByTagName("ItemData")
+    vals = {i.getAttribute("ItemOID"): i.getAttribute("Value") for i in items0}
+    assert vals["IT.IG.AE.AETERM"] == "Sun <stroke>"  # escaped+parsed back
+    # empty AETERM emits no ItemData (P4)
+    oids1 = [i.getAttribute("ItemOID") for i in groups[1].getElementsByTagName("ItemData")]
+    assert "IT.IG.AE.AETERM" not in oids1
+
+
+def test_write_define_xml(spark, tmp_path):
+    frames = {
+        "DM": values_df(
+            spark, [("S-001", "55")], "USUBJID string, AGE string"
+        )
+    }
+    ds = DefineDataset(
+        domain="DM",
+        label="Demographics",
+        structure="One record per subject",
+        variables=[
+            DefineVariable("USUBJID", "Unique Subject Identifier", mandatory=True),
+            DefineVariable("AGE", "Age", data_type="integer"),
+            DefineVariable("ARMCD", "Arm Code"),  # not in data -> skipped
+        ],
+    )
+    path = str(tmp_path / "define.xml")
+    write_define_xml(path, "ST.STUDY", [ds], frames)
+    doc = xml.dom.minidom.parse(path)
+    items = {
+        e.getAttribute("OID"): e for e in doc.getElementsByTagName("ItemDef")
+    }
+    assert set(items) == {"IT.DM.USUBJID", "IT.DM.AGE"}
+    assert items["IT.DM.USUBJID"].getAttribute("Length") == "5"  # observed max
+    assert items["IT.DM.USUBJID"].getAttribute("def:HasNoData") == "No"
+
+
+def test_project_roundtrip(tmp_path):
+    src = tmp_path / "a.csv"
+    src.write_text("x\n1\n")
+    state = {"study_id": "ST", "source_hashes": {str(src): file_sha256(str(src))}}
+    p = str(tmp_path / "proj.json")
+    save_project(p, state)
+    assert load_project(p) == state
+    assert sources_changed(state) == {str(src): False}
+    src.write_text("x\n2\n")
+    assert sources_changed(state) == {str(src): True}
+
+
+# --- fuzzy mapping -----------------------------------------------------
+
+
+def test_jaro_winkler_basics():
+    assert jaro_winkler("martha", "marhta") == pytest.approx(0.9611, abs=1e-4)
+    assert jaro_winkler("same", "same") == 1.0
+    assert jaro_winkler("abc", "xyz") == 0.0
+
+
+def test_normalize_name():
+    assert normalize_name("AE_Start-Date.Raw") == "ae start date raw"
+
+
+def test_score_multipliers():
+    # SEQ suffix agreement boosts, disagreement penalizes (score.rs:161-278)
+    both = score_pair("AESEQ", "AESEQ")
+    assert both.seq_adjust == 1.05
+    assert score_pair("AESEQ", "AETERM").seq_adjust == 0.6
+    assert score_pair("SEXCD", "SEX").cd_adjust == 0.7
+    assert score_pair("SEX", "SEXCD").cd_adjust == 0.8
+
+
+def test_suggest_one_to_one():
+    got = suggest_mappings(
+        ["SubjectId", "StartDate", "Severity"],
+        ["AESTDTC", "AESEV"],
+        min_confidence=0.5,
+    )
+    cols = [c for c, _ in got.values()]
+    assert len(cols) == len(set(cols))  # 1:1
+    assert got["AESEV"][0] == "Severity"
+
+
+def test_mapping_state_rules():
+    variables = [
+        {"name": "STUDYID", "core": "Req"},
+        {"name": "USUBJID", "core": "Req"},
+        {"name": "AETERM", "core": "Req"},
+        {"name": "AESEV", "core": "Exp"},
+        {"name": "AELAT", "core": "Perm"},
+    ]
+    st = MappingState.new("AE", variables, ["Term", "Severity"], min_confidence=0.5)
+    assert st.status["STUDYID"] == MappingStatus.AUTO_GENERATED
+    with pytest.raises(ValueError):
+        st.mark_not_collected("AETERM")  # Required can't be not-collected
+    with pytest.raises(ValueError):
+        st.mark_omitted("AESEV")  # only Permissible omittable
+    st.mark_omitted("AELAT")
+    assert st.status["AELAT"] == MappingStatus.OMITTED
+    snap = st.snapshot()
+    st2 = MappingState.restore(snap, variables)
+    assert st2.status == st.status and st2.source == st.source

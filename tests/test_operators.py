@@ -1,0 +1,166 @@
+"""Operator-level semantics: sequence, CT lookup, codelist decode,
+reshape, dedup, similarity, text stats."""
+
+from pyspark.sql import functions as F
+
+from tests.conftest import rows
+from trial_submission_studio_spark.operators import (
+    add_sequence_number,
+    apply_codelist_decode,
+    apply_ct_normalization,
+    reciprocal_augment,
+    supp_unpivot,
+)
+from trial_submission_studio_spark.operators.dedup import (
+    exact_duplicates,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+)
+from trial_submission_studio_spark.operators.sequence import duplicate_sequence_counts
+from trial_submission_studio_spark.operators.similarity import brute_force_topk
+from trial_submission_studio_spark.operators.textstats import (
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from trial_submission_studio_spark.sources.local import values_df
+
+
+def test_sequence_per_subject(spark):
+    # subjects [001,001,002] -> seq [1,2,1] (executor.rs:561-592)
+    df = values_df(
+        spark, [("001", 1), ("001", 2), ("002", 3)], "subj string, rid int"
+    )
+    out = add_sequence_number(df, "SEQ", order_by=["rid"], partition_by=["subj"])
+    assert rows(out, "subj", "SEQ") == [("001", 1), ("001", 2), ("002", 1)]
+
+
+def test_duplicate_sequence_counts(spark):
+    df = values_df(
+        spark,
+        [("A", 1), ("A", 1), ("A", 2), ("B", 1), ("B", 1), ("B", 1)],
+        "USUBJID string, XSEQ int",
+    )
+    got = duplicate_sequence_counts(df, "USUBJID", "XSEQ").first()
+    assert (got["dup_groups"], got["extra_rows"]) == (2, 3)
+
+
+def _ct_lookup(spark):
+    return values_df(
+        spark,
+        [
+            ("C66731", "M", "M", False),
+            ("C66731", "MALE", "M", False),
+            ("C66731", "F", "F", False),
+            ("C66731", "FEMALE", "F", False),
+        ],
+        "codelist_code string, lookup_key string, submission_value string, extensible boolean",
+    )
+
+
+def test_ct_normalization(spark):
+    df = values_df(spark, [("male",), ("F",), ("X",), ("",)], "v string")
+    out = apply_ct_normalization(df, "v", "d", _ct_lookup(spark), "C66731")
+    assert rows(out, "v", "d") == [("", ""), ("F", "F"), ("X", "X"), ("male", "M")]
+
+
+def test_codelist_decode_fill_only(spark):
+    # decode fills only empty cells (application.rs:209-227), '1.0' ≡ '1'
+    codelist = values_df(
+        spark, [("1", "Male"), ("2", "Female")], "code_value string, code_text string"
+    )
+    df = values_df(
+        spark,
+        [("", "1.0"), ("Female", "2"), ("", "2")],
+        "SEX string, SEXCD string",
+    )
+    out = apply_codelist_decode(df, "SEXCD", codelist)
+    assert sorted(r["SEX"] for r in out.collect()) == ["Female", "Female", "Male"]
+
+
+def test_supp_unpivot_drops_blanks(spark):
+    df = values_df(
+        spark,
+        [("S1", "v1", ""), ("S2", "", "v2"), ("", "v3", "v4")],
+        "USUBJID string, colA string, colB string",
+    )
+    out = supp_unpivot(df, ["colA", "colB"], "ST", "XX")
+    got = rows(out, "USUBJID", "QNAM", "QVAL")
+    # blank QVAL and blank USUBJID rows are excluded (export.rs:524-535)
+    assert got == [("S1", "COLA", "v1"), ("S2", "COLB", "v2")]
+    assert out.columns == [
+        "STUDYID", "RDOMAIN", "USUBJID", "IDVAR", "IDVARVAL",
+        "QNAM", "QLABEL", "QVAL", "QORIG", "QEVAL",
+    ]
+
+
+def test_reciprocal_augment(spark):
+    rel = values_df(
+        spark,
+        [("S1", "S2", "MOTHER, BIOLOGICAL"), ("S3", "S4", "SPOUSE"), ("S4", "S3", "SPOUSE")],
+        "USUBJID string, RSUBJID string, SREL string",
+    )
+    out = reciprocal_augment(rel)
+    got = rows(out, "USUBJID", "RSUBJID", "SREL")
+    assert ("S2", "S1", "CHILD, BIOLOGICAL") in got  # synthesized
+    assert len(got) == 4  # existing pair not duplicated
+
+
+def test_exact_duplicates(spark):
+    df = values_df(
+        spark,
+        [(1, "aa"), (2, "bb"), (3, "aa"), (4, "aa")],
+        "id bigint, text string",
+    )
+    got = rows(exact_duplicates(df, "id", "text"), "keep_id", "dup_count")
+    assert got == [(1, 3)]
+
+
+def test_minhash_lsh_finds_planted_near_dupes(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet green forest until the evening light fades away"
+    )
+    near = base.replace("quiet", "silent")  # one-word change
+    other = (
+        "completely different content about spark distributed execution "
+        "plans shuffles partitions and adaptive query optimization at scale"
+    )
+    df = values_df(
+        spark, [(1, base), (2, near), (3, other)], "doc_id bigint, text string"
+    )
+    sig = minhash_signatures(df, "doc_id", "text", k=5, num_hashes=32)
+    pairs = lsh_candidate_pairs(sig, "doc_id", bands=8, rows_per_band=4)
+    got = rows(pairs, "id_a", "id_b")
+    assert (1, 2) in got
+    verified = ngram_jaccard_pairs(df, "doc_id", "text", pairs, k=5, threshold=0.5)
+    vr = rows(verified, "id_a", "id_b")
+    assert (1, 2) in vr
+    assert all(p == (1, 2) for p in vr)
+
+
+def test_brute_force_topk(spark):
+    df = values_df(
+        spark,
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [-1.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    top = brute_force_topk(df, [1.0, 0.0], k=2)
+    assert [r["vec_id"] for r in top.collect()] == [1, 2]
+
+
+def test_textstats(spark):
+    df = values_df(
+        spark,
+        [("the cat sat on the mat",), ("",), ("xyzzy plugh",)],
+        "text string",
+    )
+    got = df.select(
+        token_count("text").alias("n"),
+        F.round(stopword_ratio("text"), 3).alias("sw"),
+        quality_score("text").alias("q"),
+    ).collect()
+    assert [r["n"] for r in got] == [6, 0, 2]
+    assert got[0]["sw"] > 0.3  # 'the' twice + 'on' = 3/6
+    assert got[1]["sw"] == 0.0

@@ -1,0 +1,166 @@
+"""CSV ingest, items-metadata role detection, multimodal plumbing,
+streaming parity, and hypothesis property tests."""
+
+import codecs
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from trial_submission_studio_spark.functions.duration import normalize_duration_str
+from trial_submission_studio_spark.operators.multimodal import (
+    image_features,
+    media_stats,
+    sample_frames,
+)
+from trial_submission_studio_spark.sources import read_source_csv
+from trial_submission_studio_spark.sources.csv_reader import detect_encoding, list_csv_files
+from trial_submission_studio_spark.sources.items_metadata import detect_roles, load_items_metadata
+from trial_submission_studio_spark.sources.local import values_df
+from trial_submission_studio_spark.streaming.events import tumbling_window_counts
+
+AE_CSV = (
+    "Subject ID,Term,Start Date\n"
+    "SubjectId,AETERM,AESTDAT\n"
+    "S-001,Sun stroke,2023-09-30\n"
+    "S-002,  ,2024-01-15\n"
+)
+
+
+def test_double_header_csv(spark, tmp_path):
+    p = tmp_path / "AE.csv"
+    p.write_text(AE_CSV, encoding="utf-8")
+    src = read_source_csv(spark, str(p), header_rows=2)
+    assert src.columns == ["SubjectId", "AETERM", "AESTDAT"]
+    assert src.labels["AETERM"] == "Term"
+    got = sorted(tuple(r) for r in src.df.collect())
+    assert got == [
+        ("S-001", "Sun stroke", "2023-09-30", 1),
+        ("S-002", None, "2024-01-15", 2),  # whitespace-only -> NULL
+    ]
+
+
+def test_single_header_csv(spark, tmp_path):
+    p = tmp_path / "x.csv"
+    p.write_text("A,B\n1,2\n", encoding="utf-8")
+    src = read_source_csv(spark, str(p), header_rows=1)
+    assert src.columns == ["A", "B"]
+    assert src.df.count() == 1
+
+
+def test_utf16_bom(spark, tmp_path):
+    p = tmp_path / "u16.csv"
+    p.write_bytes(codecs.BOM_UTF16_LE + AE_CSV.encode("utf-16-le"))
+    assert detect_encoding(str(p)) == "UTF-16LE"
+    src = read_source_csv(spark, str(p), header_rows=2)
+    assert src.df.count() == 2
+    assert src.df.filter(F.col("SubjectId") == "S-001").count() == 1
+
+
+def test_utf8_bom(spark, tmp_path):
+    p = tmp_path / "u8.csv"
+    p.write_bytes(codecs.BOM_UTF8 + AE_CSV.encode("utf-8"))
+    src = read_source_csv(spark, str(p), header_rows=2)
+    assert src.columns[0] == "SubjectId"
+
+
+def test_list_csv_files(tmp_path):
+    (tmp_path / "b.CSV").write_text("x\n")
+    (tmp_path / "a.csv").write_text("x\n")
+    (tmp_path / "c.txt").write_text("x\n")
+    got = [p.rsplit("/", 1)[-1] for p in list_csv_files(str(tmp_path))]
+    assert got == ["a.csv", "b.CSV"]
+
+
+ITEMS_CSV = (
+    "Item Id,Item Label,Type,Required,Format,Len\n"
+    "ID,Label,DataType,Mandatory,FormatName,ContentLength\n"
+    "SUBJID,Subject Identifier for the Study,text,True,,8\n"
+    "SEXCD,Gender of the Subject - Code,text,True,SEX,1\n"
+    "AGE,Age of the Subject in Years,integer,False,,3\n"
+    "ICDAT,Informed Consent Signature Date,date,True,,10\n"
+)
+
+
+def test_items_role_detection(spark, tmp_path):
+    p = tmp_path / "Items.csv"
+    p.write_text(ITEMS_CSV, encoding="utf-8")
+    src = read_source_csv(spark, str(p), header_rows=2)
+    roles = detect_roles(src)
+    assert roles["ID"] == "id"
+    assert roles["Label"] == "label"
+    meta = load_items_metadata(spark, str(p))
+    assert meta.items["SEXCD"].format_name == "SEX"
+    assert meta.items["AGE"].mandatory is False
+    assert meta.items["SUBJID"].content_length == 8
+
+
+def test_multimodal_plumbing(spark):
+    media = values_df(
+        spark,
+        [
+            (1, "image", b"\xff\xd8fakejpeg", "image/jpeg", 640, 480, None),
+            (2, "video", b"\x00fakemp4", "video/mp4", 1280, 720, 3500),
+        ],
+        "media_id bigint, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms bigint",
+    )
+    feats = image_features(media.filter("kind = 'image'"), dim=8, deterministic_fake=True)
+    row = feats.first()
+    assert row["feat_dim"] == 8 and len(row["feat"]) == 8
+    # deterministic: same payload -> same features on re-run
+    again = image_features(media.filter("kind = 'image'"), dim=8, deterministic_fake=True)
+    assert again.first()["feat"] == row["feat"]
+
+    frames = sample_frames(media.filter("kind = 'video'"), every_ms=1000, deterministic_fake=True)
+    assert frames.count() == 3  # 3500ms / 1000ms
+    stats = {r["kind"]: r for r in media_stats(media).collect()}
+    assert stats["image"]["n"] == 1 and stats["video"]["avg_duration_ms"] == 3500.0
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    batch = values_df(
+        spark,
+        [
+            (1, "2024-01-01 00:10:00", "click", 1.0),
+            (2, "2024-01-01 00:50:00", "click", 2.0),
+            (3, "2024-01-01 01:10:00", "view", 3.0),
+        ],
+        "event_id bigint, ts_s string, event_type string, value double",
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value")
+    src_dir = str(tmp_path / "events_stream")
+    batch.write.parquet(src_dir)
+
+    expected = sorted(tuple(r) for r in tumbling_window_counts(batch, "1 hour").collect())
+
+    stream = (
+        spark.readStream.schema("event_id bigint, ts timestamp, event_type string, value double")
+        .parquet(src_dir)
+    )
+    agg = tumbling_window_counts(stream, "1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tw_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(tuple(r) for r in spark.sql("SELECT * FROM tw_out").collect())
+    finally:
+        q.stop()
+    assert got == expected
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=30))
+def test_duration_idempotent(s):
+    once = normalize_duration_str(s)
+    twice = normalize_duration_str(once)
+    assert twice == once  # normalize∘normalize == normalize
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=0, max_value=10000))
+def test_duration_numeric_days(n):
+    assert normalize_duration_str(str(n)) == (f"P{n}D" if n else "P0D")

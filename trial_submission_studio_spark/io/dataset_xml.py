@@ -1,0 +1,105 @@
+"""CDISC Dataset-XML 1.0 writer — K2 (SURVEY.md §2.1).
+
+Reference behavior (tss-submit/src/export/dataset_xml.rs:67-165): one
+ODM document per domain; ``ItemGroupData`` per row with a 1-based
+sequence; ``ItemData`` only for non-empty values.
+
+Spark-side: the row XML fragments are generated *distributed* (one
+``concat`` expression per row — P4's non-empty-cell emission is a
+``when`` filter inside the fragment), ordered by the explicit row-id,
+and streamed to the file via ``toLocalIterator``; the driver writes
+envelope + fragments sequentially without materializing the dataset.
+"""
+
+from __future__ import annotations
+
+from xml.sax.saxutils import escape, quoteattr
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_ODM_NS = "http://www.cdisc.org/ns/odm/v1.3"
+_DATA_NS = "http://www.cdisc.org/ns/Dataset-XML/v1.0"
+
+
+def _xml_escape_col(c: Column) -> Column:
+    out = c.cast("string")
+    for raw, rep in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&quot;")):
+        out = F.replace(out, F.lit(raw), F.lit(rep))
+    return out
+
+
+def row_fragment(columns: list[str], item_oid_prefix: str, seq_col: str) -> Column:
+    """Column producing one ``<ItemGroupData>`` XML fragment per row."""
+    parts: list[Column] = [
+        F.concat(
+            F.lit('  <ItemGroupData ItemGroupOID="'),
+            F.lit(item_oid_prefix),
+            F.lit('" data:ItemGroupDataSeq="'),
+            F.col(seq_col).cast("string"),
+            F.lit('">'),
+        )
+    ]
+    for c in columns:
+        col = F.col(c)
+        nonempty = col.isNotNull() & (F.trim(col.cast("string")) != "")
+        parts.append(
+            F.when(
+                nonempty,
+                F.concat(
+                    F.lit(f'    <ItemData ItemOID="IT.{item_oid_prefix}.{c}" Value="'),
+                    _xml_escape_col(col),
+                    F.lit('"/>'),
+                ),
+            ).otherwise(F.lit(""))
+        )
+    parts.append(F.lit("  </ItemGroupData>"))
+    sep = F.lit("\n")
+    out = parts[0]
+    for p in parts[1:]:
+        out = F.concat(out, F.when(F.length(p) > 0, F.concat(sep, p)).otherwise(F.lit("")))
+    return out
+
+
+def write_dataset_xml(
+    df: DataFrame,
+    path: str,
+    domain: str,
+    study_oid: str,
+    order_col: str | None = None,
+    metadata_version_oid: str = "MDV.1",
+) -> int:
+    """Write the domain DataFrame as Dataset-XML; returns row count."""
+    ig_oid = f"IG.{domain.upper()}"
+    data_cols = [c for c in df.columns if c != order_col]
+    work = df
+    if order_col is None:
+        order_col = "__seq"
+        from pyspark.sql import Window
+
+        work = df.withColumn(
+            "__seq", F.row_number().over(Window.orderBy(F.monotonically_increasing_id()))
+        )
+    else:
+        work = df.withColumn("__seq", F.col(order_col))
+    frag = row_fragment(data_cols, ig_oid, "__seq")
+    ordered = work.orderBy(F.col("__seq")).select(frag.alias("xml"))
+
+    n = 0
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write('<?xml version="1.0" encoding="UTF-8"?>\n')
+        fh.write(
+            f'<ODM xmlns={quoteattr(_ODM_NS)} xmlns:data={quoteattr(_DATA_NS)} '
+            f'FileType="Snapshot" FileOID={quoteattr(f"{study_oid}.{domain}")} '
+            'ODMVersion="1.3.2">\n'
+        )
+        fh.write(
+            f' <ClinicalData StudyOID={quoteattr(study_oid)} '
+            f'MetaDataVersionOID={quoteattr(metadata_version_oid)}>\n'
+        )
+        for row in ordered.toLocalIterator():
+            fh.write(row["xml"])
+            fh.write("\n")
+            n += 1
+        fh.write(" </ClinicalData>\n</ODM>\n")
+    return n

@@ -1,0 +1,133 @@
+"""Define-XML 2.1 writer — K3 (SURVEY.md §2.1).
+
+Reference behavior (tss-submit/src/export/define_xml.rs:73-467): a
+study-level metadata document with one ItemGroupDef per dataset and
+one ItemDef per variable; Char lengths come from the *observed* data
+(max trimmed length), plus a has-data flag; codelists referenced by
+OID.
+
+Spark-side: the only data-plane work is the per-column aggregate pass
+(max length + any-non-null), computed in ONE ``agg`` per domain;
+everything else is driver-side templating over schema-sized metadata.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from xml.sax.saxutils import quoteattr
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class DefineVariable:
+    name: str
+    label: str = ""
+    data_type: str = "text"  # define-xml datatype
+    length: int | None = None
+    codelist_oid: str | None = None
+    mandatory: bool = False
+
+
+@dataclass
+class DefineDataset:
+    domain: str
+    label: str = ""
+    structure: str = ""
+    variables: list[DefineVariable] = field(default_factory=list)
+
+
+def observed_metadata(df: DataFrame, columns: list[str]) -> dict[str, tuple[int, bool]]:
+    """One pass: {column: (max_trimmed_length, has_data)}."""
+    aggs = []
+    for c in columns:
+        col = F.col(c).cast("string")
+        aggs.append(F.max(F.length(F.rtrim(col))).alias(f"{c}__len"))
+        aggs.append(
+            F.max(F.when(col.isNotNull() & (F.trim(col) != ""), 1).otherwise(0)).alias(
+                f"{c}__has"
+            )
+        )
+    row = df.agg(*aggs).collect()[0].asDict()
+    return {
+        c: (max(int(row[f"{c}__len"] or 0), 1), bool(row[f"{c}__has"]))
+        for c in columns
+    }
+
+
+def write_define_xml(
+    path: str,
+    study_oid: str,
+    datasets: list[DefineDataset],
+    frames: dict[str, DataFrame],
+    study_name: str = "",
+    ig_version: str = "SDTM-IG 3.4",
+) -> None:
+    q = quoteattr
+    lines: list[str] = []
+    lines.append('<?xml version="1.0" encoding="UTF-8"?>')
+    lines.append(
+        '<ODM xmlns="http://www.cdisc.org/ns/odm/v1.3" '
+        'xmlns:def="http://www.cdisc.org/ns/def/v2.1" ODMVersion="1.3.2" '
+        f'FileType="Snapshot" FileOID={q(f"{study_oid}.define")}>'
+    )
+    lines.append(f" <Study OID={q(study_oid)}>")
+    lines.append("  <GlobalVariables>")
+    lines.append(f"   <StudyName>{study_name or study_oid}</StudyName>")
+    lines.append(f"   <StudyDescription>{study_name or study_oid}</StudyDescription>")
+    lines.append(f"   <ProtocolName>{study_name or study_oid}</ProtocolName>")
+    lines.append("  </GlobalVariables>")
+    lines.append(
+        f'  <MetaDataVersion OID="MDV.1" Name={q(ig_version)} '
+        f'def:DefineVersion="2.1.0">'
+    )
+
+    item_defs: list[str] = []
+    for ds in datasets:
+        dom = ds.domain.upper()
+        df = frames.get(dom)
+        present = (
+            [v for v in ds.variables if df is not None and v.name in df.columns]
+            if df is not None
+            else []
+        )
+        observed = (
+            observed_metadata(df, [v.name for v in present]) if present else {}
+        )
+        lines.append(
+            f'   <ItemGroupDef OID={q(f"IG.{dom}")} Name={q(dom)} Domain={q(dom)} '
+            f'Repeating="Yes" IsReferenceData="No" SASDatasetName={q(dom[:8])} '
+            f'def:Structure={q(ds.structure)} Purpose="Tabulation">'
+        )
+        lines.append(f"    <Description><TranslatedText>{ds.label or dom}</TranslatedText></Description>")
+        for i, v in enumerate(present):
+            lines.append(
+                f'    <ItemRef ItemOID={q(f"IT.{dom}.{v.name}")} OrderNumber="{i + 1}" '
+                f'Mandatory={q("Yes" if v.mandatory else "No")}/>'
+            )
+        lines.append("   </ItemGroupDef>")
+        for v in present:
+            length, has = observed.get(v.name, (1, False))
+            if v.data_type in ("float", "integer"):
+                len_attr = ""
+            else:
+                len_attr = f' Length="{v.length or length}"'
+            item = (
+                f'   <ItemDef OID={q(f"IT.{dom}.{v.name}")} Name={q(v.name)} '
+                f'DataType={q(v.data_type)}{len_attr} def:HasNoData'
+                f'={q("No" if has else "Yes")}>'
+            )
+            item_defs.append(item)
+            item_defs.append(
+                f"    <Description><TranslatedText>{v.label or v.name}</TranslatedText></Description>"
+            )
+            if v.codelist_oid:
+                item_defs.append(f'    <CodeListRef CodeListOID={q(v.codelist_oid)}/>')
+            item_defs.append("   </ItemDef>")
+    lines.extend(item_defs)
+    lines.append("  </MetaDataVersion>")
+    lines.append(" </Study>")
+    lines.append("</ODM>")
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(lines) + "\n")

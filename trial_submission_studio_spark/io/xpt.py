@@ -1,0 +1,193 @@
+"""SAS Transport (XPT) V5 writer — K1 (SURVEY.md §2.1).
+
+A from-scratch implementation of the public SAS Technical Note TS-140
+transport format (no third-party xport lib in this environment):
+80-byte header records, 140-byte NAMESTR variable descriptors, fixed
+record layout, and IBM System/360 hexadecimal floating point for
+numerics.
+
+Reference behavior reproduced (tss-submit/src/export/xpt.rs:16-145,
+export/common.rs:83-119): Char variables are written at their max
+observed trimmed length (floor 1, cap 200), Num variables as 8-byte
+floats; variable labels and the dataset label are carried; missing
+numeric = '.' (0x2E padded), missing char = blanks.
+
+Spark-side: the caller computes lengths with a distributed aggregate
+(:func:`~trial_submission_studio_spark.operators.profiling.max_observed_length`)
+and streams partitions to the single sequential file via
+``toLocalIterator`` — XPT is inherently a single-file format, so the
+driver only ever holds one partition.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class XptVariable:
+    name: str  # <= 8 chars, upper
+    label: str = ""
+    is_numeric: bool = False
+    length: int = 8  # char length (num is always 8)
+
+
+_PAD80 = b" "
+
+
+def _rec(text: str) -> bytes:
+    """One 80-byte header record."""
+    b = text.encode("ascii")
+    return b + _PAD80 * (80 - len(b))
+
+
+def _header(kind: str) -> bytes:
+    return _rec(
+        f"HEADER RECORD*******{kind:<7} HEADER RECORD!!!!!!!"
+        "000000000000000000000000000000"
+    )
+
+
+_TS = "13AUG26:00:00:00"  # fixed timestamp => byte-stable golden files
+
+
+def ibm_float(value: float | None) -> bytes:
+    """IEEE double → 8-byte IBM System/360 float (big-endian).
+
+    Missing is SAS '.': 0x2E followed by 7 zero bytes.
+    """
+    if value is None or (isinstance(value, float) and math.isnan(value)):
+        return b"\x2e" + b"\x00" * 7
+    x = float(value)
+    if x == 0.0:
+        return b"\x00" * 8
+    sign = 0x80 if x < 0 else 0x00
+    x = abs(x)
+    # x = mantissa * 16^exp with mantissa in [1/16, 1)
+    exp = math.floor(math.log(x, 16)) + 1
+    mant = x / (16.0**exp)
+    # guard rounding at the boundary
+    if mant >= 1.0:
+        mant /= 16.0
+        exp += 1
+    elif mant < 1.0 / 16.0:
+        mant *= 16.0
+        exp -= 1
+    mant_bits = int(mant * (1 << 56))
+    if mant_bits >= 1 << 56:
+        mant_bits >>= 4
+        exp += 1
+    return bytes([sign | (exp + 64)]) + mant_bits.to_bytes(7, "big")
+
+
+def ibm_to_ieee(b: bytes) -> float | None:
+    """Inverse of :func:`ibm_float` (used by tests)."""
+    if b[0:1] == b"\x2e" and b[1:] == b"\x00" * 7:
+        return None
+    if b == b"\x00" * 8:
+        return 0.0
+    sign = -1.0 if b[0] & 0x80 else 1.0
+    exp = (b[0] & 0x7F) - 64
+    mant = int.from_bytes(b[1:], "big") / float(1 << 56)
+    return sign * mant * (16.0**exp)
+
+
+def _namestr(v: XptVariable, number: int, position: int) -> bytes:
+    """140-byte NAMESTR descriptor."""
+    ntype = 1 if v.is_numeric else 2
+    length = 8 if v.is_numeric else max(1, min(v.length, 200))
+    name = v.name.upper()[:8]
+    label = (v.label or "")[:40]
+    return struct.pack(
+        ">hhhh8s40s8shhh2s8sll52s",
+        ntype,  # nhfun/ntype
+        0,  # nhash
+        length,  # nlng
+        number,  # nvar0
+        name.encode("ascii").ljust(8),
+        label.encode("ascii", "replace").ljust(40),
+        b"".ljust(8),  # nform
+        0,  # nfl
+        0,  # nfd
+        0,  # nfj (left just)
+        b"  ",  # nfill
+        b"".ljust(8),  # niform
+        0,  # nifl
+        position,  # npos
+        b"".ljust(52),
+    )
+
+
+def write_xpt(
+    df: DataFrame,
+    path: str,
+    variables: list[XptVariable],
+    dataset_name: str,
+    dataset_label: str = "",
+    sas_version: str = "9.4",
+) -> int:
+    """Write an XPT V5 file; returns the row count written.
+
+    ``df`` must contain exactly the variable columns (order matters).
+    Rows stream through ``toLocalIterator`` — one executor partition
+    on the driver at a time.
+    """
+    lengths = [8 if v.is_numeric else max(1, min(v.length, 200)) for v in variables]
+    positions: list[int] = []
+    pos = 0
+    for ln in lengths:
+        positions.append(pos)
+        pos += ln
+    row_len = pos
+
+    n_rows = 0
+    with open(path, "wb") as fh:
+        fh.write(_header("LIBRARY"))
+        fh.write(
+            _rec(f"SAS     SAS     SASLIB  6.06    bsd4.2                          {_TS}")
+        )
+        fh.write(_rec(_TS))
+        fh.write(_header("MEMBER"))
+        fh.write(_header("DSCRPTR"))
+        fh.write(
+            _rec(
+                f"SAS     {dataset_name.upper()[:8]:<8}SASDATA 6.06    bsd4.2"
+                + " " * 24
+                + _TS
+            )
+        )
+        fh.write(_rec(f"{_TS}{'':16}{dataset_label[:40]:<40}{'':8}"))
+        fh.write(_header("NAMESTR"))
+        # namestr count goes in cols 55-58 of the header record — rewrite:
+        fh.seek(-80, 1)
+        fh.write(
+            _rec(
+                "HEADER RECORD*******NAMESTR HEADER RECORD!!!!!!!"
+                f"000000{len(variables):04d}00000000000000000000"
+            )
+        )
+        for i, v in enumerate(variables):
+            fh.write(_namestr(v, i + 1, positions[i]))
+        pad = (-len(variables) * 140) % 80
+        fh.write(b" " * pad)
+        fh.write(_header("OBS"))
+
+        for row in df.toLocalIterator():
+            buf = bytearray()
+            for v, ln in zip(variables, lengths):
+                val = row[v.name] if v.name in row.__fields__ else None
+                if v.is_numeric:
+                    buf += ibm_float(None if val is None else float(val))
+                else:
+                    s = "" if val is None else str(val)
+                    buf += s.encode("ascii", "replace")[:ln].ljust(ln)
+            fh.write(bytes(buf))
+            n_rows += 1
+        # pad the final record block to 80 bytes with ASCII blanks
+        total_obs_bytes = n_rows * row_len
+        fh.write(b" " * ((-total_obs_bytes) % 80))
+    return n_rows

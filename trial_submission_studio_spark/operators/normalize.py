@@ -100,7 +100,11 @@ def infer_rules(
         elif name == "DOMAIN":
             rules.append(Rule(name, "constant", params={"value": dom}, order=order))
         elif name == "USUBJID":
-            rules.append(Rule(name, "usubjid_prefix", source=src, order=order))
+            # USUBJID derives from the SUBJID source column, falling
+            # back to a direct USUBJID mapping (executor.rs:124-174)
+            src_u = mappings.get("SUBJID") or src
+            if src_u is not None:
+                rules.append(Rule(name, "usubjid_prefix", source=src_u, order=order))
         elif name == f"{dom}SEQ":
             rules.append(Rule(name, "sequence", order=order))
         elif name.endswith("DY"):

@@ -129,12 +129,17 @@ def read_source_csv(
     )
     validate_shape(names, path)
 
-    raw = (
+    reader = (
         spark.read.option("header", "false")
         .option("encoding", enc)
         .option("multiLine", "false")
-        .csv(path)
     )
+    if enc.startswith("UTF-16"):
+        # Spark autodetects line separators only for UTF-8-compatible
+        # charsets; for UTF-16 an explicit lineSep (encoded in the
+        # declared charset) is required or rows split mid-character.
+        reader = reader.option("lineSep", "\n")
+    raw = reader.csv(path)
     # Positional rename (inferred _c0.._cN → declared names).
     if len(raw.columns) != len(names):
         raise ValueError(

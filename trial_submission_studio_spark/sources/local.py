@@ -21,6 +21,10 @@ def _sql_literal(v) -> str:
         return "TRUE" if v else "FALSE"
     if isinstance(v, (int, float)):
         return repr(v)
+    if isinstance(v, bytes):
+        return f"X'{v.hex()}'"
+    if isinstance(v, (list, tuple)):
+        return "array(" + ", ".join(_sql_literal(x) for x in v) + ")"
     s = str(v).replace("'", "''")
     return f"'{s}'"
 
