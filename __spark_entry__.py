@@ -65,6 +65,10 @@ from trial_submission_studio_spark.operators.normalize import (
     Rule,
     compile_pipeline,
 )
+from trial_submission_studio_spark.operators.skew import salted_agg, sessionize
+from trial_submission_studio_spark.operators.similarity import lsh_bucket_topk
+from trial_submission_studio_spark.operators.dedup import ngram_jaccard_pairs
+from trial_submission_studio_spark.operators.textstats import bpe_ish_token_count
 from trial_submission_studio_spark.streaming.events import tumbling_window_counts
 
 SMOKE_DIR = "/root/testdata/sf0.001"
@@ -658,9 +662,123 @@ def e2e_cdisc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_pipeline(src, rules, ctx)
 
 
+def t12_bool_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12: boolean -> 'Y'/'N' rendering."""
+    o = _t(spark, sf_dir, "orders")
+    from trial_submission_studio_spark.functions import bool_yn
+
+    return o.select(
+        "o_orderkey", bool_yn(F.col("o_orderstatus") == "F").alias("finished")
+    )
+
+
+def a9_has_collected_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: any-non-blank flag per column (Define-XML HasData)."""
+    c = _t(spark, sf_dir, "customer")
+    blank = F.lit(" ")
+    def has(col):
+        return F.max(
+            F.when(col.isNotNull() & (F.trim(col.cast("string")) != ""), 1).otherwise(0)
+        ).cast("long")
+    return c.agg(
+        has(F.col("c_name")).alias("has_name"),
+        has(blank).alias("has_blank"),
+    )
+
+
+def a10_first_nonnull_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: first non-null reference date under an explicit order
+    (the reference relies on file order; we make it deterministic)."""
+    o = _t(spark, sf_dir, "orders")
+    v = F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+        F.date_format("o_orderdate", "yyyy-MM-dd")
+    )
+    return (
+        o.select("o_orderkey", v.alias("rfstdtc"))
+        .filter(F.col("rfstdtc").isNotNull())
+        .orderBy("o_orderkey")
+        .limit(1)
+        .select("rfstdtc")
+    )
+
+
+def j5_relspec_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: RELSPEC PARENT -> REFID referential check per subject
+    (empty PARENT is a valid root)."""
+    o = _t(spark, sf_dir, "orders")
+    rel = o.select(
+        F.col("o_custkey").alias("usubj"),
+        F.col("o_orderkey").cast("string").alias("refid"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("")).otherwise(
+            (F.col("o_orderkey") - 1).cast("string")
+        ).alias("parent"),
+    )
+    probes = rel.filter(F.col("parent") != "")
+    keys = rel.select("usubj", F.col("refid").alias("parent"))
+    missing = probes.join(keys, ["usubj", "parent"], "left_anti")
+    return missing.agg(F.count(F.lit(1)).cast("long").alias("dangling_parents"))
+
+
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword-proxy token counting per language."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.sum(bpe_ish_token_count("text")).cast("long").alias("total_pieces"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+
+
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute-gap sessions per user (lag + running
+    sum; the batch twin of session_window in streaming)."""
+    e = _events(spark, sf_dir)
+    s = sessionize(e, "user_id", "ts", gap_minutes=30)
+    return s.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+def agg_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-phase aggregation (salted partial -> final)."""
+    e = _events(spark, sf_dir)
+    return salted_agg(
+        e,
+        ["user_id"],
+        [F.count(F.lit(1)).alias("c"), F.sum("value").alias("s")],
+        lambda p: [
+            F.sum("c").cast("long").alias("n_events"),
+            F.round(F.sum("s"), 2).alias("total_value"),
+        ],
+    )
+
+
 # --------------------------------------------------------------------------
 # non-SQL-expressible extensions (rows-only checks)
 # --------------------------------------------------------------------------
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN (scale path; approximate — no SQL
+    oracle, rows-only check)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return lsh_bucket_topk(emb, queries_df, dim=64, k=5, bits=8)
+
+
+def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup pipeline: planted near-duplicates -> MinHash
+    signatures -> LSH candidates -> exact n-gram Jaccard verification
+    (rows-only: candidate generation depends on engine hashing)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = d.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" appended marker token")).alias("text"),
+    )
+    corpus = d.unionByName(mutated)
+    sig = minhash_signatures(corpus, "doc_id", "text", k=5, num_hashes=32)
+    cands = lsh_candidate_pairs(sig, "doc_id", bands=8, rows_per_band=4)
+    return ngram_jaccard_pairs(corpus, "doc_id", "text", cands, k=5, threshold=0.5)
+
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pair generation (no SQL oracle; checked
@@ -725,6 +843,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": ann_cosine_topk,
         "events_tumbling_window": events_tumbling_window,
         "e2e_cdisc_pipeline": e2e_cdisc_pipeline,
+        "t12_bool_render": t12_bool_render,
+        "a9_has_collected_data": a9_has_collected_data,
+        "a10_first_nonnull_ref": a10_first_nonnull_ref,
+        "j5_relspec_parent": j5_relspec_parent,
+        "text_bpe_tokens": text_bpe_tokens,
+        "events_sessionization": events_sessionization,
+        "agg_salted_user_totals": agg_salted_user_totals,
+        "ann_lsh_topk": ann_lsh_topk,
+        "dedup_jaccard_verified": dedup_jaccard_verified,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "simhash_fingerprints": simhash_fingerprints,
     }
@@ -1093,6 +1220,66 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "t12_bool_render": """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderstatus = 'F' THEN 'Y' ELSE 'N' END AS finished
+            FROM orders
+        """,
+        "a9_has_collected_data": """
+            SELECT CAST(max(CASE WHEN c_name IS NOT NULL AND trim(c_name) != '' THEN 1 ELSE 0 END) AS BIGINT) AS has_name,
+                   CAST(0 AS BIGINT) AS has_blank
+            FROM customer
+        """,
+        "a10_first_nonnull_ref": """
+            SELECT strftime(o_orderdate, '%Y-%m-%d') AS rfstdtc
+            FROM orders WHERE o_orderkey % 7 != 0
+            ORDER BY o_orderkey LIMIT 1
+        """,
+        "j5_relspec_parent": """
+            WITH rel AS (
+              SELECT o_custkey AS usubj, CAST(o_orderkey AS VARCHAR) AS refid,
+                     CASE WHEN o_orderkey % 5 = 0 THEN ''
+                          ELSE CAST(o_orderkey - 1 AS VARCHAR) END AS parent
+              FROM orders
+            )
+            SELECT CAST(count(*) AS BIGINT) AS dangling_parents
+            FROM rel p
+            WHERE p.parent != ''
+              AND NOT EXISTS (
+                SELECT 1 FROM rel k WHERE k.usubj = p.usubj AND k.refid = p.parent)
+        """,
+        "text_bpe_tokens": """
+            SELECT lang,
+                   CAST(sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                        ELSE len(regexp_extract_all(trim(text),
+                             '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])')) END) AS BIGINT)
+                     AS total_pieces,
+                   count(*) AS n_docs
+            FROM documents GROUP BY lang
+        """,
+        "events_sessionization": """
+            WITH lagged AS (
+              SELECT user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+              FROM events
+            ),
+            flagged AS (
+              SELECT user_id,
+                     CASE WHEN prev IS NULL
+                               OR (floor(epoch(ts)) - floor(epoch(prev))) > 1800
+                          THEN 1 ELSE 0 END AS new_session
+              FROM lagged
+            )
+            SELECT user_id,
+                   CAST(sum(new_session) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM flagged GROUP BY user_id
+        """,
+        "agg_salted_user_totals": """
+            SELECT user_id, count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY user_id
         """,
         "e2e_cdisc_pipeline": """
             WITH src AS (

@@ -164,3 +164,29 @@ def test_textstats(spark):
     assert [r["n"] for r in got] == [6, 0, 2]
     assert got[0]["sw"] > 0.3  # 'the' twice + 'on' = 3/6
     assert got[1]["sw"] == 0.0
+
+
+def test_sessionize(spark):
+    from trial_submission_studio_spark.operators.skew import salted_agg, sessionize
+
+    df = values_df(
+        spark,
+        [
+            (1, "2024-01-01 00:00:00", 1.0),
+            (1, "2024-01-01 00:10:00", 2.0),
+            (1, "2024-01-01 01:00:00", 3.0),  # 50-min gap -> new session
+            (2, "2024-01-01 00:00:00", 4.0),
+        ],
+        "user_id bigint, ts_s string, value double",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    s = sessionize(df, gap_minutes=30)
+    got = rows(s.select("user_id", "session_id"))
+    assert got == [(1, 1), (1, 1), (1, 2), (2, 1)]
+
+    agg = salted_agg(
+        df, ["user_id"],
+        [F.count(F.lit(1)).alias("c"), F.sum("value").alias("s")],
+        lambda p: [F.sum("c").cast("long").alias("n"), F.round(F.sum("s"), 2).alias("t")],
+        salt_buckets=4,
+    )
+    assert rows(agg) == [(1, 3, 6.0), (2, 1, 4.0)]

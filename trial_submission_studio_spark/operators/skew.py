@@ -1,0 +1,71 @@
+"""Skew-handling utilities for hot keys at scale.
+
+AQE's skew-join handling covers sort-merge joins, but two shapes
+still need explicit salting on a 1000-executor cluster:
+
+- **Skewed aggregation**: one giant group (e.g. one USUBJID holding
+  10% of all events) serializes into one task. ``salted_agg``
+  two-phases it: partial aggregate on (key, salt) — map-side combine
+  spreads the hot key over N tasks — then final aggregate on key.
+- **Skewed broadcast-probe**: handled natively (broadcast joins
+  don't shuffle the probe side), so no helper is needed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    partial_aggs: list[Column],
+    final_aggs: Callable[[str], list[Column]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation over salted keys.
+
+    ``partial_aggs``: aggregates computed per (keys, salt) — must be
+    decomposable (sum/count/min/max). ``final_aggs``: given the
+    partial column prefix, the re-aggregation expressions.
+
+    Example — skew-proof count+sum per user:
+
+        salted_agg(events, ["user_id"],
+                   [F.count(F.lit(1)).alias("c"), F.sum("value").alias("s")],
+                   lambda p: [F.sum("c").cast("long").alias("n"),
+                              F.round(F.sum("s"), 2).alias("total")])
+    """
+    salted = df.withColumn(
+        "__salt", (F.spark_partition_id() % F.lit(salt_buckets)).cast("int")
+    )
+    partial = salted.groupBy(*keys, "__salt").agg(*partial_aggs)
+    return partial.groupBy(*keys).agg(*final_aggs("")).drop("__salt")
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Assign session ids: a gap > ``gap_minutes`` since the user's
+    previous event starts a new session (lag + running sum — the
+    batch formulation of ``session_window``; Structured Streaming
+    uses the native session_window with the same semantics).
+
+    Output: input columns + ``session_id`` (1-based per user).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col))
+    prev = F.lag(F.col(ts_col)).over(w)
+    gap = F.col(ts_col).cast("long") - prev.cast("long")
+    new_session = F.when(prev.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    return df.withColumn(
+        "session_id",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
