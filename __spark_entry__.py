@@ -346,6 +346,15 @@ def a5_duplicate_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_sequence_counts(o, "USUBJID", "XSEQ")
 
 
+def a6_values_by_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: subject -> collected value list (sorted for determinism)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("o_orderkey"))).alias("orderkeys"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
 def a8_invalid_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: invalid-value count + bounded sorted distinct samples."""
     p = _t(spark, sf_dir, "part")
@@ -824,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a3_distinct_samples": a3_distinct_samples,
         "a4_max_observed_length": a4_max_observed_length,
         "a5_duplicate_sequence": a5_duplicate_sequence,
+        "a6_values_by_subject": a6_values_by_subject,
         "a8_invalid_samples": a8_invalid_samples,
         "j1_orphan_customers": j1_orphan_customers,
         "j2_semi_suppliers": j2_semi_suppliers,
@@ -1020,6 +1030,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(count(*) AS BIGINT) AS dup_groups,
                    CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS extra_rows
             FROM g
+        """,
+        "a6_values_by_subject": """
+            SELECT o_custkey,
+                   array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys,
+                   count(*) AS n
+            FROM orders GROUP BY o_custkey
         """,
         "a8_invalid_samples": """
             WITH v AS (

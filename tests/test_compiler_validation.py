@@ -180,3 +180,27 @@ def test_duplicate_sequence_issues(spark):
     )
     got = duplicate_sequence_issues(df, "AE").collect()
     assert len(got) == 1 and got[0]["count"] == 1
+
+
+def test_sdtm_registry_roundtrip_and_inference(spark):
+    from trial_submission_studio_spark.standards.sdtm_domains import (
+        DOMAINS,
+        dump_registry_csv,
+        load_registry_csv,
+        supp_domain_for,
+    )
+
+    loaded = load_registry_csv(dump_registry_csv())
+    assert set(loaded) == set(DOMAINS)
+    assert loaded["DM"][0]["name"] == "STUDYID"
+    supp = supp_domain_for("AE")
+    assert supp["label"] == "Supplemental Qualifiers for AE"
+    assert [v["name"] for v in supp["variables"]][:3] == ["STUDYID", "RDOMAIN", "USUBJID"]
+
+    # registry drives rule inference directly
+    ctx = NormalizationContext(study_id="ST", domain_code="AE")
+    mappings = {"SUBJID": "SubjectId", "AETERM": "Term", "AESTDTC": "Start", "AESEV": "Sev"}
+    rules = {r.target: r.transform for r in infer_rules(DOMAINS["AE"]["variables"], mappings, ctx)}
+    assert rules["AESEQ"] == "sequence"
+    assert rules["AESTDY"] == "study_day"
+    assert rules["AESEV"] == "ct"

@@ -1,0 +1,109 @@
+"""Full study lifecycle (SURVEY.md §3): create → build → validate →
+export, over mockdata-shaped double-header CSVs."""
+
+import os
+import xml.dom.minidom
+
+import pytest
+
+from trial_submission_studio_spark.standards import codelist_lookup_df, load_ct_csv
+from trial_submission_studio_spark.study import (
+    build_domain,
+    build_supp,
+    create_study,
+    export_study,
+    validate_study,
+)
+
+DM_CSV = (
+    "Subject,Gender,Age,Consent Date,Reference Start,Country Name,Extra Note\n"
+    "SubjectId,SEX,AGE,RFICDAT,RFSTDAT,COUNTRY,NOTE\n"
+    "KIEM-01,male,55,2023-08-01,2023-09-01,NLD,first\n"
+    "KIEM-02,F,61,01/15/2024,2024-02-01,NLD,\n"
+)
+
+AE_CSV = (
+    "Subject,AE Term,Severity,Start Date,End Date\n"
+    "SubjectId,AETERM,AESEV,AESTDAT,AEENDAT\n"
+    "KIEM-01,Sun stroke,moderate,2023-09-01,2023-09-05\n"
+    "KIEM-01,Headache,MILD,2023-09-10,2023-10-NK\n"
+    "KIEM-02,Nausea,SEVERE,2024-02-01,2024-02\n"
+)
+
+CT_CSV = """Code,Codelist Code,Codelist Extensible (Yes/No),Codelist Name,CDISC Submission Value,CDISC Synonym(s),CDISC Definition,NCI Preferred Term
+C66731,,No,Sex,SEX,,,
+C20197,C66731,No,Sex,M,male,,
+C16576,C66731,No,Sex,F,female,,
+C66769,,No,Severity,AESEV,,,
+C41338,C66769,No,Severity,MILD,mild,,
+C41339,C66769,No,Severity,MODERATE,moderate,,
+C41340,C66769,No,Severity,SEVERE,severe,,
+"""
+
+
+@pytest.fixture()
+def study(spark, tmp_path):
+    (tmp_path / "DM.csv").write_text(DM_CSV)
+    (tmp_path / "AE.csv").write_text(AE_CSV)
+    lookup = codelist_lookup_df(spark, load_ct_csv(CT_CSV, is_text=True))
+    st = create_study(
+        spark,
+        "KIEM",
+        {"DM": str(tmp_path / "DM.csv"), "AE": str(tmp_path / "AE.csv")},
+        min_confidence=0.6,
+        ct_lookup=lookup,
+    )
+    # fill in the mappings fuzzy matching can't fully decide
+    st.mappings["DM"].accept("SUBJID", "SubjectId")
+    st.mappings["DM"].accept("RFSTDTC", "RFSTDAT")
+    st.mappings["DM"].accept("RFICDTC", "RFICDAT")
+    st.mappings["DM"].accept("SEX")
+    st.mappings["DM"].accept("AGE")
+    st.mappings["DM"].accept("COUNTRY")
+    st.mappings["AE"].accept("SUBJID", "SubjectId")
+    st.mappings["AE"].accept("AETERM")
+    st.mappings["AE"].accept("AESEV")
+    st.mappings["AE"].accept("AESTDTC", "AESTDAT")
+    st.mappings["AE"].accept("AEENDTC", "AEENDAT")
+    return st
+
+
+def test_full_study_flow(spark, study, tmp_path):
+    dm = build_domain(study, "DM")
+    dm_rows = {r["USUBJID"]: r.asDict() for r in dm.collect()}
+    assert dm_rows["KIEM-KIEM-01"]["SEX"] == "M"  # CT synonym 'male' -> M
+    assert dm_rows["KIEM-KIEM-01"]["AGE"] == 55.0
+    assert dm_rows["KIEM-KIEM-02"]["RFICDTC"] == "2024-01-15"  # US date
+    assert dm_rows["KIEM-KIEM-02"]["RFSTDTC"] == "2024-02-01"
+
+    ae = build_domain(study, "AE", dm_frame=dm)
+    ae_rows = sorted(
+        (r["USUBJID"], r["AESEQ"], r.asDict()) for r in ae.collect()
+    )
+    first = ae_rows[0][2]
+    assert (first["AETERM"], first["AESEV"]) == ("Sun stroke", "MODERATE")
+    # per-subject study day: AE start 2023-09-01 == RFSTDTC -> day 1
+    assert first["AESTDY"] == 1
+    second = ae_rows[1][2]
+    assert second["AESTDY"] == 10  # 2023-09-10 vs 2023-09-01 (+1, no day 0)
+    assert second["AEENDTC"] == "2023-10-NK"  # unparseable preserved
+    third = ae_rows[2][2]
+    assert third["AESEQ"] == 1 and third["AESTDY"] == 1
+
+    report = validate_study(study, {"DM": dm, "AE": ae})
+    # AEENDTC holds '2023-10-NK' and '2024-02' — only the former is invalid ISO
+    fmt = [r for r in report.collect() if r["category"] == "Format"]
+    assert any(r["variable"] == "AEENDTC" and r["count"] == 1 for r in fmt)
+
+    supp = build_supp(study, "DM", dm)
+    supp_rows = [(r["QNAM"], r["QVAL"], r["QLABEL"]) for r in supp.collect()]
+    assert ("NOTE", "first", "Extra Note") in supp_rows  # unmapped col -> SUPP
+
+    out = export_study(study, {"DM": dm, "AE": ae}, str(tmp_path / "out"), bypass_validation=True)
+    assert set(out) == {"DM", "AE", "define"}
+    assert os.path.getsize(out["DM"]) % 80 == 0  # XPT record alignment
+    xml.dom.minidom.parse(out["define"])  # well-formed define.xml
+
+    # validation gate: errors block export without the bypass
+    with pytest.raises(ValueError, match="export blocked"):
+        export_study(study, {"DM": dm, "AE": ae}, str(tmp_path / "out2"))

@@ -1,0 +1,259 @@
+"""Study orchestration — the reference's three entry points
+(SURVEY.md §3), as a library API.
+
+1. :func:`create_study` ≙ create_study_from_assignments
+   (tss-gui/src/service/study.rs:27-153): read each assigned CSV,
+   load study metadata, apply study-codelist decodes, RELSUB
+   reciprocal augmentation, profile columns, suggest mappings.
+2. :func:`build_domain` ≙ build_preview_dataframe_with_dm
+   (tss-submit/src/normalize/preview.rs:144-171): infer rules, bind
+   mappings, compile, execute.
+3. :func:`export_study` ≙ execute_export (tss-gui/src/service/
+   export.rs:127-276): validate (errors gate unless bypassed),
+   normalize every domain, build SUPP frames, write XPT or
+   Dataset-XML plus define.xml.
+
+Driver/executor split: everything schema-sized (mappings, rule
+inference, XML envelopes) runs on the driver; every data-shaped step
+is a DataFrame plan.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trial_submission_studio_spark.io.dataset_xml import write_dataset_xml
+from trial_submission_studio_spark.io.define_xml import (
+    DefineDataset,
+    DefineVariable,
+    write_define_xml,
+)
+from trial_submission_studio_spark.io.xpt import XptVariable, write_xpt
+from trial_submission_studio_spark.mapping import MappingState
+from trial_submission_studio_spark.operators.normalize import (
+    NormalizationContext,
+    compile_pipeline,
+    infer_rules,
+)
+from trial_submission_studio_spark.operators.profiling import max_observed_length
+from trial_submission_studio_spark.operators.reshape import reciprocal_augment, supp_unpivot
+from trial_submission_studio_spark.operators.validation import (
+    ISSUE_SCHEMA,
+    VariableSpec,
+    duplicate_sequence_issues,
+    usubjid_not_in_dm,
+    validate_domain,
+)
+from trial_submission_studio_spark.sources.csv_reader import SourceTable, read_source_csv
+from trial_submission_studio_spark.standards.sdtm_domains import DOMAINS
+
+
+@dataclass
+class Study:
+    spark: SparkSession
+    study_id: str
+    sources: dict[str, SourceTable] = field(default_factory=dict)
+    mappings: dict[str, MappingState] = field(default_factory=dict)
+    ct_lookup: DataFrame | None = None
+    domains: dict[str, list[dict]] = field(default_factory=dict)  # registry vars
+
+
+def create_study(
+    spark: SparkSession,
+    study_id: str,
+    assignments: dict[str, str],  # domain code -> csv path
+    header_rows: int = 2,
+    min_confidence: float = 0.7,
+    ct_lookup: DataFrame | None = None,
+    registry: dict[str, dict] | None = None,
+) -> Study:
+    registry = registry or DOMAINS
+    study = Study(spark=spark, study_id=study_id, ct_lookup=ct_lookup)
+    for code, path in assignments.items():
+        code = code.upper()
+        table = read_source_csv(spark, path, header_rows=header_rows)
+        if code == "RELSUB" and {"USUBJID", "RSUBJID", "SREL"} <= set(table.columns):
+            table.df = reciprocal_augment(table.df)
+        study.sources[code] = table
+        variables = registry.get(code, registry.get("SUPPQUAL", {})).get("variables", [])
+        study.domains[code] = variables
+        study.mappings[code] = MappingState.new(
+            code,
+            variables,
+            table.columns,
+            min_confidence=min_confidence,
+            column_labels=table.labels,
+        )
+    return study
+
+
+def build_domain(study: Study, code: str, dm_frame: DataFrame | None = None) -> DataFrame:
+    """Infer rules from the registry + mapping state, then compile.
+
+    ``dm_frame``: the already-built DM domain. Its per-subject RFSTDTC
+    feeds the --DY study-day rules via a broadcast-eligible join keyed
+    on the raw subject source column (USUBJID is "{study}-{subj}", so
+    the raw key is recovered by stripping the study prefix — the
+    per-subject upgrade of the reference's single global date).
+    """
+    code = code.upper()
+    table = study.sources[code]
+    st = study.mappings[code]
+    subj_src = st.source.get("SUBJID") or st.source.get("USUBJID")
+    ref_df = None
+    if (
+        dm_frame is not None
+        and code != "DM"
+        and {"USUBJID", "RFSTDTC"} <= set(dm_frame.columns)
+        and subj_src
+    ):
+        ref_df = dm_frame.select(
+            F.regexp_replace(
+                F.col("USUBJID"), "^" + study.study_id + "-", ""
+            ).alias(subj_src),
+            "RFSTDTC",
+        )
+    ctx = NormalizationContext(
+        study_id=study.study_id,
+        domain_code=code,
+        order_col=SourceTable.ROW_ID,
+        subject_col=subj_src or SourceTable.ROW_ID,
+        ct_lookup=study.ct_lookup,
+        ref_date_df=ref_df,
+    )
+    rules = infer_rules(study.domains[code], st.accepted_mappings(), ctx)
+    return compile_pipeline(table.df, rules, ctx)
+
+
+def validate_study(study: Study, frames: dict[str, DataFrame]) -> DataFrame:
+    spark = study.spark
+    report = spark.createDataFrame([], ISSUE_SCHEMA)
+    dm = frames.get("DM")
+    for code, df in frames.items():
+        specs = [
+            VariableSpec(
+                v["name"],
+                core=v.get("core", "Perm"),
+                data_type=v.get("data_type", "Char"),
+                length=v.get("length"),
+                role=v.get("role", ""),
+                codelist_code=v.get("codelist_code") or None,
+            )
+            for v in study.domains.get(code, [])
+        ]
+        if specs:
+            report = report.unionByName(validate_domain(df, code, specs))
+        report = report.unionByName(duplicate_sequence_issues(df, code))
+        if dm is not None and code != "DM" and "USUBJID" in df.columns:
+            report = report.unionByName(usubjid_not_in_dm(df, dm, code))
+    return report
+
+
+def export_study(
+    study: Study,
+    frames: dict[str, DataFrame],
+    out_dir: str,
+    fmt: str = "xpt",
+    bypass_validation: bool = False,
+) -> dict[str, str]:
+    """Validate-gate then write every domain + define.xml.
+
+    Returns {artifact name: path}. Errors block export unless
+    ``bypass_validation`` (reference: export.rs:139-168).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    report = validate_study(study, frames)
+    n_errors = report.filter(F.col("severity") == "Error").count()
+    if n_errors and not bypass_validation:
+        raise ValueError(f"validation reported {n_errors} error issue(s); export blocked")
+
+    written: dict[str, str] = {}
+    define_datasets: list[DefineDataset] = []
+    for code in sorted(frames):  # O1: domain-code order
+        df = frames[code]
+        variables = study.domains.get(code, [])
+        present = [v for v in variables if v["name"] in df.columns]
+        if fmt == "xpt":
+            char_cols = [
+                v["name"] for v in present if v.get("data_type", "Char") == "Char"
+            ]
+            lengths = max_observed_length(df, char_cols) if char_cols else {}
+            xvars = [
+                XptVariable(
+                    v["name"],
+                    v.get("label", ""),
+                    v.get("data_type", "Char") == "Num",
+                    lengths.get(v["name"], 8),
+                )
+                for v in present
+            ]
+            path = os.path.join(out_dir, f"{code.lower()}.xpt")
+            write_xpt(
+                df.select(*[v["name"] for v in present]),
+                path,
+                xvars,
+                code,
+                DOMAINS.get(code, {}).get("label", code),
+            )
+        else:
+            path = os.path.join(out_dir, f"{code.lower()}.xml")
+            write_dataset_xml(df, path, code, f"{study.study_id}.STUDY")
+        written[code] = path
+        define_datasets.append(
+            DefineDataset(
+                domain=code,
+                label=DOMAINS.get(code, {}).get("label", code),
+                structure=DOMAINS.get(code, {}).get("structure", ""),
+                variables=[
+                    DefineVariable(
+                        v["name"],
+                        v.get("label", ""),
+                        "float" if v.get("data_type") == "Num" else "text",
+                        v.get("length"),
+                        f"CL.{v['codelist_code']}" if v.get("codelist_code") else None,
+                        v.get("core") == "Req",
+                    )
+                    for v in present
+                ],
+            )
+        )
+    define_path = os.path.join(out_dir, "define.xml")
+    write_define_xml(define_path, f"{study.study_id}.STUDY", define_datasets, frames)
+    written["define"] = define_path
+    return written
+
+
+def build_supp(
+    study: Study, code: str, out_frame: DataFrame, qorig: str = "CRF"
+) -> DataFrame | None:
+    """SUPP-- frame from the unmapped source columns (R1)."""
+    code = code.upper()
+    table = study.sources[code]
+    st = study.mappings[code]
+    mapped_cols = set(st.source.values())
+    supp_cols = [
+        c for c in table.columns if c not in mapped_cols and c != SourceTable.ROW_ID
+    ]
+    if not supp_cols:
+        return None
+    subj_src = st.source.get("SUBJID") or st.source.get("USUBJID")
+    if subj_src is None:
+        return None
+    from trial_submission_studio_spark.functions import usubjid_prefix
+
+    src_df = table.df.withColumn(
+        "__usubjid", usubjid_prefix(F.col(subj_src), study.study_id)
+    )
+    return supp_unpivot(
+        src_df,
+        supp_cols,
+        study.study_id,
+        code,
+        usubjid_col="__usubjid",
+        qlabels=table.labels,
+        qorig=qorig,
+    )
