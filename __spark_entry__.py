@@ -84,6 +84,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (integer division — float division would lose µs precision at
     1.7e18 ns magnitudes)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # timestamp_micros() yields a session-TZ timestamp; pin UTC so the
+    # rendered window strings match the oracle's naive timestamps even
+    # when the hosting session uses another zone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
