@@ -526,6 +526,20 @@ def v4_invalid_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def v8_ct_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V8 CtViolation: values resolving to no term/synonym — count,
+    distinct count, bounded sorted samples."""
+    li = _t(spark, sf_dir, "lineitem")
+    m = F.col("l_orderkey") % 5
+    raw = F.when(m == 4, F.concat(F.lit("BAD-"), (m + F.col("l_linenumber") % 3).cast("string"))).otherwise(
+        F.col("l_returnflag")
+    )
+    lookup = _returnflag_ct_lookup(spark)
+    from trial_submission_studio_spark.operators.ct_lookup import ct_violations
+
+    return ct_violations(li.select(raw.alias("flag")), "flag", lookup, "CLRF")
+
+
 def v6_text_too_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V6 TextTooLong: length-limit violations + observed max."""
     p = _t(spark, sf_dir, "part")
@@ -645,14 +659,17 @@ def e2e_cdisc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         prio_rows,
         "codelist_code string, lookup_key string, submission_value string, extensible boolean",
     )
-    # per-subject reference date from the native date column (no
-    # string re-parse), aggregated before the name join — one scan of
-    # orders, one broadcastable 1-row-per-subject frame
-    ref = (
-        o.groupBy("o_custkey")
-        .agg(F.min("o_orderdate").alias("d"))
-        .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .select(F.col("c_name").alias("SUBJ"), F.date_format("d", "yyyy-MM-dd").alias("RFSTDTC"))
+    # per-subject reference date as a window min over the native date
+    # column: single scan, one shuffle on the subject key (shared with
+    # the --SEQ window) — no self-join re-scan of the source
+    src = src.withColumn(
+        "REFDTC",
+        F.date_format(
+            F.min(F.to_date("DTCRAW", "MM/dd/yyyy")).over(
+                Window.partitionBy("SUBJ")
+            ),
+            "yyyy-MM-dd",
+        ),
     )
     ctx = NormalizationContext(
         study_id="STUDY01",
@@ -660,7 +677,7 @@ def e2e_cdisc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_col="o_orderkey",
         subject_col="SUBJ",
         ct_lookup=lookup,
-        ref_date_df=ref,
+        ref_date_col="REFDTC",
     )
     rules = [
         Rule("STUDYID", "constant", params={"value": "STUDY01"}, order=1),
@@ -848,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v1_required_empty": v1_required_empty,
         "v4_invalid_dates": v4_invalid_dates,
         "v6_text_too_long": v6_text_too_long,
+        "v8_ct_violations": v8_ct_violations,
         "w1_days_since_prev": w1_days_since_prev,
         "dedup_exact_docs": dedup_exact_docs,
         "dedup_fingerprint_stats": dedup_fingerprint_stats,
@@ -1149,6 +1167,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN regexp_matches(raw, '{iso_re}') THEN 0 ELSE 1 END) AS BIGINT)
                      AS n_invalid
             FROM v
+        """,
+        "v8_ct_violations": """
+            WITH v AS (
+              SELECT CASE WHEN l_orderkey % 5 = 4
+                          THEN 'BAD-' || CAST(4 + l_linenumber % 3 AS VARCHAR)
+                          ELSE l_returnflag END AS flag
+              FROM lineitem
+            ),
+            misses AS (SELECT upper(trim(flag)) AS val FROM v WHERE flag LIKE 'BAD-%')
+            SELECT CAST(count(*) AS BIGINT) AS violation_count,
+                   CAST(count(DISTINCT val) AS BIGINT) AS distinct_violations,
+                   array_to_string((list_sort(list(DISTINCT val)))[1:5], '|') AS samples
+            FROM misses
         """,
         "v6_text_too_long": """
             SELECT CAST(sum(CASE WHEN length(rtrim(p_name)) > 30 THEN 1 ELSE 0 END) AS BIGINT)

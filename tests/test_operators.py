@@ -190,3 +190,30 @@ def test_sessionize(spark):
         salt_buckets=4,
     )
     assert rows(agg) == [(1, 3, 6.0), (2, 1, 4.0)]
+
+
+def test_melt_findings(spark):
+    from trial_submission_studio_spark.operators.findings import MeasureGroup, melt_findings
+
+    df = values_df(
+        spark,
+        [("S1", "185", "cm", "84.0", "kg", "SUPINE"), ("S2", "", "cm", "70.5", "kg", "")],
+        "USUBJID string, ORRES_HEIGHT string, ORRESU_HEIGHT string, "
+        "ORRES_WEIGHT string, ORRESU_WEIGHT string, POS string",
+    )
+    out = melt_findings(
+        df,
+        [
+            MeasureGroup("HEIGHT", "Height", "ORRES_HEIGHT", "ORRESU_HEIGHT"),
+            MeasureGroup("WEIGHT", "Weight", "ORRES_WEIGHT", "ORRESU_WEIGHT", extra={"VSPOS": "POS"}),
+        ],
+        id_cols=["USUBJID"],
+        testcd_col="VSTESTCD", test_col="VSTEST", orres_col="VSORRES", orresu_col="VSORRESU",
+    )
+    got = rows(out, "USUBJID", "VSTESTCD", "VSORRES", "VSORRESU", "VSPOS")
+    # S1 both measures; S2 only weight (blank height dropped)
+    assert got == [
+        ("S1", "HEIGHT", "185", "cm", None),
+        ("S1", "WEIGHT", "84.0", "kg", "SUPINE"),
+        ("S2", "WEIGHT", "70.5", "kg", ""),
+    ]

@@ -70,6 +70,7 @@ class NormalizationContext:
     subject_col: str = "USUBJID"
     ct_lookup: DataFrame | None = None
     ref_date_df: DataFrame | None = None  # (USUBJID, RFSTDTC) from DM
+    ref_date_col: str | None = None  # pre-computed reference-date column in the source
     global_ref_date: str | None = None  # reference-parity mode (one study date)
     omitted: set[str] = field(default_factory=set)
 
@@ -162,7 +163,12 @@ def compile_pipeline(df: DataFrame, rules: list[Rule], ctx: NormalizationContext
     needs_ref = [r for r in rules if r.transform == "study_day"]
     ref_col = "__ref_dtc"
     have_ref = False
-    if needs_ref and ctx.ref_date_df is not None:
+    if needs_ref and ctx.ref_date_col is not None:
+        # the caller already derived the per-row reference date (e.g. a
+        # window min over the subject) — no join needed at all
+        work = work.withColumn(ref_col, F.col(ctx.ref_date_col))
+        have_ref = True
+    elif needs_ref and ctx.ref_date_df is not None:
         subj = ctx.subject_col
         ref = ctx.ref_date_df.select(
             F.col(subj).alias("__ref_subj"), F.col("RFSTDTC").alias(ref_col)
