@@ -179,3 +179,33 @@ def test_mapping_state_rules():
     snap = st.snapshot()
     st2 = MappingState.restore(snap, variables)
     assert st2.status == st.status and st2.source == st.source
+
+
+def test_resolve_codelist_priority():
+    from trial_submission_studio_spark.standards.ct import Codelist, resolve_codelist
+
+    regs = {
+        "SEND": {"C1": Codelist("C1", "send-one", False)},
+        "SDTM": {"C1": Codelist("C1", "sdtm-one", False)},
+        "CUSTOM": {"C2": Codelist("C2", "custom-two", True)},
+    }
+    assert resolve_codelist(regs, "C1").name == "sdtm-one"  # SDTM wins
+    assert resolve_codelist(regs, "C2").name == "custom-two"
+    assert resolve_codelist(regs, "C9") is None
+
+
+def test_define_xml_codelists(spark, tmp_path):
+    frames = {"DM": values_df(spark, [("S-001", "M")], "USUBJID string, SEX string")}
+    ds = DefineDataset(
+        domain="DM",
+        variables=[DefineVariable("SEX", "Sex", codelist_oid="CL.C66731")],
+    )
+    path = str(tmp_path / "define_cl.xml")
+    write_define_xml(
+        path, "ST", [ds], frames,
+        codelists={"CL.C66731": [("M", "Male"), ("F", "Female")]},
+    )
+    doc = xml.dom.minidom.parse(path)
+    cls = doc.getElementsByTagName("CodeList")
+    assert len(cls) == 1 and cls[0].getAttribute("OID") == "CL.C66731"
+    assert len(cls[0].getElementsByTagName("CodeListItem")) == 2

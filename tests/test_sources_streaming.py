@@ -164,3 +164,37 @@ def test_duration_idempotent(s):
 @given(st.integers(min_value=0, max_value=10000))
 def test_duration_numeric_days(n):
     assert normalize_duration_str(str(n)) == (f"P{n}D" if n else "P0D")
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    from trial_submission_studio_spark.streaming.stateful import running_user_totals
+
+    batch = values_df(
+        spark,
+        [
+            (1, "2024-01-01 00:00:00", 1.5),
+            (1, "2024-01-01 00:05:00", 2.5),
+            (2, "2024-01-01 00:01:00", 4.0),
+        ],
+        "user_id bigint, ts_s string, value double",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    src_dir = str(tmp_path / "ev")
+    batch.write.parquet(src_dir)
+
+    stream = spark.readStream.schema("user_id bigint, ts timestamp, value double").parquet(src_dir)
+    out = running_user_totals(stream.select("user_id", "ts", "value"))
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("state_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["user_id"]: (r["n_events"], r["total_value"])
+            for r in spark.sql("SELECT * FROM state_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {1: (2, 4.0), 2: (1, 4.0)}

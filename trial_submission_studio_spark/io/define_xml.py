@@ -63,7 +63,10 @@ def write_define_xml(
     frames: dict[str, DataFrame],
     study_name: str = "",
     ig_version: str = "SDTM-IG 3.4",
+    codelists: dict[str, list[tuple[str, str]]] | None = None,
 ) -> None:
+    """``codelists``: CodeList OID → [(coded value, decode), ...];
+    referenced OIDs without an entry are emitted as external refs."""
     q = quoteattr
     lines: list[str] = []
     lines.append('<?xml version="1.0" encoding="UTF-8"?>')
@@ -126,6 +129,25 @@ def write_define_xml(
                 item_defs.append(f'    <CodeListRef CodeListOID={q(v.codelist_oid)}/>')
             item_defs.append("   </ItemDef>")
     lines.extend(item_defs)
+    # CodeList elements for every referenced OID
+    referenced = {
+        v.codelist_oid
+        for ds in datasets
+        for v in ds.variables
+        if v.codelist_oid
+    }
+    for oid in sorted(referenced):
+        terms = (codelists or {}).get(oid)
+        lines.append(
+            f'   <CodeList OID={q(oid)} Name={q(oid.removeprefix("CL."))} DataType="text">'
+        )
+        for value, decode in terms or []:
+            lines.append(f"    <CodeListItem CodedValue={q(value)}>")
+            lines.append(
+                f"     <Decode><TranslatedText>{decode or value}</TranslatedText></Decode>"
+            )
+            lines.append("    </CodeListItem>")
+        lines.append("   </CodeList>")
     lines.append("  </MetaDataVersion>")
     lines.append(" </Study>")
     lines.append("</ODM>")

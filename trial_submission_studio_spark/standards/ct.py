@@ -103,3 +103,27 @@ def codelist_lookup_df(spark: SparkSession, codelists: dict[str, Codelist]) -> D
         rows,
         "codelist_code string, lookup_key string, submission_value string, extensible boolean",
     ).dropDuplicates(["codelist_code", "lookup_key"])
+
+
+#: catalog resolution priority (reference: ct/types.rs:377-394 — a
+#: codelist is looked up in SDTM CT first, then SEND, then any other
+#: catalog alphabetically)
+CATALOG_PRIORITY = ("SDTM", "SEND", "ADAM")
+
+
+def resolve_codelist(
+    registries: dict[str, dict[str, Codelist]], code: str
+) -> Codelist | None:
+    """O5: resolve a codelist code across catalogs by priority.
+
+    ``registries``: catalog name → {codelist code → Codelist}.
+    Priority catalogs first, then the rest alphabetically.
+    """
+    ordered = [c for c in CATALOG_PRIORITY if c in registries] + sorted(
+        c for c in registries if c not in CATALOG_PRIORITY
+    )
+    for catalog in ordered:
+        cl = registries[catalog].get(code)
+        if cl is not None:
+            return cl
+    return None

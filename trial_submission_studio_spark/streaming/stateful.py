@@ -1,0 +1,57 @@
+"""Custom stateful streaming operator (north-star extension;
+SURVEY.md §2.12 — the reference has no streaming surface at all).
+
+``running_user_totals`` keeps per-user running aggregates (event
+count, value sum, last-seen timestamp) across micro-batches with
+``applyInPandasWithState`` — the Structured Streaming escape hatch
+for operators the built-in windowed aggregations can't express.
+
+State shape is one tiny row per key; the update function is built by
+a closure factory (cloudpickle by-value — executors cannot import
+this package).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double, last_ts timestamp"
+STATE_SCHEMA = "n bigint, total double, last_ts timestamp"
+
+
+def _make_update_fn():
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        n, total, last = (state.get if state.exists else (lambda: (0, 0.0, None)))()
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            batch_max = pdf["ts"].max()
+            if last is None or batch_max > last:
+                last = batch_max
+        state.update((n, total, last))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+                "last_ts": [last],
+            }
+        )
+
+    return update
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """events(user_id, ts, value) → continuously-updated per-user
+    totals. Works on a streaming DataFrame; each micro-batch emits
+    the refreshed rows for the users it touched."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _make_update_fn(),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
