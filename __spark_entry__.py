@@ -273,7 +273,7 @@ def t9_numeric_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(m == 0, F.concat(F.lit(" "), qty_int, F.lit(",000.5 ")))
         .when(m == 1, F.concat(qty_int, F.lit(".5e2")))
         .when(m == 2, F.lit("abc"))
-        .otherwise(F.lit("inf"))
+        .otherwise(F.lit("9.25e15"))
     )
     return li.select(
         "l_orderkey", "l_linenumber", parse_numeric(raw).alias("val")
@@ -1011,7 +1011,7 @@ def oracle_sql() -> dict[str, str]:
                      WHEN 1 THEN TRY_CAST(
                        CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) || '.5e2' AS DOUBLE)
                      WHEN 2 THEN NULL
-                     ELSE CAST('inf' AS DOUBLE)
+                     ELSE TRY_CAST('9.25e15' AS DOUBLE)
                    END AS val
             FROM lineitem
         """,
