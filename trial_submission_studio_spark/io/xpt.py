@@ -45,11 +45,8 @@ def _rec(text: str) -> bytes:
     return b + _PAD80 * (80 - len(b))
 
 
-def _header(kind: str) -> bytes:
-    return _rec(
-        f"HEADER RECORD*******{kind:<7} HEADER RECORD!!!!!!!"
-        "000000000000000000000000000000"
-    )
+def _header(kind: str, tail: str = "0" * 30) -> bytes:
+    return _rec(f"HEADER RECORD*******{kind:<7} HEADER RECORD!!!!!!!{tail}")
 
 
 _TS = "13AUG26:00:00:00"  # fixed timestamp => byte-stable golden files
@@ -151,7 +148,8 @@ def write_xpt(
             _rec(f"SAS     SAS     SASLIB  6.06    bsd4.2                          {_TS}")
         )
         fh.write(_rec(_TS))
-        fh.write(_header("MEMBER"))
+        # TS-140: MEMBER header carries the descriptor sizes (160/140)
+        fh.write(_header("MEMBER", "000000000000000001600000000140"))
         fh.write(_header("DSCRPTR"))
         fh.write(
             _rec(
