@@ -787,6 +787,15 @@ def agg_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # non-SQL-expressible extensions (rows-only checks)
 # --------------------------------------------------------------------------
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell ANN (scale path; approximate — rows-only check)."""
+    from trial_submission_studio_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries_df, k=5, n_centroids=16, n_probe=2)
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed ANN (scale path; approximate — no SQL
     oracle, rows-only check)."""
@@ -882,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_tokens": text_bpe_tokens,
         "events_sessionization": events_sessionization,
         "agg_salted_user_totals": agg_salted_user_totals,
+        "ann_ivf_topk": ann_ivf_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "dedup_jaccard_verified": dedup_jaccard_verified,
         "dedup_minhash_lsh": dedup_minhash_lsh,

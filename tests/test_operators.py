@@ -217,3 +217,23 @@ def test_melt_findings(spark):
         ("S1", "WEIGHT", "84.0", "kg", "SUPINE"),
         ("S2", "WEIGHT", "70.5", "kg", ""),
     ]
+
+
+def test_ivf_topk_recovers_exact_match(spark):
+    from trial_submission_studio_spark.operators.similarity import ivf_topk
+
+    import math
+    vecs = []
+    for i in range(40):
+        a = (i % 8) * math.pi / 4
+        vecs.append((i, [math.cos(a), math.sin(a), float(i % 3)]))
+    corpus = values_df(spark, vecs, "vec_id bigint, embedding array<double>")
+    queries = corpus.filter("vec_id IN (5, 17)")
+    got = ivf_topk(corpus, queries, k=3, n_centroids=8, n_probe=2)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["sim"]))
+    # each query's own vector is rank-1 with sim 1.0
+    for qid, rows_ in by_q.items():
+        top = sorted(rows_)[0]
+        assert top[1] == qid and top[2] == 1.0

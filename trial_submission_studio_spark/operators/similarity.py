@@ -123,3 +123,82 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, F.round("sim", 6).alias("sim"), "rank")
     )
+
+
+def ivf_assign_cell(
+    vec: Column | str, centroids: list[list[float]]
+) -> Column:
+    """Cell id = argmax cosine similarity over the centroid list.
+
+    Centroids ship as literals (an IVF index is schema-sized); the
+    argmax is a ``greatest`` over (sim, idx) structs — pure JVM.
+    """
+    v = F.col(vec) if isinstance(vec, str) else vec
+    scored = [
+        F.struct(
+            cosine_similarity(v, F.array(*[F.lit(float(x)) for x in c])).alias("s"),
+            F.lit(i).alias("i"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    return F.greatest(*scored)["i"]
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: partition the corpus into centroid cells, search
+    only the query's ``n_probe`` nearest cells.
+
+    Round-1 index: centroids are the first ``n_centroids`` corpus
+    vectors by id (deterministic; a production index would k-means a
+    sample). The cell join shuffles on the cell id only; per-query
+    ranking is a bounded window. Output: (query_id, id, sim, rank).
+    """
+    from pyspark.sql import Window
+
+    cents = [
+        [float(x) for x in r[vec_col]]
+        for r in corpus.orderBy(id_col).limit(n_centroids).collect()
+    ]
+    assigned = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("__cvec"),
+        ivf_assign_cell(vec_col, cents).alias("__cell"),
+    )
+    # query side: the n_probe best cells via sorted (sim, idx) structs
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    cell_scores = F.array(
+        *[
+            F.struct(
+                cosine_similarity(F.col("__qvec"), F.array(*[F.lit(float(x)) for x in c])).alias("s"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    q = q.withColumn(
+        "__cell",
+        F.explode(
+            F.transform(
+                F.slice(F.reverse(F.array_sort(cell_scores)), 1, n_probe),
+                lambda s: s["i"],
+            )
+        ),
+    )
+    joined = q.join(assigned, "__cell").withColumn(
+        "sim", cosine_similarity(F.col("__qvec"), F.col("__cvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, F.round("sim", 6).alias("sim"), "rank")
+    )
