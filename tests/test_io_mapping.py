@@ -209,3 +209,22 @@ def test_define_xml_codelists(spark, tmp_path):
     cls = doc.getElementsByTagName("CodeList")
     assert len(cls) == 1 and cls[0].getAttribute("OID") == "CL.C66731"
     assert len(cls[0].getElementsByTagName("CodeListItem")) == 2
+
+
+GOLDEN_XPT_SHA256 = "03b6d37f3b78a651e7298d7ab8f6a7be0a010cdb07e5d43040cb2f652c8e6bcd"
+
+
+def test_xpt_golden_bytes(spark, tmp_path):
+    """Byte-pinned golden output: the writer must stay stable across
+    rounds (fixed _TS timestamp makes this deterministic)."""
+    import hashlib
+
+    df = values_df(spark, [("A", 1.0), ("B", None)], "C string, N double")
+    path = str(tmp_path / "g.xpt")
+    write_xpt(
+        df.orderBy("C"), path,
+        [XptVariable("C", "Char var", False, 1), XptVariable("N", "Num var", True)],
+        "G", "Golden",
+    )
+    digest = hashlib.sha256(open(path, "rb").read()).hexdigest()
+    assert digest == GOLDEN_XPT_SHA256, f"XPT bytes changed: {digest}"

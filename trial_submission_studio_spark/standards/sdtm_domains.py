@@ -116,6 +116,81 @@ DOMAINS: dict[str, dict] = {
             _v("LBDY", "Study Day of Specimen Collection", "Perm", "Num"),
         ],
     },
+    "CM": {
+        "label": "Concomitant/Prior Medications",
+        "class": "Interventions",
+        "structure": "One record per recorded medication occurrence or constant-dosing interval per subject",
+        "variables": _identifiers("CM")
+        + [
+            _v("CMTRT", "Reported Name of Drug, Med, or Therapy", "Req", role="Topic"),
+            _v("CMDECOD", "Standardized Medication Name", "Perm"),
+            _v("CMINDC", "Indication", "Perm"),
+            _v("CMDOSE", "Dose per Administration", "Perm", "Num"),
+            _v("CMDOSU", "Dose Units", "Perm", codelist="C71620"),
+            _v("CMROUTE", "Route of Administration", "Perm", codelist="C66729"),
+            _v("CMSTDTC", "Start Date/Time of Medication", "Exp"),
+            _v("CMENDTC", "End Date/Time of Medication", "Exp"),
+            _v("CMSTDY", "Study Day of Start of Medication", "Perm", "Num"),
+            _v("CMENDY", "Study Day of End of Medication", "Perm", "Num"),
+        ],
+    },
+    "EX": {
+        "label": "Exposure",
+        "class": "Interventions",
+        "structure": "One record per protocol-specified study treatment, constant-dosing interval, per subject",
+        "variables": _identifiers("EX")
+        + [
+            _v("EXTRT", "Name of Study Treatment", "Req", role="Topic"),
+            _v("EXDOSE", "Dose", "Exp", "Num"),
+            _v("EXDOSU", "Dose Units", "Exp", codelist="C71620"),
+            _v("EXROUTE", "Route of Administration", "Perm", codelist="C66729"),
+            _v("EXSTDTC", "Start Date/Time of Treatment", "Exp"),
+            _v("EXENDTC", "End Date/Time of Treatment", "Exp"),
+            _v("EXSTDY", "Study Day of Start of Treatment", "Perm", "Num"),
+            _v("EXENDY", "Study Day of End of Treatment", "Perm", "Num"),
+        ],
+    },
+    "MH": {
+        "label": "Medical History",
+        "class": "Events",
+        "structure": "One record per medical history event per subject",
+        "variables": _identifiers("MH")
+        + [
+            _v("MHTERM", "Reported Term for the Medical History", "Req", role="Topic"),
+            _v("MHDECOD", "Dictionary-Derived Term", "Perm"),
+            _v("MHCAT", "Category for Medical History", "Perm"),
+            _v("MHSTDTC", "Start Date/Time of History Event", "Perm"),
+            _v("MHENDTC", "End Date/Time of History Event", "Perm"),
+            _v("MHDY", "Study Day of History Collection", "Perm", "Num"),
+        ],
+    },
+    "DS": {
+        "label": "Disposition",
+        "class": "Events",
+        "structure": "One record per disposition status or protocol milestone per subject",
+        "variables": _identifiers("DS")
+        + [
+            _v("DSTERM", "Reported Term for the Disposition Event", "Req", role="Topic"),
+            _v("DSDECOD", "Standardized Disposition Term", "Req", codelist="C66727"),
+            _v("DSCAT", "Category for Disposition Event", "Exp", codelist="C74558"),
+            _v("DSSTDTC", "Start Date/Time of Disposition Event", "Exp"),
+            _v("DSSTDY", "Study Day of Start of Disposition Event", "Perm", "Num"),
+        ],
+    },
+    "IE": {
+        "label": "Inclusion/Exclusion Criteria Not Met",
+        "class": "Findings",
+        "structure": "One record per inclusion/exclusion criterion not met per subject",
+        "variables": _identifiers("IE")
+        + [
+            _v("IETESTCD", "Incl/Excl Criterion Short Name", "Req", role="Topic"),
+            _v("IETEST", "Inclusion/Exclusion Criterion", "Req"),
+            _v("IECAT", "Inclusion/Exclusion Category", "Req", codelist="C66797"),
+            _v("IEORRES", "I/E Criterion Original Result", "Req"),
+            _v("IESTRESC", "I/E Criterion Result in Std Format", "Req"),
+            _v("IEDTC", "Date/Time of Collection", "Perm"),
+        ],
+    },
     "SUPPQUAL": {
         "label": "Supplemental Qualifiers",
         "class": "Relationship",
