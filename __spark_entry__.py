@@ -78,18 +78,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores TIMESTAMP(NANOS), which Spark rejects by
-    default; read ns-as-long then rebuild a microsecond timestamp
-    (integer division — float division would lose µs precision at
-    1.7e18 ns magnitudes)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # timestamp_micros() yields a session-TZ timestamp; pin UTC so the
-    # rendered window strings match the oracle's naive timestamps even
-    # when the hosting session uses another zone.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    default. Scoped per-read (no session-conf mutation): a
+    user-specified schema reads the nanos column as raw int64, then a
+    TIMESTAMP_NTZ is built from epoch micros by pure interval
+    arithmetic — TZ-independent by construction, so the rendered
+    window strings match the oracle's naive timestamps regardless of
+    the hosting session's time zone. Integer ``DIV 1000`` (float
+    division would lose µs precision at 1.7e18 ns magnitudes)."""
+    raw = spark.read.schema(_EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    ntz = F.expr(
+        "timestamp_ntz'1970-01-01 00:00:00' "
+        "+ make_dt_interval(0, 0, 0, cast(ts div 1000 as decimal(20,0)) / 1000000)"
+    )
+    return raw.withColumn("ts", ntz)
 
 
 # --------------------------------------------------------------------------

@@ -82,10 +82,10 @@ def test_write_dataset_xml(spark, tmp_path):
     assert groups[0].getAttribute("data:ItemGroupDataSeq") == "1"
     items0 = groups[0].getElementsByTagName("ItemData")
     vals = {i.getAttribute("ItemOID"): i.getAttribute("Value") for i in items0}
-    assert vals["IT.IG.AE.AETERM"] == "Sun <stroke>"  # escaped+parsed back
+    assert vals["IT.AE.AETERM"] == "Sun <stroke>"  # escaped+parsed back
     # empty AETERM emits no ItemData (P4)
     oids1 = [i.getAttribute("ItemOID") for i in groups[1].getElementsByTagName("ItemData")]
-    assert "IT.IG.AE.AETERM" not in oids1
+    assert "IT.AE.AETERM" not in oids1
 
 
 def test_write_define_xml(spark, tmp_path):
@@ -211,7 +211,7 @@ def test_define_xml_codelists(spark, tmp_path):
     assert len(cls[0].getElementsByTagName("CodeListItem")) == 2
 
 
-GOLDEN_XPT_SHA256 = "03b6d37f3b78a651e7298d7ab8f6a7be0a010cdb07e5d43040cb2f652c8e6bcd"
+GOLDEN_XPT_SHA256 = "fda13f40cd6ead0de4ff52d07708ca301b5746ac7907c1489e231367971fe836"
 
 
 def test_xpt_golden_bytes(spark, tmp_path):

@@ -57,6 +57,20 @@ def test_utf16_bom(spark, tmp_path):
     assert src.df.filter(F.col("SubjectId") == "S-001").count() == 1
 
 
+def test_utf16_crlf(spark, tmp_path):
+    """Windows CRLF UTF-16 file: the sniffed lineSep must keep the
+    last column free of stray '\\r' (ADVICE round 1)."""
+    p = tmp_path / "u16crlf.csv"
+    body = AE_CSV.replace("\n", "\r\n")
+    p.write_bytes(codecs.BOM_UTF16_LE + body.encode("utf-16-le"))
+    src = read_source_csv(spark, str(p), header_rows=2)
+    assert src.df.count() == 2
+    last_col = src.columns[-1]
+    vals = [r[0] for r in src.df.select(last_col).collect()]
+    assert all(v is None or "\r" not in v for v in vals), vals
+    assert src.df.filter(F.col("SubjectId") == "S-001").count() == 1
+
+
 def test_utf8_bom(spark, tmp_path):
     p = tmp_path / "u8.csv"
     p.write_bytes(codecs.BOM_UTF8 + AE_CSV.encode("utf-8"))

@@ -29,12 +29,21 @@ def _xml_escape_col(c: Column) -> Column:
     return out
 
 
-def row_fragment(columns: list[str], item_oid_prefix: str, seq_col: str) -> Column:
-    """Column producing one ``<ItemGroupData>`` XML fragment per row."""
+def row_fragment(
+    columns: list[str], group_oid: str, item_prefix: str, seq_col: str
+) -> Column:
+    """Column producing one ``<ItemGroupData>`` XML fragment per row.
+
+    ``group_oid`` is the ItemGroup OID (``IG.{domain}``); ``item_prefix``
+    is the ItemDef OID prefix (``IT.{domain}``) and must match the
+    ItemDef OIDs emitted by ``define_xml.py`` so the submission package
+    is internally consistent (reference uses ``IT.{dataset}.{var}`` in
+    both writers).
+    """
     parts: list[Column] = [
         F.concat(
             F.lit('  <ItemGroupData ItemGroupOID="'),
-            F.lit(item_oid_prefix),
+            F.lit(group_oid),
             F.lit('" data:ItemGroupDataSeq="'),
             F.col(seq_col).cast("string"),
             F.lit('">'),
@@ -47,7 +56,7 @@ def row_fragment(columns: list[str], item_oid_prefix: str, seq_col: str) -> Colu
             F.when(
                 nonempty,
                 F.concat(
-                    F.lit(f'    <ItemData ItemOID="IT.{item_oid_prefix}.{c}" Value="'),
+                    F.lit(f'    <ItemData ItemOID="{item_prefix}.{c}" Value="'),
                     _xml_escape_col(col),
                     F.lit('"/>'),
                 ),
@@ -82,7 +91,7 @@ def write_dataset_xml(
         )
     else:
         work = df.withColumn("__seq", F.col(order_col))
-    frag = row_fragment(data_cols, ig_oid, "__seq")
+    frag = row_fragment(data_cols, ig_oid, f"IT.{domain.upper()}", "__seq")
     ordered = work.orderBy(F.col("__seq")).select(frag.alias("xml"))
 
     n = 0

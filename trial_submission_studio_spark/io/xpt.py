@@ -153,8 +153,11 @@ def write_xpt(
         fh.write(_header("DSCRPTR"))
         fh.write(
             _rec(
+                # TS-140: OS name field + blanks pad to col 64 so the
+                # 16-char created datetime occupies cols 65-80 (same
+                # layout as the LIBRARY real-header record above).
                 f"SAS     {dataset_name.upper()[:8]:<8}SASDATA 6.06    bsd4.2"
-                + " " * 24
+                + " " * 26
                 + _TS
             )
         )

@@ -28,7 +28,10 @@ def apply_ct_normalization(
     lk = (
         lookup_df.filter(F.col("codelist_code") == codelist_code)
         .select(
-            F.col("lookup_key").alias("__ct_key"),
+            # normalize the build side too — the documented
+            # case/whitespace-insensitive semantics must not depend on
+            # the caller having pre-uppercased the lookup table
+            F.upper(F.trim(F.col("lookup_key"))).alias("__ct_key"),
             F.col("submission_value").alias("__ct_value"),
         )
         .dropDuplicates(["__ct_key"])
@@ -59,7 +62,7 @@ def ct_violations(
     (the reference caps samples at 5: validate/checks/ct.rs:15).
     """
     lk = lookup_df.filter(F.col("codelist_code") == codelist_code).select(
-        F.col("lookup_key").alias("__ct_key")
+        F.upper(F.trim(F.col("lookup_key"))).alias("__ct_key")
     )
     probe = df.select(F.upper(F.trim(F.col(col).cast("string"))).alias("__val")).filter(
         F.col("__val").isNotNull() & (F.col("__val") != "")

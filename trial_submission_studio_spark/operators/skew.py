@@ -63,8 +63,10 @@ def sessionize(
 
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col))
     prev = F.lag(F.col(ts_col)).over(w)
-    gap = F.col(ts_col).cast("long") - prev.cast("long")
-    new_session = F.when(prev.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    # interval subtraction works for TIMESTAMP and TIMESTAMP_NTZ alike
+    # (a long cast would be illegal on NTZ and TZ-dependent on LTZ)
+    gap_over = (F.col(ts_col) - prev) > F.expr(f"INTERVAL {int(gap_minutes)} MINUTES")
+    new_session = F.when(prev.isNull() | gap_over, 1).otherwise(0)
     return df.withColumn(
         "session_id",
         F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),

@@ -63,6 +63,24 @@ def detect_encoding(path: str) -> str:
     return "UTF-8"
 
 
+def _detect_line_sep(path: str, encoding: str) -> str:
+    """Sniff the line terminator (driver-side, head bytes only).
+
+    Needed for UTF-16: Spark requires an explicit ``lineSep`` there,
+    and hard-coding ``\\n`` would leave a stray ``\\r`` on the last
+    column of every row of a Windows CRLF file (``trim()`` strips only
+    spaces, so blank→NULL and comparisons downstream would keep it).
+    """
+    py_enc = {"UTF-8": "utf-8-sig", "UTF-16LE": "utf-16", "UTF-16BE": "utf-16"}[encoding]
+    with open(path, "rb") as fh:
+        head = fh.read(65536)
+    text = head.decode(py_enc, errors="ignore")
+    i = text.find("\n")
+    if i > 0 and text[i - 1] == "\r":
+        return "\r\n"
+    return "\n"
+
+
 def _read_head_lines(path: str, encoding: str, n: int) -> list[list[str]]:
     """Parse the first ``n`` CSV records on the driver (headers only)."""
     py_enc = {"UTF-8": "utf-8-sig", "UTF-16LE": "utf-16", "UTF-16BE": "utf-16"}[encoding]
@@ -138,7 +156,9 @@ def read_source_csv(
         # Spark autodetects line separators only for UTF-8-compatible
         # charsets; for UTF-16 an explicit lineSep (encoded in the
         # declared charset) is required or rows split mid-character.
-        reader = reader.option("lineSep", "\n")
+        # Sniffed, not hard-coded: CRLF files would otherwise leave a
+        # trailing '\r' on each row's last column.
+        reader = reader.option("lineSep", _detect_line_sep(path, enc))
     raw = reader.csv(path)
     # Positional rename (inferred _c0.._cN → declared names).
     if len(raw.columns) != len(names):
