@@ -64,7 +64,9 @@ from trial_submission_studio_spark.operators.normalize import (
     NormalizationContext,
     Rule,
     compile_pipeline,
+    infer_rules,
 )
+from trial_submission_studio_spark.standards.sdtm_domains import DOMAINS
 from trial_submission_studio_spark.operators.skew import salted_agg, sessionize
 from trial_submission_studio_spark.operators.similarity import lsh_bucket_topk
 from trial_submission_studio_spark.operators.dedup import ngram_jaccard_pairs
@@ -412,6 +414,24 @@ def j2_semi_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(li, "s_suppkey", "left_semi").select("s_suppkey", "s_name")
 
 
+def j3_rsubjid_in_dm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: RELSUB RSUBJID∈DM referential check (SDTM-IG 8.7; reference
+    checks/cross_domain.rs:149-175) — the library's issue-frame
+    function over a synthetic RELSUB: subjects are customer keys,
+    probes are order keys mod 3000, so ~half miss deterministically."""
+    from trial_submission_studio_spark.operators.validation import rsubjid_not_in_dm
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    dm = c.select(F.col("c_custkey").cast("string").alias("USUBJID"))
+    rel = o.select(
+        F.col("o_custkey").cast("string").alias("USUBJID"),
+        (F.col("o_orderkey") % 3000).cast("string").alias("RSUBJID"),
+        F.lit("SIBLING").alias("SREL"),
+    )
+    return rsubjid_not_in_dm(rel, dm)
+
+
 def j4_bidirectional_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4: self anti join on the swapped key (RELSUB bidirectionality)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -701,6 +721,44 @@ def e2e_cdisc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_pipeline(src, rules, ctx)
 
 
+def qs_registry_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry-driven build of a domain OUTSIDE the original core set:
+    the full SDTM-IG v3.4 QS (Questionnaires) variable set drives
+    ``infer_rules`` (name pattern > described value domain > codelist >
+    dtype > copy — reference inference.rs:44-131) and the inferred
+    pipeline compiles to one select. Exercises the 63-domain registry
+    end-to-end: constants, USUBJID, QSSEQ window, numeric parse,
+    ISO-date ladder, sibling --DY, and the derived-but-unmapped
+    VISITDY (NULL study day, reference parity)."""
+    o = _t(spark, sf_dir, "orders")
+    # o_orderkey is unique → deterministic row order; the result string
+    # goes through decimal so both engines render identical text
+    src = o.select(
+        F.col("o_orderkey").alias("ORD"),
+        F.col("o_custkey").cast("string").alias("SUBJ"),
+        F.concat(F.lit("ITEM"), (F.col("o_orderkey") % 5).cast("string")).alias("TESTRAW"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string").alias("RESRAW"),
+        F.date_format("o_orderdate", "MM/dd/yyyy").alias("DTRAW"),
+    )
+    mappings = {
+        "SUBJID": "SUBJ",
+        "QSTESTCD": "TESTRAW",
+        "QSORRES": "RESRAW",
+        "QSSTRESC": "RESRAW",
+        "QSSTRESN": "RESRAW",
+        "QSDTC": "DTRAW",
+    }
+    ctx = NormalizationContext(
+        study_id="QS01",
+        domain_code="QS",
+        order_col="ORD",
+        subject_col="SUBJ",
+        global_ref_date="1995-06-01",
+    )
+    rules = infer_rules(DOMAINS["QS"]["variables"], mappings, ctx)
+    return compile_pipeline(src, rules, ctx)
+
+
 def t12_bool_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T12: boolean -> 'Y'/'N' rendering."""
     o = _t(spark, sf_dir, "orders")
@@ -876,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a8_invalid_samples": a8_invalid_samples,
         "j1_orphan_customers": j1_orphan_customers,
         "j2_semi_suppliers": j2_semi_suppliers,
+        "j3_rsubjid_in_dm": j3_rsubjid_in_dm,
         "j4_bidirectional_missing": j4_bidirectional_missing,
         "j6_relrec_probe": j6_relrec_probe,
         "r1_supp_unpivot": r1_supp_unpivot,
@@ -893,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": ann_cosine_topk,
         "events_tumbling_window": events_tumbling_window,
         "e2e_cdisc_pipeline": e2e_cdisc_pipeline,
+        "qs_registry_pipeline": qs_registry_pipeline,
         "t12_bool_render": t12_bool_render,
         "a9_has_collected_data": a9_has_collected_data,
         "a10_first_nonnull_ref": a10_first_nonnull_ref,
@@ -1104,6 +1164,18 @@ def oracle_sql() -> dict[str, str]:
         "j2_semi_suppliers": """
             SELECT s_suppkey, s_name FROM supplier
             WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+        """,
+        "j3_rsubjid_in_dm": """
+            WITH dm AS (SELECT CAST(c_custkey AS VARCHAR) AS usubjid FROM customer),
+            miss AS (
+              SELECT CAST(o_orderkey % 3000 AS VARCHAR) AS rsubj FROM orders
+              WHERE CAST(o_orderkey % 3000 AS VARCHAR) NOT IN (SELECT usubjid FROM dm)
+            )
+            SELECT 'RELSUB' AS domain, 'RSUBJID' AS variable,
+                   'CrossReference' AS category, 'Error' AS severity,
+                   CAST(count(*) AS BIGINT) AS count,
+                   list_slice(list_sort(list(DISTINCT rsubj)), 1, 5) AS samples
+            FROM miss
         """,
         "j4_bidirectional_missing": """
             WITH e AS (SELECT DISTINCT l_suppkey AS usubj, l_partkey AS rsubj FROM lineitem)
@@ -1376,5 +1448,35 @@ def oracle_sql() -> dict[str, str]:
                              ELSE datediff('day', r.rfdate, CAST(s.o_orderdate AS DATE)) END
                         AS INTEGER) AS "XXDY"
             FROM src s JOIN ref r ON s.c_name = r.c_name
+        """,
+        "qs_registry_pipeline": """
+            WITH src AS (
+              SELECT o_orderkey AS ord,
+                     CAST(o_custkey AS VARCHAR) AS subj,
+                     'ITEM' || CAST(o_orderkey % 5 AS VARCHAR) AS testraw,
+                     CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS resraw,
+                     strftime(CAST(o_orderdate AS DATE), '%m/%d/%Y') AS dtraw
+              FROM orders
+            ),
+            norm AS (
+              SELECT *,
+                     CAST(strptime(dtraw, '%m/%d/%Y') AS DATE) AS evtdate
+              FROM src
+            )
+            SELECT 'QS01' AS "STUDYID", 'QS' AS "DOMAIN",
+                   'QS01-' || subj AS "USUBJID",
+                   CAST(row_number() OVER (PARTITION BY subj ORDER BY ord)
+                        AS BIGINT) AS "QSSEQ",
+                   testraw AS "QSTESTCD",
+                   resraw AS "QSORRES",
+                   resraw AS "QSSTRESC",
+                   TRY_CAST(resraw AS DOUBLE) AS "QSSTRESN",
+                   CAST(NULL AS INTEGER) AS "VISITDY",
+                   strftime(evtdate, '%Y-%m-%d') AS "QSDTC",
+                   CAST(CASE WHEN datediff('day', DATE '1995-06-01', evtdate) >= 0
+                             THEN datediff('day', DATE '1995-06-01', evtdate) + 1
+                             ELSE datediff('day', DATE '1995-06-01', evtdate) END
+                        AS INTEGER) AS "QSDY"
+            FROM norm
         """,
     }

@@ -204,3 +204,111 @@ def test_sdtm_registry_roundtrip_and_inference(spark):
     assert rules["AESEQ"] == "sequence"
     assert rules["AESTDY"] == "study_day"
     assert rules["AESEV"] == "ct"
+
+
+def test_full_registry_surface():
+    """All 63 SDTM-IG v3.4 datasets with IG-shaped variable sets."""
+    from trial_submission_studio_spark.standards.sdtm_domains import DOMAINS
+
+    assert len(DOMAINS) == 63
+    total = sum(len(d["variables"]) for d in DOMAINS.values())
+    assert total > 1500, total
+    # mockdata-shaped studies need these beyond the original 12
+    for code in ("PE", "PR", "QS", "DA", "EG", "CO", "SV", "SE", "TA", "TE",
+                 "TV", "TI", "TS", "TU", "TR", "PC", "PP", "FA", "SR", "OI"):
+        d = DOMAINS[code]
+        names = [v["name"] for v in d["variables"]]
+        assert "STUDYID" in names, code
+        assert len(names) == len(set(names)), code
+    # findings skeleton on QS (public IG v3.4 QS variable set)
+    qs = {v["name"] for v in DOMAINS["QS"]["variables"]}
+    assert {"QSTESTCD", "QSTEST", "QSCAT", "QSORRES", "QSSTRESC", "QSSTRESN",
+            "QSBLFL", "QSDTC", "QSDY", "VISITNUM", "EPOCH"} <= qs
+
+
+def test_infer_described_value_domain_tier():
+    """Inference priority: name pattern > described value domain >
+    codelist > dtype > copy (ported from reference inference.rs:288
+    test_infer_datetime_from_described_value_domain and
+    test_infer_duration_from_described_value_domain)."""
+    ctx = NormalizationContext(study_id="ST", domain_code="XX")
+
+    def one(var, mappings=None):
+        rules = infer_rules([var], mappings or {var["name"]: "SRC"}, ctx)
+        return rules[0].transform if rules else None
+
+    base = {"name": "", "data_type": "Char", "codelist_code": "", "order": 1}
+    # suffix wins even with a DVD present
+    assert one({**base, "name": "CUSTOMDTC",
+                "described_value_domain": "ISO 8601 datetime or interval"}) == "iso_datetime"
+    # DVD tier: no DTC suffix, ISO-described → datetime ladder
+    assert one({**base, "name": "CUSTOMVAR",
+                "described_value_domain": "ISO 8601 datetime or interval"}) == "iso_datetime"
+    # DVD date (no 'datetime' token)
+    assert one({**base, "name": "CUSTOMVAR",
+                "described_value_domain": "ISO 8601 date"}) == "iso_date"
+    # DVD duration beats the datetime check
+    assert one({**base, "name": "EXDURATION",
+                "described_value_domain": "ISO 8601 duration"}) == "iso_duration"
+    # DVD outranks codelist
+    assert one({**base, "name": "CUSTOMVAR", "codelist_code": "C12345",
+                "described_value_domain": "ISO 8601 datetime"}) == "iso_datetime"
+    # codelist splits on ';'/',' and takes the first code
+    rules = infer_rules(
+        [{**base, "name": "CUSTOMVAR", "codelist_code": "C111; C222"}],
+        {"CUSTOMVAR": "SRC"}, ctx,
+    )
+    assert rules[0].transform == "ct"
+    assert rules[0].params["codelist_code"] == "C111"
+    # dtype then copy
+    assert one({**base, "name": "AGE", "data_type": "Num"}) == "numeric"
+    assert one({**base, "name": "CUSTOMVAR"}) == "copy"
+    # --SEQ must be domain-prefixed (XXSEQ yes, ABSEQ no)
+    assert one({**base, "name": "XXSEQ"}) == "sequence"
+    assert one({**base, "name": "ABSEQ"}) == "copy"
+
+
+def test_validate_study_cross_domain_orchestra(spark):
+    """One validate_study call surfaces ALL planted cross-domain
+    violations (J1/J2/J3/J4/J5/J6), mirroring the reference's
+    validate_cross_domain orchestration (validate/mod.rs:100-175)."""
+    from trial_submission_studio_spark.study import Study, validate_study
+
+    dm = values_df(spark, [("ST-01",), ("ST-02",)], "USUBJID string")
+    ae = values_df(
+        spark,
+        [("ST-01", 1), ("ST-03", 1)],  # ST-03 not in DM -> J1
+        "USUBJID string, AESEQ int",
+    )
+    relsub = values_df(
+        spark,
+        [("ST-01", "ST-99", "SIBLING")],  # RSUBJID not in DM -> J3; no reverse -> J4
+        "USUBJID string, RSUBJID string, SREL string",
+    )
+    relspec = values_df(
+        spark,
+        [("ST-01", "SP1", "SP0", 1)],  # PARENT SP0 dangling -> J5
+        "USUBJID string, REFID string, PARENT string, LEVEL int",
+    )
+    relrec = values_df(
+        spark,
+        [
+            ("XX", "ST-01", "XXSEQ", "1", "REL1"),   # invalid RDOMAIN -> J2
+            ("AE", "ST-01", "AESEQ", "99", "REL2"),  # missing record -> J6
+        ],
+        "RDOMAIN string, USUBJID string, IDVAR string, IDVARVAL string, RELID string",
+    )
+    study = Study(spark=spark, study_id="ST")
+    frames = {"DM": dm, "AE": ae, "RELSUB": relsub, "RELSPEC": relspec,
+              "RELREC": relrec}
+    report = validate_study(study, frames)
+    got = {(r["domain"], r["variable"], r["category"]) for r in report.collect()}
+    assert ("AE", "USUBJID", "CrossReference") in got            # J1
+    assert ("RELREC", "RDOMAIN", "CrossReference") in got        # J2
+    assert ("RELSUB", "RSUBJID", "CrossReference") in got        # J3 + J4
+    assert ("RELSPEC", "PARENT", "CrossReference") in got        # J5
+    assert ("RELREC", "RDOMAIN=AE", "CrossReference") in got     # J6
+    # J3 (Error) and J4 (Warning) are distinct rows on RSUBJID
+    sevs = {r["severity"] for r in report.collect()
+            if r["domain"] == "RELSUB" and r["variable"] == "RSUBJID"}
+    assert sevs == {"Error", "Warning"}

@@ -107,3 +107,108 @@ def test_full_study_flow(spark, study, tmp_path):
     # validation gate: errors block export without the bypass
     with pytest.raises(ValueError, match="export blocked"):
         export_study(study, {"DM": dm, "AE": ae}, str(tmp_path / "out2"))
+
+
+# --- mockdata-shaped wide study: domains outside the original core ---
+
+WIDE_DM_CSV = (
+    "Subject,Gender,Reference Start\n"
+    "SubjectId,SEX,RFSTDAT\n"
+    "W-01,F,2024-01-10\n"
+    "W-02,M,2024-01-20\n"
+)
+
+WIDE_QS_CSV = (
+    "Subject,Question Code,Answer,Assessment Date\n"
+    "SubjectId,QSCODE,ANSWER,QSDAT\n"
+    "W-01,PGA01,3,2024-01-12\n"
+    "W-01,PGA02,1,2024-01-12\n"
+    "W-02,PGA01,2,2024-01-25\n"
+)
+
+WIDE_PE_CSV = (
+    "Subject,Body System,Finding,Exam Date\n"
+    "SubjectId,PECODE,FINDING,PEDAT\n"
+    "W-01,CARDIOVASCULAR,NORMAL,2024-01-11\n"
+    "W-02,SKIN,Rash on left arm,2024-01-21\n"
+)
+
+WIDE_PR_CSV = (
+    "Subject,Procedure,Procedure Date\n"
+    "SubjectId,PROCNAME,PRDAT\n"
+    "W-01,Biopsy,2024-01-15\n"
+    "W-02,X-Ray,2024-01-22\n"
+)
+
+WIDE_DA_CSV = (
+    "Subject,Test,Amount Returned,Return Date\n"
+    "SubjectId,DACODE,AMOUNT,RETDAT\n"
+    "W-01,RETAMT,28,2024-02-05\n"
+    "W-02,RETAMT,30,2024-02-10\n"
+)
+
+
+def test_mockdata_shaped_wide_study(spark, tmp_path):
+    """Domains outside the original 12-domain core (QS, PE, PR, DA)
+    build end-to-end against the full IG v3.4 registry — the shape of
+    the reference's own mockdata study (DEMO_GDISC CSVs incl. PE, PR,
+    QS_PGA, DA; reference smoke test sdtm_ig.rs:228-253)."""
+    files = {
+        "DM": WIDE_DM_CSV, "QS": WIDE_QS_CSV, "PE": WIDE_PE_CSV,
+        "PR": WIDE_PR_CSV, "DA": WIDE_DA_CSV,
+    }
+    for code, text in files.items():
+        (tmp_path / f"{code}.csv").write_text(text)
+    st = create_study(
+        spark, "WIDE",
+        {c: str(tmp_path / f"{c}.csv") for c in files},
+        min_confidence=0.99,  # drive mappings explicitly below
+    )
+    for code in files:
+        st.mappings[code].accept("SUBJID", "SubjectId")
+    st.mappings["DM"].accept("SEX", "SEX")
+    st.mappings["DM"].accept("RFSTDTC", "RFSTDAT")
+    st.mappings["QS"].accept("QSTESTCD", "QSCODE")
+    st.mappings["QS"].accept("QSORRES", "ANSWER")
+    st.mappings["QS"].accept("QSDTC", "QSDAT")
+    st.mappings["PE"].accept("PETESTCD", "PECODE")
+    st.mappings["PE"].accept("PEORRES", "FINDING")
+    st.mappings["PE"].accept("PEDTC", "PEDAT")
+    st.mappings["PR"].accept("PRTRT", "PROCNAME")
+    st.mappings["PR"].accept("PRSTDTC", "PRDAT")
+    st.mappings["DA"].accept("DATESTCD", "DACODE")
+    st.mappings["DA"].accept("DAORRES", "AMOUNT")
+    st.mappings["DA"].accept("DADTC", "RETDAT")
+
+    dm = build_domain(st, "DM")
+    frames = {"DM": dm}
+    for code in ("QS", "PE", "PR", "DA"):
+        frames[code] = build_domain(st, code, dm_frame=dm)
+
+    qs = {(r["USUBJID"], r["QSTESTCD"], r["QSSEQ"]): r.asDict()
+          for r in frames["QS"].collect()}
+    assert qs[("WIDE-W-01", "PGA01", 1)]["QSORRES"] == "3"
+    assert qs[("WIDE-W-01", "PGA01", 1)]["QSDY"] == 3  # 01-12 vs 01-10
+    assert qs[("WIDE-W-02", "PGA01", 1)]["QSDY"] == 6  # 01-25 vs 01-20
+
+    pr = {r["USUBJID"]: r.asDict() for r in frames["PR"].collect()}
+    assert pr["WIDE-W-01"]["PRTRT"] == "Biopsy"
+    assert pr["WIDE-W-01"]["PRSTDY"] == 6  # 01-15 vs 01-10
+    assert pr["WIDE-W-02"]["PRSTDTC"] == "2024-01-22"
+
+    pe = {r["USUBJID"]: r.asDict() for r in frames["PE"].collect()}
+    assert pe["WIDE-W-02"]["PEORRES"] == "Rash on left arm"
+    assert pe["WIDE-W-01"]["DOMAIN"] == "PE"
+
+    da = {r["USUBJID"]: r.asDict() for r in frames["DA"].collect()}
+    assert da["WIDE-W-01"]["DADY"] == 27  # 02-05 vs 01-10
+    assert da["WIDE-W-01"]["DAORRES"] == "28"
+
+    report = validate_study(st, frames)
+    assert report.count() >= 0  # runs across all five domains
+
+    out = export_study(st, frames, str(tmp_path / "out"), bypass_validation=True)
+    assert {"DM", "QS", "PE", "PR", "DA", "define"} <= set(out)
+    for code in ("QS", "PE", "PR", "DA"):
+        assert os.path.getsize(out[code]) % 80 == 0
+    xml.dom.minidom.parse(out["define"])

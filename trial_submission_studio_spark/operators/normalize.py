@@ -94,8 +94,10 @@ def infer_rules(
         name = v["name"].upper()
         src = mappings.get(name)
         order = int(v.get("order", i + 1))
+        dvd = str(v.get("described_value_domain", "") or "").lower()
         if name in ctx.omitted:
             continue
+        # tier 1: name patterns (inference.rs:53-91)
         if name == "STUDYID":
             rules.append(Rule(name, "constant", params={"value": ctx.study_id}, order=order))
         elif name == "DOMAIN":
@@ -106,25 +108,38 @@ def infer_rules(
             src_u = mappings.get("SUBJID") or src
             if src_u is not None:
                 rules.append(Rule(name, "usubjid_prefix", source=src_u, order=order))
-        elif name == f"{dom}SEQ":
+        elif name.endswith("SEQ") and name.startswith(dom) and len(name) > 3:
             rules.append(Rule(name, "sequence", order=order))
-        elif name.endswith("DY"):
+        elif name.endswith("DY") and len(name) > 2:
             # --DY derives from the sibling --DTC (inference.rs:70-75)
             rules.append(
                 Rule(name, "study_day", source=name[:-2] + "DTC", order=order)
             )
         elif src is None:
             continue  # unmapped & not derivable → SUPP candidate
+        elif name.endswith("DUR") or "duration" in dvd:
+            rules.append(Rule(name, "iso_duration", source=src, order=order))
         elif name.endswith(("DTC", "DTM")):
             rules.append(Rule(name, "iso_datetime", source=src, order=order))
         elif name.endswith("DT"):
             rules.append(Rule(name, "iso_date", source=src, order=order))
-        elif name.endswith("DUR"):
-            rules.append(Rule(name, "iso_duration", source=src, order=order))
-        elif v.get("codelist_code"):
-            rules.append(
-                Rule(name, "ct", source=src, params={"codelist_code": v["codelist_code"]}, order=order)
+        # tier 2: described value domain (inference.rs:93-103) — an
+        # "ISO 8601"-described variable normalizes through the ladder
+        # even without a DTC/DT suffix
+        elif "iso 8601" in dvd and "datetime" in dvd:
+            rules.append(Rule(name, "iso_datetime", source=src, order=order))
+        elif "iso 8601" in dvd:
+            rules.append(Rule(name, "iso_date", source=src, order=order))
+        # tier 3: codelist (first code when ';'/',' separated,
+        # inference.rs:105-125)
+        elif str(v.get("codelist_code") or "").strip():
+            first_code = (
+                str(v["codelist_code"]).replace(";", ",").split(",")[0].strip()
             )
+            rules.append(
+                Rule(name, "ct", source=src, params={"codelist_code": first_code}, order=order)
+            )
+        # tier 4: dtype; tier 5: copy (inference.rs:127-131)
         elif str(v.get("data_type", "")).lower() in ("num", "numeric", "number", "float", "integer"):
             rules.append(Rule(name, "numeric", source=src, order=order))
         else:

@@ -207,6 +207,61 @@ def rdomain_invalid(df: DataFrame, domain: str, submitted_domains: list[str]) ->
     )
 
 
+def rsubjid_not_in_dm(rel: DataFrame, dm_df: DataFrame, domain: str = "RELSUB") -> DataFrame:
+    """J3/V11: RELSUB RSUBJID values absent from DM (SDTM-IG 8.7;
+    reference checks/cross_domain.rs:149-175) — same anti-join shape
+    as J1 but probing RSUBJID."""
+    spark = rel.sparkSession
+    if "RSUBJID" not in rel.columns:
+        return spark.createDataFrame([], ISSUE_SCHEMA)
+    dm_keys = dm_df.select(
+        F.trim(F.col("USUBJID").cast("string")).alias("__dm_key")
+    ).filter(F.col("__dm_key") != "").distinct()
+    probes = rel.select(
+        F.trim(F.col("RSUBJID").cast("string")).alias("__rsubj")
+    ).filter(F.col("__rsubj") != "")
+    missing = probes.join(
+        F.broadcast(dm_keys), probes["__rsubj"] == F.col("__dm_key"), "left_anti"
+    )
+    agg = missing.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        _sample_agg(F.col("__rsubj"), F.lit(True)).alias("samples"),
+    ).collect()[0]
+    if not agg["cnt"]:
+        return spark.createDataFrame([], ISSUE_SCHEMA)
+    return spark.createDataFrame(
+        [(domain, "RSUBJID", "CrossReference", "Error", int(agg["cnt"]), agg["samples"])],
+        ISSUE_SCHEMA,
+    )
+
+
+def relspec_invalid_parents(relspec: DataFrame, domain: str = "RELSPEC") -> DataFrame:
+    """J5/V14: non-blank PARENT must reference a REFID of the same
+    subject (reference checks/cross_domain.rs check_relspec)."""
+    spark = relspec.sparkSession
+    if not {"USUBJID", "REFID", "PARENT"} <= set(relspec.columns):
+        return spark.createDataFrame([], ISSUE_SCHEMA)
+    probes = relspec.select(
+        F.trim(F.col("USUBJID").cast("string")).alias("__usubj"),
+        F.trim(F.col("PARENT").cast("string")).alias("__parent"),
+    ).filter(F.col("__parent") != "")
+    keys = relspec.select(
+        F.trim(F.col("USUBJID").cast("string")).alias("__usubj"),
+        F.trim(F.col("REFID").cast("string")).alias("__parent"),
+    ).distinct()
+    missing = probes.join(keys, ["__usubj", "__parent"], "left_anti")
+    agg = missing.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        _sample_agg(F.concat_ws("/", "__usubj", "__parent"), F.lit(True)).alias("samples"),
+    ).collect()[0]
+    if not agg["cnt"]:
+        return spark.createDataFrame([], ISSUE_SCHEMA)
+    return spark.createDataFrame(
+        [(domain, "PARENT", "CrossReference", "Error", int(agg["cnt"]), agg["samples"])],
+        ISSUE_SCHEMA,
+    )
+
+
 def relsub_not_bidirectional(rel: DataFrame, domain: str = "RELSUB") -> DataFrame:
     """J4/V12: (U,R) pairs lacking the reverse (R,U) — self anti join."""
     spark = rel.sparkSession

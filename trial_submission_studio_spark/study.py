@@ -45,6 +45,12 @@ from trial_submission_studio_spark.operators.validation import (
     ISSUE_SCHEMA,
     VariableSpec,
     duplicate_sequence_issues,
+    melt_domain_keys,
+    rdomain_invalid,
+    relrec_invalid_references,
+    relspec_invalid_parents,
+    relsub_not_bidirectional,
+    rsubjid_not_in_dm,
     usubjid_not_in_dm,
     validate_domain,
 )
@@ -130,10 +136,21 @@ def build_domain(study: Study, code: str, dm_frame: DataFrame | None = None) -> 
 
 
 def validate_study(study: Study, frames: dict[str, DataFrame]) -> DataFrame:
+    """Per-domain checks + the full cross-domain orchestra, mirroring
+    the reference's validate_cross_domain (validate/mod.rs:100-175):
+
+    - J1 USUBJID∈DM for every non-DM domain carrying USUBJID
+    - J2 RDOMAIN validity for CO / RELREC / SUPP-- frames
+    - J3 RSUBJID∈DM and J4 bidirectionality for RELSUB
+    - J5 PARENT→REFID for RELSPEC
+    - J6 melted-key record references for RELREC
+    """
     spark = study.spark
     report = spark.createDataFrame([], ISSUE_SCHEMA)
     dm = frames.get("DM")
+    submitted = list(frames)
     for code, df in frames.items():
+        upper = code.upper()
         specs = [
             VariableSpec(
                 v["name"],
@@ -148,8 +165,25 @@ def validate_study(study: Study, frames: dict[str, DataFrame]) -> DataFrame:
         if specs:
             report = report.unionByName(validate_domain(df, code, specs))
         report = report.unionByName(duplicate_sequence_issues(df, code))
-        if dm is not None and code != "DM" and "USUBJID" in df.columns:
+        if dm is not None and upper != "DM" and "USUBJID" in df.columns:
             report = report.unionByName(usubjid_not_in_dm(df, dm, code))
+        if upper in ("CO", "RELREC") or upper.startswith("SUPP"):
+            report = report.unionByName(rdomain_invalid(df, code, submitted))
+        if upper == "RELSUB":
+            if dm is not None:
+                report = report.unionByName(rsubjid_not_in_dm(df, dm, code))
+            report = report.unionByName(relsub_not_bidirectional(df, code))
+        if upper == "RELSPEC":
+            report = report.unionByName(relspec_invalid_parents(df, code))
+        if upper == "RELREC":
+            key_frames = {
+                c: f for c, f in frames.items()
+                if c.upper() not in ("RELREC", "RELSUB", "RELSPEC")
+            }
+            if key_frames:
+                report = report.unionByName(
+                    relrec_invalid_references(df, melt_domain_keys(key_frames), code)
+                )
     return report
 
 
@@ -234,7 +268,9 @@ def build_supp(
     code = code.upper()
     table = study.sources[code]
     st = study.mappings[code]
-    mapped_cols = set(st.source.values())
+    # accepted-only, matching the build path (reference
+    # domain_state.rs:259-272 unmapped_columns() filters all_accepted())
+    mapped_cols = set(st.accepted_mappings().values())
     supp_cols = [
         c for c in table.columns if c not in mapped_cols and c != SourceTable.ROW_ID
     ]
