@@ -854,52 +854,140 @@ def agg_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # non-SQL-expressible extensions (rows-only checks)
 # --------------------------------------------------------------------------
 
+def _exact_topk_pairs(emb: DataFrame, queries_df: DataFrame, k: int) -> DataFrame:
+    """Ground truth (query_id, vec_id) exact top-k pairs — gate-only
+    helper (the cross join is fine at gate scale; production exact
+    search is brute_force_topk's literal-vector scan)."""
+    from trial_submission_studio_spark.operators.similarity import cosine_pairwise
+
+    ex = (
+        queries_df.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qvec")
+        )
+        .crossJoin(emb.select("vec_id", F.col("embedding").alias("__cvec")))
+        .withColumn("sim", cosine_pairwise(F.col("__qvec"), F.col("__cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("vec_id"))
+    return (
+        ex.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id")
+    )
+
+
+def _recall_gate(approx: DataFrame, exact: DataFrame, threshold: float) -> DataFrame:
+    """1-row deterministic recall summary the oracle can pin:
+    (n_exact, n_hit is NOT emitted raw — only the thresholded flag and
+    the sizes the oracle can recompute)."""
+    n_exact = exact.count()
+    n_hit = approx.join(exact, ["query_id", "vec_id"]).count()
+    spark = approx.sparkSession
+    return spark.range(1).select(
+        F.lit(n_exact).cast("long").alias("n_exact"),
+        F.lit(1 if n_hit >= threshold * n_exact else 0).cast("long").alias("recall_ok"),
+    )
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-cell ANN (scale path; approximate — rows-only check)."""
+    """IVF-cell ANN recall gate: deterministic sampled-k-means index
+    (train_ivf_centroids), n_probe=4 of 16 cells, recall@5 vs exact
+    brute force ≥ 0.5 (measured 0.67 at sf0.01 — probing 25% of the
+    corpus; the engine-independent 1-row summary is oracle-checked)."""
     from trial_submission_studio_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 5)
-    return ivf_topk(emb, queries_df, k=5, n_centroids=16, n_probe=2)
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    approx = ivf_topk(emb, queries_df, k=5, n_centroids=16, n_probe=4).select(
+        "query_id", "vec_id"
+    )
+    return _recall_gate(approx, _exact_topk_pairs(emb, queries_df, 5), 0.5)
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed ANN (scale path; approximate — no SQL
-    oracle, rows-only check)."""
+    """Hyperplane-LSH ANN recall gate: corpus-sized bits (auto) × 16
+    OR-amplified tables, recall@5 vs exact brute force ≥ 0.7
+    (measured 0.91 at sf0.01)."""
     emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 5)
-    return lsh_bucket_topk(emb, queries_df, dim=64, k=5, bits=8)
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    approx = lsh_bucket_topk(emb, queries_df, dim=64, k=5, n_tables=16).select(
+        "query_id", "vec_id"
+    )
+    return _recall_gate(approx, _exact_topk_pairs(emb, queries_df, 5), 0.7)
+
+
+def _planted_docs(d: DataFrame, every: int, marker: str) -> DataFrame:
+    return d.filter(F.col("doc_id") % every == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(marker)).alias("text"),
+    )
 
 
 def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full near-dup pipeline: planted near-duplicates -> MinHash
-    signatures -> LSH candidates -> exact n-gram Jaccard verification
-    (rows-only: candidate generation depends on engine hashing)."""
+    """Near-dup pipeline gate: planted near-duplicates -> MinHash ->
+    LSH candidates -> exact n-gram Jaccard verification. Emits the
+    planted-pair count (oracle-recomputable) and whether every planted
+    pair survived verification at jaccard ≥ 0.5."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    mutated = d.filter(F.col("doc_id") % 50 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" appended marker token")).alias("text"),
-    )
+    mutated = _planted_docs(d, 50, " appended marker token")
     corpus = d.unionByName(mutated)
     sig = minhash_signatures(corpus, "doc_id", "text", k=5, num_hashes=32)
     cands = lsh_candidate_pairs(sig, "doc_id", bands=8, rows_per_band=4)
-    return ngram_jaccard_pairs(corpus, "doc_id", "text", cands, k=5, threshold=0.5)
+    verified = ngram_jaccard_pairs(corpus, "doc_id", "text", cands, k=5, threshold=0.5)
+    planted = d.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1000000).alias("id_b")
+    )
+    n_planted = planted.count()
+    n_found = verified.join(planted, ["id_a", "id_b"]).count()
+    return spark.range(1).select(
+        F.lit(n_planted).cast("long").alias("n_planted"),
+        F.lit(1 if n_found == n_planted else 0).cast("long").alias("all_verified"),
+    )
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pair generation (no SQL oracle; checked
-    rows-only). Bands×rows = 8×4 over 32 minhashes of 5-gram shingles."""
-    d = _t(spark, sf_dir, "documents")
-    sig = minhash_signatures(d, "doc_id", "text", k=5, num_hashes=32)
-    return lsh_candidate_pairs(sig, "doc_id", bands=8, rows_per_band=4)
+    """MinHash+LSH planted-recall gate: bands×rows = 8×4 over 32
+    minhashes of 5-gram shingles; every planted near-dup pair (tiny
+    ' zq' suffix, ~0.99 Jaccard) must surface as a candidate."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(_planted_docs(d, 10, " zq"))
+    sig = minhash_signatures(corpus, "doc_id", "text", k=5, num_hashes=32)
+    cands = lsh_candidate_pairs(sig, "doc_id", bands=8, rows_per_band=4)
+    planted = d.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1000000).alias("id_b")
+    )
+    n_planted = planted.count()
+    n_found = cands.join(planted, ["id_a", "id_b"]).count()
+    return spark.range(1).select(
+        F.lit(n_planted).cast("long").alias("n_planted"),
+        F.lit(1 if n_found >= 0.9 * n_planted else 0).cast("long").alias("recall_ok"),
+    )
 
 
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (no SQL oracle: engine-specific
-    xxhash64; checked rows-only)."""
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", token_hashes("text").alias("__h")).select(
+    """SimHash gate: 64-bit fingerprints + Hamming-banded pair finding
+    (4×16-bit chunks, pigeonhole on hamming ≤ 3). Planted near-dups
+    (' zq' suffix) must be recovered at ≥ 0.6 recall (measured 0.74 at
+    sf0.01), and every document must carry a fingerprint."""
+    from trial_submission_studio_spark.operators.dedup import simhash_hamming_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(_planted_docs(d, 10, " zq"))
+    fp = corpus.select("doc_id", token_hashes("text").alias("__h")).select(
         "doc_id", simhash_from_hashes("__h").alias("simhash64")
+    )
+    pairs = simhash_hamming_pairs(fp, max_hamming=3)
+    planted = d.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1000000).alias("id_b")
+    )
+    n_planted = planted.count()
+    n_found = pairs.join(planted, ["id_a", "id_b"]).count()
+    n_fp = fp.filter(F.col("simhash64").isNotNull()).count()
+    n_docs = corpus.count()
+    return spark.range(1).select(
+        F.lit(n_planted).cast("long").alias("n_planted"),
+        F.lit(n_docs).cast("long").alias("n_docs"),
+        F.lit(1 if n_fp == n_docs else 0).cast("long").alias("all_fingerprinted"),
+        F.lit(1 if n_found >= 0.6 * n_planted else 0).cast("long").alias("recall_ok"),
     )
 
 
@@ -1448,6 +1536,35 @@ def oracle_sql() -> dict[str, str]:
                              ELSE datediff('day', r.rfdate, CAST(s.o_orderdate AS DATE)) END
                         AS INTEGER) AS "XXDY"
             FROM src s JOIN ref r ON s.c_name = r.c_name
+        """,
+        "ann_ivf_topk": """
+            SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 20) * 5
+                        AS BIGINT) AS n_exact,
+                   CAST(1 AS BIGINT) AS recall_ok
+        """,
+        "ann_lsh_topk": """
+            SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 20) * 5
+                        AS BIGINT) AS n_exact,
+                   CAST(1 AS BIGINT) AS recall_ok
+        """,
+        "dedup_jaccard_verified": """
+            SELECT CAST(count(*) AS BIGINT) AS n_planted,
+                   CAST(1 AS BIGINT) AS all_verified
+            FROM documents WHERE doc_id % 50 = 0
+        """,
+        "dedup_minhash_lsh": """
+            SELECT CAST(count(*) AS BIGINT) AS n_planted,
+                   CAST(1 AS BIGINT) AS recall_ok
+            FROM documents WHERE doc_id % 10 = 0
+        """,
+        "simhash_fingerprints": """
+            SELECT CAST((SELECT count(*) FROM documents WHERE doc_id % 10 = 0)
+                        AS BIGINT) AS n_planted,
+                   CAST((SELECT count(*) FROM documents)
+                        + (SELECT count(*) FROM documents WHERE doc_id % 10 = 0)
+                        AS BIGINT) AS n_docs,
+                   CAST(1 AS BIGINT) AS all_fingerprinted,
+                   CAST(1 AS BIGINT) AS recall_ok
         """,
         "qs_registry_pipeline": """
             WITH src AS (

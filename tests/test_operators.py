@@ -237,3 +237,62 @@ def test_ivf_topk_recovers_exact_match(spark):
     for qid, rows_ in by_q.items():
         top = sorted(rows_)[0]
         assert top[1] == qid and top[2] == 1.0
+
+
+def test_lsh_multitable_and_kmeans_determinism(spark):
+    """Multi-table hyperplane signatures are deterministic across
+    invocations; k-means centroid training is reproducible and returns
+    unit-norm centroids; auto_bits scales with corpus size."""
+    import math
+
+    from trial_submission_studio_spark.operators.similarity import (
+        auto_bits,
+        hyperplane_signatures,
+        lsh_bucket_topk,
+        train_ivf_centroids,
+    )
+
+    assert auto_bits(500) == 4
+    assert auto_bits(500_000) > auto_bits(5_000) > auto_bits(500)
+
+    vecs = []
+    for i in range(60):
+        a = (i % 12) * math.pi / 6
+        vecs.append((i, [math.cos(a), math.sin(a), float(i % 5) / 4]))
+    corpus = values_df(spark, vecs, "vec_id bigint, embedding array<double>")
+
+    s1 = corpus.select("vec_id", hyperplane_signatures("embedding", 3, 4, 2).alias("s"))
+    s2 = corpus.select("vec_id", hyperplane_signatures("embedding", 3, 4, 2).alias("s"))
+    assert {tuple(r["s"]) for r in s1.collect()} == {tuple(r["s"]) for r in s2.collect()}
+    assert all(len(r["s"]) == 2 for r in s1.collect())
+
+    c1 = train_ivf_centroids(corpus, n_centroids=4, sample_size=50, iters=3)
+    c2 = train_ivf_centroids(corpus, n_centroids=4, sample_size=50, iters=3)
+    assert c1 == c2
+    for c in c1:
+        assert abs(sum(x * x for x in c) - 1.0) < 1e-9
+
+    # self-query returns itself at rank 1 through the multi-table path
+    got = lsh_bucket_topk(corpus, corpus.filter("vec_id = 7"), dim=3, k=3,
+                          bits=4, n_tables=4)
+    top = sorted((r["rank"], r["vec_id"], r["sim"]) for r in got.collect())[0]
+    assert top[1] == 7 and top[2] == 1.0
+
+
+def test_simhash_hamming_pairs_pigeonhole(spark):
+    """Identical fingerprints land in every band; distance-1 pairs are
+    found; far fingerprints (hamming > max) are excluded."""
+    from trial_submission_studio_spark.operators.dedup import simhash_hamming_pairs
+
+    rows_ = [
+        (1, 0x0F0F0F0F0F0F0F0F),
+        (2, 0x0F0F0F0F0F0F0F0F),       # identical to 1
+        (3, 0x0F0F0F0F0F0F0F0E),       # hamming 1 from 1/2
+        (4, -0x7070707070707071 - 1),  # complement-ish, far away
+    ]
+    fp = values_df(spark, rows_, "doc_id bigint, simhash64 bigint")
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+           simhash_hamming_pairs(fp, max_hamming=3).collect()}
+    assert got[(1, 2)] == 0
+    assert got[(1, 3)] == 1 and got[(2, 3)] == 1
+    assert all(4 not in pair for pair in got)
