@@ -228,3 +228,41 @@ def test_xpt_golden_bytes(spark, tmp_path):
     )
     digest = hashlib.sha256(open(path, "rb").read()).hexdigest()
     assert digest == GOLDEN_XPT_SHA256, f"XPT bytes changed: {digest}"
+
+
+def test_xpt_non_ascii_policy(spark, tmp_path):
+    """XPT payloads are ASCII-bound: non-ASCII raises by default
+    (silent '?' substitution corrupted data in round 1); 'issue' mode
+    substitutes but surfaces the offending (variable, value) pairs."""
+    from trial_submission_studio_spark.io.xpt import XptEncodingError
+
+    df = values_df(spark, [("Münster", 1.0)], "C string, N double")
+    vars_ = [XptVariable("C", "City", False, 10), XptVariable("N", "Num", True)]
+    with pytest.raises(XptEncodingError, match="non-ASCII value in 'C'"):
+        write_xpt(df, str(tmp_path / "bad.xpt"), vars_, "G")
+    sink: list = []
+    n = write_xpt(df, str(tmp_path / "ok.xpt"), vars_, "G",
+                  on_non_ascii="issue", issue_sink=sink)
+    assert n == 1
+    assert sink == [("C", "Münster")]
+    body = open(tmp_path / "ok.xpt", "rb").read()
+    assert b"M?nster" in body  # substitution recorded, not silent
+
+
+def test_xpt_v8_long_names(spark, tmp_path):
+    """V8 variant: V8 header markers and the 32-char long name in the
+    NAMESTR tail (TS-140_2)."""
+    df = values_df(spark, [("x", 2.0)], "C string, N double")
+    vars_ = [
+        XptVariable("ALONGVARIABLENAME", "Long", False, 1),
+        XptVariable("N", "Num", True),
+    ]
+    path = str(tmp_path / "v8.xpt")
+    n = write_xpt(df.selectExpr("C AS ALONGVARIABLENAME", "N"),
+                  path, vars_, "G", version=8)
+    assert n == 1
+    body = open(path, "rb").read()
+    assert b"LIBV8" in body and b"MEMBV8" in body
+    assert b"NAMSTV8" in body and b"OBSV8" in body
+    assert b"ALONGVARIABLENAME" in body  # 32-char longname field
+    assert len(body) % 80 == 0

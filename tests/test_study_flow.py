@@ -212,3 +212,45 @@ def test_mockdata_shaped_wide_study(spark, tmp_path):
     for code in ("QS", "PE", "PR", "DA"):
         assert os.path.getsize(out[code]) % 80 == 0
     xml.dom.minidom.parse(out["define"])
+
+
+def test_builtin_ct_registry_versions(spark):
+    """Shipped CT catalog: multi-version resolution (newest wins,
+    preferred pins a version), synonym mapping, and the submission-
+    value-only validation rule."""
+    from trial_submission_studio_spark.standards import builtin_lookup_df, builtin_registry
+
+    reg = builtin_registry()
+    assert len(reg.catalogs) >= 2
+    # newest version resolves by default (PROTOCOL DEVIATION rename)
+    label, cl = reg.resolve("C66727")
+    assert "2025" in label
+    assert "PROTOCOL DEVIATION" in [t.submission_value for t in cl.terms]
+    # pinning the older catalog yields the pre-rename term
+    old_label, old_cl = reg.resolve("C66727", preferred=["SDTM CT 2024-03-29"])
+    assert "PROTOCOL VIOLATION" in [t.submission_value for t in old_cl.terms]
+    # synonyms map, but only submission values validate
+    assert reg.find_submission_value("C66731", "male") == "M"
+    assert reg.find_submission_value("C66729", "po") == "ORAL"
+    assert reg.validate_submission_value("C66769", "MODERATE")
+    assert not reg.validate_submission_value("C66769", "Grade 2")
+    # unknown codelists don't false-positive
+    assert reg.resolve("C99999999") is None
+    assert reg.validate_submission_value("C99999999", "anything")
+
+    lk = builtin_lookup_df(spark)
+    row = lk.filter("codelist_code = 'C66731' AND lookup_key = 'MALE'").collect()
+    assert row and row[0]["submission_value"] == "M"
+
+
+def test_study_flow_uses_shipped_catalog(spark, tmp_path):
+    """create_study without a ct_lookup: T8 normalization rides the
+    built-in catalog (sex synonyms canonicalize with no user CSV)."""
+    (tmp_path / "DM.csv").write_text(WIDE_DM_CSV.replace("W-01,F", "W-01,female"))
+    st = create_study(spark, "BC", {"DM": str(tmp_path / "DM.csv")},
+                      min_confidence=0.99)
+    st.mappings["DM"].accept("SUBJID", "SubjectId")
+    st.mappings["DM"].accept("SEX", "SEX")
+    dm = {r["USUBJID"]: r.asDict() for r in build_domain(st, "DM").collect()}
+    assert dm["BC-W-01"]["SEX"] == "F"  # synonym 'female' -> F via builtin CT
+    assert dm["BC-W-02"]["SEX"] == "M"

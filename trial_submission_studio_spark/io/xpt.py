@@ -93,12 +93,23 @@ def ibm_to_ieee(b: bytes) -> float | None:
     return sign * mant * (16.0**exp)
 
 
-def _namestr(v: XptVariable, number: int, position: int) -> bytes:
-    """140-byte NAMESTR descriptor."""
+def _namestr(v: XptVariable, number: int, position: int, version: int = 5) -> bytes:
+    """140-byte NAMESTR descriptor.
+
+    V5: trailing 52 bytes are padding. V8 (TS-140_2): the same layout,
+    with the 32-char long variable name at bytes 88-119 and the label
+    length (short) at bytes 120-121 — names up to 32 chars survive
+    (the 8-char ``nname`` then carries a truncated short name).
+    """
     ntype = 1 if v.is_numeric else 2
     length = 8 if v.is_numeric else max(1, min(v.length, 200))
-    name = v.name.upper()[:8]
+    name = v.name.upper()[:8] if version == 5 else v.name.upper()[:32][:8]
     label = (v.label or "")[:40]
+    if version == 8:
+        longname = v.name.upper()[:32].encode("ascii").ljust(32)
+        tail = longname + struct.pack(">h", len(label)) + b"".ljust(18)
+    else:
+        tail = b"".ljust(52)
     return struct.pack(
         ">hhhh8s40s8shhh2s8sll52s",
         ntype,  # nhfun/ntype
@@ -115,8 +126,12 @@ def _namestr(v: XptVariable, number: int, position: int) -> bytes:
         b"".ljust(8),  # niform
         0,  # nifl
         position,  # npos
-        b"".ljust(52),
+        tail,
     )
+
+
+class XptEncodingError(ValueError):
+    """A value contains characters XPT's ASCII payload cannot carry."""
 
 
 def write_xpt(
@@ -126,13 +141,35 @@ def write_xpt(
     dataset_name: str,
     dataset_label: str = "",
     sas_version: str = "9.4",
+    version: int = 5,
+    on_non_ascii: str = "error",
+    issue_sink: list | None = None,
 ) -> int:
-    """Write an XPT V5 file; returns the row count written.
+    """Write an XPT V5/V8 file; returns the row count written.
 
     ``df`` must contain exactly the variable columns (order matters).
     Rows stream through ``toLocalIterator`` — one executor partition
     on the driver at a time.
+
+    XPT is ASCII-bound. ``on_non_ascii`` controls the policy for
+    values outside ASCII (the reference errors/warns; silent '?'
+    substitution corrupts data without a trace):
+
+    - ``"error"`` (default): raise :class:`XptEncodingError` naming
+      the variable and value.
+    - ``"issue"``: substitute '?' but append
+      ``(variable, value)`` tuples to ``issue_sink`` (bounded at 100)
+      so the caller can emit validation issues.
+    - ``"replace"``: legacy silent substitution.
+
+    ``version=8`` writes the TS-140_2 V8 variant: V8 header markers
+    (LIBV8/MEMBV8/DSCPTV8/NAMSTV8/OBSV8) and 32-char long variable
+    names in the NAMESTR tail.
     """
+    if version not in (5, 8):
+        raise ValueError("version must be 5 or 8")
+    if on_non_ascii not in ("error", "issue", "replace"):
+        raise ValueError("on_non_ascii must be error|issue|replace")
     lengths = [8 if v.is_numeric else max(1, min(v.length, 200)) for v in variables]
     positions: list[int] = []
     pos = 0
@@ -141,16 +178,23 @@ def write_xpt(
         pos += ln
     row_len = pos
 
+    lib_kind, mem_kind, dsc_kind, nam_kind, obs_kind = (
+        ("LIBRARY", "MEMBER", "DSCRPTR", "NAMESTR", "OBS")
+        if version == 5
+        else ("LIBV8", "MEMBV8", "DSCPTV8", "NAMSTV8", "OBSV8")
+    )
+    sas_sym = "SAS     "
+
     n_rows = 0
     with open(path, "wb") as fh:
-        fh.write(_header("LIBRARY"))
+        fh.write(_header(lib_kind))
         fh.write(
-            _rec(f"SAS     SAS     SASLIB  6.06    bsd4.2                          {_TS}")
+            _rec(f"{sas_sym}{sas_sym}SASLIB  6.06    bsd4.2                          {_TS}")
         )
         fh.write(_rec(_TS))
         # TS-140: MEMBER header carries the descriptor sizes (160/140)
-        fh.write(_header("MEMBER", "000000000000000001600000000140"))
-        fh.write(_header("DSCRPTR"))
+        fh.write(_header(mem_kind, "000000000000000001600000000140"))
+        fh.write(_header(dsc_kind))
         fh.write(
             _rec(
                 # TS-140: OS name field + blanks pad to col 64 so the
@@ -162,20 +206,18 @@ def write_xpt(
             )
         )
         fh.write(_rec(f"{_TS}{'':16}{dataset_label[:40]:<40}{'':8}"))
-        fh.write(_header("NAMESTR"))
-        # namestr count goes in cols 55-58 of the header record — rewrite:
-        fh.seek(-80, 1)
+        # namestr count goes in cols 55-58 of the header record
         fh.write(
             _rec(
-                "HEADER RECORD*******NAMESTR HEADER RECORD!!!!!!!"
+                f"HEADER RECORD*******{nam_kind:<7} HEADER RECORD!!!!!!!"
                 f"000000{len(variables):04d}00000000000000000000"
             )
         )
         for i, v in enumerate(variables):
-            fh.write(_namestr(v, i + 1, positions[i]))
+            fh.write(_namestr(v, i + 1, positions[i], version))
         pad = (-len(variables) * 140) % 80
         fh.write(b" " * pad)
-        fh.write(_header("OBS"))
+        fh.write(_header(obs_kind))
 
         for row in df.toLocalIterator():
             buf = bytearray()
@@ -185,6 +227,16 @@ def write_xpt(
                     buf += ibm_float(None if val is None else float(val))
                 else:
                     s = "" if val is None else str(val)
+                    if not s.isascii():
+                        if on_non_ascii == "error":
+                            raise XptEncodingError(
+                                f"non-ASCII value in {v.name!r}: {s!r} "
+                                "(XPT payloads are ASCII; transliterate "
+                                "upstream or pass on_non_ascii='issue')"
+                            )
+                        if on_non_ascii == "issue" and issue_sink is not None:
+                            if len(issue_sink) < 100:
+                                issue_sink.append((v.name, s))
                     buf += s.encode("ascii", "replace")[:ln].ljust(ln)
             fh.write(bytes(buf))
             n_rows += 1

@@ -4,3 +4,9 @@ from trial_submission_studio_spark.standards.ct import (  # noqa: F401
     codelist_lookup_df,
     load_ct_csv,
 )
+from trial_submission_studio_spark.standards.ct_catalog import (  # noqa: F401
+    TerminologyRegistry,
+    builtin_ct_versions,
+    builtin_lookup_df,
+    builtin_registry,
+)

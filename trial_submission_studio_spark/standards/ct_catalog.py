@@ -1,0 +1,304 @@
+"""Built-in Controlled Terminology catalog — S7 shipped content.
+
+The reference embeds three CDISC CT release snapshots
+(tss-standards/data/terminology/{2024-03-29,2025-03-28,2025-09-26})
+and resolves codelists across catalogs by priority
+(ct/types.rs:296-395). This module ships a compact, hand-written
+catalog of the codelists the engine's transforms and validations bind
+most often — built from public CDISC/NCI-EVS controlled-terminology
+knowledge (C-codes and submission values are public identifiers), NOT
+transcribed from the reference's data files — in two release
+versions, so multi-version registry resolution works out of the box
+(T8 CT normalization and V8 CT validation no longer require a
+user-supplied CSV).
+
+Version note (real public history this models): older releases used
+"PROTOCOL VIOLATION" as an NCOMPLT reason; newer releases carry
+"PROTOCOL DEVIATION". The two shipped versions differ exactly there,
+which the version-resolution tests exercise.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from trial_submission_studio_spark.standards.ct import Codelist, Term
+
+
+def _cl(code: str, name: str, extensible: bool, terms: list[tuple]) -> Codelist:
+    return Codelist(
+        code=code,
+        name=name,
+        extensible=extensible,
+        terms=[Term(code=t[0], submission_value=t[1], synonyms=list(t[2:])) for t in terms],
+    )
+
+
+def _common_codelists() -> dict[str, Codelist]:
+    """Codelists stable across the shipped versions."""
+    out = [
+        _cl("C66731", "Sex", False, [
+            ("C20197", "M", "Male"),
+            ("C16576", "F", "Female"),
+            ("C17998", "U", "Unknown"),
+            ("C45908", "UNDIFFERENTIATED", "Intersex"),
+        ]),
+        _cl("C66742", "No Yes Response", False, [
+            ("C49487", "N", "No"),
+            ("C49488", "Y", "Yes"),
+            ("C48660", "NA", "Not Applicable"),
+            ("C17998", "U", "Unknown"),
+        ]),
+        _cl("C66781", "Age Unit", False, [
+            ("C25301", "DAYS", "Day"),
+            ("C25529", "HOURS", "Hour"),
+            ("C29846", "MONTHS", "Month"),
+            ("C29844", "WEEKS", "Week"),
+            ("C29848", "YEARS", "Year"),
+        ]),
+        _cl("C66769", "Severity/Intensity Scale for Adverse Events", False, [
+            ("C41338", "MILD", "Grade 1"),
+            ("C41339", "MODERATE", "Grade 2"),
+            ("C41340", "SEVERE", "Grade 3"),
+        ]),
+        _cl("C66768", "Outcome of Event", False, [
+            ("C48275", "FATAL", "Death"),
+            ("C49494", "NOT RECOVERED/NOT RESOLVED", "Not Recovered"),
+            ("C49498", "RECOVERED/RESOLVED", "Recovered"),
+            ("C49495", "RECOVERED/RESOLVED WITH SEQUELAE"),
+            ("C49496", "RECOVERING/RESOLVING", "Recovering"),
+            ("C17998", "UNKNOWN", "U"),
+        ]),
+        _cl("C66767", "Action Taken with Study Treatment", False, [
+            ("C49503", "DOSE INCREASED"),
+            ("C49504", "DOSE NOT CHANGED"),
+            ("C49505", "DOSE REDUCED", "Dose Decreased"),
+            ("C49501", "DRUG INTERRUPTED", "Interrupted"),
+            ("C49502", "DRUG WITHDRAWN", "Withdrawn"),
+            ("C48660", "NOT APPLICABLE", "NA"),
+            ("C17998", "UNKNOWN", "U"),
+        ]),
+        _cl("C66790", "Ethnic Group", True, [
+            ("C17459", "HISPANIC OR LATINO"),
+            ("C41222", "NOT HISPANIC OR LATINO"),
+            ("C43234", "NOT REPORTED"),
+            ("C17998", "UNKNOWN", "U"),
+        ]),
+        _cl("C74457", "Race", True, [
+            ("C41259", "AMERICAN INDIAN OR ALASKA NATIVE"),
+            ("C41260", "ASIAN"),
+            ("C16352", "BLACK OR AFRICAN AMERICAN"),
+            ("C41219", "NATIVE HAWAIIAN OR OTHER PACIFIC ISLANDER"),
+            ("C41261", "WHITE", "Caucasian"),
+            ("C43234", "NOT REPORTED"),
+            ("C17998", "UNKNOWN", "U"),
+        ]),
+        _cl("C66789", "Completion Status", False, [
+            ("C49484", "NOT DONE", "ND"),
+        ]),
+        _cl("C74558", "Category for Disposition Event", True, [
+            ("C74590", "DISPOSITION EVENT"),
+            ("C74589", "PROTOCOL MILESTONE"),
+            ("C74591", "OTHER EVENT"),
+        ]),
+        _cl("C66797", "Category for Inclusion/Exclusion", True, [
+            ("C25532", "INCLUSION"),
+            ("C25370", "EXCLUSION"),
+        ]),
+        _cl("C71148", "Position", True, [
+            ("C62122", "SITTING"),
+            ("C62166", "STANDING"),
+            ("C62167", "SUPINE"),
+            ("C62170", "SEMI-RECUMBENT"),
+            ("C62173", "PRONE"),
+        ]),
+        _cl("C66741", "Vital Signs Test Code", True, [
+            ("C25298", "SYSBP", "Systolic Blood Pressure"),
+            ("C25299", "DIABP", "Diastolic Blood Pressure"),
+            ("C49677", "HR", "Heart Rate"),
+            ("C49678", "PULSE", "Pulse Rate"),
+            ("C25208", "WEIGHT", "Body Weight"),
+            ("C25347", "HEIGHT", "Body Height"),
+            ("C25206", "TEMP", "Temperature", "Body Temperature"),
+            ("C49676", "RESP", "Respiratory Rate"),
+            ("C49680", "BMI", "Body Mass Index"),
+            ("C60832", "OXYSAT", "Oxygen Saturation"),
+        ]),
+        _cl("C66770", "Unit for Vital Signs Results", True, [
+            ("C49673", "beats/min"),
+            ("C49674", "breaths/min"),
+            ("C42559", "C", "Celsius", "degrees Celsius"),
+            ("C44277", "F", "Fahrenheit"),
+            ("C49668", "cm", "Centimeter"),
+            ("C48500", "in", "Inch", "IN"),
+            ("C28252", "kg", "Kilogram"),
+            ("C48531", "LB", "Pound"),
+            ("C49670", "mmHg", "Millimeter of Mercury"),
+            ("C25613", "%", "Percent"),
+            ("C49671", "kg/m2"),
+        ]),
+        _cl("C99079", "Epoch", True, [
+            ("C48262", "SCREENING"),
+            ("C101526", "RUN-IN"),
+            ("C101527", "TREATMENT", "Treatment Epoch"),
+            ("C99158", "BLINDED TREATMENT"),
+            ("C99159", "OPEN LABEL TREATMENT"),
+            ("C99160", "FOLLOW-UP", "Followup"),
+        ]),
+        _cl("C78736", "Reference Range Indicator", False, [
+            ("C78800", "NORMAL"),
+            ("C78727", "ABNORMAL"),
+            ("C25227", "HIGH"),
+            ("C25355", "LOW"),
+        ]),
+        _cl("C66729", "Route of Administration", True, [
+            ("C38288", "ORAL", "PO", "By Mouth"),
+            ("C38276", "INTRAVENOUS", "IV"),
+            ("C38299", "SUBCUTANEOUS", "SC", "SubQ"),
+            ("C28161", "INTRAMUSCULAR", "IM"),
+            ("C38304", "TOPICAL"),
+            ("C38305", "TRANSDERMAL"),
+            ("C38216", "RESPIRATORY (INHALATION)", "Inhaled", "Inhalation"),
+            ("C38284", "NASAL", "Intranasal"),
+            ("C38287", "OPHTHALMIC"),
+            ("C38295", "RECTAL", "PR"),
+        ]),
+        _cl("C71113", "Frequency", True, [
+            ("C25473", "QD", "Daily", "Once Daily", "Per Day"),
+            ("C64496", "BID", "Twice Daily", "Twice per day"),
+            ("C64527", "TID", "Three Times Daily"),
+            ("C64530", "QID", "Four Times Daily"),
+            ("C64525", "QOD", "Every Other Day"),
+            ("C89788", "PRN", "As Needed"),
+            ("C64576", "ONCE", "Single Dose"),
+            ("C71127", "QM", "Monthly"),
+        ]),
+        _cl("C66726", "Pharmaceutical Dosage Form", True, [
+            ("C42998", "TABLET", "Tab"),
+            ("C25158", "CAPSULE", "Cap"),
+            ("C42945", "INJECTION"),
+            ("C42986", "SOLUTION"),
+            ("C28944", "CREAM"),
+            ("C42966", "OINTMENT"),
+            ("C42994", "SUSPENSION"),
+        ]),
+    ]
+    return {cl.code: cl for cl in out}
+
+
+def _ncomplt(protocol_term: str) -> Codelist:
+    return _cl("C66727", "Completion/Reason for Non-Completion", True, [
+        ("C25250", "COMPLETED", "Complete"),
+        ("C41331", "ADVERSE EVENT", "AE"),
+        ("C28554", "DEATH", "Died"),
+        ("C48227", "LOST TO FOLLOW-UP", "LTFU"),
+        ("C48250", "PHYSICIAN DECISION"),
+        ("C48271", protocol_term),
+        ("C49631", "WITHDRAWAL BY SUBJECT", "Withdrew Consent", "Subject Withdrew"),
+        ("C49628", "SCREEN FAILURE"),
+        ("C49632", "STUDY TERMINATED BY SPONSOR"),
+        ("C49625", "LACK OF EFFICACY"),
+        ("C49627", "NON-COMPLIANCE WITH STUDY DRUG"),
+    ])
+
+
+def builtin_ct_versions() -> dict[str, dict[str, Codelist]]:
+    """version date → {codelist code → Codelist} (newest carries the
+    PROTOCOL DEVIATION rename; older keeps PROTOCOL VIOLATION)."""
+    v_old = dict(_common_codelists())
+    v_old["C66727"] = _ncomplt("PROTOCOL VIOLATION")
+    v_new = dict(_common_codelists())
+    v_new["C66727"] = _ncomplt("PROTOCOL DEVIATION")
+    return {"2024-03-29": v_old, "2025-03-28": v_new}
+
+
+@dataclass
+class TerminologyRegistry:
+    """Catalogs keyed by label, resolution by priority (reference
+    ct/types.rs:296-395): preferred labels first, else SDTM CT, SEND
+    CT, others alphabetically; within a standard the NEWEST version
+    label wins (labels sort as '<STANDARD> CT <ISO-date>')."""
+
+    catalogs: dict[str, dict[str, Codelist]] = field(default_factory=dict)
+
+    def add_catalog(self, label: str, codelists: dict[str, Codelist]) -> None:
+        self.catalogs[label.upper()] = codelists
+
+    def _ordered(self, preferred: list[str] | None = None) -> list[str]:
+        if preferred:
+            return [p.upper() for p in preferred if p.upper() in self.catalogs]
+
+        def key(label: str):
+            if label.startswith("SDTM CT"):
+                group = 0
+            elif label.startswith("SEND CT"):
+                group = 1
+            else:
+                group = 2
+            # newest version first within a standard family
+            return (group, label.split(" CT")[0], _neg_date(label))
+
+        return sorted(self.catalogs, key=key)
+
+    def resolve(
+        self, code: str, preferred: list[str] | None = None
+    ) -> tuple[str, Codelist] | None:
+        """→ (catalog label, codelist) or None."""
+        key = code.upper()
+        for label in self._ordered(preferred):
+            cl = self.catalogs[label].get(key)
+            if cl is not None:
+                return label, cl
+        return None
+
+    def find_submission_value(self, codelist_code: str, value: str) -> str | None:
+        hit = self.resolve(codelist_code)
+        if hit is None:
+            return None
+        needle = value.strip().upper()
+        for t in hit[1].terms:
+            if needle == t.submission_value.upper() or needle == t.code.upper():
+                return t.submission_value
+            if any(needle == s.upper() for s in t.synonyms):
+                return t.submission_value
+        return None
+
+    def validate_submission_value(self, codelist_code: str, value: str) -> bool:
+        """True = valid. ONLY the submission value counts (synonyms are
+        mapping aids, not submittable); extensible codelists accept
+        anything (reference ct/types.rs:334-365)."""
+        hit = self.resolve(codelist_code)
+        if hit is None:
+            return True
+        cl = hit[1]
+        if cl.extensible:
+            return True
+        needle = value.strip().upper()
+        return any(needle == t.submission_value.upper() for t in cl.terms)
+
+
+def _neg_date(label: str) -> str:
+    """Sort key piece that orders ISO dates newest-first."""
+    date = label.rsplit(" ", 1)[-1]
+    if len(date) == 10 and date[4] == "-" and date[7] == "-":
+        return "".join(chr(255 - ord(c)) for c in date)
+    return date
+
+
+def builtin_registry() -> TerminologyRegistry:
+    """The shipped registry: one 'SDTM CT <date>' catalog per built-in
+    version."""
+    reg = TerminologyRegistry()
+    for version, codelists in builtin_ct_versions().items():
+        reg.add_catalog(f"SDTM CT {version}", codelists)
+    return reg
+
+
+def builtin_lookup_df(spark, version: str | None = None):
+    """The broadcastable (codelist_code, lookup_key, submission_value,
+    extensible) frame for T8/J7 — newest shipped version by default."""
+    from trial_submission_studio_spark.standards.ct import codelist_lookup_df
+
+    versions = builtin_ct_versions()
+    version = version or max(versions)
+    return codelist_lookup_df(spark, versions[version])

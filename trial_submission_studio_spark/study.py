@@ -78,6 +78,13 @@ def create_study(
     registry: dict[str, dict] | None = None,
 ) -> Study:
     registry = registry or DOMAINS
+    if ct_lookup is None:
+        # T8/V8 work out of the box: the shipped public-CT-derived
+        # catalog (newest version) backs CT normalization unless the
+        # caller brings their own lookup frame
+        from trial_submission_studio_spark.standards.ct_catalog import builtin_lookup_df
+
+        ct_lookup = builtin_lookup_df(spark)
     study = Study(spark=spark, study_id=study_id, ct_lookup=ct_lookup)
     for code, path in assignments.items():
         code = code.upper()
