@@ -37,6 +37,137 @@ BENCH_QUERIES = (
 )
 
 
+def _prepare_cdisc_fixture(spark, sf_dir: str, out_csv: str) -> int:
+    """Write an AE-shaped 2-row-header EDC CSV from the orders table
+    (NOT timed). Returns the row count."""
+    import duckdb
+
+    con = duckdb.connect()
+    tmp_data = out_csv + ".data"
+    con.execute(
+        f"""
+        COPY (
+          SELECT 'S-' || CAST(o_custkey AS VARCHAR) AS c1,
+                 'EVT-' || CAST(o_orderkey % 20 AS VARCHAR) AS c2,
+                 CASE o_orderkey % 3 WHEN 0 THEN 'mild'
+                      WHEN 1 THEN 'Moderate' ELSE 'SEVERE' END AS c3,
+                 strftime(CAST(o_orderdate AS DATE), '%m/%d/%Y') AS c4,
+                 CASE WHEN o_orderkey % 7 = 0
+                      THEN strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+                      ELSE strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') END AS c5
+          FROM read_parquet('{sf_dir}/orders.parquet')
+          ORDER BY o_orderkey
+        ) TO '{tmp_data}' (FORMAT CSV, HEADER false)
+        """
+    )
+    n = con.execute(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/orders.parquet')"
+    ).fetchone()[0]
+    with open(out_csv, "wb") as out:
+        out.write(b"Subject,AE Term,Severity,Start Date,End Date\n")
+        out.write(b"SubjectId,AETERM,AESEV,AESTDAT,AEENDAT\n")
+        with open(tmp_data, "rb") as data:
+            out.write(data.read())
+    os.remove(tmp_data)
+    return int(n)
+
+
+def _cdisc_stages(spark, sf_dir: str, timings: dict) -> None:
+    """The reference's three published targets, 1:1 (BASELINE.md:
+    import 100K rows < 2 s, validate < 5 s, export < 3 s), over an
+    EDC-shaped CSV derived from the orders table."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from trial_submission_studio_spark.io.xpt import XptVariable, write_xpt
+    from trial_submission_studio_spark.operators.normalize import (
+        NormalizationContext,
+        compile_pipeline,
+        infer_rules,
+    )
+    from trial_submission_studio_spark.operators.validation import (
+        VariableSpec,
+        duplicate_sequence_issues,
+        validate_domain,
+    )
+    from trial_submission_studio_spark.sources.csv_reader import read_source_csv
+    from trial_submission_studio_spark.standards.ct_catalog import builtin_lookup_df
+    from trial_submission_studio_spark.standards.sdtm_domains import DOMAINS
+
+    work = tempfile.mkdtemp(prefix="spark_graft_bench_")
+    csv_path = os.path.join(work, "ae.csv")
+    n_rows = _prepare_cdisc_fixture(spark, sf_dir, csv_path)
+
+    t0 = time.time()
+    src = read_source_csv(spark, csv_path, header_rows=2)
+    src.df.write.format("noop").mode("overwrite").save()
+    timings["cdisc_import_csv"] = round(time.time() - t0, 3)
+
+    mappings = {
+        "SUBJID": "SubjectId",
+        "AETERM": "AETERM",
+        "AESEV": "AESEV",
+        "AESTDTC": "AESTDAT",
+        "AEENDTC": "AEENDAT",
+    }
+    ctx = NormalizationContext(
+        study_id="BENCH",
+        domain_code="AE",
+        order_col="_row_id",
+        subject_col="SubjectId",
+        ct_lookup=builtin_lookup_df(spark),
+        global_ref_date="1995-01-01",
+    )
+    t0 = time.time()
+    built = compile_pipeline(
+        src.df, infer_rules(DOMAINS["AE"]["variables"], mappings, ctx), ctx
+    ).persist()  # validate + export consume the built domain, not the raw CSV
+    built.write.format("noop").mode("overwrite").save()
+    timings["cdisc_build_pipeline"] = round(time.time() - t0, 3)
+
+    specs = [
+        VariableSpec(
+            v["name"],
+            core=v.get("core", "Perm"),
+            data_type=v.get("data_type", "Char"),
+            length=v.get("length"),
+            role=v.get("role", ""),
+            codelist_code=v.get("codelist_code") or None,
+        )
+        for v in DOMAINS["AE"]["variables"]
+    ]
+    t0 = time.time()
+    validate_domain(built, "AE", specs).collect()
+    duplicate_sequence_issues(built, "AE").collect()
+    timings["cdisc_validate"] = round(time.time() - t0, 3)
+
+    export_cols = [
+        XptVariable("STUDYID", "Study Identifier", False, 8),
+        XptVariable("USUBJID", "Unique Subject Identifier", False, 20),
+        XptVariable("AESEQ", "Sequence Number", True),
+        XptVariable("AETERM", "Reported Term", False, 12),
+        XptVariable("AESEV", "Severity", False, 10),
+        XptVariable("AESTDTC", "Start Date/Time", False, 10),
+        XptVariable("AEENDTC", "End Date/Time", False, 10),
+        XptVariable("AESTDY", "Study Day of Start", True),
+    ]
+    t0 = time.time()
+    # no pre-export sort: the built frame's order is already
+    # deterministic (window output), and the reference's export writes
+    # frame order too — a global sort would only add a shuffle
+    write_xpt(
+        built.select([F.col(v.name) for v in export_cols]),
+        os.path.join(work, "ae.xpt"),
+        export_cols,
+        "AE",
+        "Adverse Events",
+    )
+    timings["cdisc_export_xpt"] = round(time.time() - t0, 3)
+    timings["cdisc_rows"] = n_rows
+    built.unpersist()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -62,6 +193,9 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # BASELINE.md-mapped stages (measured after the total so the
+    # headline metric stays comparable across rounds)
+    _cdisc_stages(spark, sf_dir, timings)
     print(
         json.dumps(
             {

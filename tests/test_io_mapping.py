@@ -238,7 +238,7 @@ def test_xpt_non_ascii_policy(spark, tmp_path):
 
     df = values_df(spark, [("Münster", 1.0)], "C string, N double")
     vars_ = [XptVariable("C", "City", False, 10), XptVariable("N", "Num", True)]
-    with pytest.raises(XptEncodingError, match="non-ASCII value in 'C'"):
+    with pytest.raises(XptEncodingError, match="non-ASCII value"):
         write_xpt(df, str(tmp_path / "bad.xpt"), vars_, "G")
     sink: list = []
     n = write_xpt(df, str(tmp_path / "ok.xpt"), vars_, "G",
@@ -266,3 +266,45 @@ def test_xpt_v8_long_names(spark, tmp_path):
     assert b"NAMSTV8" in body and b"OBSV8" in body
     assert b"ALONGVARIABLENAME" in body  # 32-char longname field
     assert len(body) % 80 == 0
+
+
+def test_define_xml_standards_origin_keysequence(spark, tmp_path):
+    """Reference-parity define.xml: def:Standards section, CodeList
+    def:StandardOID/def:Extensible, ItemRef KeySequence for
+    identifiers, and the not-collected def:Origin annotation."""
+    frames = {"DM": values_df(
+        spark, [("S-001", "M", None)], "USUBJID string, SEX string, ARMCD string"
+    )}
+    ds = DefineDataset(
+        domain="DM",
+        variables=[
+            DefineVariable("USUBJID", "Unique Subject Identifier",
+                           mandatory=True, core="Req", role="Identifier"),
+            DefineVariable("SEX", "Sex", codelist_oid="CL.C66731", core="Req"),
+            DefineVariable("ARMCD", "Planned Arm Code", core="Exp"),
+        ],
+    )
+    path = str(tmp_path / "define_std.xml")
+    write_define_xml(
+        path, "ST", [ds], frames,
+        codelists={"CL.C66731": [("M", "Male"), ("F", "Female")]},
+        ct_version="2025-03-28",
+        codelist_meta={"CL.C66731": {"name": "Sex", "extensible": False}},
+    )
+    doc = xml.dom.minidom.parse(path)
+    stds = doc.getElementsByTagName("def:Standard")
+    assert len(stds) == 1
+    assert stds[0].getAttribute("OID") == "STD.CT.SDTM.2025-03-28"
+    assert stds[0].getAttribute("Type") == "CT"
+    cl = doc.getElementsByTagName("CodeList")[0]
+    assert cl.getAttribute("def:StandardOID") == "STD.CT.SDTM.2025-03-28"
+    assert cl.getAttribute("def:Extensible") == ""  # non-extensible omits it
+    refs = {r.getAttribute("ItemOID"): r for r in doc.getElementsByTagName("ItemRef")}
+    assert refs["IT.DM.USUBJID"].getAttribute("KeySequence") == "1"
+    assert refs["IT.DM.SEX"].getAttribute("KeySequence") == ""
+    origins = {
+        i.getAttribute("OID"): i.getElementsByTagName("def:Origin")[0].getAttribute("Type")
+        for i in doc.getElementsByTagName("ItemDef")
+    }
+    assert origins["IT.DM.USUBJID"] == "Collected"
+    assert origins["IT.DM.ARMCD"] == "Not Available"  # Expected, no data

@@ -112,10 +112,10 @@ def test_full_study_flow(spark, study, tmp_path):
 # --- mockdata-shaped wide study: domains outside the original core ---
 
 WIDE_DM_CSV = (
-    "Subject,Gender,Reference Start\n"
-    "SubjectId,SEX,RFSTDAT\n"
-    "W-01,F,2024-01-10\n"
-    "W-02,M,2024-01-20\n"
+    "Subject,Gender,Reference Start,Site Note\n"
+    "SubjectId,SEX,RFSTDAT,NOTE\n"
+    "W-01,F,2024-01-10,enrolled early\n"
+    "W-02,M,2024-01-20,\n"
 )
 
 WIDE_QS_CSV = (
@@ -254,3 +254,158 @@ def test_study_flow_uses_shipped_catalog(spark, tmp_path):
     dm = {r["USUBJID"]: r.asDict() for r in build_domain(st, "DM").collect()}
     assert dm["BC-W-01"]["SEX"] == "F"  # synonym 'female' -> F via builtin CT
     assert dm["BC-W-02"]["SEX"] == "M"
+
+
+# pinned by generating once with the fixed _TS timestamp; any writer
+# byte drift across rounds fails here
+GOLDEN_STUDY_SHA256 = {
+    "xml:DA": "8491720991a2bdc73feb62d2df8fc37db1718ab9d6a0739409d6f6a159611a4e",
+    "xml:DM": "ec210672cc37a8a952b7f9d2c9bfb95c495d926904fda43452696045d64cc1ac",
+    "xml:PE": "9d66a10000087b3b30a4eabf89ac0d717845ea7159821943201f42ec4ecc5d10",
+    "xml:PR": "0547895d3fb5560af13888f9ee08a7710798fe165cc94c85c1992c92859fee9d",
+    "xml:QS": "f06743a669dc9b9a9861f3651a2326e1ae1a91e914733bfb875fde6f434f80db",
+    "xml:SUPPDM": "05b7ac849d7d317badeed6496a7513ca53c05ca8e9728970e15599cd916a4d09",
+    "xml:define": "143979d5194609686f6c836e5b9f75978ad9eac6254bac15a34d1f368deffa45",
+    "xpt:DA": "a19f2482ddefc58db899c1fd5ab5fcd00eef2ff4e251c25a12468a39ebc1374d",
+    "xpt:DM": "80ea2d84cb046978c24e805ce548ec81b1ff74f04891504cc72e08cbb38f5ad4",
+    "xpt:PE": "ba91fe9ddde5bfea5a876edee39fc4643db1ca80f4cee81e0b31854464561831",
+    "xpt:PR": "8754f86d0d2cbbd8b626628f9e5d329a074323b4ea408512e69cee90402bc380",
+    "xpt:QS": "1ced61cf1507c32c116b7c3a635438f6bf708287014e178ec14feeba8e1fe7bf",
+    "xpt:SUPPDM": "02baf585919693bf5663c0959e7f0841a44ea16846b391fccd879084455f4449",
+    "xpt:define": "143979d5194609686f6c836e5b9f75978ad9eac6254bac15a34d1f368deffa45",
+}
+
+
+def _build_wide_study(spark, tmp_path):
+    files = {
+        "DM": WIDE_DM_CSV, "QS": WIDE_QS_CSV, "PE": WIDE_PE_CSV,
+        "PR": WIDE_PR_CSV, "DA": WIDE_DA_CSV,
+    }
+    for code, text in files.items():
+        (tmp_path / f"{code}.csv").write_text(text)
+    st = create_study(
+        spark, "WIDE",
+        {c: str(tmp_path / f"{c}.csv") for c in files},
+        min_confidence=0.99,
+    )
+    for code in files:
+        st.mappings[code].accept("SUBJID", "SubjectId")
+    st.mappings["DM"].accept("SEX", "SEX")
+    st.mappings["DM"].accept("RFSTDTC", "RFSTDAT")
+    st.mappings["QS"].accept("QSTESTCD", "QSCODE")
+    st.mappings["QS"].accept("QSORRES", "ANSWER")
+    st.mappings["QS"].accept("QSDTC", "QSDAT")
+    st.mappings["PE"].accept("PETESTCD", "PECODE")
+    st.mappings["PE"].accept("PEORRES", "FINDING")
+    st.mappings["PE"].accept("PEDTC", "PEDAT")
+    st.mappings["PR"].accept("PRTRT", "PROCNAME")
+    st.mappings["PR"].accept("PRSTDTC", "PRDAT")
+    st.mappings["DA"].accept("DATESTCD", "DACODE")
+    st.mappings["DA"].accept("DAORRES", "AMOUNT")
+    st.mappings["DA"].accept("DADTC", "RETDAT")
+    dm = build_domain(st, "DM")
+    frames = {"DM": dm}
+    for code in ("QS", "PE", "PR", "DA"):
+        frames[code] = build_domain(st, code, dm_frame=dm)
+    return st, frames
+
+
+def test_golden_full_study_export(spark, tmp_path):
+    """Byte-pinned COMPLETE study export: five domains + SUPP through
+    both sinks plus define.xml, fixed _TS timestamp, frames pre-sorted
+    so every artifact is byte-stable across rounds."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    st, frames = _build_wide_study(spark, tmp_path)
+    seq = {"DM": "USUBJID", "QS": "QSSEQ", "PE": "PESEQ", "PR": "PRSEQ",
+           "DA": "DASEQ"}
+    frames = {
+        c: df.orderBy("USUBJID", seq[c]) for c, df in frames.items()
+    }
+    supp = build_supp(st, "DM", frames["DM"])
+    assert supp is not None
+    frames["SUPPDM"] = supp.orderBy("USUBJID", "QNAM")
+    st.domains["SUPPDM"] = st.domains.get("SUPPDM") or [
+        dict(v) for v in
+        __import__("trial_submission_studio_spark.standards.sdtm_domains",
+                   fromlist=["DOMAINS"]).DOMAINS["SUPPQUAL"]["variables"]
+    ]
+
+    out_xpt = export_study(st, frames, str(tmp_path / "xpt"),
+                           fmt="xpt", bypass_validation=True)
+    out_xml = export_study(st, frames, str(tmp_path / "xml"),
+                           fmt="xml", bypass_validation=True)
+    digests = {}
+    for key, path in sorted({**{f"xpt:{k}": v for k, v in out_xpt.items()},
+                             **{f"xml:{k}": v for k, v in out_xml.items()}}.items()):
+        digests[key] = hashlib.sha256(open(path, "rb").read()).hexdigest()
+
+    if not GOLDEN_STUDY_SHA256:  # first generation: print for pinning
+        import json
+        print("GOLDEN:", json.dumps(digests, indent=1))
+    assert set(digests) == {
+        "xpt:DA", "xpt:DM", "xpt:PE", "xpt:PR", "xpt:QS", "xpt:SUPPDM",
+        "xpt:define",
+        "xml:DA", "xml:DM", "xml:PE", "xml:PR", "xml:QS", "xml:SUPPDM",
+        "xml:define",
+    }
+    if GOLDEN_STUDY_SHA256:
+        assert digests == GOLDEN_STUDY_SHA256
+
+
+SEND_BW_CSV = (
+    "Subject,Test,Result,Unit,Collection Date\n"
+    "SubjectId,BWCODE,RESULT,UNIT,BWDAT\n"
+    "A-01,BW,412,g,2024-03-01\n"
+    "A-02,BW,398,g,2024-03-01\n"
+)
+
+
+def test_send_registry_study(spark, tmp_path):
+    """SEND-IG v3.1.1 registry drives a nonclinical BW build through
+    the same create_study -> build_domain flow (registry= parameter)."""
+    from trial_submission_studio_spark.standards.send_ig import SEND_DOMAINS
+
+    assert len(SEND_DOMAINS) == 30  # reference send_ig dataset count
+    (tmp_path / "BW.csv").write_text(SEND_BW_CSV)
+    st = create_study(
+        spark, "TOX", {"BW": str(tmp_path / "BW.csv")},
+        min_confidence=0.99, registry=SEND_DOMAINS,
+    )
+    st.mappings["BW"].accept("SUBJID", "SubjectId")
+    st.mappings["BW"].accept("BWTESTCD", "BWCODE")
+    st.mappings["BW"].accept("BWORRES", "RESULT")
+    st.mappings["BW"].accept("BWORRESU", "UNIT")
+    st.mappings["BW"].accept("BWDTC", "BWDAT")
+    bw = {r["USUBJID"]: r.asDict() for r in build_domain(st, "BW").collect()}
+    assert bw["TOX-A-01"]["BWORRES"] == "412"
+    assert bw["TOX-A-01"]["BWSEQ"] == 1
+    assert bw["TOX-A-02"]["BWDTC"] == "2024-03-01"
+    assert bw["TOX-A-01"]["DOMAIN"] == "BW"
+
+
+def test_adam_structures_inference():
+    """ADaM structures feed infer_rules: numeric SAS dates (*DT) take
+    the dtype tier (Num), PARAMCD copies, AVAL parses numerically."""
+    from trial_submission_studio_spark.operators.normalize import (
+        NormalizationContext,
+        infer_rules,
+    )
+    from trial_submission_studio_spark.standards.adam_ig import (
+        ADAM_STRUCTURES,
+        adam_dataset,
+    )
+
+    assert set(ADAM_STRUCTURES) == {"ADSL", "BDS", "OCCDS"}
+    adlb = adam_dataset("ADLB", "BDS")
+    ctx = NormalizationContext(study_id="ST", domain_code="ADLB")
+    mappings = {"PARAMCD": "PC", "AVAL": "VAL", "ADT": "DT", "TRTP": "T"}
+    rules = {r.target: r.transform
+             for r in infer_rules(adlb["variables"], mappings, ctx)}
+    assert rules["PARAMCD"] == "copy"
+    assert rules["AVAL"] == "numeric"
+    assert rules["TRTP"] == "copy"
+    # ADY ends in DY -> study-day derivation fires off the sibling ADTC
+    assert rules["ADY"] == "study_day"

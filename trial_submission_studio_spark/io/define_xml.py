@@ -28,6 +28,8 @@ class DefineVariable:
     length: int | None = None
     codelist_oid: str | None = None
     mandatory: bool = False
+    core: str = ""  # Req | Exp | Perm (drives def:Origin)
+    role: str = ""  # Identifier -> ItemRef KeySequence
 
 
 @dataclass
@@ -64,9 +66,24 @@ def write_define_xml(
     study_name: str = "",
     ig_version: str = "SDTM-IG 3.4",
     codelists: dict[str, list[tuple[str, str]]] | None = None,
+    ct_version: str | None = None,
+    codelist_meta: dict[str, dict] | None = None,
 ) -> None:
     """``codelists``: CodeList OID → [(coded value, decode), ...];
-    referenced OIDs without an entry are emitted as external refs."""
+    referenced OIDs without an entry are emitted as external refs.
+
+    Reference-parity extras (export/define_xml.rs:195-330):
+
+    - ``ct_version``: emits a ``def:Standards`` section with one
+      ``def:Standard`` (OID ``STD.CT.SDTM.{version}``) and stamps
+      every CodeList with ``def:StandardOID``.
+    - ``codelist_meta``: OID → ``{"name": ..., "extensible": bool}``
+      for CodeList names and ``def:Extensible``.
+    - ItemRefs of Identifier-role variables get ``KeySequence``.
+    - ItemDefs carry ``def:Origin``: "Not Available" for an Expected
+      variable with no data, "Collected" when data exists, else
+      "Derived" (the not-collected annotation).
+    """
     q = quoteattr
     lines: list[str] = []
     lines.append('<?xml version="1.0" encoding="UTF-8"?>')
@@ -85,6 +102,15 @@ def write_define_xml(
         f'  <MetaDataVersion OID="MDV.1" Name={q(ig_version)} '
         f'def:DefineVersion="2.1.0">'
     )
+    std_oid = None
+    if ct_version:
+        std_oid = f"STD.CT.SDTM.{ct_version}"
+        lines.append("   <def:Standards>")
+        lines.append(
+            f'    <def:Standard OID={q(std_oid)} Name="CDISC/NCI" Type="CT" '
+            f'PublishingSet="SDTM" Version={q(ct_version)} Status="Final"/>'
+        )
+        lines.append("   </def:Standards>")
 
     item_defs: list[str] = []
     for ds in datasets:
@@ -104,10 +130,15 @@ def write_define_xml(
             f'def:Structure={q(ds.structure)} Purpose="Tabulation">'
         )
         lines.append(f"    <Description><TranslatedText>{ds.label or dom}</TranslatedText></Description>")
+        key_seq = 1
         for i, v in enumerate(present):
+            key_attr = ""
+            if v.role.lower() == "identifier":
+                key_attr = f' KeySequence="{key_seq}"'
+                key_seq += 1
             lines.append(
                 f'    <ItemRef ItemOID={q(f"IT.{dom}.{v.name}")} OrderNumber="{i + 1}" '
-                f'Mandatory={q("Yes" if v.mandatory else "No")}/>'
+                f'Mandatory={q("Yes" if v.mandatory else "No")}{key_attr}/>'
             )
         lines.append("   </ItemGroupDef>")
         for v in present:
@@ -127,6 +158,16 @@ def write_define_xml(
             )
             if v.codelist_oid:
                 item_defs.append(f'    <CodeListRef CodeListOID={q(v.codelist_oid)}/>')
+            # Define-XML 2.1 OriginTypes subset used by the reference:
+            # Expected-without-data -> "Not Available" (the not-collected
+            # annotation); data present -> "Collected"; else "Derived"
+            if v.core.lower() == "exp" and not has:
+                origin = "Not Available"
+            elif has:
+                origin = "Collected"
+            else:
+                origin = "Derived"
+            item_defs.append(f'    <def:Origin Type={q(origin)}/>')
             item_defs.append("   </ItemDef>")
     lines.extend(item_defs)
     # CodeList elements for every referenced OID
@@ -138,8 +179,15 @@ def write_define_xml(
     }
     for oid in sorted(referenced):
         terms = (codelists or {}).get(oid)
+        meta = (codelist_meta or {}).get(oid, {})
+        name = meta.get("name") or oid.removeprefix("CL.")
+        extra = ""
+        if std_oid:
+            extra += f" def:StandardOID={q(std_oid)}"
+        if meta.get("extensible"):
+            extra += ' def:Extensible="Yes"'
         lines.append(
-            f'   <CodeList OID={q(oid)} Name={q(oid.removeprefix("CL."))} DataType="text">'
+            f'   <CodeList OID={q(oid)} Name={q(name)} DataType="text"{extra}>'
         )
         for value, decode in terms or []:
             lines.append(f"    <CodeListItem CodedValue={q(value)}>")

@@ -260,11 +260,20 @@ def compile_pipeline(df: DataFrame, rules: list[Rule], ctx: NormalizationContext
             if f"__carry_{ctx.order_col}" in out.columns
             else part
         )
-        w = (
-            Window.partitionBy(*part).orderBy(*order)
-            if part
-            else Window.orderBy(*order)
-        )
+        if part:
+            w = Window.partitionBy(*part).orderBy(*order)
+        else:
+            # global 1..N without a subject key matches reference
+            # semantics but serializes into one task — surface it
+            # (the caller should provide subject_col at scale)
+            import warnings
+
+            warnings.warn(
+                f"sequence rule {r.target!r} has no partition key; "
+                "global window moves all rows to a single task",
+                stacklevel=2,
+            )
+            w = Window.orderBy(*order)
         out = out.withColumn(r.target, F.row_number().over(w).cast("long"))
 
     ordered_targets = [r.target for r in sorted(rules, key=lambda r: r.order)]

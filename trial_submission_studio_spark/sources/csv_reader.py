@@ -169,12 +169,40 @@ def read_source_csv(
 
     # File order is deterministic for a single-file scan: partition
     # index follows byte offset, so monotonically_increasing_id is
-    # monotone in file position. The global window is acceptable on
-    # the CSV compatibility path (bounded at hundreds of MB).
-    order_key = F.monotonically_increasing_id()
-    df = df.withColumn(SourceTable.ROW_ID, F.row_number().over(Window.orderBy(order_key)))
-    df = df.filter(F.col(SourceTable.ROW_ID) > header_rows).withColumn(
-        SourceTable.ROW_ID, (F.col(SourceTable.ROW_ID) - header_rows).cast("long")
+    # monotone in file position. A dense 1-based _row_id is derived
+    # WITHOUT a global window (which would move every row to one task
+    # — the round-1 formulation): per-partition row_number + a
+    # driver-computed cumulative offset per partition. The extra
+    # count() pass is one parallel scan; numbering stays parallel.
+    df = df.withColumn("__pid", F.spark_partition_id())
+    counts = {
+        r["__pid"]: r["count"]
+        for r in df.groupBy("__pid").count().collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if offsets and len(offsets) > 1:
+        offset_expr = F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in offsets.items() for x in kv]
+            ),
+            F.col("__pid"),
+        )
+    else:
+        offset_expr = F.lit(0)
+    local = F.row_number().over(
+        Window.partitionBy("__pid").orderBy(F.monotonically_increasing_id())
+    )
+    df = df.withColumn(SourceTable.ROW_ID, (offset_expr + local).cast("long"))
+    df = (
+        df.filter(F.col(SourceTable.ROW_ID) > header_rows)
+        .withColumn(
+            SourceTable.ROW_ID, (F.col(SourceTable.ROW_ID) - header_rows).cast("long")
+        )
+        .drop("__pid")
     )
 
     if blank_as_null:

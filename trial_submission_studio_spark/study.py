@@ -257,13 +257,47 @@ def export_study(
                         v.get("length"),
                         f"CL.{v['codelist_code']}" if v.get("codelist_code") else None,
                         v.get("core") == "Req",
+                        core=v.get("core", ""),
+                        role=v.get("role", ""),
                     )
                     for v in present
                 ],
             )
         )
+    # CT standard reference + codelist names/terms/extensibility from
+    # the shipped catalog (reference define_xml.rs:195-216, 311-330)
+    from trial_submission_studio_spark.standards.ct_catalog import builtin_ct_versions
+
+    versions = builtin_ct_versions()
+    ct_version = max(versions)
+    catalog = versions[ct_version]
+    referenced = {
+        v.codelist_oid
+        for ds in define_datasets
+        for v in ds.variables
+        if v.codelist_oid
+    }
+    cl_terms: dict[str, list[tuple[str, str]]] = {}
+    cl_meta: dict[str, dict] = {}
+    for oid in referenced:
+        cl = catalog.get(oid.removeprefix("CL."))
+        if cl is None:
+            continue
+        cl_terms[oid] = [
+            (t.submission_value, t.synonyms[0] if t.synonyms else t.submission_value)
+            for t in cl.terms
+        ]
+        cl_meta[oid] = {"name": cl.name, "extensible": cl.extensible}
     define_path = os.path.join(out_dir, "define.xml")
-    write_define_xml(define_path, f"{study.study_id}.STUDY", define_datasets, frames)
+    write_define_xml(
+        define_path,
+        f"{study.study_id}.STUDY",
+        define_datasets,
+        frames,
+        codelists=cl_terms,
+        ct_version=ct_version,
+        codelist_meta=cl_meta,
+    )
     written["define"] = define_path
     return written
 
