@@ -922,6 +922,33 @@ def _planted_docs(d: DataFrame, every: int, marker: str) -> DataFrame:
     )
 
 
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup gate: planted duplicates (positively
+    scaled copies — cosine exactly 1, identical hyperplane signs, so
+    they collide in every LSH table) must ALL surface via the
+    bucket-join + exact-verify path at threshold 0.99."""
+    from trial_submission_studio_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mutated = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    corpus = emb.unionByName(mutated)
+    pairs = embedding_near_dup_pairs(corpus, dim=64, threshold=0.99)
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("id_a"), (F.col("vec_id") + 1000000).alias("id_b")
+    )
+    n_planted = planted.count()
+    n_found = pairs.join(planted, ["id_a", "id_b"]).count()
+    return spark.range(1).select(
+        F.lit(n_planted).cast("long").alias("n_planted"),
+        F.lit(1 if n_found == n_planted else 0).cast("long").alias("recall_ok"),
+    )
+
+
 def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pipeline gate: planted near-duplicates -> MinHash ->
     LSH candidates -> exact n-gram Jaccard verification. Emits the
@@ -1050,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_salted_user_totals": agg_salted_user_totals,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_lsh_topk": ann_lsh_topk,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
         "dedup_jaccard_verified": dedup_jaccard_verified,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "simhash_fingerprints": simhash_fingerprints,
@@ -1546,6 +1574,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 20) * 5
                         AS BIGINT) AS n_exact,
                    CAST(1 AS BIGINT) AS recall_ok
+        """,
+        "dedup_embedding_cosine": """
+            SELECT CAST(count(*) AS BIGINT) AS n_planted,
+                   CAST(1 AS BIGINT) AS recall_ok
+            FROM embeddings WHERE vec_id % 10 = 0
         """,
         "dedup_jaccard_verified": """
             SELECT CAST(count(*) AS BIGINT) AS n_planted,

@@ -106,7 +106,9 @@ def write_dataset_xml(
             f' <ClinicalData StudyOID={quoteattr(study_oid)} '
             f'MetaDataVersionOID={quoteattr(metadata_version_oid)}>\n'
         )
-        for row in ordered.toLocalIterator():
+        # prefetch overlaps fragment generation with the sequential
+        # file write (one job per partition otherwise)
+        for row in ordered.toLocalIterator(prefetchPartitions=True):
             fh.write(row["xml"])
             fh.write("\n")
             n += 1

@@ -229,6 +229,54 @@ def lsh_bucket_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    bits: int | None = None,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥
+    threshold) — the ANN-flavored member of the dedup family.
+
+    Same scale shape as MinHash-LSH: multi-table bucket equi-join
+    generates candidates (near-identical vectors agree on every
+    hyperplane sign, so they collide in every table), ids de-dup
+    BEFORE vectors join back, exact cosine verifies. No O(n²) pass.
+    """
+    if bits is None:
+        bits = auto_bits(corpus.count())
+    sigs = hyperplane_signatures(vec_col, dim, bits, n_tables, seed)
+    long = corpus.select(
+        F.col(id_col), F.posexplode(sigs).alias("__table", "__bucket")
+    )
+    a, b = long.alias("a"), long.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__table") == F.col("b.__table"))
+            & (F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("sim", cosine_pairwise(F.col("__va"), F.col("__vb")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+    )
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,
