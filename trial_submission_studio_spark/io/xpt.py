@@ -336,6 +336,14 @@ def write_xpt(
         specs = [
             (v.name, v.is_numeric, ln) for v, ln in zip(variables, lengths)
         ]
+        # Bound the partition count: the sequential tail pays one fetch
+        # job per partition even with prefetch (32 partitions cost ~4×
+        # more wall than 8 at 150K rows), while 8 encode tasks keep the
+        # numpy kernel parallel. coalesce is narrow — no shuffle, order
+        # preserved.
+        n_parts = work.rdd.getNumPartitions()
+        if n_parts > 8:
+            work = work.coalesce(8)
         payload = work.mapInPandas(_payload_kernel(specs), "xpt_bytes binary")
         total_obs_bytes = 0
         # prefetch overlaps upstream encode jobs with the sequential
