@@ -136,3 +136,96 @@ def test_qnam(spark):
 def test_study_day(spark, evt, ref, expected):
     df = spark.createDataFrame([(evt, ref)], "e string, r string")
     assert df.select(study_day("e", "r").alias("dy")).first()["dy"] == expected
+
+
+# --- property tests (hypothesis) ----------------------------------------
+
+
+def test_iso_ladder_properties(spark):
+    """Properties over generated inputs: already-ISO partial-precision
+    strings pass through UNCHANGED; garbage is preserved verbatim
+    (never nulled, never mangled); every normalized output is either
+    the trimmed input or a valid ISO partial-precision string."""
+    import datetime
+    import re
+
+    from hypothesis import given, settings, strategies as st
+
+    from trial_submission_studio_spark.functions.datetime_iso import (
+        ISO_PARTIAL_RE,
+        normalize_iso_datetime,
+    )
+    from trial_submission_studio_spark.sources.local import values_df
+
+    iso_full = st.dates(
+        min_value=datetime.date(1900, 1, 1), max_value=datetime.date(2099, 12, 31)
+    ).map(lambda d: d.isoformat())
+    iso_month = st.tuples(
+        st.integers(1900, 2099), st.integers(1, 12)
+    ).map(lambda t: f"{t[0]:04d}-{t[1]:02d}")
+    iso_year = st.integers(1900, 2099).map(lambda y: f"{y:04d}")
+    garbage = st.text(
+        alphabet="XYZ@#?abc -", min_size=1, max_size=12
+    ).filter(lambda s: s.strip() != "")
+    cases = st.lists(
+        st.one_of(iso_full, iso_month, iso_year, garbage), min_size=1, max_size=30
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(cases)
+    def run(vals):
+        df = values_df(spark, [(v,) for v in vals], "raw string")
+        out = [
+            r["o"]
+            for r in df.select(
+                normalize_iso_datetime(F.col("raw")).alias("o")
+            ).collect()
+        ]
+        for inp, got in zip(vals, out):
+            t = inp.strip()
+            if re.fullmatch(ISO_PARTIAL_RE.strip("^$"), t):
+                assert got == t, (inp, got)  # already-ISO passthrough
+            else:
+                assert got is not None
+                # verbatim preservation OR a valid ISO normalization
+                assert got == t or re.fullmatch(
+                    ISO_PARTIAL_RE.strip("^$"), got
+                ), (inp, got)
+
+    run()
+
+
+def test_parse_numeric_properties(spark):
+    """Round-trip: any float rendered with thousands separators and
+    whitespace parses back exactly; non-numeric text yields NULL."""
+    from hypothesis import given, settings, strategies as st
+
+    from trial_submission_studio_spark.functions.numeric import parse_numeric
+    from trial_submission_studio_spark.sources.local import values_df
+
+    nums = st.floats(
+        allow_nan=False, allow_infinity=False, min_value=-1e12, max_value=1e12
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(nums, min_size=1, max_size=25), st.booleans())
+    def run(vals, grouped):
+        raws = []
+        for v in vals:
+            txt = repr(v)
+            if grouped and "e" not in txt and "." in txt and len(txt) > 7:
+                # insert a thousands separator into the integer part
+                ip, fp = txt.split(".", 1)
+                if len(ip.lstrip("-")) > 3:
+                    ip = ip[:-3] + "," + ip[-3:]
+                txt = f" {ip}.{fp} "
+            raws.append(txt)
+        df = values_df(
+            spark, [(r, v) for r, v in zip(raws, vals)], "raw string, want double"
+        )
+        got = df.select(
+            (parse_numeric(F.col("raw")) == F.col("want")).alias("ok")
+        ).collect()
+        assert all(r["ok"] for r in got), list(zip(raws, vals))[:3]
+
+    run()

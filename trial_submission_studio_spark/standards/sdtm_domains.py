@@ -110,7 +110,8 @@ def _visit_block(feats: set) -> list[dict]:
             _v("VISIT", "Visit Name", "Perm", role="Timing"),
             _v("VISITDY", "Planned Study Day of Visit", "Perm", "Num", role="Timing"),
         ]
-    if "taetord" in feats:
+    if "taetord" in feats or "epoch" in feats:
+        # the IG pairs TAETORD with EPOCH on general-observation datasets
         out.append(
             _v("TAETORD", "Planned Order of Element within Arm", "Perm", "Num",
                role="Timing")
@@ -194,12 +195,24 @@ def _findings_vars(
 ) -> list[dict]:
     """Findings-class skeleton (public SDTM-IG v3.4 §4.5, §6.3)."""
     vs = _idents(d, feats)
+    if "spdevid" in feats:
+        vs.insert(3, _v("SPDEVID", "Sponsor Device Identifier", "Perm",
+                        role="Identifier"))
+    if "focid" in feats:
+        vs.append(_v("FOCID", "Focus of Study-Specific Interest", "Perm",
+                     role="Identifier"))
+    if "nhoid" in feats:
+        vs.append(_v("NHOID", "Non-host Organism ID", "Perm",
+                     role="Identifier"))
     vs += [
         _v(f"{d}TESTCD", f"{test_label} Short Name", "Req", role="Topic",
            codelist=testcd_cl, length=8),
         _v(f"{d}TEST", f"{test_label} Name", "Req", role="Synonym Qualifier",
            codelist=test_cl, length=40),
     ]
+    if "tstdtl" in feats:
+        vs.append(_v(f"{d}TSTDTL", "Measurement, Test or Examination Detail",
+                     "Perm", role="Topic"))
     if "obj" in feats:
         vs.append(_v(f"{d}OBJ", "Object of the Observation", "Req",
                      role="Record Qualifier"))
@@ -222,6 +235,9 @@ def _findings_vars(
         ]
     vs.append(_v(f"{d}STRESC", "Character Result/Finding in Std Format", "Exp",
                  role="Result Qualifier"))
+    if "rescat" in feats:
+        vs.append(_v(f"{d}RESCAT", "Result Category", "Perm",
+                     role="Variable Qualifier"))
     if "numeric" in feats:
         vs.append(_v(f"{d}STRESN", "Numeric Result/Finding in Standard Units",
                      "Exp", "Num", role="Result Qualifier"))
@@ -286,6 +302,18 @@ def _findings_vars(
     if "eval" in feats:
         vs.append(_v(f"{d}EVAL", "Evaluator", "Perm", role="Record Qualifier",
                      codelist=_CL_EVAL))
+    if "evalid" in feats:
+        vs.append(_v(f"{d}EVALID", "Evaluator Identifier", "Perm",
+                     role="Variable Qualifier"))
+    if "acptfl" in feats:
+        vs.append(_v(f"{d}ACPTFL", "Accepted Record Flag", "Perm",
+                     role="Record Qualifier", codelist=_CL_NY))
+    if "repnum" in feats:
+        vs.append(_v(f"{d}REPNUM", "Repetition Number", "Perm", "Num",
+                     role="Record Qualifier"))
+    if "xfn" in feats:
+        vs.append(_v(f"{d}XFN", "External File Path", "Perm",
+                     role="Record Qualifier"))
     if "tox" in feats:
         vs += [
             _v(f"{d}TOX", "Toxicity", "Perm", role="Variable Qualifier"),
@@ -438,7 +466,8 @@ _I_BASE = {"grpid", "spid", "presp", "stat", "dose", "route", "epoch", "dur",
 _INTERVENTIONS: dict[str, tuple] = {
     "AG": ("Procedure Agents",
            "One record per recorded intervention occurrence per subject",
-           "Agent", _I_BASE | {"decod", "visits", "tpt_na"}),
+           "Agent", _I_BASE | {"decod", "modify", "clas", "visits", "lnkid",
+                               "lnkgrp", "rtpt"}),
     "CM": ("Concomitant/Prior Medications",
            "One record per recorded intervention occurrence or "
            "constant-dosing interval per subject",
@@ -447,7 +476,8 @@ _INTERVENTIONS: dict[str, tuple] = {
            "One record per protocol-specified study treatment, "
            "collected-dosing interval, per subject, per mood",
            "Treatment", _I_BASE | {"modify", "visits", "taetord", "lot", "loc",
-                                   "lat", "fast", "dtc"}),
+                                   "lat", "fast", "dtc", "refid", "lnkid",
+                                   "lnkgrp"}),
     "EX": ("Exposure",
            "One record per protocol-specified study treatment, "
            "constant-dosing interval, per subject",
@@ -460,7 +490,8 @@ _INTERVENTIONS: dict[str, tuple] = {
     "PR": ("Procedures",
            "One record per recorded procedure per occurrence per subject",
            "Procedure", _I_BASE | {"modify", "decod", "indc", "visits",
-                                   "taetord", "loc", "lat"}),
+                                   "taetord", "loc", "lat", "lnkid",
+                                   "lnkgrp", "rtpt"}),
     "SU": ("Substance Use",
            "One record per substance type per reported occurrence per subject",
            "Substance", _I_BASE | {"modify", "decod", "clas", "visits", "rtpt"}),
@@ -501,12 +532,15 @@ _FINDINGS: dict[str, tuple] = {
            "One record per test per specimen per timepoint per visit per subject",
            "Cell Phenotype Test", _F_BASE | {"refid", "units", "numeric", "nr",
                                              "spec", "method", "nam", "loinc",
-                                             "fast", "tox", "tpt", "lobxfl"}),
+                                             "fast", "tox", "tpt", "lobxfl",
+                                             "lnkid", "lnkgrp", "tstdtl",
+                                             "rescat"}),
     "CV": ("Cardiovascular System Findings",
            "One record per finding or result per time point per visit per subject",
            "Cardiovascular Test", _F_BASE | {"units", "numeric", "loc", "lat",
                                              "dir", "method", "eval", "tpt",
-                                             "lobxfl"}),
+                                             "lobxfl", "refid", "lnkid",
+                                             "lnkgrp", "pos", "evalid"}),
     "DA": ("Product Accountability",
            "One record per product accountability finding per subject",
            "Product Accountability Test",
@@ -524,11 +558,14 @@ _FINDINGS: dict[str, tuple] = {
            "One record per Functional Test finding per time point per visit "
            "per subject",
            "Functional Test", _F_BASE | {"units", "numeric", "method", "tpt",
-                                         "lobxfl"}),
+                                         "lobxfl", "refid", "pos", "xfn",
+                                         "nam", "repnum"}),
     "GF": ("Genomics Findings",
            "One record per finding per observation per biospecimen per subject",
            "Genomics Test", _F_BASE | {"refid", "units", "numeric", "spec",
-                                       "method", "nam", "tpt"}),
+                                       "method", "nam", "tpt", "spdevid",
+                                       "nhoid", "lnkid", "lnkgrp", "tstdtl",
+                                       "rescat"}),
     "IE": ("Inclusion/Exclusion Criteria Not Met",
            "One record per inclusion/exclusion criterion not met per subject",
            "Incl/Excl Criterion",
@@ -538,7 +575,8 @@ _FINDINGS: dict[str, tuple] = {
            "One record per test per visit per subject",
            "Immunogenicity Test", _F_BASE | {"refid", "units", "numeric", "nr",
                                              "spec", "method", "nam", "loinc",
-                                             "tpt", "lobxfl"}),
+                                             "tpt", "lobxfl", "nhoid",
+                                             "tstdtl"}),
     "LB": ("Laboratory Test Results",
            "One record per lab test per time point per visit per subject",
            "Lab Test or Examination",
@@ -550,7 +588,9 @@ _FINDINGS: dict[str, tuple] = {
            "visit per subject",
            "Microbiology Test", _F_BASE | {"refid", "units", "numeric", "spec",
                                            "method", "nam", "loc", "lat", "dir",
-                                           "tpt"}),
+                                           "tpt", "focid", "lnkid", "lnkgrp",
+                                           "tstdtl", "rescat", "loinc",
+                                           "lobxfl", "fast"}),
     "MI": ("Microscopic Findings",
            "One record per finding per specimen per subject",
            "Microscopic Examination", _F_BASE | {"refid", "units", "numeric",
@@ -560,25 +600,31 @@ _FINDINGS: dict[str, tuple] = {
            "One record per assessment per visit per subject",
            "Musculoskeletal Exam", _F_BASE | {"units", "numeric", "loc", "lat",
                                               "dir", "method", "eval", "tpt",
-                                              "lobxfl"}),
+                                              "lobxfl", "refid", "lnkid",
+                                              "lnkgrp", "pos", "evalid"}),
     "MS": ("Microbiology Susceptibility",
            "One record per microbiology susceptibility test (or other "
            "organism-related finding) per organism found in MB",
            "Microbiology Susceptibility Test",
            _F_BASE | {"refid", "units", "numeric", "nr", "spec", "method",
-                      "nam", "tpt", "lnkid", "lnkgrp"}),
+                      "nam", "tpt", "lnkid", "lnkgrp", "nhoid", "tstdtl",
+                      "rescat", "xfn", "loinc", "loc", "lat", "dir"}),
     "NV": ("Nervous System Findings",
            "One record per finding per location per time point per visit per "
            "subject",
            "Nervous System Exam", _F_BASE | {"units", "numeric", "loc", "lat",
                                              "dir", "method", "eval", "tpt",
-                                             "lobxfl"}),
+                                             "lobxfl", "focid", "refid",
+                                             "lnkid", "lnkgrp", "evalid"}),
     "OE": ("Ophthalmic Examinations",
            "One record per ophthalmic finding per method per location, per "
            "time point per visit per subject",
            "Ophthalmic Exam", _F_BASE | {"units", "numeric", "nr", "loc", "lat",
                                          "dir", "method", "eval", "tpt",
-                                         "lobxfl"}),
+                                         "lobxfl", "focid", "lnkid",
+                                         "lnkgrp", "tstdtl", "rescat", "xfn",
+                                         "portot", "evalid", "acptfl",
+                                         "repnum"}),
     "PC": ("Pharmacokinetics Concentrations",
            "One record per sample characteristic or time-point concentration "
            "per reference time point or per analyte per subject",
@@ -606,7 +652,9 @@ _FINDINGS: dict[str, tuple] = {
            "subject",
            "Respiratory Test", _F_BASE | {"units", "numeric", "nr", "loc",
                                           "lat", "dir", "method", "eval", "tpt",
-                                          "lobxfl"}),
+                                          "lobxfl", "spdevid", "refid",
+                                          "lnkid", "lnkgrp", "pos", "evalid",
+                                          "repnum"}),
     "RP": ("Reproductive System Findings",
            "One record per finding or result per time point per visit per "
            "subject",
@@ -618,7 +666,9 @@ _FINDINGS: dict[str, tuple] = {
            "medical evaluator",
            "Response Assessment", _F_BASE | {"method", "eval", "loc", "lat",
                                              "tpt", "lnkid", "lnkgrp",
-                                             "lobxfl"}),
+                                             "lobxfl", "refid", "units",
+                                             "numeric", "nam", "evalid",
+                                             "acptfl", "evlint"}),
     "SC": ("Subject Characteristics",
            "One record per characteristic per visit per subject.",
            "Subject Characteristic", {"grpid", "spid", "cat", "scat", "stat",
@@ -637,12 +687,16 @@ _FINDINGS: dict[str, tuple] = {
            "Tumor/Lesion Identification", {"grpid", "refid", "spid", "cat",
                                            "scat", "stat", "visits", "epoch",
                                            "method", "eval", "loc", "lat",
-                                           "dir", "portot", "lnkid", "lnkgrp"}),
+                                           "dir", "portot", "lnkid", "lnkgrp",
+                                           "nam", "lobxfl", "blfl", "evalid",
+                                           "acptfl"}),
     "UR": ("Urinary System Findings",
            "One record per finding per location per per visit per subject",
            "Urinary System Test", _F_BASE | {"units", "numeric", "loc", "lat",
                                              "dir", "method", "eval", "tpt",
-                                             "lobxfl"}),
+                                             "lobxfl", "refid", "lnkid",
+                                             "lnkgrp", "tstdtl", "rescat",
+                                             "evalid"}),
     "VS": ("Vital Signs",
            "One record per vital sign measurement per time point per visit "
            "per subject",
@@ -1129,7 +1183,413 @@ def _build_domains() -> dict[str, dict]:
     out.update(_trial_design())
     out.update(_relationship())
     out.update(_study_reference())
+    _apply_ig_adjustments(out)
     return out
+
+
+def _apply_ig_adjustments(out: dict[str, dict]) -> None:
+    """Per-domain corrections where the class template over- or
+    under-shoots the published IG v3.4 variable set (domain-specific
+    qualifiers the general class doesn't carry, and template variables
+    the IG deliberately omits for that domain)."""
+
+    def rq(name, label, core="Perm", dt="Char", cl=""):
+        return _v(name, label, core, dt, role="Record Qualifier", codelist=cl)
+
+    adds: dict[str, list[dict]] = {
+        "LB": [
+            rq("LBTSTCND", "Test Condition"),
+            rq("LBBDAGNT", "Binding Agent"),
+            rq("LBTSTOPO", "Test Operational Objective"),
+            _v("LBRESSCL", "Result Scale", "Perm", role="Variable Qualifier"),
+            _v("LBRESTYP", "Result Type", "Perm", role="Variable Qualifier"),
+            rq("LBCOLSRT", "Collection Sort Order", dt="Num"),
+            _v("LBLLOD", "Lower Limit of Detection", "Perm", "Num",
+               role="Variable Qualifier"),
+            rq("LBSPCUFL", "Specimen Usability Flag", cl=_CL_NY),
+            rq("LBANMETH", "Analysis Method"),
+            rq("LBTMTHSN", "Method Sensitivity"),
+            rq("LBCLSIG", "Clinically Significant, Collected", cl=_CL_NY),
+            _dtc("LBENDTC", "End Date/Time of Specimen Collection"),
+            _v("LBENDY", "Study Day of End of Specimen Collection", "Perm",
+               "Num", role="Timing"),
+            rq("LBPTFL", "Point in Time Flag", cl=_CL_NY),
+            _v("LBPDUR", "Planned Duration of Collection", "Perm",
+               role="Timing", dvd=_DVD_DURATION),
+        ],
+        "AE": [
+            _v("SPDEVID", "Sponsor Device Identifier", "Perm",
+               role="Identifier"),
+            rq("AEACNDEV", "Action Taken with Device"),
+            rq("AERLDEV", "Relationship of AE to Device"),
+            rq("AESINTV", "Serious, Intervention Required", cl=_CL_NY),
+            rq("AEUNANT", "Unanticipated Adverse Device Effect", cl=_CL_NY),
+            rq("AERLPRT", "Relationship of AE to Device Part"),
+            rq("AERLPRC", "Relationship of AE to Procedure"),
+        ],
+        "DM": [
+            _dtc("RFCSTDTC", "Date/Time of First Study Collection"),
+            _dtc("RFCENDTC", "Date/Time of Last Study Collection"),
+        ],
+        "EG": [
+            _v("SPDEVID", "Sponsor Device Identifier", "Perm",
+               role="Identifier"),
+            rq("EGBEATNO", "ECG Beat Number", dt="Num"),
+            rq("EGXFN", "ECG External File Path"),
+            rq("EGLEAD", "Lead Location Used for Measurement"),
+            rq("EGEVALID", "Evaluator Identifier"),
+            rq("EGCLSIG", "Clinically Significant, Collected", cl=_CL_NY),
+            rq("EGREPNUM", "Repetition Number", dt="Num"),
+        ],
+        "VS": [
+            rq("VSCLSIG", "Clinically Significant, Collected", cl=_CL_NY),
+        ],
+        "CM": [
+            rq("CMADJ", "Reason for Dose Adjustment"),
+            rq("CMRSDISC", "Reason the Intervention Was Discontinued"),
+        ],
+        "EX": [
+            _v("EXREFID", "Reference ID", "Perm", role="Identifier"),
+            _v("EXLNKID", "Link ID", "Perm", role="Identifier"),
+            _v("EXLNKGRP", "Link Group ID", "Perm", role="Identifier"),
+            _v("EXDIR", "Directionality", "Perm", role="Variable Qualifier",
+               codelist=_CL_DIR),
+            rq("EXADJ", "Reason for Dose Adjustment"),
+            _v("EXTPT", "Planned Time Point Name", "Perm", role="Timing"),
+            _v("EXTPTNUM", "Planned Time Point Number", "Perm", "Num",
+               role="Timing"),
+            _v("EXELTM", "Planned Elapsed Time from Time Point Ref", "Perm",
+               role="Timing", dvd=_DVD_DURATION),
+            _v("EXTPTREF", "Time Point Reference", "Perm", role="Timing"),
+            _dtc("EXRFTDTC", "Date/Time of Reference Time Point"),
+        ],
+        "PE": [
+            _v("PEMODIFY", "Modified Reported Term", "Perm",
+               role="Synonym Qualifier"),
+            rq("PEBODSYS", "Body System or Organ Class"),
+            _v("PEORRESU", "Original Units", "Perm",
+               role="Variable Qualifier", codelist=_CL_UNIT),
+            rq("PELOBXFL", "Last Observation Before Exposure Flag",
+               cl=_CL_NY),
+            rq("PEBLFL", "Baseline Flag", cl=_CL_NY),
+        ],
+        "DA": [
+            _v("DALNKID", "Link ID", "Perm", role="Identifier"),
+            _v("DALNKGRP", "Link Group ID", "Perm", role="Identifier"),
+        ],
+        "MH": [
+            rq("MHEVDTYP", "Medical History Event Date Type"),
+        ],
+        "EC": [
+            rq("ECMOOD", "Mood"),
+            rq("ECREASOC", "Reason for Occur Value"),
+            _v("ECDIR", "Directionality", "Perm", role="Variable Qualifier",
+               codelist=_CL_DIR),
+            _v("ECPORTOT", "Portion or Totality", "Perm",
+               role="Variable Qualifier", codelist=_CL_PORTOT),
+            rq("ECPSTRG", "Product Strength Amount", dt="Num"),
+            _v("ECPSTRGU", "Product Strength Units", "Perm",
+               role="Variable Qualifier", codelist=_CL_UNIT),
+            rq("ECADJ", "Reason for Dose Adjustment"),
+            _v("ECTPT", "Planned Time Point Name", "Perm", role="Timing"),
+            _v("ECTPTNUM", "Planned Time Point Number", "Perm", "Num",
+               role="Timing"),
+        ],
+        "ML": [
+            _dtc("MLDTC", "Date/Time of Intake"),
+            _v("MLDY", "Study Day of Intake", "Perm", "Num", role="Timing"),
+            _v("MLTPT", "Planned Time Point Name", "Perm", role="Timing"),
+            _v("MLTPTNUM", "Planned Time Point Number", "Perm", "Num",
+               role="Timing"),
+            _v("MLELTM", "Planned Elapsed Time from Time Point Ref", "Perm",
+               role="Timing", dvd=_DVD_DURATION),
+            _v("MLTPTREF", "Time Point Reference", "Perm", role="Timing"),
+            _dtc("MLRFTDTC", "Date/Time of Reference Time Point"),
+            _v("MIDS", "Disease Milestone Instance Name", "Perm",
+               role="Timing"),
+            _v("RELMIDS", "Temporal Relation to Milestone Instance", "Perm",
+               role="Timing"),
+            _dtc("MIDSDTC", "Disease Milestone Instance Date/Time"),
+        ],
+        "BE": [
+            _v("SPDEVID", "Sponsor Device Identifier", "Perm",
+               role="Identifier"),
+            _v("BEMODIFY", "Modified Reported Term", "Perm",
+               role="Synonym Qualifier"),
+            rq("BELOC", "Location of Biospecimen Collection", cl=_CL_LOC),
+            rq("BEPARTY", "Accountable Party"),
+            rq("BEPRTYID", "Identification of Accountable Party"),
+            _dtc("BEDTC", "Date/Time of Collection"),
+        ],
+        "PP": [
+            rq("PPSPEC", "Specimen Material Type", cl="C78734"),
+            rq("PPANMETH", "Analysis Method"),
+            _v("PPTPTREF", "Time Point Reference", "Perm", role="Timing"),
+            _dtc("PPRFTDTC", "Date/Time of Reference Point"),
+            _v("PPSTINT", "Planned Start of Assessment Interval", "Perm",
+               role="Timing", dvd=_DVD_DURATION),
+            _v("PPENINT", "Planned End of Assessment Interval", "Perm",
+               role="Timing", dvd=_DVD_DURATION),
+        ],
+        "RS": [
+            _v("RSSTRTPT", "Start Relative to Reference Time Point", "Perm",
+               role="Timing", codelist=_CL_STENRF),
+            _dtc("RSSTTPT", "Start Reference Time Point"),
+            _v("RSENRTPT", "End Relative to Reference Time Point", "Perm",
+               role="Timing", codelist=_CL_STENRF),
+            _dtc("RSENTPT", "End Reference Time Point"),
+        ],
+        "MS": [
+            rq("MSAGENT", "Agent Name"),
+            rq("MSCONC", "Agent Concentration", dt="Num"),
+            _v("MSCONCU", "Agent Concentration Units", "Perm",
+               role="Variable Qualifier", codelist=_CL_UNIT),
+            rq("MSANMETH", "Analysis Method"),
+        ],
+        "GF": [
+            rq("GFORREF", "Result Reference in Original Format"),
+            rq("GFSTREFC", "Reference Result in Character Format"),
+            rq("GFSTREFN", "Numeric Reference Result in Std Format",
+               dt="Num"),
+            rq("GFINHERT", "Inherited From"),
+            rq("GFGENREF", "Genomic Reference Assembly"),
+            rq("GFCHROM", "Chromosome Identifier"),
+        ],
+        "IS": [
+            rq("ISTSTCND", "Test Condition"),
+            rq("ISCNDAGT", "Condition Agent"),
+            rq("ISBDAGNT", "Binding Agent"),
+            rq("ISTSTOPO", "Test Operational Objective"),
+            rq("ISMSCBCE", "Microbial Source"),
+            rq("ISSPCUFL", "Specimen Usability Flag", cl=_CL_NY),
+            _v("ISLLOQ", "Lower Limit of Quantitation", "Perm", "Num",
+               role="Variable Qualifier"),
+            _dtc("ISENDTC", "End Date/Time of Specimen Collection"),
+            _v("ISENDY", "Study Day of End of Specimen Collection", "Perm",
+               "Num", role="Timing"),
+        ],
+        "OE": [
+            rq("OEORREF", "Result Reference in Original Format"),
+        ],
+        "RE": [
+            rq("REORREF", "Result Reference in Original Format"),
+            rq("RESTREFC", "Reference Result in Character Format"),
+            rq("RESTREFN", "Numeric Reference Result in Std Format",
+               dt="Num"),
+        ],
+        "CP": [
+            rq("CPSBMRKS", "Submitted Marker String"),
+            rq("CPCELSTA", "Cell State"),
+            rq("CPCSMRKS", "Cell State Marker String"),
+            rq("CPTSTCND", "Test Condition"),
+            rq("CPCNDAGT", "Condition Agent"),
+            rq("CPBDAGNT", "Binding Agent"),
+            rq("CPABCLID", "Antibody Clone Identifier"),
+            rq("CPMRKSTR", "Marker String"),
+            rq("CPGATE", "Gate"),
+            rq("CPGATDEF", "Gate Definition"),
+        ],
+        "GF": [
+            rq("GFSYM", "Gene Symbol"),
+            rq("GFSYMTYP", "Gene Symbol Type"),
+            rq("GFGENLOC", "Genetic Location"),
+            rq("GFGENSR", "Genetic Sub-region"),
+            rq("GFSEQID", "Sequence Identifier"),
+            rq("GFPVRID", "Programmatic Variant Record Identifier"),
+            rq("GFCOPYID", "Copy Identifier"),
+            rq("GFXFN", "External File Path"),
+            rq("GFRUNID", "Run ID"),
+            rq("GFANMETH", "Analysis Method"),
+        ],
+        "MS": [
+            rq("MSLOBXFL", "Last Observation Before Exposure Flag",
+               cl=_CL_NY),
+            rq("MSFAST", "Fasting Status", cl=_CL_NY),
+            _v("MSEVAL", "Evaluator", "Perm", role="Record Qualifier",
+               codelist=_CL_EVAL),
+            _v("MSEVALID", "Evaluator Identifier", "Perm",
+               role="Variable Qualifier"),
+            rq("MSACPTFL", "Accepted Record Flag", cl=_CL_NY),
+            _v("MSLLOQ", "Lower Limit of Quantitation", "Perm", "Num",
+               role="Variable Qualifier"),
+            _v("MSULOQ", "Upper Limit of Quantitation", "Perm", "Num",
+               role="Variable Qualifier"),
+            rq("MSREPNUM", "Repetition Number", dt="Num"),
+            _v("MSDUR", "Duration", "Perm", role="Timing",
+               dvd=_DVD_DURATION),
+            _v("MSEVLINT", "Evaluation Interval", "Perm", role="Timing",
+               dvd=_DVD_DURATION),
+        ],
+        "PR": [
+            _v("PRDIR", "Directionality", "Perm", role="Variable Qualifier",
+               codelist=_CL_DIR),
+            _v("PRPORTOT", "Portion or Totality", "Perm",
+               role="Variable Qualifier", codelist=_CL_PORTOT),
+            _v("PRTPT", "Planned Time Point Name", "Perm", role="Timing"),
+            _v("PRTPTNUM", "Planned Time Point Number", "Perm", "Num",
+               role="Timing"),
+            _v("PRELTM", "Planned Elapsed Time from Time Point Ref", "Perm",
+               role="Timing", dvd=_DVD_DURATION),
+            _v("PRTPTREF", "Time Point Reference", "Perm", role="Timing"),
+            _dtc("PRRFTDTC", "Date/Time of Reference Time Point"),
+        ],
+        "PC": [
+            _v("PCLLOQ", "Lower Limit of Quantitation", "Perm", "Num",
+               role="Variable Qualifier"),
+            _v("PCULOQ", "Upper Limit of Quantitation", "Perm", "Num",
+               role="Variable Qualifier"),
+            _dtc("PCENDTC", "End Date/Time of Specimen Collection"),
+            _v("PCENDY", "Study Day of End of Specimen Collection", "Perm",
+               "Num", role="Timing"),
+        ],
+        "RP": [
+            _v("RPREFID", "Reference ID", "Perm", role="Identifier"),
+            _v("RPLNKID", "Link ID", "Perm", role="Identifier"),
+            _v("RPLNKGRP", "Link Group ID", "Perm", role="Identifier"),
+            _v("RPDUR", "Duration", "Perm", role="Timing",
+               dvd=_DVD_DURATION),
+        ],
+        "TR": [
+            rq("TRNAM", "Vendor Name"),
+            rq("TRLOBXFL", "Last Observation Before Exposure Flag",
+               cl=_CL_NY),
+            _v("TREVALID", "Evaluator Identifier", "Perm",
+               role="Variable Qualifier"),
+            rq("TRACPTFL", "Accepted Record Flag", cl=_CL_NY),
+        ],
+        "EC": None,  # placeholder replaced below (merge with earlier EC adds)
+        "CE": [
+            rq("CETOXGR", "Standard Toxicity Grade", cl=_CL_TOXGR),
+            _dtc("CEDTC", "Date/Time of Event Collection"),
+            _v("CEDY", "Study Day of Event Collection", "Perm", "Num",
+               role="Timing"),
+        ],
+        "MI": [
+            _v("MITSTDTL", "Measurement, Test or Examination Detail", "Perm",
+               role="Topic"),
+            _v("MIRESCAT", "Result Category", "Perm",
+               role="Variable Qualifier"),
+            rq("MILOBXFL", "Last Observation Before Exposure Flag",
+               cl=_CL_NY),
+        ],
+        "SR": [
+            _v("SRREFID", "Reference ID", "Perm", role="Identifier"),
+            rq("SRNAM", "Vendor Name"),
+            rq("SRSPEC", "Specimen Type", cl="C78734"),
+        ],
+    }
+    # merge the second EC batch into the first
+    adds["EC"] = [
+        rq("ECMOOD", "Mood"),
+        rq("ECREASOC", "Reason for Occur Value"),
+        _v("ECDIR", "Directionality", "Perm", role="Variable Qualifier",
+           codelist=_CL_DIR),
+        _v("ECPORTOT", "Portion or Totality", "Perm",
+           role="Variable Qualifier", codelist=_CL_PORTOT),
+        rq("ECPSTRG", "Product Strength Amount", dt="Num"),
+        _v("ECPSTRGU", "Product Strength Units", "Perm",
+           role="Variable Qualifier", codelist=_CL_UNIT),
+        rq("ECADJ", "Reason for Dose Adjustment"),
+        _v("ECTPT", "Planned Time Point Name", "Perm", role="Timing"),
+        _v("ECTPTNUM", "Planned Time Point Number", "Perm", "Num",
+           role="Timing"),
+        _v("ECELTM", "Planned Elapsed Time from Time Point Ref", "Perm",
+           role="Timing", dvd=_DVD_DURATION),
+        _v("ECTPTREF", "Time Point Reference", "Perm", role="Timing"),
+        _dtc("ECRFTDTC", "Date/Time of Reference Time Point"),
+    ]
+    adds["GF"] += [
+        rq("GFORREF", "Result Reference in Original Format"),
+        rq("GFSTREFC", "Reference Result in Character Format"),
+        rq("GFSTREFN", "Numeric Reference Result in Std Format", dt="Num"),
+        rq("GFINHERT", "Inherited From"),
+        rq("GFGENREF", "Genomic Reference Assembly"),
+        rq("GFCHROM", "Chromosome Identifier"),
+        _v("GFLLOQ", "Lower Limit of Quantitation", "Perm", "Num",
+           role="Variable Qualifier"),
+        rq("GFREPNUM", "Repetition Number", dt="Num"),
+    ]
+    adds["MS"] += [
+        rq("MSAGENT", "Agent Name"),
+        rq("MSCONC", "Agent Concentration", dt="Num"),
+        _v("MSCONCU", "Agent Concentration Units", "Perm",
+           role="Variable Qualifier", codelist=_CL_UNIT),
+        rq("MSANMETH", "Analysis Method"),
+        _v("MSEVINTX", "Evaluation Interval Text", "Perm", role="Timing"),
+    ]
+    adds["HO"] = [
+        _dtc("HODTC", "Date/Time of Event Collection"),
+        _v("HODY", "Study Day of Event Collection", "Perm", "Num",
+           role="Timing"),
+    ]
+    adds["BS"] = [
+        _v("SPDEVID", "Sponsor Device Identifier", "Perm", role="Identifier"),
+        rq("BSANTREG", "Anatomical Region"),
+    ]
+    adds["CP"] += [
+        rq("CPSPTSTD", "Specimen Test Condition"),
+        rq("CPTSTPNL", "Test Panel"),
+        _v("CPRESSCL", "Result Scale", "Perm", role="Variable Qualifier"),
+        _v("CPRESTYP", "Result Type", "Perm", role="Variable Qualifier"),
+        rq("CPCOLSRT", "Collection Sort Order", dt="Num"),
+        rq("CPANMETH", "Analysis Method"),
+        rq("CPCLSIG", "Clinically Significant, Collected", cl=_CL_NY),
+    ]
+    adds["SV"] = [
+        rq("SVCNTMOD", "Contact Mode"),
+        rq("SVEPCHGI", "Epoch Change Indication"),
+    ]
+    adds["AE"] += [
+        _v("AEENRF", "End Relative to Reference Period", "Perm",
+           role="Timing", codelist=_CL_STENRF),
+    ]
+    adds["DD"] = [
+        _v("DDRESCAT", "Result Category", "Perm", role="Variable Qualifier"),
+    ]
+    adds["CO"] = [
+        _v("COEVALID", "Evaluator Identifier", "Perm",
+           role="Variable Qualifier"),
+    ]
+    adds["RELSUB"] = [
+        _v("POOLID", "Pool Identifier", "Perm", role="Identifier"),
+    ]
+    removes: dict[str, set[str]] = {
+        # template features the published IG omits for these domains
+        "AE": {"AEOCCUR", "AESTRTPT", "AESTTPT"},
+        "VS": {"VSORNRLO", "VSORNRHI", "VSSTNRLO", "VSSTNRHI", "VSSTNRC",
+               "VSNRIND"},
+        "EX": {"EXDOSTOT", "EXENRF", "EXOCCUR", "EXPRESP", "EXREASND",
+               "EXSTAT", "EXSTRF", "VISIT", "VISITDY", "VISITNUM"},
+        "PE": {"PEDIR"},
+        "DA": {"DABLFL", "DADRVFL"},
+        "MH": {"MHBDSYCD", "MHDUR", "MHENDY", "MHSTDY", "MHSTRF",
+               "MHSTRTPT", "MHSTTPT", "VISIT", "VISITDY", "VISITNUM"},
+        "DS": {"DSENDTC", "DSENDY"},
+        "IE": {"IEGRPID"},
+    }
+    # VS carries toxicity but not normal ranges in the published IG
+    adds["VS"] += [
+        _v("VSTOX", "Toxicity", "Perm", role="Variable Qualifier"),
+        _v("VSTOXGR", "Standard Toxicity Grade", "Perm",
+           role="Variable Qualifier", codelist=_CL_TOXGR),
+    ]
+    anchors = {"DM": "RFPENDTC"}  # insert after this variable instead
+    for code, extra in adds.items():
+        vs = out[code]["variables"]
+        if code in anchors:
+            ix = next(
+                i + 1 for i, v in enumerate(vs) if v["name"] == anchors[code]
+            )
+        else:
+            # insert domain qualifiers before the timing block
+            ix = next(
+                (i for i, v in enumerate(vs) if v["role"] == "Timing"), len(vs)
+            )
+        vs[ix:ix] = extra
+    for code, names in removes.items():
+        out[code]["variables"] = [
+            v for v in out[code]["variables"] if v["name"] not in names
+        ]
 
 
 DOMAINS: dict[str, dict] = _build_domains()
