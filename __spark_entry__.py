@@ -362,7 +362,12 @@ def a5_duplicate_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def a6_values_by_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6: subject -> collected value list (sorted for determinism)."""
+    """A6: subject -> collected value list (sorted for determinism).
+
+    Bounded-use operator: collect_list is unbounded per group and
+    skew-exposed at 100× — mirror of the reference's per-subject value
+    listing for profiling/preview only. Validation paths use the
+    direct aggregation formulations (A5/A7/A8) instead."""
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_custkey").agg(
         F.concat_ws(",", F.sort_array(F.collect_list("o_orderkey"))).alias("orderkeys"),

@@ -212,3 +212,49 @@ def test_stateful_running_totals(spark, tmp_path):
     finally:
         q.stop()
     assert got == {1: (2, 4.0), 2: (1, 4.0)}
+
+
+def test_streaming_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode + watermark: an event older than the watermark must
+    be DROPPED from its already-finalized window (true late-data
+    semantics, exercised with two sequential micro-batches)."""
+    src_dir = str(tmp_path / "late_stream")
+    schema = "event_id bigint, ts timestamp, event_type string, value double"
+
+    def write_batch(rows, part):
+        values_df(
+            spark, rows, "event_id bigint, ts_s string, event_type string, value double"
+        ).select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+            "event_type", "value",
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    # batch 1: one on-time event + a far-future event that advances the
+    # watermark past the first window's end
+    write_batch([(1, "2024-01-01 00:10:00", "click", 1.0),
+                 (2, "2024-01-01 03:00:00", "click", 1.0)], 0)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src_dir)
+    agg = tumbling_window_counts(stream, "1 hour", watermark="1 hour")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE event for the 00:00 window (watermark is now
+        # 02:00) — must not resurrect or alter the finalized window
+        write_batch([(3, "2024-01-01 00:20:00", "click", 5.0)], 1)
+        q.processAllAvailable()
+        got = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in spark.sql("SELECT * FROM late_out").collect()
+        }
+    finally:
+        q.stop()
+    # the 00:00 window finalized with ONLY the on-time event
+    assert got[("2024-01-01 00:00:00", "click")] == (1, 1.0)
+    # the late event's value never appears anywhere
+    assert all(v[1] != 5.0 and v[1] != 6.0 for v in got.values()), got
