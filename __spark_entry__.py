@@ -491,6 +491,22 @@ def r1_supp_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return supp_unpivot(p, ["p_brand", "p_type"], "TPCH", "PT")
 
 
+def r3_supp_pivot_back(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3: SUPPQUAL round-trip — unpivot then pivot back to wide
+    qualifiers per (USUBJID, IDVAR, IDVARVAL)."""
+    from trial_submission_studio_spark.operators.reshape import supp_pivot_back
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("string").alias("USUBJID"),
+        F.col("o_orderkey").alias("SEQ"),
+        F.col("o_orderpriority").alias("PRIO"),
+        F.col("o_orderstatus").alias("STATUSV"),
+    )
+    supp = supp_unpivot(o, ["PRIO", "STATUSV"], "TPCH", "XX",
+                        usubjid_col="USUBJID", idvar_col="SEQ")
+    return supp_pivot_back(supp, qnams=["PRIO", "STATUSV"])
+
+
 def r2_reciprocal_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R2: synthesize reverse relationship rows via anti join + map join."""
     li = _t(spark, sf_dir, "lineitem")
@@ -761,6 +777,43 @@ def qs_registry_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         global_ref_date="1995-06-01",
     )
     rules = infer_rules(DOMAINS["QS"]["variables"], mappings, ctx)
+    return compile_pipeline(src, rules, ctx)
+
+
+def adsl_registry_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADaM end-to-end: the ADSL structure registry drives infer_rules
+    + compile_pipeline with the SHIPPED CT catalog (SEX synonyms
+    canonicalize via the builtin lookup — no user CSV)."""
+    from trial_submission_studio_spark.standards.adam_ig import ADAM_STRUCTURES
+    from trial_submission_studio_spark.standards.ct_catalog import builtin_lookup_df
+
+    c = _t(spark, sf_dir, "customer")
+    src = c.select(
+        F.col("c_custkey").alias("ORD"),
+        F.col("c_custkey").cast("string").alias("SUBJ"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("male"))
+        .when(F.col("c_custkey") % 3 == 1, F.lit("F"))
+        .otherwise(F.lit("Unknown"))
+        .alias("SEXRAW"),
+        (F.lit(20) + F.col("c_custkey") % 60).cast("string").alias("AGERAW"),
+        F.col("c_mktsegment").alias("ARMRAW"),
+        F.col("c_nationkey").cast("string").alias("CTRYRAW"),
+    )
+    mappings = {
+        "SUBJID": "SUBJ",
+        "SEX": "SEXRAW",
+        "AGE": "AGERAW",
+        "ARM": "ARMRAW",
+        "COUNTRY": "CTRYRAW",
+    }
+    ctx = NormalizationContext(
+        study_id="AD01",
+        domain_code="ADSL",
+        order_col="ORD",
+        subject_col="SUBJ",
+        ct_lookup=builtin_lookup_df(spark),
+    )
+    rules = infer_rules(ADAM_STRUCTURES["ADSL"]["variables"], mappings, ctx)
     return compile_pipeline(src, rules, ctx)
 
 
@@ -1059,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j6_relrec_probe": j6_relrec_probe,
         "r1_supp_unpivot": r1_supp_unpivot,
         "r2_reciprocal_union": r2_reciprocal_union,
+        "r3_supp_pivot_back": r3_supp_pivot_back,
         "v1_required_empty": v1_required_empty,
         "v4_invalid_dates": v4_invalid_dates,
         "v6_text_too_long": v6_text_too_long,
@@ -1073,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling_window": events_tumbling_window,
         "e2e_cdisc_pipeline": e2e_cdisc_pipeline,
         "qs_registry_pipeline": qs_registry_pipeline,
+        "adsl_registry_pipeline": adsl_registry_pipeline,
         "t12_bool_render": t12_bool_render,
         "a9_has_collected_data": a9_has_collected_data,
         "a10_first_nonnull_ref": a10_first_nonnull_ref,
@@ -1335,6 +1390,14 @@ def oracle_sql() -> dict[str, str]:
                    'PTYPE', 'p_type', p_type, 'CRF', ''
             FROM part WHERE p_type IS NOT NULL AND trim(p_type) != ''
         """,
+        "r3_supp_pivot_back": """
+            SELECT CAST(o_custkey AS VARCHAR) AS "USUBJID",
+                   'XXSEQ' AS "IDVAR",
+                   CAST(o_orderkey AS VARCHAR) AS "IDVARVAL",
+                   o_orderstatus AS "STATUSV",
+                   o_orderpriority AS "PRIO"
+            FROM orders
+        """,
         "r2_reciprocal_union": """
             WITH rel AS (
               SELECT DISTINCT c_nationkey AS usubj, s_nationkey AS rsubj,
@@ -1569,6 +1632,18 @@ def oracle_sql() -> dict[str, str]:
                              ELSE datediff('day', r.rfdate, CAST(s.o_orderdate AS DATE)) END
                         AS INTEGER) AS "XXDY"
             FROM src s JOIN ref r ON s.c_name = r.c_name
+        """,
+        "adsl_registry_pipeline": """
+            SELECT 'AD01' AS "STUDYID",
+                   'AD01-' || CAST(c_custkey AS VARCHAR) AS "USUBJID",
+                   CAST(c_custkey AS VARCHAR) AS "SUBJID",
+                   CAST(20 + c_custkey % 60 AS DOUBLE) AS "AGE",
+                   CASE WHEN c_custkey % 3 = 0 THEN 'M'
+                        WHEN c_custkey % 3 = 1 THEN 'F'
+                        ELSE 'U' END AS "SEX",
+                   CAST(c_nationkey AS VARCHAR) AS "COUNTRY",
+                   c_mktsegment AS "ARM"
+            FROM customer
         """,
         "ann_ivf_topk": """
             SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 20) * 5

@@ -296,3 +296,25 @@ def test_simhash_hamming_pairs_pigeonhole(spark):
     assert got[(1, 2)] == 0
     assert got[(1, 3)] == 1 and got[(2, 3)] == 1
     assert all(4 not in pair for pair in got)
+
+
+def test_supp_pivot_back_roundtrip(spark):
+    """supp_unpivot -> supp_pivot_back recovers the wide qualifiers."""
+    from trial_submission_studio_spark.operators.reshape import (
+        supp_pivot_back,
+        supp_unpivot,
+    )
+
+    src = values_df(
+        spark,
+        [("S1", 1, "high", "alpha"), ("S1", 2, None, "beta"), ("S2", 1, "low", None)],
+        "USUBJID string, SEQ int, PRIO string, NOTE string",
+    )
+    supp = supp_unpivot(src, ["PRIO", "NOTE"], "ST", "XX",
+                        usubjid_col="USUBJID", idvar_col="SEQ")
+    wide = supp_pivot_back(supp)
+    got = {(r["USUBJID"], r["IDVARVAL"]): (r["NOTE"], r["PRIO"])
+           for r in wide.collect()}
+    assert got[("S1", "1")] == ("alpha", "high")
+    assert got[("S1", "2")] == ("beta", None)   # blank PRIO never unpivoted
+    assert got[("S2", "1")] == (None, "low")
