@@ -434,7 +434,11 @@ def j3_rsubjid_in_dm(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 3000).cast("string").alias("RSUBJID"),
         F.lit("SIBLING").alias("SREL"),
     )
-    return rsubjid_not_in_dm(rel, dm)
+    # The library keeps `samples` as array<string>; the oracle harness
+    # canonicalizer can't sort list cells, so the contract view string-joins.
+    return rsubjid_not_in_dm(rel, dm).withColumn(
+        "samples", F.concat_ws("|", "samples")
+    )
 
 
 def j4_bidirectional_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -857,6 +861,45 @@ def a10_first_nonnull_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_const_bool_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 Constant + T12 Bool→Y/N merged into one contract row (one
+    projection over orders). Merged so every declared query fits the
+    driver's 50-row check window; each operator keeps its own library
+    function and pytest coverage."""
+    o = _t(spark, sf_dir, "orders")
+    from trial_submission_studio_spark.functions import bool_yn
+
+    return o.select(
+        "o_orderkey",
+        F.lit("STUDY01").alias("studyid"),
+        F.lit("XX").alias("domain"),
+        bool_yn(F.col("o_orderstatus") == "F").alias("finished"),
+    )
+
+
+def a_profile_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 max-length + A5 duplicate-seq + A9 has-data + A10 first-ref
+    single-row gates merged (crossJoin of 1-row aggregates — gate
+    scale only). Column names stay per-operator so the oracle hash
+    still pins each operator's value individually."""
+    return (
+        a4_max_observed_length(spark, sf_dir)
+        .crossJoin(a5_duplicate_sequence(spark, sf_dir))
+        .crossJoin(a9_has_collected_data(spark, sf_dir))
+        .crossJoin(a10_first_nonnull_ref(spark, sf_dir))
+    )
+
+
+def v_domain_check_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1 required-empty + V4 invalid-date + V6 text-too-long
+    single-row gates merged (crossJoin of 1-row aggregates)."""
+    return (
+        v1_required_empty(spark, sf_dir)
+        .crossJoin(v4_invalid_dates(spark, sf_dir))
+        .crossJoin(v6_text_too_long(spark, sf_dir))
+    )
+
+
 def j5_relspec_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5: RELSPEC PARENT -> REFID referential check per subject
     (empty PARENT is a valid root)."""
@@ -1086,10 +1129,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Declared contract: exactly 50 entries so the driver's 50-row
+    check window covers every query (r2 lesson: entries past #50 get
+    no CORRECTNESS row). T1/T12, A4/A5/A9/A10 and V1/V4/V6 are merged
+    into single gate queries (see t_const_bool_render /
+    a_profile_gates / v_domain_check_gates); the never-yet-checked
+    dedup gates sit at the front as defense in depth."""
     return {
         "q1_pricing_summary": q1_pricing_summary,
         "q3_order_revenue": q3_order_revenue,
-        "t1_constant_projection": t1_constant_projection,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_jaccard_verified": dedup_jaccard_verified,
+        "simhash_fingerprints": simhash_fingerprints,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
+        "e2e_cdisc_pipeline": e2e_cdisc_pipeline,
+        "qs_registry_pipeline": qs_registry_pipeline,
+        "adsl_registry_pipeline": adsl_registry_pipeline,
         "t2_usubjid_prefix": t2_usubjid_prefix,
         "t3_sequence_number": t3_sequence_number,
         "t4_iso8601_normalize": t4_iso8601_normalize,
@@ -1099,23 +1154,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t9_numeric_parse": t9_numeric_parse,
         "t11_codelist_decode_fill": t11_codelist_decode_fill,
         "t13_numeric_render": t13_numeric_render,
+        "t_const_bool_render": t_const_bool_render,
         "a1_column_profile": a1_column_profile,
         "a3_distinct_samples": a3_distinct_samples,
-        "a4_max_observed_length": a4_max_observed_length,
-        "a5_duplicate_sequence": a5_duplicate_sequence,
         "a6_values_by_subject": a6_values_by_subject,
         "a8_invalid_samples": a8_invalid_samples,
+        "a_profile_gates": a_profile_gates,
         "j1_orphan_customers": j1_orphan_customers,
         "j2_semi_suppliers": j2_semi_suppliers,
         "j3_rsubjid_in_dm": j3_rsubjid_in_dm,
         "j4_bidirectional_missing": j4_bidirectional_missing,
+        "j5_relspec_parent": j5_relspec_parent,
         "j6_relrec_probe": j6_relrec_probe,
         "r1_supp_unpivot": r1_supp_unpivot,
         "r2_reciprocal_union": r2_reciprocal_union,
         "r3_supp_pivot_back": r3_supp_pivot_back,
-        "v1_required_empty": v1_required_empty,
-        "v4_invalid_dates": v4_invalid_dates,
-        "v6_text_too_long": v6_text_too_long,
+        "v_domain_check_gates": v_domain_check_gates,
         "v8_ct_violations": v8_ct_violations,
         "w1_days_since_prev": w1_days_since_prev,
         "dedup_exact_docs": dedup_exact_docs,
@@ -1123,24 +1177,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": text_token_stats,
         "text_lang_id": text_lang_id,
         "text_quality": text_quality,
-        "ann_cosine_topk": ann_cosine_topk,
-        "events_tumbling_window": events_tumbling_window,
-        "e2e_cdisc_pipeline": e2e_cdisc_pipeline,
-        "qs_registry_pipeline": qs_registry_pipeline,
-        "adsl_registry_pipeline": adsl_registry_pipeline,
-        "t12_bool_render": t12_bool_render,
-        "a9_has_collected_data": a9_has_collected_data,
-        "a10_first_nonnull_ref": a10_first_nonnull_ref,
-        "j5_relspec_parent": j5_relspec_parent,
         "text_bpe_tokens": text_bpe_tokens,
+        "ann_cosine_topk": ann_cosine_topk,
+        "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
+        "events_tumbling_window": events_tumbling_window,
         "events_sessionization": events_sessionization,
         "agg_salted_user_totals": agg_salted_user_totals,
-        "ann_ivf_topk": ann_ivf_topk,
-        "ann_lsh_topk": ann_lsh_topk,
-        "dedup_embedding_cosine": dedup_embedding_cosine,
-        "dedup_jaccard_verified": dedup_jaccard_verified,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
-        "simhash_fingerprints": simhash_fingerprints,
     }
 
 
@@ -1189,8 +1232,10 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate > TIMESTAMP '1997-06-01'
             GROUP BY o_orderkey
         """,
-        "t1_constant_projection": """
-            SELECT o_orderkey, 'STUDY01' AS studyid, 'XX' AS domain FROM orders
+        "t_const_bool_render": """
+            SELECT o_orderkey, 'STUDY01' AS studyid, 'XX' AS domain,
+                   CASE WHEN o_orderstatus = 'F' THEN 'Y' ELSE 'N' END AS finished
+            FROM orders
         """,
         "t2_usubjid_prefix": """
             SELECT c_custkey,
@@ -1293,20 +1338,26 @@ def oracle_sql() -> dict[str, str]:
         "a3_distinct_samples": """
             SELECT DISTINCT p_brand FROM part ORDER BY p_brand LIMIT 5
         """,
-        "a4_max_observed_length": """
-            SELECT CAST(greatest(max(length(rtrim(p_name))), 1) AS BIGINT) AS len_name,
-                   CAST(greatest(max(length(rtrim(p_brand))), 1) AS BIGINT) AS len_brand,
-                   CAST(greatest(max(length(rtrim(p_type))), 1) AS BIGINT) AS len_type
-            FROM part
-        """,
-        "a5_duplicate_sequence": """
-            WITH g AS (
-              SELECT o_custkey, o_orderkey % 10 AS seq, count(*) AS n
-              FROM orders GROUP BY 1, 2 HAVING count(*) > 1
-            )
-            SELECT CAST(count(*) AS BIGINT) AS dup_groups,
-                   CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS extra_rows
-            FROM g
+        "a_profile_gates": """
+            SELECT * FROM
+              (SELECT CAST(greatest(max(length(rtrim(p_name))), 1) AS BIGINT) AS len_name,
+                      CAST(greatest(max(length(rtrim(p_brand))), 1) AS BIGINT) AS len_brand,
+                      CAST(greatest(max(length(rtrim(p_type))), 1) AS BIGINT) AS len_type
+               FROM part)
+            CROSS JOIN
+              (SELECT CAST(count(*) AS BIGINT) AS dup_groups,
+                      CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS extra_rows
+               FROM (SELECT count(*) AS n FROM orders
+                     GROUP BY o_custkey, o_orderkey % 10 HAVING count(*) > 1))
+            CROSS JOIN
+              (SELECT CAST(max(CASE WHEN c_name IS NOT NULL AND trim(c_name) != ''
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS has_name,
+                      CAST(0 AS BIGINT) AS has_blank
+               FROM customer)
+            CROSS JOIN
+              (SELECT strftime(o_orderdate, '%Y-%m-%d') AS rfstdtc
+               FROM orders WHERE o_orderkey % 7 != 0
+               ORDER BY o_orderkey LIMIT 1)
         """,
         "a6_values_by_subject": """
             SELECT o_custkey,
@@ -1350,7 +1401,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'RELSUB' AS domain, 'RSUBJID' AS variable,
                    'CrossReference' AS category, 'Error' AS severity,
                    CAST(count(*) AS BIGINT) AS count,
-                   list_slice(list_sort(list(DISTINCT rsubj)), 1, 5) AS samples
+                   array_to_string(list_slice(list_sort(list(DISTINCT rsubj)), 1, 5), '|') AS samples
             FROM miss
         """,
         "j4_bidirectional_missing": """
@@ -1422,12 +1473,7 @@ def oracle_sql() -> dict[str, str]:
                              ELSE srel END AS srel
             FROM missing
         """,
-        "v1_required_empty": """
-            SELECT CAST(sum(CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_blank,
-                   CAST(sum(CASE WHEN c_custkey % 7 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_filled
-            FROM customer
-        """,
-        "v4_invalid_dates": f"""
+        "v_domain_check_gates": f"""
             WITH v AS (
               SELECT CASE event_id % 5
                        WHEN 0 THEN strftime(ts, '%Y-%m-%d')
@@ -1437,11 +1483,21 @@ def oracle_sql() -> dict[str, str]:
                        ELSE 'garbage' END AS raw
               FROM events
             )
-            SELECT CAST(sum(CASE WHEN regexp_matches(raw, '{iso_re}') THEN 1 ELSE 0 END) AS BIGINT)
-                     AS n_valid,
-                   CAST(sum(CASE WHEN regexp_matches(raw, '{iso_re}') THEN 0 ELSE 1 END) AS BIGINT)
-                     AS n_invalid
-            FROM v
+            SELECT * FROM
+              (SELECT CAST(sum(CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_blank,
+                      CAST(sum(CASE WHEN c_custkey % 7 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_filled
+               FROM customer)
+            CROSS JOIN
+              (SELECT CAST(sum(CASE WHEN regexp_matches(raw, '{iso_re}') THEN 1 ELSE 0 END) AS BIGINT)
+                        AS n_valid,
+                      CAST(sum(CASE WHEN regexp_matches(raw, '{iso_re}') THEN 0 ELSE 1 END) AS BIGINT)
+                        AS n_invalid
+               FROM v)
+            CROSS JOIN
+              (SELECT CAST(sum(CASE WHEN length(rtrim(p_name)) > 30 THEN 1 ELSE 0 END) AS BIGINT)
+                        AS n_over,
+                      CAST(max(length(rtrim(p_name))) AS BIGINT) AS max_len
+               FROM part)
         """,
         "v8_ct_violations": """
             WITH v AS (
@@ -1455,12 +1511,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT val) AS BIGINT) AS distinct_violations,
                    array_to_string((list_sort(list(DISTINCT val)))[1:5], '|') AS samples
             FROM misses
-        """,
-        "v6_text_too_long": """
-            SELECT CAST(sum(CASE WHEN length(rtrim(p_name)) > 30 THEN 1 ELSE 0 END) AS BIGINT)
-                     AS n_over,
-                   CAST(max(length(rtrim(p_name))) AS BIGINT) AS max_len
-            FROM part
         """,
         "w1_days_since_prev": """
             SELECT o_orderkey,
@@ -1546,21 +1596,6 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
-        """,
-        "t12_bool_render": """
-            SELECT o_orderkey,
-                   CASE WHEN o_orderstatus = 'F' THEN 'Y' ELSE 'N' END AS finished
-            FROM orders
-        """,
-        "a9_has_collected_data": """
-            SELECT CAST(max(CASE WHEN c_name IS NOT NULL AND trim(c_name) != '' THEN 1 ELSE 0 END) AS BIGINT) AS has_name,
-                   CAST(0 AS BIGINT) AS has_blank
-            FROM customer
-        """,
-        "a10_first_nonnull_ref": """
-            SELECT strftime(o_orderdate, '%Y-%m-%d') AS rfstdtc
-            FROM orders WHERE o_orderkey % 7 != 0
-            ORDER BY o_orderkey LIMIT 1
         """,
         "j5_relspec_parent": """
             WITH rel AS (
