@@ -547,6 +547,38 @@ def r2_reciprocal_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def r4_reciprocal_sex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2b: sex-dependent CHILD reciprocal resolution (reference
+    reciprocal.rs:104-147) — CHILD,* reverse rows become MOTHER,*/
+    FATHER,* via the parent's DM SEX; unknown sex yields no reverse
+    row; static terms (HUSBAND/SIBLING) resolve from the table."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rel = (
+        o.filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            F.col("o_custkey").cast("string").alias("usubj"),
+            ((F.col("o_custkey") + 7) % 1500 + 1).cast("string").alias("rsubj"),
+            F.when(F.col("o_orderkey") % 4 == 0, F.lit("CHILD, BIOLOGICAL"))
+            .when(F.col("o_orderkey") % 4 == 1, F.lit("CHILD, ADOPTIVE"))
+            .when(F.col("o_orderkey") % 4 == 2, F.lit("HUSBAND"))
+            .otherwise(F.lit("SIBLING"))
+            .alias("srel"),
+        )
+        .distinct()
+    )
+    dm = c.select(
+        F.col("c_custkey").cast("string").alias("USUBJID"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("F"))
+        .when(F.col("c_custkey") % 3 == 1, F.lit("M"))
+        .otherwise(F.lit("U"))
+        .alias("SEX"),
+    )
+    return reciprocal_augment(
+        rel, usubjid_col="usubj", rsubjid_col="rsubj", srel_col="srel", dm=dm
+    )
+
+
 # --------------------------------------------------------------------------
 # V-family: validation queries
 # --------------------------------------------------------------------------
@@ -1169,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r1_supp_unpivot": r1_supp_unpivot,
         "r2_reciprocal_union": r2_reciprocal_union,
         "r3_supp_pivot_back": r3_supp_pivot_back,
+        "r4_reciprocal_sex": r4_reciprocal_sex,
         "v_domain_check_gates": v_domain_check_gates,
         "v8_ct_violations": v8_ct_violations,
         "w1_days_since_prev": w1_days_since_prev,
@@ -1448,6 +1481,42 @@ def oracle_sql() -> dict[str, str]:
                    o_orderstatus AS "STATUSV",
                    o_orderpriority AS "PRIO"
             FROM orders
+        """,
+        "r4_reciprocal_sex": """
+            WITH rel AS (
+              SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS usubj,
+                     CAST((o_custkey + 7) % 1500 + 1 AS VARCHAR) AS rsubj,
+                     CASE o_orderkey % 4 WHEN 0 THEN 'CHILD, BIOLOGICAL'
+                          WHEN 1 THEN 'CHILD, ADOPTIVE'
+                          WHEN 2 THEN 'HUSBAND'
+                          ELSE 'SIBLING' END AS srel
+              FROM orders WHERE o_orderkey % 97 = 0
+            ),
+            dm AS (
+              SELECT CAST(c_custkey AS VARCHAR) AS usubjid,
+                     CASE c_custkey % 3 WHEN 0 THEN 'F'
+                          WHEN 1 THEN 'M' ELSE 'U' END AS sex
+              FROM customer
+            ),
+            missing AS (
+              SELECT * FROM rel a
+              WHERE NOT EXISTS (
+                SELECT 1 FROM rel b WHERE b.usubj = a.rsubj AND b.rsubj = a.usubj)
+            ),
+            derived AS (
+              SELECT m.rsubj AS usubj, m.usubj AS rsubj,
+                     CASE
+                       WHEN m.srel LIKE 'CHILD,%' THEN
+                         CASE WHEN dm.sex = 'F' THEN 'MOTHER, ' || trim(substr(m.srel, 7))
+                              WHEN dm.sex = 'M' THEN 'FATHER, ' || trim(substr(m.srel, 7))
+                              ELSE NULL END
+                       WHEN m.srel = 'HUSBAND' THEN 'WIFE'
+                       ELSE m.srel END AS srel
+              FROM missing m LEFT JOIN dm ON dm.usubjid = m.rsubj
+            )
+            SELECT usubj, rsubj, srel FROM rel
+            UNION ALL
+            SELECT usubj, rsubj, srel FROM derived WHERE srel IS NOT NULL
         """,
         "r2_reciprocal_union": """
             WITH rel AS (

@@ -107,6 +107,54 @@ def test_reciprocal_augment(spark):
     assert len(got) == 4  # existing pair not duplicated
 
 
+def test_reciprocal_table_matches_reference_vocabulary():
+    # ports reference reciprocal.rs unit tests (:154-210)
+    from trial_submission_studio_spark.operators.reshape import (
+        RECIPROCAL_SREL,
+        is_symmetric_srel,
+    )
+
+    assert RECIPROCAL_SREL["MOTHER, BIOLOGICAL"] == "CHILD, BIOLOGICAL"
+    assert RECIPROCAL_SREL["FATHER, BIOLOGICAL"] == "CHILD, BIOLOGICAL"
+    assert RECIPROCAL_SREL["TWIN, DIZYGOTIC"] == "TWIN, DIZYGOTIC"
+    assert RECIPROCAL_SREL["HUSBAND"] == "WIFE"
+    assert RECIPROCAL_SREL["WIFE"] == "HUSBAND"
+    assert RECIPROCAL_SREL["AUNT, BIOLOGICAL"] == "NEPHEW/NIECE, BIOLOGICAL"
+    assert is_symmetric_srel("SIBLING")
+    assert is_symmetric_srel("TWIN, MONOZYGOTIC")
+    assert not is_symmetric_srel("MOTHER, BIOLOGICAL")
+    assert "CHILD, BIOLOGICAL" not in RECIPROCAL_SREL  # sex-dependent
+    assert len(RECIPROCAL_SREL) == 26
+
+
+def test_reciprocal_sex_dependent_child(spark):
+    # reference reciprocal.rs:104-147 — CHILD,* reverse resolves via
+    # the parent's DM SEX; unknown sex produces no reverse row.
+    rel = values_df(
+        spark,
+        [
+            ("K1", "P1", "CHILD, BIOLOGICAL"),   # P1 is F -> MOTHER
+            ("K2", "P2", "CHILD, ADOPTIVE"),     # P2 is M -> FATHER
+            ("K3", "P3", "CHILD, FOSTER"),       # P3 sex U -> dropped
+            ("K4", "P4", "CHILD, BIOLOGICAL"),   # P4 not in DM -> dropped
+            ("K5", "P1", "HUSBAND"),             # static path unaffected
+        ],
+        "USUBJID string, RSUBJID string, SREL string",
+    )
+    dm = values_df(
+        spark,
+        [("P1", "F"), ("P2", "M"), ("P3", "U"), ("K5", "M")],
+        "USUBJID string, SEX string",
+    )
+    got = set(rows(reciprocal_augment(rel, dm=dm), "USUBJID", "RSUBJID", "SREL"))
+    assert ("P1", "K1", "MOTHER, BIOLOGICAL") in got
+    assert ("P2", "K2", "FATHER, ADOPTIVE") in got
+    assert ("P1", "K5", "WIFE") in got
+    assert not any(u == "P3" for u, _, _ in got)
+    assert not any(u == "P4" for u, _, _ in got)
+    assert len(got) == 8  # 5 originals + 3 synthesized
+
+
 def test_exact_duplicates(spark):
     df = values_df(
         spark,
@@ -190,6 +238,32 @@ def test_sessionize(spark):
         salt_buckets=4,
     )
     assert rows(agg) == [(1, 3, 6.0), (2, 1, 4.0)]
+
+
+def test_salt_spreads_single_partition_hot_key(spark):
+    # VERDICT r2 #7: a hot key concentrated in ONE upstream partition
+    # must still fan out across salt buckets (spark_partition_id
+    # salting would give every row the same salt here).
+    from trial_submission_studio_spark.operators.skew import salt_column, salted_agg
+
+    hot = (
+        spark.range(1000)
+        .coalesce(1)  # the degenerate layout: whole hot key in one partition
+        .select(F.lit("HOT").alias("k"), F.col("id").cast("double").alias("v"))
+    )
+    n_salts = (
+        hot.select(salt_column(8).alias("s")).select(F.countDistinct("s")).first()[0]
+    )
+    assert n_salts == 8  # every bucket used despite the single partition
+
+    agg = salted_agg(
+        hot,
+        ["k"],
+        [F.count(F.lit(1)).alias("c"), F.sum("v").alias("s")],
+        lambda p: [F.sum("c").cast("long").alias("n"), F.sum("s").alias("t")],
+        salt_buckets=8,
+    )
+    assert rows(agg) == [("HOT", 1000, float(sum(range(1000))))]
 
 
 def test_melt_findings(spark):

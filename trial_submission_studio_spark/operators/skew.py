@@ -19,6 +19,25 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def salt_column(salt_buckets: int) -> Column:
+    """Row-spreading salt independent of upstream partitioning.
+
+    ``spark_partition_id() % n`` fails exactly when salting matters
+    most: a hot key concentrated in one upstream partition (common
+    right after a shuffle on that key) gives every row of the hot
+    group the *same* salt, so the skew survives. Hashing the
+    per-row ``monotonically_increasing_id`` spreads consecutive rows
+    of one partition across all buckets regardless of layout. The
+    salt is deterministic for a fixed partition layout and, because
+    it only routes rows between decomposable partial aggregates,
+    never affects the final aggregated values even if a task retry
+    re-derives different ids.
+    """
+    return F.pmod(
+        F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)
+    ).cast("int")
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],
@@ -39,9 +58,7 @@ def salted_agg(
                    lambda p: [F.sum("c").cast("long").alias("n"),
                               F.round(F.sum("s"), 2).alias("total")])
     """
-    salted = df.withColumn(
-        "__salt", (F.spark_partition_id() % F.lit(salt_buckets)).cast("int")
-    )
+    salted = df.withColumn("__salt", salt_column(salt_buckets))
     partial = salted.groupBy(*keys, "__salt").agg(*partial_aggs)
     return partial.groupBy(*keys).agg(*final_aggs("")).drop("__salt")
 
