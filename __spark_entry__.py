@@ -1130,10 +1130,12 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.01), and every document must carry a fingerprint."""
     from trial_submission_studio_spark.operators.dedup import simhash_hamming_pairs
 
+    from trial_submission_studio_spark.operators.dedup import simhash64
+
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = d.unionByName(_planted_docs(d, 10, " zq"))
-    fp = corpus.select("doc_id", token_hashes("text").alias("__h")).select(
-        "doc_id", simhash_from_hashes("__h").alias("simhash64")
+    fp = simhash64(
+        corpus.select("doc_id", token_hashes("text").alias("__h")), "__h"
     )
     pairs = simhash_hamming_pairs(fp, max_hamming=3)
     planted = d.filter(F.col("doc_id") % 10 == 0).select(

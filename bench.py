@@ -33,6 +33,7 @@ BENCH_QUERIES = (
     "events_tumbling_window",
     "text_token_stats",
     "dedup_minhash_lsh",
+    "simhash_fingerprints",
     "ann_cosine_topk",
 )
 

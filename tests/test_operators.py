@@ -353,6 +353,42 @@ def test_lsh_multitable_and_kmeans_determinism(spark):
     assert top[1] == 7 and top[2] == 1.0
 
 
+def test_simhash_kernel_matches_sql_form(spark):
+    # the one-pass numpy kernel must be bit-identical to the pure-SQL
+    # 64-fold reference form, including empty ('' -> one token) and
+    # NULL texts (both fingerprint to 0 in the SQL form).
+    from trial_submission_studio_spark.operators.dedup import (
+        simhash64,
+        simhash_from_hashes,
+        token_hashes,
+    )
+
+    texts = [
+        ("the quick brown fox jumps over the lazy dog",),
+        ("the quick brown fox jumps over the lazy dog tonight",),
+        ("completely different content here",),
+        ("",),
+        (None,),
+        ("one",),
+        ("a b c d e f g h i j k l m n o p q r s t u v w x y z " * 40,),
+    ]
+    df = values_df(
+        spark, [(i, t) for i, (t,) in enumerate(texts)], "doc_id bigint, text string"
+    ).select("doc_id", token_hashes("text").alias("__h"))
+    sql_form = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id", simhash_from_hashes("__h").alias("fp")
+        ).collect()
+    }
+    kernel = {
+        r["doc_id"]: r["simhash64"] for r in simhash64(df, "__h").collect()
+    }
+    assert kernel == sql_form
+    assert kernel[4] == 0  # NULL text -> 0, matching the SQL CASE ELSE arm
+    assert kernel[0] != kernel[2]
+
+
 def test_simhash_hamming_pairs_pigeonhole(spark):
     """Identical fingerprints land in every band; distance-1 pairs are
     found; far fingerprints (hamming > max) are excluded."""
