@@ -355,6 +355,123 @@ def test_golden_full_study_export(spark, tmp_path):
         assert digests == GOLDEN_STUDY_SHA256
 
 
+LBCC_CSV = (
+    "Subject,Lab Code,Result,Unit,Sample Date\n"
+    "SubjectId,LBCODE,RESULT,UNIT,LBDAT\n"
+    "L-01,ALT,34,U/L,2024-01-12\n"
+    "L-02,ALT,41,U/L,2024-01-13\n"
+)
+
+LBHM_CSV = (
+    "Subject,Lab Code,Result,Unit,Sample Date\n"
+    "SubjectId,LBCODE,RESULT,UNIT,LBDAT\n"
+    "L-01,HGB,13.5,g/dL,2024-01-12\n"
+    "L-02,HGB,14.1,g/dL,2024-01-13\n"
+)
+
+
+def test_base_domain_code():
+    # reference export/types.rs:56-68 + the mockdata's underscore names
+    from trial_submission_studio_spark.standards.sdtm_domains import base_domain_code
+
+    assert base_domain_code("LBCC") == "LB"
+    assert base_domain_code("FAAE") == "FA"
+    assert base_domain_code("LB_PREG") == "LB"
+    assert base_domain_code("DS_EOT") == "DS"
+    assert base_domain_code("QS_PGA") == "QS"
+    assert base_domain_code("DM") == "DM"
+    assert base_domain_code("lbcc") == "LB"
+    assert base_domain_code("ZZZZ") == "ZZZZ"  # unknown stays itself
+
+
+def test_split_dataset_study_flow(spark, tmp_path):
+    """The canonical mockdata layout: LB delivered as split datasets
+    (LBCC chemistry + LBHM hematology, reference mockdata LB x5 and
+    DomainFrame.dataset_name_override, export/types.rs:12-22). Each
+    split is its own dataset; registry metadata, DOMAIN constant and
+    LBSEQ resolve through the LB base domain; export writes one XPT
+    member per split and define.xml says Name=LBCC Domain=LB."""
+    import re
+
+    (tmp_path / "LBCC.csv").write_text(LBCC_CSV)
+    (tmp_path / "LBHM.csv").write_text(LBHM_CSV)
+    st = create_study(
+        spark, "SPL",
+        {"LBCC": str(tmp_path / "LBCC.csv"), "LBHM": str(tmp_path / "LBHM.csv")},
+        min_confidence=0.99,
+    )
+    assert {v["name"] for v in st.domains["LBCC"]} == {
+        v["name"] for v in st.domains["LBHM"]
+    }
+    assert any(v["name"] == "LBTESTCD" for v in st.domains["LBCC"])
+    frames = {}
+    for code in ("LBCC", "LBHM"):
+        st.mappings[code].accept("SUBJID", "SubjectId")
+        st.mappings[code].accept("LBTESTCD", "LBCODE")
+        st.mappings[code].accept("LBORRES", "RESULT")
+        st.mappings[code].accept("LBORRESU", "UNIT")
+        st.mappings[code].accept("LBDTC", "LBDAT")
+        frames[code] = build_domain(st, code)
+    cc = {r["USUBJID"]: r.asDict() for r in frames["LBCC"].collect()}
+    assert cc["SPL-L-01"]["DOMAIN"] == "LB"  # base, not LBCC
+    assert cc["SPL-L-01"]["LBTESTCD"] == "ALT"
+    assert cc["SPL-L-01"]["LBSEQ"] == 1  # LB-prefixed SEQ inferred
+    hm = {r["USUBJID"]: r.asDict() for r in frames["LBHM"].collect()}
+    assert hm["SPL-L-02"]["LBORRES"] == "14.1"
+
+    report = validate_study(st, frames)
+    assert report.count() >= 0
+
+    out = export_study(st, frames, str(tmp_path / "out"), bypass_validation=True)
+    assert {"LBCC", "LBHM", "define"} <= set(out)
+    assert out["LBCC"].endswith("lbcc.xpt")
+    raw = open(out["LBCC"], "rb").read()
+    assert len(raw) % 80 == 0 and b"LBCC" in raw  # member named by dataset
+    define = open(out["define"]).read()
+    assert re.search(r'Name="LBCC" Domain="LB"', define)
+    assert re.search(r'Name="LBHM" Domain="LB"', define)
+    xml.dom.minidom.parse(out["define"])
+
+
+def test_multi_file_domain_union(spark, tmp_path):
+    """One domain delivered as several CSVs: create_study takes a
+    path LIST, unions by name, and _row_id stays dense and 1-based in
+    file order so --SEQ numbering matches a pre-concatenated file."""
+    (tmp_path / "lb1.csv").write_text(LBCC_CSV)
+    (tmp_path / "lb2.csv").write_text(LBHM_CSV)
+    st = create_study(
+        spark, "MF",
+        {"LB": [str(tmp_path / "lb1.csv"), str(tmp_path / "lb2.csv")]},
+        min_confidence=0.99,
+    )
+    src = st.sources["LB"]
+    ids = [
+        (r["_row_id"], r["LBCODE"])
+        for r in src.df.orderBy("_row_id").collect()
+    ]
+    assert ids == [(1, "ALT"), (2, "ALT"), (3, "HGB"), (4, "HGB")]
+    assert src.labels["LBCODE"] == "Lab Code"
+
+    st.mappings["LB"].accept("SUBJID", "SubjectId")
+    st.mappings["LB"].accept("LBTESTCD", "LBCODE")
+    st.mappings["LB"].accept("LBORRES", "RESULT")
+    lb = build_domain(st, "LB")
+    got = {(r["USUBJID"], r["LBTESTCD"]): r["LBSEQ"] for r in lb.collect()}
+    # file order survives: ALT (file 1) numbers before HGB (file 2)
+    assert got[("MF-L-01", "ALT")] == 1 and got[("MF-L-01", "HGB")] == 2
+    assert got[("MF-L-02", "ALT")] == 1 and got[("MF-L-02", "HGB")] == 2
+
+    # mismatched columns refuse loudly
+    (tmp_path / "bad.csv").write_text(
+        "A,B\nSubjectId,OTHER\nx,y\n"
+    )
+    with pytest.raises(ValueError, match="column mismatch"):
+        create_study(
+            spark, "MF2",
+            {"LB": [str(tmp_path / "lb1.csv"), str(tmp_path / "bad.csv")]},
+        )
+
+
 SEND_BW_CSV = (
     "Subject,Test,Result,Unit,Collection Date\n"
     "SubjectId,BWCODE,RESULT,UNIT,BWDAT\n"

@@ -34,10 +34,14 @@ class DefineVariable:
 
 @dataclass
 class DefineDataset:
-    domain: str
+    domain: str  # dataset name (LBCC for a split dataset)
     label: str = ""
     structure: str = ""
     variables: list[DefineVariable] = field(default_factory=list)
+    #: parent domain for split datasets (LBCC → LB); empty = same as
+    #: ``domain`` (reference define_xml.rs:220-229 emits Name=dataset
+    #: name, Domain=base code)
+    base_domain: str = ""
 
 
 def observed_metadata(df: DataFrame, columns: list[str]) -> dict[str, tuple[int, bool]]:
@@ -124,8 +128,9 @@ def write_define_xml(
         observed = (
             observed_metadata(df, [v.name for v in present]) if present else {}
         )
+        base = (ds.base_domain or dom).upper()
         lines.append(
-            f'   <ItemGroupDef OID={q(f"IG.{dom}")} Name={q(dom)} Domain={q(dom)} '
+            f'   <ItemGroupDef OID={q(f"IG.{dom}")} Name={q(dom)} Domain={q(base)} '
             f'Repeating="Yes" IsReferenceData="No" SASDatasetName={q(dom[:8])} '
             f'def:Structure={q(ds.structure)} Purpose="Tabulation">'
         )

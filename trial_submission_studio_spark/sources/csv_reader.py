@@ -214,3 +214,73 @@ def read_source_csv(
             SourceTable.ROW_ID,
         )
     return SourceTable(df=df, columns=names, labels=labels, encoding=enc, path=path)
+
+
+def read_source_csvs(
+    spark: SparkSession,
+    paths: list[str],
+    header_rows: int = 2,
+    encoding: str | None = None,
+    blank_as_null: bool = True,
+) -> SourceTable:
+    """Read a domain delivered as MULTIPLE source files (split
+    datasets — the reference's own mockdata ships LB as five CSVs and
+    ``DomainFrame.dataset_name_override`` exists for exactly this,
+    export/types.rs:12-22).
+
+    Every file must declare the same column set (order may differ;
+    frames align by name). ``_row_id`` stays dense and 1-based across
+    the whole domain: file order = list order, rows keep file order
+    within each file via per-file offsets, so --SEQ numbering and
+    sink row order behave exactly as if the files had been
+    pre-concatenated. Labels merge first-file-wins.
+
+    Each per-file count() is one parallel scan of a ≤500 MB CSV (the
+    reference's own cap); the at-scale path is parquet.
+    """
+    if not paths:
+        raise ValueError("read_source_csvs: empty path list")
+    if len(paths) == 1:
+        return read_source_csv(
+            spark, paths[0], header_rows=header_rows,
+            encoding=encoding, blank_as_null=blank_as_null,
+        )
+    tables = [
+        read_source_csv(
+            spark, p, header_rows=header_rows,
+            encoding=encoding, blank_as_null=blank_as_null,
+        )
+        for p in paths
+    ]
+    first = tables[0]
+    base_cols = set(first.columns)
+    for t in tables[1:]:
+        if set(t.columns) != base_cols:
+            extra = sorted(set(t.columns) - base_cols)
+            missing = sorted(base_cols - set(t.columns))
+            raise ValueError(
+                f"split-dataset column mismatch in {t.path}: "
+                f"extra={extra} missing={missing} (vs {first.path})"
+            )
+    labels: dict[str, str] = {}
+    for t in tables:
+        for k, v in t.labels.items():
+            labels.setdefault(k, v)
+    ordered = [*first.columns, SourceTable.ROW_ID]
+    df, offset = None, 0
+    for t in tables:
+        part = t.df.select(
+            *first.columns,
+            (F.col(SourceTable.ROW_ID) + F.lit(offset)).cast("long").alias(
+                SourceTable.ROW_ID
+            ),
+        ).select(*ordered)
+        df = part if df is None else df.unionByName(part)
+        offset += t.df.count()
+    return SourceTable(
+        df=df,
+        columns=first.columns,
+        labels=labels,
+        encoding=first.encoding,
+        path=first.path,
+    )

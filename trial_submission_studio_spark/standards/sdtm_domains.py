@@ -1604,6 +1604,32 @@ def get_domain(code: str) -> dict:
     return DOMAINS[code.upper()]
 
 
+#: Domains the SDTM-IG allows to be physically split into multiple
+#: datasets (reference: export/types.rs:56-68 — LBCH, FAAE, ...).
+SPLITTABLE_DOMAINS = ("LB", "FA", "QS", "VS", "EG", "PC", "PP")
+
+
+def base_domain_code(dataset_name: str) -> str:
+    """Parent domain code for a (possibly split) dataset name.
+
+    ``LBCC``/``FAAE`` → 2-letter base when the prefix is a splittable
+    domain (reference export/types.rs:56-68); additionally
+    ``LB_PREG``/``DS_EOT``/``QS_PGA`` → the token before the first
+    underscore when that token is a registered domain (the reference's
+    own mockdata names split files this way). A plain registered code
+    or an unrecognized name returns itself.
+    """
+    up = dataset_name.upper()
+    if up in DOMAINS:
+        return up
+    head = up.split("_", 1)[0]
+    if head in DOMAINS:
+        return head
+    if len(up) > 2 and up[:2] in SPLITTABLE_DOMAINS:
+        return up[:2]
+    return up
+
+
 def supp_domain_for(rdomain: str) -> dict:
     """SUPP-- definition derived from the SUPPQUAL template
     (reference: sdtm/domain.rs:220-228)."""

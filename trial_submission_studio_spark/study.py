@@ -54,8 +54,15 @@ from trial_submission_studio_spark.operators.validation import (
     usubjid_not_in_dm,
     validate_domain,
 )
-from trial_submission_studio_spark.sources.csv_reader import SourceTable, read_source_csv
-from trial_submission_studio_spark.standards.sdtm_domains import DOMAINS
+from trial_submission_studio_spark.sources.csv_reader import (
+    SourceTable,
+    read_source_csv,
+    read_source_csvs,
+)
+from trial_submission_studio_spark.standards.sdtm_domains import (
+    DOMAINS,
+    base_domain_code,
+)
 
 
 @dataclass
@@ -71,12 +78,20 @@ class Study:
 def create_study(
     spark: SparkSession,
     study_id: str,
-    assignments: dict[str, str],  # domain code -> csv path
+    assignments: dict[str, str | list[str]],  # dataset name -> csv path(s)
     header_rows: int = 2,
     min_confidence: float = 0.7,
     ct_lookup: DataFrame | None = None,
     registry: dict[str, dict] | None = None,
 ) -> Study:
+    """Assignment keys are DATASET names, not just domain codes: a
+    split dataset (``LBCC``, ``QS_PGA`` — the reference's mockdata
+    layout, handled via ``DomainFrame.dataset_name_override`` in
+    export/types.rs:12-22) resolves its registry metadata through
+    :func:`base_domain_code`. A value may also be a LIST of CSV paths
+    (one physical domain delivered as several files); they union with
+    dense cross-file ``_row_id`` offsets via :func:`read_source_csvs`.
+    """
     registry = registry or DOMAINS
     if ct_lookup is None:
         # T8/V8 work out of the box: the shipped public-CT-derived
@@ -88,14 +103,20 @@ def create_study(
     study = Study(spark=spark, study_id=study_id, ct_lookup=ct_lookup)
     for code, path in assignments.items():
         code = code.upper()
-        table = read_source_csv(spark, path, header_rows=header_rows)
-        if code == "RELSUB" and {"USUBJID", "RSUBJID", "SREL"} <= set(table.columns):
+        base = base_domain_code(code)
+        if isinstance(path, (list, tuple)):
+            table = read_source_csvs(spark, list(path), header_rows=header_rows)
+        else:
+            table = read_source_csv(spark, path, header_rows=header_rows)
+        if base == "RELSUB" and {"USUBJID", "RSUBJID", "SREL"} <= set(table.columns):
             table.df = reciprocal_augment(table.df)
         study.sources[code] = table
-        variables = registry.get(code, registry.get("SUPPQUAL", {})).get("variables", [])
+        variables = (
+            registry.get(code) or registry.get(base) or registry.get("SUPPQUAL", {})
+        ).get("variables", [])
         study.domains[code] = variables
         study.mappings[code] = MappingState.new(
-            code,
+            base,
             variables,
             table.columns,
             min_confidence=min_confidence,
@@ -132,7 +153,9 @@ def build_domain(study: Study, code: str, dm_frame: DataFrame | None = None) -> 
         )
     ctx = NormalizationContext(
         study_id=study.study_id,
-        domain_code=code,
+        # BASE code: a split dataset (LBCC) still carries DOMAIN='LB'
+        # and LB-prefixed variable names (SDTM-IG split-dataset rule)
+        domain_code=base_domain_code(code),
         order_col=SourceTable.ROW_ID,
         subject_col=subj_src or SourceTable.ROW_ID,
         ct_lookup=study.ct_lookup,
@@ -171,7 +194,11 @@ def validate_study(study: Study, frames: dict[str, DataFrame]) -> DataFrame:
         ]
         if specs:
             report = report.unionByName(validate_domain(df, code, specs))
-        report = report.unionByName(duplicate_sequence_issues(df, code))
+        # base code: a split dataset's --SEQ keeps the parent prefix
+        # (LBCC carries LBSEQ)
+        report = report.unionByName(
+            duplicate_sequence_issues(df, base_domain_code(code))
+        )
         if dm is not None and upper != "DM" and "USUBJID" in df.columns:
             report = report.unionByName(usubjid_not_in_dm(df, dm, code))
         if upper in ("CO", "RELREC") or upper.startswith("SUPP"):
@@ -214,9 +241,12 @@ def export_study(
 
     written: dict[str, str] = {}
     define_datasets: list[DefineDataset] = []
-    for code in sorted(frames):  # O1: domain-code order
+    for code in sorted(frames):  # O1: dataset-name order
         df = frames[code]
-        variables = study.domains.get(code, [])
+        base = base_domain_code(code)
+        variables = study.domains.get(code) or DOMAINS.get(base, {}).get(
+            "variables", []
+        )
         present = [v for v in variables if v["name"] in df.columns]
         if fmt == "xpt":
             char_cols = [
@@ -233,12 +263,15 @@ def export_study(
                 for v in present
             ]
             path = os.path.join(out_dir, f"{code.lower()}.xpt")
+            # SAS member name: the DATASET name (8-char cap), label
+            # from the base domain (reference dataset_name() /
+            # base_domain_code(), export/types.rs:47-68)
             write_xpt(
                 df.select(*[v["name"] for v in present]),
                 path,
                 xvars,
-                code,
-                DOMAINS.get(code, {}).get("label", code),
+                code[:8],
+                DOMAINS.get(base, {}).get("label", code),
             )
         else:
             path = os.path.join(out_dir, f"{code.lower()}.xml")
@@ -247,8 +280,9 @@ def export_study(
         define_datasets.append(
             DefineDataset(
                 domain=code,
-                label=DOMAINS.get(code, {}).get("label", code),
-                structure=DOMAINS.get(code, {}).get("structure", ""),
+                base_domain=base,
+                label=DOMAINS.get(base, {}).get("label", code),
+                structure=DOMAINS.get(base, {}).get("structure", ""),
                 variables=[
                     DefineVariable(
                         v["name"],
