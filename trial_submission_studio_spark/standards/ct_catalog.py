@@ -186,6 +186,187 @@ def _common_codelists() -> dict[str, Codelist]:
     return {cl.code: cl for cl in out}
 
 
+def _registry_breadth_codelists() -> dict[str, Codelist]:
+    """Every codelist code the 63-domain SDTM registry references that
+    the common set doesn't carry — so registry-bound CT rules resolve
+    out of the box instead of silently degrading to copy semantics.
+
+    Terms are a curated subset of public CDISC/NCI-EVS submission
+    values. Where the per-term NCI C-code is not confidently known
+    from public memory the code is left empty rather than fabricated;
+    resolution and validation key on submission values/synonyms, not
+    term codes.
+    """
+    out = [
+        _cl("C66728", "Relation to Reference Period", False, [
+            ("", "BEFORE", "Prior"),
+            ("", "COINCIDENT"),
+            ("", "DURING"),
+            ("", "DURING/AFTER"),
+            ("", "AFTER"),
+            ("", "ONGOING", "Continuing"),
+            ("C17998", "U", "Unknown"),
+        ]),
+        _cl("C66784", "Toxicity Grade", False, [
+            ("C28077", "GRADE 1", "Mild"),
+            ("C28078", "GRADE 2", "Moderate"),
+            ("C28079", "GRADE 3", "Severe"),
+            ("C28080", "GRADE 4", "Life-threatening"),
+            ("C28081", "GRADE 5", "Death"),
+        ]),
+        _cl("C99073", "Laterality", False, [
+            ("C25229", "LEFT", "L"),
+            ("C25228", "RIGHT", "R"),
+            ("C13717", "BILATERAL", "Both"),
+        ]),
+        _cl("C99074", "Directionality", True, [
+            ("", "ANTERIOR"),
+            ("", "POSTERIOR"),
+            ("", "UPPER"),
+            ("", "LOWER"),
+            ("", "PROXIMAL"),
+            ("", "DISTAL"),
+            ("", "MEDIAL"),
+            ("", "LATERAL"),
+        ]),
+        _cl("C99075", "Portion/Totality", True, [
+            ("", "ENTIRE"),
+            ("", "SINGLE"),
+            ("", "MULTIPLE"),
+            ("", "PARTIAL"),
+        ]),
+        _cl("C74456", "Anatomical Location", True, [
+            ("", "ABDOMEN"),
+            ("", "ARM"),
+            ("", "BACK"),
+            ("", "CHEST"),
+            ("", "FOOT"),
+            ("", "HAND"),
+            ("", "HEAD"),
+            ("", "LEG"),
+            ("", "NECK"),
+        ]),
+        _cl("C78734", "Specimen Type", True, [
+            ("C12434", "BLOOD", "Whole Blood"),
+            ("C13325", "SERUM"),
+            ("C13356", "PLASMA"),
+            ("C13283", "URINE"),
+            ("C13275", "SALIVA"),
+            ("C12692", "CEREBROSPINAL FLUID", "CSF"),
+            ("", "TISSUE"),
+        ]),
+        _cl("C78733", "Specimen Condition", True, [
+            ("", "HEMOLYZED"),
+            ("", "LIPEMIC"),
+            ("", "ICTERIC"),
+            ("", "CLOTTED"),
+            ("", "FROZEN"),
+        ]),
+        _cl("C78735", "Evaluator", True, [
+            ("C25936", "INVESTIGATOR"),
+            ("", "INDEPENDENT ASSESSOR"),
+            ("", "ADJUDICATION COMMITTEE"),
+            ("", "VENDOR"),
+        ]),
+        _cl("C85492", "Method", True, [
+            ("C16809", "MRI", "Magnetic Resonance Imaging"),
+            ("", "CT SCAN", "Computed Tomography"),
+            ("C17230", "ULTRASOUND"),
+            ("", "X-RAY", "Radiograph"),
+            ("", "ECG", "EKG", "Electrocardiogram"),
+        ]),
+        _cl("C65047", "Laboratory Test Code", True, [
+            ("", "ALT", "Alanine Aminotransferase"),
+            ("", "AST", "Aspartate Aminotransferase"),
+            ("", "BILI", "Bilirubin"),
+            ("", "CREAT", "Creatinine"),
+            ("", "GLUC", "Glucose"),
+            ("", "HGB", "Hemoglobin"),
+            ("", "PLAT", "Platelets"),
+            ("", "WBC", "Leukocytes"),
+            ("", "SODIUM", "Sodium"),
+            ("", "K", "Potassium"),
+        ]),
+        _cl("C67154", "Laboratory Test Name", True, [
+            ("", "Alanine Aminotransferase", "ALT"),
+            ("", "Aspartate Aminotransferase", "AST"),
+            ("", "Bilirubin", "BILI"),
+            ("", "Creatinine", "CREAT"),
+            ("", "Glucose", "GLUC"),
+            ("", "Hemoglobin", "HGB"),
+            ("", "Platelets", "PLAT"),
+            ("", "Leukocytes", "WBC"),
+        ]),
+        _cl("C67153", "Vital Signs Test Name", True, [
+            ("C25298", "Systolic Blood Pressure", "SYSBP"),
+            ("C25299", "Diastolic Blood Pressure", "DIABP"),
+            ("C49677", "Heart Rate", "HR"),
+            ("C25208", "Body Weight", "WEIGHT"),
+            ("C25347", "Body Height", "HEIGHT"),
+            ("C25206", "Body Temperature", "TEMP"),
+            ("C49676", "Respiratory Rate", "RESP"),
+        ]),
+        _cl("C71153", "ECG Test Code", True, [
+            ("", "QT", "QT Interval"),
+            ("", "QTC", "QTc Interval"),
+            ("", "PR", "PR Interval"),
+            ("", "QRS", "QRS Duration"),
+            ("", "RR", "RR Interval"),
+            ("", "HR", "Heart Rate"),
+            ("", "INTP", "Interpretation"),
+        ]),
+        _cl("C71152", "ECG Test Name", True, [
+            ("", "QT Interval", "QT"),
+            ("", "QTc Interval", "QTC"),
+            ("", "PR Interval", "PR"),
+            ("", "QRS Duration", "QRS"),
+            ("", "Interpretation", "INTP"),
+        ]),
+        _cl("C71620", "Unit", True, [
+            ("", "mg", "Milligram"),
+            ("", "g", "Gram"),
+            ("", "kg", "Kilogram"),
+            ("", "mL", "Milliliter"),
+            ("", "L", "Liter"),
+            ("", "mg/dL", "Milligram per Deciliter"),
+            ("", "g/dL"),
+            ("", "mmol/L"),
+            ("", "U/L"),
+            ("", "10^9/L"),
+            ("", "%", "Percent"),
+        ]),
+        _cl("C66738", "Trial Summary Parameter Test Code", True, [
+            ("", "TITLE", "Trial Title"),
+            ("", "TPHASE", "Trial Phase Classification"),
+            ("", "TTYPE", "Trial Type"),
+            ("", "RANDOM", "Trial is Randomized"),
+            ("", "NARMS", "Planned Number of Arms"),
+            ("", "PLANSUB", "Planned Number of Subjects"),
+            ("", "AGEMIN", "Planned Minimum Age of Subjects"),
+            ("", "AGEMAX", "Planned Maximum Age of Subjects"),
+            ("", "SEXPOP", "Sex of Participants"),
+            ("", "SSTDTC", "Study Start Date"),
+        ]),
+        _cl("C67152", "Trial Summary Parameter Test Name", True, [
+            ("", "Trial Title", "TITLE"),
+            ("", "Trial Phase Classification", "TPHASE"),
+            ("", "Trial Type", "TTYPE"),
+            ("", "Trial is Randomized", "RANDOM"),
+            ("", "Planned Number of Arms", "NARMS"),
+            ("", "Planned Number of Subjects", "PLANSUB"),
+        ]),
+        _cl("C100129", "Category of Questionnaire", True, [
+            ("", "ADAS-COG"),
+            ("", "C-SSRS"),
+            ("", "EQ-5D-5L"),
+            ("", "HAMD 17"),
+            ("", "MMSE"),
+            ("", "SF-36"),
+        ]),
+    ]
+    return {cl.code: cl for cl in out}
+
+
 def _ncomplt(protocol_term: str) -> Codelist:
     return _cl("C66727", "Completion/Reason for Non-Completion", True, [
         ("C25250", "COMPLETED", "Complete"),
@@ -203,13 +384,25 @@ def _ncomplt(protocol_term: str) -> Codelist:
 
 
 def builtin_ct_versions() -> dict[str, dict[str, Codelist]]:
-    """version date → {codelist code → Codelist} (newest carries the
-    PROTOCOL DEVIATION rename; older keeps PROTOCOL VIOLATION)."""
-    v_old = dict(_common_codelists())
-    v_old["C66727"] = _ncomplt("PROTOCOL VIOLATION")
-    v_new = dict(_common_codelists())
-    v_new["C66727"] = _ncomplt("PROTOCOL DEVIATION")
-    return {"2024-03-29": v_old, "2025-03-28": v_new}
+    """version date → {codelist code → Codelist}, mirroring the
+    reference's THREE shipped release snapshots (tss-standards/data/
+    terminology/{2024-03-29,2025-03-28,2025-09-26}). The deltas model
+    how CT actually evolves release-over-release:
+
+    - 2024-03-29 → 2025-03-28: the NCOMPLT "PROTOCOL VIOLATION" →
+      "PROTOCOL DEVIATION" rename (real public history).
+    - 2025-03-28 → 2025-09-26: coverage growth — the newest snapshot
+      additionally carries every codelist the 63-domain registry
+      references (:func:`_registry_breadth_codelists`), so default
+      (newest-first) resolution answers all registry-bound CT rules.
+    """
+    v_2024 = dict(_common_codelists())
+    v_2024["C66727"] = _ncomplt("PROTOCOL VIOLATION")
+    v_2025a = dict(_common_codelists())
+    v_2025a["C66727"] = _ncomplt("PROTOCOL DEVIATION")
+    v_2025b = dict(v_2025a)
+    v_2025b.update(_registry_breadth_codelists())
+    return {"2024-03-29": v_2024, "2025-03-28": v_2025a, "2025-09-26": v_2025b}
 
 
 @dataclass
