@@ -554,3 +554,39 @@ def test_adam_structures_inference():
     assert rules["TRTP"] == "copy"
     # ADY ends in DY -> study-day derivation fires off the sibling ADTC
     assert rules["ADY"] == "study_day"
+
+
+def test_adam_wildcard_expansion():
+    """IG wildcard patterns (AVALCATy, CRITyFL, TRTxxP, ANLzzFL,
+    PxxSwSDT...) resolve concrete sponsor names to registry variables
+    with substituted labels (reference Variables.csv ~122 wildcard
+    rows); adam_dataset(columns=...) materializes the matches."""
+    from trial_submission_studio_spark.standards.adam_ig import (
+        ADAM_WILDCARD_PATTERNS,
+        adam_dataset,
+        match_adam_wildcard,
+    )
+
+    assert len(ADAM_WILDCARD_PATTERNS["ADSL"]) == 86  # IG v1.3 inventory
+    assert len(ADAM_WILDCARD_PATTERNS["BDS"]) == 36
+
+    hit = match_adam_wildcard("AVALCAT2", "BDS")
+    assert hit["label"] == "Analysis Value Category 2"
+    assert match_adam_wildcard("CRIT10FL", "BDS")["core"] == "Cond"
+    assert match_adam_wildcard("ANL03FL", "BDS")["label"] == "Analysis Flag 03"
+    assert match_adam_wildcard("ANL3FL", "BDS") is None  # zz needs 2 digits
+    trt = match_adam_wildcard("TRT02P", "ADSL")
+    assert trt["label"] == "Planned Treatment for Period 02" and trt["core"] == "Req"
+    # two placeholders substitute positionally
+    two = match_adam_wildcard("P02S1SDT", "ADSL")
+    assert two["label"] == "Period 02 Subperiod 1 Start Date"
+    assert two["data_type"] == "Num"
+    # non-wildcard and non-matching names stay unresolved
+    assert match_adam_wildcard("TRTP", "BDS") is None
+    assert match_adam_wildcard("AVALCAT", "BDS") is None
+
+    ds = adam_dataset("ADLB", "BDS", columns=["AVAL", "AVALCAT1", "CRIT2FL", "XYZ"])
+    names = [v["name"] for v in ds["variables"]]
+    assert "AVALCAT1" in names and "CRIT2FL" in names
+    assert "XYZ" not in names
+    assert names.count("AVAL") == 1  # template vars not duplicated

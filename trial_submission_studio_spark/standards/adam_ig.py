@@ -19,6 +19,8 @@ unchanged); pipelines deriving true numeric SAS dates supply explicit
 
 from __future__ import annotations
 
+import re
+
 from trial_submission_studio_spark.standards.sdtm_domains import _v
 
 
@@ -135,6 +137,192 @@ def _occds_vars() -> list[dict]:
     ]
 
 
+def _w(pattern: str, label: str, core: str = "Perm", dtype: str = "Char",
+       codelist: str | None = None) -> dict:
+    return {
+        "pattern": pattern,
+        "label": label,
+        "core": core,
+        "data_type": dtype,
+        "codelist_code": codelist,
+    }
+
+
+#: ADaM-IG v1.3 WILDCARD variable patterns (~122 of the IG's ~300
+#: variable rows carry xx/y/w/zz placeholders — reference
+#: data/adam/ig/v1.3/Variables.csv). Lowercase tokens are numeric
+#: placeholders per the IG's naming-fragment convention: ``xx``/``zz``
+#: = two digits (period / flag number), ``y``/``w`` = 1-2 digit
+#: integer (group / criterion / phase index). The inventory below is
+#: the public ADaM-IG v1.3 list.
+ADAM_WILDCARD_PATTERNS: dict[str, list[dict]] = {
+    "ADSL": [
+        _w("SITEGRy", "Pooled Site Group y"),
+        _w("SITEGRyN", "Pooled Site Group y (N)", dtype="Num"),
+        _w("REGIONy", "Geographic Region y"),
+        _w("REGIONyN", "Geographic Region y (N)", dtype="Num"),
+        _w("AGEGRy", "Pooled Age Group y"),
+        _w("AGEGRyN", "Pooled Age Group y (N)", dtype="Num"),
+        _w("RACEGRy", "Pooled Race Group y"),
+        _w("RACEGRyN", "Pooled Race Group y (N)", dtype="Num"),
+        _w("TRTxxP", "Planned Treatment for Period xx", core="Req"),
+        _w("TRTxxPN", "Planned Treatment for Period xx (N)", dtype="Num"),
+        _w("TRTxxA", "Actual Treatment for Period xx", core="Cond"),
+        _w("TRTxxAN", "Actual Treatment for Period xx (N)", dtype="Num"),
+        _w("TRxxPGy", "Planned Pooled Treatment y for Period xx"),
+        _w("TRxxPGyN", "Planned Pooled Trt y for Period xx (N)", dtype="Num"),
+        _w("TRxxAGy", "Actual Pooled Treatment y for Period xx", core="Cond"),
+        _w("TRxxAGyN", "Actual Pooled Trt y for Period xx (N)", dtype="Num"),
+        _w("TSEQPGy", "Planned Pooled Treatment Sequence y"),
+        _w("TSEQPGyN", "Planned Pooled Treatment Sequence y (N)", dtype="Num"),
+        _w("TSEQAGy", "Actual Pooled Treatment Sequence y", core="Cond"),
+        _w("TSEQAGyN", "Actual Pooled Treatment Sequence y (N)", dtype="Num"),
+        _w("DOSExxP", "Planned Treatment Dose for Period xx", dtype="Num"),
+        _w("DOSExxA", "Actual Treatment Dose for Period xx", dtype="Num"),
+        _w("DOSExxU", "Units for Dose for Period xx"),
+        _w("TRxxSDT", "Date of First Exposure in Period xx", core="Cond", dtype="Num"),
+        _w("TRxxSTM", "Time of First Exposure in Period xx", core="Cond", dtype="Num"),
+        _w("TRxxSDTM", "Datetime of First Exposure in Period xx", core="Cond", dtype="Num"),
+        _w("TRxxSDTF", "Date 1st Exposure Period xx Imput. Flag", core="Cond", codelist="C81223"),
+        _w("TRxxSTMF", "Time 1st Exposure Period xx Imput. Flag", core="Cond", codelist="C81226"),
+        _w("TRxxEDT", "Date of Last Exposure in Period xx", core="Cond", dtype="Num"),
+        _w("TRxxETM", "Time of Last Exposure in Period xx", core="Cond", dtype="Num"),
+        _w("TRxxEDTM", "Datetime of Last Exposure in Period xx", core="Cond", dtype="Num"),
+        _w("TRxxEDTF", "Date Last Exposure Period xx Imput. Flag", core="Cond", codelist="C81223"),
+        _w("TRxxETMF", "Time Last Exposure Period xx Imput. Flag", core="Cond", codelist="C81226"),
+        _w("APxxSDT", "Period xx Start Date", dtype="Num"),
+        _w("APxxSTM", "Period xx Start Time", dtype="Num"),
+        _w("APxxSDTM", "Period xx Start Datetime", dtype="Num"),
+        _w("APxxSDTF", "Period xx Start Date Imput. Flag", core="Cond", codelist="C81223"),
+        _w("APxxSTMF", "Period xx Start Time Imput. Flag", core="Cond", codelist="C81226"),
+        _w("APxxEDT", "Period xx End Date", dtype="Num"),
+        _w("APxxETM", "Period xx End Time", dtype="Num"),
+        _w("APxxEDTM", "Period xx End Datetime", dtype="Num"),
+        _w("APxxEDTF", "Period xx End Date Imput. Flag", core="Cond", codelist="C81223"),
+        _w("APxxETMF", "Period xx End Time Imput. Flag", core="Cond", codelist="C81226"),
+        _w("PxxSw", "Description of Period xx Subperiod w"),
+        _w("PxxSwSDT", "Period xx Subperiod w Start Date", dtype="Num"),
+        _w("PxxSwSTM", "Period xx Subperiod w Start Time", dtype="Num"),
+        _w("PxxSwSDM", "Period xx Subperiod w Start Datetime", dtype="Num"),
+        _w("PxxSwSDF", "Period xx Subper w Start Date Imput Flag", core="Cond", codelist="C81223"),
+        _w("PxxSwSTF", "Period xx Subper w Start Time Imput Flag", core="Cond", codelist="C81226"),
+        _w("PxxSwEDT", "Period xx Subperiod w End Date", dtype="Num"),
+        _w("PxxSwETM", "Period xx Subperiod w End Time", dtype="Num"),
+        _w("PxxSwEDM", "Period xx Subperiod w End Datetime", dtype="Num"),
+        _w("PxxSwEDF", "Period xx Subper w End Date Imput Flag", core="Cond", codelist="C81223"),
+        _w("PxxSwETF", "Period xx Subper w End Time Imput Flag", core="Cond", codelist="C81226"),
+        _w("APHASEw", "Description of Phase w"),
+        _w("PHwSDT", "Phase w Start Date", dtype="Num"),
+        _w("PHwSTM", "Phase w Start Time", dtype="Num"),
+        _w("PHwSDTM", "Phase w Start Datetime", dtype="Num"),
+        _w("PHwSDTF", "Phase w Start Date Imputation Flag", core="Cond", codelist="C81223"),
+        _w("PHwSTMF", "Phase w Start Time Imputation Flag", core="Cond", codelist="C81226"),
+        _w("PHwEDT", "Phase w End Date", dtype="Num"),
+        _w("PHwETM", "Phase w End Time", dtype="Num"),
+        _w("PHwEDTM", "Phase w End Datetime", dtype="Num"),
+        _w("PHwEDTF", "Phase w End Date Imputation Flag", core="Cond", codelist="C81223"),
+        _w("PHwETMF", "Phase w End Time Imputation Flag", core="Cond", codelist="C81226"),
+        _w("EOTxxSTT", "End of Treatment Status in Period xx", codelist="C124296"),
+        _w("DCTxxRS", "Reason for Discont of Treat in Period xx"),
+        _w("DCTxxRSP", "Reason Spec for Disc of Trt in Period xx"),
+        _w("EOPxxSTT", "End of Period xx Status", codelist="C124296"),
+        _w("DCPxxRS", "Reason for Discont from Period xx"),
+        _w("DCPxxRSP", "Reason Spec for Discont from Period xx"),
+        _w("RFICyDT", "Date of Informed Consent y", dtype="Num"),
+        _w("ENRLyDT", "Date of Enrollment y", dtype="Num"),
+        _w("RANDyDT", "Date of Randomization y", dtype="Num"),
+        _w("TRCMPGy", "Treatment Compliance (%) Group y"),
+        _w("TRCMPGyN", "Treatment Compliance (%) Group y (N)", dtype="Num"),
+        _w("TRxxDURD", "Treatment Duration in Period xx (Days)", dtype="Num"),
+        _w("TRxxDURM", "Treatment Duration in Period xx (Months)", dtype="Num"),
+        _w("TRxxDURY", "Treatment Duration in Period xx (Years)", dtype="Num"),
+        _w("DTHCGRy", "Cause of Death Group y"),
+        _w("DTHCGRyN", "Cause of Death Group y (N)", dtype="Num"),
+        _w("STRATwD", "Description of Stratification Factor w"),
+        _w("STRATwR", "Strat Factor w Value Used for Rand"),
+        _w("STRATwRN", "Strat Factor w Value Used for Rand (N)", dtype="Num"),
+        _w("STRATwV", "Strat Factor w Value from Verif Source"),
+        _w("STRATwVN", "Strat Fact w Val from Verif Source (N)", dtype="Num"),
+    ],
+    "BDS": [
+        _w("TRTPGy", "Planned Pooled Treatment y"),
+        _w("TRTPGyN", "Planned Pooled Treatment y (N)", dtype="Num"),
+        _w("TRTAGy", "Actual Pooled Treatment y", core="Cond"),
+        _w("TRTAGyN", "Actual Pooled Treatment y (N)", dtype="Num"),
+        _w("PARCATy", "Parameter Category y"),
+        _w("PARCATyN", "Parameter Category y (N)", dtype="Num"),
+        _w("AVALCATy", "Analysis Value Category y"),
+        _w("AVALCAyN", "Analysis Value Category y (N)", dtype="Num"),
+        _w("BASECATy", "Baseline Category y"),
+        _w("BASECAyN", "Baseline Category y (N)", dtype="Num"),
+        _w("CHGCATy", "Change from Baseline Category y"),
+        _w("CHGCATyN", "Change from Baseline Category y (N)", dtype="Num"),
+        _w("PCHGCATy", "Percent Chg from Baseline Category y"),
+        _w("PCHGCAyN", "Percent Chg from Baseline Category y (N)", dtype="Num"),
+        _w("R2AyLO", "Ratio to Analysis Range y Lower Limit", dtype="Num"),
+        _w("R2AyHI", "Ratio to Analysis Range y Upper Limit", dtype="Num"),
+        _w("SHIFTy", "Shift y"),
+        _w("SHIFTyN", "Shift y (N)", dtype="Num"),
+        _w("BCHGCATy", "Change to Baseline Category y"),
+        _w("BCHGCAyN", "Change to Baseline Category y (N)", dtype="Num"),
+        _w("PBCHGCAy", "Percent Change to Baseline Category y"),
+        _w("PBCHGCyN", "Percent Change to Baseline Category y (N)", dtype="Num"),
+        _w("CRITy", "Analysis Criterion y"),
+        _w("CRITyFL", "Criterion y Evaluation Result Flag", core="Cond"),
+        _w("CRITyFN", "Criterion y Evaluation Result Flag (N)", dtype="Num"),
+        _w("MCRITy", "Analysis Multi-Response Criterion y"),
+        _w("MCRITyML", "Multi-Response Criterion y Evaluation", core="Cond"),
+        _w("MCRITyMN", "Multi-Response Criterion y Eval (N)", dtype="Num"),
+        _w("AyLO", "Analysis Range y Lower Limit", core="Cond", dtype="Num"),
+        _w("AyLOC", "Analysis Range y Lower Limit (C)"),
+        _w("AyHI", "Analysis Range y Upper Limit", core="Cond", dtype="Num"),
+        _w("AyHIC", "Analysis Range y Upper Limit (C)"),
+        _w("AyIND", "Analysis Range y Indicator"),
+        _w("ByIND", "Baseline Analysis Range y Indicator"),
+        _w("ANLzzFL", "Analysis Flag zz", core="Cond"),
+        _w("ANLzzFN", "Analysis Flag zz (N)", dtype="Num"),
+    ],
+}
+ADAM_WILDCARD_PATTERNS["OCCDS"] = [
+    p for p in ADAM_WILDCARD_PATTERNS["BDS"]
+    if p["pattern"].startswith(("TRT", "ANL"))
+]
+
+_PLACEHOLDER_WIDTH = {"xx": r"(\d{2})", "zz": r"(\d{2})", "y": r"(\d{1,2})", "w": r"(\d{1,2})"}
+
+
+def _pattern_regex(pattern: str) -> "re.Pattern[str]":
+    out = []
+    for piece in re.split(r"(xx|zz|y|w)", pattern):
+        out.append(_PLACEHOLDER_WIDTH.get(piece) or re.escape(piece))
+    return re.compile("^" + "".join(out) + "$")
+
+
+def match_adam_wildcard(name: str, structure: str = "BDS") -> dict | None:
+    """Resolve a concrete sponsor variable name (``AVALCAT1``,
+    ``TRT02P``, ``ANL03FL``) against the IG wildcard patterns of its
+    structure. Returns a concrete variable dict with placeholder
+    values substituted into the label, or None.
+    """
+    up = name.strip().upper()
+    for p in ADAM_WILDCARD_PATTERNS.get(structure.upper(), []):
+        m = _pattern_regex(p["pattern"]).match(up)
+        if not m:
+            continue
+        label = p["label"]
+        tokens = re.findall(r"xx|zz|y|w", p["pattern"])
+        for token, value in zip(tokens, m.groups()):
+            label = re.sub(rf"\b{token}\b", value, label, count=1)
+        return _v(
+            up,
+            label,
+            p["core"],
+            "Num" if p["data_type"] == "Num" else "Char",
+            codelist=p["codelist_code"],
+        )
+    return None
+
+
 ADAM_STRUCTURES: dict[str, dict] = {
     "ADSL": {
         "label": "Subject-Level Analysis Dataset",
@@ -162,14 +350,36 @@ for _d in ADAM_STRUCTURES.values():
         _var["order"] = _i + 1
 
 
-def adam_dataset(name: str, structure: str = "BDS") -> dict:
+def adam_dataset(
+    name: str, structure: str = "BDS", columns: list[str] | None = None
+) -> dict:
     """A concrete ADaM dataset (e.g. ADLB) from its structure template
     (reference builds ADaM datasets the same way: structure + sponsor
-    parameters)."""
+    parameters).
+
+    ``columns``: the sponsor's concrete column names. Any name that
+    is absent from the base template but matches an IG wildcard
+    pattern (``AVALCAT2``, ``CRIT3FL``, ``TRT02P`` — see
+    :data:`ADAM_WILDCARD_PATTERNS`) is materialized into the variable
+    list, so parameter-level rules infer exactly like template
+    variables.
+    """
     base = ADAM_STRUCTURES[structure.upper()]
+    variables = [dict(v) for v in base["variables"]]
+    if columns:
+        have = {v["name"] for v in variables}
+        for c in columns:
+            up = c.strip().upper()
+            if up in have:
+                continue
+            hit = match_adam_wildcard(up, structure)
+            if hit is not None:
+                hit["order"] = len(variables) + 1
+                variables.append(hit)
+                have.add(up)
     return {
         "label": name.upper(),
         "class": base["class"],
         "structure": base["structure"],
-        "variables": [dict(v) for v in base["variables"]],
+        "variables": variables,
     }
