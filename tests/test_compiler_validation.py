@@ -212,7 +212,17 @@ def test_full_registry_surface():
 
     assert len(DOMAINS) == 63
     total = sum(len(d["variables"]) for d in DOMAINS.values())
-    assert total > 1500, total
+    # EXACTLY the IG v3.4 inventory — not a superset (template extras
+    # are pruned by _IG_TEMPLATE_OVERSHOOT; over-inclusion produced
+    # spurious Expected-missing warnings)
+    assert total == 1917, total
+    assert all(
+        len({v["name"] for v in d["variables"]}) == len(d["variables"])
+        for d in DOMAINS.values()
+    )
+    # spot-check pruned shapes: EC has no VISIT block, RELSUB no DOMAIN
+    assert "VISIT" not in {v["name"] for v in DOMAINS["EC"]["variables"]}
+    assert "DOMAIN" not in {v["name"] for v in DOMAINS["RELSUB"]["variables"]}
     # mockdata-shaped studies need these beyond the original 12
     for code in ("PE", "PR", "QS", "DA", "EG", "CO", "SV", "SE", "TA", "TE",
                  "TV", "TI", "TS", "TU", "TR", "PC", "PP", "FA", "SR", "OI"):

@@ -1184,7 +1184,58 @@ def _build_domains() -> dict[str, dict]:
     out.update(_relationship())
     out.update(_study_reference())
     _apply_ig_adjustments(out)
+    for d, names in _IG_TEMPLATE_OVERSHOOT.items():
+        drop = set(names)
+        out[d]["variables"] = [
+            v for v in out[d]["variables"] if v["name"] not in drop
+        ]
     return out
+
+
+#: Class-template variables the published IG v3.4 variable tables do
+#: NOT list for these specific datasets (VERDICT r2 #9: the registry
+#: carried 122 template extras beyond the IG inventory; over-inclusion
+#: produces spurious Expected-missing warnings). The generators build
+#: from the general observation-class shapes; this table pins each
+#: dataset back to the exact IG list (e.g. EC carries EXSTDTC-family
+#: timing but no VISIT block; RELSUB has no DOMAIN column).
+_IG_TEMPLATE_OVERSHOOT: dict[str, tuple[str, ...]] = {
+    "AG": ("AGDOSRGM", "AGDOSTOT"),
+    "EC": ("ECDTC", "ECDY", "ECENRF", "ECMODIFY", "ECREASND", "ECSTAT",
+           "ECSTRF", "VISIT", "VISITDY", "VISITNUM"),
+    "ML": ("MLDOSFRQ", "MLDOSRGM", "MLDOSTOT", "MLENRF", "MLFAST",
+           "MLROUTE", "MLSTRF"),
+    "PR": ("PRDOSTOT", "PRENRF", "PRMODIFY", "PRREASND", "PRSTAT", "PRSTRF"),
+    "SU": ("SUDOSRGM", "VISIT", "VISITDY", "VISITNUM"),
+    "BE": ("BELNKGRP", "BELNKID", "EPOCH", "TAETORD"),
+    "CE": ("CEBDSYCD", "CEDUR", "CEMODIFY", "VISIT", "VISITDY", "VISITNUM"),
+    "DS": ("TAETORD",),
+    "DV": ("DVDUR", "DVGRPID", "VISIT", "VISITDY", "VISITNUM"),
+    "HO": ("HOENRF", "HOMODIFY", "HOSTRF", "VISIT", "VISITDY", "VISITNUM"),
+    "BS": ("BSDRVFL", "EPOCH", "TAETORD"),
+    "CP": ("CPFAST", "CPRESCAT", "CPSTNRC", "CPTOX", "CPTOXGR", "CPTSTDTL"),
+    "DD": ("DDDRVFL", "DDGRPID", "DDREASND", "DDSPID", "DDSTAT", "EPOCH",
+           "TAETORD"),
+    "GF": ("EPOCH", "GFSPCCND", "TAETORD"),
+    "IS": ("ISLOINC",),
+    "MI": ("MIDRVFL",),
+    "MS": ("MSLNKGRP", "MSORNRHI", "MSORNRLO", "MSSTNRC", "MSSTNRHI",
+           "MSSTNRLO"),
+    "OE": ("OEORREF", "OESPID"),
+    "PC": ("PCBLFL", "PCEVINTX"),
+    "PP": ("PPDRVFL", "PPSPID", "VISIT", "VISITDY", "VISITNUM"),
+    "RE": ("RENRIND", "REORNRHI", "REORNRLO", "RESTNRC", "RESTNRHI",
+           "RESTNRLO"),
+    "RP": ("RPMETHOD",),
+    "RS": ("RSLAT", "RSLOC"),
+    "SS": ("SSELTM", "SSRFTDTC", "SSTPT", "SSTPTNUM", "SSTPTREF"),
+    "TR": ("TRCAT", "TRDIR", "TRDRVFL", "TRLAT", "TRLOC", "TRSCAT"),
+    "TU": ("TUCAT", "TUREASND", "TUSCAT", "TUSTAT"),
+    "FA": ("FADIR", "FADRVFL", "FAELTM", "FAMETHOD", "FARFTDTC", "FATPT",
+           "FATPTNUM", "FATPTREF"),
+    "SR": ("SRDIR", "SRDRVFL"),
+    "RELSUB": ("DOMAIN",),
+}
 
 
 def _apply_ig_adjustments(out: dict[str, dict]) -> None:
