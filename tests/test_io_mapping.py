@@ -127,6 +127,57 @@ def test_project_roundtrip(tmp_path):
     assert sources_changed(state) == {str(src): True}
 
 
+def test_autosave_policy(tmp_path):
+    """Debounced autosave with a fake clock (reference tss-persistence
+    autosave/config.rs + tracker.rs): debounce after last change, max
+    delay after first unsaved change, hash-gated writes, disabled
+    config never fires."""
+    from trial_submission_studio_spark.io.project import (
+        AutosaveConfig,
+        Autosaver,
+        load_project,
+    )
+
+    now = [0.0]
+    state = {"v": 1}
+    p = str(tmp_path / "proj.json")
+    a = Autosaver(p, lambda: dict(state), AutosaveConfig(
+        debounce_s=2.0, max_delay_s=30.0), clock=lambda: now[0])
+
+    assert not a.tick()  # clean: nothing to do
+    a.mark_dirty()
+    now[0] = 1.0
+    assert not a.tick()  # inside debounce
+    now[0] = 3.1
+    assert a.tick()  # debounce elapsed -> write
+    assert load_project(p) == {"v": 1}
+    assert not a.tick()  # back to clean
+
+    # continuous edits: debounce keeps resetting, max delay forces it
+    for t in range(4, 40):
+        now[0] = float(t)
+        state["v"] = t
+        a.mark_dirty()
+        saved = a.tick()
+        if saved:
+            break
+    assert saved and now[0] - 4.0 >= 29.0  # fired via the 30s max delay
+
+    # hash gate: dirty but state unchanged -> tracker resets, no write
+    a.mark_dirty()
+    now[0] += 10.0
+    assert not a.tick()
+    assert not a.dirty
+
+    # disabled config never saves
+    b = Autosaver(str(tmp_path / "b.json"), lambda: {"x": 1},
+                  AutosaveConfig(enabled=False), clock=lambda: now[0])
+    b.mark_dirty()
+    now[0] += 100.0
+    assert not b.tick()
+    assert b.dirty
+
+
 # --- fuzzy mapping -----------------------------------------------------
 
 
