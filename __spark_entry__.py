@@ -1185,6 +1185,10 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = simhash64(
         corpus.select("doc_id", token_hashes("text").alias("__h")), "__h"
     )
+    # gate runs several count actions over fp (pairs join, n_fp);
+    # checkpoint the (doc_id, int64) fingerprints so tokenize+kernel
+    # runs once, like the minhash gate's signature checkpoint
+    fp = fp.localCheckpoint(eager=True)
     pairs = simhash_hamming_pairs(fp, max_hamming=3)
     planted = d.filter(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1000000).alias("id_b")
