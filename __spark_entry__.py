@@ -677,28 +677,60 @@ def dedup_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_analysis_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis family in ONE per-lang scan (token counting,
+    stopword-ratio language ID, quality scoring — formerly three
+    contract queries, merged to keep the contract inside the driver's
+    50-row window). quality sums exactly via e4 fixed-point (float
+    summation order would differ between engines)."""
     d = _t(spark, sf_dir, "documents")
+    pred_en = stopword_ratio("text") >= 0.12
+    q4 = F.round(quality_score("text"), 4)
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(token_count("text")).cast("long").alias("total_tokens"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
-    )
-
-
-def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """stopword-ratio language heuristic vs the labeled lang column."""
-    d = _t(spark, sf_dir, "documents")
-    pred_en = stopword_ratio("text") >= 0.12
-    return d.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.when(pred_en, 1).otherwise(0)).cast("long").alias("n_pred_en"),
+        F.sum(F.round(q4 * 10000, 0).cast("long")).alias("quality_e4_sum"),
     )
 
 
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", quality_score("text").alias("quality"))
+def dedup_group_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components duplicate-group resolution: pair finders
+    emit EDGES, not groups — keeping one survivor per component needs
+    CC (min-label propagation + pointer jumping,
+    operators/dedup.py:duplicate_groups). Planted path components:
+    edges (i, i+1) within 5-doc runs → rep(i) = i - i%5, which the
+    oracle states in closed form. The length-5 paths force real
+    multi-round convergence."""
+    from trial_submission_studio_spark.operators.dedup import duplicate_groups
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    pairs = d.filter(F.col("doc_id") % 5 != 4).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1).alias("id_b"),
+    )
+    return duplicate_groups(pairs)
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for train-mix construction
+    (operators/sampling.py): selection is a pure function of the key
+    hash, so it is partition-, retry- and cluster-size-independent.
+    The query pins a multiplicative hash both engines evaluate
+    identically; the library default is xxhash64."""
+    from trial_submission_studio_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    hash_expr = F.col("doc_id") * F.lit(2654435761)
+    return stratified_sample(
+        d,
+        "lang",
+        {"en": 0.5, "de": 0.25},
+        key_col="doc_id",
+        default_fraction=0.1,
+        hash_expr=hash_expr,
+    )
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1262,10 +1294,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_days_since_prev": w1_days_since_prev,
         "dedup_exact_docs": dedup_exact_docs,
         "dedup_fingerprint_stats": dedup_fingerprint_stats,
-        "text_token_stats": text_token_stats,
-        "text_lang_id": text_lang_id,
-        "text_quality": text_quality,
+        "text_analysis_gates": text_analysis_gates,
         "text_bpe_tokens": text_bpe_tokens,
+        "dedup_group_resolution": dedup_group_resolution,
+        "sample_stratified": sample_stratified,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
@@ -1661,45 +1693,48 @@ def oracle_sql() -> dict[str, str]:
                      AS n_norm
             FROM documents
         """,
-        "text_token_stats": """
-            SELECT lang, count(*) AS n_docs,
-                   CAST(sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT)
-                     AS total_tokens,
-                   round(avg(n_chars), 4) AS avg_chars
-            FROM documents GROUP BY lang
-        """,
-        "text_lang_id": f"""
+        "text_analysis_gates": f"""
             WITH t AS (
-              SELECT lang,
+              SELECT doc_id, lang, n_chars, trim(text) AS s,
                      CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[])
-                          ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks
-              FROM documents
-            )
-            SELECT lang, count(*) AS n_docs,
-                   CAST(sum(CASE WHEN len(toks) > 0 AND
-                     CAST(len(list_filter(toks, x -> x IN ({_STOPWORDS_SQL}))) AS DOUBLE)
-                       / len(toks) >= 0.12
-                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en
-            FROM t GROUP BY lang
-        """,
-        "text_quality": """
-            WITH t AS (
-              SELECT doc_id, trim(text) AS s,
+                          ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks,
                      CASE WHEN text IS NULL OR trim(text) = '' THEN 0
                           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ntok
               FROM documents
+            ),
+            q AS (
+              SELECT lang, n_chars, ntok, toks,
+                     round(
+                       least(length(s) / 200.0, 1.0)
+                       * greatest(0.0, 1.0 - (length(regexp_replace(s, '[A-Za-z0-9\\s]', '', 'g'))
+                           / CAST(length(s) AS DOUBLE)) * 4)
+                       * CASE WHEN ntok > 0 AND length(s) / CAST(ntok AS DOUBLE) >= 3
+                                   AND length(s) / CAST(ntok AS DOUBLE) <= 12
+                              THEN 1.0 ELSE 0.5 END,
+                     4) AS q4
+              FROM t
             )
-            SELECT doc_id,
-                   round(
-                     least(length(s) / 200.0, 1.0)
-                     * greatest(0.0, 1.0 - (length(regexp_replace(s, '[A-Za-z0-9\\s]', '', 'g'))
-                         / CAST(length(s) AS DOUBLE)) * 4)
-                     * CASE WHEN ntok > 0 AND length(s) / CAST(ntok AS DOUBLE) >= 3
-                                 AND length(s) / CAST(ntok AS DOUBLE) <= 12
-                            THEN 1.0 ELSE 0.5 END,
-                   4) AS quality
-            FROM t
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(ntok) AS BIGINT) AS total_tokens,
+                   round(avg(n_chars), 4) AS avg_chars,
+                   CAST(sum(CASE WHEN len(toks) > 0 AND
+                     CAST(len(list_filter(toks, x -> x IN ({_STOPWORDS_SQL}))) AS DOUBLE)
+                       / len(toks) >= 0.12
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en,
+                   CAST(sum(CAST(round(q4 * 10000, 0) AS BIGINT)) AS BIGINT)
+                     AS quality_e4_sum
+            FROM q GROUP BY lang
+        """,
+        "dedup_group_resolution": """
+            SELECT doc_id AS id,
+                   CAST(doc_id - doc_id % 5 AS BIGINT) AS rep
+            FROM documents
+        """,
+        "sample_stratified": """
+            SELECT doc_id, lang FROM documents
+            WHERE (doc_id * 2654435761) % 1000000 <
+                  CASE lang WHEN 'en' THEN 500000
+                       WHEN 'de' THEN 250000 ELSE 100000 END
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)

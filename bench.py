@@ -31,7 +31,7 @@ BENCH_QUERIES = (
     "t9_numeric_parse",
     "e2e_cdisc_pipeline",
     "events_tumbling_window",
-    "text_token_stats",
+    "text_analysis_gates",
     "dedup_minhash_lsh",
     "simhash_fingerprints",
     "ann_cosine_topk",

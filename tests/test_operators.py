@@ -353,6 +353,62 @@ def test_lsh_multitable_and_kmeans_determinism(spark):
     assert top[1] == 7 and top[2] == 1.0
 
 
+def test_duplicate_groups_connected_components(spark):
+    # pairs are edges, not groups: {1-2, 2-3} and {10-11} plus a
+    # self-contained pair; rep = min id of the component. The 1-2-3
+    # path needs real propagation (1~3 never appears as a pair).
+    from trial_submission_studio_spark.operators.dedup import duplicate_groups
+
+    pairs = values_df(
+        spark,
+        [(2, 1), (2, 3), (10, 11), (7, 8), (8, 7)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {r["id"]: r["rep"] for r in duplicate_groups(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 7: 7, 8: 7}
+
+
+def test_duplicate_groups_long_chain(spark):
+    # a 40-vertex path converges via pointer jumping well inside the
+    # iteration cap (plain propagation alone would need 39 rounds)
+    from trial_submission_studio_spark.operators.dedup import duplicate_groups
+
+    pairs = values_df(
+        spark, [(i, i + 1) for i in range(40)], "id_a bigint, id_b bigint"
+    )
+    got = {r["id"]: r["rep"] for r in duplicate_groups(pairs, max_iter=10).collect()}
+    assert got == {i: 0 for i in range(41)}
+
+
+def test_deterministic_stratified_sample(spark):
+    from trial_submission_studio_spark.operators.sampling import (
+        deterministic_sample,
+        stratified_sample,
+    )
+
+    df = spark.range(2000).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, F.lit("en")).otherwise(F.lit("de")).alias("lang"),
+    )
+    a = deterministic_sample(df, "id", 0.3, seed=7)
+    b = deterministic_sample(df, "id", 0.3, seed=7)
+    ids_a = sorted(r["id"] for r in a.collect())
+    assert ids_a == sorted(r["id"] for r in b.collect())  # reproducible
+    assert ids_a == sorted(
+        r["id"] for r in deterministic_sample(df.repartition(7), "id", 0.3, seed=7).collect()
+    )  # partition-layout independent
+    assert 0.2 < len(ids_a) / 2000 < 0.4
+    # growing the fraction only ADDS keys (consistent splits)
+    bigger = {r["id"] for r in deterministic_sample(df, "id", 0.5, seed=7).collect()}
+    assert set(ids_a) <= bigger
+
+    s = stratified_sample(df, "lang", {"en": 0.5}, "id", default_fraction=0.05, seed=7)
+    rows_ = s.groupBy("lang").count().collect()
+    got = {r["lang"]: r["count"] for r in rows_}
+    assert 0.4 < got["en"] / 1000 < 0.6
+    assert got.get("de", 0) / 1000 < 0.12
+
+
 def test_simhash_kernel_matches_sql_form(spark):
     # the one-pass numpy kernel must be bit-identical to the pure-SQL
     # 64-fold reference form, including empty ('' -> one token) and
