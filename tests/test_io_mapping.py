@@ -88,6 +88,32 @@ def test_write_dataset_xml(spark, tmp_path):
     assert "IT.AE.AETERM" not in oids1
 
 
+def test_write_dataset_xml_sharded(spark, tmp_path):
+    """Large-domain split export: 5 rows at 2 rows/shard -> LB1..LB3,
+    each a complete valid ODM document, global seq preserved."""
+    from trial_submission_studio_spark.io.dataset_xml import write_dataset_xml_sharded
+
+    df = values_df(
+        spark,
+        [("ST", f"S-{i:03d}", f"ALT{i}", i) for i in range(1, 6)],
+        "STUDYID string, USUBJID string, LBTESTCD string, _row_id int",
+    )
+    written = write_dataset_xml_sharded(
+        df, str(tmp_path), "LB", "ST.STUDY", order_col="_row_id", rows_per_shard=2
+    )
+    assert sorted(written) == ["LB1", "LB2", "LB3"]
+    seqs = {}
+    for member, path in written.items():
+        doc = xml.dom.minidom.parse(path)  # each shard is well-formed
+        odm = doc.documentElement
+        assert odm.getAttribute("FileOID") == f"ST.STUDY.{member}"
+        seqs[member] = [
+            g.getAttribute("data:ItemGroupDataSeq")
+            for g in doc.getElementsByTagName("ItemGroupData")
+        ]
+    assert seqs == {"LB1": ["1", "2"], "LB2": ["3", "4"], "LB3": ["5"]}
+
+
 def test_write_define_xml(spark, tmp_path):
     frames = {
         "DM": values_df(

@@ -353,6 +353,25 @@ def test_lsh_multitable_and_kmeans_determinism(spark):
     assert top[1] == 7 and top[2] == 1.0
 
 
+def test_dedup_near_end_to_end(spark):
+    # full chain: minhash -> LSH -> Jaccard verify -> CC -> survivors.
+    # Three copies of one text (transitively near-dup via tiny edits)
+    # collapse to the min id; distinct docs survive untouched.
+    from trial_submission_studio_spark.operators.dedup import dedup_near
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    rows_ = [
+        (1, base),
+        (2, base + " zq"),
+        (3, base + " zx"),
+        (10, "completely different content about spark partitions " * 6),
+        (11, "yet another unrelated document body with words " * 6),
+    ]
+    df = values_df(spark, rows_, "doc_id bigint, text string")
+    kept = sorted(r["doc_id"] for r in dedup_near(df, "doc_id", "text").collect())
+    assert kept == [1, 10, 11]
+
+
 def test_duplicate_groups_connected_components(spark):
     # pairs are edges, not groups: {1-2, 2-3} and {10-11} plus a
     # self-contained pair; rep = min id of the component. The 1-2-3

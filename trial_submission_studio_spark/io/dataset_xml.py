@@ -114,3 +114,80 @@ def write_dataset_xml(
             n += 1
         fh.write(" </ClinicalData>\n</ODM>\n")
     return n
+
+
+def write_dataset_xml_sharded(
+    df: DataFrame,
+    out_dir: str,
+    domain: str,
+    study_oid: str,
+    order_col: str,
+    rows_per_shard: int = 100_000,
+    metadata_version_oid: str = "MDV.1",
+) -> dict[str, str]:
+    """Split-dataset Dataset-XML: the large-domain export path.
+
+    A single-domain XML is a sequential driver write — fine at study
+    scale, a bottleneck for a billion-row domain. This writer splits
+    the domain into ``{DOMAIN}1..{DOMAIN}n`` members of
+    ``rows_per_shard`` rows each (the same split-dataset convention
+    the XPT side uses — each member's base domain is ``domain``, so
+    define.xml can reference them via ``base_domain_code``), and each
+    member is a COMPLETE, valid ODM document.
+
+    Scale shape: row fragments are Spark expressions; each shard's
+    document is assembled by ONE executor task (``applyInPandas`` over
+    the shard id — bounded by ``rows_per_shard``), so shards build in
+    parallel and the driver only byte-copies finished documents.
+    Global row order (``order_col``) is preserved: shard k holds rows
+    (k·N, (k+1)·N] with their original sequence numbers.
+
+    Returns {member name: path}.
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    dom = domain.upper()
+    ig_oid = f"IG.{dom}"
+    data_cols = [c for c in df.columns if c != order_col]
+    frag = row_fragment(data_cols, ig_oid, f"IT.{dom}", order_col)
+    shards = df.select(
+        F.col(order_col).alias("__seq"),
+        frag.alias("__xml"),
+        F.floor((F.col(order_col) - 1) / rows_per_shard).cast("long").alias("__shard"),
+    )
+
+    head = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        f"<ODM xmlns={quoteattr(_ODM_NS)} xmlns:data={quoteattr(_DATA_NS)} "
+        'FileType="Snapshot" FileOID="{file_oid}" ODMVersion="1.3.2">\n'
+        f" <ClinicalData StudyOID={quoteattr(study_oid)} "
+        f"MetaDataVersionOID={quoteattr(metadata_version_oid)}>\n"
+    )
+    tail = " </ClinicalData>\n</ODM>\n"
+
+    def assemble(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("__seq")
+        shard = int(pdf["__shard"].iat[0])
+        member = f"{dom}{shard + 1}"
+        doc = (
+            head.replace("{file_oid}", f"{study_oid}.{member}")
+            + "\n".join(pdf["__xml"])
+            + "\n"
+            + tail
+        )
+        return pd.DataFrame({"shard": [shard], "doc": [doc]})
+
+    out_schema = "shard long, doc string"
+    docs = shards.groupBy("__shard").applyInPandas(assemble, out_schema)
+
+    written: dict[str, str] = {}
+    for row in docs.toLocalIterator(prefetchPartitions=True):
+        member = f"{dom}{int(row['shard']) + 1}"
+        path = os.path.join(out_dir, f"{member.lower()}.xml")
+        with open(path, "w", encoding="utf-8") as fh:
+            fh.write(row["doc"])
+        written[member] = path
+    return written
