@@ -353,6 +353,45 @@ def test_lsh_multitable_and_kmeans_determinism(spark):
     assert top[1] == 7 and top[2] == 1.0
 
 
+def test_textclean_scrubbers(spark):
+    from trial_submission_studio_spark.operators.textclean import (
+        normalize_unicode,
+        scrub_pii,
+        strip_control_chars,
+        strip_html,
+    )
+
+    df = values_df(
+        spark,
+        [
+            (1, "see https://example.com/a?b=1 or www.foo.org/x now"),
+            (2, "mail me at john.doe+spam@example.co.uk please"),
+            (3, "call +1 (555) 123-4567 or 020 7946 0958 today"),
+            (4, "server 192.168.1.100 responded"),
+            (5, "born 2024-01-15 with 42 apples"),  # date + int survive
+            (6, "<p>Hello <b>world</b></p>"),
+        ],
+        "id bigint, text string",
+    )
+    got = {r["id"]: r["t"] for r in df.select("id", scrub_pii("text").alias("t")).collect()}
+    assert got[1] == "see <|url|> or <|url|> now"
+    assert got[2] == "mail me at <|email|> please"
+    assert got[3] == "call <|phone|> or <|phone|> today"
+    assert got[4] == "server <|ip|> responded"
+    assert got[5] == "born 2024-01-15 with 42 apples"
+
+    html = df.filter("id = 6").select(strip_html("text").alias("t")).first()["t"]
+    assert html == "Hello world"
+
+    ctl = values_df(spark, [("a\x00b\tc",)], "text string")
+    assert ctl.select(strip_control_chars("text").alias("t")).first()["t"] == "ab\tc"
+
+    # NFC: decomposed e + combining acute composes to é
+    nfd = values_df(spark, [("café",)], "text string")
+    out = nfd.select(normalize_unicode("text").alias("t")).first()["t"]
+    assert out == "café" and len(out) == 4
+
+
 def test_dedup_near_end_to_end(spark):
     # full chain: minhash -> LSH -> Jaccard verify -> CC -> survivors.
     # Three copies of one text (transitively near-dup via tiny edits)

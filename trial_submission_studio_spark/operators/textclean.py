@@ -1,0 +1,122 @@
+"""Text cleaning / PII scrubbing for training-data pipelines.
+
+Every scrubber is a pure JVM ``regexp_replace`` expression (whole-stage
+codegen, no Python in the hot path) except Unicode NFC/NFKC
+normalization, which Spark has no builtin for and runs as an
+Arrow-batched pandas UDF. Compose with
+:func:`~trial_submission_studio_spark.operators.textstats.quality_score`
+and the dedup family for a full pre-training cleaning pass.
+
+Patterns deliberately favor precision over recall (a training-corpus
+scrubber that eats code snippets or dates does more harm than a missed
+edge case); each is independently toggleable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: replacement tokens — stable, greppable, unlikely in natural text
+URL_TOKEN = "<|url|>"
+EMAIL_TOKEN = "<|email|>"
+PHONE_TOKEN = "<|phone|>"
+IP_TOKEN = "<|ip|>"
+
+_URL_RE = r"(?i)\b(?:https?://|www\.)[^\s<>\"']+"
+_EMAIL_RE = r"(?i)\b[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}\b"
+# explicit phone shapes only (intl +..., (NXX) grouping, 3-3-4 dashes,
+# space-grouped national) — a bare "7+ digits with separators" pattern
+# also eats ISO dates (4-2-2 grouping), so shapes are enumerated
+_PHONE_RE = (
+    r"(?:\+\d[\d\s().-]{5,}\d)"
+    r"|(?:\(\d{3}\)[\s.-]?\d{3}[\s.-]\d{4})"
+    r"|(?:\b\d{3}[\s.-]\d{3}[\s.-]\d{4}\b)"
+    r"|(?:\b\d{2,4}\s\d{3,4}\s\d{3,4}\b)"
+)
+_IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+_HTML_TAG_RE = r"<[^>\s][^>]*>"
+_CONTROL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def scrub_urls(c: Column | str, token: str = URL_TOKEN) -> Column:
+    return F.regexp_replace(_col(c).cast("string"), _URL_RE, token)
+
+
+def scrub_emails(c: Column | str, token: str = EMAIL_TOKEN) -> Column:
+    return F.regexp_replace(_col(c).cast("string"), _EMAIL_RE, token)
+
+
+def scrub_phones(c: Column | str, token: str = PHONE_TOKEN) -> Column:
+    """Conservative phone scrub: digit runs (7+) with phone-style
+    separators. Applied AFTER url/email scrubbing so numbers inside
+    those don't double-fire."""
+    return F.regexp_replace(_col(c).cast("string"), _PHONE_RE, token)
+
+
+def scrub_ipv4(c: Column | str, token: str = IP_TOKEN) -> Column:
+    return F.regexp_replace(_col(c).cast("string"), _IPV4_RE, token)
+
+
+def strip_html(c: Column | str) -> Column:
+    """Drop HTML/XML tags (not entities) and collapse the whitespace
+    the removal leaves behind."""
+    out = F.regexp_replace(_col(c).cast("string"), _HTML_TAG_RE, " ")
+    return F.trim(F.regexp_replace(out, r"\s{2,}", " "))
+
+
+def strip_control_chars(c: Column | str) -> Column:
+    """Remove C0/C1 control bytes except tab/newline/CR."""
+    return F.regexp_replace(_col(c).cast("string"), _CONTROL_RE, "")
+
+
+def scrub_pii(
+    c: Column | str,
+    urls: bool = True,
+    emails: bool = True,
+    phones: bool = True,
+    ips: bool = True,
+) -> Column:
+    """The composed scrubbing pass, one codegen'd expression chain.
+    Order matters: URLs first (their paths contain digit runs and
+    @-tokens), then emails, then IPs, then the conservative phone
+    pattern."""
+    out = _col(c).cast("string")
+    if urls:
+        out = F.regexp_replace(out, _URL_RE, URL_TOKEN)
+    if emails:
+        out = F.regexp_replace(out, _EMAIL_RE, EMAIL_TOKEN)
+    if ips:
+        out = F.regexp_replace(out, _IPV4_RE, IP_TOKEN)
+    if phones:
+        out = F.regexp_replace(out, _PHONE_RE, PHONE_TOKEN)
+    return out
+
+
+def _make_nfc_udf(form: str):
+    """Arrow-batched Unicode normalization (closure factory — the
+    worker cannot import this package; no type hints because
+    ``from __future__ import annotations`` stringifies them beyond
+    pyspark's resolver)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda v: unicodedata.normalize(form, v) if v is not None else None
+        )
+
+    return pandas_udf(nfc, "string", PandasUDFType.SCALAR)
+
+
+def normalize_unicode(c: Column | str, form: str = "NFC") -> Column:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) — the one Python
+    step, Arrow-batched; run it once at ingest, not per-operator."""
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError("form must be NFC|NFKC|NFD|NFKD")
+    return _make_nfc_udf(form)(_col(c).cast("string"))
