@@ -353,6 +353,35 @@ def test_lsh_multitable_and_kmeans_determinism(spark):
     assert top[1] == 7 and top[2] == 1.0
 
 
+def test_pack_sequences_token_budget(spark):
+    from trial_submission_studio_spark.operators.sampling import pack_sequences
+
+    df = spark.range(200).select(
+        F.col("id"), (F.col("id") % 900 + 100).cast("long").alias("n_tok")
+    )
+    packed = pack_sequences(df, "id", "n_tok", budget=2048, buckets=4)
+    rows_ = packed.collect()
+    assert len(rows_) == 200  # every doc assigned exactly once
+    by_pack: dict = {}
+    for r in rows_:
+        by_pack.setdefault(r["pack_id"], []).append(r)
+    for pid, members in by_pack.items():
+        total = sum((m["id"] % 900) + 100 for m in members)
+        assert all(m["pack_tokens"] == total for m in members)
+        assert total <= 2048  # no doc exceeds the budget here
+    # determinism: identical assignment on re-run
+    again = {(r["id"], r["pack_id"]) for r in
+             pack_sequences(df, "id", "n_tok", budget=2048, buckets=4).collect()}
+    assert again == {(r["id"], r["pack_id"]) for r in rows_}
+    # an overflowing doc gets its own pack, not dropped
+    big = spark.range(3).select(
+        F.col("id"), F.lit(5000).cast("long").alias("n_tok")
+    )
+    got = pack_sequences(big, "id", "n_tok", budget=2048, buckets=2).collect()
+    assert len(got) == 3 and all(r["pack_tokens"] == 5000 for r in got)
+    assert len({r["pack_id"] for r in got}) == 3
+
+
 def test_textclean_scrubbers(spark):
     from trial_submission_studio_spark.operators.textclean import (
         normalize_unicode,

@@ -50,6 +50,73 @@ def deterministic_sample(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    buckets: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """Pack documents into training sequences of ≤ ``budget`` tokens
+    → (doc_id, pack_id, pack_tokens).
+
+    Bin packing is inherently sequential, so the corpus is first
+    hashed into ``buckets`` independent groups (deterministic key
+    hash — same spread guarantees as :func:`deterministic_sample`)
+    and each group packs locally with first-fit-decreasing inside one
+    ``applyInPandas`` task. Pack ids are ``{bucket}-{bin}``, globally
+    unique and stable across runs. A document longer than the budget
+    gets its own (overflowing) pack rather than being dropped —
+    truncation is the tokenizer's decision, not the packer's.
+
+    Scale: each bucket must fit one task (size ``buckets`` ≈
+    corpus_docs / 5M for comfortable pandas groups); packing quality
+    is within the usual FFD 11/9·OPT bound per bucket, and bucketing
+    costs at most one extra partially-filled pack per bucket.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            [token_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        bucket = int(pdf["__bucket"].iat[0])
+        bins: list[int] = []  # remaining capacity per bin
+        assign: list[int] = []
+        for t in pdf[token_col].astype("int64"):
+            t = int(t)
+            for i, cap in enumerate(bins):
+                if cap >= t:
+                    bins[i] = cap - t
+                    assign.append(i)
+                    break
+            else:
+                bins.append(max(budget - t, 0))
+                assign.append(len(bins) - 1)
+        # exact totals (an overflow doc zeroes its remaining capacity)
+        exact = [0] * len(bins)
+        for i, t in zip(assign, pdf[token_col].astype("int64")):
+            exact[i] += int(t)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].astype("int64"),
+                "pack_id": [f"{bucket}-{i}" for i in assign],
+                "pack_tokens": [exact[i] for i in assign],
+            }
+        )
+
+    work = df.select(
+        F.col(id_col), F.col(token_col), sample_bucket(id_col, seed).alias("__h")
+    ).withColumn("__bucket", F.pmod(F.col("__h"), F.lit(buckets)).cast("int"))
+    return work.groupBy("__bucket").applyInPandas(
+        pack, f"{id_col} long, pack_id string, pack_tokens long"
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,
