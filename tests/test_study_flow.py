@@ -271,6 +271,38 @@ def test_registry_codelists_all_resolve():
     assert unresolved == []
 
 
+def test_create_study_loads_items_metadata(spark, tmp_path):
+    """metadata_files wiring (reference study.rs:43-49): the first
+    valid Items.csv wins; its labels fill columns whose CSV header
+    carried none (single-row-header sources), feeding the fuzzy
+    mapping's label signal."""
+    items = (
+        "Item Id,Item Label,Type,Required,Format,Len\n"
+        "ID,Label,DataType,Mandatory,FormatName,ContentLength\n"
+        "SubjectId,Subject Identifier for the Study,text,True,,8\n"
+        "SEX,Gender of the Subject,text,True,SEX,1\n"
+        "RFSTDAT,Reference Start Date,date,False,,10\n"
+    )
+    (tmp_path / "Items.csv").write_text(items)
+    (tmp_path / "bad.csv").write_text("just,one\nrow,here\n")
+    # single-row header: no label row in the domain CSV itself
+    (tmp_path / "DM.csv").write_text(
+        "SubjectId,SEX,RFSTDAT\nW-01,F,2024-01-10\nW-02,M,2024-01-20\n"
+    )
+    st = create_study(
+        spark, "MD",
+        {"DM": str(tmp_path / "DM.csv")},
+        header_rows=1,
+        min_confidence=0.99,
+        metadata_files=[str(tmp_path / "bad.csv"), str(tmp_path / "Items.csv")],
+    )
+    assert st.metadata is not None
+    assert st.metadata.items["SEX"].format_name == "SEX"
+    labels = st.sources["DM"].labels
+    assert labels["SubjectId"] == "Subject Identifier for the Study"
+    assert labels["RFSTDAT"] == "Reference Start Date"
+
+
 def test_study_flow_uses_shipped_catalog(spark, tmp_path):
     """create_study without a ct_lookup: T8 normalization rides the
     built-in catalog (sex synonyms canonicalize with no user CSV)."""

@@ -73,6 +73,7 @@ class Study:
     mappings: dict[str, MappingState] = field(default_factory=dict)
     ct_lookup: DataFrame | None = None
     domains: dict[str, list[dict]] = field(default_factory=dict)  # registry vars
+    metadata: object | None = None  # StudyMetadata from Items.csv, if any
 
 
 def create_study(
@@ -83,6 +84,8 @@ def create_study(
     min_confidence: float = 0.7,
     ct_lookup: DataFrame | None = None,
     registry: dict[str, dict] | None = None,
+    metadata_files: list[str] | None = None,
+    metadata_header_rows: int = 2,
 ) -> Study:
     """Assignment keys are DATASET names, not just domain codes: a
     split dataset (``LBCC``, ``QS_PGA`` — the reference's mockdata
@@ -91,6 +94,11 @@ def create_study(
     :func:`base_domain_code`. A value may also be a LIST of CSV paths
     (one physical domain delivered as several files); they union with
     dense cross-file ``_row_id`` offsets via :func:`read_source_csvs`.
+
+    ``metadata_files``: candidate Items.csv paths; the first that
+    loads wins (reference study.rs:43-49). Its per-column labels
+    enrich every source table's labels (and therefore the fuzzy
+    mapping suggestions) wherever the CSV headers carried none.
     """
     registry = registry or DOMAINS
     if ct_lookup is None:
@@ -101,6 +109,18 @@ def create_study(
 
         ct_lookup = builtin_lookup_df(spark)
     study = Study(spark=spark, study_id=study_id, ct_lookup=ct_lookup)
+    for meta_path in metadata_files or []:
+        try:
+            from trial_submission_studio_spark.sources.items_metadata import (
+                load_items_metadata,
+            )
+
+            study.metadata = load_items_metadata(
+                spark, meta_path, header_rows=metadata_header_rows
+            )
+            break  # first valid Items.csv wins (reference study.rs:43-49)
+        except Exception:  # noqa: BLE001 — a bad candidate is skipped
+            continue
     for code, path in assignments.items():
         code = code.upper()
         base = base_domain_code(code)
@@ -110,6 +130,14 @@ def create_study(
             table = read_source_csv(spark, path, header_rows=header_rows)
         if base == "RELSUB" and {"USUBJID", "RSUBJID", "SREL"} <= set(table.columns):
             table.df = reciprocal_augment(table.df)
+        if study.metadata is not None:
+            for c in table.columns:
+                item = study.metadata.items.get(c)
+                # Items.csv label fills columns whose header carried
+                # none (single-row-header CSVs label columns with
+                # their own names)
+                if item and item.label and table.labels.get(c, c) == c:
+                    table.labels[c] = item.label
         study.sources[code] = table
         variables = (
             registry.get(code) or registry.get(base) or registry.get("SUPPQUAL", {})
