@@ -303,6 +303,43 @@ def test_create_study_loads_items_metadata(spark, tmp_path):
     assert labels["RFSTDAT"] == "Reference Start Date"
 
 
+def test_create_study_applies_codelist_decodes(spark, tmp_path):
+    """Study CodeLists.csv decodes apply at import (reference
+    metadata/application.rs:38-151): SEXCD decodes to a new SEX
+    column through the SEX format, numeric-normalized ('1.0' ≡ '1')."""
+    items = (
+        "Item Id,Item Label,Type,Required,Format,Len\n"
+        "ID,Label,DataType,Mandatory,FormatName,ContentLength\n"
+        "SubjectId,Subject Identifier for the Study,text,True,,8\n"
+        "SEXCD,Gender of the Subject - Code,text,True,SEX,1\n"
+        "VISDAT,Visit Date of the Subject,date,False,,10\n"
+    )
+    codelists = (
+        "Format Name,Data Type,Code Value,Code Text\n"
+        "FormatName,DataType,CodeValue,CodeText\n"
+        "SEX,text,1,Male\n"
+        "SEX,text,2,Female\n"
+    )
+    (tmp_path / "Items.csv").write_text(items)
+    (tmp_path / "CodeLists.csv").write_text(codelists)
+    (tmp_path / "DM.csv").write_text(
+        "SubjectId,SEXCD,VISDAT\nC-01,1.0,2024-01-10\nC-02,2,2024-01-20\n"
+    )
+    st = create_study(
+        spark, "CLD",
+        {"DM": str(tmp_path / "DM.csv")},
+        header_rows=1,
+        min_confidence=0.99,
+        metadata_files=[str(tmp_path / "Items.csv")],
+        codelists_file=str(tmp_path / "CodeLists.csv"),
+    )
+    src = st.sources["DM"]
+    assert "SEX" in src.columns  # decoded sibling materialized
+    got = {r["SubjectId"]: r["SEX"] for r in src.df.collect()}
+    assert got == {"C-01": "Male", "C-02": "Female"}  # 1.0 ≡ 1
+    assert src.labels["SEX"] == "Gender of the Subject"
+
+
 def test_study_flow_uses_shipped_catalog(spark, tmp_path):
     """create_study without a ct_lookup: T8 normalization rides the
     built-in catalog (sex synonyms canonicalize with no user CSV)."""

@@ -86,6 +86,7 @@ def create_study(
     registry: dict[str, dict] | None = None,
     metadata_files: list[str] | None = None,
     metadata_header_rows: int = 2,
+    codelists_file: str | None = None,
 ) -> Study:
     """Assignment keys are DATASET names, not just domain codes: a
     split dataset (``LBCC``, ``QS_PGA`` — the reference's mockdata
@@ -116,7 +117,10 @@ def create_study(
             )
 
             study.metadata = load_items_metadata(
-                spark, meta_path, header_rows=metadata_header_rows
+                spark,
+                meta_path,
+                codelists_path=codelists_file,
+                header_rows=metadata_header_rows,
             )
             break  # first valid Items.csv wins (reference study.rs:43-49)
         except Exception:  # noqa: BLE001 — a bad candidate is skipped
@@ -131,13 +135,40 @@ def create_study(
         if base == "RELSUB" and {"USUBJID", "RSUBJID", "SREL"} <= set(table.columns):
             table.df = reciprocal_augment(table.df)
         if study.metadata is not None:
-            for c in table.columns:
+            from trial_submission_studio_spark.operators.codelist_decode import (
+                apply_codelist_decode,
+            )
+            from trial_submission_studio_spark.sources.local import values_df
+
+            for c in list(table.columns):
                 item = study.metadata.items.get(c)
                 # Items.csv label fills columns whose header carried
                 # none (single-row-header CSVs label columns with
                 # their own names)
                 if item and item.label and table.labels.get(c, c) == c:
                     table.labels[c] = item.label
+                # study-codelist decode at import (T11, reference
+                # metadata/application.rs:38-151): a coded column with
+                # a FormatName decodes to its CD-stripped sibling,
+                # fill-only when the sibling exists
+                cl = (
+                    study.metadata.codelists.get(item.format_name)
+                    if item and item.format_name
+                    else None
+                )
+                if cl:
+                    cl_df = values_df(
+                        spark,
+                        sorted(cl.items()),
+                        "code_value string, code_text string",
+                    )
+                    table.df = apply_codelist_decode(table.df, c, cl_df)
+                    target = c[:-2] if c.upper().endswith("CD") else c + "_DECODED"
+                    if target not in table.columns:
+                        table.columns.append(target)
+                        table.labels.setdefault(
+                            target, (item.label or target).removesuffix(" - Code")
+                        )
         study.sources[code] = table
         variables = (
             registry.get(code) or registry.get(base) or registry.get("SUPPQUAL", {})
