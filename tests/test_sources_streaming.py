@@ -246,6 +246,51 @@ def test_streaming_matches_batch(spark, tmp_path):
     assert got == expected
 
 
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """At-least-once delivery -> exactly-once events: duplicate
+    event_ids are dropped with watermark-bounded state; batch mode
+    degrades to plain dropDuplicates with identical results."""
+    from trial_submission_studio_spark.streaming.events import dedup_stream
+
+    batch = values_df(
+        spark,
+        [
+            (1, "2024-01-01 00:10:00", "click"),
+            (1, "2024-01-01 00:10:00", "click"),  # redelivery
+            (2, "2024-01-01 00:20:00", "view"),
+            (2, "2024-01-01 00:21:00", "view"),  # same id, later ts
+            (3, "2024-01-01 00:30:00", "click"),
+        ],
+        "event_id bigint, ts_s string, event_type string",
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type")
+    src_dir = str(tmp_path / "dups")
+    batch.write.parquet(src_dir)
+
+    assert sorted(
+        r["event_id"] for r in dedup_stream(batch).collect()
+    ) == [1, 2, 3]
+
+    stream = (
+        spark.readStream.schema("event_id bigint, ts timestamp, event_type string")
+        .parquet(src_dir)
+    )
+    out = dedup_stream(stream, watermark="1 hour")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            r["event_id"] for r in spark.sql("SELECT * FROM dedup_out").collect()
+        )
+    finally:
+        q.stop()
+    assert got == [1, 2, 3]
+
+
 @settings(max_examples=200, deadline=None)
 @given(st.text(max_size=30))
 def test_duration_idempotent(s):

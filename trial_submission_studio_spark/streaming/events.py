@@ -42,6 +42,32 @@ def tumbling_window_counts(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    id_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once event delivery over an at-least-once stream:
+    drop duplicate ``id_cols`` arrivals, keeping state only inside
+    the watermark horizon.
+
+    Streaming mode uses ``dropDuplicatesWithinWatermark`` so the
+    dedup state is GC'd as the watermark advances — an unbounded
+    ``dropDuplicates`` would grow state forever on an infinite
+    stream. The same call on a batch frame degrades to a plain
+    ``dropDuplicates`` over the id columns (batch ≡ bounded stream),
+    so one definition serves both, like
+    :func:`tumbling_window_counts`.
+    """
+    keys = id_cols or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return events.dropDuplicates(keys)
+
+
 def stream_events(
     spark: SparkSession,
     path: str,
