@@ -260,6 +260,11 @@ def test_registry_codelists_all_resolve():
     from trial_submission_studio_spark.standards.ct_catalog import builtin_registry
     from trial_submission_studio_spark.standards.sdtm_domains import DOMAINS
 
+    from trial_submission_studio_spark.standards.adam_ig import (
+        ADAM_STRUCTURES,
+        ADAM_WILDCARD_PATTERNS,
+    )
+
     reg = builtin_registry()
     referenced = set()
     for d in DOMAINS.values():
@@ -267,6 +272,15 @@ def test_registry_codelists_all_resolve():
             for c in str(v.get("codelist_code") or "").replace(";", ",").split(","):
                 if c.strip():
                     referenced.add(c.strip())
+    # ADaM structures + wildcard patterns bind codelists too
+    for d in ADAM_STRUCTURES.values():
+        for v in d["variables"]:
+            if v.get("codelist_code"):
+                referenced.add(v["codelist_code"])
+    for pats in ADAM_WILDCARD_PATTERNS.values():
+        for p in pats:
+            if p.get("codelist_code"):
+                referenced.add(p["codelist_code"])
     unresolved = sorted(c for c in referenced if reg.resolve(c) is None)
     assert unresolved == []
 

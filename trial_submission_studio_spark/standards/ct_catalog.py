@@ -355,6 +355,21 @@ def _registry_breadth_codelists() -> dict[str, Codelist]:
             ("", "Planned Number of Arms", "NARMS"),
             ("", "Planned Number of Subjects", "PLANSUB"),
         ]),
+        _cl("C81223", "Date Imputation Flag", False, [
+            ("", "D", "Day Imputed"),
+            ("", "M", "Month Imputed"),
+            ("", "Y", "Year Imputed"),
+        ]),
+        _cl("C81226", "Time Imputation Flag", False, [
+            ("", "H", "Hours Imputed"),
+            ("", "M", "Minutes Imputed"),
+            ("", "S", "Seconds Imputed"),
+        ]),
+        _cl("C124296", "Subject Trial Status", True, [
+            ("C25250", "COMPLETED"),
+            ("", "DISCONTINUED"),
+            ("", "ONGOING"),
+        ]),
         _cl("C100129", "Category of Questionnaire", True, [
             ("", "ADAS-COG"),
             ("", "C-SSRS"),
