@@ -212,6 +212,43 @@ def test_multimodal_real_wav_decode(spark):
     assert abs(row["zcr"] - 880 / 8000) < 0.02
 
 
+def test_read_media_dir_probe(spark, tmp_path):
+    """binaryFile media source + header probe: real dims for PPM,
+    real duration for WAV, magic classification for JPEG, stable
+    path-hash ids."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from trial_submission_studio_spark.operators.multimodal import (
+        encode_ppm,
+        read_media_dir,
+    )
+
+    img = np.zeros((3, 5, 3), dtype=np.uint8)
+    (tmp_path / "a.ppm").write_bytes(encode_ppm(img))
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(4000)
+        wf.writeframes(b"\x00\x00" * 2000)  # 500 ms
+    (tmp_path / "b.wav").write_bytes(buf.getvalue())
+    (tmp_path / "c.jpg").write_bytes(b"\xff\xd8\xff\xe0fakejpeg")
+
+    got = {
+        r["path"].rsplit("/", 1)[-1]: r.asDict()
+        for r in read_media_dir(spark, str(tmp_path)).collect()
+    }
+    assert got["a.ppm"]["kind"] == "image"
+    assert (got["a.ppm"]["width"], got["a.ppm"]["height"]) == (5, 3)
+    assert got["b.wav"]["kind"] == "audio"
+    assert got["b.wav"]["duration_ms"] == 500
+    assert got["c.jpg"]["mime"] == "image/jpeg" and got["c.jpg"]["width"] is None
+    assert len({r["media_id"] for r in got.values()}) == 3
+
+
 def test_streaming_matches_batch(spark, tmp_path):
     batch = values_df(
         spark,

@@ -385,6 +385,105 @@ def sample_frames(
     )
 
 
+def read_media_dir(
+    spark,
+    path: str,
+    glob: str | None = None,
+) -> DataFrame:
+    """Build a media table from a directory of files via Spark's
+    ``binaryFile`` source → (media_id, path, kind, payload, mime,
+    width, height, duration_ms).
+
+    ``binaryFile`` scans distribute across executors and support
+    partition pruning on path globs; ``media_id`` is the stable
+    xxhash64 of the file path. Typed metadata (kind/mime/dims) comes
+    from :func:`probe_media`'s header sniff — REAL parsing for
+    PPM/BMP/WAV, extension+magic classification for the rest.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    base = raw.select(
+        F.xxhash64("path").alias("media_id"),
+        F.col("path"),
+        F.col("content").alias("payload"),
+    )
+    return probe_media(base)
+
+
+PROBE_SCHEMA = (
+    "media_id long, path string, kind string, payload binary, mime string, "
+    "width int, height int, duration_ms long"
+)
+
+
+def probe_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Header-sniff classification + REAL dimension extraction:
+    PPM/BMP fill width/height from the actual header, WAV fills
+    duration_ms from frame count × rate; other containers are
+    classified by magic bytes (JPEG/PNG/GIF/MP3/MP4) with NULL dims.
+    One partition-local pass, no shuffle."""
+    img_decode = _decode_image
+    wav_decode = _decode_wav
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        magics = [
+            (b"\xff\xd8\xff", "image", "image/jpeg"),
+            (b"\x89PNG", "image", "image/png"),
+            (b"GIF8", "image", "image/gif"),
+            (b"ID3", "audio", "audio/mpeg"),
+            (b"\xff\xfb", "audio", "audio/mpeg"),
+        ]
+        for pdf in batches:
+            kinds, mimes, ws, hs, durs = [], [], [], [], []
+            for p in pdf[payload_col]:
+                kind = mime = None
+                w = h = dur = None
+                img = img_decode(p)
+                if img is not None:
+                    kind, mime = "image", (
+                        "image/x-portable-pixmap" if p[:2] == b"P6" else "image/bmp"
+                    )
+                    h, w = int(img.shape[0]), int(img.shape[1])
+                else:
+                    wav = wav_decode(p)
+                    if wav is not None:
+                        rate, _nch, x = wav
+                        kind, mime = "audio", "audio/wav"
+                        dur = int(round(1000.0 * x.size / rate)) if rate else 0
+                    elif p and len(p) >= 12 and p[4:8] == b"ftyp":
+                        kind, mime = "video", "video/mp4"
+                    else:
+                        for magic, k, m in magics:
+                            if p and p[: len(magic)] == magic:
+                                kind, mime = k, m
+                                break
+                        else:
+                            kind, mime = "binary", "application/octet-stream"
+                kinds.append(kind)
+                mimes.append(mime)
+                ws.append(w)
+                hs.append(h)
+                durs.append(dur)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "path": pdf["path"],
+                    "kind": kinds,
+                    "payload": pdf[payload_col],
+                    "mime": mimes,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "duration_ms": pd.array(durs, dtype="Int64"),
+                }
+            )
+
+    return df.select("media_id", "path", payload_col).mapInPandas(
+        kernel, PROBE_SCHEMA
+    )
+
+
 def media_stats(df: DataFrame) -> DataFrame:
     """Expression-only metadata profile of a media table (no decode):
     per kind: count, total/avg payload bytes, avg duration."""
