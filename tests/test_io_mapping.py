@@ -288,6 +288,75 @@ def test_define_xml_codelists(spark, tmp_path):
     assert len(cls[0].getElementsByTagName("CodeListItem")) == 2
 
 
+def test_define_xml_value_level_metadata(spark, tmp_path):
+    """Define-XML 2.1 value-level metadata (beyond the reference's
+    writer): ValueListDef + WhereClauseDef per slice, ValueListRef on
+    the parent ItemDef, slice ItemDefs with their own codelists."""
+    from trial_submission_studio_spark.io.define_xml import ValueLevelItem
+
+    frames = {
+        "QS": values_df(
+            spark, [("S-001", "PGA01", "3")],
+            "USUBJID string, QSTESTCD string, QSORRES string",
+        )
+    }
+    ds = DefineDataset(
+        domain="QS",
+        variables=[
+            DefineVariable("QSTESTCD", "Question Short Name"),
+            DefineVariable(
+                "QSORRES",
+                "Finding in Original Units",
+                value_list=[
+                    ValueLevelItem(
+                        "PGA01", "QSTESTCD", ["PGA01"],
+                        data_type="integer", label="PGA Score",
+                        codelist_oid="CL.PGA",
+                    ),
+                    ValueLevelItem(
+                        "FREETEXT", "QSTESTCD", ["Q1", "Q2"],
+                        data_type="text", length=200,
+                    ),
+                ],
+            ),
+        ],
+    )
+    path = str(tmp_path / "define_vl.xml")
+    write_define_xml(
+        path, "ST", [ds], frames, codelists={"CL.PGA": [("3", "Moderate")]}
+    )
+    doc = xml.dom.minidom.parse(path)
+    vls = doc.getElementsByTagName("def:ValueListDef")
+    assert len(vls) == 1 and vls[0].getAttribute("OID") == "VL.QS.QSORRES"
+    assert len(vls[0].getElementsByTagName("ItemRef")) == 2
+    wcs = {
+        w.getAttribute("OID"): w for w in doc.getElementsByTagName("def:WhereClauseDef")
+    }
+    rc = wcs["WC.QS.QSORRES.PGA01"].getElementsByTagName("RangeCheck")[0]
+    assert rc.getAttribute("Comparator") == "EQ"
+    assert rc.getAttribute("def:ItemOID") == "IT.QS.QSTESTCD"
+    rc2 = wcs["WC.QS.QSORRES.FREETEXT"].getElementsByTagName("RangeCheck")[0]
+    assert rc2.getAttribute("Comparator") == "IN"
+    assert len(rc2.getElementsByTagName("CheckValue")) == 2
+    items = {
+        i.getAttribute("OID"): i for i in doc.getElementsByTagName("ItemDef")
+    }
+    parent = items["IT.QS.QSORRES"]
+    assert parent.getElementsByTagName("def:ValueListRef")[0].getAttribute(
+        "ValueListOID"
+    ) == "VL.QS.QSORRES"
+    slice_def = items["IT.QS.QSORRES.PGA01"]
+    assert slice_def.getAttribute("DataType") == "integer"
+    assert slice_def.getElementsByTagName("CodeListRef")[0].getAttribute(
+        "CodeListOID"
+    ) == "CL.PGA"
+    # value-level codelist is emitted
+    assert any(
+        c.getAttribute("OID") == "CL.PGA"
+        for c in doc.getElementsByTagName("CodeList")
+    )
+
+
 GOLDEN_XPT_SHA256 = "fda13f40cd6ead0de4ff52d07708ca301b5746ac7907c1489e231367971fe836"
 
 

@@ -21,6 +21,23 @@ from pyspark.sql import functions as F
 
 
 @dataclass
+class ValueLevelItem:
+    """One value-level metadata slice of a parent variable (Define-XML
+    2.1 ValueListDef/WhereClauseDef): the parent's type/length/codelist
+    WHERE ``where_var`` takes one of ``where_values`` — e.g. QSORRES is
+    integer 0-4 where QSTESTCD = 'PGA01'. Beyond the reference's
+    writer (it emits no value-level metadata)."""
+
+    name: str  # slice name, e.g. "PGA01"
+    where_var: str  # controlling variable, e.g. "QSTESTCD"
+    where_values: list[str] = field(default_factory=list)
+    data_type: str = "text"
+    length: int | None = None
+    label: str = ""
+    codelist_oid: str | None = None
+
+
+@dataclass
 class DefineVariable:
     name: str
     label: str = ""
@@ -30,6 +47,7 @@ class DefineVariable:
     mandatory: bool = False
     core: str = ""  # Req | Exp | Perm (drives def:Origin)
     role: str = ""  # Identifier -> ItemRef KeySequence
+    value_list: list[ValueLevelItem] = field(default_factory=list)
 
 
 @dataclass
@@ -116,6 +134,55 @@ def write_define_xml(
         )
         lines.append("   </def:Standards>")
 
+    # Define-XML 2.1 element order: ValueListDefs then WhereClauseDefs
+    # precede the ItemGroupDefs
+    vl_lines: list[str] = []
+    wc_lines: list[str] = []
+    vl_item_defs: list[str] = []
+    for ds in datasets:
+        dom = ds.domain.upper()
+        for v in ds.variables:
+            if not v.value_list:
+                continue
+            vl_oid = f"VL.{dom}.{v.name}"
+            vl_lines.append(f"   <def:ValueListDef OID={q(vl_oid)}>")
+            for i, it in enumerate(v.value_list):
+                it_oid = f"IT.{dom}.{v.name}.{it.name}"
+                wc_oid = f"WC.{dom}.{v.name}.{it.name}"
+                vl_lines.append(
+                    f'    <ItemRef ItemOID={q(it_oid)} OrderNumber="{i + 1}" '
+                    'Mandatory="No">'
+                )
+                vl_lines.append(f"     <def:WhereClauseRef WhereClauseOID={q(wc_oid)}/>")
+                vl_lines.append("    </ItemRef>")
+                wc_lines.append(f"   <def:WhereClauseDef OID={q(wc_oid)}>")
+                comparator = "EQ" if len(it.where_values) == 1 else "IN"
+                wc_lines.append(
+                    f'    <RangeCheck Comparator={q(comparator)} SoftHard="Soft" '
+                    f'def:ItemOID={q(f"IT.{dom}.{it.where_var}")}>'
+                )
+                for wv in it.where_values:
+                    wc_lines.append(f"     <CheckValue>{wv}</CheckValue>")
+                wc_lines.append("    </RangeCheck>")
+                wc_lines.append("   </def:WhereClauseDef>")
+                len_attr = f' Length="{it.length}"' if it.length else ""
+                vl_item_defs.append(
+                    f"   <ItemDef OID={q(it_oid)} Name={q(it.name)} "
+                    f"DataType={q(it.data_type)}{len_attr}>"
+                )
+                vl_item_defs.append(
+                    "    <Description><TranslatedText>"
+                    f"{it.label or it.name}</TranslatedText></Description>"
+                )
+                if it.codelist_oid:
+                    vl_item_defs.append(
+                        f"    <CodeListRef CodeListOID={q(it.codelist_oid)}/>"
+                    )
+                vl_item_defs.append("   </ItemDef>")
+            vl_lines.append("   </def:ValueListDef>")
+    lines.extend(vl_lines)
+    lines.extend(wc_lines)
+
     item_defs: list[str] = []
     for ds in datasets:
         dom = ds.domain.upper()
@@ -163,6 +230,10 @@ def write_define_xml(
             )
             if v.codelist_oid:
                 item_defs.append(f'    <CodeListRef CodeListOID={q(v.codelist_oid)}/>')
+            if v.value_list:
+                item_defs.append(
+                    f'    <def:ValueListRef ValueListOID={q(f"VL.{dom}.{v.name}")}/>'
+                )
             # Define-XML 2.1 OriginTypes subset used by the reference:
             # Expected-without-data -> "Not Available" (the not-collected
             # annotation); data present -> "Collected"; else "Derived"
@@ -175,12 +246,19 @@ def write_define_xml(
             item_defs.append(f'    <def:Origin Type={q(origin)}/>')
             item_defs.append("   </ItemDef>")
     lines.extend(item_defs)
-    # CodeList elements for every referenced OID
+    lines.extend(vl_item_defs)
+    # CodeList elements for every referenced OID (incl. value-level)
     referenced = {
         v.codelist_oid
         for ds in datasets
         for v in ds.variables
         if v.codelist_oid
+    } | {
+        it.codelist_oid
+        for ds in datasets
+        for v in ds.variables
+        for it in v.value_list
+        if it.codelist_oid
     }
     for oid in sorted(referenced):
         terms = (codelists or {}).get(oid)
