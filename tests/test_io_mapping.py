@@ -376,6 +376,53 @@ def test_xpt_golden_bytes(spark, tmp_path):
     assert digest == GOLDEN_XPT_SHA256, f"XPT bytes changed: {digest}"
 
 
+def test_xpt_read_roundtrip(spark, tmp_path):
+    """read_xpt inverts write_xpt: names, labels-as-types, trimmed
+    chars (blank -> NULL), IBM-float numerics incl. missing, negative
+    and fractional values; V8 long names resolve."""
+    from trial_submission_studio_spark.io.xpt import read_xpt
+
+    df = values_df(
+        spark,
+        [
+            ("S-001", "Sun stroke", 55.25, 1.0),
+            ("S-002", "", -3.5, None),
+            ("S-003", "Nausea", 0.0, 12345.678),
+        ],
+        "USUBJID string, AETERM string, X double, Y double",
+    )
+    vars_ = [
+        XptVariable("USUBJID", "Subject", False, 8),
+        XptVariable("AETERM", "Term", False, 12),
+        XptVariable("X", "X val", True),
+        XptVariable("Y", "Y val", True),
+    ]
+    path = str(tmp_path / "rt.xpt")
+    write_xpt(df.orderBy("USUBJID"), path, vars_, "AE", "Adverse Events")
+    back = read_xpt(spark, path)
+    assert back.columns == ["USUBJID", "AETERM", "X", "Y"]
+    rows_ = sorted(tuple(r) for r in back.collect())
+    assert rows_ == [
+        ("S-001", "Sun stroke", 55.25, 1.0),
+        ("S-002", None, -3.5, None),  # blank char -> NULL, '.' -> NULL
+        ("S-003", "Nausea", 0.0, pytest.approx(12345.678)),
+    ]
+
+    # V8: 32-char long variable names survive the roundtrip
+    long_vars = [
+        XptVariable("ALONGVARIABLENAMEBEYOND8", "Long", False, 3),
+        XptVariable("N", "Num", True),
+    ]
+    p8 = str(tmp_path / "v8.xpt")
+    write_xpt(
+        values_df(spark, [("abc", 2.0)], "ALONGVARIABLENAMEBEYOND8 string, N double"),
+        p8, long_vars, "L", version=8,
+    )
+    b8 = read_xpt(spark, p8)
+    assert b8.columns == ["ALONGVARIABLENAMEBEYOND8", "N"]
+    assert tuple(b8.first()) == ("abc", 2.0)
+
+
 def test_xpt_non_ascii_policy(spark, tmp_path):
     """XPT payloads are ASCII-bound: non-ASCII raises by default
     (silent '?' substitution corrupted data in round 1); 'issue' mode

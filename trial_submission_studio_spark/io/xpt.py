@@ -134,6 +134,121 @@ class XptEncodingError(ValueError):
     """A value contains characters XPT's ASCII payload cannot carry."""
 
 
+def read_xpt(spark, path: str, blank_as_null: bool = True, batch_rows: int = 100_000):
+    """Read a SAS Transport V5/V8 file → DataFrame (the reverse of
+    :func:`write_xpt`; the reference ingests CSV only, so XPT IMPORT
+    is a beyond-reference capability — users with existing transport
+    members can load them directly).
+
+    The 80-byte header cards and NAMESTR table parse on the driver
+    (schema-sized); OBS records decode in numpy batches — fixed-width
+    byte matrix slicing, vectorized IBM→IEEE for numerics — and each
+    batch becomes an Arrow-backed partition. Regulatory practice caps
+    member size (FDA ~5 GB), so a driver-streamed read is the right
+    shape; huge archives split across members, which read
+    independently.
+
+    Char columns: trailing blanks strip; all-blank cells → NULL when
+    ``blank_as_null`` (matching the CSV ingest discipline). Numeric
+    missing ('.') → NULL.
+    """
+    import numpy as np
+    import pandas as pd
+
+    with open(path, "rb") as fh:
+        blob = fh.read()
+
+    def find(marker: bytes) -> int:
+        i = blob.find(marker)
+        if i < 0:
+            raise ValueError(f"not an XPT file (missing {marker!r}): {path}")
+        return i
+
+    nam_i = blob.find(b"HEADER RECORD*******NAMESTR")
+    if nam_i < 0:
+        nam_i = find(b"HEADER RECORD*******NAMSTV8")
+    nam_card = blob[nam_i : nam_i + 80].decode("ascii")
+    n_vars = int(nam_card[54:58])
+    nam_start = nam_i + 80
+    obs_i = blob.find(b"HEADER RECORD*******OBS ", nam_start)
+    if obs_i < 0:
+        obs_i = blob.find(b"HEADER RECORD*******OBSV8", nam_start)
+    if obs_i < 0:
+        raise ValueError(f"no OBS header in {path}")
+
+    variables: list[XptVariable] = []
+    positions: list[int] = []
+    for k in range(n_vars):
+        ns = blob[nam_start + k * 140 : nam_start + (k + 1) * 140]
+        ntype, _nhash, nlng, _nvar0 = struct.unpack(">hhhh", ns[0:8])
+        short_name = ns[8:16].decode("ascii").strip()
+        label = ns[16:56].decode("ascii").strip()
+        npos = struct.unpack(">l", ns[84:88])[0]
+        long_name = ns[88:120].decode("ascii", "replace").strip()
+        name = long_name if long_name and long_name.isprintable() else short_name
+        variables.append(
+            XptVariable(name or short_name, label, ntype == 1, nlng)
+        )
+        positions.append(npos)
+    row_len = max(
+        p + (8 if v.is_numeric else v.length) for p, v in zip(positions, variables)
+    )
+
+    payload = blob[obs_i + 80 :]
+    n_rows = len(payload) // row_len
+    # trailing pad: blanks after the last full record
+    while n_rows and payload[(n_rows - 1) * row_len : n_rows * row_len] == b" " * row_len:
+        n_rows -= 1
+
+    fields = ", ".join(
+        f"`{v.name}` {'double' if v.is_numeric else 'string'}" for v in variables
+    )
+    empty = spark.createDataFrame([], fields)
+    if n_rows == 0:
+        return empty
+
+    def decode_batch(lo: int, hi: int) -> pd.DataFrame:
+        m = np.frombuffer(
+            payload, dtype=np.uint8, count=(hi - lo) * row_len, offset=lo * row_len
+        ).reshape(hi - lo, row_len)
+        cols = {}
+        for v, pos in zip(variables, positions):
+            if v.is_numeric:
+                b = m[:, pos : pos + 8]
+                word = np.zeros(len(b), dtype=np.uint64)
+                for j in range(8):
+                    word = (word << np.uint64(8)) | b[:, j].astype(np.uint64)
+                sign = np.where(b[:, 0] & 0x80, -1.0, 1.0)
+                exp = (b[:, 0] & 0x7F).astype(np.int64) - 64
+                mant = (word & np.uint64((1 << 56) - 1)).astype(np.float64) / float(
+                    1 << 56
+                )
+                vals = sign * mant * np.power(16.0, exp.astype(np.float64))
+                missing = (b[:, 0] == 0x2E) & (b[:, 1:] == 0).all(axis=1)
+                arr = pd.array(vals, dtype="Float64")
+                arr[missing] = pd.NA  # SAS '.' → NULL, not NaN
+                cols[v.name] = arr
+            else:
+                w = v.length
+                raw = m[:, pos : pos + w].tobytes()
+                s = pd.Series(
+                    [raw[i * w : (i + 1) * w].decode("ascii", "replace").rstrip()
+                     for i in range(hi - lo)]
+                )
+                if blank_as_null:
+                    s = s.where(s != "", other=None)
+                cols[v.name] = s
+        return pd.DataFrame(cols)
+
+    out = None
+    for lo in range(0, n_rows, batch_rows):
+        part = spark.createDataFrame(
+            decode_batch(lo, min(lo + batch_rows, n_rows)), schema=fields
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def _payload_kernel(specs: list[tuple[str, bool, int]], audit_chars: bool = False):
     """mapInPandas kernel factory: a record batch → ONE binary blob of
     fixed-width OBS bytes (numpy-vectorized IBM-float + char packing).
