@@ -114,6 +114,44 @@ def test_write_dataset_xml_sharded(spark, tmp_path):
     assert seqs == {"LB1": ["1", "2"], "LB2": ["3", "4"], "LB3": ["5"]}
 
 
+def test_dataset_xml_read_roundtrip(spark, tmp_path):
+    """read_dataset_xml inverts the writer, including escaped values
+    and empty-cell omission (absent ItemData -> NULL); a glob over
+    sharded members reads all shards distributed."""
+    from trial_submission_studio_spark.io.dataset_xml import (
+        read_dataset_xml,
+        write_dataset_xml_sharded,
+    )
+
+    df = values_df(
+        spark,
+        [("ST", "S-001", "Sun <stroke> & more", 1), ("ST", "S-002", "", 2)],
+        "STUDYID string, USUBJID string, AETERM string, _row_id int",
+    )
+    path = str(tmp_path / "ae.xml")
+    write_dataset_xml(df, path, "AE", "ST.STUDY", order_col="_row_id")
+    back = read_dataset_xml(spark, path)
+    rows_ = sorted(tuple(r) for r in back.select(
+        "STUDYID", "USUBJID", "AETERM", "_row_id").collect())
+    assert rows_ == [
+        ("ST", "S-001", "Sun <stroke> & more", 1),
+        ("ST", "S-002", None, 2),  # empty cell was omitted -> NULL
+    ]
+
+    shard_dir = tmp_path / "shards"
+    big = values_df(
+        spark,
+        [("ST", f"S-{i:03d}", i) for i in range(1, 6)],
+        "STUDYID string, USUBJID string, _row_id int",
+    )
+    write_dataset_xml_sharded(
+        big, str(shard_dir), "LB", "ST.STUDY", order_col="_row_id", rows_per_shard=2
+    )
+    merged = read_dataset_xml(spark, str(shard_dir / "lb*.xml"))
+    assert merged.count() == 5
+    assert sorted(r["_row_id"] for r in merged.collect()) == [1, 2, 3, 4, 5]
+
+
 def test_write_define_xml(spark, tmp_path):
     frames = {
         "DM": values_df(

@@ -116,6 +116,48 @@ def write_dataset_xml(
     return n
 
 
+def read_dataset_xml(
+    spark,
+    path: str,
+    order_col: str = "_row_id",
+) -> DataFrame:
+    """Read Dataset-XML back into a DataFrame (the reverse of
+    :func:`write_dataset_xml`; beyond the reference, which has no
+    Dataset-XML import).
+
+    Spark-first: Spark 4's native XML source parses ``ItemGroupData``
+    rows DISTRIBUTED (``path`` may be a glob covering
+    :func:`write_dataset_xml_sharded` members — shards scan in
+    parallel); ItemOID suffixes become columns via a map projection.
+    Only the schema-sized distinct-variable discovery touches the
+    driver. ``order_col`` carries ItemGroupDataSeq, so
+    ``orderBy(order_col)`` reproduces the written row order.
+    """
+    raw = spark.read.format("xml").option("rowTag", "ItemGroupData").load(path)
+    item_field = raw.schema["ItemData"].dataType.typeName()
+    items = (
+        F.col("ItemData")
+        if item_field == "array"
+        else F.array(F.col("ItemData"))  # single-ItemData rows infer a struct
+    )
+    kv = raw.select(
+        F.col("`_data:ItemGroupDataSeq`").cast("long").alias(order_col),
+        F.map_from_entries(
+            F.transform(
+                items,
+                lambda x: F.struct(
+                    F.element_at(F.split(x["_ItemOID"], "\\."), -1).alias("k"),
+                    x["_Value"].cast("string").alias("v"),
+                ),
+            )
+        ).alias("__m"),
+    )
+    keys = sorted(
+        r[0] for r in kv.select(F.explode(F.map_keys("__m"))).distinct().collect()
+    )
+    return kv.select(*[F.col("__m")[k].alias(k) for k in keys], order_col)
+
+
 def write_dataset_xml_sharded(
     df: DataFrame,
     out_dir: str,
