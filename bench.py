@@ -102,6 +102,10 @@ def _cdisc_stages(spark, sf_dir: str, timings: dict) -> None:
 
     t0 = time.time()
     src = read_source_csv(spark, csv_path, header_rows=2)
+    # import = CSV -> memory, like the reference (its 2s target loads
+    # the frame); downstream stages then transform the resident data
+    # instead of re-scanning the file
+    src.df = src.df.persist()
     src.df.write.format("noop").mode("overwrite").save()
     timings["cdisc_import_csv"] = round(time.time() - t0, 3)
 
@@ -167,6 +171,7 @@ def _cdisc_stages(spark, sf_dir: str, timings: dict) -> None:
     timings["cdisc_export_xpt"] = round(time.time() - t0, 3)
     timings["cdisc_rows"] = n_rows
     built.unpersist()
+    src.df.unpersist()
 
 
 def main() -> None:
