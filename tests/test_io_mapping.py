@@ -461,6 +461,38 @@ def test_xpt_read_roundtrip(spark, tmp_path):
     assert tuple(b8.first()) == ("abc", 2.0)
 
 
+def test_xpt_numeric_fidelity_sweep(spark, tmp_path):
+    """1000 adversarial doubles (magnitudes 1e-60..1e60, negatives,
+    subnormal-ish, exact integers) survive write->read exactly: IBM hex
+    float carries 56 mantissa bits, a superset of IEEE's 52, so every
+    in-range double is exactly representable."""
+    import numpy as np
+
+    from trial_submission_studio_spark.io.xpt import read_xpt
+
+    rng = np.random.default_rng(42)
+    vals = np.concatenate(
+        [
+            rng.uniform(-1e6, 1e6, 400),
+            rng.uniform(-1, 1, 200) * 10.0 ** rng.integers(-60, 60, 200),
+            np.arange(100, dtype=np.float64),  # exact integers
+            np.array([0.0, -0.0, 1e-300 * 0, 0.1, -0.1, 1 / 3, 2**52 + 1.0]),
+            rng.uniform(-1e-10, 1e-10, 293),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "i bigint, X double"
+    )
+    path = str(tmp_path / "sweep.xpt")
+    write_xpt(
+        df.orderBy("i"), path,
+        [XptVariable("I", "idx", True), XptVariable("X", "val", True)], "SW",
+    )
+    back = {int(r["I"]): r["X"] for r in read_xpt(spark, path).collect()}
+    for i, v in enumerate(vals):
+        assert back[i] == float(v), (i, v, back[i])
+
+
 def test_xpt_non_ascii_policy(spark, tmp_path):
     """XPT payloads are ASCII-bound: non-ASCII raises by default
     (silent '?' substitution corrupted data in round 1); 'issue' mode

@@ -532,6 +532,45 @@ def test_simhash_kernel_matches_sql_form(spark):
     assert kernel[0] != kernel[2]
 
 
+def test_simhash_kernel_property_vs_scalar_reference():
+    # pure-pandas property check (no Spark): the vectorized kernel
+    # equals an independent scalar majority-vote implementation on
+    # random token-hash arrays incl. extreme bit patterns.
+    import numpy as np
+    import pandas as pd
+
+    from trial_submission_studio_spark.operators.dedup import _simhash_kernel
+
+    def scalar_simhash(hashes):
+        if len(hashes) == 0:
+            return 0
+        out = 0
+        for b in range(64):
+            votes = sum(1 if (h >> b) & 1 else -1 for h in (x & 0xFFFFFFFFFFFFFFFF for x in hashes))
+            if votes > 0:
+                out |= 1 << b
+        return out - (1 << 64) if out >= (1 << 63) else out
+
+    rng = np.random.default_rng(7)
+    arrs = [
+        rng.integers(-2**63, 2**63, size=int(n), dtype=np.int64)
+        for n in rng.integers(0, 40, size=60)
+    ]
+    arrs += [
+        np.array([], dtype=np.int64),
+        np.array([-1], dtype=np.int64),  # all bits set
+        np.array([0], dtype=np.int64),
+        np.array([-2**63, 2**63 - 1], dtype=np.int64),
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(arrs)), "__h": arrs})
+    kernel = _simhash_kernel("__h", "simhash64", ["doc_id"])
+    out = pd.concat(list(kernel(iter([pdf]))))
+    got = dict(zip(out["doc_id"], out["simhash64"]))
+    for i, a in enumerate(arrs):
+        expected = scalar_simhash([int(x) for x in a])
+        assert got[i] == expected, (i, list(a)[:5])
+
+
 def test_simhash_hamming_pairs_pigeonhole(spark):
     """Identical fingerprints land in every band; distance-1 pairs are
     found; far fingerprints (hamming > max) are excluded."""

@@ -427,11 +427,14 @@ def write_xpt(
         # the sequential tail is a byte copy.
         from pyspark.sql import functions as F
 
-        present = set(df.columns)
+        # case-insensitive resolution, matching Spark's own analyzer —
+        # a case-sensitive check here silently wrote an all-missing
+        # column for a frame column differing only in case
+        present = {c.upper(): c for c in df.columns}
         proj = []
         for v, ln in zip(variables, lengths):
-            if v.name in present:
-                c = F.col(v.name)
+            if v.name.upper() in present:
+                c = F.col(present[v.name.upper()])
             else:
                 c = F.lit(None)
             proj.append(
