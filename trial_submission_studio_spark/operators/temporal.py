@@ -1,0 +1,245 @@
+"""Temporal joins and time-window operators.
+
+The reference is batch-only (SURVEY.md §1.3), but a timeseries/event
+surface is a first-class extension of this engine (SURVEY.md §2.13):
+as-of joins, keyed interval (range) joins, last-observation-carried-
+forward, and rolling time-window aggregates.
+
+Scale design notes (100 TB / 1000 executors):
+
+- ``asof_join`` is NOT implemented as a join at all. The classic
+  sort-merge-with-inequality plan degenerates into a range join
+  (O(n·m) per key on skew). Instead both sides are unioned and a
+  single window pass per key carries the most recent right-side
+  payload onto each left row — exactly one shuffle on the key
+  columns, no broadcast requirement on either side, no row
+  explosion. This is the standard scale-out as-of formulation
+  (union + last-ignore-nulls) used by large event stores.
+- ``range_interval_join`` equi-joins on coarse time buckets, so an
+  interval only meets the points inside its covering buckets —
+  never a cartesian. Bucket width is the tuning knob: it bounds
+  interval fan-out to ``ceil(len/width)+1`` rows.
+- ``locf_fill`` / ``rolling_agg`` are single-window-pass
+  formulations (one shuffle on the partition key each; rolling uses
+  a RANGE frame on the epoch so sparse/dense timelines cost the
+  same).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "asof_join",
+    "locf_fill",
+    "range_interval_join",
+    "rolling_agg",
+]
+
+
+def _epoch_seconds(df: DataFrame, col: str) -> Column:
+    """Epoch seconds (double) for numeric/date/timestamp/timestamp_ntz
+    columns. TIMESTAMP_NTZ has no double cast and a cast through LTZ
+    would be session-TZ-dependent (and non-linear across DST);
+    ``timestamp_diff`` against the NTZ epoch literal is exact and
+    TZ-independent."""
+    dt = df.schema[col].dataType.simpleString()
+    c = F.col(col)
+    if dt.startswith("timestamp_ntz"):
+        return (
+            F.timestamp_diff(
+                "MICROSECOND",
+                F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+                c,
+            ).cast("double")
+            / 1e6
+        )
+    if dt.startswith("timestamp"):
+        return c.cast("double")
+    if dt == "date":
+        return c.cast("timestamp").cast("double")
+    return c.cast("double")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: Sequence[str] | None = None,
+    tolerance_seconds: int | None = None,
+    strict: bool = False,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of join: each left row picks up the most recent
+    right row per key with ``right.ts <= left.ts`` (``<`` when
+    ``strict``), or NULLs when none qualifies.
+
+    Implementation: tag + union + one window pass. Right rows carry
+    their payload packed into ONE struct column (so all payload
+    columns are taken from the *same* matched row — per-column
+    ``last`` could mix rows when payload values are NULL); left rows
+    carry NULL. ``last(payload, ignorenulls=True)`` over
+    (key ORDER BY ts, side) pulls the latest right payload onto each
+    left row. Ties at equal ts: right sorts before left (side 0 < 1)
+    so an equal-timestamp right row IS visible unless ``strict``.
+
+    ``tolerance_seconds`` nulls out matches older than the window
+    (pandas ``merge_asof(tolerance=...)`` semantics).
+
+    Output: all left columns + each value column as
+    ``<name><suffix>`` + ``<right_ts><suffix>`` (the matched ts).
+
+    One shuffle (on ``keys``); no join node in the plan at all.
+    """
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (*keys, right_ts)]
+    payload = F.struct(
+        F.col(right_ts).alias("__ts"), *[F.col(c) for c in value_cols]
+    )
+    rhs = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        payload.alias("__payload"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns
+          if c not in keys],
+    )
+    lhs = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(rhs.schema["__payload"].dataType).alias("__payload"),
+        *[F.col(c) for c in left.columns if c not in keys],
+    )
+    unioned = lhs.unionByName(rhs)
+
+    # strict (<) ordering: right rows at the SAME instant must not be
+    # visible, so left sorts before right at equal ts
+    side_order = F.asc("__side") if not strict else F.desc("__side")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t").asc(), side_order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = F.last("__payload", ignorenulls=True).over(w)
+    matched = unioned.withColumn("__m", carried).filter(F.col("__side") == 1)
+
+    if tolerance_seconds is not None:
+        in_tol = (
+            F.col("__t").cast("double") - F.col("__m.__ts").cast("double")
+        ) <= F.lit(float(tolerance_seconds))
+        matched = matched.withColumn(
+            "__m", F.when(in_tol, F.col("__m"))
+        )
+
+    out_cols: list[Column] = [F.col(k) for k in keys]
+    out_cols += [F.col(c) for c in left.columns if c not in keys]
+    out_cols.append(F.col("__m.__ts").alias(f"{right_ts}{suffix}"))
+    out_cols += [F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in value_cols]
+    return matched.select(*out_cols)
+
+
+def locf_fill(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    cols: Sequence[str],
+) -> DataFrame:
+    """Last-observation-carried-forward: NULLs in ``cols`` take the
+    most recent preceding non-null value within the key group
+    (ordered by ``order_col``). The clinical-data staple; also the
+    sensor-gap fill. One window pass, one shuffle on ``keys``."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+def range_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    keys: Sequence[str],
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bucket_seconds: int = 3600,
+    inclusive: str = "both",
+) -> DataFrame:
+    """Keyed interval join: every (point, interval) pair on the same
+    key with ``start <= point <= end`` (bounds per ``inclusive``:
+    ``both|left|right|neither``).
+
+    Plan shape: intervals explode into the coarse time buckets they
+    cover (``sequence(floor(start/w), floor(end/w))`` — bounded
+    fan-out, codegen), points compute their single bucket, and the
+    two sides EQUI-join on (keys, bucket) before the exact range
+    refine. Catalyst turns the naive formulation into
+    BroadcastNestedLoopJoin/cartesian the moment the equi-keys are
+    skewed or absent; bucketing keeps it a plain shuffled hash join
+    whose cost is data ∝ bucket occupancy, never |points|×|intervals|.
+
+    Columns: all point columns + all interval columns (caller aliases
+    collisions away beforehand).
+    """
+    w = int(bucket_seconds)
+    lo_ok = {"both": ">=", "left": ">=", "right": ">", "neither": ">"}[inclusive]
+    hi_ok = {"both": "<=", "left": "<", "right": "<=", "neither": "<"}[inclusive]
+
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                (F.col(start_ts).cast("double") / w).cast("long"),
+                (F.col(end_ts).cast("double") / w).cast("long"),
+            )
+        ),
+    )
+    pt = points.withColumn(
+        "__bucket", (F.col(point_ts).cast("double") / w).cast("long")
+    )
+    p, s, e = F.col(point_ts).cast("double"), F.col(start_ts).cast("double"), F.col(
+        end_ts
+    ).cast("double")
+    lo = p >= s if lo_ok == ">=" else p > s
+    hi = p <= e if hi_ok == "<=" else p < e
+    return (
+        pt.join(iv, [*keys, "__bucket"])
+        .filter(lo & hi)
+        .drop("__bucket")
+    )
+
+
+def rolling_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    aggs: dict[str, Column],
+    window_seconds: int,
+) -> DataFrame:
+    """Trailing time-window aggregates: for each row, aggregate over
+    the key's rows in ``(ts - window, ts]``. RANGE frame over the
+    epoch-seconds ordering — O(1) frame maintenance per row in
+    Spark's window exec, one shuffle on ``keys``.
+
+    ``aggs`` maps output name -> aggregate Column built over input
+    columns, e.g. ``{"sum_7d": F.sum("value"), "n_7d": F.count(F.lit(1))}``.
+    """
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col).cast("double").cast("long"))
+        .rangeBetween(-(int(window_seconds) - 1), 0)
+    )
+    out = df
+    for name, agg in aggs.items():
+        out = out.withColumn(name, agg.over(w))
+    return out
