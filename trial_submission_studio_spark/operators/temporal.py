@@ -45,7 +45,9 @@ def _epoch_seconds(df: DataFrame, col: str) -> Column:
     columns. TIMESTAMP_NTZ has no double cast and a cast through LTZ
     would be session-TZ-dependent (and non-linear across DST);
     ``timestamp_diff`` against the NTZ epoch literal is exact and
-    TZ-independent."""
+    TZ-independent. DATE goes through ``unix_date`` (days since
+    epoch) for the same reason — ``date -> timestamp`` casts resolve
+    midnight in the session TZ."""
     dt = df.schema[col].dataType.simpleString()
     c = F.col(col)
     if dt.startswith("timestamp_ntz"):
@@ -60,8 +62,15 @@ def _epoch_seconds(df: DataFrame, col: str) -> Column:
     if dt.startswith("timestamp"):
         return c.cast("double")
     if dt == "date":
-        return c.cast("timestamp").cast("double")
+        return F.unix_date(c).cast("double") * 86400.0
     return c.cast("double")
+
+
+def _epoch_bucket(epoch: Column, width_seconds: int) -> Column:
+    """Coarse time bucket id: ``floor(epoch / width)``. ``floor`` (not
+    a long cast, which truncates toward zero) so pre-1970 negative
+    epochs land in their correct bucket instead of the one above."""
+    return F.floor(epoch / F.lit(float(width_seconds))).cast("long")
 
 
 def asof_join(
