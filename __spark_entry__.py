@@ -87,18 +87,33 @@ _EVENTS_SCHEMA = (
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark rejects by
-    default. Scoped per-read (no session-conf mutation): a
-    user-specified schema reads the nanos column as raw int64, then a
-    TIMESTAMP_NTZ is built from epoch micros by pure interval
-    arithmetic — TZ-independent by construction, so the rendered
-    window strings match the oracle's naive timestamps regardless of
-    the hosting session's time zone. Integer ``DIV 1000`` (float
-    division would lose µs precision at 1.7e18 ns magnitudes)."""
-    raw = spark.read.schema(_EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    """events.parquet has shipped with two physical ``ts`` encodings
+    across driver testdata generations: TIMESTAMP(NANOS) (which Spark
+    rejects by default — read as raw int64 via a user schema) and
+    plain TIMESTAMP(MICROS). Probe the footer with pyarrow and
+    normalize BOTH to epoch-micros-built TIMESTAMP_NTZ by pure
+    interval arithmetic — TZ-independent by construction, so the
+    rendered window strings match the oracle's naive timestamps
+    regardless of the hosting session's time zone. Integer ``DIV``
+    (float division would lose µs precision at 1.7e18 ns magnitudes).
+    """
+    import pyarrow.parquet as pq
+
+    ts_type = str(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type)
+    if "ns" in ts_type:
+        raw = spark.read.schema(_EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+        micros = "ts div 1000"
+    else:
+        # MICROS: Spark reads it natively (NTZ or LTZ depending on the
+        # footer's isAdjustedToUTC + session conf). unix_micros() is
+        # TZ-independent either way; rebuild NTZ from it uniformly.
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if raw.schema["ts"].dataType.simpleString() == "timestamp_ntz":
+            return raw
+        micros = "unix_micros(ts)"
     ntz = F.expr(
         "timestamp_ntz'1970-01-01 00:00:00' "
-        "+ make_dt_interval(0, 0, 0, cast(ts div 1000 as decimal(20,0)) / 1000000)"
+        f"+ make_dt_interval(0, 0, 0, cast({micros} as decimal(20,0)) / 1000000)"
     )
     return raw.withColumn("ts", ntz)
 
