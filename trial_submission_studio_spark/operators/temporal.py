@@ -40,30 +40,34 @@ __all__ = [
 ]
 
 
-def _epoch_seconds(df: DataFrame, col: str) -> Column:
-    """Epoch seconds (double) for numeric/date/timestamp/timestamp_ntz
-    columns. TIMESTAMP_NTZ has no double cast and a cast through LTZ
-    would be session-TZ-dependent (and non-linear across DST);
-    ``timestamp_diff`` against the NTZ epoch literal is exact and
-    TZ-independent. DATE goes through ``unix_date`` (days since
-    epoch) for the same reason — ``date -> timestamp`` casts resolve
-    midnight in the session TZ."""
+def _epoch_micros(df: DataFrame, col: str) -> Column:
+    """Exact epoch microseconds (long) for numeric/date/timestamp/
+    timestamp_ntz columns. TIMESTAMP_NTZ has no numeric cast and a
+    cast through LTZ would be session-TZ-dependent (and non-linear
+    across DST); ``timestamp_diff`` against the NTZ epoch literal is
+    exact and TZ-independent. TIMESTAMP (LTZ) uses ``unix_micros``
+    (exact, instant-based). DATE goes through ``unix_date`` (days
+    since epoch) — a ``date -> timestamp`` cast would resolve
+    midnight in the session TZ. Numeric columns are taken as seconds;
+    ``floor`` (not a long cast) keeps sub-second negatives ordered."""
     dt = df.schema[col].dataType.simpleString()
     c = F.col(col)
     if dt.startswith("timestamp_ntz"):
-        return (
-            F.timestamp_diff(
-                "MICROSECOND",
-                F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
-                c,
-            ).cast("double")
-            / 1e6
+        return F.timestamp_diff(
+            "MICROSECOND",
+            F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+            c,
         )
     if dt.startswith("timestamp"):
-        return c.cast("double")
+        return F.unix_micros(c)
     if dt == "date":
-        return F.unix_date(c).cast("double") * 86400.0
-    return c.cast("double")
+        return F.unix_date(c).cast("long") * F.lit(86_400_000_000).cast("long")
+    return F.floor(c.cast("double") * F.lit(1e6)).cast("long")
+
+
+def _epoch_seconds(df: DataFrame, col: str) -> Column:
+    """Epoch seconds (double, micro-exact) — see ``_epoch_micros``."""
+    return _epoch_micros(df, col).cast("double") / F.lit(1e6)
 
 
 def _epoch_bucket(epoch: Column, width_seconds: int) -> Column:
@@ -103,16 +107,26 @@ def asof_join(
     Output: all left columns + each value column as
     ``<name><suffix>`` + ``<right_ts><suffix>`` (the matched ts).
 
+    Ties among right rows at the same (key, ts): the payload struct
+    itself is the final window sort key, so the MAX payload (field-
+    wise struct comparison) wins deterministically — partition order
+    can never pick the match.
+
     One shuffle (on ``keys``); no join node in the plan at all.
     """
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (*keys, right_ts)]
+    # __t is exact epoch micros on BOTH sides: TZ/dtype-independent
+    # ordering, and the union stays valid when left/right timestamp
+    # dtypes differ (e.g. TIMESTAMP left, TIMESTAMP_NTZ right).
     payload = F.struct(
-        F.col(right_ts).alias("__ts"), *[F.col(c) for c in value_cols]
+        F.col(right_ts).alias("__ts"),
+        _epoch_micros(right, right_ts).alias("__tus"),
+        *[F.col(c) for c in value_cols],
     )
     rhs = right.select(
         *[F.col(k) for k in keys],
-        F.col(right_ts).alias("__t"),
+        _epoch_micros(right, right_ts).alias("__t"),
         F.lit(0).alias("__side"),
         payload.alias("__payload"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns
@@ -120,7 +134,7 @@ def asof_join(
     )
     lhs = left.select(
         *[F.col(k) for k in keys],
-        F.col(left_ts).alias("__t"),
+        _epoch_micros(left, left_ts).alias("__t"),
         F.lit(1).alias("__side"),
         F.lit(None).cast(rhs.schema["__payload"].dataType).alias("__payload"),
         *[F.col(c) for c in left.columns if c not in keys],
@@ -132,7 +146,7 @@ def asof_join(
     side_order = F.asc("__side") if not strict else F.desc("__side")
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__t").asc(), side_order)
+        .orderBy(F.col("__t").asc(), side_order, F.asc_nulls_first("__payload"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = F.last("__payload", ignorenulls=True).over(w)
@@ -140,8 +154,8 @@ def asof_join(
 
     if tolerance_seconds is not None:
         in_tol = (
-            F.col("__t").cast("double") - F.col("__m.__ts").cast("double")
-        ) <= F.lit(float(tolerance_seconds))
+            F.col("__t") - F.col("__m.__tus")
+        ) <= F.lit(int(tolerance_seconds) * 1_000_000)
         matched = matched.withColumn(
             "__m", F.when(in_tol, F.col("__m"))
         )
@@ -208,17 +222,19 @@ def range_interval_join(
         "__bucket",
         F.explode(
             F.sequence(
-                (F.col(start_ts).cast("double") / w).cast("long"),
-                (F.col(end_ts).cast("double") / w).cast("long"),
+                _epoch_bucket(_epoch_seconds(intervals, start_ts), w),
+                _epoch_bucket(_epoch_seconds(intervals, end_ts), w),
             )
         ),
     )
     pt = points.withColumn(
-        "__bucket", (F.col(point_ts).cast("double") / w).cast("long")
+        "__bucket", _epoch_bucket(_epoch_seconds(points, point_ts), w)
     )
-    p, s, e = F.col(point_ts).cast("double"), F.col(start_ts).cast("double"), F.col(
-        end_ts
-    ).cast("double")
+    # exact refine on epoch micros — dtype/TZ-independent and safe
+    # when point/interval columns are different temporal dtypes
+    p = _epoch_micros(points, point_ts)
+    s = _epoch_micros(intervals, start_ts)
+    e = _epoch_micros(intervals, end_ts)
     lo = p >= s if lo_ok == ">=" else p > s
     hi = p <= e if hi_ok == "<=" else p < e
     return (
@@ -242,11 +258,16 @@ def rolling_agg(
 
     ``aggs`` maps output name -> aggregate Column built over input
     columns, e.g. ``{"sum_7d": F.sum("value"), "n_7d": F.count(F.lit(1))}``.
+
+    The frame is exact to the microsecond: ordering is epoch MICROS
+    (long), frame ``[-(w·1e6 - 1), 0]`` — i.e. ``(ts - w, ts]``, the
+    open-closed trailing window. A seconds-truncated ordering would
+    silently bucket sub-second timestamps together.
     """
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col(ts_col).cast("double").cast("long"))
-        .rangeBetween(-(int(window_seconds) - 1), 0)
+        .orderBy(_epoch_micros(df, ts_col))
+        .rangeBetween(-(int(window_seconds) * 1_000_000 - 1), 0)
     )
     out = df
     for name, agg in aggs.items():
