@@ -72,6 +72,12 @@ from trial_submission_studio_spark.operators.similarity import lsh_bucket_topk
 from trial_submission_studio_spark.operators.dedup import ngram_jaccard_pairs
 from trial_submission_studio_spark.operators.textstats import bpe_ish_token_count
 from trial_submission_studio_spark.streaming.events import tumbling_window_counts
+from trial_submission_studio_spark.operators.temporal import (
+    asof_join,
+    locf_fill,
+    range_interval_join,
+    rolling_agg,
+)
 
 SMOKE_DIR = "/root/testdata/sf0.001"
 
@@ -764,6 +770,103 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# temporal family (operators/temporal.py) — SURVEY.md §2.13
+# --------------------------------------------------------------------------
+
+def temporal_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: every event picks up the user's most
+    recent click value (union + window formulation — one shuffle, no
+    join node; oracle is DuckDB's native ASOF LEFT JOIN)."""
+    e = _events(spark, sf_dir)
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    out = asof_join(
+        e.select("event_id", "user_id", "ts"),
+        clicks,
+        ["user_id"],
+        "ts",
+        "ts",
+        ["click_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.timestamp_diff(
+            "MICROSECOND",
+            F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+            F.col("ts_right"),
+        ).alias("click_ts_us"),
+        F.round("click_value_right", 2).alias("click_value"),
+    )
+
+
+def temporal_locf_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF: carry each user's latest 'view' value forward across the
+    event stream (the clinical-data staple, one window pass)."""
+    e = _events(spark, sf_dir)
+    d = e.withColumn(
+        "v", F.when(F.col("event_type") == "view", F.col("value"))
+    )
+    out = locf_fill(d, ["user_id"], "ts", ["v"])
+    return out.select(
+        "event_id", "user_id", F.round("v", 2).alias("locf_value")
+    )
+
+
+def temporal_interval_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed interval join on DATE columns: lineitem ship dates inside
+    [o_orderdate, o_orderdate+90d] — bucketed equi-join, never a range
+    scan; exercises the unix_date (TZ-free) epoch path."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        F.to_date("l_shipdate").alias("ship_d"),
+        "l_extendedprice",
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.to_date("o_orderdate").alias("start_d"),
+        F.date_add(F.to_date("o_orderdate"), 90).alias("end_d"),
+    )
+    j = range_interval_join(
+        li, o, ["okey"], "ship_d", "start_d", "end_d",
+        bucket_seconds=86400 * 30, inclusive="both",
+    )
+    return j.groupBy(
+        F.date_format("ship_d", "yyyy-MM").alias("ship_month")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+def temporal_rolling_user_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour per-user rolling count/sum — micro-exact RANGE
+    frame over epoch micros (decimal sums so the hash is exact)."""
+    e = _events(spark, sf_dir)
+    r = rolling_agg(
+        e,
+        ["user_id"],
+        "ts",
+        {
+            "n_1h": F.count(F.lit(1)),
+            "s_1h": F.sum(F.col("value").cast("decimal(12,2)")),
+        },
+        window_seconds=3600,
+    )
+    return r.select(
+        "event_id",
+        "user_id",
+        F.col("n_1h").cast("long").alias("n_1h"),
+        F.col("s_1h").cast("double").alias("s_1h"),
+    )
+
+
+# --------------------------------------------------------------------------
 # end-to-end: the metadata-compiled CDISC pipeline over TPC-H shapes
 # --------------------------------------------------------------------------
 
@@ -1317,6 +1420,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "events_tumbling_window": events_tumbling_window,
+        "temporal_asof_clicks": temporal_asof_clicks,
+        "temporal_locf_views": temporal_locf_views,
+        "temporal_interval_shipments": temporal_interval_shipments,
+        "temporal_rolling_user_1h": temporal_rolling_user_1h,
         "events_sessionization": events_sessionization,
         "agg_salted_user_totals": agg_salted_user_totals,
     }
@@ -1770,6 +1877,46 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "temporal_asof_clicks": """
+            WITH clicks AS (
+              SELECT user_id, ts, max(value) AS click_value
+              FROM events WHERE event_type = 'click' GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.user_id,
+                   CAST(epoch_us(c.ts) AS BIGINT) AS click_ts_us,
+                   round(c.click_value, 2) AS click_value
+            FROM events e ASOF LEFT JOIN clicks c
+              ON e.user_id = c.user_id AND e.ts >= c.ts
+        """,
+        "temporal_locf_views": """
+            SELECT event_id, user_id,
+                   round(last_value(CASE WHEN event_type = 'view' THEN value END
+                                    IGNORE NULLS)
+                         OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                         2) AS locf_value
+            FROM events
+        """,
+        "temporal_interval_shipments": """
+            SELECT strftime(date_trunc('month', CAST(l_shipdate AS DATE)), '%Y-%m')
+                     AS ship_month,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                     AS sum_price
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE CAST(l_shipdate AS DATE)
+                  BETWEEN CAST(o_orderdate AS DATE)
+                      AND CAST(o_orderdate AS DATE) + INTERVAL 90 DAY
+            GROUP BY 1
+        """,
+        "temporal_rolling_user_1h": """
+            SELECT event_id, user_id,
+                   CAST(count(*) OVER w AS BIGINT) AS n_1h,
+                   CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS s_1h
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
         """,
         "j5_relspec_parent": """
             WITH rel AS (
