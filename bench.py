@@ -237,6 +237,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # fixed since r04 — keep stable so cross-round deltas
+                # compare like-for-like (r01/r02 were single-shot cold)
+                "methodology": "warmup-sf0.001 + best-of-2 min, noop sink",
             }
         )
     )
