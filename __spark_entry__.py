@@ -1107,16 +1107,55 @@ def t_const_bool_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _a3_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/O4 collapsed to one row: the first-5 sorted distinct brands
+    pipe-joined, so the full sample set is still value-pinned."""
+    return a3_distinct_samples(spark, sf_dir).agg(
+        F.concat_ws("|", F.sort_array(F.collect_list("p_brand"))).alias("brand_top5")
+    )
+
+
+def _a6_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 collapsed to one row: md5 over the custkey-sorted per-subject
+    value strings pins every subject's value list; count/sum pin
+    cardinality independently of the hash. collect_list here is
+    gate-scale only (~1.5k subject strings at sf0.01)."""
+    per_subj = a6_values_by_subject(spark, sf_dir).select(
+        F.concat_ws(
+            ":", F.col("o_custkey").cast("string"), "orderkeys", F.col("n").cast("string")
+        ).alias("s"),
+        "n",
+    )
+    return per_subj.agg(
+        F.md5(F.concat_ws("|", F.sort_array(F.collect_list("s")))).alias("subj_md5"),
+        F.count(F.lit(1)).cast("long").alias("n_subjects"),
+        F.sum("n").cast("long").alias("subj_rows"),
+    )
+
+
 def a_profile_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4 max-length + A5 duplicate-seq + A9 has-data + A10 first-ref
-    single-row gates merged (crossJoin of 1-row aggregates — gate
-    scale only). Column names stay per-operator so the oracle hash
-    still pins each operator's value individually."""
+    """A3 top-N + A4 max-length + A5 duplicate-seq + A6 values-by-subject
+    + A9 has-data + A10 first-ref single-row gates merged (crossJoin of
+    1-row aggregates — gate scale only). Column names stay per-operator
+    so the oracle hash still pins each operator's value individually."""
     return (
         a4_max_observed_length(spark, sf_dir)
         .crossJoin(a5_duplicate_sequence(spark, sf_dir))
         .crossJoin(a9_has_collected_data(spark, sf_dir))
         .crossJoin(a10_first_nonnull_ref(spark, sf_dir))
+        .crossJoin(_a3_gate(spark, sf_dir))
+        .crossJoin(_a6_gate(spark, sf_dir))
+    )
+
+
+def j_crossdomain_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 RSUBJID∈DM + J4 bidirectionality + J5 RELSPEC parent
+    single-row gates merged (crossJoin of 1-row frames — gate scale
+    only; each component query remains a standalone callable)."""
+    return (
+        j3_rsubjid_in_dm(spark, sf_dir)
+        .crossJoin(j4_bidirectional_missing(spark, sf_dir))
+        .crossJoin(j5_relspec_parent(spark, sf_dir))
     )
 
 
@@ -1367,11 +1406,17 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared contract: exactly 50 entries so the driver's 50-row
     check window covers every query (r2 lesson: entries past #50 get
-    no CORRECTNESS row). T1/T12, A4/A5/A9/A10 and V1/V4/V6 are merged
-    into single gate queries (see t_const_bool_render /
-    a_profile_gates / v_domain_check_gates); the never-yet-checked
-    dedup gates sit at the front as defense in depth."""
+    no CORRECTNESS row). T1/T12, A3/A4/A5/A6/A9/A10, J3/J4/J5 and
+    V1/V4/V6 are merged into single gate queries (see
+    t_const_bool_render / a_profile_gates / j_crossdomain_gates /
+    v_domain_check_gates). The four queries that fell outside the r6
+    check window sit FIRST — r6 lesson: a query that was red must
+    never rotate out of the window without a recorded green."""
     return {
+        "events_sessionization": events_sessionization,
+        "agg_salted_user_totals": agg_salted_user_totals,
+        "temporal_interval_shipments": temporal_interval_shipments,
+        "temporal_rolling_user_1h": temporal_rolling_user_1h,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_order_revenue": q3_order_revenue,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1393,15 +1438,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t13_numeric_render": t13_numeric_render,
         "t_const_bool_render": t_const_bool_render,
         "a1_column_profile": a1_column_profile,
-        "a3_distinct_samples": a3_distinct_samples,
-        "a6_values_by_subject": a6_values_by_subject,
         "a8_invalid_samples": a8_invalid_samples,
         "a_profile_gates": a_profile_gates,
         "j1_orphan_customers": j1_orphan_customers,
         "j2_semi_suppliers": j2_semi_suppliers,
-        "j3_rsubjid_in_dm": j3_rsubjid_in_dm,
-        "j4_bidirectional_missing": j4_bidirectional_missing,
-        "j5_relspec_parent": j5_relspec_parent,
+        "j_crossdomain_gates": j_crossdomain_gates,
         "j6_relrec_probe": j6_relrec_probe,
         "r1_supp_unpivot": r1_supp_unpivot,
         "r2_reciprocal_union": r2_reciprocal_union,
@@ -1422,10 +1463,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling_window": events_tumbling_window,
         "temporal_asof_clicks": temporal_asof_clicks,
         "temporal_locf_views": temporal_locf_views,
-        "temporal_interval_shipments": temporal_interval_shipments,
-        "temporal_rolling_user_1h": temporal_rolling_user_1h,
-        "events_sessionization": events_sessionization,
-        "agg_salted_user_totals": agg_salted_user_totals,
     }
 
 
@@ -1577,9 +1614,6 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(l_quantity), 4) AS avg_qty
             FROM lineitem
         """,
-        "a3_distinct_samples": """
-            SELECT DISTINCT p_brand FROM part ORDER BY p_brand LIMIT 5
-        """,
         "a_profile_gates": """
             SELECT * FROM
               (SELECT CAST(greatest(max(length(rtrim(p_name))), 1) AS BIGINT) AS len_name,
@@ -1600,12 +1634,18 @@ def oracle_sql() -> dict[str, str]:
               (SELECT strftime(o_orderdate, '%Y-%m-%d') AS rfstdtc
                FROM orders WHERE o_orderkey % 7 != 0
                ORDER BY o_orderkey LIMIT 1)
-        """,
-        "a6_values_by_subject": """
-            SELECT o_custkey,
-                   array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys,
-                   count(*) AS n
-            FROM orders GROUP BY o_custkey
+            CROSS JOIN
+              (SELECT string_agg(p_brand, '|' ORDER BY p_brand) AS brand_top5
+               FROM (SELECT DISTINCT p_brand FROM part ORDER BY p_brand LIMIT 5))
+            CROSS JOIN
+              (SELECT md5(string_agg(s, '|' ORDER BY s)) AS subj_md5,
+                      CAST(count(*) AS BIGINT) AS n_subjects,
+                      CAST(sum(n) AS BIGINT) AS subj_rows
+               FROM (SELECT CAST(o_custkey AS VARCHAR) || ':' ||
+                            array_to_string(list_sort(list(o_orderkey)), ',') || ':' ||
+                            CAST(count(*) AS VARCHAR) AS s,
+                            count(*) AS n
+                     FROM orders GROUP BY o_custkey))
         """,
         "a8_invalid_samples": """
             WITH v AS (
@@ -1634,24 +1674,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_suppkey, s_name FROM supplier
             WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
         """,
-        "j3_rsubjid_in_dm": """
-            WITH dm AS (SELECT CAST(c_custkey AS VARCHAR) AS usubjid FROM customer),
-            miss AS (
-              SELECT CAST(o_orderkey % 3000 AS VARCHAR) AS rsubj FROM orders
-              WHERE CAST(o_orderkey % 3000 AS VARCHAR) NOT IN (SELECT usubjid FROM dm)
-            )
-            SELECT 'RELSUB' AS domain, 'RSUBJID' AS variable,
-                   'CrossReference' AS category, 'Error' AS severity,
-                   CAST(count(*) AS BIGINT) AS count,
-                   array_to_string(list_slice(list_sort(list(DISTINCT rsubj)), 1, 5), '|') AS samples
-            FROM miss
-        """,
-        "j4_bidirectional_missing": """
-            WITH e AS (SELECT DISTINCT l_suppkey AS usubj, l_partkey AS rsubj FROM lineitem)
-            SELECT CAST(count(*) AS BIGINT) AS one_way_cnt
-            FROM e a
-            WHERE NOT EXISTS (
-              SELECT 1 FROM e b WHERE b.usubj = a.rsubj AND b.rsubj = a.usubj)
+        "j_crossdomain_gates": """
+            SELECT * FROM
+              (WITH dm AS (SELECT CAST(c_custkey AS VARCHAR) AS usubjid FROM customer),
+               miss AS (
+                 SELECT CAST(o_orderkey % 3000 AS VARCHAR) AS rsubj FROM orders
+                 WHERE CAST(o_orderkey % 3000 AS VARCHAR) NOT IN (SELECT usubjid FROM dm)
+               )
+               SELECT 'RELSUB' AS domain, 'RSUBJID' AS variable,
+                      'CrossReference' AS category, 'Error' AS severity,
+                      CAST(count(*) AS BIGINT) AS count,
+                      array_to_string(list_slice(list_sort(list(DISTINCT rsubj)), 1, 5), '|')
+                        AS samples
+               FROM miss)
+            CROSS JOIN
+              (WITH e AS (SELECT DISTINCT l_suppkey AS usubj, l_partkey AS rsubj FROM lineitem)
+               SELECT CAST(count(*) AS BIGINT) AS one_way_cnt
+               FROM e a
+               WHERE NOT EXISTS (
+                 SELECT 1 FROM e b WHERE b.usubj = a.rsubj AND b.rsubj = a.usubj))
+            CROSS JOIN
+              (WITH rel AS (
+                 SELECT o_custkey AS usubj, CAST(o_orderkey AS VARCHAR) AS refid,
+                        CASE WHEN o_orderkey % 5 = 0 THEN ''
+                             ELSE CAST(o_orderkey - 1 AS VARCHAR) END AS parent
+                 FROM orders
+               )
+               SELECT CAST(count(*) AS BIGINT) AS dangling_parents
+               FROM rel p
+               WHERE p.parent != ''
+                 AND NOT EXISTS (
+                   SELECT 1 FROM rel k WHERE k.usubj = p.usubj AND k.refid = p.parent))
         """,
         "j6_relrec_probe": """
             WITH keys AS (
@@ -1917,19 +1970,6 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                          RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
-        """,
-        "j5_relspec_parent": """
-            WITH rel AS (
-              SELECT o_custkey AS usubj, CAST(o_orderkey AS VARCHAR) AS refid,
-                     CASE WHEN o_orderkey % 5 = 0 THEN ''
-                          ELSE CAST(o_orderkey - 1 AS VARCHAR) END AS parent
-              FROM orders
-            )
-            SELECT CAST(count(*) AS BIGINT) AS dangling_parents
-            FROM rel p
-            WHERE p.parent != ''
-              AND NOT EXISTS (
-                SELECT 1 FROM rel k WHERE k.usubj = p.usubj AND k.refid = p.parent)
         """,
         "text_bpe_tokens": """
             SELECT lang,

@@ -52,6 +52,40 @@ def test_iso_datetime_ambiguity_us_first(spark):
     assert _one(spark, normalize_iso_datetime(F.col("v")), v="05/03/1995") == "1995-05-03"
 
 
+def test_iso_ladder_bound_columns_not_cross_cached(spark):
+    """Plan-bound Columns from different DataFrames stringify
+    identically (Column<'x'>); a str-keyed cache would hand df1's
+    attribute to df2 (AnalysisException MISSING_ATTRIBUTES). Column
+    inputs must bypass the memo entirely."""
+    df1 = spark.createDataFrame([("2024-01-15",)], "x string")
+    df2 = spark.createDataFrame([("01/15/2024",), ("1999",)], "x string")
+    out1 = [r[0] for r in df1.select(normalize_iso_datetime(df1["x"])).collect()]
+    out2 = [r[0] for r in df2.select(normalize_iso_datetime(df2["x"])).collect()]
+    assert out1 == ["2024-01-15"]
+    assert sorted(out2) == ["1999", "2024-01-15"]
+
+
+def test_iso_ladder_string_memo_reusable_across_frames_and_sessions(spark):
+    """String-name inputs hit the memo; the unbound F.col tree must
+    resolve correctly against any DataFrame with that column — and
+    still compile in a sibling session of the same SparkContext."""
+    from trial_submission_studio_spark.functions import datetime_iso as mod
+
+    mod._LADDER_CACHE.clear()
+    a = normalize_iso_datetime("v")
+    b = normalize_iso_datetime("v")
+    assert a is b  # memo hit
+    df1 = spark.createDataFrame([("15/01/2024 10:30",)], "v string")
+    df2 = spark.createDataFrame([("20240115",)], "v string")
+    assert df1.select(a.alias("o")).collect()[0]["o"] == "2024-01-15T10:30"
+    assert df2.select(a.alias("o")).collect()[0]["o"] == "2024-01-15"
+    sib = spark.newSession()
+    df3 = sib.createDataFrame([("Jan 2024",)], "v string")
+    c = normalize_iso_datetime("v")
+    assert c is a  # same SparkContext -> cache survives newSession
+    assert df3.select(c.alias("o")).collect()[0]["o"] == "2024-01"
+
+
 @pytest.mark.parametrize(
     "raw,expected",
     [

@@ -23,6 +23,8 @@ try next rung).
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -105,15 +107,26 @@ def _render_datetime(ts: Column) -> Column:
 
 
 #: Built-ladder memo: the ladder is ~60 Column constructions = ~60
-#: py4j round-trips (~0.8 s of driver time per call). Column objects
-#: are immutable, session-agnostic expression trees, so the built
-#: ladder for a given input *expression* is reusable verbatim —
-#: repeated pipeline compiles (bench reruns, per-domain study loops)
-#: pay the construction cost once. Keyed on the input column's
-#: expression string; bounded to keep stale-session refs from piling
-#: up if the hosting app cycles SparkSessions.
+#: py4j round-trips (~0.8 s of driver time per call). The cache holds
+#: ONLY ladders built from *string column names* (unbound
+#: ``F.col(name)`` trees resolve by name against whichever DataFrame
+#: they're used in, so reuse is always safe). Column inputs bypass the
+#: cache entirely: a plan-bound Column (``df["x"]``) stringifies
+#: identically to another DataFrame's ``df2["x"]``, so a str(col) key
+#: would hand plan A's attribute to plan B (AnalysisException
+#: MISSING_ATTRIBUTES, or a silently wrong binding in lineage-shared
+#: plans). Entries are invalidated wholesale when the active
+#: SparkContext changes (weakref identity check) so a gateway/JVM
+#: restart can never serve a dead py4j reference.
 _LADDER_CACHE: dict[str, Column] = {}
 _LADDER_CACHE_MAX = 256
+_LADDER_CACHE_CTX: "weakref.ref | None" = None
+
+
+def _ladder_cache_context():
+    from pyspark import SparkContext
+
+    return SparkContext._active_spark_context
 
 
 def normalize_iso_datetime(c: Column | str) -> Column:
@@ -126,16 +139,27 @@ def normalize_iso_datetime(c: Column | str) -> Column:
     case (already ISO) costs exactly one regex match. Ladder order
     within the slash branch preserves the documented US-before-EU
     ambiguity resolution.
+
+    Pass a *string column name* on hot compile paths: string inputs
+    hit the built-ladder memo; Column inputs are built fresh every
+    call (see the cache note above for why they must be).
     """
-    col = _col(c)
-    key = str(col)
-    cached = _LADDER_CACHE.get(key)
+    global _LADDER_CACHE_CTX
+    if not isinstance(c, str):
+        return _build_iso_ladder(c)
+    sc = _ladder_cache_context()
+    if sc is None:
+        return _build_iso_ladder(F.col(c))
+    if _LADDER_CACHE_CTX is None or _LADDER_CACHE_CTX() is not sc:
+        _LADDER_CACHE.clear()
+        _LADDER_CACHE_CTX = weakref.ref(sc)
+    cached = _LADDER_CACHE.get(c)
     if cached is not None:
         return cached
-    out = _build_iso_ladder(col)
+    out = _build_iso_ladder(F.col(c))
     if len(_LADDER_CACHE) >= _LADDER_CACHE_MAX:
         _LADDER_CACHE.clear()
-    _LADDER_CACHE[key] = out
+    _LADDER_CACHE[c] = out
     return out
 
 

@@ -206,7 +206,7 @@ def compile_pipeline(df: DataFrame, rules: list[Rule], ctx: NormalizationContext
         elif r.transform in ("sequence", "study_day"):
             stage_b.append(r)
         elif r.transform == "iso_datetime":
-            exprs.append(normalize_iso_datetime(F.col(r.source)).alias(t))
+            exprs.append(normalize_iso_datetime(r.source).alias(t))
         elif r.transform == "iso_date":
             exprs.append(normalize_iso_date(F.col(r.source)).alias(t))
         elif r.transform == "iso_duration":
@@ -238,7 +238,7 @@ def compile_pipeline(df: DataFrame, rules: list[Rule], ctx: NormalizationContext
         if r.source in target_names:
             evt = F.col(r.source)  # reuse the normalized sibling --DTC
         elif f"__raw_{r.source}" in out.columns:
-            evt = normalize_iso_datetime(F.col(f"__raw_{r.source}"))
+            evt = normalize_iso_datetime(f"__raw_{r.source}")
         else:
             evt = F.lit(None).cast("string")
         ref_expr = (
