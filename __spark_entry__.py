@@ -103,10 +103,11 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of the hosting session's time zone. Integer ``DIV``
     (float division would lose µs precision at 1.7e18 ns magnitudes).
     """
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
-    ts_type = str(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type)
-    if "ns" in ts_type:
+    ts_type = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    if pa.types.is_timestamp(ts_type) and ts_type.unit == "ns":
         raw = spark.read.schema(_EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
         micros = "ts div 1000"
     else:
@@ -810,7 +811,7 @@ def temporal_locf_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = e.withColumn(
         "v", F.when(F.col("event_type") == "view", F.col("value"))
     )
-    out = locf_fill(d, ["user_id"], "ts", ["v"])
+    out = locf_fill(d, ["user_id"], "ts", ["v"], tiebreak="event_id")
     return out.select(
         "event_id", "user_id", F.round("v", 2).alias("locf_value")
     )
@@ -1946,7 +1947,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id,
                    round(last_value(CASE WHEN event_type = 'view' THEN value END
                                     IGNORE NULLS)
-                         OVER (PARTITION BY user_id ORDER BY ts
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                          2) AS locf_value
             FROM events

@@ -217,6 +217,28 @@ def test_locf_fill(spark):
     ]
 
 
+def test_locf_fill_tiebreak_deterministic(spark):
+    """Rows tied on order_col: the tiebreak column pins a total order,
+    so the fill is deterministic regardless of partition layout — the
+    row with the higher tiebreak sees the lower one's value."""
+    d = spark.createDataFrame(
+        [
+            ("s1", 1, 1, 7.0),
+            ("s1", 2, 2, None),   # tied on visit=2 with eid=3
+            ("s1", 2, 3, 9.0),
+            ("s1", 3, 4, None),
+        ],
+        "subj string, visit int, eid int, val double",
+    ).repartition(8)
+    out = locf_fill(d, ["subj"], "visit", ["val"], tiebreak="eid")
+    assert rows(out, "subj", "visit", "eid", "val") == [
+        ("s1", 1, 1, 7.0),
+        ("s1", 2, 2, 7.0),   # eid=2 precedes eid=3: sees only visit-1 value
+        ("s1", 2, 3, 9.0),
+        ("s1", 3, 4, 9.0),
+    ]
+
+
 # --------------------------------------------------------------------------
 # keyed interval join
 # --------------------------------------------------------------------------

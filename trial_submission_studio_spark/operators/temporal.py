@@ -23,6 +23,17 @@ Scale design notes (100 TB / 1000 executors):
   formulations (one shuffle on the partition key each; rolling uses
   a RANGE frame on the epoch so sparse/dense timelines cost the
   same).
+- Hot-key ceiling: every window formulation here partitions by the
+  join/group key, so ONE pathological key (a power-law user with
+  billions of rows) serializes onto a single task — standard for
+  window plans, fine for keys up to ~10M rows each, and AQE cannot
+  split a window partition. If the key distribution is power-law,
+  pre-split the timeline: bucket the key by coarse time range
+  (e.g. day), run the operator per (key, day), and stitch the
+  boundary — for LOCF/as-of that means carrying each bucket's last
+  value into the next via a second small pass over per-bucket tails.
+  That two-phase variant costs a second shuffle of only the bucket
+  tails, so it's opt-in, not the default.
 """
 
 from __future__ import annotations
@@ -172,14 +183,24 @@ def locf_fill(
     keys: Sequence[str],
     order_col: str,
     cols: Sequence[str],
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Last-observation-carried-forward: NULLs in ``cols`` take the
     most recent preceding non-null value within the key group
     (ordered by ``order_col``). The clinical-data staple; also the
-    sensor-gap fill. One window pass, one shuffle on ``keys``."""
+    sensor-gap fill. One window pass, one shuffle on ``keys``.
+
+    Rows tied on (keys, order_col) make the ROWS frame — and thus the
+    fill value — partition-order-dependent. Pass ``tiebreak`` (a
+    unique-per-key column, e.g. an event id) to pin a deterministic
+    total order; without it, ``order_col`` must be unique per key for
+    deterministic output."""
+    order = [F.col(order_col).asc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).asc())
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col(order_col).asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     out = df
