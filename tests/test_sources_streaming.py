@@ -180,6 +180,42 @@ def test_multimodal_real_image_codecs(spark):
         assert body == bytes([255, 0, 0]) * 6  # still solid red
 
 
+def test_multimodal_png_roundtrip(spark):
+    """Stdlib PNG codec: mixed-filter encode (a row per filter type
+    None/Sub/Up/Average/Paeth) → executor-side decode reproduces the
+    exact pixels through image_resize's PPM re-encode, and
+    image_features sees the real channel means."""
+    import numpy as np
+
+    from trial_submission_studio_spark.operators.multimodal import (
+        encode_png,
+        image_resize,
+        probe_media,
+    )
+
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, (10, 5, 3), dtype=np.uint8)
+    png = encode_png(img, mixed_filters=True)
+    media = values_df(
+        spark, [(1, png)], "media_id bigint, payload binary"
+    )
+
+    # identity-size resize re-encodes the decoded pixels as PPM:
+    # byte-exact pixel recovery through the executor-side kernel
+    out = image_resize(media, 5, 10).collect()[0]
+    assert out["payload"] == b"P6\n5 10\n255\n" + img.tobytes()
+
+    f = image_features(media, dim=16).collect()[0]["feat"]
+    for ch in range(3):
+        assert abs(f[2 + ch] - img[:, :, ch].mean() / 255.0) < 1e-6
+
+    probed = probe_media(
+        media.withColumn("path", F.lit("mem://x.png"))
+    ).collect()[0]
+    assert (probed["kind"], probed["mime"]) == ("image", "image/png")
+    assert (probed["width"], probed["height"]) == (5, 10)
+
+
 def test_multimodal_real_wav_decode(spark):
     """REAL RIFF/WAVE PCM decode via stdlib wave: rate, duration, RMS,
     peak and zero-crossing rate of a generated 440 Hz square wave."""

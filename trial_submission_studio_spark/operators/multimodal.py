@@ -10,15 +10,19 @@ end and partitioning is inherited from the table.
 Codec coverage is explicit about what is REAL and what is stubbed:
 
 - **REAL decoders** (stdlib + numpy, no external codec libs):
-  PPM (P6) and uncompressed 24-bit BMP images → H×W×3 arrays
-  feeding real color/luminance features and nearest-neighbor
-  :func:`image_resize`; RIFF/WAVE PCM audio (8/16/32-bit) via the
-  stdlib ``wave`` module → real sample-rate/RMS/peak/zero-crossing
-  features (:func:`audio_features`).
-- **Stubbed integration points**: compressed formats (JPEG/PNG,
-  MP3/AAC, video) need PIL/torchaudio/ffmpeg, absent here — kernels
-  raise ``NotImplementedError`` naming the format, or produce
-  seeded reproducible fakes with ``deterministic_fake=True`` so the
+  PPM (P6), uncompressed 24-bit BMP, and 8-bit non-interlaced PNG
+  (zlib inflate + full None/Sub/Up/Average/Paeth filter
+  reconstruction; gray/RGB/palette/gray-α/RGBA color types) →
+  H×W×3 arrays feeding real color/luminance features and
+  nearest-neighbor :func:`image_resize`; RIFF/WAVE PCM audio
+  (8/16/32-bit) via the stdlib ``wave`` module → real
+  sample-rate/RMS/peak/zero-crossing features
+  (:func:`audio_features`). :func:`encode_png` /
+  :func:`encode_ppm` round-trip.
+- **Stubbed integration points**: JPEG, MP3/AAC, and video need
+  PIL/torchaudio/ffmpeg, absent here — kernels raise
+  ``NotImplementedError`` naming the format, or produce seeded
+  reproducible fakes with ``deterministic_fake=True`` so the
   Spark-side plumbing stays fully testable.
 """
 
@@ -78,9 +82,73 @@ def encode_ppm(img) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
 
 
+def encode_png(img, mixed_filters: bool = False) -> bytes:
+    """H×W×3 uint8 array → PNG bytes, pure stdlib (zlib + struct).
+
+    Default emits filter-0 scanlines. ``mixed_filters=True`` applies
+    filter ``y % 5`` to row ``y`` (None/Sub/Up/Average/Paeth) — used
+    by the roundtrip tests to exercise every reconstruction branch of
+    the decoder with a bit-exact expected image."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.ascontiguousarray(np.asarray(img, dtype=np.uint8))
+    h, w = a.shape[0], a.shape[1]
+    bpp = 3
+    flat = a.reshape(h, w * bpp).astype(np.int16)
+
+    def paeth(left, up, upleft):
+        p = left + up - upleft
+        pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+        out = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft))
+        return out
+
+    lines = []
+    prev = np.zeros(w * bpp, dtype=np.int16)
+    for y in range(h):
+        r = flat[y]
+        left = np.concatenate([np.zeros(bpp, np.int16), r[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int16), prev[:-bpp]])
+        f = (y % 5) if mixed_filters else 0
+        if f == 0:
+            filt = r
+        elif f == 1:
+            filt = (r - left) & 0xFF
+        elif f == 2:
+            filt = (r - prev) & 0xFF
+        elif f == 3:
+            filt = (r - ((left + prev) >> 1)) & 0xFF
+        else:
+            filt = (r - paeth(left, prev, upleft)) & 0xFF
+        lines.append(bytes([f]) + filt.astype(np.uint8).tobytes())
+        prev = r
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _make_image_decoder():
     """Closure factory: payload bytes → H×W×3 uint8 array for the
-    REAL formats (PPM P6, uncompressed 24-bit BMP), None otherwise.
+    REAL formats (PPM P6, uncompressed 24-bit BMP, and 8-bit
+    non-interlaced PNG — stdlib zlib inflate + full filter
+    reconstruction, color types gray/RGB/palette/gray-α/RGBA),
+    None otherwise. The PNG unfilter loop is a pure-Python reference
+    implementation (Sub/Average/Paeth are inherently sequential per
+    scanline) — correct and dependency-free; a PIL/torchvision kernel
+    is the drop-in for throughput-critical decode at scale.
     Closure-local so cloudpickle ships it by value."""
 
     def decode(payload: bytes | None):
@@ -88,6 +156,83 @@ def _make_image_decoder():
 
         if not payload:
             return None
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            import struct
+            import zlib
+
+            i, w = 8, None
+            idat: list[bytes] = []
+            plte = None
+            while i + 8 <= len(payload):
+                (length,) = struct.unpack(">I", payload[i : i + 4])
+                ctype = payload[i + 4 : i + 8]
+                data = payload[i + 8 : i + 8 + length]
+                if ctype == b"IHDR":
+                    w, h, bitd, ct, _comp, _filt, interlace = struct.unpack(
+                        ">IIBBBBB", data
+                    )
+                elif ctype == b"PLTE":
+                    plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+                elif ctype == b"IDAT":
+                    idat.append(data)
+                elif ctype == b"IEND":
+                    break
+                i += 12 + length
+            if w is None or bitd != 8 or interlace != 0:
+                return None
+            nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ct)
+            if nch is None or not idat:
+                return None
+            try:
+                raw = zlib.decompress(b"".join(idat))
+            except zlib.error:
+                return None
+            stride = w * nch
+            if len(raw) < h * (stride + 1):
+                return None
+            img = np.empty((h, stride), np.uint8)
+            prev = np.zeros(stride, np.int32)
+            pos = 0
+            for y in range(h):
+                f = raw[pos]
+                pos += 1
+                line = np.frombuffer(raw, np.uint8, stride, pos).astype(np.int32)
+                pos += stride
+                if f == 0:
+                    rec = line
+                elif f == 2:  # Up — vectorized
+                    rec = (line + prev) & 0xFF
+                elif f in (1, 3, 4):  # Sub/Average/Paeth — sequential
+                    rec = line.copy()
+                    for x in range(stride):
+                        a = int(rec[x - nch]) if x >= nch else 0
+                        if f == 1:
+                            rec[x] = (rec[x] + a) & 0xFF
+                        elif f == 3:
+                            rec[x] = (rec[x] + ((a + int(prev[x])) >> 1)) & 0xFF
+                        else:
+                            b = int(prev[x])
+                            c = int(prev[x - nch]) if x >= nch else 0
+                            p = a + b - c
+                            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                            pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                            rec[x] = (rec[x] + pr) & 0xFF
+                else:
+                    return None
+                img[y] = rec.astype(np.uint8)
+                prev = rec
+            px = img.reshape(h, w, nch)
+            if ct == 2:
+                return px.copy()
+            if ct == 6:
+                return px[:, :, :3].copy()
+            if ct == 0:
+                return np.repeat(px, 3, axis=2).copy()
+            if ct == 4:
+                return np.repeat(px[:, :, :1], 3, axis=2).copy()
+            if plte is None or int(px.max()) >= len(plte):
+                return None
+            return plte[px[:, :, 0]].copy()  # ct == 3: palette lookup
         if payload[:2] == b"P6":
             # header: "P6" <ws> width <ws> height <ws> maxval <single ws> raw
             i, fields = 2, []
@@ -187,11 +332,11 @@ def image_features(
 ) -> DataFrame:
     """Decode + featurize images → (media_id, feat, feat_dim).
 
-    PPM/BMP payloads decode NATIVELY (:func:`_make_image_decoder`)
+    PPM/BMP/PNG payloads decode NATIVELY (:func:`_make_image_decoder`)
     into a real feature vector: normalized dimensions, channel means,
-    luminance std + 10-bin luminance histogram. Compressed formats
-    fall back per ``deterministic_fake`` (seeded fake, or
-    ``NotImplementedError`` naming the PIL integration point).
+    luminance std + 10-bin luminance histogram. Remaining compressed
+    formats (JPEG) fall back per ``deterministic_fake`` (seeded fake,
+    or ``NotImplementedError`` naming the PIL integration point).
     """
     decode = _decode_image
     fake = _fake_feature
@@ -252,9 +397,9 @@ def image_resize(
     id_col: str = "media_id",
 ) -> DataFrame:
     """REAL nearest-neighbor resize of natively-decodable images
-    (PPM/BMP) → (media_id, payload, width, height) with the payload
-    re-encoded as PPM. Undecodable payloads pass through as NULL
-    (callers filter or route them to the codec-library path)."""
+    (PPM/BMP/PNG) → (media_id, payload, width, height) with the
+    payload re-encoded as PPM. Undecodable payloads pass through as
+    NULL (callers filter or route them to the codec-library path)."""
     decode = _decode_image
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -442,9 +587,13 @@ def probe_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                 w = h = dur = None
                 img = img_decode(p)
                 if img is not None:
-                    kind, mime = "image", (
-                        "image/x-portable-pixmap" if p[:2] == b"P6" else "image/bmp"
-                    )
+                    if p[:2] == b"P6":
+                        mime = "image/x-portable-pixmap"
+                    elif p[:4] == b"\x89PNG":
+                        mime = "image/png"
+                    else:
+                        mime = "image/bmp"
+                    kind = "image"
                     h, w = int(img.shape[0]), int(img.shape[1])
                 else:
                     wav = wav_decode(p)
