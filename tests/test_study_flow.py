@@ -254,35 +254,46 @@ def test_builtin_ct_registry_versions(spark):
 
 
 def test_registry_codelists_all_resolve():
-    """Every codelist_code the 63-domain registry references resolves
-    through the shipped catalog (VERDICT r2 missing #3: uncurated
-    codelists silently fell into copy semantics)."""
-    from trial_submission_studio_spark.standards.ct_catalog import builtin_registry
-    from trial_submission_studio_spark.standards.sdtm_domains import DOMAINS
+    """Every codelist_code referenced by ALL THREE registries (SDTM-IG
+    63 domains, SEND-IG, ADaM-IG incl. wildcards) resolves through the
+    shipped catalog (VERDICT r2 missing #3: uncurated codelists
+    silently fell into copy semantics), and the coverage stat reports
+    it."""
+    from trial_submission_studio_spark.standards.ct_catalog import registry_coverage
 
-    from trial_submission_studio_spark.standards.adam_ig import (
-        ADAM_STRUCTURES,
-        ADAM_WILDCARD_PATTERNS,
-    )
+    cov = registry_coverage()
+    assert cov["unresolved"] == []
+    assert cov["resolved_codes"] == cov["referenced_codes"] > 30
+    # three shipped versions, each a non-trivial catalog
+    assert len(cov["catalogs"]) == 3
+    for stats in cov["catalogs"].values():
+        assert stats["codelists"] >= 20 and stats["terms"] >= 100
+
+
+def test_findings_testcode_breadth():
+    """The common findings panels are wide enough to validate real
+    LB/VS/EG data: chemistry+hematology LBTESTCD (30 terms), vitals
+    incl. MAP, and aggregate/single-beat ECG intervals — with the
+    TESTCD↔TEST pairing sharing NCI term codes."""
+    from trial_submission_studio_spark.standards.ct_catalog import builtin_registry
 
     reg = builtin_registry()
-    referenced = set()
-    for d in DOMAINS.values():
-        for v in d["variables"]:
-            for c in str(v.get("codelist_code") or "").replace(";", ",").split(","):
-                if c.strip():
-                    referenced.add(c.strip())
-    # ADaM structures + wildcard patterns bind codelists too
-    for d in ADAM_STRUCTURES.values():
-        for v in d["variables"]:
-            if v.get("codelist_code"):
-                referenced.add(v["codelist_code"])
-    for pats in ADAM_WILDCARD_PATTERNS.values():
-        for p in pats:
-            if p.get("codelist_code"):
-                referenced.add(p["codelist_code"])
-    unresolved = sorted(c for c in referenced if reg.resolve(c) is None)
-    assert unresolved == []
+    lbcd = reg.resolve("C65047")[1]
+    lbnm = reg.resolve("C67154")[1]
+    assert len(lbcd.terms) == len(lbnm.terms) == 30
+    assert {t.code for t in lbcd.terms} == {t.code for t in lbnm.terms}
+    by_code = {t.code: t.submission_value for t in lbnm.terms}
+    for t in lbcd.terms:
+        assert by_code[t.code]  # every code pairs to a name form
+    assert reg.find_submission_value("C65047", "sgpt") == "ALT"
+    assert reg.find_submission_value("C67154", "ALT") == "Alanine Aminotransferase"
+    egcd = reg.resolve("C71153")[1]
+    assert {"QTCFAG", "PRAG", "QRSSB", "INTP"} <= {
+        t.submission_value for t in egcd.terms
+    }
+    vs = reg.resolve("C66741")[1]
+    assert reg.find_submission_value("C66741", "Mean Arterial Pressure") == "MAP"
+    assert len(vs.terms) == 11
 
 
 def test_create_study_loads_items_metadata(spark, tmp_path):

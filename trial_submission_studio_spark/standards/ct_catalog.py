@@ -116,13 +116,14 @@ def _common_codelists() -> dict[str, Codelist]:
             ("C25298", "SYSBP", "Systolic Blood Pressure"),
             ("C25299", "DIABP", "Diastolic Blood Pressure"),
             ("C49677", "HR", "Heart Rate"),
-            ("C49678", "PULSE", "Pulse Rate"),
+            ("C49676", "PULSE", "Pulse Rate"),
             ("C25208", "WEIGHT", "Body Weight"),
             ("C25347", "HEIGHT", "Body Height"),
-            ("C25206", "TEMP", "Temperature", "Body Temperature"),
-            ("C49676", "RESP", "Respiratory Rate"),
-            ("C49680", "BMI", "Body Mass Index"),
+            ("C174446", "TEMP", "Temperature", "Body Temperature"),
+            ("C49678", "RESP", "Respiratory Rate"),
+            ("C16358", "BMI", "Body Mass Index"),
             ("C60832", "OXYSAT", "Oxygen Saturation"),
+            ("C49679", "MAP", "Mean Arterial Pressure"),
         ]),
         _cl("C66770", "Unit for Vital Signs Results", True, [
             ("C49673", "beats/min"),
@@ -275,52 +276,115 @@ def _registry_breadth_codelists() -> dict[str, Codelist]:
             ("", "X-RAY", "Radiograph"),
             ("", "ECG", "EKG", "Electrocardiogram"),
         ]),
+        # Findings test-code/name breadth: the common chemistry /
+        # hematology panel, core vitals, and the aggregate/single-beat
+        # ECG intervals — NCI term codes verified against the public
+        # 2025-09-26 NCI-EVS release (TESTCD and TEST pairs share the
+        # term C-code; submission value differs).
         _cl("C65047", "Laboratory Test Code", True, [
-            ("", "ALT", "Alanine Aminotransferase"),
-            ("", "AST", "Aspartate Aminotransferase"),
-            ("", "BILI", "Bilirubin"),
-            ("", "CREAT", "Creatinine"),
-            ("", "GLUC", "Glucose"),
-            ("", "HGB", "Hemoglobin"),
-            ("", "PLAT", "Platelets"),
-            ("", "WBC", "Leukocytes"),
-            ("", "SODIUM", "Sodium"),
-            ("", "K", "Potassium"),
+            ("C64431", "ALB", "Albumin"),
+            ("C64432", "ALP", "Alkaline Phosphatase"),
+            ("C64433", "ALT", "Alanine Aminotransferase", "SGPT"),
+            ("C64467", "AST", "Aspartate Aminotransferase", "SGOT"),
+            ("C64470", "BASO", "Basophils"),
+            ("C38037", "BILI", "Bilirubin", "Total Bilirubin"),
+            ("C64488", "CA", "Calcium"),
+            ("C105586", "CHOL", "Cholesterol", "Total Cholesterol"),
+            ("C64489", "CK", "Creatine Kinase", "CPK"),
+            ("C64495", "CL", "Chloride"),
+            ("C64547", "CREAT", "Creatinine"),
+            ("C64550", "EOS", "Eosinophils"),
+            ("C64847", "GGT", "Gamma Glutamyl Transferase"),
+            ("C105585", "GLUC", "Glucose"),
+            ("C64796", "HCT", "Hematocrit", "EVF"),
+            ("C64848", "HGB", "Hemoglobin"),
+            ("C64853", "K", "Potassium"),
+            ("C51949", "LYM", "Lymphocytes"),
+            ("C64840", "MG", "Magnesium"),
+            ("C64823", "MONO", "Monocytes"),
+            ("C63321", "NEUT", "Neutrophils"),
+            ("C64857", "PHOS", "Phosphate", "Inorganic Phosphate"),
+            ("C51951", "PLAT", "Platelets"),
+            ("C64858", "PROT", "Protein"),
+            ("C51946", "RBC", "Erythrocytes", "Red Blood Cells"),
+            ("C64809", "SODIUM", "Sodium"),
+            ("C64812", "TRIG", "Triglycerides"),
+            ("C64814", "URATE", "Urate", "Uric Acid"),
+            ("C125949", "UREAN", "Urea Nitrogen", "BUN"),
+            ("C51948", "WBC", "Leukocytes", "White Blood Cells"),
         ]),
         _cl("C67154", "Laboratory Test Name", True, [
-            ("", "Alanine Aminotransferase", "ALT"),
-            ("", "Aspartate Aminotransferase", "AST"),
-            ("", "Bilirubin", "BILI"),
-            ("", "Creatinine", "CREAT"),
-            ("", "Glucose", "GLUC"),
-            ("", "Hemoglobin", "HGB"),
-            ("", "Platelets", "PLAT"),
-            ("", "Leukocytes", "WBC"),
+            ("C64431", "Albumin", "ALB"),
+            ("C64432", "Alkaline Phosphatase", "ALP"),
+            ("C64433", "Alanine Aminotransferase", "ALT"),
+            ("C64467", "Aspartate Aminotransferase", "AST"),
+            ("C64470", "Basophils", "BASO"),
+            ("C38037", "Bilirubin", "BILI"),
+            ("C64488", "Calcium", "CA"),
+            ("C105586", "Cholesterol", "CHOL"),
+            ("C64489", "Creatine Kinase", "CK"),
+            ("C64495", "Chloride", "CL"),
+            ("C64547", "Creatinine", "CREAT"),
+            ("C64550", "Eosinophils", "EOS"),
+            ("C64847", "Gamma Glutamyl Transferase", "GGT"),
+            ("C105585", "Glucose", "GLUC"),
+            ("C64796", "Hematocrit", "HCT"),
+            ("C64848", "Hemoglobin", "HGB"),
+            ("C64853", "Potassium", "K"),
+            ("C51949", "Lymphocytes", "LYM"),
+            ("C64840", "Magnesium", "MG"),
+            ("C64823", "Monocytes", "MONO"),
+            ("C63321", "Neutrophils", "NEUT"),
+            ("C64857", "Phosphate", "PHOS"),
+            ("C51951", "Platelets", "PLAT"),
+            ("C64858", "Protein", "PROT"),
+            ("C51946", "Erythrocytes", "RBC"),
+            ("C64809", "Sodium", "SODIUM"),
+            ("C64812", "Triglycerides", "TRIG"),
+            ("C64814", "Urate", "URATE"),
+            ("C125949", "Urea Nitrogen", "UREAN"),
+            ("C51948", "Leukocytes", "WBC"),
         ]),
         _cl("C67153", "Vital Signs Test Name", True, [
             ("C25298", "Systolic Blood Pressure", "SYSBP"),
             ("C25299", "Diastolic Blood Pressure", "DIABP"),
             ("C49677", "Heart Rate", "HR"),
-            ("C25208", "Body Weight", "WEIGHT"),
-            ("C25347", "Body Height", "HEIGHT"),
-            ("C25206", "Body Temperature", "TEMP"),
-            ("C49676", "Respiratory Rate", "RESP"),
+            ("C49676", "Pulse Rate", "PULSE"),
+            ("C25208", "Weight", "Body Weight"),
+            ("C25347", "Height", "Body Height"),
+            ("C174446", "Temperature", "Body Temperature"),
+            ("C49678", "Respiratory Rate", "RESP"),
+            ("C16358", "Body Mass Index", "BMI"),
+            ("C60832", "Oxygen Saturation", "OXYSAT"),
+            ("C49679", "Mean Arterial Pressure", "MAP"),
         ]),
         _cl("C71153", "ECG Test Code", True, [
-            ("", "QT", "QT Interval"),
-            ("", "QTC", "QTc Interval"),
-            ("", "PR", "PR Interval"),
-            ("", "QRS", "QRS Duration"),
-            ("", "RR", "RR Interval"),
-            ("", "HR", "Heart Rate"),
-            ("", "INTP", "Interpretation"),
+            ("C117783", "QTAG", "QT Interval, Aggregate"),
+            ("C117788", "QTSB", "QT Interval, Single Beat"),
+            ("C117784", "QTCBAG", "QTcB Interval, Aggregate"),
+            ("C117786", "QTCFAG", "QTcF Interval, Aggregate"),
+            ("C117787", "QTCFSB", "QTcF Interval, Single Beat"),
+            ("C117773", "PRAG", "PR Interval, Aggregate", "PQAG"),
+            ("C117774", "PRSB", "PR Interval, Single Beat", "PQSB"),
+            ("C117779", "QRSAG", "QRS Duration, Aggregate"),
+            ("C117780", "QRSSB", "QRS Duration, Single Beat"),
+            ("C117791", "RRAG", "RR Interval, Aggregate"),
+            ("C119259", "EGHRMN", "ECG Mean Heart Rate"),
+            ("C41255", "INTP", "Interpretation"),
         ]),
         _cl("C71152", "ECG Test Name", True, [
-            ("", "QT Interval", "QT"),
-            ("", "QTc Interval", "QTC"),
-            ("", "PR Interval", "PR"),
-            ("", "QRS Duration", "QRS"),
-            ("", "Interpretation", "INTP"),
+            ("C117783", "QT Interval, Aggregate", "QTAG"),
+            ("C117788", "QT Interval, Single Beat", "QTSB"),
+            ("C117784", "QTcB Interval, Aggregate", "QTCBAG"),
+            ("C117786", "QTcF Interval, Aggregate", "QTCFAG"),
+            ("C117787", "QTcF Interval, Single Beat", "QTCFSB"),
+            ("C117773", "PR Interval, Aggregate", "PRAG"),
+            ("C117774", "PR Interval, Single Beat", "PRSB"),
+            ("C117779", "QRS Duration, Aggregate", "QRSAG"),
+            ("C117780", "QRS Duration, Single Beat", "QRSSB"),
+            ("C117791", "RR Interval, Aggregate", "RRAG"),
+            ("C119259", "ECG Mean Heart Rate", "EGHRMN"),
+            ("C41255", "Interpretation", "INTP"),
         ]),
         _cl("C71620", "Unit", True, [
             ("", "mg", "Milligram"),
@@ -500,6 +564,48 @@ def builtin_registry() -> TerminologyRegistry:
     for version, codelists in builtin_ct_versions().items():
         reg.add_catalog(f"SDTM CT {version}", codelists)
     return reg
+
+
+def registry_coverage(reg: TerminologyRegistry | None = None) -> dict:
+    """Coverage stat over the shipped catalog: every codelist_code
+    referenced by the SDTM-IG, SEND-IG and ADaM-IG registries
+    (including ADaM wildcard patterns), resolved against ``reg``
+    (default: :func:`builtin_registry`). Returns per-catalog
+    codelist/term counts plus the referenced/resolved/unresolved code
+    sets — the 'zero unresolved references' invariant the test suite
+    pins."""
+    from trial_submission_studio_spark.standards.adam_ig import (
+        ADAM_STRUCTURES,
+        ADAM_WILDCARD_PATTERNS,
+    )
+    from trial_submission_studio_spark.standards.sdtm_domains import DOMAINS
+    from trial_submission_studio_spark.standards.send_ig import SEND_DOMAINS
+
+    reg = reg or builtin_registry()
+    referenced: set[str] = set()
+    for registry in (DOMAINS, SEND_DOMAINS, ADAM_STRUCTURES):
+        for d in registry.values():
+            for v in d["variables"]:
+                for c in str(v.get("codelist_code") or "").replace(";", ",").split(","):
+                    if c.strip():
+                        referenced.add(c.strip().upper())
+    for pats in ADAM_WILDCARD_PATTERNS.values():
+        for p in pats:
+            if p.get("codelist_code"):
+                referenced.add(p["codelist_code"].upper())
+    unresolved = sorted(c for c in referenced if reg.resolve(c) is None)
+    return {
+        "catalogs": {
+            label: {
+                "codelists": len(cls),
+                "terms": sum(len(c.terms) for c in cls.values()),
+            }
+            for label, cls in reg.catalogs.items()
+        },
+        "referenced_codes": len(referenced),
+        "resolved_codes": len(referenced) - len(unresolved),
+        "unresolved": unresolved,
+    }
 
 
 def builtin_lookup_df(spark, version: str | None = None):
