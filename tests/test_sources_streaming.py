@@ -407,9 +407,91 @@ def test_stateful_running_totals(spark, tmp_path):
             r["user_id"]: (r["n_events"], r["total_value"])
             for r in spark.sql("SELECT * FROM state_out").collect()
         }
+        assert got == {1: (2, 4.0), 2: (1, 4.0)}
+
+        # second micro-batch: state.exists=True path (GroupState.get
+        # is a property — this carry-over used to TypeError)
+        batch2 = values_df(
+            spark,
+            [(1, "2024-01-01 00:20:00", 10.0)],
+            "user_id bigint, ts_s string, value double",
+        ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+        batch2.write.mode("append").parquet(src_dir)
+        q.processAllAvailable()
+        latest = {
+            r["user_id"]: (r["n_events"], r["total_value"])
+            for r in spark.sql(
+                "SELECT * FROM (SELECT *, row_number() OVER "
+                "(PARTITION BY user_id ORDER BY n_events DESC) AS rn "
+                "FROM state_out) WHERE rn = 1"
+            ).collect()
+        }
     finally:
         q.stop()
-    assert got == {1: (2, 4.0), 2: (1, 4.0)}
+    assert latest == {1: (3, 14.0), 2: (1, 4.0)}
+
+
+def test_streaming_asof_matches_batch(spark, tmp_path):
+    """Streaming as-of join (state-store last-value-per-key) emits the
+    same matches as the batch asof_join operator, including a
+    cross-micro-batch match where the state row carries a right-side
+    observation from an earlier batch."""
+    from trial_submission_studio_spark.operators.temporal import asof_join
+    from trial_submission_studio_spark.streaming.asof import streaming_asof_join
+
+    def frame(rows, payload):
+        return values_df(
+            spark, rows, f"user_id bigint, ts_s string, {payload}"
+        ).select(
+            "user_id", F.col("ts_s").cast("timestamp").alias("ts"),
+            *[p.split()[0] for p in payload.split(", ")],
+        )
+
+    r1 = frame([(1, "2024-01-01 00:05:00", 10.0), (2, "2024-01-01 00:10:00", 20.0)], "quote double")
+    l1 = frame([(1, "2024-01-01 00:07:00", 100), (2, "2024-01-01 00:09:00", 200)], "trade_id bigint")
+    r2 = frame([(1, "2024-01-01 00:30:00", 11.0)], "quote double")
+    l2 = frame([(1, "2024-01-01 00:35:00", 300), (2, "2024-01-01 00:40:00", 400)], "trade_id bigint")
+
+    ldir, rdir = str(tmp_path / "trades"), str(tmp_path / "quotes")
+    l1.write.parquet(ldir)
+    r1.write.parquet(rdir)
+
+    lstream = spark.readStream.schema("user_id bigint, ts timestamp, trade_id bigint").parquet(ldir)
+    rstream = spark.readStream.schema("user_id bigint, ts timestamp, quote double").parquet(rdir)
+    joined = streaming_asof_join(
+        lstream, rstream, ["user_id"], value_cols=["quote"], suffix="_right"
+    )
+    q = joined.writeStream.outputMode("append").format("memory").queryName("asof_out").start()
+    try:
+        q.processAllAvailable()
+        # phase 2, respecting the documented per-key in-order arrival:
+        # the new quote lands (and is folded into state) before the
+        # trades that should see it — so BOTH phase-2 trades match
+        # purely out of the state store (u1: 00:30 quote from this
+        # phase, u2: 00:10 quote carried since phase 1)
+        r2.write.mode("append").parquet(rdir)
+        q.processAllAvailable()
+        l2.write.mode("append").parquet(ldir)
+        q.processAllAvailable()
+        got = {
+            r["trade_id"]: (r["quote_right"], str(r["ts_right"]))
+            for r in spark.sql("SELECT * FROM asof_out").collect()
+        }
+    finally:
+        q.stop()
+
+    expected_df = asof_join(
+        l1.unionByName(l2), r1.unionByName(r2), ["user_id"],
+        value_cols=["quote"],
+    )
+    expected = {
+        r["trade_id"]: (r["quote_right"], str(r["ts_right"]))
+        for r in expected_df.collect()
+    }
+    assert len(got) == 4
+    assert got == expected
+    assert got[200] == (None, "None")          # no quote yet at 00:09
+    assert got[400] == (20.0, "2024-01-01 00:10:00")  # via state store
 
 
 def test_streaming_watermark_drops_late_data(spark, tmp_path):

@@ -24,7 +24,9 @@ def _make_update_fn():
     import pandas as pd
 
     def update(key, pdfs, state):
-        n, total, last = (state.get if state.exists else (lambda: (0, 0.0, None)))()
+        # GroupState.get is a PROPERTY returning the state tuple (it
+        # raises when no state exists — hence the exists guard)
+        n, total, last = state.get if state.exists else (0, 0.0, None)
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].sum())
