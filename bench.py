@@ -197,14 +197,18 @@ def main() -> None:
     # recorded a 12x outlier for a stage that reruns at 0.5s. Min of
     # two back-to-back runs measures the plan, not the host.
     timings: dict[str, float] = {}
+    single_shot: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
         best = float("inf")
-        for _ in range(2):
+        for i in range(2):
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
+            elapsed = time.time() - t0
+            if i == 0:
+                single_shot[name] = round(elapsed, 3)
+            best = min(best, elapsed)
         timings[name] = round(best, 3)
         # gate queries localCheckpoint intermediates; dropping the
         # Python refs lets the ContextCleaner free those blocks so
@@ -229,6 +233,7 @@ def main() -> None:
     _cdisc_stages(spark, sf_dir, second)
     for key in first:
         timings[key] = min(first[key], second[key])
+        single_shot[key] = first[key]
     print(
         json.dumps(
             {
@@ -236,10 +241,16 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # first-of-the-two runs, same warm JVM: lets readers
+                # separate plan-level deltas (visible in best-of-2)
+                # from host noise (visible only in single-shot) when
+                # comparing across rounds
+                "queries_single_shot": single_shot,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 # fixed since r04 — keep stable so cross-round deltas
                 # compare like-for-like (r01/r02 were single-shot cold)
-                "methodology": "warmup-sf0.001 + best-of-2 min, noop sink",
+                "methodology": "warmup-sf0.001 + best-of-2 min, noop sink"
+                " (+ single-shot first-run alongside)",
             }
         )
     )

@@ -217,6 +217,50 @@ def test_locf_fill(spark):
     ]
 
 
+def test_asof_join_sliced_equivalence(spark):
+    """The two-phase time-sliced as-of (hot-key variant) must produce
+    exactly the single-pass asof_join's result on a fixture that
+    exercises every stitch case: in-slice matches, a left row before
+    any right row globally (no match), carries across one and across
+    several EMPTY slices, and a slice whose rights are all after its
+    left row (phase-1 unmatched, earlier-slice tail applies)."""
+    import random
+
+    from trial_submission_studio_spark.operators.temporal import asof_join_sliced
+
+    rnd = random.Random(7)
+    base = 1_700_000_000  # seconds; slices of 1h
+    rights, lefts = [], []
+    for key in ("hot", "cold"):
+        n_r, n_l = (40, 60) if key == "hot" else (4, 6)
+        for i in range(n_r):
+            # cluster rights into slices 0,1,2 and 7 (3..6 stay empty)
+            sl = rnd.choice([0, 1, 2, 7])
+            rights.append((key, base + sl * 3600 + rnd.randrange(3600), float(i)))
+        for i in range(n_l):
+            sl = rnd.choice([0, 1, 3, 5, 7, 8])
+            lefts.append((key, base + sl * 3600 + rnd.randrange(3600), i))
+    lefts.append(("hot", base - 7200, 999))  # before every right: no match
+    left = spark.createDataFrame(lefts, "k string, ts long, event_id long")
+    right = spark.createDataFrame(rights, "k string, ts long, quote double")
+
+    for kwargs in ({}, {"tolerance_seconds": 5400}, {"strict": True}):
+        want = sorted(
+            tuple(r)
+            for r in asof_join(
+                left, right, ["k"], value_cols=["quote"], **kwargs
+            ).collect()
+        )
+        got = sorted(
+            tuple(r)
+            for r in asof_join_sliced(
+                left, right, ["k"], value_cols=["quote"],
+                slice_seconds=3600, **kwargs
+            ).collect()
+        )
+        assert got == want, kwargs
+
+
 def test_locf_fill_tiebreak_deterministic(spark):
     """Rows tied on order_col: the tiebreak column pins a total order,
     so the fill is deterministic regardless of partition layout — the

@@ -27,13 +27,13 @@ Scale design notes (100 TB / 1000 executors):
   join/group key, so ONE pathological key (a power-law user with
   billions of rows) serializes onto a single task — standard for
   window plans, fine for keys up to ~10M rows each, and AQE cannot
-  split a window partition. If the key distribution is power-law,
-  pre-split the timeline: bucket the key by coarse time range
-  (e.g. day), run the operator per (key, day), and stitch the
-  boundary — for LOCF/as-of that means carrying each bucket's last
-  value into the next via a second small pass over per-bucket tails.
-  That two-phase variant costs a second shuffle of only the bucket
-  tails, so it's opt-in, not the default.
+  split a window partition. For power-law keys use
+  ``asof_join_sliced``: it pre-splits the timeline into coarse
+  slices, runs the as-of per (key, slice), and stitches slice
+  boundaries by carrying each slice's last right-side row forward
+  via a tiny per-key×slice tail pass — equivalence with the
+  single-pass operator is pinned by test. The same
+  bucket-and-stitch recipe applies to LOCF if ever needed.
 """
 
 from __future__ import annotations
@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "asof_join",
+    "asof_join_sliced",
     "locf_fill",
     "range_interval_join",
     "rolling_agg",
@@ -176,6 +177,121 @@ def asof_join(
     out_cols.append(F.col("__m.__ts").alias(f"{right_ts}{suffix}"))
     out_cols += [F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in value_cols]
     return matched.select(*out_cols)
+
+
+def asof_join_sliced(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: Sequence[str] | None = None,
+    slice_seconds: int = 86400,
+    tolerance_seconds: int | None = None,
+    strict: bool = False,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Two-phase as-of join for power-law keys — same semantics and
+    output columns as :func:`asof_join`, different parallelism shape.
+
+    :func:`asof_join` partitions its window by ``keys``, so one
+    pathological hot key (billions of rows) serializes onto a single
+    task. This variant adds the time slice ``floor(epoch /
+    slice_seconds)`` to the partition key, so a hot key's timeline
+    splits across ``#slices`` tasks:
+
+    - **Phase 1 (slice-local)**: the standard union+window as-of with
+      ``(keys, slice)`` as the partition key. Every left row whose
+      match lives in its own slice is resolved here.
+    - **Phase 2 (boundary stitch)**: per ``(key, slice)`` the single
+      max-struct right-side tail row is aggregated (map-side combine;
+      one tiny row per key×slice), a running ``last`` over slice
+      order carries each tail forward past empty slices, and
+      phase-1-unmatched left rows take the carried payload for their
+      slice. A left row unmatched in-slice has no in-slice right row
+      before it, so the carried tail — the latest right row of any
+      earlier slice — is exactly the global as-of match.
+
+    Costs vs :func:`asof_join`: a second (tiny) shuffle of the
+    key×slice tails and a hash join of carried tails back onto the
+    phase-1 output — so it is opt-in for skewed keys, not the
+    default. Tie-break matches the single-pass operator (field-wise
+    max payload struct). ``slice_seconds`` tunes the skew/overhead
+    trade: pick it so a hot key's densest slice fits one task.
+    """
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (*keys, right_ts)]
+    keys = list(keys)
+    value_cols = list(value_cols)
+    rts_out = f"{right_ts}{suffix}"
+    vouts = [f"{c}{suffix}" for c in value_cols]
+
+    l2 = left.withColumn(
+        "__slice", _epoch_bucket(_epoch_seconds(left, left_ts), slice_seconds)
+    )
+    r2 = right.withColumn(
+        "__slice", _epoch_bucket(_epoch_seconds(right, right_ts), slice_seconds)
+    )
+    # tolerance is applied once, globally, after the stitch — a
+    # slice-local tolerance would wrongly null carried matches
+    local = asof_join(
+        l2, r2, [*keys, "__slice"], left_ts, right_ts, value_cols,
+        tolerance_seconds=None, strict=strict, suffix=suffix,
+    )
+
+    tail_struct = F.struct(
+        _epoch_micros(r2, right_ts).alias("__tus"),
+        F.col(right_ts).alias("__ts"),
+        *[F.col(c) for c in value_cols],
+    )
+    tails = r2.groupBy(*keys, "__slice").agg(F.max(tail_struct).alias("__tail"))
+
+    probes = (
+        local.filter(F.col(rts_out).isNull())
+        .select(*keys, "__slice")
+        .distinct()
+        .withColumn("__tail", F.lit(None).cast(tails.schema["__tail"].dataType))
+    )
+    # probes sort before their own slice's tail (nulls first), so the
+    # strictly-preceding frame sees ONLY earlier-slice tails
+    wsl = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__slice").asc(), F.asc_nulls_first("__tail"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = (
+        tails.unionByName(probes)
+        .withColumn("__carried", F.last("__tail", ignorenulls=True).over(wsl))
+        .filter(F.col("__tail").isNull())
+        .select(*keys, "__slice", "__carried")
+    )
+
+    # materialize the stitch flag BEFORE any fill: the fills overwrite
+    # rts_out, and an unresolved `rts_out IS NULL` condition would
+    # re-resolve against the already-filled column in later fills
+    res = local.join(carried, [*keys, "__slice"], "left").withColumn(
+        "__stitch", F.col(rts_out).isNull() & F.col("__carried").isNotNull()
+    )
+    res = res.withColumn(
+        rts_out,
+        F.when(F.col("__stitch"), F.col("__carried.__ts")).otherwise(F.col(rts_out)),
+    )
+    for vc, vout in zip(value_cols, vouts):
+        res = res.withColumn(
+            vout,
+            F.when(F.col("__stitch"), F.col(f"__carried.{vc}")).otherwise(F.col(vout)),
+        )
+    res = res.drop("__slice", "__carried", "__stitch")
+
+    if tolerance_seconds is not None:
+        in_tol = (
+            _epoch_micros(res, left_ts) - _epoch_micros(res, rts_out)
+        ) <= F.lit(int(tolerance_seconds) * 1_000_000)
+        for c in (rts_out, *vouts):
+            res = res.withColumn(c, F.when(in_tol, F.col(c)))
+
+    out_cols = [*keys, *[c for c in left.columns if c not in keys], rts_out, *vouts]
+    return res.select(*out_cols)
 
 
 def locf_fill(
