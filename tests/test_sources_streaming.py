@@ -431,6 +431,57 @@ def test_stateful_running_totals(spark, tmp_path):
     assert latest == {1: (3, 14.0), 2: (1, 4.0)}
 
 
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """session_window stats: streaming result equals the batch result
+    of the same definition, and session membership agrees with the
+    batch lag-based sessionize operator."""
+    from trial_submission_studio_spark.operators.skew import sessionize
+    from trial_submission_studio_spark.streaming.events import session_window_stats
+
+    batch = values_df(
+        spark,
+        [
+            (1, "2024-01-01 00:00:00", 1.0),
+            (1, "2024-01-01 00:10:00", 2.0),   # same session (10m gap)
+            (1, "2024-01-01 01:00:00", 3.0),   # new session (50m > 30m)
+            (2, "2024-01-01 00:05:00", 4.0),
+        ],
+        "user_id bigint, ts_s string, value double",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    src_dir = str(tmp_path / "sess_events")
+    batch.write.parquet(src_dir)
+
+    expected = sorted(
+        tuple(r) for r in session_window_stats(batch, gap_minutes=30).collect()
+    )
+    assert len(expected) == 3  # u1 x2 sessions + u2 x1
+
+    # cross-operator agreement: lag-based sessionize finds the same
+    # (user, session) partitioning
+    sess = sessionize(batch, "user_id", "ts", gap_minutes=30)
+    by_sess = sess.groupBy("user_id", "session_id").count().collect()
+    assert sorted((r["user_id"], r["count"]) for r in by_sess) == [
+        (1, 1), (1, 2), (2, 1),
+    ]
+
+    stream = spark.readStream.schema(
+        "user_id bigint, ts timestamp, value double"
+    ).parquet(src_dir)
+    agg = session_window_stats(stream, gap_minutes=30, watermark="2 hours")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(tuple(r) for r in spark.sql("SELECT * FROM sess_out").collect())
+    finally:
+        q.stop()
+    assert got == expected
+
+
 def test_streaming_asof_matches_batch(spark, tmp_path):
     """Streaming as-of join (state-store last-value-per-key) emits the
     same matches as the batch asof_join operator, including a

@@ -42,6 +42,53 @@ def tumbling_window_counts(
     )
 
 
+def session_window_stats(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per (user, session) stats via the native ``session_window``:
+    event count + value sum with the session's start/end bounds. The
+    streaming twin of ``operators.skew.sessionize`` (which assigns
+    per-EVENT session ids batch-side); one definition serves batch
+    and stream, like :func:`tumbling_window_counts`.
+
+    Boundary note: ``session_window`` sessions are ``[start, last_ts
+    + gap)`` — an event at EXACTLY the gap boundary opens a new
+    session, where ``sessionize``'s strict ``> gap`` test keeps it.
+    Sub-gap-resolution data (the normal case) is identical.
+
+    In streaming mode the watermark is REQUIRED for append output
+    (session state must close); pass e.g. ``"2 hours"``.
+    """
+    src = events
+    if watermark and events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(
+            F.session_window(ts_col, f"{int(gap_minutes)} minutes").alias("sw"),
+            user_col,
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("sw.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format(F.col("sw.end"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            user_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def dedup_stream(
     events: DataFrame,
     id_cols: list[str] | None = None,
