@@ -216,6 +216,67 @@ def test_multimodal_png_roundtrip(spark):
     assert (probed["width"], probed["height"]) == (5, 10)
 
 
+def test_multimodal_jpeg_roundtrip(spark):
+    """Stdlib baseline JPEG codec: encode (4:2:0 and 4:4:4, with and
+    without restart markers) → executor-side decode recovers the
+    pixels within JPEG loss tolerance; probe_media reports image/jpeg
+    with real dimensions; progressive streams stay on the stub path."""
+    import numpy as np
+
+    from trial_submission_studio_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from trial_submission_studio_spark.operators.multimodal import (
+        image_resize,
+        probe_media,
+    )
+
+    h, w = 24, 17
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [xx * 255 / (w - 1), yy * 255 / (h - 1), (xx + yy) * 255 / (w + h - 2)],
+        axis=2,
+    ).astype(np.uint8)
+
+    cases = [
+        (1, encode_jpeg(img, quality=95, subsampling="4:4:4")),
+        (2, encode_jpeg(img, quality=95, subsampling="4:2:0")),
+        (3, encode_jpeg(img, quality=95, subsampling="4:2:0", restart_interval=2)),
+    ]
+    media = values_df(spark, cases, "media_id bigint, payload binary")
+
+    # identity-size resize re-encodes decoded pixels as PPM — compare
+    # against the driver-side decode (deterministic) and the original
+    # within lossy tolerance
+    for r in image_resize(media, w, h).collect():
+        dec = np.frombuffer(
+            r["payload"].split(b"255\n", 1)[1], np.uint8
+        ).reshape(h, w, 3)
+        ref = decode_jpeg(dict(cases)[r["media_id"]])
+        assert np.array_equal(dec, ref)  # executor == driver decode
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 15
+
+    feats = image_features(media, dim=16).collect()
+    for r in feats:
+        f = r["feat"]
+        for ch in range(3):
+            assert abs(f[2 + ch] - img[:, :, ch].mean() / 255.0) < 0.02
+
+    probed = probe_media(
+        media.withColumn("path", F.concat(F.lit("mem://"), "media_id"))
+    ).collect()
+    for r in probed:
+        assert (r["kind"], r["mime"]) == ("image", "image/jpeg")
+        assert (r["width"], r["height"]) == (w, h)
+
+    # progressive (SOF2) → None → classified by magic only, no dims
+    prog = b"\xff\xd8\xff\xc2\x00\x0b" + b"\x00" * 9 + b"\xff\xd9"
+    pm = probe_media(
+        values_df(spark, [(9, prog)], "media_id bigint, payload binary")
+        .withColumn("path", F.lit("mem://p"))
+    ).collect()[0]
+    assert (pm["kind"], pm["mime"]) == ("image", "image/jpeg")
+    assert pm["width"] is None
+
+
 def test_multimodal_real_wav_decode(spark):
     """REAL RIFF/WAVE PCM decode via stdlib wave: rate, duration, RMS,
     peak and zero-crossing rate of a generated 440 Hz square wave."""

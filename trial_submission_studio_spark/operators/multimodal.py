@@ -10,20 +10,21 @@ end and partitioning is inherited from the table.
 Codec coverage is explicit about what is REAL and what is stubbed:
 
 - **REAL decoders** (stdlib + numpy, no external codec libs):
-  PPM (P6), uncompressed 24-bit BMP, and 8-bit non-interlaced PNG
+  PPM (P6), uncompressed 24-bit BMP, 8-bit non-interlaced PNG
   (zlib inflate + full None/Sub/Up/Average/Paeth filter
-  reconstruction; gray/RGB/palette/gray-α/RGBA color types) →
-  H×W×3 arrays feeding real color/luminance features and
-  nearest-neighbor :func:`image_resize`; RIFF/WAVE PCM audio
-  (8/16/32-bit) via the stdlib ``wave`` module → real
-  sample-rate/RMS/peak/zero-crossing features
-  (:func:`audio_features`). :func:`encode_png` /
-  :func:`encode_ppm` round-trip.
-- **Stubbed integration points**: JPEG, MP3/AAC, and video need
-  PIL/torchaudio/ffmpeg, absent here — kernels raise
-  ``NotImplementedError`` naming the format, or produce seeded
-  reproducible fakes with ``deterministic_fake=True`` so the
-  Spark-side plumbing stays fully testable.
+  reconstruction; gray/RGB/palette/gray-α/RGBA color types), and
+  baseline JPEG (SOF0 Huffman sequential incl. 4:2:0/4:4:4
+  subsampling and restart markers — see :mod:`.jpeg`) → H×W×3
+  arrays feeding real color/luminance features and nearest-neighbor
+  :func:`image_resize`; RIFF/WAVE PCM audio (8/16/32-bit) via the
+  stdlib ``wave`` module → real sample-rate/RMS/peak/zero-crossing
+  features (:func:`audio_features`). :func:`encode_png` /
+  :func:`encode_ppm` / :func:`.jpeg.encode_jpeg` round-trip.
+- **Stubbed integration points**: progressive JPEG, GIF/WebP,
+  MP3/AAC, and video need PIL/torchaudio/ffmpeg, absent here —
+  kernels raise ``NotImplementedError`` naming the format, or
+  produce seeded reproducible fakes with ``deterministic_fake=True``
+  so the Spark-side plumbing stays fully testable.
 """
 
 from __future__ import annotations
@@ -33,6 +34,18 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# The baseline JPEG codec lives in its own module; kernels capture its
+# functions in closures, so register the module for BY-VALUE cloudpickle
+# serialization — executors cannot import this package (non-repo cwd).
+try:  # pragma: no cover - registration is a serialization concern
+    from pyspark import cloudpickle as _cloudpickle
+
+    from trial_submission_studio_spark.operators import jpeg as _jpeg_module
+
+    _cloudpickle.register_pickle_by_value(_jpeg_module)
+except Exception:  # noqa: BLE001 - never block import on this
+    pass
 
 #: schema for a media table: binary payload + typed metadata
 MEDIA_SCHEMA = (
@@ -142,20 +155,27 @@ def encode_png(img, mixed_filters: bool = False) -> bytes:
 
 def _make_image_decoder():
     """Closure factory: payload bytes → H×W×3 uint8 array for the
-    REAL formats (PPM P6, uncompressed 24-bit BMP, and 8-bit
+    REAL formats (PPM P6, uncompressed 24-bit BMP, 8-bit
     non-interlaced PNG — stdlib zlib inflate + full filter
-    reconstruction, color types gray/RGB/palette/gray-α/RGBA),
-    None otherwise. The PNG unfilter loop is a pure-Python reference
-    implementation (Sub/Average/Paeth are inherently sequential per
-    scanline) — correct and dependency-free; a PIL/torchvision kernel
-    is the drop-in for throughput-critical decode at scale.
-    Closure-local so cloudpickle ships it by value."""
+    reconstruction, color types gray/RGB/palette/gray-α/RGBA — and
+    baseline JPEG via :mod:`.jpeg`), None otherwise. The PNG unfilter
+    loop and the JPEG entropy decoder are pure-Python reference
+    implementations — correct and dependency-free; a PIL/torchvision
+    kernel is the drop-in for throughput-critical decode at scale.
+    Closure-local so cloudpickle ships it by value; the jpeg module
+    is registered for by-value pickling at import (executors cannot
+    import this package)."""
+    from trial_submission_studio_spark.operators.jpeg import decode_jpeg
+
+    jpeg_decode = decode_jpeg
 
     def decode(payload: bytes | None):
         import numpy as np
 
         if not payload:
             return None
+        if payload[:3] == b"\xff\xd8\xff" or payload[:2] == b"\xff\xd8":
+            return jpeg_decode(payload)
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
             import struct
             import zlib
@@ -332,11 +352,12 @@ def image_features(
 ) -> DataFrame:
     """Decode + featurize images → (media_id, feat, feat_dim).
 
-    PPM/BMP/PNG payloads decode NATIVELY (:func:`_make_image_decoder`)
-    into a real feature vector: normalized dimensions, channel means,
-    luminance std + 10-bin luminance histogram. Remaining compressed
-    formats (JPEG) fall back per ``deterministic_fake`` (seeded fake,
-    or ``NotImplementedError`` naming the PIL integration point).
+    PPM/BMP/PNG/baseline-JPEG payloads decode NATIVELY
+    (:func:`_make_image_decoder`) into a real feature vector:
+    normalized dimensions, channel means, luminance std + 10-bin
+    luminance histogram. Remaining formats (progressive JPEG,
+    GIF/WebP) fall back per ``deterministic_fake`` (seeded fake, or
+    ``NotImplementedError`` naming the PIL integration point).
     """
     decode = _decode_image
     fake = _fake_feature
@@ -371,9 +392,9 @@ def image_features(
                     feats.append(fake(p, dim))
                 else:
                     raise NotImplementedError(
-                        "compressed image formats need PIL/torchvision (absent "
-                        "here); PPM/BMP decode natively — pass "
-                        "deterministic_fake=True to exercise plumbing"
+                        "this image format needs PIL/torchvision (absent "
+                        "here); PPM/BMP/PNG/baseline-JPEG decode natively — "
+                        "pass deterministic_fake=True to exercise plumbing"
                     )
             yield pd.DataFrame(
                 {
@@ -397,9 +418,10 @@ def image_resize(
     id_col: str = "media_id",
 ) -> DataFrame:
     """REAL nearest-neighbor resize of natively-decodable images
-    (PPM/BMP/PNG) → (media_id, payload, width, height) with the
-    payload re-encoded as PPM. Undecodable payloads pass through as
-    NULL (callers filter or route them to the codec-library path)."""
+    (PPM/BMP/PNG/baseline-JPEG) → (media_id, payload, width, height)
+    with the payload re-encoded as PPM. Undecodable payloads pass
+    through as NULL (callers filter or route them to the
+    codec-library path)."""
     decode = _decode_image
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -591,6 +613,8 @@ def probe_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                         mime = "image/x-portable-pixmap"
                     elif p[:4] == b"\x89PNG":
                         mime = "image/png"
+                    elif p[:2] == b"\xff\xd8":
+                        mime = "image/jpeg"
                     else:
                         mime = "image/bmp"
                     kind = "image"
