@@ -705,6 +705,11 @@ def text_analysis_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract queries, merged to keep the contract inside the driver's
     50-row window). quality sums exactly via e4 fixed-point (float
     summation order would differ between engines)."""
+    from trial_submission_studio_spark.operators.textstats import (
+        dup_line_fraction_e4,
+        dup_paragraph_fraction_e4,
+    )
+
     d = _t(spark, sf_dir, "documents")
     pred_en = stopword_ratio("text") >= 0.12
     q4 = F.round(quality_score("text"), 4)
@@ -714,6 +719,9 @@ def text_analysis_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         F.sum(F.when(pred_en, 1).otherwise(0)).cast("long").alias("n_pred_en"),
         F.sum(F.round(q4 * 10000, 0).cast("long")).alias("quality_e4_sum"),
+        # Gopher-style repetition rules, exact integer fixed-point
+        F.sum(dup_line_fraction_e4("text")).cast("long").alias("dup_line_e4_sum"),
+        F.sum(dup_paragraph_fraction_e4("text")).cast("long").alias("dup_para_e4_sum"),
     )
 
 
@@ -1875,11 +1883,27 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[])
                           ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks,
                      CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ntok
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ntok,
+                     CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE list_filter(list_transform(
+                                 string_split(trim(text), chr(10)), x -> trim(x)),
+                               x -> x <> '') END AS lines,
+                     CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE list_filter(list_transform(
+                                 regexp_split_to_array(trim(text), '\\n{2,}'), x -> trim(x)),
+                               x -> x <> '') END AS paras
               FROM documents
             ),
             q AS (
               SELECT lang, n_chars, ntok, toks,
+                     CASE WHEN len(lines) > 0
+                          THEN CAST(floor((len(lines) - len(list_distinct(lines)))
+                                    * 10000.0 / len(lines)) AS BIGINT)
+                          ELSE 0 END AS dup_line_e4,
+                     CASE WHEN len(paras) > 0
+                          THEN CAST(floor((len(paras) - len(list_distinct(paras)))
+                                    * 10000.0 / len(paras)) AS BIGINT)
+                          ELSE 0 END AS dup_para_e4,
                      round(
                        least(length(s) / 200.0, 1.0)
                        * greatest(0.0, 1.0 - (length(regexp_replace(s, '[A-Za-z0-9\\s]', '', 'g'))
@@ -1898,7 +1922,9 @@ def oracle_sql() -> dict[str, str]:
                        / len(toks) >= 0.12
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en,
                    CAST(sum(CAST(round(q4 * 10000, 0) AS BIGINT)) AS BIGINT)
-                     AS quality_e4_sum
+                     AS quality_e4_sum,
+                   CAST(sum(dup_line_e4) AS BIGINT) AS dup_line_e4_sum,
+                   CAST(sum(dup_para_e4) AS BIGINT) AS dup_para_e4_sum
             FROM q GROUP BY lang
         """,
         "dedup_group_resolution": """

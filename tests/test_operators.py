@@ -214,6 +214,54 @@ def test_textstats(spark):
     assert got[1]["sw"] == 0.0
 
 
+def test_repetition_metrics(spark):
+    """Gopher-style repetition rules: duplicate line/paragraph
+    fractions (exact e4 fixed-point), char-weighted line duplication,
+    and the per-doc top-bigram share — all on documents with known
+    repetition structure."""
+    from trial_submission_studio_spark.operators.textstats import (
+        dup_line_char_fraction,
+        dup_line_fraction_e4,
+        dup_paragraph_fraction_e4,
+        top_ngram_stats,
+    )
+
+    spam = "buy now\nlimited offer\nbuy now\nbuy now\n\ngenuine text"
+    clean = "first line\nsecond line\n\nthird paragraph here"
+    df = values_df(
+        spark, [(1, spam), (2, clean), (3, ""), (4, None)],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["dl"], r["dp"], r["dc"])
+        for r in df.select(
+            "doc_id",
+            dup_line_fraction_e4("text").alias("dl"),
+            dup_paragraph_fraction_e4("text").alias("dp"),
+            dup_line_char_fraction("text").alias("dc"),
+        ).collect()
+    }
+    # spam: 5 non-blank lines, 3x "buy now" -> 2 dups of 5 = 4000 e4;
+    # paragraphs all distinct; dup chars = 2*7 of 7+13+7+7+12 = 46
+    assert got[1] == (4000, 0, round(14 / 46, 4))
+    assert got[2] == (0, 0, 0.0)
+    assert got[3] == (0, 0, 0.0)
+    assert got[4] == (0, 0, 0.0)
+
+    top = {
+        r["doc_id"]: (r["top_gram"], r["occurrences"], r["gram_char_frac"])
+        for r in top_ngram_stats(
+            values_df(
+                spark,
+                [(1, "to be or not to be is to be"), (2, "a b")],
+                "doc_id bigint, text string",
+            )
+        ).collect()
+    }
+    assert top[1] == ("to be", 3, round(3 * 5 / 27, 4))
+    assert top[2] == ("a b", 1, round(3 / 3, 4))
+
+
 def test_sessionize(spark):
     from trial_submission_studio_spark.operators.skew import salted_agg, sessionize
 

@@ -69,6 +69,123 @@ def punct_ratio(c: Column | str) -> Column:
     )
 
 
+def _nonblank_parts(c: Column | str, pattern: str) -> Column:
+    """Trimmed, non-blank segments of the text split on ``pattern``
+    (array<string>); NULL/blank text → empty array."""
+    s = F.trim(_col(c).cast("string"))
+    parts = F.transform(F.split(s, pattern), lambda x: F.trim(x))
+    kept = F.filter(parts, lambda x: x != "")
+    return F.when(s.isNull() | (s == ""), F.array().cast("array<string>")).otherwise(
+        kept
+    )
+
+
+def _dup_fraction_e4(parts: Column) -> Column:
+    """``((n - n_distinct) * 10000) // n`` as long — the duplicate
+    fraction in exact integer fixed-point, so Spark and any SQL oracle
+    agree bit-for-bit (float rounding order can't diverge)."""
+    n = F.size(parts)
+    d = F.size(F.array_distinct(parts))
+    return F.when(
+        n > 0, F.floor((n - d).cast("double") * 10000.0 / n.cast("double"))
+    ).otherwise(F.lit(0)).cast("long")
+
+
+def dup_line_fraction_e4(c: Column | str) -> Column:
+    """Gopher/RefinedWeb-style duplicate-line fraction (fraction of
+    lines that repeat an earlier line), e4 fixed-point. Zero-shuffle:
+    pure array expressions inside whole-stage codegen."""
+    return _dup_fraction_e4(_nonblank_parts(c, "\n"))
+
+
+def dup_paragraph_fraction_e4(c: Column | str) -> Column:
+    """Duplicate-paragraph fraction (blank-line-separated paragraphs),
+    e4 fixed-point — the paragraph twin of the line rule."""
+    return _dup_fraction_e4(_nonblank_parts(c, "\n{2,}"))
+
+
+def dup_line_char_fraction(c: Column | str) -> Column:
+    """Fraction of characters sitting in repeated line occurrences
+    (the char-weighted Gopher repetition rule). One sorted-array fold
+    — the accumulator carries (previous line, running char count), so
+    every non-first occurrence contributes its length. Still
+    zero-shuffle, all codegen."""
+    parts = F.sort_array(_nonblank_parts(c, "\n"))
+    total = F.aggregate(
+        parts, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")
+    )
+    dup_chars = F.aggregate(
+        parts,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("cs"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            (
+                acc["cs"]
+                + F.when(x == acc["prev"], F.length(x).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("cs"),
+        ),
+        lambda acc: acc["cs"],
+    )
+    return F.when(
+        total > 0, F.round(dup_chars.cast("double") / total.cast("double"), 4)
+    ).otherwise(F.lit(0.0))
+
+
+def top_ngram_stats(df, id_col: str = "doc_id", text_col: str = "text", n: int = 2):
+    """Per-document most-frequent word n-gram and the fraction of the
+    document's characters it covers (the Gopher "top n-gram char
+    fraction" filter). Explode → count per (doc, gram) → rank-1
+    window: two shuffles on doc_id, honest and skew-tolerant (grams
+    are counted map-side first via partial aggregation).
+
+    Returns (id_col, top_gram, occurrences, gram_char_frac); documents
+    with fewer than ``n`` words are omitted.
+    """
+    toks = tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    exploded = (
+        df.select(
+            F.col(id_col),
+            F.length(F.trim(F.col(text_col).cast("string"))).alias("__chars"),
+            F.explode(grams).alias("gram"),
+        )
+    )
+    counts = exploded.groupBy(id_col, "__chars", "gram").agg(
+        F.count(F.lit(1)).cast("long").alias("occurrences")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("occurrences"), F.asc("gram")  # deterministic tie-break
+    )
+    return (
+        counts.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            id_col,
+            F.col("gram").alias("top_gram"),
+            "occurrences",
+            F.when(
+                F.col("__chars") > 0,
+                F.round(
+                    F.col("occurrences")
+                    * F.length("gram").cast("double")
+                    / F.col("__chars"),
+                    4,
+                ),
+            ).otherwise(F.lit(0.0)).alias("gram_char_frac"),
+        )
+    )
+
+
 def quality_score(c: Column | str) -> Column:
     """Composite [0,1] quality proxy: long enough, low punctuation,
     reasonable mean word length (the reference engine has no analog;
