@@ -216,6 +216,39 @@ def test_multimodal_png_roundtrip(spark):
     assert (probed["width"], probed["height"]) == (5, 10)
 
 
+def test_multimodal_gif_roundtrip(spark):
+    """Stdlib GIF codec: LZW decode recovers exact pixels (lossless)
+    through the executor-side kernels, both sequential and interlaced;
+    probe_media reports image/gif with real dims."""
+    import numpy as np
+
+    from trial_submission_studio_spark.operators.multimodal import (
+        encode_gif,
+        image_resize,
+        probe_media,
+    )
+
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, (7, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 7, (10, 6))]
+    media = values_df(
+        spark,
+        [(1, encode_gif(img)), (2, encode_gif(img, interlaced=True))],
+        "media_id bigint, payload binary",
+    )
+    for r in image_resize(media, 6, 10).collect():
+        dec = np.frombuffer(
+            r["payload"].split(b"255\n", 1)[1], np.uint8
+        ).reshape(10, 6, 3)
+        assert np.array_equal(dec, img)  # lossless either layout
+    probed = probe_media(
+        media.withColumn("path", F.lit("mem://x.gif"))
+    ).collect()
+    for r in probed:
+        assert (r["kind"], r["mime"]) == ("image", "image/gif")
+        assert (r["width"], r["height"]) == (6, 10)
+
+
 def test_multimodal_jpeg_roundtrip(spark):
     """Stdlib baseline JPEG codec: encode (4:2:0 and 4:4:4, with and
     without restart markers) → executor-side decode recovers the

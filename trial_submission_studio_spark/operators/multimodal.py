@@ -14,17 +14,19 @@ Codec coverage is explicit about what is REAL and what is stubbed:
   (zlib inflate + full None/Sub/Up/Average/Paeth filter
   reconstruction; gray/RGB/palette/gray-α/RGBA color types), and
   baseline JPEG (SOF0 Huffman sequential incl. 4:2:0/4:4:4
-  subsampling and restart markers — see :mod:`.jpeg`) → H×W×3
-  arrays feeding real color/luminance features and nearest-neighbor
-  :func:`image_resize`; RIFF/WAVE PCM audio (8/16/32-bit) via the
-  stdlib ``wave`` module → real sample-rate/RMS/peak/zero-crossing
-  features (:func:`audio_features`). :func:`encode_png` /
-  :func:`encode_ppm` / :func:`.jpeg.encode_jpeg` round-trip.
-- **Stubbed integration points**: progressive JPEG, GIF/WebP,
-  MP3/AAC, and video need PIL/torchaudio/ffmpeg, absent here —
-  kernels raise ``NotImplementedError`` naming the format, or
-  produce seeded reproducible fakes with ``deterministic_fake=True``
-  so the Spark-side plumbing stays fully testable.
+  subsampling and restart markers — see :mod:`.jpeg`), and GIF87a/89a
+  (LZW decode, global/local palettes, interlace; first frame) →
+  H×W×3 arrays feeding real color/luminance features and
+  nearest-neighbor :func:`image_resize`; RIFF/WAVE PCM audio
+  (8/16/32-bit) via the stdlib ``wave`` module → real
+  sample-rate/RMS/peak/zero-crossing features
+  (:func:`audio_features`). :func:`encode_png` / :func:`encode_ppm`
+  / :func:`encode_gif` / :func:`.jpeg.encode_jpeg` round-trip.
+- **Stubbed integration points**: progressive JPEG, WebP, MP3/AAC,
+  and video need PIL/torchaudio/ffmpeg, absent here — kernels raise
+  ``NotImplementedError`` naming the format, or produce seeded
+  reproducible fakes with ``deterministic_fake=True`` so the
+  Spark-side plumbing stays fully testable.
 """
 
 from __future__ import annotations
@@ -93,6 +95,71 @@ def encode_ppm(img) -> bytes:
     a = np.asarray(img, dtype=np.uint8)
     h, w = a.shape[0], a.shape[1]
     return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def encode_gif(img, interlaced: bool = False) -> bytes:
+    """H×W×3 uint8 array (≤256 distinct colors) → GIF89a bytes.
+    Driver/test-side helper; uses the fixed-width LZW literal encoding
+    (CLEAR inserted before the code table would widen), which every
+    conformant decoder accepts. ``interlaced`` emits the 4-pass row
+    order (exercises the decoder's deinterlace path)."""
+    import numpy as np
+
+    a = np.ascontiguousarray(np.asarray(img, dtype=np.uint8))
+    h, w = a.shape[0], a.shape[1]
+    if interlaced:
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        a = a[order]
+    flat = a.reshape(-1, 3)
+    palette, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("encode_gif supports up to 256 distinct colors")
+    bits = max(2, int(len(palette) - 1).bit_length())
+    pal = np.zeros((1 << bits, 3), np.uint8)
+    pal[: len(palette)] = palette
+
+    clear, eoi = 1 << bits, (1 << bits) + 1
+    width = bits + 1
+    # emit CLEAR every (2^width - table_base - 2) literals so the
+    # virtual code table never forces a width increase
+    burst = (1 << width) - eoi - 1
+    codes = [clear]
+    for i, px in enumerate(idx):
+        if i and i % burst == 0:
+            codes.append(clear)
+        codes.append(int(px))
+    codes.append(eoi)
+
+    acc = nbits = 0
+    out = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+
+    import struct as _struct
+
+    data = b""
+    for i in range(0, len(out), 255):
+        chunk = bytes(out[i : i + 255])
+        data += bytes([len(chunk)]) + chunk
+    return (
+        b"GIF89a"
+        + _struct.pack("<HHBBB", w, h, 0x80 | (bits - 1) | ((bits - 1) << 4), 0, 0)
+        + pal.tobytes()
+        + b"\x2c" + _struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlaced else 0)
+        + bytes([bits])
+        + data
+        + b"\x00\x3b"
+    )
 
 
 def encode_png(img, mixed_filters: bool = False) -> bytes:
@@ -274,6 +341,99 @@ def _make_image_decoder():
                 return None
             raw = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
             return raw.reshape(h, w, 3).copy()
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            import struct
+
+            w, h, packed = struct.unpack("<HHB", payload[6:11])
+            i = 13
+            gct = None
+            if packed & 0x80:
+                n = 2 << (packed & 0x07)
+                gct = np.frombuffer(payload, np.uint8, n * 3, i).reshape(n, 3)
+                i += n * 3
+            while i < len(payload):
+                b0 = payload[i]
+                if b0 == 0x3B:  # trailer
+                    return None
+                if b0 == 0x21:  # extension: label + sub-blocks
+                    i += 2
+                    while payload[i]:
+                        i += payload[i] + 1
+                    i += 1
+                    continue
+                if b0 != 0x2C:
+                    return None
+                _, _, iw, ih, ipk = struct.unpack("<HHHHB", payload[i + 1 : i + 10])
+                i += 10
+                pal = gct
+                if ipk & 0x80:
+                    n = 2 << (ipk & 0x07)
+                    pal = np.frombuffer(payload, np.uint8, n * 3, i).reshape(n, 3)
+                    i += n * 3
+                interlaced = bool(ipk & 0x40)
+                min_code = payload[i]
+                i += 1
+                data = bytearray()
+                while payload[i]:
+                    sz = payload[i]
+                    data += payload[i + 1 : i + 1 + sz]
+                    i += sz + 1
+                i += 1
+                if pal is None:
+                    return None
+                # LZW decode (LSB-first variable-width codes)
+                clear, eoi = 1 << min_code, (1 << min_code) + 1
+                width = min_code + 1
+                table = [bytes([k]) for k in range(clear)] + [b"", b""]
+                acc = nbits = pos = 0
+                prev = None
+                out = bytearray()
+                while True:
+                    while nbits < width:
+                        if pos >= len(data):
+                            break
+                        acc |= data[pos] << nbits
+                        pos += 1
+                        nbits += 8
+                    if nbits < width:
+                        break
+                    code = acc & ((1 << width) - 1)
+                    acc >>= width
+                    nbits -= width
+                    if code == clear:
+                        table = table[: clear + 2]
+                        width = min_code + 1
+                        prev = None
+                        continue
+                    if code == eoi:
+                        break
+                    if prev is None:
+                        entry = table[code]
+                    elif code < len(table):
+                        entry = table[code]
+                        table.append(prev + entry[:1])
+                    else:
+                        entry = prev + prev[:1]
+                        table.append(entry)
+                    out += entry
+                    prev = entry
+                    if len(table) == (1 << width) and width < 12:
+                        width += 1
+                if len(out) < iw * ih:
+                    return None
+                idx = np.frombuffer(bytes(out[: iw * ih]), np.uint8)
+                if int(idx.max()) >= len(pal):
+                    return None
+                px = pal[idx].reshape(ih, iw, 3)
+                if interlaced:
+                    order = (
+                        list(range(0, ih, 8)) + list(range(4, ih, 8))
+                        + list(range(2, ih, 4)) + list(range(1, ih, 2))
+                    )
+                    un = np.empty_like(px)
+                    un[order] = px
+                    px = un
+                return px.copy()  # first frame
         if payload[:2] == b"BM":
             import struct
 
@@ -615,6 +775,8 @@ def probe_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                         mime = "image/png"
                     elif p[:2] == b"\xff\xd8":
                         mime = "image/jpeg"
+                    elif p[:4] == b"GIF8":
+                        mime = "image/gif"
                     else:
                         mime = "image/bmp"
                     kind = "image"
