@@ -216,6 +216,43 @@ def test_multimodal_png_roundtrip(spark):
     assert (probed["width"], probed["height"]) == (5, 10)
 
 
+def test_multimodal_on_error_null_quarantine(spark):
+    """on_error='null': undecodable/corrupt payloads become NULL rows
+    instead of failing the job — the corpus-scale posture (one corrupt
+    image must not kill a 1000-executor pass). Good records still get
+    real features."""
+    import numpy as np
+
+    from trial_submission_studio_spark.operators.multimodal import (
+        audio_features,
+        encode_ppm,
+    )
+
+    red = np.zeros((4, 4, 3), dtype=np.uint8)
+    red[:, :, 0] = 255
+    media = values_df(
+        spark,
+        [
+            (1, encode_ppm(red)),
+            (2, b"\x89PNG\r\n\x1a\ntruncated-garbage"),
+            (3, b"RIFFnot-really-wave"),
+        ],
+        "media_id bigint, payload binary",
+    )
+    feats = {
+        r["media_id"]: r["feat"]
+        for r in image_features(media, dim=8, on_error="null").collect()
+    }
+    assert feats[1] is not None and abs(feats[1][2] - 1.0) < 1e-9
+    assert feats[2] is None and feats[3] is None
+
+    audio = {
+        r["media_id"]: r["sample_rate"]
+        for r in audio_features(media, on_error="null").collect()
+    }
+    assert audio == {1: None, 2: None, 3: None}
+
+
 def test_multimodal_gif_roundtrip(spark):
     """Stdlib GIF codec: LZW decode recovers exact pixels (lossless)
     through the executor-side kernels, both sequential and interlaced;

@@ -509,18 +509,24 @@ def image_features(
     payload_col: str = "payload",
     id_col: str = "media_id",
     deterministic_fake: bool = False,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Decode + featurize images → (media_id, feat, feat_dim).
 
-    PPM/BMP/PNG/baseline-JPEG payloads decode NATIVELY
+    PPM/BMP/PNG/baseline-JPEG/GIF payloads decode NATIVELY
     (:func:`_make_image_decoder`) into a real feature vector:
     normalized dimensions, channel means, luminance std + 10-bin
-    luminance histogram. Remaining formats (progressive JPEG,
-    GIF/WebP) fall back per ``deterministic_fake`` (seeded fake, or
-    ``NotImplementedError`` naming the PIL integration point).
+    luminance histogram. Undecodable payloads follow
+    ``deterministic_fake`` (seeded fake) or ``on_error``:
+    ``"raise"`` fails the job naming the PIL integration point;
+    ``"null"`` emits a NULL feat for that record — the production
+    posture at corpus scale, where one corrupt payload must not kill
+    a 1000-executor job (callers filter ``feat IS NULL`` into a
+    quarantine sink).
     """
     decode = _decode_image
     fake = _fake_feature
+    null_on_error = on_error == "null"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -545,16 +551,22 @@ def image_features(
         for pdf in batches:
             feats = []
             for p in pdf[payload_col]:
-                img = decode(p)
+                try:
+                    img = decode(p)
+                except Exception:
+                    img = None  # corrupt container: same path as undecodable
                 if img is not None:
                     feats.append(real_feat(img))
                 elif deterministic_fake:
                     feats.append(fake(p, dim))
+                elif null_on_error:
+                    feats.append(None)
                 else:
                     raise NotImplementedError(
                         "this image format needs PIL/torchvision (absent "
-                        "here); PPM/BMP/PNG/baseline-JPEG decode natively — "
-                        "pass deterministic_fake=True to exercise plumbing"
+                        "here); PPM/BMP/PNG/baseline-JPEG/GIF decode natively "
+                        "— pass deterministic_fake=True to exercise plumbing, "
+                        "or on_error='null' to quarantine bad records"
                     )
             yield pd.DataFrame(
                 {
@@ -627,13 +639,17 @@ def audio_features(
     payload_col: str = "payload",
     id_col: str = "media_id",
     deterministic_fake: bool = False,
+    on_error: str = "raise",
 ) -> DataFrame:
     """REAL WAV/PCM audio featurization via the stdlib ``wave``
     decoder: sample rate, channel count, duration, RMS, peak and
     zero-crossing rate of the mono mix. Compressed audio (MP3/AAC)
-    falls back per ``deterministic_fake`` like the image path."""
+    falls back per ``deterministic_fake`` like the image path;
+    ``on_error="null"`` quarantines undecodable records as all-NULL
+    rows instead of failing the job (filter ``sample_rate IS NULL``)."""
     decode = _decode_wav
     fake = _fake_feature
+    null_on_error = on_error == "null"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -646,12 +662,20 @@ def audio_features(
                 )
             }
             for p in pdf[payload_col]:
-                hit = decode(p)
+                try:
+                    hit = decode(p)
+                except Exception:
+                    hit = None
                 if hit is None:
+                    if null_on_error and not deterministic_fake:
+                        for k in rows:
+                            rows[k].append(None)
+                        continue
                     if not deterministic_fake:
                         raise NotImplementedError(
                             "compressed audio needs torchaudio/ffmpeg (absent "
-                            "here); RIFF/WAVE PCM decodes natively"
+                            "here); RIFF/WAVE PCM decodes natively — pass "
+                            "on_error='null' to quarantine bad records"
                         )
                     f = fake(p, 4)
                     rows["sample_rate"].append(16000)
