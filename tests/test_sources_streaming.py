@@ -216,6 +216,52 @@ def test_multimodal_png_roundtrip(spark):
     assert (probed["width"], probed["height"]) == (5, 10)
 
 
+def test_multimodal_flac_decode(spark):
+    """Stdlib FLAC codec: lossless roundtrip through audio_features
+    matches the WAV-decoded features of the same PCM, and probe_media
+    reports audio/flac with real duration."""
+    import numpy as np
+
+    from trial_submission_studio_spark.operators.flac import encode_flac
+    from trial_submission_studio_spark.operators.multimodal import (
+        audio_features,
+        probe_media,
+    )
+
+    rate = 8000
+    t = np.arange(4000) / rate
+    pcm = (np.sin(2 * np.pi * 440 * t) * 12000).astype(np.int16)
+
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(pcm.tobytes())
+
+    media = values_df(
+        spark,
+        [(1, buf.getvalue()), (2, encode_flac(pcm, sample_rate=rate))],
+        "media_id bigint, payload binary",
+    )
+    got = {r["media_id"]: r.asDict() for r in audio_features(media).collect()}
+    for k in ("sample_rate", "duration_ms", "rms", "peak", "zcr"):
+        assert got[1][k] == got[2][k], (k, got[1][k], got[2][k])
+    assert got[2]["sample_rate"] == rate and got[2]["duration_ms"] == 500
+
+    probed = {
+        r["media_id"]: (r["mime"], r["duration_ms"])
+        for r in probe_media(
+            media.withColumn("path", F.lit("mem://a"))
+        ).collect()
+    }
+    assert probed[1] == ("audio/wav", 500)
+    assert probed[2] == ("audio/flac", 500)
+
+
 def test_multimodal_on_error_null_quarantine(spark):
     """on_error='null': undecodable/corrupt payloads become NULL rows
     instead of failing the job — the corpus-scale posture (one corrupt

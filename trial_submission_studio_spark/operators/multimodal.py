@@ -18,11 +18,12 @@ Codec coverage is explicit about what is REAL and what is stubbed:
   (LZW decode, global/local palettes, interlace; first frame) →
   H×W×3 arrays feeding real color/luminance features and
   nearest-neighbor :func:`image_resize`; RIFF/WAVE PCM audio
-  (8/16/32-bit) via the stdlib ``wave`` module → real
-  sample-rate/RMS/peak/zero-crossing features
+  (8/16/32-bit) via the stdlib ``wave`` module AND FLAC (Rice
+  residuals, fixed/LPC prediction, stereo decorrelation — see
+  :mod:`.flac`) → real sample-rate/RMS/peak/zero-crossing features
   (:func:`audio_features`). :func:`encode_png` / :func:`encode_ppm`
   / :func:`encode_gif` / :func:`.jpeg.encode_jpeg` round-trip.
-- **Stubbed integration points**: progressive JPEG, WebP, MP3/AAC,
+- **Stubbed integration points**: progressive JPEG, WebP, MP3/AAC lossy audio,
   and video need PIL/torchaudio/ffmpeg, absent here — kernels raise
   ``NotImplementedError`` naming the format, or produce seeded
   reproducible fakes with ``deterministic_fake=True`` so the
@@ -37,14 +38,17 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# The baseline JPEG codec lives in its own module; kernels capture its
-# functions in closures, so register the module for BY-VALUE cloudpickle
-# serialization — executors cannot import this package (non-repo cwd).
+# The JPEG and FLAC codecs live in their own modules; kernels capture
+# their functions in closures, so register the modules for BY-VALUE
+# cloudpickle serialization — executors cannot import this package
+# (non-repo cwd).
 try:  # pragma: no cover - registration is a serialization concern
     from pyspark import cloudpickle as _cloudpickle
 
+    from trial_submission_studio_spark.operators import flac as _flac_module
     from trial_submission_studio_spark.operators import jpeg as _jpeg_module
 
+    _cloudpickle.register_pickle_by_value(_flac_module)
     _cloudpickle.register_pickle_by_value(_jpeg_module)
 except Exception:  # noqa: BLE001 - never block import on this
     pass
@@ -503,6 +507,29 @@ def _make_wav_decoder():
 _decode_wav = _make_wav_decoder()
 
 
+def _make_audio_decoder():
+    """WAV-then-FLAC audio decode with the shared (rate, channels,
+    mono float64) contract. Closure-local so cloudpickle ships it by
+    value (the flac module is registered by-value at import)."""
+    from trial_submission_studio_spark.operators.flac import decode_flac
+
+    wav = _decode_wav
+    flac = decode_flac
+
+    def decode(payload: bytes | None):
+        hit = wav(payload)
+        if hit is not None:
+            return hit
+        if payload and payload[:4] == b"fLaC":
+            return flac(payload)
+        return None
+
+    return decode
+
+
+_decode_audio = _make_audio_decoder()
+
+
 def image_features(
     df: DataFrame,
     dim: int = 16,
@@ -646,8 +673,9 @@ def audio_features(
     zero-crossing rate of the mono mix. Compressed audio (MP3/AAC)
     falls back per ``deterministic_fake`` like the image path;
     ``on_error="null"`` quarantines undecodable records as all-NULL
-    rows instead of failing the job (filter ``sample_rate IS NULL``)."""
-    decode = _decode_wav
+    rows instead of failing the job (filter ``sample_rate IS NULL``).
+    FLAC payloads decode natively too (:mod:`.flac`)."""
+    decode = _decode_audio
     fake = _fake_feature
     null_on_error = on_error == "null"
 
@@ -776,7 +804,7 @@ def probe_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     classified by magic bytes (JPEG/PNG/GIF/MP3/MP4) with NULL dims.
     One partition-local pass, no shuffle."""
     img_decode = _decode_image
-    wav_decode = _decode_wav
+    wav_decode = _decode_audio
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         magics = [
@@ -809,7 +837,8 @@ def probe_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                     wav = wav_decode(p)
                     if wav is not None:
                         rate, _nch, x = wav
-                        kind, mime = "audio", "audio/wav"
+                        kind = "audio"
+                        mime = "audio/flac" if p[:4] == b"fLaC" else "audio/wav"
                         dur = int(round(1000.0 * x.size / rate)) if rate else 0
                     elif p and len(p) >= 12 and p[4:8] == b"ftyp":
                         kind, mime = "video", "video/mp4"
