@@ -216,6 +216,47 @@ def test_multimodal_png_roundtrip(spark):
     assert (probed["width"], probed["height"]) == (5, 10)
 
 
+def test_multimodal_container_metadata_probe(spark):
+    """probe_media extracts REAL container metadata without frame
+    decode: MP4 duration + track dims from the moov box walk, MP3
+    duration from the frame header (CBR estimate), ID3 tags skipped."""
+    import struct
+
+    from trial_submission_studio_spark.operators.multimodal import probe_media
+
+    def box(t, body):
+        return struct.pack(">I", 8 + len(body)) + t + body
+
+    mvhd = box(
+        b"mvhd",
+        bytes(4) + struct.pack(">II", 0, 0)
+        + struct.pack(">II", 1000, 5500) + b"\x00" * 80,
+    )
+    tkhd = box(
+        b"tkhd",
+        bytes(4) + struct.pack(">IIII", 0, 0, 1, 0) + struct.pack(">I", 5500)
+        + b"\x00" * 52 + struct.pack(">II", 640 << 16, 360 << 16),
+    )
+    mp4 = (
+        box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+        + box(b"moov", mvhd + box(b"trak", tkhd))
+    )
+    frame = bytes([0xFF, 0xFB, (9 << 4), 0]) + b"\x00" * 413  # 128k/44.1k
+    mp3 = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10 + frame * 10
+
+    media = values_df(
+        spark, [(1, mp4), (2, mp3)], "media_id bigint, payload binary"
+    ).withColumn("path", F.lit("mem://m"))
+    got = {
+        r["media_id"]: (r["kind"], r["mime"], r["width"], r["height"], r["duration_ms"])
+        for r in probe_media(media).collect()
+    }
+    assert got[1] == ("video", "video/mp4", 640, 360, 5500)
+    kind, mime, w, h, dur = got[2]
+    assert (kind, mime, w, h) == ("audio", "audio/mpeg", None, None)
+    assert dur == 261  # 10 frames * 417B * 8 / 128kbit
+
+
 def test_multimodal_flac_decode(spark):
     """Stdlib FLAC codec: lossless roundtrip through audio_features
     matches the WAV-decoded features of the same PCM, and probe_media

@@ -23,11 +23,15 @@ Codec coverage is explicit about what is REAL and what is stubbed:
   :mod:`.flac`) → real sample-rate/RMS/peak/zero-crossing features
   (:func:`audio_features`). :func:`encode_png` / :func:`encode_ppm`
   / :func:`encode_gif` / :func:`.jpeg.encode_jpeg` round-trip.
-- **Stubbed integration points**: progressive JPEG, WebP, MP3/AAC lossy audio,
-  and video need PIL/torchaudio/ffmpeg, absent here — kernels raise
-  ``NotImplementedError`` naming the format, or produce seeded
-  reproducible fakes with ``deterministic_fake=True`` so the
-  Spark-side plumbing stays fully testable.
+- **REAL container metadata** (no frame decode): MP4 moov-box walk
+  → duration + track dims; MP3 frame header → CBR duration estimate
+  (:func:`probe_media`).
+- **Stubbed integration points**: progressive JPEG, WebP, MP3/AAC
+  payload decode, and video frame decode need PIL/torchaudio/ffmpeg,
+  absent here — kernels raise ``NotImplementedError`` naming the
+  format, or produce seeded reproducible fakes with
+  ``deterministic_fake=True`` so the Spark-side plumbing stays fully
+  testable.
 """
 
 from __future__ import annotations
@@ -507,6 +511,94 @@ def _make_wav_decoder():
 _decode_wav = _make_wav_decoder()
 
 
+def _make_container_probes():
+    """Closure factory for metadata-only container parsers (no frame
+    decode): MP4 box walk → (duration_ms, width, height); MP3 frame
+    header → estimated duration_ms (CBR). Parsing the container is
+    REAL; media decode for these formats stays a codec-library stub."""
+
+    def mp4_metadata(payload: bytes | None):
+        import struct
+
+        if not payload or len(payload) < 16 or payload[4:8] != b"ftyp":
+            return None
+        dur_ms = width = height = None
+
+        def walk(lo: int, hi: int, depth: int) -> None:
+            nonlocal dur_ms, width, height
+            i = lo
+            while i + 8 <= hi and depth < 8:
+                size, btype = struct.unpack(">I4s", payload[i : i + 8])
+                body = i + 8
+                if size == 1:  # 64-bit extended size
+                    size = struct.unpack(">Q", payload[i + 8 : i + 16])[0]
+                    body = i + 16
+                if size < 8 or i + size > hi:
+                    return
+                if btype in (b"moov", b"trak", b"mdia"):
+                    walk(body, i + size, depth + 1)
+                elif btype == b"mvhd":
+                    ver = payload[body]
+                    if ver == 1:
+                        ts, dur = struct.unpack(
+                            ">IQ", payload[body + 20 : body + 32]
+                        )
+                    else:
+                        ts, dur = struct.unpack(
+                            ">II", payload[body + 12 : body + 20]
+                        )
+                    if ts:
+                        dur_ms = int(round(1000.0 * dur / ts))
+                elif btype == b"tkhd":
+                    ver = payload[body]
+                    off = body + (32 if ver == 1 else 20)
+                    # reserved(8) layer(2) alt(2) vol(2) reserved(2)
+                    # matrix(36) then width/height as 16.16 fixed
+                    wh = off + 4 + 8 + 2 + 2 + 2 + 2 + 36
+                    w16, h16 = struct.unpack(">II", payload[wh : wh + 8])
+                    if w16 and h16 and not width:
+                        width, height = w16 >> 16, h16 >> 16
+                i += size
+
+        try:
+            walk(0, len(payload), 0)
+        except struct.error:
+            return None
+        return (dur_ms, width, height)
+
+    def mp3_duration_ms(payload: bytes | None):
+        if not payload or len(payload) < 4:
+            return None
+        i = 0
+        if payload[:3] == b"ID3":  # syncsafe 28-bit tag size
+            if len(payload) < 10:
+                return None
+            sz = (
+                (payload[6] << 21) | (payload[7] << 14)
+                | (payload[8] << 7) | payload[9]
+            )
+            i = 10 + sz
+        bitrates = (  # MPEG-1 Layer III, kbit/s
+            0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0
+        )
+        rates = (44100, 48000, 32000, 0)
+        while i + 4 <= len(payload):
+            if payload[i] == 0xFF and (payload[i + 1] & 0xE0) == 0xE0:
+                ver = (payload[i + 1] >> 3) & 0x3
+                layer = (payload[i + 1] >> 1) & 0x3
+                br = bitrates[(payload[i + 2] >> 4) & 0xF]
+                sr = rates[(payload[i + 2] >> 2) & 0x3]
+                if ver == 3 and layer == 1 and br and sr:  # MPEG-1 L3
+                    return int(round((len(payload) - i) * 8.0 / (br * 1000) * 1000))
+            i += 1
+        return None
+
+    return mp4_metadata, mp3_duration_ms
+
+
+_mp4_metadata, _mp3_duration_ms = _make_container_probes()
+
+
 def _make_audio_decoder():
     """WAV-then-FLAC audio decode with the shared (rate, channels,
     mono float64) contract. Closure-local so cloudpickle ships it by
@@ -798,13 +890,16 @@ PROBE_SCHEMA = (
 
 
 def probe_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Header-sniff classification + REAL dimension extraction:
-    PPM/BMP fill width/height from the actual header, WAV fills
-    duration_ms from frame count × rate; other containers are
-    classified by magic bytes (JPEG/PNG/GIF/MP3/MP4) with NULL dims.
-    One partition-local pass, no shuffle."""
+    """Header-sniff classification + REAL metadata extraction: every
+    natively-decodable image fills width/height, WAV/FLAC fill
+    duration_ms, MP4 fills duration and track dims from the moov box
+    walk, MP3 (MPEG-1 L3 CBR) estimates duration from the frame
+    header — all without decoding media payloads that need external
+    codecs. One partition-local pass, no shuffle."""
     img_decode = _decode_image
     wav_decode = _decode_audio
+    mp4_meta = _mp4_metadata
+    mp3_dur = _mp3_duration_ms
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         magics = [
@@ -842,6 +937,9 @@ def probe_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                         dur = int(round(1000.0 * x.size / rate)) if rate else 0
                     elif p and len(p) >= 12 and p[4:8] == b"ftyp":
                         kind, mime = "video", "video/mp4"
+                        meta = mp4_meta(p)
+                        if meta:
+                            dur, w, h = meta
                     else:
                         for magic, k, m in magics:
                             if p and p[: len(magic)] == magic:
@@ -849,6 +947,8 @@ def probe_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                                 break
                         else:
                             kind, mime = "binary", "application/octet-stream"
+                        if mime == "audio/mpeg":
+                            dur = mp3_dur(p)
                 kinds.append(kind)
                 mimes.append(mime)
                 ws.append(w)
