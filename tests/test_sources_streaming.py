@@ -216,6 +216,53 @@ def test_multimodal_png_roundtrip(spark):
     assert (probed["width"], probed["height"]) == (5, 10)
 
 
+def test_multimodal_truncated_payloads_never_raise(spark):
+    """Corrupt/truncated containers must degrade, not abort the job:
+    probe_media classifies by magic with NULL metadata, image_resize
+    passes NULL through — one bad record in a 100 TB scan cannot fail
+    the task (code-review regression: the PNG/GIF/JPEG branches used
+    to raise struct errors on truncation)."""
+    from trial_submission_studio_spark.operators.multimodal import (
+        image_resize,
+        probe_media,
+    )
+
+    bad = [
+        (1, b"GIF89a\x00\x00"),                      # truncated LSD
+        (2, b"\x89PNG\r\n\x1a\n\x00\x00\x00\x0d"),   # truncated IHDR
+        (3, b"\xff\xd8\xff\xda\x00\x04\x01\x00"),    # SOS before SOF
+        (4, b"fLaC\x00"),                            # truncated STREAMINFO
+        (5, b"BM\x00"),                              # truncated BMP
+    ]
+    media = values_df(spark, bad, "media_id bigint, payload binary")
+    probed = {
+        r["media_id"]: (r["kind"], r["width"], r["duration_ms"])
+        for r in probe_media(media.withColumn("path", F.lit("m"))).collect()
+    }
+    assert probed[1] == ("image", None, None)   # GIF magic, no dims
+    assert probed[2] == ("image", None, None)
+    assert probed[3] == ("image", None, None)
+    assert probed[4][0] == "audio" and probed[4][2] is None
+    assert probed[5][0] == "binary"             # invalid BMP header
+    resized = {r["media_id"]: r["payload"] for r in image_resize(media, 2, 2).collect()}
+    assert all(v is None for v in resized.values())
+
+
+def test_top_ngram_short_docs_omitted(spark):
+    """Docs with fewer than n tokens yield no gram rows instead of a
+    slice crash (code-review regression: sequence(0, size-n) counted
+    DOWN for short docs)."""
+    from trial_submission_studio_spark.operators.textstats import top_ngram_stats
+
+    df = values_df(
+        spark,
+        [(1, "hello"), (2, ""), (3, None), (4, "a b")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["top_gram"] for r in top_ngram_stats(df).collect()}
+    assert got == {4: "a b"}
+
+
 def test_multimodal_container_metadata_probe(spark):
     """probe_media extracts REAL container metadata without frame
     decode: MP4 duration + track dims from the moov box walk, MP3

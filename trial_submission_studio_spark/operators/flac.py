@@ -167,10 +167,18 @@ def encode_flac(samples, sample_rate: int = 16000, block_size: int = 4096,
 
     import struct
 
+    # spec: stream block size is 16..65535 (the LAST frame may be
+    # shorter and is excluded from the STREAMINFO min/max fields)
+    block_size = max(16, min(65535, int(block_size)))
+
     # STREAMINFO: min/max block, min/max frame (0 = unknown), rate,
-    # channels, bps, total samples
+    # channels, bps, total samples. All non-final frames use
+    # block_size, so min = max = block_size per the spec's
+    # last-frame exclusion; a stream of ONE short frame reports that
+    # frame's size (clamped to the spec floor).
+    rep_bs = block_size if n >= block_size else max(16, n)
     si = bytearray()
-    si += struct.pack(">HH", min(block_size, n), min(block_size, n))
+    si += struct.pack(">HH", rep_bs, rep_bs)
     si += b"\x00\x00\x00" * 2
     packed = (sample_rate << 44) | ((nch - 1) << 41) | ((16 - 1) << 36) | n
     si += packed.to_bytes(8, "big")

@@ -315,8 +315,14 @@ class _BitReader:
     def align_to_marker(self) -> None:
         self.acc = 0
         self.nbits = 0
-        # skip the RST marker itself
-        while self.pos + 1 < len(self.data) and self.data[self.pos] == 0xFF:
+        # skip exactly ONE RSTn marker pair — a loop over 0xFF-prefixed
+        # pairs would also swallow a stuffed FF 00 entropy byte that
+        # legally follows the marker, silently corrupting the interval
+        if (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
             self.pos += 2
 
 
@@ -421,7 +427,10 @@ def decode_jpeg(payload: bytes):
                     scan, comps, sel, qtabs, huff, h, w, restart, C, zz_r, zz_c
                 )
             i += 2 + seg_len
-    except (ValueError, IndexError, struct.error):
+    except (ValueError, IndexError, KeyError, TypeError, struct.error):
+        # KeyError: stream references an undefined quant/Huffman table
+        # or a component absent from SOS; TypeError: SOS before SOF.
+        # The contract is None for anything not baseline-decodable.
         return None
     return None
 

@@ -249,7 +249,7 @@ def _make_image_decoder():
 
         if not payload:
             return None
-        if payload[:3] == b"\xff\xd8\xff" or payload[:2] == b"\xff\xd8":
+        if payload[:2] == b"\xff\xd8":
             return jpeg_decode(payload)
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
             import struct
@@ -599,6 +599,106 @@ def _make_container_probes():
 _mp4_metadata, _mp3_duration_ms = _make_container_probes()
 
 
+def _make_header_probes():
+    """Closure factory: HEADER-ONLY metadata readers for the probe
+    path — dimensions/duration come from container headers without
+    inflating, entropy-decoding, or reading sample data, so probing a
+    100 TB corpus costs header bytes, not decode CPU. (The feature /
+    resize operators still run the full decoders.)"""
+
+    def image_header(p: bytes | None):
+        """→ (mime, width|None, height|None) or None if not an image."""
+        import struct
+
+        if not p:
+            return None
+        if p[:2] == b"P6":
+            i, fields = 2, []
+            while len(fields) < 3 and i < min(len(p), 256):
+                while i < len(p) and p[i : i + 1].isspace():
+                    i += 1
+                if p[i : i + 1] == b"#":
+                    while i < len(p) and p[i : i + 1] != b"\n":
+                        i += 1
+                    continue
+                j = i
+                while j < len(p) and not p[j : j + 1].isspace():
+                    j += 1
+                try:
+                    fields.append(int(p[i:j]))
+                except ValueError:
+                    return ("image/x-portable-pixmap", None, None)
+                i = j
+            if len(fields) == 3 and fields[0] > 0 and fields[1] > 0:
+                return ("image/x-portable-pixmap", fields[0], fields[1])
+            return ("image/x-portable-pixmap", None, None)
+        if p[:8] == b"\x89PNG\r\n\x1a\n":
+            if len(p) >= 24 and p[12:16] == b"IHDR":
+                w, h = struct.unpack(">II", p[16:24])
+                if 0 < w < 1 << 24 and 0 < h < 1 << 24:
+                    return ("image/png", w, h)
+            return ("image/png", None, None)
+        if p[:2] == b"\xff\xd8":
+            i = 2
+            while i + 9 < len(p) and p[i] == 0xFF:
+                m = p[i + 1]
+                if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+                    i += 2
+                    continue
+                seg = struct.unpack(">H", p[i + 2 : i + 4])[0]
+                # any SOFn frame header (C0-CF minus DHT/JPG/DAC)
+                if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack(">HH", p[i + 5 : i + 9])
+                    if w and h:
+                        return ("image/jpeg", w, h)
+                    break
+                if m == 0xDA:  # entropy data: no SOF seen
+                    break
+                i += 2 + seg
+            return ("image/jpeg", None, None)
+        if p[:4] == b"GIF8" and len(p) >= 10:
+            w, h = struct.unpack("<HH", p[6:10])
+            return ("image/gif", w or None, h or None)
+        if p[:2] == b"BM" and len(p) >= 30:
+            w, h = struct.unpack("<ii", p[18:26])
+            bpp = struct.unpack("<H", p[28:30])[0]
+            if w > 0 and h != 0 and bpp in (1, 4, 8, 16, 24, 32):
+                return ("image/bmp", w, abs(h))
+            return None
+        return None
+
+    def audio_header(p: bytes | None):
+        """→ (mime, duration_ms|None) or None if not WAV/FLAC."""
+        import io
+        import wave
+
+        if not p:
+            return None
+        if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+            try:
+                with wave.open(io.BytesIO(p), "rb") as wf:
+                    rate, n = wf.getframerate(), wf.getnframes()
+            except (wave.Error, EOFError):
+                return None
+            dur = int(round(1000.0 * n / rate)) if rate else None
+            return ("audio/wav", dur)
+        if p[:4] == b"fLaC":
+            # STREAMINFO is the mandatory first metadata block
+            if len(p) >= 26 and (p[4] & 0x7F) == 0:
+                packed = int.from_bytes(p[18:26], "big")
+                rate = packed >> 44
+                total = packed & ((1 << 36) - 1)
+                dur = int(round(1000.0 * total / rate)) if rate and total else None
+                return ("audio/flac", dur)
+            return ("audio/flac", None)  # truncated: magic-only
+        return None
+
+    return image_header, audio_header
+
+
+_image_header, _audio_header = _make_header_probes()
+
+
 def _make_audio_decoder():
     """WAV-then-FLAC audio decode with the shared (rate, channels,
     mono float64) contract. Closure-local so cloudpickle ships it by
@@ -721,7 +821,10 @@ def image_resize(
         for pdf in batches:
             payloads, ws, hs = [], [], []
             for p in pdf[payload_col]:
-                img = decode(p)
+                try:
+                    img = decode(p)
+                except Exception:
+                    img = None  # truncated/corrupt container
                 if img is None:
                     payloads.append(None)
                     ws.append(None)
@@ -890,14 +993,16 @@ PROBE_SCHEMA = (
 
 
 def probe_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Header-sniff classification + REAL metadata extraction: every
-    natively-decodable image fills width/height, WAV/FLAC fill
-    duration_ms, MP4 fills duration and track dims from the moov box
-    walk, MP3 (MPEG-1 L3 CBR) estimates duration from the frame
-    header — all without decoding media payloads that need external
-    codecs. One partition-local pass, no shuffle."""
-    img_decode = _decode_image
-    wav_decode = _decode_audio
+    """Header-ONLY classification + metadata extraction: image dims
+    from PPM/PNG/JPEG-SOF/GIF/BMP headers, audio duration from the
+    WAV header / FLAC STREAMINFO, MP4 duration+dims from the moov box
+    walk, MP3 (MPEG-1 L3 CBR) duration from the frame header. NO
+    payload decode happens here — probing a corpus costs header
+    bytes, not inflate/entropy CPU (the feature/resize operators run
+    the real decoders). One partition-local pass, no shuffle; corrupt
+    headers classify by magic with NULL metadata, never raise."""
+    img_hdr = _image_header
+    aud_hdr = _audio_header
     mp4_meta = _mp4_metadata
     mp3_dur = _mp3_duration_ms
 
@@ -914,30 +1019,27 @@ def probe_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             for p in pdf[payload_col]:
                 kind = mime = None
                 w = h = dur = None
-                img = img_decode(p)
-                if img is not None:
-                    if p[:2] == b"P6":
-                        mime = "image/x-portable-pixmap"
-                    elif p[:4] == b"\x89PNG":
-                        mime = "image/png"
-                    elif p[:2] == b"\xff\xd8":
-                        mime = "image/jpeg"
-                    elif p[:4] == b"GIF8":
-                        mime = "image/gif"
-                    else:
-                        mime = "image/bmp"
+                try:
+                    ih = img_hdr(p)
+                except Exception:
+                    ih = None
+                if ih is not None:
                     kind = "image"
-                    h, w = int(img.shape[0]), int(img.shape[1])
+                    mime, w, h = ih
                 else:
-                    wav = wav_decode(p)
-                    if wav is not None:
-                        rate, _nch, x = wav
+                    try:
+                        ah = aud_hdr(p)
+                    except Exception:
+                        ah = None
+                    if ah is not None:
                         kind = "audio"
-                        mime = "audio/flac" if p[:4] == b"fLaC" else "audio/wav"
-                        dur = int(round(1000.0 * x.size / rate)) if rate else 0
+                        mime, dur = ah
                     elif p and len(p) >= 12 and p[4:8] == b"ftyp":
                         kind, mime = "video", "video/mp4"
-                        meta = mp4_meta(p)
+                        try:
+                            meta = mp4_meta(p)
+                        except Exception:
+                            meta = None
                         if meta:
                             dur, w, h = meta
                     else:
@@ -948,7 +1050,10 @@ def probe_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                         else:
                             kind, mime = "binary", "application/octet-stream"
                         if mime == "audio/mpeg":
-                            dur = mp3_dur(p)
+                            try:
+                                dur = mp3_dur(p)
+                            except Exception:
+                                dur = None
                 kinds.append(kind)
                 mimes.append(mime)
                 ws.append(w)

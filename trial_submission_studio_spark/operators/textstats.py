@@ -147,10 +147,16 @@ def top_ngram_stats(df, id_col: str = "doc_id", text_col: str = "text", n: int =
     with fewer than ``n`` words are omitted.
     """
     toks = tokens(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    # guard: sequence(0, size-n) counts DOWN when size < n, and slice
+    # with start 0 throws — short docs must yield an empty gram array
+    # (explode then drops them, per the docstring)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     exploded = (
         df.select(
             F.col(id_col),

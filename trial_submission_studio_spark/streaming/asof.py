@@ -82,7 +82,10 @@ def _make_asof_update_fn(
                 direction="backward",
             )
             out = merged[keys + left_payload].copy()
-            out[rts_out] = pd.to_datetime(merged["__rts_us"], unit="us")
+            # tz-aware UTC: a naive datetime would be re-localized in
+            # the SESSION timezone by Arrow, shifting rts by the UTC
+            # offset whenever the session is not UTC
+            out[rts_out] = pd.to_datetime(merged["__rts_us"], unit="us", utc=True)
             for c in vcols_out:
                 out[c] = merged[c]
             yield out
