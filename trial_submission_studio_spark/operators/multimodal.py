@@ -23,9 +23,11 @@ Codec coverage is explicit about what is REAL and what is stubbed:
   :mod:`.flac`) → real sample-rate/RMS/peak/zero-crossing features
   (:func:`audio_features`). :func:`encode_png` / :func:`encode_ppm`
   / :func:`encode_gif` / :func:`.jpeg.encode_jpeg` round-trip.
-- **REAL container metadata** (no frame decode): MP4 moov-box walk
-  → duration + track dims; MP3 frame header → CBR duration estimate
-  (:func:`probe_media`).
+- **REAL container metadata, header-only** (:func:`probe_media`):
+  image dims from PPM/PNG-IHDR/JPEG-SOF/GIF-LSD/BMP headers, audio
+  duration from the WAV header / FLAC STREAMINFO, MP4 moov-box walk
+  → duration + track dims, MP3 frame header → CBR duration estimate
+  — probing never decodes payloads and never raises on corrupt ones.
 - **Stubbed integration points**: progressive JPEG, WebP, MP3/AAC
   payload decode, and video frame decode need PIL/torchaudio/ffmpeg,
   absent here — kernels raise ``NotImplementedError`` naming the
