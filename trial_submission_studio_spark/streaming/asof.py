@@ -110,6 +110,12 @@ def streaming_asof_join(
 
     Both inputs must be streaming DataFrames sharing the key columns;
     see the module docstring for ordering semantics.
+
+    Dtype note: the matched-timestamp output column is always
+    ``timestamp`` (tz-correct via UTC epoch micros). The batch
+    operator instead carries the right side's ORIGINAL column dtype —
+    for temporal dtypes the values agree; for a numeric right_ts
+    column prefer the batch operator or cast afterward.
     """
     keys = list(keys)
     value_cols = list(value_cols)
