@@ -216,6 +216,39 @@ def test_multimodal_png_roundtrip(spark):
     assert (probed["width"], probed["height"]) == (5, 10)
 
 
+def test_near_duplicate_images(spark):
+    """Image near-dup composition: two nearly-identical PNGs pair up,
+    a different image and a corrupt payload do not; corrupt records
+    are quarantined, not fatal."""
+    import numpy as np
+
+    from trial_submission_studio_spark.operators.multimodal import (
+        encode_png,
+        near_duplicate_images,
+    )
+
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    tweaked = base.copy()
+    tweaked[0, 0] = (tweaked[0, 0].astype(int) + 3).clip(0, 255).astype(np.uint8)
+    other = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    media = values_df(
+        spark,
+        [
+            (1, encode_png(base)),
+            (2, encode_png(tweaked)),
+            (3, encode_png(other)),
+            (4, b"\x89PNG-corrupt"),
+        ],
+        "media_id bigint, payload binary",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in near_duplicate_images(media, threshold=0.999).collect()
+    }
+    assert pairs == {(1, 2)}
+
+
 def test_multimodal_truncated_payloads_never_raise(spark):
     """Corrupt/truncated containers must degrade, not abort the job:
     probe_media classifies by magic with NULL metadata, image_resize

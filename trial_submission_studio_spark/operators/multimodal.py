@@ -1088,3 +1088,38 @@ def media_stats(df: DataFrame) -> DataFrame:
         F.round(F.avg(F.length("payload")), 2).alias("avg_bytes"),
         F.round(F.avg("duration_ms"), 2).alias("avg_duration_ms"),
     )
+
+
+def near_duplicate_images(
+    media: DataFrame,
+    dim: int = 16,
+    threshold: float = 0.95,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    on_error: str = "null",
+) -> DataFrame:
+    """Image near-duplicate pairs (id_a < id_b, sim ≥ threshold):
+    decode+featurize (:func:`image_features`) feeding the
+    hyperplane-LSH near-dup operator from the similarity family —
+    the image twin of text MinHash dedup, and the composition a
+    training-data pipeline runs before sampling.
+
+    Undecodable payloads drop out (``on_error="null"`` default —
+    corrupt records must not fail a corpus pass). Scale shape is the
+    embedding operator's: bucketed candidate generation, never
+    all-pairs; the only added cost is one decode pass.
+    """
+    from trial_submission_studio_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    feats = (
+        image_features(
+            media, dim=dim, payload_col=payload_col, id_col=id_col,
+            on_error=on_error,
+        )
+        .filter(F.col("feat").isNotNull())
+        .select(F.col(id_col).alias("vec_id"), F.col("feat").alias("embedding"))
+    )
+    pairs = embedding_near_dup_pairs(feats, dim=dim, threshold=threshold)
+    return pairs
