@@ -843,6 +843,60 @@ def test_streaming_asof_matches_batch(spark, tmp_path):
     assert got[400] == (20.0, "2024-01-01 00:10:00")  # via state store
 
 
+def test_streaming_asof_tolerance_and_strict_match_batch(spark, tmp_path):
+    """The streaming as-of's tolerance/strict knobs agree with the
+    batch operator: an exact-timestamp quote is invisible under
+    strict, and a match older than the tolerance window is NULLed."""
+    from trial_submission_studio_spark.operators.temporal import asof_join
+    from trial_submission_studio_spark.streaming.asof import streaming_asof_join
+
+    def frame(rows, payload):
+        return values_df(
+            spark, rows, f"user_id bigint, ts_s string, {payload}"
+        ).select(
+            "user_id", F.col("ts_s").cast("timestamp").alias("ts"),
+            payload.split()[0],
+        )
+
+    right = frame(
+        [(1, "2024-01-01 00:00:00", 10.0), (1, "2024-01-01 01:00:00", 11.0)],
+        "quote double",
+    )
+    left = frame(
+        [(1, "2024-01-01 01:00:00", 100),   # exact ts: strict hides 11.0
+         (1, "2024-01-01 02:30:00", 200)],  # 90m after 11.0: tol=3600 NULLs
+        "trade_id bigint",
+    )
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    left.write.parquet(ldir)
+    right.write.parquet(rdir)
+    ls = spark.readStream.schema("user_id bigint, ts timestamp, trade_id bigint").parquet(ldir)
+    rs = spark.readStream.schema("user_id bigint, ts timestamp, quote double").parquet(rdir)
+
+    for kwargs in ({"tolerance_seconds": 3600}, {"strict": True}):
+        joined = streaming_asof_join(
+            ls, rs, ["user_id"], value_cols=["quote"], suffix="_right", **kwargs
+        )
+        name = "asof_ts_" + ("tol" if "tolerance_seconds" in kwargs else "strict")
+        q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+            got = {
+                r["trade_id"]: r["quote_right"]
+                for r in spark.sql(f"SELECT * FROM {name}").collect()
+            }
+        finally:
+            q.stop()
+        want = {
+            r["trade_id"]: r["quote_right"]
+            for r in asof_join(
+                left, right, ["user_id"], value_cols=["quote"], **kwargs
+            ).collect()
+        }
+        assert got == want, (kwargs, got, want)
+    assert want[100] == 10.0  # strict: exact 01:00 quote hidden
+
+
 def test_streaming_watermark_drops_late_data(spark, tmp_path):
     """Append-mode + watermark: an event older than the watermark must
     be DROPPED from its already-finalized window (true late-data

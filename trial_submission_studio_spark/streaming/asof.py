@@ -45,10 +45,11 @@ __all__ = ["streaming_asof_join"]
 
 
 def _make_asof_update_fn(
-    keys: list[str], left_payload: list[str], vcols_out: list[str], rts_out: str
+    keys: list[str], left_payload: list[str], vcols_out: list[str], rts_out: str,
+    tolerance_us: int | None = None, strict: bool = False,
 ):
     """Closure factory (cloudpickle by-value — executors cannot import
-    this package; capture only plain lists/strings)."""
+    this package; capture only plain lists/strings/ints)."""
     import pandas as pd
 
     def update(key, pdfs, state):
@@ -80,6 +81,8 @@ def _make_asof_update_fn(
             merged = pd.merge_asof(
                 lf, rr, left_on="__ts_us", right_on="__rts_us",
                 direction="backward",
+                tolerance=tolerance_us,
+                allow_exact_matches=not strict,
             )
             out = merged[keys + left_payload].copy()
             # tz-aware UTC: a naive datetime would be re-localized in
@@ -101,9 +104,13 @@ def streaming_asof_join(
     right_ts: str = "ts",
     value_cols: Sequence[str] = ("value",),
     suffix: str = "_r",
+    tolerance_seconds: int | None = None,
+    strict: bool = False,
 ) -> DataFrame:
     """Enrich a left event stream with the most recent right-side
-    observation per key (``right_ts <= left_ts``). Output columns
+    observation per key (``right_ts <= left_ts``; ``<`` when
+    ``strict``, and matches older than ``tolerance_seconds`` are
+    NULLed — the same knobs as the batch operator). Output columns
     match the batch operator: all left columns, then
     ``{right_ts}{suffix}`` (matched right timestamp, NULL when no
     match yet) and each value column as ``{col}{suffix}``.
@@ -159,7 +166,15 @@ def streaming_asof_join(
     )
 
     return union.groupBy(*keys).applyInPandasWithState(
-        _make_asof_update_fn(keys, left_payload, vcols_out, rts_out),
+        _make_asof_update_fn(
+            keys, left_payload, vcols_out, rts_out,
+            tolerance_us=(
+                int(tolerance_seconds) * 1_000_000
+                if tolerance_seconds is not None
+                else None
+            ),
+            strict=strict,
+        ),
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
