@@ -336,6 +336,16 @@ def test_multimodal_container_metadata_probe(spark):
     assert (kind, mime, w, h) == ("audio", "audio/mpeg", None, None)
     assert dur == 261  # 10 frames * 417B * 8 / 128kbit
 
+    # VBR: a Xing tag with frame count beats the CBR estimate
+    xing = bytes([0xFF, 0xFB, (9 << 4), 0]) + b"\x00" * 32 + (
+        b"Xing" + (1).to_bytes(4, "big") + (100).to_bytes(4, "big")
+    ) + b"\x00" * 300
+    vbr = probe_media(
+        values_df(spark, [(9, xing)], "media_id bigint, payload binary")
+        .withColumn("path", F.lit("m"))
+    ).collect()[0]
+    assert vbr["duration_ms"] == round(1000 * 100 * 1152 / 44100)
+
 
 def test_multimodal_flac_decode(spark):
     """Stdlib FLAC codec: lossless roundtrip through audio_features

@@ -591,6 +591,19 @@ def _make_container_probes():
                 br = bitrates[(payload[i + 2] >> 4) & 0xF]
                 sr = rates[(payload[i + 2] >> 2) & 0x3]
                 if ver == 3 and layer == 1 and br and sr:  # MPEG-1 L3
+                    # VBR: a Xing/Info tag in the first frame carries
+                    # the exact frame count (1152 samples per frame);
+                    # the filesize/bitrate estimate is CBR-only
+                    head = payload[i : i + 256]
+                    for tag in (b"Xing", b"Info"):
+                        t = head.find(tag)
+                        if t >= 0 and len(head) >= t + 12:
+                            flags = int.from_bytes(head[t + 4 : t + 8], "big")
+                            if flags & 1:
+                                n_frames = int.from_bytes(
+                                    head[t + 8 : t + 12], "big"
+                                )
+                                return int(round(1000.0 * n_frames * 1152 / sr))
                     return int(round((len(payload) - i) * 8.0 / (br * 1000) * 1000))
             i += 1
         return None
