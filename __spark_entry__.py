@@ -701,10 +701,11 @@ def dedup_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def text_analysis_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis family in ONE per-lang scan (token counting,
-    stopword-ratio language ID, quality scoring — formerly three
-    contract queries, merged to keep the contract inside the driver's
-    50-row window). quality sums exactly via e4 fixed-point (float
-    summation order would differ between engines)."""
+    BPE-proxy piece counting, stopword-ratio language ID, quality
+    scoring — formerly four contract queries, merged to keep the
+    contract inside the driver's 50-row window). quality sums exactly
+    via e4 fixed-point (float summation order would differ between
+    engines)."""
     from trial_submission_studio_spark.operators.textstats import (
         dup_line_fraction_e4,
         dup_paragraph_fraction_e4,
@@ -716,6 +717,7 @@ def text_analysis_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(token_count("text")).cast("long").alias("total_tokens"),
+        F.sum(bpe_ish_token_count("text")).cast("long").alias("total_pieces"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         F.sum(F.when(pred_en, 1).otherwise(0)).cast("long").alias("n_pred_en"),
         F.sum(F.round(q4 * 10000, 0).cast("long")).alias("quality_e4_sum"),
@@ -1158,13 +1160,24 @@ def a_profile_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def j_crossdomain_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3 RSUBJID∈DM + J4 bidirectionality + J5 RELSPEC parent
-    single-row gates merged (crossJoin of 1-row frames — gate scale
-    only; each component query remains a standalone callable)."""
+    """J3 RSUBJID∈DM + J4 bidirectionality + J5 RELSPEC parent +
+    J6 RELREC melted-key probe single-row gates merged (crossJoin of
+    1-row frames — gate scale only; each component query remains a
+    standalone callable). J6's 2-row per-idvar output pivots to one
+    row of per-idvar missing counts."""
+    j6w = j6_relrec_probe(spark, sf_dir).agg(
+        F.sum(F.when(F.col("idvar") == "BADVAR", F.col("missing_cnt")))
+        .cast("long")
+        .alias("relrec_missing_badvar"),
+        F.sum(F.when(F.col("idvar") == "ORDERKEY", F.col("missing_cnt")))
+        .cast("long")
+        .alias("relrec_missing_orderkey"),
+    )
     return (
         j3_rsubjid_in_dm(spark, sf_dir)
         .crossJoin(j4_bidirectional_missing(spark, sf_dir))
         .crossJoin(j5_relspec_parent(spark, sf_dir))
+        .crossJoin(j6w)
     )
 
 
@@ -1350,6 +1363,34 @@ def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_recall_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH + IVF ANN recall gates merged into ONE 1-row
+    frame (slot economy: the driver checks 50 queries, so 1-row gates
+    share slots; each component remains a standalone callable —
+    ann_lsh_topk / ann_ivf_topk above)."""
+    lsh = ann_lsh_topk(spark, sf_dir).select(
+        "n_exact", F.col("recall_ok").alias("lsh_recall_ok")
+    )
+    ivf = ann_ivf_topk(spark, sf_dir).select(
+        F.col("recall_ok").alias("ivf_recall_ok")
+    )
+    return lsh.crossJoin(ivf)
+
+
+def dedup_verify_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-Jaccard verification + embedding-cosine near-dup gates
+    merged into ONE 1-row frame (same slot economy as
+    ann_recall_gates; components stay standalone callables)."""
+    jac = dedup_jaccard_verified(spark, sf_dir).select(
+        F.col("n_planted").alias("n_planted_text"), "all_verified"
+    )
+    emb = dedup_embedding_cosine(spark, sf_dir).select(
+        F.col("n_planted").alias("n_planted_emb"),
+        F.col("recall_ok").alias("emb_recall_ok"),
+    )
+    return jac.crossJoin(emb)
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH planted-recall gate: bands×rows = 8×4 over 32
     minhashes of 5-gram shingles; every planted near-dup pair (tiny
@@ -1403,6 +1444,114 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: word-8-gram overlap of every
+    document against a planted 'benchmark' slice (doc_id % 97 == 0 —
+    benchmark members must self-flag at 100 % overlap; unrelated docs
+    must stay clean). Broadcast shingle-set join, never all-pairs
+    (operators/contamination.py)."""
+    from trial_submission_studio_spark.operators.contamination import (
+        contamination_overlap,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    benchmark = d.filter(F.col("doc_id") % 97 == 0)
+    return contamination_overlap(
+        d, benchmark, "doc_id", "text", n=8, threshold=0.5
+    )
+
+
+def quality_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level quality filter gate. The synthetic docs
+    are single-line word soup, so the gate first builds a
+    deterministic multi-line corpus both engines share (8-word lines;
+    terminal '.' planted on line indexes i % 3 != 2), then applies
+    the real rules: terminal punctuation + >= 3 words + 'slow' not in
+    line (operators/qualityfilter.py). Last partial lines and the
+    blocklist make every rule do real work."""
+    from trial_submission_studio_spark.operators.qualityfilter import (
+        line_quality_filter,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_lines = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.concat(
+            F.concat_ws(" ", F.slice(toks, i * 8 + 1, 8)),
+            F.when(i % 3 != 2, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    staged = d.select(
+        "doc_id",
+        F.when(n_lines >= 1, F.concat_ws("\n", lines))
+        .otherwise(F.lit(""))
+        .alias("text"),
+    )
+    return line_quality_filter(
+        staged,
+        "doc_id",
+        "text",
+        min_words=3,
+        require_terminal_punct=True,
+        blocklist=("slow",),
+        keep_text=False,
+    )
+
+
+def corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted multi-epoch training-mix gate: src0 upweighted 2.5×
+    (2 full passes + keyed 50 % sample), src1 downsampled to 0.5,
+    everything else 1.0 (operators/sampling.py:mix_epochs). The gate
+    pins the multiplicative hash both engines evaluate identically;
+    the library default is xxhash64."""
+    from trial_submission_studio_spark.operators.sampling import mix_epochs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    hash_expr = F.col("doc_id") * F.lit(2654435761)
+    mixed = mix_epochs(
+        d,
+        "source",
+        {"src0": 2.5, "src1": 0.5},
+        key_col="doc_id",
+        default_weight=1.0,
+        hash_expr=hash_expr,
+    )
+    return mixed.select(
+        "doc_id", "source", F.col("epoch").cast("long").alias("epoch")
+    )
+
+
+def embedding_quantize_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding normalize + int8-quantize gate
+    (operators/embeddings.py): per vector, the unit-norm check in e6
+    fixed-point (must be exactly 1000000 after floor-rounding), the
+    quantization scale in e6 fixed-point, and exact integer
+    sum/min/max of the int8 codes. All math is double on both
+    engines; floor(x + 0.5) rounding is bit-deterministic where
+    round() half-mode would not be."""
+    from trial_submission_studio_spark.operators.embeddings import (
+        l2_norm,
+        l2_normalize,
+        quantize_int8,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    nv = l2_normalize("embedding")
+    qs = quantize_int8("embedding")
+    return emb.select(
+        "vec_id",
+        F.floor(l2_norm(nv) * 1e6 + F.lit(0.5)).cast("long").alias("norm_e6"),
+        F.floor(qs["scale"] * 1e6 + F.lit(0.5)).cast("long").alias("scale_e6"),
+        F.aggregate(
+            qs["q"], F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("q_sum"),
+        F.array_min(qs["q"]).cast("long").alias("q_min"),
+        F.array_max(qs["q"]).cast("long").alias("q_max"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1415,13 +1564,19 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared contract: exactly 50 entries so the driver's 50-row
     check window covers every query (r2 lesson: entries past #50 get
-    no CORRECTNESS row). T1/T12, A3/A4/A5/A6/A9/A10, J3/J4/J5 and
-    V1/V4/V6 are merged into single gate queries (see
+    no CORRECTNESS row). T1/T12, A3/A4/A5/A6/A9/A10, J3/J4/J5/J6,
+    V1/V4/V6, LSH/IVF ANN recall, Jaccard/embedding dedup verify and
+    token/BPE-piece counting are merged into single gate queries (see
     t_const_bool_render / a_profile_gates / j_crossdomain_gates /
-    v_domain_check_gates). The four queries that fell outside the r6
-    check window sit FIRST — r6 lesson: a query that was red must
-    never rotate out of the window without a recorded green."""
+    v_domain_check_gates / ann_recall_gates / dedup_verify_gates /
+    text_analysis_gates; every component stays a standalone
+    callable). Queries that have never seen the oracle sit FIRST —
+    r6 lesson: nothing rotates out of the window unverified."""
     return {
+        "contamination_ngram_overlap": contamination_ngram_overlap,
+        "quality_line_filter": quality_line_filter,
+        "corpus_mix_weighted": corpus_mix_weighted,
+        "embedding_quantize_gates": embedding_quantize_gates,
         "events_sessionization": events_sessionization,
         "agg_salted_user_totals": agg_salted_user_totals,
         "temporal_interval_shipments": temporal_interval_shipments,
@@ -1429,9 +1584,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_order_revenue": q3_order_revenue,
         "dedup_minhash_lsh": dedup_minhash_lsh,
-        "dedup_jaccard_verified": dedup_jaccard_verified,
+        "dedup_verify_gates": dedup_verify_gates,
         "simhash_fingerprints": simhash_fingerprints,
-        "dedup_embedding_cosine": dedup_embedding_cosine,
         "e2e_cdisc_pipeline": e2e_cdisc_pipeline,
         "qs_registry_pipeline": qs_registry_pipeline,
         "adsl_registry_pipeline": adsl_registry_pipeline,
@@ -1452,7 +1606,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_orphan_customers": j1_orphan_customers,
         "j2_semi_suppliers": j2_semi_suppliers,
         "j_crossdomain_gates": j_crossdomain_gates,
-        "j6_relrec_probe": j6_relrec_probe,
         "r1_supp_unpivot": r1_supp_unpivot,
         "r2_reciprocal_union": r2_reciprocal_union,
         "r3_supp_pivot_back": r3_supp_pivot_back,
@@ -1463,12 +1616,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": dedup_exact_docs,
         "dedup_fingerprint_stats": dedup_fingerprint_stats,
         "text_analysis_gates": text_analysis_gates,
-        "text_bpe_tokens": text_bpe_tokens,
         "dedup_group_resolution": dedup_group_resolution,
         "sample_stratified": sample_stratified,
         "ann_cosine_topk": ann_cosine_topk,
-        "ann_lsh_topk": ann_lsh_topk,
-        "ann_ivf_topk": ann_ivf_topk,
+        "ann_recall_gates": ann_recall_gates,
         "events_tumbling_window": events_tumbling_window,
         "temporal_asof_clicks": temporal_asof_clicks,
         "temporal_locf_views": temporal_locf_views,
@@ -1714,24 +1865,33 @@ def oracle_sql() -> dict[str, str]:
                WHERE p.parent != ''
                  AND NOT EXISTS (
                    SELECT 1 FROM rel k WHERE k.usubj = p.usubj AND k.refid = p.parent))
-        """,
-        "j6_relrec_probe": """
-            WITH keys AS (
-              SELECT 'ORDERKEY' AS idvar, CAST(o_orderkey AS VARCHAR) AS idvarval FROM orders
-              UNION ALL
-              SELECT 'CUSTKEY', CAST(o_custkey AS VARCHAR) FROM orders
-            ),
-            probes AS (
-              SELECT DISTINCT 'ORDERKEY' AS idvar, CAST(l_orderkey * 2 AS VARCHAR) AS idvarval
-              FROM lineitem
-              UNION ALL
-              SELECT DISTINCT 'BADVAR', CAST(l_orderkey AS VARCHAR) FROM lineitem
-            )
-            SELECT idvar, CAST(count(*) AS BIGINT) AS missing_cnt
-            FROM probes p
-            WHERE NOT EXISTS (
-              SELECT 1 FROM keys k WHERE k.idvar = p.idvar AND k.idvarval = p.idvarval)
-            GROUP BY idvar
+            CROSS JOIN
+              (WITH keys AS (
+                 SELECT 'ORDERKEY' AS idvar, CAST(o_orderkey AS VARCHAR) AS idvarval
+                 FROM orders
+                 UNION ALL
+                 SELECT 'CUSTKEY', CAST(o_custkey AS VARCHAR) FROM orders
+               ),
+               probes AS (
+                 SELECT DISTINCT 'ORDERKEY' AS idvar,
+                        CAST(l_orderkey * 2 AS VARCHAR) AS idvarval
+                 FROM lineitem
+                 UNION ALL
+                 SELECT DISTINCT 'BADVAR', CAST(l_orderkey AS VARCHAR) FROM lineitem
+               ),
+               miss AS (
+                 SELECT idvar, count(*) AS c
+                 FROM probes p
+                 WHERE NOT EXISTS (
+                   SELECT 1 FROM keys k
+                   WHERE k.idvar = p.idvar AND k.idvarval = p.idvarval)
+                 GROUP BY idvar
+               )
+               SELECT CAST(sum(CASE WHEN idvar = 'BADVAR' THEN c END) AS BIGINT)
+                        AS relrec_missing_badvar,
+                      CAST(sum(CASE WHEN idvar = 'ORDERKEY' THEN c END) AS BIGINT)
+                        AS relrec_missing_orderkey
+               FROM miss)
         """,
         "r1_supp_unpivot": """
             SELECT 'TPCH' AS "STUDYID", 'PT' AS "RDOMAIN",
@@ -1890,12 +2050,12 @@ def oracle_sql() -> dict[str, str]:
                                x -> x <> '') END AS lines,
                      CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[])
                           ELSE list_filter(list_transform(
-                                 regexp_split_to_array(trim(text), '\\n{2,}'), x -> trim(x)),
+                                 regexp_split_to_array(trim(text), '\\n{{2,}}'), x -> trim(x)),
                                x -> x <> '') END AS paras
               FROM documents
             ),
             q AS (
-              SELECT lang, n_chars, ntok, toks,
+              SELECT lang, n_chars, ntok, toks, s,
                      CASE WHEN len(lines) > 0
                           THEN CAST(floor((len(lines) - len(list_distinct(lines)))
                                     * 10000.0 / len(lines)) AS BIGINT)
@@ -1916,6 +2076,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(ntok) AS BIGINT) AS total_tokens,
+                   CAST(sum(CASE WHEN s IS NULL OR s = '' THEN 0
+                        ELSE len(regexp_extract_all(s,
+                             '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])')) END) AS BIGINT)
+                     AS total_pieces,
                    round(avg(n_chars), 4) AS avg_chars,
                    CAST(sum(CASE WHEN len(toks) > 0 AND
                      CAST(len(list_filter(toks, x -> x IN ({_STOPWORDS_SQL}))) AS DOUBLE)
@@ -1998,15 +2162,6 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                          RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
         """,
-        "text_bpe_tokens": """
-            SELECT lang,
-                   CAST(sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-                        ELSE len(regexp_extract_all(trim(text),
-                             '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])')) END) AS BIGINT)
-                     AS total_pieces,
-                   count(*) AS n_docs
-            FROM documents GROUP BY lang
-        """,
         "events_sessionization": """
             WITH lagged AS (
               SELECT user_id, ts,
@@ -2068,25 +2223,129 @@ def oracle_sql() -> dict[str, str]:
                    c_mktsegment AS "ARM"
             FROM customer
         """,
-        "ann_ivf_topk": """
+        "ann_recall_gates": """
             SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 20) * 5
                         AS BIGINT) AS n_exact,
-                   CAST(1 AS BIGINT) AS recall_ok
+                   CAST(1 AS BIGINT) AS lsh_recall_ok,
+                   CAST(1 AS BIGINT) AS ivf_recall_ok
         """,
-        "ann_lsh_topk": """
-            SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 20) * 5
-                        AS BIGINT) AS n_exact,
-                   CAST(1 AS BIGINT) AS recall_ok
+        "dedup_verify_gates": """
+            SELECT CAST((SELECT count(*) FROM documents WHERE doc_id % 50 = 0)
+                        AS BIGINT) AS n_planted_text,
+                   CAST(1 AS BIGINT) AS all_verified,
+                   CAST((SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0)
+                        AS BIGINT) AS n_planted_emb,
+                   CAST(1 AS BIGINT) AS emb_recall_ok
         """,
-        "dedup_embedding_cosine": """
-            SELECT CAST(count(*) AS BIGINT) AS n_planted,
-                   CAST(1 AS BIGINT) AS recall_ok
-            FROM embeddings WHERE vec_id % 10 = 0
+        "contamination_ngram_overlap": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(coalesce(text, ''))),
+                                           '\\s+') AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(toks) - 7, 0) + 1),
+                       i -> array_to_string(toks[i : i + 7], ' '))) AS grams
+              FROM t
+            ),
+            b AS (
+              SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0
+            ),
+            e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+            j AS (
+              SELECT e.doc_id,
+                     count(*) AS n_sh,
+                     sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_ov
+              FROM e LEFT JOIN b ON e.gram = b.gram
+              GROUP BY e.doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(coalesce(j.n_sh, 0) AS BIGINT) AS n_shingles,
+                   CAST(coalesce(j.n_ov, 0) AS BIGINT) AS n_overlap,
+                   CAST(CASE WHEN coalesce(j.n_sh, 0) > 0
+                              AND coalesce(j.n_ov, 0) >= 0.5 * j.n_sh
+                        THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+            FROM t LEFT JOIN j ON t.doc_id = j.doc_id
         """,
-        "dedup_jaccard_verified": """
-            SELECT CAST(count(*) AS BIGINT) AS n_planted,
-                   CAST(1 AS BIGINT) AS all_verified
-            FROM documents WHERE doc_id % 50 = 0
+        "quality_line_filter": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(coalesce(text, ''))),
+                                           '\\s+') AS toks
+              FROM documents
+            ),
+            l AS (
+              SELECT doc_id,
+                     list_transform(
+                       range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT)),
+                       i -> array_to_string(toks[i * 8 + 1 : i * 8 + 8], ' ')
+                            || CASE WHEN i % 3 != 2 THEN '.' ELSE '' END)
+                       AS lines
+              FROM t
+            ),
+            k AS (
+              SELECT doc_id, lines,
+                     list_filter(lines,
+                       x -> len(regexp_split_to_array(x, '\\s+')) >= 3
+                            AND regexp_matches(x, '[.!?]$')
+                            AND NOT contains(lower(x), 'slow')) AS kept
+              FROM l
+            )
+            SELECT doc_id,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(kept) AS BIGINT) AS n_kept,
+                   CAST(coalesce(list_sum(list_transform(kept, x -> length(x))),
+                                 0) AS BIGINT) AS kept_chars
+            FROM k
+        """,
+        "corpus_mix_weighted": """
+            WITH w AS (
+              SELECT doc_id, source,
+                     CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.5
+                          ELSE 1.0 END AS wt,
+                     (doc_id * 2654435761) % 1000000 AS bucket
+              FROM documents
+            )
+            SELECT doc_id, source,
+                   unnest(range(CAST(floor(wt) AS BIGINT)
+                          + CASE WHEN bucket <
+                                   CAST(floor((wt - floor(wt)) * 1000000)
+                                        AS BIGINT)
+                                 THEN 1 ELSE 0 END)) AS epoch
+            FROM w
+        """,
+        "embedding_quantize_gates": """
+            WITH v AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings
+            ),
+            s AS (
+              SELECT vec_id, e,
+                     sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm,
+                     list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+              FROM v
+            ),
+            q AS (
+              SELECT vec_id, scale,
+                     CASE WHEN scale = 0 THEN list_transform(e, x -> 0)
+                          ELSE list_transform(e,
+                                 x -> CAST(floor(x / scale + 0.5) AS INT))
+                     END AS qv,
+                     CASE WHEN nrm = 0 THEN e
+                          ELSE list_transform(e, x -> x / nrm) END AS nv
+              FROM s
+            )
+            SELECT vec_id,
+                   CAST(floor(sqrt(list_sum(list_transform(nv, x -> x * x)))
+                              * 1e6 + 0.5) AS BIGINT) AS norm_e6,
+                   CAST(floor(scale * 1e6 + 0.5) AS BIGINT) AS scale_e6,
+                   CAST(coalesce(list_sum(qv), 0) AS BIGINT) AS q_sum,
+                   CAST(list_min(qv) AS BIGINT) AS q_min,
+                   CAST(list_max(qv) AS BIGINT) AS q_max
+            FROM q
         """,
         "dedup_minhash_lsh": """
             SELECT CAST(count(*) AS BIGINT) AS n_planted,

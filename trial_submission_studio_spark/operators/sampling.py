@@ -117,6 +117,49 @@ def pack_sequences(
     )
 
 
+def mix_epochs(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    key_col: str,
+    default_weight: float = 1.0,
+    seed: int = 0,
+    hash_expr: Column | None = None,
+) -> DataFrame:
+    """Weighted multi-epoch corpus mixing: a stratum with weight
+    ``w`` contributes ``floor(w)`` full passes plus a deterministic
+    ``frac(w)``-rate sample, each row tagged with an ``epoch`` index
+    (0-based int) — the output is ~``w ×`` the stratum, the standard
+    way a training mixture up-weights small high-quality sources
+    (weight 2.3 → every row twice, plus a 30 % keyed sample).
+
+    One generator expression per row, exploded JVM-side: epoch array
+    = ``sequence(0, floor(w)-1)``, extended by ``floor(w)`` when the
+    key hash selects the row for the fractional pass. No shuffle, no
+    join, selection partition/retry/cluster-size-independent (same
+    guarantees as :func:`deterministic_sample`). Weights < 1 degrade
+    to plain stratified down-sampling; weight 0 drops the stratum.
+    """
+    for s, wt in weights.items():
+        if wt < 0:
+            raise ValueError(f"weight for stratum {s!r} must be >= 0")
+    if default_weight < 0:
+        raise ValueError("default_weight must be >= 0")
+    w: Column = F.lit(float(default_weight))
+    for s, wt in sorted(weights.items()):
+        w = F.when(F.col(strata_col) == s, F.lit(float(wt))).otherwise(w)
+    full = F.floor(w).cast("int")
+    frac_threshold = ((w - F.floor(w)) * BUCKETS).cast("long")
+    bucket = sample_bucket(key_col, seed, hash_expr)
+    epochs_full = F.when(full >= 1, F.sequence(F.lit(0), full - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    epochs = F.when(
+        bucket < frac_threshold, F.concat(epochs_full, F.array(full))
+    ).otherwise(epochs_full)
+    return df.withColumn("epoch", F.explode(epochs))
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,
