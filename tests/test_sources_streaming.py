@@ -951,3 +951,80 @@ def test_streaming_watermark_drops_late_data(spark, tmp_path):
     assert got[("2024-01-01 00:00:00", "click")] == (1, 1.0)
     # the late event's value never appears anywhere
     assert all(v[1] != 5.0 and v[1] != 6.0 for v in got.values()), got
+
+
+def test_multimodal_avi_mjpeg_video(spark):
+    """REAL video path: MJPEG-in-AVI container roundtrip — probe_media
+    reads dims/fps/duration from the avih header, sample_frames
+    decodes selected frames to PNG (and passes raw JPEG through in
+    transcode='jpeg' mode) with zero external codec libraries."""
+    import numpy as np
+
+    from trial_submission_studio_spark.operators.avi import (
+        encode_avi_mjpeg,
+        iter_mjpeg_frames,
+        parse_avi,
+    )
+    from trial_submission_studio_spark.operators.multimodal import (
+        probe_media,
+        sample_frames,
+    )
+
+    frames = []
+    for k in range(10):
+        img = np.zeros((32, 48, 3), np.uint8)
+        img[:, :, 0] = 40 + 20 * k  # frame index encoded in red level
+        img[8:24, 16:32, 1] = 200
+        frames.append(img)
+    payload = encode_avi_mjpeg(frames, fps=5)  # 2 s of video
+
+    assert parse_avi(payload) == {
+        "width": 48, "height": 32, "fps": 5.0,
+        "n_frames": 10, "duration_ms": 2000,
+    }
+    assert len(list(iter_mjpeg_frames(payload))) == 10
+
+    media = values_df(
+        spark, [(1, payload)], "media_id bigint, payload binary"
+    ).withColumn("path", F.lit("mem://v.avi"))
+    probed = probe_media(media).collect()[0]
+    assert (probed["kind"], probed["mime"]) == ("video", "video/x-msvideo")
+    assert (probed["width"], probed["height"], probed["duration_ms"]) == (
+        48, 32, 2000,
+    )
+
+    # every_ms=1000 at 5 fps -> every 5th source frame: idx 0 and 5
+    vid = probe_media(media)
+    out = sample_frames(vid, every_ms=1000).collect()
+    assert [r["frame_idx"] for r in sorted(out, key=lambda r: r["frame_idx"])] == [0, 5]
+    for r in out:
+        assert r["frame_png"][:8] == b"\x89PNG\r\n\x1a\n"
+        # decoded content tracks the source frame (lossy JPEG: wide tol)
+        from trial_submission_studio_spark.operators.multimodal import (
+            _decode_image,
+        )
+
+        img = _decode_image(bytes(r["frame_png"]))
+        expect = 40 + 20 * r["frame_idx"]
+        assert abs(float(img[:, :8, 0].mean()) - expect) < 6
+
+    # zero-transcode passthrough: raw baseline JPEG bytes, same frames
+    raw = sample_frames(vid, every_ms=1000, transcode="jpeg").collect()
+    assert sorted(r["frame_idx"] for r in raw) == [0, 5]
+    assert all(bytes(r["frame_jpeg"])[:2] == b"\xff\xd8" for r in raw)
+
+    # non-AVI payloads: on_error='skip' drops, default raises
+    junk = values_df(
+        spark, [(2, b"not a container", 1000)],
+        "media_id bigint, payload binary, duration_ms bigint",
+    )
+    assert sample_frames(junk, every_ms=500, on_error="skip").count() == 0
+    try:
+        sample_frames(junk, every_ms=500).count()
+        raise AssertionError("expected NotImplementedError for non-AVI")
+    except Exception as exc:  # Spark wraps the kernel error
+        assert "MJPEG" in str(exc) or "NotImplementedError" in str(exc)
+
+    # fake mode still exercises plumbing for ffmpeg-only formats
+    fake = sample_frames(junk, every_ms=500, deterministic_fake=True)
+    assert fake.count() == 2

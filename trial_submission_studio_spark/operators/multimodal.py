@@ -21,19 +21,24 @@ Codec coverage is explicit about what is REAL and what is stubbed:
   (8/16/32-bit) via the stdlib ``wave`` module AND FLAC (Rice
   residuals, fixed/LPC prediction, stereo decorrelation — see
   :mod:`.flac`) → real sample-rate/RMS/peak/zero-crossing features
-  (:func:`audio_features`). :func:`encode_png` / :func:`encode_ppm`
-  / :func:`encode_gif` / :func:`.jpeg.encode_jpeg` round-trip.
+  (:func:`audio_features`). VIDEO: MJPEG-in-AVI decodes for real —
+  RIFF container walk (:mod:`.avi`) + per-frame baseline-JPEG decode
+  feeding :func:`sample_frames`' PNG (or zero-transcode JPEG) frame
+  output. :func:`encode_png` / :func:`encode_ppm` /
+  :func:`encode_gif` / :func:`.jpeg.encode_jpeg` /
+  :func:`.avi.encode_avi_mjpeg` round-trip.
 - **REAL container metadata, header-only** (:func:`probe_media`):
   image dims from PPM/PNG-IHDR/JPEG-SOF/GIF-LSD/BMP headers, audio
   duration from the WAV header / FLAC STREAMINFO, MP4 moov-box walk
-  → duration + track dims, MP3 frame header → CBR duration estimate
-  — probing never decodes payloads and never raises on corrupt ones.
+  → duration + track dims, AVI avih header → dims + fps + duration,
+  MP3 frame header → CBR duration estimate — probing never decodes
+  payloads and never raises on corrupt ones.
 - **Stubbed integration points**: progressive JPEG, WebP, MP3/AAC
-  payload decode, and video frame decode need PIL/torchaudio/ffmpeg,
-  absent here — kernels raise ``NotImplementedError`` naming the
-  format, or produce seeded reproducible fakes with
-  ``deterministic_fake=True`` so the Spark-side plumbing stays fully
-  testable.
+  payload decode, and inter-frame video codecs (H.264/VP9/AV1) need
+  PIL/torchaudio/ffmpeg, absent here — kernels raise
+  ``NotImplementedError`` naming the format, or produce seeded
+  reproducible fakes with ``deterministic_fake=True`` so the
+  Spark-side plumbing stays fully testable.
 """
 
 from __future__ import annotations
@@ -51,9 +56,11 @@ from pyspark.sql import functions as F
 try:  # pragma: no cover - registration is a serialization concern
     from pyspark import cloudpickle as _cloudpickle
 
+    from trial_submission_studio_spark.operators import avi as _avi_module
     from trial_submission_studio_spark.operators import flac as _flac_module
     from trial_submission_studio_spark.operators import jpeg as _jpeg_module
 
+    _cloudpickle.register_pickle_by_value(_avi_module)
     _cloudpickle.register_pickle_by_value(_flac_module)
     _cloudpickle.register_pickle_by_value(_jpeg_module)
 except Exception:  # noqa: BLE001 - never block import on this
@@ -172,62 +179,76 @@ def encode_gif(img, interlaced: bool = False) -> bytes:
     )
 
 
-def encode_png(img, mixed_filters: bool = False) -> bytes:
-    """H×W×3 uint8 array → PNG bytes, pure stdlib (zlib + struct).
+def _make_png_encoder():
+    """Closure factory so the PNG encoder can be captured inside
+    executor kernels (:func:`sample_frames`) — a closure-made
+    function pickles BY VALUE, a module-level def only by reference
+    to a package executors cannot import."""
 
-    Default emits filter-0 scanlines. ``mixed_filters=True`` applies
-    filter ``y % 5`` to row ``y`` (None/Sub/Up/Average/Paeth) — used
-    by the roundtrip tests to exercise every reconstruction branch of
-    the decoder with a bit-exact expected image."""
-    import struct
-    import zlib
+    def encode_png(img, mixed_filters: bool = False) -> bytes:
+        """H×W×3 uint8 array → PNG bytes, pure stdlib (zlib + struct).
 
-    import numpy as np
+        Default emits filter-0 scanlines. ``mixed_filters=True``
+        applies filter ``y % 5`` to row ``y``
+        (None/Sub/Up/Average/Paeth) — used by the roundtrip tests to
+        exercise every reconstruction branch of the decoder with a
+        bit-exact expected image."""
+        import struct
+        import zlib
 
-    a = np.ascontiguousarray(np.asarray(img, dtype=np.uint8))
-    h, w = a.shape[0], a.shape[1]
-    bpp = 3
-    flat = a.reshape(h, w * bpp).astype(np.int16)
+        import numpy as np
 
-    def paeth(left, up, upleft):
-        p = left + up - upleft
-        pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
-        out = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft))
-        return out
+        a = np.ascontiguousarray(np.asarray(img, dtype=np.uint8))
+        h, w = a.shape[0], a.shape[1]
+        bpp = 3
+        flat = a.reshape(h, w * bpp).astype(np.int16)
 
-    lines = []
-    prev = np.zeros(w * bpp, dtype=np.int16)
-    for y in range(h):
-        r = flat[y]
-        left = np.concatenate([np.zeros(bpp, np.int16), r[:-bpp]])
-        upleft = np.concatenate([np.zeros(bpp, np.int16), prev[:-bpp]])
-        f = (y % 5) if mixed_filters else 0
-        if f == 0:
-            filt = r
-        elif f == 1:
-            filt = (r - left) & 0xFF
-        elif f == 2:
-            filt = (r - prev) & 0xFF
-        elif f == 3:
-            filt = (r - ((left + prev) >> 1)) & 0xFF
-        else:
-            filt = (r - paeth(left, prev, upleft)) & 0xFF
-        lines.append(bytes([f]) + filt.astype(np.uint8).tobytes())
-        prev = r
+        def paeth(left, up, upleft):
+            p = left + up - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+            out = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+            )
+            return out
 
-    def chunk(ctype: bytes, data: bytes) -> bytes:
-        body = ctype + data
-        return struct.pack(">I", len(data)) + body + struct.pack(
-            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        lines = []
+        prev = np.zeros(w * bpp, dtype=np.int16)
+        for y in range(h):
+            r = flat[y]
+            left = np.concatenate([np.zeros(bpp, np.int16), r[:-bpp]])
+            upleft = np.concatenate([np.zeros(bpp, np.int16), prev[:-bpp]])
+            f = (y % 5) if mixed_filters else 0
+            if f == 0:
+                filt = r
+            elif f == 1:
+                filt = (r - left) & 0xFF
+            elif f == 2:
+                filt = (r - prev) & 0xFF
+            elif f == 3:
+                filt = (r - ((left + prev) >> 1)) & 0xFF
+            else:
+                filt = (r - paeth(left, prev, upleft)) & 0xFF
+            lines.append(bytes([f]) + filt.astype(np.uint8).tobytes())
+            prev = r
+
+        def chunk(ctype: bytes, data: bytes) -> bytes:
+            body = ctype + data
+            return struct.pack(">I", len(data)) + body + struct.pack(
+                ">I", zlib.crc32(body) & 0xFFFFFFFF
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + chunk(b"IEND", b"")
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
-        + chunk(b"IEND", b"")
-    )
+    return encode_png
+
+
+encode_png = _make_png_encoder()
 
 
 def _make_image_decoder():
@@ -945,32 +966,92 @@ def sample_frames(
     id_col: str = "media_id",
     duration_col: str = "duration_ms",
     deterministic_fake: bool = False,
+    on_error: str = "raise",
+    transcode: str = "png",
 ) -> DataFrame:
     """Video → sampled frames (media_id, frame_idx, frame_png).
 
-    Real kernel: ffmpeg frame extraction. The fake emits one empty
-    marker frame per sampling point so row-explosion semantics and
-    output partitioning are testable.
+    REAL for MJPEG-in-AVI: RIFF container walk (:mod:`.avi`) selects
+    one source frame per ``every_ms`` window from the stream's fps,
+    decodes it with the package JPEG decoder and re-emits PNG —
+    no external codec library. ``transcode="jpeg"`` skips the
+    decode entirely and passes the selected frames' raw JPEG bytes
+    through (column ``frame_jpeg``) — the 100-TB path, since frame
+    SELECTION then costs container walking only, zero codec CPU.
+    Other containers (H.264/VP9/... need ffmpeg) raise
+    ``NotImplementedError`` naming the payload, or are skipped per
+    ``on_error`` ("raise" | "skip"); the ``deterministic_fake`` mode
+    still emits marker frames per sampling point so plumbing stays
+    testable for those formats.
+
+    Scale shape: one Arrow-batched ``mapInPandas`` pass, row
+    explosion bounded by duration/every_ms; only SELECTED frames pay
+    decode CPU (the container walk skips unselected frame bytes).
     """
+    if on_error not in ("raise", "skip"):
+        raise ValueError("on_error must be 'raise' or 'skip'")
+    if transcode not in ("png", "jpeg"):
+        raise ValueError("transcode must be 'png' or 'jpeg'")
+    raw = transcode == "jpeg"
+    out_col = "frame_jpeg" if raw else "frame_png"
+    schema = f"{id_col} long, frame_idx int, {out_col} binary"
+
+    # driver-side captures: avi/jpeg are registered for by-value
+    # pickling, encode_png is closure-made — executors import nothing
+    from trial_submission_studio_spark.operators.avi import (
+        iter_mjpeg_frames,
+        parse_avi,
+    )
+    from trial_submission_studio_spark.operators.jpeg import decode_jpeg
+
+    enc_png = encode_png
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "video decode requires ffmpeg — not in this environment; "
-                    "pass deterministic_fake=True to test plumbing"
-                )
             ids, idxs, frames = [], [], []
-            for mid, dur in zip(pdf[id_col], pdf[duration_col]):
-                n = max(int((dur or 0) // every_ms), 1)
-                for i in range(n):
+            for mid, dur, p in zip(
+                pdf[id_col], pdf[duration_col], pdf[payload_col]
+            ):
+                if deterministic_fake:
+                    n = max(int((dur or 0) // every_ms), 1)
+                    for i in range(n):
+                        ids.append(mid)
+                        idxs.append(i)
+                        frames.append(b"\x89PNG-fake-" + str(i).encode())
+                    continue
+                meta = parse_avi(p)
+                if meta is None or not meta["fps"]:
+                    if on_error == "skip":
+                        continue
+                    raise NotImplementedError(
+                        "only MJPEG-in-AVI decodes without ffmpeg; "
+                        f"payload for media_id={mid} is not a parseable AVI "
+                        "(pass deterministic_fake=True to test plumbing, "
+                        "or on_error='skip' to drop)"
+                    )
+                step = max(int(round(every_ms * meta["fps"] / 1000.0)), 1)
+                for i, jpg in enumerate(iter_mjpeg_frames(p)):
+                    if i % step:
+                        continue
+                    if raw:
+                        ids.append(mid)
+                        idxs.append(i)
+                        frames.append(jpg)
+                        continue
+                    img = decode_jpeg(jpg)
+                    if img is None:
+                        if on_error == "skip":
+                            continue
+                        raise ValueError(
+                            f"frame {i} of media_id={mid} is not baseline JPEG"
+                        )
                     ids.append(mid)
                     idxs.append(i)
-                    frames.append(b"\x89PNG-fake-" + str(i).encode())
-            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame_png": frames})
+                    frames.append(enc_png(img))
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, out_col: frames})
 
     return df.select(id_col, duration_col, payload_col).mapInPandas(
-        kernel, FRAME_SAMPLE_SCHEMA
+        kernel, schema
     )
 
 
@@ -1016,10 +1097,13 @@ def probe_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     bytes, not inflate/entropy CPU (the feature/resize operators run
     the real decoders). One partition-local pass, no shuffle; corrupt
     headers classify by magic with NULL metadata, never raise."""
+    from trial_submission_studio_spark.operators.avi import parse_avi
+
     img_hdr = _image_header
     aud_hdr = _audio_header
     mp4_meta = _mp4_metadata
     mp3_dur = _mp3_duration_ms
+    avi_meta = parse_avi
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         magics = [
@@ -1057,6 +1141,16 @@ def probe_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                             meta = None
                         if meta:
                             dur, w, h = meta
+                    elif p and len(p) >= 12 and p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+                        kind, mime = "video", "video/x-msvideo"
+                        try:
+                            meta = avi_meta(p)
+                        except Exception:
+                            meta = None
+                        if meta:
+                            w = meta["width"]
+                            h = meta["height"]
+                            dur = meta["duration_ms"]
                     else:
                         for magic, k, m in magics:
                             if p and p[: len(magic)] == magic:
