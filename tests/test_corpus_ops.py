@@ -1,0 +1,130 @@
+"""Corpus-governance operators: paragraph-frequency dedup (boilerplate
+removal), SemDeDup semantic dedup, and per-key quota capping."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import rows
+from trial_submission_studio_spark.operators.paragraphs import (
+    paragraph_dedup,
+    paragraph_doc_freq,
+    split_paragraphs,
+)
+from trial_submission_studio_spark.operators.sampling import cap_per_key
+from trial_submission_studio_spark.operators.similarity import (
+    semantic_dedup,
+    semantic_dup_pairs,
+)
+
+BOILER = "subscribe to our newsletter."
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, f"alpha beta\n{BOILER}\ngamma delta"),
+            (2, f"epsilon zeta\n{BOILER}"),
+            (3, f"{BOILER}\neta theta"),
+            (4, BOILER),  # nothing but boilerplate
+            (5, "iota kappa\nlambda mu"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_paragraph_dedup_drops_boilerplate_keeps_order(spark):
+    out = paragraph_dedup(_docs(spark), "doc_id", "text", max_docs=2)
+    got = {r["doc_id"]: (r["text"], r["n_kept"], r["n_dropped"]) for r in out.collect()}
+    assert got[1] == ("alpha beta\ngamma delta", 2, 1)
+    assert got[2] == ("epsilon zeta", 1, 1)
+    assert got[3] == ("eta theta", 1, 1)
+    assert got[4] == ("", 0, 1)  # all-boilerplate doc survives as empty
+    assert got[5] == ("iota kappa\nlambda mu", 2, 0)
+
+
+def test_paragraph_dedup_normalization_folds_case(spark):
+    df = spark.createDataFrame(
+        [(1, "Shared Para\nunique one"), (2, "  shared para \nunique two")],
+        "doc_id long, text string",
+    )
+    out = paragraph_dedup(df, "doc_id", "text", max_docs=1)
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    # normalized forms collide -> doc_freq 2 -> dropped; originals differ
+    assert got == {1: "unique one", 2: "unique two"}
+    raw = paragraph_dedup(df, "doc_id", "text", max_docs=1, normalize=False)
+    gotr = {r["doc_id"]: r["text"] for r in raw.collect()}
+    assert gotr[1] == "Shared Para\nunique one"
+
+
+def test_paragraph_doc_freq_counts_documents_not_occurrences(spark):
+    # the same paragraph twice in ONE doc must count once
+    df = spark.createDataFrame([(1, "x\nx"), (2, "x\ny")], "doc_id long, text string")
+    ex = split_paragraphs(df, "doc_id", "text")
+    freq = {r["doc_freq"] for r in paragraph_doc_freq(ex, "doc_id").collect()}
+    assert freq == {2, 1}  # 'x' in 2 docs (not 3 occurrences), 'y' in 1
+
+
+def test_paragraph_dedup_partition_invariant(spark):
+    d = _docs(spark)
+    a = rows(paragraph_dedup(d, "doc_id", "text", max_docs=2))
+    b = rows(paragraph_dedup(d.repartition(7), "doc_id", "text", max_docs=2))
+    assert a == b
+
+
+def test_semantic_dedup_drops_planted_keeps_min_id(spark):
+    base = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    planted = [(101, [2.0, 0.0, 0.0, 0.0]), (102, [0.0, 3.0, 0.0, 0.0])]
+    df = spark.createDataFrame(
+        base + planted, "vec_id long, embedding array<float>"
+    )
+    pairs = rows(
+        semantic_dup_pairs(df, threshold=0.99, n_centroids=3), "id_a", "id_b"
+    )
+    assert (1, 101) in pairs and (2, 102) in pairs
+    surv = semantic_dedup(df, threshold=0.99, n_centroids=3)
+    assert sorted(r["vec_id"] for r in surv.collect()) == [1, 2, 3]
+
+
+def test_semantic_dedup_clique_keeps_exactly_one(spark):
+    df = spark.createDataFrame(
+        [
+            (10, [1.0, 1.0]),
+            (20, [2.0, 2.0]),
+            (30, [5.0, 5.0]),
+            (40, [-1.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    surv = semantic_dedup(df, threshold=0.999, n_centroids=2)
+    assert sorted(r["vec_id"] for r in surv.collect()) == [10, 40]
+
+
+def test_cap_per_key_enforces_quota_deterministically(spark):
+    df = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)],
+        "doc_id long, source string",
+    )
+    out = cap_per_key(df, "source", 10, "doc_id")
+    by_src = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_src == {"big": 10, "small": 10}
+    # identical selection across partitionings (hash priority is pure)
+    again = cap_per_key(df.repartition(13), "source", 10, "doc_id")
+    assert rows(out) == rows(again)
+
+
+def test_cap_per_key_priority_expression(spark):
+    df = spark.createDataFrame(
+        [(i, "s", float(i)) for i in range(10)],
+        "doc_id long, source string, score double",
+    )
+    best = cap_per_key(df, "source", 3, "doc_id", priority=F.desc("score"))
+    assert sorted(r["doc_id"] for r in best.collect()) == [7, 8, 9]
+    with pytest.raises(ValueError):
+        cap_per_key(df, "source", 0, "doc_id")

@@ -186,3 +186,39 @@ def stratified_sample(
             F.col(strata_col) == s, F.lit(int(f * BUCKETS))
         ).otherwise(threshold)
     return df.filter(sample_bucket(key_col, seed, hash_expr) < threshold)
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    cap: int,
+    id_col: str,
+    priority: Column | None = None,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per key, chosen by deterministic
+    priority (per-domain / per-source document quotas — the crawl-
+    governance step that stops one mega-domain from dominating a mix).
+
+    Priority defaults to ``xxhash64(id)`` — a uniform draw that is
+    reproducible across runs and partitionings; pass ``priority`` to
+    rank by quality score, recency, or an oracle-matchable arithmetic
+    hash instead. Ties break on ``id_col`` so the selection is total.
+
+    Scale: one shuffle on ``key_col``; ``row_number`` stops scoring a
+    partition once written, but a pathological hot key still serializes
+    onto one task — the same per-key ceiling as any window formulation
+    (see ``operators/temporal.py``). For power-law key distributions
+    pre-thin hot keys with :func:`deterministic_sample` at a rate that
+    leaves ~10×cap candidates, then apply the exact cap.
+    """
+    from pyspark.sql import Window
+
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    prio = priority if priority is not None else F.xxhash64(F.col(id_col))
+    w = Window.partitionBy(key_col).orderBy(prio, F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )

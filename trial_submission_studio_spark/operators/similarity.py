@@ -395,3 +395,75 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, F.round("sim", 6).alias("sim"), "rank")
     )
+
+
+def semantic_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.99,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Within-cluster near-duplicate pairs (the SemDeDup candidate
+    step; Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication").
+
+    Clusters come from the same deterministic sampled k-means as the
+    IVF index; the pair join is an equi-join on the cluster id with
+    ``id_a < id_b``, so the quadratic term is bounded by the largest
+    *cluster*, never the corpus — pick ``n_centroids`` so mean cluster
+    size stays in the 10³-10⁴ range at the target scale (SemDeDup
+    itself runs 50k clusters over 5B embeddings). Output:
+    (id_a, id_b, sim) with sim ≥ threshold.
+    """
+    cents = centroids or train_ivf_centroids(
+        corpus, n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    assigned = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _nearest_cells(cents, 1)(F.col(vec_col))[0].alias("__cell"),
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__cell") == F.col("b.__cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn(
+            "sim", cosine_pairwise(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+        )
+        .filter(F.col("sim") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round("sim", 6).alias("sim"),
+        )
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.99,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup survivor set: drop every row that has a within-cluster
+    partner at sim ≥ threshold with a SMALLER id (greedy keep-min-id).
+
+    For a clique of mutual near-dups this keeps exactly the smallest
+    id. For a *chain* (a~b, b~c, but a≁c) it drops both b and c —
+    the standard greedy behavior, intentionally more aggressive than
+    connected-component resolution (``dedup.resolve_duplicate_groups``
+    composes with the pair list when group-exact semantics are
+    needed). Anti joins on ids only; vectors never re-shuffle.
+    """
+    pairs = semantic_dup_pairs(
+        corpus, threshold, n_centroids, id_col, vec_col, centroids
+    )
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return corpus.join(drop, id_col, "left_anti")
