@@ -699,6 +699,15 @@ def dedup_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_exact_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup group list + corpus fingerprint stats merged into one
+    frame (slot economy: the 1-row stats aggregate crossJoins onto the
+    per-group rows; both components remain standalone callables)."""
+    return dedup_exact_docs(spark, sf_dir).crossJoin(
+        dedup_fingerprint_stats(spark, sf_dir)
+    )
+
+
 def text_analysis_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis family in ONE per-lang scan (token counting,
     BPE-proxy piece counting, stopword-ratio language ID, quality
@@ -1145,10 +1154,11 @@ def _a6_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def a_profile_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3 top-N + A4 max-length + A5 duplicate-seq + A6 values-by-subject
-    + A9 has-data + A10 first-ref single-row gates merged (crossJoin of
-    1-row aggregates — gate scale only). Column names stay per-operator
-    so the oracle hash still pins each operator's value individually."""
+    """A1/A2 profile + A3 top-N + A4 max-length + A5 duplicate-seq +
+    A6 values-by-subject + A8 invalid-samples + A9 has-data + A10
+    first-ref single-row gates merged (crossJoin of 1-row aggregates —
+    gate scale only). Column names stay per-operator so the oracle
+    hash still pins each operator's value individually."""
     return (
         a4_max_observed_length(spark, sf_dir)
         .crossJoin(a5_duplicate_sequence(spark, sf_dir))
@@ -1156,6 +1166,8 @@ def a_profile_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(a10_first_nonnull_ref(spark, sf_dir))
         .crossJoin(_a3_gate(spark, sf_dir))
         .crossJoin(_a6_gate(spark, sf_dir))
+        .crossJoin(a1_column_profile(spark, sf_dir))
+        .crossJoin(a8_invalid_samples(spark, sf_dir))
     )
 
 
@@ -1552,6 +1564,84 @@ def embedding_quantize_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph boilerplate removal
+    (operators/paragraphs.py): stages a deterministic multi-line
+    corpus (the same 8-word-line staging as quality_line_filter, with
+    a coalesce so NULL text stages identically in both engines) and
+    plants a 'subscribe' footer paragraph on every even doc_id —
+    doc-frequency > 2 paragraphs are dropped corpus-wide and each
+    document reassembles from its surviving paragraphs in order."""
+    from trial_submission_studio_spark.operators.paragraphs import (
+        paragraph_dedup,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+")
+    n_lines = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.concat(
+            F.concat_ws(" ", F.slice(toks, i * 8 + 1, 8)),
+            F.when(i % 3 != 2, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    body = F.concat_ws("\n", lines)
+    staged = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(body, F.lit("\nsubscribe to our newsletter today please.")),
+        )
+        .otherwise(body)
+        .alias("text"),
+    )
+    return paragraph_dedup(staged, "doc_id", "text", max_docs=2)
+
+
+def semantic_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup gate (operators/similarity.py:semantic_dedup): planted
+    positively-scaled copies (cosine exactly 1; scaling preserves the
+    argmax centroid, so copy and original land in the same cluster)
+    must all be dropped by the within-cluster keep-min-id rule, and
+    nothing else may be dropped (max natural pairwise cosine in the
+    embeddings table is ~0.51 at sf0.01 / ~0.60 at sf0.1, far below
+    the 0.99 threshold — survivors must equal the original set
+    exactly)."""
+    from trial_submission_studio_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mutated = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    corpus = emb.unionByName(mutated)
+    surv = semantic_dedup(corpus, threshold=0.99, n_centroids=8)
+    n_orig = emb.count()
+    n_planted = mutated.count()
+    n_surv = surv.count()
+    n_planted_left = surv.filter(F.col("vec_id") >= 1000000).count()
+    ok = n_surv == n_orig and n_planted_left == 0
+    return spark.range(1).select(
+        F.lit(n_planted).cast("long").alias("n_planted"),
+        F.lit(1 if ok else 0).cast("long").alias("dedup_exact_ok"),
+    )
+
+
+def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quota (crawl governance;
+    operators/sampling.py:cap_per_key): at most 40 docs per source,
+    selected by a pinned multiplicative-hash priority both engines
+    evaluate identically (the library default priority is xxhash64)."""
+    from trial_submission_studio_spark.operators.sampling import cap_per_key
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    prio = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000000007)
+    return cap_per_key(d, "source", 40, "doc_id", priority=prio)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1564,15 +1654,20 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared contract: exactly 50 entries so the driver's 50-row
     check window covers every query (r2 lesson: entries past #50 get
-    no CORRECTNESS row). T1/T12, A3/A4/A5/A6/A9/A10, J3/J4/J5/J6,
-    V1/V4/V6, LSH/IVF ANN recall, Jaccard/embedding dedup verify and
-    token/BPE-piece counting are merged into single gate queries (see
-    t_const_bool_render / a_profile_gates / j_crossdomain_gates /
-    v_domain_check_gates / ann_recall_gates / dedup_verify_gates /
+    no CORRECTNESS row). T1/T12, A1-A10, J3/J4/J5/J6, V1/V4/V6,
+    LSH/IVF ANN recall, Jaccard/embedding dedup verify, exact-dup
+    group list + fingerprint stats, and token/BPE-piece counting are
+    merged into single gate queries (see t_const_bool_render /
+    a_profile_gates / j_crossdomain_gates / v_domain_check_gates /
+    ann_recall_gates / dedup_verify_gates / dedup_exact_gates /
     text_analysis_gates; every component stays a standalone
     callable). Queries that have never seen the oracle sit FIRST —
     r6 lesson: nothing rotates out of the window unverified."""
     return {
+        "paragraph_dedup_docs": paragraph_dedup_docs,
+        "semantic_dedup_gate": semantic_dedup_gate,
+        "source_quota_cap": source_quota_cap,
+        "dedup_exact_gates": dedup_exact_gates,
         "contamination_ngram_overlap": contamination_ngram_overlap,
         "quality_line_filter": quality_line_filter,
         "corpus_mix_weighted": corpus_mix_weighted,
@@ -1600,8 +1695,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t11_codelist_decode_fill": t11_codelist_decode_fill,
         "t13_numeric_render": t13_numeric_render,
         "t_const_bool_render": t_const_bool_render,
-        "a1_column_profile": a1_column_profile,
-        "a8_invalid_samples": a8_invalid_samples,
         "a_profile_gates": a_profile_gates,
         "j1_orphan_customers": j1_orphan_customers,
         "j2_semi_suppliers": j2_semi_suppliers,
@@ -1613,8 +1706,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_domain_check_gates": v_domain_check_gates,
         "v8_ct_violations": v8_ct_violations,
         "w1_days_since_prev": w1_days_since_prev,
-        "dedup_exact_docs": dedup_exact_docs,
-        "dedup_fingerprint_stats": dedup_fingerprint_stats,
         "text_analysis_gates": text_analysis_gates,
         "dedup_group_resolution": dedup_group_resolution,
         "sample_stratified": sample_stratified,
@@ -1766,14 +1857,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(p_size AS VARCHAR) || '.5' AS r_half
             FROM part
         """,
-        "a1_column_profile": """
-            SELECT count(*) AS n,
-                   count(DISTINCT l_returnflag) AS rf_distinct,
-                   count(DISTINCT l_suppkey) AS supp_distinct,
-                   CAST(max(length(l_returnflag)) AS BIGINT) AS rf_max_len,
-                   round(avg(l_quantity), 4) AS avg_qty
-            FROM lineitem
-        """,
         "a_profile_gates": """
             SELECT * FROM
               (SELECT CAST(greatest(max(length(rtrim(p_name))), 1) AS BIGINT) AS len_name,
@@ -1806,23 +1889,26 @@ def oracle_sql() -> dict[str, str]:
                             CAST(count(*) AS VARCHAR) AS s,
                             count(*) AS n
                      FROM orders GROUP BY o_custkey))
-        """,
-        "a8_invalid_samples": """
-            WITH v AS (
-              SELECT CASE p_partkey % 5
-                       WHEN 0 THEN CAST(p_size AS VARCHAR)
-                       WHEN 1 THEN 'N/A'
-                       WHEN 2 THEN 'abc'
-                       WHEN 3 THEN '12.5'
-                       ELSE '?' END AS v
-              FROM part
-            )
-            SELECT CAST(sum(CASE WHEN TRY_CAST(v AS DOUBLE) IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-                     AS invalid_cnt,
-                   array_to_string(
-                     (list_sort(list(DISTINCT CASE WHEN TRY_CAST(v AS DOUBLE) IS NULL THEN v END)
-                      ))[1:5], '|') AS samples
-            FROM v
+            CROSS JOIN
+              (SELECT count(*) AS n,
+                      count(DISTINCT l_returnflag) AS rf_distinct,
+                      count(DISTINCT l_suppkey) AS supp_distinct,
+                      CAST(max(length(l_returnflag)) AS BIGINT) AS rf_max_len,
+                      round(avg(l_quantity), 4) AS avg_qty
+               FROM lineitem)
+            CROSS JOIN
+              (SELECT CAST(sum(CASE WHEN TRY_CAST(v AS DOUBLE) IS NULL
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS invalid_cnt,
+                      array_to_string(
+                        (list_sort(list(DISTINCT CASE WHEN TRY_CAST(v AS DOUBLE) IS NULL
+                                                      THEN v END)))[1:5], '|') AS samples
+               FROM (SELECT CASE p_partkey % 5
+                              WHEN 0 THEN CAST(p_size AS VARCHAR)
+                              WHEN 1 THEN 'N/A'
+                              WHEN 2 THEN 'abc'
+                              WHEN 3 THEN '12.5'
+                              ELSE '?' END AS v
+                     FROM part))
         """,
         "j1_orphan_customers": """
             SELECT c_custkey FROM customer
@@ -2020,22 +2106,82 @@ def oracle_sql() -> dict[str, str]:
                      CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev
             FROM orders
         """,
-        "dedup_exact_docs": """
+        "dedup_exact_gates": """
             WITH corpus AS (
               SELECT doc_id, text FROM documents
               UNION ALL
               SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0
             )
-            SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
-                   count(*) AS dup_count
-            FROM corpus GROUP BY text HAVING count(*) > 1
+            SELECT * FROM
+              (SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+                      count(*) AS dup_count
+               FROM corpus GROUP BY text HAVING count(*) > 1)
+            CROSS JOIN
+              (SELECT count(*) AS n_docs,
+                      count(DISTINCT text) AS n_exact,
+                      count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+                        AS n_norm
+               FROM documents)
         """,
-        "dedup_fingerprint_stats": """
-            SELECT count(*) AS n_docs,
-                   count(DISTINCT text) AS n_exact,
-                   count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
-                     AS n_norm
-            FROM documents
+        "paragraph_dedup_docs": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(coalesce(text, ''))),
+                                           '\\s+') AS toks
+              FROM documents
+            ),
+            l AS (
+              SELECT doc_id,
+                     list_transform(
+                       range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT)),
+                       i -> array_to_string(toks[i * 8 + 1 : i * 8 + 8], ' ')
+                            || CASE WHEN i % 3 != 2 THEN '.' ELSE '' END)
+                       AS lines
+              FROM t
+            ),
+            staged AS (
+              SELECT doc_id,
+                     array_to_string(lines, chr(10))
+                     || CASE WHEN doc_id % 2 = 0
+                             THEN chr(10) || 'subscribe to our newsletter today please.'
+                             ELSE '' END AS text
+              FROM l
+            ),
+            ex AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS para,
+                     unnest(generate_series(1, len(string_split(text, chr(10)))))
+                       AS pos
+              FROM staged
+            ),
+            freq AS (
+              SELECT lower(trim(para)) AS k, count(DISTINCT doc_id) AS df
+              FROM ex GROUP BY 1
+            ),
+            fl AS (
+              SELECT e.doc_id, e.pos, e.para, (f.df <= 2) AS keep
+              FROM ex e JOIN freq f ON lower(trim(e.para)) = f.k
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN keep THEN para END,
+                                       chr(10) ORDER BY pos), '') AS text,
+                   CAST(coalesce(sum(CASE WHEN keep THEN 1 END), 0) AS BIGINT)
+                     AS n_kept,
+                   CAST(coalesce(sum(CASE WHEN NOT keep THEN 1 END), 0) AS BIGINT)
+                     AS n_dropped
+            FROM fl GROUP BY doc_id
+        """,
+        "semantic_dedup_gate": """
+            SELECT count(*) AS n_planted, 1 AS dedup_exact_ok
+            FROM embeddings WHERE vec_id % 10 = 0
+        """,
+        "source_quota_cap": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
+              FROM documents) WHERE rn <= 40
         """,
         "text_analysis_gates": f"""
             WITH t AS (
