@@ -1,0 +1,152 @@
+"""N-gram language-model perplexity scoring (the CCNet filter stage).
+
+CCNet (Wenzek et al., 2020) buckets web documents by the perplexity
+of a KenLM 5-gram model trained on a clean reference corpus; the
+low-perplexity bucket becomes training data. KenLM itself is a
+single-node C++ artifact — this module implements the same pipeline
+stage as pure DataFrame algebra: a token bigram model with add-k
+smoothing, trained distributed (two groupBy counts), scored
+distributed (explode + two broadcast-or-shuffle joins + one
+aggregation).
+
+Determinism note: per-bigram log-probabilities are summed as e6
+fixed-point INTEGERS, not floats — integer addition is associative,
+so scores are bit-identical across partitionings, engines, and
+retries (the same trick as text_analysis_gates' e4 quality sums).
+
+Scale shape:
+
+- The model is two count tables bounded by vocabulary size (unigrams)
+  and observed-bigram count — corpus-sublinear, join-key width is one
+  or two tokens. Broadcast when the model fits (a 10⁶-bigram model is
+  ~tens of MB); shuffle-join otherwise.
+- Scoring explodes documents to bigram rows once; both joins key on
+  the same exploded frame, and the final per-doc aggregation is
+  map-side combined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col: str, lowercase: bool) -> Column:
+    t = F.trim(F.col(text_col))
+    if lowercase:
+        t = F.lower(t)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def _doc_bigrams(df: DataFrame, id_col: str, text_col: str, lowercase: bool) -> DataFrame:
+    toks = _tokens(text_col, lowercase)
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.struct(
+                F.element_at(toks, i + 1).alias("tok_a"),
+                F.element_at(toks, i + 2).alias("tok_b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<tok_a:string,tok_b:string>>"))
+    return df.select(F.col(id_col), F.explode(pairs).alias("__bg")).select(
+        id_col, F.col("__bg.tok_a").alias("tok_a"), F.col("__bg.tok_b").alias("tok_b")
+    )
+
+
+def train_bigram_lm(
+    df: DataFrame, id_col: str, text_col: str, lowercase: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """Count tables (unigrams: tok_a, uni_count; bigrams: tok_a,
+    tok_b, bi_count) from a reference corpus. Persist both between
+    runs — training is two shuffles, scoring reuses the tables."""
+    bg = _doc_bigrams(df, id_col, text_col, lowercase)
+    bigrams = bg.groupBy("tok_a", "tok_b").agg(
+        F.count(F.lit(1)).cast("long").alias("bi_count")
+    )
+    unigrams = bg.groupBy("tok_a").agg(
+        F.count(F.lit(1)).cast("long").alias("uni_count")
+    )
+    return unigrams, bigrams
+
+
+def bigram_logprob_scores(
+    df: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: float = 1.0,
+    vocab_size: int | None = None,
+    lowercase: bool = True,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-document bigram log-likelihood under the trained model.
+
+    Add-k smoothing: ln((c_ab + k) / (c_a + k·V)) per bigram, with
+    unseen tokens/bigrams falling back to counts of 0. Output one row
+    per doc: (id, n_bigrams, sum_logprob_e6, avg_logprob, ppl) where
+    sum_logprob_e6 is the deterministic fixed-point integer sum and
+    avg/ppl are derived from it (ppl = exp(-avg), the CCNet bucketing
+    statistic; lower = more reference-like).
+    """
+    v = int(vocab_size) if vocab_size is not None else unigrams.count()
+    uni = unigrams.withColumnRenamed("uni_count", "__ca")
+    bi = bigrams.withColumnRenamed("bi_count", "__cab")
+    if broadcast_model:
+        uni, bi = F.broadcast(uni), F.broadcast(bi)
+    bg = _doc_bigrams(df, id_col, text_col, lowercase)
+    scored = (
+        bg.join(bi, ["tok_a", "tok_b"], "left")
+        .join(uni, ["tok_a"], "left")
+        .select(
+            F.col(id_col),
+            F.floor(
+                F.log(
+                    (F.coalesce(F.col("__cab"), F.lit(0)) + F.lit(float(k)))
+                    / (F.coalesce(F.col("__ca"), F.lit(0)) + F.lit(float(k) * v))
+                )
+                * 1e6
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("__lp_e6"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("__lp_e6").cast("long").alias("sum_logprob_e6"),
+    )
+    # docs with < 2 tokens have no bigrams: re-join so they score NULL
+    base = df.select(F.col(id_col)).distinct()
+    out = base.join(per_doc, id_col, "left")
+    avg = F.col("sum_logprob_e6") / (F.col("n_bigrams") * F.lit(1e6))
+    return out.select(
+        id_col,
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        "sum_logprob_e6",
+        avg.alias("avg_logprob"),
+        F.exp(-avg).alias("ppl"),
+    )
+
+
+def perplexity_filter(
+    df: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_ppl: float,
+    **score_kwargs,
+) -> DataFrame:
+    """Keep documents scoring at or below ``max_ppl`` (docs too short
+    to score are dropped — no evidence either way, CCNet discards
+    them too)."""
+    scores = bigram_logprob_scores(
+        df, unigrams, bigrams, id_col, text_col, **score_kwargs
+    )
+    keep = scores.filter(F.col("ppl") <= max_ppl).select(id_col)
+    return df.join(keep, id_col, "left_semi")
