@@ -128,3 +128,34 @@ def test_cap_per_key_priority_expression(spark):
     assert sorted(r["doc_id"] for r in best.collect()) == [7, 8, 9]
     with pytest.raises(ValueError):
         cap_per_key(df, "source", 0, "doc_id")
+
+
+def test_rebalance_to_target_distribution(spark):
+    from trial_submission_studio_spark.operators.sampling import (
+        rebalance_to_target,
+    )
+
+    data = (
+        [(i, "en") for i in range(400)]
+        + [(1000 + i, "fr") for i in range(100)]
+        + [(2000 + i, "de") for i in range(100)]
+    )
+    df = spark.createDataFrame(data, "doc_id long, lang string")
+    out, fracs = rebalance_to_target(
+        df, "lang", {"en": 0.5, "fr": 0.5}, key_col="doc_id"
+    )
+    # fr is limiting: N = 100/0.5 = 200 -> fr keeps all, en keeps 1/4
+    assert fracs["fr"] == 1.0 and abs(fracs["en"] - 0.25) < 1e-9
+    got = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert "de" not in got and got["fr"] == 100
+    assert abs(got["en"] - 100) <= 20  # hash selection is approximate
+    # deterministic across partitionings
+    out2, _ = rebalance_to_target(
+        df.repartition(9), "lang", {"en": 0.5, "fr": 0.5}, key_col="doc_id"
+    )
+    assert rows(out) == rows(out2)
+    with pytest.raises(ValueError):
+        rebalance_to_target(df, "lang", {"xx": 1.0}, key_col="doc_id")

@@ -222,3 +222,56 @@ def cap_per_key(
         .filter(F.col("__rn") <= cap)
         .drop("__rn")
     )
+
+
+def rebalance_to_target(
+    df: DataFrame,
+    strata_col: str,
+    target: dict[str, float],
+    key_col: str,
+    seed: int = 0,
+    hash_expr: Column | None = None,
+) -> tuple[DataFrame, dict[str, float]]:
+    """Downsample strata so the output distribution approximates a
+    target mix (the "rebalance languages/sources to X%" step of corpus
+    construction).
+
+    ``target`` maps stratum → desired share (normalized internally;
+    strata not listed are dropped). The achievable output size is
+    ``N = min_s(count_s / share_s)`` — the stratum that runs out first
+    caps the total — and each stratum keeps ``share_s · N / count_s``
+    of its rows via the same key-hash selection as
+    :func:`stratified_sample` (reproducible, partition-independent).
+    Downsample-only by design: to UPWEIGHT a stratum beyond its
+    natural count, compose :func:`mix_epochs`.
+
+    Returns ``(sampled_df, fractions)`` — the fractions are surfaced
+    so callers can log/persist the realized rates. Costs one count
+    action (stratum cardinalities are config-sized) before the lazy
+    filter.
+    """
+    if not target:
+        raise ValueError("target must name at least one stratum")
+    tot = float(sum(target.values()))
+    if tot <= 0:
+        raise ValueError("target shares must sum > 0")
+    shares = {s: w / tot for s, w in target.items()}
+    counts = {
+        r["s"]: r["n"]
+        for r in df.filter(F.col(strata_col).isin(*shares))
+        .groupBy(F.col(strata_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    missing = sorted(s for s in shares if counts.get(s, 0) == 0)
+    if missing:
+        raise ValueError(f"target strata absent from corpus: {missing}")
+    n_out = min(counts[s] / share for s, share in shares.items())
+    fractions = {
+        s: min(1.0, share * n_out / counts[s]) for s, share in shares.items()
+    }
+    sampled = stratified_sample(
+        df, strata_col, fractions, key_col,
+        default_fraction=0.0, seed=seed, hash_expr=hash_expr,
+    )
+    return sampled, fractions
