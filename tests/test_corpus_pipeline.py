@@ -1,0 +1,94 @@
+"""Composed pretraining-corpus pipeline: every planted defect class is
+removed by its stage, clean docs survive end to end."""
+
+from trial_submission_studio_spark.corpus import CorpusConfig, prepare_corpus
+
+LONG = " ".join(f"token{i}" for i in range(30))
+BOILER = "all rights reserved copyright notice."
+
+
+def _corpus(spark):
+    return spark.createDataFrame(
+        [
+            # clean survivors
+            (1, f"{LONG} alpha ending.", "src0"),
+            (2, f"{LONG.replace('token', 'word')} beta ending.", "src0"),
+            # near-dup of 1 (tiny suffix) -> near_dedup drops it
+            (3, f"{LONG} alpha ending. zq", "src0"),
+            # exact dup of 2 (case) -> exact_dedup drops it
+            (4, f"{LONG.replace('token', 'word')} beta ending.".upper(), "src0"),
+            # too short -> doc_quality drops it
+            (5, "tiny doc.", "src0"),
+            # boilerplate-carrying docs (3 sources of the same paragraph)
+            (6, f"unique six {LONG.replace('token', 'sixish')}\n{BOILER}", "src1"),
+            (7, f"unique seven {LONG.replace('token', 'tok')}\n{BOILER}", "src1"),
+            (8, f"unique eight {LONG.replace('token', 'tk')}\n{BOILER}", "src1"),
+            # contaminated against the benchmark -> decontamination drops it
+            (9, "the exact benchmark passage appears verbatim right here today.", "src1"),
+        ],
+        "doc_id long, text string, source string",
+    )
+
+
+def _benchmark(spark):
+    return spark.createDataFrame(
+        [(100, "the exact benchmark passage appears verbatim right here today.")],
+        "doc_id long, text string",
+    )
+
+
+def test_prepare_corpus_each_stage_removes_its_defect(spark):
+    cfg = CorpusConfig(
+        min_line_words=2,
+        min_doc_tokens=10,
+        paragraph_max_docs=2,
+        contamination_threshold=0.5,
+        contamination_ngram=8,
+    )
+    out = prepare_corpus(
+        _corpus(spark), "doc_id", "text", cfg,
+        benchmark=_benchmark(spark), collect_stats=True,
+    )
+    survivors = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert sorted(survivors) == [1, 2, 6, 7, 8]
+    # boilerplate paragraph excised, unique content kept
+    assert BOILER not in survivors[6] and "unique six" in survivors[6]
+    # retention ledger is monotone non-increasing and complete
+    s = cfg.stats
+    order = [
+        "input", "line_quality", "doc_quality", "paragraph_dedup",
+        "exact_dedup", "near_dedup", "decontaminated",
+    ]
+    assert list(s) == order
+    assert all(s[a] >= s[b] for a, b in zip(order, order[1:]))
+    assert s["input"] == 9 and s["decontaminated"] == 5
+
+
+def test_prepare_corpus_quota_and_mix(spark):
+    docs = spark.createDataFrame(
+        [(i, f"{LONG} doc {i} ending.", "src0" if i < 80 else "src1")
+         for i in range(100)],
+        "doc_id long, text string, source string",
+    )
+    cfg = CorpusConfig(
+        min_line_words=None, min_doc_tokens=None,
+        paragraph_max_docs=None, exact_dedup=False, near_dedup=False,
+        contamination_threshold=None,
+        source_cap=30, target_mix={"src0": 0.5, "src1": 0.5},
+    )
+    out = prepare_corpus(docs, "doc_id", "text", cfg)
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    # cap: 30 per source; mix: both equal-limited -> roughly balanced
+    assert counts["src0"] <= 30 and counts["src1"] <= 30
+    assert abs(counts["src0"] - counts["src1"]) <= 12
+
+
+def test_prepare_corpus_all_stages_off_is_identity(spark):
+    docs = _corpus(spark)
+    cfg = CorpusConfig(
+        min_line_words=None, min_doc_tokens=None, paragraph_max_docs=None,
+        exact_dedup=False, near_dedup=False, contamination_threshold=None,
+    )
+    out = prepare_corpus(docs, "doc_id", "text", cfg)
+    assert sorted(r["doc_id"] for r in out.collect()) == list(range(1, 10))

@@ -1,0 +1,149 @@
+"""End-to-end pretraining-corpus preparation pipeline.
+
+Composes the engine's corpus operators into the canonical web-scale
+recipe (C4 → CCNet → Gopher → RefinedWeb lineage), in the order the
+literature converged on — cheap row-local filters first, corpus-wide
+shuffling stages last, so every shuffle sees the smallest possible
+corpus:
+
+1. **Line quality** (C4 rules) — row-local, zero shuffle.
+2. **Document quality gates** (length, stopword-ratio language ID,
+   Gopher repetition) — row-local, zero shuffle.
+3. **Paragraph boilerplate removal** — first corpus-wide stage.
+4. **Exact dedup** (normalized fingerprint, min-id survivor).
+5. **Near dedup** (MinHash → LSH → Jaccard verify → connected
+   components → one survivor per group).
+6. **Decontamination** against a benchmark set (word n-gram overlap).
+7. **Source quota caps** and **target-mix rebalancing** (optional).
+
+Every stage is the already-tested operator — this module only
+sequences them and threads a stats accumulator so pipelines can log
+per-stage retention (the number one debugging need in corpus work:
+"where did my data go?"). Stage toggles take ``None`` to skip.
+
+At 100 TB each numbered stage is a separate checkpointed table in
+practice; ``prepare_corpus`` returns lazily-composed DataFrames, so
+callers insert persistence wherever their orchestration wants it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .operators.contamination import contamination_overlap
+from .operators.dedup import dedup_exact, dedup_near
+from .operators.paragraphs import paragraph_dedup
+from .operators.qualityfilter import line_quality_filter
+from .operators.sampling import cap_per_key, rebalance_to_target
+from .operators.textstats import quality_score, stopword_ratio, token_count
+
+
+@dataclass
+class CorpusConfig:
+    """Stage knobs; ``None`` disables the stage."""
+
+    min_line_words: int | None = 3
+    min_doc_tokens: int | None = 10
+    min_stopword_ratio: float | None = None
+    min_quality: float | None = None
+    paragraph_max_docs: int | None = 5
+    exact_dedup: bool = True
+    near_dedup: bool = True
+    minhash_k: int = 5
+    contamination_threshold: float | None = 0.5
+    contamination_ngram: int = 8
+    source_cap: int | None = None
+    source_col: str = "source"
+    target_mix: dict[str, float] | None = None
+    stats: dict[str, int] = field(default_factory=dict)
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    config: CorpusConfig | None = None,
+    benchmark: DataFrame | None = None,
+    collect_stats: bool = False,
+) -> DataFrame:
+    """Run the composed pipeline; returns the cleaned corpus with the
+    original columns (text rewritten by paragraph dedup when enabled).
+
+    ``collect_stats=True`` counts survivors after every stage into
+    ``config.stats`` (one action per stage — debugging/reporting mode;
+    leave False in production and count the final table only).
+    """
+    cfg = config or CorpusConfig()
+
+    def _mark(stage: str, df: DataFrame) -> DataFrame:
+        if collect_stats:
+            cfg.stats[stage] = df.count()
+        return df
+
+    out = _mark("input", docs)
+
+    if cfg.min_line_words is not None:
+        kept = line_quality_filter(
+            out, id_col, text_col,
+            min_words=cfg.min_line_words,
+            require_terminal_punct=False,
+            keep_text=True,
+        ).select(id_col, F.col("kept_text").alias(text_col))
+        out = _mark(
+            "line_quality",
+            out.drop(text_col).join(kept, id_col),
+        )
+
+    doc_pred = None
+    if cfg.min_doc_tokens is not None:
+        doc_pred = token_count(text_col) >= cfg.min_doc_tokens
+    if cfg.min_stopword_ratio is not None:
+        p = stopword_ratio(text_col) >= cfg.min_stopword_ratio
+        doc_pred = p if doc_pred is None else (doc_pred & p)
+    if cfg.min_quality is not None:
+        p = quality_score(text_col) >= cfg.min_quality
+        doc_pred = p if doc_pred is None else (doc_pred & p)
+    if doc_pred is not None:
+        out = _mark("doc_quality", out.filter(doc_pred))
+
+    if cfg.paragraph_max_docs is not None:
+        cleaned = paragraph_dedup(
+            out, id_col, text_col, max_docs=cfg.paragraph_max_docs
+        ).select(id_col, text_col)
+        out = _mark(
+            "paragraph_dedup", out.drop(text_col).join(cleaned, id_col)
+        )
+
+    if cfg.exact_dedup:
+        out = _mark("exact_dedup", dedup_exact(out, id_col, text_col))
+
+    if cfg.near_dedup:
+        out = _mark(
+            "near_dedup", dedup_near(out, id_col, text_col, k=cfg.minhash_k)
+        )
+
+    if cfg.contamination_threshold is not None and benchmark is not None:
+        flags = contamination_overlap(
+            out, benchmark, id_col, text_col,
+            n=cfg.contamination_ngram,
+            threshold=cfg.contamination_threshold,
+        )
+        dirty = flags.filter(F.col("contaminated") == 1).select(id_col)
+        out = _mark("decontaminated", out.join(dirty, id_col, "left_anti"))
+
+    if cfg.source_cap is not None:
+        out = _mark(
+            "source_cap",
+            cap_per_key(out, cfg.source_col, cfg.source_cap, id_col),
+        )
+
+    if cfg.target_mix is not None:
+        out, _ = rebalance_to_target(
+            out, cfg.source_col, cfg.target_mix, key_col=id_col
+        )
+        out = _mark("rebalanced", out)
+
+    return out
