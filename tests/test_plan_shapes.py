@@ -1,0 +1,133 @@
+"""Physical-plan shape guards for the scale story.
+
+Correctness tests pin WHAT the operators compute; these pin HOW —
+the plan properties that make the 100 TB claim true. A regression
+that silently introduces a cartesian product, un-prunes a scan, or
+doubles the shuffle count of a hot path fails here long before any
+benchmark notices.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _entry():
+    import __spark_entry__ as m
+
+    return m
+
+
+def test_no_cartesian_products_in_data_plane_queries(spark):
+    """Gate-scale crossJoins of 1-row aggregates are fine; anything
+    joining real row sets without keys is not. Every non-gate contract
+    query must be cartesian-free."""
+    m = _entry()
+    gate_names = {n for n in m.queries() if n.endswith("_gates") or n.endswith("_gate")}
+    checked = 0
+    for name, fn in m.queries().items():
+        if name in gate_names:
+            continue  # 1-row crossJoins by design (+ their own count actions)
+        df = fn(spark, SF)
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, name
+        checked += 1
+    assert checked >= 40
+
+
+def test_quota_cap_scan_prunes_columns(spark):
+    m = _entry()
+    plan = _plan(m.source_quota_cap(spark, SF))
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scans and all("text" not in ln for ln in scans), (
+        "quota cap reads only (doc_id, source); the text column must "
+        "not reach the scan"
+    )
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    m = _entry()
+    plan = _plan(m.q1_pricing_summary(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_single_shuffle_operators(spark):
+    """Operators whose contract is 'one shuffle': the window/groupBy
+    families. Exchange count in the executed plan must be exactly 1."""
+    from trial_submission_studio_spark.operators.sampling import cap_per_key
+    from trial_submission_studio_spark.operators.skew import sessionize
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for name, df in {
+        "cap_per_key": cap_per_key(
+            docs.select("doc_id", "source"), "source", 5, "doc_id"
+        ),
+        "sessionize": sessionize(events, "user_id", "ts", gap_minutes=30),
+    }.items():
+        assert _plan(df).count("Exchange") == 1, name
+
+
+def test_zero_shuffle_row_local_filters(spark):
+    """The row-local filter family must not shuffle at all: C4 line
+    filter, stratified sampling, quality/textstats expressions."""
+    from trial_submission_studio_spark.operators.qualityfilter import (
+        line_quality_filter,
+    )
+    from trial_submission_studio_spark.operators.sampling import (
+        stratified_sample,
+    )
+    from trial_submission_studio_spark.operators.textstats import (
+        quality_score,
+        token_count,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for name, df in {
+        "line_filter": line_quality_filter(docs, "doc_id", "text"),
+        "stratified": stratified_sample(
+            docs, "source", {"src0": 0.5}, key_col="doc_id"
+        ),
+        "textstats": docs.select(
+            "doc_id", token_count("text"), quality_score("text")
+        ),
+    }.items():
+        assert "Exchange" not in _plan(df), name
+
+
+def test_broadcast_joins_where_build_side_is_small(spark):
+    """CT lookup and LM scoring declare broadcast-able build sides;
+    the plan must actually broadcast (no SortMergeJoin on the model)."""
+    from trial_submission_studio_spark.operators.lm import (
+        bigram_logprob_scores,
+        train_bigram_lm,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    uni, bi = train_bigram_lm(docs, "doc_id", "text")
+    plan = _plan(
+        bigram_logprob_scores(docs, uni, bi, "doc_id", "text")
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_minhash_shuffle_carries_signatures_not_shingles(spark):
+    """The minhash agg must partial-aggregate map-side: the plan shows
+    a partial HashAggregate BEFORE the exchange, so the shuffle rows
+    are per-doc minima, never exploded shingles."""
+    from trial_submission_studio_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(minhash_signatures(docs, "doc_id", "text"))
+    before_exchange = plan.split("Exchange", 1)[0]
+    assert "partial_min" in plan or "HashAggregate" in before_exchange
