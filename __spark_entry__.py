@@ -1618,7 +1618,11 @@ def semantic_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
     )
     corpus = emb.unionByName(mutated)
-    surv = semantic_dedup(corpus, threshold=0.99, n_centroids=8)
+    # gate runs two count actions over the survivor set; checkpoint so
+    # k-means assignment + the cell self-join execute once
+    surv = semantic_dedup(corpus, threshold=0.99, n_centroids=8).localCheckpoint(
+        eager=True
+    )
     n_orig = emb.count()
     n_planted = mutated.count()
     n_surv = surv.count()

@@ -234,6 +234,27 @@ def main() -> None:
     for key in first:
         timings[key] = min(first[key], second[key])
         single_shot[key] = first[key]
+    # round-7 corpus-governance operators, measured OUTSIDE the
+    # headline total so `value` stays comparable across rounds
+    # (same warmup + best-of-2 discipline)
+    extra: dict[str, float] = {}
+    EXTRA_QUERIES = (
+        "paragraph_dedup_docs",
+        "semantic_dedup_gate",
+        "source_quota_cap",
+    )
+    for name in EXTRA_QUERIES:
+        try:
+            qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            continue
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        extra[name] = round(best, 3)
+        gc.collect()
     print(
         json.dumps(
             {
@@ -246,6 +267,7 @@ def main() -> None:
                 # from host noise (visible only in single-shot) when
                 # comparing across rounds
                 "queries_single_shot": single_shot,
+                "queries_extra": extra,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 # fixed since r04 — keep stable so cross-round deltas
                 # compare like-for-like (r01/r02 were single-shot cold)
