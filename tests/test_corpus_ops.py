@@ -159,3 +159,55 @@ def test_rebalance_to_target_distribution(spark):
     assert rows(out) == rows(out2)
     with pytest.raises(ValueError):
         rebalance_to_target(df, "lang", {"xx": 1.0}, key_col="doc_id")
+
+
+def test_paragraph_dedup_identity_property(spark):
+    """Property: with max_docs >= corpus size nothing is ever dropped,
+    and reassembly is byte-lossless for any text (including empty
+    paragraphs, repeated separators, trailing newlines)."""
+    from hypothesis import given, settings, strategies as st
+
+    para = st.text(alphabet="ab X.", min_size=0, max_size=12)
+    doc = st.lists(para, min_size=1, max_size=6).map("\n".join)
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=6))
+    def run(texts):
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        out = paragraph_dedup(df, "doc_id", "text", max_docs=len(texts))
+        got = {r["doc_id"]: (r["text"], r["n_dropped"]) for r in out.collect()}
+        for i, t in enumerate(texts):
+            assert got[i] == (t, 0), (t, got[i])
+
+    run()
+
+
+def test_remove_repeated_substrings_identity_property(spark):
+    """Property: a doc-frequency bar no corpus can meet means nothing
+    is excised — output is exactly the whitespace-normalized input."""
+    from hypothesis import given, settings, strategies as st
+
+    from trial_submission_studio_spark.operators.substrings import (
+        remove_repeated_substrings,
+    )
+
+    word = st.text(alphabet="abcxyz", min_size=1, max_size=5)
+    doc = st.lists(word, min_size=0, max_size=15).map(" ".join)
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=5))
+    def run(texts):
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        out = remove_repeated_substrings(
+            df, "doc_id", "text", w=3, min_doc_freq=len(texts) + 1
+        )
+        got = {r["doc_id"]: (r["text"], r["n_removed"]) for r in out.collect()}
+        for i, t in enumerate(texts):
+            norm = " ".join(t.split())
+            assert got[i] == (norm, 0), (t, got[i])
+
+    run()
