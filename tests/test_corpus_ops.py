@@ -211,3 +211,24 @@ def test_remove_repeated_substrings_identity_property(spark):
             assert got[i] == (norm, 0), (t, got[i])
 
     run()
+
+
+def test_split_corpus_disjoint_exhaustive_stable(spark):
+    from trial_submission_studio_spark.operators.sampling import split_corpus
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(500)], "doc_id long"
+    )
+    splits = split_corpus(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    ids = {k: {r["doc_id"] for r in v.collect()} for k, v in splits.items()}
+    assert sum(len(s) for s in ids.values()) == 500  # exhaustive
+    assert not (ids["train"] & ids["val"]) and not (ids["val"] & ids["test"])
+    assert 320 <= len(ids["train"]) <= 470  # ~80%, hash-approximate
+    # growing the corpus never reassigns an existing key (no leakage)
+    grown = spark.createDataFrame([(i,) for i in range(800)], "doc_id long")
+    splits2 = split_corpus(grown, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    ids2 = {k: {r["doc_id"] for r in v.collect()} for k, v in splits2.items()}
+    for k in ids:
+        assert ids[k] <= ids2[k]
+    with pytest.raises(ValueError):
+        split_corpus(df, "doc_id", {})

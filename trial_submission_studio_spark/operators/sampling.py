@@ -275,3 +275,37 @@ def rebalance_to_target(
         default_fraction=0.0, seed=seed, hash_expr=hash_expr,
     )
     return sampled, fractions
+
+
+def split_corpus(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    seed: int = 0,
+    hash_expr: Column | None = None,
+) -> dict[str, DataFrame]:
+    """Deterministic, leakage-safe train/val/test split.
+
+    Partitions the hash space into contiguous slices proportional to
+    ``weights`` (normalized internally), so the named splits are
+    disjoint, exhaustive over the keyspace, and a pure function of the
+    KEY — re-running over a grown corpus keeps every previously-
+    assigned key in the same split (no train/test leakage across
+    dataset versions, the property ``df.randomSplit`` cannot give).
+    Returns {name: DataFrame}; each is a zero-shuffle filter over the
+    same scan.
+    """
+    if not weights:
+        raise ValueError("weights must name at least one split")
+    tot = float(sum(weights.values()))
+    if tot <= 0:
+        raise ValueError("weights must sum > 0")
+    bucket = sample_bucket(key_col, seed, hash_expr)
+    out: dict[str, DataFrame] = {}
+    lo = 0
+    items = list(weights.items())
+    for i, (name, w) in enumerate(items):
+        hi = BUCKETS if i == len(items) - 1 else lo + int(w / tot * BUCKETS)
+        out[name] = df.filter((bucket >= lo) & (bucket < hi))
+        lo = hi
+    return out
