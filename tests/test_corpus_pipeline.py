@@ -92,3 +92,34 @@ def test_prepare_corpus_all_stages_off_is_identity(spark):
     )
     out = prepare_corpus(docs, "doc_id", "text", cfg)
     assert sorted(r["doc_id"] for r in out.collect()) == list(range(1, 10))
+
+
+def test_write_corpus_shards_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from trial_submission_studio_spark.io.corpus_shards import (
+        write_corpus_shards,
+    )
+    from trial_submission_studio_spark.operators.textstats import token_count
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (i % 5 + 1))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "shards")
+    manifest = write_corpus_shards(
+        docs.withColumn("n_tok", token_count("text")),
+        out, "doc_id", n_shards=4, token_col="n_tok",
+    ).collect()
+    assert [r["shard"] for r in manifest] == [0, 1, 2, 3]
+    assert sum(r["n_rows"] for r in manifest) == 200
+    assert sum(r["n_tokens"] for r in manifest) == sum(i % 5 + 1 for i in range(200))
+    back = spark.read.parquet(out)
+    assert back.count() == 200
+    assert back.select("shard").distinct().count() == 4
+    # determinism: a re-export assigns every doc the same shard
+    again = write_corpus_shards(
+        docs.withColumn("n_tok", token_count("text")),
+        str(tmp_path / "shards2"), "doc_id", n_shards=4, token_col="n_tok",
+    ).collect()
+    assert [tuple(r) for r in manifest] == [tuple(r) for r in again]
