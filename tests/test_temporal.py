@@ -420,3 +420,76 @@ def test_rolling_agg_subsecond_exact(spark):
     got = sorted((r.s for r in out.collect()))
     # row3 at +2.4s: window (0.4s, 2.4s] contains only row2 (+0.5s) and itself
     assert got == [1.0, 3.0, 6.0]
+
+
+def test_rolling_agg_sliced_equivalence(spark):
+    """rolling_agg_sliced must reproduce rolling_agg exactly — hot key
+    spanning many slices, boundary-straddling frames, sub-second gaps,
+    and a second key with sparse activity (empty-slice carry)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from trial_submission_studio_spark.operators.temporal import (
+        rolling_agg,
+        rolling_agg_sliced,
+    )
+
+    rng = random.Random(7)
+    base = 1_600_000_000_000_000  # µs epoch
+    rows = []
+    t = base
+    for i in range(400):  # hot key: dense, irregular µs steps
+        t += rng.randint(1, 900_000_000)  # up to 15 min
+        rows.append((i, "hot", t / 1e6, float(rng.randint(-50, 50))))
+    t = base
+    for i in range(20):  # sparse key: hours-long holes -> empty slices
+        t += rng.randint(1, 30) * 3_600_000_000
+        rows.append((1000 + i, "cold", t / 1e6, float(rng.randint(-50, 50))))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts double, value double"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+
+    for slice_s in (3600, 7200, 86400):
+        got = (
+            rolling_agg_sliced(
+                df, ["user_id"], "ts",
+                {
+                    "s": ("value", "sum"),
+                    "n": ("value", "count"),
+                    "lo": ("value", "min"),
+                    "hi": ("value", "max"),
+                },
+                window_seconds=3600, slice_seconds=slice_s,
+            )
+            .select("event_id", "s", "n", "lo", "hi")
+        )
+        want = (
+            rolling_agg(
+                df, ["user_id"], "ts",
+                {
+                    "s": F.sum(F.col("value").cast("double")),
+                    "n": F.count(F.lit(1)),
+                    "lo": F.min("value"),
+                    "hi": F.max("value"),
+                },
+                window_seconds=3600,
+            )
+            .select("event_id", "s", "n", "lo", "hi")
+        )
+        g = {r["event_id"]: (r["s"], r["n"], r["lo"], r["hi"]) for r in got.collect()}
+        w = {r["event_id"]: (r["s"], r["n"], r["lo"], r["hi"]) for r in want.collect()}
+        assert g == w, f"slice={slice_s}"
+
+
+def test_rolling_agg_sliced_validations(spark):
+    import pytest
+    from trial_submission_studio_spark.operators.temporal import (
+        rolling_agg_sliced,
+    )
+
+    df = spark.createDataFrame([(1, 1.0, 1.0)], "id long, ts double, value double")
+    with pytest.raises(ValueError):
+        rolling_agg_sliced(df, ["id"], "ts", {"a": ("value", "median")}, 60)
+    with pytest.raises(ValueError):
+        rolling_agg_sliced(df, ["id"], "ts", {"a": ("value", "sum")}, 60, 30)

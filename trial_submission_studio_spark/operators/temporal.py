@@ -410,3 +410,109 @@ def rolling_agg(
     for name, agg in aggs.items():
         out = out.withColumn(name, agg.over(w))
     return out
+
+
+def rolling_agg_sliced(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    aggs: dict[str, tuple[str, str]],
+    window_seconds: int,
+    slice_seconds: int | None = None,
+) -> DataFrame:
+    """Two-phase trailing-window aggregate for power-law keys — same
+    semantics as :func:`rolling_agg`, hot-key-parallel shape (the
+    rolling counterpart of :func:`asof_join_sliced`).
+
+    :func:`rolling_agg` partitions by ``keys`` alone, so one hot key
+    serializes onto one task. Here the window partitions by
+    ``(keys, slice)`` with ``slice_seconds >= window_seconds``, and a
+    boundary pass merges in the previous slice's tail:
+
+    - **Phase 1 (slice-local)**: the exact µs RANGE frame within each
+      (key, slice) — complete for every row whose full trailing
+      window lies inside its own slice.
+    - **Phase 2 (carry)**: per (key, slice), the rows that can still
+      matter to the NEXT slice (the last ``window`` of the slice) are
+      collected into one array and joined to the next slice's rows;
+      each row merges the carried entries inside its own frame
+      ``(ts - window, ts]``. Because ``slice >= window``, no frame
+      ever spans more than one boundary, so one carry join is exact.
+
+    The carried array is bounded by the per-window row count — the
+    same bound the window frame itself has — so phase 2 never exceeds
+    the cost profile the semantics already imply.
+
+    Mergeability constrains the agg surface: ``aggs`` maps output
+    name → ``(source_col, fn)`` with fn ∈ {"sum", "count", "min",
+    "max"} (derive avg as sum/count). ``sum`` accumulates as double.
+    """
+    fns = {f for _, f in aggs.values()}
+    bad = fns - {"sum", "count", "min", "max"}
+    if bad:
+        raise ValueError(f"unsupported agg fns: {sorted(bad)}")
+    w_us = int(window_seconds) * 1_000_000
+    s_sec = int(slice_seconds) if slice_seconds is not None else int(window_seconds)
+    if s_sec < int(window_seconds):
+        raise ValueError("slice_seconds must be >= window_seconds")
+    s_us = s_sec * 1_000_000
+    keys = list(keys)
+
+    us = _epoch_micros(df, ts_col)
+    # exact long floor-div (float division would wobble at µs scale)
+    slice_id = ((us - F.pmod(us, F.lit(s_us))) / F.lit(s_us)).cast("long")
+    d = df.withColumn("__us", us).withColumn("__slice", slice_id)
+
+    w1 = (
+        Window.partitionBy(*keys, "__slice")
+        .orderBy("__us")
+        .rangeBetween(-(w_us - 1), 0)
+    )
+    part = d
+    src_cols = sorted({c for c, _ in aggs.values()})
+    for name, (col, fn) in aggs.items():
+        expr = {
+            "sum": F.sum(F.col(col).cast("double")),
+            "count": F.count(F.lit(1)),
+            "min": F.min(col),
+            "max": F.max(col),
+        }[fn]
+        part = part.withColumn(f"__p_{name}", expr.over(w1))
+
+    carry_struct = F.struct(
+        F.col("__us").alias("__cus"), *[F.col(c) for c in src_cols]
+    )
+    tails = (
+        d.filter(F.col("__us") >= (F.col("__slice") + 1) * s_us - w_us + 1)
+        .groupBy(*keys, (F.col("__slice") + 1).alias("__slice"))
+        .agg(F.collect_list(carry_struct).alias("__carry"))
+    )
+    j = part.join(tails, [*keys, "__slice"], "left").withColumn(
+        "__in_frame",
+        F.filter(
+            F.coalesce(
+                F.col("__carry"),
+                F.array().cast(tails.schema["__carry"].dataType),
+            ),
+            lambda e: e["__cus"] >= F.col("__us") - (w_us - 1),
+        ),
+    )
+    out = j
+    for name, (col, fn) in aggs.items():
+        vals = F.transform(F.col("__in_frame"), lambda e: e[col])
+        merged = {
+            "sum": F.col(f"__p_{name}")
+            + F.coalesce(
+                F.aggregate(
+                    vals,
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double"),
+                ),
+                F.lit(0.0),
+            ),
+            "count": F.col(f"__p_{name}") + F.size("__in_frame"),
+            "min": F.least(F.col(f"__p_{name}"), F.array_min(vals)),
+            "max": F.greatest(F.col(f"__p_{name}"), F.array_max(vals)),
+        }[fn]
+        out = out.withColumn(name, merged).drop(f"__p_{name}")
+    return out.drop("__us", "__slice", "__carry", "__in_frame")
