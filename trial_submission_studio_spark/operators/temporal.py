@@ -32,8 +32,10 @@ Scale design notes (100 TB / 1000 executors):
   slices, runs the as-of per (key, slice), and stitches slice
   boundaries by carrying each slice's last right-side row forward
   via a tiny per-key×slice tail pass — equivalence with the
-  single-pass operator is pinned by test. The same
-  bucket-and-stitch recipe applies to LOCF if ever needed.
+  single-pass operator is pinned by test. ``rolling_agg_sliced``
+  applies the same recipe to trailing-window aggregates (slice-local
+  RANGE frame + a bounded previous-slice carry array, restricted to
+  mergeable aggs). The same recipe applies to LOCF if ever needed.
 """
 
 from __future__ import annotations
@@ -49,6 +51,7 @@ __all__ = [
     "locf_fill",
     "range_interval_join",
     "rolling_agg",
+    "rolling_agg_sliced",
 ]
 
 
