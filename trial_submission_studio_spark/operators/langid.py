@@ -1,0 +1,132 @@
+"""Trainable character-n-gram language identification.
+
+The textstats stopword-ratio heuristic flags "English-like" cheaply;
+real corpus routing needs a multi-language classifier. This is the
+classic Cavnar-Trenkle / langid.py formulation — per-language
+character-trigram profiles, cosine scoring — as pure DataFrame
+algebra: train = two aggregations over a labeled sample, classify =
+explode + broadcast join + argmax. No model artifact, no Python in
+the row path.
+
+Scale shape:
+
+- Profiles are top-k grams per language — a few hundred rows per
+  language, always broadcast.
+- Classification explodes each document to its distinct grams with
+  term frequencies (bounded by text length), joins the broadcast
+  profile, and reduces per (doc, lang) then per doc. Two map-side
+  combined aggregations, zero wide shuffles beyond the doc-key
+  reductions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _norm_text(c: Column) -> Column:
+    # lowercase, collapse whitespace to single spaces, pad so edge
+    # grams exist for short strings
+    return F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(F.trim(c.cast("string"))), r"\s+", " "),
+        F.lit(" "),
+    )
+
+
+def _gram_rows(
+    df: DataFrame, id_cols: list[str], text_col: str, n_max: int
+) -> DataFrame:
+    """Explode to one row per overlapping character n-gram for EVERY
+    n in 1..n_max — the mixed-order Cavnar-Trenkle gram set (short
+    grams give coverage for ideographic scripts and tiny training
+    sets; long grams discriminate related alphabetic languages).
+    substr with a dynamic position needs expr SQL — the sequence
+    element is not a literal."""
+    s = _norm_text(F.col(text_col))
+    # one SQL expression: concatenate the per-order gram arrays
+    gram_sql = "concat(" + ", ".join(
+        f"transform(sequence(1, greatest(length(__s) - {n - 1}, 1)),"
+        f" i -> substr(__s, i, {n}))"
+        for n in range(1, n_max + 1)
+    ) + ")"
+    return (
+        df.select(*id_cols, s.alias("__s"))
+        .select(*id_cols, F.explode(F.expr(gram_sql)).alias("gram"))
+        # whitespace-only grams carry zero language signal but would
+        # dominate every profile's norm (the padded space is the most
+        # frequent character in any corpus)
+        .filter(F.trim(F.col("gram")) != "")
+    )
+
+
+def train_language_profiles(
+    labeled: DataFrame,
+    lang_col: str,
+    text_col: str,
+    n: int = 3,
+    top_k: int = 300,
+) -> DataFrame:
+    """(lang, gram, weight) — L2-normalized term-frequency weight of
+    each language's ``top_k`` most frequent character grams over the
+    mixed 1..n gram orders."""
+    grams = _gram_rows(labeled, [lang_col], text_col, n)
+    counts = grams.groupBy(lang_col, "gram").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    w = Window.partitionBy(lang_col).orderBy(F.desc("tf"), F.col("gram"))
+    top = counts.withColumn("__r", F.row_number().over(w)).filter(
+        F.col("__r") <= top_k
+    )
+    norms = top.groupBy(lang_col).agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("__norm")
+    )
+    return (
+        top.join(norms, lang_col)
+        .select(
+            F.col(lang_col).alias("lang"),
+            "gram",
+            (F.col("tf") / F.col("__norm")).alias("weight"),
+        )
+    )
+
+
+def classify_language(
+    df: DataFrame,
+    profiles: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_score: float = 0.0,
+) -> DataFrame:
+    """(id, lang, score) — the argmax-cosine language per document
+    (deterministic tie-break on language name), ``lang = NULL`` when
+    no profile gram matches or the best score is below ``min_score``
+    (unknown-language signal)."""
+    grams = _gram_rows(df, [id_col], text_col, n)
+    doc_tf = grams.groupBy(id_col, "gram").agg(
+        F.count(F.lit(1)).cast("double").alias("dtf")
+    )
+    doc_norm = doc_tf.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("dtf") * F.col("dtf"))).alias("__dn")
+    )
+    sims = (
+        doc_tf.join(F.broadcast(profiles), "gram")
+        .groupBy(id_col, "lang")
+        .agg(F.sum(F.col("dtf") * F.col("weight")).alias("__dot"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.col("lang"))
+    best = (
+        sims.join(doc_norm, id_col)
+        .select(id_col, "lang", (F.col("__dot") / F.col("__dn")).alias("score"))
+        .withColumn("__r", F.row_number().over(w))
+        .filter((F.col("__r") == 1) & (F.col("score") >= min_score))
+        .drop("__r")
+    )
+    return (
+        df.select(id_col)
+        .distinct()
+        .join(best, id_col, "left")
+        .select(id_col, "lang", "score")
+    )
