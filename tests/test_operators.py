@@ -658,3 +658,24 @@ def test_supp_pivot_back_roundtrip(spark):
     assert got[("S1", "1")] == ("alpha", "high")
     assert got[("S1", "2")] == ("beta", None)   # blank PRIO never unpivoted
     assert got[("S2", "1")] == (None, "low")
+
+
+def test_fix_mojibake_repairs_and_preserves(spark):
+    from trial_submission_studio_spark.operators.textclean import fix_mojibake
+
+    single = "café déjà vu".encode("utf-8").decode("cp1252")
+    double = single.encode("utf-8").decode("cp1252")
+    df = spark.createDataFrame(
+        [
+            (1, single), (2, double), (3, "café déjà vu"),
+            (4, "plain ascii"), (5, "中文本身不受影响"), (6, None),
+            (7, "naïve € — already clean"),
+        ],
+        "id long, t string",
+    )
+    got = {r["id"]: r["o"] for r in df.select("id", fix_mojibake("t").alias("o")).collect()}
+    assert got[1] == got[2] == got[3] == "café déjà vu"
+    assert got[4] == "plain ascii"
+    assert got[5] == "中文本身不受影响"
+    assert got[6] is None
+    assert got[7] == "naïve € — already clean"

@@ -1028,3 +1028,63 @@ def test_multimodal_avi_mjpeg_video(spark):
     # fake mode still exercises plumbing for ffmpeg-only formats
     fake = sample_frames(junk, every_ms=500, deterministic_fake=True)
     assert fake.count() == 2
+
+
+def test_streaming_stateless_corpus_filters_match_batch(spark, tmp_path):
+    """The row-local corpus stages (C4 line filter, quality predicate,
+    PII scrub, mojibake repair) are stateless expressions, so the SAME
+    plan runs on a stream — batch and bounded-stream outputs must be
+    identical row-for-row."""
+    from trial_submission_studio_spark.operators.qualityfilter import (
+        line_quality_filter,
+    )
+    from trial_submission_studio_spark.operators.textclean import (
+        fix_mojibake,
+        scrub_pii,
+    )
+    from trial_submission_studio_spark.operators.textstats import token_count
+
+    moji = "café olé".encode("utf-8").decode("cp1252")
+    batch = spark.createDataFrame(
+        [
+            (1, "good line with words here.\nxx\nanother fine line today."),
+            (2, f"visit https://x.io {moji} or mail a@b.co now please."),
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs_stream")
+    batch.write.parquet(src)
+
+    def stage(df):
+        cleaned = df.select(
+            "doc_id",
+            scrub_pii(fix_mojibake("text")).alias("text"),
+        )
+        scored = line_quality_filter(cleaned, "doc_id", "text", min_words=4)
+        return scored.filter(token_count("kept_text") >= 4).select(
+            "doc_id", "n_kept", "kept_text"
+        )
+
+    expected = sorted(tuple(r) for r in stage(batch).collect())
+    assert len(expected) == 2  # doc 3 filtered; docs 1-2 survive
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        stage(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("corpus_stream_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            tuple(r) for r in spark.sql("SELECT * FROM corpus_stream_out").collect()
+        )
+    finally:
+        q.stop()
+    assert got == expected
+    # the mojibake repair really fired inside the streaming plan
+    texts = {r[0]: r[2] for r in got}
+    assert "café olé" in texts[2] and "https://" not in texts[2]

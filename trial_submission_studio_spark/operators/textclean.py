@@ -120,3 +120,49 @@ def normalize_unicode(c: Column | str, form: str = "NFC") -> Column:
     if form not in ("NFC", "NFKC", "NFD", "NFKD"):
         raise ValueError("form must be NFC|NFKC|NFD|NFKD")
     return _make_nfc_udf(form)(_col(c).cast("string"))
+
+
+def _make_mojibake_udf(max_passes: int):
+    """Arrow-batched mojibake repair (closure factory — same worker
+    import constraint as the NFC udf)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def fix(s):
+        def one(v):
+            if v is None:
+                return None
+            for _ in range(max_passes):
+                # mojibake signature: characters that are really the
+                # latin-1/cp1252 rendering of UTF-8 bytes. A clean
+                # string round-trips to the SAME string or fails the
+                # strict latin-1 encode; a mojibake string decodes to
+                # something shorter/different — accept only when the
+                # roundtrip CHANGES the text, else stop.
+                try:
+                    repaired = v.encode("cp1252", errors="strict").decode(
+                        "utf-8", errors="strict"
+                    )
+                except (UnicodeEncodeError, UnicodeDecodeError):
+                    return v
+                if repaired == v:
+                    return v
+                v = repaired
+            return v
+
+        return s.map(one)
+
+    return pandas_udf(fix, "string", PandasUDFType.SCALAR)
+
+
+def fix_mojibake(c: Column | str, max_passes: int = 3) -> Column:
+    """Repair double-encoded UTF-8 ("Ã©" → "é"), including N-times
+    re-encoded text (up to ``max_passes``). Conservative: a string is
+    only rewritten when the cp1252→UTF-8 roundtrip decodes STRICTLY
+    and produces different text — clean text (any script) never
+    round-trips through that path, so false repairs are limited to
+    strings that are byte-for-byte valid mojibake. Arrow-batched like
+    :func:`normalize_unicode`; run once at ingest.
+    """
+    if max_passes < 1:
+        raise ValueError("max_passes must be >= 1")
+    return _make_mojibake_udf(max_passes)(_col(c).cast("string"))
