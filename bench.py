@@ -242,6 +242,9 @@ def main() -> None:
         "paragraph_dedup_docs",
         "semantic_dedup_gate",
         "source_quota_cap",
+        "contamination_ngram_overlap",
+        "quality_line_filter",
+        "corpus_mix_weighted",
     )
     for name in EXTRA_QUERIES:
         try:

@@ -123,3 +123,52 @@ def test_write_corpus_shards_roundtrip(spark, tmp_path):
         str(tmp_path / "shards2"), "doc_id", n_shards=4, token_col="n_tok",
     ).collect()
     assert [tuple(r) for r in manifest] == [tuple(r) for r in again]
+
+
+def test_prepare_corpus_lang_substring_and_ppl_stages(spark):
+    from trial_submission_studio_spark.operators.langid import (
+        train_language_profiles,
+    )
+    from trial_submission_studio_spark.operators.lm import train_bigram_lm
+
+    en = "the dog and the fox play in the garden with friends today"
+    fr = "le chien et le renard jouent dans le jardin avec des amis"
+    legal = " ".join(f"legal{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{en} {legal}", "src0"),
+            (2, f"{legal} {en.replace('garden', 'meadow')}", "src0"),
+            (3, fr, "src0"),  # lang-routed out
+            (4, "zz qq xx totally out of domain words repeated zz qq", "src0"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    labeled = spark.createDataFrame(
+        [("en", en), ("en", "this is another english sentence with words"),
+         ("fr", fr), ("fr", "ceci est une autre phrase avec des mots")],
+        "lang string, text string",
+    )
+    profiles = train_language_profiles(labeled, "lang", "text", top_k=200)
+    ref = spark.createDataFrame(
+        [(100, en), (101, "the fox and the dog are friends in the garden")],
+        "doc_id long, text string",
+    )
+    uni, bi = train_bigram_lm(ref, "doc_id", "text")
+
+    cfg = CorpusConfig(
+        min_line_words=None, min_doc_tokens=None, paragraph_max_docs=None,
+        exact_dedup=False, near_dedup=False, contamination_threshold=None,
+        lang_allowlist=("en",), substring_w=8, substring_min_doc_freq=2,
+        max_ppl=8.5,  # in-domain docs score ~7, the OOD doc ~10 (≈uniform 1/V)
+    )
+    out = prepare_corpus(
+        docs, "doc_id", "text", cfg,
+        lang_profiles=profiles, lm_model=(uni, bi), collect_stats=True,
+    )
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    # 3 dropped by language, 4 by perplexity; legal run excised from 1+2
+    assert sorted(got) == [1, 2]
+    assert "legal0" not in got[1] and "legal0" not in got[2]
+    assert cfg.stats["lang_routed"] == 3
+    assert cfg.stats["substring_dedup"] == 3
+    assert cfg.stats["ppl_filtered"] == 2

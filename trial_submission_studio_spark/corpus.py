@@ -9,12 +9,16 @@ corpus:
 1. **Line quality** (C4 rules) — row-local, zero shuffle.
 2. **Document quality gates** (length, stopword-ratio language ID,
    Gopher repetition) — row-local, zero shuffle.
-3. **Paragraph boilerplate removal** — first corpus-wide stage.
-4. **Exact dedup** (normalized fingerprint, min-id survivor).
-5. **Near dedup** (MinHash → LSH → Jaccard verify → connected
+3. **Language routing** (trainable char-n-gram classifier +
+   allowlist) — broadcast join.
+4. **Paragraph boilerplate removal** — first corpus-wide stage.
+5. **Repeated-substring removal** (ExactSubstr window variant).
+6. **Exact dedup** (normalized fingerprint, min-id survivor).
+7. **Near dedup** (MinHash → LSH → Jaccard verify → connected
    components → one survivor per group).
-6. **Decontamination** against a benchmark set (word n-gram overlap).
-7. **Source quota caps** and **target-mix rebalancing** (optional).
+8. **Decontamination** against a benchmark set (word n-gram overlap).
+9. **Perplexity filter** (bigram LM vs a reference corpus).
+10. **Source quota caps** and **target-mix rebalancing** (optional).
 
 Every stage is the already-tested operator — this module only
 sequences them and threads a stats accumulator so pipelines can log
@@ -49,12 +53,16 @@ class CorpusConfig:
     min_doc_tokens: int | None = 10
     min_stopword_ratio: float | None = None
     min_quality: float | None = None
+    lang_allowlist: tuple[str, ...] | None = None
     paragraph_max_docs: int | None = 5
+    substring_w: int | None = None
+    substring_min_doc_freq: int = 2
     exact_dedup: bool = True
     near_dedup: bool = True
     minhash_k: int = 5
     contamination_threshold: float | None = 0.5
     contamination_ngram: int = 8
+    max_ppl: float | None = None
     source_cap: int | None = None
     source_col: str = "source"
     target_mix: dict[str, float] | None = None
@@ -67,6 +75,8 @@ def prepare_corpus(
     text_col: str,
     config: CorpusConfig | None = None,
     benchmark: DataFrame | None = None,
+    lang_profiles: DataFrame | None = None,
+    lm_model: tuple[DataFrame, DataFrame] | None = None,
     collect_stats: bool = False,
 ) -> DataFrame:
     """Run the composed pipeline; returns the cleaned corpus with the
@@ -109,12 +119,32 @@ def prepare_corpus(
     if doc_pred is not None:
         out = _mark("doc_quality", out.filter(doc_pred))
 
+    if cfg.lang_allowlist is not None and lang_profiles is not None:
+        from .operators.langid import classify_language
+
+        langs = classify_language(out, lang_profiles, id_col, text_col)
+        allowed = langs.filter(
+            F.col("lang").isin(*cfg.lang_allowlist)
+        ).select(id_col)
+        out = _mark("lang_routed", out.join(allowed, id_col, "left_semi"))
+
     if cfg.paragraph_max_docs is not None:
         cleaned = paragraph_dedup(
             out, id_col, text_col, max_docs=cfg.paragraph_max_docs
         ).select(id_col, text_col)
         out = _mark(
             "paragraph_dedup", out.drop(text_col).join(cleaned, id_col)
+        )
+
+    if cfg.substring_w is not None:
+        from .operators.substrings import remove_repeated_substrings
+
+        cleaned = remove_repeated_substrings(
+            out, id_col, text_col,
+            w=cfg.substring_w, min_doc_freq=cfg.substring_min_doc_freq,
+        ).select(id_col, text_col)
+        out = _mark(
+            "substring_dedup", out.drop(text_col).join(cleaned, id_col)
         )
 
     if cfg.exact_dedup:
@@ -133,6 +163,17 @@ def prepare_corpus(
         )
         dirty = flags.filter(F.col("contaminated") == 1).select(id_col)
         out = _mark("decontaminated", out.join(dirty, id_col, "left_anti"))
+
+    if cfg.max_ppl is not None and lm_model is not None:
+        from .operators.lm import perplexity_filter
+
+        uni, bi = lm_model
+        out = _mark(
+            "ppl_filtered",
+            perplexity_filter(
+                out, uni, bi, id_col, text_col, max_ppl=cfg.max_ppl
+            ),
+        )
 
     if cfg.source_cap is not None:
         out = _mark(
