@@ -232,3 +232,12 @@ def test_split_corpus_disjoint_exhaustive_stable(spark):
         assert ids[k] <= ids2[k]
     with pytest.raises(ValueError):
         split_corpus(df, "doc_id", {})
+
+
+def test_paragraph_dedup_null_text_survives_as_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "real\ncontent"), (2, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["text"] for r in
+           paragraph_dedup(df, "doc_id", "text", max_docs=5).collect()}
+    assert out == {1: "real\ncontent", 2: ""}

@@ -104,3 +104,13 @@ def test_short_docs_and_sub_w_repeats_untouched(spark):
     assert {r["text"] for r in out.collect()} == {"same short snippet"}
     with pytest.raises(ValueError):
         remove_repeated_substrings(df, "doc_id", "text", w=8, min_doc_freq=1)
+
+
+def test_remove_repeated_substrings_null_text(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c"), (3, "a b c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: (r["text"], r["n_removed"]) for r in
+           remove_repeated_substrings(df, "doc_id", "text", w=2).collect()}
+    assert out[1] == ("", 0)
+    assert out[2][0] == "" and out[2][1] == 3  # fully repeated run excised

@@ -48,9 +48,11 @@ def split_paragraphs(
 
     ``sep`` is a literal separator (regex-escaped before hitting
     Spark's regex-based ``split``); the limit of -1 preserves trailing
-    empty paragraphs so reassembly is lossless.
+    empty paragraphs so reassembly is lossless. NULL text coalesces
+    to one empty paragraph — posexplode of a NULL array would
+    otherwise silently DROP the document from the output.
     """
-    parts = F.split(F.col(text_col), re.escape(sep), -1)
+    parts = F.split(F.coalesce(F.col(text_col), F.lit("")), re.escape(sep), -1)
     return df.select(F.col(id_col), F.posexplode(parts).alias("pos", "para"))
 
 

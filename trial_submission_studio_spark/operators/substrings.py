@@ -43,8 +43,8 @@ def _window_rows(
     df: DataFrame, id_col: str, text_col: str, w: int, stride: int
 ) -> DataFrame:
     """(id, start, whash) for every w-token window; empty for docs
-    shorter than w tokens."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    shorter than w tokens (NULL text = zero windows)."""
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     starts = F.when(
         F.size(toks) >= w,
         F.sequence(F.lit(0), F.size(toks) - w, F.lit(stride)),
@@ -103,7 +103,7 @@ def remove_repeated_substrings(
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_list("start")).alias("__starts"))
     )
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     starts = F.coalesce(F.col("__starts"), F.array().cast("array<int>"))
     covered = lambda i: F.exists(  # noqa: E731 — bound per-token predicate
         starts, lambda s: (i >= s) & (i < s + w)
