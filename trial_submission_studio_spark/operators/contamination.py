@@ -86,6 +86,9 @@ def contamination_overlap(
     )
     if broadcast_benchmark:
         bench = F.broadcast(bench)
+    from trial_submission_studio_spark.operators.dedup import _widen_if_narrow
+
+    corpus = _widen_if_narrow(corpus, id_col)
     grams = corpus.select(
         F.col(id_col),
         F.explode_outer(F.array_distinct(word_ngrams(text_col, n))).alias(
