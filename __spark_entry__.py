@@ -218,7 +218,11 @@ def t4_iso8601_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(m == 4, F.date_format(d, "yyyy-MM"))
         .otherwise(F.lit("NOT-A-DATE"))
     )
-    return o.select(
+    from trial_submission_studio_spark.operators.dedup import _widen_if_narrow
+
+    # regex-ladder work happens in the scan stage; a single-row-group
+    # local file would starve the cluster (no-op at real scale)
+    return _widen_if_narrow(o, "o_orderkey").select(
         "o_orderkey", normalize_iso_datetime(raw).alias("dtc")
     )
 
@@ -308,7 +312,9 @@ def t9_numeric_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(m == 2, F.lit("abc"))
         .otherwise(F.lit("9.25e15"))
     )
-    return li.select(
+    from trial_submission_studio_spark.operators.dedup import _widen_if_narrow
+
+    return _widen_if_narrow(li, "l_orderkey").select(
         "l_orderkey", "l_linenumber", parse_numeric(raw).alias("val")
     )
 
