@@ -1437,8 +1437,12 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from trial_submission_studio_spark.operators.dedup import simhash64
 
+    from trial_submission_studio_spark.operators.dedup import _widen_if_narrow
+
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    corpus = d.unionByName(_planted_docs(d, 10, " zq"))
+    corpus = _widen_if_narrow(
+        d.unionByName(_planted_docs(d, 10, " zq")), "doc_id"
+    )
     fp = simhash64(
         corpus.select("doc_id", token_hashes("text").alias("__h")), "__h"
     )

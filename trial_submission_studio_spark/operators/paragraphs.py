@@ -94,6 +94,11 @@ def paragraph_dedup(
     """
     if max_docs < 1:
         raise ValueError("max_docs must be >= 1")
+    from .dedup import _widen_if_narrow
+
+    # hashing every paragraph happens pre-shuffle; spread narrow
+    # (single-row-group) inputs first — no-op at real scale
+    df = _widen_if_narrow(df, id_col)
     exploded = split_paragraphs(df, id_col, text_col, sep)
     freq = paragraph_doc_freq(exploded, id_col, normalize=normalize)
     flagged = (
