@@ -1382,17 +1382,19 @@ def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_recall_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH + IVF ANN recall gates merged into ONE 1-row
-    frame (slot economy: the driver checks 50 queries, so 1-row gates
-    share slots; each component remains a standalone callable —
-    ann_lsh_topk / ann_ivf_topk above)."""
+    """Brute-force cosine top-10 row set + hyperplane-LSH + IVF ANN
+    recall gates merged into ONE frame (slot economy: the driver
+    checks 50 queries; the 1-row recall gates crossJoin onto the
+    10-row exact-top-k rows; each component remains a standalone
+    callable — ann_cosine_topk / ann_lsh_topk / ann_ivf_topk)."""
+    top = ann_cosine_topk(spark, sf_dir)
     lsh = ann_lsh_topk(spark, sf_dir).select(
         "n_exact", F.col("recall_ok").alias("lsh_recall_ok")
     )
     ivf = ann_ivf_topk(spark, sf_dir).select(
         F.col("recall_ok").alias("ivf_recall_ok")
     )
-    return lsh.crossJoin(ivf)
+    return top.crossJoin(lsh).crossJoin(ivf)
 
 
 def dedup_verify_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1644,6 +1646,35 @@ def semantic_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def substring_removal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-repeated substring removal
+    (operators/substrings.py:remove_repeated_substrings): a 10-token
+    'legal header' run is planted on every doc_id % 3 == 0 document;
+    all its 8-token windows repeat across ~167 docs, so the whole run
+    is excised from every carrier while unique text passes through
+    whitespace-normalized. The oracle groups windows by their TEXT
+    where the operator groups by xxhash64 — identical up to 64-bit
+    collisions."""
+    from trial_submission_studio_spark.operators.substrings import (
+        remove_repeated_substrings,
+    )
+
+    header = " ".join(f"legal{i}" for i in range(10))
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    staged = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(header + " "), F.coalesce(F.col("text"), F.lit(""))),
+        )
+        .otherwise(F.coalesce(F.col("text"), F.lit("")))
+        .alias("text"),
+    )
+    return remove_repeated_substrings(
+        staged, "doc_id", "text", w=8, min_doc_freq=2
+    )
+
+
 def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document quota (crawl governance;
     operators/sampling.py:cap_per_key): at most 40 docs per source,
@@ -1681,6 +1712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup_docs": paragraph_dedup_docs,
         "semantic_dedup_gate": semantic_dedup_gate,
         "source_quota_cap": source_quota_cap,
+        "substring_removal_docs": substring_removal_docs,
         "dedup_exact_gates": dedup_exact_gates,
         "contamination_ngram_overlap": contamination_ngram_overlap,
         "quality_line_filter": quality_line_filter,
@@ -1723,7 +1755,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_analysis_gates": text_analysis_gates,
         "dedup_group_resolution": dedup_group_resolution,
         "sample_stratified": sample_stratified,
-        "ann_cosine_topk": ann_cosine_topk,
         "ann_recall_gates": ann_recall_gates,
         "events_tumbling_window": events_tumbling_window,
         "temporal_asof_clicks": temporal_asof_clicks,
@@ -2262,18 +2293,80 @@ def oracle_sql() -> dict[str, str]:
                   CASE lang WHEN 'en' THEN 500000
                        WHEN 'de' THEN 250000 ELSE 100000 END
         """,
-        "ann_cosine_topk": """
+        "ann_recall_gates": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
-            SELECT vec_id, round(sim, 6) AS sim FROM (
-              SELECT vec_id,
-                     list_dot_product(CAST(embedding AS DOUBLE[]), qv)
-                       / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                                CAST(embedding AS DOUBLE[])))
-                          * sqrt(list_dot_product(qv, qv))) AS sim
-              FROM embeddings, q
-              WHERE vec_id != 0
+            SELECT * FROM (
+              SELECT vec_id, round(sim, 6) AS sim FROM (
+                SELECT vec_id,
+                       list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+                         / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                  CAST(embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product(qv, qv))) AS sim
+                FROM embeddings, q
+                WHERE vec_id != 0
+              )
+              ORDER BY sim DESC, vec_id LIMIT 10
             )
-            ORDER BY sim DESC, vec_id LIMIT 10
+            CROSS JOIN
+              (SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 20) * 5
+                           AS BIGINT) AS n_exact,
+                      CAST(1 AS BIGINT) AS lsh_recall_ok,
+                      CAST(1 AS BIGINT) AS ivf_recall_ok)
+        """,
+        "substring_removal_docs": """
+            WITH staged AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN 'legal0 legal1 legal2 legal3 legal4 legal5 '
+                               || 'legal6 legal7 legal8 legal9 '
+                               || coalesce(text, '')
+                          ELSE coalesce(text, '') END AS text
+              FROM documents
+            ),
+            t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM staged
+            ),
+            w AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(1, greatest(len(toks) - 7, 0)))
+                       AS i
+              FROM t
+            ),
+            w2 AS (
+              SELECT doc_id, i, array_to_string(toks[i : i + 7], ' ') AS win
+              FROM w
+            ),
+            rep AS (
+              SELECT win FROM w2 GROUP BY win
+              HAVING count(DISTINCT doc_id) >= 2
+            ),
+            flag AS (
+              SELECT doc_id, list(i) AS starts
+              FROM w2 WHERE win IN (SELECT win FROM rep)
+              GROUP BY doc_id
+            ),
+            tok AS (
+              SELECT doc_id,
+                     unnest(toks) AS tk,
+                     unnest(generate_series(1, len(toks))) AS j
+              FROM t
+            ),
+            k AS (
+              SELECT tok.doc_id, tok.tk, tok.j,
+                     len(list_filter(coalesce(f.starts, CAST([] AS BIGINT[])),
+                                     s -> tok.j >= s AND tok.j < s + 8)) = 0
+                       AS keep
+              FROM tok LEFT JOIN flag f USING (doc_id)
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN keep THEN tk END,
+                                       ' ' ORDER BY j), '') AS text,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_removed
+            FROM k GROUP BY doc_id
         """,
         "events_tumbling_window": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -2382,12 +2475,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c_nationkey AS VARCHAR) AS "COUNTRY",
                    c_mktsegment AS "ARM"
             FROM customer
-        """,
-        "ann_recall_gates": """
-            SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 20) * 5
-                        AS BIGINT) AS n_exact,
-                   CAST(1 AS BIGINT) AS lsh_recall_ok,
-                   CAST(1 AS BIGINT) AS ivf_recall_ok
         """,
         "dedup_verify_gates": """
             SELECT CAST((SELECT count(*) FROM documents WHERE doc_id % 50 = 0)
