@@ -3,6 +3,8 @@ streaming parity, and hypothesis property tests."""
 
 import codecs
 
+import pytest
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -1088,3 +1090,68 @@ def test_streaming_stateless_corpus_filters_match_batch(spark, tmp_path):
     # the mojibake repair really fired inside the streaming plan
     texts = {r[0]: r[2] for r in got}
     assert "café olé" in texts[2] and "https://" not in texts[2]
+
+
+def test_stateful_running_totals_transform_with_state(spark, tmp_path):
+    """Same running-totals contract on the Spark 4.x
+    transformWithStateInPandas API — two micro-batches, state
+    carry-over, identical outputs to the applyInPandasWithState path.
+
+    TWS's driver-side state server speaks protobuf; the package is
+    not installed in this container, so the test skips where the
+    runtime dependency is absent (the operator itself is import-safe
+    everywhere)."""
+    pytest.importorskip("google.protobuf")
+    from trial_submission_studio_spark.streaming.stateful import (
+        running_user_totals_tws,
+    )
+
+    batch = values_df(
+        spark,
+        [
+            (1, "2024-01-01 00:00:00", 1.5),
+            (1, "2024-01-01 00:05:00", 2.5),
+            (2, "2024-01-01 00:01:00", 4.0),
+        ],
+        "user_id bigint, ts_s string, value double",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    src_dir = str(tmp_path / "ev_tws")
+    batch.write.parquet(src_dir)
+
+    stream = spark.readStream.schema(
+        "user_id bigint, ts timestamp, value double"
+    ).parquet(src_dir)
+    out = running_user_totals_tws(stream.select("user_id", "ts", "value"))
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("tws_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["user_id"]: (r["n_events"], r["total_value"])
+            for r in spark.sql("SELECT * FROM tws_out").collect()
+        }
+        assert got == {1: (2, 4.0), 2: (1, 4.0)}
+
+        batch2 = values_df(
+            spark,
+            [(1, "2024-01-01 00:20:00", 10.0)],
+            "user_id bigint, ts_s string, value double",
+        ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+        batch2.write.mode("append").parquet(src_dir)
+        q.processAllAvailable()
+        latest = {
+            r["user_id"]: (r["n_events"], r["total_value"])
+            for r in spark.sql(
+                "SELECT * FROM (SELECT *, row_number() OVER "
+                "(PARTITION BY user_id ORDER BY n_events DESC) AS rn "
+                "FROM tws_out) WHERE rn = 1"
+            ).collect()
+        }
+        assert latest[1] == (3, 14.0)
+        assert latest[2] == (1, 4.0)
+    finally:
+        q.stop()

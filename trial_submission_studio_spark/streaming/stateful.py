@@ -57,3 +57,55 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def _make_totals_processor():
+    """StatefulProcessor factory (cloudpickle by-value, same worker
+    import constraint as the applyInPandasWithState path)."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle):
+            self._state = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, total, last = (
+                self._state.get() if self._state.exists() else (0, 0.0, None)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                batch_max = pdf["ts"].max()
+                if last is None or batch_max > last:
+                    last = batch_max
+            self._state.update((n, total, last))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                    "last_ts": [last],
+                }
+            )
+
+        def close(self):
+            pass
+
+    return RunningTotals()
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """The same running-totals operator on the ``transformWithState``
+    API (Spark 4.x): typed per-key ValueState handles instead of one
+    opaque state tuple, timers/TTL available, RocksDB state-store
+    backed. Output contract is identical to
+    :func:`running_user_totals` — the parity test pins both paths
+    batch-for-batch."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        _make_totals_processor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
