@@ -417,10 +417,16 @@ def semantic_dup_pairs(
     itself runs 50k clusters over 5B embeddings). Output:
     (id_a, id_b, sim) with sim ≥ threshold.
     """
+    from trial_submission_studio_spark.operators.partitioning import (
+        widen_if_narrow,
+    )
+
     cents = centroids or train_ivf_centroids(
         corpus, n_centroids, id_col=id_col, vec_col=vec_col
     )
-    assigned = corpus.select(
+    # the centroid-assignment Arrow kernel is CPU-bound — spread
+    # narrow (single-row-group) local inputs first
+    assigned = widen_if_narrow(corpus, id_col).select(
         F.col(id_col),
         F.col(vec_col),
         _nearest_cells(cents, 1)(F.col(vec_col))[0].alias("__cell"),
