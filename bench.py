@@ -180,7 +180,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
-    qs = entrymod.queries()
+    # some benched callables were folded into merged gate queries to
+    # keep the 50-slot contract window; resolve by module attribute so
+    # the headline set stays identical across rounds
+    qs = dict(entrymod.queries())
+    for name in BENCH_QUERIES:
+        if name not in qs:
+            qs[name] = getattr(entrymod, name)
 
     # warm the JVM (codegen, parquet footers, broadcast machinery) by
     # running every benchmark query once at the smallest scale factor,
@@ -245,6 +251,7 @@ def main() -> None:
         "contamination_ngram_overlap",
         "quality_line_filter",
         "corpus_mix_weighted",
+        "substring_removal_docs",
     )
     for name in EXTRA_QUERIES:
         try:

@@ -43,22 +43,37 @@ def _window_rows(
     df: DataFrame, id_col: str, text_col: str, w: int, stride: int
 ) -> DataFrame:
     """(id, start, whash) for every w-token window; empty for docs
-    shorter than w tokens (NULL text = zero windows)."""
+    shorter than w tokens (NULL text = zero windows).
+
+    Formulated as posexplode + ``lead`` chains rather than a
+    higher-order ``transform`` lambda: Spark *interprets* HOF lambdas
+    (~10× slower than codegen — the same reason minhash shingles use
+    explode+substr), while the w-1 ``lead`` calls compile into one
+    whole-stage-codegen window pass. The per-doc window shuffle is
+    the only shuffle, and it doubles as the widen step for narrow
+    inputs.
+    """
+    from pyspark.sql import Window as W
+
     toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
-    starts = F.when(
-        F.size(toks) >= w,
-        F.sequence(F.lit(0), F.size(toks) - w, F.lit(stride)),
-    ).otherwise(F.array().cast("array<int>"))
-    wins = F.transform(
-        starts,
-        lambda s: F.struct(
-            s.alias("start"),
-            F.xxhash64(F.concat_ws(" ", F.slice(toks, s + 1, w))).alias("whash"),
-        ),
+    tok_rows = df.select(
+        F.col(id_col), F.posexplode(toks).alias("start", "__t0")
     )
-    return df.select(F.col(id_col), F.explode(wins).alias("__w")).select(
-        id_col, F.col("__w.start").alias("start"), F.col("__w.whash").alias("whash")
+    win = W.partitionBy(id_col).orderBy("start")
+    parts = [F.col("__t0")] + [
+        F.lead("__t0", i).over(win) for i in range(1, w)
+    ]
+    full = (
+        F.lead("__t0", w - 1).over(win).isNotNull() if w > 1 else F.lit(True)
     )
+    out = tok_rows.select(
+        id_col,
+        "start",
+        F.when(full, F.xxhash64(F.concat_ws(" ", *parts))).alias("whash"),
+    ).filter(F.col("whash").isNotNull())
+    if stride > 1:
+        out = out.filter(F.col("start") % stride == 0)
+    return out
 
 
 def repeated_window_spans(
