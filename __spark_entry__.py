@@ -2217,7 +2217,7 @@ def oracle_sql() -> dict[str, str]:
             FROM fl GROUP BY doc_id
         """,
         "semantic_dedup_gate": """
-            SELECT count(*) AS n_planted, 1 AS dedup_exact_ok
+            SELECT count(*) AS n_planted, CAST(1 AS BIGINT) AS dedup_exact_ok
             FROM embeddings WHERE vec_id % 10 = 0
         """,
         "source_quota_cap": """

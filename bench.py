@@ -256,7 +256,8 @@ def main() -> None:
     for name in EXTRA_QUERIES:
         try:
             qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
-        except Exception:
+        except Exception as exc:  # surface, don't silently drop the metric
+            print(f"bench: extra query {name} failed warmup: {exc!r}", file=sys.stderr)
             continue
         best = float("inf")
         for _ in range(2):

@@ -172,3 +172,21 @@ def test_prepare_corpus_lang_substring_and_ppl_stages(spark):
     assert cfg.stats["lang_routed"] == 3
     assert cfg.stats["substring_dedup"] == 3
     assert cfg.stats["ppl_filtered"] == 2
+
+
+def test_prepare_corpus_raises_on_enabled_stage_missing_input(spark):
+    import pytest
+
+    docs = spark.createDataFrame([(1, "x", "s")], "doc_id long, text string, source string")
+    with pytest.raises(ValueError, match="benchmark"):
+        prepare_corpus(docs, "doc_id", "text", CorpusConfig())
+    with pytest.raises(ValueError, match="lang_profiles"):
+        prepare_corpus(
+            docs, "doc_id", "text",
+            CorpusConfig(contamination_threshold=None, lang_allowlist=("en",)),
+        )
+    with pytest.raises(ValueError, match="lm_model"):
+        prepare_corpus(
+            docs, "doc_id", "text",
+            CorpusConfig(contamination_threshold=None, max_ppl=5.0),
+        )

@@ -41,14 +41,14 @@ def test_incremental_minhash_dedup_drops_near_dups_vs_corpus(spark):
     batch1 = spark.createDataFrame(
         [(1, long_a), (2, long_b)], "doc_id long, text string"
     )
-    novel1, buckets = incremental_minhash_dedup(batch1, None, "doc_id", "text")
+    novel1, buckets, _ = incremental_minhash_dedup(batch1, None, "doc_id", "text")
     assert sorted(r["doc_id"] for r in novel1.collect()) == [1, 2]
 
     batch2 = spark.createDataFrame(
         [(10, long_a + " zq"), (11, "completely unrelated fresh content here")],
         "doc_id long, text string",
     )
-    novel2, buckets2 = incremental_minhash_dedup(batch2, buckets, "doc_id", "text")
+    novel2, buckets2, _ = incremental_minhash_dedup(batch2, buckets, "doc_id", "text")
     got = sorted(r["doc_id"] for r in novel2.collect())
     assert 10 not in got  # near-dup of seen doc 1 -> dropped
     assert 11 in got
@@ -60,7 +60,7 @@ def test_incremental_minhash_intra_batch_min_id_survives(spark):
     batch = spark.createDataFrame(
         [(5, long_a), (6, long_a + " zq")], "doc_id long, text string"
     )
-    novel, _ = incremental_minhash_dedup(batch, None, "doc_id", "text")
+    novel, _, _ = incremental_minhash_dedup(batch, None, "doc_id", "text")
     assert sorted(r["doc_id"] for r in novel.collect()) == [5]
 
 
@@ -114,3 +114,51 @@ def test_remove_repeated_substrings_null_text(spark):
            remove_repeated_substrings(df, "doc_id", "text", w=2).collect()}
     assert out[1] == ("", 0)
     assert out[2][0] == "" and out[2][1] == 3  # fully repeated run excised
+
+
+def test_incremental_minhash_signature_verification_rescues_fp(spark):
+    """A chance single-band bucket collision with a DISSIMILAR corpus
+    doc must not drop a novel document when signature verification is
+    on — and a true near-dup must still be dropped."""
+    long_a = " ".join(f"tok{i}" for i in range(40))
+    batch1 = spark.createDataFrame([(1, long_a)], "doc_id long, text string")
+    novel1, buckets, sigs = incremental_minhash_dedup(
+        batch1, None, "doc_id", "text", track_ids=True
+    )
+    assert "doc_id" in buckets.columns and sigs is not None
+
+    fresh = "entirely different subject matter with new vocabulary here"
+    batch2 = spark.createDataFrame(
+        [(10, long_a + " zq"), (11, fresh)], "doc_id long, text string"
+    )
+    # forge a bucket collision for doc 11: take ONE of its band rows
+    # and plant it in the seen table attributed to corpus doc 1
+    from trial_submission_studio_spark.operators.dedup import (
+        band_bucket_rows,
+        minhash_signatures,
+    )
+    from pyspark.sql import functions as F
+
+    sig11 = minhash_signatures(
+        batch2.filter("doc_id = 11"), "doc_id", "text"
+    )
+    one_band = (
+        band_bucket_rows(sig11, "doc_id", 8, 4)
+        .limit(1)
+        .select("band", "bucket", F.lit(1).cast("long").alias("doc_id"))
+    )
+    poisoned = buckets.unionByName(one_band)
+
+    # WITHOUT verification: the forged collision kills doc 11
+    unverified, _, _ = incremental_minhash_dedup(
+        batch2, poisoned.select("band", "bucket"), "doc_id", "text"
+    )
+    assert sorted(r["doc_id"] for r in unverified.collect()) == []
+
+    # WITH verification: doc 11's est-Jaccard vs doc 1 is ~0 -> kept;
+    # doc 10 (true near-dup of doc 1) stays dropped
+    verified, vb, vs = incremental_minhash_dedup(
+        batch2, poisoned, "doc_id", "text", seen_sigs=sigs
+    )
+    assert sorted(r["doc_id"] for r in verified.collect()) == [11]
+    assert vs.count() == sigs.count() + 1  # doc 11's signature appended

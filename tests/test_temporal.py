@@ -493,3 +493,44 @@ def test_rolling_agg_sliced_validations(spark):
         rolling_agg_sliced(df, ["id"], "ts", {"a": ("value", "median")}, 60)
     with pytest.raises(ValueError):
         rolling_agg_sliced(df, ["id"], "ts", {"a": ("value", "sum")}, 60, 30)
+
+
+def test_rolling_agg_sliced_null_values_match_single_pass(spark):
+    """NULL source values: F.sum/min/max skip NULLs and return NULL
+    for an all-NULL frame — the sliced carry merge must reproduce
+    that exactly (a carried NULL must not poison or zero the carry;
+    a NULL slice-local partial must not mask a carried value)."""
+    from pyspark.sql import functions as F
+
+    from trial_submission_studio_spark.operators.temporal import (
+        rolling_agg,
+        rolling_agg_sliced,
+    )
+
+    rows = [
+        (1, "k", 7.0, 3.0),
+        (2, "k", 8.0, None),
+        (3, "k", 15.0, None),
+        (4, "k", 16.0, 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts double, value double"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    aggs = {"s": ("value", "sum"), "lo": ("value", "min"), "n": ("value", "count")}
+    got = {
+        r["event_id"]: (r["s"], r["lo"], r["n"])
+        for r in rolling_agg_sliced(
+            df, ["user_id"], "ts", aggs, window_seconds=10, slice_seconds=10
+        ).collect()
+    }
+    want = {
+        r["event_id"]: (r["s"], r["lo"], r["n"])
+        for r in rolling_agg(
+            df, ["user_id"], "ts",
+            {"s": F.sum(F.col("value").cast("double")),
+             "lo": F.min("value"), "n": F.count(F.lit(1))},
+            window_seconds=10,
+        ).collect()
+    }
+    assert got == want
+    assert want[3] == (3.0, 3.0, 3)  # carried 3.0 over all-NULL slice-local

@@ -87,6 +87,20 @@ def prepare_corpus(
     leave False in production and count the final table only).
     """
     cfg = config or CorpusConfig()
+    # a stage the config enables but whose companion input is missing
+    # must FAIL, not silently no-op — contaminated / wrong-language /
+    # high-perplexity docs flowing through unreported is the worst
+    # failure mode a corpus pipeline has
+    if cfg.contamination_threshold is not None and benchmark is None:
+        raise ValueError(
+            "contamination_threshold is set but no benchmark= was passed"
+        )
+    if cfg.lang_allowlist is not None and lang_profiles is None:
+        raise ValueError(
+            "lang_allowlist is set but no lang_profiles= was passed"
+        )
+    if cfg.max_ppl is not None and lm_model is None:
+        raise ValueError("max_ppl is set but no lm_model= was passed")
 
     def _mark(stage: str, df: DataFrame) -> DataFrame:
         if collect_stats:

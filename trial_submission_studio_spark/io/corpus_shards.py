@@ -51,4 +51,9 @@ def write_corpus_shards(
     aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
     if token_col is not None:
         aggs.append(F.sum(token_col).cast("long").alias("n_tokens"))
-    return sharded.groupBy("shard").agg(*aggs).orderBy("shard")
+    # aggregate the WRITTEN files, not the input lineage: re-running
+    # the upstream pipeline would double a potentially huge job, and
+    # the manifest must describe what is on disk even if an upstream
+    # stage were nondeterministic across runs
+    written = df.sparkSession.read.parquet(out_dir)
+    return written.groupBy("shard").agg(*aggs).orderBy("shard")

@@ -45,19 +45,32 @@ def _gram_rows(
     substr with a dynamic position needs expr SQL — the sequence
     element is not a literal."""
     s = _norm_text(F.col(text_col))
-    # one SQL expression: concatenate the per-order gram arrays
-    gram_sql = "concat(" + ", ".join(
-        f"transform(sequence(1, greatest(length(__s) - {n - 1}, 1)),"
-        f" i -> substr(__s, i, {n}))"
+    # codegen shape, NOT a higher-order transform lambda (Spark
+    # interprets HOF lambdas, ~4-10x slower — the same reason minhash
+    # shingles use explode+substr): explode character positions once,
+    # then emit the 1..n_max grams at each position from a small
+    # array; positions too close to the end gate to NULL so no
+    # truncated gram aliases a shorter order
+    per_n = [
+        F.when(
+            F.col("__pos") + (n - 1) <= F.length("__s"),
+            F.expr(f"substr(__s, __pos, {n})"),
+        )
         for n in range(1, n_max + 1)
-    ) + ")"
+    ]
     return (
         df.select(*id_cols, s.alias("__s"))
-        .select(*id_cols, F.explode(F.expr(gram_sql)).alias("gram"))
+        .select(
+            *id_cols,
+            "__s",
+            F.explode(F.sequence(F.lit(1), F.length("__s"))).alias("__pos"),
+        )
+        .select(*id_cols, F.explode(F.array(*per_n)).alias("gram"))
         # whitespace-only grams carry zero language signal but would
         # dominate every profile's norm (the padded space is the most
-        # frequent character in any corpus)
-        .filter(F.trim(F.col("gram")) != "")
+        # frequent character in any corpus); NULLs are the end-gated
+        # positions
+        .filter(F.col("gram").isNotNull() & (F.trim(F.col("gram")) != ""))
     )
 
 

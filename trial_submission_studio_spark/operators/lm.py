@@ -41,19 +41,23 @@ def _tokens(text_col: str, lowercase: bool) -> Column:
 
 
 def _doc_bigrams(df: DataFrame, id_col: str, text_col: str, lowercase: bool) -> DataFrame:
+    # codegen shape (explode positions + element_at), not an
+    # interpreted higher-order transform lambda — this is the per-row
+    # hot path of both training and scoring
     toks = _tokens(text_col, lowercase)
-    pairs = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.struct(
-                F.element_at(toks, i + 1).alias("tok_a"),
-                F.element_at(toks, i + 2).alias("tok_b"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<tok_a:string,tok_b:string>>"))
-    return df.select(F.col(id_col), F.explode(pairs).alias("__bg")).select(
-        id_col, F.col("__bg.tok_a").alias("tok_a"), F.col("__bg.tok_b").alias("tok_b")
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .filter(F.size("__toks") >= 2)
+        .select(
+            id_col,
+            "__toks",
+            F.explode(F.sequence(F.lit(1), F.size("__toks") - 1)).alias("__i"),
+        )
+        .select(
+            id_col,
+            F.element_at("__toks", F.col("__i")).alias("tok_a"),
+            F.element_at("__toks", F.col("__i") + 1).alias("tok_b"),
+        )
     )
 
 

@@ -503,19 +503,27 @@ def rolling_agg_sliced(
     out = j
     for name, (col, fn) in aggs.items():
         vals = F.transform(F.col("__in_frame"), lambda e: e[col])
+        # F.sum / F.min / F.max skip NULL inputs and return NULL only
+        # for an all-NULL frame — the carry merge must match exactly:
+        # fold over NON-NULL carried values only (one poisoning NULL
+        # must not zero the carry), keep the carry-sum NULL when no
+        # non-null value was carried, and merge with two-sided
+        # null-awareness so partial-NULL + carry-value adds correctly.
+        nn = F.filter(vals, lambda x: x.isNotNull())
+        carry_sum = F.when(
+            F.size(nn) > 0,
+            F.aggregate(nn, F.lit(0.0), lambda acc, x: acc + x.cast("double")),
+        )
+        part = F.col(f"__p_{name}")
         merged = {
-            "sum": F.col(f"__p_{name}")
-            + F.coalesce(
-                F.aggregate(
-                    vals,
-                    F.lit(0.0),
-                    lambda acc, x: acc + x.cast("double"),
-                ),
-                F.lit(0.0),
+            "sum": F.when(
+                part.isNull() & carry_sum.isNull(), F.lit(None).cast("double")
+            ).otherwise(
+                F.coalesce(part, F.lit(0.0)) + F.coalesce(carry_sum, F.lit(0.0))
             ),
-            "count": F.col(f"__p_{name}") + F.size("__in_frame"),
-            "min": F.least(F.col(f"__p_{name}"), F.array_min(vals)),
-            "max": F.greatest(F.col(f"__p_{name}"), F.array_max(vals)),
+            "count": part + F.size("__in_frame"),
+            "min": F.least(part, F.array_min(vals)),
+            "max": F.greatest(part, F.array_max(vals)),
         }[fn]
         out = out.withColumn(name, merged).drop(f"__p_{name}")
     return out.drop("__us", "__slice", "__carry", "__in_frame")
