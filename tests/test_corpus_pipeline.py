@@ -190,3 +190,22 @@ def test_prepare_corpus_raises_on_enabled_stage_missing_input(spark):
             docs, "doc_id", "text",
             CorpusConfig(contamination_threshold=None, max_ppl=5.0),
         )
+
+
+def test_corpus_report_composition(spark):
+    from trial_submission_studio_spark.corpus import corpus_report
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four", "a"),
+            (2, "one two three four", "a"),   # exact dup of 1
+            (3, "five six", "a"),
+            (4, "seven eight nine", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rep = {r["source"]: r for r in corpus_report(docs, "doc_id", "text").collect()}
+    assert rep["a"]["n_docs"] == 3 and rep["a"]["n_tokens"] == 10
+    assert rep["a"]["min_tokens"] == 2 and rep["a"]["max_tokens"] == 4
+    assert rep["a"]["dup_rate"] == round(1 - 2 / 3, 4)
+    assert rep["b"]["n_docs"] == 1 and rep["b"]["dup_rate"] == 0.0

@@ -202,3 +202,37 @@ def prepare_corpus(
         out = _mark("rebalanced", out)
 
     return out
+
+
+def corpus_report(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    strata_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """Per-stratum corpus composition report — the table every mix
+    decision starts from: document/token counts, length distribution,
+    mean quality, and the exact-duplicate rate (1 - distinct
+    fingerprints / docs).
+
+    One grouped aggregation over the scan (token/quality are pure
+    expressions; the fingerprint feeds a count-distinct) — no second
+    pass, no collect of data-sized results.
+    """
+    from .operators.dedup import fingerprint
+    from .operators.textstats import quality_score, token_count
+
+    toks = token_count(text_col)
+    return docs.groupBy(*[F.col(c) for c in strata_cols]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(toks).cast("long").alias("n_tokens"),
+        F.min(toks).cast("long").alias("min_tokens"),
+        F.round(F.avg(toks), 2).alias("avg_tokens"),
+        F.max(toks).cast("long").alias("max_tokens"),
+        F.round(F.avg(quality_score(text_col)), 4).alias("avg_quality"),
+        F.round(
+            F.lit(1.0)
+            - F.countDistinct(fingerprint(text_col)) / F.count(F.lit(1)),
+            4,
+        ).alias("dup_rate"),
+    )
