@@ -1630,18 +1630,17 @@ def semantic_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
     )
     corpus = emb.unionByName(mutated)
-    # gate runs two count actions over the survivor set; checkpoint so
-    # k-means assignment + the cell self-join execute once
-    surv = semantic_dedup(corpus, threshold=0.99, n_centroids=8).localCheckpoint(
-        eager=True
-    )
-    n_orig = emb.count()
-    n_planted = mutated.count()
-    n_surv = surv.count()
-    n_planted_left = surv.filter(F.col("vec_id") >= 1000000).count()
-    ok = n_surv == n_orig and n_planted_left == 0
+    surv = semantic_dedup(corpus, threshold=0.99, n_centroids=8)
+    # one aggregation per frame (vs four count actions): the survivor
+    # plan — k-means assignment + the cell self-join — executes once
+    planted_flag = F.sum((F.col("vec_id") >= 1000000).cast("long"))
+    n_orig, n_planted = emb.agg(
+        F.count(F.lit(1)), F.sum((F.col("vec_id") % 10 == 0).cast("long"))
+    ).first()
+    n_surv, n_planted_left = surv.agg(F.count(F.lit(1)), planted_flag).first()
+    ok = n_surv == n_orig and (n_planted_left or 0) == 0
     return spark.range(1).select(
-        F.lit(n_planted).cast("long").alias("n_planted"),
+        F.lit(int(n_planted)).cast("long").alias("n_planted"),
         F.lit(1 if ok else 0).cast("long").alias("dedup_exact_ok"),
     )
 
