@@ -337,6 +337,15 @@ def t11_codelist_decode_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("c_custkey", F.col("NATION").alias("nation_name"))
 
 
+def t_customer_transform_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 USUBJID prefix + T11 codelist decode merged into one
+    customer-grain row set (equi-join on the shared key — slot
+    economy; both components stay standalone callables)."""
+    return t2_usubjid_prefix(spark, sf_dir).join(
+        t11_codelist_decode_fill(spark, sf_dir), "c_custkey"
+    )
+
+
 def t13_numeric_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T13: float → string without trailing zeros (40.0 → '40')."""
     p = _t(spark, sf_dir, "part")
@@ -1674,6 +1683,29 @@ def substring_removal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def langid_train_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable language ID end-to-end (operators/langid.py): train
+    per-lang mixed 1..3-char-gram profiles on the labeled documents
+    table (top-200 grams, deterministic (tf desc, gram) rank), then
+    classify every document by argmax cosine (tie-break on lang).
+    Weights derive from integer counts (identical doubles in both
+    engines); the dot product is a float sum, so the score pins at
+    round-6 like the ANN sim columns."""
+    from trial_submission_studio_spark.operators.langid import (
+        classify_language,
+        train_language_profiles,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    profiles = train_language_profiles(
+        d.select("lang", "text"), "lang", "text", n=3, top_k=200
+    )
+    out = classify_language(d, profiles, "doc_id", "text", n=3)
+    return out.select(
+        "doc_id", "lang", F.round("score", 6).alias("score")
+    )
+
+
 def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document quota (crawl governance;
     operators/sampling.py:cap_per_key): at most 40 docs per source,
@@ -1712,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_gate": semantic_dedup_gate,
         "source_quota_cap": source_quota_cap,
         "substring_removal_docs": substring_removal_docs,
+        "langid_train_classify": langid_train_classify,
         "dedup_exact_gates": dedup_exact_gates,
         "contamination_ngram_overlap": contamination_ngram_overlap,
         "quality_line_filter": quality_line_filter,
@@ -1730,14 +1763,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qs_registry_pipeline": qs_registry_pipeline,
         "adsl_registry_pipeline": adsl_registry_pipeline,
         "bds_registry_pipeline": bds_registry_pipeline,
-        "t2_usubjid_prefix": t2_usubjid_prefix,
+        "t_customer_transform_gates": t_customer_transform_gates,
         "t3_sequence_number": t3_sequence_number,
         "t4_iso8601_normalize": t4_iso8601_normalize,
         "t6_duration_normalize": t6_duration_normalize,
         "t7_study_day": t7_study_day,
         "t8_ct_normalize": t8_ct_normalize,
         "t9_numeric_parse": t9_numeric_parse,
-        "t11_codelist_decode_fill": t11_codelist_decode_fill,
         "t13_numeric_render": t13_numeric_render,
         "t_const_bool_render": t_const_bool_render,
         "a_profile_gates": a_profile_gates,
@@ -1811,11 +1843,13 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN o_orderstatus = 'F' THEN 'Y' ELSE 'N' END AS finished
             FROM orders
         """,
-        "t2_usubjid_prefix": """
+        "t_customer_transform_gates": """
             SELECT c_custkey,
                    CASE WHEN c_custkey % 11 = 0 THEN ''
-                        ELSE 'STUDY01-' || trim(c_name) END AS usubjid
-            FROM customer
+                        ELSE 'STUDY01-' || trim(c_name) END AS usubjid,
+                   CASE WHEN c_custkey % 3 = 0 THEN n_name
+                        ELSE 'PRESET' END AS nation_name
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
         """,
         "t3_sequence_number": """
             SELECT o_orderkey, o_custkey,
@@ -1889,10 +1923,76 @@ def oracle_sql() -> dict[str, str]:
                    END AS val
             FROM lineitem
         """,
-        "t11_codelist_decode_fill": """
-            SELECT c_custkey,
-                   CASE WHEN c_custkey % 3 = 0 THEN n_name ELSE 'PRESET' END AS nation_name
-            FROM customer JOIN nation ON c_nationkey = n_nationkey
+        "langid_train_classify": """
+            WITH norm AS (
+              SELECT doc_id, lang,
+                     ' ' || regexp_replace(lower(trim(coalesce(text, ''))),
+                                           '\\s+', ' ', 'g') || ' ' AS s
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, lang, s,
+                     unnest(generate_series(1, length(s))) AS p
+              FROM norm
+            ),
+            grams AS (
+              SELECT doc_id, lang, g FROM (
+                SELECT doc_id, lang,
+                       unnest([
+                         substr(s, p, 1),
+                         CASE WHEN p + 1 <= length(s)
+                              THEN substr(s, p, 2) END,
+                         CASE WHEN p + 2 <= length(s)
+                              THEN substr(s, p, 3) END
+                       ]) AS g
+                FROM pos)
+              WHERE g IS NOT NULL AND trim(g) != ''
+            ),
+            lang_tf AS (
+              SELECT lang, g, CAST(count(*) AS DOUBLE) AS tf
+              FROM grams GROUP BY lang, g
+            ),
+            topk AS (
+              SELECT lang, g, tf FROM (
+                SELECT lang, g, tf,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY tf DESC, g) AS r
+                FROM lang_tf)
+              WHERE r <= 200
+            ),
+            prof AS (
+              SELECT t.lang AS plang, t.g,
+                     t.tf / n.nrm AS weight
+              FROM topk t JOIN (
+                SELECT lang, sqrt(sum(tf * tf)) AS nrm
+                FROM topk GROUP BY lang) n ON t.lang = n.lang
+            ),
+            doc_tf AS (
+              SELECT doc_id, g, CAST(count(*) AS DOUBLE) AS dtf
+              FROM grams GROUP BY doc_id, g
+            ),
+            doc_norm AS (
+              SELECT doc_id, sqrt(sum(dtf * dtf)) AS dn
+              FROM doc_tf GROUP BY doc_id
+            ),
+            sims AS (
+              SELECT d.doc_id, p.plang AS lang,
+                     sum(d.dtf * p.weight) AS dot
+              FROM doc_tf d JOIN prof p ON d.g = p.g
+              GROUP BY d.doc_id, p.plang
+            ),
+            best AS (
+              SELECT doc_id, lang, score FROM (
+                SELECT s.doc_id, s.lang, s.dot / n.dn AS score,
+                       row_number() OVER (PARTITION BY s.doc_id
+                                          ORDER BY s.dot / n.dn DESC,
+                                                   s.lang) AS r
+                FROM sims s JOIN doc_norm n ON s.doc_id = n.doc_id)
+              WHERE r = 1
+            )
+            SELECT d.doc_id, b.lang, round(b.score, 6) AS score
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN best b ON d.doc_id = b.doc_id
         """,
         "t13_numeric_render": """
             SELECT p_partkey,
