@@ -1730,10 +1730,11 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared contract: exactly 50 entries so the driver's 50-row
     check window covers every query (r2 lesson: entries past #50 get
-    no CORRECTNESS row). T1/T12, A1-A10, J3/J4/J5/J6, V1/V4/V6,
-    LSH/IVF ANN recall, Jaccard/embedding dedup verify, exact-dup
-    group list + fingerprint stats, and token/BPE-piece counting are
-    merged into single gate queries (see t_const_bool_render /
+    no CORRECTNESS row). T1/T12, T2/T11, A1-A10, J3/J4/J5/J6,
+    V1/V4/V6, exact + LSH/IVF ANN top-k and recall, Jaccard/embedding
+    dedup verify, exact-dup group list + fingerprint stats, and
+    token/BPE-piece counting are merged into gate queries (see
+    t_const_bool_render / t_customer_transform_gates /
     a_profile_gates / j_crossdomain_gates / v_domain_check_gates /
     ann_recall_gates / dedup_verify_gates / dedup_exact_gates /
     text_analysis_gates; every component stays a standalone
