@@ -10,3 +10,8 @@ from trial_submission_studio_spark.operators.reshape import (  # noqa: F401
     reciprocal_augment,
     supp_unpivot,
 )
+from trial_submission_studio_spark.operators.bpe import (  # noqa: F401
+    bpe_token_count,
+    bpe_tokens,
+    train_bpe,
+)
