@@ -182,41 +182,6 @@ def train_bpe(
     return merges, stats
 
 
-def _encode_word(
-    word: str, ranks: dict[tuple[str, str], int], cache: dict[str, list[str]]
-) -> list[str]:
-    """Greedy min-rank merge application (GPT-2 ``bpe()``): repeatedly
-    merge the lowest-rank adjacent pair. Reproduces the training-time
-    segmentation because training merges were applied in rank order."""
-    hit = cache.get(word)
-    if hit is not None:
-        return hit
-    syms = list(word) + [END_OF_WORD]
-    while len(syms) > 1:
-        best = None
-        best_rank = None
-        for p in zip(syms, syms[1:]):
-            r = ranks.get(p)
-            if r is not None and (best_rank is None or r < best_rank):
-                best, best_rank = p, r
-        if best is None:
-            break
-        a, b = best
-        joined = a + b
-        new: list[str] = []
-        j = 0
-        while j < len(syms):
-            if j < len(syms) - 1 and syms[j] == a and syms[j + 1] == b:
-                new.append(joined)
-                j += 2
-            else:
-                new.append(syms[j])
-                j += 1
-        syms = new
-    cache[word] = syms
-    return syms
-
-
 def bpe_tokens(
     text_col: Column | str,
     merges: list[tuple[str, str]],
@@ -227,21 +192,63 @@ def bpe_tokens(
     Arrow-batched pandas_udf with a per-batch distinct-word memo; the
     merge ranks ride the serialized closure (≤ num_merges short string
     pairs — broadcast-sized). NULL text → NULL, blank → empty array.
+    Encoding is greedy min-rank merge application (GPT-2 ``bpe()``),
+    which reproduces the training-time segmentation because training
+    applied merges in rank order.
     """
+    # Factory pattern (see the verify recipe): the udf must capture
+    # ONLY closure-local state — a module-level _encode_word/_PRETOKEN_RE
+    # reference would pickle by module name and fail on workers whose
+    # cwd can't import the package.
     ranks = {tuple(p): i for i, p in enumerate(merges)}
+    pretoken_pattern = PRETOKEN_PATTERN
+    end_of_word = END_OF_WORD
+    lower = bool(lowercase)
 
     @pandas_udf("array<string>")
     def encode(s: pd.Series) -> pd.Series:
+        import re as _re
+
+        word_re = _re.compile(pretoken_pattern)
         cache: dict[str, list[str]] = {}
+
+        def encode_word(word):
+            hit = cache.get(word)
+            if hit is not None:
+                return hit
+            syms = list(word) + [end_of_word]
+            while len(syms) > 1:
+                best = None
+                best_rank = None
+                for p in zip(syms, syms[1:]):
+                    r = ranks.get(p)
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best, best_rank = p, r
+                if best is None:
+                    break
+                a, b = best
+                joined = a + b
+                new = []
+                j = 0
+                while j < len(syms):
+                    if j < len(syms) - 1 and syms[j] == a and syms[j + 1] == b:
+                        new.append(joined)
+                        j += 2
+                    else:
+                        new.append(syms[j])
+                        j += 1
+                syms = new
+            cache[word] = syms
+            return syms
 
         def one(text):
             if text is None:
                 return None
             out: list[str] = []
-            for w in _PRETOKEN_RE.findall(text):
-                if lowercase:
+            for w in word_re.findall(text):
+                if lower:
                     w = w.lower()
-                out.extend(_encode_word(w, ranks, cache))
+                out.extend(encode_word(w))
             return out
 
         return s.map(one)
