@@ -15,3 +15,8 @@ from trial_submission_studio_spark.operators.bpe import (  # noqa: F401
     bpe_tokens,
     train_bpe,
 )
+from trial_submission_studio_spark.operators.qualitymodel import (  # noqa: F401
+    score_quality_model,
+    train_quality_model,
+    weak_quality_labels,
+)
