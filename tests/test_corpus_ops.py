@@ -241,3 +241,18 @@ def test_paragraph_dedup_null_text_survives_as_empty(spark):
     out = {r["doc_id"]: r["text"] for r in
            paragraph_dedup(df, "doc_id", "text", max_docs=5).collect()}
     assert out == {1: "real\ncontent", 2: ""}
+
+
+def test_shuffle_deterministic_partition_invariant(spark):
+    from trial_submission_studio_spark.operators.sampling import (
+        shuffle_deterministic,
+    )
+
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(60)], "doc_id long, text string")
+    o1 = [r["doc_id"] for r in shuffle_deterministic(df.repartition(1), "doc_id", seed=7).collect()]
+    o7 = [r["doc_id"] for r in shuffle_deterministic(df.repartition(7), "doc_id", seed=7).collect()]
+    assert o1 == o7
+    assert sorted(o1) == list(range(60))
+    assert o1 != list(range(60))  # actually permuted
+    o_other = [r["doc_id"] for r in shuffle_deterministic(df, "doc_id", seed=8).collect()]
+    assert o_other != o1  # a new seed is a new epoch order

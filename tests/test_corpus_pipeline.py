@@ -209,3 +209,31 @@ def test_corpus_report_composition(spark):
     assert rep["a"]["min_tokens"] == 2 and rep["a"]["max_tokens"] == 4
     assert rep["a"]["dup_rate"] == round(1 - 2 / 3, 4)
     assert rep["b"]["n_docs"] == 1 and rep["b"]["dup_rate"] == 0.0
+
+
+def test_write_corpus_shards_shuffle_seed_epoch_order(spark, tmp_path):
+    from trial_submission_studio_spark.io.corpus_shards import (
+        write_corpus_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    ids_in_file_order = {}
+    for run, seed in (("e1", 11), ("e1b", 11), ("e2", 12)):
+        out = str(tmp_path / run)
+        write_corpus_shards(docs, out, "doc_id", n_shards=2, shuffle_seed=seed)
+        per_shard = []
+        for shard in (0, 1):
+            got = spark.read.parquet(f"{out}/shard={shard}")
+            per_shard.append([r["doc_id"] for r in got.collect()])
+        ids_in_file_order[run] = per_shard
+    # same seed → identical shard membership AND identical order
+    assert ids_in_file_order["e1"] == ids_in_file_order["e1b"]
+    # new seed → same membership, different order
+    assert [sorted(s) for s in ids_in_file_order["e1"]] == [
+        sorted(s) for s in ids_in_file_order["e2"]
+    ]
+    assert ids_in_file_order["e1"] != ids_in_file_order["e2"]
+    # the written order is actually shuffled, not insertion order
+    assert ids_in_file_order["e1"][0] != sorted(ids_in_file_order["e1"][0])

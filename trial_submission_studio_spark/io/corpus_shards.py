@@ -33,6 +33,7 @@ def write_corpus_shards(
     n_shards: int,
     token_col: str | None = None,
     mode: str = "overwrite",
+    shuffle_seed: int | None = None,
 ) -> DataFrame:
     """Write ``df`` as ``out_dir/shard=K/`` parquet partitions and
     return the manifest (shard, n_rows[, n_tokens]) as a DataFrame.
@@ -40,14 +41,28 @@ def write_corpus_shards(
     ``token_col`` (an integer column, e.g. from
     ``textstats.token_count``) adds per-shard token totals so loaders
     can weight shards by work, not just row count.
+
+    ``shuffle_seed`` additionally writes each shard in deterministic
+    pseudo-random order (training-order shuffle) via
+    sortWithinPartitions on ``xxhash64(id, seed)`` — shard-local, so
+    it rides the one repartition shuffle for free; a different seed
+    re-exports a fresh epoch order with identical shard membership.
     """
-    sharded = df.withColumn("shard", assign_shard(id_col, n_shards))
-    (
-        sharded.repartition(n_shards, "shard")
-        .write.mode(mode)
-        .partitionBy("shard")
-        .parquet(out_dir)
+    sharded = df.withColumn("shard", assign_shard(id_col, n_shards)).repartition(
+        n_shards, "shard"
     )
+    if shuffle_seed is not None:
+        # lead with the shard column: partitionBy writing requires a
+        # sort on the partition columns, and Catalyst ELIMINATES an
+        # inner sort shadowed by that one — with shard as the prefix,
+        # the writer's requirement is already satisfied and the epoch
+        # order survives to disk
+        sharded = sharded.sortWithinPartitions(
+            F.col("shard").asc(),
+            F.xxhash64(F.col(id_col), F.lit(int(shuffle_seed))).asc(),
+            F.col(id_col).asc(),
+        )
+    sharded.write.mode(mode).partitionBy("shard").parquet(out_dir)
     aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
     if token_col is not None:
         aggs.append(F.sum(token_col).cast("long").alias("n_tokens"))

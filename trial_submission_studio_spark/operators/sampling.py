@@ -309,3 +309,21 @@ def split_corpus(
         out[name] = df.filter((bucket >= lo) & (bucket < hi))
         lo = hi
     return out
+
+
+def shuffle_deterministic(df: DataFrame, key_col: str, seed: int = 0) -> DataFrame:
+    """Deterministic pseudo-random permutation of the corpus — the
+    training-order shuffle. Orders by ``xxhash64(key, seed)`` with the
+    key itself as tie-break, so the order is a pure function of
+    (corpus keys, seed): identical across partitionings, retries, and
+    cluster sizes; a new seed is a fresh epoch order.
+
+    Scale shape: one range-partitioned global sort (sampled range
+    boundaries keep partitions balanced because the hash is uniform —
+    no skew by construction). When only shard-LOCAL order matters,
+    prefer ``write_corpus_shards(..., shuffle_seed=...)`` which gets
+    the same property via sortWithinPartitions at zero extra shuffle.
+    """
+    return df.orderBy(
+        F.xxhash64(F.col(key_col), F.lit(int(seed))).asc(), F.col(key_col).asc()
+    )
