@@ -237,3 +237,73 @@ def test_write_corpus_shards_shuffle_seed_epoch_order(spark, tmp_path):
     assert ids_in_file_order["e1"] != ids_in_file_order["e2"]
     # the written order is actually shuffled, not insertion order
     assert ids_in_file_order["e1"][0] != sorted(ids_in_file_order["e1"][0])
+
+
+def test_prepare_corpus_model_quality_stage_and_guard(spark):
+    import pytest
+
+    from trial_submission_studio_spark.operators.qualitymodel import (
+        train_quality_model,
+    )
+
+    good = (
+        "the quick brown fox jumps over the lazy dog near the old town "
+        "square while many people walk past the market and talk about "
+        "bread fruit coffee and the fine spring weather this afternoon"
+    )
+    bad = "@#$% ^&*! @#$% ^&*! @#$% ^&*! @#$% ^&*! @#$% ^&*!"
+    labeled = spark.createDataFrame(
+        [(i, good + f" extra{i}", 1.0) for i in range(15)]
+        + [(100 + i, bad + f" junk{i}", 0.0) for i in range(15)],
+        "doc_id long, text string, label double",
+    )
+    model = train_quality_model(labeled, "text", num_features=1 << 12, max_iter=30)
+
+    docs = spark.createDataFrame(
+        [(1, good + " held out", "s"), (2, bad + " held out", "s")],
+        "doc_id long, text string, source string",
+    )
+    cfg = CorpusConfig(
+        min_line_words=None, min_doc_tokens=None, paragraph_max_docs=None,
+        exact_dedup=False, near_dedup=False, contamination_threshold=None,
+        min_model_quality=0.5,
+    )
+    out = prepare_corpus(
+        docs, "doc_id", "text", cfg, quality_model=model, collect_stats=True,
+    )
+    assert [r["doc_id"] for r in out.collect()] == [1]
+    assert cfg.stats["model_quality"] == 1
+    assert out.columns == docs.columns
+
+    with pytest.raises(ValueError, match="quality_model"):
+        prepare_corpus(
+            docs, "doc_id", "text",
+            CorpusConfig(contamination_threshold=None, min_model_quality=0.5),
+        )
+
+
+def test_corpus_report_bpe_token_accounting(spark):
+    from trial_submission_studio_spark.corpus import corpus_report
+    from trial_submission_studio_spark.operators.bpe import (
+        bpe_token_count,
+        train_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "lower newer lower", "a"), (2, "lowest newest", "a"), (3, "low new", "b")],
+        "doc_id long, text string, source string",
+    )
+    merges, _ = train_bpe(docs, "text", num_merges=15)
+    rep = {
+        r["source"]: r
+        for r in corpus_report(docs, "doc_id", "text", bpe_merges=merges).collect()
+    }
+    per_doc = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", bpe_token_count("text", merges).alias("n")
+        ).collect()
+    }
+    assert rep["a"]["n_bpe_tokens"] == per_doc[1] + per_doc[2]
+    assert rep["b"]["n_bpe_tokens"] == per_doc[3]
+    assert rep["a"]["n_tokens"] == 5  # whitespace accounting still present

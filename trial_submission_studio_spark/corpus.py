@@ -11,6 +11,8 @@ corpus:
    Gopher repetition) — row-local, zero shuffle.
 3. **Language routing** (trainable char-n-gram classifier +
    allowlist) — broadcast join.
+3b. **Learned quality model** (hashed-n-gram logistic classifier,
+   the CCNet/fastText stage) — row-local scoring, zero shuffle.
 4. **Paragraph boilerplate removal** — first corpus-wide stage.
 5. **Repeated-substring removal** (ExactSubstr window variant).
 6. **Exact dedup** (normalized fingerprint, min-id survivor).
@@ -54,6 +56,7 @@ class CorpusConfig:
     min_stopword_ratio: float | None = None
     min_quality: float | None = None
     lang_allowlist: tuple[str, ...] | None = None
+    min_model_quality: float | None = None
     paragraph_max_docs: int | None = 5
     substring_w: int | None = None
     substring_min_doc_freq: int = 2
@@ -77,6 +80,7 @@ def prepare_corpus(
     benchmark: DataFrame | None = None,
     lang_profiles: DataFrame | None = None,
     lm_model: tuple[DataFrame, DataFrame] | None = None,
+    quality_model=None,
     collect_stats: bool = False,
 ) -> DataFrame:
     """Run the composed pipeline; returns the cleaned corpus with the
@@ -101,6 +105,10 @@ def prepare_corpus(
         )
     if cfg.max_ppl is not None and lm_model is None:
         raise ValueError("max_ppl is set but no lm_model= was passed")
+    if cfg.min_model_quality is not None and quality_model is None:
+        raise ValueError(
+            "min_model_quality is set but no quality_model= was passed"
+        )
 
     def _mark(stage: str, df: DataFrame) -> DataFrame:
         if collect_stats:
@@ -141,6 +149,16 @@ def prepare_corpus(
             F.col("lang").isin(*cfg.lang_allowlist)
         ).select(id_col)
         out = _mark("lang_routed", out.join(allowed, id_col, "left_semi"))
+
+    if cfg.min_model_quality is not None and quality_model is not None:
+        from .operators.qualitymodel import quality_model_filter
+
+        out = _mark(
+            "model_quality",
+            quality_model_filter(
+                out, quality_model, text_col, min_prob=cfg.min_model_quality
+            ),
+        )
 
     if cfg.paragraph_max_docs is not None:
         cleaned = paragraph_dedup(
@@ -209,6 +227,7 @@ def corpus_report(
     id_col: str,
     text_col: str,
     strata_cols: tuple[str, ...] = ("source",),
+    bpe_merges: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Per-stratum corpus composition report — the table every mix
     decision starts from: document/token counts, length distribution,
@@ -217,15 +236,28 @@ def corpus_report(
 
     One grouped aggregation over the scan (token/quality are pure
     expressions; the fingerprint feeds a count-distinct) — no second
-    pass, no collect of data-sized results.
+    pass, no collect of data-sized results. ``bpe_merges`` (from
+    :func:`.operators.bpe.train_bpe`) adds ``n_bpe_tokens`` — the
+    learned-tokenizer total a training run actually bills by — as one
+    more aggregate in the same pass.
     """
     from .operators.dedup import fingerprint
     from .operators.textstats import quality_score, token_count
 
     toks = token_count(text_col)
+    extra = []
+    if bpe_merges is not None:
+        from .operators.bpe import bpe_token_count
+
+        extra.append(
+            F.sum(bpe_token_count(text_col, bpe_merges))
+            .cast("long")
+            .alias("n_bpe_tokens")
+        )
     return docs.groupBy(*[F.col(c) for c in strata_cols]).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(toks).cast("long").alias("n_tokens"),
+        *extra,
         F.min(toks).cast("long").alias("min_tokens"),
         F.round(F.avg(toks), 2).alias("avg_tokens"),
         F.max(toks).cast("long").alias("max_tokens"),
