@@ -1718,6 +1718,62 @@ def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_key(d, "source", 40, "doc_id", priority=prio)
 
 
+def bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a BPE tokenizer on the documents corpus and account
+    learned-tokenizer tokens per source (operators/bpe.py). Benched
+    extra, NOT in the 50-slot contract: merge learning is iterative
+    and not SQL-expressible; parity is pinned by tests/test_bpe.py
+    against a naive reference trainer."""
+    from trial_submission_studio_spark.operators.bpe import (
+        bpe_token_count,
+        train_bpe,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    merges, _ = train_bpe(d, "text", num_merges=1000)
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(bpe_token_count("text", merges)).cast("long").alias("n_bpe_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def quality_model_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak-label bootstrap + hashed-n-gram logistic regression over
+    the documents corpus, scored back per source
+    (operators/qualitymodel.py). Benched extra, NOT in the 50-slot
+    contract: L-BFGS training is iterative and not SQL-expressible;
+    semantics pinned by tests/test_qualitymodel.py."""
+    from trial_submission_studio_spark.operators.qualitymodel import (
+        score_quality_model,
+        train_quality_model,
+        weak_quality_labels,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    labels = weak_quality_labels(d, "doc_id", "text")
+    # compact the small labeled frame: each L-BFGS pass is a job over
+    # its partitions, and 32 near-empty tasks x 20 iterations is pure
+    # scheduler overhead at bench scale (a real labeled set keeps its
+    # natural partitioning)
+    model = train_quality_model(
+        d.join(labels, "doc_id").repartition(4), "text",
+        num_features=1 << 14, max_iter=20,
+    )
+    return (
+        score_quality_model(d, model, "text")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("quality_prob"), 4).alias("avg_quality_prob"),
+        )
+        .orderBy("source")
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------

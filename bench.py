@@ -252,8 +252,13 @@ def main() -> None:
         "quality_line_filter",
         "corpus_mix_weighted",
         "substring_removal_docs",
+        # trainable stages (bench-only callables, not contract slots)
+        "bpe_train_encode",
+        "quality_model_train_score",
     )
     for name in EXTRA_QUERIES:
+        if name not in qs:
+            qs[name] = getattr(entrymod, name)
         try:
             qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
         except Exception as exc:  # surface, don't silently drop the metric

@@ -136,16 +136,25 @@ def train_quality_model(
     rows — pass an explicit reference-vs-crawl frame or the output of
     :func:`weak_quality_labels` joined back to the text."""
     from pyspark.ml.classification import LogisticRegression
+    from pyspark.storagelevel import StorageLevel
 
-    feats = _featurize(labeled, text_col, num_features, bigrams)
-    lr = LogisticRegression(
-        featuresCol="__q_features",
-        labelCol=label_col,
-        maxIter=int(max_iter),
-        regParam=float(reg_param),
-        standardization=False,
+    # persist the featurized frame: every L-BFGS iteration is a full
+    # pass, and without this each pass re-runs tokenization + hashing
+    # (measured ~0.5 s/iteration of pure recompute even at bench scale)
+    feats = _featurize(labeled, text_col, num_features, bigrams).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    model = lr.fit(feats)
+    try:
+        lr = LogisticRegression(
+            featuresCol="__q_features",
+            labelCol=label_col,
+            maxIter=int(max_iter),
+            regParam=float(reg_param),
+            standardization=False,
+        )
+        model = lr.fit(feats)
+    finally:
+        feats.unpersist()
     return QualityModel(num_features=int(num_features), bigrams=bool(bigrams), lr_model=model)
 
 
