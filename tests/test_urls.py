@@ -1,0 +1,103 @@
+"""URL normalization / domain governance operators."""
+
+import pyspark.sql.functions as F
+
+from trial_submission_studio_spark.operators.urls import (
+    domain_blocklist_filter,
+    normalize_url,
+    url_dedup,
+    url_host,
+    url_registered_domain,
+)
+
+
+def _vals(spark, urls, expr):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r["v"] for r in df.select(expr("url").alias("v")).collect()]
+
+
+def test_url_host_and_registered_domain(spark):
+    urls = [
+        "https://www.Example.COM/a",
+        "http://blog.shop.example.co.uk/x?y=1",
+        "https://sub.deep.example.org",
+        "https://example.io/",
+        "not a url",
+        None,
+    ]
+    hosts = _vals(spark, urls, url_host)
+    assert hosts[:4] == ["example.com", "blog.shop.example.co.uk", "sub.deep.example.org", "example.io"]
+    assert hosts[4] is None and hosts[5] is None
+    doms = _vals(spark, urls, url_registered_domain)
+    assert doms[:4] == ["example.com", "example.co.uk", "example.org", "example.io"]
+
+
+def test_normalize_url_canonicalization(spark):
+    pairs = [
+        # tracking params dropped, rest sorted, fragment dropped
+        ("https://www.Example.com/path/?b=2&utm_source=x&a=1#frag",
+         "https://example.com/path?a=1&b=2"),
+        # default port removed; non-default kept
+        ("http://example.com:80/a", "http://example.com/a"),
+        ("http://example.com:8080/a", "http://example.com:8080/a"),
+        ("HTTPS://example.com:443/", "https://example.com/"),
+        # no query, trailing slash trimmed on non-root path
+        ("https://example.com/a/b/", "https://example.com/a/b"),
+        # only tracking params -> no query at all
+        ("https://example.com/a?gclid=zzz&fbclid=q", "https://example.com/a"),
+        # non-URL passes through
+        ("not a url", "not a url"),
+    ]
+    got = _vals(spark, [p[0] for p in pairs], normalize_url)
+    for (src, want), v in zip(pairs, got):
+        assert v == want, (src, v, want)
+    assert _vals(spark, [None], normalize_url) == [None]
+
+
+def test_url_dedup_min_id_survivor(spark):
+    df = spark.createDataFrame(
+        [
+            (3, "https://www.example.com/a?utm_source=t"),
+            (1, "https://example.com/a"),
+            (2, "http://example.com/a"),       # different scheme: distinct
+            (4, "https://other.org/b"),
+        ],
+        "doc_id long, url string",
+    )
+    out = url_dedup(df, "doc_id", "url")
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 4]
+    assert out.columns == df.columns
+
+
+def test_url_dedup_partition_invariant(spark):
+    rows = [(i, f"https://example.com/p{i % 7}?utm_source=s{i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    a = sorted(r["doc_id"] for r in url_dedup(df.repartition(1), "doc_id", "url").collect())
+    b = sorted(r["doc_id"] for r in url_dedup(df.repartition(9), "doc_id", "url").collect())
+    assert a == b == list(range(7))  # min id per of the 7 canonical paths
+
+
+def test_domain_blocklist_filter(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://spam.example.com/x"),   # subdomain of blocked
+            (2, "https://example.com/y"),        # blocked exactly
+            (3, "https://good.org/z"),
+            (4, "https://shop.bad.co.uk/w"),     # blocked eTLD+1 (co.uk rule)
+        ],
+        "doc_id long, url string",
+    )
+    out = domain_blocklist_filter(df, "url", ["example.com", "bad.co.uk"])
+    assert sorted(r["doc_id"] for r in out.collect()) == [3]
+    assert out.columns == df.columns
+    # DataFrame-typed blocklist path
+    bl = spark.createDataFrame([("good.org",)], "domain string")
+    out2 = domain_blocklist_filter(df, "url", bl)
+    assert sorted(r["doc_id"] for r in out2.collect()) == [1, 2, 4]
+
+
+def test_blocklist_join_is_broadcast(spark):
+    df = spark.createDataFrame([(1, "https://a.com/x")], "doc_id long, url string")
+    plan = domain_blocklist_filter(df, "url", ["a.com"])._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "SortMergeJoin" not in plan

@@ -20,3 +20,9 @@ from trial_submission_studio_spark.operators.qualitymodel import (  # noqa: F401
     train_quality_model,
     weak_quality_labels,
 )
+from trial_submission_studio_spark.operators.urls import (  # noqa: F401
+    domain_blocklist_filter,
+    normalize_url,
+    url_dedup,
+    url_registered_domain,
+)
