@@ -35,6 +35,10 @@ def naive_train(texts, num_merges, lowercase=False):
     for t in texts:
         for w in _PRETOKEN_RE.findall(t):
             wc[w.lower() if lowercase else w] += 1
+    return naive_train_from_counts(wc, num_merges)
+
+
+def naive_train_from_counts(wc, num_merges):
     words = {w: (list(w) + [END_OF_WORD], c) for w, c in wc.items()}
     merges = []
     for _ in range(num_merges):
@@ -198,3 +202,75 @@ def test_word_histogram_counts(spark):
         for r in word_histogram(df, "text", lowercase=True).collect()
     }
     assert lowered == {"low": 4, "!": 1}
+
+
+# --- property tests (hypothesis) ----------------------------------------
+
+
+def test_learn_merges_matches_naive_on_random_histograms():
+    """Pure driver-side property: the incremental-pair-count trainer
+    equals the recount-per-iteration reference on arbitrary word
+    histograms (the incremental bookkeeping is the bug surface)."""
+    from hypothesis import given, settings, strategies as st
+
+    from trial_submission_studio_spark.operators.bpe import _learn_merges
+
+    entries = st.lists(
+        st.tuples(
+            st.text(alphabet="abcde", min_size=1, max_size=7),
+            st.integers(1, 9),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(entries, st.integers(0, 25))
+    def run(wc, n):
+        assert _learn_merges(list(wc), n) == naive_train_from_counts(dict(wc), n)
+
+    run()
+
+
+def test_bpe_encode_lossless_over_random_unicode(spark):
+    """Token streams are lossless re-segmentations: stripping the
+    end-of-word sentinel and concatenating reproduces exactly the
+    pre-token characters, for arbitrary unicode input."""
+    from hypothesis import given, settings, strategies as st
+
+    merges, _ = train_bpe(_df(spark), "text", num_merges=25)
+
+    texts = st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_categories=("Cs",)
+            ),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(texts)
+    def run(vals):
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r["toks"]
+            for r in df.select(
+                "doc_id", bpe_tokens("text", merges).alias("toks")
+            ).collect()
+        }
+        for i, v in enumerate(vals):
+            toks = got[i]
+            joined = "".join(t.replace(END_OF_WORD, "") for t in toks)
+            assert joined == "".join(_PRETOKEN_RE.findall(v)), (v, toks)
+            # every word's tokens end with exactly one sentinel token run
+            assert sum(t.endswith(END_OF_WORD) or t == END_OF_WORD for t in toks) == len(
+                _PRETOKEN_RE.findall(v)
+            )
+
+    run()
