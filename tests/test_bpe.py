@@ -274,3 +274,48 @@ def test_bpe_encode_lossless_over_random_unicode(spark):
             )
 
     run()
+
+
+def test_bpe_token_ids_and_packing_composition(spark):
+    from trial_submission_studio_spark.operators.bpe import bpe_token_ids
+    from trial_submission_studio_spark.operators.sampling import pack_sequences
+
+    df = _df(spark)
+    merges, stats = train_bpe(df, "text", num_merges=30)
+    vocab = bpe_vocab(merges, alphabet=stats["alphabet"])
+    inv = {i: t for t, i in vocab.items()}
+    with_ids = df.select(
+        "doc_id",
+        bpe_tokens("text", merges).alias("toks"),
+        bpe_token_ids("text", merges, vocab=vocab).alias("ids"),
+    )
+    for r in with_ids.collect():
+        # ids decode back to the exact token stream (vocab covers the
+        # training corpus's alphabet, so no UNKs here)
+        assert [inv[i] for i in r["ids"]] == r["toks"]
+    # unknown characters map to unk_id
+    oov = spark.createDataFrame([(1, "низ")], "doc_id long, text string")
+    ids = oov.select(bpe_token_ids("text", merges, vocab=vocab, unk_id=-7).alias("i")).collect()[0]["i"]
+    # each non-ASCII char is its own pretoken: (unk, </w>) x 3
+    assert ids == [-7, vocab[END_OF_WORD]] * 3
+    # NULL semantics
+    nul = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    assert nul.select(bpe_token_ids("text", merges).alias("i")).collect()[0]["i"] is None
+    # full path: text -> ids -> packed training sequences
+    counted = df.select(
+        "doc_id", F.size(bpe_token_ids("text", merges, vocab=vocab)).cast("long").alias("n_tok")
+    )
+    packs = pack_sequences(counted, "doc_id", "n_tok", budget=16, buckets=2)
+    rows = packs.collect()
+    assert {r["doc_id"] for r in rows} == set(range(len(CORPUS)))
+    by_pack = {}
+    for r in rows:
+        by_pack.setdefault(r["pack_id"], 0)
+        by_pack[r["pack_id"]] += 1
+    totals = {r["pack_id"]: r["pack_tokens"] for r in rows}
+    per_doc = {r["doc_id"]: r["n_tok"] for r in counted.collect()}
+    # pack totals are exact sums of member docs
+    acc = {}
+    for r in rows:
+        acc[r["pack_id"]] = acc.get(r["pack_id"], 0) + per_doc[r["doc_id"]]
+    assert acc == totals

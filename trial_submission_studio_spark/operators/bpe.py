@@ -178,6 +178,9 @@ def train_bpe(
         "kept_words": len(word_counts),
         "coverage": (kept / total) if total else 1.0,
         "num_merges": len(merges),
+        # the base alphabet of the kept histogram — feed to bpe_vocab
+        # so ids cover every character the encoder can emit standalone
+        "alphabet": sorted({ch for w, _ in word_counts for ch in w}),
     }
     return merges, stats
 
@@ -266,12 +269,19 @@ def bpe_token_count(
     return F.size(bpe_tokens(text_col, merges, lowercase=lowercase)).cast("long")
 
 
-def bpe_vocab(merges: list[tuple[str, str]]) -> dict[str, int]:
-    """Deterministic token→id map: all single characters observed in
-    the merges plus END_OF_WORD (sorted), then merge products in merge
-    order. Matches the symbols :func:`bpe_tokens` can emit for any
-    word whose characters appeared in training."""
+def bpe_vocab(
+    merges: list[tuple[str, str]],
+    alphabet: list[str] | None = None,
+) -> dict[str, int]:
+    """Deterministic token→id map: the base alphabet plus END_OF_WORD
+    (sorted), then merge products in merge order. Pass the training
+    ``stats["alphabet"]`` from :func:`train_bpe` as ``alphabet`` so
+    ids cover every character the encoder can emit standalone — merge
+    operands alone miss characters that never participated in a merge
+    (they would otherwise encode as UNK)."""
     base: set[str] = {END_OF_WORD}
+    if alphabet:
+        base.update(alphabet)
     for a, b in merges:
         for part in (a, b):
             if part != END_OF_WORD and part not in base:
@@ -297,3 +307,79 @@ def detokenize_bpe(tokens_col: Column | str) -> Column:
     return F.trim(
         F.regexp_replace(F.array_join(c, ""), re.escape(END_OF_WORD), " ")
     )
+
+
+def bpe_token_ids(
+    text_col: Column | str,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int] | None = None,
+    unk_id: int = 0,
+    lowercase: bool = False,
+) -> Column:
+    """Column of token IDS (array<int>) — the tensor-ready form a
+    training loader consumes; compose with
+    :func:`.sampling.pack_sequences` (via ``F.size``) for the full
+    text → ids → packed-batches path.
+
+    ``vocab`` defaults to :func:`bpe_vocab(merges) <bpe_vocab>`;
+    symbols outside it (characters never seen in training) map to
+    ``unk_id``. Same Arrow-batched kernel shape as
+    :func:`bpe_tokens`, with the word memo caching id lists directly.
+    """
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    vocab_map = dict(vocab) if vocab is not None else bpe_vocab(merges)
+    pretoken_pattern = PRETOKEN_PATTERN
+    end_of_word = END_OF_WORD
+    lower = bool(lowercase)
+    unk = int(unk_id)
+
+    @pandas_udf("array<int>")
+    def encode_ids(s: pd.Series) -> pd.Series:
+        import re as _re
+
+        word_re = _re.compile(pretoken_pattern)
+        cache: dict[str, list[int]] = {}
+
+        def word_ids(word):
+            hit = cache.get(word)
+            if hit is not None:
+                return hit
+            syms = list(word) + [end_of_word]
+            while len(syms) > 1:
+                best = None
+                best_rank = None
+                for p in zip(syms, syms[1:]):
+                    r = ranks.get(p)
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best, best_rank = p, r
+                if best is None:
+                    break
+                a, b = best
+                joined = a + b
+                new = []
+                j = 0
+                while j < len(syms):
+                    if j < len(syms) - 1 and syms[j] == a and syms[j + 1] == b:
+                        new.append(joined)
+                        j += 2
+                    else:
+                        new.append(syms[j])
+                        j += 1
+                syms = new
+            ids = [vocab_map.get(t, unk) for t in syms]
+            cache[word] = ids
+            return ids
+
+        def one(text):
+            if text is None:
+                return None
+            out: list[int] = []
+            for w in word_re.findall(text):
+                if lower:
+                    w = w.lower()
+                out.extend(word_ids(w))
+            return out
+
+        return s.map(one)
+
+    return encode_ids(F.col(text_col) if isinstance(text_col, str) else text_col)
