@@ -1155,3 +1155,58 @@ def test_stateful_running_totals_transform_with_state(spark, tmp_path):
         assert latest[2] == (1, 4.0)
     finally:
         q.stop()
+
+
+def test_streaming_crawl_stages_match_batch(spark, tmp_path):
+    """The crawl-governance stages (URL normalization key, domain
+    blocklist, HTML→text) are stateless, so the SAME plan runs on a
+    stream of fetched pages — batch ≡ bounded stream row-for-row."""
+    from trial_submission_studio_spark.operators.textclean import html_to_text
+    from trial_submission_studio_spark.operators.urls import (
+        domain_blocklist_filter,
+        normalize_url,
+    )
+
+    batch = spark.createDataFrame(
+        [
+            (1, "https://www.good.org/a?utm_source=t",
+             "<html><body><p>Fine page body here.</p></body></html>"),
+            (2, "https://spam.bad.com/x",
+             "<html><body><p>spam spam</p></body></html>"),
+            (3, "https://good.org/a",  # same canonical URL as doc 1
+             "<html><body><p>Fine page body here.</p></body></html>"),
+        ],
+        "doc_id long, url string, html string",
+    )
+    src = str(tmp_path / "pages_stream")
+    batch.write.parquet(src)
+
+    def stage(df):
+        kept = domain_blocklist_filter(df, "url", ["bad.com"])
+        return kept.select(
+            "doc_id",
+            normalize_url("url").alias("canonical_url"),
+            html_to_text("html").alias("text"),
+        )
+
+    expected = sorted(tuple(r) for r in stage(batch).collect())
+    assert [e[0] for e in expected] == [1, 3]
+    assert expected[0][1] == expected[1][1] == "https://good.org/a"
+    assert expected[0][2] == "Fine page body here."
+
+    stream = spark.readStream.schema("doc_id long, url string, html string").parquet(src)
+    q = (
+        stage(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("crawl_stream_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            tuple(r) for r in spark.sql("SELECT * FROM crawl_stream_out").collect()
+        )
+    finally:
+        q.stop()
+    assert got == expected
