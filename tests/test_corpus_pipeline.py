@@ -307,3 +307,92 @@ def test_corpus_report_bpe_token_accounting(spark):
     assert rep["a"]["n_bpe_tokens"] == per_doc[1] + per_doc[2]
     assert rep["b"]["n_bpe_tokens"] == per_doc[3]
     assert rep["a"]["n_tokens"] == 5  # whitespace accounting still present
+
+
+def test_crawl_to_training_shards_end_to_end(spark, tmp_path):
+    """The whole ingestion story composes: WARC → HTML text → URL
+    governance (blocklist + canonical dedup) → corpus pipeline →
+    BPE-accounted report → deterministically shuffled shards."""
+    from test_warc import _http_response, _record
+
+    from trial_submission_studio_spark.io.corpus_shards import (
+        write_corpus_shards,
+    )
+    from trial_submission_studio_spark.operators.bpe import train_bpe
+    from trial_submission_studio_spark.operators.textclean import html_to_text
+    from trial_submission_studio_spark.operators.urls import (
+        domain_blocklist_filter,
+        url_dedup,
+    )
+    from trial_submission_studio_spark.sources.warc import read_warc
+    import pyspark.sql.functions as F
+
+    from trial_submission_studio_spark.corpus import (
+        CorpusConfig,
+        corpus_report,
+        prepare_corpus,
+    )
+
+    def page(body_text):
+        return (
+            "<html><head><style>x{}</style></head><body><p>"
+            + body_text
+            + "</p></body></html>"
+        ).encode()
+
+    good = "the quick brown fox jumps over the lazy dog in the old town square today"
+    records = b""
+    urls = [
+        ("https://www.good.org/a?utm_source=t", good + " alpha page"),
+        ("https://good.org/a", good + " alpha page"),          # dup canonical URL
+        ("https://good.org/b", good + " beta page content"),
+        ("https://spam.bad.com/x", good + " spam page"),       # blocked domain
+        ("https://good.org/tiny", "tiny"),                     # fails token gate
+    ]
+    for i, (u, body) in enumerate(urls):
+        records += _record(
+            b"response", f"r{i}".encode(),
+            extra_headers=b"WARC-Target-URI: " + u.encode() + b"\r\n",
+            payload=_http_response(page(body)),
+        )
+    warc_dir = tmp_path / "crawl"
+    warc_dir.mkdir()
+    (warc_dir / "seg-0.warc").write_bytes(records)
+
+    pages = (
+        read_warc(spark, str(warc_dir))
+        .filter(F.col("http_status") == 200)
+        .select(
+            F.monotonically_increasing_id().alias("__row"),
+            "url",
+            html_to_text("text").alias("text"),
+        )
+        .withColumn("doc_id", F.xxhash64("url"))
+        .withColumn("source", F.lit("crawl"))
+    )
+    governed = url_dedup(
+        domain_blocklist_filter(pages, "url", ["bad.com"]), "doc_id", "url"
+    ).select("doc_id", "source", "text")
+
+    cfg = CorpusConfig(
+        min_line_words=None, min_doc_tokens=5, paragraph_max_docs=None,
+        exact_dedup=True, near_dedup=False, contamination_threshold=None,
+    )
+    corpus = prepare_corpus(governed, "doc_id", "text", cfg)
+    texts = sorted(r["text"] for r in corpus.collect())
+    assert len(texts) == 2  # alpha (one survivor) + beta; spam blocked; tiny gated
+    assert any("alpha page" in t for t in texts)
+    assert any("beta page" in t for t in texts)
+    assert not any("spam" in t for t in texts)
+
+    merges, _ = train_bpe(corpus, "text", num_merges=50)
+    rep = corpus_report(corpus, "doc_id", "text", bpe_merges=merges).collect()
+    assert len(rep) == 1 and rep[0]["n_docs"] == 2
+    assert rep[0]["n_bpe_tokens"] > 0 and rep[0]["dup_rate"] == 0.0
+
+    manifest = write_corpus_shards(
+        corpus, str(tmp_path / "shards"), "doc_id", n_shards=2, shuffle_seed=3,
+    ).collect()
+    assert sum(r["n_rows"] for r in manifest) == 2
+    back = spark.read.parquet(str(tmp_path / "shards"))
+    assert back.count() == 2
