@@ -1718,6 +1718,122 @@ def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_key(d, "source", 40, "doc_id", priority=prio)
 
 
+def corpus_governance_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged gate for the two sampling-governance operators (frees
+    registry slots per the r6 verdict's consolidation ask; both stay
+    standalone callables above). One row:
+
+    - per-source quota cap (operators/sampling.py:cap_per_key, 40
+      docs/source by pinned multiplicative-hash priority): row count,
+      distinct sources, and a multiplicative-hash set fingerprint
+      that pins WHICH docs survived, not just how many;
+    - weighted multi-epoch mix (mix_epochs, src0 2.5x / src1 0.5x):
+      emitted row count, epoch sum, and the same set fingerprint
+      over emitted (doc, epoch) rows.
+    """
+    from trial_submission_studio_spark.operators.sampling import (
+        cap_per_key,
+        mix_epochs,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    fp = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000000007)
+    capped = cap_per_key(
+        d, "source", 40, "doc_id",
+        priority=(F.col("doc_id") * F.lit(2654435761)) % F.lit(1000000007),
+    )
+    cap_agg = capped.agg(
+        F.count(F.lit(1)).cast("long").alias("capped_rows"),
+        F.countDistinct("source").cast("long").alias("capped_sources"),
+        F.sum(fp).cast("long").alias("capped_fp"),
+    )
+    mixed = mix_epochs(
+        d,
+        "source",
+        {"src0": 2.5, "src1": 0.5},
+        key_col="doc_id",
+        default_weight=1.0,
+        hash_expr=F.col("doc_id") * F.lit(2654435761),
+    )
+    mix_agg = mixed.agg(
+        F.count(F.lit(1)).cast("long").alias("mix_rows"),
+        F.sum(F.col("epoch").cast("long")).cast("long").alias("mix_epoch_sum"),
+        F.sum(fp).cast("long").alias("mix_fp"),
+    )
+    # gate-only crossJoin of two 1-row aggregates (documented pattern)
+    return cap_agg.crossJoin(mix_agg)
+
+
+#: pinned z-order gate geometry: (column, lo, hi) and bit width —
+#: shared by the Spark query and the generated oracle SQL below.
+_ZORDER_COLS = (
+    ("l_quantity", 1.0, 51.0),
+    ("l_extendedprice", 900.0, 105000.0),
+    ("l_discount", 0.0, 0.11),
+)
+_ZORDER_BITS = 8
+
+
+def layout_zorder_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering-key gate (operators/layout.py):
+    bucketize three lineitem measures over pinned bounds and
+    interleave their bits — the key `zorder_layout` range-shuffles
+    on. The gate pins the key computation bit-exactly (count,
+    distinct keys, sum/min/max); the layout/pruning effect itself is
+    covered by tests/test_layout.py (file-layout assertions are not
+    SQL-expressible)."""
+    from trial_submission_studio_spark.operators.layout import (
+        bucketize,
+        zorder_key,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    zk = zorder_key(
+        [bucketize(c, lo, hi, _ZORDER_BITS) for c, lo, hi in _ZORDER_COLS],
+        _ZORDER_BITS,
+    )
+    return li.select(zk.alias("zkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("zkey").cast("long").alias("n_keys"),
+        F.sum("zkey").cast("long").alias("zkey_sum"),
+        F.min("zkey").cast("long").alias("zkey_min"),
+        F.max("zkey").cast("long").alias("zkey_max"),
+    )
+
+
+def _zorder_oracle_sql() -> str:
+    """DuckDB mirror of layout_zorder_gate, generated from the same
+    pinned geometry so the two can never drift."""
+    n = 1 << _ZORDER_BITS
+    buckets = []
+    for j, (c, lo, hi) in enumerate(_ZORDER_COLS):
+        buckets.append(
+            f"coalesce(CAST(least({n - 1}, greatest(0, "
+            f"floor((CAST({c} AS DOUBLE) - {lo!r}) / {hi - lo!r} * {float(n)!r})"
+            f")) AS BIGINT), 0) AS b{j}"
+        )
+    k = len(_ZORDER_COLS)
+    terms = [
+        f"(((b{j} >> {i}) & 1) << {i * k + j})"
+        for i in range(_ZORDER_BITS)
+        for j in range(k)
+    ]
+    return f"""
+        WITH b AS (
+          SELECT {', '.join(buckets)} FROM lineitem
+        ),
+        z AS (
+          SELECT {' | '.join(terms)} AS zkey FROM b
+        )
+        SELECT count(*) AS n_rows,
+               count(DISTINCT zkey) AS n_keys,
+               CAST(sum(zkey) AS BIGINT) AS zkey_sum,
+               min(zkey) AS zkey_min,
+               max(zkey) AS zkey_max
+        FROM z
+    """
+
+
 def bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a BPE tokenizer on the documents corpus and account
     learned-tokenizer tokens per source (operators/bpe.py). Benched
@@ -1797,15 +1913,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     callable). Queries that have never seen the oracle sit FIRST —
     r6 lesson: nothing rotates out of the window unverified."""
     return {
+        "layout_zorder_gate": layout_zorder_gate,
+        "corpus_governance_gates": corpus_governance_gates,
         "paragraph_dedup_docs": paragraph_dedup_docs,
         "semantic_dedup_gate": semantic_dedup_gate,
-        "source_quota_cap": source_quota_cap,
         "substring_removal_docs": substring_removal_docs,
         "langid_train_classify": langid_train_classify,
         "dedup_exact_gates": dedup_exact_gates,
         "contamination_ngram_overlap": contamination_ngram_overlap,
         "quality_line_filter": quality_line_filter,
-        "corpus_mix_weighted": corpus_mix_weighted,
         "embedding_quantize_gates": embedding_quantize_gates,
         "events_sessionization": events_sessionization,
         "agg_salted_user_totals": agg_salted_user_totals,
@@ -2376,13 +2492,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_planted, CAST(1 AS BIGINT) AS dedup_exact_ok
             FROM embeddings WHERE vec_id % 10 = 0
         """,
-        "source_quota_cap": """
-            SELECT doc_id, source FROM (
+        "layout_zorder_gate": _zorder_oracle_sql(),
+        "corpus_governance_gates": """
+            WITH capped AS (
+              SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                         PARTITION BY source
+                         ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
+                FROM documents) WHERE rn <= 40
+            ),
+            cap_agg AS (
+              SELECT CAST(count(*) AS BIGINT) AS capped_rows,
+                     CAST(count(DISTINCT source) AS BIGINT) AS capped_sources,
+                     CAST(sum((doc_id * 2654435761) % 1000000007) AS BIGINT)
+                       AS capped_fp
+              FROM capped
+            ),
+            w AS (
               SELECT doc_id, source,
-                     row_number() OVER (
-                       PARTITION BY source
-                       ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
-              FROM documents) WHERE rn <= 40
+                     CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.5
+                          ELSE 1.0 END AS wt,
+                     (doc_id * 2654435761) % 1000000 AS bucket
+              FROM documents
+            ),
+            mixed AS (
+              SELECT doc_id,
+                     unnest(range(CAST(floor(wt) AS BIGINT)
+                            + CASE WHEN bucket <
+                                     CAST(floor((wt - floor(wt)) * 1000000)
+                                          AS BIGINT)
+                                   THEN 1 ELSE 0 END)) AS epoch
+              FROM w
+            ),
+            mix_agg AS (
+              SELECT CAST(count(*) AS BIGINT) AS mix_rows,
+                     CAST(sum(epoch) AS BIGINT) AS mix_epoch_sum,
+                     CAST(sum((doc_id * 2654435761) % 1000000007) AS BIGINT)
+                       AS mix_fp
+              FROM mixed
+            )
+            SELECT cap_agg.*, mix_agg.* FROM cap_agg, mix_agg
         """,
         "text_analysis_gates": f"""
             WITH t AS (
@@ -2703,22 +2853,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(list_sum(list_transform(kept, x -> length(x))),
                                  0) AS BIGINT) AS kept_chars
             FROM k
-        """,
-        "corpus_mix_weighted": """
-            WITH w AS (
-              SELECT doc_id, source,
-                     CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.5
-                          ELSE 1.0 END AS wt,
-                     (doc_id * 2654435761) % 1000000 AS bucket
-              FROM documents
-            )
-            SELECT doc_id, source,
-                   unnest(range(CAST(floor(wt) AS BIGINT)
-                          + CASE WHEN bucket <
-                                   CAST(floor((wt - floor(wt)) * 1000000)
-                                        AS BIGINT)
-                                 THEN 1 ELSE 0 END)) AS epoch
-            FROM w
         """,
         "embedding_quantize_gates": """
             WITH v AS (

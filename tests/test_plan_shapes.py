@@ -39,7 +39,9 @@ def test_no_cartesian_products_in_data_plane_queries(spark):
         plan = _plan(df)
         assert "CartesianProduct" not in plan, name
         checked += 1
-    assert checked >= 40
+    # r7: source_quota_cap + corpus_mix_weighted merged into
+    # corpus_governance_gates, so 38 non-gate queries remain
+    assert checked >= 38
 
 
 def test_quota_cap_scan_prunes_columns(spark):
