@@ -679,3 +679,82 @@ def test_fix_mojibake_repairs_and_preserves(spark):
     assert got[5] == "中文本身不受影响"
     assert got[6] is None
     assert got[7] == "naïve € — already clean"
+
+
+def test_numeric_profile_exact_and_approx(spark):
+    import numpy as np
+
+    from trial_submission_studio_spark.operators.profiling import numeric_profile
+
+    vals = [float(v) for v in range(1, 1001)]
+    df = spark.createDataFrame(
+        [(v, v * 2.0 if v <= 500 else None) for v in vals], "a double, b double"
+    )
+    prof = {
+        r["column"]: r
+        for r in numeric_profile(
+            df, ["a", "b"], quantiles=(0.5, 0.95), exact=True
+        ).collect()
+    }
+    a = prof["a"]
+    assert a["n"] == 1000 and a["min"] == 1.0 and a["max"] == 1000.0
+    assert abs(a["mean"] - 500.5) < 1e-9
+    # exact interpolated percentiles of 1..1000
+    assert abs(a["quantiles"][0] - np.percentile(vals, 50)) < 1e-9
+    assert abs(a["quantiles"][1] - np.percentile(vals, 95)) < 1e-9
+    b = prof["b"]
+    assert b["n"] == 500 and b["max"] == 1000.0
+
+    # approx path: GK sketch within rank error n/accuracy
+    approx = {
+        r["column"]: r
+        for r in numeric_profile(
+            df, ["a"], quantiles=(0.5,), accuracy=10000
+        ).collect()
+    }
+    assert abs(approx["a"]["quantiles"][0] - 500.0) <= 2.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one"):
+        numeric_profile(df, [])
+
+
+def test_detect_hot_keys_exact_and_sampled(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from trial_submission_studio_spark.operators.skew import (
+        detect_hot_keys,
+        salted_agg,
+    )
+
+    # 10_000 rows: key "hot" holds 30%, the rest spread over 700 keys
+    df = spark.range(10_000).select(
+        F.when(F.col("id") < 3000, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 700).cast("string")))
+        .alias("user"),
+        F.lit(1.0).alias("value"),
+    )
+    hot = detect_hot_keys(df, ["user"], min_share=0.05)
+    got = [(r["user"], r["n"]) for r in hot.collect()]
+    assert got == [("hot", 3000)]
+
+    # sampled mode still finds it, share estimate in the right range
+    hs = detect_hot_keys(df, ["user"], min_share=0.05, sample_fraction=0.2)
+    rows = {r["user"]: r["share"] for r in hs.collect()}
+    assert "hot" in rows and 0.2 < rows["hot"] < 0.4
+
+    # the detection output feeds the salted two-phase plan
+    agg = salted_agg(
+        df.join(hot.select("user"), "user", "left_semi"),
+        ["user"],
+        [F.count(F.lit(1)).alias("c")],
+        lambda p: [F.sum("c").cast("long").alias("n_rows")],
+    )
+    assert agg.collect()[0]["n_rows"] == 3000
+
+    with _pytest.raises(ValueError, match="min_share"):
+        detect_hot_keys(df, ["user"], min_share=0.0)
+    with _pytest.raises(ValueError, match="at least one"):
+        detect_hot_keys(df, [], min_share=0.1)

@@ -68,6 +68,64 @@ def column_hints(df: DataFrame, columns: list[str] | None = None, exact: bool = 
     )
 
 
+def numeric_profile(
+    df: DataFrame,
+    columns: list[str],
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    accuracy: int = 10000,
+    exact: bool = False,
+) -> DataFrame:
+    """Per-numeric-column distribution profile in ONE table pass:
+    count, mean, stddev, min, max, and the requested quantiles.
+
+    Default is ``percentile_approx`` (GK sketch, mergeable map-side —
+    the 100 TB path: no shuffle of values, error bounded by
+    ``1/accuracy``); ``exact=True`` switches to the exact
+    ``percentile`` aggregate for small correctness-checked frames.
+    All statistics for all columns ride one ``agg``, so the scan
+    happens once however many columns are profiled.
+    """
+    if not columns:
+        raise ValueError("need at least one column")
+    qarr = F.array(*[F.lit(float(q)) for q in quantiles])
+    pct = (
+        (lambda c: F.percentile(c, qarr))
+        if exact
+        else (lambda c: F.percentile_approx(c, qarr, F.lit(accuracy)))
+    )
+    aggs: list[Column] = []
+    for c in columns:
+        col = F.col(c).cast("double")
+        aggs += [
+            F.count(col).alias(f"{c}__n"),
+            F.avg(col).alias(f"{c}__mean"),
+            F.stddev(col).alias(f"{c}__std"),
+            F.min(col).alias(f"{c}__min"),
+            F.max(col).alias(f"{c}__max"),
+            pct(col).alias(f"{c}__q"),
+        ]
+    row = df.agg(*aggs).collect()[0].asDict()
+    out = []
+    for c in columns:
+        qs = row[f"{c}__q"] or [None] * len(quantiles)
+        out.append(
+            (
+                c,
+                row[f"{c}__n"],
+                row[f"{c}__mean"],
+                row[f"{c}__std"],
+                row[f"{c}__min"],
+                row[f"{c}__max"],
+                [float(v) if v is not None else None for v in qs],
+            )
+        )
+    return df.sparkSession.createDataFrame(
+        out,
+        "column string, n long, mean double, std double, min double, "
+        "max double, quantiles array<double>",
+    )
+
+
 def distinct_samples(df: DataFrame, column: str, n: int = 5) -> DataFrame:
     """A3: first n distinct non-blank values, sorted (reference uses a
     BTreeSet — hints.rs:105-134)."""

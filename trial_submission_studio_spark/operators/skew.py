@@ -63,6 +63,56 @@ def salted_agg(
     return partial.groupBy(*keys).agg(*final_aggs("")).drop("__salt")
 
 
+def detect_hot_keys(
+    df: DataFrame,
+    keys: list[str],
+    min_share: float = 0.01,
+    sample_fraction: float | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Keys holding at least ``min_share`` of all rows — the inputs
+    that justify routing an aggregation through :func:`salted_agg`
+    (or a join through a salted replicate).
+
+    Two modes:
+
+    - **Exact** (default): group-count on the keys (one shuffle of
+      the narrow key columns only). The grouped frame is
+      ``localCheckpoint``-ed so the total and the filter read it
+      once; at persistent scale the counts would live in a table
+      instead (same note as the MinHash signature frame,
+      dedup.py).
+    - **Sampled** (``sample_fraction=``): row-level Bernoulli sample
+      first — a key with a 1 % share still lands thousands of rows in
+      a 0.1 % sample of a large table, so the estimate is tight while
+      the group-count touches a fraction of the data. Shares are
+      computed against the sampled total, so they remain unbiased
+      estimates of the true share.
+
+    Returns (keys..., n, share) sorted by share descending.
+    """
+    if not keys:
+        raise ValueError("need at least one key column")
+    if not 0.0 < min_share <= 1.0:
+        raise ValueError(f"min_share must be in (0, 1], got {min_share}")
+    src = df
+    if sample_fraction is not None:
+        src = df.sample(fraction=sample_fraction, seed=seed)
+    counts = (
+        src.groupBy(*keys)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()
+    )
+    total = counts.agg(F.sum("n")).collect()[0][0] or 0
+    if total == 0:
+        return counts.withColumn("share", F.lit(0.0)).limit(0)
+    return (
+        counts.withColumn("share", F.col("n") / F.lit(float(total)))
+        .filter(F.col("share") >= min_share)
+        .orderBy(F.col("share").desc(), *keys)
+    )
+
+
 def sessionize(
     df: DataFrame,
     user_col: str = "user_id",
