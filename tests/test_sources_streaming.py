@@ -516,7 +516,9 @@ def test_multimodal_jpeg_roundtrip(spark):
         assert (r["kind"], r["mime"]) == ("image", "image/jpeg")
         assert (r["width"], r["height"]) == (w, h)
 
-    # progressive (SOF2) → None → classified by magic only, no dims
+    # malformed SOF2 (zero precision/dims) → None → classified by
+    # magic only, no dims (well-formed progressive now decodes for
+    # real — see test_multimodal_progressive_jpeg_roundtrip)
     prog = b"\xff\xd8\xff\xc2\x00\x0b" + b"\x00" * 9 + b"\xff\xd9"
     pm = probe_media(
         values_df(spark, [(9, prog)], "media_id bigint, payload binary")
@@ -524,6 +526,62 @@ def test_multimodal_jpeg_roundtrip(spark):
     ).collect()[0]
     assert (pm["kind"], pm["mime"]) == ("image", "image/jpeg")
     assert pm["width"] is None
+
+
+def test_multimodal_progressive_jpeg_roundtrip(spark):
+    """Progressive (SOF2) decodes for REAL: the progressive encoder
+    emits the same quantized coefficients as the baseline encoder, so
+    progressive and baseline streams must decode to BIT-IDENTICAL
+    pixels — across both subsamplings, both scan scripts
+    (spectral-selection-only and successive approximation), and odd
+    dimensions that force the non-interleaved AC block grids to
+    differ from the MCU grid. Executor-side decode (image_resize)
+    must match the driver-side decode exactly."""
+    import numpy as np
+
+    from trial_submission_studio_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+    from trial_submission_studio_spark.operators.multimodal import image_resize
+
+    rng = np.random.default_rng(7)
+    h, w = 45, 37  # odd: Y non-interleaved grid < interleaved grid
+    x = np.linspace(0, 255, w)[None, :] * np.ones((h, 1))
+    y = np.linspace(0, 255, h)[:, None] * np.ones((1, w))
+    img = np.stack([x, y, (x + y) / 2], axis=2)
+    img[10:20, 5:15] = [255, 0, 0]
+    img = np.clip(img + rng.normal(0, 12, img.shape), 0, 255).astype(np.uint8)
+
+    cases = []
+    mid = 0
+    for sub in ("4:4:4", "4:2:0"):
+        base = decode_jpeg(encode_jpeg(img, quality=85, subsampling=sub))
+        for succ in (False, True):
+            payload = encode_jpeg_progressive(
+                img, quality=85, subsampling=sub, successive=succ
+            )
+            prog = decode_jpeg(payload)
+            assert prog is not None, (sub, succ)
+            # same coefficients -> same pixels, bit for bit
+            assert np.array_equal(prog, base), (sub, succ)
+            # (no vs-source tolerance here: 4:2:0 chroma averaging on
+            # the sharp red block deviates legitimately; baseline
+            # fidelity is pinned by test_multimodal_jpeg_roundtrip and
+            # the bit-identity above ties progressive to it)
+            mid += 1
+            cases.append((mid, payload, base))
+
+    media = values_df(
+        spark, [(m, p) for m, p, _ in cases], "media_id bigint, payload binary"
+    )
+    by_id = {m: b for m, _, b in cases}
+    for r in image_resize(media, w, h).collect():
+        dec = np.frombuffer(
+            r["payload"].split(b"255\n", 1)[1], np.uint8
+        ).reshape(h, w, 3)
+        assert np.array_equal(dec, by_id[r["media_id"]])
 
 
 def test_multimodal_real_wav_decode(spark):

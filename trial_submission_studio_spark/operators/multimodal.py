@@ -13,8 +13,9 @@ Codec coverage is explicit about what is REAL and what is stubbed:
   PPM (P6), uncompressed 24-bit BMP, 8-bit non-interlaced PNG
   (zlib inflate + full None/Sub/Up/Average/Paeth filter
   reconstruction; gray/RGB/palette/gray-α/RGBA color types), and
-  baseline JPEG (SOF0 Huffman sequential incl. 4:2:0/4:4:4
-  subsampling and restart markers — see :mod:`.jpeg`), and GIF87a/89a
+  JPEG — baseline SOF0 AND progressive SOF2 (Huffman, spectral
+  selection + successive-approximation refinement, 4:2:0/4:4:4
+  subsampling, restart markers — see :mod:`.jpeg`), and GIF87a/89a
   (LZW decode, global/local palettes, interlace; first frame) →
   H×W×3 arrays feeding real color/luminance features and
   nearest-neighbor :func:`image_resize`; RIFF/WAVE PCM audio
@@ -33,7 +34,7 @@ Codec coverage is explicit about what is REAL and what is stubbed:
   → duration + track dims, AVI avih header → dims + fps + duration,
   MP3 frame header → CBR duration estimate — probing never decodes
   payloads and never raises on corrupt ones.
-- **Stubbed integration points**: progressive JPEG, WebP, MP3/AAC
+- **Stubbed integration points**: WebP, MP3/AAC
   payload decode, and inter-frame video codecs (H.264/VP9/AV1) need
   PIL/torchaudio/ffmpeg, absent here — kernels raise
   ``NotImplementedError`` naming the format, or produce seeded
@@ -256,7 +257,7 @@ def _make_image_decoder():
     REAL formats (PPM P6, uncompressed 24-bit BMP, 8-bit
     non-interlaced PNG — stdlib zlib inflate + full filter
     reconstruction, color types gray/RGB/palette/gray-α/RGBA — and
-    baseline JPEG via :mod:`.jpeg`), None otherwise. The PNG unfilter
+    baseline + progressive JPEG via :mod:`.jpeg`), None otherwise. The PNG unfilter
     loop and the JPEG entropy decoder are pure-Python reference
     implementations — correct and dependency-free; a PIL/torchvision
     kernel is the drop-in for throughput-critical decode at scale.
@@ -768,7 +769,7 @@ def image_features(
 ) -> DataFrame:
     """Decode + featurize images → (media_id, feat, feat_dim).
 
-    PPM/BMP/PNG/baseline-JPEG/GIF payloads decode NATIVELY
+    PPM/BMP/PNG/JPEG(baseline+progressive)/GIF payloads decode NATIVELY
     (:func:`_make_image_decoder`) into a real feature vector:
     normalized dimensions, channel means, luminance std + 10-bin
     luminance histogram. Undecodable payloads follow
@@ -819,7 +820,7 @@ def image_features(
                 else:
                     raise NotImplementedError(
                         "this image format needs PIL/torchvision (absent "
-                        "here); PPM/BMP/PNG/baseline-JPEG/GIF decode natively "
+                        "here); PPM/BMP/PNG/JPEG/GIF decode natively "
                         "— pass deterministic_fake=True to exercise plumbing, "
                         "or on_error='null' to quarantine bad records"
                     )
@@ -845,7 +846,7 @@ def image_resize(
     id_col: str = "media_id",
 ) -> DataFrame:
     """REAL nearest-neighbor resize of natively-decodable images
-    (PPM/BMP/PNG/baseline-JPEG) → (media_id, payload, width, height)
+    (PPM/BMP/PNG/JPEG) → (media_id, payload, width, height)
     with the payload re-encoded as PPM. Undecodable payloads pass
     through as NULL (callers filter or route them to the
     codec-library path)."""
