@@ -584,6 +584,45 @@ def test_multimodal_progressive_jpeg_roundtrip(spark):
         assert np.array_equal(dec, by_id[r["media_id"]])
 
 
+def test_jpeg_decode_never_raises_on_corrupt_streams():
+    """Decode robustness pin (both entropy paths): seeded byte
+    mutations and truncations of valid baseline and progressive
+    streams must return an array or None, never raise — one bad
+    record in a 100 TB scan cannot fail the task. (Fuzzing originally
+    caught an OverflowError leak: a corrupt DHT can declare
+    bit-lengths whose decoded values overflow the int32 coefficient
+    store.)"""
+    import random
+
+    import numpy as np
+
+    from trial_submission_studio_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    img = (np.indices((24, 17)).sum(0) % 256).astype(np.uint8)
+    img = np.stack([img] * 3, axis=2)
+    for payload in (
+        encode_jpeg(img, quality=80),
+        encode_jpeg_progressive(img, quality=80),
+    ):
+        rng = random.Random(0)
+        for _ in range(400):
+            b = bytearray(payload)
+            for _ in range(rng.randint(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            decode_jpeg(bytes(b))  # must not raise
+        for cut in range(0, len(payload), 17):
+            decode_jpeg(bytes(payload[:cut]))  # must not raise
+    # hostile-header cap: a 65535x65535 SOF must not allocate
+    huge = bytearray(encode_jpeg(img, quality=80))
+    i = huge.index(b"\xff\xc0")
+    huge[i + 5 : i + 9] = b"\xff\xff\xff\xff"
+    assert decode_jpeg(bytes(huge)) is None
+
+
 def test_multimodal_real_wav_decode(spark):
     """REAL RIFF/WAVE PCM decode via stdlib wave: rate, duration, RMS,
     peak and zero-crossing rate of a generated 440 Hz square wave."""

@@ -401,6 +401,8 @@ def decode_jpeg(payload: bytes):
                 prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
                 if prec != 8 or nc not in (1, 3):
                     return None
+                if h * w > 1 << 26:  # hostile-header cap (~67 MP)
+                    return None
                 comps = []
                 for k in range(nc):
                     cid, hv, tq = seg[6 + 3 * k : 9 + 3 * k]
@@ -437,9 +439,12 @@ def decode_jpeg(payload: bytes):
                     scan, comps, sel, qtabs, huff, h, w, restart, C, zz_r, zz_c
                 )
             i += 2 + seg_len
-    except (ValueError, IndexError, KeyError, TypeError, struct.error):
+    except (ValueError, IndexError, KeyError, TypeError, OverflowError,
+            struct.error):
         # KeyError: stream references an undefined quant/Huffman table
-        # or a component absent from SOS; TypeError: SOS before SOF.
+        # or a component absent from SOS; TypeError: SOS before SOF;
+        # OverflowError: a corrupt DHT can yield bit-lengths whose
+        # values no longer fit the int32 coefficient store.
         # The contract is None for anything not baseline-decodable.
         return None
     return None
@@ -709,6 +714,8 @@ def _decode_progressive(payload):
                 prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
                 if prec != 8 or nc not in (1, 3):
                     return None
+                if h * w > 1 << 26:  # hostile-header cap (~67 MP)
+                    return None
                 comps = []
                 for k in range(nc):
                     cid, hv, tq = seg[6 + 3 * k : 9 + 3 * k]
@@ -760,7 +767,8 @@ def _decode_progressive(payload):
                 )
                 continue
             i += 2 + seg_len
-    except (ValueError, IndexError, KeyError, TypeError, struct.error):
+    except (ValueError, IndexError, KeyError, TypeError, OverflowError,
+            struct.error):
         return None
     if coef is None or h == 0:
         return None
