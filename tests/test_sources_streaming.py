@@ -1307,3 +1307,49 @@ def test_streaming_crawl_stages_match_batch(spark, tmp_path):
     finally:
         q.stop()
     assert got == expected
+
+
+def test_streaming_dedup_ingest_across_restarts(spark, tmp_path):
+    """Continuous corpus ingest (streaming/ingest.py): micro-batches
+    dedup against the PERSISTED fingerprint table, so a document
+    admitted in a batch from a previous query RUN is still rejected
+    after a restart — beyond any watermark/state-store scope. Also
+    pins intra-batch min-id survivorship through the streaming path."""
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    from trial_submission_studio_spark.streaming.ingest import start_dedup_ingest
+
+    schema = "doc_id bigint, text string"
+    # run 1: docs 1-3, with 2/3 identical (min-id survivor -> 2)
+    values_df(
+        spark,
+        [(1, "alpha text"), (2, "same body"), (3, "same body")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = start_dedup_ingest(
+        spark.readStream.schema(schema).parquet(src),
+        "doc_id", "text", corpus, state, ckpt,
+    )
+    q.awaitTermination(120)
+
+    got1 = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert got1 == {1, 2}
+
+    # run 2 (restart, same checkpoint): doc 4 repeats run 1's text,
+    # doc 5 is novel
+    values_df(
+        spark, [(4, "alpha text"), (5, "brand new")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = start_dedup_ingest(
+        spark.readStream.schema(schema).parquet(src),
+        "doc_id", "text", corpus, state, ckpt,
+    )
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(corpus).collect()
+    assert {r["doc_id"] for r in rows} == {1, 2, 5}
+    # the fingerprint state table covers exactly the admitted docs
+    assert spark.read.parquet(state).select("fp").distinct().count() == 3

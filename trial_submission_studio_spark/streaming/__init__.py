@@ -5,3 +5,6 @@ from trial_submission_studio_spark.streaming.events import (  # noqa: F401
     tumbling_window_counts,
     stream_events,
 )
+from trial_submission_studio_spark.streaming.ingest import (  # noqa: F401
+    start_dedup_ingest,
+)

@@ -1,0 +1,97 @@
+"""Continuous corpus ingest: streaming micro-batches deduped against
+the WHOLE persisted corpus (north-star extension; the reference is
+batch-only — SURVEY.md §2.12).
+
+:mod:`.events` covers exactly-once dedup WITHIN a watermark — state
+the state store can hold. A crawl corpus needs the other guarantee:
+never re-admit a document ingested in ANY previous batch, hours or
+months ago. That state is corpus-sized, so it cannot live in a state
+store; the standard Spark pattern is ``foreachBatch`` over a
+PERSISTED fingerprint table:
+
+- each micro-batch anti-joins the fingerprint table
+  (:func:`..operators.dedup.incremental_exact_dedup` — 16-byte keys,
+  shuffle width independent of document size);
+- novel documents append to the corpus sink, novel fingerprints to
+  the state table — both written under ``batch_id=N`` directories and
+  with ``mode("overwrite")`` of that directory, so a replayed batch
+  (failure between write and checkpoint commit) rewrites the same
+  paths instead of duplicating: the sink stays exactly-once across
+  restarts without a transactional table format;
+- the fingerprint read is partition-discovered off the same layout,
+  so state grows append-only — the corpus is never rewritten.
+
+At 100 TB the fingerprint table is bucketed by ``fp`` (the docstring
+of ``incremental_exact_dedup`` covers the shuffle-free variant);
+everything here is layout, not new shuffle shape.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+from trial_submission_studio_spark.operators.dedup import (
+    fingerprint,
+    incremental_exact_dedup,
+)
+
+__all__ = ["start_dedup_ingest"]
+
+
+def _has_parquet(path: str) -> bool:
+    if not os.path.isdir(path):
+        return False
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def start_dedup_ingest(
+    stream_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    corpus_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Start the continuous dedup-ingest query; returns the
+    StreamingQuery. ``corpus_dir`` receives novel documents,
+    ``state_dir`` the fingerprint table; both are batch-id-fenced for
+    replay idempotency. ``trigger_available_now`` drains what exists
+    and stops (the incremental-job deployment mode); pass False for a
+    continuously running query.
+    """
+    if not stream_df.isStreaming:
+        raise ValueError("stream_df must be a streaming DataFrame")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        seen = (
+            spark.read.parquet(state_dir).select("fp")
+            if _has_parquet(state_dir)
+            else None
+        )
+        novel, _ = incremental_exact_dedup(batch_df, seen, id_col, text_col)
+        novel = novel.persist()
+        try:
+            novel.write.mode("overwrite").parquet(
+                os.path.join(corpus_dir, f"batch_id={batch_id}")
+            )
+            novel.select(fingerprint(text_col).alias("fp")).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(state_dir, f"batch_id={batch_id}"))
+        finally:
+            novel.unpersist()
+
+    writer = (
+        stream_df.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
