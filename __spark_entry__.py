@@ -616,6 +616,25 @@ def r4_reciprocal_sex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def r_reciprocal_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 static reciprocal union + R2b sex-dependent CHILD resolution
+    as ONE full-row contract (variant-tagged union; usubj/rsubj cast
+    to string so the two schemas align). Both components stay
+    standalone callables; merging them freed a registry slot for the
+    round-7 oracle additions without weakening either full-row
+    check."""
+    r2 = r2_reciprocal_union(spark, sf_dir).select(
+        F.lit("r2").alias("variant"),
+        F.col("usubj").cast("string").alias("usubj"),
+        F.col("rsubj").cast("string").alias("rsubj"),
+        "srel",
+    )
+    r4 = r4_reciprocal_sex(spark, sf_dir).select(
+        F.lit("r4").alias("variant"), "usubj", "rsubj", "srel"
+    )
+    return r2.unionByName(r4)
+
+
 # --------------------------------------------------------------------------
 # V-family: validation queries
 # --------------------------------------------------------------------------
@@ -1407,9 +1426,11 @@ def ann_recall_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_verify_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram-Jaccard verification + embedding-cosine near-dup gates
-    merged into ONE 1-row frame (same slot economy as
-    ann_recall_gates; components stay standalone callables)."""
+    """n-gram-Jaccard verification + embedding-cosine + SimHash +
+    MinHash-LSH planted-recall gates merged into ONE 1-row frame
+    (same slot economy as ann_recall_gates; every component stays a
+    standalone callable and keeps its own bench entry — this merge
+    freed the registry slots the round-7 oracle additions use)."""
     jac = dedup_jaccard_verified(spark, sf_dir).select(
         F.col("n_planted").alias("n_planted_text"), "all_verified"
     )
@@ -1417,7 +1438,17 @@ def dedup_verify_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_planted").alias("n_planted_emb"),
         F.col("recall_ok").alias("emb_recall_ok"),
     )
-    return jac.crossJoin(emb)
+    sh = simhash_fingerprints(spark, sf_dir).select(
+        F.col("n_planted").alias("sh_n_planted"),
+        F.col("n_docs").alias("sh_n_docs"),
+        "all_fingerprinted",
+        F.col("recall_ok").alias("sh_recall_ok"),
+    )
+    mh = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("n_planted").alias("mh_n_planted"),
+        F.col("recall_ok").alias("mh_recall_ok"),
+    )
+    return jac.crossJoin(emb).crossJoin(sh).crossJoin(mh)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1894,6 +1925,98 @@ def quality_model_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver contract
 # --------------------------------------------------------------------------
 
+def lm_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM perplexity scoring oracle-checked end to
+    end (operators/lm.py): train an add-1 bigram model on even
+    doc_ids, score odd doc_ids. Only the deterministic integer
+    outputs face the oracle — per-bigram log-probs are e6 fixed-point
+    floors summed as integers, so the value is bit-identical across
+    partitionings and engines (see the module determinism note);
+    docs too short to score carry NULL sums, mirrored by the SQL."""
+    from trial_submission_studio_spark.operators.lm import (
+        bigram_logprob_scores,
+        train_bigram_lm,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    score = d.filter(F.col("doc_id") % 2 == 1)
+    uni, bi = train_bigram_lm(train, "doc_id", "text")
+    s = bigram_logprob_scores(score, uni, bi, "doc_id", "text", k=1.0)
+    return s.select("doc_id", "n_bigrams", "sum_logprob_e6")
+
+
+def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup against a persisted corpus fingerprint
+    table (operators/dedup.py:incremental_exact_dedup — the
+    daily-crawl pattern): corpus = even doc_ids; the increment is odd
+    doc_ids + planted copies of corpus texts (must be rejected by the
+    seen-fp anti join) + intra-batch duplicate pairs (min-id
+    survivor). Returns every surviving novel doc_id, plus the updated
+    fingerprint-table size via a gate-only crossJoin of a 1-row
+    aggregate (documented pattern)."""
+    from trial_submission_studio_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    seen = corpus.select(
+        F.md5(F.col("text").cast("string")).alias("fp")
+    ).distinct()
+    inc = (
+        d.filter(F.col("doc_id") % 2 == 1)
+        .unionByName(
+            corpus.filter(F.col("doc_id") % 20 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            d.filter(
+                (F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 15 == 0)
+            ).select((F.col("doc_id") + 3000000).alias("doc_id"), "text")
+        )
+    )
+    novel, fps = incremental_exact_dedup(
+        inc, seen, "doc_id", "text", normalized=False
+    )
+    stats = fps.agg(
+        F.countDistinct("fp").cast("long").alias("n_seen_fps")
+    )
+    return novel.select("doc_id").crossJoin(stats)
+
+
+def corpus_split_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split gate
+    (operators/sampling.py:split_corpus): contiguous hash-space
+    slices 80/10/10 over a pinned multiplicative hash (the library
+    default is xxhash64; the pinned expression is what both engines
+    evaluate identically). One row per split with the row count AND a
+    doc-set fingerprint sum — membership, not just cardinality, is
+    pinned; disjointness + exhaustiveness follow from the three
+    bucket ranges covering [0, BUCKETS) without overlap."""
+    from trial_submission_studio_spark.operators.sampling import split_corpus
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    h = F.col("doc_id") * F.lit(2654435761)
+    splits = split_corpus(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, hash_expr=h
+    )
+    fp = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000000007)
+    parts = []
+    for name, df in splits.items():
+        parts.append(
+            df.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.coalesce(F.sum(fp), F.lit(0)).cast("long").alias("fp_sum"),
+            ).select(F.lit(name).alias("split"), "n_rows", "fp_sum")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, SMOKE_DIR)
@@ -1903,15 +2026,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared contract: exactly 50 entries so the driver's 50-row
     check window covers every query (r2 lesson: entries past #50 get
     no CORRECTNESS row). T1/T12, T2/T11, A1-A10, J3/J4/J5/J6,
-    V1/V4/V6, exact + LSH/IVF ANN top-k and recall, Jaccard/embedding
-    dedup verify, exact-dup group list + fingerprint stats, and
+    V1/V4/V6, exact + LSH/IVF ANN top-k and recall,
+    Jaccard/embedding/SimHash/MinHash dedup verify, exact-dup group
+    list + fingerprint stats, R2/R2b reciprocal augmentation, and
     token/BPE-piece counting are merged into gate queries (see
     t_const_bool_render / t_customer_transform_gates /
     a_profile_gates / j_crossdomain_gates / v_domain_check_gates /
     ann_recall_gates / dedup_verify_gates / dedup_exact_gates /
-    text_analysis_gates; every component stays a standalone
-    callable). Queries that have never seen the oracle sit FIRST —
-    r6 lesson: nothing rotates out of the window unverified."""
+    r_reciprocal_gates / text_analysis_gates; every component stays a
+    standalone callable). Queries that have never seen the oracle sit
+    FIRST — r6 lesson: nothing rotates out of the window
+    unverified."""
     return {
         "layout_zorder_gate": layout_zorder_gate,
         "corpus_governance_gates": corpus_governance_gates,
@@ -1927,11 +2052,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_salted_user_totals": agg_salted_user_totals,
         "temporal_interval_shipments": temporal_interval_shipments,
         "temporal_rolling_user_1h": temporal_rolling_user_1h,
+        "lm_bigram_scores": lm_bigram_scores,
+        "incremental_dedup_docs": incremental_dedup_docs,
+        "corpus_split_gates": corpus_split_gates,
+        "r_reciprocal_gates": r_reciprocal_gates,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_order_revenue": q3_order_revenue,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_verify_gates": dedup_verify_gates,
-        "simhash_fingerprints": simhash_fingerprints,
         "e2e_cdisc_pipeline": e2e_cdisc_pipeline,
         "qs_registry_pipeline": qs_registry_pipeline,
         "adsl_registry_pipeline": adsl_registry_pipeline,
@@ -1950,9 +2077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j2_semi_suppliers": j2_semi_suppliers,
         "j_crossdomain_gates": j_crossdomain_gates,
         "r1_supp_unpivot": r1_supp_unpivot,
-        "r2_reciprocal_union": r2_reciprocal_union,
         "r3_supp_pivot_back": r3_supp_pivot_back,
-        "r4_reciprocal_sex": r4_reciprocal_sex,
         "v_domain_check_gates": v_domain_check_gates,
         "v8_ct_violations": v8_ct_violations,
         "w1_days_since_prev": w1_days_since_prev,
@@ -2316,44 +2441,8 @@ def oracle_sql() -> dict[str, str]:
                    o_orderpriority AS "PRIO"
             FROM orders
         """,
-        "r4_reciprocal_sex": """
-            WITH rel AS (
-              SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS usubj,
-                     CAST((o_custkey + 7) % 1500 + 1 AS VARCHAR) AS rsubj,
-                     CASE o_orderkey % 4 WHEN 0 THEN 'CHILD, BIOLOGICAL'
-                          WHEN 1 THEN 'CHILD, ADOPTIVE'
-                          WHEN 2 THEN 'HUSBAND'
-                          ELSE 'SIBLING' END AS srel
-              FROM orders WHERE o_orderkey % 97 = 0
-            ),
-            dm AS (
-              SELECT CAST(c_custkey AS VARCHAR) AS usubjid,
-                     CASE c_custkey % 3 WHEN 0 THEN 'F'
-                          WHEN 1 THEN 'M' ELSE 'U' END AS sex
-              FROM customer
-            ),
-            missing AS (
-              SELECT * FROM rel a
-              WHERE NOT EXISTS (
-                SELECT 1 FROM rel b WHERE b.usubj = a.rsubj AND b.rsubj = a.usubj)
-            ),
-            derived AS (
-              SELECT m.rsubj AS usubj, m.usubj AS rsubj,
-                     CASE
-                       WHEN m.srel LIKE 'CHILD,%' THEN
-                         CASE WHEN dm.sex = 'F' THEN 'MOTHER, ' || trim(substr(m.srel, 7))
-                              WHEN dm.sex = 'M' THEN 'FATHER, ' || trim(substr(m.srel, 7))
-                              ELSE NULL END
-                       WHEN m.srel = 'HUSBAND' THEN 'WIFE'
-                       ELSE m.srel END AS srel
-              FROM missing m LEFT JOIN dm ON dm.usubjid = m.rsubj
-            )
-            SELECT usubj, rsubj, srel FROM rel
-            UNION ALL
-            SELECT usubj, rsubj, srel FROM derived WHERE srel IS NOT NULL
-        """,
-        "r2_reciprocal_union": """
-            WITH rel AS (
+        "r_reciprocal_gates": """
+            WITH rel2 AS (
               SELECT DISTINCT c_nationkey AS usubj, s_nationkey AS rsubj,
                      CASE WHEN c_nationkey < s_nationkey THEN 'MOTHER, BIOLOGICAL'
                           WHEN c_nationkey > s_nationkey THEN 'SPOUSE'
@@ -2364,17 +2453,59 @@ def oracle_sql() -> dict[str, str]:
               JOIN supplier ON l_suppkey = s_suppkey
               WHERE (c_nationkey * 2 + s_nationkey) % 5 = 0
             ),
-            missing AS (
-              SELECT * FROM rel a
+            missing2 AS (
+              SELECT * FROM rel2 a
               WHERE NOT EXISTS (
-                SELECT 1 FROM rel b WHERE b.usubj = a.rsubj AND b.rsubj = a.usubj)
+                SELECT 1 FROM rel2 b WHERE b.usubj = a.rsubj AND b.rsubj = a.usubj)
+            ),
+            out2 AS (
+              SELECT usubj, rsubj, srel FROM rel2
+              UNION ALL
+              SELECT rsubj AS usubj, usubj AS rsubj,
+                     CASE srel WHEN 'MOTHER, BIOLOGICAL' THEN 'CHILD, BIOLOGICAL'
+                               ELSE srel END AS srel
+              FROM missing2
+            ),
+            rel4 AS (
+              SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS usubj,
+                     CAST((o_custkey + 7) % 1500 + 1 AS VARCHAR) AS rsubj,
+                     CASE o_orderkey % 4 WHEN 0 THEN 'CHILD, BIOLOGICAL'
+                          WHEN 1 THEN 'CHILD, ADOPTIVE'
+                          WHEN 2 THEN 'HUSBAND'
+                          ELSE 'SIBLING' END AS srel
+              FROM orders WHERE o_orderkey % 97 = 0
+            ),
+            dm4 AS (
+              SELECT CAST(c_custkey AS VARCHAR) AS usubjid,
+                     CASE c_custkey % 3 WHEN 0 THEN 'F'
+                          WHEN 1 THEN 'M' ELSE 'U' END AS sex
+              FROM customer
+            ),
+            missing4 AS (
+              SELECT * FROM rel4 a
+              WHERE NOT EXISTS (
+                SELECT 1 FROM rel4 b WHERE b.usubj = a.rsubj AND b.rsubj = a.usubj)
+            ),
+            derived4 AS (
+              SELECT m.rsubj AS usubj, m.usubj AS rsubj,
+                     CASE
+                       WHEN m.srel LIKE 'CHILD,%' THEN
+                         CASE WHEN dm4.sex = 'F' THEN 'MOTHER, ' || trim(substr(m.srel, 7))
+                              WHEN dm4.sex = 'M' THEN 'FATHER, ' || trim(substr(m.srel, 7))
+                              ELSE NULL END
+                       WHEN m.srel = 'HUSBAND' THEN 'WIFE'
+                       ELSE m.srel END AS srel
+              FROM missing4 m LEFT JOIN dm4 ON dm4.usubjid = m.rsubj
+            ),
+            out4 AS (
+              SELECT usubj, rsubj, srel FROM rel4
+              UNION ALL
+              SELECT usubj, rsubj, srel FROM derived4 WHERE srel IS NOT NULL
             )
-            SELECT usubj, rsubj, srel FROM rel
+            SELECT 'r2' AS variant, CAST(usubj AS VARCHAR) AS usubj,
+                   CAST(rsubj AS VARCHAR) AS rsubj, srel FROM out2
             UNION ALL
-            SELECT rsubj AS usubj, usubj AS rsubj,
-                   CASE srel WHEN 'MOTHER, BIOLOGICAL' THEN 'CHILD, BIOLOGICAL'
-                             ELSE srel END AS srel
-            FROM missing
+            SELECT 'r4' AS variant, usubj, rsubj, srel FROM out4
         """,
         "v_domain_check_gates": f"""
             WITH v AS (
@@ -2788,7 +2919,100 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS BIGINT) AS all_verified,
                    CAST((SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0)
                         AS BIGINT) AS n_planted_emb,
-                   CAST(1 AS BIGINT) AS emb_recall_ok
+                   CAST(1 AS BIGINT) AS emb_recall_ok,
+                   CAST((SELECT count(*) FROM documents WHERE doc_id % 10 = 0)
+                        AS BIGINT) AS sh_n_planted,
+                   CAST((SELECT count(*) FROM documents)
+                        + (SELECT count(*) FROM documents WHERE doc_id % 10 = 0)
+                        AS BIGINT) AS sh_n_docs,
+                   CAST(1 AS BIGINT) AS all_fingerprinted,
+                   CAST(1 AS BIGINT) AS sh_recall_ok,
+                   CAST((SELECT count(*) FROM documents WHERE doc_id % 10 = 0)
+                        AS BIGINT) AS mh_n_planted,
+                   CAST(1 AS BIGINT) AS mh_recall_ok
+        """,
+        "lm_bigram_scores": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(coalesce(text, ''))),
+                                           '\\s+') AS toks
+              FROM documents
+            ),
+            bg0 AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(2, len(toks) + 1),
+                            i -> [toks[i - 1], toks[i]])) AS pr
+              FROM t WHERE len(toks) >= 2
+            ),
+            bg AS (SELECT doc_id, pr[1] AS tok_a, pr[2] AS tok_b FROM bg0),
+            trainbg AS (SELECT tok_a, tok_b FROM bg WHERE doc_id % 2 = 0),
+            uni AS (SELECT tok_a, count(*) AS ca FROM trainbg GROUP BY tok_a),
+            bi AS (SELECT tok_a, tok_b, count(*) AS cab
+                   FROM trainbg GROUP BY tok_a, tok_b),
+            v AS (SELECT count(*) AS vs FROM uni),
+            scored AS (
+              SELECT s.doc_id,
+                     CAST(floor(ln((coalesce(bi.cab, 0) + 1.0)
+                                   / (coalesce(uni.ca, 0)
+                                      + 1.0 * (SELECT vs FROM v))) * 1e6
+                                + 0.5) AS BIGINT) AS lp
+              FROM bg s
+              LEFT JOIN bi ON s.tok_a = bi.tok_a AND s.tok_b = bi.tok_b
+              LEFT JOIN uni ON s.tok_a = uni.tok_a
+              WHERE s.doc_id % 2 = 1
+            ),
+            per AS (SELECT doc_id, count(*) AS nb, sum(lp) AS slp
+                    FROM scored GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(per.nb, 0) AS BIGINT) AS n_bigrams,
+                   CAST(per.slp AS BIGINT) AS sum_logprob_e6
+            FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 2 = 1) d
+            LEFT JOIN per USING (doc_id)
+        """,
+        "incremental_dedup_docs": """
+            WITH d AS (SELECT doc_id, text FROM documents),
+            corpus AS (SELECT * FROM d WHERE doc_id % 2 = 0),
+            inc AS (
+              SELECT doc_id, text FROM d WHERE doc_id % 2 = 1
+              UNION ALL
+              SELECT doc_id + 2000000, text FROM corpus WHERE doc_id % 20 = 0
+              UNION ALL
+              SELECT doc_id + 3000000, text FROM d
+              WHERE doc_id % 2 = 1 AND doc_id % 15 = 0
+            ),
+            intra AS (
+              SELECT i.doc_id, i.text FROM inc i
+              JOIN (SELECT text, min(doc_id) AS m FROM inc GROUP BY text) g
+                ON g.text = i.text AND g.m = i.doc_id
+            ),
+            novel AS (
+              SELECT doc_id, text FROM intra
+              WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = intra.text)
+            ),
+            nf AS (
+              SELECT CAST(count(DISTINCT text) AS BIGINT) AS n
+              FROM (SELECT text FROM corpus UNION ALL SELECT text FROM novel)
+            )
+            SELECT novel.doc_id, (SELECT n FROM nf) AS n_seen_fps FROM novel
+        """,
+        "corpus_split_gates": """
+            WITH b AS (
+              SELECT doc_id,
+                     (doc_id * 2654435761) % 1000000 AS bkt,
+                     (doc_id * 2654435761) % 1000000007 AS fp
+              FROM documents
+            )
+            SELECT 'train' AS split, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(coalesce(sum(fp), 0) AS BIGINT) AS fp_sum
+            FROM b WHERE bkt < 800000
+            UNION ALL
+            SELECT 'val', CAST(count(*) AS BIGINT),
+                   CAST(coalesce(sum(fp), 0) AS BIGINT)
+            FROM b WHERE bkt >= 800000 AND bkt < 900000
+            UNION ALL
+            SELECT 'test', CAST(count(*) AS BIGINT),
+                   CAST(coalesce(sum(fp), 0) AS BIGINT)
+            FROM b WHERE bkt >= 900000
         """,
         "contamination_ngram_overlap": """
             WITH t AS (
@@ -2883,20 +3107,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_min(qv) AS BIGINT) AS q_min,
                    CAST(list_max(qv) AS BIGINT) AS q_max
             FROM q
-        """,
-        "dedup_minhash_lsh": """
-            SELECT CAST(count(*) AS BIGINT) AS n_planted,
-                   CAST(1 AS BIGINT) AS recall_ok
-            FROM documents WHERE doc_id % 10 = 0
-        """,
-        "simhash_fingerprints": """
-            SELECT CAST((SELECT count(*) FROM documents WHERE doc_id % 10 = 0)
-                        AS BIGINT) AS n_planted,
-                   CAST((SELECT count(*) FROM documents)
-                        + (SELECT count(*) FROM documents WHERE doc_id % 10 = 0)
-                        AS BIGINT) AS n_docs,
-                   CAST(1 AS BIGINT) AS all_fingerprinted,
-                   CAST(1 AS BIGINT) AS recall_ok
         """,
         "bds_registry_pipeline": """
             SELECT 'ADB1' AS "STUDYID",

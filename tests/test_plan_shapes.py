@@ -40,8 +40,11 @@ def test_no_cartesian_products_in_data_plane_queries(spark):
         assert "CartesianProduct" not in plan, name
         checked += 1
     # r7: source_quota_cap + corpus_mix_weighted merged into
-    # corpus_governance_gates, so 38 non-gate queries remain
-    assert checked >= 38
+    # corpus_governance_gates; simhash/minhash recall gates folded
+    # into dedup_verify_gates and r2/r4 into r_reciprocal_gates to
+    # free slots for lm_bigram_scores / incremental_dedup_docs /
+    # corpus_split_gates — 36 non-gate queries remain
+    assert checked >= 36
 
 
 def test_quota_cap_scan_prunes_columns(spark):
