@@ -456,6 +456,24 @@ def j2_semi_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(li, "s_suppkey", "left_semi").select("s_suppkey", "s_name")
 
 
+def j_membership_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 anti-join orphans + J2 semi-join members as ONE
+    variant-tagged full-row union (frees a registry slot for
+    sketch_distinct_gates; both components stay standalone
+    callables and full-row checked)."""
+    a = j1_orphan_customers(spark, sf_dir).select(
+        F.lit("j1").alias("variant"),
+        F.col("c_custkey").cast("string").alias("k"),
+        F.lit(None).cast("string").alias("name"),
+    )
+    b = j2_semi_suppliers(spark, sf_dir).select(
+        F.lit("j2").alias("variant"),
+        F.col("s_suppkey").cast("string").alias("k"),
+        F.col("s_name").alias("name"),
+    )
+    return a.unionByName(b)
+
+
 def j3_rsubjid_in_dm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3: RELSUB RSUBJID∈DM referential check (SDTM-IG 8.7; reference
     checks/cross_domain.rs:149-175) — the library's issue-frame
@@ -1986,6 +2004,74 @@ def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return novel.select("doc_id").crossJoin(stats)
 
 
+def sketch_distinct_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch governance gate (operators/sketches.py): per
+    language, the EXACT distinct-text count faces the oracle, while
+    the HLL / Theta cardinality estimates and the KLL p50 are
+    asserted inside their published error bounds Spark-side and
+    exported as ok-flags. Sketch estimates are library-version
+    artifacts — the invariant an engine owes its users is the BOUND,
+    not the bits, so bounds are what the contract pins (same
+    stance as the ANN recall gates)."""
+    from trial_submission_studio_spark.operators.sketches import (
+        distinct_sketch_table,
+        estimate_distinct,
+        estimate_theta_distinct,
+        quantile_sketch_table,
+        sketch_quantiles,
+        theta_sketch_table,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    exact = d.groupBy("lang").agg(
+        F.countDistinct("text").cast("long").alias("n_exact")
+    )
+    hll = estimate_distinct(
+        distinct_sketch_table(d, ["lang"], "text")
+    ).select("lang", F.col("distinct_est").alias("hll_est"))
+    th = estimate_theta_distinct(
+        theta_sketch_table(d, ["lang"], "text")
+    ).select("lang", F.col("distinct_est").alias("th_est"))
+    kll = sketch_quantiles(
+        quantile_sketch_table(d, ["lang"], "n_chars"), [0.5]
+    ).select("lang", F.element_at("quantiles", 1).alias("p50"))
+    rank50 = (
+        d.join(F.broadcast(kll), "lang")
+        .groupBy("lang")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.col("n_chars").cast("double") <= F.col("p50"), 1
+                    ).otherwise(0)
+                )
+                / F.count(F.lit(1))
+            ).alias("rank50")
+        )
+    )
+    tol = lambda n: F.greatest(F.lit(2.0), 0.05 * n)  # noqa: E731
+    return (
+        exact.join(hll, "lang")
+        .join(th, "lang")
+        .join(rank50, "lang")
+        .select(
+            "lang",
+            "n_exact",
+            (F.abs(F.col("hll_est") - F.col("n_exact")) <= tol(F.col("n_exact")))
+            .cast("long")
+            .alias("hll_ok"),
+            (F.abs(F.col("th_est") - F.col("n_exact")) <= tol(F.col("n_exact")))
+            .cast("long")
+            .alias("theta_ok"),
+            ((F.col("rank50") >= 0.40) & (F.col("rank50") <= 0.60))
+            .cast("long")
+            .alias("kll_p50_ok"),
+        )
+    )
+
+
 def corpus_split_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split gate
     (operators/sampling.py:split_corpus): contiguous hash-space
@@ -2055,7 +2141,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_bigram_scores": lm_bigram_scores,
         "incremental_dedup_docs": incremental_dedup_docs,
         "corpus_split_gates": corpus_split_gates,
+        "sketch_distinct_gates": sketch_distinct_gates,
         "r_reciprocal_gates": r_reciprocal_gates,
+        "j_membership_checks": j_membership_checks,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_order_revenue": q3_order_revenue,
         "dedup_verify_gates": dedup_verify_gates,
@@ -2073,8 +2161,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t13_numeric_render": t13_numeric_render,
         "t_const_bool_render": t_const_bool_render,
         "a_profile_gates": a_profile_gates,
-        "j1_orphan_customers": j1_orphan_customers,
-        "j2_semi_suppliers": j2_semi_suppliers,
         "j_crossdomain_gates": j_crossdomain_gates,
         "r1_supp_unpivot": r1_supp_unpivot,
         "r3_supp_pivot_back": r3_supp_pivot_back,
@@ -2352,15 +2438,24 @@ def oracle_sql() -> dict[str, str]:
                               ELSE '?' END AS v
                      FROM part))
         """,
-        "j1_orphan_customers": """
-            SELECT c_custkey FROM customer
+        "j_membership_checks": """
+            SELECT 'j1' AS variant, CAST(c_custkey AS VARCHAR) AS k,
+                   CAST(NULL AS VARCHAR) AS name
+            FROM customer
             WHERE NOT EXISTS (
               SELECT 1 FROM orders
               WHERE o_custkey = c_custkey AND o_orderdate < TIMESTAMP '1996-01-01')
-        """,
-        "j2_semi_suppliers": """
-            SELECT s_suppkey, s_name FROM supplier
+            UNION ALL
+            SELECT 'j2' AS variant, CAST(s_suppkey AS VARCHAR) AS k, s_name
+            FROM supplier
             WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+        """,
+        "sketch_distinct_gates": """
+            SELECT lang, CAST(count(DISTINCT text) AS BIGINT) AS n_exact,
+                   CAST(1 AS BIGINT) AS hll_ok,
+                   CAST(1 AS BIGINT) AS theta_ok,
+                   CAST(1 AS BIGINT) AS kll_p50_ok
+            FROM documents GROUP BY lang
         """,
         "j_crossdomain_gates": """
             SELECT * FROM

@@ -255,6 +255,8 @@ def main() -> None:
         # trainable stages (bench-only callables, not contract slots)
         "bpe_train_encode",
         "quality_model_train_score",
+        # mergeable-sketch governance (HLL/Theta/KLL, contract gate)
+        "sketch_distinct_gates",
     )
     for name in EXTRA_QUERIES:
         if name not in qs:

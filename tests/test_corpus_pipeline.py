@@ -396,3 +396,24 @@ def test_crawl_to_training_shards_end_to_end(spark, tmp_path):
     assert sum(r["n_rows"] for r in manifest) == 2
     back = spark.read.parquet(str(tmp_path / "shards"))
     assert back.count() == 2
+
+
+def test_prepare_corpus_compression_band_stage(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a sensible paragraph of natural language text with "
+                "varied words and ordinary sentence structure in it."),
+            (2, "buy now " * 400),                       # repetitive spam
+            (3, "q8Zp!x2Lw9@rT4#mK7$vB1%nH6^jD3&gF5*sA0"),  # high entropy
+        ],
+        "doc_id long, text string",
+    )
+    cfg = CorpusConfig(
+        min_line_words=None, min_doc_tokens=None, paragraph_max_docs=None,
+        exact_dedup=False, near_dedup=False, contamination_threshold=None,
+        compression_band=(0.25, 0.95),
+    )
+    out = prepare_corpus(docs, "doc_id", "text", cfg, collect_stats=True)
+    assert sorted(r["doc_id"] for r in out.collect()) == [1]
+    assert list(cfg.stats) == ["input", "compression_band"]
+    assert cfg.stats["compression_band"] == 1

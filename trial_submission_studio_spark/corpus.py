@@ -55,6 +55,7 @@ class CorpusConfig:
     min_doc_tokens: int | None = 10
     min_stopword_ratio: float | None = None
     min_quality: float | None = None
+    compression_band: tuple[float, float] | None = None
     lang_allowlist: tuple[str, ...] | None = None
     min_model_quality: float | None = None
     paragraph_max_docs: int | None = 5
@@ -158,6 +159,19 @@ def prepare_corpus(
             quality_model_filter(
                 out, quality_model, text_col, min_prob=cfg.min_model_quality
             ),
+        )
+
+    if cfg.compression_band is not None:
+        # the one Python (Arrow-batched) row-local stage — placed
+        # after the codegen filters so only their survivors pay the
+        # udf, and before the corpus-wide shuffles like every other
+        # row-local stage
+        from .operators.textstats import compression_filter
+
+        lo, hi = cfg.compression_band
+        out = _mark(
+            "compression_band",
+            compression_filter(out, text_col, min_ratio=lo, max_ratio=hi),
         )
 
     if cfg.paragraph_max_docs is not None:

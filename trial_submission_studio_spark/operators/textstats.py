@@ -203,3 +203,58 @@ def quality_score(c: Column | str) -> Column:
     mean_word = F.when(n_tok > 0, F.length(s).cast("double") / n_tok).otherwise(F.lit(0.0))
     word_score = F.when((mean_word >= 3) & (mean_word <= 12), F.lit(1.0)).otherwise(F.lit(0.5))
     return F.round(len_score * punct_penalty * word_score, 4)
+
+
+def _make_compression_ratio_udf(level: int):
+    """Arrow-batched zlib compression ratio (closure factory — the
+    worker cannot import this package; see textclean's NFC udf for
+    the pattern)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def ratio(s):
+        import zlib
+
+        def one(v):
+            if v is None:
+                return None
+            raw = v.encode("utf-8")
+            if not raw:
+                return None
+            return len(zlib.compress(raw, level)) / len(raw)
+
+        return s.map(one)
+
+    return pandas_udf(ratio, "double", PandasUDFType.SCALAR)
+
+
+def compression_ratio(c: Column | str, level: int = 6) -> Column:
+    """zlib(deflate) compressed-size / raw-size per document — the
+    Gopher/Dolma-era repetitiveness signal the string-expression
+    rules can't see: boilerplate and templated spam compress far
+    below natural prose (ratio < ~0.3), while binary-ish or
+    high-entropy junk barely compresses (ratio > ~0.9). NULL for
+    NULL/empty docs.
+
+    Python is unavoidable (no JVM zlib expression), so this rides an
+    Arrow-batched pandas_udf; at corpus scale run it once at ingest
+    alongside the other per-doc stats, never per-query.
+    """
+    if not 1 <= level <= 9:
+        raise ValueError("zlib level must be in [1, 9]")
+    return _make_compression_ratio_udf(level)(_col(c).cast("string"))
+
+
+def compression_filter(
+    df,
+    text_col: str = "text",
+    min_ratio: float = 0.25,
+    max_ratio: float = 0.95,
+    level: int = 6,
+):
+    """Keep documents whose compression ratio falls in the
+    natural-text band (drops templated/repetitive spam below
+    ``min_ratio`` and high-entropy junk above ``max_ratio``; NULL
+    ratios — empty docs — are dropped, matching the other quality
+    filters' no-evidence stance)."""
+    r = compression_ratio(text_col, level)
+    return df.filter((r >= min_ratio) & (r <= max_ratio))
