@@ -184,3 +184,35 @@ def test_quality_model_scoring_is_shuffle_free(spark):
     docs = spark.createDataFrame([(1, "some doc")], "doc_id long, text string")
     plan = _plan(score_quality_model(docs, model, "text"))
     assert "Exchange" not in plan
+
+
+def test_runtime_bloom_filter_join_eligibility(spark):
+    """Spark 4's runtime bloom-filter join (on by default, 10 GB
+    application-side threshold) pre-filters the big probe scan of a
+    selective-dimension join before the shuffle — the built-in form
+    of the classic 100 TB bloom pre-filter. Invisible at test scale
+    by design, so lower the thresholds and prove OUR join shape
+    stays eligible: the optimizer must inject bloom_filter_agg on
+    the filtered build side."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_totalprice") > 200000
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        assert "bloom_filter_agg" in _plan(j)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

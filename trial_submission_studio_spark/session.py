@@ -30,6 +30,15 @@ def get_spark(
       string<->timestamp boundary.
     - Arrow enabled: every Pandas-UDF path (duration grammar, XPT
       export staging) rides vectorized Arrow batches.
+    - Runtime bloom-filter joins are left at the Spark 4 defaults
+      (``spark.sql.optimizer.runtime.bloomFilter.enabled=true``,
+      application-side threshold 10 GB): on a selective-dimension
+      join the optimizer injects a ``bloom_filter_agg`` on the
+      filtered build side and pre-filters the big probe scan before
+      the shuffle — a 100 TB-only win that is deliberately invisible
+      at test scale. ``tests/test_plan_shapes.py`` lowers the
+      thresholds to prove our join shapes stay ELIGIBLE for the
+      injection (nothing in the plan defeats it).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:
