@@ -1353,3 +1353,72 @@ def test_streaming_dedup_ingest_across_restarts(spark, tmp_path):
     assert {r["doc_id"] for r in rows} == {1, 2, 5}
     # the fingerprint state table covers exactly the admitted docs
     assert spark.read.parquet(state).select("fp").distinct().count() == 3
+
+
+def test_streaming_locf_matches_batch(spark, tmp_path):
+    """Streaming LOCF (state-store last-non-null-per-key) emits the
+    same fills as the batch locf_fill operator, including a
+    cross-micro-batch fill where the carried state supplies a value
+    observed in an earlier batch."""
+    from trial_submission_studio_spark.operators.temporal import locf_fill
+    from trial_submission_studio_spark.streaming.locf import (
+        streaming_locf_fill,
+    )
+
+    def frame(rows):
+        return values_df(
+            spark, rows, "user_id bigint, ts_s string, reading double"
+        ).select(
+            "user_id",
+            F.col("ts_s").cast("timestamp").alias("ts"),
+            "reading",
+        )
+
+    b1 = frame(
+        [
+            (1, "2024-01-01 00:01:00", 5.0),
+            (1, "2024-01-01 00:02:00", None),
+            (2, "2024-01-01 00:03:00", None),  # nothing to carry yet
+        ]
+    )
+    b2 = frame(
+        [
+            (1, "2024-01-01 00:10:00", None),  # fills 5.0 from state
+            (2, "2024-01-01 00:11:00", 7.0),
+            (2, "2024-01-01 00:12:00", None),  # fills 7.0 same batch
+        ]
+    )
+
+    d = str(tmp_path / "readings")
+    b1.write.parquet(d)
+    stream = spark.readStream.schema(
+        "user_id bigint, ts timestamp, reading double"
+    ).parquet(d)
+    filled = streaming_locf_fill(stream, ["user_id"], "ts", ["reading"])
+    q = (
+        filled.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("locf_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        b2.write.mode("append").parquet(d)
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], str(r["ts"])): r["reading"]
+            for r in spark.sql("SELECT * FROM locf_out").collect()
+        }
+    finally:
+        q.stop()
+
+    expected = {
+        (r["user_id"], str(r["ts"])): r["reading"]
+        for r in locf_fill(
+            b1.unionByName(b2), ["user_id"], "ts", ["reading"]
+        ).collect()
+    }
+    assert len(got) == 6
+    assert got == expected
+    assert got[(1, "2024-01-01 00:10:00")] == 5.0  # via state store
+    assert got[(2, "2024-01-01 00:03:00")] is None  # no prior value
