@@ -768,8 +768,12 @@ def text_analysis_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     via e4 fixed-point (float summation order would differ between
     engines)."""
     from trial_submission_studio_spark.operators.textstats import (
+        alpha_word_fraction_e4,
+        bullet_line_fraction_e4,
         dup_line_fraction_e4,
         dup_paragraph_fraction_e4,
+        ellipsis_line_fraction_e4,
+        symbol_word_ratio_e4,
     )
 
     d = _t(spark, sf_dir, "documents")
@@ -782,9 +786,14 @@ def text_analysis_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         F.sum(F.when(pred_en, 1).otherwise(0)).cast("long").alias("n_pred_en"),
         F.sum(F.round(q4 * 10000, 0).cast("long")).alias("quality_e4_sum"),
-        # Gopher-style repetition rules, exact integer fixed-point
+        # Gopher-style repetition + formatting rules, exact integer
+        # fixed-point (float sums would diverge between engines)
         F.sum(dup_line_fraction_e4("text")).cast("long").alias("dup_line_e4_sum"),
         F.sum(dup_paragraph_fraction_e4("text")).cast("long").alias("dup_para_e4_sum"),
+        F.sum(symbol_word_ratio_e4("text")).cast("long").alias("symbol_e4_sum"),
+        F.sum(bullet_line_fraction_e4("text")).cast("long").alias("bullet_e4_sum"),
+        F.sum(ellipsis_line_fraction_e4("text")).cast("long").alias("ellipsis_e4_sum"),
+        F.sum(alpha_word_fraction_e4("text")).cast("long").alias("alpha_e4_sum"),
     )
 
 
@@ -2787,6 +2796,25 @@ def oracle_sql() -> dict[str, str]:
                           THEN CAST(floor((len(paras) - len(list_distinct(paras)))
                                     * 10000.0 / len(paras)) AS BIGINT)
                           ELSE 0 END AS dup_para_e4,
+                     CASE WHEN ntok > 0
+                          THEN CAST(floor(len(regexp_extract_all(s, '#|…|\\.\\.\\.'))
+                                    * 10000.0 / ntok) AS BIGINT)
+                          ELSE 0 END AS symbol_e4,
+                     CASE WHEN len(lines) > 0
+                          THEN CAST(floor(len(list_filter(lines,
+                                      x -> regexp_matches(x, '^[•‣▪◦*-] ')))
+                                    * 10000.0 / len(lines)) AS BIGINT)
+                          ELSE 0 END AS bullet_e4,
+                     CASE WHEN len(lines) > 0
+                          THEN CAST(floor(len(list_filter(lines,
+                                      x -> regexp_matches(x, '(\\.\\.\\.|…)$')))
+                                    * 10000.0 / len(lines)) AS BIGINT)
+                          ELSE 0 END AS ellipsis_e4,
+                     CASE WHEN len(toks) > 0
+                          THEN CAST(floor(len(list_filter(toks,
+                                      x -> regexp_matches(x, '[A-Za-z]')))
+                                    * 10000.0 / len(toks)) AS BIGINT)
+                          ELSE 0 END AS alpha_e4,
                      round(
                        least(length(s) / 200.0, 1.0)
                        * greatest(0.0, 1.0 - (length(regexp_replace(s, '[A-Za-z0-9\\s]', '', 'g'))
@@ -2811,7 +2839,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(q4 * 10000, 0) AS BIGINT)) AS BIGINT)
                      AS quality_e4_sum,
                    CAST(sum(dup_line_e4) AS BIGINT) AS dup_line_e4_sum,
-                   CAST(sum(dup_para_e4) AS BIGINT) AS dup_para_e4_sum
+                   CAST(sum(dup_para_e4) AS BIGINT) AS dup_para_e4_sum,
+                   CAST(sum(symbol_e4) AS BIGINT) AS symbol_e4_sum,
+                   CAST(sum(bullet_e4) AS BIGINT) AS bullet_e4_sum,
+                   CAST(sum(ellipsis_e4) AS BIGINT) AS ellipsis_e4_sum,
+                   CAST(sum(alpha_e4) AS BIGINT) AS alpha_e4_sum
             FROM q GROUP BY lang
         """,
         "dedup_group_resolution": """

@@ -63,3 +63,54 @@ def test_compression_filter_band(spark):
 def test_compression_ratio_validations(spark):
     with pytest.raises(ValueError):
         compression_ratio("text", level=0)
+
+
+def test_gopher_formatting_metrics(spark):
+    """Bullet/ellipsis/symbol/alpha heuristics match a direct Python
+    reference on crafted multi-line docs."""
+    import re
+
+    from trial_submission_studio_spark.operators.textstats import (
+        alpha_word_fraction_e4,
+        bullet_line_fraction_e4,
+        ellipsis_line_fraction_e4,
+        symbol_word_ratio_e4,
+    )
+
+    docs = [
+        (1, "• first point\n- second point\nplain line\nmore text..."),
+        (2, "just a ## line with # symbols and a trailing …\nnormal"),
+        (3, "1234 5678 !!!\nwords only here"),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["b"], r["e"], r["sy"], r["a"])
+        for r in df.select(
+            "doc_id",
+            bullet_line_fraction_e4("text").alias("b"),
+            ellipsis_line_fraction_e4("text").alias("e"),
+            symbol_word_ratio_e4("text").alias("sy"),
+            alpha_word_fraction_e4("text").alias("a"),
+        ).collect()
+    }
+
+    def ref(text):
+        if not text or not text.strip():
+            return (0, 0, 0, 0)
+        s = text.strip()
+        lines = [ln.strip() for ln in s.split("\n") if ln.strip()]
+        toks = re.split(r"\s+", s)
+        nb = sum(1 for ln in lines if re.search(r"^[•‣▪◦*-] ", ln))
+        ne = sum(1 for ln in lines if re.search(r"(\.\.\.|…)$", ln))
+        nsym = len(re.findall(r"#|…|\.\.\.", s))
+        na = sum(1 for t in toks if re.search(r"[A-Za-z]", t))
+        e4 = lambda num, den: int(num * 10000.0 // den) if den else 0  # noqa: E731
+        return (
+            e4(nb, len(lines)), e4(ne, len(lines)),
+            e4(nsym, len(toks)), e4(na, len(toks)),
+        )
+
+    for doc_id, text in docs:
+        assert got[doc_id] == ref(text), (doc_id, got[doc_id], ref(text))

@@ -136,6 +136,67 @@ def dup_line_char_fraction(c: Column | str) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+#: bullet prefixes and ellipsis suffixes per Gopher's formatting
+#: rules — pinned here so the oracle SQL mirrors the same literals
+BULLET_LINE_RE = r"^[•‣▪◦*-] "
+ELLIPSIS_LINE_RE = r"(\.\.\.|…)$"
+SYMBOL_RE = r"#|…|\.\.\."
+
+
+def symbol_word_ratio_e4(c: Column | str) -> Column:
+    """Gopher symbol-to-word ratio (hash + ellipsis occurrences per
+    word), e4 fixed-point. Zero-shuffle codegen (regexp_count)."""
+    s = F.trim(_col(c).cast("string"))
+    n = token_count(c)
+    nsym = F.when(
+        s.isNull() | (s == ""), F.lit(0)
+    ).otherwise(F.regexp_count(s, F.lit(SYMBOL_RE)))
+    return (
+        F.when(n > 0, F.floor(nsym.cast("double") * 10000.0 / n.cast("double")))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+
+
+def bullet_line_fraction_e4(c: Column | str) -> Column:
+    """Fraction of lines starting with a bullet marker (Gopher
+    formatting rule), e4 fixed-point."""
+    lines = _nonblank_parts(c, "\n")
+    nb = F.size(F.filter(lines, lambda x: x.rlike(BULLET_LINE_RE)))
+    n = F.size(lines)
+    return (
+        F.when(n > 0, F.floor(nb.cast("double") * 10000.0 / n.cast("double")))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+
+
+def ellipsis_line_fraction_e4(c: Column | str) -> Column:
+    """Fraction of lines ending in an ellipsis (Gopher formatting
+    rule — truncated-snippet pages), e4 fixed-point."""
+    lines = _nonblank_parts(c, "\n")
+    ne = F.size(F.filter(lines, lambda x: x.rlike(ELLIPSIS_LINE_RE)))
+    n = F.size(lines)
+    return (
+        F.when(n > 0, F.floor(ne.cast("double") * 10000.0 / n.cast("double")))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+
+
+def alpha_word_fraction_e4(c: Column | str) -> Column:
+    """Fraction of words containing at least one ASCII letter (the
+    Gopher 80 %-alphabetic rule's statistic), e4 fixed-point."""
+    toks = tokens(c)
+    na = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    n = F.size(toks)
+    return (
+        F.when(n > 0, F.floor(na.cast("double") * 10000.0 / n.cast("double")))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+
+
 def top_ngram_stats(df, id_col: str = "doc_id", text_col: str = "text", n: int = 2):
     """Per-document most-frequent word n-gram and the fraction of the
     document's characters it covers (the Gopher "top n-gram char
