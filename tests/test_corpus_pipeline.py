@@ -417,3 +417,24 @@ def test_prepare_corpus_compression_band_stage(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == [1]
     assert list(cfg.stats) == ["input", "compression_band"]
     assert cfg.stats["compression_band"] == 1
+
+
+def test_prepare_corpus_gopher_formatting_rules(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a plain paragraph of ordinary readable words here"),
+            (2, "• one\n• two\n• three\n• four"),            # all-bullets
+            (3, "snippet cut off...\nanother teaser…\nmore..."),  # ellipses
+            (4, "### #### ## # ## #### ## #"),                # symbol soup
+            (5, "1234 5678 9012 3456 7890 2345"),             # no letters
+        ],
+        "doc_id long, text string",
+    )
+    cfg = CorpusConfig(
+        min_line_words=None, min_doc_tokens=None, paragraph_max_docs=None,
+        exact_dedup=False, near_dedup=False, contamination_threshold=None,
+        max_symbol_ratio=0.1, max_bullet_fraction=0.9,
+        max_ellipsis_fraction=0.3, min_alpha_fraction=0.8,
+    )
+    out = prepare_corpus(docs, "doc_id", "text", cfg)
+    assert sorted(r["doc_id"] for r in out.collect()) == [1]

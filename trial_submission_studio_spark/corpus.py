@@ -44,7 +44,15 @@ from .operators.dedup import dedup_exact, dedup_near
 from .operators.paragraphs import paragraph_dedup
 from .operators.qualityfilter import line_quality_filter
 from .operators.sampling import cap_per_key, rebalance_to_target
-from .operators.textstats import quality_score, stopword_ratio, token_count
+from .operators.textstats import (
+    alpha_word_fraction_e4,
+    bullet_line_fraction_e4,
+    ellipsis_line_fraction_e4,
+    quality_score,
+    stopword_ratio,
+    symbol_word_ratio_e4,
+    token_count,
+)
 
 
 @dataclass
@@ -56,6 +64,11 @@ class CorpusConfig:
     min_stopword_ratio: float | None = None
     min_quality: float | None = None
     compression_band: tuple[float, float] | None = None
+    # Gopher formatting rules (fractions in [0,1]; None disables)
+    max_symbol_ratio: float | None = None
+    max_bullet_fraction: float | None = None
+    max_ellipsis_fraction: float | None = None
+    min_alpha_fraction: float | None = None
     lang_allowlist: tuple[str, ...] | None = None
     min_model_quality: float | None = None
     paragraph_max_docs: int | None = 5
@@ -138,6 +151,20 @@ def prepare_corpus(
         doc_pred = p if doc_pred is None else (doc_pred & p)
     if cfg.min_quality is not None:
         p = quality_score(text_col) >= cfg.min_quality
+        doc_pred = p if doc_pred is None else (doc_pred & p)
+    # Gopher formatting rules share the same row-local predicate pass
+    # (e4 fixed-point metrics vs e4-scaled thresholds — no float drift)
+    for metric, threshold, keep_at_most in (
+        (symbol_word_ratio_e4, cfg.max_symbol_ratio, True),
+        (bullet_line_fraction_e4, cfg.max_bullet_fraction, True),
+        (ellipsis_line_fraction_e4, cfg.max_ellipsis_fraction, True),
+        (alpha_word_fraction_e4, cfg.min_alpha_fraction, False),
+    ):
+        if threshold is None:
+            continue
+        bound = int(threshold * 10000)
+        m = metric(text_col)
+        p = (m <= bound) if keep_at_most else (m >= bound)
         doc_pred = p if doc_pred is None else (doc_pred & p)
     if doc_pred is not None:
         out = _mark("doc_quality", out.filter(doc_pred))
