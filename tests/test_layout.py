@@ -106,7 +106,12 @@ def test_zorder_layout_improves_pruning(spark, tmp_path):
         li,
         {"l_quantity": (1.0, 51.0), "l_extendedprice": (900.0, 105000.0)},
         bits=8,
-        num_partitions=16,
+        # 32 partitions: repartitionByRange samples boundaries, and at 16
+        # files a lucky sample occasionally leaves one file straddling the
+        # probe window (measured q-fraction 0.44-0.56); at 32 the measured
+        # floor is 0.59 across repeated runs, so the >=0.5 assertions are
+        # variance-proof without weakening what they assert.
+        num_partitions=32,
     )
     clustered.write.parquet(zord_dir)
 
