@@ -9,6 +9,7 @@ import pytest
 
 from trial_submission_studio_spark.sources.jsonl import (
     read_jsonl,
+    read_jsonl_stream,
     split_quarantine,
     write_jsonl,
 )
@@ -116,6 +117,35 @@ def test_quarantine_count_allowed(spark, tmp_path):
     good, bad = split_quarantine(read_jsonl(spark, d, SCHEMA))
     assert bad.count() == 2
     assert good.count() == 4
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    """read_jsonl_stream shares the batch parse plan — the streamed
+    result (incl. quarantine rows) equals the batch read of the same
+    directory, across two micro-batches."""
+    d = str(tmp_path / "in")
+    _write_fixture(d, DOCS[:2], bad_lines=["{oops"])
+    stream = read_jsonl_stream(spark, d, SCHEMA, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("jsonl_stream_t")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second member lands mid-stream
+        with open(os.path.join(d, "part-1.jsonl"), "w", encoding="utf-8") as f:
+            for r in DOCS[2:]:
+                f.write(json.dumps(r, ensure_ascii=False) + "\n")
+        q.processAllAvailable()
+        streamed = spark.sql("SELECT * FROM jsonl_stream_t").collect()
+    finally:
+        q.stop()
+    batch = read_jsonl(spark, d, SCHEMA).collect()
+    key = lambda r: (r.doc_id or -1, r.text or "", r._corrupt_record or "")  # noqa: E731
+    assert sorted(streamed, key=key) == sorted(batch, key=key)
+    assert sum(1 for r in streamed if r._corrupt_record is not None) == 1
 
 
 def test_fast_path_prunes_parse_schema(spark, tmp_path):

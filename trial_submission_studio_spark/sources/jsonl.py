@@ -114,6 +114,14 @@ def read_jsonl(
         }
     parse_schema = StructType(fields)
     raw = spark.read.text(path)
+    return _parse_lines(raw, parse_schema, opts, with_path)
+
+
+def _parse_lines(
+    raw: DataFrame, parse_schema: StructType, opts: dict, with_path: bool
+) -> DataFrame:
+    """The shared parse plan — batch and streaming reads differ ONLY in
+    the text scan underneath (the engine's batch ≡ stream rule)."""
     cols = [F.col(f"_parsed.{f.name}") for f in parse_schema.fields]
     if with_path:
         cols.append(F.input_file_name().alias("_path"))
@@ -122,6 +130,47 @@ def read_jsonl(
         .withColumn("_parsed", F.from_json("value", parse_schema, opts))
         .select(*cols)
     )
+
+
+def read_jsonl_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    *,
+    corrupt_col: str = CORRUPT_COL,
+    with_path: bool = False,
+    options: dict | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Structured-Streaming variant of :func:`read_jsonl` — the
+    continuous-corpus-ingest front end (new ``.jsonl``/``.jsonl.gz``
+    members landing in a directory become micro-batches).
+
+    Same pinned schema, same quarantine contract, and literally the
+    same parse plan as the batch reader (only the text scan differs)
+    — downstream stages (dedup against persisted state, quality
+    gates, sharded sink via ``foreachBatch``) compose unchanged; see
+    `streaming/ingest.py`. ``max_files_per_trigger`` bounds
+    micro-batch size for backfill over a large landing directory.
+    """
+    struct = _as_struct(spark, schema)
+    if corrupt_col in struct.fieldNames():
+        raise ValueError(
+            f"schema must not already contain the quarantine column "
+            f"{corrupt_col!r}; pass corrupt_col= to rename it"
+        )
+    opts = {
+        "columnNameOfCorruptRecord": corrupt_col,
+        "mode": "PERMISSIVE",
+        **(options or {}),
+    }
+    parse_schema = StructType(
+        list(struct.fields) + [StructField(corrupt_col, StringType(), True)]
+    )
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    return _parse_lines(reader.text(path), parse_schema, opts, with_path)
 
 
 def split_quarantine(
