@@ -1,0 +1,109 @@
+"""Versioned corpus snapshots: atomic manifest publish, time travel,
+append via base_version, rollback, retire+vacuum."""
+
+import os
+
+import pytest
+
+from trial_submission_studio_spark.io.corpus_shards import write_corpus_shards
+from trial_submission_studio_spark.io.versioned import (
+    current_version,
+    list_versions,
+    new_data_dir,
+    publish_version,
+    read_manifest,
+    read_version,
+    retire_versions,
+    rollback,
+    vacuum,
+)
+
+
+def _docs(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr(
+        "id AS doc_id", "concat('text-', id) AS text"
+    )
+
+
+def test_publish_and_time_travel(spark, tmp_path):
+    root = str(tmp_path / "corpus")
+    os.makedirs(root)
+    d1 = new_data_dir(root)
+    _docs(spark, 0, 100).write.parquet(d1, mode="append")
+    m1 = publish_version(root, d1, metadata={"source": "batch-1"})
+    assert m1["version"] == 1 and current_version(root) == 1
+
+    d2 = new_data_dir(root)
+    _docs(spark, 100, 150).write.parquet(d2, mode="append")
+    m2 = publish_version(root, d2, base_version=1)
+    assert m2["version"] == 2
+    assert set(m1["files"]) < set(m2["files"])
+
+    assert read_version(spark, root).count() == 150  # CURRENT
+    assert read_version(spark, root, version=1).count() == 100  # time travel
+    assert read_manifest(root, 1)["metadata"]["source"] == "batch-1"
+
+
+def test_rollback_is_append_only(spark, tmp_path):
+    root = str(tmp_path / "corpus")
+    os.makedirs(root)
+    for lo, hi in ((0, 10), (10, 30)):
+        d = new_data_dir(root)
+        _docs(spark, lo, hi).write.parquet(d, mode="append")
+        publish_version(root, d)
+    m = rollback(root, to_version=1)
+    assert m["version"] == 3 and m["metadata"]["rollback_of"] == 1
+    assert current_version(root) == 3
+    assert read_version(spark, root).count() == 10
+    assert list_versions(root) == [1, 2, 3]  # history intact
+
+
+def test_retire_and_vacuum(spark, tmp_path):
+    root = str(tmp_path / "corpus")
+    os.makedirs(root)
+    dirs = []
+    for lo, hi in ((0, 10), (10, 20), (20, 30)):
+        d = new_data_dir(root)
+        _docs(spark, lo, hi).write.parquet(d, mode="append")
+        publish_version(root, d)  # each version = ONLY its own files
+        dirs.append(d)
+    retired = retire_versions(root, keep_latest=1)
+    assert retired == [1, 2]
+    deletable = vacuum(root, dry_run=True)
+    assert deletable  # v1+v2 files now unreferenced
+    assert all(not p.startswith("data/" + os.path.basename(dirs[2])) for p in deletable)
+    deleted = vacuum(root)
+    assert deleted == deletable
+    assert read_version(spark, root).count() == 10  # CURRENT intact
+    assert not os.path.isdir(dirs[0])  # empty run dir pruned
+
+
+def test_publish_guards(spark, tmp_path):
+    root = str(tmp_path / "corpus")
+    os.makedirs(root)
+    with pytest.raises(ValueError, match="no data files"):
+        publish_version(root, new_data_dir(root))
+    d = new_data_dir(root)
+    _docs(spark, 0, 5).write.parquet(d, mode="append")
+    publish_version(root, d)
+    with pytest.raises(ValueError, match="duplicate files"):
+        publish_version(root, d, base_version=1)  # same dir twice
+    with pytest.raises(FileNotFoundError):
+        read_manifest(str(tmp_path / "nowhere"))
+
+
+def test_composes_with_corpus_shards(spark, tmp_path):
+    """The intended pairing: shard-write into a fresh run dir, then
+    publish; the snapshot read equals the sharded write."""
+    root = str(tmp_path / "corpus")
+    os.makedirs(root)
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    d = new_data_dir(root)
+    manifest_df = write_corpus_shards(src, d, "doc_id", n_shards=4)
+    assert manifest_df.count() == 4
+    publish_version(root, d, metadata={"n_shards": 4})
+    back = read_version(spark, root)
+    assert back.count() == src.count()
+    assert set(back.columns) >= {"doc_id", "text"}

@@ -1,0 +1,250 @@
+"""Versioned corpus snapshots: atomic publish, time travel, rollback,
+vacuum — the transactional-table-format core (the idea behind
+Iceberg/Delta), stdlib-only.
+
+Why this exists at 100 TB: ``mode("overwrite")`` on a live corpus
+directory is a torn-write hazard — a reader that lists files while a
+multi-hour job is replacing thousands of them sees half a corpus, and
+a failed job leaves no good state to go back to. The fix is the
+standard one: **data files are immutable and write-once; commits are
+a single atomic manifest swap.**
+
+Layout::
+
+    root/
+      data/<run-id>/part-*.parquet   immutable; each writer uses a
+                                     fresh run-id, never overwrites
+      _versions/v00000001.json       manifest: explicit file list +
+                                     counts + user metadata
+      _versions/CURRENT              pointer file -> version number
+
+Protocol:
+
+- :func:`publish_version` writes the manifest to a temp name and
+  ``os.rename``\\ s it into place, then swaps ``CURRENT`` the same
+  way. POSIX rename is atomic — a reader sees the old or the new
+  version, never a partial one. (On S3-style object stores the
+  equivalent is a conditional PUT of the pointer; the manifest
+  protocol is unchanged. Single concurrent writer assumed — the
+  publish itself refuses to reuse an existing version number, so two
+  racing writers cannot silently clobber each other's manifest.)
+- :func:`read_version` hands Spark the manifest's EXPLICIT file list
+  — never a directory listing. Besides time travel, this kills the
+  eventually-consistent-listing class of bugs and lets a 100k-file
+  corpus skip the recursive list entirely.
+- :func:`rollback` publishes a NEW version whose file list is an old
+  version's (history stays append-only — an audit can always see
+  that a rollback happened, same as Delta's RESTORE).
+- :func:`vacuum` deletes data files no surviving manifest references
+  (run after retiring old versions with ``keep_latest``).
+
+Pairs with `io/corpus_shards.py` (write shards into a fresh
+``data/<run-id>`` dir, then publish) and with the incremental-dedup
+ingest (each accepted batch = one new version; replaying a batch
+re-publishes the same file list, which is idempotent by content).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_VERSIONS = "_versions"
+_CURRENT = "CURRENT"
+
+
+def _versions_dir(root: str) -> str:
+    return os.path.join(root, _VERSIONS)
+
+
+def _manifest_path(root: str, version: int) -> str:
+    return os.path.join(_versions_dir(root), f"v{version:08d}.json")
+
+
+def _atomic_write(path: str, payload: str) -> None:
+    """Write-then-rename: readers see the whole file or nothing."""
+    d = os.path.dirname(path)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write(payload)
+        os.rename(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        raise
+
+
+def new_data_dir(root: str) -> str:
+    """A fresh immutable data directory for one write run. Writers
+    target this (e.g. ``write_corpus_shards(df, new_data_dir(root),
+    ...)``) so no run ever overwrites another's files."""
+    d = os.path.join(root, "data", uuid.uuid4().hex[:16])
+    os.makedirs(d, exist_ok=False)
+    return d
+
+
+def _data_files(run_dir: str) -> list[str]:
+    out = []
+    for cur, _dirs, names in os.walk(run_dir):
+        for n in names:
+            if n.endswith((".parquet", ".jsonl", ".jsonl.gz", ".json.gz")) and not n.startswith("_"):
+                out.append(os.path.join(cur, n))
+    return sorted(out)
+
+
+def list_versions(root: str) -> list[int]:
+    vd = _versions_dir(root)
+    if not os.path.isdir(vd):
+        return []
+    return sorted(
+        int(n[1:-5])
+        for n in os.listdir(vd)
+        if n.startswith("v") and n.endswith(".json")
+    )
+
+
+def current_version(root: str) -> int | None:
+    p = os.path.join(_versions_dir(root), _CURRENT)
+    if not os.path.exists(p):
+        return None
+    with open(p, encoding="utf-8") as f:
+        return int(f.read().strip())
+
+
+def read_manifest(root: str, version: int | None = None) -> dict:
+    if version is None:
+        version = current_version(root)
+        if version is None:
+            raise FileNotFoundError(f"no published version under {root}")
+    with open(_manifest_path(root, version), encoding="utf-8") as f:
+        return json.load(f)
+
+
+def publish_version(
+    root: str,
+    run_dirs: str | list[str],
+    *,
+    metadata: dict | None = None,
+    base_version: int | None = None,
+) -> dict:
+    """Atomically publish a new version whose file list is every data
+    file under ``run_dirs`` (one or more immutable run directories),
+    optionally unioned with an existing version's files
+    (``base_version`` — the incremental-append pattern: new batch dir
+    + previous snapshot = next snapshot).
+
+    Returns the manifest dict (incl. ``version``). Refuses to
+    overwrite an existing manifest (two racing writers: second loses
+    loudly, not silently).
+    """
+    os.makedirs(_versions_dir(root), exist_ok=True)
+    if isinstance(run_dirs, str):
+        run_dirs = [run_dirs]
+    files: list[str] = []
+    if base_version is not None:
+        files.extend(read_manifest(root, base_version)["files"])
+    for rd in run_dirs:
+        rel = [os.path.relpath(p, root) for p in _data_files(rd)]
+        if not rel:
+            raise ValueError(f"no data files under {rd}")
+        files.extend(rel)
+    dupes = {f for f in files if files.count(f) > 1}
+    if dupes:
+        raise ValueError(f"duplicate files in version: {sorted(dupes)[:3]}")
+    version = (max(list_versions(root), default=0)) + 1
+    manifest = {
+        "version": version,
+        "created_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "files": sorted(files),
+        "n_files": len(files),
+        "metadata": metadata or {},
+    }
+    path = _manifest_path(root, version)
+    if os.path.exists(path):
+        raise FileExistsError(f"version {version} already published")
+    _atomic_write(path, json.dumps(manifest, indent=1))
+    _atomic_write(os.path.join(_versions_dir(root), _CURRENT), str(version))
+    return manifest
+
+
+def read_version(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Read a published snapshot (CURRENT by default, or time-travel
+    to ``version``) from its EXPLICIT manifest file list — no
+    directory listing, no torn reads."""
+    m = read_manifest(root, version)
+    paths = [os.path.join(root, f) for f in m["files"]]
+    fmt = "json" if paths[0].endswith((".jsonl", ".jsonl.gz", ".json.gz")) else "parquet"
+    return spark.read.format(fmt).load(paths)
+
+
+def rollback(root: str, to_version: int) -> dict:
+    """Publish a NEW version with ``to_version``'s file list (history
+    stays append-only; the bad version remains inspectable)."""
+    m = read_manifest(root, to_version)
+    os.makedirs(_versions_dir(root), exist_ok=True)
+    version = max(list_versions(root), default=0) + 1
+    manifest = {
+        "version": version,
+        "created_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "files": m["files"],
+        "n_files": m["n_files"],
+        "metadata": {"rollback_of": m["version"]},
+    }
+    _atomic_write(_manifest_path(root, version), json.dumps(manifest, indent=1))
+    _atomic_write(os.path.join(_versions_dir(root), _CURRENT), str(version))
+    return manifest
+
+
+def retire_versions(root: str, keep_latest: int) -> list[int]:
+    """Delete old manifests, keeping the newest ``keep_latest``. The
+    CURRENT version is always kept. Returns retired version numbers."""
+    if keep_latest < 1:
+        raise ValueError("keep_latest must be >= 1")
+    versions = list_versions(root)
+    cur = current_version(root)
+    retire = [v for v in versions[:-keep_latest] if v != cur]
+    for v in retire:
+        os.remove(_manifest_path(root, v))
+    return retire
+
+
+def vacuum(root: str, dry_run: bool = False) -> list[str]:
+    """Delete data files referenced by NO surviving manifest (run
+    after :func:`retire_versions`). Returns the deleted (or, with
+    ``dry_run``, deletable) paths relative to root.
+
+    Walks ``root/data`` and the manifests only — metadata-scale work
+    regardless of data size."""
+    live: set[str] = set()
+    for v in list_versions(root):
+        live.update(read_manifest(root, v)["files"])
+    doomed: list[str] = []
+    data_root = os.path.join(root, "data")
+    for cur, _dirs, names in os.walk(data_root):
+        for n in names:
+            if n.startswith((".", "_")):  # _SUCCESS / .crc markers
+                continue
+            rel = os.path.relpath(os.path.join(cur, n), root)
+            if rel not in live:
+                doomed.append(rel)
+    if not dry_run:
+        import shutil
+
+        for rel in doomed:
+            os.remove(os.path.join(root, rel))
+        # a run dir with no live files left is dead wholesale —
+        # remove it including writer markers (_SUCCESS, .crc)
+        if os.path.isdir(data_root):
+            for run in os.listdir(data_root):
+                prefix = os.path.join("data", run) + os.sep
+                if not any(f.startswith(prefix) for f in live):
+                    shutil.rmtree(os.path.join(data_root, run))
+    return sorted(doomed)
