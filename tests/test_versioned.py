@@ -92,6 +92,49 @@ def test_publish_guards(spark, tmp_path):
         read_manifest(str(tmp_path / "nowhere"))
 
 
+def test_streaming_ingest_publishes_snapshots(spark, tmp_path):
+    """publish_versions=True: each accepted micro-batch atomically
+    publishes a snapshot manifest under corpus_dir/_versions, so a
+    training job reads a stable explicit file list while ingest keeps
+    appending — and can time-travel to any earlier batch boundary."""
+    from trial_submission_studio_spark.sources.local import values_df
+    from trial_submission_studio_spark.streaming.ingest import start_dedup_ingest
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id bigint, text string"
+
+    values_df(spark, [(1, "alpha"), (2, "beta")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = start_dedup_ingest(
+        spark.readStream.schema(schema).parquet(src),
+        "doc_id", "text", corpus, state, ckpt, publish_versions=True,
+    )
+    q.awaitTermination(120)
+    v1 = current_version(corpus)
+    assert v1 is not None
+    assert {r.doc_id for r in read_version(spark, corpus).collect()} == {1, 2}
+
+    # second run: one duplicate (rejected), one novel
+    values_df(spark, [(3, "alpha"), (4, "gamma")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = start_dedup_ingest(
+        spark.readStream.schema(schema).parquet(src),
+        "doc_id", "text", corpus, state, ckpt, publish_versions=True,
+    )
+    q.awaitTermination(120)
+    assert current_version(corpus) > v1
+    assert {r.doc_id for r in read_version(spark, corpus).collect()} == {1, 2, 4}
+    # time travel back to the first batch boundary
+    assert {r.doc_id for r in read_version(spark, corpus, version=v1).collect()} == {1, 2}
+    # discovery-based read still works and ignores _versions
+    assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == {1, 2, 4}
+
+
 def test_composes_with_corpus_shards(spark, tmp_path):
     """The intended pairing: shard-write into a fresh run dir, then
     publish; the snapshot read equals the sharded write."""

@@ -126,37 +126,23 @@ def read_manifest(root: str, version: int | None = None) -> dict:
         return json.load(f)
 
 
-def publish_version(
-    root: str,
-    run_dirs: str | list[str],
-    *,
-    metadata: dict | None = None,
-    base_version: int | None = None,
+def publish_files(
+    root: str, files: list[str], *, metadata: dict | None = None
 ) -> dict:
-    """Atomically publish a new version whose file list is every data
-    file under ``run_dirs`` (one or more immutable run directories),
-    optionally unioned with an existing version's files
-    (``base_version`` — the incremental-append pattern: new batch dir
-    + previous snapshot = next snapshot).
+    """Atomically publish a new version from an EXPLICIT root-relative
+    file list (the primitive under :func:`publish_version`; used
+    directly by callers that compose the list themselves, e.g. the
+    streaming ingest replacing one batch prefix on replay).
 
-    Returns the manifest dict (incl. ``version``). Refuses to
-    overwrite an existing manifest (two racing writers: second loses
-    loudly, not silently).
-    """
-    os.makedirs(_versions_dir(root), exist_ok=True)
-    if isinstance(run_dirs, str):
-        run_dirs = [run_dirs]
-    files: list[str] = []
-    if base_version is not None:
-        files.extend(read_manifest(root, base_version)["files"])
-    for rd in run_dirs:
-        rel = [os.path.relpath(p, root) for p in _data_files(rd)]
-        if not rel:
-            raise ValueError(f"no data files under {rd}")
-        files.extend(rel)
+    Refuses duplicate entries and refuses to overwrite an existing
+    manifest (two racing writers: second loses loudly, not
+    silently)."""
+    if not files:
+        raise ValueError("refusing to publish an empty file list")
     dupes = {f for f in files if files.count(f) > 1}
     if dupes:
         raise ValueError(f"duplicate files in version: {sorted(dupes)[:3]}")
+    os.makedirs(_versions_dir(root), exist_ok=True)
     version = (max(list_versions(root), default=0)) + 1
     manifest = {
         "version": version,
@@ -171,6 +157,34 @@ def publish_version(
     _atomic_write(path, json.dumps(manifest, indent=1))
     _atomic_write(os.path.join(_versions_dir(root), _CURRENT), str(version))
     return manifest
+
+
+def publish_version(
+    root: str,
+    run_dirs: str | list[str],
+    *,
+    metadata: dict | None = None,
+    base_version: int | None = None,
+) -> dict:
+    """Atomically publish a new version whose file list is every data
+    file under ``run_dirs`` (one or more immutable run directories),
+    optionally unioned with an existing version's files
+    (``base_version`` — the incremental-append pattern: new batch dir
+    + previous snapshot = next snapshot).
+
+    Returns the manifest dict (incl. ``version``).
+    """
+    if isinstance(run_dirs, str):
+        run_dirs = [run_dirs]
+    files: list[str] = []
+    if base_version is not None:
+        files.extend(read_manifest(root, base_version)["files"])
+    for rd in run_dirs:
+        rel = [os.path.relpath(p, root) for p in _data_files(rd)]
+        if not rel:
+            raise ValueError(f"no data files under {rd}")
+        files.extend(rel)
+    return publish_files(root, files, metadata=metadata)
 
 
 def read_version(

@@ -57,6 +57,7 @@ def start_dedup_ingest(
     state_dir: str,
     checkpoint_dir: str,
     trigger_available_now: bool = True,
+    publish_versions: bool = False,
 ):
     """Start the continuous dedup-ingest query; returns the
     StreamingQuery. ``corpus_dir`` receives novel documents,
@@ -64,6 +65,16 @@ def start_dedup_ingest(
     replay idempotency. ``trigger_available_now`` drains what exists
     and stops (the incremental-job deployment mode); pass False for a
     continuously running query.
+
+    ``publish_versions=True`` additionally publishes an atomic
+    snapshot manifest (`io/versioned.py`) under
+    ``corpus_dir/_versions`` after each accepted batch, so training
+    jobs can read a STABLE explicit file list while ingestion keeps
+    appending (the underscore prefix keeps discovery-based readers
+    from seeing the metadata dir). Replay-safe: a replayed batch
+    replaces its own ``batch_id=N/`` prefix in the file list (the
+    overwrite regenerates part-file names, so the stale entries must
+    go), leaving every other batch's files untouched.
     """
     if not stream_df.isStreaming:
         raise ValueError("stream_df must be a streaming DataFrame")
@@ -77,15 +88,28 @@ def start_dedup_ingest(
         )
         novel, _ = incremental_exact_dedup(batch_df, seen, id_col, text_col)
         novel = novel.persist()
+        batch_dir = os.path.join(corpus_dir, f"batch_id={batch_id}")
         try:
-            novel.write.mode("overwrite").parquet(
-                os.path.join(corpus_dir, f"batch_id={batch_id}")
-            )
+            novel.write.mode("overwrite").parquet(batch_dir)
             novel.select(fingerprint(text_col).alias("fp")).write.mode(
                 "overwrite"
             ).parquet(os.path.join(state_dir, f"batch_id={batch_id}"))
         finally:
             novel.unpersist()
+        if publish_versions:
+            from trial_submission_studio_spark.io import versioned as V
+
+            cur = V.current_version(corpus_dir)
+            base = [] if cur is None else V.read_manifest(corpus_dir, cur)["files"]
+            prefix = f"batch_id={batch_id}/"
+            keep = [f for f in base if not f.startswith(prefix)]
+            fresh = [
+                os.path.relpath(p, corpus_dir) for p in V._data_files(batch_dir)
+            ]
+            if fresh:  # an all-duplicate batch publishes nothing new
+                V.publish_files(
+                    corpus_dir, keep + fresh, metadata={"batch_id": batch_id}
+                )
 
     writer = (
         stream_df.writeStream.foreachBatch(process_batch)
