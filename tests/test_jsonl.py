@@ -148,6 +148,42 @@ def test_streaming_matches_batch(spark, tmp_path):
     assert sum(1 for r in streamed if r._corrupt_record is not None) == 1
 
 
+def test_roundtrip_property_adversarial_text(spark, tmp_path):
+    """Property: write_jsonl→read_jsonl is value-faithful for
+    arbitrary unicode text (control chars, quotes, backslashes,
+    newlines — everything JSON must escape), with zero quarantined
+    rows."""
+    from hypothesis import given, settings, strategies as st
+
+    texts = st.lists(
+        st.one_of(
+            st.none(),
+            st.text(
+                alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+                max_size=80,
+            ),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+    counter = iter(range(10**6))
+
+    @settings(max_examples=8, deadline=None)
+    @given(texts)
+    def run(vals):
+        out = str(tmp_path / f"prop{next(counter)}")
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "doc_id long, text string"
+        )
+        write_jsonl(df, out, compression=None)
+        good, bad = split_quarantine(read_jsonl(spark, out, "doc_id long, text string"))
+        assert bad.count() == 0
+        got = {r.doc_id: r.text for r in good.collect()}
+        assert got == {i: v for i, v in enumerate(vals)}
+
+    run()
+
+
 def test_fast_path_prunes_parse_schema(spark, tmp_path):
     """quarantine=False: OptimizeJsonExprs must prune the from_json
     parse schema to the referenced fields (a 2-key projection never

@@ -89,13 +89,17 @@ def new_data_dir(root: str) -> str:
     return d
 
 
-def _data_files(run_dir: str) -> list[str]:
+def data_files(run_dir: str) -> list[str]:
+    """Absolute paths of the data files under one run directory
+    (writer markers like ``_SUCCESS``/``.crc`` excluded)."""
     out = []
     for cur, _dirs, names in os.walk(run_dir):
         for n in names:
             if n.endswith((".parquet", ".jsonl", ".jsonl.gz", ".json.gz")) and not n.startswith("_"):
                 out.append(os.path.join(cur, n))
     return sorted(out)
+
+
 
 
 def list_versions(root: str) -> list[int]:
@@ -180,7 +184,7 @@ def publish_version(
     if base_version is not None:
         files.extend(read_manifest(root, base_version)["files"])
     for rd in run_dirs:
-        rel = [os.path.relpath(p, root) for p in _data_files(rd)]
+        rel = [os.path.relpath(p, root) for p in data_files(rd)]
         if not rel:
             raise ValueError(f"no data files under {rd}")
         files.extend(rel)

@@ -104,7 +104,7 @@ def start_dedup_ingest(
             prefix = f"batch_id={batch_id}/"
             keep = [f for f in base if not f.startswith(prefix)]
             fresh = [
-                os.path.relpath(p, corpus_dir) for p in V._data_files(batch_dir)
+                os.path.relpath(p, corpus_dir) for p in V.data_files(batch_dir)
             ]
             if fresh:  # an all-duplicate batch publishes nothing new
                 V.publish_files(
