@@ -1237,7 +1237,24 @@ def j_crossdomain_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     J6 RELREC melted-key probe single-row gates merged (crossJoin of
     1-row frames — gate scale only; each component query remains a
     standalone callable). J6's 2-row per-idvar output pivots to one
-    row of per-idvar missing counts."""
+    row of per-idvar missing counts.
+
+    The J3 leg is padded to a guaranteed single RULE-SUMMARY row:
+    the library correctly emits an EMPTY issue frame when the data is
+    clean, but the planted violations are SF-dependent (at sf0.1 the
+    customer key range covers every ``orderkey % 3000`` probe, so
+    there are zero violations) while the oracle's global aggregate
+    always yields one row — caught by the sf0.1 oracle sweep, r7."""
+    j3 = j3_rsubjid_in_dm(spark, sf_dir)
+    j3_default = spark.createDataFrame(
+        [("RELSUB", "RSUBJID", "CrossReference", "Error", 0, None)],
+        "domain string, variable string, category string, severity string, "
+        "count int, samples string",
+    )
+    # violation row (count > 0) outranks the clean-case default
+    j3_one = (
+        j3.unionByName(j3_default).orderBy(F.col("count").desc()).limit(1)
+    )
     j6w = j6_relrec_probe(spark, sf_dir).agg(
         F.sum(F.when(F.col("idvar") == "BADVAR", F.col("missing_cnt")))
         .cast("long")
@@ -1247,8 +1264,7 @@ def j_crossdomain_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("relrec_missing_orderkey"),
     )
     return (
-        j3_rsubjid_in_dm(spark, sf_dir)
-        .crossJoin(j4_bidirectional_missing(spark, sf_dir))
+        j3_one.crossJoin(j4_bidirectional_missing(spark, sf_dir))
         .crossJoin(j5_relspec_parent(spark, sf_dir))
         .crossJoin(j6w)
     )
