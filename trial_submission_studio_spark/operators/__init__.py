@@ -26,3 +26,6 @@ from trial_submission_studio_spark.operators.urls import (  # noqa: F401
     url_dedup,
     url_registered_domain,
 )
+from trial_submission_studio_spark.operators.chunking import (  # noqa: F401
+    chunk_documents,
+)
