@@ -1,0 +1,127 @@
+"""Link-graph ranking: html_links extraction and distributed PageRank
+(vs a numpy power-iteration reference; dangling handling; probability
+conservation)."""
+
+import numpy as np
+import pytest
+
+from trial_submission_studio_spark.operators.graph import pagerank
+from trial_submission_studio_spark.operators.textclean import html_links
+from trial_submission_studio_spark.sources.local import values_df
+
+
+def _numpy_pagerank(n, edges, iterations, d=0.85):
+    """Dense power iteration with uniform dangling redistribution —
+    the textbook formulation the operator must match."""
+    out = {}
+    for s, t in edges:
+        out.setdefault(s, set()).add(t)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        new = np.full(n, (1.0 - d) / n)
+        dangling = sum(r[s] for s in range(n) if s not in out)
+        new += d * dangling / n
+        for s, ts in out.items():
+            for t in ts:
+                new[t] += d * r[s] / len(ts)
+        r = new
+    return r
+
+
+GRAPH = [
+    (0, 1), (0, 2), (1, 2), (2, 0), (3, 2),  # 4 linked + dangling 4
+    (4, 4),  # self loop
+    (5, 2),  # 6th node links in, nothing links to 5
+]
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    edges = values_df(spark, GRAPH, "src bigint, dst bigint")
+    got = {r.node: r.rank for r in pagerank(edges, iterations=12).collect()}
+    ref = _numpy_pagerank(6, GRAPH, iterations=12)
+    assert set(got) == set(range(6))
+    for i in range(6):
+        assert got[i] == pytest.approx(ref[i], abs=1e-9), i
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # sanity: the hub (2) outranks the unlinked source (5)
+    assert got[2] > got[5]
+
+
+def test_pagerank_dangling_only_graph(spark):
+    # one edge into a sink: mass must keep recirculating, sum == 1
+    edges = values_df(spark, [(0, 1)], "src bigint, dst bigint")
+    got = {r.node: r.rank for r in pagerank(edges, iterations=8).collect()}
+    ref = _numpy_pagerank(2, [(0, 1)], iterations=8)
+    assert got[0] == pytest.approx(ref[0], abs=1e-9)
+    assert got[1] == pytest.approx(ref[1], abs=1e-9)
+
+
+def test_pagerank_duplicate_edges_and_validations(spark):
+    dup = values_df(
+        spark, [(0, 1), (0, 1), (1, 0)], "src bigint, dst bigint"
+    )
+    got = {r.node: r.rank for r in pagerank(dup, iterations=6).collect()}
+    ref = _numpy_pagerank(2, [(0, 1), (1, 0)], iterations=6)
+    assert got[0] == pytest.approx(ref[0], abs=1e-9)
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank(dup, iterations=0)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(dup, damping=1.0)
+
+
+def test_html_links_extraction(spark):
+    html = (
+        '<html><body><a href="/about">About</a>'
+        '<a href="https://other.example.com/x?a=1">X</a>'
+        '<a href="mailto:a@b.c">mail</a>'
+        '<a name="anchor">no href</a>'
+        '<a href="rel/path.html">rel</a></body></html>'
+    )
+    df = values_df(
+        spark,
+        [(1, html, "https://site.example.com/dir/page.html"), (2, None, None)],
+        "id bigint, html string, base string",
+    )
+    rows = {r.id: r.links for r in df.select(
+        "id", html_links("html", "base").alias("links")
+    ).collect()}
+    assert rows[1] == [
+        "https://site.example.com/about",
+        "https://other.example.com/x?a=1",
+        "https://site.example.com/dir/rel/path.html",
+    ]
+    assert rows[2] is None
+    # without a base, relative links drop, absolute stay
+    bare = df.filter("id = 1").select(html_links("html").alias("links")).first().links
+    assert bare == ["https://other.example.com/x?a=1"]
+
+
+def test_crawl_graph_composition(spark):
+    """Pages → links → domain edges → pagerank: the crawl-governance
+    chain; a domain every page links to outranks the rest."""
+    from pyspark.sql import functions as F
+
+    from trial_submission_studio_spark.operators.urls import url_registered_domain
+
+    pages = values_df(
+        spark,
+        [
+            (1, '<a href="https://hub.example.com/a">h</a>', "https://www.source-one.net/"),
+            (2, '<a href="https://hub.example.com/b">h</a>', "https://www.source-two.net/"),
+            (3, '<a href="https://www.source-one.net/c">s</a>', "https://hub.example.com/"),
+        ],
+        "id bigint, html string, url string",
+    )
+    edges = (
+        pages.select(
+            url_registered_domain("url").alias("src"),
+            F.explode(html_links("html", "url")).alias("href"),
+        )
+        .select("src", url_registered_domain("href").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    # 40 iterations: the 3-node cycle's oscillating mode decays as
+    # 0.85^k — 10 iterations is not yet converged
+    ranks = {r.node: r.rank for r in pagerank(edges, iterations=40).collect()}
+    assert set(ranks) == {"example.com", "source-one.net", "source-two.net"}
+    assert max(ranks, key=ranks.get) == "example.com"  # eTLD+1 of the hub

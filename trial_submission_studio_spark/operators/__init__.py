@@ -29,3 +29,6 @@ from trial_submission_studio_spark.operators.urls import (  # noqa: F401
 from trial_submission_studio_spark.operators.chunking import (  # noqa: F401
     chunk_documents,
 )
+from trial_submission_studio_spark.operators.graph import (  # noqa: F401
+    pagerank,
+)

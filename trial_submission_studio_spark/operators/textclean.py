@@ -226,6 +226,73 @@ def _make_html_text_udf():
     return pandas_udf(extract, "string", PandasUDFType.SCALAR)
 
 
+def _make_html_links_udf():
+    """Arrow-batched <a href> extraction (closure factory — same
+    worker import constraint as the NFC udf). Two string inputs
+    (html, base_url); base resolves relative hrefs and may be
+    NULL."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def extract(html_s, base_s):
+        from html.parser import HTMLParser
+        from urllib.parse import urljoin
+
+        class LinkExtractor(HTMLParser):
+            def __init__(self):
+                super().__init__(convert_charrefs=True)
+                self.hrefs = []
+
+            def handle_starttag(self, tag, attrs):
+                if tag == "a":
+                    for k, v in attrs:
+                        if k == "href" and v:
+                            self.hrefs.append(v)
+
+        def one(v, base):
+            if v is None:
+                return None
+            p = LinkExtractor()
+            try:
+                p.feed(v)
+                p.close()
+            except Exception:
+                pass  # keep whatever was extracted from malformed HTML
+            out = []
+            for h in p.hrefs:
+                try:
+                    u = urljoin(base, h) if base else h
+                except ValueError:
+                    continue
+                if u.startswith(("http://", "https://")):
+                    out.append(u)
+            return out
+
+        import pandas as pd
+
+        return pd.Series(
+            [one(v, b) for v, b in zip(html_s, base_s)], dtype="object"
+        )
+
+    return pandas_udf(extract, "array<string>", PandasUDFType.SCALAR)
+
+
+def html_links(c: Column | str, base_url: Column | str | None = None) -> Column:
+    """Outbound links of an HTML page (``array<string>``): every
+    ``<a href>``, resolved against ``base_url`` when given (so
+    relative hrefs become absolute), filtered to http(s).
+
+    The crawl-graph feeder: WARC page → hrefs → (explode +
+    ``urls.url_registered_domain``) → domain edge list →
+    ``graph.pagerank``. Arrow-batched stdlib ``html.parser``, a
+    designated Python op like :func:`html_to_text`."""
+    base = (
+        F.lit(None).cast("string")
+        if base_url is None
+        else _col(base_url).cast("string")
+    )
+    return _make_html_links_udf()(_col(c).cast("string"), base)
+
+
 def html_to_text(c: Column | str) -> Column:
     """Boilerplate-aware HTML→text: drops script/style/head subtrees,
     breaks block elements into lines, decodes entities, collapses
