@@ -85,3 +85,75 @@ def dequantize_int8(q: Column | str, scale: Column | str) -> Column:
     """Reconstruct the (lossy) double vector from int8 codes."""
     s = _c(scale)
     return F.transform(_c(q), lambda x: x.cast("double") * s)
+
+
+def pool_embeddings(
+    df,
+    id_col: str,
+    vec_col: str,
+    weight_col: str | None = None,
+    out_col: str = "vec",
+):
+    """Pool per-chunk vectors back to one vector per document —
+    the standard step after encoding `chunking.chunk_documents`
+    output with a context-window-bounded embedder (mean pooling, or
+    token-count-weighted mean with ``weight_col`` so short tail
+    chunks don't dominate).
+
+    ONE shuffle on the document key, then a numpy kernel per group
+    (``applyInPandas``, Arrow-batched, closure-factory rule — the
+    worker imports nothing from this package). Returns
+    ``(id, out_col array<double>, n_pooled)``; NULL vectors are
+    skipped, an all-NULL group yields a NULL vector, and mixed
+    dimensions in one group raise (a real pipeline bug worth failing
+    loudly on).
+
+    Scale: per-group state is one accumulator vector — group size
+    (chunks per doc) is bounded by design, and hot documents don't
+    exist (chunk counts are data-independent of corpus size).
+    """
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    id_field = df.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_field.name, id_field.dataType, id_field.nullable),
+            StructField(out_col, ArrayType(DoubleType()), True),
+            StructField("n_pooled", LongType(), False),
+        ]
+    )
+    id_name, vec_name, w_name = id_col, vec_col, weight_col
+
+    def pool(pdf):
+        import numpy as np
+        import pandas as pd
+
+        keep = pdf[pdf[vec_name].notna()]
+        key = pdf[id_name].iloc[0]
+        if len(keep) == 0:
+            return pd.DataFrame({id_name: [key], "v": [None], "n": [0]}).rename(
+                columns={"v": out_col, "n": "n_pooled"}
+            )
+        dims = {len(v) for v in keep[vec_name]}
+        if len(dims) != 1:
+            raise ValueError(
+                f"mixed embedding dims {sorted(dims)} for {id_name}={key!r}"
+            )
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in keep[vec_name]])
+        if w_name is not None:
+            w = keep[w_name].to_numpy(dtype=np.float64)
+            tot = w.sum()
+            pooled = (mat * w[:, None]).sum(axis=0) / tot if tot > 0 else mat.mean(axis=0)
+        else:
+            pooled = mat.mean(axis=0)
+        return pd.DataFrame(
+            {id_name: [key], out_col: [pooled.tolist()], "n_pooled": [len(keep)]}
+        )
+
+    return df.groupBy(id_col).applyInPandas(pool, out_schema)
