@@ -319,3 +319,29 @@ def test_bpe_token_ids_and_packing_composition(spark):
     for r in rows:
         acc[r["pack_id"]] = acc.get(r["pack_id"], 0) + per_doc[r["doc_id"]]
     assert acc == totals
+
+
+def test_bpe_save_load_roundtrip(spark, tmp_path):
+    from trial_submission_studio_spark.operators.bpe import (
+        bpe_tokens,
+        load_bpe,
+        save_bpe,
+        train_bpe,
+    )
+
+    merges, stats = train_bpe(_df(spark), "text", num_merges=20)
+    p = str(tmp_path / "tok" / "bpe.json")
+    save_bpe(p, merges, stats)
+    m2, s2 = load_bpe(p)
+    assert m2 == merges and s2["alphabet"] == stats["alphabet"]
+    df = _df(spark).limit(3)
+    a = df.select(bpe_tokens("text", merges).alias("t")).collect()
+    b = df.select(bpe_tokens("text", m2).alias("t")).collect()
+    assert [r.t for r in a] == [r.t for r in b]
+
+    import pytest as _pytest
+
+    bad = str(tmp_path / "bad.json")
+    open(bad, "w").write('{"format": "other"}')
+    with _pytest.raises(ValueError, match="not a saved BPE tokenizer"):
+        load_bpe(bad)

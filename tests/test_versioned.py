@@ -150,3 +150,22 @@ def test_composes_with_corpus_shards(spark, tmp_path):
     back = read_version(spark, root)
     assert back.count() == src.count()
     assert set(back.columns) >= {"doc_id", "text"}
+
+
+def test_diff_versions(spark, tmp_path):
+    from trial_submission_studio_spark.io.versioned import diff_versions
+
+    root = str(tmp_path / "corpus")
+    os.makedirs(root)
+    d1 = new_data_dir(root)
+    _docs(spark, 0, 10).write.parquet(d1, mode="append")
+    publish_version(root, d1)
+    d2 = new_data_dir(root)
+    _docs(spark, 10, 20).write.parquet(d2, mode="append")
+    publish_version(root, d2, base_version=1)
+    d = diff_versions(root, 1, 2)
+    assert d["n_removed"] == 0 and d["n_added"] >= 1
+    assert d["n_delta"] == d["n_added"]
+    assert all(f.startswith("data/") for f in d["added"])
+    back = diff_versions(root, 2, 1)
+    assert back["n_added"] == 0 and back["n_removed"] == d["n_added"]

@@ -221,6 +221,24 @@ def rollback(root: str, to_version: int) -> dict:
     return manifest
 
 
+def diff_versions(root: str, v_from: int, v_to: int) -> dict:
+    """What changed between two snapshots — file-level audit from the
+    manifests alone (metadata-scale at any corpus size): added and
+    removed file lists plus net file-count delta. The operational
+    answer to "what did last night's ingest actually publish?"."""
+    a = set(read_manifest(root, v_from)["files"])
+    b = set(read_manifest(root, v_to)["files"])
+    return {
+        "from": v_from,
+        "to": v_to,
+        "added": sorted(b - a),
+        "removed": sorted(a - b),
+        "n_added": len(b - a),
+        "n_removed": len(a - b),
+        "n_delta": len(b) - len(a),
+    }
+
+
 def retire_versions(root: str, keep_latest: int) -> list[int]:
     """Delete old manifests, keeping the newest ``keep_latest``. The
     CURRENT version is always kept. Returns retired version numbers."""

@@ -383,3 +383,53 @@ def bpe_token_ids(
         return s.map(one)
 
     return encode_ids(F.col(text_col) if isinstance(text_col, str) else text_col)
+
+
+def save_bpe(path: str, merges: list[tuple[str, str]], stats: dict) -> None:
+    """Persist a trained tokenizer (ordered merges + the stats dict
+    incl. the base alphabet) as one JSON file, atomically
+    (write-then-rename — a reader never sees a torn tokenizer, the
+    same commit discipline as `io/versioned.py`).
+
+    Pinning the tokenizer file IS the reproducibility contract of a
+    corpus: token counts, packed batches, and id streams are only
+    comparable across runs that loaded the same file.
+    """
+    import json as _json
+    import os as _os
+    import tempfile as _tempfile
+
+    payload = _json.dumps(
+        {
+            "format": "trial_submission_studio_spark/bpe",
+            "version": 1,
+            "merges": [[a, b] for a, b in merges],
+            "stats": stats,
+        },
+        ensure_ascii=False,
+    )
+    d = _os.path.dirname(_os.path.abspath(path))
+    _os.makedirs(d, exist_ok=True)
+    fd, tmp = _tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with _os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write(payload)
+        _os.rename(tmp, path)
+    except BaseException:
+        if _os.path.exists(tmp):
+            _os.remove(tmp)
+        raise
+
+
+def load_bpe(path: str) -> tuple[list[tuple[str, str]], dict]:
+    """Load a tokenizer saved by :func:`save_bpe`; returns the same
+    ``(merges, stats)`` shape ``train_bpe`` produces, ready for
+    ``bpe_tokens`` / ``bpe_vocab(alphabet=stats["alphabet"])`` /
+    ``bpe_token_ids``."""
+    import json as _json
+
+    with open(path, encoding="utf-8") as f:
+        doc = _json.load(f)
+    if doc.get("format") != "trial_submission_studio_spark/bpe":
+        raise ValueError(f"{path} is not a saved BPE tokenizer")
+    return [tuple(m) for m in doc["merges"]], doc["stats"]
