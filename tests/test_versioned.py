@@ -169,3 +169,67 @@ def test_diff_versions(spark, tmp_path):
     assert all(f.startswith("data/") for f in d["added"])
     back = diff_versions(root, 2, 1)
     assert back["n_added"] == 0 and back["n_removed"] == d["n_added"]
+
+
+def test_jsonl_landing_to_versioned_corpus_end_to_end(spark, tmp_path):
+    """The round-7 ingest story composes: JSONL landing directory →
+    streaming pinned-schema parse (quarantine dropped) → cross-run
+    exact dedup → per-batch atomic snapshot → chunk → pooled doc
+    vectors. Every stage is a round-7 component."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from trial_submission_studio_spark.operators.chunking import chunk_documents
+    from trial_submission_studio_spark.operators.embeddings import pool_embeddings
+    from trial_submission_studio_spark.sources.jsonl import read_jsonl_stream, split_quarantine
+    from trial_submission_studio_spark.streaming.ingest import start_dedup_ingest
+
+    landing = str(tmp_path / "landing")
+    corpus = str(tmp_path / "corpus")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+
+    def land(name, rows, bad=0):
+        with open(os.path.join(landing, name), "w", encoding="utf-8") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+            for _ in range(bad):
+                f.write("{torn line\n")
+
+    land("a.jsonl", [
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 2, "text": "pack my box with five dozen liquor jugs"},
+    ], bad=1)
+
+    def run():
+        stream = read_jsonl_stream(spark, landing, "doc_id long, text string")
+        good, _bad = split_quarantine(stream)
+        q = start_dedup_ingest(
+            good, "doc_id", "text", corpus, state, ckpt, publish_versions=True
+        )
+        q.awaitTermination(120)
+
+    run()
+    v1 = current_version(corpus)
+    assert {r.doc_id for r in read_version(spark, corpus).collect()} == {1, 2}
+
+    # second landing file: one exact duplicate, one novel
+    land("b.jsonl", [
+        {"doc_id": 3, "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 4, "text": "sphinx of black quartz judge my vow"},
+    ])
+    run()
+    snapshot = read_version(spark, corpus)
+    assert {r.doc_id for r in snapshot.collect()} == {1, 2, 4}
+    assert {r.doc_id for r in read_version(spark, corpus, version=v1).collect()} == {1, 2}
+
+    chunks = chunk_documents(snapshot, "doc_id", "text", chunk_tokens=4, overlap_tokens=1)
+    encoded = chunks.withColumn(
+        "vec", F.array((F.xxhash64("chunk") % 997).cast("double"))
+    )
+    pooled = pool_embeddings(encoded, "doc_id", "vec", weight_col="n_tokens")
+    rows = {r.doc_id: r for r in pooled.collect()}
+    assert set(rows) == {1, 2, 4}
+    assert all(r.n_pooled >= 2 and len(r.vec) == 1 for r in rows.values())
