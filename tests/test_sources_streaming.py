@@ -1422,3 +1422,47 @@ def test_streaming_locf_matches_batch(spark, tmp_path):
     assert got == expected
     assert got[(1, "2024-01-01 00:10:00")] == 5.0  # via state store
     assert got[(2, "2024-01-01 00:03:00")] is None  # no prior value
+
+
+def test_streaming_near_dup_ingest_across_restarts(spark, tmp_path):
+    """mode='near': the streaming ingest rejects NEAR-duplicates of
+    documents admitted in any previous run — LSH band-bucket state +
+    signature verification persisted across restarts, text never kept
+    in state. Dissimilar documents still pass."""
+    from trial_submission_studio_spark.streaming.ingest import start_dedup_ingest
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id bigint, text string"
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventy "
+        "watchful geese parade across the frozen harbor at dawn"
+    )
+    near = base.replace("frozen", "sunlit")  # high-Jaccard variant
+    far = (
+        "completely unrelated content about distributed query engines "
+        "optimizing shuffle placement under adaptive execution plans"
+    )
+
+    def run(rows):
+        values_df(spark, rows, schema).coalesce(1).write.mode("append").parquet(src)
+        q = start_dedup_ingest(
+            spark.readStream.schema(schema).parquet(src),
+            "doc_id", "text", corpus, state, ckpt, mode="near",
+        )
+        q.awaitTermination(120)
+
+    run([(1, base)])
+    assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == {1}
+
+    # restart: near-dup of run 1 rejected, dissimilar admitted
+    run([(2, near), (3, far)])
+    assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == {1, 3}
+    # state carries band buckets + signatures, never text
+    bcols = set(spark.read.parquet(state + "/buckets").columns)
+    assert {"band", "bucket", "doc_id"} <= bcols and "text" not in bcols
+    scols = set(spark.read.parquet(state + "/sigs").columns)
+    assert {"doc_id", "sig"} <= scols and "text" not in scols

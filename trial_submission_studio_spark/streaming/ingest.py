@@ -58,6 +58,8 @@ def start_dedup_ingest(
     checkpoint_dir: str,
     trigger_available_now: bool = True,
     publish_versions: bool = False,
+    mode: str = "exact",
+    minhash: dict | None = None,
 ):
     """Start the continuous dedup-ingest query; returns the
     StreamingQuery. ``corpus_dir`` receives novel documents,
@@ -75,27 +77,80 @@ def start_dedup_ingest(
     replaces its own ``batch_id=N/`` prefix in the file list (the
     overwrite regenerates part-file names, so the stale entries must
     go), leaving every other batch's files untouched.
+
+    ``mode="near"`` rejects NEAR-duplicates (MinHash LSH banding
+    with signature-estimated-Jaccard verification,
+    ``incremental_minhash_dedup``) instead of exact fingerprints:
+    state becomes two partition-discovered tables under
+    ``state_dir/buckets`` and ``state_dir/sigs`` (id-carrying band
+    buckets + signatures; KBs per document, text never persisted),
+    each batch appending only its own delta under a fenced
+    ``batch_id=N`` directory. ``minhash`` passes operator options
+    (k, num_hashes, bands, rows_per_band, sig_threshold).
     """
     if not stream_df.isStreaming:
         raise ValueError("stream_df must be a streaming DataFrame")
+    if mode not in ("exact", "near"):
+        raise ValueError(f"mode must be 'exact' or 'near', got {mode!r}")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        seen = (
-            spark.read.parquet(state_dir).select("fp")
-            if _has_parquet(state_dir)
-            else None
-        )
-        novel, _ = incremental_exact_dedup(batch_df, seen, id_col, text_col)
-        novel = novel.persist()
         batch_dir = os.path.join(corpus_dir, f"batch_id={batch_id}")
-        try:
-            novel.write.mode("overwrite").parquet(batch_dir)
-            novel.select(fingerprint(text_col).alias("fp")).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(state_dir, f"batch_id={batch_id}"))
-        finally:
-            novel.unpersist()
+        if mode == "near":
+            from trial_submission_studio_spark.operators.dedup import (
+                incremental_minhash_dedup,
+            )
+
+            buckets_dir = os.path.join(state_dir, "buckets")
+            sigs_dir = os.path.join(state_dir, "sigs")
+            # select away the discovered batch_id partition column —
+            # state consumers key on (band, bucket, id) / (id, sig)
+            seen_b = (
+                spark.read.parquet(buckets_dir).select("band", "bucket", id_col)
+                if _has_parquet(buckets_dir)
+                else None
+            )
+            seen_s = (
+                spark.read.parquet(sigs_dir).select(id_col, "sig")
+                if _has_parquet(sigs_dir)
+                else None
+            )
+            novel, d_buckets, d_sigs = incremental_minhash_dedup(
+                batch_df,
+                seen_b,
+                id_col,
+                text_col,
+                seen_sigs=seen_s,
+                track_ids=True,
+                deltas=True,
+                **(minhash or {}),
+            )
+            novel = novel.persist()
+            try:
+                novel.write.mode("overwrite").parquet(batch_dir)
+                d_buckets.write.mode("overwrite").parquet(
+                    os.path.join(buckets_dir, f"batch_id={batch_id}")
+                )
+                d_sigs.write.mode("overwrite").parquet(
+                    os.path.join(sigs_dir, f"batch_id={batch_id}")
+                )
+            finally:
+                novel.unpersist()
+        else:
+            seen = (
+                spark.read.parquet(state_dir).select("fp")
+                if _has_parquet(state_dir)
+                else None
+            )
+            novel, _ = incremental_exact_dedup(batch_df, seen, id_col, text_col)
+            novel = novel.persist()
+            try:
+                novel.write.mode("overwrite").parquet(batch_dir)
+                novel.select(fingerprint(text_col).alias("fp")).write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(state_dir, f"batch_id={batch_id}"))
+            finally:
+                novel.unpersist()
         if publish_versions:
             from trial_submission_studio_spark.io import versioned as V
 
