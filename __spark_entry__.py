@@ -1908,6 +1908,22 @@ def _zorder_oracle_sql() -> str:
     """
 
 
+def pagerank_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph authority over a lineitem-derived bipartite-ish
+    edge list (supplier → part, ~distinct pairs; the crawl
+    domain-graph shape at bench scale). Benched extra, NOT in the
+    50-slot contract: power iteration is iterative and not
+    single-statement-SQL-expressible; numerical parity is pinned by
+    tests/test_graph.py against a dense numpy power iteration."""
+    from trial_submission_studio_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    return pagerank(edges, iterations=5)
+
+
 def bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a BPE tokenizer on the documents corpus and account
     learned-tokenizer tokens per source (operators/bpe.py). Benched

@@ -257,6 +257,8 @@ def main() -> None:
         "quality_model_train_score",
         # mergeable-sketch governance (HLL/Theta/KLL, contract gate)
         "sketch_distinct_gates",
+        # iterative link-graph authority (bench-only callable)
+        "pagerank_domains",
     )
     for name in EXTRA_QUERIES:
         if name not in qs:

@@ -125,3 +125,24 @@ def test_crawl_graph_composition(spark):
     ranks = {r.node: r.rank for r in pagerank(edges, iterations=40).collect()}
     assert set(ranks) == {"example.com", "source-one.net", "source-two.net"}
     assert max(ranks, key=ranks.get) == "example.com"  # eTLD+1 of the hub
+
+
+def test_pagerank_step_plan_shape(spark):
+    """The iteration step's plan: cartesian-free except the designed
+    1-ROW broadcast dangling-mass join (BroadcastNestedLoopJoin over
+    an aggregate, never a row-by-row product)."""
+    from pyspark.sql import functions as F
+
+    from trial_submission_studio_spark.operators.graph import _pagerank_step
+
+    edges = values_df(
+        spark, [(0, 1), (1, 2), (2, 0), (3, 0)], "src bigint, dst bigint"
+    )
+    nodes = edges.selectExpr("src AS node").union(edges.selectExpr("dst")).distinct()
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ed = edges.join(out_deg, "src")
+    ranks = nodes.withColumn("rank", F.lit(0.25))
+    dangling = nodes.join(out_deg, nodes["node"] == out_deg["src"], "left_anti")
+    step = _pagerank_step(nodes, ed, ranks, dangling, 4, 0.85)
+    plan = step._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

@@ -216,3 +216,4 @@ def test_runtime_bloom_filter_join_eligibility(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+

@@ -91,34 +91,54 @@ def pagerank(
     ).localCheckpoint()
     has_dangling = dangling_nodes.count() > 0
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint()
-    base = (1.0 - damping) / n_nodes
     for _ in range(iterations):
-        contribs = (
-            ed.join(ranks, ed["src"] == ranks["node"])
-            .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("in_mass"))
-        )
-        # rank mass parked on dangling nodes (no out-edges) spreads
-        # uniformly — keeps sum(rank) == 1
-        spread = 0.0
-        if has_dangling:
-            dangling = (
-                ranks.join(dangling_nodes, "node")
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-                .first()[0]
-            )
-            spread = damping * dangling / n_nodes
-        ranks = (
-            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
-                    + F.lit(spread)
-                ).alias("rank"),
-            )
-            .localCheckpoint()
-        )
+        ranks = _pagerank_step(
+            nodes,
+            ed,
+            ranks,
+            dangling_nodes if has_dangling else None,
+            n_nodes,
+            damping,
+        ).localCheckpoint()
     return ranks
+
+
+def _pagerank_step(
+    nodes: DataFrame,
+    ed: DataFrame,
+    ranks: DataFrame,
+    dangling_nodes: DataFrame | None,
+    n_nodes: int,
+    damping: float,
+) -> DataFrame:
+    """One un-checkpointed power-iteration step (exposed so tests can
+    assert the iteration's PLAN — the public loop checkpoints every
+    step, which hides the plan behind an RDD scan).
+
+    Dangling mass is a 1-row broadcast crossJoin INSIDE the plan, not
+    a driver action: each iteration costs exactly one job (the
+    checkpoint), even on dangling-heavy graphs."""
+    base = (1.0 - damping) / n_nodes
+    contribs = (
+        ed.join(ranks, ed["src"] == ranks["node"])
+        .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
+        .groupBy("dst")
+        .agg(F.sum("c").alias("in_mass"))
+    )
+    updated = nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+    if dangling_nodes is not None:
+        dmass = ranks.join(dangling_nodes.select("node"), "node").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dmass")
+        )
+        spread_col = F.lit(damping) * F.col("__dmass") / F.lit(float(n_nodes))
+        updated = updated.crossJoin(F.broadcast(dmass))
+    else:
+        spread_col = F.lit(0.0)
+    return updated.select(
+        "node",
+        (
+            F.lit(base)
+            + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
+            + spread_col
+        ).alias("rank"),
+    )
