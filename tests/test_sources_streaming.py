@@ -1466,3 +1466,52 @@ def test_streaming_near_dup_ingest_across_restarts(spark, tmp_path):
     assert {"band", "bucket", "doc_id"} <= bcols and "text" not in bcols
     scols = set(spark.read.parquet(state + "/sigs").columns)
     assert {"doc_id", "sig"} <= scols and "text" not in scols
+
+
+def test_image_dhash_near_dup_detection(spark):
+    """Perceptual image dedup: dHash is stable under light noise and
+    re-encoding (PPM vs PNG of the same pixels hash identically;
+    noisy copy within a few bits) and far for a different image —
+    candidate pairs come from the SAME Hamming-banded join that
+    serves text SimHash."""
+    import numpy as np
+
+    from trial_submission_studio_spark.operators.dedup import simhash_hamming_pairs
+    from trial_submission_studio_spark.operators.multimodal import (
+        _make_png_encoder,
+        encode_ppm,
+        image_dhash,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, size=(32, 48, 3), dtype=np.uint8)
+    noisy = np.clip(
+        base.astype(np.int16) + rng.integers(-2, 3, size=base.shape), 0, 255
+    ).astype(np.uint8)
+    other = rng.integers(0, 256, size=(32, 48, 3), dtype=np.uint8)
+    encode_png = _make_png_encoder()
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_ppm(base))),
+            (2, bytearray(encode_png(base))),   # same pixels, other codec
+            (3, bytearray(encode_ppm(noisy))),  # near-duplicate
+            (4, bytearray(encode_ppm(other))),  # different image
+            (5, None),                          # quarantined
+        ],
+        "media_id long, payload binary",
+    )
+    fps = image_dhash(df, on_error="null")
+    got = {r.media_id: r.dhash for r in fps.collect()}
+    assert got[5] is None
+    assert got[1] == got[2]  # codec-independent
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert ham(got[1], got[3]) <= 3
+    assert ham(got[1], got[4]) > 10
+
+    pairs = simhash_hamming_pairs(
+        fps.filter("dhash IS NOT NULL"), "media_id", "dhash", max_hamming=3
+    )
+    got_pairs = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got_pairs and (1, 3) in got_pairs and (2, 3) in got_pairs
+    assert not any(4 in p for p in got_pairs)

@@ -835,6 +835,84 @@ def image_features(
     return df.select(id_col, payload_col).mapInPandas(kernel, IMAGE_FEATURE_SCHEMA)
 
 
+def image_dhash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    on_error: str = "raise",
+) -> DataFrame:
+    """64-bit difference hash (dHash) per image → ``(id, dhash)`` —
+    the perceptual fingerprint behind image near-dedup in web-scale
+    image-text corpora (the LAION recipe): re-encodes, small crops,
+    and light noise keep the hash within a few bits, so duplicate
+    detection is a Hamming-banded equi-join, never pixel comparison.
+
+    Contract (pinned so persisted hashes stay comparable forever):
+    ITU-R 709 luma → 8×9 block-mean downsample (``reduceat`` over
+    integer row/col boundaries — deterministic, interpolation-free)
+    → bit(r,c) = block[r,c] < block[r,c+1], packed row-major into a
+    signed int64.
+
+    Compose with ``dedup.simhash_hamming_pairs(fps, id_col,
+    "dhash", max_hamming=...)`` for candidate pairs (pigeonhole
+    banding, one narrow shuffle) — the same join that serves text
+    SimHash. Undecodable payloads: ``on_error="null"`` quarantines
+    (NULL dhash), default raises naming the integration point.
+    """
+    decode = _decode_image
+    null_on_error = on_error == "null"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def dhash(img) -> int:
+            f = np.asarray(img, dtype=np.float64)
+            lum = f @ np.array([0.2126, 0.7152, 0.0722])
+            h, w = lum.shape
+            # block-mean to 8 rows x 9 cols: mean of mean-per-row
+            # blocks (uniform integer boundaries; rows/cols < 8/9
+            # repeat edge samples via linspace indices)
+            ri = np.linspace(0, h, 9).astype(np.int64)
+            ci = np.linspace(0, w, 10).astype(np.int64)
+            if h >= 8 and w >= 9:
+                rowsum = np.add.reduceat(lum, ri[:-1], axis=0)
+                cells = np.add.reduceat(rowsum, ci[:-1], axis=1)
+                counts = np.outer(np.diff(ri), np.diff(ci))
+                g = cells / counts
+            else:  # tiny image: nearest-sample grid, same contract
+                rr = np.clip(ri[:-1], 0, h - 1)
+                cc = np.clip(ci[:-1], 0, w - 1)
+                g = lum[np.ix_(rr, cc)]
+            bits = (g[:, :-1] < g[:, 1:]).flatten()
+            v = 0
+            for b in bits:
+                v = (v << 1) | int(b)
+            return v - (1 << 64) if v >= (1 << 63) else v  # signed int64
+
+        for pdf in batches:
+            out = []
+            for p in pdf[payload_col]:
+                try:
+                    img = decode(p)
+                except Exception:
+                    img = None
+                if img is not None:
+                    out.append(dhash(img))
+                elif null_on_error:
+                    out.append(None)
+                else:
+                    raise NotImplementedError(
+                        "this image format needs PIL/torchvision (absent "
+                        "here); PPM/BMP/PNG/JPEG/GIF decode natively — "
+                        "pass on_error='null' to quarantine bad records"
+                    )
+            yield pd.DataFrame({id_col: pdf[id_col], "dhash": out})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, f"{id_col} long, dhash long"
+    )
+
+
 RESIZED_SCHEMA = "media_id long, payload binary, width int, height int"
 
 
