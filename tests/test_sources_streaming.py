@@ -1515,3 +1515,73 @@ def test_image_dhash_near_dup_detection(spark):
     got_pairs = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert (1, 2) in got_pairs and (1, 3) in got_pairs and (2, 3) in got_pairs
     assert not any(4 in p for p in got_pairs)
+
+
+def test_audio_fingerprint_near_dup_detection(spark):
+    """Spectral audio fingerprint: WAV and FLAC of the same PCM hash
+    identically; gain change and light noise stay within a few bits;
+    a different signal is far; Hamming-banded pairs compose."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from trial_submission_studio_spark.operators.dedup import simhash_hamming_pairs
+    from trial_submission_studio_spark.operators.flac import encode_flac
+    from trial_submission_studio_spark.operators.multimodal import audio_fingerprint
+
+    rate = 8000
+    t = np.arange(rate * 1) / rate
+    rng = np.random.default_rng(11)
+    tone = (
+        0.4 * np.sin(2 * np.pi * 330 * t)
+        + 0.2 * np.sin(2 * np.pi * 990 * t)
+        + 0.1 * np.sin(2 * np.pi * 47 * t)
+    )
+    base = (tone * 32767 * 0.6).astype("<i2")
+    noisy = np.clip(
+        base.astype(np.int64) + rng.integers(-80, 81, base.size), -32768, 32767
+    ).astype("<i2")
+    gained = np.clip(base.astype(np.int64) * 7 // 10, -32768, 32767).astype("<i2")
+    other = (np.sign(np.sin(2 * np.pi * 123 * t + np.pi / 3)) * 9000).astype("<i2")
+
+    def wav_bytes(samples):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(rate)
+            wf.writeframes(samples.tobytes())
+        return buf.getvalue()
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(wav_bytes(base))),
+            (2, bytearray(encode_flac(base.astype(np.int64), sample_rate=rate))),
+            (3, bytearray(wav_bytes(noisy))),
+            (4, bytearray(wav_bytes(gained))),
+            (5, bytearray(wav_bytes(other))),
+            (6, None),
+        ],
+        "media_id long, payload binary",
+    )
+    got = {r.media_id: r.afp for r in audio_fingerprint(df, on_error="null").collect()}
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert got[6] is None
+    assert got[1] == got[2]  # codec-independent (same PCM)
+    assert ham(got[1], got[3]) <= 3  # noise-robust
+    assert ham(got[1], got[4]) <= 1  # gain-invariant (energy ratios)
+    assert ham(got[1], got[5]) > 10  # different content is far
+
+    pairs = simhash_hamming_pairs(
+        spark.createDataFrame(
+            [(k, v) for k, v in got.items() if v is not None],
+            "media_id long, afp long",
+        ),
+        "media_id",
+        "afp",
+        max_hamming=3,
+    )
+    got_pairs = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert {(1, 2), (1, 3), (1, 4)} <= got_pairs
+    assert not any(5 in p for p in got_pairs)

@@ -913,6 +913,84 @@ def image_dhash(
     )
 
 
+def audio_fingerprint(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    on_error: str = "raise",
+) -> DataFrame:
+    """64-bit spectral fingerprint per audio clip → ``(id, afp)`` —
+    the audio twin of :func:`image_dhash` (Haitsma–Kalker-flavored):
+    near-identical recordings (re-encoded WAV↔FLAC, light noise,
+    gain changes) land within a few Hamming bits, so audio near-dedup
+    is the same banded equi-join as text SimHash and image dHash
+    (``dedup.simhash_hamming_pairs(fps, id_col, "afp", ...)``).
+
+    Contract (pinned so persisted fingerprints stay comparable):
+    mono float64 PCM → 8 equal time segments → per-segment rFFT
+    power spectrum → 9 log-spaced frequency bands (bin space) →
+    bit(t, b) = energy[t, b] < energy[t, b+1], packed row-major into
+    a signed int64. Energy RATIOS make it gain-invariant; the
+    relative time/frequency grid makes it duration-tolerant.
+
+    Undecodable payloads: ``on_error="null"`` quarantines (NULL
+    afp), default raises naming the integration point.
+    """
+    decode = _decode_audio
+    null_on_error = on_error == "null"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def afp(mono) -> int:
+            x = np.asarray(mono, dtype=np.float64)
+            n = x.size
+            if n < 32:  # too short for an 8x9 grid: pad with zeros
+                x = np.pad(x, (0, 32 - n))
+                n = 32
+            seg = np.linspace(0, n, 9).astype(np.int64)
+            grid = np.empty((8, 9))
+            for t in range(8):
+                spec = np.abs(np.fft.rfft(x[seg[t] : seg[t + 1]])) ** 2
+                nb = spec.size
+                # 10 log-spaced edges from bin 1 (skip DC) to nyquist
+                edges = np.unique(
+                    np.geomspace(1, max(nb - 1, 2), 10).astype(np.int64)
+                )
+                while edges.size < 10:  # tiny segments: repeat last
+                    edges = np.append(edges, edges[-1] + 1)
+                band = np.add.reduceat(spec, np.clip(edges[:-1], 0, nb - 1))
+                grid[t] = band[:9]
+            bits = (grid[:, :-1] < grid[:, 1:]).flatten()
+            v = 0
+            for b in bits:
+                v = (v << 1) | int(b)
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        for pdf in batches:
+            out = []
+            for p in pdf[payload_col]:
+                try:
+                    hit = decode(p)
+                except Exception:
+                    hit = None
+                if hit is not None:
+                    out.append(afp(hit[2]))
+                elif null_on_error:
+                    out.append(None)
+                else:
+                    raise NotImplementedError(
+                        "this audio format needs torchaudio/ffmpeg (absent "
+                        "here); WAV PCM and FLAC decode natively — pass "
+                        "on_error='null' to quarantine bad records"
+                    )
+            yield pd.DataFrame({id_col: pdf[id_col], "afp": out})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, f"{id_col} long, afp long"
+    )
+
+
 RESIZED_SCHEMA = "media_id long, payload binary, width int, height int"
 
 
