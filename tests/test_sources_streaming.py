@@ -1585,3 +1585,66 @@ def test_audio_fingerprint_near_dup_detection(spark):
     got_pairs = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert {(1, 2), (1, 3), (1, 4)} <= got_pairs
     assert not any(5 in p for p in got_pairs)
+
+
+def test_video_frame_dhash_near_dup(spark):
+    """Video near-dup composes from existing parts: MJPEG frame
+    sampling (raw-JPEG passthrough, zero decode for selection) →
+    per-frame image dHash → frame-level Hamming match fraction. A
+    JPEG re-encode of the same footage matches on every sampled
+    frame; different footage matches none."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from trial_submission_studio_spark.operators.avi import encode_avi_mjpeg
+    from trial_submission_studio_spark.operators.dedup import simhash_hamming_pairs
+    from trial_submission_studio_spark.operators.multimodal import (
+        image_dhash,
+        sample_frames,
+    )
+
+    rng = np.random.default_rng(3)
+    # smooth gradient frames: JPEG-quality-robust content
+    def footage(seed):
+        g = np.linspace(0, 255, 48, dtype=np.float64)
+        frames = []
+        for i in range(10):
+            base = (g[None, :] + g[:, None] * 0.5 + seed * 37 + i * 5) % 256
+            frames.append(
+                np.repeat(base[:, :, None], 3, axis=2).astype(np.uint8)
+            )
+        return frames
+
+    a = footage(0)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_avi_mjpeg(a, fps=5, quality=90))),
+            (2, bytearray(encode_avi_mjpeg(a, fps=5, quality=70))),  # re-encode
+            (3, bytearray(encode_avi_mjpeg(footage(3), fps=5))),     # different
+        ],
+        "media_id long, payload binary",
+    )
+    frames = sample_frames(
+        df.withColumn("duration_ms", F.lit(2000)),  # 10 frames @ 5 fps
+        every_ms=400,
+        transcode="jpeg",
+    )
+    fids = frames.select(
+        (F.col("media_id") * 1000 + F.col("frame_idx")).alias("fid"),
+        F.col("frame_jpeg").alias("payload"),
+    )
+    fps_df = image_dhash(fids, id_col="fid")
+    pairs = simhash_hamming_pairs(fps_df, "fid", "dhash", max_hamming=6)
+    cross = (
+        pairs.select(
+            (F.col("id_a") / 1000).cast("long").alias("va"),
+            (F.col("id_b") / 1000).cast("long").alias("vb"),
+        )
+        .filter("va < vb")
+        .groupBy("va", "vb")
+        .count()
+    )
+    got = {(r.va, r.vb): r["count"] for r in cross.collect()}
+    assert got.get((1, 2), 0) >= 4  # re-encoded footage: most frames match
+    assert (1, 3) not in got and (2, 3) not in got
