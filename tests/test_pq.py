@@ -1,0 +1,81 @@
+"""Product quantization: codebook training determinism, encode,
+ADC top-k recall vs exact brute force."""
+
+import numpy as np
+
+import pytest
+
+from trial_submission_studio_spark.operators.similarity import (
+    pq_encode,
+    pq_topk,
+    train_pq_codebooks,
+)
+
+
+def _corpus(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+
+def test_pq_train_deterministic_and_shapes(spark):
+    c = _corpus(spark)
+    b1 = train_pq_codebooks(c, m=4, n_codes=16)
+    b2 = train_pq_codebooks(c.repartition(7), m=4, n_codes=16)
+    assert b1 == b2  # partitioning-independent (hash-ordered sample)
+    assert len(b1) == 4 and all(len(b) == 16 for b in b1)
+    assert all(len(cent) == 16 for b in b1 for cent in b)  # 64/4
+    with pytest.raises(ValueError, match="not divisible"):
+        train_pq_codebooks(c, m=7)
+
+
+def test_pq_encode_matches_numpy(spark):
+    c = _corpus(spark).limit(50)
+    books = train_pq_codebooks(_corpus(spark), m=4, n_codes=16)
+    got = {r.vec_id: r.codes for r in pq_encode(c, books).collect()}
+    rows = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in c.collect()}
+    B = [np.asarray(b) for b in books]
+    for vid, v in rows.items():
+        expect = [
+            int(((B[i] - v[i * 16 : (i + 1) * 16]) ** 2).sum(axis=1).argmin())
+            for i in range(4)
+        ]
+        assert got[vid] == expect, vid
+
+
+def test_pq_adc_topk_recall_vs_exact(spark):
+    """ADC top-10 must overlap the exact euclidean top-10 (mean
+    recall >= 0.34 over 5 queries — the hash-ordered-init codebooks
+    measure 0.42 converged on this fixture, vs a ~0.02
+    random-overlap floor; everything deterministic, so the gate is
+    exact, not flaky)."""
+    c = _corpus(spark)
+    books = train_pq_codebooks(c, m=8, n_codes=64, iters=20)
+    codes = pq_encode(c, books)
+    queries = c.orderBy("vec_id").limit(5)
+
+    got = pq_topk(codes, queries, books, k=10, id_col="vec_id").collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r.vec_id)
+    assert set(len(v) for v in by_q.values()) == {10}
+
+    X = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in c.collect()}
+    recalls = []
+    for qid, approx in by_q.items():
+        q = X[qid]
+        exact = sorted(X, key=lambda i: (((X[i] - q) ** 2).sum(), i))[:10]
+        recalls.append(len(set(approx) & set(exact)) / 10.0)
+    assert sum(recalls) / len(recalls) >= 0.34, recalls
+    # the query itself (quantization error only) must make its own
+    # top-10 (rank 1 is NOT guaranteed under ADC — another vector can
+    # sit closer to the query than the query's own reconstruction)
+    for qid, approx in by_q.items():
+        assert qid in approx
+
+
+def test_pq_topk_empty_queries_raise(spark):
+    c = _corpus(spark)
+    books = train_pq_codebooks(c, m=4, n_codes=8)
+    with pytest.raises(ValueError, match="queries frame is empty"):
+        pq_topk(pq_encode(c, books), c.limit(0), books)

@@ -473,3 +473,162 @@ def semantic_dedup(
     )
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return corpus.join(drop, id_col, "left_anti")
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    sample_size: int = 4096,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: split the vector into ``m``
+    equal subspaces and k-means each independently (the IVF-PQ
+    recipe — at 100 TB the vectors become ``m`` one-byte codes, a
+    dim*4/m-fold compression, and queries scan codes, not floats).
+
+    Same determinism contract as :func:`train_ivf_centroids`: the
+    sample is the ``sample_size`` smallest ``xxhash64(id)`` rows (a
+    TakeOrdered — reproducible across runs and partitionings),
+    Lloyd runs driver-side on the sample (Euclidean per subspace —
+    PQ quantizes residual geometry, not direction), initial codes
+    are the first sample rows in hash order, empty cells keep their
+    previous centroid. Returns ``m`` codebooks of ``n_codes``
+    subvectors each.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.asarray([[float(x) for x in r[vec_col]] for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    w = dim // m
+    n_codes = min(n_codes, len(X))
+    books = []
+    for s in range(m):
+        S = X[:, s * w : (s + 1) * w]
+        C = S[:n_codes].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)  # ties → lowest index
+            for j in range(n_codes):
+                members = S[assign == j]
+                if len(members):
+                    C[j] = members.mean(axis=0)
+        books.append([[float(x) for x in c] for c in C])
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — nearest codebook entry per subspace
+    (Arrow-batched numpy argmin; codes are what a 100 TB deployment
+    PERSISTS — floats are only ever read again to re-train)."""
+    from pyspark.sql.functions import pandas_udf
+
+    books = [[list(map(float, c)) for c in b] for b in codebooks]
+
+    @pandas_udf("array<int>")
+    def _enc(s):
+        import numpy as np
+        import pandas as pd
+
+        if len(s) == 0:
+            return pd.Series([], dtype="object")
+        M = np.stack([np.asarray(x, dtype=np.float64) for x in s])
+        m = len(books)
+        w = M.shape[1] // m
+        out = np.empty((M.shape[0], m), dtype=np.int32)
+        for i, b in enumerate(books):
+            C = np.asarray(b, dtype=np.float64)
+            S = M[:, i * w : (i + 1) * w]
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            out[:, i] = d2.argmin(axis=1)
+        return pd.Series([row.tolist() for row in out])
+
+    return df.select(F.col(id_col), _enc(F.col(vec_col)).alias("codes"))
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC (asymmetric distance) top-k: per query, distances to every
+    code come from an ``m × n_codes`` lookup table (query subvector
+    vs codebook entries) — the scan touches CODES only, never corpus
+    floats. Output (query_id, id, adist, rank), ascending distance.
+
+    Scale shape: the query LUTs broadcast inside the kernel closure
+    (queries × m × n_codes floats — KBs); the corpus scan is one
+    narrow mapInPandas emitting (id, query_id, adist); the per-query
+    top-k is a bounded window. No shuffle carries vectors.
+    """
+    from pyspark.sql import Window
+
+    import numpy as np
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    if not qrows:
+        raise ValueError("queries frame is empty")
+    m = len(books)
+    w = books[0].shape[1]
+    luts, qids = [], []
+    for r in qrows:
+        qv = np.asarray([float(x) for x in r[vec_col]], dtype=np.float64)
+        lut = np.stack(
+            [((books[i] - qv[i * w : (i + 1) * w]) ** 2).sum(axis=1) for i in range(m)]
+        )
+        luts.append(lut.tolist())
+        qids.append(r[id_col])
+    lut_payload = [list(map(list, t)) for t in luts]
+    qid_payload = list(qids)
+    idc = id_col
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        L = np.asarray(lut_payload, dtype=np.float64)  # (q, m, n_codes)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            # (q, rows): sum over subspaces of LUT[q, i, code[row, i]] —
+            # index arrays (m,1) x codes.T (m,rows) broadcast to
+            # (q, m, rows), then reduce the subspace axis
+            dists = L[:, np.arange(L.shape[1])[:, None], codes.T].sum(axis=1)
+            n = codes.shape[0]
+            yield pd.DataFrame(
+                {
+                    idc: np.repeat(pdf[idc].to_numpy(), len(qid_payload)),
+                    "query_id": qid_payload * n,
+                    "adist": dists.T.reshape(-1),
+                }
+            )
+
+    scored = codes_df.mapInPandas(
+        kernel, f"{idc} long, query_id long, adist double"
+    )
+    win = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.col(idc))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("query_id", idc, F.round("adist", 6).alias("adist"), "rank")
+    )
