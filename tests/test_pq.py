@@ -79,3 +79,28 @@ def test_pq_topk_empty_queries_raise(spark):
     books = train_pq_codebooks(c, m=4, n_codes=8)
     with pytest.raises(ValueError, match="queries frame is empty"):
         pq_topk(pq_encode(c, books), c.limit(0), books)
+
+
+def test_index_save_load_roundtrip(spark, tmp_path):
+    from trial_submission_studio_spark.operators.similarity import (
+        load_index,
+        save_index,
+        train_ivf_centroids,
+    )
+
+    c = _corpus(spark)
+    books = train_pq_codebooks(c, m=4, n_codes=8, iters=3)
+    cents = train_ivf_centroids(c, n_centroids=4)
+    p1, p2 = str(tmp_path / "pq.json"), str(tmp_path / "ivf.json")
+    save_index(p1, "pq_codebooks", books)
+    save_index(p2, "ivf_centroids", cents)
+    assert load_index(p1, "pq_codebooks") == books
+    assert load_index(p2, "ivf_centroids") == cents
+    # codes encoded under the reloaded books are identical
+    a = pq_encode(c.limit(20), books).collect()
+    b = pq_encode(c.limit(20), load_index(p1, "pq_codebooks")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    with pytest.raises(ValueError, match="expected 'ivf_centroids'"):
+        load_index(p1, "ivf_centroids")
+    with pytest.raises(ValueError, match="unknown index kind"):
+        save_index(str(tmp_path / "x.json"), "faiss", [])

@@ -632,3 +632,55 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", idc, F.round("adist", 6).alias("adist"), "rank")
     )
+
+
+def save_index(path: str, kind: str, data) -> None:
+    """Persist an ANN index artifact (``kind`` ∈ ``ivf_centroids`` |
+    ``pq_codebooks``) as one format-tagged JSON file, atomically
+    (write-then-rename — same commit discipline as the tokenizer's
+    `bpe.save_bpe` and `io/versioned.py`). Codes persisted by
+    :func:`pq_encode` are only comparable under the codebooks that
+    produced them, so the artifact file IS the index's identity —
+    retraining without re-encoding corrupts every stored code.
+    """
+    import json as _json
+    import os as _os
+    import tempfile as _tempfile
+
+    if kind not in ("ivf_centroids", "pq_codebooks"):
+        raise ValueError(f"unknown index kind {kind!r}")
+    payload = _json.dumps(
+        {
+            "format": "trial_submission_studio_spark/ann-index",
+            "version": 1,
+            "kind": kind,
+            "data": data,
+        }
+    )
+    d = _os.path.dirname(_os.path.abspath(path))
+    _os.makedirs(d, exist_ok=True)
+    fd, tmp = _tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with _os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write(payload)
+        _os.rename(tmp, path)
+    except BaseException:
+        if _os.path.exists(tmp):
+            _os.remove(tmp)
+        raise
+
+
+def load_index(path: str, kind: str):
+    """Load an artifact saved by :func:`save_index`, checking the
+    format tag AND the expected ``kind`` (loading PQ codebooks where
+    IVF centroids are expected is a real pipeline bug — fail loudly,
+    not with shape errors three stages later)."""
+    import json as _json
+
+    with open(path, encoding="utf-8") as f:
+        doc = _json.load(f)
+    if doc.get("format") != "trial_submission_studio_spark/ann-index":
+        raise ValueError(f"{path} is not a saved ANN index")
+    if doc.get("kind") != kind:
+        raise ValueError(f"{path} holds {doc.get('kind')!r}, expected {kind!r}")
+    return doc["data"]
