@@ -104,3 +104,36 @@ def test_index_save_load_roundtrip(spark, tmp_path):
         load_index(p1, "ivf_centroids")
     with pytest.raises(ValueError, match="unknown index kind"):
         save_index(str(tmp_path / "x.json"), "faiss", [])
+
+
+def test_ivfpq_topk_composed(spark):
+    """IVF-PQ: cell probing bounds the scan, ADC bounds the per-row
+    cost; with n_probe == n_centroids it degenerates to (and must
+    equal) the full PQ scan, and with fewer probes it keeps the
+    query's own cell — the query always retrieves itself."""
+    from trial_submission_studio_spark.operators.similarity import (
+        ivfpq_topk,
+        train_ivf_centroids,
+    )
+
+    c = _corpus(spark)
+    books = train_pq_codebooks(c, m=8, n_codes=32, iters=10)
+    cents = train_ivf_centroids(c, n_centroids=8)
+    queries = c.orderBy("vec_id").limit(3)
+
+    full = pq_topk(pq_encode(c, books), queries, books, k=5)
+    composed_all = ivfpq_topk(
+        c, queries, k=5, n_probe=8, centroids=cents, codebooks=books
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, composed_all.collect())
+    )
+
+    probed = ivfpq_topk(
+        c, queries, k=5, n_probe=2, centroids=cents, codebooks=books
+    ).collect()
+    by_q = {}
+    for r in probed:
+        by_q.setdefault(r.query_id, set()).add(r.vec_id)
+    for qid, ids in by_q.items():
+        assert len(ids) == 5 and qid in ids

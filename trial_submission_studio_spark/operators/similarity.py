@@ -684,3 +684,91 @@ def load_index(path: str, kind: str):
     if doc.get("kind") != kind:
         raise ValueError(f"{path} holds {doc.get('kind')!r}, expected {kind!r}")
     return doc["data"]
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """IVF-PQ: the composed at-scale serving path — IVF cells bound
+    WHICH codes a query scans (``n_probe`` of ``n_centroids`` cells),
+    PQ ADC bounds WHAT each scanned row costs (m table lookups, no
+    floats). This is the FAISS ``IVFx,PQy`` recipe as DataFrame
+    algebra; at 100 TB the scan per query is corpus/n_centroids ×
+    n_probe CODE rows.
+
+    The cell join shuffles cell ids; the ADC score is an
+    Arrow-batched per-row LUT lookup keyed by the row's query; the
+    per-query top-k is a bounded window. Returns
+    (query_id, id, adist, rank), ascending distance. Both index
+    artifacts default to the deterministic trainers and can be
+    persisted/reloaded via :func:`save_index`/:func:`load_index`.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    import numpy as np
+
+    cents = centroids or train_ivf_centroids(
+        corpus, n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    books = codebooks or train_pq_codebooks(
+        corpus, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col
+    )
+    codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col).join(
+        corpus.select(
+            F.col(id_col),
+            _nearest_cells(cents, 1)(F.col(vec_col))[0].alias("__cell"),
+        ),
+        id_col,
+    )
+    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    if not qrows:
+        raise ValueError("queries frame is empty")
+    B = [np.asarray(b, dtype=np.float64) for b in books]
+    w = B[0].shape[1]
+    luts = {}
+    for r in qrows:
+        qv = np.asarray([float(x) for x in r[vec_col]], dtype=np.float64)
+        luts[int(r[id_col])] = np.stack(
+            [((B[i] - qv[i * w : (i + 1) * w]) ** 2).sum(axis=1) for i in range(len(B))]
+        ).tolist()
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(_nearest_cells(cents, n_probe)(F.col(vec_col))).alias("__cell"),
+    )
+
+    @pandas_udf("double")
+    def _adist(qid_s, codes_s):
+        import numpy as np
+        import pandas as pd
+
+        if len(qid_s) == 0:
+            return pd.Series([], dtype="float64")
+        out = np.empty(len(qid_s))
+        Ls = {kk: np.asarray(v) for kk, v in luts.items()}
+        mm = len(B)
+        idx = np.arange(mm)
+        for j, (qid, cs) in enumerate(zip(qid_s, codes_s)):
+            out[j] = Ls[int(qid)][idx, np.asarray(cs, dtype=np.int64)].sum()
+        return pd.Series(out)
+
+    joined = q.join(codes, "__cell").withColumn(
+        "adist", _adist(F.col("query_id"), F.col("codes"))
+    )
+    win = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.col(id_col))
+    return (
+        joined.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, F.round("adist", 6).alias("adist"), "rank")
+    )
