@@ -155,3 +155,64 @@ def test_merge_validations():
         merge_distinct_sketch_tables([], ["lang"])
     with pytest.raises(ValueError):
         merge_quantile_sketch_tables([], ["lang"])
+
+
+def test_heavy_hitters_exact_under_capacity(spark):
+    from trial_submission_studio_spark.operators.sketches import heavy_hitters
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "lang", "source"
+    )
+    got = heavy_hitters(d, ["lang"], "source", k=3).collect()
+    exact = {
+        (r.lang, r.source): r.cnt
+        for r in d.groupBy("lang", "source").agg(F.count("*").alias("cnt")).collect()
+    }
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rows in by_lang.items():
+        rows = sorted(rows, key=lambda r: r.rank)
+        assert len(rows) <= 3
+        # under capacity the sketch is exact: counts match groupBy
+        for r in rows:
+            assert exact[(lang, r.item)] == r["count"]
+        # ranked by true frequency, descending
+        counts = [r["count"] for r in rows]
+        assert counts == sorted(counts, reverse=True)
+        # rank-1 really is the mode of that language
+        lang_counts = {s: c for (lg, s), c in exact.items() if lg == lang}
+        assert lang_counts[rows[0].item] == max(lang_counts.values())
+
+
+def test_heavy_hitters_shard_merge_matches_full_pass(spark):
+    from trial_submission_studio_spark.operators.sketches import (
+        heavy_hitters,
+        heavy_hitters_sketch_table,
+        merge_heavy_hitters,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "lang", "source"
+    )
+    shards = [d.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    tables = [
+        heavy_hitters_sketch_table(s, ["lang"], "source") for s in shards
+    ]
+    merged = merge_heavy_hitters(tables, ["lang"], k=3).collect()
+    full = heavy_hitters(d, ["lang"], "source", k=3).collect()
+    # rank order among TIED counts is sketch-internal — compare the
+    # count sequences (tie-agnostic) and verify counts are exact
+    def count_seq(rows):
+        out = {}
+        for r in sorted(rows, key=lambda r: (r.lang, r.rank)):
+            out.setdefault(r.lang, []).append(r["count"])
+        return out
+
+    assert count_seq(merged) == count_seq(full)
+    exact = {
+        (r.lang, r.source): r.cnt
+        for r in d.groupBy("lang", "source").agg(F.count("*").alias("cnt")).collect()
+    }
+    for r in merged:
+        assert exact[(r.lang, r.item)] == r["count"]

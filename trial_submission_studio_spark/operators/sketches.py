@@ -184,3 +184,79 @@ def incremental_distinct_rollup(
     if state is None:
         return inc
     return merge_distinct_sketch_tables([state, inc], group_cols)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 10,
+    max_items_tracked: int = 10000,
+) -> DataFrame:
+    """Top-k most frequent values per group, exploded to
+    (group_cols..., item, count, rank) — the "what dominates this
+    stratum" governance question (top domains per language, top
+    boilerplate lines per source) via the native ``approx_top_k``
+    DataSketches aggregate: one narrow shuffle of KB-sized frequency
+    sketches, never a value-grain groupBy-count.
+
+    Error contract: counts are exact while per-group distinct values
+    fit in ``max_items_tracked``; beyond that, DataSketches
+    frequent-items guarantees (over-)estimates within a bounded
+    error and never drops a true heavy hitter. Same rule as the
+    other sketches: gate tests on bounds (or stay under capacity),
+    not bit-equality across library versions."""
+    agg = F.expr(
+        f"approx_top_k({value_col}, {int(k)}, {int(max_items_tracked)})"
+    ).alias("__top")
+    top = _grouped(df, group_cols).agg(agg)
+    ex = top.select(
+        *group_cols, F.posexplode("__top").alias("__rank", "__hit")
+    )
+    return ex.select(
+        *group_cols,
+        F.col("__hit.item").alias("item"),
+        F.col("__hit.count").cast("long").alias("count"),
+        (F.col("__rank") + 1).alias("rank"),
+    )
+
+
+def heavy_hitters_sketch_table(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    max_items_tracked: int = 10000,
+) -> DataFrame:
+    """Per-shard frequent-items state: (group_cols..., topk_sketch) —
+    the persist-then-merge shape of the other sketch tables
+    (``approx_top_k_accumulate``)."""
+    return _grouped(df, group_cols).agg(
+        F.expr(
+            f"approx_top_k_accumulate({value_col}, {int(max_items_tracked)})"
+        ).alias("topk_sketch")
+    )
+
+
+def merge_heavy_hitters(
+    tables: list[DataFrame], group_cols: list[str], k: int = 10
+) -> DataFrame:
+    """Union persisted frequent-items tables and materialize the
+    merged top-k per group as (group_cols..., item, count, rank)."""
+    if not tables:
+        raise ValueError("need at least one sketch table")
+    u = reduce(lambda a, b: a.unionByName(b), tables)
+    merged = _grouped(u, group_cols).agg(
+        F.expr("approx_top_k_combine(topk_sketch)").alias("__c")
+    )
+    ex = merged.select(
+        *group_cols,
+        F.posexplode(F.expr(f"approx_top_k_estimate(__c, {int(k)})")).alias(
+            "__rank", "__hit"
+        ),
+    )
+    return ex.select(
+        *group_cols,
+        F.col("__hit.item").alias("item"),
+        F.col("__hit.count").cast("long").alias("count"),
+        (F.col("__rank") + 1).alias("rank"),
+    )
