@@ -100,18 +100,24 @@ def pool_embeddings(
     token-count-weighted mean with ``weight_col`` so short tail
     chunks don't dominate).
 
-    ONE shuffle on the document key, then a numpy kernel per group
-    (``applyInPandas``, Arrow-batched, closure-factory rule — the
-    worker imports nothing from this package). Returns
+    ONE shuffle on the document key (``repartition``), then a
+    BATCH-vectorized ``mapInPandas`` accumulation: per Arrow batch,
+    rows sort by id and per-group partial sums come from one
+    ``np.add.reduceat`` pass — merging into a per-partition
+    accumulator keyed by id. No per-group Python function calls
+    (the earlier ``applyInPandas`` formulation paid ~0.3 ms of
+    pandas overhead per DOCUMENT — 15 s at 50k docs; this shape
+    measured 16.7 s → ~2 s at sf0.1). Returns
     ``(id, out_col array<double>, n_pooled)``; NULL vectors are
     skipped, an all-NULL group yields a NULL vector, and mixed
     dimensions in one group raise (a real pipeline bug worth failing
     loudly on).
 
-    Scale: per-group state is one accumulator vector — group size
-    (chunks per doc) is bounded by design, and hot documents don't
-    exist (chunk counts are data-independent of corpus size).
+    Scale: per-partition state is one accumulator vector per doc in
+    the partition — the POOLED result size, which is what the stage
+    emits anyway; chunks-per-doc is bounded by design.
     """
+    from pyspark.sql import functions as F
     from pyspark.sql.types import (
         ArrayType,
         DoubleType,
@@ -130,30 +136,77 @@ def pool_embeddings(
     )
     id_name, vec_name, w_name = id_col, vec_col, weight_col
 
-    def pool(pdf):
+    def pool(batches):
         import numpy as np
         import pandas as pd
 
-        keep = pdf[pdf[vec_name].notna()]
-        key = pdf[id_name].iloc[0]
-        if len(keep) == 0:
-            return pd.DataFrame({id_name: [key], "v": [None], "n": [0]}).rename(
-                columns={"v": out_col, "n": "n_pooled"}
+        # id -> [vsum_w, wsum, vsum_plain, cnt] (all-NULL ids -> None)
+        acc: dict = {}
+
+        def merge(key, vw, ws, vp, n):
+            hit = acc.get(key)
+            if hit is None:
+                acc[key] = [vw, ws, vp, n]
+                return
+            if hit[2].shape != vp.shape:
+                raise ValueError(
+                    f"mixed embedding dims ({hit[2].size} vs {vp.size}) "
+                    f"for {id_name}={key!r}"
+                )
+            hit[0] += vw
+            hit[1] += ws
+            hit[2] += vp
+            hit[3] += n
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nulls = pdf[vec_name].isna()
+            for key in pdf.loc[nulls, id_name]:
+                acc.setdefault(key, None)
+            keep = pdf[~nulls]
+            if not len(keep):
+                continue
+            vecs = [np.asarray(v, dtype=np.float64) for v in keep[vec_name]]
+            lens = {v.size for v in vecs}
+            ids = keep[id_name].to_numpy()
+            w = (
+                keep[w_name].to_numpy(dtype=np.float64)
+                if w_name is not None
+                else np.ones(len(keep))
             )
-        dims = {len(v) for v in keep[vec_name]}
-        if len(dims) != 1:
-            raise ValueError(
-                f"mixed embedding dims {sorted(dims)} for {id_name}={key!r}"
-            )
-        mat = np.array([np.asarray(v, dtype=np.float64) for v in keep[vec_name]])
-        if w_name is not None:
-            w = keep[w_name].to_numpy(dtype=np.float64)
-            tot = w.sum()
-            pooled = (mat * w[:, None]).sum(axis=0) / tot if tot > 0 else mat.mean(axis=0)
-        else:
-            pooled = mat.mean(axis=0)
-        return pd.DataFrame(
-            {id_name: [key], out_col: [pooled.tolist()], "n_pooled": [len(keep)]}
+            if len(lens) == 1:
+                # fast path: one stack + one reduceat per batch
+                mat = np.stack(vecs)
+                order = np.argsort(ids, kind="stable")
+                sid, smat, sw = ids[order], mat[order], w[order]
+                uniq, starts = np.unique(sid, return_index=True)
+                vw = np.add.reduceat(smat * sw[:, None], starts, axis=0)
+                vp = np.add.reduceat(smat, starts, axis=0)
+                ws = np.add.reduceat(sw, starts)
+                cnts = np.diff(np.append(starts, len(sid)))
+                for j, key in enumerate(uniq):
+                    merge(key, vw[j].copy(), float(ws[j]), vp[j].copy(), int(cnts[j]))
+            else:
+                # heterogeneous dims across docs in one batch: row path
+                for key, v, wi in zip(ids, vecs, w):
+                    merge(key, v * wi, float(wi), v.copy(), 1)
+
+        rows_id, rows_vec, rows_n = [], [], []
+        for key, hit in acc.items():
+            rows_id.append(key)
+            if hit is None:
+                rows_vec.append(None)
+                rows_n.append(0)
+            else:
+                vw, ws, vp, n = hit
+                pooled = vw / ws if ws > 0 else vp / n
+                rows_vec.append(pooled.tolist())
+                rows_n.append(n)
+        yield pd.DataFrame(
+            {id_name: rows_id, out_col: rows_vec, "n_pooled": rows_n}
         )
 
-    return df.groupBy(id_col).applyInPandas(pool, out_schema)
+    return df.select(
+        id_col, vec_col, *( [w_name] if w_name else [] )
+    ).repartition(F.col(id_col)).mapInPandas(pool, out_schema)
