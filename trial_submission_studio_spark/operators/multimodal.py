@@ -50,6 +50,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from trial_submission_studio_spark.operators.partitioning import widen_if_narrow
+
 # The JPEG and FLAC codecs live in their own modules; kernels capture
 # their functions in closures, so register the modules for BY-VALUE
 # cloudpickle serialization — executors cannot import this package
@@ -832,7 +834,9 @@ def image_features(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(kernel, IMAGE_FEATURE_SCHEMA)
+    return widen_if_narrow(df.select(id_col, payload_col), id_col).mapInPandas(
+        kernel, IMAGE_FEATURE_SCHEMA
+    )
 
 
 def image_dhash(
@@ -908,7 +912,7 @@ def image_dhash(
                     )
             yield pd.DataFrame({id_col: pdf[id_col], "dhash": out})
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return widen_if_narrow(df.select(id_col, payload_col), id_col).mapInPandas(
         kernel, f"{id_col} long, dhash long"
     )
 
@@ -986,7 +990,7 @@ def audio_fingerprint(
                     )
             yield pd.DataFrame({id_col: pdf[id_col], "afp": out})
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return widen_if_narrow(df.select(id_col, payload_col), id_col).mapInPandas(
         kernel, f"{id_col} long, afp long"
     )
 
@@ -1040,7 +1044,9 @@ def image_resize(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(kernel, RESIZED_SCHEMA)
+    return widen_if_narrow(df.select(id_col, payload_col), id_col).mapInPandas(
+        kernel, RESIZED_SCHEMA
+    )
 
 
 AUDIO_FEATURE_SCHEMA = (
@@ -1113,7 +1119,9 @@ def audio_features(
                 )
             yield pd.DataFrame({id_col: pdf[id_col], **rows})
 
-    return df.select(id_col, payload_col).mapInPandas(kernel, AUDIO_FEATURE_SCHEMA)
+    return widen_if_narrow(df.select(id_col, payload_col), id_col).mapInPandas(
+        kernel, AUDIO_FEATURE_SCHEMA
+    )
 
 
 def sample_frames(
@@ -1207,7 +1215,9 @@ def sample_frames(
                     frames.append(enc_png(img))
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, out_col: frames})
 
-    return df.select(id_col, duration_col, payload_col).mapInPandas(
+    return widen_if_narrow(
+        df.select(id_col, duration_col, payload_col), id_col
+    ).mapInPandas(
         kernel, schema
     )
 
