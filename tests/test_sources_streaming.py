@@ -1355,6 +1355,52 @@ def test_streaming_dedup_ingest_across_restarts(spark, tmp_path):
     assert spark.read.parquet(state).select("fp").distinct().count() == 3
 
 
+def test_streaming_dedup_ingest_replay_idempotent(spark, tmp_path):
+    """Failure-recovery replay fence: foreachBatch re-runs batch N
+    while batch N's OWN state delta is already persisted. Without the
+    batch-id exclusion in the seen-state read, every replayed doc
+    self-matches, `novel` goes empty, and the fenced overwrite wipes
+    the corpus batch dir — permanent loss. A replay (simulated with a
+    fresh checkpoint over the same source files, so the same rows
+    re-process under batch_id=0) must recompute the SAME novel set in
+    both exact and near modes."""
+    from trial_submission_studio_spark.streaming.ingest import start_dedup_ingest
+
+    schema = "doc_id bigint, text string"
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventy "
+        "watchful geese parade across the frozen harbor at dawn"
+    )
+    for mode in ("exact", "near"):
+        src = str(tmp_path / mode / "src")
+        corpus = str(tmp_path / mode / "corpus")
+        state = str(tmp_path / mode / "state")
+        values_df(
+            spark, [(1, base), (2, "other body entirely")], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        def run(ckpt):
+            q = start_dedup_ingest(
+                spark.readStream.schema(schema).parquet(src),
+                "doc_id", "text", corpus, state,
+                str(tmp_path / mode / ckpt), mode=mode,
+                publish_versions=True,
+            )
+            q.awaitTermination(120)
+
+        run("ckpt1")
+        assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == {1, 2}
+        # replay: same source, fresh checkpoint -> batch_id=0 re-runs
+        # against state that already holds batch_id=0's delta
+        run("ckpt2")
+        assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == {1, 2}
+        # the published snapshot still resolves (no dangling file refs)
+        from trial_submission_studio_spark.io import versioned as V
+
+        snap = V.read_version(spark, corpus)
+        assert {r.doc_id for r in snap.collect()} == {1, 2}
+
+
 def test_streaming_locf_matches_batch(spark, tmp_path):
     """Streaming LOCF (state-store last-non-null-per-key) emits the
     same fills as the batch locf_fill operator, including a

@@ -69,13 +69,24 @@ def test_retire_and_vacuum(spark, tmp_path):
         dirs.append(d)
     retired = retire_versions(root, keep_latest=1)
     assert retired == [1, 2]
-    deletable = vacuum(root, dry_run=True)
+    # retention fence: with the default 7-day min age, just-written
+    # unreferenced files are NOT deletable — an in-flight writer's
+    # unpublished run dir looks exactly like a retired version's, and
+    # an age-blind concurrent vacuum would destroy its whole run
+    assert vacuum(root, dry_run=True) == []
+    deletable = vacuum(root, dry_run=True, min_age_seconds=0)
     assert deletable  # v1+v2 files now unreferenced
     assert all(not p.startswith("data/" + os.path.basename(dirs[2])) for p in deletable)
-    deleted = vacuum(root)
+    deleted = vacuum(root, min_age_seconds=0)
     assert deleted == deletable
     assert read_version(spark, root).count() == 10  # CURRENT intact
     assert not os.path.isdir(dirs[0])  # empty run dir pruned
+    # a genuinely in-flight run dir survives a DEFAULT-age real
+    # vacuum wholesale (files and dir both kept)
+    inflight = new_data_dir(root)
+    _docs(spark, 90, 95).write.parquet(inflight, mode="append")
+    assert vacuum(root) == []
+    assert os.path.isdir(inflight)
 
 
 def test_publish_guards(spark, tmp_path):

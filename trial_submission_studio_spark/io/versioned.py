@@ -143,8 +143,10 @@ def publish_files(
     silently)."""
     if not files:
         raise ValueError("refusing to publish an empty file list")
-    dupes = {f for f in files if files.count(f) > 1}
-    if dupes:
+    if len(files) != len(set(files)):
+        from collections import Counter
+
+        dupes = [f for f, c in Counter(files).items() if c > 1]
         raise ValueError(f"duplicate files in version: {sorted(dupes)[:3]}")
     os.makedirs(_versions_dir(root), exist_ok=True)
     version = (max(list_versions(root), default=0)) + 1
@@ -252,35 +254,63 @@ def retire_versions(root: str, keep_latest: int) -> list[int]:
     return retire
 
 
-def vacuum(root: str, dry_run: bool = False) -> list[str]:
+#: Default vacuum retention (7 days) — same order as Delta Lake's
+#: ``deletedFileRetentionDuration`` default, and for the same reason:
+#: a writer that has filled a fresh run dir but not yet published is
+#: unreferenced-by-any-manifest ON PURPOSE, and must not be swept.
+VACUUM_MIN_AGE_SECONDS = 7 * 24 * 3600
+
+
+def vacuum(
+    root: str,
+    dry_run: bool = False,
+    *,
+    min_age_seconds: float = VACUUM_MIN_AGE_SECONDS,
+) -> list[str]:
     """Delete data files referenced by NO surviving manifest (run
     after :func:`retire_versions`). Returns the deleted (or, with
     ``dry_run``, deletable) paths relative to root.
+
+    Files younger than ``min_age_seconds`` (by mtime) are always kept:
+    an in-flight writer's fresh ``new_data_dir`` is unreferenced until
+    its ``publish_version`` commits, so an age-blind vacuum running
+    concurrently would destroy the whole in-flight run. Pass
+    ``min_age_seconds=0`` only when no writer can be active.
 
     Walks ``root/data`` and the manifests only — metadata-scale work
     regardless of data size."""
     live: set[str] = set()
     for v in list_versions(root):
         live.update(read_manifest(root, v)["files"])
+    cutoff = time.time() - min_age_seconds
     doomed: list[str] = []
+    young: set[str] = set()  # run dirs holding too-young files
     data_root = os.path.join(root, "data")
     for cur, _dirs, names in os.walk(data_root):
         for n in names:
             if n.startswith((".", "_")):  # _SUCCESS / .crc markers
                 continue
-            rel = os.path.relpath(os.path.join(cur, n), root)
-            if rel not in live:
-                doomed.append(rel)
+            full = os.path.join(cur, n)
+            rel = os.path.relpath(full, root)
+            if rel in live:
+                continue
+            if os.path.getmtime(full) > cutoff:
+                young.add(rel.split(os.sep)[1] if os.sep in rel else rel)
+                continue
+            doomed.append(rel)
     if not dry_run:
         import shutil
 
         for rel in doomed:
             os.remove(os.path.join(root, rel))
         # a run dir with no live files left is dead wholesale —
-        # remove it including writer markers (_SUCCESS, .crc)
+        # remove it including writer markers (_SUCCESS, .crc) —
+        # unless it still holds too-young (possibly in-flight) files
         if os.path.isdir(data_root):
             for run in os.listdir(data_root):
                 prefix = os.path.join("data", run) + os.sep
-                if not any(f.startswith(prefix) for f in live):
+                if run not in young and not any(
+                    f.startswith(prefix) for f in live
+                ):
                     shutil.rmtree(os.path.join(data_root, run))
     return sorted(doomed)

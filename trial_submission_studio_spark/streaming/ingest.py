@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from trial_submission_studio_spark.operators.dedup import (
     fingerprint,
@@ -103,15 +103,27 @@ def start_dedup_ingest(
 
             buckets_dir = os.path.join(state_dir, "buckets")
             sigs_dir = os.path.join(state_dir, "sigs")
-            # select away the discovered batch_id partition column —
-            # state consumers key on (band, bucket, id) / (id, sig)
+            # Replay fence: a recovered batch N re-runs while its OWN
+            # batch_id=N state delta is already on disk; reading it
+            # back would make every replayed document self-match
+            # (sig-Jaccard 1.0 vs its own signature), empty `novel`,
+            # and the fenced overwrite below would then wipe the
+            # corpus batch. Keep the discovered batch_id partition
+            # column and exclude the current batch so a replay
+            # recomputes the SAME novel set (partition pruning makes
+            # the filter free — the batch_id=N dirs are skipped at
+            # scan planning, not scanned-then-filtered).
             seen_b = (
-                spark.read.parquet(buckets_dir).select("band", "bucket", id_col)
+                spark.read.parquet(buckets_dir)
+                .filter(F.col("batch_id") != batch_id)
+                .select("band", "bucket", id_col)
                 if _has_parquet(buckets_dir)
                 else None
             )
             seen_s = (
-                spark.read.parquet(sigs_dir).select(id_col, "sig")
+                spark.read.parquet(sigs_dir)
+                .filter(F.col("batch_id") != batch_id)
+                .select(id_col, "sig")
                 if _has_parquet(sigs_dir)
                 else None
             )
@@ -137,8 +149,13 @@ def start_dedup_ingest(
             finally:
                 novel.unpersist()
         else:
+            # Same replay fence as near mode: exclude this batch's own
+            # persisted fingerprints so recovery recomputes the same
+            # novel set instead of self-matching to an empty one.
             seen = (
-                spark.read.parquet(state_dir).select("fp")
+                spark.read.parquet(state_dir)
+                .filter(F.col("batch_id") != batch_id)
+                .select("fp")
                 if _has_parquet(state_dir)
                 else None
             )
