@@ -106,6 +106,89 @@ def test_index_save_load_roundtrip(spark, tmp_path):
         save_index(str(tmp_path / "x.json"), "faiss", [])
 
 
+def test_pq_topk_distributed_queries_matches_collect(spark):
+    """distributed_queries=True (LUT rows + join + codegen ADC
+    expression, no driver collect) returns exactly the collect-path
+    result — for pq_topk AND the composed ivfpq_topk."""
+    from trial_submission_studio_spark.operators.similarity import (
+        ivfpq_topk,
+        train_ivf_centroids,
+    )
+
+    c = _corpus(spark)
+    books = train_pq_codebooks(c, m=4, n_codes=16, iters=5)
+    codes = pq_encode(c, books)
+    queries = c.orderBy("vec_id").limit(4)
+
+    a = sorted(map(tuple, pq_topk(codes, queries, books, k=7).collect()))
+    b = sorted(
+        map(
+            tuple,
+            pq_topk(
+                codes, queries, books, k=7, distributed_queries=True
+            ).collect(),
+        )
+    )
+    assert a == b
+
+    cents = train_ivf_centroids(c, n_centroids=4)
+    x = sorted(
+        map(
+            tuple,
+            ivfpq_topk(
+                c, queries, k=5, n_probe=2, centroids=cents, codebooks=books
+            ).collect(),
+        )
+    )
+    y = sorted(
+        map(
+            tuple,
+            ivfpq_topk(
+                c, queries, k=5, n_probe=2, centroids=cents,
+                codebooks=books, distributed_queries=True,
+            ).collect(),
+        )
+    )
+    assert x == y
+
+
+def test_pq_topk_string_ids(spark):
+    """Non-long id columns flow through both serving paths (the
+    output schemas derive from the input id types, LUT keys are the
+    raw id values)."""
+    from pyspark.sql import functions as F
+
+    from trial_submission_studio_spark.operators.similarity import (
+        ivfpq_topk,
+        train_ivf_centroids,
+    )
+
+    c = _corpus(spark).withColumn(
+        "vec_id", F.concat(F.lit("doc-"), F.col("vec_id"))
+    )
+    books = train_pq_codebooks(c, m=4, n_codes=8, iters=3)
+    codes = pq_encode(c, books)
+    queries = c.orderBy("vec_id").limit(2)
+
+    for dq in (False, True):
+        got = pq_topk(
+            codes, queries, books, k=3, distributed_queries=dq
+        ).collect()
+        assert len(got) == 6
+        assert all(
+            r.query_id.startswith("doc-") and r.vec_id.startswith("doc-")
+            for r in got
+        )
+    cents = train_ivf_centroids(c, n_centroids=4)
+    for dq in (False, True):
+        got = ivfpq_topk(
+            c, queries, k=3, n_probe=4, centroids=cents, codebooks=books,
+            distributed_queries=dq,
+        ).collect()
+        assert len(got) == 6
+        assert all(r.query_id.startswith("doc-") for r in got)
+
+
 def test_ivfpq_topk_composed(spark):
     """IVF-PQ: cell probing bounds the scan, ADC bounds the per-row
     cost; with n_probe == n_centroids it degenerates to (and must

@@ -1514,6 +1514,52 @@ def test_streaming_near_dup_ingest_across_restarts(spark, tmp_path):
     assert {"doc_id", "sig"} <= scols and "text" not in scols
 
 
+def test_prepare_media_governance_chain(spark):
+    """Composed media pipeline (media.py): probe → decode gate →
+    exact perceptual dup → Hamming near-dup; on_undecodable='keep'
+    admits undecodable payloads AFTER an exact-byte md5 dedup (the
+    only dedup possible without a decode), 'null' quarantines them."""
+    import numpy as np
+
+    from trial_submission_studio_spark.media import MediaConfig, prepare_media
+    from trial_submission_studio_spark.operators.multimodal import (
+        _make_png_encoder,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    other = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    encode_png = _make_png_encoder()
+    # PNG magic so the header probe classifies them image, but the
+    # body is garbage — the decode gate yields NULL fp
+    junk = b"\x89PNG\r\n\x1a\n" + b"corrupt" * 6
+    junk2 = b"\x89PNG\r\n\x1a\n" + b"other-garbage" * 3
+
+    media = values_df(
+        spark,
+        [
+            (1, bytes(encode_ppm(base))),
+            (2, bytes(encode_png(base))),  # exact perceptual dup of 1
+            (3, bytes(encode_ppm(other))),
+            (4, bytes(junk)),              # undecodable
+            (5, bytes(junk)),              # exact BYTE dup of 4
+            (6, bytes(junk2)),
+        ],
+        "media_id bigint, payload binary",
+    ).withColumn("path", F.concat(F.lit("mem://"), F.col("media_id")))
+
+    cfg = MediaConfig(max_hamming=2, on_undecodable="null")
+    kept = {r.media_id for r in prepare_media(media, cfg, collect_stats=True).collect()}
+    assert kept == {1, 3}  # 2 collapses into 1; junk quarantined
+    assert cfg.stats["input"] == 6 and cfg.stats["decodable"] == 3
+
+    # keep mode: junk admitted, but byte-identical junk collapses
+    cfg2 = MediaConfig(max_hamming=2, on_undecodable="keep")
+    kept2 = {r.media_id for r in prepare_media(media, cfg2).collect()}
+    assert kept2 == {1, 3, 4, 6}  # 5 byte-dups into 4
+
+
 def test_image_dhash_near_dup_detection(spark):
     """Perceptual image dedup: dHash is stable under light noise and
     re-encoding (PPM vs PNG of the same pixels hash identically;

@@ -40,7 +40,8 @@ class MediaConfig:
     #: near stage; exact stage always runs)
     max_hamming: int = 2
     #: "null" → undecodable payloads quarantine; "keep" admits them
-    #: (they can't be deduped, only exact-byte matched)
+    #: after an exact-byte (md5 payload) dedup — perceptual stages
+    #: still skip them
     on_undecodable: str = "null"
     #: filled by prepare_media when collect_stats=True
     stats: dict = field(default_factory=dict)
@@ -150,7 +151,21 @@ def prepare_media(
         "left_semi",
     )
     if cfg.on_undecodable == "keep":
-        survivors = survivors.unionByName(typed.filter(F.col("fp").isNull()))
+        # kept undecodables can't be perceptually deduped, but exact
+        # BYTE duplicates among them still collapse: md5(payload)
+        # min-id survivor (16-byte keys shuffle, payloads don't move)
+        undec = typed.filter(F.col("fp").isNull())
+        bkey = F.md5(F.col(payload_col).cast("binary"))
+        undec = undec.withColumn("_bkey", bkey)
+        undec = (
+            undec.join(
+                undec.groupBy("_bkey").agg(F.min(id_col).alias(id_col)),
+                [id_col, "_bkey"],
+                "left_semi",
+            )
+            .drop("_bkey")
+        )
+        survivors = survivors.unionByName(undec)
     note("exact_deduped", survivors)
 
     if cfg.max_hamming > 0:

@@ -561,6 +561,60 @@ def pq_encode(
     return df.select(F.col(id_col), _enc(F.col(vec_col)).alias("codes"))
 
 
+def _pq_lut_df(
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(query_id, lut) — each query's ADC lookup table as a
+    DataFrame row (``lut[i][c]`` = squared distance of query
+    subvector ``i`` to codebook-``i`` entry ``c``; m × n_codes
+    doubles, KBs per query). The distributed-query serving primitive:
+    LUT rows move through ordinary joins instead of a driver
+    collect."""
+    from pyspark.sql.functions import pandas_udf
+
+    books_payload = [[list(map(float, c)) for c in b] for b in codebooks]
+
+    @pandas_udf("array<array<double>>")
+    def _lut(s):
+        import numpy as np
+        import pandas as pd
+
+        B = [np.asarray(b, dtype=np.float64) for b in books_payload]
+        w = B[0].shape[1]
+        out = []
+        for v in s:
+            qv = np.asarray([float(x) for x in v], dtype=np.float64)
+            out.append(
+                [
+                    ((B[i] - qv[i * w : (i + 1) * w]) ** 2)
+                    .sum(axis=1)
+                    .tolist()
+                    for i in range(len(B))
+                ]
+            )
+        return pd.Series(out)
+
+    return queries.select(
+        F.col(id_col).alias("query_id"), _lut(F.col(vec_col)).alias("lut")
+    )
+
+
+def _adc_dist_expr(m: int) -> Column:
+    """ADC distance as a pure JVM expression over ``codes``
+    (array<int>, the row) and ``lut`` (array<array<double>>, the
+    query): sum over subspaces of ``lut[i][codes[i]]``. Unrolled over
+    the (small, plan-time-constant) ``m`` so it stays inside
+    whole-stage codegen — no interpreted higher-order lambda, no
+    Python."""
+    d = F.lit(0.0)
+    for i in range(m):
+        d = d + F.element_at(F.col("lut")[i], F.col("codes")[i] + 1)
+    return d
+
+
 def pq_topk(
     codes_df: DataFrame,
     queries: DataFrame,
@@ -568,64 +622,89 @@ def pq_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    distributed_queries: bool = False,
 ) -> DataFrame:
     """ADC (asymmetric distance) top-k: per query, distances to every
     code come from an ``m × n_codes`` lookup table (query subvector
     vs codebook entries) — the scan touches CODES only, never corpus
     floats. Output (query_id, id, adist, rank), ascending distance.
+    Id columns keep their input types (long, string, ...).
 
-    Scale shape: the query LUTs broadcast inside the kernel closure
+    Scale shape, ``distributed_queries=False`` (bounded query
+    batches): the query LUTs broadcast inside the kernel closure
     (queries × m × n_codes floats — KBs); the corpus scan is one
     narrow mapInPandas emitting (id, query_id, adist); the per-query
     top-k is a bounded window. No shuffle carries vectors.
+
+    ``distributed_queries=True`` (corpus-scale query tables, e.g.
+    dedup-by-query): no driver collect — queries become LUT rows
+    (:func:`_pq_lut_df`), scored against codes with a join and a
+    codegen ADC expression (:func:`_adc_dist_expr`). The codes×luts
+    product is the full-scan ADC semantic itself; use
+    :func:`ivfpq_topk` when cell probing should bound it.
     """
     from pyspark.sql import Window
 
     import numpy as np
 
-    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
-    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
-    if not qrows:
-        raise ValueError("queries frame is empty")
-    m = len(books)
-    w = books[0].shape[1]
-    luts, qids = [], []
-    for r in qrows:
-        qv = np.asarray([float(x) for x in r[vec_col]], dtype=np.float64)
-        lut = np.stack(
-            [((books[i] - qv[i * w : (i + 1) * w]) ** 2).sum(axis=1) for i in range(m)]
-        )
-        luts.append(lut.tolist())
-        qids.append(r[id_col])
-    lut_payload = [list(map(list, t)) for t in luts]
-    qid_payload = list(qids)
     idc = id_col
-
-    def kernel(batches):
-        import numpy as np
-        import pandas as pd
-
-        L = np.asarray(lut_payload, dtype=np.float64)  # (q, m, n_codes)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            codes = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
-            # (q, rows): sum over subspaces of LUT[q, i, code[row, i]] —
-            # index arrays (m,1) x codes.T (m,rows) broadcast to
-            # (q, m, rows), then reduce the subspace axis
-            dists = L[:, np.arange(L.shape[1])[:, None], codes.T].sum(axis=1)
-            n = codes.shape[0]
-            yield pd.DataFrame(
-                {
-                    idc: np.repeat(pdf[idc].to_numpy(), len(qid_payload)),
-                    "query_id": qid_payload * n,
-                    "adist": dists.T.reshape(-1),
-                }
+    m = len(codebooks)
+    if distributed_queries:
+        lut_df = _pq_lut_df(queries, codebooks, id_col, vec_col)
+        scored = (
+            codes_df.crossJoin(lut_df)
+            .withColumn("adist", _adc_dist_expr(m))
+            .drop("lut", "codes")
+        )
+    else:
+        books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+        qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+        if not qrows:
+            raise ValueError("queries frame is empty")
+        w = books[0].shape[1]
+        luts, qids = [], []
+        for r in qrows:
+            qv = np.asarray([float(x) for x in r[vec_col]], dtype=np.float64)
+            lut = np.stack(
+                [
+                    ((books[i] - qv[i * w : (i + 1) * w]) ** 2).sum(axis=1)
+                    for i in range(m)
+                ]
             )
+            luts.append(lut.tolist())
+            qids.append(r[id_col])
+        lut_payload = [list(map(list, t)) for t in luts]
+        qid_payload = list(qids)
 
-    scored = codes_df.mapInPandas(
-        kernel, f"{idc} long, query_id long, adist double"
-    )
+        def kernel(batches):
+            import numpy as np
+            import pandas as pd
+
+            L = np.asarray(lut_payload, dtype=np.float64)  # (q, m, n_codes)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                codes = np.stack(
+                    [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
+                )
+                # (q, rows): sum over subspaces of LUT[q, i, code[row, i]] —
+                # index arrays (m,1) x codes.T (m,rows) broadcast to
+                # (q, m, rows), then reduce the subspace axis
+                dists = L[:, np.arange(L.shape[1])[:, None], codes.T].sum(axis=1)
+                n = codes.shape[0]
+                yield pd.DataFrame(
+                    {
+                        idc: np.repeat(pdf[idc].to_numpy(), len(qid_payload)),
+                        "query_id": qid_payload * n,
+                        "adist": dists.T.reshape(-1),
+                    }
+                )
+
+        cid_t = codes_df.schema[idc].dataType.simpleString()
+        qid_t = queries.schema[id_col].dataType.simpleString()
+        scored = codes_df.mapInPandas(
+            kernel, f"{idc} {cid_t}, query_id {qid_t}, adist double"
+        )
     win = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.col(idc))
     return (
         scored.withColumn("rank", F.row_number().over(win))
@@ -698,6 +777,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
     codebooks: list[list[list[float]]] | None = None,
+    distributed_queries: bool = False,
 ) -> DataFrame:
     """IVF-PQ: the composed at-scale serving path — IVF cells bound
     WHICH codes a query scans (``n_probe`` of ``n_centroids`` cells),
@@ -709,9 +789,17 @@ def ivfpq_topk(
     The cell join shuffles cell ids; the ADC score is an
     Arrow-batched per-row LUT lookup keyed by the row's query; the
     per-query top-k is a bounded window. Returns
-    (query_id, id, adist, rank), ascending distance. Both index
-    artifacts default to the deterministic trainers and can be
-    persisted/reloaded via :func:`save_index`/:func:`load_index`.
+    (query_id, id, adist, rank), ascending distance; id columns keep
+    their input types. Both index artifacts default to the
+    deterministic trainers and can be persisted/reloaded via
+    :func:`save_index`/:func:`load_index`.
+
+    ``distributed_queries=True`` removes the driver collect for
+    corpus-scale query tables: each query's LUT becomes a DataFrame
+    row (:func:`_pq_lut_df`), attached to the cell-probed candidates
+    with an ordinary equi-join on query_id, and scored with the
+    codegen ADC expression — both joins shuffle ids + KB-scale LUTs,
+    never corpus floats.
     """
     from pyspark.sql import Window
     from pyspark.sql.functions import pandas_udf
@@ -731,41 +819,53 @@ def ivfpq_topk(
         ),
         id_col,
     )
-    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
-    if not qrows:
-        raise ValueError("queries frame is empty")
-    B = [np.asarray(b, dtype=np.float64) for b in books]
-    w = B[0].shape[1]
-    luts = {}
-    for r in qrows:
-        qv = np.asarray([float(x) for x in r[vec_col]], dtype=np.float64)
-        luts[int(r[id_col])] = np.stack(
-            [((B[i] - qv[i * w : (i + 1) * w]) ** 2).sum(axis=1) for i in range(len(B))]
-        ).tolist()
-
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.explode(_nearest_cells(cents, n_probe)(F.col(vec_col))).alias("__cell"),
     )
 
-    @pandas_udf("double")
-    def _adist(qid_s, codes_s):
-        import numpy as np
-        import pandas as pd
+    if distributed_queries:
+        lut_df = _pq_lut_df(queries, books, id_col, vec_col)
+        joined = (
+            q.join(codes, "__cell")
+            .join(lut_df, "query_id")
+            .withColumn("adist", _adc_dist_expr(len(books)))
+            .drop("lut", "codes")
+        )
+    else:
+        qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+        if not qrows:
+            raise ValueError("queries frame is empty")
+        B = [np.asarray(b, dtype=np.float64) for b in books]
+        w = B[0].shape[1]
+        luts = {}
+        for r in qrows:
+            qv = np.asarray([float(x) for x in r[vec_col]], dtype=np.float64)
+            luts[r[id_col]] = np.stack(
+                [
+                    ((B[i] - qv[i * w : (i + 1) * w]) ** 2).sum(axis=1)
+                    for i in range(len(B))
+                ]
+            ).tolist()
 
-        if len(qid_s) == 0:
-            return pd.Series([], dtype="float64")
-        out = np.empty(len(qid_s))
-        Ls = {kk: np.asarray(v) for kk, v in luts.items()}
-        mm = len(B)
-        idx = np.arange(mm)
-        for j, (qid, cs) in enumerate(zip(qid_s, codes_s)):
-            out[j] = Ls[int(qid)][idx, np.asarray(cs, dtype=np.int64)].sum()
-        return pd.Series(out)
+        @pandas_udf("double")
+        def _adist(qid_s, codes_s):
+            import numpy as np
+            import pandas as pd
 
-    joined = q.join(codes, "__cell").withColumn(
-        "adist", _adist(F.col("query_id"), F.col("codes"))
-    )
+            if len(qid_s) == 0:
+                return pd.Series([], dtype="float64")
+            out = np.empty(len(qid_s))
+            Ls = {kk: np.asarray(v) for kk, v in luts.items()}
+            mm = len(luts[next(iter(luts))])
+            idx = np.arange(mm)
+            for j, (qid, cs) in enumerate(zip(qid_s, codes_s)):
+                out[j] = Ls[qid][idx, np.asarray(cs, dtype=np.int64)].sum()
+            return pd.Series(out)
+
+        joined = q.join(codes, "__cell").withColumn(
+            "adist", _adist(F.col("query_id"), F.col("codes"))
+        )
     win = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.col(id_col))
     return (
         joined.withColumn("rank", F.row_number().over(win))

@@ -14,6 +14,7 @@ edge case); each is independently toggleable.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves stringified pd.Series hints
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -99,10 +100,11 @@ def scrub_pii(
 
 def _make_nfc_udf(form: str):
     """Arrow-batched Unicode normalization (closure factory — the
-    worker cannot import this package; no type hints because
-    ``from __future__ import annotations`` stringifies them beyond
-    pyspark's resolver)."""
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    worker cannot import this package). Type-hint pandas_udf form;
+    annotations are assigned as real class objects because ``from
+    __future__ import annotations`` stringifies inline hints beyond
+    pyspark's signature-based resolver."""
+    from pyspark.sql.functions import pandas_udf
 
     def nfc(s):
         import unicodedata
@@ -111,7 +113,8 @@ def _make_nfc_udf(form: str):
             lambda v: unicodedata.normalize(form, v) if v is not None else None
         )
 
-    return pandas_udf(nfc, "string", PandasUDFType.SCALAR)
+    nfc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(nfc, "string")
 
 
 def normalize_unicode(c: Column | str, form: str = "NFC") -> Column:
@@ -125,7 +128,7 @@ def normalize_unicode(c: Column | str, form: str = "NFC") -> Column:
 def _make_mojibake_udf(max_passes: int):
     """Arrow-batched mojibake repair (closure factory — same worker
     import constraint as the NFC udf)."""
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
     def fix(s):
         def one(v):
@@ -151,7 +154,8 @@ def _make_mojibake_udf(max_passes: int):
 
         return s.map(one)
 
-    return pandas_udf(fix, "string", PandasUDFType.SCALAR)
+    fix.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(fix, "string")
 
 
 def fix_mojibake(c: Column | str, max_passes: int = 3) -> Column:
@@ -171,7 +175,7 @@ def fix_mojibake(c: Column | str, max_passes: int = 3) -> Column:
 def _make_html_text_udf():
     """Arrow-batched HTML→text extraction (closure factory — same
     worker import constraint as the NFC udf)."""
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
     def extract(s):
         import re as _re
@@ -223,7 +227,8 @@ def _make_html_text_udf():
 
         return s.map(one)
 
-    return pandas_udf(extract, "string", PandasUDFType.SCALAR)
+    extract.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(extract, "string")
 
 
 def _make_html_links_udf():
@@ -231,7 +236,7 @@ def _make_html_links_udf():
     worker import constraint as the NFC udf). Two string inputs
     (html, base_url); base resolves relative hrefs and may be
     NULL."""
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
     def extract(html_s, base_s):
         from html.parser import HTMLParser
@@ -273,7 +278,12 @@ def _make_html_links_udf():
             [one(v, b) for v, b in zip(html_s, base_s)], dtype="object"
         )
 
-    return pandas_udf(extract, "array<string>", PandasUDFType.SCALAR)
+    extract.__annotations__ = {
+        "html_s": pd.Series,
+        "base_s": pd.Series,
+        "return": pd.Series,
+    }
+    return pandas_udf(extract, "array<string>")
 
 
 def html_links(c: Column | str, base_url: Column | str | None = None) -> Column:

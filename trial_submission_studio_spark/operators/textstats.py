@@ -270,7 +270,8 @@ def _make_compression_ratio_udf(level: int):
     """Arrow-batched zlib compression ratio (closure factory — the
     worker cannot import this package; see textclean's NFC udf for
     the pattern)."""
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
     def ratio(s):
         import zlib
@@ -285,7 +286,10 @@ def _make_compression_ratio_udf(level: int):
 
         return s.map(one)
 
-    return pandas_udf(ratio, "double", PandasUDFType.SCALAR)
+    # real-class annotations (PEP 563 inline hints stringify beyond
+    # pyspark's resolver) drive the type-hint pandas_udf form
+    ratio.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(ratio, "double")
 
 
 def compression_ratio(c: Column | str, level: int = 6) -> Column:
