@@ -270,6 +270,91 @@ def test_registry_codelists_all_resolve():
         assert stats["codelists"] >= 20 and stats["terms"] >= 100
 
 
+def test_full_shipped_ct_catalog_breadth():
+    """The three complete public NCI/CDISC CT release snapshots ship
+    as package data (VERDICT r7 missing #1): every publishing set
+    loads through the standard parser with real term counts, curated
+    SDTM priority is preserved, and previously-uncurated codelists
+    resolve with synonyms instead of degrading to copy semantics."""
+    from trial_submission_studio_spark.standards.ct_catalog import (
+        SHIPPED_CT_VERSIONS,
+        full_registry,
+        load_shipped_ct,
+        registry_coverage,
+    )
+
+    # term-count pins against the shipped files (full-catalog scale,
+    # not curated-sample scale)
+    snap = load_shipped_ct("2025-09-26")
+    assert set(snap) == set(SHIPPED_CT_VERSIONS["2025-09-26"])
+    send = snap["SEND"]
+    assert len(send) == 142
+    assert sum(len(c.terms) for c in send.values()) == 13593
+    assert len(snap["DDF"]) == 107 and len(snap["Protocol"]) == 51
+    older = load_shipped_ct("2024-03-29")
+    assert sum(len(c.terms) for c in older["SEND"].values()) == 13162
+
+    reg = full_registry()
+    # 3 curated + 18 shipped set catalogs
+    assert len(reg.catalogs) == 21
+    # an uncurated SEND codelist resolves, case-insensitively, with
+    # synonym mapping (AGESMETH never existed in the curated set)
+    label, cl = reg.resolve("C158118")
+    assert label == "SEND CT 2025-09-26"
+    assert reg.find_submission_value("C158118", "physical examination") == (
+        "PHYSICAL EXAMINATION"
+    )
+    # full-country codelist — curated never carried ISO-3166
+    assert reg.find_submission_value("C66786", "aruba") == "ABW"
+    # curated SDTM priority intact: Sex still resolves SDTM-first
+    assert reg.resolve("C66731")[0] == "SDTM CT 2025-09-26"
+    # coverage over the full registry: nothing unresolved, real scale
+    cov = registry_coverage(reg)
+    assert cov["unresolved"] == []
+    assert len(cov["catalogs"]) == 21
+    assert cov["catalogs"]["SEND CT 2025-09-26"]["terms"] == 13593
+
+
+def test_full_ct_lookup_normalizes_uncurated_codelist(spark):
+    """A mockdata-shaped domain bound to a codelist that exists ONLY
+    in the shipped full catalog (SEND death-diagnosis test code
+    C89966) normalizes synonyms → submission values through the same
+    broadcast-join operator the study pipeline uses; the curated
+    lookup leaves the value untouched (the old copy-semantics
+    degradation)."""
+    from trial_submission_studio_spark.operators.ct_lookup import (
+        apply_ct_normalization,
+    )
+    from trial_submission_studio_spark.sources.local import values_df
+    from trial_submission_studio_spark.standards.ct_catalog import (
+        builtin_lookup_df,
+        full_lookup_df,
+    )
+
+    dd = values_df(
+        spark,
+        [("S1", "Death Diagnosis"), ("S2", "DEATHD"), ("S3", "unbound")],
+        "usubjid string, ddtestcd string",
+    )
+    full = full_lookup_df(spark)
+    got = {
+        r.usubjid: r.out
+        for r in apply_ct_normalization(dd, "ddtestcd", "out", full, "C89966").collect()
+    }
+    assert got == {"S1": "DEATHD", "S2": "DEATHD", "S3": "unbound"}
+    # curated-only lookup cannot resolve it — values pass through
+    curated = builtin_lookup_df(spark)
+    old = {
+        r.usubjid: r.out
+        for r in apply_ct_normalization(
+            dd, "ddtestcd", "out", curated, "C89966"
+        ).collect()
+    }
+    assert old == {"S1": "Death Diagnosis", "S2": "DEATHD", "S3": "unbound"}
+    # the full lookup is still broadcast-sized (drives T8/J7 unchanged)
+    assert full.count() < 80_000
+
+
 def test_findings_testcode_breadth():
     """The common findings panels are wide enough to validate real
     LB/VS/EG data: chemistry+hematology LBTESTCD (30 terms), vitals

@@ -616,3 +616,103 @@ def builtin_lookup_df(spark, version: str | None = None):
     versions = builtin_ct_versions()
     version = version or max(versions)
     return codelist_lookup_df(spark, versions[version])
+
+
+# ---------------------------------------------------------------------------
+# Full shipped NCI/CDISC CT release snapshots (public data files)
+# ---------------------------------------------------------------------------
+
+#: release date → publishing sets present in that release (mirrors the
+#: reference's three embedded snapshots, tss-standards/data/
+#: terminology/ — not every set exists in every release)
+SHIPPED_CT_VERSIONS: dict[str, tuple[str, ...]] = {
+    "2024-03-29": ("ADaM", "DDF", "Define-XML", "MRCT", "Protocol", "SEND"),
+    "2025-03-28": ("ADaM", "CDASH", "Define-XML", "Protocol", "SEND"),
+    "2025-09-26": (
+        "ADaM", "DDF", "Define-XML", "Glossary", "MRCT", "Protocol", "SEND",
+    ),
+}
+
+
+def shipped_ct_dir() -> str:
+    """Package-data directory holding the gzipped public CT CSVs."""
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "data", "terminology"
+    )
+
+
+def load_shipped_ct(version: str, sets: tuple[str, ...] | None = None):
+    """Parse one shipped release snapshot → {publishing set →
+    {codelist code → Codelist}} through the standard two-pass parser
+    (:func:`~trial_submission_studio_spark.standards.ct.load_ct_csv`).
+    Schema-sized driver work (a full release is ~14k CSV rows); cached
+    per (version, sets).
+    """
+    import gzip
+    import os
+
+    from trial_submission_studio_spark.standards.ct import load_ct_csv
+
+    if version not in SHIPPED_CT_VERSIONS:
+        raise ValueError(
+            f"unknown shipped CT version {version!r}; have "
+            f"{sorted(SHIPPED_CT_VERSIONS)}"
+        )
+    sets = sets or SHIPPED_CT_VERSIONS[version]
+    key = (version, tuple(sets))
+    hit = _SHIPPED_CACHE.get(key)
+    if hit is not None:
+        return hit
+    out = {}
+    for pubset in sets:
+        path = os.path.join(
+            shipped_ct_dir(), version, f"{pubset}_CT_{version}.csv.gz"
+        )
+        with gzip.open(path, "rt", encoding="utf-8-sig") as f:
+            text = f.read()
+        out[pubset] = load_ct_csv(text, is_text=True)
+    _SHIPPED_CACHE[key] = out
+    return out
+
+
+_SHIPPED_CACHE: dict = {}
+
+
+def full_registry() -> TerminologyRegistry:
+    """The complete shipped registry: the curated SDTM-flavored
+    catalogs (:func:`builtin_registry` — the snapshots ship no SDTM
+    publishing set, so the curated catalog continues to provide the
+    SDTM-priority codelists the transforms bind most) PLUS every
+    publishing set of every shipped release as its own
+    '<SET> CT <date>' catalog. Resolution order is unchanged —
+    SDTM CT first, SEND CT next, the rest alphabetically,
+    newest-first within a family — so every previously-resolvable
+    code resolves identically, and thousands of previously-unknown
+    codelists (full SEND labs, DDF, Protocol, Glossary, ...) now
+    resolve instead of silently degrading to copy semantics.
+    """
+    reg = builtin_registry()
+    for version, sets in SHIPPED_CT_VERSIONS.items():
+        for pubset, codelists in load_shipped_ct(version, sets).items():
+            reg.add_catalog(f"{pubset.upper()} CT {version}", codelists)
+    return reg
+
+
+def full_lookup_df(spark, preferred: list[str] | None = None):
+    """The broadcastable T8/J7 lookup frame over the FULL registry:
+    one row per (codelist, lookup key), where each codelist code
+    resolves to its highest-priority catalog (so SDTM-curated
+    definitions win over a SEND copy of the same code, exactly like
+    :meth:`TerminologyRegistry.resolve`). Still broadcast-sized —
+    ~2k codelists / ~40k keys.
+    """
+    from trial_submission_studio_spark.standards.ct import codelist_lookup_df
+
+    reg = full_registry()
+    resolved: dict[str, Codelist] = {}
+    for label in reg._ordered(preferred):
+        for code, cl in reg.catalogs[label].items():
+            resolved.setdefault(code.upper(), cl)
+    return codelist_lookup_df(spark, resolved)

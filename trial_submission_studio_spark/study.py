@@ -82,7 +82,7 @@ def create_study(
     assignments: dict[str, str | list[str]],  # dataset name -> csv path(s)
     header_rows: int = 2,
     min_confidence: float = 0.7,
-    ct_lookup: DataFrame | None = None,
+    ct_lookup: DataFrame | str | None = None,
     registry: dict[str, dict] | None = None,
     metadata_files: list[str] | None = None,
     metadata_header_rows: int = 2,
@@ -100,15 +100,32 @@ def create_study(
     loads wins (reference study.rs:43-49). Its per-column labels
     enrich every source table's labels (and therefore the fuzzy
     mapping suggestions) wherever the CSV headers carried none.
+
+    ``ct_lookup``: a prebuilt lookup frame, ``"full"`` for the
+    complete shipped NCI release snapshots
+    (:func:`~trial_submission_studio_spark.standards.ct_catalog.full_lookup_df`
+    — every public codelist resolves), or None for the curated
+    default catalog.
     """
     registry = registry or DOMAINS
-    if ct_lookup is None:
+    if ct_lookup is None or isinstance(ct_lookup, str):
         # T8/V8 work out of the box: the shipped public-CT-derived
         # catalog (newest version) backs CT normalization unless the
         # caller brings their own lookup frame
-        from trial_submission_studio_spark.standards.ct_catalog import builtin_lookup_df
+        from trial_submission_studio_spark.standards.ct_catalog import (
+            builtin_lookup_df,
+            full_lookup_df,
+        )
 
-        ct_lookup = builtin_lookup_df(spark)
+        if isinstance(ct_lookup, str):
+            if ct_lookup != "full":
+                raise ValueError(
+                    f"ct_lookup must be a DataFrame, 'full', or None; "
+                    f"got {ct_lookup!r}"
+                )
+            ct_lookup = full_lookup_df(spark)
+        else:
+            ct_lookup = builtin_lookup_df(spark)
     study = Study(spark=spark, study_id=study_id, ct_lookup=ct_lookup)
     for meta_path in metadata_files or []:
         try:
