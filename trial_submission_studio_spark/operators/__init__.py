@@ -21,7 +21,9 @@ from trial_submission_studio_spark.operators.qualitymodel import (  # noqa: F401
     weak_quality_labels,
 )
 from trial_submission_studio_spark.operators.urls import (  # noqa: F401
+    PslRules,
     domain_blocklist_filter,
+    load_psl,
     normalize_url,
     url_dedup,
     url_registered_domain,
