@@ -1947,14 +1947,13 @@ def bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def quality_model_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weak-label bootstrap + hashed-n-gram logistic regression over
-    the documents corpus, scored back per source
-    (operators/qualitymodel.py). Benched extra, NOT in the 50-slot
-    contract: L-BFGS training is iterative and not SQL-expressible;
-    semantics pinned by tests/test_qualitymodel.py."""
+#: sf_dir → trained quality model (lets the score bench measure the
+#: data-plane scoring cost without re-paying iterative training)
+_QM_MODELS: dict = {}
+
+
+def _train_qm(spark: SparkSession, sf_dir: str):
     from trial_submission_studio_spark.operators.qualitymodel import (
-        score_quality_model,
         train_quality_model,
         weak_quality_labels,
     )
@@ -1969,6 +1968,39 @@ def quality_model_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.join(labels, "doc_id").repartition(4), "text",
         num_features=1 << 14, max_iter=20,
     )
+    _QM_MODELS[sf_dir] = model
+    return model
+
+
+def quality_model_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak-label bootstrap + hashed-n-gram logistic-regression FIT
+    (operators/qualitymodel.py) — the iterative MLlib training stage,
+    benched on its own so the one L-BFGS number isn't read as a query
+    cost (VERDICT r7 wrong #3). Training runs eagerly in this call;
+    the returned frame is a schema-sized model summary. Benched
+    extra, NOT in the 50-slot contract; semantics pinned by
+    tests/test_qualitymodel.py."""
+    model = _train_qm(spark, sf_dir)
+    return spark.createDataFrame(
+        [(int(model.num_features), float(model.lr_model.intercept))],
+        "num_features int, intercept double",
+    )
+
+
+def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scoring pass of the trained quality classifier — the
+    data-plane cost that actually runs per-corpus at 100 TB:
+    featurization expressions + JVM model transform, shuffle-free
+    until the per-source rollup (plan-asserted in
+    tests/test_plan_shapes.py). Reuses the model trained by
+    :func:`quality_model_train` for this sf_dir (trains once if
+    called standalone)."""
+    from trial_submission_studio_spark.operators.qualitymodel import (
+        score_quality_model,
+    )
+
+    model = _QM_MODELS.get(sf_dir) or _train_qm(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     return (
         score_quality_model(d, model, "text")
         .groupBy("source")
@@ -1978,6 +2010,14 @@ def quality_model_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def quality_model_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed train+score (kept for round-over-round bench
+    comparability; the split keys above are what BENCH records
+    since r8)."""
+    _train_qm(spark, sf_dir)
+    return quality_model_score(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------

@@ -252,9 +252,13 @@ def main() -> None:
         "quality_line_filter",
         "corpus_mix_weighted",
         "substring_removal_docs",
-        # trainable stages (bench-only callables, not contract slots)
+        # trainable stages (bench-only callables, not contract slots);
+        # train and score split so the iterative L-BFGS fit isn't read
+        # as a per-query data-plane cost (train populates the model
+        # memo the score key then reuses)
         "bpe_train_encode",
-        "quality_model_train_score",
+        "quality_model_train",
+        "quality_model_score",
         # mergeable-sketch governance (HLL/Theta/KLL, contract gate)
         "sketch_distinct_gates",
         # iterative link-graph authority (bench-only callable)
@@ -275,6 +279,29 @@ def main() -> None:
             best = min(best, time.time() - t0)
         extra[name] = round(best, 3)
         gc.collect()
+
+    # scale sweep: one order of magnitude above the benched SF
+    # (sf0.1 × 10 ≈ sf1, key-shifted replicas so joins/dedup scale
+    # realistically) — turns the 100×-scale plan-shape arguments into
+    # measured curvature. Single timed run per query (the JVM is warm
+    # and curvature doesn't need best-of-2 precision); ratio ≈ 10 is
+    # linear, ratio ≫ 10 flags super-linear cost.
+    sf1: dict[str, float] = {}
+    ratios: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_SCALE_SWEEP", "1") == "1" and sf == "0.1":
+        sf1_dir = os.path.join(REPO, ".benchdata", "sf1")
+        from tools.make_scale_data import make_scale_data
+
+        make_scale_data(spark, sf_dir, sf1_dir, 10)
+        spark.catalog.clearCache()
+        gc.collect()
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            qs[name](spark, sf1_dir).write.format("noop").mode("overwrite").save()
+            sf1[name] = round(time.time() - t0, 3)
+            if timings.get(name):
+                ratios[name] = round(sf1[name] / timings[name], 1)
+            gc.collect()
     print(
         json.dumps(
             {
@@ -288,6 +315,10 @@ def main() -> None:
                 # comparing across rounds
                 "queries_single_shot": single_shot,
                 "queries_extra": extra,
+                # 10× scale sweep (single-shot at sf1-shaped data) +
+                # per-query time ratio vs the benched SF: ~10 = linear
+                "queries_sf1": sf1,
+                "sf1_over_sf01_ratio": ratios,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 # fixed since r04 — keep stable so cross-round deltas
                 # compare like-for-like (r01/r02 were single-shot cold)

@@ -56,6 +56,28 @@ def test_pagerank_dangling_only_graph(spark):
     assert got[1] == pytest.approx(ref[1], abs=1e-9)
 
 
+def test_pagerank_convergence_early_exit(spark):
+    """tol: the loop stops once max |Δrank| < tol. A huge tol stops
+    after exactly one iteration (result == the 1-iteration run); a
+    tight tol under a generous iteration budget lands on the
+    converged fixed point (== a long numpy run)."""
+    edges = values_df(spark, GRAPH, "src bigint, dst bigint")
+    one = {r.node: r.rank for r in pagerank(edges, iterations=1).collect()}
+    stopped = {
+        r.node: r.rank
+        for r in pagerank(edges, iterations=50, tol=10.0).collect()
+    }
+    assert stopped == pytest.approx(one)
+    converged = {
+        r.node: r.rank
+        for r in pagerank(edges, iterations=200, tol=1e-12).collect()
+    }
+    ref = _numpy_pagerank(6, GRAPH, iterations=300)
+    for i in range(6):
+        assert converged[i] == pytest.approx(ref[i], abs=1e-9), i
+    assert sum(converged.values()) == pytest.approx(1.0, abs=1e-9)
+
+
 def test_pagerank_duplicate_edges_and_validations(spark):
     dup = values_df(
         spark, [(0, 1), (0, 1), (1, 0)], "src bigint, dst bigint"

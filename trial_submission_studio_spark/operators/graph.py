@@ -46,6 +46,7 @@ def pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     dedup_edges: bool = True,
+    tol: float | None = None,
 ) -> DataFrame:
     """Rank every node of ``edges`` (directed, undeduped OK) by
     power-iteration PageRank. Returns ``(node, rank)`` with ranks
@@ -56,6 +57,13 @@ def pagerank(
     convention; pass False to weight by multiplicity). Self-loops
     are kept (they contribute rank to their own node, matching the
     standard matrix formulation on the deduped adjacency).
+
+    ``tol``: convergence-based early exit — stop once
+    ``max |Δrank| < tol`` (∞-norm), at most ``iterations`` steps.
+    The check joins the two ALREADY-MATERIALIZED localCheckpoints
+    (one O(nodes) job over cached blocks, no lineage recompute); the
+    default ``None`` keeps the fixed-iteration behavior with zero
+    per-iteration actions beyond the checkpoint itself.
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
@@ -92,14 +100,25 @@ def pagerank(
     has_dangling = dangling_nodes.count() > 0
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint()
     for _ in range(iterations):
+        prev = ranks
         ranks = _pagerank_step(
             nodes,
             ed,
-            ranks,
+            prev,
             dangling_nodes if has_dangling else None,
             n_nodes,
             damping,
         ).localCheckpoint()
+        if tol is not None:
+            delta = (
+                ranks.join(
+                    prev.select("node", F.col("rank").alias("__prev")), "node"
+                )
+                .agg(F.max(F.abs(F.col("rank") - F.col("__prev"))).alias("d"))
+                .collect()[0]["d"]
+            )
+            if delta is not None and delta < tol:
+                break
     return ranks
 
 
