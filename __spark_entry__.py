@@ -103,10 +103,16 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of the hosting session's time zone. Integer ``DIV``
     (float division would lose µs precision at 1.7e18 ns magnitudes).
     """
+    import glob
+    import os
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    ts_type = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(path):  # Spark-written dataset: probe one part
+        path = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+    ts_type = pq.read_schema(path).field("ts").type
     if pa.types.is_timestamp(ts_type) and ts_type.unit == "ns":
         raw = spark.read.schema(_EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
         micros = "ts div 1000"

@@ -62,10 +62,12 @@ try:  # pragma: no cover - registration is a serialization concern
     from trial_submission_studio_spark.operators import avi as _avi_module
     from trial_submission_studio_spark.operators import flac as _flac_module
     from trial_submission_studio_spark.operators import jpeg as _jpeg_module
+    from trial_submission_studio_spark.operators import vp8l as _vp8l_module
 
     _cloudpickle.register_pickle_by_value(_avi_module)
     _cloudpickle.register_pickle_by_value(_flac_module)
     _cloudpickle.register_pickle_by_value(_jpeg_module)
+    _cloudpickle.register_pickle_by_value(_vp8l_module)
 except Exception:  # noqa: BLE001 - never block import on this
     pass
 
@@ -267,8 +269,10 @@ def _make_image_decoder():
     is registered for by-value pickling at import (executors cannot
     import this package)."""
     from trial_submission_studio_spark.operators.jpeg import decode_jpeg
+    from trial_submission_studio_spark.operators.vp8l import decode_webp
 
     jpeg_decode = decode_jpeg
+    webp_decode = decode_webp
 
     def decode(payload: bytes | None):
         import numpy as np
@@ -277,6 +281,13 @@ def _make_image_decoder():
             return None
         if payload[:2] == b"\xff\xd8":
             return jpeg_decode(payload)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            try:
+                return webp_decode(payload)[:, :, :3].copy()
+            except NotImplementedError:
+                return None  # lossy VP8: quarantine path
+            except Exception:
+                return None
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
             import struct
             import zlib
