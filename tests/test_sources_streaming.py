@@ -1740,3 +1740,44 @@ def test_video_frame_dhash_near_dup(spark):
     got = {(r.va, r.vb): r["count"] for r in cross.collect()}
     assert got.get((1, 2), 0) >= 4  # re-encoded footage: most frames match
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_near_duplicate_images_webp_cross_codec(spark):
+    """The perceptual dHash is codec-independent: the SAME image
+    stored once as PNG and once as WebP-lossless (VP8L) pairs up;
+    a lossy-VP8 payload is quarantined (NotImplementedError -> NULL
+    fingerprint), not fatal."""
+    import struct
+
+    import numpy as np
+
+    from trial_submission_studio_spark.operators.multimodal import (
+        encode_png,
+        near_duplicate_images,
+    )
+    from trial_submission_studio_spark.operators.vp8l import (
+        encode_webp_lossless,
+    )
+
+    rng = np.random.default_rng(31)
+    base = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    other = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    vp8_body = b"\x00" * 16  # lossy VP8 chunk: undecodable here
+    lossy = b"RIFF" + struct.pack("<I", 4 + 8 + len(vp8_body)) + b"WEBP" + (
+        b"VP8 " + struct.pack("<I", len(vp8_body)) + vp8_body
+    )
+    media = values_df(
+        spark,
+        [
+            (1, encode_png(base)),
+            (2, encode_webp_lossless(base, subtract_green=True, cache_bits=6)),
+            (3, encode_webp_lossless(other, palette=False)),
+            (4, lossy),
+        ],
+        "media_id bigint, payload binary",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in near_duplicate_images(media, threshold=0.999).collect()
+    }
+    assert pairs == {(1, 2)}

@@ -258,7 +258,8 @@ encode_png = _make_png_encoder()
 
 def _make_image_decoder():
     """Closure factory: payload bytes → H×W×3 uint8 array for the
-    REAL formats (PPM P6, uncompressed 24-bit BMP, 8-bit
+    REAL formats (PPM P6, uncompressed 24-bit BMP, WebP-lossless
+    (VP8L) via :mod:`.vp8l`, 8-bit
     non-interlaced PNG — stdlib zlib inflate + full filter
     reconstruction, color types gray/RGB/palette/gray-α/RGBA — and
     baseline + progressive JPEG via :mod:`.jpeg`), None otherwise. The PNG unfilter
@@ -833,7 +834,7 @@ def image_features(
                 else:
                     raise NotImplementedError(
                         "this image format needs PIL/torchvision (absent "
-                        "here); PPM/BMP/PNG/JPEG/GIF decode natively "
+                        "here); PPM/BMP/PNG/JPEG/GIF/WebP-lossless decode natively "
                         "— pass deterministic_fake=True to exercise plumbing, "
                         "or on_error='null' to quarantine bad records"
                     )
@@ -918,7 +919,7 @@ def image_dhash(
                 else:
                     raise NotImplementedError(
                         "this image format needs PIL/torchvision (absent "
-                        "here); PPM/BMP/PNG/JPEG/GIF decode natively — "
+                        "here); PPM/BMP/PNG/JPEG/GIF/WebP-lossless decode natively — "
                         "pass on_error='null' to quarantine bad records"
                     )
             yield pd.DataFrame({id_col: pdf[id_col], "dhash": out})

@@ -190,11 +190,15 @@ def _read_prefix_code(br: _BitReader, alphabet: int) -> _PrefixCode:
         num = br.read(1) + 1
         first_8 = br.read(1)
         s0 = br.read(8 if first_8 else 1)
+        if s0 >= alphabet:
+            raise ValueError("simple-code symbol out of range")
         lengths = [0] * alphabet
         if num == 2:
             s1 = br.read(8)
+            if s1 >= alphabet or s1 == s0:
+                raise ValueError("simple-code symbol out of range")
             lengths[s0] = 1
-            lengths[s1 % alphabet] = 1
+            lengths[s1] = 1
         else:
             lengths[s0] = 1
         return _PrefixCode(lengths)
@@ -324,7 +328,13 @@ def _decode_image_data(br: _BitReader, w: int, h: int, is_sub: bool):
 
 
 def _apply_inverse_transforms(pixels, w, h, transforms):
-    """Transforms recorded outer-first; invert in reverse order."""
+    """Transforms recorded outer-first; invert in reverse order.
+
+    Width tracking: while a color-indexing transform is still
+    uninverted the image is at its PACKED width, so predictor/color
+    inverses read later in the reversal must run at that width (their
+    tile grids were sized from it at read time too)."""
+    cur_w = len(pixels) // h
     for kind, data in reversed(transforms):
         if kind == 2:  # subtract green
             for i, p in enumerate(pixels):
@@ -334,16 +344,16 @@ def _apply_inverse_transforms(pixels, w, h, transforms):
                 pixels[i] = (p & 0xFF00FF00) | (r << 16) | b
         elif kind == 0:  # predictor
             bits, sub, sw = data
-            _inverse_predictor(pixels, w, h, bits, sub, sw)
+            _inverse_predictor(pixels, cur_w, h, bits, sub, sw)
         elif kind == 1:  # color transform
             bits, sub, sw = data
-            _inverse_color_transform(pixels, w, h, bits, sub, sw)
+            _inverse_color_transform(pixels, cur_w, h, bits, sub, sw)
         elif kind == 3:  # color indexing
             table, packed_w, xbits = data
             pixels2 = []
             if xbits:
-                per = 8 >> xbits  # pixels bundled per green byte
-                bitw = 1 << xbits
+                per = 1 << xbits  # pixels bundled per green byte
+                bitw = 8 >> xbits  # index width in bits
                 mask = (1 << bitw) - 1
                 for y in range(h):
                     row = []
@@ -360,6 +370,7 @@ def _apply_inverse_transforms(pixels, w, h, transforms):
                     idx = (p >> 8) & 0xFF
                     pixels2.append(table[idx] if idx < len(table) else 0)
             pixels[:] = pixels2
+            cur_w = w
     return pixels
 
 
@@ -381,24 +392,14 @@ def _add_pixels(a: int, b: int) -> int:
     )
 
 
-def _clamp_add_sub_half(c: int, a: int, b: int) -> int:
-    out = 0
-    for sh in (24, 16, 8, 0):
-        cc = (c >> sh) & 0xFF
-        aa = (a >> sh) & 0xFF
-        bb = (b >> sh) & 0xFF
-        v = cc + ((cc - ((aa + bb) >> 1)) >> 1) if False else 0
-        out |= v << sh
-    return out
-
-
 def _select(l: int, t: int, tl: int) -> int:
+    # spec: return L only when strictly closer; tie goes to T
     p_l = p_t = 0
     for sh in (24, 16, 8, 0):
         pred = ((l >> sh) & 0xFF) + ((t >> sh) & 0xFF) - ((tl >> sh) & 0xFF)
         p_l += abs(pred - ((l >> sh) & 0xFF))
         p_t += abs(pred - ((t >> sh) & 0xFF))
-    return l if p_l <= p_t else t
+    return l if p_l < p_t else t
 
 
 def _clamped_grad(l: int, t: int, tl: int) -> int:
@@ -424,7 +425,10 @@ def _inverse_predictor(pixels, w, h, bits, sub, sw):
                 L = pixels[i - 1]
                 T = pixels[i - w]
                 TL = pixels[i - w - 1]
-                TR = pixels[i - w + 1] if x + 1 < w else pixels[i - w]
+                # TR for the rightmost column wraps (per the spec's
+                # linear-memory addressing) to the leftmost pixel of
+                # the CURRENT row — uniformly index i - w + 1.
+                TR = pixels[i - w + 1]
                 if mode == 0:
                     pred = 0xFF000000
                 elif mode == 1:
@@ -457,7 +461,10 @@ def _inverse_predictor(pixels, w, h, bits, sub, sw):
                     for sh in (24, 16, 8, 0):
                         a = (ave >> sh) & 0xFF
                         tl = (TL >> sh) & 0xFF
-                        v = a + (a - tl) // 2
+                        d = a - tl
+                        # C-style /2 truncates toward zero
+                        half = -((-d) // 2) if d < 0 else d // 2
+                        v = a + half
                         out |= max(0, min(255, v)) << sh
                     pred = out
             pixels[i] = _add_pixels(pixels[i], pred)
@@ -621,48 +628,11 @@ def _length_to_prefix(v: int) -> tuple[int, int, int]:
     return 2 * extra + 3, extra, rem - (1 << extra)
 
 
-def encode_webp_lossless(
-    img,
-    subtract_green: bool = False,
-    cache_bits: int = 0,
-    use_backrefs: bool = False,
-) -> bytes:
-    """H×W×3 RGB (or H×W×4 RGBA) uint8 → WebP (VP8L) bytes.
-
-    Literal/backref stream with canonical prefix codes; options turn
-    on the subtract-green transform, a color cache, and distance-1
-    run backreferences so tests can drive each decoder path."""
-    import struct
-
-    import numpy as np
-
-    a = np.asarray(img, dtype=np.uint8)
-    h, w = a.shape[:2]
-    if a.ndim == 2:
-        a = np.stack([a] * 3, axis=2)
-    if a.shape[2] == 3:
-        alpha = np.full((h, w), 255, np.uint8)
-    else:
-        alpha = a[:, :, 3]
-    argb = (
-        (alpha.astype(np.uint32) << 24)
-        | (a[:, :, 0].astype(np.uint32) << 16)
-        | (a[:, :, 1].astype(np.uint32) << 8)
-        | a[:, :, 2].astype(np.uint32)
-    ).reshape(-1)
-    pixels = [int(p) for p in argb]
-    if subtract_green:
-        fwd = []
-        for p in pixels:
-            g = (p >> 8) & 0xFF
-            r = ((p >> 16) - g) & 0xFF
-            b = (p - g) & 0xFF
-            fwd.append((p & 0xFF00FF00) | (r << 16) | b)
-        pixels = fwd
-
-    # tokenize: literals, cache hits, distance-1 runs
+def _tokenize(pixels, cache_bits: int, use_backrefs: bool):
+    """Literals, cache hits, and distance-1 runs (→ token list of
+    ("lit", argb) | ("cache", idx) | ("copy", length))."""
     cache = [None] * (1 << cache_bits) if cache_bits else None
-    tokens = []  # ("lit", argb) | ("cache", idx) | ("copy", length)
+    tokens = []
     i = 0
     n = len(pixels)
     while i < n:
@@ -687,8 +657,10 @@ def encode_webp_lossless(
             cache[idx] = p
         tokens.append(("lit", p))
         i += 1
+    return tokens
 
-    cache_size = (1 << cache_bits) if cache_bits else 0
+
+def _token_freqs(tokens, cache_bits: int):
     gfreq: dict[int, int] = {}
     rfreq: dict[int, int] = {}
     bfreq: dict[int, int] = {}
@@ -708,27 +680,17 @@ def encode_webp_lossless(
             gfreq[256 + pc] = gfreq.get(256 + pc, 0) + 1
             dpc, _, _ = _length_to_prefix(121)  # distance 1 → code 121
             dfreq[dpc] = dfreq.get(dpc, 0) + 1
-    # prefix codes need at least one symbol; pad empties
-    for fr in (rfreq, bfreq, afreq, dfreq):
-        if not fr:
+    for fr in (gfreq, rfreq, bfreq, afreq, dfreq):
+        if not fr:  # prefix codes need at least one symbol
             fr[0] = 1
+    return gfreq, rfreq, bfreq, afreq, dfreq
 
-    bw = _BitWriter()
-    bw.write(0x2F, 8)
-    bw.write(w - 1, 14)
-    bw.write(h - 1, 14)
-    bw.write(0, 1)  # alpha hint
-    bw.write(0, 3)  # version
-    if subtract_green:
-        bw.write(1, 1)  # transform present
-        bw.write(2, 2)  # SUBTRACT_GREEN
-    bw.write(0, 1)  # no more transforms
-    bw.write(0, 1)  # no meta prefix codes
-    if cache_bits:
-        bw.write(1, 1)
-        bw.write(cache_bits, 4)
-    else:
-        bw.write(0, 1)
+
+def _write_code_group(bw: _BitWriter, freqs, cache_bits: int):
+    """Write the 5 prefix-code headers for one group; return the
+    emitters (g, r, b, a, d)."""
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    gfreq, rfreq, bfreq, afreq, dfreq = freqs
     glen = _huffman_lengths(gfreq, 256 + 24 + cache_size)
     rlen = _huffman_lengths(rfreq, 256)
     blen = _huffman_lengths(bfreq, 256)
@@ -736,11 +698,11 @@ def encode_webp_lossless(
     dlen = _huffman_lengths(dfreq, 40)
     for lengths in (glen, rlen, blen, alen, dlen):
         _write_code_lengths(bw, lengths)
-    g = _Encoder(bw, glen)
-    r = _Encoder(bw, rlen)
-    b = _Encoder(bw, blen)
-    al = _Encoder(bw, alen)
-    d = _Encoder(bw, dlen)
+    return tuple(_Encoder(bw, x) for x in (glen, rlen, blen, alen, dlen))
+
+
+def _emit_tokens(bw: _BitWriter, tokens, enc):
+    g, r, b, al, d = enc
     for kind, v in tokens:
         if kind == "lit":
             g.emit((v >> 8) & 0xFF)
@@ -758,6 +720,289 @@ def encode_webp_lossless(
             d.emit(dpc)
             if dextra:
                 bw.write(dev, dextra)
+
+
+def _write_entropy_coded_image(bw: _BitWriter, pixels):
+    """Sub-resolution image: <color-cache-info(0)><prefix-codes>
+    <data> — no transforms, no meta bit (spec grammar for
+    entropy-coded images)."""
+    bw.write(0, 1)  # no color cache
+    tokens = _tokenize(pixels, 0, False)
+    enc = _write_code_group(bw, _token_freqs(tokens, 0), 0)
+    _emit_tokens(bw, tokens, enc)
+
+
+def _fwd_subtract_green(pixels):
+    out = []
+    for p in pixels:
+        g = (p >> 8) & 0xFF
+        r = ((p >> 16) - g) & 0xFF
+        b = (p - g) & 0xFF
+        out.append((p & 0xFF00FF00) | (r << 16) | b)
+    return out
+
+
+def _sub_pixels(a: int, b: int) -> int:
+    return (
+        ((((a >> 24) - (b >> 24)) & 0xFF) << 24)
+        | (((((a >> 16) & 0xFF) - ((b >> 16) & 0xFF)) & 0xFF) << 16)
+        | (((((a >> 8) & 0xFF) - ((b >> 8) & 0xFF)) & 0xFF) << 8)
+        | (((a & 0xFF) - (b & 0xFF)) & 0xFF)
+    )
+
+
+def _fwd_predictor(pixels, w, h, bits, modes, sw):
+    """Forward predictor transform: residual[i] = pixel[i] − pred
+    computed from the ORIGINAL neighbors (which is what the decoder
+    reconstructs progressively). `modes` is the per-tile mode image
+    (plain ints, one per tile)."""
+    sub = [0xFF000000 | (m << 8) for m in modes]
+    res = list(pixels)
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = pixels[i - 1]
+            elif x == 0:
+                pred = pixels[i - w]
+            else:
+                mode = modes[(y >> bits) * sw + (x >> bits)]
+                L = pixels[i - 1]
+                T = pixels[i - w]
+                TL = pixels[i - w - 1]
+                TR = pixels[i - w + 1]
+                if mode == 0:
+                    pred = 0xFF000000
+                elif mode == 1:
+                    pred = L
+                elif mode == 2:
+                    pred = T
+                elif mode == 3:
+                    pred = TR
+                elif mode == 4:
+                    pred = TL
+                elif mode == 5:
+                    pred = _avg2(_avg2(L, TR), T)
+                elif mode == 6:
+                    pred = _avg2(L, TL)
+                elif mode == 7:
+                    pred = _avg2(L, T)
+                elif mode == 8:
+                    pred = _avg2(TL, T)
+                elif mode == 9:
+                    pred = _avg2(T, TR)
+                elif mode == 10:
+                    pred = _avg2(_avg2(L, TL), _avg2(T, TR))
+                elif mode == 11:
+                    pred = _select(L, T, TL)
+                elif mode == 12:
+                    pred = _clamped_grad(L, T, TL)
+                else:
+                    ave = _avg2(L, T)
+                    out = 0
+                    for sh in (24, 16, 8, 0):
+                        a = (ave >> sh) & 0xFF
+                        tl = (TL >> sh) & 0xFF
+                        d = a - tl
+                        half = -((-d) // 2) if d < 0 else d // 2
+                        out |= max(0, min(255, a + half)) << sh
+                    pred = out
+            res[i] = _sub_pixels(pixels[i], pred)
+    return res, sub
+
+
+def _fwd_color_transform(pixels, w, h, bits, ctes, sw):
+    """Forward color transform with per-tile ColorTransformElements
+    (each an ARGB-packed cte as the decoder reads it)."""
+    res = list(pixels)
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            cte = ctes[(y >> bits) * sw + (x >> bits)]
+            g2r = cte & 0xFF
+            g2b = (cte >> 8) & 0xFF
+            r2b = (cte >> 16) & 0xFF
+            p = pixels[i]
+            g = (p >> 8) & 0xFF
+            r = (p >> 16) & 0xFF
+            b = p & 0xFF
+            new_r = (r - _cdelta(g2r, g)) & 0xFF
+            # the r2b term uses the FINAL (original) red channel
+            new_b = (b - _cdelta(g2b, g) - _cdelta(r2b, r)) & 0xFF
+            res[i] = (p & 0xFF00FF00) | (new_r << 16) | new_b
+    return res
+
+
+def encode_webp_lossless(
+    img,
+    subtract_green: bool = False,
+    cache_bits: int = 0,
+    use_backrefs: bool = False,
+    predictor_bits: int = 0,
+    predictor_mode: int | None = None,
+    color_transform_bits: int = 0,
+    color_cte: int = 0xFF000000,
+    palette: bool = False,
+    meta_bits: int = 0,
+) -> bytes:
+    """H×W×3 RGB (or H×W×4 RGBA) uint8 → WebP (VP8L) bytes.
+
+    A correctness encoder, not a compressor: every option exists to
+    drive one decoder path. Transform order written (and therefore
+    forward-applied) is palette → color-transform → subtract-green →
+    predictor; the decoder inverts in reverse read order.
+
+    - ``predictor_bits`` n>0 turns on the predictor transform with
+      2^n-pixel tiles; ``predictor_mode`` pins one mode (0..13) for
+      every tile, or ``None`` cycles tiles through all 14 modes.
+    - ``color_transform_bits`` n>0 turns on the color transform with
+      the single ``color_cte`` element in every tile.
+    - ``palette`` encodes via color indexing (≤256 distinct colors),
+      exercising sub-byte pixel bundling when ≤16 colors.
+    - ``meta_bits`` n>0 writes a meta-prefix entropy image that
+      splits tiles into two alternating code groups (literals only —
+      cache/backrefs are disabled on this path).
+    """
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(img, dtype=np.uint8)
+    h, w = a.shape[:2]
+    if a.ndim == 2:
+        a = np.stack([a] * 3, axis=2)
+    if a.shape[2] == 3:
+        alpha = np.full((h, w), 255, np.uint8)
+    else:
+        alpha = a[:, :, 3]
+    argb = (
+        (alpha.astype(np.uint32) << 24)
+        | (a[:, :, 0].astype(np.uint32) << 16)
+        | (a[:, :, 1].astype(np.uint32) << 8)
+        | a[:, :, 2].astype(np.uint32)
+    ).reshape(-1)
+    pixels = [int(p) for p in argb]
+
+    bw = _BitWriter()
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+
+    xsize = w  # width of the entropy-coded main image
+    # ---- transforms, in read order (decoder inverts in reverse) ----
+    if palette:
+        colors = sorted(set(pixels))
+        if len(colors) > 256:
+            raise ValueError("palette encoding needs <= 256 distinct colors")
+        index = {c: i for i, c in enumerate(colors)}
+        tsize = len(colors)
+        if tsize <= 2:
+            xbits = 3
+        elif tsize <= 4:
+            xbits = 2
+        elif tsize <= 16:
+            xbits = 1
+        else:
+            xbits = 0
+        bw.write(1, 1)
+        bw.write(3, 2)  # COLOR_INDEXING
+        bw.write(tsize - 1, 8)
+        deltas = []
+        prev = 0
+        for c in colors:  # palette is delta-coded
+            deltas.append(_sub_pixels(c, prev))
+            prev = c
+        _write_entropy_coded_image(bw, deltas)
+        if xbits:
+            per = 1 << xbits
+            bitw = 8 >> xbits
+            packed_w = (w + per - 1) >> xbits
+            packed = []
+            for y in range(h):
+                for px in range(packed_w):
+                    gbyte = 0
+                    for k in range(per):
+                        x = px * per + k
+                        if x < w:
+                            gbyte |= index[pixels[y * w + x]] << (k * bitw)
+                    packed.append(0xFF000000 | (gbyte << 8))
+            pixels = packed
+            xsize = packed_w
+        else:
+            pixels = [0xFF000000 | (index[p] << 8) for p in pixels]
+    if color_transform_bits:
+        bits = color_transform_bits
+        sw = (xsize + (1 << bits) - 1) >> bits
+        sh = (h + (1 << bits) - 1) >> bits
+        ctes = [color_cte] * (sw * sh)
+        bw.write(1, 1)
+        bw.write(1, 2)  # COLOR_TRANSFORM
+        bw.write(bits - 2, 3)
+        _write_entropy_coded_image(bw, ctes)
+        pixels = _fwd_color_transform(pixels, xsize, h, bits, ctes, sw)
+    if subtract_green:
+        bw.write(1, 1)
+        bw.write(2, 2)  # SUBTRACT_GREEN
+        pixels = _fwd_subtract_green(pixels)
+    if predictor_bits:
+        bits = predictor_bits
+        sw = (xsize + (1 << bits) - 1) >> bits
+        sh = (h + (1 << bits) - 1) >> bits
+        if predictor_mode is None:
+            modes = [i % 14 for i in range(sw * sh)]
+        else:
+            modes = [predictor_mode] * (sw * sh)
+        bw.write(1, 1)
+        bw.write(0, 2)  # PREDICTOR_TRANSFORM
+        bw.write(bits - 2, 3)
+        pixels, sub = _fwd_predictor(pixels, xsize, h, bits, modes, sw)
+        _write_entropy_coded_image(bw, sub)
+    bw.write(0, 1)  # no more transforms
+
+    # ---- spatially-coded main image ----
+    if meta_bits:
+        cache_bits = 0
+        use_backrefs = False
+        mw = (xsize + (1 << meta_bits) - 1) >> meta_bits
+        mh = (h + (1 << meta_bits) - 1) >> meta_bits
+        group_of_tile = [(t % 2) for t in range(mw * mh)]
+        n_groups = max(group_of_tile) + 1  # what the decoder derives
+        bw.write(1, 1)  # meta prefix codes present
+        bw.write(meta_bits - 2, 3)
+        _write_entropy_coded_image(
+            bw, [0xFF000000 | (g << 8) for g in group_of_tile]
+        )
+        bw.write(0, 1)  # no color cache
+        # split pixel stream into per-group literal token lists
+        group_tokens = [[] for _ in range(n_groups)]
+        order = []  # group id per pixel, in scan order
+        for i, p in enumerate(pixels):
+            x, y = i % xsize, i // xsize
+            gid = group_of_tile[(y >> meta_bits) * mw + (x >> meta_bits)]
+            group_tokens[gid].append(("lit", p))
+            order.append(gid)
+        encs = []
+        for gid in range(n_groups):
+            toks = group_tokens[gid] or [("lit", 0xFF000000)]
+            encs.append(_write_code_group(bw, _token_freqs(toks, 0), 0))
+        iters = [iter(toks) for toks in group_tokens]
+        for gid in order:
+            _emit_tokens(bw, [next(iters[gid])], encs[gid])
+    else:
+        bw.write(0, 1)  # no meta prefix codes
+        if cache_bits:
+            bw.write(1, 1)
+            bw.write(cache_bits, 4)
+        else:
+            bw.write(0, 1)
+        tokens = _tokenize(pixels, cache_bits, use_backrefs)
+        enc = _write_code_group(bw, _token_freqs(tokens, cache_bits), cache_bits)
+        _emit_tokens(bw, tokens, enc)
+
     stream = bw.getvalue()
     vp8l = stream + (b"\x00" if len(stream) % 2 else b"")
     riff = b"WEBP" + b"VP8L" + struct.pack("<I", len(stream)) + vp8l
