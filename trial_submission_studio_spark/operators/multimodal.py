@@ -18,8 +18,11 @@ Codec coverage is explicit about what is REAL and what is stubbed:
   subsampling, restart markers — see :mod:`.jpeg`), and GIF87a/89a
   (LZW decode, global/local palettes, interlace; first frame) →
   H×W×3 arrays feeding real color/luminance features and
-  nearest-neighbor :func:`image_resize`; RIFF/WAVE PCM audio
-  (8/16/32-bit) via the stdlib ``wave`` module AND FLAC (Rice
+  nearest-neighbor :func:`image_resize`, plus WebP-lossless (VP8L
+  prefix codes, LZ77, color cache, all four inverse transforms —
+  see :mod:`.vp8l`); RIFF/WAVE PCM audio (8/16/32-bit) via the
+  stdlib ``wave`` module, compressed WAV — G.711 µ-law/A-law and
+  IMA/MS ADPCM (see :mod:`.adpcm`) — AND FLAC (Rice
   residuals, fixed/LPC prediction, stereo decorrelation — see
   :mod:`.flac`) → real sample-rate/RMS/peak/zero-crossing features
   (:func:`audio_features`). VIDEO: MJPEG-in-AVI decodes for real —
@@ -34,9 +37,11 @@ Codec coverage is explicit about what is REAL and what is stubbed:
   → duration + track dims, AVI avih header → dims + fps + duration,
   MP3 frame header → CBR duration estimate — probing never decodes
   payloads and never raises on corrupt ones.
-- **Stubbed integration points**: WebP, MP3/AAC
+- **Stubbed integration points**: lossy-WebP (VP8 intra), MP3/AAC
   payload decode, and inter-frame video codecs (H.264/VP9/AV1) need
-  PIL/torchaudio/ffmpeg, absent here — kernels raise
+  PIL/torchaudio/ffmpeg, absent here (their entropy-code tables are
+  arbitrary published constants unavailable in this container, so a
+  from-scratch decoder cannot be honestly validated) — kernels raise
   ``NotImplementedError`` naming the format, or produce seeded
   reproducible fakes with ``deterministic_fake=True`` so the
   Spark-side plumbing stays fully testable.
@@ -59,11 +64,13 @@ from trial_submission_studio_spark.operators.partitioning import widen_if_narrow
 try:  # pragma: no cover - registration is a serialization concern
     from pyspark import cloudpickle as _cloudpickle
 
+    from trial_submission_studio_spark.operators import adpcm as _adpcm_module
     from trial_submission_studio_spark.operators import avi as _avi_module
     from trial_submission_studio_spark.operators import flac as _flac_module
     from trial_submission_studio_spark.operators import jpeg as _jpeg_module
     from trial_submission_studio_spark.operators import vp8l as _vp8l_module
 
+    _cloudpickle.register_pickle_by_value(_adpcm_module)
     _cloudpickle.register_pickle_by_value(_avi_module)
     _cloudpickle.register_pickle_by_value(_flac_module)
     _cloudpickle.register_pickle_by_value(_jpeg_module)
@@ -751,18 +758,31 @@ _image_header, _audio_header = _make_header_probes()
 
 
 def _make_audio_decoder():
-    """WAV-then-FLAC audio decode with the shared (rate, channels,
-    mono float64) contract. Closure-local so cloudpickle ships it by
-    value (the flac module is registered by-value at import)."""
+    """WAV-PCM, then compressed WAV (G.711 µ-law/A-law, IMA and MS
+    ADPCM via :mod:`.adpcm`), then FLAC — all sharing the (rate,
+    channels, mono float64) contract. Closure-local so cloudpickle
+    ships it by value (the adpcm/flac modules are registered
+    by-value at import)."""
+    from trial_submission_studio_spark.operators.adpcm import (
+        decode_wav_compressed,
+    )
     from trial_submission_studio_spark.operators.flac import decode_flac
 
     wav = _decode_wav
+    wav_compressed = decode_wav_compressed
     flac = decode_flac
 
     def decode(payload: bytes | None):
         hit = wav(payload)
         if hit is not None:
             return hit
+        if payload and payload[:4] == b"RIFF":
+            try:
+                hit = wav_compressed(payload)
+            except Exception:
+                hit = None
+            if hit is not None:
+                return hit
         if payload and payload[:4] == b"fLaC":
             return flac(payload)
         return None
@@ -997,7 +1017,8 @@ def audio_fingerprint(
                 else:
                     raise NotImplementedError(
                         "this audio format needs torchaudio/ffmpeg (absent "
-                        "here); WAV PCM and FLAC decode natively — pass "
+                        "here); WAV (PCM, G.711, IMA/MS ADPCM) and "
+                        "FLAC decode natively — pass "
                         "on_error='null' to quarantine bad records"
                     )
             yield pd.DataFrame({id_col: pdf[id_col], "afp": out})
@@ -1107,8 +1128,9 @@ def audio_features(
                         continue
                     if not deterministic_fake:
                         raise NotImplementedError(
-                            "compressed audio needs torchaudio/ffmpeg (absent "
-                            "here); RIFF/WAVE PCM decodes natively — pass "
+                            "MP3/AAC need torchaudio/ffmpeg (absent here); "
+                            "WAV (PCM, G.711, IMA/MS ADPCM) and FLAC "
+                            "decode natively — pass "
                             "on_error='null' to quarantine bad records"
                         )
                     f = fake(p, 4)
