@@ -2059,7 +2059,18 @@ def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     seen-fp anti join) + intra-batch duplicate pairs (min-id
     survivor). Returns every surviving novel doc_id, plus the updated
     fingerprint-table size via a gate-only crossJoin of a 1-row
-    aggregate (documented pattern)."""
+    aggregate (documented pattern).
+
+    Also runs the Bloom-pruned variant (operators/bloom.py:
+    bloom_incremental_dedup — definitely-new rows bypass the
+    anti-join; only maybe-seen rows verify) over the SAME increment
+    and exports ``bloom_agrees`` = 1 iff its novel set is IDENTICAL
+    to the exact anti-join's; the oracle pins the constant 1, so any
+    semantic drift in the pruned path hash-mismatches."""
+    from trial_submission_studio_spark.operators.bloom import (
+        bloom_incremental_dedup,
+        build_bloom,
+    )
     from trial_submission_studio_spark.operators.dedup import (
         incremental_exact_dedup,
     )
@@ -2088,7 +2099,24 @@ def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = fps.agg(
         F.countDistinct("fp").cast("long").alias("n_seen_fps")
     )
-    return novel.select("doc_id").crossJoin(stats)
+    # Bloom-pruned path on the same data, keyed on the fp column
+    # (undersized capacity is deliberately fine: false positives
+    # only widen the verify slice, never change the result).
+    bf = build_bloom(seen, "fp", capacity=100_000, fpp=0.01)
+    inc_fp = inc.withColumn("fp", F.md5(F.col("text").cast("string")))
+    bloom_novel = bloom_incremental_dedup(inc_fp, seen, bf, "fp").select(
+        "doc_id"
+    )
+    # the pruned path's contract is the PLAIN anti-join (intra-batch
+    # min-id survival is a separate stage in incremental_exact_dedup)
+    plain_anti = inc_fp.join(seen, "fp", "left_anti").select("doc_id")
+    sym_diff = plain_anti.join(bloom_novel, "doc_id", "left_anti").unionByName(
+        bloom_novel.join(plain_anti, "doc_id", "left_anti")
+    )
+    agree = sym_diff.agg(
+        (F.count(F.lit(1)) == 0).cast("long").alias("bloom_agrees")
+    )
+    return novel.select("doc_id").crossJoin(stats).crossJoin(agree)
 
 
 def sketch_distinct_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3198,7 +3226,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT CAST(count(DISTINCT text) AS BIGINT) AS n
               FROM (SELECT text FROM corpus UNION ALL SELECT text FROM novel)
             )
-            SELECT novel.doc_id, (SELECT n FROM nf) AS n_seen_fps FROM novel
+            SELECT novel.doc_id, (SELECT n FROM nf) AS n_seen_fps,
+                   CAST(1 AS BIGINT) AS bloom_agrees
+            FROM novel
         """,
         "corpus_split_gates": """
             WITH b AS (
