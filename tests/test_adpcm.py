@@ -234,3 +234,22 @@ def test_spectral_fingerprint_survives_g711(spark):
     )
     fps = {r["media_id"]: r["afp"] for r in audio_fingerprint(media).collect()}
     assert bin((fps[1] ^ fps[2]) & ((1 << 64) - 1)).count("1") <= 2
+
+
+def test_probe_media_compressed_wav_duration(spark):
+    """probe_media gets duration for compressed WAV from the
+    fmt+fact chunks (the stdlib wave module rejects non-PCM)."""
+    from pyspark.sql import functions as F
+
+    from trial_submission_studio_spark.operators.multimodal import (
+        probe_media,
+    )
+
+    s = _sine(16000, rate=8000)  # 2.0 s
+    media = spark.createDataFrame(
+        [(1, encode_wav(s, 8000, codec="ulaw"), "mem://a.wav")],
+        "media_id bigint, payload binary, path string",
+    )
+    r = probe_media(media).collect()[0]
+    assert (r["kind"], r["mime"]) == ("audio", "audio/wav")
+    assert abs(r["duration_ms"] - 2000) <= 5

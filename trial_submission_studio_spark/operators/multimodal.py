@@ -663,6 +663,9 @@ def _make_header_probes():
     inflating, entropy-decoding, or reading sample data, so probing a
     100 TB corpus costs header bytes, not decode CPU. (The feature /
     resize operators still run the full decoders.)"""
+    from trial_submission_studio_spark.operators.adpcm import (
+        parse_wav_header as _parse_wav,
+    )
 
     def image_header(p: bytes | None):
         """→ (mime, width|None, height|None) or None if not an image."""
@@ -737,7 +740,16 @@ def _make_header_probes():
                 with wave.open(io.BytesIO(p), "rb") as wf:
                     rate, n = wf.getframerate(), wf.getnframes()
             except (wave.Error, EOFError):
-                return None
+                # compressed WAV (G.711/ADPCM): the stdlib module is
+                # PCM-only, but fmt+fact chunks still give duration
+                # (_parse_wav is factory-captured: executors cannot
+                # import this package at runtime)
+                info = _parse_wav(p)
+                if info is None or info["tag"] not in (0x02, 0x06, 0x07, 0x11):
+                    return None
+                rate, n = info["rate"], info["n_samples"]
+                dur = int(round(1000.0 * n / rate)) if rate and n else None
+                return ("audio/wav", dur)
             dur = int(round(1000.0 * n / rate)) if rate else None
             return ("audio/wav", dur)
         if p[:4] == b"fLaC":
