@@ -1,0 +1,175 @@
+"""RFC 9309 robots.txt tests: parser group semantics, LIKE
+compilation, and the distributed longest-match permission join."""
+
+from __future__ import annotations
+
+import pytest
+
+from trial_submission_studio_spark.operators.robots import (
+    parse_robots,
+    robots_allowed,
+    robots_rules,
+    robots_sitemaps,
+    rule_to_like,
+)
+
+ROBOTS = """
+# comment
+User-agent: *
+Disallow: /private/
+Allow: /private/public
+Crawl-delay: 2
+
+User-agent: goodbot
+User-agent: otherbot
+Disallow: /goodbot-only/
+
+User-agent: goodbot-news
+Disallow: /news-secret/
+
+Sitemap: https://example.com/sitemap.xml
+"""
+
+
+def test_parse_group_selection():
+    star = parse_robots(ROBOTS, "somebot")
+    assert (False, "/private/") in star["rules"]
+    assert star["crawl_delay"] == 2.0
+    good = parse_robots(ROBOTS, "GoodBot")  # case-insensitive
+    assert good["rules"] == [(False, "/goodbot-only/")]
+    other = parse_robots(ROBOTS, "otherbot")  # stacked UA lines share rules
+    assert other["rules"] == [(False, "/goodbot-only/")]
+    # longest prefix wins: goodbot-news/1.0 → the -news group
+    news = parse_robots(ROBOTS, "goodbot-news/1.0")
+    assert news["rules"] == [(False, "/news-secret/")]
+    assert parse_robots(ROBOTS)["sitemaps"] == ["https://example.com/sitemap.xml"]
+
+
+def test_parse_group_merge_and_empty_disallow():
+    txt = """
+User-agent: *
+Disallow:
+
+User-agent: *
+Disallow: /a
+"""
+    # empty Disallow matches nothing; repeated * groups merge
+    assert parse_robots(txt)["rules"] == [(False, "/a")]
+
+
+def test_parse_rules_before_any_group_ignored():
+    assert parse_robots("Disallow: /x\nUser-agent: *\nAllow: /y")["rules"] == [
+        (True, "/y")
+    ]
+
+
+def test_rule_to_like():
+    assert rule_to_like("/private/") == "/private/%"
+    assert rule_to_like("/*.pdf$") == "/%.pdf"
+    assert rule_to_like("/a*b") == "/a%b%"
+    assert rule_to_like("/100%_x") == "/100\\%\\_x%"
+
+
+@pytest.fixture()
+def rules_df(spark):
+    hosts = spark.createDataFrame(
+        [
+            ("example.com", ROBOTS),
+            (
+                "pdfs.example.net",
+                "User-agent: *\nDisallow: /*.pdf$\nAllow: /docs/",
+            ),
+            ("tie.example.org", "User-agent: *\nAllow: /page\nDisallow: /page"),
+        ],
+        "host string, robots_txt string",
+    )
+    return robots_rules(hosts, user_agent="somebot")
+
+
+def test_robots_rules_table(rules_df):
+    rows = {(r["host"], r["allow"], r["pattern"]) for r in rules_df.collect()}
+    assert (
+        ("example.com", False, "/private/") in rows
+        and ("example.com", True, "/private/public") in rows
+        and ("pdfs.example.net", False, "/*.pdf$") in rows
+    )
+
+
+def test_longest_match_and_tie_semantics(spark, rules_df):
+    urls = spark.createDataFrame(
+        [
+            (1, "https://example.com/ok.html"),
+            (2, "https://example.com/private/x"),
+            (3, "https://example.com/private/public/x"),  # longer Allow wins
+            (4, "https://pdfs.example.net/doc.pdf"),  # $ anchor blocks
+            (5, "https://pdfs.example.net/doc.pdfx"),  # not anchored-match
+            (6, "https://pdfs.example.net/docs/a.pdf"),  # Disallow longer → block
+            (7, "https://tie.example.org/page"),  # tie → Allow
+            (8, "https://unknown.example.io/anything"),  # no rules → default
+        ],
+        "id long, url string",
+    )
+    got = {
+        r["id"]: r["crawl_allowed"]
+        for r in robots_allowed(urls, rules_df).collect()
+    }
+    assert got == {
+        1: True,
+        2: False,
+        3: True,
+        4: False,
+        5: True,
+        6: False,
+        7: True,
+        8: True,
+    }
+
+
+def test_query_string_participates(spark):
+    hosts = spark.createDataFrame(
+        [("q.example.com", "User-agent: *\nDisallow: /*?session=")],
+        "host string, robots_txt string",
+    )
+    rules = robots_rules(hosts)
+    urls = spark.createDataFrame(
+        [
+            (1, "https://q.example.com/a?session=1"),
+            (2, "https://q.example.com/a"),
+        ],
+        "id long, url string",
+    )
+    got = {r["id"]: r["crawl_allowed"] for r in robots_allowed(urls, rules).collect()}
+    assert got == {1: False, 2: True}
+
+
+def test_broadcast_join_plan(spark, rules_df):
+    urls = spark.createDataFrame(
+        [(1, "https://example.com/x")], "id long, url string"
+    )
+    plan = (
+        robots_allowed(urls, rules_df, broadcast_rules=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+
+
+def test_sitemaps_table(spark):
+    hosts = spark.createDataFrame(
+        [("example.com", ROBOTS), ("empty.com", "User-agent: *\nDisallow:")],
+        "host string, robots_txt string",
+    )
+    rows = robots_sitemaps(hosts).collect()
+    assert [(r["host"], r["sitemap_url"]) for r in rows] == [
+        ("example.com", "https://example.com/sitemap.xml")
+    ]
+
+
+def test_binary_payload_and_null(spark):
+    hosts = spark.createDataFrame(
+        [("b.example.com", ROBOTS.encode()), ("n.example.com", None)],
+        "host string, robots_txt binary",
+    )
+    rows = robots_rules(hosts).collect()
+    assert {r["host"] for r in rows} == {"b.example.com"}
