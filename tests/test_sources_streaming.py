@@ -1781,3 +1781,96 @@ def test_near_duplicate_images_webp_cross_codec(spark):
         for r in near_duplicate_images(media, threshold=0.999).collect()
     }
     assert pairs == {(1, 2)}
+
+
+def test_streaming_dedup_ingest_bloom_pruned(spark, tmp_path):
+    """Exact-mode ingest with the Bloom sidecar: same admit/reject
+    decisions as plain exact mode across a restart, per-batch filter
+    files appear under state/_bloom, and the underscore dir stays
+    invisible to the partition-discovered fp read."""
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    from trial_submission_studio_spark.streaming.ingest import start_dedup_ingest
+
+    schema = "doc_id bigint, text string"
+    opts = {"capacity": 1000, "fpp": 0.01}
+    values_df(
+        spark,
+        [(1, "alpha text"), (2, "same body"), (3, "same body")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = start_dedup_ingest(
+        spark.readStream.schema(schema).parquet(src),
+        "doc_id", "text", corpus, state, ckpt, bloom=opts,
+    )
+    q.awaitTermination(120)
+    assert {r["doc_id"] for r in spark.read.parquet(corpus).collect()} == {1, 2}
+
+    values_df(
+        spark, [(4, "alpha text"), (5, "brand new")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = start_dedup_ingest(
+        spark.readStream.schema(schema).parquet(src),
+        "doc_id", "text", corpus, state, ckpt, bloom=opts,
+    )
+    q.awaitTermination(120)
+
+    assert {r["doc_id"] for r in spark.read.parquet(corpus).collect()} == {1, 2, 5}
+    # fp state read is unpolluted by the sidecar dir and matches admits
+    assert spark.read.parquet(state).select("fp").distinct().count() == 3
+    import os
+
+    sidecars = sorted(os.listdir(os.path.join(state, "_bloom")))
+    assert any(s.startswith("batch_") and s.endswith(".bits") for s in sidecars)
+    # the merged sidecars contain every admitted fp (no false negatives)
+    from trial_submission_studio_spark.operators.bloom import (
+        bloom_maybe_seen,
+        load_bloom,
+        merge_blooms,
+    )
+
+    bfs = [
+        load_bloom(os.path.join(state, "_bloom", s[: -len(".json")]))
+        for s in sidecars
+        if s.endswith(".json")
+    ]
+    merged = merge_blooms(bfs)
+    misses = (
+        bloom_maybe_seen(
+            spark.read.parquet(state).select("fp"), "fp", merged
+        )
+        .where("NOT maybe_seen")
+        .count()
+    )
+    assert misses == 0
+
+
+def test_incremental_exact_dedup_bloom_equivalence(spark):
+    """Batch API: incremental_exact_dedup(bloom=...) returns exactly
+    the plain path's novel set."""
+    from trial_submission_studio_spark.operators.bloom import build_bloom
+    from trial_submission_studio_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    docs = values_df(
+        spark,
+        [(i, f"text {i % 60}") for i in range(100)],
+        "doc_id bigint, text string",
+    )
+    seen = docs.filter("doc_id < 40").select(
+        F.md5(F.col("text").cast("string")).alias("fp")
+    ).distinct()
+    # normalized=False keys on md5(text) — matches `seen` above
+    inc = docs.filter("doc_id >= 40")
+    plain, _ = incremental_exact_dedup(inc, seen, "doc_id", "text", normalized=False)
+    bf = build_bloom(seen, "fp", capacity=50, fpp=0.3)  # deliberately lossy
+    pruned, _ = incremental_exact_dedup(
+        inc, seen, "doc_id", "text", normalized=False, bloom=bf
+    )
+    assert sorted(r["doc_id"] for r in plain.collect()) == sorted(
+        r["doc_id"] for r in pruned.collect()
+    )

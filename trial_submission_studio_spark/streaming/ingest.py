@@ -49,6 +49,28 @@ def _has_parquet(path: str) -> bool:
     return False
 
 
+def _merged_bloom(bloom_dir: str, exclude_batch: int):
+    """OR-merge the per-batch bloom sidecars, excluding the current
+    batch (the same replay fence as the fp partitions: a recovered
+    batch must not probe against its own prior contribution)."""
+    from trial_submission_studio_spark.operators.bloom import (
+        load_bloom,
+        merge_blooms,
+    )
+
+    if not os.path.isdir(bloom_dir):
+        return None
+    filters = []
+    for name in sorted(os.listdir(bloom_dir)):
+        if not name.endswith(".json") or not name.startswith("batch_"):
+            continue
+        bid = int(name[len("batch_") : -len(".json")])
+        if bid == exclude_batch:
+            continue
+        filters.append(load_bloom(os.path.join(bloom_dir, name[: -len(".json")])))
+    return merge_blooms(filters) if filters else None
+
+
 def start_dedup_ingest(
     stream_df: DataFrame,
     id_col: str,
@@ -60,6 +82,7 @@ def start_dedup_ingest(
     publish_versions: bool = False,
     mode: str = "exact",
     minhash: dict | None = None,
+    bloom: dict | None = None,
 ):
     """Start the continuous dedup-ingest query; returns the
     StreamingQuery. ``corpus_dir`` receives novel documents,
@@ -87,11 +110,24 @@ def start_dedup_ingest(
     each batch appending only its own delta under a fenced
     ``batch_id=N`` directory. ``minhash`` passes operator options
     (k, num_hashes, bands, rows_per_band, sig_threshold).
+
+    ``bloom`` (exact mode only), e.g. ``{"capacity": 1_000_000,
+    "fpp": 0.01}``, maintains a per-batch Bloom sidecar under
+    ``state_dir/_bloom`` (underscore → invisible to discovery
+    readers): each batch OR-merges the other batches' filters and
+    prunes the corpus anti-join to maybe-seen rows only
+    (``operators/bloom.py``); its own novel fps become the next
+    sidecar. ``capacity`` sizes EACH batch's filter — undersizing
+    only raises the verify fraction, never changes results. Replay
+    uses the same fence as the fp partitions (own batch excluded
+    from the merge; the rebuilt sidecar overwrites deterministically).
     """
     if not stream_df.isStreaming:
         raise ValueError("stream_df must be a streaming DataFrame")
     if mode not in ("exact", "near"):
         raise ValueError(f"mode must be 'exact' or 'near', got {mode!r}")
+    if bloom is not None and mode != "exact":
+        raise ValueError("bloom pruning applies to exact mode only")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -159,13 +195,36 @@ def start_dedup_ingest(
                 if _has_parquet(state_dir)
                 else None
             )
-            novel, _ = incremental_exact_dedup(batch_df, seen, id_col, text_col)
+            bf = (
+                _merged_bloom(os.path.join(state_dir, "_bloom"), batch_id)
+                if bloom is not None
+                else None
+            )
+            novel, _ = incremental_exact_dedup(
+                batch_df, seen, id_col, text_col, bloom=bf
+            )
             novel = novel.persist()
             try:
                 novel.write.mode("overwrite").parquet(batch_dir)
                 novel.select(fingerprint(text_col).alias("fp")).write.mode(
                     "overwrite"
                 ).parquet(os.path.join(state_dir, f"batch_id={batch_id}"))
+                if bloom is not None:
+                    from trial_submission_studio_spark.operators.bloom import (
+                        build_bloom,
+                        save_bloom,
+                    )
+
+                    delta = build_bloom(
+                        novel.select(fingerprint(text_col).alias("fp")),
+                        "fp",
+                        capacity=bloom.get("capacity", 1_000_000),
+                        fpp=bloom.get("fpp", 0.01),
+                    )
+                    save_bloom(
+                        delta,
+                        os.path.join(state_dir, "_bloom", f"batch_{batch_id}"),
+                    )
             finally:
                 novel.unpersist()
         if publish_versions:
