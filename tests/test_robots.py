@@ -173,3 +173,77 @@ def test_binary_payload_and_null(spark):
     )
     rows = robots_rules(hosts).collect()
     assert {r["host"] for r in rows} == {"b.example.com"}
+
+
+SITEMAP_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url>
+    <loc>https://example.com/a</loc>
+    <lastmod>2025-01-01</lastmod>
+    <changefreq>daily</changefreq>
+    <priority>0.8</priority>
+  </url>
+  <url><loc>https://example.com/b</loc></url>
+  <url><priority>0.5</priority></url>
+</urlset>
+"""
+
+SITEMAP_INDEX = """<?xml version="1.0"?>
+<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap><loc>https://example.com/sitemap-1.xml.gz</loc></sitemap>
+  <sitemap><loc>https://example.com/sitemap-2.xml.gz</loc></sitemap>
+</sitemapindex>
+"""
+
+
+def test_parse_sitemap_urlset():
+    from trial_submission_studio_spark.operators.robots import parse_sitemap
+
+    entries = parse_sitemap(SITEMAP_XML)
+    assert [e["loc"] for e in entries] == [
+        "https://example.com/a",
+        "https://example.com/b",
+    ]  # loc-less entry dropped
+    assert entries[0]["priority"] == "0.8" and entries[0]["changefreq"] == "daily"
+    assert all(e["kind"] == "url" for e in entries)
+
+
+def test_parse_sitemap_index_gz_text_and_malformed():
+    import gzip
+
+    from trial_submission_studio_spark.operators.robots import parse_sitemap
+
+    idx = parse_sitemap(SITEMAP_INDEX.encode())
+    assert [e["kind"] for e in idx] == ["sitemap", "sitemap"]
+    gz = parse_sitemap(gzip.compress(SITEMAP_XML.encode()))
+    assert len(gz) == 2
+    txt = parse_sitemap("https://x.com/1\n# junk\nhttps://x.com/2\n")
+    assert [e["loc"] for e in txt] == ["https://x.com/1", "https://x.com/2"]
+    assert parse_sitemap("<urlset><url></loc>broken") == []
+    assert parse_sitemap(None) == []
+    assert parse_sitemap(b"\x1f\x8btruncated-gzip") == []
+
+
+def test_sitemap_entries_spark(spark):
+    import gzip
+
+    from trial_submission_studio_spark.operators.robots import sitemap_entries
+
+    df = spark.createDataFrame(
+        [
+            ("example.com", SITEMAP_XML.encode()),
+            ("idx.example.com", SITEMAP_INDEX.encode()),
+            ("gz.example.com", gzip.compress(SITEMAP_XML.encode())),
+            ("bad.example.com", b"<not-xml"),
+        ],
+        "host string, sitemap_payload binary",
+    )
+    rows = sitemap_entries(df).collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r)
+    assert len(by_host["example.com"]) == 2
+    assert by_host["example.com"][0]["priority"] == 0.8
+    assert {r["kind"] for r in by_host["idx.example.com"]} == {"sitemap"}
+    assert len(by_host["gz.example.com"]) == 2
+    assert "bad.example.com" not in by_host

@@ -56,6 +56,8 @@ __all__ = [
     "robots_rules",
     "robots_allowed",
     "robots_sitemaps",
+    "parse_sitemap",
+    "sitemap_entries",
 ]
 
 
@@ -285,4 +287,103 @@ def robots_sitemaps(
 
     return df.select(host_col, payload_col).mapInPandas(
         kernel, f"{host_col} string, sitemap_url string"
+    )
+
+
+def parse_sitemap(payload):
+    """Sitemap payload (XML urlset / sitemapindex, plain-text URL
+    list, optionally gzipped) → list of dicts
+    ``{kind: "url"|"sitemap", loc, lastmod, changefreq, priority}``.
+    Namespace-tolerant (tags matched by local name); malformed XML
+    returns [] rather than raising — the caller quarantines."""
+    import gzip
+
+    if payload is None:
+        return []
+    if isinstance(payload, str):
+        data = payload.encode("utf-8", "replace")
+    else:
+        data = bytes(payload)
+    if data[:2] == b"\x1f\x8b":
+        try:
+            data = gzip.decompress(data)
+        except OSError:
+            return []
+    text = data.decode("utf-8", "replace").lstrip("﻿ \t\r\n")
+    if not text:
+        return []
+    if not text.startswith("<"):
+        # plain-text sitemap: one URL per line
+        return [
+            {"kind": "url", "loc": ln.strip(), "lastmod": None,
+             "changefreq": None, "priority": None}
+            for ln in text.splitlines()
+            if ln.strip().startswith(("http://", "https://"))
+        ]
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(text)
+    except ET.ParseError:
+        return []
+
+    def local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1].lower()
+
+    kind = "sitemap" if local(root.tag) == "sitemapindex" else "url"
+    out = []
+    for entry in root:
+        if local(entry.tag) not in ("url", "sitemap"):
+            continue
+        fields = {"loc": None, "lastmod": None, "changefreq": None, "priority": None}
+        for child in entry:
+            name = local(child.tag)
+            if name in fields and child.text:
+                fields[name] = child.text.strip()
+        if fields["loc"]:
+            out.append({"kind": kind, **fields})
+    return out
+
+
+def sitemap_entries(
+    df: DataFrame,
+    host_col: str = "host",
+    payload_col: str = "sitemap_payload",
+) -> DataFrame:
+    """(host, sitemap payload) rows → exploded entries table
+    ``(host, kind, loc, lastmod, changefreq, priority)``. ``kind``
+    is "sitemap" for index entries (feed them back through the
+    fetcher and this operator — sitemap trees are shallow) and
+    "url" for leaf locations. Arrow-batched stdlib XML parse;
+    malformed payloads yield no rows (quarantine by anti-join on
+    host if you need the failure set)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    parse = parse_sitemap
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    (host_col, "kind", "loc", "lastmod", "changefreq", "priority")}
+            for host, body in zip(pdf[host_col], pdf[payload_col]):
+                for e in parse(body):
+                    rows[host_col].append(host)
+                    rows["kind"].append(e["kind"])
+                    rows["loc"].append(e["loc"])
+                    rows["lastmod"].append(e["lastmod"])
+                    rows["changefreq"].append(e["changefreq"])
+                    rows["priority"].append(
+                        float(e["priority"]) if e["priority"] else None
+                    )
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="float64" if k == "priority" else object)
+                 for k, v in rows.items()}
+            )
+
+    return df.select(host_col, payload_col).mapInPandas(
+        kernel,
+        f"{host_col} string, kind string, loc string, lastmod string, "
+        "changefreq string, priority double",
     )
