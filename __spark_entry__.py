@@ -1930,6 +1930,73 @@ def pagerank_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=5)
 
 
+def bloom_dedup_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned incremental exact dedup (operators/bloom.py) over
+    the documents corpus: build the corpus filter + triage + verify
+    an increment, all inside the timed region. Benched extra, NOT in
+    the 50-slot contract (the pruned path's ≡-anti-join semantics
+    are oracle-pinned inside incremental_dedup_docs)."""
+    from trial_submission_studio_spark.operators.bloom import build_bloom
+    from trial_submission_studio_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    seen = corpus.select(
+        F.md5(F.col("text").cast("string")).alias("fp")
+    ).distinct()
+    inc = d.filter(F.col("doc_id") % 2 == 1).unionByName(
+        corpus.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 9_000_000).alias("doc_id"), "text"
+        )
+    )
+    bf = build_bloom(seen, "fp", capacity=500_000, fpp=0.01)
+    novel, _ = incremental_exact_dedup(
+        inc, seen, "doc_id", "text", normalized=False, bloom=bf
+    )
+    return novel.select("doc_id")
+
+
+def bm25_retrieval_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 index build + 16-query top-10 retrieval
+    (operators/bm25.py) over the documents corpus. Benched extra,
+    NOT in the 50-slot contract; score parity is pinned by
+    tests/test_bm25.py against a pure-Python Okapi reference."""
+    from trial_submission_studio_spark.operators.bm25 import (
+        bm25_topk,
+        build_bm25_index,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = build_bm25_index(d, "doc_id", "text")
+    queries = (
+        d.filter(F.col("doc_id") % 97 == 0)
+        .limit(16)
+        .select(
+            F.col("doc_id").alias("qid"),
+            F.array_join(
+                F.slice(F.split(F.lower(F.col("text")), r"\s+"), 1, 6), " "
+            ).alias("qtext"),
+        )
+    )
+    return bm25_topk(idx, queries, "qid", "qtext", k=10)
+
+
+def dsir_select_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/dsir.py): fit target and
+    raw hashed-n-gram distributions, weight, Gumbel-top-k select.
+    Benched extra, NOT in the 50-slot contract; weight math is pinned
+    by tests/test_dsir.py against numpy at 1e-12."""
+    from trial_submission_studio_spark.operators.dsir import dsir_select
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    target = d.filter(F.col("doc_id") % 17 == 0)
+    return dsir_select(
+        d, target, "doc_id", "text", k=1000, buckets=8192
+    ).select("doc_id", "log_weight")
+
+
 def bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a BPE tokenizer on the documents corpus and account
     learned-tokenizer tokens per source (operators/bpe.py). Benched

@@ -263,6 +263,10 @@ def main() -> None:
         "sketch_distinct_gates",
         # iterative link-graph authority (bench-only callable)
         "pagerank_domains",
+        # round-8 additions (bench-only callables)
+        "bloom_dedup_bench",
+        "bm25_retrieval_bench",
+        "dsir_select_bench",
     )
     for name in EXTRA_QUERIES:
         if name not in qs:
