@@ -114,3 +114,14 @@ def test_decontamination_by_retrieval(spark):
     )
     top = bm25_topk(idx, bench, "qid", "qtext", k=3).collect()
     assert top[0]["doc_id"] == 99
+
+
+def test_plan_broadcasts_query_terms(spark, index):
+    queries = spark.createDataFrame([(1, "quick fox")], "qid long, qtext string")
+    plan = (
+        bm25_topk(index, queries, "qid", "qtext")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan

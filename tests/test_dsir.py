@@ -129,3 +129,15 @@ def test_temperature_flattens_selection(spark):
     )
     share = sum(1 for r in hot.collect() if r["doc_id"] < 50) / 30
     assert 0.2 < share < 0.8  # near the 0.5 population share
+
+
+def test_plan_broadcasts_ratio_table(spark):
+    raw = _df(spark, [(i, f"w{i % 5}") for i in range(10)])
+    target = _df(spark, [(100, "w1")])
+    plan = (
+        dsir_log_weights(raw, target, "doc_id", "text", B)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan

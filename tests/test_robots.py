@@ -247,3 +247,26 @@ def test_sitemap_entries_spark(spark):
     assert {r["kind"] for r in by_host["idx.example.com"]} == {"sitemap"}
     assert len(by_host["gz.example.com"]) == 2
     assert "bad.example.com" not in by_host
+
+
+def test_fetch_schedule_politeness(spark):
+    from trial_submission_studio_spark.operators.robots import fetch_schedule
+
+    urls = spark.createDataFrame(
+        [(i, f"https://slow.example.com/p{i}") for i in range(4)]
+        + [(10, "https://fast.example.com/x"), (11, "https://fast.example.com/y")],
+        "id long, url string",
+    )
+    delays = spark.createDataFrame(
+        [("slow.example.com", 5.0)], "host string, crawl_delay double"
+    )
+    rows = fetch_schedule(urls, delays, default_delay_s=0.5).collect()
+    slow = sorted(r["not_before_s"] for r in rows if "slow" in r["url"])
+    fast = sorted(r["not_before_s"] for r in rows if "fast" in r["url"])
+    assert slow == [0.0, 5.0, 10.0, 15.0]  # crawl-delay honored
+    assert fast == [0.0, 0.5]  # default delay
+    # waves are a permutation per host, deterministic across runs
+    again = fetch_schedule(urls.repartition(7), delays, default_delay_s=0.5)
+    assert {(r["id"], r["fetch_wave"]) for r in again.collect()} == {
+        (r["id"], r["fetch_wave"]) for r in rows
+    }

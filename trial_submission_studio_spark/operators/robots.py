@@ -58,6 +58,7 @@ __all__ = [
     "robots_sitemaps",
     "parse_sitemap",
     "sitemap_entries",
+    "fetch_schedule",
 ]
 
 
@@ -386,4 +387,50 @@ def sitemap_entries(
         kernel,
         f"{host_col} string, kind string, loc string, lastmod string, "
         "changefreq string, priority double",
+    )
+
+
+def fetch_schedule(
+    urls: DataFrame,
+    delays: DataFrame | None = None,
+    url_col: str = "url",
+    host_col: str = "host",
+    default_delay_s: float = 1.0,
+    out_col: str = "not_before_s",
+) -> DataFrame:
+    """Politeness scheduling: assign each URL a per-host fetch wave
+    and earliest fetch offset honoring Crawl-delay.
+
+    ``delays`` is an optional ``(host, crawl_delay)`` table (e.g.
+    collected from :func:`parse_robots`); hosts without a row get
+    ``default_delay_s``. Adds ``fetch_wave`` (0-based position in
+    the host's queue, deterministic url-hash order) and ``out_col``
+    = wave × delay seconds. One shuffle on the host key; a frontier
+    scheduler partitions output by wave so each wave is a scan-ready
+    work list."""
+    from pyspark.sql import Window
+
+    keyed = urls.withColumn(
+        "__host",
+        F.lower(F.coalesce(F.try_parse_url(F.col(url_col), F.lit("HOST")), F.lit(""))),
+    )
+    if delays is not None:
+        d = delays.select(
+            F.lower(F.col(host_col)).alias("__host"),
+            F.col("crawl_delay").cast("double").alias("__delay"),
+        )
+        keyed = keyed.join(F.broadcast(d), "__host", "left")
+    else:
+        keyed = keyed.withColumn("__delay", F.lit(None).cast("double"))
+    w = Window.partitionBy("__host").orderBy(
+        F.xxhash64(F.col(url_col)), F.col(url_col)
+    )
+    return (
+        keyed.withColumn("fetch_wave", F.row_number().over(w) - 1)
+        .withColumn(
+            out_col,
+            F.col("fetch_wave")
+            * F.coalesce(F.col("__delay"), F.lit(float(default_delay_s))),
+        )
+        .drop("__host", "__delay")
     )
