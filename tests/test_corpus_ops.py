@@ -256,3 +256,42 @@ def test_shuffle_deterministic_partition_invariant(spark):
     assert o1 != list(range(60))  # actually permuted
     o_other = [r["doc_id"] for r in shuffle_deterministic(df, "doc_id", seed=8).collect()]
     assert o_other != o1  # a new seed is a new epoch order
+
+
+def test_calibrate_lsh_s_curve():
+    """Calibration picks factorizations whose S-curve crosses near
+    the requested threshold, monotonically in the threshold, and
+    matches a brute-force MinHash simulation."""
+    import itertools
+    import random
+
+    import pytest
+
+    from trial_submission_studio_spark.operators.dedup import calibrate_lsh
+
+    lo = calibrate_lsh(0.3, num_hashes=32)
+    hi = calibrate_lsh(0.9, num_hashes=32)
+    # low thresholds want many bands (few rows); high want the reverse
+    assert lo["bands"] > hi["bands"]
+    assert lo["bands"] * lo["rows_per_band"] == 32
+    assert hi["bands"] * hi["rows_per_band"] == 32
+    # the half-probability point of the chosen curve is near the ask
+    for cfg, t in ((lo, 0.3), (hi, 0.9)):
+        p = cfg["candidate_prob"]
+        crossing = next(s / 1000 for s in range(1, 1000) if p(s / 1000) >= 0.5)
+        assert abs(crossing - t) < 0.15
+    # candidate_prob matches a simulated banded MinHash within noise
+    rng = random.Random(7)
+    cfg = calibrate_lsh(0.5, num_hashes=16)
+    b, r = cfg["bands"], cfg["rows_per_band"]
+    s = 0.6
+    trials = 2000
+    hits = 0
+    for _ in range(trials):
+        # each hash agrees independently w.p. s (the MinHash property)
+        agree = [rng.random() < s for _ in range(16)]
+        if any(all(agree[i * r : (i + 1) * r]) for i in range(b)):
+            hits += 1
+    assert hits / trials == pytest.approx(cfg["candidate_prob"](s), abs=0.05)
+    with pytest.raises(ValueError):
+        calibrate_lsh(1.5)
