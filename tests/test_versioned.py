@@ -244,3 +244,65 @@ def test_jsonl_landing_to_versioned_corpus_end_to_end(spark, tmp_path):
     rows = {r.doc_id: r for r in pooled.collect()}
     assert set(rows) == {1, 2, 4}
     assert all(r.n_pooled >= 2 and len(r.vec) == 1 for r in rows.values())
+
+
+def test_compact_version_preserves_rows_and_history(spark, tmp_path):
+    """OPTIMIZE-style compaction: many small part files rewrite to
+    few ~target-size outputs in a NEW version; rows identical; the
+    pre-compaction version still time-travels; retire+vacuum then
+    reclaims the small files while the compacted snapshot survives."""
+    import os
+
+    from trial_submission_studio_spark.io.versioned import (
+        compact_version,
+        new_data_dir,
+        publish_version,
+        read_manifest,
+        read_version,
+        retire_versions,
+        vacuum,
+    )
+
+    root = str(tmp_path / "corpus")
+    run = new_data_dir(root)
+    df = spark.range(2000).selectExpr("id AS doc_id", "repeat('x', 50) AS text")
+    df.repartition(16).write.mode("overwrite").parquet(run)  # 16 tiny files
+    v1 = publish_version(root, run)
+    assert v1["n_files"] == 16
+
+    v2 = compact_version(spark, root, target_bytes=1 << 30)
+    assert v2["version"] == v1["version"] + 1
+    assert v2["metadata"]["files_in"] == 16
+    assert v2["n_files"] < v1["n_files"]
+    # identical rows; old version still time-travels
+    new_ids = sorted(r["doc_id"] for r in read_version(spark, root).collect())
+    old_ids = sorted(
+        r["doc_id"] for r in read_version(spark, root, v1["version"]).collect()
+    )
+    assert new_ids == old_ids == list(range(2000))
+
+    # big files carry over untouched when above the small threshold
+    v3 = compact_version(spark, root, target_bytes=1 << 30, small_threshold=1)
+    assert v3 == read_manifest(root)  # nothing small → no new commit
+
+    retire_versions(root, keep_latest=1)
+    deleted = vacuum(root, min_age_seconds=0)
+    assert deleted  # the 16 small files are reclaimable
+    assert sorted(r["doc_id"] for r in read_version(spark, root).collect()) == list(
+        range(2000)
+    )
+
+
+def test_compact_version_verify_and_noop(spark, tmp_path):
+    from trial_submission_studio_spark.io.versioned import (
+        compact_version,
+        new_data_dir,
+        publish_version,
+    )
+
+    root = str(tmp_path / "c2")
+    run = new_data_dir(root)
+    spark.range(10).coalesce(1).write.mode("overwrite").parquet(run)
+    v1 = publish_version(root, run)
+    # single file → nothing to compact, same manifest back
+    assert compact_version(spark, root)["version"] == v1["version"]

@@ -314,3 +314,75 @@ def vacuum(
                 ):
                     shutil.rmtree(os.path.join(data_root, run))
     return sorted(doomed)
+
+
+def compact_version(
+    spark: SparkSession,
+    root: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    *,
+    version: int | None = None,
+    small_threshold: int | None = None,
+    verify: bool = True,
+    metadata: dict | None = None,
+) -> dict:
+    """Small-file compaction WITHOUT breaking time travel: rewrite a
+    snapshot's under-sized parquet files into ~``target_bytes``
+    outputs and publish the result as a NEW version. The input
+    version (and every other) stays readable until retired+vacuumed
+    — compaction is just another append-only commit.
+
+    Why it matters at scale: streaming ingest and per-batch fencing
+    produce many small part files; a 100k-file snapshot pays listing,
+    open, and footer costs per file and starves scan parallelism
+    (sub-row-group files → one task each). The Delta/Iceberg answer
+    is OPTIMIZE/rewrite: data files are immutable, so compaction is a
+    rewrite + manifest swap, never an in-place merge.
+
+    Plan shape: file sizes come from a driver-side stat of the
+    manifest list (metadata-scale); files ≥ ``small_threshold``
+    (default ``target_bytes // 2``) are carried over untouched; the
+    small ones are read in ONE Spark job and repartitioned to
+    ``ceil(total_small_bytes / target_bytes)`` outputs written to a
+    fresh immutable run dir. ``verify=True`` adds a row-count check
+    of small-in vs compacted-out before publishing (two counts over
+    the small slice only).
+
+    Returns the new manifest; if nothing qualifies for compaction,
+    returns the CURRENT manifest unchanged (no empty commit).
+    """
+    import math
+
+    m = read_manifest(root, version)
+    threshold = small_threshold if small_threshold is not None else target_bytes // 2
+    keep: list[str] = []
+    small: list[str] = []
+    small_bytes = 0
+    for rel in m["files"]:
+        size = os.path.getsize(os.path.join(root, rel))
+        if size >= threshold:
+            keep.append(rel)
+        else:
+            small.append(rel)
+            small_bytes += size
+    if len(small) < 2:
+        return m  # nothing worth rewriting
+    n_out = max(1, math.ceil(small_bytes / target_bytes))
+    run_dir = new_data_dir(root)
+    small_df = spark.read.parquet(*[os.path.join(root, f) for f in small])
+    small_df.repartition(n_out).write.mode("overwrite").parquet(run_dir)
+    if verify:
+        n_in = small_df.count()
+        n_out_rows = spark.read.parquet(run_dir).count()
+        if n_in != n_out_rows:
+            raise RuntimeError(
+                f"compaction row-count mismatch: {n_in} in, {n_out_rows} out"
+            )
+    fresh = [os.path.relpath(p, root) for p in data_files(run_dir)]
+    meta = {
+        "compaction_of": m["version"],
+        "files_in": len(small),
+        "files_out": len(fresh),
+        **(metadata or {}),
+    }
+    return publish_files(root, keep + fresh, metadata=meta)
