@@ -67,14 +67,18 @@ try:  # pragma: no cover - registration is a serialization concern
     from trial_submission_studio_spark.operators import adpcm as _adpcm_module
     from trial_submission_studio_spark.operators import avi as _avi_module
     from trial_submission_studio_spark.operators import flac as _flac_module
+    from trial_submission_studio_spark.operators import gifanim as _gifanim_module
     from trial_submission_studio_spark.operators import jpeg as _jpeg_module
     from trial_submission_studio_spark.operators import vp8l as _vp8l_module
+    from trial_submission_studio_spark.operators import webpanim as _webpanim_module
 
     _cloudpickle.register_pickle_by_value(_adpcm_module)
     _cloudpickle.register_pickle_by_value(_avi_module)
     _cloudpickle.register_pickle_by_value(_flac_module)
+    _cloudpickle.register_pickle_by_value(_gifanim_module)
     _cloudpickle.register_pickle_by_value(_jpeg_module)
     _cloudpickle.register_pickle_by_value(_vp8l_module)
+    _cloudpickle.register_pickle_by_value(_webpanim_module)
 except Exception:  # noqa: BLE001 - never block import on this
     pass
 
@@ -1185,10 +1189,15 @@ def sample_frames(
     REAL for MJPEG-in-AVI: RIFF container walk (:mod:`.avi`) selects
     one source frame per ``every_ms`` window from the stream's fps,
     decodes it with the package JPEG decoder and re-emits PNG —
-    no external codec library. ``transcode="jpeg"`` skips the
+    no external codec library. REAL for animated GIF too
+    (``transcode="png"`` mode): the full inter-frame state machine
+    (:mod:`.gifanim` — sub-rectangle deltas, disposal, transparency)
+    composites frames, sampled by cumulative per-frame delay.
+    ``transcode="jpeg"`` skips the
     decode entirely and passes the selected frames' raw JPEG bytes
     through (column ``frame_jpeg``) — the 100-TB path, since frame
-    SELECTION then costs container walking only, zero codec CPU.
+    SELECTION then costs container walking only, zero codec CPU
+    (JPEG-specific, so GIF payloads fall to the error path there).
     Other containers (H.264/VP9/... need ffmpeg) raise
     ``NotImplementedError`` naming the payload, or are skipped per
     ``on_error`` ("raise" | "skip"); the ``deterministic_fake`` mode
@@ -1213,7 +1222,14 @@ def sample_frames(
         iter_mjpeg_frames,
         parse_avi,
     )
+    from trial_submission_studio_spark.operators.gifanim import (
+        decode_gif_frames,
+    )
     from trial_submission_studio_spark.operators.jpeg import decode_jpeg
+    from trial_submission_studio_spark.operators.webpanim import (
+        decode_webp_frames,
+        is_animated_webp,
+    )
 
     enc_png = encode_png
 
@@ -1229,6 +1245,40 @@ def sample_frames(
                         ids.append(mid)
                         idxs.append(i)
                         frames.append(b"\x89PNG-fake-" + str(i).encode())
+                    continue
+                is_gif = p is not None and p[:6] in (b"GIF87a", b"GIF89a")
+                is_awebp = p is not None and is_animated_webp(p)
+                if not raw and (is_gif or is_awebp):
+                    try:
+                        if is_gif:
+                            gif_frames = decode_gif_frames(p)
+                        else:
+                            gif_frames = [
+                                (d, img[:, :, :3])
+                                for d, img in decode_webp_frames(p)
+                            ]
+                    except NotImplementedError:
+                        if on_error == "skip":
+                            continue
+                        raise
+                    except Exception:
+                        gif_frames = None
+                    if not gif_frames:
+                        if on_error == "skip":
+                            continue
+                        raise ValueError(
+                            f"media_id={mid}: undecodable animation payload"
+                        )
+                    # sample by cumulative delay, one frame per window
+                    t_cum = 0
+                    next_t = 0
+                    for i, (delay, img) in enumerate(gif_frames):
+                        if t_cum >= next_t:
+                            ids.append(mid)
+                            idxs.append(i)
+                            frames.append(enc_png(img))
+                            next_t += every_ms
+                        t_cum += max(int(delay), 10)
                     continue
                 meta = parse_avi(p)
                 if meta is None or not meta["fps"]:
