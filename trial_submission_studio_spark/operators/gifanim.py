@@ -350,3 +350,52 @@ def encode_gif_anim(
         prev = frame
     buf += b"\x3b"
     return bytes(buf)
+
+
+def gif_animation_info(payload: bytes):
+    """Header-scale ``(n_frames, total_duration_ms)`` — walks block
+    structure and GCE delays only, no pixel decode. (0, 0) for
+    non-GIF payloads; truncated payloads report what was seen."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return 0, 0
+    import struct
+
+    i = 13
+    packed = payload[10]
+    if packed & 0x80:
+        i += (2 << (packed & 0x07)) * 3
+    count = 0
+    total_ms = 0
+    pending_ms = 0
+    try:
+        while i < len(payload):
+            b0 = payload[i]
+            if b0 == 0x3B:
+                break
+            if b0 == 0x21:
+                label = payload[i + 1]
+                i += 2
+                first = payload[i + 1 : i + 1 + payload[i]] if payload[i] else b""
+                if label == 0xF9 and len(first) >= 3:
+                    (delay_cs,) = struct.unpack("<H", first[1:3])
+                    pending_ms = delay_cs * 10
+                while payload[i]:
+                    i += payload[i] + 1
+                i += 1
+                continue
+            if b0 != 0x2C:
+                break
+            ipk = payload[i + 9]
+            i += 10
+            if ipk & 0x80:
+                i += (2 << (ipk & 0x07)) * 3
+            i += 1
+            while payload[i]:
+                i += payload[i] + 1
+            i += 1
+            count += 1
+            total_ms += pending_ms
+            pending_ms = 0
+    except IndexError:
+        pass
+    return count, total_ms

@@ -282,9 +282,15 @@ def _make_image_decoder():
     import this package)."""
     from trial_submission_studio_spark.operators.jpeg import decode_jpeg
     from trial_submission_studio_spark.operators.vp8l import decode_webp
+    from trial_submission_studio_spark.operators.webpanim import (
+        decode_webp_frames,
+        is_animated_webp,
+    )
 
     jpeg_decode = decode_jpeg
     webp_decode = decode_webp
+    webp_anim_check = is_animated_webp
+    webp_frames = decode_webp_frames
 
     def decode(payload: bytes | None):
         import numpy as np
@@ -295,6 +301,10 @@ def _make_image_decoder():
             return jpeg_decode(payload)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
             try:
+                if webp_anim_check(payload):
+                    # still-image view of animation = first frame
+                    frames = webp_frames(payload)
+                    return frames[0][1][:, :, :3].copy() if frames else None
                 return webp_decode(payload)[:, :, :3].copy()
             except NotImplementedError:
                 return None  # lossy VP8: quarantine path
@@ -730,6 +740,24 @@ def _make_header_probes():
             if w > 0 and h != 0 and bpp in (1, 4, 8, 16, 24, 32):
                 return ("image/bmp", w, abs(h))
             return None
+        if p[:4] == b"RIFF" and len(p) >= 30 and p[8:12] == b"WEBP":
+            chunk = p[12:16]
+            if chunk == b"VP8X":  # extended: canvas dims in the header
+                w = 1 + (p[24] | (p[25] << 8) | (p[26] << 16))
+                h = 1 + (p[27] | (p[28] << 8) | (p[29] << 16))
+                return ("image/webp", w, h)
+            if chunk == b"VP8L" and p[20] == 0x2F:
+                bits = int.from_bytes(p[21:25], "little")
+                return (
+                    "image/webp",
+                    (bits & 0x3FFF) + 1,
+                    ((bits >> 14) & 0x3FFF) + 1,
+                )
+            if chunk == b"VP8 " and p[23:26] == b"\x9d\x01\x2a":
+                w = (p[26] | (p[27] << 8)) & 0x3FFF
+                h = (p[28] | (p[29] << 8)) & 0x3FFF
+                return ("image/webp", w, h)
+            return ("image/webp", None, None)
         return None
 
     def audio_header(p: bytes | None):
@@ -1361,12 +1389,20 @@ def probe_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     the real decoders). One partition-local pass, no shuffle; corrupt
     headers classify by magic with NULL metadata, never raise."""
     from trial_submission_studio_spark.operators.avi import parse_avi
+    from trial_submission_studio_spark.operators.gifanim import (
+        gif_animation_info,
+    )
+    from trial_submission_studio_spark.operators.webpanim import (
+        webp_animation_info,
+    )
 
     img_hdr = _image_header
     aud_hdr = _audio_header
     mp4_meta = _mp4_metadata
     mp3_dur = _mp3_duration_ms
     avi_meta = parse_avi
+    gif_anim = gif_animation_info
+    webp_anim = webp_animation_info
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         magics = [
@@ -1388,6 +1424,20 @@ def probe_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                 if ih is not None:
                     kind = "image"
                     mime, w, h = ih
+                    # animated GIF/WebP: total duration from the
+                    # header-scale block walk (kind stays "image";
+                    # sample_frames treats them as footage)
+                    try:
+                        if mime == "image/gif":
+                            n_fr, total = gif_anim(p)
+                        elif mime == "image/webp":
+                            n_fr, total = webp_anim(p)
+                        else:
+                            n_fr, total = 0, 0
+                    except Exception:
+                        n_fr, total = 0, 0
+                    if n_fr > 1:
+                        dur = total
                 else:
                     try:
                         ah = aud_hdr(p)

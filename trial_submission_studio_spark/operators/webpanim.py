@@ -222,3 +222,21 @@ def encode_webp_anim(
         payload += chunk(b"ANMF", body)
     riff = b"WEBP" + payload
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def webp_animation_info(payload: bytes):
+    """Header-scale ``(n_frames, total_duration_ms)`` from the ANMF
+    chunk headers alone (16 bytes each — frame bitstreams are
+    skipped by chunk size). (0, 0) when not an animated WebP."""
+    try:
+        if not is_animated_webp(payload):
+            return 0, 0
+        count = 0
+        total = 0
+        for tag, body in _chunks(payload):
+            if tag == b"ANMF" and len(body) >= 16:
+                count += 1
+                total += _u24(body, 12)
+        return count, total
+    except (ValueError, IndexError):
+        return 0, 0
