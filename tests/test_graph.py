@@ -168,3 +168,46 @@ def test_pagerank_step_plan_shape(spark):
     step = _pagerank_step(nodes, ed, ranks, dangling, 4, 0.85)
     plan = step._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_html_anchor_links_extraction(spark):
+    """Anchor-text extraction: hrefs resolve against the base URL,
+    anchor text is the whitespace-collapsed element content, nested
+    markup inside <a> contributes its text, unclosed anchors flush,
+    and the per-target anchor table composes with a groupBy."""
+    from pyspark.sql import functions as F
+
+    from trial_submission_studio_spark.operators.textclean import (
+        html_anchor_links,
+    )
+
+    html = """
+    <html><body>
+      <a href="/docs/intro">Getting   <b>started</b></a>
+      <a href="https://other.example.com/page">External link</a>
+      <a name="no-href">not a link</a>
+      <a href="mailto:x@example.com">mail</a>
+      <a href="/tail">unclosed anchor text
+    </body></html>
+    """
+    pages = spark.createDataFrame(
+        [(1, html, "https://site.example.com/a/b")],
+        "page_id long, html string, url string",
+    )
+    rows = pages.select(
+        F.explode(html_anchor_links("html", "url")).alias("l")
+    ).select("l.href", "l.anchor")
+    got = {(r["href"], r["anchor"]) for r in rows.collect()}
+    assert got == {
+        ("https://site.example.com/docs/intro", "Getting started"),
+        ("https://other.example.com/page", "External link"),
+        ("https://site.example.com/tail", "unclosed anchor text"),
+    }
+    # per-target anchor table: the classic web relevance signal
+    table = (
+        pages.select(F.explode(html_anchor_links("html", "url")).alias("l"))
+        .groupBy("l.href")
+        .agg(F.collect_list("l.anchor").alias("anchors"))
+    )
+    by_href = {r["href"]: r["anchors"] for r in table.collect()}
+    assert by_href["https://site.example.com/docs/intro"] == ["Getting started"]

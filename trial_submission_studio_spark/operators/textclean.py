@@ -312,3 +312,97 @@ def html_to_text(c: Column | str) -> Column:
     ``text``; this turns it into corpus documents. Arrow-batched
     stdlib ``html.parser`` — a designated Python op like NFC."""
     return _make_html_text_udf()(_col(c).cast("string"))
+
+
+def _make_html_anchor_links_udf():
+    """Arrow-batched <a href> + anchor-text extraction (closure
+    factory). Output per row: array<struct<href, anchor>> — anchor is
+    the whitespace-collapsed text content of the <a> element."""
+    from pyspark.sql.functions import pandas_udf
+
+    def extract(html_s, base_s):
+        import re
+        from html.parser import HTMLParser
+        from urllib.parse import urljoin
+
+        class AnchorExtractor(HTMLParser):
+            def __init__(self):
+                super().__init__(convert_charrefs=True)
+                self.out = []
+                self._href = None
+                self._buf = []
+                self._depth = 0
+
+            def handle_starttag(self, tag, attrs):
+                if tag == "a":
+                    if self._href is not None:
+                        self._flush()  # nested/unclosed <a>
+                    self._href = None
+                    self._buf = []
+                    self._depth = 1
+                    for k, v in attrs:
+                        if k == "href" and v:
+                            self._href = v
+
+            def handle_endtag(self, tag):
+                if tag == "a" and self._depth:
+                    self._flush()
+
+            def handle_data(self, data):
+                if self._depth:
+                    self._buf.append(data)
+
+            def _flush(self):
+                if self._href is not None:
+                    text = re.sub(r"\s+", " ", "".join(self._buf)).strip()
+                    self.out.append((self._href, text))
+                self._href = None
+                self._buf = []
+                self._depth = 0
+
+        def one(v, base):
+            if v is None:
+                return None
+            p = AnchorExtractor()
+            try:
+                p.feed(v)
+                p.close()
+            except Exception:
+                pass
+            p._flush()  # unclosed trailing <a>
+            rows = []
+            for h, text in p.out:
+                try:
+                    u = urljoin(base, h) if base else h
+                except ValueError:
+                    continue
+                if u.startswith(("http://", "https://")):
+                    rows.append({"href": u, "anchor": text})
+            return rows
+
+        import pandas as pd
+
+        return pd.Series(
+            [one(v, b) for v, b in zip(html_s, base_s)], dtype="object"
+        )
+
+    return pandas_udf("array<struct<href string, anchor string>>")(extract)
+
+
+def html_anchor_links(c: Column | str, base_url: Column | str | None = None) -> Column:
+    """Outbound links WITH their anchor text
+    (``array<struct<href, anchor>>``): the anchor-text signal is a
+    classic web-scale relevance/quality feature — the text OTHER
+    pages use to describe a target. Same parser discipline as
+    :func:`html_links`; compose with ``explode`` + a groupBy on
+    ``href`` for a per-target anchor-text table:
+
+    >>> pages.select(F.explode(html_anchor_links("html", "url")).alias("l"))
+    ...      .groupBy("l.href").agg(F.collect_list("l.anchor"))
+    """
+    base = (
+        F.lit(None).cast("string")
+        if base_url is None
+        else _col(base_url).cast("string")
+    )
+    return _make_html_anchor_links_udf()(_col(c).cast("string"), base)
