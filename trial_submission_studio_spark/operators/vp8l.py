@@ -334,42 +334,39 @@ def _apply_inverse_transforms(pixels, w, h, transforms):
     uninverted the image is at its PACKED width, so predictor/color
     inverses read later in the reversal must run at that width (their
     tile grids were sized from it at read time too)."""
+    import numpy as np
+
     cur_w = len(pixels) // h
     for kind, data in reversed(transforms):
-        if kind == 2:  # subtract green
-            for i, p in enumerate(pixels):
-                g = (p >> 8) & 0xFF
-                r = ((p >> 16) + g) & 0xFF
-                b = (p + g) & 0xFF
-                pixels[i] = (p & 0xFF00FF00) | (r << 16) | b
-        elif kind == 0:  # predictor
+        if kind == 2:  # subtract green — vectorized (elementwise)
+            p = np.array(pixels, dtype=np.uint32)
+            g = (p >> 8) & 0xFF
+            r = (((p >> 16) & 0xFF) + g) & 0xFF
+            b = ((p & 0xFF) + g) & 0xFF
+            pixels[:] = [int(v) for v in (p & 0xFF00FF00) | (r << 16) | b]
+        elif kind == 0:  # predictor — sequential by construction
             bits, sub, sw = data
             _inverse_predictor(pixels, cur_w, h, bits, sub, sw)
-        elif kind == 1:  # color transform
+        elif kind == 1:  # color transform — vectorized gather
             bits, sub, sw = data
             _inverse_color_transform(pixels, cur_w, h, bits, sub, sw)
-        elif kind == 3:  # color indexing
+        elif kind == 3:  # color indexing — vectorized table gather
             table, packed_w, xbits = data
-            pixels2 = []
+            tab = np.array(table + [0], dtype=np.uint32)  # OOR → 0
+            p = np.array(pixels, dtype=np.uint32)
             if xbits:
                 per = 1 << xbits  # pixels bundled per green byte
                 bitw = 8 >> xbits  # index width in bits
                 mask = (1 << bitw) - 1
-                for y in range(h):
-                    row = []
-                    for px in range(packed_w):
-                        g = (pixels[y * packed_w + px] >> 8) & 0xFF
-                        for k in range(per):
-                            idx = (g >> (k * bitw)) & mask
-                            row.append(
-                                table[idx] if idx < len(table) else 0
-                            )
-                    pixels2.extend(row[:w])
+                g = ((p >> 8) & 0xFF).reshape(h, packed_w)
+                # unpack sub-byte indices: (h, packed_w, per) → (h, w)
+                shifts = np.arange(per, dtype=np.uint32) * bitw
+                idx = (g[:, :, None] >> shifts[None, None, :]) & mask
+                idx = idx.reshape(h, packed_w * per)[:, :w]
             else:
-                for p in pixels:
-                    idx = (p >> 8) & 0xFF
-                    pixels2.append(table[idx] if idx < len(table) else 0)
-            pixels[:] = pixels2
+                idx = ((p >> 8) & 0xFF).reshape(h, w)
+            idx = np.minimum(idx, len(tab) - 1)
+            pixels[:] = [int(v) for v in tab[idx].reshape(-1)]
             cur_w = w
     return pixels
 
@@ -477,20 +474,33 @@ def _cdelta(t: int, c: int) -> int:
 
 
 def _inverse_color_transform(pixels, w, h, bits, sub, sw):
-    for y in range(h):
-        for x in range(w):
-            i = y * w + x
-            cte = int(sub[(y >> bits) * sw + (x >> bits)])
-            g2r = cte & 0xFF  # blue channel
-            g2b = (cte >> 8) & 0xFF  # green channel
-            r2b = (cte >> 16) & 0xFF  # red channel
-            p = pixels[i]
-            g = (p >> 8) & 0xFF
-            r = ((p >> 16) & 0xFF) + _cdelta(g2r, g)
-            r &= 0xFF
-            b = (p & 0xFF) + _cdelta(g2b, g) + _cdelta(r2b, r)
-            b &= 0xFF
-            pixels[i] = (p & 0xFF00FF00) | (r << 16) | b
+    # vectorized: per-tile cte gathered to pixel grid, then the two
+    # signed (t*c)>>5 delta stages as int32 arithmetic-shift math
+    import numpy as np
+
+    p = np.array(pixels, dtype=np.uint32).reshape(h, w)
+    ctes = np.array(sub, dtype=np.uint32).reshape(-1)[
+        (np.arange(h)[:, None] >> bits) * sw + (np.arange(w)[None, :] >> bits)
+    ]
+
+    def signed8(v):
+        v = v.astype(np.int32)
+        return np.where(v >= 128, v - 256, v)
+
+    g2r = signed8(ctes & 0xFF)  # blue channel of the cte
+    g2b = signed8((ctes >> 8) & 0xFF)  # green channel
+    r2b = signed8((ctes >> 16) & 0xFF)  # red channel
+    g = signed8((p >> 8) & 0xFF)
+    r = (((p >> 16) & 0xFF).astype(np.int32) + ((g2r * g) >> 5)) & 0xFF
+    b = (
+        (p & 0xFF).astype(np.int32)
+        + ((g2b * g) >> 5)
+        + ((r2b * signed8(r)) >> 5)
+    ) & 0xFF
+    out = (p & np.uint32(0xFF00FF00)) | (r.astype(np.uint32) << 16) | b.astype(
+        np.uint32
+    )
+    pixels[:] = [int(v) for v in out.reshape(-1)]
 
 
 def decode_vp8l(data: bytes):
