@@ -295,3 +295,50 @@ def test_calibrate_lsh_s_curve():
     assert hits / trials == pytest.approx(cfg["candidate_prob"](s), abs=0.05)
     with pytest.raises(ValueError):
         calibrate_lsh(1.5)
+
+
+def test_split_corpus_grouped_no_near_dup_leakage(spark):
+    """Members of a near-duplicate component never straddle splits;
+    the plain id-hash split demonstrably leaks on the same data."""
+    from trial_submission_studio_spark.operators.dedup import duplicate_groups
+    from trial_submission_studio_spark.operators.sampling import (
+        split_corpus,
+        split_corpus_grouped,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(300)], "doc_id long, text string"
+    )
+    # planted near-dup chains: (3k, 3k+1, 3k+2) for k < 40
+    pairs = spark.createDataFrame(
+        [(3 * k, 3 * k + 1) for k in range(40)]
+        + [(3 * k + 1, 3 * k + 2) for k in range(40)],
+        "id_a long, id_b long",
+    )
+    groups = duplicate_groups(pairs)
+    weights = {"train": 0.6, "val": 0.2, "test": 0.2}
+    grouped = split_corpus_grouped(docs, "doc_id", weights, groups)
+    # disjoint + exhaustive
+    total = sum(d.count() for d in grouped.values())
+    assert total == 300
+    split_of = {}
+    for name, d in grouped.items():
+        for r in d.collect():
+            split_of[r["doc_id"]] = name
+    for k in range(40):
+        trio = {split_of[3 * k], split_of[3 * k + 1], split_of[3 * k + 2]}
+        assert len(trio) == 1, f"component {k} straddles splits: {trio}"
+    # plain split leaks at least one component on this data
+    plain = split_corpus(
+        docs.withColumn("k", docs.doc_id.cast("string")), "k", weights
+    )
+    plain_of = {}
+    for name, d in plain.items():
+        for r in d.collect():
+            plain_of[r["doc_id"]] = name
+    leaked = sum(
+        1
+        for k in range(40)
+        if len({plain_of[3 * k], plain_of[3 * k + 1], plain_of[3 * k + 2]}) > 1
+    )
+    assert leaked > 0

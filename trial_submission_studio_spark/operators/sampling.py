@@ -327,3 +327,39 @@ def shuffle_deterministic(df: DataFrame, key_col: str, seed: int = 0) -> DataFra
     return df.orderBy(
         F.xxhash64(F.col(key_col), F.lit(int(seed))).asc(), F.col(key_col).asc()
     )
+
+
+def split_corpus_grouped(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    groups: DataFrame,
+    seed: int = 0,
+) -> dict[str, DataFrame]:
+    """Near-dup-aware train/val/test split: assignment hashes the
+    duplicate-GROUP representative, not the document id, so every
+    member of a near-duplicate component lands in the SAME split.
+
+    This closes the leakage mode :func:`split_corpus` cannot see:
+    exact-hash splitting separates byte-identical documents, but two
+    NEAR-duplicates (one word changed) hash apart and can straddle
+    train/test — evaluation then scores memorization. ``groups`` is
+    the ``(id, rep)`` component table from
+    ``dedup.duplicate_groups`` (ids absent from it are their own
+    representative via the left join + coalesce).
+
+    Scale shape: one equi-join on the id key against the group table
+    (component-table-sized, not corpus-sized); the split itself stays
+    the zero-shuffle contiguous-hash-slice filter of
+    :func:`split_corpus` and keeps its grown-corpus stability — as
+    long as a group's representative is stable, the whole group's
+    split is.
+    """
+    gid, grep = groups.columns[0], groups.columns[1]
+    g = groups.select(F.col(gid).alias(id_col), F.col(grep).alias("__rep"))
+    keyed = df.join(g, id_col, "left").withColumn(
+        "__split_key",
+        F.coalesce(F.col("__rep"), F.col(id_col)).cast("string"),
+    ).drop("__rep")
+    out = split_corpus(keyed, "__split_key", weights, seed)
+    return {name: d.drop("__split_key") for name, d in out.items()}
