@@ -69,6 +69,7 @@ try:  # pragma: no cover - registration is a serialization concern
     from trial_submission_studio_spark.operators import flac as _flac_module
     from trial_submission_studio_spark.operators import gifanim as _gifanim_module
     from trial_submission_studio_spark.operators import jpeg as _jpeg_module
+    from trial_submission_studio_spark.operators import tiff as _tiff_module
     from trial_submission_studio_spark.operators import vp8l as _vp8l_module
     from trial_submission_studio_spark.operators import webpanim as _webpanim_module
 
@@ -77,6 +78,7 @@ try:  # pragma: no cover - registration is a serialization concern
     _cloudpickle.register_pickle_by_value(_flac_module)
     _cloudpickle.register_pickle_by_value(_gifanim_module)
     _cloudpickle.register_pickle_by_value(_jpeg_module)
+    _cloudpickle.register_pickle_by_value(_tiff_module)
     _cloudpickle.register_pickle_by_value(_vp8l_module)
     _cloudpickle.register_pickle_by_value(_webpanim_module)
 except Exception:  # noqa: BLE001 - never block import on this
@@ -281,6 +283,7 @@ def _make_image_decoder():
     is registered for by-value pickling at import (executors cannot
     import this package)."""
     from trial_submission_studio_spark.operators.jpeg import decode_jpeg
+    from trial_submission_studio_spark.operators.tiff import decode_tiff
     from trial_submission_studio_spark.operators.vp8l import decode_webp
     from trial_submission_studio_spark.operators.webpanim import (
         decode_webp_frames,
@@ -288,6 +291,7 @@ def _make_image_decoder():
     )
 
     jpeg_decode = decode_jpeg
+    tiff_decode = decode_tiff
     webp_decode = decode_webp
     webp_anim_check = is_animated_webp
     webp_frames = decode_webp_frames
@@ -299,6 +303,11 @@ def _make_image_decoder():
             return None
         if payload[:2] == b"\xff\xd8":
             return jpeg_decode(payload)
+        if payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+            try:
+                return tiff_decode(payload)
+            except Exception:
+                return None
         if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
             try:
                 if webp_anim_check(payload):
@@ -680,6 +689,9 @@ def _make_header_probes():
     from trial_submission_studio_spark.operators.adpcm import (
         parse_wav_header as _parse_wav,
     )
+    from trial_submission_studio_spark.operators.tiff import (
+        tiff_dimensions as _tiff_dims,
+    )
 
     def image_header(p: bytes | None):
         """→ (mime, width|None, height|None) or None if not an image."""
@@ -740,6 +752,11 @@ def _make_header_probes():
             if w > 0 and h != 0 and bpp in (1, 4, 8, 16, 24, 32):
                 return ("image/bmp", w, abs(h))
             return None
+        if p[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+            dims = _tiff_dims(p)
+            if dims:
+                return ("image/tiff", dims[0], dims[1])
+            return ("image/tiff", None, None)
         if p[:4] == b"RIFF" and len(p) >= 30 and p[8:12] == b"WEBP":
             chunk = p[12:16]
             if chunk == b"VP8X":  # extended: canvas dims in the header
@@ -898,7 +915,7 @@ def image_features(
                 else:
                     raise NotImplementedError(
                         "this image format needs PIL/torchvision (absent "
-                        "here); PPM/BMP/PNG/JPEG/GIF/WebP-lossless decode natively "
+                        "here); PPM/BMP/PNG/JPEG/GIF/TIFF/WebP-lossless decode natively "
                         "— pass deterministic_fake=True to exercise plumbing, "
                         "or on_error='null' to quarantine bad records"
                     )
@@ -983,7 +1000,7 @@ def image_dhash(
                 else:
                     raise NotImplementedError(
                         "this image format needs PIL/torchvision (absent "
-                        "here); PPM/BMP/PNG/JPEG/GIF/WebP-lossless decode natively — "
+                        "here); PPM/BMP/PNG/JPEG/GIF/TIFF/WebP-lossless decode natively — "
                         "pass on_error='null' to quarantine bad records"
                     )
             yield pd.DataFrame({id_col: pdf[id_col], "dhash": out})
