@@ -15,25 +15,35 @@ Codec coverage is explicit about what is REAL and what is stubbed:
   reconstruction; gray/RGB/palette/gray-α/RGBA color types), and
   JPEG — baseline SOF0 AND progressive SOF2 (Huffman, spectral
   selection + successive-approximation refinement, 4:2:0/4:4:4
-  subsampling, restart markers — see :mod:`.jpeg`), and GIF87a/89a
-  (LZW decode, global/local palettes, interlace; first frame) →
+  subsampling, restart markers — see :mod:`.jpeg`), GIF87a/89a
+  (LZW decode, global/local palettes, interlace; full multi-frame
+  animation with disposal/transparency via :mod:`.gifanim`), and
+  TIFF (both byte orders, strips, none/LZW-early-change/PackBits,
+  1/8/16-bit, palette/bilevel — see :mod:`.tiff`) →
   H×W×3 arrays feeding real color/luminance features and
   nearest-neighbor :func:`image_resize`, plus WebP-lossless (VP8L
   prefix codes, LZ77, color cache, all four inverse transforms —
-  see :mod:`.vp8l`); RIFF/WAVE PCM audio (8/16/32-bit) via the
+  see :mod:`.vp8l`) incl. ANIMATED WebP (VP8X/ANIM/ANMF
+  compositing — :mod:`.webpanim`); RIFF/WAVE PCM audio
+  (8/16/32-bit) via the
   stdlib ``wave`` module, compressed WAV — G.711 µ-law/A-law and
   IMA/MS ADPCM (see :mod:`.adpcm`) — AND FLAC (Rice
   residuals, fixed/LPC prediction, stereo decorrelation — see
   :mod:`.flac`) → real sample-rate/RMS/peak/zero-crossing features
   (:func:`audio_features`). VIDEO: MJPEG-in-AVI decodes for real —
   RIFF container walk (:mod:`.avi`) + per-frame baseline-JPEG decode
-  feeding :func:`sample_frames`' PNG (or zero-transcode JPEG) frame
+  — and animated GIF/WebP composite through the same
+  :func:`sample_frames` PNG (or zero-transcode JPEG) frame
   output. :func:`encode_png` / :func:`encode_ppm` /
   :func:`encode_gif` / :func:`.jpeg.encode_jpeg` /
+  :func:`.tiff.encode_tiff` / :func:`.gifanim.encode_gif_anim` /
+  :func:`.webpanim.encode_webp_anim` /
   :func:`.avi.encode_avi_mjpeg` round-trip.
 - **REAL container metadata, header-only** (:func:`probe_media`):
-  image dims from PPM/PNG-IHDR/JPEG-SOF/GIF-LSD/BMP headers, audio
-  duration from the WAV header / FLAC STREAMINFO, MP4 moov-box walk
+  image dims from PPM/PNG-IHDR/JPEG-SOF/GIF-LSD/BMP/TIFF-IFD/
+  WebP headers, animation duration from GIF GCE delays / WebP ANMF
+  headers, audio duration from the WAV fmt+fact chunks / FLAC
+  STREAMINFO, MP4 moov-box walk
   → duration + track dims, AVI avih header → dims + fps + duration,
   MP3 frame header → CBR duration estimate — probing never decodes
   payloads and never raises on corrupt ones.
