@@ -1874,3 +1874,39 @@ def test_incremental_exact_dedup_bloom_equivalence(spark):
     assert sorted(r["doc_id"] for r in plain.collect()) == sorted(
         r["doc_id"] for r in pruned.collect()
     )
+
+
+def test_streaming_near_dup_threshold_autocalibration(spark, tmp_path):
+    """minhash={'threshold': t} auto-picks (bands, rows_per_band)
+    via calibrate_lsh and still rejects a near-duplicate across a
+    restartable ingest run."""
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    from trial_submission_studio_spark.streaming.ingest import start_dedup_ingest
+
+    schema = "doc_id bigint, text string"
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    values_df(spark, [(1, base)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = start_dedup_ingest(
+        spark.readStream.schema(schema).parquet(src),
+        "doc_id", "text", corpus, state, ckpt,
+        mode="near", minhash={"threshold": 0.7},
+    )
+    q.awaitTermination(120)
+    near = base.replace("lazy", "sleepy")
+    values_df(
+        spark, [(2, near), (3, "completely different content entirely")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = start_dedup_ingest(
+        spark.readStream.schema(schema).parquet(src),
+        "doc_id", "text", corpus, state, ckpt,
+        mode="near", minhash={"threshold": 0.7},
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert got == {1, 3}  # near-dup 2 rejected, novel 3 admitted

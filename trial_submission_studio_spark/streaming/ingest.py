@@ -109,7 +109,10 @@ def start_dedup_ingest(
     buckets + signatures; KBs per document, text never persisted),
     each batch appending only its own delta under a fenced
     ``batch_id=N`` directory. ``minhash`` passes operator options
-    (k, num_hashes, bands, rows_per_band, sig_threshold).
+    (k, num_hashes, bands, rows_per_band, sig_threshold); a
+    ``threshold`` entry instead auto-picks (bands, rows_per_band)
+    via ``dedup.calibrate_lsh`` for that target Jaccard similarity
+    (and doubles as ``sig_threshold`` unless one is given).
 
     ``bloom`` (exact mode only), e.g. ``{"capacity": 1_000_000,
     "fpp": 0.01}``, maintains a per-batch Bloom sidecar under
@@ -128,6 +131,15 @@ def start_dedup_ingest(
         raise ValueError(f"mode must be 'exact' or 'near', got {mode!r}")
     if bloom is not None and mode != "exact":
         raise ValueError("bloom pruning applies to exact mode only")
+    if minhash and "threshold" in minhash:
+        from trial_submission_studio_spark.operators.dedup import calibrate_lsh
+
+        minhash = dict(minhash)
+        thr = minhash.pop("threshold")
+        cal = calibrate_lsh(thr, num_hashes=minhash.get("num_hashes", 32))
+        minhash.setdefault("bands", cal["bands"])
+        minhash.setdefault("rows_per_band", cal["rows_per_band"])
+        minhash.setdefault("sig_threshold", thr)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
