@@ -156,3 +156,72 @@ def test_multimodal_integration(spark):
     }
     # identical pixels through two codecs → identical real features
     assert feats[1] == pytest.approx(feats[2], abs=1e-12)
+
+
+def _exif_jpeg(jpeg_bytes: bytes, order: str = "<") -> bytes:
+    """Inject a minimal EXIF APP1 (orientation 6, make, sub-IFD with
+    ISO + DateTimeOriginal) after SOI."""
+    def short(v):
+        return struct.pack(order + "H", v)
+
+    def long_(v):
+        return struct.pack(order + "I", v)
+
+    make = b"ACME\x00"
+    dto = b"2024:05:06 07:08:09\x00"
+    # layout: header(8) ifd0 ... ext values ... exif sub-ifd
+    ifd0_entries = 3  # orientation, make, exif pointer
+    ifd0_size = 2 + 12 * ifd0_entries + 4
+    make_off = 8 + ifd0_size
+    sub_off = make_off + len(make)
+    sub_entries = 2
+    sub_size = 2 + 12 * sub_entries + 4
+    dto_off = sub_off + sub_size
+    endian = b"II" if order == "<" else b"MM"
+    t = bytearray(endian + short(42) + long_(8))
+    t += short(ifd0_entries)
+    t += short(0x0112) + short(3) + long_(1) + short(6) + short(0)
+    t += short(0x010F) + short(2) + long_(len(make)) + long_(make_off)
+    t += short(0x8769) + short(4) + long_(1) + long_(sub_off)
+    t += long_(0)
+    t += make
+    t += short(sub_entries)
+    t += short(0x8827) + short(3) + long_(1) + short(320) + short(0)
+    t += short(0x9003) + short(2) + long_(len(dto)) + long_(dto_off)
+    t += long_(0)
+    t += dto
+    app1 = b"Exif\x00\x00" + bytes(t)
+    seg = b"\xff\xe1" + struct.pack(">H", len(app1) + 2) + app1
+    return jpeg_bytes[:2] + seg + jpeg_bytes[2:]
+
+
+@pytest.mark.parametrize("order", ["<", ">"])
+def test_parse_exif_jpeg_app1(order):
+    from trial_submission_studio_spark.operators.jpeg import encode_jpeg
+    from trial_submission_studio_spark.operators.tiff import parse_exif
+
+    jpg = encode_jpeg(_img(16, 16, seed=7))
+    meta = parse_exif(_exif_jpeg(jpg, order))
+    assert meta["orientation"] == 6
+    assert meta["make"] == "ACME"
+    assert meta["iso"] == 320
+    assert meta["datetime_original"] == "2024:05:06 07:08:09"
+    assert parse_exif(jpg) == {}  # no APP1
+    assert parse_exif(b"\xff\xd8\xff") == {}  # truncated
+
+
+def test_image_exif_spark(spark):
+    from trial_submission_studio_spark.operators.jpeg import encode_jpeg
+    from trial_submission_studio_spark.operators.multimodal import image_exif
+
+    jpg = encode_jpeg(_img(16, 16, seed=8))
+    media = spark.createDataFrame(
+        [(1, _exif_jpeg(jpg)), (2, jpg), (3, None)],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in image_exif(media).collect()}
+    assert rows[1]["orientation"] == 6 and rows[1]["make"] == "ACME"
+    assert rows[1]["iso"] == 320
+    assert rows[2]["orientation"] is None  # EXIF-less: NULL row
+    assert rows[3]["make"] is None
+    assert set(rows) == {1, 2, 3}  # join-complete

@@ -1570,3 +1570,67 @@ def near_duplicate_images(
     )
     pairs = embedding_near_dup_pairs(feats, dim=dim, threshold=threshold)
     return pairs
+
+
+def image_exif(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """EXIF metadata per image → ``(id, orientation, make,
+    camera_model, datetime_original, exposure_num, exposure_den,
+    iso, pixel_x, pixel_y)`` — header-scale (JPEG APP1 walk or TIFF
+    IFD, no pixel decode; :func:`.tiff.parse_exif`). Non-JPEG/TIFF
+    payloads and EXIF-less images yield all-NULL metadata rows, so
+    the frame stays join-complete. The usual curation inputs:
+    orientation for decode-time rotation, timestamps for temporal
+    dedup/provenance, camera fields for device-level sampling."""
+    from trial_submission_studio_spark.operators.tiff import parse_exif
+
+    exif = parse_exif
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in (
+                    id_col, "orientation", "make", "camera_model",
+                    "datetime_original", "exposure_num", "exposure_den",
+                    "iso", "pixel_x", "pixel_y",
+                )
+            }
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                meta = exif(bytes(p)) if p is not None else {}
+                exposure = meta.get("exposure_time")
+                rows[id_col].append(mid)
+                rows["orientation"].append(meta.get("orientation"))
+                rows["make"].append(meta.get("make"))
+                rows["camera_model"].append(meta.get("camera_model"))
+                rows["datetime_original"].append(
+                    meta.get("datetime_original") or meta.get("datetime")
+                )
+                rows["exposure_num"].append(exposure[0] if exposure else None)
+                rows["exposure_den"].append(exposure[1] if exposure else None)
+                rows["iso"].append(meta.get("iso"))
+                rows["pixel_x"].append(meta.get("pixel_x"))
+                rows["pixel_y"].append(meta.get("pixel_y"))
+            yield pd.DataFrame(
+                {
+                    k: pd.Series(
+                        v,
+                        dtype=(
+                            object
+                            if k in (id_col, "make", "camera_model", "datetime_original")
+                            else "Int64"
+                        ),
+                    )
+                    for k, v in rows.items()
+                }
+            )
+
+    return widen_if_narrow(df.select(id_col, payload_col), id_col).mapInPandas(
+        kernel,
+        f"{id_col} long, orientation int, make string, camera_model string, "
+        "datetime_original string, exposure_num long, exposure_den long, "
+        "iso int, pixel_x long, pixel_y long",
+    )

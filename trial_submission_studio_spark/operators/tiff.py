@@ -349,3 +349,100 @@ def encode_tiff(
     out += ext
     out += body
     return bytes(out)
+
+
+def _read_ifd_at(data: bytes, order: str, off: int):
+    """IFD at an explicit offset → ({tag: [values]}, next_ifd_off).
+    ASCII (type 2) values decode to stripped strings."""
+    (n,) = struct.unpack(order + "H", data[off : off + 2])
+    tags = {}
+    for k in range(n):
+        e = off + 2 + 12 * k
+        tag, typ, count = struct.unpack(order + "HHI", data[e : e + 8])
+        size = _TYPE_SIZE.get(typ, 1) * count
+        if size <= 4:
+            raw = data[e + 8 : e + 8 + size]
+        else:
+            (voff,) = struct.unpack(order + "I", data[e + 8 : e + 12])
+            raw = data[voff : voff + size]
+        if typ == 3:
+            vals = list(struct.unpack(order + "H" * count, raw))
+        elif typ == 4:
+            vals = list(struct.unpack(order + "I" * count, raw))
+        elif typ == 2:
+            vals = [raw.split(b"\x00", 1)[0].decode("ascii", "replace").strip()]
+        elif typ == 5:
+            vals = [
+                struct.unpack(order + "II", raw[8 * i : 8 * i + 8])
+                for i in range(count)
+            ]
+        else:
+            vals = list(raw)
+        tags[tag] = vals
+    (nxt,) = struct.unpack(
+        order + "I", data[off + 2 + 12 * n : off + 6 + 12 * n]
+    )
+    return tags, nxt
+
+
+#: EXIF tags surfaced by :func:`parse_exif`
+_EXIF_SUBIFD = 0x8769
+_EXIF_FIELDS = {
+    0x0112: "orientation",
+    0x010F: "make",
+    0x0110: "camera_model",
+    0x0132: "datetime",
+    0x9003: "datetime_original",
+    0x829A: "exposure_time",
+    0x8827: "iso",
+    0xA002: "pixel_x",
+    0xA003: "pixel_y",
+}
+
+
+def parse_exif(payload: bytes):
+    """EXIF metadata from a JPEG APP1 segment or a TIFF file →
+    dict of the common fields (orientation, make, camera_model,
+    datetime, datetime_original, exposure_time, iso, pixel_x,
+    pixel_y) — header-scale, no pixel decode; {} when absent or
+    malformed. Rationals come back as (num, den) tuples."""
+    try:
+        tiff_block = None
+        if payload[:2] == b"\xff\xd8":  # JPEG: walk to APP1/Exif
+            i = 2
+            while i + 4 <= len(payload):
+                if payload[i] != 0xFF:
+                    break
+                marker = payload[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                (seg_len,) = struct.unpack(">H", payload[i + 2 : i + 4])
+                if marker == 0xE1 and payload[i + 4 : i + 10] == b"Exif\x00\x00":
+                    tiff_block = payload[i + 10 : i + 2 + seg_len]
+                    break
+                if marker == 0xDA:  # scan data: nothing after helps
+                    break
+                i += 2 + seg_len
+        elif payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+            tiff_block = payload
+        if not tiff_block:
+            return {}
+        order = {"II": "<", "MM": ">"}.get(
+            tiff_block[:2].decode("ascii", "ignore")
+        )
+        if order is None:
+            return {}
+        (ifd0_off,) = struct.unpack(order + "I", tiff_block[4:8])
+        tags, _ = _read_ifd_at(tiff_block, order, ifd0_off)
+        if _EXIF_SUBIFD in tags:
+            sub, _ = _read_ifd_at(tiff_block, order, tags[_EXIF_SUBIFD][0])
+            tags.update(sub)
+        out = {}
+        for tag, name in _EXIF_FIELDS.items():
+            if tag in tags and tags[tag]:
+                v = tags[tag][0]
+                out[name] = v
+        return out
+    except Exception:
+        return {}
