@@ -253,3 +253,57 @@ def test_probe_media_compressed_wav_duration(spark):
     r = probe_media(media).collect()[0]
     assert (r["kind"], r["mime"]) == ("audio", "audio/wav")
     assert abs(r["duration_ms"] - 2000) <= 5
+
+
+def test_parse_id3v2_versions_and_encodings():
+    from trial_submission_studio_spark.operators.adpcm import parse_id3v2
+
+    def frame_v3(fid, text, enc=0):
+        if enc == 0:
+            data = bytes([0]) + text.encode("latin-1")
+        else:
+            data = bytes([1]) + text.encode("utf-16")
+        return fid + len(data).to_bytes(4, "big") + b"\x00\x00" + data
+
+    body = frame_v3(b"TIT2", "Song Title") + frame_v3(b"TPE1", "Ärtist", enc=1)
+    size = len(body)
+    ss = bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F, (size >> 7) & 0x7F, size & 0x7F])
+    tag = b"ID3" + bytes([3, 0, 0]) + ss + body + b"\xff\xfb\x90\x00"
+    meta = parse_id3v2(tag)
+    assert meta == {"title": "Song Title", "artist": "Ärtist"}
+
+    # v2.4 syncsafe frame sizes, UTF-8
+    def frame_v4(fid, text):
+        data = bytes([3]) + text.encode("utf-8")
+        n = len(data)
+        ssz = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F])
+        return fid + ssz + b"\x00\x00" + data
+
+    body4 = frame_v4(b"TALB", "Albüm") + frame_v4(b"TDRC", "2024")
+    size4 = len(body4)
+    ss4 = bytes([(size4 >> 21) & 0x7F, (size4 >> 14) & 0x7F, (size4 >> 7) & 0x7F, size4 & 0x7F])
+    meta4 = parse_id3v2(b"ID3" + bytes([4, 0, 0]) + ss4 + body4)
+    assert meta4 == {"album": "Albüm", "year": "2024"}
+
+    assert parse_id3v2(b"\xff\xfb no tag") == {}
+    assert parse_id3v2(b"ID3") == {}  # truncated
+
+
+def test_audio_id3_spark(spark):
+    from trial_submission_studio_spark.operators.multimodal import audio_id3
+
+    def frame(fid, text):
+        data = bytes([0]) + text.encode("latin-1")
+        return fid + len(data).to_bytes(4, "big") + b"\x00\x00" + data
+
+    body = frame(b"TIT2", "Track One") + frame(b"TCON", "Jazz")
+    n = len(body)
+    ss = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F])
+    tagged = b"ID3" + bytes([3, 0, 0]) + ss + body + b"\xff\xfb\x90\x00"
+    media = spark.createDataFrame(
+        [(1, tagged), (2, b"\xff\xfbno-tag"), (3, None)],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in audio_id3(media).collect()}
+    assert rows[1]["title"] == "Track One" and rows[1]["genre"] == "Jazz"
+    assert rows[2]["title"] is None and rows[3]["artist"] is None

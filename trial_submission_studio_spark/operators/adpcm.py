@@ -463,3 +463,74 @@ def decode_wav_compressed(payload: bytes):
     if n:
         x = x[:n]
     return info["rate"], ch, x
+
+
+def parse_id3v2(payload: bytes):
+    """ID3v2.2/2.3/2.4 text metadata from an MP3/AAC payload →
+    dict(title, artist, album, year, track, genre) — header-scale
+    (frame walk with syncsafe sizes, no audio decode); {} when no
+    tag or malformed. The audio twin of `tiff.parse_exif`."""
+    try:
+        if payload[:3] != b"ID3" or len(payload) < 10:
+            return {}
+        ver = payload[3]
+        size = (
+            ((payload[6] & 0x7F) << 21)
+            | ((payload[7] & 0x7F) << 14)
+            | ((payload[8] & 0x7F) << 7)
+            | (payload[9] & 0x7F)
+        )
+        body = payload[10 : 10 + size]
+        if ver == 2:  # v2.2: 3-byte ids, 3-byte sizes
+            names = {b"TT2": "title", b"TP1": "artist", b"TAL": "album",
+                     b"TYE": "year", b"TRK": "track", b"TCO": "genre"}
+            out = {}
+            i = 0
+            while i + 6 <= len(body) and body[i] != 0:
+                fid = body[i : i + 3]
+                fsz = int.from_bytes(body[i + 3 : i + 6], "big")
+                data = body[i + 6 : i + 6 + fsz]
+                if fid in names and data:
+                    out[names[fid]] = _id3_text(data)
+                i += 6 + fsz
+            return out
+        names = {b"TIT2": "title", b"TPE1": "artist", b"TALB": "album",
+                 b"TYER": "year", b"TDRC": "year", b"TRCK": "track",
+                 b"TCON": "genre"}
+        out = {}
+        i = 0
+        while i + 10 <= len(body) and body[i] != 0:
+            fid = body[i : i + 4]
+            raw_sz = body[i + 4 : i + 8]
+            if ver >= 4:  # v2.4 frame sizes are syncsafe
+                fsz = (
+                    ((raw_sz[0] & 0x7F) << 21)
+                    | ((raw_sz[1] & 0x7F) << 14)
+                    | ((raw_sz[2] & 0x7F) << 7)
+                    | (raw_sz[3] & 0x7F)
+                )
+            else:
+                fsz = int.from_bytes(raw_sz, "big")
+            data = body[i + 10 : i + 10 + fsz]
+            if fid in names and data:
+                out.setdefault(names[fid], _id3_text(data))
+            i += 10 + fsz
+        return out
+    except Exception:
+        return {}
+
+
+def _id3_text(data: bytes) -> str:
+    """Frame body → text honoring the encoding byte (latin-1,
+    UTF-16 w/ and w/o BOM, UTF-8)."""
+    enc = data[0]
+    raw = data[1:]
+    if enc == 0:
+        s = raw.decode("latin-1", "replace")
+    elif enc == 1:
+        s = raw.decode("utf-16", "replace")
+    elif enc == 2:
+        s = raw.decode("utf-16-be", "replace")
+    else:
+        s = raw.decode("utf-8", "replace")
+    return s.split("\x00", 1)[0].strip()

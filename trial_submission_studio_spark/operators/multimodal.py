@@ -1634,3 +1634,35 @@ def image_exif(
         "datetime_original string, exposure_num long, exposure_den long, "
         "iso int, pixel_x long, pixel_y long",
     )
+
+
+def audio_id3(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """ID3v2 text metadata per audio payload → ``(id, title, artist,
+    album, year, track, genre)`` — header-scale frame walk
+    (:func:`.adpcm.parse_id3v2`), no audio decode; tag-less payloads
+    yield all-NULL rows. The audio twin of :func:`image_exif`."""
+    from trial_submission_studio_spark.operators.adpcm import parse_id3v2
+
+    id3 = parse_id3v2
+    fields = ("title", "artist", "album", "year", "track", "genre")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (id_col, *fields)}
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                meta = id3(bytes(p)) if p is not None else {}
+                rows[id_col].append(mid)
+                for f in fields:
+                    rows[f].append(meta.get(f))
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype=object) for k, v in rows.items()}
+            )
+
+    return widen_if_narrow(df.select(id_col, payload_col), id_col).mapInPandas(
+        kernel,
+        f"{id_col} long, " + ", ".join(f"{f} string" for f in fields),
+    )
