@@ -342,3 +342,42 @@ def test_split_corpus_grouped_no_near_dup_leakage(spark):
         if len({plain_of[3 * k], plain_of[3 * k + 1], plain_of[3 * k + 2]}) > 1
     )
     assert leaked > 0
+
+
+def test_blocklist_filter_word_boundaries(spark):
+    """Blocklist filtering: word-boundary matches only (no substring
+    hits), case-insensitive, density mode, empty-list guard."""
+    import pytest
+
+    from trial_submission_studio_spark.operators.qualityfilter import (
+        blocklist_filter,
+        blocklist_word_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "clean text about scuntthorpe classics"),  # substring only
+            (2, "BADWORD appears once in a long enough sentence here"),
+            (3, "badword badword badword short"),
+            (4, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    stats = {
+        r["doc_id"]: (r["blocked_hits"], r["blocked_density"])
+        for r in blocklist_word_stats(docs, "text", ["badword", "cunt"]).collect()
+    }
+    assert stats[1][0] == 0  # 'scuntthorpe' does NOT match \bcunt\b
+    assert stats[2][0] == 1 and stats[3][0] == 3
+    assert stats[3][1] == pytest.approx(0.75)
+    kept = {r["doc_id"] for r in blocklist_filter(docs, "text", ["badword"]).collect()}
+    assert kept == {1, 4}
+    dense = {
+        r["doc_id"]
+        for r in blocklist_filter(
+            docs, "text", ["badword"], max_hits=10, max_density=0.2
+        ).collect()
+    }
+    assert dense == {1, 2, 4}  # doc 3's density 0.75 exceeds
+    with pytest.raises(ValueError):
+        blocklist_filter(docs, "text", [])

@@ -93,3 +93,52 @@ def line_quality_filter(
     if keep_text:
         out.append(F.concat_ws("\n", kept).alias("kept_text"))
     return df.select(*out)
+
+
+def blocklist_word_stats(
+    df: DataFrame,
+    text_col: str,
+    words,
+    out_prefix: str = "blocked",
+) -> DataFrame:
+    """Word-boundary blocklist accounting → adds
+    ``<prefix>_hits`` (total occurrences) and ``<prefix>_density``
+    (hits per word) columns. ``words`` is the USER-SUPPLIED list
+    (the classic C4 stage applies a published profanity list; none
+    ships here — policy belongs to the operator's caller, the
+    mechanism to the engine).
+
+    Mechanism: the list compiles ONCE into a single alternation
+    regexp with word boundaries, counted by ``regexp_count`` —
+    codegen, case-insensitive, zero shuffles. Scale is regexp-size
+    bound: a few thousand terms compile fine; beyond that prefer a
+    token equi-join against a blocklist table."""
+    import re as _re
+
+    if not words:
+        raise ValueError("blocklist is empty")
+    pat = "(?i)\\b(" + "|".join(sorted(_re.escape(w) for w in words)) + ")\\b"
+    hits = F.regexp_count(_c(text_col), F.lit(pat))
+    n_words = F.size(F.split(F.trim(_c(text_col)), r"\s+"))
+    return df.withColumn(f"{out_prefix}_hits", hits).withColumn(
+        f"{out_prefix}_density",
+        F.when(n_words > 0, hits / n_words).otherwise(F.lit(0.0)),
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    text_col: str,
+    words,
+    max_hits: int = 0,
+    max_density: float | None = None,
+) -> DataFrame:
+    """Drop documents whose blocklist hits exceed ``max_hits`` (or
+    whose per-word density exceeds ``max_density`` when given) —
+    the C4 bad-words stage with the list externalized. Pure
+    filter over :func:`blocklist_word_stats`' codegen counters."""
+    scored = blocklist_word_stats(df, text_col, words, out_prefix="__bl")
+    keep = F.col("__bl_hits") <= max_hits
+    if max_density is not None:
+        keep = keep & (F.col("__bl_density") <= max_density)
+    return scored.filter(keep).drop("__bl_hits", "__bl_density")
