@@ -2,6 +2,8 @@
 
 import math
 
+import pytest
+
 from trial_submission_studio_spark.operators.lm import (
     bigram_logprob_scores,
     perplexity_filter,
@@ -102,3 +104,102 @@ def test_scores_partition_invariant(spark):
         ).select("doc_id", "n_bigrams", "sum_logprob_e6").collect()
     )
     assert a == b
+
+
+def test_kn_scores_match_python_reference(spark):
+    """Interpolated Kneser-Ney: e6-exact parity with a from-scratch
+    Python implementation, incl. unseen contexts backing off to the
+    continuation distribution."""
+    import math
+
+    from trial_submission_studio_spark.operators.lm import (
+        kn_logprob_scores,
+        train_bigram_lm,
+    )
+
+    train_texts = [
+        "the cat sat on the mat",
+        "the dog sat on the rug",
+        "a cat and a dog",
+    ]
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train_texts)], "doc_id long, text string"
+    )
+    uni, bi = train_bigram_lm(train, "doc_id", "text")
+    score_texts = {
+        10: "the cat sat",
+        11: "dog on mat",          # seen words, mostly unseen bigrams
+        12: "zzz unknownword the", # unseen context -> continuation
+    }
+    test = spark.createDataFrame(
+        list(score_texts.items()), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_logprob_e6"])
+        for r in kn_logprob_scores(
+            test, uni, bi, "doc_id", "text", discount=0.75
+        ).collect()
+    }
+
+    # reference model from the same training tokens
+    D, EPS = 0.75, 1e-10
+    toks = [t.split() for t in train_texts]
+    ca, cab, fw, bw = {}, {}, {}, {}
+    for ts in toks:
+        for a, b in zip(ts, ts[1:]):
+            ca[a] = ca.get(a, 0) + 1
+            if (a, b) not in cab:
+                fw[a] = fw.get(a, 0) + 1
+                bw[b] = bw.get(b, 0) + 1
+            cab[(a, b)] = cab.get((a, b), 0) + 1
+    total_types = len(cab)
+
+    def p_kn(a, b):
+        pc = bw.get(b, 0) / total_types
+        if ca.get(a, 0) == 0:
+            return pc
+        return max(cab.get((a, b), 0) - D, 0) / ca[a] + D * fw.get(a, 0) / ca[a] * pc
+
+    for did, text in score_texts.items():
+        ts = text.split()
+        expect = sum(
+            math.floor(math.log(p_kn(a, b) + EPS) * 1e6 + 0.5)
+            for a, b in zip(ts, ts[1:])
+        )
+        assert got[did] == (len(ts) - 1, expect), did
+
+
+def test_kn_is_a_proper_distribution(spark):
+    """For a seen context, Σ_w P_KN(w|context) over the vocabulary =
+    1 − mass assigned outside V via continuation ≈ 1 (exact when
+    every vocab word has predecessors)."""
+    from trial_submission_studio_spark.operators.lm import (
+        kn_logprob_scores,
+        train_bigram_lm,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "a b a c a b c b c a")], "doc_id long, text string"
+    )
+    uni, bi = train_bigram_lm(train, "doc_id", "text")
+    vocab = ["a", "b", "c"]
+    probe = spark.createDataFrame(
+        [(i, f"a {w}") for i, w in enumerate(vocab)], "doc_id long, text string"
+    )
+    import math
+
+    rows = kn_logprob_scores(probe, uni, bi, "doc_id", "text").collect()
+    total = sum(math.exp(r["sum_logprob_e6"] / 1e6) for r in rows)
+    assert total == pytest.approx(1.0, abs=1e-3)
+
+
+def test_kn_discount_validation(spark):
+    from trial_submission_studio_spark.operators.lm import (
+        kn_logprob_scores,
+        train_bigram_lm,
+    )
+
+    train = spark.createDataFrame([(0, "x y z")], "doc_id long, text string")
+    uni, bi = train_bigram_lm(train, "doc_id", "text")
+    with pytest.raises(ValueError):
+        kn_logprob_scores(train, uni, bi, "doc_id", "text", discount=1.5)

@@ -154,3 +154,93 @@ def perplexity_filter(
     )
     keep = scores.filter(F.col("ppl") <= max_ppl).select(id_col)
     return df.join(keep, id_col, "left_semi")
+
+
+def kn_logprob_scores(
+    df: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    id_col: str,
+    text_col: str,
+    discount: float = 0.75,
+    epsilon: float = 1e-10,
+    lowercase: bool = True,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-document log-likelihood under INTERPOLATED KNESER-NEY
+    smoothing — the quality upgrade over add-k (`
+    bigram_logprob_scores`) that Chen & Goodman (1999) established
+    as the strong n-gram baseline; KenLM (the model CCNet actually
+    runs) uses modified KN.
+
+    P(w2|w1) = max(c(w1w2) − D, 0)/c(w1)
+               + D·N1+(w1,·)/c(w1) · P_cont(w2),
+    P_cont(w2) = N1+(·,w2)/N1+(·,·)  (how many CONTEXTS a word
+    completes — the "Francisco" fix: frequent-but-predictable words
+    get low continuation mass). Unseen contexts back off to P_cont
+    directly; ``epsilon`` floors fully-OOV words so log stays
+    finite.
+
+    The three KN statistics (distinct followers per context,
+    distinct predecessors per word, total bigram types) derive from
+    the SAME count tables `train_bigram_lm` returns — three
+    model-sized aggregations here, no new corpus pass. Output
+    schema, e6 fixed-point determinism, and the short-doc NULL
+    convention match `bigram_logprob_scores` exactly, so
+    `perplexity_filter`-style banding composes unchanged."""
+    d = float(discount)
+    if not 0 < d < 1:
+        raise ValueError("discount must be in (0, 1)")
+    followers = bigrams.groupBy("tok_a").agg(
+        F.count(F.lit(1)).cast("long").alias("__n1p_fw")
+    )
+    predecessors = bigrams.groupBy("tok_b").agg(
+        F.count(F.lit(1)).cast("long").alias("__n1p_bw")
+    )
+    total_types = bigrams.count()
+    uni = unigrams.withColumnRenamed("uni_count", "__ca")
+    bi = bigrams.withColumnRenamed("bi_count", "__cab")
+    if broadcast_model:
+        uni, bi = F.broadcast(uni), F.broadcast(bi)
+        followers, predecessors = F.broadcast(followers), F.broadcast(predecessors)
+    bg = _doc_bigrams(df, id_col, text_col, lowercase)
+    ca = F.coalesce(F.col("__ca"), F.lit(0)).cast("double")
+    cab = F.coalesce(F.col("__cab"), F.lit(0)).cast("double")
+    n1p_fw = F.coalesce(F.col("__n1p_fw"), F.lit(0)).cast("double")
+    p_cont = (
+        F.coalesce(F.col("__n1p_bw"), F.lit(0)).cast("double")
+        / F.lit(float(total_types))
+    )
+    p_kn = F.when(
+        ca > 0,
+        F.greatest(cab - F.lit(d), F.lit(0.0)) / ca
+        + F.lit(d) * n1p_fw / ca * p_cont,
+    ).otherwise(p_cont)
+    scored = (
+        bg.join(bi, ["tok_a", "tok_b"], "left")
+        .join(uni, ["tok_a"], "left")
+        .join(followers, ["tok_a"], "left")
+        .join(predecessors, ["tok_b"], "left")
+        .select(
+            F.col(id_col),
+            F.floor(
+                F.log(p_kn + F.lit(float(epsilon))) * 1e6 + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("__lp_e6"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("__lp_e6").cast("long").alias("sum_logprob_e6"),
+    )
+    base = df.select(F.col(id_col)).distinct()
+    out = base.join(per_doc, id_col, "left")
+    avg = F.col("sum_logprob_e6") / (F.col("n_bigrams") * F.lit(1e6))
+    return out.select(
+        id_col,
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        "sum_logprob_e6",
+        avg.alias("avg_logprob"),
+        F.exp(-avg).alias("ppl"),
+    )
