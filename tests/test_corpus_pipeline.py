@@ -438,3 +438,25 @@ def test_prepare_corpus_gopher_formatting_rules(spark):
     )
     out = prepare_corpus(docs, "doc_id", "text", cfg)
     assert sorted(r["doc_id"] for r in out.collect()) == [1]
+
+
+def test_prepare_corpus_blocklist_stage(spark):
+    """The blocklist stage drops flagged docs and appears in the
+    retention ledger between doc_quality and the dedup stages."""
+    docs = spark.createDataFrame(
+        [
+            (1, "perfectly ordinary document with plenty of words inside here"),
+            (2, "spamword laden document with plenty of other words in here"),
+            (3, "another clean document that has plenty of words to count"),
+        ],
+        "doc_id long, text string",
+    )
+    cfg = CorpusConfig(
+        min_line_words=None, min_doc_tokens=5, paragraph_max_docs=None,
+        exact_dedup=False, near_dedup=False, contamination_threshold=None,
+        blocklist_words=("spamword",),
+    )
+    out = prepare_corpus(docs, "doc_id", "text", cfg, collect_stats=True)
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+    assert list(cfg.stats) == ["input", "doc_quality", "blocklist"]
+    assert cfg.stats["blocklist"] == 2

@@ -70,6 +70,11 @@ class CorpusConfig:
     max_ellipsis_fraction: float | None = None
     min_alpha_fraction: float | None = None
     lang_allowlist: tuple[str, ...] | None = None
+    # wordlist content filter (C4 bad-words stage; list is
+    # user-supplied — policy belongs to the caller)
+    blocklist_words: tuple[str, ...] | None = None
+    blocklist_max_hits: int = 0
+    blocklist_max_density: float | None = None
     min_model_quality: float | None = None
     paragraph_max_docs: int | None = 5
     substring_w: int | None = None
@@ -168,6 +173,18 @@ def prepare_corpus(
         doc_pred = p if doc_pred is None else (doc_pred & p)
     if doc_pred is not None:
         out = _mark("doc_quality", out.filter(doc_pred))
+
+    if cfg.blocklist_words is not None:
+        from .operators.qualityfilter import blocklist_filter
+
+        out = _mark(
+            "blocklist",
+            blocklist_filter(
+                out, text_col, cfg.blocklist_words,
+                max_hits=cfg.blocklist_max_hits,
+                max_density=cfg.blocklist_max_density,
+            ),
+        )
 
     if cfg.lang_allowlist is not None and lang_profiles is not None:
         from .operators.langid import classify_language
