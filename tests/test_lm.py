@@ -203,3 +203,90 @@ def test_kn_discount_validation(spark):
     uni, bi = train_bigram_lm(train, "doc_id", "text")
     with pytest.raises(ValueError):
         kn_logprob_scores(train, uni, bi, "doc_id", "text", discount=1.5)
+
+
+def test_modified_kn_matches_python_reference(spark):
+    """Modified KN (count-dependent D1/D2/D3+ from count-of-counts)
+    e6-exact vs a from-scratch reference, and Σ P(w|ctx) ≈ 1."""
+    from trial_submission_studio_spark.operators.lm import (
+        kn_logprob_scores,
+        train_bigram_lm,
+    )
+
+    train_texts = [
+        "a b a b a c a b c b",
+        "b c b a b a a c c a",
+        "c a b b a c a b a b",
+    ]
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train_texts)], "doc_id long, text string"
+    )
+    uni, bi = train_bigram_lm(train, "doc_id", "text")
+
+    # reference statistics
+    toks = [t.split() for t in train_texts]
+    ca, cab, bw = {}, {}, {}
+    for ts in toks:
+        for a, b in zip(ts, ts[1:]):
+            ca[a] = ca.get(a, 0) + 1
+            if (a, b) not in cab:
+                bw[b] = bw.get(b, 0) + 1
+            cab[(a, b)] = cab.get((a, b), 0) + 1
+    total_types = len(cab)
+    cc = {}
+    for c in cab.values():
+        cc[c] = cc.get(c, 0) + 1
+    n1, n2, n3, n4 = (cc.get(k, 0) for k in (1, 2, 3, 4))
+    y = n1 / (n1 + 2 * n2) if (n1 + 2 * n2) else 0.5
+    d1 = min(max(1 - 2 * y * n2 / n1 if n1 else 0.5, 0.0), 1.0)
+    d2 = min(max(2 - 3 * y * n3 / n2 if n2 else 1.0, 0.0), 2.0)
+    d3 = min(max(3 - 4 * y * n4 / n3 if n3 else 1.5, 0.0), 3.0)
+
+    def disc(c):
+        return d3 if c >= 3 else (d2 if c == 2 else (d1 if c == 1 else 0.0))
+
+    def gamma(a):
+        g = 0.0
+        for (x, _b), c in cab.items():
+            if x == a:
+                g += disc(c) if c >= 1 else 0.0
+        return g
+
+    def p_mkn(a, b):
+        pc = bw.get(b, 0) / total_types
+        if ca.get(a, 0) == 0:
+            return pc
+        return (
+            max(cab.get((a, b), 0) - disc(cab.get((a, b), 0)), 0) / ca[a]
+            + gamma(a) / ca[a] * pc
+        )
+
+    import math
+
+    probe_texts = {10: "a b c", 11: "c c a", 12: "zzz a b"}
+    probe = spark.createDataFrame(
+        list(probe_texts.items()), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_logprob_e6"])
+        for r in kn_logprob_scores(
+            probe, uni, bi, "doc_id", "text", modified=True
+        ).collect()
+    }
+    EPS = 1e-10
+    for did, text in probe_texts.items():
+        ts = text.split()
+        expect = sum(
+            math.floor(math.log(p_mkn(a, b) + EPS) * 1e6 + 0.5)
+            for a, b in zip(ts, ts[1:])
+        )
+        assert got[did] == (len(ts) - 1, expect), did
+
+    # proper distribution for a seen context
+    vocab = ["a", "b", "c"]
+    dist = spark.createDataFrame(
+        [(i, f"a {w}") for i, w in enumerate(vocab)], "doc_id long, text string"
+    )
+    rows = kn_logprob_scores(dist, uni, bi, "doc_id", "text", modified=True).collect()
+    total = sum(math.exp(r["sum_logprob_e6"] / 1e6) for r in rows)
+    assert total == pytest.approx(1.0, abs=1e-3)

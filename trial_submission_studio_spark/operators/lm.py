@@ -166,6 +166,7 @@ def kn_logprob_scores(
     epsilon: float = 1e-10,
     lowercase: bool = True,
     broadcast_model: bool = True,
+    modified: bool = False,
 ) -> DataFrame:
     """Per-document log-likelihood under INTERPOLATED KNESER-NEY
     smoothing — the quality upgrade over add-k (`
@@ -187,12 +188,23 @@ def kn_logprob_scores(
     model-sized aggregations here, no new corpus pass. Output
     schema, e6 fixed-point determinism, and the short-doc NULL
     convention match `bigram_logprob_scores` exactly, so
-    `perplexity_filter`-style banding composes unchanged."""
+    `perplexity_filter`-style banding composes unchanged.
+
+    ``modified=True`` switches to MODIFIED Kneser-Ney (Chen &
+    Goodman's final form; KenLM's default): three count-dependent
+    discounts D1/D2/D3+ estimated from the bigram count-of-counts
+    (Y = n1/(n1+2n2); Dk = k − (k+1)·Y·n_{k+1}/n_k), with the
+    per-context backoff mass Σ_k Dk·Nk(w1,·)/c(w1); ``discount`` is
+    then ignored. Degenerate count-of-counts (tiny corpora) clamp
+    the discounts into [0, k]."""
     d = float(discount)
     if not 0 < d < 1:
         raise ValueError("discount must be in (0, 1)")
     followers = bigrams.groupBy("tok_a").agg(
-        F.count(F.lit(1)).cast("long").alias("__n1p_fw")
+        F.count(F.lit(1)).cast("long").alias("__n1p_fw"),
+        F.sum((F.col("bi_count") == 1).cast("long")).alias("__n1_fw"),
+        F.sum((F.col("bi_count") == 2).cast("long")).alias("__n2_fw"),
+        F.sum((F.col("bi_count") >= 3).cast("long")).alias("__n3p_fw"),
     )
     predecessors = bigrams.groupBy("tok_b").agg(
         F.count(F.lit(1)).cast("long").alias("__n1p_bw")
@@ -211,11 +223,40 @@ def kn_logprob_scores(
         F.coalesce(F.col("__n1p_bw"), F.lit(0)).cast("double")
         / F.lit(float(total_types))
     )
-    p_kn = F.when(
-        ca > 0,
-        F.greatest(cab - F.lit(d), F.lit(0.0)) / ca
-        + F.lit(d) * n1p_fw / ca * p_cont,
-    ).otherwise(p_cont)
+    if modified:
+        # count-of-counts over bigram types (4 scalars, one agg)
+        cc = {
+            int(r["c"]): int(r["n"])
+            for r in bigrams.groupBy(F.col("bi_count").alias("c"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n1, n2, n3, n4 = (cc.get(k, 0) for k in (1, 2, 3, 4))
+        y = n1 / (n1 + 2.0 * n2) if (n1 + 2 * n2) > 0 else 0.5
+        d1 = min(max(1 - 2.0 * y * n2 / n1 if n1 else 0.5, 0.0), 1.0)
+        d2 = min(max(2 - 3.0 * y * n3 / n2 if n2 else 1.0, 0.0), 2.0)
+        d3 = min(max(3 - 4.0 * y * n4 / n3 if n3 else 1.5, 0.0), 3.0)
+        disc = (
+            F.when(cab >= 3, F.lit(d3))
+            .when(cab == 2, F.lit(d2))
+            .when(cab == 1, F.lit(d1))
+            .otherwise(F.lit(0.0))
+        )
+        gamma = (
+            F.lit(d1) * F.coalesce(F.col("__n1_fw"), F.lit(0))
+            + F.lit(d2) * F.coalesce(F.col("__n2_fw"), F.lit(0))
+            + F.lit(d3) * F.coalesce(F.col("__n3p_fw"), F.lit(0))
+        )
+        p_kn = F.when(
+            ca > 0,
+            F.greatest(cab - disc, F.lit(0.0)) / ca + gamma / ca * p_cont,
+        ).otherwise(p_cont)
+    else:
+        p_kn = F.when(
+            ca > 0,
+            F.greatest(cab - F.lit(d), F.lit(0.0)) / ca
+            + F.lit(d) * n1p_fw / ca * p_cont,
+        ).otherwise(p_cont)
     scored = (
         bg.join(bi, ["tok_a", "tok_b"], "left")
         .join(uni, ["tok_a"], "left")
