@@ -290,3 +290,126 @@ def test_modified_kn_matches_python_reference(spark):
     rows = kn_logprob_scores(dist, uni, bi, "doc_id", "text", modified=True).collect()
     total = sum(math.exp(r["sum_logprob_e6"] / 1e6) for r in rows)
     assert total == pytest.approx(1.0, abs=1e-3)
+
+
+def test_trigram_kn_matches_python_reference(spark):
+    """Order-3 interpolated KN: e6-exact parity with a from-scratch
+    reference across seen trigrams, unseen (a,b) contexts (backoff
+    to the type-count bigram level), unseen b (continuation), and
+    full OOV."""
+    from trial_submission_studio_spark.operators.lm import (
+        train_trigram_lm,
+        trigram_kn_scores,
+    )
+
+    train_texts = [
+        "the cat sat on the mat",
+        "the dog sat on the rug",
+        "the cat ran on the rug",
+        "a dog and a cat played",
+    ]
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train_texts)], "doc_id long, text string"
+    )
+    uni, bi, tri = train_trigram_lm(train, "doc_id", "text")
+
+    D, EPS = 0.75, 1e-10
+    toks = [t.split() for t in train_texts]
+    cab, cabc, bw = {}, {}, {}
+    for ts in toks:
+        for a, b in zip(ts, ts[1:]):
+            cab[(a, b)] = cab.get((a, b), 0) + 1
+            if (a, b) not in [k for k in ()]:
+                pass
+        for a, b, c in zip(ts, ts[1:], ts[2:]):
+            cabc[(a, b, c)] = cabc.get((a, b, c), 0) + 1
+    seen_bi = set()
+    for ts in toks:
+        for a, b in zip(ts, ts[1:]):
+            if (a, b) not in seen_bi:
+                seen_bi.add((a, b))
+                bw[b] = bw.get(b, 0) + 1
+    total_types = len(seen_bi)
+    n1p_ab = {}
+    nmid_bc = {}
+    for (a, b, c) in cabc:
+        n1p_ab[(a, b)] = n1p_ab.get((a, b), 0) + 1
+        nmid_bc[(b, c)] = nmid_bc.get((b, c), 0) + 1
+    nmid_b = {}
+    for (b, c), v in nmid_bc.items():
+        nmid_b[b] = nmid_b.get(b, 0) + v
+    n1p_b_fw = {}
+    for (b, c) in nmid_bc:
+        n1p_b_fw[b] = n1p_b_fw.get(b, 0) + 1
+
+    def p_cont(c):
+        return bw.get(c, 0) / total_types
+
+    def p2(b, c):
+        if nmid_b.get(b, 0) == 0:
+            return p_cont(c)
+        return (
+            max(nmid_bc.get((b, c), 0) - D, 0) / nmid_b[b]
+            + D * n1p_b_fw.get(b, 0) / nmid_b[b] * p_cont(c)
+        )
+
+    ctx_ab = {}
+    for (a, b, c), v in cabc.items():
+        ctx_ab[(a, b)] = ctx_ab.get((a, b), 0) + v
+
+    def p3(a, b, c):
+        if ctx_ab.get((a, b), 0) == 0:
+            return p2(b, c)
+        return (
+            max(cabc.get((a, b, c), 0) - D, 0) / ctx_ab[(a, b)]
+            + D * n1p_ab.get((a, b), 0) / ctx_ab[(a, b)] * p2(b, c)
+        )
+
+    import math
+
+    probe_texts = {
+        10: "the cat sat on",        # seen trigrams
+        11: "mat the cat",           # unseen (a,b) context
+        12: "zzz qqq the",           # unseen b → continuation
+        13: "on the rug",
+    }
+    probe = spark.createDataFrame(
+        list(probe_texts.items()), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["sum_logprob_e6"])
+        for r in trigram_kn_scores(
+            probe, uni, bi, tri, "doc_id", "text", discount=D
+        ).collect()
+    }
+    for did, text in probe_texts.items():
+        ts = text.split()
+        expect = sum(
+            math.floor(math.log(p3(a, b, c) + EPS) * 1e6 + 0.5)
+            for a, b, c in zip(ts, ts[1:], ts[2:])
+        )
+        assert got[did] == (len(ts) - 2, expect), did
+
+
+def test_trigram_kn_distribution_and_short_docs(spark):
+    from trial_submission_studio_spark.operators.lm import (
+        train_trigram_lm,
+        trigram_kn_scores,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "a b c a b a c b a b c c a b")], "doc_id long, text string"
+    )
+    uni, bi, tri = train_trigram_lm(train, "doc_id", "text")
+    import math
+
+    vocab = ["a", "b", "c"]
+    probe = spark.createDataFrame(
+        [(i, f"a b {w}") for i, w in enumerate(vocab)], "doc_id long, text string"
+    )
+    rows = trigram_kn_scores(probe, uni, bi, tri, "doc_id", "text").collect()
+    total = sum(math.exp(r["sum_logprob_e6"] / 1e6) for r in rows)
+    assert total == pytest.approx(1.0, abs=1e-3)
+    short = spark.createDataFrame([(9, "a b")], "doc_id long, text string")
+    r = trigram_kn_scores(short, uni, bi, tri, "doc_id", "text").collect()[0]
+    assert r["n_trigrams"] == 0 and r["sum_logprob_e6"] is None

@@ -285,3 +285,156 @@ def kn_logprob_scores(
         avg.alias("avg_logprob"),
         F.exp(-avg).alias("ppl"),
     )
+
+
+def _doc_trigrams(df: DataFrame, id_col: str, text_col: str, lowercase: bool) -> DataFrame:
+    toks = _tokens(text_col, lowercase)
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .filter(F.size("__toks") >= 3)
+        .select(
+            id_col,
+            "__toks",
+            F.explode(F.sequence(F.lit(1), F.size("__toks") - 2)).alias("__i"),
+        )
+        .select(
+            id_col,
+            F.element_at("__toks", F.col("__i")).alias("tok_a"),
+            F.element_at("__toks", F.col("__i") + 1).alias("tok_b"),
+            F.element_at("__toks", F.col("__i") + 2).alias("tok_c"),
+        )
+    )
+
+
+def train_trigram_lm(
+    df: DataFrame, id_col: str, text_col: str, lowercase: bool = True
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """→ (unigrams, bigrams, trigrams) count tables — the bigram
+    tables are `train_bigram_lm`'s exactly, plus
+    ``(tok_a, tok_b, tok_c, tri_count)``. One extra corpus pass."""
+    uni, bi = train_bigram_lm(df, id_col, text_col, lowercase)
+    tri = (
+        _doc_trigrams(df, id_col, text_col, lowercase)
+        .groupBy("tok_a", "tok_b", "tok_c")
+        .agg(F.count(F.lit(1)).cast("long").alias("tri_count"))
+    )
+    return uni, bi, tri
+
+
+def trigram_kn_scores(
+    df: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    trigrams: DataFrame,
+    id_col: str,
+    text_col: str,
+    discount: float = 0.75,
+    epsilon: float = 1e-10,
+    lowercase: bool = True,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-document log-likelihood under ORDER-3 interpolated
+    Kneser-Ney — one step closer to the KenLM 5-gram CCNet runs:
+
+    P3(c|ab) = max(c(abc)−D,0)/c(ab) + D·N1+(ab·)/c(ab)·P2(c|b)
+    P2(c|b)  = max(N1+(·bc)−D,0)/N1+(·b·)
+               + D·N1+(b·)/N1+(·b·)·Pcont(c)
+    Pcont(c) = N1+(·c)/N1+(··)
+
+    — the mid level uses CONTINUATION (type) counts, the textbook
+    recursion. Unseen (a,b) context backs off to P2; unseen b to
+    Pcont; ``epsilon`` floors OOV. Every statistic derives from the
+    trigram/bigram count tables via model-sized aggregations (no
+    extra corpus pass); scoring is one explode + six
+    broadcast-or-shuffle joins + the e6 fixed-point sum, mirroring
+    the bigram scorers' contract (docs with < 3 tokens score NULL)."""
+    d = float(discount)
+    if not 0 < d < 1:
+        raise ValueError("discount must be in (0, 1)")
+    tri_abc = trigrams.select(
+        "tok_a", "tok_b", "tok_c", F.col("tri_count").alias("__cabc")
+    )
+    # top-level context count = Σ_c c(abc), NOT the raw bigram count:
+    # a bigram occurring at sequence end has no continuation, and
+    # dividing by the raw count leaks that mass (the </s> accounting
+    # the sentence-marker formulation solves; deriving the context
+    # count from the trigram table is the marker-free equivalent and
+    # keeps Σ_c P(c|ab) = 1 exactly)
+    fw_ab = trigrams.groupBy("tok_a", "tok_b").agg(
+        F.count(F.lit(1)).cast("long").alias("__n1p_ab"),
+        F.sum("tri_count").cast("long").alias("__cab"),
+    )
+    mid_bc = trigrams.groupBy(
+        F.col("tok_b").alias("tok_b"), F.col("tok_c").alias("tok_c")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__nmid_bc"))
+    mid_b = mid_bc.groupBy("tok_b").agg(
+        F.sum("__nmid_bc").cast("long").alias("__nmid_b")
+    )
+    # mid-level backoff weight: distinct continuations of b IN THE
+    # CONTINUATION TABLE (|{c : N1+(·bc) > 0}|) — using the raw
+    # bigram follower count here would break normalization, since
+    # bigrams seen only without a predecessor have no continuation
+    # row to discount against
+    fw_b = mid_bc.groupBy("tok_b").agg(
+        F.count(F.lit(1)).cast("long").alias("__n1p_b_fw")
+    )
+    pred_c = bigrams.groupBy(F.col("tok_b").alias("tok_c")).agg(
+        F.count(F.lit(1)).cast("long").alias("__n1p_c_bw")
+    )
+    total_types = bigrams.count()
+    if broadcast_model:
+        tri_abc = F.broadcast(tri_abc)
+        fw_ab, mid_bc, mid_b = (
+            F.broadcast(fw_ab), F.broadcast(mid_bc), F.broadcast(mid_b),
+        )
+        fw_b, pred_c = F.broadcast(fw_b), F.broadcast(pred_c)
+
+    tg = _doc_trigrams(df, id_col, text_col, lowercase)
+    joined = (
+        tg.join(tri_abc, ["tok_a", "tok_b", "tok_c"], "left")
+        .join(fw_ab, ["tok_a", "tok_b"], "left")
+        .join(mid_bc, ["tok_b", "tok_c"], "left")
+        .join(mid_b, ["tok_b"], "left")
+        .join(fw_b, ["tok_b"], "left")
+        .join(pred_c, ["tok_c"], "left")
+    )
+    cabc = F.coalesce(F.col("__cabc"), F.lit(0)).cast("double")
+    cab = F.coalesce(F.col("__cab"), F.lit(0)).cast("double")
+    n1p_ab = F.coalesce(F.col("__n1p_ab"), F.lit(0)).cast("double")
+    nmid_bc = F.coalesce(F.col("__nmid_bc"), F.lit(0)).cast("double")
+    nmid_b = F.coalesce(F.col("__nmid_b"), F.lit(0)).cast("double")
+    n1p_b_fw = F.coalesce(F.col("__n1p_b_fw"), F.lit(0)).cast("double")
+    p_cont = (
+        F.coalesce(F.col("__n1p_c_bw"), F.lit(0)).cast("double")
+        / F.lit(float(total_types))
+    )
+    p2 = F.when(
+        nmid_b > 0,
+        F.greatest(nmid_bc - F.lit(d), F.lit(0.0)) / nmid_b
+        + F.lit(d) * n1p_b_fw / nmid_b * p_cont,
+    ).otherwise(p_cont)
+    p3 = F.when(
+        cab > 0,
+        F.greatest(cabc - F.lit(d), F.lit(0.0)) / cab
+        + F.lit(d) * n1p_ab / cab * p2,
+    ).otherwise(p2)
+    scored = joined.select(
+        F.col(id_col),
+        F.floor(F.log(p3 + F.lit(float(epsilon))) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("__lp_e6"),
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+        F.sum("__lp_e6").cast("long").alias("sum_logprob_e6"),
+    )
+    base = df.select(F.col(id_col)).distinct()
+    out = base.join(per_doc, id_col, "left")
+    avg = F.col("sum_logprob_e6") / (F.col("n_trigrams") * F.lit(1e6))
+    return out.select(
+        id_col,
+        F.coalesce(F.col("n_trigrams"), F.lit(0)).alias("n_trigrams"),
+        "sum_logprob_e6",
+        avg.alias("avg_logprob"),
+        F.exp(-avg).alias("ppl"),
+    )
