@@ -413,3 +413,27 @@ def test_trigram_kn_distribution_and_short_docs(spark):
     short = spark.createDataFrame([(9, "a b")], "doc_id long, text string")
     r = trigram_kn_scores(short, uni, bi, tri, "doc_id", "text").collect()[0]
     assert r["n_trigrams"] == 0 and r["sum_logprob_e6"] is None
+
+
+def test_perplexity_filter_with_kn_scorer(spark):
+    """perplexity_filter(scorer=kn_logprob_scores): the banding
+    wrapper composes with the KN scorers unchanged."""
+    from trial_submission_studio_spark.operators.lm import (
+        kn_logprob_scores,
+        perplexity_filter,
+        train_bigram_lm,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "the cat sat on the mat " * 5)], "doc_id long, text string"
+    )
+    uni, bi = train_bigram_lm(train, "doc_id", "text")
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "zz qq ww ee rr tt")],
+        "doc_id long, text string",
+    )
+    kept = perplexity_filter(
+        docs, uni, bi, "doc_id", "text", max_ppl=50.0,
+        scorer=kn_logprob_scores, modified=True,
+    )
+    assert [r["doc_id"] for r in kept.collect()] == [1]

@@ -144,14 +144,17 @@ def perplexity_filter(
     id_col: str,
     text_col: str,
     max_ppl: float,
+    scorer=None,
     **score_kwargs,
 ) -> DataFrame:
     """Keep documents scoring at or below ``max_ppl`` (docs too short
     to score are dropped — no evidence either way, CCNet discards
-    them too)."""
-    scores = bigram_logprob_scores(
-        df, unigrams, bigrams, id_col, text_col, **score_kwargs
-    )
+    them too). ``scorer`` defaults to the add-k
+    :func:`bigram_logprob_scores`; pass :func:`kn_logprob_scores`
+    (optionally with ``modified=True`` in ``score_kwargs``) to band
+    on Kneser-Ney perplexities with the same call shape."""
+    score_fn = scorer if scorer is not None else bigram_logprob_scores
+    scores = score_fn(df, unigrams, bigrams, id_col, text_col, **score_kwargs)
     keep = scores.filter(F.col("ppl") <= max_ppl).select(id_col)
     return df.join(keep, id_col, "left_semi")
 
