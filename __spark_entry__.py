@@ -803,6 +803,68 @@ def text_analysis_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pii_redaction_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (operators/pii.py): the privacy
+    scrub every public corpus recipe runs (The Stack: email+IP;
+    FineWeb adds phones/ids). The synthetic documents carry no PII,
+    so the query plants deterministic PII derived from doc_id —
+    identically in Spark and the oracle — then pins per-bucket match
+    counts per class AND the redacted text itself (length sum +
+    min/max md5). All codegen regexp expressions; zero shuffle
+    before the final 10-bucket agg."""
+    from trial_submission_studio_spark.operators.pii import (
+        pii_counts,
+        redact_pii,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pad4 = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" call 415-555-"), pad4),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" from 10."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".0.1"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" ssn 123-45-"), pad4),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.lit(" card 4111 1111 1111 1111"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    counted = pii_counts(aug, "text").withColumn("red", redact_pii("text"))
+    return counted.groupBy(
+        (F.col("doc_id") % 10).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("pii_email").cast("long").alias("email_hits"),
+        F.sum("pii_ipv4").cast("long").alias("ipv4_hits"),
+        F.sum("pii_ssn").cast("long").alias("ssn_hits"),
+        F.sum("pii_credit_card").cast("long").alias("cc_hits"),
+        F.sum("pii_phone").cast("long").alias("phone_hits"),
+        F.sum("pii_total").cast("long").alias("total_hits"),
+        F.sum(F.length("red")).cast("long").alias("red_len_sum"),
+        F.min(F.md5("red")).alias("red_md5_min"),
+        F.max(F.md5("red")).alias("red_md5_max"),
+    )
+
+
 def dedup_group_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-components duplicate-group resolution: pair finders
     emit EDGES, not groups — keeping one survivor per component needs
@@ -901,6 +963,100 @@ def temporal_locf_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", F.round("v", 2).alias("locf_value")
     )
+
+
+def temporal_asof_locf_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged temporal gate (slot economy, documented pattern): the
+    backward as-of join and the LOCF fill share the event grain, so
+    the two components equi-join on (event_id, user_id) and keep
+    their own value columns — the hash pins each independently."""
+    a = temporal_asof_clicks(spark, sf_dir)
+    lo = temporal_locf_views(spark, sf_dir)
+    return a.join(lo, ["event_id", "user_id"])
+
+
+def events_stream_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged events gate (slot economy): tumbling-window counts and
+    30-min sessionization live at different grains, so the union tags
+    rows with a component column and NULL-pads the off-component
+    columns — per-component columns keep each hash-pinned."""
+    t = events_tumbling_window(spark, sf_dir).select(
+        F.lit("tumbling").alias("component"),
+        "window_start",
+        "event_type",
+        "n_events",
+        "sum_value",
+        F.lit(None).cast("long").alias("user_id"),
+        F.lit(None).cast("long").alias("n_sessions"),
+    )
+    s = events_sessionization(spark, sf_dir).select(
+        F.lit("session").alias("component"),
+        F.lit(None).cast("string").alias("window_start"),
+        F.lit(None).cast("string").alias("event_type"),
+        "n_events",
+        F.lit(None).cast("double").alias("sum_value"),
+        "user_id",
+        "n_sessions",
+    )
+    return t.unionByName(s)
+
+
+def phrase_mining_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase mining (operators/phrases.py) merged gate: the full
+    PMI/NPMI collocation table (exact integer counts + e6 fixed-point
+    scores, the lm.py float convention) unioned with per-bucket
+    tf-idf keyword aggregates. The tfidf component sums over each
+    document's top-3 — a within-top-k order flip cannot move the
+    sums, so the gate is robust to sub-ulp ln() differences while
+    still pinning selection, scores, and counts."""
+    from trial_submission_studio_spark.operators.phrases import (
+        collocations,
+        tfidf_keywords,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    e6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)).cast("long")  # noqa: E731
+    col = collocations(d, "text", min_count=5).select(
+        F.lit("colloc").alias("component"),
+        "tok_a",
+        "tok_b",
+        "n_ab",
+        "n_a",
+        "n_b",
+        e6(F.col("pmi")).alias("pmi_e6"),
+        e6(F.col("npmi")).alias("npmi_e6"),
+        F.lit(None).cast("long").alias("bucket"),
+        F.lit(None).cast("long").alias("n_terms"),
+        F.lit(None).cast("long").alias("sum_tf"),
+        F.lit(None).cast("long").alias("sum_df"),
+        F.lit(None).cast("long").alias("tfidf_e6_sum"),
+    )
+    kw = (
+        tfidf_keywords(d, "doc_id", "text", k=3)
+        .groupBy((F.col("doc_id") % 10).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("tf").cast("long").alias("sum_tf"),
+            F.sum("df").cast("long").alias("sum_df"),
+            F.sum(e6(F.col("tfidf"))).cast("long").alias("tfidf_e6_sum"),
+        )
+        .select(
+            F.lit("tfidf").alias("component"),
+            F.lit(None).cast("string").alias("tok_a"),
+            F.lit(None).cast("string").alias("tok_b"),
+            F.lit(None).cast("long").alias("n_ab"),
+            F.lit(None).cast("long").alias("n_a"),
+            F.lit(None).cast("long").alias("n_b"),
+            F.lit(None).cast("long").alias("pmi_e6"),
+            F.lit(None).cast("long").alias("npmi_e6"),
+            "bucket",
+            "n_terms",
+            "sum_tf",
+            "sum_df",
+            "tfidf_e6_sum",
+        )
+    )
+    return col.unionByName(kw)
 
 
 def temporal_interval_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2316,7 +2472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_ngram_overlap": contamination_ngram_overlap,
         "quality_line_filter": quality_line_filter,
         "embedding_quantize_gates": embedding_quantize_gates,
-        "events_sessionization": events_sessionization,
+        "events_stream_gates": events_stream_gates,
         "agg_salted_user_totals": agg_salted_user_totals,
         "temporal_interval_shipments": temporal_interval_shipments,
         "temporal_rolling_user_1h": temporal_rolling_user_1h,
@@ -2350,13 +2506,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v8_ct_violations": v8_ct_violations,
         "w1_days_since_prev": w1_days_since_prev,
         "text_analysis_gates": text_analysis_gates,
+        "pii_redaction_gates": pii_redaction_gates,
         "dedup_group_resolution": dedup_group_resolution,
         "sample_stratified": sample_stratified,
         "ann_recall_gates": ann_recall_gates,
-        "events_tumbling_window": events_tumbling_window,
-        "temporal_asof_clicks": temporal_asof_clicks,
-        "temporal_locf_views": temporal_locf_views,
+        "temporal_asof_locf_gates": temporal_asof_locf_gates,
+        "phrase_mining_gates": phrase_mining_gates,
     }
+
+
+def _pii_oracle_sql() -> str:
+    """DuckDB twin of pii_redaction_gates. The regex patterns are
+    interpolated from operators/pii.PII_PATTERNS — byte-identical to
+    the Spark side by construction (the patterns avoid lookaround /
+    backrefs so Java regex and RE2 agree; see the module's
+    engine-portability contract). Redaction nests regexp_replace in
+    the same class order."""
+    from trial_submission_studio_spark.operators.pii import PII_PATTERNS
+
+    red = "text"
+    for name, pat in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '[{name.upper()}]', 'g')"
+    counts = ",\n                     ".join(
+        f"coalesce(len(regexp_extract_all(text, '{pat}')), 0) AS n_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    return f"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                               ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 7 = 0
+                               THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                               ELSE '' END
+                       || CASE WHEN doc_id % 11 = 0
+                               THEN ' card 4111 1111 1111 1111'
+                               ELSE '' END AS text
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id,
+                     {counts},
+                     {red} AS red
+              FROM aug
+            )
+            SELECT CAST(doc_id % 10 AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_email) AS BIGINT) AS email_hits,
+                   CAST(sum(n_ipv4) AS BIGINT) AS ipv4_hits,
+                   CAST(sum(n_ssn) AS BIGINT) AS ssn_hits,
+                   CAST(sum(n_credit_card) AS BIGINT) AS cc_hits,
+                   CAST(sum(n_phone) AS BIGINT) AS phone_hits,
+                   CAST(sum(n_email + n_ipv4 + n_ssn + n_credit_card + n_phone)
+                     AS BIGINT) AS total_hits,
+                   CAST(sum(length(red)) AS BIGINT) AS red_len_sum,
+                   min(md5(red)) AS red_md5_min,
+                   max(md5(red)) AS red_md5_max
+            FROM c
+            GROUP BY 1
+        """
 
 
 _STOPWORDS_SQL = "'" + "','".join(
@@ -2942,6 +3155,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT cap_agg.*, mix_agg.* FROM cap_agg, mix_agg
         """,
+        "pii_redaction_gates": _pii_oracle_sql(),
         "text_analysis_gates": f"""
             WITH t AS (
               SELECT doc_id, lang, n_chars, trim(text) AS s,
@@ -3105,32 +3319,141 @@ def oracle_sql() -> dict[str, str]:
                      AS n_removed
             FROM k GROUP BY doc_id
         """,
-        "events_tumbling_window": """
-            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        "events_stream_gates": """
+            SELECT 'tumbling' AS component,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                    event_type,
                    count(*) AS n_events,
-                   round(sum(value), 2) AS sum_value
-            FROM events GROUP BY 1, 2
+                   round(sum(value), 2) AS sum_value,
+                   CAST(NULL AS BIGINT) AS user_id,
+                   CAST(NULL AS BIGINT) AS n_sessions
+            FROM events GROUP BY 2, 3
+            UNION ALL
+            SELECT 'session', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+                   n_events, CAST(NULL AS DOUBLE), user_id, n_sessions
+            FROM (
+              WITH lagged AS (
+                SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                FROM events
+              ),
+              flagged AS (
+                SELECT user_id,
+                       CASE WHEN prev IS NULL
+                                 OR (floor(epoch(ts)) - floor(epoch(prev))) > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM lagged
+              )
+              SELECT user_id,
+                     CAST(sum(new_session) AS BIGINT) AS n_sessions,
+                     count(*) AS n_events
+              FROM flagged GROUP BY user_id
+            )
         """,
-        "temporal_asof_clicks": """
+        "temporal_asof_locf_gates": """
             WITH clicks AS (
               SELECT user_id, ts, max(value) AS click_value
               FROM events WHERE event_type = 'click' GROUP BY 1, 2
+            ),
+            aj AS (
+              SELECT e.event_id, e.user_id,
+                     CAST(epoch_us(c.ts) AS BIGINT) AS click_ts_us,
+                     round(c.click_value, 2) AS click_value
+              FROM events e ASOF LEFT JOIN clicks c
+                ON e.user_id = c.user_id AND e.ts >= c.ts
+            ),
+            locf AS (
+              SELECT event_id, user_id,
+                     round(last_value(CASE WHEN event_type = 'view' THEN value END
+                                      IGNORE NULLS)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                           2) AS locf_value
+              FROM events
             )
-            SELECT e.event_id, e.user_id,
-                   CAST(epoch_us(c.ts) AS BIGINT) AS click_ts_us,
-                   round(c.click_value, 2) AS click_value
-            FROM events e ASOF LEFT JOIN clicks c
-              ON e.user_id = c.user_id AND e.ts >= c.ts
+            SELECT aj.event_id, aj.user_id, aj.click_ts_us,
+                   aj.click_value, locf.locf_value
+            FROM aj JOIN locf
+              ON aj.event_id = locf.event_id AND aj.user_id = locf.user_id
         """,
-        "temporal_locf_views": """
-            SELECT event_id, user_id,
-                   round(last_value(CASE WHEN event_type = 'view' THEN value END
-                                    IGNORE NULLS)
-                         OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-                         2) AS locf_value
-            FROM events
+        "phrase_mining_gates": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(coalesce(text, ''))),
+                                           '\\s+') AS toks
+              FROM documents
+            ),
+            tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+            uni AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+            tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM tok),
+            pairs AS (
+              SELECT pr[1] AS tok_a, pr[2] AS tok_b, count(*) AS n_ab
+              FROM (
+                SELECT unnest(list_transform(range(2, len(toks) + 1),
+                       i -> [toks[i - 1], toks[i]])) AS pr
+                FROM t WHERE len(toks) >= 2
+              ) GROUP BY 1, 2
+              HAVING count(*) >= 5
+            ),
+            colloc AS (
+              SELECT p.tok_a, p.tok_b,
+                     CAST(p.n_ab AS BIGINT) AS n_ab,
+                     CAST(ua.n AS BIGINT) AS n_a,
+                     CAST(ub.n AS BIGINT) AS n_b,
+                     CAST(floor(ln(p.n_ab * (SELECT t FROM tot)
+                                   / (ua.n * ub.n)) * 1e6 + 0.5) AS BIGINT)
+                       AS pmi_e6,
+                     CAST(floor(ln(p.n_ab * (SELECT t FROM tot)
+                                   / (ua.n * ub.n))
+                                / (-ln(p.n_ab / (SELECT t FROM tot))) * 1e6
+                                + 0.5) AS BIGINT) AS npmi_e6
+              FROM pairs p
+              JOIN uni ua ON p.tok_a = ua.tok
+              JOIN uni ub ON p.tok_b = ub.tok
+            ),
+            postings AS (
+              SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+              FROM tok GROUP BY 1, 2
+            ),
+            dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                    FROM postings GROUP BY term),
+            nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n
+                   FROM documents),
+            ranked AS (
+              SELECT p.doc_id, p.tf, d.df,
+                     p.tf * (ln((1.0 + (SELECT n FROM nd)) / (1.0 + d.df))
+                             + 1.0) AS tfidf,
+                     row_number() OVER (
+                       PARTITION BY p.doc_id
+                       ORDER BY p.tf * (ln((1.0 + (SELECT n FROM nd))
+                                           / (1.0 + d.df)) + 1.0) DESC,
+                                p.term ASC) AS rk
+              FROM postings p JOIN dfs d ON p.term = d.term
+            ),
+            kw AS (
+              SELECT CAST(doc_id % 10 AS BIGINT) AS bucket,
+                     CAST(count(*) AS BIGINT) AS n_terms,
+                     CAST(sum(tf) AS BIGINT) AS sum_tf,
+                     CAST(sum(df) AS BIGINT) AS sum_df,
+                     CAST(sum(CAST(floor(tfidf * 1e6 + 0.5) AS BIGINT))
+                       AS BIGINT) AS tfidf_e6_sum
+              FROM ranked WHERE rk <= 3 GROUP BY 1
+            )
+            SELECT 'colloc' AS component, tok_a, tok_b, n_ab, n_a, n_b,
+                   pmi_e6, npmi_e6,
+                   CAST(NULL AS BIGINT) AS bucket,
+                   CAST(NULL AS BIGINT) AS n_terms,
+                   CAST(NULL AS BIGINT) AS sum_tf,
+                   CAST(NULL AS BIGINT) AS sum_df,
+                   CAST(NULL AS BIGINT) AS tfidf_e6_sum
+            FROM colloc
+            UNION ALL
+            SELECT 'tfidf', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT),
+                   bucket, n_terms, sum_tf, sum_df, tfidf_e6_sum
+            FROM kw
         """,
         "temporal_interval_shipments": """
             SELECT strftime(date_trunc('month', CAST(l_shipdate AS DATE)), '%Y-%m')
@@ -3151,24 +3474,6 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                          RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
-        """,
-        "events_sessionization": """
-            WITH lagged AS (
-              SELECT user_id, ts,
-                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
-              FROM events
-            ),
-            flagged AS (
-              SELECT user_id,
-                     CASE WHEN prev IS NULL
-                               OR (floor(epoch(ts)) - floor(epoch(prev))) > 1800
-                          THEN 1 ELSE 0 END AS new_session
-              FROM lagged
-            )
-            SELECT user_id,
-                   CAST(sum(new_session) AS BIGINT) AS n_sessions,
-                   count(*) AS n_events
-            FROM flagged GROUP BY user_id
         """,
         "agg_salted_user_totals": """
             SELECT user_id, count(*) AS n_events,

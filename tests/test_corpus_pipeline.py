@@ -460,3 +460,29 @@ def test_prepare_corpus_blocklist_stage(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
     assert list(cfg.stats) == ["input", "doc_quality", "blocklist"]
     assert cfg.stats["blocklist"] == 2
+
+
+def test_pii_stages(spark):
+    """pii_max_total drops PII-heavy docs; pii_redact rewrites the
+    survivors' text at the end of the pipeline."""
+    from trial_submission_studio_spark.corpus import CorpusConfig, prepare_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "clean words only in this document here", "a"),
+            (2, "leaky doc mail me at a@b.com or x@y.org today ok", "a"),
+            (3, "one address c@d.net padding words to pass filters", "a"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    cfg = CorpusConfig(
+        min_line_words=None, min_doc_tokens=3, exact_dedup=False,
+        near_dedup=False, contamination_threshold=None,
+        paragraph_max_docs=None, pii_max_total=1, pii_redact=True,
+    )
+    out = prepare_corpus(docs, "doc_id", "text", cfg).collect()
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == [1, 3]  # doc 2 exceeds max_total=1
+    red = {r["doc_id"]: r["text"] for r in out}
+    assert "[EMAIL]" in red[3] and "c@d.net" not in red[3]
+    assert red[1].startswith("clean words")

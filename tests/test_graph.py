@@ -211,3 +211,66 @@ def test_html_anchor_links_extraction(spark):
     )
     by_href = {r["href"]: r["anchors"] for r in table.collect()}
     assert by_href["https://site.example.com/docs/intro"] == ["Getting started"]
+
+
+def _numpy_hits(n, edges, iterations):
+    """Dense HITS with per-iteration L2 normalization; auth updates
+    from the current hub, hub from the NEW auth (Kleinberg order)."""
+    E = np.zeros((n, n))
+    for s, t in set(edges):
+        E[s, t] = 1.0
+    h = np.ones(n)
+    a = np.ones(n)
+    for _ in range(iterations):
+        a = E.T @ h
+        na = np.linalg.norm(a)
+        if na > 0:
+            a = a / na
+        h = E @ a
+        nh = np.linalg.norm(h)
+        if nh > 0:
+            h = h / nh
+    return h, a
+
+
+def test_hits_matches_numpy_reference(spark):
+    from trial_submission_studio_spark.operators.graph import hits
+
+    edges = values_df(spark, GRAPH, "src bigint, dst bigint")
+    got = {r.node: (r.hub, r.authority) for r in hits(edges, iterations=12).collect()}
+    h, a = _numpy_hits(6, GRAPH, iterations=12)
+    assert set(got) == set(range(6))
+    for i in range(6):
+        assert got[i][0] == pytest.approx(h[i], abs=1e-9), ("hub", i)
+        assert got[i][1] == pytest.approx(a[i], abs=1e-9), ("auth", i)
+    # node 2 receives the most links -> top authority; 0 links to two
+    # strong authorities -> top hub
+    top_auth = max(got, key=lambda n: got[n][1])
+    assert top_auth == 2
+
+
+def test_hits_tol_early_exit_converges(spark):
+    from trial_submission_studio_spark.operators.graph import hits
+
+    edges = values_df(spark, GRAPH, "src bigint, dst bigint")
+    got = {
+        r.node: (r.hub, r.authority)
+        for r in hits(edges, iterations=200, tol=1e-12).collect()
+    }
+    h, a = _numpy_hits(6, GRAPH, iterations=300)
+    for i in range(6):
+        assert got[i][0] == pytest.approx(h[i], abs=1e-8), i
+        assert got[i][1] == pytest.approx(a[i], abs=1e-8), i
+    # L2 norms are 1
+    assert sum(v[0] ** 2 for v in got.values()) == pytest.approx(1.0, abs=1e-9)
+    assert sum(v[1] ** 2 for v in got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_hits_validations_and_empty(spark):
+    from trial_submission_studio_spark.operators.graph import hits
+
+    edges = values_df(spark, GRAPH, "src bigint, dst bigint")
+    with pytest.raises(ValueError):
+        hits(edges, iterations=0)
+    empty = values_df(spark, [], "src bigint, dst bigint")
+    assert hits(empty, iterations=2).count() == 0

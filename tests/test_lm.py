@@ -437,3 +437,57 @@ def test_perplexity_filter_with_kn_scorer(spark):
         scorer=kn_logprob_scores, modified=True,
     )
     assert [r["doc_id"] for r in kept.collect()] == [1]
+
+
+def test_kn_context_counts_derived_from_bigrams(spark):
+    """ADVICE r8: kn_logprob_scores derives c(w1) from the bigram
+    table itself, so a caller passing RAW token counts (not
+    train_bigram_lm's context counts) gets identical, exactly
+    normalized scores."""
+    from trial_submission_studio_spark.operators.lm import kn_logprob_scores
+
+    df = spark.createDataFrame(REF, "doc_id long, text string")
+    uni, bi = train_bigram_lm(df, "doc_id", "text")
+    good = sorted(
+        (r["doc_id"], r["sum_logprob_e6"])
+        for r in kn_logprob_scores(df, uni, bi, "doc_id", "text").collect()
+    )
+    # raw token counts (counts every token, incl. document-final)
+    from pyspark.sql import functions as F
+
+    raw = (
+        df.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok_a"))
+        .groupBy("tok_a")
+        .agg(F.count(F.lit(1)).alias("uni_count"))
+    )
+    got = sorted(
+        (r["doc_id"], r["sum_logprob_e6"])
+        for r in kn_logprob_scores(df, raw, bi, "doc_id", "text").collect()
+    )
+    assert got == good
+
+
+def test_token_pattern_strips_punctuation(spark):
+    """Regex tokenization ('word.' == 'word') via the shared
+    tokenize.WORD_PATTERN flows through training and scoring."""
+    from trial_submission_studio_spark.operators.tokenize import WORD_PATTERN
+
+    punct = [(1, "The cat, sat. On the mat!"), (2, "the dog; sat on: the rug?")]
+    clean = [(1, "the cat sat on the mat"), (2, "the dog sat on the rug")]
+    dfp = spark.createDataFrame(punct, "doc_id long, text string")
+    dfc = spark.createDataFrame(clean, "doc_id long, text string")
+    unip, bip = train_bigram_lm(dfp, "doc_id", "text", token_pattern=WORD_PATTERN)
+    unic, bic = train_bigram_lm(dfc, "doc_id", "text")
+    got = sorted(
+        (r["doc_id"], r["sum_logprob_e6"])
+        for r in bigram_logprob_scores(
+            dfp, unip, bip, "doc_id", "text", token_pattern=WORD_PATTERN
+        ).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["sum_logprob_e6"])
+        for r in bigram_logprob_scores(
+            dfc, unic, bic, "doc_id", "text"
+        ).collect()
+    )
+    assert got == want

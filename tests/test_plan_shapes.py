@@ -44,9 +44,20 @@ def test_no_cartesian_products_in_data_plane_queries(spark):
     # into dedup_verify_gates and r2/r4 into r_reciprocal_gates to
     # free slots for lm_bigram_scores / incremental_dedup_docs /
     # corpus_split_gates; j1/j2 into j_membership_checks (itself
-    # non-gate, full-row) freeing a slot for sketch_distinct_gates —
-    # 35 non-gate queries remain
-    assert checked >= 35
+    # non-gate, full-row) freeing a slot for sketch_distinct_gates.
+    # r9: asof+locf and tumbling+sessionization merged into
+    # *_gates-suffixed slots (freeing room for pii + phrase mining)
+    # — 31 non-gate queries remain; the four r9 gates contain NO
+    # 1-row crossJoins, so they are swept below despite the suffix.
+    assert checked >= 31
+    for name in (
+        "temporal_asof_locf_gates",
+        "events_stream_gates",
+        "pii_redaction_gates",
+        "phrase_mining_gates",
+    ):
+        plan = _plan(m.queries()[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
 
 
 def test_quota_cap_scan_prunes_columns(spark):

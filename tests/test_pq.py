@@ -220,3 +220,33 @@ def test_ivfpq_topk_composed(spark):
         by_q.setdefault(r.query_id, set()).add(r.vec_id)
     for qid, ids in by_q.items():
         assert len(ids) == 5 and qid in ids
+
+
+def test_auto_distributed_queries_switch(spark, monkeypatch):
+    """VERDICT r8 wrong#3: distributed_queries=None (the new default)
+    auto-switches to the join path when the query table exceeds the
+    bound — no driver collect of a corpus-sized query frame — and the
+    results match the explicit collect path exactly."""
+    import trial_submission_studio_spark.operators.similarity as sim
+
+    corpus = _corpus(spark)
+    books = train_pq_codebooks(corpus, m=4, n_codes=16)
+    codes = pq_encode(corpus, books)
+    queries = _corpus(spark).limit(5)
+
+    monkeypatch.setattr(sim, "AUTO_DISTRIBUTE_QUERIES", 3)
+    assert sim._resolve_distributed_queries(queries, None) is True
+    assert sim._resolve_distributed_queries(queries.limit(2), None) is False
+    assert sim._resolve_distributed_queries(queries, False) is False
+
+    auto = sorted(
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in pq_topk(codes, queries, books, k=3).collect()
+    )
+    collect_path = sorted(
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in pq_topk(
+            codes, queries, books, k=3, distributed_queries=False
+        ).collect()
+    )
+    assert auto == collect_path

@@ -225,3 +225,90 @@ def test_image_exif_spark(spark):
     assert rows[2]["orientation"] is None  # EXIF-less: NULL row
     assert rows[3]["make"] is None
     assert set(rows) == {1, 2, 3}  # join-complete
+
+
+def _gray16_tiff(body: bytes, h: int, w: int, extra_entries=()):
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 16), (259, 3, 1, 1),
+        (262, 3, 1, 1), (273, 4, 1, 0), (277, 3, 1, 1), (278, 3, 1, h),
+        (279, 4, 1, len(body)), *extra_entries,
+    ]
+    entries.sort()
+    n = len(entries)
+    data_off = 8 + 2 + 12 * n + 4
+    out = bytearray(struct.pack("<2sHI", b"II", 42, 8))
+    out += struct.pack("<H", n)
+    for tag, typ, count, val in entries:
+        if tag == 273:
+            val = data_off
+        out += struct.pack("<HHI", tag, typ, count)
+        out += struct.pack("<I", val) if typ == 4 else struct.pack("<HH", val, 0)
+    out += struct.pack("<I", 0)
+    out += body
+    return bytes(out)
+
+
+def test_predictor2_16bit_inverts_before_downscale():
+    """ADVICE r8: Predictor=2 on 16-bit data must cumsum the
+    FULL-DEPTH samples (mod 2^16) before the 8-bit downscale."""
+    h, w = 4, 6
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 65536, size=(h, w), dtype=np.uint16)
+    diffed = vals.astype(np.int64).copy()
+    diffed[:, 1:] = (vals[:, 1:].astype(np.int64) - vals[:, :-1].astype(np.int64))
+    body = (diffed % 65536).astype("<u2").tobytes()
+    data = _gray16_tiff(body, h, w, extra_entries=[(317, 3, 1, 2)])
+    got = decode_tiff(data)
+    np.testing.assert_array_equal(got[:, :, 0], (vals >> 8).astype(np.uint8))
+
+
+def test_predictor2_8bit_any_compression():
+    """Predictor=2 applies regardless of compression (it was
+    LZW-gated before r9): uncompressed 8-bit differenced data."""
+    h, w = 3, 7
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    diffed = vals.astype(np.int64).copy()
+    diffed[:, 1:] = vals[:, 1:].astype(np.int64) - vals[:, :-1].astype(np.int64)
+    body = (diffed % 256).astype(np.uint8).tobytes()
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 8), (259, 3, 1, 1),
+        (262, 3, 1, 1), (273, 4, 1, 0), (277, 3, 1, 1), (278, 3, 1, h),
+        (279, 4, 1, len(body)), (317, 3, 1, 2),
+    ]
+    n = len(entries)
+    data_off = 8 + 2 + 12 * n + 4
+    out = bytearray(struct.pack("<2sHI", b"II", 42, 8))
+    out += struct.pack("<H", n)
+    for tag, typ, count, val in entries:
+        if tag == 273:
+            val = data_off
+        out += struct.pack("<HHI", tag, typ, count)
+        out += struct.pack("<I", val) if typ == 4 else struct.pack("<HH", val, 0)
+    out += struct.pack("<I", 0)
+    out += body
+    got = decode_tiff(bytes(out))
+    np.testing.assert_array_equal(got[:, :, 0], vals)
+
+
+def test_predictor2_1bit_raises():
+    h, w = 2, 8
+    body = bytes([0b10101010, 0b01010101])
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 1), (259, 3, 1, 1),
+        (262, 3, 1, 1), (273, 4, 1, 0), (277, 3, 1, 1), (278, 3, 1, h),
+        (279, 4, 1, len(body)), (317, 3, 1, 2),
+    ]
+    n = len(entries)
+    data_off = 8 + 2 + 12 * n + 4
+    out = bytearray(struct.pack("<2sHI", b"II", 42, 8))
+    out += struct.pack("<H", n)
+    for tag, typ, count, val in entries:
+        if tag == 273:
+            val = data_off
+        out += struct.pack("<HHI", tag, typ, count)
+        out += struct.pack("<I", val) if typ == 4 else struct.pack("<HH", val, 0)
+    out += struct.pack("<I", 0)
+    out += body
+    with pytest.raises(ValueError, match="Predictor"):
+        decode_tiff(bytes(out))

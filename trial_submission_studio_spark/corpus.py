@@ -88,6 +88,13 @@ class CorpusConfig:
     source_cap: int | None = None
     source_col: str = "source"
     target_mix: dict[str, float] | None = None
+    # PII scrub (operators/pii.py): max_total drops documents whose
+    # detector-match count exceeds it (row-local filter with the
+    # other doc filters); redact=True rewrites the surviving text at
+    # the END of the pipeline (the Stack/FineWeb convention — scrub
+    # what ships, after dedup/mix decisions are made on raw text)
+    pii_max_total: int | None = None
+    pii_redact: bool = False
     stats: dict[str, int] = field(default_factory=dict)
 
 
@@ -173,6 +180,14 @@ def prepare_corpus(
         doc_pred = p if doc_pred is None else (doc_pred & p)
     if doc_pred is not None:
         out = _mark("doc_quality", out.filter(doc_pred))
+
+    if cfg.pii_max_total is not None:
+        from .operators.pii import pii_filter
+
+        out = _mark(
+            "pii_filtered",
+            pii_filter(out, text_col, max_total=cfg.pii_max_total),
+        )
 
     if cfg.blocklist_words is not None:
         from .operators.qualityfilter import blocklist_filter
@@ -276,6 +291,13 @@ def prepare_corpus(
             out, cfg.source_col, cfg.target_mix, key_col=id_col
         )
         out = _mark("rebalanced", out)
+
+    if cfg.pii_redact:
+        from .operators.pii import redact_pii
+
+        out = _mark(
+            "pii_redacted", out.withColumn(text_col, redact_pii(text_col))
+        )
 
     return out
 

@@ -34,15 +34,24 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
-def word_ngrams(c: Column | str, n: int = 13, lowercase: bool = True) -> Column:
+def word_ngrams(
+    c: Column | str,
+    n: int = 13,
+    lowercase: bool = True,
+    token_pattern: str | None = None,
+) -> Column:
     """Array of space-joined word ``n``-grams of a text column
     (whitespace tokenizer; NULL/blank → empty array). Deterministic
     and engine-portable: an external SQL oracle can reproduce it with
-    regexp_split + windowed slices."""
+    regexp_split + windowed slices. ``token_pattern`` (see
+    `tokenize.words`) switches to regex token extraction so "word."
+    shingles as "word" — corpus and benchmark must use the SAME
+    pattern."""
     if n < 1:
         raise ValueError("n must be >= 1")
-    s = F.trim(_col(c).cast("string"))
-    toks = F.split(F.lower(s) if lowercase else s, r"\s+")
+    from .tokenize import words as _tok_words
+
+    toks = _tok_words(_col(c).cast("string"), lowercase, token_pattern)
     n_out = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
     grams = F.transform(
         F.sequence(F.lit(1), n_out),
@@ -62,6 +71,7 @@ def contamination_overlap(
     n: int = 13,
     threshold: float = 0.5,
     broadcast_benchmark: bool = True,
+    token_pattern: str | None = None,
 ) -> DataFrame:
     """Per-document benchmark-overlap report →
     ``(id, n_shingles, n_overlap, contaminated)``.
@@ -79,7 +89,7 @@ def contamination_overlap(
         raise ValueError("threshold must be in (0, 1]")
     bench = (
         benchmark.select(
-            F.explode(word_ngrams(text_col, n)).alias("__gram")
+            F.explode(word_ngrams(text_col, n, token_pattern=token_pattern)).alias("__gram")
         )
         .distinct()
         .withColumn("__hit", F.lit(1))
@@ -91,7 +101,9 @@ def contamination_overlap(
     corpus = _widen_if_narrow(corpus, id_col)
     grams = corpus.select(
         F.col(id_col),
-        F.explode_outer(F.array_distinct(word_ngrams(text_col, n))).alias(
+        F.explode_outer(
+            F.array_distinct(word_ngrams(text_col, n, token_pattern=token_pattern))
+        ).alias(
             "__gram"
         ),
     )

@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "hits"]
 
 
 def pagerank(
@@ -60,10 +60,15 @@ def pagerank(
 
     ``tol``: convergence-based early exit — stop once
     ``max |Δrank| < tol`` (∞-norm), at most ``iterations`` steps.
-    The check joins the two ALREADY-MATERIALIZED localCheckpoints
-    (one O(nodes) job over cached blocks, no lineage recompute); the
-    default ``None`` keeps the fixed-iteration behavior with zero
-    per-iteration actions beyond the checkpoint itself.
+    The probe joins the two ALREADY-MATERIALIZED localCheckpoints
+    (one O(nodes) job over cached blocks, no lineage recompute) and
+    is deliberately NOT folded into the checkpointed step:
+    ``localCheckpoint`` preserves the plan's estimated sizeInBytes,
+    so checkpointing a (step ⋈ prev) plan makes each iteration's
+    estimate ≈ prev², doubling the stat's BIT LENGTH every iteration
+    — Catalyst's BigInt stats then OOM the driver after ~30
+    iterations. The default ``None`` keeps the fixed-iteration
+    behavior with zero per-iteration actions beyond the checkpoint.
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
@@ -110,6 +115,8 @@ def pagerank(
             damping,
         ).localCheckpoint()
         if tol is not None:
+            # probe over the two cached checkpoints only — see the
+            # docstring for why this must not be checkpointed itself
             delta = (
                 ranks.join(
                     prev.select("node", F.col("rank").alias("__prev")), "node"
@@ -120,6 +127,125 @@ def pagerank(
             if delta is not None and delta < tol:
                 break
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    dedup_edges: bool = True,
+    tol: float | None = None,
+) -> DataFrame:
+    """Kleinberg HITS over ``edges`` → ``(node, hub, authority)``,
+    L2-normalized (‖hub‖₂ = ‖authority‖₂ = 1, the textbook
+    convention). The complementary signal to :func:`pagerank` for
+    crawl governance: authorities are well-linked content pages,
+    hubs are directory/link pages — seed lists and spam filters use
+    both.
+
+    Per iteration: ``auth = Eᵀ·hub`` then ``hub = E·auth`` — two
+    edge equi-joins + two map-side-combined sums + the two 1-row
+    norm aggregates folded into one checkpointed frame; same lineage
+    discipline as :func:`pagerank` (localCheckpoint per iteration,
+    edges co-partitioned once). ``tol`` early-exits on
+    ``max |Δauthority| < tol`` via a probe over the two cached
+    checkpoints (never checkpointed itself — see the pagerank
+    docstring for the stats-explosion rationale)."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    )
+    if dedup_edges:
+        e = e.distinct()
+    e = e.repartition(F.col("src")).localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    if nodes.count() == 0:
+        return nodes.withColumn("hub", F.lit(0.0)).withColumn(
+            "authority", F.lit(0.0)
+        )
+    scores = nodes.select(
+        "node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority")
+    ).localCheckpoint()
+    for _ in range(iterations):
+        prev = scores
+        # auth(d) = Σ_{(s,d)∈E} hub(s)
+        auth = (
+            e.join(
+                prev.select(F.col("node").alias("src"), "hub"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("__a"))
+        )
+        auth_n = nodes.join(
+            auth.select(F.col("dst").alias("node"), "__a"), "node", "left"
+        ).select(
+            "node", F.coalesce(F.col("__a"), F.lit(0.0)).alias("__a")
+        )
+        # hub(s) = Σ_{(s,d)∈E} auth(d), computed from the NEW auth
+        hub = (
+            e.join(
+                auth_n.select(F.col("node").alias("dst"), "__a"), "dst"
+            )
+            .groupBy("src")
+            .agg(F.sum("__a").alias("__h"))
+        )
+        joined = (
+            nodes.join(
+                hub.select(F.col("src").alias("node"), "__h"),
+                "node",
+                "left",
+            )
+            .join(auth_n, "node")
+            .select(
+                "node",
+                F.coalesce(F.col("__h"), F.lit(0.0)).alias("__h"),
+                "__a",
+            )
+        )
+        # fold both L2 norms in as window-less scalar aggregates via a
+        # 1-row crossJoin (inside the plan — one job per iteration)
+        norms = joined.agg(
+            F.sqrt(F.sum(F.col("__h") * F.col("__h"))).alias("__nh"),
+            F.sqrt(F.sum(F.col("__a") * F.col("__a"))).alias("__na"),
+        )
+        scores = (
+            joined.crossJoin(F.broadcast(norms))
+            .select(
+                "node",
+                F.when(F.col("__nh") > 0, F.col("__h") / F.col("__nh"))
+                .otherwise(F.lit(0.0))
+                .alias("hub"),
+                F.when(F.col("__na") > 0, F.col("__a") / F.col("__na"))
+                .otherwise(F.lit(0.0))
+                .alias("authority"),
+            )
+            .localCheckpoint()
+        )
+        if tol is not None:
+            delta = (
+                scores.join(
+                    prev.select(
+                        "node", F.col("authority").alias("__pa")
+                    ),
+                    "node",
+                )
+                .agg(
+                    F.max(
+                        F.abs(F.col("authority") - F.col("__pa"))
+                    ).alias("d")
+                )
+                .collect()[0]["d"]
+            )
+            if delta is not None and delta < tol:
+                break
+    return scores
 
 
 def _pagerank_step(

@@ -31,20 +31,27 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _tokens(text_col: str, lowercase: bool) -> Column:
-    t = F.trim(F.col(text_col))
-    if lowercase:
-        t = F.lower(t)
-    return F.when(t == "", F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
-    )
+def _tokens(
+    text_col: str, lowercase: bool, token_pattern: str | None = None
+) -> Column:
+    # shared lexical-family tokenizer (same convention as bm25 and
+    # contamination); token_pattern=None keeps the whitespace split
+    from .tokenize import words
+
+    return words(text_col, lowercase=lowercase, token_pattern=token_pattern)
 
 
-def _doc_bigrams(df: DataFrame, id_col: str, text_col: str, lowercase: bool) -> DataFrame:
+def _doc_bigrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lowercase: bool,
+    token_pattern: str | None = None,
+) -> DataFrame:
     # codegen shape (explode positions + element_at), not an
     # interpreted higher-order transform lambda — this is the per-row
     # hot path of both training and scoring
-    toks = _tokens(text_col, lowercase)
+    toks = _tokens(text_col, lowercase, token_pattern)
     return (
         df.select(F.col(id_col), toks.alias("__toks"))
         .filter(F.size("__toks") >= 2)
@@ -62,12 +69,20 @@ def _doc_bigrams(df: DataFrame, id_col: str, text_col: str, lowercase: bool) -> 
 
 
 def train_bigram_lm(
-    df: DataFrame, id_col: str, text_col: str, lowercase: bool = True
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lowercase: bool = True,
+    token_pattern: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Count tables (unigrams: tok_a, uni_count; bigrams: tok_a,
     tok_b, bi_count) from a reference corpus. Persist both between
-    runs — training is two shuffles, scoring reuses the tables."""
-    bg = _doc_bigrams(df, id_col, text_col, lowercase)
+    runs — training is two shuffles, scoring reuses the tables.
+    ``uni_count`` is the CONTEXT count Σ_w2 c(w1 w2) (tok_a
+    occurrences in bigram rows), which is what exact normalization
+    needs — not the raw token frequency. ``token_pattern`` (see
+    `tokenize.words`) must match between training and scoring."""
+    bg = _doc_bigrams(df, id_col, text_col, lowercase, token_pattern)
     bigrams = bg.groupBy("tok_a", "tok_b").agg(
         F.count(F.lit(1)).cast("long").alias("bi_count")
     )
@@ -87,6 +102,7 @@ def bigram_logprob_scores(
     vocab_size: int | None = None,
     lowercase: bool = True,
     broadcast_model: bool = True,
+    token_pattern: str | None = None,
 ) -> DataFrame:
     """Per-document bigram log-likelihood under the trained model.
 
@@ -102,7 +118,7 @@ def bigram_logprob_scores(
     bi = bigrams.withColumnRenamed("bi_count", "__cab")
     if broadcast_model:
         uni, bi = F.broadcast(uni), F.broadcast(bi)
-    bg = _doc_bigrams(df, id_col, text_col, lowercase)
+    bg = _doc_bigrams(df, id_col, text_col, lowercase, token_pattern)
     scored = (
         bg.join(bi, ["tok_a", "tok_b"], "left")
         .join(uni, ["tok_a"], "left")
@@ -170,6 +186,7 @@ def kn_logprob_scores(
     lowercase: bool = True,
     broadcast_model: bool = True,
     modified: bool = False,
+    token_pattern: str | None = None,
 ) -> DataFrame:
     """Per-document log-likelihood under INTERPOLATED KNESER-NEY
     smoothing — the quality upgrade over add-k (`
@@ -213,12 +230,19 @@ def kn_logprob_scores(
         F.count(F.lit(1)).cast("long").alias("__n1p_bw")
     )
     total_types = bigrams.count()
-    uni = unigrams.withColumnRenamed("uni_count", "__ca")
+    # Context denominator c(w1) = Σ_w2 c(w1 w2), derived from the
+    # BIGRAM table (like trigram_kn_scores derives its context counts
+    # from the trigram table) rather than trusting the caller's
+    # unigram table. When `unigrams` comes from train_bigram_lm the
+    # two are identical; when a caller passes raw token counts this
+    # keeps Σ_w2 P(w2|w1) = 1 exact instead of leaking
+    # end-of-sequence mass for document-final words.
+    uni = bigrams.groupBy("tok_a").agg(F.sum("bi_count").alias("__ca"))
     bi = bigrams.withColumnRenamed("bi_count", "__cab")
     if broadcast_model:
         uni, bi = F.broadcast(uni), F.broadcast(bi)
         followers, predecessors = F.broadcast(followers), F.broadcast(predecessors)
-    bg = _doc_bigrams(df, id_col, text_col, lowercase)
+    bg = _doc_bigrams(df, id_col, text_col, lowercase, token_pattern)
     ca = F.coalesce(F.col("__ca"), F.lit(0)).cast("double")
     cab = F.coalesce(F.col("__cab"), F.lit(0)).cast("double")
     n1p_fw = F.coalesce(F.col("__n1p_fw"), F.lit(0)).cast("double")
@@ -290,8 +314,14 @@ def kn_logprob_scores(
     )
 
 
-def _doc_trigrams(df: DataFrame, id_col: str, text_col: str, lowercase: bool) -> DataFrame:
-    toks = _tokens(text_col, lowercase)
+def _doc_trigrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lowercase: bool,
+    token_pattern: str | None = None,
+) -> DataFrame:
+    toks = _tokens(text_col, lowercase, token_pattern)
     return (
         df.select(F.col(id_col), toks.alias("__toks"))
         .filter(F.size("__toks") >= 3)
@@ -310,14 +340,18 @@ def _doc_trigrams(df: DataFrame, id_col: str, text_col: str, lowercase: bool) ->
 
 
 def train_trigram_lm(
-    df: DataFrame, id_col: str, text_col: str, lowercase: bool = True
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lowercase: bool = True,
+    token_pattern: str | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """→ (unigrams, bigrams, trigrams) count tables — the bigram
     tables are `train_bigram_lm`'s exactly, plus
     ``(tok_a, tok_b, tok_c, tri_count)``. One extra corpus pass."""
-    uni, bi = train_bigram_lm(df, id_col, text_col, lowercase)
+    uni, bi = train_bigram_lm(df, id_col, text_col, lowercase, token_pattern)
     tri = (
-        _doc_trigrams(df, id_col, text_col, lowercase)
+        _doc_trigrams(df, id_col, text_col, lowercase, token_pattern)
         .groupBy("tok_a", "tok_b", "tok_c")
         .agg(F.count(F.lit(1)).cast("long").alias("tri_count"))
     )
@@ -335,6 +369,7 @@ def trigram_kn_scores(
     epsilon: float = 1e-10,
     lowercase: bool = True,
     broadcast_model: bool = True,
+    token_pattern: str | None = None,
 ) -> DataFrame:
     """Per-document log-likelihood under ORDER-3 interpolated
     Kneser-Ney — one step closer to the KenLM 5-gram CCNet runs:
@@ -392,7 +427,7 @@ def trigram_kn_scores(
         )
         fw_b, pred_c = F.broadcast(fw_b), F.broadcast(pred_c)
 
-    tg = _doc_trigrams(df, id_col, text_col, lowercase)
+    tg = _doc_trigrams(df, id_col, text_col, lowercase, token_pattern)
     joined = (
         tg.join(tri_abc, ["tok_a", "tok_b", "tok_c"], "left")
         .join(fw_ab, ["tok_a", "tok_b"], "left")

@@ -111,8 +111,11 @@ def chunk_documents_sentences(
                 out["n_sentences"].append(ns)
         return pd.DataFrame(out)
 
+    # id column keeps its INPUT type (string/int/long all work) —
+    # hardcoding `long` here would fail at runtime for string ids
+    id_type = df.schema[id_col].dataType.simpleString()
     return sent_df.groupBy(id_col).applyInPandas(
         pack,
-        f"{id_col} long, chunk_id int, n_chunks int, chunk string, "
+        f"{id_col} {id_type}, chunk_id int, n_chunks int, chunk string, "
         "n_tokens int, n_sentences int",
     )

@@ -602,6 +602,27 @@ def _pq_lut_df(
     )
 
 
+#: auto-switch bound for the PQ/IVF-PQ query paths: batches at or
+#: under this collect to the driver (tiny LUT broadcast, no join);
+#: bigger query tables take the distributed join path automatically
+#: instead of OOMing the driver
+AUTO_DISTRIBUTE_QUERIES = 16384
+
+
+def _resolve_distributed_queries(
+    queries: DataFrame, distributed_queries: bool | None
+) -> bool:
+    """None = auto: probe the query-table size with an early-stopping
+    ``limit(n+1).count()`` (never a full scan of a corpus-sized query
+    table) and pick the join path when it exceeds
+    :data:`AUTO_DISTRIBUTE_QUERIES`. Explicit True/False is honored
+    unchanged."""
+    if distributed_queries is not None:
+        return bool(distributed_queries)
+    n = queries.limit(AUTO_DISTRIBUTE_QUERIES + 1).count()
+    return n > AUTO_DISTRIBUTE_QUERIES
+
+
 def _adc_dist_expr(m: int) -> Column:
     """ADC distance as a pure JVM expression over ``codes``
     (array<int>, the row) and ``lut`` (array<array<double>>, the
@@ -622,7 +643,7 @@ def pq_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    distributed_queries: bool = False,
+    distributed_queries: bool | None = None,
 ) -> DataFrame:
     """ADC (asymmetric distance) top-k: per query, distances to every
     code come from an ``m × n_codes`` lookup table (query subvector
@@ -649,7 +670,7 @@ def pq_topk(
 
     idc = id_col
     m = len(codebooks)
-    if distributed_queries:
+    if _resolve_distributed_queries(queries, distributed_queries):
         lut_df = _pq_lut_df(queries, codebooks, id_col, vec_col)
         scored = (
             codes_df.crossJoin(lut_df)
@@ -777,7 +798,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
     codebooks: list[list[list[float]]] | None = None,
-    distributed_queries: bool = False,
+    distributed_queries: bool | None = None,
 ) -> DataFrame:
     """IVF-PQ: the composed at-scale serving path — IVF cells bound
     WHICH codes a query scans (``n_probe`` of ``n_centroids`` cells),
@@ -824,7 +845,7 @@ def ivfpq_topk(
         F.explode(_nearest_cells(cents, n_probe)(F.col(vec_col))).alias("__cell"),
     )
 
-    if distributed_queries:
+    if _resolve_distributed_queries(queries, distributed_queries):
         lut_df = _pq_lut_df(queries, books, id_col, vec_col)
         joined = (
             q.join(codes, "__cell")

