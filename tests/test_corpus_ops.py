@@ -381,3 +381,50 @@ def test_blocklist_filter_word_boundaries(spark):
     assert dense == {1, 2, 4}  # doc 3's density 0.75 exceeds
     with pytest.raises(ValueError):
         blocklist_filter(docs, "text", [])
+
+
+def test_temperature_mix_flattens_shares(spark):
+    from trial_submission_studio_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    rows = (
+        [(i, "big") for i in range(900)]
+        + [(1000 + i, "mid") for i in range(90)]
+        + [(2000 + i, "small") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out, target, fractions = temperature_mix(
+        df, "source", "doc_id", alpha=0.5
+    )
+    # alpha=1 keeps natural shares
+    _, t1, f1 = temperature_mix(df, "source", "doc_id", alpha=1.0)
+    assert t1["big"] == pytest.approx(0.9)
+    assert all(f == pytest.approx(1.0) for f in f1.values())
+    # alpha<1 flattens: small's share rises, big's falls
+    assert target["small"] > 0.01 and target["big"] < 0.9
+    import math
+
+    z = sum(n ** 0.5 for n in (900, 90, 10))
+    for s, n in (("big", 900), ("mid", 90), ("small", 10)):
+        assert target[s] == pytest.approx(math.sqrt(n) / z, rel=1e-12)
+    # realized output approximates the target mix (small caps N)
+    got = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    tot = sum(got.values())
+    assert got["small"] == 10  # the limiting stratum keeps everything
+    for s in target:
+        assert got[s] / tot == pytest.approx(target[s], abs=0.05)
+    # deterministic across calls
+    a = {r["doc_id"] for r in out.collect()}
+    b = {
+        r["doc_id"]
+        for r in temperature_mix(df, "source", "doc_id", alpha=0.5)[0].collect()
+    }
+    assert a == b
+    with pytest.raises(ValueError):
+        temperature_mix(df, "source", "doc_id", alpha=0.0)
+    with pytest.raises(ValueError):
+        temperature_mix(df, "source", "doc_id", alpha=1.5)

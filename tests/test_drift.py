@@ -83,3 +83,19 @@ def test_planted_drift_raises_bucket_score(spark):
     b_big = _df(spark, ["totally different content now"] * 40, start=200)
     drift_big = bucket_drift(a, b_big, "text", buckets=1024)
     assert 0 < drift_small < drift_big
+
+
+def test_token_drift_min_count_prunes_tail(spark):
+    a = _df(spark, ["common words here"] * 20 + ["raretoken onlyonce"])
+    b = _df(spark, ["common words here"] * 20, start=100)
+    top_all, total_all = token_drift(a, b, "text")
+    top_cut, total_cut = token_drift(a, b, "text", min_count=2)
+    toks_cut = {r["token"] for r in top_cut.collect()}
+    assert "raretoken" not in toks_cut and "onlyonce" not in toks_cut
+    assert {r["token"] for r in top_all.collect()} >= toks_cut
+    # totals stay finite and close (tail carries little mass)
+    assert 0 <= total_cut and abs(total_cut - total_all) < 0.05
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        token_drift(a, b, "text", min_count=0)

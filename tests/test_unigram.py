@@ -40,10 +40,6 @@ def _segmentations(word, logp, max_len):
 
 def _ref_expected(word, logp, max_len):
     segs = _segmentations(word, logp, max_len)
-    z = -math.inf
-    for _, lp in segs:
-        z = max(z, lp) + math.log1p(math.exp(min(z, lp) - max(z, lp))) if math.isfinite(z) or math.isfinite(lp) else -math.inf
-    # numerically robust logsumexp done properly:
     m = max(lp for _, lp in segs)
     z = m + math.log(sum(math.exp(lp - m) for _, lp in segs))
     exp: dict[str, float] = {}
@@ -194,3 +190,25 @@ def test_train_then_encode_roundtrip_consistency(spark):
     row = enc.filter(F.col("doc_id") == 0).collect()[0]
     # concatenation restores the pre-token stream
     assert "".join(row["pieces"]) == "tokenizetokenstokentokenized"
+
+
+def test_encode_ids_match_vocab_df(spark):
+    from trial_submission_studio_spark.operators.unigram import (
+        unigram_encode_ids,
+        unigram_ids,
+    )
+
+    model = {"logp": MODEL, "max_piece_len": 4, "lowercase": False}
+    ids = unigram_ids(model)
+    vdf = {r["piece"]: r["piece_id"] for r in unigram_vocab_df(spark, model).collect()}
+    assert ids == vdf  # in-memory ids == persisted table ids
+    docs = spark.createDataFrame(
+        [(1, "abab ba"), (2, "qa")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r["piece_ids"]
+        for r in unigram_encode_ids(docs, "text", model).collect()
+    }
+    assert rows[1] == [ids["abab"], ids["b"], ids["a"]]
+    # unknown char "q" -> unk_id -1, then known "a"
+    assert rows[2] == [-1, ids["a"]]

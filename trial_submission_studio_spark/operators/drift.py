@@ -51,6 +51,7 @@ def token_drift(
     text_col: str,
     top_n: int = 50,
     smoothing: float = 0.5,
+    min_count: int = 1,
 ) -> tuple[DataFrame, float]:
     """→ (top drifted tokens, total JS divergence in nats).
 
@@ -61,9 +62,19 @@ def token_drift(
 
     Plan: two token-count aggregations → full outer join on token →
     one pass of arithmetic → (a) a 1-row sum and (b) a top-n
-    ordering. The join is vocabulary-sized."""
+    ordering. The join is vocabulary-sized — at web scale pass
+    ``min_count > 1`` to prune each side's hapax tail BEFORE the
+    join (Zipf: most of the vocabulary, almost none of the mass; a
+    token below the floor on one side scores as absent there, so the
+    total shifts slightly — fine for EXPLAINING an alarm raised by
+    :func:`bucket_drift`, which stays the exact scheduled monitor)."""
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
     fa = _token_freqs(df_a, text_col)
     fb = _token_freqs(df_b, text_col)
+    if min_count > 1:
+        fa = fa.filter(F.col("n") >= min_count)
+        fb = fb.filter(F.col("n") >= min_count)
     joined = fa.withColumnRenamed("n", "n_a").join(
         fb.withColumnRenamed("n", "n_b"), "token", "full_outer"
     )

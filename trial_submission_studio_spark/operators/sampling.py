@@ -277,6 +277,46 @@ def rebalance_to_target(
     return sampled, fractions
 
 
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    alpha: float = 0.7,
+    seed: int = 0,
+    hash_expr: Column | None = None,
+) -> tuple[DataFrame, dict[str, float], dict[str, float]]:
+    """Temperature-scaled source mixing: target share of stratum
+    ``s`` is ``count_s^alpha / Σ_t count_t^alpha`` — the multilingual
+    LM convention (mBERT/XLM-R's exponential smoothing) that lifts
+    low-resource strata without letting one giant source dominate.
+    ``alpha = 1`` keeps the natural mix (no-op shares), ``alpha → 0``
+    approaches uniform. Downsample-only like
+    :func:`rebalance_to_target` (which this delegates to; compose
+    :func:`mix_epochs` to upweight instead).
+
+    Returns ``(sampled_df, target_shares, realized_fractions)``.
+    Costs one stratum-count action (config-sized) before the lazy
+    key-hash filter — partition-independent and reproducible."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(strata_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r["s"] is not None
+    }
+    if not counts:
+        raise ValueError("no non-NULL strata in corpus")
+    powered = {s: float(n) ** alpha for s, n in counts.items()}
+    z = sum(powered.values())
+    target = {s: p / z for s, p in powered.items()}
+    sampled, fractions = rebalance_to_target(
+        df, strata_col, target, key_col, seed=seed, hash_expr=hash_expr
+    )
+    return sampled, target, fractions
+
+
 def split_corpus(
     df: DataFrame,
     key_col: str,

@@ -70,6 +70,8 @@ except Exception:  # noqa: BLE001
 __all__ = [
     "train_unigram_lm",
     "unigram_encode",
+    "unigram_encode_ids",
+    "unigram_ids",
     "unigram_vocab_df",
 ]
 
@@ -344,6 +346,59 @@ def unigram_vocab_df(spark, model: dict) -> DataFrame:
         [(i, p, lp) for i, (p, lp) in enumerate(items)],
         "piece_id long, piece string, logprob double",
     )
+
+
+def unigram_ids(model: dict) -> dict[str, int]:
+    """Deterministic piece→id map, ids assigned by (logprob desc,
+    piece asc) — identical ordering to :func:`unigram_vocab_df` so a
+    persisted vocab table and in-memory encoding agree."""
+    items = sorted(model["logp"].items(), key=lambda t: (-t[1], t[0]))
+    return {p: i for i, (p, _) in enumerate(items)}
+
+
+def unigram_encode_ids(
+    df: DataFrame,
+    text_col: str,
+    model: dict,
+    out_col: str = "piece_ids",
+    unk_id: int = -1,
+) -> DataFrame:
+    """Append ``out_col`` (array<long>): Viterbi pieces mapped
+    through :func:`unigram_ids`; pieces outside the vocabulary (the
+    UNK single-char fallback on unseen bytes) emit ``unk_id``. Same
+    Arrow-batched memoized kernel shape as :func:`unigram_encode`
+    and `bpe.bpe_encode_ids`."""
+    logp = dict(model["logp"])
+    ml = int(model["max_piece_len"])
+    lower = bool(model.get("lowercase", False))
+    ids = unigram_ids(model)
+    unk = int(unk_id)
+
+    from .bpe import _PRETOKEN_RE
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def enc(s: pd.Series) -> pd.Series:
+        memo: dict[str, list[int]] = {}
+
+        def one(text):
+            if text is None:
+                return []
+            t = text.lower() if lower else text
+            out: list[int] = []
+            for w in _PRETOKEN_RE.findall(t):
+                got = memo.get(w)
+                if got is None:
+                    got = [
+                        ids.get(p, unk) for p in _viterbi(w, logp, ml)
+                    ]
+                    memo[w] = got
+                out.extend(got)
+            return out
+
+        return s.map(one)
+
+    return df.withColumn(out_col, enc(F.col(text_col).cast("string")))
 
 
 def unigram_encode(
