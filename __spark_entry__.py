@@ -1059,6 +1059,231 @@ def phrase_mining_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return col.unionByName(kw)
 
 
+def bm25_topk_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (operators/bm25.py) oracle row: build the
+    distributed inverted index over `documents`, run Okapi scoring for
+    one query per 11th document (query text = its first 4 tokens),
+    emit e6 fixed-point scores with a top-10 cut. Every arithmetic
+    step (tf, df, dl, avgdl, idf) mirrors exactly in SQL; ln() ulp
+    noise is absorbed by the e6 rounding. The top-10 RANK is taken
+    over the ROUNDED score (ties → doc_id): near-duplicate documents
+    produce raw doubles that differ below 1 ulp, where Spark-vs-
+    DuckDB summation order legitimately flips a raw-score ordering
+    (observed at sf0.1) — the operator's own raw-score top-k stays
+    pinned by tests/test_bm25.py parity."""
+    from trial_submission_studio_spark.operators.bm25 import (
+        bm25_topk,
+        build_bm25_index,
+    )
+    from trial_submission_studio_spark.operators.tokenize import words
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    index = build_bm25_index(d, "doc_id", "text")
+    qdf = d.filter(F.col("doc_id") % 11 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(words("text"), 1, 4), " ").alias("qtext"),
+    )
+    scored = bm25_topk(index, qdf, "query_id", "qtext", k=1 << 30).select(
+        "query_id",
+        "doc_id",
+        F.floor(F.col("score") * 1e6 + F.lit(0.5)).cast("long").alias("score_e6"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_e6"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/dsir.py) oracle row:
+    target = every 3rd document, raw = the rest; hashed uni+bigram
+    buckets via an engine-portable md5-hex-prefix hash (4096 buckets
+    — DuckDB reproduces `conv(substr(md5(g),1,3),16,10)` as
+    `CAST('0x'||substr(md5(g),1,3) AS BIGINT)`), add-1 smoothing,
+    per-doc Σ n·log-ratio in e6 fixed point."""
+    from trial_submission_studio_spark.operators.dsir import dsir_log_weights
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    raw = d.filter(F.col("doc_id") % 3 != 0)
+    target = d.filter(F.col("doc_id") % 3 == 0)
+
+    def bexpr(g):
+        return F.conv(
+            F.substring(F.md5(F.encode(g, "UTF-8")), 1, 3), 16, 10
+        ).cast("long")
+
+    w = dsir_log_weights(
+        raw, target, "doc_id", "text", buckets=4096, bucket_expr=bexpr
+    )
+    return w.select(
+        "doc_id",
+        F.floor(F.col("log_weight") * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("log_weight_e6"),
+    )
+
+
+def drift_js_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift audit (operators/drift.py token_drift) oracle row:
+    even vs odd doc_ids, top-150 drifted tokens (selection, smoothed
+    frequencies AND contributions pinned at e12) plus the full-vocab
+    JS total as a second component row at e6 (the scalar sums ~30k
+    doubles — e6 absorbs association-order noise)."""
+    import math as _math
+
+    from trial_submission_studio_spark.operators.drift import token_drift
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    top, total = token_drift(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        "text",
+        top_n=150,
+    )
+    e12 = lambda c: F.floor(c * 1e12 + F.lit(0.5)).cast("long")  # noqa: E731
+    rows = top.select(
+        F.lit("token").alias("component"),
+        "token",
+        e12(F.col("p_a")).alias("p_a_e12"),
+        e12(F.col("p_b")).alias("p_b_e12"),
+        e12(F.col("js_contrib")).alias("js_e12"),
+        F.lit(None).cast("long").alias("js_total_e6"),
+    )
+    tot_row = spark.createDataFrame(
+        [("total", None, None, None, None,
+          int(_math.floor(total * 1e6 + 0.5)))],
+        "component string, token string, p_a_e12 long, p_b_e12 long, "
+        "js_e12 long, js_total_e6 long",
+    )
+    return rows.unionByName(tot_row)
+
+
+def robots_allowed_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 crawl governance (operators/robots.py) oracle row:
+    formulaic robots.txt bodies for 25 hosts run through the REAL
+    parser (`robots_rules` mapInPandas) and the LIKE longest-match
+    join (`robots_allowed`); the oracle reconstructs the rules table
+    from the same formula, so a parser regression OR a match/argmax
+    regression breaks the hash. Covers: group selection past a decoy
+    `googlebot` group, longest-match precedence (allow-over-disallow
+    at greater length, both directions), `$` anchoring, per-host
+    rules, equal-length tie → Allow, and no-robots default-allow."""
+    from trial_submission_studio_spark.operators.robots import (
+        robots_allowed,
+        robots_rules,
+    )
+
+    n = _t(spark, sf_dir, "nation").select("n_nationkey")
+    k = F.col("n_nationkey").cast("string")
+    hosts = n.select(
+        F.concat(F.lit("h"), k, F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.lit(
+                "User-agent: googlebot\nDisallow: /\n\n"
+                "User-agent: *\n"
+                "Disallow: /private/\n"
+                "Allow: /private/pub*\n"
+            ),
+            F.lit("Disallow: /tmp-"), k, F.lit("/\n"),
+            F.lit(
+                "Disallow: /docs/\n"
+                "Allow: /docs/page$\n"
+                "Disallow: /dup/\n"
+                "Allow: /dup/\n"
+                "Crawl-delay: 2\n"
+            ),
+        ).alias("robots_txt"),
+    )
+    rules = robots_rules(hosts)
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 8
+    i = F.col("doc_id").cast("string")
+    path = (
+        F.when(m == 0, F.concat(F.lit("/public/"), i))
+        .when(m == 1, F.concat(F.lit("/private/x"), i))
+        .when(m == 2, F.concat(F.lit("/private/pub"), i))
+        .when(m == 3, F.concat(F.lit("/tmp-"), (F.col("doc_id") % 25).cast("string"), F.lit("/f")))
+        .when(m == 4, F.lit("/docs/page"))
+        .when(m == 5, F.lit("/docs/page2"))
+        .when(m == 6, F.lit("/dup/x"))
+        .otherwise(F.lit("/anything"))
+    )
+    host = F.when(m == 7, F.lit("h999.example.com")).otherwise(
+        F.concat(F.lit("h"), (F.col("doc_id") % 25).cast("string"), F.lit(".example.com"))
+    )
+    urls = d.select(
+        "doc_id", F.concat(F.lit("https://"), host, path).alias("url")
+    )
+    out = robots_allowed(urls, rules, broadcast_rules=True)
+    return out.select("doc_id", "url", "crawl_allowed")
+
+
+# --------------------------------------------------------------------------
+# merged CDISC/temporal gates (slot economy — components stay callable)
+# --------------------------------------------------------------------------
+
+def t_part_transform_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 duration grammar + T13 numeric render merged on the shared
+    part key (slot economy; both stay standalone callables)."""
+    return t6_duration_normalize(spark, sf_dir).join(
+        t13_numeric_render(spark, sf_dir), "p_partkey"
+    )
+
+
+def t_order_render_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4/T5 ISO ladder + T1 constant + T12 bool render merged on the
+    shared orders key (slot economy)."""
+    return t4_iso8601_normalize(spark, sf_dir).join(
+        t_const_bool_render(spark, sf_dir), "o_orderkey"
+    )
+
+
+def r_supp_roundtrip_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 SUPP unpivot + R3 pivot-back roundtrip, union-padded with a
+    component tag (different grains; each half keeps its full row
+    set so both directions stay value-pinned)."""
+    r1 = r1_supp_unpivot(spark, sf_dir).withColumn(
+        "component", F.lit("unpivot")
+    )
+    for c in ("STATUSV", "PRIO"):
+        r1 = r1.withColumn(c, F.lit(None).cast("string"))
+    r3 = r3_supp_pivot_back(spark, sf_dir).withColumn(
+        "component", F.lit("pivot_back")
+    )
+    for c in ("STUDYID", "RDOMAIN", "QNAM", "QLABEL", "QVAL", "QORIG", "QEVAL"):
+        r3 = r3.withColumn(c, F.lit(None).cast("string"))
+    return r1.unionByName(r3.select(*r1.columns))
+
+
+def temporal_agg_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed interval join + trailing 1h rolling window union-padded
+    with a component tag (slot economy; grains differ)."""
+    ti = temporal_interval_shipments(spark, sf_dir).select(
+        F.lit("interval").alias("component"),
+        "ship_month",
+        "n_lines",
+        "sum_price",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.lit(None).cast("long").alias("n_1h"),
+        F.lit(None).cast("double").alias("s_1h"),
+    )
+    tr = temporal_rolling_user_1h(spark, sf_dir).select(
+        F.lit("rolling").alias("component"),
+        F.lit(None).cast("string").alias("ship_month"),
+        F.lit(None).cast("long").alias("n_lines"),
+        F.lit(None).cast("double").alias("sum_price"),
+        "event_id",
+        "user_id",
+        "n_1h",
+        "s_1h",
+    )
+    return ti.unionByName(tr)
+
+
 def temporal_interval_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed interval join on DATE columns: lineitem ship dates inside
     [o_orderdate, o_orderdate+90d] — bucketed equi-join, never a range
@@ -2462,6 +2687,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     FIRST — r6 lesson: nothing rotates out of the window
     unverified."""
     return {
+        "bm25_topk_scores": bm25_topk_scores,
+        "dsir_weights": dsir_weights,
+        "drift_js_tokens": drift_js_tokens,
+        "robots_allowed": robots_allowed_verdicts,
         "layout_zorder_gate": layout_zorder_gate,
         "corpus_governance_gates": corpus_governance_gates,
         "paragraph_dedup_docs": paragraph_dedup_docs,
@@ -2474,8 +2703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize_gates": embedding_quantize_gates,
         "events_stream_gates": events_stream_gates,
         "agg_salted_user_totals": agg_salted_user_totals,
-        "temporal_interval_shipments": temporal_interval_shipments,
-        "temporal_rolling_user_1h": temporal_rolling_user_1h,
+        "temporal_agg_gates": temporal_agg_gates,
         "lm_bigram_scores": lm_bigram_scores,
         "incremental_dedup_docs": incremental_dedup_docs,
         "corpus_split_gates": corpus_split_gates,
@@ -2491,17 +2719,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bds_registry_pipeline": bds_registry_pipeline,
         "t_customer_transform_gates": t_customer_transform_gates,
         "t3_sequence_number": t3_sequence_number,
-        "t4_iso8601_normalize": t4_iso8601_normalize,
-        "t6_duration_normalize": t6_duration_normalize,
+        "t_order_render_gates": t_order_render_gates,
+        "t_part_transform_gates": t_part_transform_gates,
         "t7_study_day": t7_study_day,
         "t8_ct_normalize": t8_ct_normalize,
         "t9_numeric_parse": t9_numeric_parse,
-        "t13_numeric_render": t13_numeric_render,
-        "t_const_bool_render": t_const_bool_render,
         "a_profile_gates": a_profile_gates,
         "j_crossdomain_gates": j_crossdomain_gates,
-        "r1_supp_unpivot": r1_supp_unpivot,
-        "r3_supp_pivot_back": r3_supp_pivot_back,
+        "r_supp_roundtrip_gates": r_supp_roundtrip_gates,
         "v_domain_check_gates": v_domain_check_gates,
         "v8_ct_violations": v8_ct_violations,
         "w1_days_since_prev": w1_days_since_prev,
@@ -2584,6 +2809,207 @@ _STOPWORDS_SQL = "'" + "','".join(
 def oracle_sql() -> dict[str, str]:
     iso_re = ISO_PARTIAL_RE
     return {
+        "bm25_topk_scores": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(coalesce(text, ''))),
+                                           '\\s+') AS toks
+              FROM documents WHERE trim(coalesce(text, '')) != ''
+            ),
+            tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+            postings AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM tok GROUP BY 1, 2
+            ),
+            doc_lens AS (
+              SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+              FROM postings GROUP BY 1
+            ),
+            term_dfs AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM postings GROUP BY 1
+            ),
+            stats AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              FROM doc_lens
+            ),
+            qterms AS (
+              SELECT DISTINCT query_id, term FROM (
+                SELECT doc_id AS query_id, unnest(toks[1:4]) AS term
+                FROM t WHERE doc_id % 11 = 0
+              )
+            ),
+            scored AS (
+              SELECT q.query_id, p.doc_id,
+                     sum(
+                       ln(1.0::DOUBLE
+                          + ((SELECT n FROM stats) - df + 0.5::DOUBLE)
+                            / (df + 0.5::DOUBLE))
+                       * (p.tf * (2.2::DOUBLE))
+                       / (p.tf + 1.2::DOUBLE
+                          * (0.25::DOUBLE
+                             + (0.75::DOUBLE * dl)
+                               / (SELECT avgdl FROM stats)))
+                     ) AS score
+              FROM postings p
+              JOIN qterms q USING (term)
+              JOIN term_dfs USING (term)
+              JOIN doc_lens USING (doc_id)
+              GROUP BY 1, 2
+            )
+            SELECT query_id, doc_id, score_e6, rank
+            FROM (
+              SELECT query_id, doc_id, score_e6,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score_e6 DESC, doc_id)
+                       AS rank
+              FROM (
+                SELECT query_id, doc_id,
+                       CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_e6
+                FROM scored
+              )
+            )
+            WHERE rank <= 10
+        """,
+        "dsir_weights": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(coalesce(text, ''))),
+                                           '\\s+') AS toks
+              FROM documents WHERE trim(coalesce(text, '')) != ''
+            ),
+            grams AS (
+              SELECT doc_id, unnest(toks) AS g FROM t
+              UNION ALL
+              SELECT doc_id,
+                     unnest(list_transform(range(2, len(toks) + 1),
+                            i -> toks[i - 1] || ' ' || toks[i])) AS g
+              FROM t WHERE len(toks) >= 2
+            ),
+            counts AS (
+              SELECT doc_id,
+                     CAST('0x' || substr(md5(g), 1, 3) AS BIGINT) AS bucket,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM grams GROUP BY 1, 2
+            ),
+            tt AS (SELECT bucket, sum(n) AS c FROM counts
+                   WHERE doc_id % 3 = 0 GROUP BY 1),
+            rt AS (SELECT bucket, sum(n) AS c FROM counts
+                   WHERE doc_id % 3 != 0 GROUP BY 1),
+            tden AS (SELECT coalesce(sum(c), 0) + 4096.0::DOUBLE AS d FROM tt),
+            rden AS (SELECT coalesce(sum(c), 0) + 4096.0::DOUBLE AS d FROM rt),
+            ratio AS (
+              SELECT b.bucket,
+                     ln((coalesce(tt.c, 0) + 1.0::DOUBLE) / (SELECT d FROM tden))
+                     - ln((coalesce(rt.c, 0) + 1.0::DOUBLE) / (SELECT d FROM rden))
+                       AS log_ratio
+              FROM (SELECT unnest(range(0, 4096)) AS bucket) b
+              LEFT JOIN tt USING (bucket)
+              LEFT JOIN rt USING (bucket)
+            ),
+            w AS (
+              SELECT doc_id, sum(n * log_ratio) AS lw
+              FROM counts JOIN ratio USING (bucket)
+              WHERE doc_id % 3 != 0
+              GROUP BY 1
+            )
+            SELECT doc_id,
+                   CAST(floor(lw * 1e6 + 0.5) AS BIGINT) AS log_weight_e6
+            FROM w
+        """,
+        "drift_js_tokens": """
+            WITH tok AS (
+              SELECT doc_id, unnest(
+                regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+')
+              ) AS token
+              FROM documents
+            ),
+            tok2 AS (SELECT doc_id, token FROM tok WHERE token != ''),
+            fa AS (SELECT token, CAST(count(*) AS BIGINT) AS n_a FROM tok2
+                   WHERE doc_id % 2 = 0 GROUP BY 1),
+            fb AS (SELECT token, CAST(count(*) AS BIGINT) AS n_b FROM tok2
+                   WHERE doc_id % 2 = 1 GROUP BY 1),
+            j AS (
+              SELECT coalesce(fa.token, fb.token) AS token,
+                     coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+              FROM fa FULL OUTER JOIN fb ON fa.token = fb.token
+            ),
+            tot AS (
+              SELECT CAST(sum(n_a) AS DOUBLE) + 0.5::DOUBLE * count(*) AS ta,
+                     CAST(sum(n_b) AS DOUBLE) + 0.5::DOUBLE * count(*) AS tb
+              FROM j
+            ),
+            c AS (
+              SELECT token, p, q,
+                     0.5::DOUBLE * (p * ln(p / ((p + q) / 2))
+                                    + q * ln(q / ((p + q) / 2))) AS js
+              FROM (
+                SELECT token,
+                       (n_a + 0.5::DOUBLE) / (SELECT ta FROM tot) AS p,
+                       (n_b + 0.5::DOUBLE) / (SELECT tb FROM tot) AS q
+                FROM j
+              )
+            )
+            SELECT 'token' AS component, token,
+                   CAST(floor(p * 1e12 + 0.5) AS BIGINT) AS p_a_e12,
+                   CAST(floor(q * 1e12 + 0.5) AS BIGINT) AS p_b_e12,
+                   CAST(floor(js * 1e12 + 0.5) AS BIGINT) AS js_e12,
+                   CAST(NULL AS BIGINT) AS js_total_e6
+            FROM (SELECT token, p, q, js FROM c
+                  ORDER BY js DESC, token LIMIT 150)
+            UNION ALL
+            SELECT 'total', NULL, NULL, NULL, NULL,
+                   CAST(floor((SELECT sum(js) FROM c) * 1e6 + 0.5) AS BIGINT)
+        """,
+        "robots_allowed": """
+            WITH n AS (
+              SELECT n_nationkey AS k,
+                     'h' || CAST(n_nationkey AS VARCHAR) || '.example.com'
+                       AS host
+              FROM nation
+            ),
+            rules AS (
+              SELECT host, FALSE AS allow, '/private/%' AS lk, 9 AS plen FROM n
+              UNION ALL SELECT host, TRUE, '/private/pub%', 12 FROM n
+              UNION ALL SELECT host, FALSE,
+                        '/tmp-' || CAST(k AS VARCHAR) || '/%',
+                        6 + length(CAST(k AS VARCHAR)) FROM n
+              UNION ALL SELECT host, FALSE, '/docs/%', 6 FROM n
+              UNION ALL SELECT host, TRUE, '/docs/page', 11 FROM n
+              UNION ALL SELECT host, FALSE, '/dup/%', 5 FROM n
+              UNION ALL SELECT host, TRUE, '/dup/%', 5 FROM n
+            ),
+            urls AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 8 = 7 THEN 'h999.example.com'
+                          ELSE 'h' || CAST(doc_id % 25 AS VARCHAR)
+                               || '.example.com' END AS host,
+                     CASE doc_id % 8
+                       WHEN 0 THEN '/public/' || CAST(doc_id AS VARCHAR)
+                       WHEN 1 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+                       WHEN 2 THEN '/private/pub' || CAST(doc_id AS VARCHAR)
+                       WHEN 3 THEN '/tmp-' || CAST(doc_id % 25 AS VARCHAR) || '/f'
+                       WHEN 4 THEN '/docs/page'
+                       WHEN 5 THEN '/docs/page2'
+                       WHEN 6 THEN '/dup/x'
+                       ELSE '/anything'
+                     END AS path
+              FROM documents
+            ),
+            best AS (
+              SELECT doc_id, allow,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY plen DESC, allow DESC) AS rn
+              FROM urls u
+              JOIN rules r ON u.host = r.host AND u.path LIKE r.lk
+            )
+            SELECT u.doc_id, 'https://' || u.host || u.path AS url,
+                   coalesce(b.allow, TRUE) AS crawl_allowed
+            FROM urls u
+            LEFT JOIN (SELECT doc_id, allow FROM best WHERE rn = 1) b
+              USING (doc_id)
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -2617,8 +3043,21 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate > TIMESTAMP '1997-06-01'
             GROUP BY o_orderkey
         """,
-        "t_const_bool_render": """
-            SELECT o_orderkey, 'STUDY01' AS studyid, 'XX' AS domain,
+        "t_order_render_gates": """
+            SELECT o_orderkey,
+                   CASE o_orderkey % 6
+                     WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+                     WHEN 1 THEN strftime(o_orderdate, '%Y-%m-%d')
+                     WHEN 2 THEN CASE
+                        WHEN day(o_orderdate) <= 12 THEN strftime(
+                          make_date(year(o_orderdate), day(o_orderdate), month(o_orderdate)),
+                          '%Y-%m-%d')
+                        ELSE strftime(o_orderdate, '%Y-%m-%d') END
+                     WHEN 3 THEN strftime(o_orderdate, '%Y-%m-%d')
+                     WHEN 4 THEN strftime(o_orderdate, '%Y-%m')
+                     ELSE 'NOT-A-DATE'
+                   END AS dtc,
+                   'STUDY01' AS studyid, 'XX' AS domain,
                    CASE WHEN o_orderstatus = 'F' THEN 'Y' ELSE 'N' END AS finished
             FROM orders
         """,
@@ -2636,23 +3075,7 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS oseq
             FROM orders
         """,
-        "t4_iso8601_normalize": """
-            SELECT o_orderkey,
-                   CASE o_orderkey % 6
-                     WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
-                     WHEN 1 THEN strftime(o_orderdate, '%Y-%m-%d')
-                     WHEN 2 THEN CASE
-                        WHEN day(o_orderdate) <= 12 THEN strftime(
-                          make_date(year(o_orderdate), day(o_orderdate), month(o_orderdate)),
-                          '%Y-%m-%d')
-                        ELSE strftime(o_orderdate, '%Y-%m-%d') END
-                     WHEN 3 THEN strftime(o_orderdate, '%Y-%m-%d')
-                     WHEN 4 THEN strftime(o_orderdate, '%Y-%m')
-                     ELSE 'NOT-A-DATE'
-                   END AS dtc
-            FROM orders
-        """,
-        "t6_duration_normalize": """
+        "t_part_transform_gates": """
             SELECT p_partkey,
                    CASE p_partkey % 8
                      WHEN 0 THEN 'P5D'
@@ -2663,7 +3086,10 @@ def oracle_sql() -> dict[str, str]:
                      WHEN 5 THEN 'PT30M'
                      WHEN 6 THEN 'P3Y6M4DT12H30M5S'
                      ELSE 'not a duration'
-                   END AS dur
+                   END AS dur,
+                   CAST(p_size AS VARCHAR) AS r_int,
+                   CAST(p_size AS VARCHAR) || '.25' AS r_frac,
+                   CAST(p_size AS VARCHAR) || '.5' AS r_half
             FROM part
         """,
         "t7_study_day": """
@@ -2772,13 +3198,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, b.lang, round(b.score, 6) AS score
             FROM (SELECT DISTINCT doc_id FROM documents) d
             LEFT JOIN best b ON d.doc_id = b.doc_id
-        """,
-        "t13_numeric_render": """
-            SELECT p_partkey,
-                   CAST(p_size AS VARCHAR) AS r_int,
-                   CAST(p_size AS VARCHAR) || '.25' AS r_frac,
-                   CAST(p_size AS VARCHAR) || '.5' AS r_half
-            FROM part
         """,
         "a_profile_gates": """
             SELECT * FROM
@@ -2911,24 +3330,26 @@ def oracle_sql() -> dict[str, str]:
                         AS relrec_missing_orderkey
                FROM miss)
         """,
-        "r1_supp_unpivot": """
-            SELECT 'TPCH' AS "STUDYID", 'PT' AS "RDOMAIN",
+        "r_supp_roundtrip_gates": """
+            SELECT 'unpivot' AS component,
+                   'TPCH' AS "STUDYID", 'PT' AS "RDOMAIN",
                    CAST(p_partkey AS VARCHAR) AS "USUBJID",
                    '' AS "IDVAR", '' AS "IDVARVAL",
                    'PBRAND' AS "QNAM", 'p_brand' AS "QLABEL",
-                   p_brand AS "QVAL", 'CRF' AS "QORIG", '' AS "QEVAL"
+                   p_brand AS "QVAL", 'CRF' AS "QORIG", '' AS "QEVAL",
+                   CAST(NULL AS VARCHAR) AS "STATUSV",
+                   CAST(NULL AS VARCHAR) AS "PRIO"
             FROM part WHERE p_brand IS NOT NULL AND trim(p_brand) != ''
             UNION ALL
-            SELECT 'TPCH', 'PT', CAST(p_partkey AS VARCHAR), '', '',
-                   'PTYPE', 'p_type', p_type, 'CRF', ''
+            SELECT 'unpivot', 'TPCH', 'PT', CAST(p_partkey AS VARCHAR), '', '',
+                   'PTYPE', 'p_type', p_type, 'CRF', '', NULL, NULL
             FROM part WHERE p_type IS NOT NULL AND trim(p_type) != ''
-        """,
-        "r3_supp_pivot_back": """
-            SELECT CAST(o_custkey AS VARCHAR) AS "USUBJID",
-                   'XXSEQ' AS "IDVAR",
-                   CAST(o_orderkey AS VARCHAR) AS "IDVARVAL",
-                   o_orderstatus AS "STATUSV",
-                   o_orderpriority AS "PRIO"
+            UNION ALL
+            SELECT 'pivot_back', NULL, NULL,
+                   CAST(o_custkey AS VARCHAR),
+                   'XXSEQ', CAST(o_orderkey AS VARCHAR),
+                   NULL, NULL, NULL, NULL, NULL,
+                   o_orderstatus, o_orderpriority
             FROM orders
         """,
         "r_reciprocal_gates": """
@@ -3455,22 +3876,27 @@ def oracle_sql() -> dict[str, str]:
                    bucket, n_terms, sum_tf, sum_df, tfidf_e6_sum
             FROM kw
         """,
-        "temporal_interval_shipments": """
-            SELECT strftime(date_trunc('month', CAST(l_shipdate AS DATE)), '%Y-%m')
+        "temporal_agg_gates": """
+            SELECT 'interval' AS component,
+                   strftime(date_trunc('month', CAST(l_shipdate AS DATE)), '%Y-%m')
                      AS ship_month,
                    CAST(count(*) AS BIGINT) AS n_lines,
                    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-                     AS sum_price
+                     AS sum_price,
+                   CAST(NULL AS BIGINT) AS event_id,
+                   CAST(NULL AS BIGINT) AS user_id,
+                   CAST(NULL AS BIGINT) AS n_1h,
+                   CAST(NULL AS DOUBLE) AS s_1h
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE CAST(l_shipdate AS DATE)
                   BETWEEN CAST(o_orderdate AS DATE)
                       AND CAST(o_orderdate AS DATE) + INTERVAL 90 DAY
-            GROUP BY 1
-        """,
-        "temporal_rolling_user_1h": """
-            SELECT event_id, user_id,
-                   CAST(count(*) OVER w AS BIGINT) AS n_1h,
-                   CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS s_1h
+            GROUP BY 2
+            UNION ALL
+            SELECT 'rolling', NULL, NULL, NULL,
+                   event_id, user_id,
+                   CAST(count(*) OVER w AS BIGINT),
+                   CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                          RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)

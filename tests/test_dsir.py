@@ -131,6 +131,48 @@ def test_temperature_flattens_selection(spark):
     assert 0.2 < share < 0.8  # near the 0.5 population share
 
 
+def test_custom_bucket_expr_swaps_feature_hash(spark):
+    """bucket_expr replaces xxhash64: an explicit expr identical to
+    the default reproduces the default output exactly, and the
+    engine-portable md5-hex-prefix hash (the oracle's form) lands in
+    range and flows through dsir_log_weights."""
+    df = _df(spark, [(1, "a b c"), (2, "a a"), (4, "solo")])
+    default = {
+        (r["doc_id"], r["bucket"]): r["n"]
+        for r in hashed_ngram_counts(df, "doc_id", "text", B).collect()
+    }
+    explicit = {
+        (r["doc_id"], r["bucket"]): r["n"]
+        for r in hashed_ngram_counts(
+            df, "doc_id", "text", B,
+            bucket_expr=lambda g: F.pmod(F.xxhash64(g), F.lit(B)),
+        ).collect()
+    }
+    assert explicit == default
+
+    def md5_bucket(g):
+        return F.conv(
+            F.substring(F.md5(F.encode(g, "UTF-8")), 1, 3), 16, 10
+        ).cast("long")
+
+    rows = hashed_ngram_counts(
+        df, "doc_id", "text", 4096, bucket_expr=md5_bucket
+    ).collect()
+    assert rows and all(0 <= r["bucket"] < 4096 for r in rows)
+    # md5 of "solo" prefix must agree with Python's hashlib
+    import hashlib
+
+    want = int(hashlib.md5(b"solo").hexdigest()[:3], 16)
+    assert any(
+        r["bucket"] == want and r["doc_id"] == 4 for r in rows
+    )
+    w = dsir_log_weights(
+        df.filter("doc_id != 1"), df.filter("doc_id = 1"),
+        "doc_id", "text", 4096, bucket_expr=md5_bucket,
+    ).collect()
+    assert {r["doc_id"] for r in w} == {2, 4}
+
+
 def test_plan_broadcasts_ratio_table(spark):
     raw = _df(spark, [(i, f"w{i % 5}") for i in range(10)])
     target = _df(spark, [(100, "w1")])

@@ -78,6 +78,62 @@ def test_pagerank_convergence_early_exit(spark):
     assert sum(converged.values()) == pytest.approx(1.0, abs=1e-9)
 
 
+def test_pagerank_tol_check_every_amortizes_probe(spark):
+    """tol_check_every=k probes every k-th iteration: with a huge tol
+    the loop now runs exactly k iterations before the first (passing)
+    probe — result == the k-iteration fixed run; a tight tol still
+    lands on the converged fixed point. k<1 is rejected."""
+    edges = values_df(spark, GRAPH, "src bigint, dst bigint")
+    three = {r.node: r.rank for r in pagerank(edges, iterations=3).collect()}
+    stopped = {
+        r.node: r.rank
+        for r in pagerank(
+            edges, iterations=50, tol=10.0, tol_check_every=3
+        ).collect()
+    }
+    assert stopped == pytest.approx(three)
+    converged = {
+        r.node: r.rank
+        for r in pagerank(
+            edges, iterations=200, tol=1e-12, tol_check_every=5
+        ).collect()
+    }
+    ref = _numpy_pagerank(6, GRAPH, iterations=300)
+    for i in range(6):
+        assert converged[i] == pytest.approx(ref[i], abs=1e-9), i
+    with pytest.raises(ValueError, match="tol_check_every"):
+        pagerank(edges, tol=1e-6, tol_check_every=0)
+
+
+def test_checkpoint_stats_double_when_prev_referenced_twice(spark):
+    """Regression pin for the docstring's measured rationale: local-
+    checkpointing a plan that references the previous checkpoint
+    TWICE (the shape a folded Δ-probe would have) doubles the stats
+    estimate's bit length every iteration — after a handful of steps
+    the BigInt estimate is already thousands of bits, which is why
+    pagerank/hits keep the convergence probe un-checkpointed."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(20)
+        .select(F.col("id").alias("node"), F.lit(1.0).alias("rank"))
+        .localCheckpoint()
+    )
+    bits = []
+    for _ in range(6):
+        prev = df
+        step = prev.select("node", (F.col("rank") * 0.9).alias("rank"))
+        joined = step.join(
+            prev.select("node", F.col("rank").alias("__prev")), "node"
+        )
+        df = joined.select("node", "rank").localCheckpoint()
+        sz = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        bits.append(int(sz).bit_length())
+    # strictly super-linear growth: each step at least ~doubles
+    assert all(b2 >= 2 * b1 - 4 for b1, b2 in zip(bits, bits[1:])), bits
+    assert bits[-1] > 100, bits
+
+
 def test_pagerank_duplicate_edges_and_validations(spark):
     dup = values_df(
         spark, [(0, 1), (0, 1), (1, 0)], "src bigint, dst bigint"

@@ -46,15 +46,21 @@ def test_no_cartesian_products_in_data_plane_queries(spark):
     # corpus_split_gates; j1/j2 into j_membership_checks (itself
     # non-gate, full-row) freeing a slot for sketch_distinct_gates.
     # r9: asof+locf and tumbling+sessionization merged into
-    # *_gates-suffixed slots (freeing room for pii + phrase mining)
-    # — 31 non-gate queries remain; the four r9 gates contain NO
-    # 1-row crossJoins, so they are swept below despite the suffix.
-    assert checked >= 31
+    # *_gates-suffixed slots (freeing room for pii + phrase mining),
+    # then t4+t_const / t6+t13 / r1+r3 / interval+rolling merged to
+    # free slots for bm25/dsir/drift/robots — 27 non-gate queries
+    # remain; the merged gates that contain NO 1-row crossJoins are
+    # swept explicitly below despite the suffix.
+    assert checked >= 27
     for name in (
         "temporal_asof_locf_gates",
         "events_stream_gates",
         "pii_redaction_gates",
         "phrase_mining_gates",
+        "t_order_render_gates",
+        "t_part_transform_gates",
+        "r_supp_roundtrip_gates",
+        "temporal_agg_gates",
     ):
         plan = _plan(m.queries()[name](spark, SF))
         assert "CartesianProduct" not in plan, name

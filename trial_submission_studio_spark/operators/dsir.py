@@ -63,11 +63,18 @@ def hashed_ngram_counts(
     id_col: str,
     text_col: str,
     buckets: int = 10_000,
+    bucket_expr=None,
 ) -> DataFrame:
     """→ ``(id, bucket, n)``: counts of word unigrams AND bigrams
     hashed into ``buckets`` (DSIR's feature space). Codegen shape:
     positions explode + element_at, bigram formed by string concat
-    of adjacent words; both gram streams share one exploded frame."""
+    of adjacent words; both gram streams share one exploded frame.
+
+    ``bucket_expr`` (``Column -> Column``, optional) swaps the gram →
+    bucket hash; default ``pmod(xxhash64(gram), buckets)``. Any
+    replacement must land in ``[0, buckets)`` — pass an
+    engine-portable hash (e.g. an md5-hex-prefix conv) when a
+    non-Spark system has to reproduce the feature space bit-for-bit."""
     exploded = (
         df.select(F.col(id_col), _words(text_col).alias("__toks"))
         .filter(F.size("__toks") >= 1)
@@ -89,11 +96,13 @@ def hashed_ngram_counts(
             ).alias("__bg"),
         )
     )
+    if bucket_expr is None:
+        bucket_expr = lambda g: F.pmod(F.xxhash64(g), F.lit(buckets))  # noqa: E731
     grams = exploded.select(
-        id_col, F.pmod(F.xxhash64("__w"), F.lit(buckets)).alias("bucket")
+        id_col, bucket_expr(F.col("__w")).alias("bucket")
     ).unionByName(
         exploded.filter(F.col("__bg").isNotNull()).select(
-            id_col, F.pmod(F.xxhash64("__bg"), F.lit(buckets)).alias("bucket")
+            id_col, bucket_expr(F.col("__bg")).alias("bucket")
         )
     )
     return grams.groupBy(id_col, "bucket").agg(
@@ -127,13 +136,15 @@ def dsir_log_weights(
     text_col: str,
     buckets: int = 10_000,
     smoothing: float = 1.0,
+    bucket_expr=None,
 ) -> DataFrame:
     """→ raw ``(id, log_weight)``: Σ_b c_b·(log p_target(b) −
     log p_raw(b)). The log-ratio table is ``buckets`` rows —
-    broadcast; the only corpus-scale shuffle is the per-doc sum."""
+    broadcast; the only corpus-scale shuffle is the per-doc sum.
+    ``bucket_expr`` passes through to :func:`hashed_ngram_counts`."""
     spark = raw.sparkSession
-    raw_counts = hashed_ngram_counts(raw, id_col, text_col, buckets)
-    tgt_counts = hashed_ngram_counts(target, id_col, text_col, buckets)
+    raw_counts = hashed_ngram_counts(raw, id_col, text_col, buckets, bucket_expr)
+    tgt_counts = hashed_ngram_counts(target, id_col, text_col, buckets, bucket_expr)
     log_t = fit_bucket_distribution(tgt_counts, buckets, smoothing)
     log_r = fit_bucket_distribution(raw_counts, buckets, smoothing)
     ratio = spark.createDataFrame(
