@@ -269,6 +269,21 @@ def main() -> None:
         "dsir_select_bench",
         # round-9 additions
         "pii_redaction_gates",
+        "lm_bigram_scores",
+    )
+    # LLM-pipeline extras that ALSO run in the 10× scale sweep — these
+    # carry the 100 TB design claims, so their curvature is measured,
+    # not argued (r8 verdict ask). Every name must appear in
+    # EXTRA_QUERIES so the ratio has an sf0.1 denominator.
+    SF1_EXTRAS = (
+        "paragraph_dedup_docs",
+        "substring_removal_docs",
+        "contamination_ngram_overlap",
+        "lm_bigram_scores",
+        "bloom_dedup_bench",
+        "bm25_retrieval_bench",
+        "dsir_select_bench",
+        "pagerank_domains",
     )
     for name in EXTRA_QUERIES:
         if name not in qs:
@@ -307,6 +322,24 @@ def main() -> None:
             sf1[name] = round(time.time() - t0, 3)
             if timings.get(name):
                 ratios[name] = round(sf1[name] / timings[name], 1)
+            gc.collect()
+        for name in SF1_EXTRAS:
+            if name not in extra:
+                continue  # warmup failed above — already surfaced
+            try:
+                t0 = time.time()
+                qs[name](spark, sf1_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                sf1[name] = round(time.time() - t0, 3)
+            except Exception as exc:
+                print(
+                    f"bench: sf1 extra {name} failed: {exc!r}",
+                    file=sys.stderr,
+                )
+                continue
+            if extra.get(name):
+                ratios[name] = round(sf1[name] / extra[name], 1)
             gc.collect()
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     full_payload = {
