@@ -219,3 +219,140 @@ def test_term_dfs_semi_joined_before_broadcast(spark, index):
         .toString()
     )
     assert "LeftSemi" in plan
+
+
+NEW_DOCS = [
+    (6, "fresh crawl snapshot about foxes and quantum dogs"),
+    (7, "the newest quick fox"),
+]
+
+
+def _topk_rows(idx, spark, k=10):
+    queries = spark.createDataFrame(
+        [(10, "quick fox"), (11, "quantum physics"), (12, "the dog")],
+        "qid long, qtext string",
+    )
+    return sorted(
+        (r["qid"], r["doc_id"], round(r["score"], 9), r["rank"])
+        for r in bm25_topk(idx, queries, "qid", "qtext", k=k).collect()
+    )
+
+
+def test_append_matches_full_rebuild(spark, index):
+    """append_bm25_index(old, new) scores EXACTLY like a one-shot
+    build over old ∪ new: integer count tables merge losslessly and
+    avgdl comes from the exact dl_sum, so there is no float drift
+    beyond summation order (pinned at 1e-12)."""
+    from trial_submission_studio_spark.operators.bm25 import (
+        append_bm25_index,
+    )
+
+    new = spark.createDataFrame(NEW_DOCS, "doc_id long, text string")
+    merged = append_bm25_index(index, new, "text")
+    full = build_bm25_index(
+        spark.createDataFrame(DOCS + NEW_DOCS, "doc_id long, text string"),
+        "doc_id",
+        "text",
+    )
+    assert merged["n_docs"] == full["n_docs"] == 7
+    assert merged["dl_sum"] == full["dl_sum"]
+    assert merged["avgdl"] == pytest.approx(full["avgdl"], rel=0)
+    mdfs = {r["term"]: r["df"] for r in merged["term_dfs"].collect()}
+    fdfs = {r["term"]: r["df"] for r in full["term_dfs"].collect()}
+    assert mdfs == fdfs
+    a = _topk_rows(merged, spark)
+    b = _topk_rows(full, spark)
+    assert a == b
+    with pytest.raises(ValueError, match="id column"):
+        append_bm25_index(
+            index, new.withColumnRenamed("doc_id", "other"), "text"
+        )
+
+
+def test_append_saved_index_incremental(spark, index, tmp_path):
+    """append_saved_bm25_index appends postings/doc_lens/df-delta
+    files (no rewrite of existing data), readers sum the df deltas,
+    stats carry exact merged totals, pruning still works, and scores
+    equal the full in-memory rebuild."""
+    from trial_submission_studio_spark.operators.bm25 import (
+        append_saved_bm25_index,
+        load_bm25_index,
+        save_bm25_index,
+    )
+    import os
+
+    path = str(tmp_path / "bm25_inc")
+    save_bm25_index(index, path, term_buckets=8)
+    before = {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(f"{path}/postings")
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    new = spark.createDataFrame(NEW_DOCS, "doc_id long, text string")
+    idx2 = append_saved_bm25_index(spark, path, new, "text")
+    after = {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(f"{path}/postings")
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert before < after  # strictly appended, nothing rewritten
+    full = build_bm25_index(
+        spark.createDataFrame(DOCS + NEW_DOCS, "doc_id long, text string"),
+        "doc_id",
+        "text",
+    )
+    assert idx2["n_docs"] == 7 and idx2["dl_sum"] == full["dl_sum"]
+    assert idx2["avgdl"] == pytest.approx(full["avgdl"], rel=0)
+    # df deltas sum correctly across increments
+    dfs = {r["term"]: r["df"] for r in idx2["term_dfs"].collect()}
+    want = {r["term"]: r["df"] for r in full["term_dfs"].collect()}
+    assert dfs == want
+    a = _topk_rows(idx2, spark)
+    b = _topk_rows(full, spark)
+    assert a == b
+    # pruning survives the append: partition filters still reach
+    # the (now multi-increment) postings scan
+    q = spark.createDataFrame([(1, "quantum")], "qid long, qtext string")
+    got = bm25_topk(idx2, q, "qid", "qtext", k=5)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__tb" in plan
+    assert sorted(r["doc_id"] for r in got.collect()) == [4, 6]
+
+
+def test_append_twice_stays_exact(spark, tmp_path):
+    """Two successive increments: df rows stack per term and the
+    summed value still matches a one-shot build."""
+    from trial_submission_studio_spark.operators.bm25 import (
+        append_saved_bm25_index,
+        save_bm25_index,
+    )
+
+    part1 = DOCS[:2]
+    part2 = DOCS[2:4]
+    part3 = DOCS[4:] + NEW_DOCS
+    path = str(tmp_path / "bm25_inc2")
+    idx = build_bm25_index(
+        spark.createDataFrame(part1, "doc_id long, text string"),
+        "doc_id",
+        "text",
+    )
+    save_bm25_index(idx, path, term_buckets=4)
+    for part in (part2, part3):
+        idx = append_saved_bm25_index(
+            spark,
+            path,
+            spark.createDataFrame(part, "doc_id long, text string"),
+            "text",
+        )
+    full = build_bm25_index(
+        spark.createDataFrame(DOCS + NEW_DOCS, "doc_id long, text string"),
+        "doc_id",
+        "text",
+    )
+    assert idx["n_docs"] == full["n_docs"]
+    assert idx["dl_sum"] == full["dl_sum"]
+    dfs = {r["term"]: r["df"] for r in idx["term_dfs"].collect()}
+    assert dfs == {r["term"]: r["df"] for r in full["term_dfs"].collect()}
+    assert _topk_rows(idx, spark) == _topk_rows(full, spark)

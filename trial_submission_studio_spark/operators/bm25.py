@@ -39,6 +39,8 @@ __all__ = [
     "bm25_topk",
     "save_bm25_index",
     "load_bm25_index",
+    "append_bm25_index",
+    "append_saved_bm25_index",
 ]
 
 
@@ -70,7 +72,9 @@ def build_bm25_index(
         F.count(F.lit(1)).cast("long").alias("df")
     )
     stats = doc_lens.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("avgdl"),
+        F.sum("dl").alias("dl_sum"),
     ).collect()[0]
     return {
         "postings": postings,
@@ -78,6 +82,9 @@ def build_bm25_index(
         "term_dfs": term_dfs,
         "n_docs": int(stats["n"]),
         "avgdl": float(stats["avgdl"]) if stats["avgdl"] is not None else 0.0,
+        # exact integer token total — lets incremental appends
+        # recompute avgdl EXACTLY (never from the rounded float)
+        "dl_sum": int(stats["dl_sum"]) if stats["dl_sum"] is not None else 0,
     }
 
 
@@ -107,6 +114,13 @@ def save_bm25_index(index: dict, path: str, term_buckets: int = 64) -> None:
     supported filesystem)."""
     if term_buckets < 1:
         raise ValueError("term_buckets must be >= 1")
+    _write_index_tables(index, path, term_buckets, mode="overwrite")
+    _write_index_stats(index, path, term_buckets)
+
+
+def _write_index_tables(
+    index: dict, path: str, term_buckets: int, mode: str
+) -> None:
     postings, doc_lens, term_dfs = (
         index["postings"],
         index["doc_lens"],
@@ -117,7 +131,7 @@ def save_bm25_index(index: dict, path: str, term_buckets: int = 64) -> None:
         postings.withColumn(_TB, _term_bucket(term_buckets))
         .repartition(F.col(_TB))
         .sortWithinPartitions("term", id_col)
-        .write.mode("overwrite")
+        .write.mode(mode)
         .partitionBy(_TB)
         .parquet(f"{path}/postings")
     )
@@ -125,22 +139,28 @@ def save_bm25_index(index: dict, path: str, term_buckets: int = 64) -> None:
         term_dfs.withColumn(_TB, _term_bucket(term_buckets))
         .repartition(F.col(_TB))
         .sortWithinPartitions("term")
-        .write.mode("overwrite")
+        .write.mode(mode)
         .partitionBy(_TB)
         .parquet(f"{path}/term_dfs")
     )
-    doc_lens.write.mode("overwrite").parquet(f"{path}/doc_lens")
+    doc_lens.write.mode(mode).parquet(f"{path}/doc_lens")
+
+
+def _write_index_stats(index: dict, path: str, term_buckets: int) -> None:
+    postings = index["postings"]
     spark = postings.sparkSession
     stats = spark.createDataFrame(
         [
             (
                 int(index["n_docs"]),
                 float(index["avgdl"]),
+                int(index["dl_sum"]),
                 int(term_buckets),
-                id_col,
+                _postings_id_col(postings),
             )
         ],
-        "n_docs long, avgdl double, term_buckets int, id_col string",
+        "n_docs long, avgdl double, dl_sum long, term_buckets int, "
+        "id_col string",
     )
     stats.coalesce(1).write.mode("overwrite").json(f"{path}/stats")
 
@@ -149,16 +169,140 @@ def load_bm25_index(spark: SparkSession, path: str) -> dict:
     """Reopen a :func:`save_bm25_index` directory → the same dict
     shape `bm25_topk` takes, plus ``term_buckets`` so the query path
     can prune. Table reads are lazy; only the 1-row stats file is
-    materialized here."""
+    materialized here.
+
+    ``term_dfs`` is re-aggregated by (bucket, term) on read:
+    :func:`append_saved_bm25_index` writes df DELTAS append-only
+    (rewriting a vocabulary-sized table per increment would defeat
+    incremental indexing), so a term's true df is the SUM of its
+    rows. Single-write indexes aggregate to themselves; the grouping
+    keeps ``__tb`` so partition pruning still reaches the scan."""
     stats = spark.read.json(f"{path}/stats").collect()[0]
+    term_dfs = (
+        spark.read.parquet(f"{path}/term_dfs")
+        .groupBy(_TB, "term")
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+    doc_lens = spark.read.parquet(f"{path}/doc_lens")
+    fields = set(stats.__fields__)
+    if "dl_sum" in fields and stats["dl_sum"] is not None:
+        dl_sum = int(stats["dl_sum"])
+    else:  # pre-dl_sum index layout: one exact agg over doc_lens
+        row = doc_lens.agg(F.sum("dl").alias("s")).collect()[0]
+        dl_sum = int(row["s"]) if row["s"] is not None else 0
     return {
         "postings": spark.read.parquet(f"{path}/postings"),
-        "doc_lens": spark.read.parquet(f"{path}/doc_lens"),
-        "term_dfs": spark.read.parquet(f"{path}/term_dfs"),
+        "doc_lens": doc_lens,
+        "term_dfs": term_dfs,
         "n_docs": int(stats["n_docs"]),
         "avgdl": float(stats["avgdl"]),
+        "dl_sum": dl_sum,
         "term_buckets": int(stats["term_buckets"]),
     }
+
+
+def append_bm25_index(
+    index: dict,
+    new_docs: DataFrame,
+    text_col: str,
+    token_pattern: str | None = None,
+) -> dict:
+    """Merge ``new_docs`` into an in-memory index dict → a NEW dict
+    whose scores are EXACTLY those of a full rebuild over old ∪ new:
+    postings/doc_lens union (ids must be new — the caller's append
+    contract; an id reused across increments double-counts),
+    term_dfs merged by summation, and avgdl recomputed from exact
+    integer totals (``dl_sum``), never from the rounded float.
+
+    The merge costs one vocabulary-grain aggregation over the
+    combined df tables plus the new docs' tokenize pass — nothing
+    corpus-sized recomputes. ``token_pattern`` must match the
+    original build."""
+    id_col = _postings_id_col(index["postings"])
+    if id_col not in new_docs.columns:
+        raise ValueError(
+            f"new_docs must carry the index id column {id_col!r}"
+        )
+    delta = build_bm25_index(
+        new_docs, id_col, text_col, token_pattern=token_pattern
+    )
+    n_docs = int(index["n_docs"]) + int(delta["n_docs"])
+    dl_sum = int(index.get("dl_sum", 0)) + int(delta["dl_sum"])
+    # a LOADED index carries the __tb layout column; the in-memory
+    # merge loses the on-disk layout, so drop it (and the pruning
+    # metadata) — use append_saved_bm25_index to keep pruning
+    old_postings = index["postings"]
+    if _TB in old_postings.columns:
+        old_postings = old_postings.drop(_TB)
+    return {
+        "postings": old_postings.unionByName(delta["postings"]),
+        "doc_lens": index["doc_lens"].unionByName(delta["doc_lens"]),
+        "term_dfs": (
+            index["term_dfs"]
+            .select("term", "df")
+            .unionByName(delta["term_dfs"])
+            .groupBy("term")
+            .agg(F.sum("df").cast("long").alias("df"))
+        ),
+        "n_docs": n_docs,
+        "avgdl": (dl_sum / n_docs) if n_docs else 0.0,
+        "dl_sum": dl_sum,
+    }
+
+
+def append_saved_bm25_index(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    text_col: str,
+    token_pattern: str | None = None,
+) -> dict:
+    """Append an increment to a :func:`save_bm25_index` directory
+    WITHOUT rewriting the existing corpus-sized tables — the
+    build-once/append-forever decontamination-index shape:
+
+    - new postings and doc_lens rows append in the same ``__tb``
+      bucket layout (pruning keeps working across increments);
+    - term document-frequencies append as DELTAS; readers sum them
+      (see :func:`load_bm25_index`) — a term present in k increments
+      has k rows, never a wrong value;
+    - the 1-row stats file is rewritten with exact merged totals.
+
+    Ids must be new (the append contract). Returns the reopened
+    index dict."""
+    stats = spark.read.json(f"{path}/stats").collect()[0]
+    id_col = str(stats["id_col"])
+    nb = int(stats["term_buckets"])
+    if id_col not in new_docs.columns:
+        raise ValueError(
+            f"new_docs must carry the index id column {id_col!r}"
+        )
+    delta = build_bm25_index(
+        new_docs, id_col, text_col, token_pattern=token_pattern
+    )
+    _write_index_tables(delta, path, nb, mode="append")
+    fields = set(stats.__fields__)
+    old_dl_sum = (
+        int(stats["dl_sum"])
+        if "dl_sum" in fields and stats["dl_sum"] is not None
+        else int(
+            spark.read.parquet(f"{path}/doc_lens")
+            .agg(F.sum("dl"))
+            .collect()[0][0]
+            or 0
+        )
+        - int(delta["dl_sum"])  # doc_lens already includes the delta
+    )
+    n_docs = int(stats["n_docs"]) + int(delta["n_docs"])
+    dl_sum = old_dl_sum + int(delta["dl_sum"])
+    merged = {
+        "postings": spark.read.parquet(f"{path}/postings"),
+        "n_docs": n_docs,
+        "avgdl": (dl_sum / n_docs) if n_docs else 0.0,
+        "dl_sum": dl_sum,
+    }
+    _write_index_stats(merged, path, nb)
+    return load_bm25_index(spark, path)
 
 
 def _postings_id_col(postings: DataFrame) -> str:
