@@ -98,6 +98,38 @@ class CorpusConfig:
     stats: dict[str, int] = field(default_factory=dict)
 
 
+def doc_quality_predicate(cfg: CorpusConfig, text_col: str):
+    """Row-local keep predicate for the document-quality gates
+    (token floor, stopword ratio, heuristic quality score, Gopher
+    formatting rules) — one Column, or None when every knob is off.
+    Shared by :func:`prepare_corpus` and the streaming twin
+    (`streaming/corpus.py`) so batch and stream agree rule-for-rule."""
+    doc_pred = None
+    if cfg.min_doc_tokens is not None:
+        doc_pred = token_count(text_col) >= cfg.min_doc_tokens
+    if cfg.min_stopword_ratio is not None:
+        p = stopword_ratio(text_col) >= cfg.min_stopword_ratio
+        doc_pred = p if doc_pred is None else (doc_pred & p)
+    if cfg.min_quality is not None:
+        p = quality_score(text_col) >= cfg.min_quality
+        doc_pred = p if doc_pred is None else (doc_pred & p)
+    # Gopher formatting rules share the same row-local predicate pass
+    # (e4 fixed-point metrics vs e4-scaled thresholds — no float drift)
+    for metric, threshold, keep_at_most in (
+        (symbol_word_ratio_e4, cfg.max_symbol_ratio, True),
+        (bullet_line_fraction_e4, cfg.max_bullet_fraction, True),
+        (ellipsis_line_fraction_e4, cfg.max_ellipsis_fraction, True),
+        (alpha_word_fraction_e4, cfg.min_alpha_fraction, False),
+    ):
+        if threshold is None:
+            continue
+        bound = int(threshold * 10000)
+        m = metric(text_col)
+        p = (m <= bound) if keep_at_most else (m >= bound)
+        doc_pred = p if doc_pred is None else (doc_pred & p)
+    return doc_pred
+
+
 def prepare_corpus(
     docs: DataFrame,
     id_col: str,
@@ -155,29 +187,7 @@ def prepare_corpus(
             out.drop(text_col).join(kept, id_col),
         )
 
-    doc_pred = None
-    if cfg.min_doc_tokens is not None:
-        doc_pred = token_count(text_col) >= cfg.min_doc_tokens
-    if cfg.min_stopword_ratio is not None:
-        p = stopword_ratio(text_col) >= cfg.min_stopword_ratio
-        doc_pred = p if doc_pred is None else (doc_pred & p)
-    if cfg.min_quality is not None:
-        p = quality_score(text_col) >= cfg.min_quality
-        doc_pred = p if doc_pred is None else (doc_pred & p)
-    # Gopher formatting rules share the same row-local predicate pass
-    # (e4 fixed-point metrics vs e4-scaled thresholds — no float drift)
-    for metric, threshold, keep_at_most in (
-        (symbol_word_ratio_e4, cfg.max_symbol_ratio, True),
-        (bullet_line_fraction_e4, cfg.max_bullet_fraction, True),
-        (ellipsis_line_fraction_e4, cfg.max_ellipsis_fraction, True),
-        (alpha_word_fraction_e4, cfg.min_alpha_fraction, False),
-    ):
-        if threshold is None:
-            continue
-        bound = int(threshold * 10000)
-        m = metric(text_col)
-        p = (m <= bound) if keep_at_most else (m >= bound)
-        doc_pred = p if doc_pred is None else (doc_pred & p)
+    doc_pred = doc_quality_predicate(cfg, text_col)
     if doc_pred is not None:
         out = _mark("doc_quality", out.filter(doc_pred))
 

@@ -143,3 +143,110 @@ def classify_language(
         .join(best, id_col, "left")
         .select(id_col, "lang", "score")
     )
+
+
+def collect_profiles(profiles: DataFrame) -> dict:
+    """``(lang, gram, weight)`` rows → ``{lang: {gram: weight}}``
+    (KB-scale — profiles are top-k grams per language). The plain-dict
+    form feeds :func:`classify_language_rowlocal`'s Arrow kernel."""
+    out: dict = {}
+    for r in profiles.collect():
+        out.setdefault(r["lang"], {})[r["gram"]] = float(r["weight"])
+    return out
+
+
+def classify_language_rowlocal(
+    df: DataFrame,
+    profiles: dict | DataFrame,
+    text_col: str,
+    n: int = 3,
+    min_score: float = 0.0,
+    out_col: str = "lang",
+) -> DataFrame:
+    """Adds ``out_col`` (and ``<out_col>_score``) per ROW — the
+    streaming-safe twin of :func:`classify_language`: no explode, no
+    per-doc aggregation, so it composes into stateless Structured
+    Streaming pipelines (`streaming/corpus.py`) and any other place a
+    join-back by id is unavailable.
+
+    Semantics match :func:`classify_language` for ASCII-normalizable
+    text: same padded-lowercase normalization, same mixed 1..n gram
+    set with whitespace-only grams excluded, same full-document L2
+    norm (all grams, matched or not), same argmax with deterministic
+    tie-break on language name, NULL when nothing matches or the best
+    cosine is below ``min_score``. (Java and Python lowercase a few
+    non-ASCII code points differently — e.g. dotted İ; the batch path
+    is authoritative there.)
+
+    ``profiles`` may be the trained DataFrame (collected here — one
+    KB-scale driver action) or a pre-collected
+    :func:`collect_profiles` dict for reuse across micro-batches."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    if not isinstance(profiles, dict):
+        profiles = collect_profiles(profiles)
+    # capture only plain data + stdlib in the closure (cloudpickle
+    # ships it by value — the non-repo-cwd worker discipline)
+    prof = {lang: dict(g) for lang, g in sorted(profiles.items())}
+    n_max = int(n)
+    floor = float(min_score)
+    tcol = text_col
+    ocol = out_col
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+        import re
+
+        ws = re.compile(r"\s+", re.ASCII)  # Java \s is ASCII-only
+
+        def one(text):
+            if text is None:
+                return None, None
+            s = " " + ws.sub(" ", str(text).strip(" ").lower()) + " "
+            tf: dict = {}
+            ln = len(s)
+            for p in range(ln):
+                for k in range(1, n_max + 1):
+                    if p + k > ln:
+                        break
+                    g = s[p : p + k]
+                    if g.strip(" ") == "":
+                        continue
+                    tf[g] = tf.get(g, 0) + 1
+            if not tf:
+                return None, None
+            norm = math.sqrt(sum(v * v for v in tf.values()))
+            best_lang, best_score = None, None
+            for lang, grams in prof.items():
+                dot = 0.0
+                for g, w in grams.items():
+                    c = tf.get(g)
+                    if c:
+                        dot += c * w
+                if dot <= 0.0:
+                    continue
+                score = dot / norm
+                if best_score is None or score > best_score:
+                    best_lang, best_score = lang, score
+            if best_score is None or best_score < floor:
+                return None, None
+            return best_lang, best_score
+
+        for pdf in batches:
+            langs, scores = [], []
+            for text in pdf[tcol]:
+                lang, score = one(text)
+                langs.append(lang)
+                scores.append(score)
+            pdf = pdf.copy()
+            pdf[ocol] = pd.Series(langs, dtype=object)
+            pdf[f"{ocol}_score"] = pd.Series(scores, dtype="float64")
+            yield pdf
+
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    schema += f", `{out_col}` string, `{out_col}_score` double"
+    return df.mapInPandas(kernel, schema)

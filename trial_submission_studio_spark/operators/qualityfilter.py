@@ -44,6 +44,30 @@ def _line_keep_predicate(
     return keep
 
 
+def kept_lines(
+    text_col: Column | str,
+    min_words: int = 3,
+    require_terminal_punct: bool = True,
+    blocklist: tuple[str, ...] = (),
+) -> Column:
+    """Array-of-surviving-lines EXPRESSION (trimmed, blank lines
+    dropped, C4 rules applied) — the projection-only form that
+    :func:`line_quality_filter` aggregates and that the streaming
+    twin (`streaming/corpus.py`) rebuilds text from without a join
+    (two branches of one stream cannot re-join statelessly)."""
+    lines = F.filter(
+        F.transform(
+            F.split(F.coalesce(_c(text_col).cast("string"), F.lit("")), "\n"),
+            lambda x: F.trim(x),
+        ),
+        lambda x: x != "",
+    )
+    return F.filter(
+        lines,
+        _line_keep_predicate(min_words, require_terminal_punct, blocklist),
+    )
+
+
 def line_quality_filter(
     df: DataFrame,
     id_col: str,
@@ -79,8 +103,8 @@ def line_quality_filter(
         ),
         lambda x: x != "",
     )
-    kept = F.filter(
-        lines, _line_keep_predicate(min_words, require_terminal_punct, blocklist)
+    kept = kept_lines(
+        text_col, min_words, require_terminal_punct, blocklist
     )
     out = [
         F.col(id_col),
