@@ -491,3 +491,58 @@ def test_token_pattern_strips_punctuation(spark):
         ).collect()
     )
     assert got == want
+
+
+def test_broadcast_model_auto_switch(spark, monkeypatch):
+    """broadcast_model='auto' must (a) give identical scores in both
+    regimes and (b) actually drop the model-side BroadcastExchange
+    when the model exceeds the bound — the web-scale-LM OOM guard."""
+    import trial_submission_studio_spark.operators.lm as lm_mod
+    from trial_submission_studio_spark.operators.lm import kn_logprob_scores
+
+    df = spark.createDataFrame(REF, "doc_id long, text string")
+    unigrams, bigrams = train_bigram_lm(df, "doc_id", "text")
+
+    def plan(q):
+        return q._jdf.queryExecution().executedPlan().toString()
+
+    # small model, auto → broadcast path (scores match explicit True)
+    q_auto = bigram_logprob_scores(df, unigrams, bigrams, "doc_id", "text")
+    q_true = bigram_logprob_scores(
+        df, unigrams, bigrams, "doc_id", "text", broadcast_model=True
+    )
+    rows_auto = sorted((r["doc_id"], r["sum_logprob_e6"]) for r in q_auto.collect())
+    assert rows_auto == sorted(
+        (r["doc_id"], r["sum_logprob_e6"]) for r in q_true.collect()
+    )
+    assert "BroadcastExchange" in plan(q_auto)
+
+    # shrink the bound so THIS model counts as web-scale → auto picks
+    # the shuffle join; scores are unchanged
+    monkeypatch.setattr(lm_mod, "AUTO_BROADCAST_MODEL_ROWS", 2)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q_big = bigram_logprob_scores(df, unigrams, bigrams, "doc_id", "text")
+        assert "BroadcastExchange" not in plan(q_big)
+        assert rows_auto == sorted(
+            (r["doc_id"], r["sum_logprob_e6"]) for r in q_big.collect()
+        )
+        q_kn = kn_logprob_scores(df, unigrams, bigrams, "doc_id", "text")
+        assert "BroadcastExchange" not in plan(q_kn)
+        want_kn = sorted(
+            (r["doc_id"], r["sum_logprob_e6"])
+            for r in kn_logprob_scores(
+                df, unigrams, bigrams, "doc_id", "text", broadcast_model=True
+            ).collect()
+        )
+        assert want_kn == sorted(
+            (r["doc_id"], r["sum_logprob_e6"]) for r in q_kn.collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    with pytest.raises(ValueError, match="broadcast_model"):
+        bigram_logprob_scores(
+            df, unigrams, bigrams, "doc_id", "text", broadcast_model="yes"
+        )

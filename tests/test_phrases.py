@@ -141,6 +141,23 @@ def test_token_pattern_strips_punctuation(spark):
     assert ("big", "data") in re_ and ("data", "big") in re_
 
 
+def test_collocations_is_fully_lazy(spark, docs_df):
+    """Building the collocations plan must launch NO Spark job: the
+    total token count rides in-plan as a 1-row broadcast (Σ n over
+    the unigram table), not a separate corpus-explode ``count()``."""
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    q = collocations(docs_df, "text", min_count=2)
+    after = set(tracker.getJobIdsForGroup(None))
+    assert before == after, "collocations() launched a job before any action"
+    # and the in-plan total matches a direct count
+    rows = q.collect()
+    want = _ref_collocations(DOCS, 2)
+    assert {(r["tok_a"], r["tok_b"]) for r in rows} == set(want)
+    for r in rows:
+        assert r["pmi"] == pytest.approx(want[(r["tok_a"], r["tok_b"])][3], rel=1e-12)
+
+
 def test_no_cartesian_or_row_udfs(spark, docs_df):
     for q in (
         collocations(docs_df, "text", min_count=1),

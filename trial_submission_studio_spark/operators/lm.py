@@ -30,6 +30,34 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: auto-switch bound for the model-side broadcast: a model whose
+#: LARGEST count table holds at most this many rows broadcasts (a
+#: 10⁶-row bigram table is ~tens of MB serialized — comfortably
+#: executor-resident); anything bigger takes the shuffle join
+#: automatically, so a CCNet-style web-scale reference LM (bigram
+#: table = vocabulary²-tail-sized, GBs) can never OOM an executor
+#: through the default path. Same discipline as
+#: `similarity.AUTO_DISTRIBUTE_QUERIES`.
+AUTO_BROADCAST_MODEL_ROWS = 1_000_000
+
+
+def _resolve_broadcast_model(model_table: DataFrame, broadcast_model) -> bool:
+    """``"auto"``/``None`` = probe the largest model table with an
+    early-stopping ``limit(n+1).count()`` (bounded work even against
+    a web-scale model — the scan stops once n+1 rows surface) and
+    broadcast only when it fits under
+    :data:`AUTO_BROADCAST_MODEL_ROWS`. Explicit ``True``/``False``
+    is honored unchanged."""
+    if broadcast_model is True or broadcast_model is False:
+        return broadcast_model
+    if broadcast_model not in (None, "auto"):
+        raise ValueError(
+            "broadcast_model must be True, False, or 'auto'; got "
+            f"{broadcast_model!r}"
+        )
+    bound = AUTO_BROADCAST_MODEL_ROWS
+    return model_table.limit(bound + 1).count() <= bound
+
 
 def _tokens(
     text_col: str, lowercase: bool, token_pattern: str | None = None
@@ -101,7 +129,7 @@ def bigram_logprob_scores(
     k: float = 1.0,
     vocab_size: int | None = None,
     lowercase: bool = True,
-    broadcast_model: bool = True,
+    broadcast_model: bool | str = "auto",
     token_pattern: str | None = None,
 ) -> DataFrame:
     """Per-document bigram log-likelihood under the trained model.
@@ -112,7 +140,12 @@ def bigram_logprob_scores(
     sum_logprob_e6 is the deterministic fixed-point integer sum and
     avg/ppl are derived from it (ppl = exp(-avg), the CCNet bucketing
     statistic; lower = more reference-like).
+
+    ``broadcast_model="auto"`` (default) size-probes the bigram
+    table (the largest of the two) and broadcasts only when it fits
+    — see :func:`_resolve_broadcast_model`.
     """
+    broadcast_model = _resolve_broadcast_model(bigrams, broadcast_model)
     v = int(vocab_size) if vocab_size is not None else unigrams.count()
     uni = unigrams.withColumnRenamed("uni_count", "__ca")
     bi = bigrams.withColumnRenamed("bi_count", "__cab")
@@ -184,7 +217,7 @@ def kn_logprob_scores(
     discount: float = 0.75,
     epsilon: float = 1e-10,
     lowercase: bool = True,
-    broadcast_model: bool = True,
+    broadcast_model: bool | str = "auto",
     modified: bool = False,
     token_pattern: str | None = None,
 ) -> DataFrame:
@@ -220,6 +253,7 @@ def kn_logprob_scores(
     d = float(discount)
     if not 0 < d < 1:
         raise ValueError("discount must be in (0, 1)")
+    broadcast_model = _resolve_broadcast_model(bigrams, broadcast_model)
     followers = bigrams.groupBy("tok_a").agg(
         F.count(F.lit(1)).cast("long").alias("__n1p_fw"),
         F.sum((F.col("bi_count") == 1).cast("long")).alias("__n1_fw"),
@@ -368,7 +402,7 @@ def trigram_kn_scores(
     discount: float = 0.75,
     epsilon: float = 1e-10,
     lowercase: bool = True,
-    broadcast_model: bool = True,
+    broadcast_model: bool | str = "auto",
     token_pattern: str | None = None,
 ) -> DataFrame:
     """Per-document log-likelihood under ORDER-3 interpolated
@@ -389,6 +423,8 @@ def trigram_kn_scores(
     d = float(discount)
     if not 0 < d < 1:
         raise ValueError("discount must be in (0, 1)")
+    # probe the TRIGRAM table — the largest of the three model tables
+    broadcast_model = _resolve_broadcast_model(trigrams, broadcast_model)
     tri_abc = trigrams.select(
         "tok_a", "tok_b", "tok_c", F.col("tri_count").alias("__cabc")
     )

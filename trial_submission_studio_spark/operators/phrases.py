@@ -56,7 +56,12 @@ def collocations(
     hapaxes, so this cuts the join input by orders of magnitude.
 
     Deterministic and SQL-oracle-expressible (counts + joins +
-    ln)."""
+    ln). Fully lazy: the total token count T is NOT a separate
+    ``count()`` action (which would re-explode the corpus in its own
+    job) — it rides in-plan as a 1-row broadcast derived from the
+    unigram table (``Σ n`` over ``uni``), so AQE's ReusedExchange
+    serves the unigram shuffle to the totals agg AND both join sides
+    from ONE corpus explode."""
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
     toks = _tok_words(text_col, lowercase=lowercase, token_pattern=token_pattern)
@@ -64,7 +69,7 @@ def collocations(
     uni = tok_rows.groupBy("tok").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
-    total = tok_rows.count()
+    tot = uni.agg(F.sum("n").cast("double").alias("__total_toks"))
     pairs = (
         df.select(toks.alias("__t"))
         .filter(F.size("__t") >= 2)
@@ -82,11 +87,12 @@ def collocations(
     )
     ua = uni.select(F.col("tok").alias("tok_a"), F.col("n").alias("n_a"))
     ub = uni.select(F.col("tok").alias("tok_b"), F.col("n").alias("n_b"))
-    t = F.lit(float(total))
+    t = F.col("__total_toks")
     pmi = F.log(F.col("n_ab") * t / (F.col("n_a") * F.col("n_b")))
     return (
         pairs.join(ua, "tok_a")
         .join(ub, "tok_b")
+        .crossJoin(F.broadcast(tot))
         .select(
             "tok_a",
             "tok_b",
