@@ -356,3 +356,121 @@ def test_append_twice_stays_exact(spark, tmp_path):
     dfs = {r["term"]: r["df"] for r in idx["term_dfs"].collect()}
     assert dfs == {r["term"]: r["df"] for r in full["term_dfs"].collect()}
     assert _topk_rows(idx, spark) == _topk_rows(full, spark)
+
+
+def test_append_crash_leaves_readable_consistent_index(
+    spark, index, tmp_path, monkeypatch
+):
+    """Crash injection: kill the append between the data-file write
+    and the manifest swap. The READABLE index must stay exactly the
+    pre-append version (stats consistent with data — the torn-write
+    class the manifest protocol exists to kill), and the next
+    successful append must NOT pick up the crashed run's orphan
+    files."""
+    import trial_submission_studio_spark.io.versioned as ver
+    from trial_submission_studio_spark.operators.bm25 import (
+        append_saved_bm25_index,
+        load_bm25_index,
+        save_bm25_index,
+    )
+
+    path = str(tmp_path / "bm25_crash")
+    save_bm25_index(index, path, term_buckets=8)
+    baseline = _topk_rows(load_bm25_index(spark, path), spark)
+    v1 = ver.current_version(path)
+
+    new = spark.createDataFrame(NEW_DOCS, "doc_id long, text string")
+    real_publish = ver.publish_files
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before manifest swap")
+
+    monkeypatch.setattr(ver, "publish_files", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        append_saved_bm25_index(spark, path, new, "text")
+    monkeypatch.setattr(ver, "publish_files", real_publish)
+
+    # data files from the crashed run exist on disk...
+    assert ver.current_version(path) == v1
+    idx = load_bm25_index(spark, path)
+    # ...but the readable index is bit-identical to pre-append:
+    # stats AND visible rows
+    assert idx["n_docs"] == index["n_docs"]
+    assert idx["dl_sum"] == index["dl_sum"]
+    assert _topk_rows(idx, spark) == baseline
+
+    # a subsequent successful append skips the orphan run entirely:
+    # scores equal ONE clean append over the same docs, not a
+    # double-counted one
+    idx2 = append_saved_bm25_index(spark, path, new, "text")
+    full = build_bm25_index(
+        spark.createDataFrame(DOCS + NEW_DOCS, "doc_id long, text string"),
+        "doc_id",
+        "text",
+    )
+    assert idx2["n_docs"] == full["n_docs"]
+    assert idx2["dl_sum"] == full["dl_sum"]
+    assert _topk_rows(idx2, spark) == _topk_rows(full, spark)
+
+
+def test_concurrent_reader_isolated_from_append(spark, index, tmp_path):
+    """A reader that opened the index BEFORE an append commits keeps
+    scoring the old snapshot (explicit manifest file list, not a
+    directory listing): its stats and its rows stay mutually
+    consistent even though new files landed in the same tree."""
+    from trial_submission_studio_spark.operators.bm25 import (
+        append_saved_bm25_index,
+        load_bm25_index,
+        save_bm25_index,
+    )
+
+    path = str(tmp_path / "bm25_iso")
+    save_bm25_index(index, path, term_buckets=8)
+    reader = load_bm25_index(spark, path)  # lazy plans pinned to v1 files
+    want = _topk_rows(reader, spark)
+
+    new = spark.createDataFrame(NEW_DOCS, "doc_id long, text string")
+    append_saved_bm25_index(spark, path, new, "text")
+
+    # old handle: unchanged stats, unchanged rows (evaluated AFTER
+    # the append committed)
+    assert reader["n_docs"] == index["n_docs"]
+    assert _topk_rows(reader, spark) == want
+    # fresh handle: sees the append
+    assert load_bm25_index(spark, path)["n_docs"] == index["n_docs"] + len(
+        NEW_DOCS
+    )
+
+
+def test_append_refuses_legacy_layout(spark, index, tmp_path):
+    """Pre-manifest directories can't append atomically — the call
+    must refuse loudly instead of torn-writing in place."""
+    import shutil
+
+    from trial_submission_studio_spark.operators.bm25 import (
+        append_saved_bm25_index,
+        load_bm25_index,
+        save_bm25_index,
+    )
+
+    path = str(tmp_path / "bm25_legacy")
+    save_bm25_index(index, path, term_buckets=4)
+    # fabricate the r9 layout: stats dir, no _versions manifest
+    idx = load_bm25_index(spark, path)
+    legacy = str(tmp_path / "bm25_legacy_flat")
+    spark.createDataFrame(
+        [(idx["n_docs"], idx["avgdl"], idx["dl_sum"], 4, "doc_id")],
+        "n_docs long, avgdl double, dl_sum long, term_buckets int, id_col string",
+    ).coalesce(1).write.json(f"{legacy}/stats")
+    idx["postings"].write.partitionBy("__tb").parquet(f"{legacy}/postings")
+    idx["term_dfs"].write.partitionBy("__tb").parquet(f"{legacy}/term_dfs")
+    idx["doc_lens"].write.parquet(f"{legacy}/doc_lens")
+    shutil.rmtree(f"{legacy}/_versions", ignore_errors=True)
+
+    # legacy READ still works...
+    old = load_bm25_index(spark, legacy)
+    assert old["n_docs"] == idx["n_docs"]
+    # ...legacy APPEND refuses
+    new = spark.createDataFrame(NEW_DOCS, "doc_id long, text string")
+    with pytest.raises(ValueError, match="pre-manifest"):
+        append_saved_bm25_index(spark, legacy, new, "text")

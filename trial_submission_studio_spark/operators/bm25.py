@@ -29,9 +29,13 @@ BM25 is its recall-oriented complement) and the ANN family
 
 from __future__ import annotations
 
+import os
+import uuid
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..io import versioned as _ver
 from .tokenize import words as _tok_words
 
 __all__ = [
@@ -109,74 +113,132 @@ def save_bm25_index(index: dict, path: str, term_buckets: int = 64) -> None:
     ``saveAsTable``) and survives sessions, so a 100 TB postings
     table reads ~|query vocab| / ``term_buckets`` of its files per
     sweep, with the within-partition sort giving row-group min/max
-    pruning on ``term`` on top. Scalars land in ``path/stats``
-    (1-row JSON, written through Spark so ``path`` may be any
-    supported filesystem)."""
+    pruning on ``term`` on top.
+
+    COMMIT PROTOCOL: data files are immutable (each write run lands
+    under ``<table>/run=<id>/``) and the index becomes visible only
+    through an atomic manifest swap (`io/versioned.py` — explicit
+    file list + the index scalars as manifest metadata). A reader
+    never sees a torn index, a crashed writer leaves the previous
+    version fully readable, and stats can never disagree with the
+    data files they describe (they commit in the SAME rename)."""
     if term_buckets < 1:
         raise ValueError("term_buckets must be >= 1")
-    _write_index_tables(index, path, term_buckets, mode="overwrite")
-    _write_index_stats(index, path, term_buckets)
+    files = _write_index_run(index, path, term_buckets)
+    _ver.publish_files(
+        path, files, metadata={"bm25_stats": _stats_meta(index, term_buckets)}
+    )
 
 
-def _write_index_tables(
-    index: dict, path: str, term_buckets: int, mode: str
-) -> None:
+def _stats_meta(index: dict, term_buckets: int) -> dict:
+    return {
+        "n_docs": int(index["n_docs"]),
+        "avgdl": float(index["avgdl"]),
+        "dl_sum": int(index.get("dl_sum", 0)),
+        "term_buckets": int(term_buckets),
+        "id_col": _postings_id_col(index["postings"]),
+    }
+
+
+def _write_index_run(index: dict, path: str, term_buckets: int) -> list[str]:
+    """Write one increment's three tables into fresh immutable
+    ``run=<id>`` directories; return the root-relative data files
+    written. The writer-added sort on the partition column is
+    satisfied by leading with ``__tb``, so the within-partition
+    (term, id) order SURVIVES into row groups (a trailing-sort-only
+    spec gets shadowed by the writer's own partition-column sort —
+    see the verify-skill gotcha) — that order is what gives row-group
+    min/max pruning on ``term``."""
     postings, doc_lens, term_dfs = (
         index["postings"],
         index["doc_lens"],
         index["term_dfs"],
     )
     id_col = _postings_id_col(postings)
+    run = uuid.uuid4().hex[:16]
+    run_dirs = {
+        "postings": f"{path}/postings/run={run}",
+        "term_dfs": f"{path}/term_dfs/run={run}",
+        "doc_lens": f"{path}/doc_lens/run={run}",
+    }
     (
         postings.withColumn(_TB, _term_bucket(term_buckets))
         .repartition(F.col(_TB))
-        .sortWithinPartitions("term", id_col)
-        .write.mode(mode)
-        .partitionBy(_TB)
-        .parquet(f"{path}/postings")
+        .sortWithinPartitions(_TB, "term", id_col)
+        .write.partitionBy(_TB)
+        .parquet(run_dirs["postings"])
     )
     (
         term_dfs.withColumn(_TB, _term_bucket(term_buckets))
         .repartition(F.col(_TB))
-        .sortWithinPartitions("term")
-        .write.mode(mode)
-        .partitionBy(_TB)
-        .parquet(f"{path}/term_dfs")
+        .sortWithinPartitions(_TB, "term")
+        .write.partitionBy(_TB)
+        .parquet(run_dirs["term_dfs"])
     )
-    doc_lens.write.mode(mode).parquet(f"{path}/doc_lens")
+    doc_lens.write.parquet(run_dirs["doc_lens"])
+    files: list[str] = []
+    for d in run_dirs.values():
+        files.extend(os.path.relpath(p, path) for p in _ver.data_files(d))
+    return sorted(files)
 
 
-def _write_index_stats(index: dict, path: str, term_buckets: int) -> None:
-    postings = index["postings"]
-    spark = postings.sparkSession
-    stats = spark.createDataFrame(
-        [
-            (
-                int(index["n_docs"]),
-                float(index["avgdl"]),
-                int(index["dl_sum"]),
-                int(term_buckets),
-                _postings_id_col(postings),
-            )
-        ],
-        "n_docs long, avgdl double, dl_sum long, term_buckets int, "
-        "id_col string",
-    )
-    stats.coalesce(1).write.mode("overwrite").json(f"{path}/stats")
+def _read_versioned_table(
+    spark: SparkSession, path: str, table: str, files: list[str]
+) -> DataFrame | None:
+    mine = [os.path.join(path, f) for f in files if f.startswith(table + "/")]
+    if not mine:
+        return None
+    # explicit manifest file list + basePath keeps the run/__tb
+    # partition columns (and __tb partition PRUNING) without any
+    # directory listing — the torn-read-free read path
+    df = spark.read.option("basePath", os.path.join(path, table)).parquet(*mine)
+    return df.drop("run")
 
 
 def load_bm25_index(spark: SparkSession, path: str) -> dict:
     """Reopen a :func:`save_bm25_index` directory → the same dict
     shape `bm25_topk` takes, plus ``term_buckets`` so the query path
-    can prune. Table reads are lazy; only the 1-row stats file is
-    materialized here.
+    can prune. Table reads are lazy and come from the CURRENT
+    manifest's EXPLICIT file list (no directory listing) — a
+    concurrent append can commit mid-query without this reader ever
+    mixing old stats with new rows. Scalars come from the manifest
+    metadata (driver-side JSON, no Spark job).
 
     ``term_dfs`` is re-aggregated by (bucket, term) on read:
     :func:`append_saved_bm25_index` writes df DELTAS append-only
     (rewriting a vocabulary-sized table per increment would defeat
     incremental indexing), so a term's true df is the SUM of its
     rows. Single-write indexes aggregate to themselves; the grouping
-    keeps ``__tb`` so partition pruning still reaches the scan."""
+    keeps ``__tb`` so partition pruning still reaches the scan.
+
+    Pre-round-10 directories (``path/stats`` JSON, no ``_versions``
+    manifest) still load via the legacy directory-listing path."""
+    if _ver.current_version(path) is None:
+        return _load_legacy_index(spark, path)
+    m = _ver.read_manifest(path)
+    meta = m["metadata"]["bm25_stats"]
+    files = m["files"]
+    postings = _read_versioned_table(spark, path, "postings", files)
+    doc_lens = _read_versioned_table(spark, path, "doc_lens", files)
+    term_dfs = _read_versioned_table(spark, path, "term_dfs", files)
+    if postings is None or doc_lens is None or term_dfs is None:
+        raise FileNotFoundError(
+            f"manifest v{m['version']} under {path} is missing index tables"
+        )
+    return {
+        "postings": postings,
+        "doc_lens": doc_lens,
+        "term_dfs": term_dfs.groupBy(_TB, "term").agg(
+            F.sum("df").cast("long").alias("df")
+        ),
+        "n_docs": int(meta["n_docs"]),
+        "avgdl": float(meta["avgdl"]),
+        "dl_sum": int(meta["dl_sum"]),
+        "term_buckets": int(meta["term_buckets"]),
+    }
+
+
+def _load_legacy_index(spark: SparkSession, path: str) -> dict:
     stats = spark.read.json(f"{path}/stats").collect()[0]
     term_dfs = (
         spark.read.parquet(f"{path}/term_dfs")
@@ -261,18 +323,36 @@ def append_saved_bm25_index(
     WITHOUT rewriting the existing corpus-sized tables — the
     build-once/append-forever decontamination-index shape:
 
-    - new postings and doc_lens rows append in the same ``__tb``
-      bucket layout (pruning keeps working across increments);
+    - new postings and doc_lens rows land in a fresh immutable
+      ``run=<id>`` directory in the same ``__tb`` bucket layout
+      (pruning keeps working across increments);
     - term document-frequencies append as DELTAS; readers sum them
       (see :func:`load_bm25_index`) — a term present in k increments
       has k rows, never a wrong value;
-    - the 1-row stats file is rewritten with exact merged totals.
+    - the COMMIT is one atomic manifest swap: previous file list +
+      this run's files + exact merged scalars publish together. A
+      crash anywhere before the swap leaves the previous version
+      fully readable (the half-written run directory is unreferenced
+      and gets skipped by every reader — including the NEXT
+      successful append, which unions from the manifest, never from
+      a directory listing); a concurrent reader holding the old
+      manifest keeps consistent stats+data throughout.
 
     Ids must be new (the append contract). Returns the reopened
-    index dict."""
-    stats = spark.read.json(f"{path}/stats").collect()[0]
-    id_col = str(stats["id_col"])
-    nb = int(stats["term_buckets"])
+    index dict. Pre-round-10 directories must be migrated once
+    (``save_bm25_index(load_bm25_index(spark, old), new_path)``) —
+    appending in place to a listing-based layout cannot be atomic,
+    so this refuses rather than torn-write."""
+    if _ver.current_version(path) is None:
+        raise ValueError(
+            f"{path} is a pre-manifest bm25 index; atomic appends need "
+            "the versioned layout - re-save it once via "
+            "save_bm25_index(load_bm25_index(spark, path), new_path)"
+        )
+    m = _ver.read_manifest(path)
+    meta = m["metadata"]["bm25_stats"]
+    id_col = str(meta["id_col"])
+    nb = int(meta["term_buckets"])
     if id_col not in new_docs.columns:
         raise ValueError(
             f"new_docs must carry the index id column {id_col!r}"
@@ -280,28 +360,25 @@ def append_saved_bm25_index(
     delta = build_bm25_index(
         new_docs, id_col, text_col, token_pattern=token_pattern
     )
-    _write_index_tables(delta, path, nb, mode="append")
-    fields = set(stats.__fields__)
-    old_dl_sum = (
-        int(stats["dl_sum"])
-        if "dl_sum" in fields and stats["dl_sum"] is not None
-        else int(
-            spark.read.parquet(f"{path}/doc_lens")
-            .agg(F.sum("dl"))
-            .collect()[0][0]
-            or 0
-        )
-        - int(delta["dl_sum"])  # doc_lens already includes the delta
-    )
-    n_docs = int(stats["n_docs"]) + int(delta["n_docs"])
-    dl_sum = old_dl_sum + int(delta["dl_sum"])
-    merged = {
-        "postings": spark.read.parquet(f"{path}/postings"),
+    new_files = _write_index_run(delta, path, nb)
+    n_docs = int(meta["n_docs"]) + int(delta["n_docs"])
+    dl_sum = int(meta["dl_sum"]) + int(delta["dl_sum"])
+    merged_meta = {
         "n_docs": n_docs,
         "avgdl": (dl_sum / n_docs) if n_docs else 0.0,
         "dl_sum": dl_sum,
+        "term_buckets": nb,
+        "id_col": id_col,
     }
-    _write_index_stats(merged, path, nb)
+    _ver.publish_files(
+        path,
+        sorted(m["files"] + new_files),
+        metadata={
+            "bm25_stats": merged_meta,
+            "append_of": m["version"],
+            "n_new_files": len(new_files),
+        },
+    )
     return load_bm25_index(spark, path)
 
 
