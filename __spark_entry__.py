@@ -2666,6 +2666,153 @@ def corpus_split_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def t_order_window_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 sequence number + W1 days-since-prev merged on the shared
+    orders key (slot economy, r7/r9 discipline; both components stay
+    standalone callables). Same window partition/order, so the merged
+    plan is still ONE shuffle on o_custkey."""
+    return t3_sequence_number(spark, sf_dir).join(
+        w1_days_since_prev(spark, sf_dir), "o_orderkey"
+    )
+
+
+def t_lineitem_transform_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 study day + T9 numeric parse merged on the shared
+    (l_orderkey, l_linenumber) key (slot economy; both standalone)."""
+    return t7_study_day(spark, sf_dir).join(
+        t9_numeric_parse(spark, sf_dir), ["l_orderkey", "l_linenumber"]
+    )
+
+
+def ct_family_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 CT normalization (decoded histogram) + V8 CT violation
+    summary merged via a 1-row broadcast cross join (slot economy;
+    the violation summary is rule-grain, the decode histogram is
+    value-grain — every t8 row carries the v8 scalars)."""
+    return t8_ct_normalize(spark, sf_dir).crossJoin(
+        F.broadcast(v8_ct_violations(spark, sf_dir))
+    )
+
+
+def crosssource_overlap_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication audit
+    (operators/crosssource.py:cross_source_duplication): the 20 raw
+    sources collapse to 3 groups and every 5th document is planted
+    into a synthetic 'crawl' source, so each (group, crawl) ordered
+    pair shares a deterministic slice. Output = the full ordered
+    overlap matrix (shared keys, covered docs, coverage fraction) —
+    the exact-fingerprint (md5 of normalized text) identity the dedup
+    stage uses, mirrored in SQL by grouping on the normalized text
+    itself (equality classes are identical)."""
+    from trial_submission_studio_spark.operators.crosssource import (
+        cross_source_duplication,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    grp = F.concat(
+        F.lit("g"),
+        (F.substring("source", 4, 8).cast("int") % 3).cast("string"),
+    )
+    base = d.select("doc_id", "text", grp.alias("src"))
+    planted = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "text",
+        F.lit("crawl").alias("src"),
+    )
+    corpus = base.unionByName(planted)
+    out = cross_source_duplication(corpus, "doc_id", "text", "src")
+    return out.select(
+        "source_a",
+        "source_b",
+        "shared_keys",
+        "docs_a_shared",
+        "total_docs_a",
+        F.round("frac_a_shared", 6).alias("frac_a_shared_r6"),
+    )
+
+
+def temperature_mix_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing
+    (operators/sampling.py:temperature_mix, alpha=0.5): per-language
+    natural count, e6-pinned target share (count^0.5 / Z with Z an
+    order-pinned left fold), and the REALIZED post-sampling count
+    under the pinned multiplicative hash. alpha=0.5 keeps both
+    engines on the correctly-rounded sqrt path, and the operator's
+    sorted-stratum normalizer fold is mirrored as an explicit
+    addition chain in the oracle — every double is bit-identical, so
+    the truncated sampling thresholds can never disagree."""
+    import math
+
+    from trial_submission_studio_spark.operators.sampling import temperature_mix
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    hash_expr = F.col("doc_id") * F.lit(2654435761)
+    sampled, target, _fractions = temperature_mix(
+        d, "lang", "doc_id", alpha=0.5, hash_expr=hash_expr
+    )
+    tgt = values_df(
+        spark,
+        [
+            (s, int(math.floor(target[s] * 1e6 + 0.5)))
+            for s in sorted(target)
+        ],
+        "lang string, target_e6 long",
+    )
+    totals = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    samp = sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled")
+    )
+    return (
+        totals.join(F.broadcast(tgt), "lang")
+        .join(samp, "lang", "left")
+        .select(
+            "lang",
+            "n_total",
+            "target_e6",
+            F.coalesce(F.col("n_sampled"), F.lit(0))
+            .cast("long")
+            .alias("n_sampled"),
+        )
+    )
+
+
+def unigram_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) Viterbi encoding under a
+    PINNED piece inventory (operators/unigram.py:unigram_encode):
+    per-document piece count, encoded-character coverage, and an
+    md5 pin of the exact segmentation. Viterbi DP is not
+    ANSI-SQL-expressible, so this entry carries the driver's
+    rows-only check; the segmentation math itself is pinned by
+    tests/test_unigram.py (forward-backward vs exhaustive
+    enumeration at 1e-9, deterministic tie-breaks)."""
+    from trial_submission_studio_spark.operators.unigram import unigram_encode
+
+    # fixed morpheme-ish inventory: multi-char pieces priced better
+    # than their character spellouts, chars as fallback
+    pieces = {
+        "the": -2.0, "ing": -2.5, "ion": -2.7, "ent": -2.9, "ati": -3.0,
+        "er": -3.1, "re": -3.2, "on": -3.3, "an": -3.4, "st": -3.5,
+        "en": -3.6, "ed": -3.7, "or": -3.8, "al": -3.9, "te": -4.0,
+    }
+    for ch in "abcdefghijklmnopqrstuvwxyz0123456789":
+        pieces[ch] = -6.0
+    model = {"logp": pieces, "max_piece_len": 3, "lowercase": True}
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    enc = unigram_encode(d, "text", model, out_col="pieces")
+    return enc.select(
+        "doc_id",
+        F.size("pieces").cast("long").alias("n_pieces"),
+        F.aggregate(
+            F.expr("transform(pieces, p -> length(p))"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n_chars_encoded"),
+        F.md5(F.concat_ws("", F.col("pieces"))).alias("pieces_md5"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, SMOKE_DIR)
@@ -2687,6 +2834,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     FIRST — r6 lesson: nothing rotates out of the window
     unverified."""
     return {
+        "crosssource_overlap_gates": crosssource_overlap_gates,
+        "temperature_mix_fractions": temperature_mix_fractions,
+        "unigram_encode_docs": unigram_encode_docs,
         "bm25_topk_scores": bm25_topk_scores,
         "dsir_weights": dsir_weights,
         "drift_js_tokens": drift_js_tokens,
@@ -2718,18 +2868,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adsl_registry_pipeline": adsl_registry_pipeline,
         "bds_registry_pipeline": bds_registry_pipeline,
         "t_customer_transform_gates": t_customer_transform_gates,
-        "t3_sequence_number": t3_sequence_number,
+        "t_order_window_gates": t_order_window_gates,
         "t_order_render_gates": t_order_render_gates,
         "t_part_transform_gates": t_part_transform_gates,
-        "t7_study_day": t7_study_day,
-        "t8_ct_normalize": t8_ct_normalize,
-        "t9_numeric_parse": t9_numeric_parse,
+        "t_lineitem_transform_gates": t_lineitem_transform_gates,
+        "ct_family_gates": ct_family_gates,
         "a_profile_gates": a_profile_gates,
         "j_crossdomain_gates": j_crossdomain_gates,
         "r_supp_roundtrip_gates": r_supp_roundtrip_gates,
         "v_domain_check_gates": v_domain_check_gates,
-        "v8_ct_violations": v8_ct_violations,
-        "w1_days_since_prev": w1_days_since_prev,
         "text_analysis_gates": text_analysis_gates,
         "pii_redaction_gates": pii_redaction_gates,
         "dedup_group_resolution": dedup_group_resolution,
@@ -3069,10 +3216,14 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'PRESET' END AS nation_name
             FROM customer JOIN nation ON c_nationkey = n_nationkey
         """,
-        "t3_sequence_number": """
+        "t_order_window_gates": """
             SELECT o_orderkey, o_custkey,
                    CAST(row_number() OVER (PARTITION BY o_custkey
-                        ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS oseq
+                        ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS oseq,
+                   CAST(datediff('day',
+                     CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey) AS DATE),
+                     CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev
             FROM orders
         """,
         "t_part_transform_gates": """
@@ -3092,41 +3243,162 @@ def oracle_sql() -> dict[str, str]:
                    CAST(p_size AS VARCHAR) || '.5' AS r_half
             FROM part
         """,
-        "t7_study_day": """
-            SELECT l_orderkey, l_linenumber,
-                   CAST(CASE l_linenumber % 4
-                     WHEN 0 THEN CASE WHEN d0 >= 0 THEN d0 + 1 ELSE d0 END
-                     WHEN 2 THEN CASE WHEN d2 >= 0 THEN d2 + 1 ELSE d2 END
-                     ELSE NULL
-                   END AS INTEGER) AS dy
-            FROM (
+        "t_lineitem_transform_gates": """
+            WITH t7 AS (
               SELECT l_orderkey, l_linenumber,
-                     datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS d0,
-                     datediff('day', CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE)) AS d2
-              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                     CAST(CASE l_linenumber % 4
+                       WHEN 0 THEN CASE WHEN d0 >= 0 THEN d0 + 1 ELSE d0 END
+                       WHEN 2 THEN CASE WHEN d2 >= 0 THEN d2 + 1 ELSE d2 END
+                       ELSE NULL
+                     END AS INTEGER) AS dy
+              FROM (
+                SELECT l_orderkey, l_linenumber,
+                       datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS d0,
+                       datediff('day', CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE)) AS d2
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              )
+            ),
+            t9 AS (
+              SELECT l_orderkey, l_linenumber,
+                     CASE l_linenumber % 4
+                       WHEN 0 THEN TRY_CAST(
+                         replace(replace(' ' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+                                 || ',000.5 ', ',', ''), ' ', '') AS DOUBLE)
+                       WHEN 1 THEN TRY_CAST(
+                         CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) || '.5e2' AS DOUBLE)
+                       WHEN 2 THEN NULL
+                       ELSE TRY_CAST('9.25e15' AS DOUBLE)
+                     END AS val
+              FROM lineitem
             )
+            SELECT t7.l_orderkey, t7.l_linenumber, t7.dy, t9.val
+            FROM t7 JOIN t9
+              ON t7.l_orderkey = t9.l_orderkey
+             AND t7.l_linenumber = t9.l_linenumber
         """,
-        "t8_ct_normalize": """
-            SELECT CASE WHEN l_orderkey % 4 = 3 THEN 'ZZZ'
-                        WHEN l_returnflag = 'R' THEN 'RETURNED'
-                        WHEN l_returnflag = 'A' THEN 'ACCEPTED'
-                        ELSE 'NONE' END AS decoded,
-                   count(*) AS n
-            FROM lineitem
-            GROUP BY 1
+        "ct_family_gates": """
+            SELECT t8.decoded, t8.n,
+                   v8.violation_count, v8.distinct_violations, v8.samples
+            FROM (
+              SELECT CASE WHEN l_orderkey % 4 = 3 THEN 'ZZZ'
+                          WHEN l_returnflag = 'R' THEN 'RETURNED'
+                          WHEN l_returnflag = 'A' THEN 'ACCEPTED'
+                          ELSE 'NONE' END AS decoded,
+                     count(*) AS n
+              FROM lineitem
+              GROUP BY 1
+            ) t8
+            CROSS JOIN (
+              WITH v AS (
+                SELECT CASE WHEN l_orderkey % 5 = 4
+                            THEN 'BAD-' || CAST(4 + l_linenumber % 3 AS VARCHAR)
+                            ELSE l_returnflag END AS flag
+                FROM lineitem
+              ),
+              misses AS (SELECT upper(trim(flag)) AS val FROM v WHERE flag LIKE 'BAD-%')
+              SELECT CAST(count(*) AS BIGINT) AS violation_count,
+                     CAST(count(DISTINCT val) AS BIGINT) AS distinct_violations,
+                     array_to_string((list_sort(list(DISTINCT val)))[1:5], '|') AS samples
+              FROM misses
+            ) v8
         """,
-        "t9_numeric_parse": """
-            SELECT l_orderkey, l_linenumber,
-                   CASE l_linenumber % 4
-                     WHEN 0 THEN TRY_CAST(
-                       replace(replace(' ' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
-                               || ',000.5 ', ',', ''), ' ', '') AS DOUBLE)
-                     WHEN 1 THEN TRY_CAST(
-                       CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) || '.5e2' AS DOUBLE)
-                     WHEN 2 THEN NULL
-                     ELSE TRY_CAST('9.25e15' AS DOUBLE)
-                   END AS val
-            FROM lineitem
+        "crosssource_overlap_gates": """
+            WITH corpus AS (
+              SELECT doc_id, text,
+                     'g' || CAST(CAST(substr(source, 4) AS INT) % 3 AS VARCHAR) AS src
+              FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text, 'crawl' FROM documents
+              WHERE doc_id % 5 = 0
+            ),
+            keyed AS (
+              SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS k, src
+              FROM corpus
+            ),
+            per AS (
+              SELECT k, src, CAST(count(*) AS BIGINT) AS n
+              FROM keyed WHERE k IS NOT NULL GROUP BY k, src
+            ),
+            pairs AS (
+              SELECT a.src AS source_a, b.src AS source_b,
+                     CAST(count(*) AS BIGINT) AS shared_keys,
+                     CAST(sum(a.n) AS BIGINT) AS docs_a_shared
+              FROM per a JOIN per b ON a.k = b.k AND a.src != b.src
+              GROUP BY 1, 2
+            ),
+            tot AS (
+              SELECT src AS source_a, CAST(count(*) AS BIGINT) AS total_docs_a
+              FROM keyed GROUP BY 1
+            )
+            SELECT p.source_a, p.source_b, p.shared_keys, p.docs_a_shared,
+                   t.total_docs_a,
+                   round(p.docs_a_shared / CAST(t.total_docs_a AS DOUBLE), 6)
+                     AS frac_a_shared_r6
+            FROM pairs p JOIN tot t ON p.source_a = t.source_a
+        """,
+        "temperature_mix_fractions": """
+            WITH c AS (
+              SELECT
+                CAST(count(*) FILTER (WHERE lang = 'de') AS DOUBLE) AS nde,
+                CAST(count(*) FILTER (WHERE lang = 'en') AS DOUBLE) AS nen,
+                CAST(count(*) FILTER (WHERE lang = 'es') AS DOUBLE) AS nes,
+                CAST(count(*) FILTER (WHERE lang = 'fr') AS DOUBLE) AS nfr,
+                CAST(count(*) FILTER (WHERE lang = 'zh') AS DOUBLE) AS nzh
+              FROM documents
+            ),
+            -- Z is the operator's left fold in sorted-stratum order:
+            -- ((((sqrt(de)+sqrt(en))+sqrt(es))+sqrt(fr))+sqrt(zh) -
+            -- bit-identical to Python's sum over sorted keys
+            z AS (
+              SELECT *,
+                ((((sqrt(nde) + sqrt(nen)) + sqrt(nes)) + sqrt(nfr)) + sqrt(nzh)) AS zz
+              FROM c
+            ),
+            sh AS (
+              SELECT nde, nen, nes, nfr, nzh,
+                     sqrt(nde) / zz AS sde, sqrt(nen) / zz AS sen,
+                     sqrt(nes) / zz AS ses, sqrt(nfr) / zz AS sfr,
+                     sqrt(nzh) / zz AS szh
+              FROM z
+            ),
+            nout AS (
+              SELECT *,
+                least(nde / sde, nen / sen, nes / ses, nfr / sfr, nzh / szh)
+                  AS n_out
+              FROM sh
+            ),
+            frac AS (
+              SELECT
+                least(1.0, (sde * n_out) / nde) AS fde,
+                least(1.0, (sen * n_out) / nen) AS fen,
+                least(1.0, (ses * n_out) / nes) AS fes,
+                least(1.0, (sfr * n_out) / nfr) AS ffr,
+                least(1.0, (szh * n_out) / nzh) AS fzh,
+                sde, sen, ses, sfr, szh
+              FROM nout
+            ),
+            strata AS (
+              SELECT * FROM (VALUES ('de'), ('en'), ('es'), ('fr'), ('zh')) s(lang)
+            ),
+            params AS (
+              SELECT s.lang,
+                CAST(floor(1e6 * CASE s.lang
+                  WHEN 'de' THEN sde WHEN 'en' THEN sen WHEN 'es' THEN ses
+                  WHEN 'fr' THEN sfr ELSE szh END + 0.5) AS BIGINT) AS target_e6,
+                CAST(floor(1000000 * CASE s.lang
+                  WHEN 'de' THEN fde WHEN 'en' THEN fen WHEN 'es' THEN fes
+                  WHEN 'fr' THEN ffr ELSE fzh END) AS BIGINT) AS threshold
+              FROM strata s CROSS JOIN frac
+            )
+            SELECT p.lang,
+                   CAST(count(*) AS BIGINT) AS n_total,
+                   p.target_e6,
+                   CAST(coalesce(sum(CASE WHEN (d.doc_id * 2654435761) % 1000000
+                                               < p.threshold
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+                     AS n_sampled
+            FROM documents d JOIN params p ON d.lang = p.lang
+            GROUP BY p.lang, p.target_e6
         """,
         "langid_train_classify": """
             WITH norm AS (
@@ -3443,27 +3715,6 @@ def oracle_sql() -> dict[str, str]:
                         AS n_over,
                       CAST(max(length(rtrim(p_name))) AS BIGINT) AS max_len
                FROM part)
-        """,
-        "v8_ct_violations": """
-            WITH v AS (
-              SELECT CASE WHEN l_orderkey % 5 = 4
-                          THEN 'BAD-' || CAST(4 + l_linenumber % 3 AS VARCHAR)
-                          ELSE l_returnflag END AS flag
-              FROM lineitem
-            ),
-            misses AS (SELECT upper(trim(flag)) AS val FROM v WHERE flag LIKE 'BAD-%')
-            SELECT CAST(count(*) AS BIGINT) AS violation_count,
-                   CAST(count(DISTINCT val) AS BIGINT) AS distinct_violations,
-                   array_to_string((list_sort(list(DISTINCT val)))[1:5], '|') AS samples
-            FROM misses
-        """,
-        "w1_days_since_prev": """
-            SELECT o_orderkey,
-                   CAST(datediff('day',
-                     CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
-                          ORDER BY o_orderdate, o_orderkey) AS DATE),
-                     CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev
-            FROM orders
         """,
         "dedup_exact_gates": """
             WITH corpus AS (

@@ -2,6 +2,7 @@
 streaming parity, and hypothesis property tests."""
 
 import codecs
+import os
 
 import pytest
 
@@ -1500,6 +1501,8 @@ def test_streaming_near_dup_ingest_across_restarts(spark, tmp_path):
             "doc_id", "text", corpus, state, ckpt, mode="near",
         )
         q.awaitTermination(120)
+        q.stop()
+        q.awaitTermination()
 
     run([(1, base)])
     assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == {1}
@@ -1910,3 +1913,149 @@ def test_streaming_near_dup_threshold_autocalibration(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
     assert got == {1, 3}  # near-dup 2 rejected, novel 3 admitted
+
+
+def test_ingest_state_compaction_bounds_files_preserves_replay(spark, tmp_path):
+    """compact_ingest_state folds fence-dead batch partitions into a
+    negative compaction epoch: the state-dir partition count stays
+    bounded (<= epoch + keep_latest) across N batches, dedup against
+    compacted state still rejects previously admitted texts, and a
+    REAL failure replay (latest commit marker removed, same
+    checkpoint, same batch id) stays idempotent because the newest
+    batch's delta is never folded."""
+    import shutil
+
+    from trial_submission_studio_spark.streaming.ingest import (
+        _batch_dirs,
+        compact_ingest_state,
+        start_dedup_ingest,
+    )
+
+    schema = "doc_id bigint, text string"
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = start_dedup_ingest(
+            spark.readStream.schema(schema).option(
+                "maxFilesPerTrigger", "1"
+            ).parquet(src),
+            "doc_id", "text", corpus, state, ckpt,
+            bloom={"capacity": 1000, "fpp": 0.01},
+        )
+        q.awaitTermination(120)
+        q.stop()
+        q.awaitTermination()
+
+    batches = [
+        [(1, "alpha body"), (2, "beta body")],
+        [(11, "alpha body"), (12, "gamma body")],   # alpha repeats
+        [(21, "beta body"), (22, "delta body")],    # beta repeats
+        [(31, "gamma body"), (32, "epsilon body")], # gamma repeats
+    ]
+    for rows in batches:
+        values_df(spark, rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        run()
+    admitted = {1, 2, 12, 22, 32}
+    assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == admitted
+    assert len(_batch_dirs(state)) == 4
+
+    folded = compact_ingest_state(spark, state, mode="exact")
+    assert folded["fp"] == 3 and folded["bloom"] == 3
+    dirs = _batch_dirs(state)
+    assert set(dirs) == {-1, 3}  # epoch + protected latest
+    # state content unchanged: same distinct fingerprints
+    assert spark.read.parquet(state).select("fp").distinct().count() == 5
+
+    # ingest after compaction: old text still rejected, novel admitted
+    values_df(
+        spark, [(41, "alpha body"), (42, "zeta body")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    admitted |= {42}
+    assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == admitted
+
+    # second compaction folds the previous epoch too: bounded forever
+    compact_ingest_state(spark, state, mode="exact")
+    assert set(_batch_dirs(state)) == {-2, 4}
+
+    # REAL replay: drop the newest commit marker; restart re-executes
+    # batch 4 under its ORIGINAL id against state holding its delta
+    os.remove(os.path.join(ckpt, "commits", "4"))
+    crc = os.path.join(ckpt, "commits", ".4.crc")
+    if os.path.exists(crc):  # hadoop checksum sidecar blocks re-commit
+        os.remove(crc)
+    run()
+    assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == admitted
+    assert spark.read.parquet(state).select("fp").distinct().count() == 6
+
+    # keep_latest guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep_latest"):
+        compact_ingest_state(spark, state, keep_latest=0)
+
+
+def test_ingest_state_compaction_near_mode(spark, tmp_path):
+    """Near-dup (MinHash LSH) state: buckets and sigs tables both
+    fold; near-duplicates of documents admitted BEFORE compaction are
+    still rejected after it."""
+    from trial_submission_studio_spark.streaming.ingest import (
+        _batch_dirs,
+        compact_ingest_state,
+        start_dedup_ingest,
+    )
+
+    schema = "doc_id bigint, text string"
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventy "
+        "watchful geese parade across the frozen harbor at dawn"
+    )
+
+    def run():
+        q = start_dedup_ingest(
+            spark.readStream.schema(schema).option(
+                "maxFilesPerTrigger", "1"
+            ).parquet(src),
+            "doc_id", "text", corpus, state, ckpt, mode="near",
+        )
+        q.awaitTermination(120)
+        q.stop()
+        q.awaitTermination()
+
+    batches = [
+        [(1, base), (2, "an entirely different second document body here")],
+        [(11, "short unrelated note about harbor lights")],
+        [(21, "yet another novel body mentioning geese migration data")],
+    ]
+    for rows in batches:
+        values_df(spark, rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        run()
+    before = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert before == {1, 2, 11, 21}
+
+    folded = compact_ingest_state(spark, state, mode="near")
+    assert folded == {"buckets": 2, "sigs": 2}
+    assert set(_batch_dirs(os.path.join(state, "buckets"))) == {-1, 2}
+    assert set(_batch_dirs(os.path.join(state, "sigs"))) == {-1, 2}
+
+    # a near-duplicate of batch 0's base doc (one word changed) must
+    # still be rejected against the COMPACTED state
+    near = base.replace("frozen", "icy")
+    values_df(
+        spark, [(31, near), (32, "completely fresh closing document")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == (
+        before | {32}
+    )

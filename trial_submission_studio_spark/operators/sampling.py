@@ -309,7 +309,11 @@ def temperature_mix(
     if not counts:
         raise ValueError("no non-NULL strata in corpus")
     powered = {s: float(n) ** alpha for s, n in counts.items()}
-    z = sum(powered.values())
+    # left-fold in sorted-stratum order: collect() row order varies
+    # run to run, and float addition is not associative — an
+    # order-pinned sum makes target shares bit-reproducible (and
+    # SQL-mirrorable as an explicit addition chain)
+    z = sum(powered[s] for s in sorted(powered))
     target = {s: p / z for s, p in powered.items()}
     sampled, fractions = rebalance_to_target(
         df, strata_col, target, key_col, seed=seed, hash_expr=hash_expr

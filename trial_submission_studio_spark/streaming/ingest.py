@@ -37,7 +37,7 @@ from trial_submission_studio_spark.operators.dedup import (
     incremental_exact_dedup,
 )
 
-__all__ = ["start_dedup_ingest"]
+__all__ = ["start_dedup_ingest", "compact_ingest_state"]
 
 
 def _has_parquet(path: str) -> bool:
@@ -69,6 +69,149 @@ def _merged_bloom(bloom_dir: str, exclude_batch: int):
             continue
         filters.append(load_bloom(os.path.join(bloom_dir, name[: -len(".json")])))
     return merge_blooms(filters) if filters else None
+
+
+def _batch_dirs(table_dir: str) -> dict[int, str]:
+    """{batch_id: abs_dir} for the ``batch_id=N`` partitions of one
+    state table (negative ids are prior compaction epochs)."""
+    out: dict[int, str] = {}
+    if not os.path.isdir(table_dir):
+        return out
+    for name in os.listdir(table_dir):
+        if name.startswith("batch_id="):
+            try:
+                out[int(name[len("batch_id=") :])] = os.path.join(
+                    table_dir, name
+                )
+            except ValueError:
+                continue
+    return out
+
+
+def _compact_state_table(
+    spark, table_dir: str, keep_latest: int, target_files: int
+) -> int:
+    """Fold all compactable ``batch_id`` partitions of one state
+    table into a single fresh NEGATIVE-id partition, then delete the
+    sources. Returns the number of folded partitions (0 = nothing to
+    do).
+
+    Crash-safe by argument, not by transaction: dedup state is a SET
+    — a reader that sees both the compacted copy and a not-yet-
+    deleted source partition merely anti-joins/bucket-probes against
+    duplicate rows, which changes nothing (`incremental_exact_dedup`
+    is an anti-join; `incremental_minhash_dedup` re-``distinct``s its
+    candidate and hit sets). So the order is: write the merged
+    partition (visible), then remove sources one by one; a crash at
+    any point leaves a correct, possibly-redundant table that the
+    next compaction folds again.
+
+    The NEWEST ``keep_latest`` positive partitions are never touched:
+    the replay fence (``batch_id != current``) needs a replayed
+    batch's own delta to keep its real id — foreachBatch can only
+    replay the last uncommitted batch, so everything older is
+    fence-dead and safe to fold into the (never-matching) negative
+    sentinel."""
+    import shutil
+
+    dirs = _batch_dirs(table_dir)
+    positives = sorted(b for b in dirs if b >= 0)
+    protected = set(positives[len(positives) - keep_latest :]) if keep_latest else set()
+    fold = sorted(b for b in dirs if b not in protected)
+    if len(fold) < 2:
+        return 0
+    sentinel = min((b for b in dirs if b < 0), default=0) - 1
+    merged = spark.read.parquet(*[dirs[b] for b in fold])
+    out_dir = os.path.join(table_dir, f"batch_id={sentinel}")
+    merged.repartition(max(1, int(target_files))).write.mode(
+        "error"
+    ).parquet(out_dir)
+    for b in fold:
+        shutil.rmtree(dirs[b])
+    return len(fold)
+
+
+def compact_ingest_state(
+    spark,
+    state_dir: str,
+    mode: str = "exact",
+    keep_latest: int = 1,
+    target_files: int = 4,
+) -> dict[str, int]:
+    """Bound the state-table file count of a long-running
+    :func:`start_dedup_ingest` stream.
+
+    Each accepted batch appends one ``batch_id=N`` partition to every
+    state table (fingerprints, or LSH buckets + signatures) — after
+    10k micro-batches that is 10k directories of small files, paying
+    listing/open/footer costs on EVERY batch's state read and
+    starving scan parallelism (the same small-file failure
+    `io/versioned.py:compact_version` handles for corpus snapshots;
+    state tables are partition-fenced rather than manifest-published,
+    so they get this twin instead). Run it between batches, from a
+    maintenance cron, or whenever ``len(_batch_dirs(...))`` crosses a
+    threshold — any moment is safe except concurrently with an
+    in-flight ``process_batch`` writing the same tables
+    (single-writer, like the manifest protocol).
+
+    Folded partitions land under a fresh negative ``batch_id``
+    (compaction epoch), which no real batch id ever equals, so the
+    replay fence and partition pruning keep working unchanged; the
+    newest ``keep_latest`` batches are left untouched because only
+    the last uncommitted batch can ever replay. Exact-mode Bloom
+    sidecars (``_bloom/batch_N.json``) OR-merge into the same
+    negative epoch — a merged filter that happens to contain a
+    replaying batch's own fingerprints only costs verify work, never
+    correctness (Bloom is a pruning hint; maybe-seen rows still pass
+    through the fence-filtered anti-join).
+
+    Returns ``{table: folded_partition_count}``."""
+    if keep_latest < 1:
+        raise ValueError("keep_latest must be >= 1 (replay fence)")
+    out: dict[str, int] = {}
+    if mode == "near":
+        for tab in ("buckets", "sigs"):
+            out[tab] = _compact_state_table(
+                spark, os.path.join(state_dir, tab), keep_latest, target_files
+            )
+        return out
+    if mode != "exact":
+        raise ValueError(f"mode must be 'exact' or 'near', got {mode!r}")
+    out["fp"] = _compact_state_table(
+        spark, state_dir, keep_latest, target_files
+    )
+    bloom_dir = os.path.join(state_dir, "_bloom")
+    out["bloom"] = 0
+    if os.path.isdir(bloom_dir):
+        from trial_submission_studio_spark.operators.bloom import (
+            load_bloom,
+            merge_blooms,
+            save_bloom,
+        )
+
+        ids = []
+        for name in os.listdir(bloom_dir):
+            if name.startswith("batch_") and name.endswith(".json"):
+                try:
+                    ids.append(int(name[len("batch_") : -len(".json")]))
+                except ValueError:
+                    continue
+        positives = sorted(b for b in ids if b >= 0)
+        protected = set(positives[len(positives) - keep_latest :])
+        fold = sorted(b for b in ids if b not in protected)
+        if len(fold) >= 2:
+            sentinel = min((b for b in ids if b < 0), default=0) - 1
+            merged = merge_blooms(
+                [
+                    load_bloom(os.path.join(bloom_dir, f"batch_{b}"))
+                    for b in fold
+                ]
+            )
+            save_bloom(merged, os.path.join(bloom_dir, f"batch_{sentinel}"))
+            for b in fold:
+                os.remove(os.path.join(bloom_dir, f"batch_{b}.json"))
+            out["bloom"] = len(fold)
+    return out
 
 
 def start_dedup_ingest(
