@@ -264,6 +264,21 @@ def test_registry_codelists_all_resolve():
     cov = registry_coverage()
     assert cov["unresolved"] == []
     assert cov["resolved_codes"] == cov["referenced_codes"] > 30
+    # r10 breadth growth beyond the registry-referenced set: lab
+    # reference-range indicator, domain abbreviations (sourced from
+    # the shipped 63-domain registry so they cannot drift), and the
+    # TS parameter panel all resolve with synonym mapping
+    from trial_submission_studio_spark.standards.ct_catalog import builtin_registry
+    from trial_submission_studio_spark.standards.sdtm_domains import DOMAINS
+
+    reg = builtin_registry()
+    assert reg.find_submission_value("C66788", "h") == "HIGH"
+    assert reg.find_submission_value("C66788", "Within Normal Range") == "NORMAL"
+    assert reg.find_submission_value("C66734", "demographics") == "DM"
+    label, cl = reg.resolve("C66734")
+    assert {t.submission_value for t in cl.terms} == set(DOMAINS)
+    assert reg.validate_submission_value("C66739", "TPHASE")
+    assert reg.find_submission_value("C66739", "Trial Title") == "TITLE"
     # three shipped versions, each a non-trivial catalog
     assert len(cov["catalogs"]) == 3
     for stats in cov["catalogs"].values():

@@ -236,7 +236,46 @@ def _registry_breadth_codelists() -> dict[str, Codelist]:
     resolution and validation key on submission values/synonyms, not
     term codes.
     """
+    from trial_submission_studio_spark.standards.sdtm_domains import DOMAINS
+
     out = [
+        # --- r10 breadth growth (public NCI-EVS knowledge) ---
+        _cl("C66788", "Reference Range Indicator", False, [
+            ("C78800", "HIGH", "H", "Above Normal Range"),
+            ("C78801", "LOW", "L", "Below Normal Range"),
+            ("C62656", "NORMAL", "N", "Within Normal Range"),
+            ("C25401", "ABNORMAL", "A"),
+        ]),
+        # Domain abbreviations sourced from the shipped 63-domain IG
+        # registry itself (labels ride as synonyms), so the codelist
+        # can never drift out of sync with the domain table
+        _cl("C66734", "SDTM Domain Abbreviation", True, [
+            ("", code, DOMAINS[code]["label"]) for code in sorted(DOMAINS)
+        ]),
+        _cl("C66739", "Trial Summary Parameter Test Code", True, [
+            ("", "TITLE", "Trial Title"),
+            ("", "TPHASE", "Trial Phase Classification"),
+            ("", "TTYPE", "Trial Type"),
+            ("", "TINDTP", "Trial Intent Type"),
+            ("", "TBLIND", "Trial Blinding Schema"),
+            ("", "TCNTRL", "Control Type"),
+            ("", "RANDOM", "Trial is Randomized"),
+            ("", "SEXPOP", "Sex of Participants"),
+            ("", "AGEMIN", "Planned Minimum Age of Subjects"),
+            ("", "AGEMAX", "Planned Maximum Age of Subjects"),
+            ("", "PLANSUB", "Planned Number of Subjects"),
+            ("", "ACTSUB", "Actual Number of Subjects"),
+            ("", "LENGTH", "Trial Length"),
+            ("", "STOPRULE", "Study Stop Rules"),
+            ("", "NARMS", "Planned Number of Arms"),
+            ("", "OBJPRIM", "Trial Primary Objective"),
+            ("", "OBJSEC", "Trial Secondary Objective"),
+            ("", "SPONSOR", "Clinical Study Sponsor"),
+            ("", "INDIC", "Trial Disease/Condition Indication"),
+            ("", "TRT", "Investigational Therapy or Treatment"),
+            ("", "ADDON", "Added on to Existing Treatments"),
+            ("", "DCUTDTC", "Data Cutoff Date"),
+        ]),
         _cl("C66728", "Relation to Reference Period", False, [
             ("", "BEFORE", "Prior"),
             ("", "COINCIDENT"),
