@@ -2311,6 +2311,20 @@ def pagerank_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=5)
 
 
+def hits_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg HITS hub/authority over the same supplier→part edge
+    list as pagerank_domains. Benched extra, NOT in the 50-slot
+    contract: power iteration is iterative; numerical parity is
+    pinned by tests/test_graph.py against dense numpy at 1e-9."""
+    from trial_submission_studio_spark.operators.graph import hits
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    return hits(edges, iterations=5)
+
+
 def bloom_dedup_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-pruned incremental exact dedup (operators/bloom.py) over
     the documents corpus: build the corpus filter + triage + verify

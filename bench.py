@@ -270,6 +270,11 @@ def main() -> None:
         # round-9 additions
         "pii_redaction_gates",
         "lm_bigram_scores",
+        # round-10 additions
+        "phrase_mining_gates",
+        "crosssource_overlap_gates",
+        "unigram_encode_docs",
+        "hits_bench",
     )
     # LLM-pipeline extras that ALSO run in the 10× scale sweep — these
     # carry the 100 TB design claims, so their curvature is measured,
@@ -284,6 +289,12 @@ def main() -> None:
         "bm25_retrieval_bench",
         "dsir_select_bench",
         "pagerank_domains",
+        # round-10 additions (r9 verdict task #7)
+        "pii_redaction_gates",
+        "phrase_mining_gates",
+        "crosssource_overlap_gates",
+        "unigram_encode_docs",
+        "hits_bench",
     )
     for name in EXTRA_QUERIES:
         if name not in qs:

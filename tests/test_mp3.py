@@ -1,0 +1,233 @@
+"""MP3 (MPEG-1 Layer III) codec tests — correctness-encoder
+roundtrips through the full decode pipeline (side info → reservoir →
+Huffman → requantize → IMDCT → synthesis), stream probing, the
+registered-Huffman-subset quarantine boundary, and the Spark-side
+audio operators consuming MP3 payloads."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from trial_submission_studio_spark.operators.mp3 import (
+    COUNT1_B_DEC,
+    HUFFMAN_PAIR_TABLES,
+    SFB_LONG,
+    SFB_SHORT,
+    _decode_count1,
+    _BitReader,
+    decode_mp3,
+    encode_mp3_tones,
+    expected_tone_amplitude,
+    mp3_stream_info,
+)
+
+
+def _peak_hz(pcm, rate):
+    x = pcm[len(pcm) // 2 :]
+    spec = np.abs(np.fft.rfft(x * np.hanning(len(x))))
+    return np.argmax(spec) * rate / len(x)
+
+
+def test_band_tables_cover_the_spectrum_exactly():
+    for fs, w in SFB_LONG.items():
+        assert sum(w) == 576 and len(w) == 22, fs
+    for fs, w in SFB_SHORT.items():
+        assert sum(w) == 192 and len(w) == 13, fs
+
+
+@pytest.mark.parametrize("rate", [44100, 48000, 32000])
+@pytest.mark.parametrize("line", [7, 40, 100, 300])
+def test_tone_roundtrip_frequency(rate, line):
+    """A single spectral line decodes to PCM whose dominant frequency
+    is that line's MDCT center (±1 line of spacing fs/1152) — pins
+    header parse, side info, Huffman, requantize, IMDCT, frequency
+    inversion, and the synthesis bank's band orientation at every
+    MPEG-1 sample rate."""
+    blob = encode_mp3_tones(rate, lines=((line, 0.5),), n_frames=8)
+    got = decode_mp3(blob)
+    assert got is not None
+    r, ch, pcm = got
+    assert r == rate and ch == 1
+    assert pcm.shape == (8 * 1152,)
+    want = (line + 0.5) * rate / 1152
+    assert abs(_peak_hz(pcm, rate) - want) <= rate / 1152
+
+
+def test_tone_amplitude_tracks_global_gain():
+    """Decoded energy scales with the encoder's global_gain: halving
+    the requested amplitude (= −4 gg steps) halves the decoded RMS."""
+    rms = {}
+    for amp in (0.5, 0.25, 0.125):  # <= 0.5 stays clear of the [-1,1] clip
+        _, _, pcm = decode_mp3(
+            encode_mp3_tones(44100, lines=((60, amp),), n_frames=8)
+        )
+        x = pcm[len(pcm) // 2 :]
+        rms[amp] = float(np.sqrt((x**2).mean()))
+    assert rms[0.5] == pytest.approx(2 * rms[0.25], rel=0.05)
+    assert rms[0.25] == pytest.approx(2 * rms[0.125], rel=0.05)
+    # absolute scale: gg-quantized amplitude, generous filterbank band
+    assert rms[0.5] == pytest.approx(expected_tone_amplitude(0.5), rel=0.35)
+
+
+def test_multi_line_spectrum_and_stereo():
+    """Two lines decode as two spectral peaks; stereo (mode 0,
+    32-byte side info, two channel blocks per granule) parses and
+    mixes to the same tone."""
+    lines = ((30, 0.5), (200, 0.5))
+    _, _, pcm = decode_mp3(encode_mp3_tones(44100, lines=lines, n_frames=8))
+    x = pcm[len(pcm) // 2 :]
+    spec = np.abs(np.fft.rfft(x * np.hanning(len(x))))
+    f = np.fft.rfftfreq(len(x), 1 / 44100)
+    for line, _a in lines:
+        want = (line + 0.5) * 44100 / 1152
+        win = spec[(f > want - 60) & (f < want + 60)]
+        assert win.max() > 0.2 * spec.max()
+
+    blob = encode_mp3_tones(48000, lines=((60, 0.8),), n_frames=6, channels=2)
+    r, ch, pcm = decode_mp3(blob)
+    assert (r, ch) == (48000, 2)
+    want = 60.5 * 48000 / 1152
+    assert abs(_peak_hz(pcm, 48000) - want) <= 48000 / 1152
+
+
+def test_stream_info_walks_frames_and_tags():
+    blob = encode_mp3_tones(44100, lines=((40, 0.5),), n_frames=5)
+    info = mp3_stream_info(blob)
+    assert info == {
+        "rate": 44100,
+        "channels": 1,
+        "n_frames": 5,
+        "duration_ms": int(round(1000 * 5 * 1152 / 44100)),
+        "vbr": False,
+    }
+    # ID3v2 prefix (syncsafe size 10) + ID3v1 trailer are skipped
+    wrapped = (
+        b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10
+        + blob
+        + b"TAG" + b"\x00" * 125
+    )
+    assert mp3_stream_info(wrapped)["n_frames"] == 5
+    assert mp3_stream_info(b"junk" * 30) is None
+    assert mp3_stream_info(b"") is None
+
+
+def test_unregistered_huffman_table_quarantines():
+    """Boundary #1 honesty: a frame selecting Huffman table 13 (or
+    count1 table A) must raise NotImplementedError naming the table —
+    never decode garbage."""
+    bad = encode_mp3_tones(44100, lines=((40, 0.5),), n_frames=2, _table_select=13)
+    with pytest.raises(NotImplementedError, match="table 13"):
+        decode_mp3(bad)
+    with pytest.raises(NotImplementedError, match="count1 table A"):
+        _decode_count1(_BitReader(b"\x00\x00"), 0, 16)
+
+
+def test_count1_table_b_is_involutive():
+    """Count1 table B: 16 quadruples, all 4-bit, complement codes —
+    decode of every code recovers the value bits."""
+    assert len(COUNT1_B_DEC) == 16
+    for (hlen, code), (v, w, x, y) in COUNT1_B_DEC.items():
+        assert hlen == 4
+        n = (v << 3) | (w << 2) | (x << 1) | y
+        assert code == (~n) & 0xF
+
+
+def test_huffman_table1_prefix_free():
+    dec = HUFFMAN_PAIR_TABLES[1]["dec"]
+    assert len(dec) == 4
+    # decoding each code through a BitReader round-trips
+    for (hlen, code), (x, y) in dec.items():
+        bits = bin(code)[2:].zfill(hlen)
+        payload = int(bits + "0" * (16 - len(bits)), 2).to_bytes(2, "big")
+        br = _BitReader(payload)
+        acc, ln = 0, 0
+        while True:
+            acc = (acc << 1) | br.read(1)
+            ln += 1
+            if (ln, acc) in dec:
+                assert dec[(ln, acc)] == (x, y)
+                break
+            assert ln <= 3
+
+
+def test_corrupt_and_truncated_streams_never_decode_garbage():
+    blob = encode_mp3_tones(44100, lines=((40, 0.5),), n_frames=4)
+    assert decode_mp3(b"") is None
+    assert decode_mp3(b"\x00" * 500) is None
+    assert decode_mp3(blob[:100]) is not None  # first frame survives
+    # mid-frame truncation: decodes the whole frames, drops the tail
+    r, ch, pcm = decode_mp3(blob[: len(blob) // 2 + 7])
+    assert pcm.size % 1152 == 0
+
+
+def test_audio_features_decode_mp3_natively(spark):
+    """Spark-side integration: audio_features rows for MP3 payloads
+    carry the real sample rate/duration (not fakes, not NULLs), and
+    an unregistered-table stream quarantines under on_error='null'."""
+    from trial_submission_studio_spark.operators.multimodal import (
+        audio_features,
+    )
+
+    good = encode_mp3_tones(44100, lines=((40, 0.6),), n_frames=8)
+    bad = encode_mp3_tones(44100, lines=((40, 0.6),), n_frames=2, _table_select=24)
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(bad))],
+        "media_id long, payload binary",
+    )
+    rows = {
+        r["media_id"]: r
+        for r in audio_features(df, on_error="null").collect()
+    }
+    assert rows[1]["sample_rate"] == 44100
+    assert rows[1]["n_channels"] == 1
+    assert rows[1]["duration_ms"] == int(round(1000 * 8 * 1152 / 44100))
+    assert rows[1]["rms"] is not None and rows[1]["rms"] > 0.1
+    assert rows[2]["sample_rate"] is None  # quarantined, job alive
+
+
+def test_audio_fingerprint_survives_transcode(spark):
+    """Near-dup detection across a re-encode: the same tone stack
+    encoded at different gains and bitrates (the transcode proxy
+    available without a psychoacoustic encoder) fingerprints within
+    the Hamming band, while different content stays far."""
+    from trial_submission_studio_spark.operators.multimodal import (
+        audio_fingerprint,
+    )
+
+    tones = ((30, 1.0), (75, 0.7), (140, 0.5))
+    a = encode_mp3_tones(44100, lines=tones, n_frames=10, bitrate_kbps=128)
+    b = encode_mp3_tones(44100, lines=tones, n_frames=10, bitrate_kbps=192)
+    c = encode_mp3_tones(
+        44100, lines=tuple((l, a_ * 0.5) for l, a_ in tones), n_frames=10
+    )
+    other = encode_mp3_tones(44100, lines=((300, 1.0),), n_frames=10)
+    df = spark.createDataFrame(
+        [(1, bytearray(a)), (2, bytearray(b)), (3, bytearray(c)), (4, bytearray(other))],
+        "media_id long, payload binary",
+    )
+    fps = {
+        r["media_id"]: r["afp"]
+        for r in audio_fingerprint(df).collect()
+    }
+
+    def ham(x, y):
+        return bin(x ^ y).count("1")
+
+    assert ham(fps[1], fps[2]) <= 8   # bitrate change: near-dup
+    assert ham(fps[1], fps[3]) <= 8   # gain change: near-dup
+    assert ham(fps[1], fps[4]) > 10   # different content: far
+
+
+def test_probe_media_reports_mp3_duration(spark):
+    from trial_submission_studio_spark.operators.multimodal import probe_media
+
+    blob = encode_mp3_tones(44100, lines=((40, 0.5),), n_frames=10)
+    df = spark.createDataFrame(
+        [(1, "tone.mp3", "audio", bytearray(blob))],
+        "media_id long, path string, kind string, payload binary",
+    )
+    row = probe_media(df).collect()[0]
+    assert row["mime"] == "audio/mpeg"
+    # CBR estimate: filesize/bitrate
+    assert abs(row["duration_ms"] - 1000 * 10 * 1152 / 44100) < 40

@@ -47,7 +47,14 @@ Codec coverage is explicit about what is REAL and what is stubbed:
   → duration + track dims, AVI avih header → dims + fps + duration,
   MP3 frame header → CBR duration estimate — probing never decodes
   payloads and never raises on corrupt ones.
-- **Stubbed integration points**: lossy-WebP (VP8 intra), MP3/AAC
+- **REAL MP3 (MPEG-1 Layer III) decode** (:mod:`.mp3`): every
+  algorithmic stage (side info, bit reservoir, scalefactors,
+  requantize, MS stereo, alias reduction, IMDCT, synthesis) is
+  implemented from the public spec; Huffman coverage is an honest
+  registered subset — streams selecting an unregistered table
+  quarantine via ``NotImplementedError`` instead of decoding
+  garbage (see the mp3 module docstring for the exact boundary).
+- **Stubbed integration points**: lossy-WebP (VP8 intra), AAC
   payload decode, and inter-frame video codecs (H.264/VP9/AV1) need
   PIL/torchaudio/ffmpeg, absent here (their entropy-code tables are
   arbitrary published constants unavailable in this container, so a
@@ -830,18 +837,23 @@ _image_header, _audio_header = _make_header_probes()
 
 def _make_audio_decoder():
     """WAV-PCM, then compressed WAV (G.711 µ-law/A-law, IMA and MS
-    ADPCM via :mod:`.adpcm`), then FLAC — all sharing the (rate,
-    channels, mono float64) contract. Closure-local so cloudpickle
-    ships it by value (the adpcm/flac modules are registered
-    by-value at import)."""
+    ADPCM via :mod:`.adpcm`), then FLAC, then MPEG-1 Layer III
+    (:mod:`.mp3` — structural decoder; streams selecting Huffman
+    tables outside its registered subset raise NotImplementedError
+    so they quarantine honestly) — all sharing the (rate, channels,
+    mono float64) contract. Closure-local so cloudpickle ships it by
+    value (the adpcm/flac/mp3 modules are registered by-value at
+    import)."""
     from trial_submission_studio_spark.operators.adpcm import (
         decode_wav_compressed,
     )
     from trial_submission_studio_spark.operators.flac import decode_flac
+    from trial_submission_studio_spark.operators.mp3 import decode_mp3
 
     wav = _decode_wav
     wav_compressed = decode_wav_compressed
     flac = decode_flac
+    mp3 = decode_mp3
 
     def decode(payload: bytes | None):
         hit = wav(payload)
@@ -856,6 +868,11 @@ def _make_audio_decoder():
                 return hit
         if payload and payload[:4] == b"fLaC":
             return flac(payload)
+        if payload and (
+            payload[:3] == b"ID3"
+            or (len(payload) > 1 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0)
+        ):
+            return mp3(payload)
         return None
 
     return decode
@@ -1166,13 +1183,14 @@ def audio_features(
     deterministic_fake: bool = False,
     on_error: str = "raise",
 ) -> DataFrame:
-    """REAL WAV/PCM audio featurization via the stdlib ``wave``
-    decoder: sample rate, channel count, duration, RMS, peak and
-    zero-crossing rate of the mono mix. Compressed audio (MP3/AAC)
-    falls back per ``deterministic_fake`` like the image path;
-    ``on_error="null"`` quarantines undecodable records as all-NULL
-    rows instead of failing the job (filter ``sample_rate IS NULL``).
-    FLAC payloads decode natively too (:mod:`.flac`)."""
+    """REAL audio featurization: sample rate, channel count,
+    duration, RMS, peak and zero-crossing rate of the mono mix.
+    WAV-PCM/G.711/ADPCM, FLAC and MP3 (registered-subset — see
+    :mod:`.mp3`) payloads decode natively; everything else (AAC,
+    unregistered-table MP3) falls back per ``deterministic_fake``
+    or ``on_error="null"``, which quarantines undecodable records
+    as all-NULL rows instead of failing the job (filter
+    ``sample_rate IS NULL``)."""
     decode = _decode_audio
     fake = _fake_feature
     null_on_error = on_error == "null"
@@ -1199,10 +1217,11 @@ def audio_features(
                         continue
                     if not deterministic_fake:
                         raise NotImplementedError(
-                            "MP3/AAC need torchaudio/ffmpeg (absent here); "
-                            "WAV (PCM, G.711, IMA/MS ADPCM) and FLAC "
-                            "decode natively — pass "
-                            "on_error='null' to quarantine bad records"
+                            "undecodable audio payload: AAC and "
+                            "unregistered-table MP3 need torchaudio/ffmpeg "
+                            "(absent here); WAV (PCM, G.711, IMA/MS ADPCM), "
+                            "FLAC and registered-subset MP3 decode natively "
+                            "— pass on_error='null' to quarantine bad records"
                         )
                     f = fake(p, 4)
                     rows["sample_rate"].append(16000)
