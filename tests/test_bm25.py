@@ -474,3 +474,55 @@ def test_append_refuses_legacy_layout(spark, index, tmp_path):
     new = spark.createDataFrame(NEW_DOCS, "doc_id long, text string")
     with pytest.raises(ValueError, match="pre-manifest"):
         append_saved_bm25_index(spark, legacy, new, "text")
+
+
+def test_vacuum_reclaims_crashed_append_orphans(
+    spark, index, tmp_path, monkeypatch
+):
+    """The cleanup half of the atomic-append protocol: a crashed
+    append's unpublished run directories vacuum away (age-guarded),
+    live files are untouched, and scores are unchanged."""
+    import os
+
+    import trial_submission_studio_spark.io.versioned as ver
+    from trial_submission_studio_spark.operators.bm25 import (
+        append_saved_bm25_index,
+        load_bm25_index,
+        save_bm25_index,
+        vacuum_bm25_index,
+    )
+
+    path = str(tmp_path / "bm25_vac")
+    save_bm25_index(index, path, term_buckets=8)
+    baseline = _topk_rows(load_bm25_index(spark, path), spark)
+
+    new = spark.createDataFrame(NEW_DOCS, "doc_id long, text string")
+    monkeypatch.setattr(
+        ver, "publish_files",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom")),
+    )
+    with pytest.raises(RuntimeError):
+        append_saved_bm25_index(spark, path, new, "text")
+    monkeypatch.undo()
+
+    # young files are protected by default...
+    assert vacuum_bm25_index(path) == []
+    # ...but vacuum with age 0 (no writer active) reclaims the orphans
+    doomed = vacuum_bm25_index(path, min_age_seconds=0, dry_run=True)
+    assert doomed and all(
+        d.split(os.sep)[0] in ("postings", "term_dfs", "doc_lens")
+        for d in doomed
+    )
+    deleted = vacuum_bm25_index(path, min_age_seconds=0)
+    assert deleted == doomed
+    # orphan run dirs are gone wholesale; live runs remain
+    for table in ("postings", "term_dfs", "doc_lens"):
+        runs = [
+            r for r in os.listdir(os.path.join(path, table))
+            if r.startswith("run=")
+        ]
+        assert len(runs) == 1, table
+    assert _topk_rows(load_bm25_index(spark, path), spark) == baseline
+    # a legacy (manifest-less) dir refuses to vacuum
+    with pytest.raises(ValueError, match="no published manifest"):
+        vacuum_bm25_index(str(tmp_path / "nothing_here"))

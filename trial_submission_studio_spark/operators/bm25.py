@@ -45,6 +45,7 @@ __all__ = [
     "load_bm25_index",
     "append_bm25_index",
     "append_saved_bm25_index",
+    "vacuum_bm25_index",
 ]
 
 
@@ -380,6 +381,77 @@ def append_saved_bm25_index(
         },
     )
     return load_bm25_index(spark, path)
+
+
+def vacuum_bm25_index(
+    path: str,
+    *,
+    min_age_seconds: float = _ver.VACUUM_MIN_AGE_SECONDS,
+    dry_run: bool = False,
+) -> list[str]:
+    """Delete index data files referenced by NO surviving manifest —
+    the cleanup half of the atomic-append protocol: a crashed
+    :func:`append_saved_bm25_index` leaves a fully-written but
+    never-published ``run=<id>`` directory that every reader skips;
+    this reclaims it. Combine with ``io.versioned.retire_versions``
+    to also drop files only old manifests reference (time-travel
+    retirement).
+
+    Same safety rule as `io/versioned.py:vacuum`: files younger than
+    ``min_age_seconds`` are always kept, because an IN-FLIGHT append
+    is unreferenced on purpose until its manifest swap commits —
+    pass 0 only when no writer can be active. Walks the three table
+    trees + the manifests only (metadata-scale at any index size).
+    Returns root-relative deleted (or deletable) paths."""
+    import shutil
+    import time as _time
+
+    live: set[str] = set()
+    for v in _ver.list_versions(path):
+        live.update(_ver.read_manifest(path, v)["files"])
+    if not live:
+        raise ValueError(
+            f"{path} has no published manifest - refusing to vacuum "
+            "(a legacy index would be deleted wholesale)"
+        )
+    cutoff = _time.time() - min_age_seconds
+    doomed: list[str] = []
+    young_runs: set[str] = set()
+    for table in ("postings", "term_dfs", "doc_lens"):
+        troot = os.path.join(path, table)
+        if not os.path.isdir(troot):
+            continue
+        for cur, _dirs, names in os.walk(troot):
+            for n in names:
+                if n.startswith((".", "_")):
+                    continue
+                full = os.path.join(cur, n)
+                rel = os.path.relpath(full, path)
+                if rel in live:
+                    continue
+                run_dir = os.path.relpath(cur, path).split(os.sep)
+                run_key = os.sep.join(run_dir[:2])  # "<table>/run=<id>"
+                if os.path.getmtime(full) > cutoff:
+                    young_runs.add(run_key)
+                    continue
+                doomed.append(rel)
+    if not dry_run:
+        for rel in doomed:
+            os.remove(os.path.join(path, rel))
+        # sweep now-dead run dirs (markers incl.) unless young or live
+        for table in ("postings", "term_dfs", "doc_lens"):
+            troot = os.path.join(path, table)
+            if not os.path.isdir(troot):
+                continue
+            for run in os.listdir(troot):
+                if not run.startswith("run="):
+                    continue
+                key = os.path.join(table, run)
+                prefix = key + os.sep
+                if key in young_runs or any(f.startswith(prefix) for f in live):
+                    continue
+                shutil.rmtree(os.path.join(troot, run))
+    return sorted(doomed)
 
 
 def _postings_id_col(postings: DataFrame) -> str:
