@@ -48,10 +48,15 @@ def test_no_cartesian_products_in_data_plane_queries(spark):
     # r9: asof+locf and tumbling+sessionization merged into
     # *_gates-suffixed slots (freeing room for pii + phrase mining),
     # then t4+t_const / t6+t13 / r1+r3 / interval+rolling merged to
-    # free slots for bm25/dsir/drift/robots — 27 non-gate queries
-    # remain; the merged gates that contain NO 1-row crossJoins are
-    # swept explicitly below despite the suffix.
-    assert checked >= 27
+    # free slots for bm25/dsir/drift/robots.
+    # r10: t3+w1 / t7+t9 / t8+v8 merged (t_order_window /
+    # t_lineitem_transform / ct_family gates) freeing slots for
+    # crosssource_overlap_gates + temperature_mix_fractions +
+    # unigram_encode_docs — 23 non-gate queries remain; the merged
+    # gates that contain NO 1-row crossJoins (or whose only crossJoin
+    # is a 1-row broadcast) are swept explicitly below despite the
+    # suffix.
+    assert checked >= 23
     for name in (
         "temporal_asof_locf_gates",
         "events_stream_gates",
@@ -61,6 +66,9 @@ def test_no_cartesian_products_in_data_plane_queries(spark):
         "t_part_transform_gates",
         "r_supp_roundtrip_gates",
         "temporal_agg_gates",
+        "t_order_window_gates",
+        "t_lineitem_transform_gates",
+        "crosssource_overlap_gates",
     ):
         plan = _plan(m.queries()[name](spark, SF))
         assert "CartesianProduct" not in plan, name
