@@ -1,0 +1,110 @@
+"""Unicode normalization / confusable-skeleton tests: NFKC folding,
+invisible-codepoint stripping, homoglyph spoof detection, and the
+spoof-resistant dedup key end to end."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from trial_submission_studio_spark.operators.unicode_norm import (
+    CONFUSABLE_MAP,
+    confusable_skeleton,
+    normalize_unicode,
+    skeleton_fingerprint,
+    strip_default_ignorable,
+)
+
+
+def _one(spark, expr, s):
+    df = spark.createDataFrame([(s,)], "t string")
+    return df.select(expr.alias("v")).collect()[0]["v"]
+
+
+def test_nfkc_folds_compatibility_forms(spark):
+    import unicodedata
+
+    cases = ["ﬁsh", "ＨＥＬＬＯ ｗｏｒｌｄ", "x² + ½", "①②③", None]
+    df = spark.createDataFrame([(c,) for c in cases], "t string")
+    got = [
+        r["v"]
+        for r in df.select(normalize_unicode("t").alias("v")).collect()
+    ]
+    want = [
+        unicodedata.normalize("NFKC", c) if c is not None else None
+        for c in cases
+    ]
+    assert got == want
+    assert got[0] == "fish"
+    assert got[1] == "HELLO world"
+    with pytest.raises(ValueError, match="normalization form"):
+        normalize_unicode("t", form="NFX")
+
+
+def test_invisible_injection_is_stripped(spark):
+    spoofed = "f​re­e ⁠mon﻿ey"
+    got = _one(spark, strip_default_ignorable(F.col("t")), spoofed)
+    assert got == "free money"
+
+
+def test_homoglyph_spoof_skeletons_equal(spark):
+    """Cyrillic/Greek lookalike swaps, fullwidth forms, zero-width
+    injections, fancy dashes/quotes — all skeleton to the honest
+    text; genuinely different text does not."""
+    honest = "cheap meds - best price"
+    spoofs = [
+        "сheар meds - best price",          # Cyrillic с, а, р
+        "cheap​ meds – best price",  # zero-width + en dash
+        "ＣＨＥＡＰ MEDS - BEST PRICE",       # fullwidth + case
+        "сhеар mеds — bеst priсе",     # heavy Cyrillic + em dash
+    ]
+    want = _one(spark, confusable_skeleton(F.col("t")), honest)
+    for s in spoofs:
+        assert _one(spark, confusable_skeleton(F.col("t")), s) == want, s
+    other = _one(spark, confusable_skeleton(F.col("t")), "different text")
+    assert other != want
+
+
+def test_skeleton_fingerprint_is_spoof_resistant_dedup_key(spark):
+    from trial_submission_studio_spark.operators.dedup import (
+        exact_duplicates,
+        fingerprint,
+    )
+
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "the quiсk brоwn fоx"),   # Cyrillic с/о — same skeleton
+        (3, "totally different document"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # plain fingerprint is blind to the spoof...
+    plain = df.select(fingerprint("text").alias("fp")).distinct().count()
+    assert plain == 3
+    # ...the skeleton key catches it
+    keyed = df.select("doc_id", skeleton_fingerprint("text").alias("text"))
+    groups = exact_duplicates(keyed, "doc_id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0]["keep_id"] == 1 and groups[0]["dup_count"] == 2
+
+
+def test_confusable_map_is_translate_safe():
+    """translate() maps codepoint→codepoint: every key and value must
+    be exactly one char, keys unique, and no key maps to itself."""
+    for k, v in CONFUSABLE_MAP.items():
+        assert len(k) == 1 and len(v) == 1, (k, v)
+        assert k != v
+
+
+def test_skeleton_plan_is_single_python_stage(spark):
+    """Everything except NFKC is codegen: the plan holds exactly one
+    ArrowEvalPython (the unicodedata step) and no row-at-a-time
+    BatchEvalPython."""
+    df = spark.createDataFrame([("x",)], "t string")
+    plan = (
+        df.select(skeleton_fingerprint("t"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
