@@ -166,3 +166,53 @@ def test_no_cartesian_or_row_udfs(spark, docs_df):
         plan = q._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
+
+
+def test_encoding_stats_tokenizer_report(spark):
+    """Tokenizer-evaluation aggregates: fertility, sequence length,
+    vocab utilization — exact values vs hand computation, per-stratum
+    and global, over any array-typed encode output."""
+    from pyspark.sql import functions as F
+
+    from trial_submission_studio_spark.operators.tokenize import (
+        encoding_stats,
+        words,
+    )
+
+    rows = [
+        (1, "en", "the cat sat"),
+        (2, "en", "the dog"),
+        (3, "de", "der hund bellt laut"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    enc = df.withColumn("toks", words("text"))
+
+    got = {
+        r["lang"]: r
+        for r in encoding_stats(
+            enc, "toks", "text", strata_col="lang", vocab_size=10
+        ).collect()
+    }
+    en = got["en"]
+    assert (en["n_docs"], en["n_tokens"], en["n_chars"]) == (2, 5, 18)
+    assert en["chars_per_token"] == pytest.approx(18 / 5)
+    assert en["tokens_per_doc"] == pytest.approx(2.5)
+    assert en["distinct_tokens"] == 4  # the, cat, sat, dog
+    assert en["vocab_utilization"] == pytest.approx(0.4)
+    de = got["de"]
+    assert de["n_tokens"] == 4 and de["distinct_tokens"] == 4
+
+    # global (no strata): one row over the whole sample
+    g = encoding_stats(enc, "toks", "text").collect()
+    assert len(g) == 1 and g[0]["n_docs"] == 3 and g[0]["n_tokens"] == 9
+    assert g[0]["distinct_tokens"] == 8
+
+    # composes with id-typed encodes too (array<long>)
+    ids = enc.withColumn(
+        "tok_ids", F.expr("transform(toks, t -> xxhash64(t))")
+    )
+    gi = encoding_stats(ids, "tok_ids", "text").collect()[0]
+    assert gi["n_tokens"] == 9 and gi["distinct_tokens"] == 8
+
+    with pytest.raises(ValueError, match="vocab_size"):
+        encoding_stats(enc, "toks", "text", vocab_size=0)
