@@ -231,3 +231,34 @@ def test_probe_media_reports_mp3_duration(spark):
     assert row["mime"] == "audio/mpeg"
     # CBR estimate: filesize/bitrate
     assert abs(row["duration_ms"] - 1000 * 10 * 1152 / 44100) < 40
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    flips=st.lists(
+        st.tuples(st.integers(0, 3000), st.integers(0, 7)),
+        min_size=1,
+        max_size=12,
+    ),
+    data=st.randoms(),
+)
+def test_decode_survives_arbitrary_bit_corruption(flips, data):
+    """Corruption-robustness property: flipping arbitrary bits in a
+    valid stream must yield a decode result, None, or the documented
+    NotImplementedError (an unregistered table id appearing under
+    corruption) — never any other exception. This is the
+    quarantine-path guarantee corpus jobs rely on."""
+    blob = bytearray(
+        encode_mp3_tones(44100, lines=((40, 0.5),), n_frames=3)
+    )
+    for pos, bit in flips:
+        blob[pos % len(blob)] ^= 1 << bit
+    try:
+        got = decode_mp3(bytes(blob))
+    except NotImplementedError:
+        return
+    assert got is None or (len(got) == 3 and got[2].ndim == 1)

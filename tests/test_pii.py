@@ -180,3 +180,69 @@ def test_no_shuffle_plan(pii_df):
         "red", redact_pii("text")
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pseudonymize_is_consistent_and_salted(spark):
+    """Consistent pseudonymization: the same value tokens identically
+    everywhere (within and across documents), different values get
+    different tokens, a salt change rekeys the whole mapping, and
+    exact-dedup equality survives the scrub."""
+    from trial_submission_studio_spark.operators.pii import pseudonymize_pii
+
+    rows = [
+        (1, "mail a@x.com and again a@x.com plus b@y.org"),
+        (2, "reply to a@x.com from 10.0.0.1"),
+        (3, "mail a@x.com and again a@x.com plus b@y.org"),  # dup of 1
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["p"]
+        for r in df.select(
+            "doc_id", pseudonymize_pii("text").alias("p")
+        ).collect()
+    }
+    import re
+
+    toks1 = re.findall(r"<EMAIL_[0-9a-f]{8}>", got[1])
+    assert len(toks1) == 3
+    assert toks1[0] == toks1[1]          # same email, same token
+    assert toks1[0] != toks1[2]          # different email differs
+    assert toks1[0] in got[2]            # cross-document consistency
+    assert "<IPV4_" in got[2]
+    assert got[1] == got[3]              # dedup equality survives
+    assert got[4] is None                # NULL stays NULL
+    assert "a@x.com" not in got[1] and "b@y.org" not in got[1]
+
+    # salt rekeys the mapping
+    resalted = {
+        r["doc_id"]: r["p"]
+        for r in df.select(
+            "doc_id", pseudonymize_pii("text", salt="v2").alias("p")
+        ).collect()
+    }
+    assert resalted[1] != got[1]
+    assert re.findall(r"<EMAIL_[0-9a-f]{8}>", resalted[1])[0] != toks1[0]
+
+    with pytest.raises(ValueError, match="hash_chars"):
+        df.select(pseudonymize_pii("text", hash_chars=2))
+
+
+def test_pseudonymize_all_classes_no_python(spark):
+    """Every detector class pseudonymizes; the plan is pure JVM (no
+    Python eval nodes of any kind)."""
+    from trial_submission_studio_spark.operators.pii import pseudonymize_pii
+
+    text = (
+        "card 4111-1111-1111-1111, ssn 123-45-6789, call 555-867-5309, "
+        "ip 192.168.1.1, mail x@y.zz done"
+    )
+    df = spark.createDataFrame([(text,)], "text string")
+    q = df.select(pseudonymize_pii("text").alias("p"))
+    out = q.collect()[0]["p"]
+    for cls in ("CREDIT_CARD", "SSN", "PHONE", "IPV4", "EMAIL"):
+        assert f"<{cls}_" in out, out
+    assert "4111" not in out and "867" not in out and "x@y.zz" not in out
+    assert out.endswith("done")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan

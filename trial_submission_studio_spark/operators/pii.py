@@ -35,6 +35,7 @@ __all__ = [
     "PII_PATTERNS",
     "pii_counts",
     "redact_pii",
+    "pseudonymize_pii",
     "luhn_valid",
     "pii_filter",
 ]
@@ -117,6 +118,53 @@ def redact_pii(
     for name in _classes(classes):
         out = F.regexp_replace(
             out, PII_PATTERNS[name], template.format(NAME=name.upper())
+        )
+    return out
+
+
+def pseudonymize_pii(
+    c: Column | str,
+    classes: list[str] | None = None,
+    salt: str = "",
+    hash_chars: int = 8,
+) -> Column:
+    """CONSISTENT pseudonymization: each PII span is replaced by
+    ``<CLASS_xxxxxxxx>`` where the hex suffix is a salted md5 of the
+    span — the same email maps to the same token EVERYWHERE in the
+    corpus, so coreference ("user A mailed user A again") and
+    exact-dedup equality survive the scrub, unlike blanket
+    :func:`redact_pii` tokens which erase the distinction, and
+    unlike per-document counters which break cross-document
+    equality. ``salt`` keys the mapping: ship a fresh salt per
+    release and tokens are unlinkable across releases (and never
+    reversible without brute-forcing the value space).
+
+    Plan shape: per class, split on the pattern (non-match
+    segments), hash the matches, and interleave — all JVM
+    (``split`` / ``regexp_extract_all`` / ``zip_with`` +
+    ``aggregate`` join). The higher-order lambdas here run over
+    per-document MATCH arrays (a handful of elements), not corpus
+    token explosions, so the interpreted-HOF hot-path rule
+    (verify-skill r7 note) doesn't bite. NULL stays NULL."""
+    if not 4 <= hash_chars <= 32:
+        raise ValueError("hash_chars must be in [4, 32]")
+    out = F.col(c) if isinstance(c, str) else c
+    for name in _classes(classes):
+        pat = PII_PATTERNS[name]
+        segs = F.split(out, pat, -1)
+        toks = F.transform(
+            F.regexp_extract_all(out, F.lit(pat), F.lit(0)),
+            lambda m: F.concat(
+                F.lit(f"<{name.upper()}_"),
+                F.substring(F.md5(F.concat(F.lit(salt), m)), 1, hash_chars),
+                F.lit(">"),
+            ),
+        )
+        # interleave: seg0 tok0 seg1 tok1 ... segN (tokens padded
+        # with one trailing "" so zip_with lengths match)
+        padded = F.concat(toks, F.array(F.lit("")))
+        out = F.array_join(
+            F.zip_with(segs, padded, lambda s, t: F.concat(s, t)), ""
         )
     return out
 
