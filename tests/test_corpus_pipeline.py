@@ -24,7 +24,11 @@ def _corpus(spark):
             (7, f"unique seven {LONG.replace('token', 'tok')}\n{BOILER}", "src1"),
             (8, f"unique eight {LONG.replace('token', 'tk')}\n{BOILER}", "src1"),
             # contaminated against the benchmark -> decontamination drops it
-            (9, "the exact benchmark passage appears verbatim right here today.", "src1"),
+            # contaminated doc must CLEAR doc_quality (>= 10 tokens) so
+            # the decontamination stage is what actually drops it — the
+            # attribution audit caught the 9-token version dying at
+            # doc_quality instead
+            (9, "the exact benchmark passage appears verbatim right here today. indeed", "src1"),
         ],
         "doc_id long, text string, source string",
     )
@@ -486,3 +490,45 @@ def test_pii_stages(spark):
     red = {r["doc_id"]: r["text"] for r in out}
     assert "[EMAIL]" in red[3] and "c@d.net" not in red[3]
     assert red[1].startswith("clean words")
+
+
+def test_prepare_corpus_drop_attribution(spark):
+    """attribution=True names the FIRST stage that removed each
+    non-surviving document; survivors never appear; input partitions
+    exactly into survivors + attributed drops."""
+    cfg = CorpusConfig(
+        min_line_words=2,
+        min_doc_tokens=10,
+        paragraph_max_docs=2,
+        contamination_threshold=0.5,
+        contamination_ngram=8,
+    )
+    out, dropped = prepare_corpus(
+        _corpus(spark), "doc_id", "text", cfg,
+        benchmark=_benchmark(spark), attribution=True,
+    )
+    survivors = sorted(r["doc_id"] for r in out.collect())
+    att = {r["doc_id"]: r["dropped_at"] for r in dropped.collect()}
+    assert survivors == [1, 2, 6, 7, 8]
+    assert att == {
+        5: "doc_quality",
+        4: "exact_dedup",
+        3: "near_dedup",
+        9: "decontaminated",
+    }
+    assert set(att) | set(survivors) == set(range(1, 10))
+    assert not (set(att) & set(survivors))
+
+    # no stages enabled: empty attribution frame, right schema
+    out2, dropped2 = prepare_corpus(
+        _corpus(spark), "doc_id", "text",
+        CorpusConfig(
+            min_line_words=None, min_doc_tokens=None,
+            paragraph_max_docs=None, exact_dedup=False, near_dedup=False,
+            contamination_threshold=None,
+        ),
+        attribution=True,
+    )
+    assert dropped2.columns == ["doc_id", "dropped_at"]
+    assert dropped2.count() == 0
+    assert out2.count() == 9

@@ -140,6 +140,7 @@ def prepare_corpus(
     lm_model: tuple[DataFrame, DataFrame] | None = None,
     quality_model=None,
     collect_stats: bool = False,
+    attribution: bool = False,
 ) -> DataFrame:
     """Run the composed pipeline; returns the cleaned corpus with the
     original columns (text rewritten by paragraph dedup when enabled).
@@ -147,7 +148,18 @@ def prepare_corpus(
     ``collect_stats=True`` counts survivors after every stage into
     ``config.stats`` (one action per stage — debugging/reporting mode;
     leave False in production and count the final table only).
-    """
+
+    ``attribution=True`` returns ``(corpus, dropped)`` instead, where
+    ``dropped`` is an ``(id, dropped_at)`` frame naming the FIRST
+    stage that removed each non-surviving document — the "why was my
+    document removed" audit every pipeline debugging session starts
+    with, and the ground truth for tuning a single stage without
+    re-ablating the whole pipeline. Cost shape: each enabled stage's
+    id column is persisted (ids only — 8-byte keys, never text) and
+    the per-stage drop set is one left-anti join between consecutive
+    id sets; everything stays lazy until the caller acts on
+    ``dropped``. Batch-mode only (the streaming twin is stateless
+    row-local and rejects corpus-wide stages anyway)."""
     cfg = config or CorpusConfig()
     # a stage the config enables but whose companion input is missing
     # must FAIL, not silently no-op — contaminated / wrong-language /
@@ -168,9 +180,21 @@ def prepare_corpus(
             "min_model_quality is set but no quality_model= was passed"
         )
 
+    dropped_frames: list[DataFrame] = []
+    prev_ids: list[DataFrame] = []
+
     def _mark(stage: str, df: DataFrame) -> DataFrame:
         if collect_stats:
             cfg.stats[stage] = df.count()
+        if attribution:
+            cur = df.select(F.col(id_col)).persist()
+            if prev_ids:
+                dropped_frames.append(
+                    prev_ids[-1]
+                    .join(cur, id_col, "left_anti")
+                    .withColumn("dropped_at", F.lit(stage))
+                )
+            prev_ids.append(cur)
         return df
 
     out = _mark("input", docs)
@@ -309,6 +333,18 @@ def prepare_corpus(
             "pii_redacted", out.withColumn(text_col, redact_pii(text_col))
         )
 
+    if attribution:
+        if dropped_frames:
+            dropped = dropped_frames[0]
+            for f in dropped_frames[1:]:
+                dropped = dropped.unionByName(f)
+        else:
+            dropped = (
+                docs.select(F.col(id_col))
+                .limit(0)
+                .withColumn("dropped_at", F.lit(""))
+            )
+        return out, dropped
     return out
 
 
