@@ -262,3 +262,53 @@ def test_decode_survives_arbitrary_bit_corruption(flips, data):
     except NotImplementedError:
         return
     assert got is None or (len(got) == 3 and got[2].ndim == 1)
+
+
+def _adts_stream(n_frames=5, sr_idx=4, payload_len=20):
+    """Minimal valid AAC-ADTS framing (headers + zero payloads)."""
+    out = bytearray()
+    flen = 7 + payload_len
+    for _ in range(n_frames):
+        b = bytearray(7)
+        b[0] = 0xFF
+        b[1] = 0xF1  # MPEG-4, layer 00, no CRC
+        b[2] = (1 << 6) | (sr_idx << 2)  # AAC-LC, sample-rate index
+        b[3] = (2 << 6) | ((flen >> 11) & 0x03)  # stereo config
+        b[4] = (flen >> 3) & 0xFF
+        b[5] = ((flen & 0x07) << 5) | 0x1F
+        b[6] = 0xFC
+        out += b + bytes(payload_len)
+    return bytes(out)
+
+
+def test_probe_media_aac_adts_header_walk(spark):
+    """AAC-ADTS classification + exact header-walk duration (1024
+    samples per frame) without touching payload bytes; the decoder
+    correctly does NOT decode it (payload decode is a documented
+    stub), so audio_features quarantines it under on_error='null'."""
+    from trial_submission_studio_spark.operators.multimodal import (
+        audio_features,
+        probe_media,
+    )
+
+    blob = _adts_stream(n_frames=10, sr_idx=4)  # 44100
+    df = spark.createDataFrame(
+        [(1, "clip.aac", "audio", bytearray(blob))],
+        "media_id long, path string, kind string, payload binary",
+    )
+    row = probe_media(df).collect()[0]
+    assert row["mime"] == "audio/aac"
+    assert row["duration_ms"] == int(round(1000 * 10 * 1024 / 44100))
+
+    feats = audio_features(
+        df.select("media_id", "payload"), on_error="null"
+    ).collect()[0]
+    assert feats["sample_rate"] is None  # honest quarantine
+
+    # an MP3 frame (layer bits 01) must NOT classify as ADTS
+    mp3_blob = encode_mp3_tones(44100, lines=((40, 0.5),), n_frames=2)
+    df2 = spark.createDataFrame(
+        [(2, "t.mp3", "audio", bytearray(mp3_blob))],
+        "media_id long, path string, kind string, payload binary",
+    )
+    assert probe_media(df2).collect()[0]["mime"] == "audio/mpeg"

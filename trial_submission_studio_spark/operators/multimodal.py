@@ -827,6 +827,40 @@ def _make_header_probes():
                 dur = int(round(1000.0 * total / rate)) if rate and total else None
                 return ("audio/flac", dur)
             return ("audio/flac", None)  # truncated: magic-only
+        # AAC in ADTS framing: 12-bit sync + layer '00' (an MPEG
+        # audio frame — MP3 — has nonzero layer bits, so the two
+        # can't be confused). Header-only frame walk: each ADTS
+        # header carries its own 13-bit frame length and every frame
+        # decodes to 1024 samples, so duration is exact without
+        # touching any payload byte. (AAC PAYLOAD decode remains a
+        # documented stub — probing never decodes.)
+        if (
+            len(p) >= 7
+            and p[0] == 0xFF
+            and (p[1] & 0xF6) == 0xF0
+        ):
+            adts_rates = (
+                96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+                16000, 12000, 11025, 8000,
+            )
+            sr_idx = (p[2] >> 2) & 0xF
+            if sr_idx >= len(adts_rates):
+                return None
+            rate = adts_rates[sr_idx]
+            i, n = 0, 0
+            while i + 7 <= len(p):
+                if p[i] != 0xFF or (p[i + 1] & 0xF6) != 0xF0:
+                    break
+                flen = ((p[i + 3] & 0x03) << 11) | (p[i + 4] << 3) | (
+                    p[i + 5] >> 5
+                )
+                if flen < 7:
+                    break
+                n += 1
+                i += flen
+            if n == 0:
+                return None
+            return ("audio/aac", int(round(1000.0 * n * 1024 / rate)))
         return None
 
     return image_header, audio_header
