@@ -312,3 +312,71 @@ def test_probe_media_aac_adts_header_walk(spark):
         "media_id long, path string, kind string, payload binary",
     )
     assert probe_media(df2).collect()[0]["mime"] == "audio/mpeg"
+
+
+def test_short_block_roundtrip_and_subblock_gain():
+    """Block-type-2 path end to end: window-switching side info,
+    short reorder, 3x12-point IMDCT with 6-sample-hop overlap, and
+    subblock_gain (2^-2 per step, exact). Short line f maps to
+    ~(f+0.5)*fs/384 Hz. This coverage caught a real placement bug:
+    short windows overlap by 6 samples (offsets 6/12/18), not 12."""
+    for f in (13, 40, 90):
+        blob = encode_mp3_tones(
+            44100, lines=((f, 0.5),), n_frames=8, short_blocks=True
+        )
+        _, _, pcm = decode_mp3(blob)
+        want = (f + 0.5) * 44100 / 384
+        assert abs(_peak_hz(pcm, 44100) - want) <= 44100 / 384, f
+    base = decode_mp3(
+        encode_mp3_tones(44100, lines=((40, 0.5),), n_frames=8, short_blocks=True)
+    )[2]
+    gained = decode_mp3(
+        encode_mp3_tones(
+            44100, lines=((40, 0.5),), n_frames=8,
+            short_blocks=True, subblock_gain=(1, 1, 1),
+        )
+    )[2]
+    r = np.sqrt((base[len(base) // 2 :] ** 2).mean()) / np.sqrt(
+        (gained[len(gained) // 2 :] ** 2).mean()
+    )
+    assert r == pytest.approx(4.0, rel=0.01)
+
+
+def test_scalefactors_and_scfsi_sharing():
+    """Long-block scalefactor decode: band value v scales the band by
+    2^(-0.5*(1+scalefac_scale)*v) (exact RMS ratios), and scfsi=1111
+    makes granule 1 reuse granule 0's scalefactors bit-identically
+    while saving its bits."""
+
+    def rms(pcm):
+        x = pcm[len(pcm) // 2 :]
+        return float(np.sqrt((x**2).mean()))
+
+    base = decode_mp3(encode_mp3_tones(44100, lines=((40, 0.5),), n_frames=8))[2]
+    sf2 = decode_mp3(
+        encode_mp3_tones(44100, lines=((40, 0.5),), n_frames=8, scalefacs={8: 2})
+    )[2]
+    sf2s = decode_mp3(
+        encode_mp3_tones(
+            44100, lines=((40, 0.5),), n_frames=8,
+            scalefacs={8: 2}, scalefac_scale=1,
+        )
+    )[2]
+    assert rms(base) / rms(sf2) == pytest.approx(2.0, rel=0.01)
+    assert rms(base) / rms(sf2s) == pytest.approx(4.0, rel=0.01)
+
+    explicit = decode_mp3(
+        encode_mp3_tones(44100, lines=((40, 0.5),), n_frames=6, scalefacs={8: 1})
+    )[2]
+    shared = decode_mp3(
+        encode_mp3_tones(
+            44100, lines=((40, 0.5),), n_frames=6, scalefacs={8: 1}, scfsi=True
+        )
+    )[2]
+    assert np.allclose(explicit, shared)
+    assert not np.allclose(explicit, base[: len(explicit)])
+
+    with pytest.raises(ValueError, match="long-block-only"):
+        encode_mp3_tones(short_blocks=True, scfsi=True)
+    with pytest.raises(ValueError, match="bands 0..20"):
+        encode_mp3_tones(scalefacs={25: 1})

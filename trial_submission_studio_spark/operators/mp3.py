@@ -517,10 +517,14 @@ def _imdct_granule(xr, gr, overlap):
             bt = 0 if (short and gr["mixed_block"] and sb < 2) else gr["block_type"]
             z = _imdct_n(X, 36) * _win_long(bt)
         else:
+            # three 12-sample short windows at 50% overlap (6-sample
+            # hop): offsets 6/12/18, zeros at 0..5 and 30..35 — each
+            # window contributes 6 fresh samples, 3×6 = the granule's
+            # 18 per subband
             z = np.zeros(36)
             for w in range(3):
                 zz = _imdct_n(X[w * 6 : w * 6 + 6], 12) * win_short
-                z[6 + 12 * w : 18 + 12 * w] += zz
+                z[6 + 6 * w : 18 + 6 * w] += zz
         out[sb] = z[:18] + overlap[sb]
         overlap[sb] = z[18:]
         # frequency inversion: odd subbands negate odd time samples
@@ -767,6 +771,11 @@ def encode_mp3_tones(
     n_frames: int = 8,
     bitrate_kbps: int = 128,
     channels: int = 1,
+    short_blocks: bool = False,
+    subblock_gain: tuple = (0, 0, 0),
+    scalefacs: dict | None = None,
+    scalefac_scale: int = 0,
+    scfsi: bool = False,
     _table_select: int = 1,
     _count1_select: int = 1,
 ) -> bytes:
@@ -789,7 +798,23 @@ def encode_mp3_tones(
     Huffman-boundary quarantine path: values outside the registered
     subset produce frames whose DECODE must raise
     ``NotImplementedError`` (the bitstream itself stays framed
-    correctly)."""
+    correctly).
+
+    Decoder-path options (each forces one otherwise-unreachable
+    decode path, the correctness-encoder discipline):
+
+    - ``short_blocks=True`` — every granule is block_type 2
+      (window_switching side-info shape, 3×12-point IMDCT, short
+      reorder, ``subblock_gain``); ``lines`` are then SHORT-window
+      frequency lines 0..191, placed identically in all three
+      windows (line f ≈ (f+0.5)·fs/384 Hz).
+    - ``scalefacs`` — {long_band: value 0..3} written with
+      scalefac_compress 9 (slen 2/2); requantization scales band b
+      by ``2^(−0.5·(1+scalefac_scale)·value)``.
+    - ``scfsi=True`` — granule 1 OMITS its scalefactor bits and the
+      scfsi mask makes the decoder reuse granule 0's (long blocks
+      only, per spec).
+    """
     if sample_rate not in SAMPLE_RATES_V1:
         raise ValueError(f"sample_rate must be one of {SAMPLE_RATES_V1}")
     if bitrate_kbps not in BITRATES_V1_L3:
@@ -798,7 +823,25 @@ def encode_mp3_tones(
         raise ValueError("need at least one spectral line")
     if channels not in (1, 2):
         raise ValueError("channels must be 1 or 2")
-    max_line = max(l for l, _ in lines)
+    if short_blocks and (scalefacs or scfsi):
+        raise ValueError("scalefacs/scfsi options are long-block-only here")
+    if short_blocks:
+        if max(l for l, _ in lines) >= 192:
+            raise ValueError("short-block lines are 0..191 (per window)")
+        widths = SFB_SHORT[sample_rate]
+        bases = [0]
+        for w_ in widths:
+            bases.append(bases[-1] + w_)
+        idxs = set()
+        for f, _a in lines:
+            b = next(i for i in range(13) if bases[i] <= f < bases[i + 1])
+            for w_i in range(3):
+                idxs.add(3 * bases[b] + w_i * widths[b] + (f - bases[b]))
+        line_set = idxs
+        max_line = max(idxs)
+    else:
+        line_set = {l for l, _ in lines}
+        max_line = max(line_set)
     if max_line >= 576:
         raise ValueError("spectral lines are 0..575")
     amp = max(a for _, a in lines)
@@ -807,11 +850,27 @@ def encode_mp3_tones(
     sr_idx = SAMPLE_RATES_V1.index(sample_rate)
     br_idx = BITRATES_V1_L3.index(bitrate_kbps)
     frame_len = 144 * bitrate_kbps * 1000 // sample_rate
-    line_set = {l for l, _ in lines}
     big_values = (max_line // 2) + 1
     enc = HUFFMAN_PAIR_TABLES[1]["enc"]
+    sf_compress = 9 if scalefacs else 0  # SLEN[9] = (2, 2)
+    slen1, slen2 = SLEN[sf_compress]
+    sf_vals = dict(scalefacs or {})
+    if any(not (0 <= v < 4) or not (0 <= b < 21) for b, v in sf_vals.items()):
+        raise ValueError("scalefacs: bands 0..20, values 0..3")
 
-    def put_granule_payload(w: _BitWriter) -> None:
+    def put_scalefacs(w: _BitWriter) -> int:
+        bits = 0
+        for band in range(11):
+            w.put(sf_vals.get(band, 0), slen1)
+            bits += slen1
+        for band in range(11, 21):
+            w.put(sf_vals.get(band, 0), slen2)
+            bits += slen2
+        return bits
+
+    def put_granule_payload(w: _BitWriter, with_sf: bool) -> None:
+        if with_sf:
+            put_scalefacs(w)
         for p in range(big_values):
             x = 1 if 2 * p in line_set else 0
             y = 1 if 2 * p + 1 in line_set else 0
@@ -822,23 +881,38 @@ def encode_mp3_tones(
             if y:
                 w.put(0, 1)
 
-    probe = _BitWriter()
-    put_granule_payload(probe)
-    part23 = probe.bit_length()
+    def part23_bits(granule: int) -> int:
+        probe = _BitWriter()
+        put_granule_payload(probe, _sf_in_granule(granule))
+        return probe.bit_length()
 
-    def put_channel_side(side: _BitWriter) -> None:
-        side.put(part23, 12)
+    def _sf_in_granule(granule: int) -> bool:
+        if sf_compress == 0:
+            return False
+        return granule == 0 or not scfsi
+
+    def put_channel_side(side: _BitWriter, granule: int) -> None:
+        side.put(part23_bits(granule), 12)
         side.put(big_values, 9)
         side.put(gg, 8)
-        side.put(0, 4)   # scalefac_compress 0 -> zero sf bits
-        side.put(0, 1)   # window_switching 0 (long)
-        side.put(_table_select, 5)   # table_select region0
-        side.put(_table_select, 5)   # region1
-        side.put(_table_select, 5)   # region2
-        side.put(7, 4)   # region0_count
-        side.put(7, 3)   # region1_count
+        side.put(sf_compress, 4)
+        if short_blocks:
+            side.put(1, 1)   # window_switching
+            side.put(2, 2)   # block_type 2 (short)
+            side.put(0, 1)   # mixed_block
+            side.put(_table_select, 5)   # table_select region0
+            side.put(_table_select, 5)   # region1
+            for sbg in subblock_gain:
+                side.put(sbg, 3)
+        else:
+            side.put(0, 1)   # window_switching 0 (long)
+            side.put(_table_select, 5)   # table_select region0
+            side.put(_table_select, 5)   # region1
+            side.put(_table_select, 5)   # region2
+            side.put(7, 4)   # region0_count
+            side.put(7, 3)   # region1_count
         side.put(0, 1)   # preflag
-        side.put(0, 1)   # scalefac_scale
+        side.put(scalefac_scale & 1, 1)
         side.put(_count1_select & 1, 1)  # count1table_select
 
     frames = []
@@ -846,16 +920,18 @@ def encode_mp3_tones(
         side = _BitWriter()
         side.put(0, 9)                       # main_data_begin: no reservoir
         side.put(0, 5 if channels == 1 else 3)  # private
-        side.put(0, 4 * channels)            # scfsi
-        for _g in range(2):
+        scfsi_bits = 0b1111 if (scfsi and sf_compress) else 0
+        for _c in range(channels):
+            side.put(scfsi_bits, 4)
+        for g in range(2):
             for _c in range(channels):
-                put_channel_side(side)
+                put_channel_side(side, g)
         side_bytes = side.bytes_padded()
         assert len(side_bytes) == (17 if channels == 1 else 32)
         main = _BitWriter()
-        for _g in range(2):  # both granules, all channels: same spectrum
+        for g in range(2):  # both granules, all channels: same spectrum
             for _c in range(channels):
-                put_granule_payload(main)
+                put_granule_payload(main, _sf_in_granule(g))
         main_bytes = main.bytes_padded()
         # header: sync, MPEG-1, Layer III, no CRC
         h1 = 0xE0 | (3 << 3) | (1 << 1) | 1
