@@ -380,3 +380,45 @@ def test_scalefactors_and_scfsi_sharing():
         encode_mp3_tones(short_blocks=True, scfsi=True)
     with pytest.raises(ValueError, match="bands 0..20"):
         encode_mp3_tones(scalefacs={25: 1})
+
+
+def test_mixed_blocks_long_and_short_regions():
+    """Mixed block_type-2 granules: low two subbands stay long-coded
+    (long-line frequency map), short bands 3..12 carry the rest
+    (short-line map); mixed alias reduction is restricted to the
+    long-region boundary."""
+    m_long = decode_mp3(
+        encode_mp3_tones(44100, lines=((20, 0.5),), n_frames=8, mixed_blocks=True)
+    )[2]
+    want = 20.5 * 44100 / 1152
+    assert abs(_peak_hz(m_long, 44100) - want) <= 44100 / 1152
+    m_short = decode_mp3(
+        encode_mp3_tones(44100, lines=((60, 0.5),), n_frames=8, mixed_blocks=True)
+    )[2]
+    want = 60.5 * 44100 / 384
+    assert abs(_peak_hz(m_short, 44100) - want) <= 44100 / 384
+    with pytest.raises(ValueError, match="one of"):
+        encode_mp3_tones(short_blocks=True, mixed_blocks=True)
+
+
+def test_block_type_transition_sequence():
+    """long → start → short → stop window cycling across granules:
+    the tone survives every transition with a coherent spectrum and
+    healthy energy (a wrong transition window would modulate or
+    cancel the overlap-add)."""
+    pcm = decode_mp3(
+        encode_mp3_tones(
+            44100, lines=((42, 0.5),), n_frames=8,
+            block_type_sequence=(0, 1, 2, 3),
+        )
+    )[2]
+    x = pcm[len(pcm) // 2 :]
+    # dominant component near the requested frequency in either the
+    # long map or the type-2 granules' short-mapped frequency
+    f = _peak_hz(pcm, 44100)
+    want_long = 42.5 * 44100 / 1152
+    want_short = (42 // 3 + 0.5) * 44100 / 384
+    assert min(abs(f - want_long), abs(f - want_short)) <= 44100 / 384
+    assert float(np.sqrt((x**2).mean())) > 0.3
+    with pytest.raises(ValueError, match="block types"):
+        encode_mp3_tones(block_type_sequence=(5,))

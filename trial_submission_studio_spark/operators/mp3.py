@@ -459,8 +459,8 @@ def _requantize(is_, gr, sf_long, sf_short, fs):
     return xr
 
 
-def _alias_reduce(xr, n_subbands_from: int = 1):
-    for b in range(n_subbands_from, 32):
+def _alias_reduce(xr, n_subbands_from: int = 1, n_subbands_to: int = 32):
+    for b in range(n_subbands_from, n_subbands_to):
         base = 18 * b
         for i in range(8):
             lo = xr[base - 1 - i]
@@ -739,13 +739,13 @@ def decode_mp3(payload: bytes):
                 xrs = [(m + s) * inv, (m - s) * inv]
             for c in range(nch):
                 gr = granules[g][c]
-                short_pure = (
-                    gr["window_switching"]
-                    and gr["block_type"] == 2
-                    and not gr["mixed_block"]
-                )
-                if not short_pure:
+                is_short = gr["window_switching"] and gr["block_type"] == 2
+                if not is_short:
                     _alias_reduce(xrs[c])
+                elif gr["mixed_block"]:
+                    # mixed: alias reduction on the two lower (long)
+                    # subbands only — the single boundary at line 18
+                    _alias_reduce(xrs[c], 1, 2)
                 sub = _imdct_granule(xrs[c], gr, overlaps[c])
                 frame_pcm[c][g * 576 : (g + 1) * 576] = synths[c].run(sub)
         if ok:
@@ -772,6 +772,8 @@ def encode_mp3_tones(
     bitrate_kbps: int = 128,
     channels: int = 1,
     short_blocks: bool = False,
+    mixed_blocks: bool = False,
+    block_type_sequence: tuple | None = None,
     subblock_gain: tuple = (0, 0, 0),
     scalefacs: dict | None = None,
     scalefac_scale: int = 0,
@@ -814,6 +816,15 @@ def encode_mp3_tones(
     - ``scfsi=True`` — granule 1 OMITS its scalefactor bits and the
       scfsi mask makes the decoder reuse granule 0's (long blocks
       only, per spec).
+    - ``mixed_blocks=True`` — block_type 2 with the mixed flag: the
+      low two subbands stay long-coded (``lines`` < 36 are long
+      spectral lines at (ℓ+0.5)·fs/1152 Hz), short bands 3..12 carry
+      the rest (``lines`` ≥ 12 are short-window lines as in
+      ``short_blocks``; per-window tripling applied).
+    - ``block_type_sequence`` — per-granule window types across the
+      stream (values 0/1/2/3 with long-block spectral layout for
+      0/1/3 and the short layout for 2), exercising the start/stop
+      transition windows.
     """
     if sample_rate not in SAMPLE_RATES_V1:
         raise ValueError(f"sample_rate must be one of {SAMPLE_RATES_V1}")
@@ -823,22 +834,60 @@ def encode_mp3_tones(
         raise ValueError("need at least one spectral line")
     if channels not in (1, 2):
         raise ValueError("channels must be 1 or 2")
-    if short_blocks and (scalefacs or scfsi):
+    if (short_blocks or mixed_blocks or block_type_sequence) and (
+        scalefacs or scfsi
+    ):
         raise ValueError("scalefacs/scfsi options are long-block-only here")
-    if short_blocks:
-        if max(l for l, _ in lines) >= 192:
-            raise ValueError("short-block lines are 0..191 (per window)")
+    if short_blocks and mixed_blocks:
+        raise ValueError("pick one of short_blocks / mixed_blocks")
+    if block_type_sequence:
+        if short_blocks or mixed_blocks:
+            raise ValueError(
+                "block_type_sequence replaces short_blocks/mixed_blocks"
+            )
+        if any(bt not in (0, 1, 2, 3) for bt in block_type_sequence):
+            raise ValueError("block types are 0..3")
+
+    def _short_indices(fs_lines, band_lo=0, pos_base=0, freq_base=0):
         widths = SFB_SHORT[sample_rate]
         bases = [0]
         for w_ in widths:
             bases.append(bases[-1] + w_)
         idxs = set()
-        for f, _a in lines:
-            b = next(i for i in range(13) if bases[i] <= f < bases[i + 1])
+        for f in fs_lines:
+            b = next(
+                i for i in range(13) if bases[i] <= f < bases[i + 1]
+            )
+            if b < band_lo:
+                raise ValueError(
+                    f"short line {f} falls below band {band_lo} (mixed "
+                    "low subbands are long-coded)"
+                )
+            off = pos_base + 3 * (bases[b] - freq_base)
             for w_i in range(3):
-                idxs.add(3 * bases[b] + w_i * widths[b] + (f - bases[b]))
-        line_set = idxs
-        max_line = max(idxs)
+                idxs.add(off + w_i * widths[b] + (f - bases[b]))
+        return idxs
+
+    if short_blocks:
+        if max(l for l, _ in lines) >= 192:
+            raise ValueError("short-block lines are 0..191 (per window)")
+        line_set = _short_indices([l for l, _ in lines])
+        max_line = max(line_set)
+    elif mixed_blocks:
+        # lines < 36: LONG spectral lines (the low-subband region);
+        # lines >= 36: SHORT-window frequency lines (>= the mixed
+        # boundary freq_base=12 by construction of the band tables)
+        long_part = [l for l, _ in lines if l < 36]
+        short_part = [l for l, _ in lines if l >= 36]
+        if any(l >= 192 for l in short_part):
+            raise ValueError("mixed short lines are 36..191 (per window)")
+        n_long = _long_band_index(sample_rate)[8]
+        line_set = set(long_part)
+        if short_part:
+            line_set |= _short_indices(
+                short_part, band_lo=3, pos_base=n_long, freq_base=n_long // 3
+            )
+        max_line = max(line_set)
     else:
         line_set = {l for l, _ in lines}
         max_line = max(line_set)
@@ -868,12 +917,28 @@ def encode_mp3_tones(
             bits += slen2
         return bits
 
-    def put_granule_payload(w: _BitWriter, with_sf: bool) -> None:
+    # per-block-type spectral layout: block_type_sequence granules of
+    # type 2 remap each long line l to the short-window line at the
+    # same frequency (l // 3)
+    _layouts: dict[int, tuple[set, int]] = {}
+
+    def layout(bt: int) -> tuple[set, int]:
+        got = _layouts.get(bt)
+        if got is None:
+            if block_type_sequence and bt == 2:
+                ls = _short_indices(sorted({l // 3 for l, _ in lines}))
+            else:
+                ls = line_set
+            _layouts[bt] = got = (ls, max(ls) // 2 + 1)
+        return got
+
+    def put_granule_payload(w: _BitWriter, with_sf: bool, bt: int) -> None:
+        ls, bv = layout(bt)
         if with_sf:
             put_scalefacs(w)
-        for p in range(big_values):
-            x = 1 if 2 * p in line_set else 0
-            y = 1 if 2 * p + 1 in line_set else 0
+        for p in range(bv):
+            x = 1 if 2 * p in ls else 0
+            y = 1 if 2 * p + 1 in ls else 0
             code, hlen = enc[(x, y)]
             w.put(code, hlen)
             if x:
@@ -881,9 +946,9 @@ def encode_mp3_tones(
             if y:
                 w.put(0, 1)
 
-    def part23_bits(granule: int) -> int:
+    def part23_bits(granule: int, bt: int) -> int:
         probe = _BitWriter()
-        put_granule_payload(probe, _sf_in_granule(granule))
+        put_granule_payload(probe, _sf_in_granule(granule), bt)
         return probe.bit_length()
 
     def _sf_in_granule(granule: int) -> bool:
@@ -891,15 +956,21 @@ def encode_mp3_tones(
             return False
         return granule == 0 or not scfsi
 
-    def put_channel_side(side: _BitWriter, granule: int) -> None:
-        side.put(part23_bits(granule), 12)
-        side.put(big_values, 9)
+    def bt_for(frame: int, granule: int) -> int:
+        if block_type_sequence:
+            seq = block_type_sequence
+            return seq[(2 * frame + granule) % len(seq)]
+        return 2 if (short_blocks or mixed_blocks) else 0
+
+    def put_channel_side(side: _BitWriter, granule: int, bt: int) -> None:
+        side.put(part23_bits(granule, bt), 12)
+        side.put(layout(bt)[1], 9)  # big_values
         side.put(gg, 8)
         side.put(sf_compress, 4)
-        if short_blocks:
+        if bt != 0:
             side.put(1, 1)   # window_switching
-            side.put(2, 2)   # block_type 2 (short)
-            side.put(0, 1)   # mixed_block
+            side.put(bt, 2)
+            side.put(1 if mixed_blocks else 0, 1)  # mixed_block
             side.put(_table_select, 5)   # table_select region0
             side.put(_table_select, 5)   # region1
             for sbg in subblock_gain:
@@ -916,7 +987,7 @@ def encode_mp3_tones(
         side.put(_count1_select & 1, 1)  # count1table_select
 
     frames = []
-    for _f in range(n_frames):
+    for f_i in range(n_frames):
         side = _BitWriter()
         side.put(0, 9)                       # main_data_begin: no reservoir
         side.put(0, 5 if channels == 1 else 3)  # private
@@ -925,13 +996,13 @@ def encode_mp3_tones(
             side.put(scfsi_bits, 4)
         for g in range(2):
             for _c in range(channels):
-                put_channel_side(side, g)
+                put_channel_side(side, g, bt_for(f_i, g))
         side_bytes = side.bytes_padded()
         assert len(side_bytes) == (17 if channels == 1 else 32)
         main = _BitWriter()
         for g in range(2):  # both granules, all channels: same spectrum
             for _c in range(channels):
-                put_granule_payload(main, _sf_in_granule(g))
+                put_granule_payload(main, _sf_in_granule(g), bt_for(f_i, g))
         main_bytes = main.bytes_padded()
         # header: sync, MPEG-1, Layer III, no CRC
         h1 = 0xE0 | (3 << 3) | (1 << 1) | 1
