@@ -229,8 +229,8 @@ def test_probe_media_reports_mp3_duration(spark):
     )
     row = probe_media(df).collect()[0]
     assert row["mime"] == "audio/mpeg"
-    # CBR estimate: filesize/bitrate
-    assert abs(row["duration_ms"] - 1000 * 10 * 1152 / 44100) < 40
+    # exact per-frame header walk (not the CBR filesize estimate)
+    assert row["duration_ms"] == int(round(1000 * 10 * 1152 / 44100))
 
 
 from hypothesis import given, settings

@@ -675,8 +675,7 @@ def _make_container_probes():
                 sr = rates[(payload[i + 2] >> 2) & 0x3]
                 if ver == 3 and layer == 1 and br and sr:  # MPEG-1 L3
                     # VBR: a Xing/Info tag in the first frame carries
-                    # the exact frame count (1152 samples per frame);
-                    # the filesize/bitrate estimate is CBR-only
+                    # the exact frame count (1152 samples per frame)
                     head = payload[i : i + 256]
                     for tag in (b"Xing", b"Info"):
                         t = head.find(tag)
@@ -687,6 +686,20 @@ def _make_container_probes():
                                     head[t + 8 : t + 12], "big"
                                 )
                                 return int(round(1000.0 * n_frames * 1152 / sr))
+                    # no Xing: exact per-frame header walk (4 header
+                    # bytes per frame — still header-only; handles
+                    # VBR and trailing-tag streams the filesize/
+                    # bitrate CBR estimate gets wrong)
+                    try:
+                        from trial_submission_studio_spark.operators.mp3 import (
+                            mp3_stream_info,
+                        )
+
+                        info = mp3_stream_info(payload[i:])
+                        if info is not None:
+                            return info["duration_ms"]
+                    except Exception:
+                        pass
                     return int(round((len(payload) - i) * 8.0 / (br * 1000) * 1000))
             i += 1
         return None
