@@ -526,3 +526,65 @@ def test_vacuum_reclaims_crashed_append_orphans(
     # a legacy (manifest-less) dir refuses to vacuum
     with pytest.raises(ValueError, match="no published manifest"):
         vacuum_bm25_index(str(tmp_path / "nothing_here"))
+
+
+def test_compact_bm25_index_folds_increments(spark, index, tmp_path):
+    """After two appends, compaction rewrites the index as ONE run:
+    scores stay byte-identical, df deltas collapse to one row per
+    term, pruning still reaches the scan, time travel to the
+    pre-compaction version still resolves, and retire+vacuum
+    reclaims the old runs."""
+    import os
+
+    import trial_submission_studio_spark.io.versioned as ver
+    from trial_submission_studio_spark.operators.bm25 import (
+        append_saved_bm25_index,
+        compact_bm25_index,
+        load_bm25_index,
+        save_bm25_index,
+        vacuum_bm25_index,
+    )
+
+    path = str(tmp_path / "bm25_opt")
+    save_bm25_index(index, path, term_buckets=8)
+    n1 = spark.createDataFrame(NEW_DOCS[:1], "doc_id long, text string")
+    n2 = spark.createDataFrame(NEW_DOCS[1:], "doc_id long, text string")
+    append_saved_bm25_index(spark, path, n1, "text")
+    idx_pre = append_saved_bm25_index(spark, path, n2, "text")
+    want = _topk_rows(idx_pre, spark)
+    pre_version = ver.current_version(path)
+    # a term seen in several increments has several delta rows on disk
+    raw_rows = spark.read.parquet(f"{path}/term_dfs").count()
+    distinct_terms = idx_pre["term_dfs"].count()
+    assert raw_rows > distinct_terms
+
+    idx_c = compact_bm25_index(spark, path)
+    assert _topk_rows(idx_c, spark) == want
+    assert idx_c["n_docs"] == idx_pre["n_docs"]
+    assert idx_c["dl_sum"] == idx_pre["dl_sum"]
+    # one run per table now referenced; df deltas collapsed
+    m = ver.read_manifest(path)
+    runs = {f.split(os.sep)[1] for f in m["files"] if f.startswith("postings/")}
+    assert len(runs) == 1
+    comp_df_rows = sum(
+        1 for f in m["files"] if f.startswith("term_dfs/")
+    )  # files, not rows — but rows too:
+    assert (
+        spark.read.parquet(
+            *[os.path.join(path, f) for f in m["files"] if f.startswith("term_dfs/")]
+        ).count()
+        == distinct_terms
+    )
+    # pruning still plan-visible
+    q = spark.createDataFrame([(1, "quantum")], "qid long, qtext string")
+    got = bm25_topk(idx_c, q, "qid", "qtext", k=5)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__tb" in plan
+    # time travel: the pre-compaction version still reads
+    old_files = ver.read_manifest(path, pre_version)["files"]
+    assert all(os.path.exists(os.path.join(path, f)) for f in old_files)
+    # retire + vacuum reclaims the superseded runs
+    ver.retire_versions(path, keep_latest=1)
+    deleted = vacuum_bm25_index(path, min_age_seconds=0)
+    assert deleted
+    assert _topk_rows(load_bm25_index(spark, path), spark) == want

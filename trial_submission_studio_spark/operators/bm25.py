@@ -45,6 +45,7 @@ __all__ = [
     "load_bm25_index",
     "append_bm25_index",
     "append_saved_bm25_index",
+    "compact_bm25_index",
     "vacuum_bm25_index",
 ]
 
@@ -378,6 +379,49 @@ def append_saved_bm25_index(
             "bm25_stats": merged_meta,
             "append_of": m["version"],
             "n_new_files": len(new_files),
+        },
+    )
+    return load_bm25_index(spark, path)
+
+
+def compact_bm25_index(spark: SparkSession, path: str) -> dict:
+    """Fold an append-forever index back into ONE run — the OPTIMIZE
+    twin of `io/versioned.py:compact_version` for the bm25 layout.
+
+    After k increments a term's postings live in up to k small files
+    per bucket and its document frequency is spread over up to k
+    delta rows; queries pay k file opens per pruned bucket and the
+    within-partition (term, id) row-group sort only holds per
+    increment. Compaction reads the CURRENT manifest, sums the df
+    deltas to one row per term, rewrites all three tables as a fresh
+    immutable run (restoring the global bucket sort), and publishes
+    a new manifest referencing only that run — an ordinary
+    append-only commit, so time travel to pre-compaction versions
+    still works until they are retired and the old runs vacuumed
+    (`io.versioned.retire_versions` + :func:`vacuum_bm25_index`).
+    Scalars are unchanged (compaction moves bytes, not statistics).
+
+    Returns the reopened index dict."""
+    idx = load_bm25_index(spark, path)
+    nb = int(idx["term_buckets"])
+    m = _ver.read_manifest(path)
+    compacted = {
+        "postings": idx["postings"].drop(_TB),
+        "doc_lens": idx["doc_lens"],
+        # load_bm25_index already re-aggregates the deltas: one row
+        # per (bucket, term) lands in the rewrite
+        "term_dfs": idx["term_dfs"].drop(_TB),
+        "n_docs": idx["n_docs"],
+        "avgdl": idx["avgdl"],
+        "dl_sum": idx["dl_sum"],
+    }
+    files = _write_index_run(compacted, path, nb)
+    _ver.publish_files(
+        path,
+        files,
+        metadata={
+            "bm25_stats": _stats_meta(compacted, nb),
+            "compaction_of": m["version"],
         },
     )
     return load_bm25_index(spark, path)
