@@ -532,3 +532,41 @@ def test_prepare_corpus_drop_attribution(spark):
     assert dropped2.columns == ["doc_id", "dropped_at"]
     assert dropped2.count() == 0
     assert out2.count() == 9
+
+
+def test_prepare_corpus_pseudonymize_stage(spark):
+    """pii_pseudonymize_salt rewrites surviving text with consistent
+    tokens at the END of the pipeline (same email → same token across
+    documents); mutually exclusive with pii_redact."""
+    import re
+
+    import pytest
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(12)) + " mail a@x.com now.", "s"),
+            (2, " ".join(f"v{i}" for i in range(12)) + " mail a@x.com too.", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    cfg = CorpusConfig(
+        min_line_words=None, min_doc_tokens=None, paragraph_max_docs=None,
+        exact_dedup=False, near_dedup=False, contamination_threshold=None,
+        pii_pseudonymize_salt="r10",
+    )
+    out = {r["doc_id"]: r["text"] for r in
+           prepare_corpus(docs, "doc_id", "text", cfg).collect()}
+    t1 = re.findall(r"<EMAIL_[0-9a-f]{8}>", out[1])
+    t2 = re.findall(r"<EMAIL_[0-9a-f]{8}>", out[2])
+    assert t1 and t1 == t2            # cross-doc consistency
+    assert "a@x.com" not in out[1]
+    with pytest.raises(ValueError, match="ONE of"):
+        prepare_corpus(
+            docs, "doc_id", "text",
+            CorpusConfig(
+                min_line_words=None, min_doc_tokens=None,
+                paragraph_max_docs=None, exact_dedup=False,
+                near_dedup=False, contamination_threshold=None,
+                pii_redact=True, pii_pseudonymize_salt="x",
+            ),
+        )

@@ -108,3 +108,24 @@ def test_skeleton_plan_is_single_python_stage(spark):
     )
     assert plan.count("ArrowEvalPython") == 1
     assert "BatchEvalPython" not in plan
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    s=st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40
+    )
+)
+def test_skeleton_is_idempotent(spark, s):
+    """skeleton(skeleton(x)) == skeleton(x): the canonical form is a
+    fixed point, so re-running the scrub (pipeline restarts,
+    incremental batches) never changes keys."""
+    df = spark.createDataFrame([(s,)], "t string")
+    once = df.select(confusable_skeleton(F.col("t")).alias("v")).collect()[0]["v"]
+    df2 = spark.createDataFrame([(once,)], "t string")
+    twice = df2.select(confusable_skeleton(F.col("t")).alias("v")).collect()[0]["v"]
+    assert twice == once

@@ -95,6 +95,11 @@ class CorpusConfig:
     # what ships, after dedup/mix decisions are made on raw text)
     pii_max_total: int | None = None
     pii_redact: bool = False
+    # pseudonymize instead of blanket-redact: consistent salted-hash
+    # tokens (same value -> same token corpus-wide) so coreference
+    # and post-scrub dedup equality survive; mutually exclusive with
+    # pii_redact
+    pii_pseudonymize_salt: str | None = None
     stats: dict[str, int] = field(default_factory=dict)
 
 
@@ -326,11 +331,25 @@ def prepare_corpus(
         )
         out = _mark("rebalanced", out)
 
+    if cfg.pii_redact and cfg.pii_pseudonymize_salt is not None:
+        raise ValueError(
+            "pick ONE of pii_redact / pii_pseudonymize_salt"
+        )
     if cfg.pii_redact:
         from .operators.pii import redact_pii
 
         out = _mark(
             "pii_redacted", out.withColumn(text_col, redact_pii(text_col))
+        )
+    elif cfg.pii_pseudonymize_salt is not None:
+        from .operators.pii import pseudonymize_pii
+
+        out = _mark(
+            "pii_pseudonymized",
+            out.withColumn(
+                text_col,
+                pseudonymize_pii(text_col, salt=cfg.pii_pseudonymize_salt),
+            ),
         )
 
     if attribution:
