@@ -566,9 +566,6 @@ def test_compact_bm25_index_folds_increments(spark, index, tmp_path):
     m = ver.read_manifest(path)
     runs = {f.split(os.sep)[1] for f in m["files"] if f.startswith("postings/")}
     assert len(runs) == 1
-    comp_df_rows = sum(
-        1 for f in m["files"] if f.startswith("term_dfs/")
-    )  # files, not rows — but rows too:
     assert (
         spark.read.parquet(
             *[os.path.join(path, f) for f in m["files"] if f.startswith("term_dfs/")]

@@ -18,8 +18,12 @@ because those stages are closed-form math:
 - alias reduction (the 8 published butterfly coefficients);
 - IMDCT with all four block types (36-point long/start/stop,
   3×12-point short with reorder), overlap-add, frequency inversion;
-- the polyphase synthesis filterbank structure (V FIFO, 64×32
-  cosine matrixing, windowing, 16-tap accumulation).
+- the polyphase synthesis filterbank in its mathematically explicit
+  form (overlap-accumulate of the 32-band cosine-modulated
+  prototype — the ISO V-FIFO/U-assembly fast structure bakes sign
+  alternations into its Table B.3 constants, so without that exact
+  table the direct form is the one whose band orientation is
+  provably correct; see :func:`_build_synthesis_bank`).
 
 Two pieces of the format are TABULATED constants with no source in
 this container, and this module is explicit about the boundary
@@ -171,9 +175,6 @@ class _BitReader:
             pos += 1
         self.pos = pos
         return v
-
-    def bits_left(self) -> int:
-        return len(self.data) * 8 - self.pos
 
 
 class _BitWriter:
