@@ -2792,39 +2792,130 @@ def temperature_mix_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: pinned unigram-encode inventory, TIE-FREE BY CONSTRUCTION: piece i
+#: scores -(10^6 + i), so the Viterbi optimum uniquely minimizes
+#: (piece count, then sum of indices) - every optimal segmentation
+#: of a word has the SAME count and score, which makes the DP value
+#: (and the count recovered as round(-score/10^6)) engine-independent
+#: even when distinct optimal paths exist. Single letters cover the
+#: sanitized alphabet so the UNK fallback can never fire.
+UNIGRAM_PIECES: tuple = tuple(
+    [(ch, i) for i, ch in enumerate("abcdefghijklmnopqrstuvwxyz")]
+    + [
+        (m, 26 + j)
+        for j, m in enumerate(
+            ("the", "ing", "ion", "ent", "er", "re", "on", "an",
+             "st", "en", "ed", "or", "al", "at")
+        )
+    ]
+)
+_UNIGRAM_WORD_CAP = 16  # both engines DP over <=16-char tokens
+
+
 def unigram_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unigram-LM (SentencePiece-style) Viterbi encoding under a
-    PINNED piece inventory (operators/unigram.py:unigram_encode):
-    per-document piece count, encoded-character coverage, and an
-    md5 pin of the exact segmentation. Viterbi DP is not
-    ANSI-SQL-expressible, so this entry carries the driver's
-    rows-only check; the segmentation math itself is pinned by
-    tests/test_unigram.py (forward-backward vs exhaustive
-    enumeration at 1e-9, deterministic tie-breaks)."""
+    """Unigram-LM (SentencePiece-style) Viterbi encoding under the
+    pinned tie-free inventory (operators/unigram.py:unigram_encode)
+    -> (doc_id, n_pieces, score): optimal piece count and total DP
+    score over sanitized lowercase text (tokens capped at 16 chars
+    on both engines). FULLY oracle-checked: the DuckDB twin runs the
+    same DP as a 16-step unrolled max-recurrence over the distinct
+    word table - scores are exact negative integers in doubles, so
+    the hash comparison is bit-safe, and the tie-free inventory
+    makes n_pieces path-independent. The richer per-path outputs
+    (segmentation md5, ids) stay pinned by tests/test_unigram.py."""
     from trial_submission_studio_spark.operators.unigram import unigram_encode
 
-    # fixed morpheme-ish inventory: multi-char pieces priced better
-    # than their character spellouts, chars as fallback
-    pieces = {
-        "the": -2.0, "ing": -2.5, "ion": -2.7, "ent": -2.9, "ati": -3.0,
-        "er": -3.1, "re": -3.2, "on": -3.3, "an": -3.4, "st": -3.5,
-        "en": -3.6, "ed": -3.7, "or": -3.8, "al": -3.9, "te": -4.0,
-    }
-    for ch in "abcdefghijklmnopqrstuvwxyz0123456789":
-        pieces[ch] = -6.0
-    model = {"logp": pieces, "max_piece_len": 3, "lowercase": True}
+    logp = {p: -float(1_000_000 + i) for p, i in UNIGRAM_PIECES}
+    model = {"logp": logp, "max_piece_len": 3, "lowercase": False}
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    enc = unigram_encode(d, "text", model, out_col="pieces")
+    capped = F.array_join(
+        F.expr(
+            "transform(split(trim(regexp_replace(lower(coalesce(text, '')),"
+            f" '[^a-z]+', ' ')), ' +'), t -> substring(t, 1, {_UNIGRAM_WORD_CAP}))"
+        ),
+        " ",
+    )
+    enc = unigram_encode(
+        d.withColumn("__t", capped), "__t", model, out_col="pieces"
+    )
+    lp_map = F.create_map(
+        *[
+            x
+            for p, i in UNIGRAM_PIECES
+            for x in (F.lit(p), F.lit(-float(1_000_000 + i)))
+        ]
+    )
     return enc.select(
         "doc_id",
         F.size("pieces").cast("long").alias("n_pieces"),
         F.aggregate(
-            F.expr("transform(pieces, p -> length(p))"),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("n_chars_encoded"),
-        F.md5(F.concat_ws("", F.col("pieces"))).alias("pieces_md5"),
+            F.expr("pieces"),
+            F.lit(0.0),
+            lambda acc, p: acc + lp_map[p],
+        )
+        .cast("long")
+        .alias("score"),
     )
+
+
+def _unigram_oracle_sql() -> str:
+    """Generate the unrolled-Viterbi DuckDB twin (see
+    unigram_encode_docs): dp_i(w) = max over last-piece length 1..3
+    of dp_{i-len} + lp(piece), unrolled to the 16-char token cap."""
+    vals = ", ".join(
+        f"('{p}', {-(1_000_000 + i)}.0)" for p, i in UNIGRAM_PIECES
+    )
+    steps = []
+    for i in range(1, _UNIGRAM_WORD_CAP + 1):
+        branches = []
+        for plen in (1, 2, 3):
+            j = i - plen
+            if j < 0:
+                continue
+            branches.append(
+                f"SELECT d.w, d.s + pc.lp AS cand FROM dp{j} d "
+                f"JOIN pieces pc ON pc.p = substr(d.w, {j + 1}, {plen}) "
+                f"WHERE length(d.w) >= {i}"
+            )
+        steps.append(
+            f"dp{i} AS MATERIALIZED (SELECT w, max(cand) AS s FROM ("
+            + " UNION ALL ".join(branches)
+            + ") GROUP BY w)"
+        )
+    dp_union = " UNION ALL ".join(
+        f"SELECT w, {i} AS pos, s FROM dp{i}"
+        for i in range(1, _UNIGRAM_WORD_CAP + 1)
+    )
+    return f"""
+        WITH pieces(p, lp) AS (VALUES {vals}),
+        docs_clean AS (
+          SELECT doc_id,
+                 trim(regexp_replace(lower(coalesce(text, '')),
+                                     '[^a-z]+', ' ', 'g')) AS t
+          FROM documents
+        ),
+        toks AS MATERIALIZED (
+          SELECT doc_id, substr(w, 1, {_UNIGRAM_WORD_CAP}) AS w FROM (
+            SELECT doc_id, unnest(regexp_split_to_array(t, ' +')) AS w
+            FROM docs_clean WHERE t != ''
+          ) WHERE w != ''
+        ),
+        dp0 AS MATERIALIZED (SELECT DISTINCT w, 0.0 AS s FROM toks),
+        {", ".join(steps)},
+        dp_all AS ({dp_union}),
+        word_scores AS (
+          SELECT w, s,
+                 CAST(floor((-s + 500000) / 1000000) AS BIGINT) AS k
+          FROM dp_all WHERE pos = length(w)
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(sum(ws.k), 0) AS BIGINT) AS n_pieces,
+               CAST(coalesce(sum(ws.s), 0) AS BIGINT) AS score
+        FROM documents d
+        LEFT JOIN toks ON toks.doc_id = d.doc_id
+        LEFT JOIN word_scores ws ON ws.w = toks.w
+        GROUP BY d.doc_id
+    """
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3350,6 +3441,7 @@ def oracle_sql() -> dict[str, str]:
                      AS frac_a_shared_r6
             FROM pairs p JOIN tot t ON p.source_a = t.source_a
         """,
+        "unigram_encode_docs": _unigram_oracle_sql(),
         "temperature_mix_fractions": """
             WITH c AS (
               SELECT
