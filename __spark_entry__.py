@@ -811,7 +811,13 @@ def pii_redaction_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically in Spark and the oracle — then pins per-bucket match
     counts per class AND the redacted text itself (length sum +
     min/max md5). All codegen regexp expressions; zero shuffle
-    before the final 10-bucket agg."""
+    before the final 10-bucket agg.
+
+    The slot also carries the rest of the privacy family
+    (operators/privacy.py): a k-anonymity / l-diversity release
+    audit over a customer microdata twin plus the
+    suppress-then-re-audit invariant, crossJoined on as two 1-row
+    column blocks (ka_*)."""
     from trial_submission_studio_spark.operators.pii import (
         pii_counts,
         redact_pii,
@@ -849,7 +855,7 @@ def pii_redaction_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     counted = pii_counts(aug, "text").withColumn("red", redact_pii("text"))
-    return counted.groupBy(
+    gate = counted.groupBy(
         (F.col("doc_id") % 10).cast("long").alias("bucket")
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -863,6 +869,49 @@ def pii_redaction_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.md5("red")).alias("red_md5_min"),
         F.max(F.md5("red")).alias("red_md5_max"),
     )
+    # --- k-anonymity / l-diversity release audit (operators/
+    # privacy.py) riding the same privacy-family slot as two 1-row
+    # crossJoin columns blocks (merged-gate discipline: every
+    # component keeps its own columns + standalone callable).
+    # Microdata twin: customer with quasi = (nation, $1000 balance
+    # band), sensitive = market segment; k = 5. All-integer outputs
+    # so the hash comparison is exact.
+    from trial_submission_studio_spark.operators.privacy import (
+        equivalence_class_sizes,
+        generalize_band,
+        k_anonymity_report,
+        suppress_below_k,
+    )
+
+    quasi = ["c_nationkey", "bal_band"]
+    micro = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        generalize_band("c_acctbal", 1000).alias("bal_band"),
+        "c_mktsegment",
+    )
+    rep = k_anonymity_report(
+        micro, quasi, k=5, sensitive_col="c_mktsegment"
+    ).select(
+        F.col("n_rows").alias("ka_n_rows"),
+        F.col("n_classes").alias("ka_n_classes"),
+        F.col("k_anonymity").alias("ka_k_anonymity"),
+        F.col("n_classes_below_k").alias("ka_classes_below_k"),
+        F.col("n_rows_below_k").alias("ka_rows_below_k"),
+        F.col("n_unique_rows").alias("ka_unique_rows"),
+        F.col("l_diversity").alias("ka_l_diversity"),
+        F.col("n_homogeneous_classes").alias("ka_homog_classes"),
+    )
+    sup = equivalence_class_sizes(
+        suppress_below_k(micro, quasi, k=5), quasi
+    ).agg(
+        F.coalesce(F.sum("class_size"), F.lit(0))
+        .cast("long")
+        .alias("ka_kept_after_suppress"),
+        F.coalesce(F.min("class_size"), F.lit(0))
+        .cast("long")
+        .alias("ka_k_after_suppress"),
+    )
+    return gate.crossJoin(F.broadcast(rep)).crossJoin(F.broadcast(sup))
 
 
 def dedup_group_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3049,6 +3098,51 @@ def _pii_oracle_sql() -> str:
         """
 
 
+def _privacy_audit_sql() -> str:
+    """DuckDB twin of the ka_* column blocks in pii_redaction_gates:
+    the same two-level GROUP BY as operators/privacy.py
+    (k_anonymity_report + suppress_below_k at k=5) over the customer
+    microdata twin. Band arithmetic is floor(double/1000)*1000 in
+    both engines (identical IEEE ops on the same parquet doubles)."""
+    return """
+            WITH micro AS (
+              SELECT c_nationkey AS nk,
+                     CAST(floor(c_acctbal / 1000) AS BIGINT) * 1000 AS band,
+                     c_mktsegment AS seg
+              FROM customer
+            ),
+            cls AS (
+              SELECT nk, band,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(count(DISTINCT seg) AS BIGINT) AS ns
+              FROM micro GROUP BY nk, band
+            ),
+            rep AS (
+              SELECT CAST(sum(n) AS BIGINT) AS ka_n_rows,
+                     CAST(count(*) AS BIGINT) AS ka_n_classes,
+                     CAST(min(n) AS BIGINT) AS ka_k_anonymity,
+                     CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS ka_classes_below_k,
+                     CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+                       AS ka_rows_below_k,
+                     CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS ka_unique_rows,
+                     CAST(min(ns) AS BIGINT) AS ka_l_diversity,
+                     CAST(sum(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS ka_homog_classes
+              FROM cls
+            ),
+            sup AS (
+              SELECT CAST(coalesce(sum(n), 0) AS BIGINT)
+                       AS ka_kept_after_suppress,
+                     CAST(coalesce(min(n), 0) AS BIGINT)
+                       AS ka_k_after_suppress
+              FROM cls WHERE n >= 5
+            )
+            SELECT rep.*, sup.* FROM rep CROSS JOIN sup
+        """
+
+
 _STOPWORDS_SQL = "'" + "','".join(
     (
         "the", "a", "an", "and", "or", "of", "to", "in", "is", "are",
@@ -3933,7 +4027,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT cap_agg.*, mix_agg.* FROM cap_agg, mix_agg
         """,
-        "pii_redaction_gates": _pii_oracle_sql(),
+        "pii_redaction_gates": (
+            f"SELECT p.*, a.* FROM ({_pii_oracle_sql()}) p"
+            f" CROSS JOIN ({_privacy_audit_sql()}) a"
+        ),
         "text_analysis_gates": f"""
             WITH t AS (
               SELECT doc_id, lang, n_chars, trim(text) AS s,
