@@ -921,15 +921,90 @@ def dedup_group_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/dedup.py:duplicate_groups). Planted path components:
     edges (i, i+1) within 5-doc runs → rep(i) = i - i%5, which the
     oracle states in closed form. The length-5 paths force real
-    multi-round convergence."""
+    multi-round convergence.
+
+    The slot also carries the record-linkage family
+    (operators/linkage.py — resolution's two-source sibling) as a
+    1-row rl_* crossJoin block: customer vs a deterministic
+    dirty twin (one character deleted from the name at a
+    key-derived position, ids offset by 10M), blocked on
+    (nation, segment), scored with the explicit-fold levenshtein
+    similarity, thresholded at 0.9, then resolved to entities.
+    The DuckDB twin replays the same pipeline with a recursive-CTE
+    transitive closure standing in for the pointer-jumping CC loop
+    (components are tiny, so closure size is bounded)."""
     from trial_submission_studio_spark.operators.dedup import duplicate_groups
+    from trial_submission_studio_spark.operators.linkage import (
+        candidate_pairs,
+        pair_scores,
+        resolve_entities,
+    )
 
     d = _t(spark, sf_dir, "documents").select("doc_id")
     pairs = d.filter(F.col("doc_id") % 5 != 4).select(
         F.col("doc_id").alias("id_a"),
         (F.col("doc_id") + 1).alias("id_b"),
     )
-    return duplicate_groups(pairs)
+    groups = duplicate_groups(pairs)
+
+    cust = _t(spark, sf_dir, "customer")
+    blocks = ["c_nationkey", "c_mktsegment"]
+    a = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        *blocks,
+    )
+    b = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        (F.col("c_custkey") + 10_000_000).alias("id"),
+        F.expr(
+            "concat(substring(c_name, 1, cast(c_custkey % 8 + 11 as int) - 1),"
+            " substring(c_name, cast(c_custkey % 8 + 11 as int) + 1, 100))"
+        ).alias("name"),
+        *blocks,
+    )
+    cand = candidate_pairs(
+        a, b, id_col="id", block_cols=blocks, compare_cols=["name"]
+    )
+    scored = pair_scores(cand, ["name"])
+    m = scored.filter(F.col("sim") >= F.lit(0.9))
+    cand_n = cand.agg(F.count("*").cast("long").alias("rl_n_candidates"))
+    msum = m.agg(
+        F.count("*").cast("long").alias("rl_n_matches"),
+        F.coalesce(
+            F.sum(F.round(F.col("sim") * 1e6).cast("long")), F.lit(0)
+        )
+        .cast("long")
+        .alias("rl_sim_e6_sum"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.sort_array(
+                    F.collect_list(
+                        F.concat_ws(":", F.col("id_a"), F.col("id_b"))
+                    )
+                ),
+            )
+        ).alias("rl_pairs_md5"),
+    )
+    ents = resolve_entities(
+        a.select("id").unionByName(b.select("id")), m, id_col="id"
+    )
+    esum = (
+        ents.groupBy("entity_id")
+        .agg(F.count("*").alias("__n"))
+        .agg(
+            F.count("*").cast("long").alias("rl_n_entities"),
+            F.max("__n").cast("long").alias("rl_max_entity_size"),
+            F.sum(F.when(F.col("__n") > 1, F.col("__n")).otherwise(0))
+            .cast("long")
+            .alias("rl_n_merged_rows"),
+        )
+    )
+    return (
+        groups.crossJoin(F.broadcast(cand_n))
+        .crossJoin(F.broadcast(msum))
+        .crossJoin(F.broadcast(esum))
+    )
 
 
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4109,9 +4184,73 @@ def oracle_sql() -> dict[str, str]:
             FROM q GROUP BY lang
         """,
         "dedup_group_resolution": """
-            SELECT doc_id AS id,
-                   CAST(doc_id - doc_id % 5 AS BIGINT) AS rep
-            FROM documents
+            WITH RECURSIVE
+            a AS (
+              SELECT c_custkey AS id, c_name AS name,
+                     c_nationkey AS nk, c_mktsegment AS seg
+              FROM customer
+            ),
+            b AS (
+              SELECT c_custkey + 10000000 AS id,
+                     substr(c_name, 1, CAST(c_custkey % 8 + 11 AS INT) - 1)
+                       || substr(c_name, CAST(c_custkey % 8 + 11 AS INT) + 1, 100)
+                       AS name,
+                     c_nationkey AS nk, c_mktsegment AS seg
+              FROM customer WHERE c_custkey % 3 = 0
+            ),
+            cand AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     coalesce(a.name, '') AS na, coalesce(b.name, '') AS nb
+              FROM a JOIN b ON a.nk = b.nk AND a.seg = b.seg
+            ),
+            scored AS (
+              SELECT id_a, id_b,
+                     CASE WHEN greatest(length(na), length(nb)) = 0 THEN 1.0
+                          ELSE 1.0 - levenshtein(na, nb)
+                               / CAST(greatest(length(na), length(nb)) AS DOUBLE)
+                     END AS sim
+              FROM cand
+            ),
+            m AS (SELECT * FROM scored WHERE sim >= 0.9),
+            nodes AS (SELECT id FROM a UNION ALL SELECT id FROM b),
+            edges AS (
+              SELECT id_a AS s, id_b AS t FROM m
+              UNION ALL SELECT id_b, id_a FROM m
+            ),
+            reach AS (
+              SELECT id, id AS lab FROM nodes
+              UNION
+              SELECT e.t AS id, r.lab FROM reach r JOIN edges e ON e.s = r.id
+            ),
+            ent AS (SELECT id, min(lab) AS entity_id FROM reach GROUP BY id),
+            esz AS (SELECT entity_id, count(*) AS n FROM ent GROUP BY entity_id),
+            cand_n AS (
+              SELECT CAST(count(*) AS BIGINT) AS rl_n_candidates FROM cand
+            ),
+            msum AS (
+              SELECT CAST(count(*) AS BIGINT) AS rl_n_matches,
+                     CAST(coalesce(sum(CAST(round(sim * 1e6) AS BIGINT)), 0)
+                       AS BIGINT) AS rl_sim_e6_sum,
+                     md5(coalesce(string_agg(
+                       CAST(id_a AS VARCHAR) || ':' || CAST(id_b AS VARCHAR),
+                       ',' ORDER BY CAST(id_a AS VARCHAR) || ':'
+                                    || CAST(id_b AS VARCHAR)), ''))
+                       AS rl_pairs_md5
+              FROM m
+            ),
+            esum AS (
+              SELECT CAST(count(*) AS BIGINT) AS rl_n_entities,
+                     CAST(max(n) AS BIGINT) AS rl_max_entity_size,
+                     CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+                       AS rl_n_merged_rows
+              FROM esz
+            )
+            SELECT g.*, cand_n.*, msum.*, esum.*
+            FROM (
+              SELECT doc_id AS id,
+                     CAST(doc_id - doc_id % 5 AS BIGINT) AS rep
+              FROM documents
+            ) g CROSS JOIN cand_n CROSS JOIN msum CROSS JOIN esum
         """,
         "sample_stratified": """
             SELECT doc_id, lang FROM documents
