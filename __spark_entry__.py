@@ -1100,29 +1100,81 @@ def temporal_asof_locf_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def events_stream_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Merged events gate (slot economy): tumbling-window counts and
-    30-min sessionization live at different grains, so the union tags
-    rows with a component column and NULL-pads the off-component
-    columns — per-component columns keep each hash-pinned."""
+    """Merged events gate (slot economy): tumbling-window counts,
+    30-min sessionization, the view→click→purchase funnel (1-hour
+    window anchored at the view; operators/funnel.py:funnel_counts,
+    exact epoch-microsecond completion-time sums as the pin) and
+    day-grain cohort retention over the value>=30 activity slice
+    (cohort × offset distinct-user counts + distinct-id sums) live
+    at different grains, so the union tags rows with a component
+    column and NULL-pads the off-component columns — per-component
+    columns keep each hash-pinned. ``period_offset`` doubles as the
+    funnel step index; ``pin_sum`` carries each component's exact
+    integer pin."""
+    from trial_submission_studio_spark.operators.funnel import (
+        cohort_retention,
+        funnel_counts,
+    )
+
+    nl = lambda t: F.lit(None).cast(t)  # noqa: E731
     t = events_tumbling_window(spark, sf_dir).select(
         F.lit("tumbling").alias("component"),
         "window_start",
         "event_type",
         "n_events",
         "sum_value",
-        F.lit(None).cast("long").alias("user_id"),
-        F.lit(None).cast("long").alias("n_sessions"),
+        nl("long").alias("user_id"),
+        nl("long").alias("n_sessions"),
+        nl("long").alias("period_offset"),
+        nl("long").alias("pin_sum"),
     )
     s = events_sessionization(spark, sf_dir).select(
         F.lit("session").alias("component"),
-        F.lit(None).cast("string").alias("window_start"),
-        F.lit(None).cast("string").alias("event_type"),
+        nl("string").alias("window_start"),
+        nl("string").alias("event_type"),
         "n_events",
-        F.lit(None).cast("double").alias("sum_value"),
+        nl("double").alias("sum_value"),
         "user_id",
         "n_sessions",
+        nl("long").alias("period_offset"),
+        nl("long").alias("pin_sum"),
     )
-    return t.unionByName(s)
+    ev = _t(spark, sf_dir, "events")
+    fr = funnel_counts(
+        ev,
+        "user_id",
+        "ts",
+        [
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+        within_seconds=3600,
+    ).select(
+        F.lit("funnel").alias("component"),
+        nl("string").alias("window_start"),
+        F.col("step").alias("event_type"),
+        F.col("n_users").alias("n_events"),
+        nl("double").alias("sum_value"),
+        nl("long").alias("user_id"),
+        nl("long").alias("n_sessions"),
+        F.col("step_idx").alias("period_offset"),
+        F.col("ts_us_sum").alias("pin_sum"),
+    )
+    ret = cohort_retention(
+        ev.filter(F.col("value") >= 30), "user_id", "ts", period="day"
+    ).select(
+        F.lit("retention").alias("component"),
+        F.col("cohort").cast("string").alias("window_start"),
+        nl("string").alias("event_type"),
+        F.col("n_active").alias("n_events"),
+        nl("double").alias("sum_value"),
+        nl("long").alias("user_id"),
+        nl("long").alias("n_sessions"),
+        "period_offset",
+        F.col("user_id_sum").alias("pin_sum"),
+    )
+    return t.unionByName(s).unionByName(fr).unionByName(ret)
 
 
 def phrase_mining_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4334,17 +4386,46 @@ def oracle_sql() -> dict[str, str]:
             FROM k GROUP BY doc_id
         """,
         "events_stream_gates": """
+            WITH f1 AS (
+              SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY 1
+            ),
+            f2 AS (
+              SELECT e.user_id, min(e.ts) AS t2, min(f1.t1) AS t1
+              FROM events e JOIN f1 ON e.user_id = f1.user_id
+              WHERE e.event_type = 'click' AND e.ts > f1.t1
+                AND epoch_us(e.ts) <= epoch_us(f1.t1) + 3600000000
+              GROUP BY 1
+            ),
+            f3 AS (
+              SELECT e.user_id, min(e.ts) AS t3
+              FROM events e JOIN f2 ON e.user_id = f2.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > f2.t2
+                AND epoch_us(e.ts) <= epoch_us(f2.t1) + 3600000000
+              GROUP BY 1
+            ),
+            act AS (
+              SELECT DISTINCT user_id,
+                     CAST(date_trunc('day', ts) AS DATE) AS p
+              FROM events WHERE value >= 30
+            ),
+            fst AS (
+              SELECT user_id, min(p) AS cohort FROM act GROUP BY 1
+            )
             SELECT 'tumbling' AS component,
                    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                    event_type,
                    count(*) AS n_events,
                    round(sum(value), 2) AS sum_value,
                    CAST(NULL AS BIGINT) AS user_id,
-                   CAST(NULL AS BIGINT) AS n_sessions
+                   CAST(NULL AS BIGINT) AS n_sessions,
+                   CAST(NULL AS BIGINT) AS period_offset,
+                   CAST(NULL AS BIGINT) AS pin_sum
             FROM events GROUP BY 2, 3
             UNION ALL
             SELECT 'session', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
-                   n_events, CAST(NULL AS DOUBLE), user_id, n_sessions
+                   n_events, CAST(NULL AS DOUBLE), user_id, n_sessions,
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
             FROM (
               WITH lagged AS (
                 SELECT user_id, ts,
@@ -4363,6 +4444,31 @@ def oracle_sql() -> dict[str, str]:
                      count(*) AS n_events
               FROM flagged GROUP BY user_id
             )
+            UNION ALL
+            SELECT 'funnel', CAST(NULL AS VARCHAR), s.step,
+                   s.n, CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), s.idx, s.ts_sum
+            FROM (
+              SELECT CAST(1 AS BIGINT) AS idx, 'view' AS step,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(coalesce(sum(epoch_us(t1)), 0) AS BIGINT) AS ts_sum
+              FROM f1
+              UNION ALL
+              SELECT 2, 'click', CAST(count(*) AS BIGINT),
+                     CAST(coalesce(sum(epoch_us(t2)), 0) AS BIGINT) FROM f2
+              UNION ALL
+              SELECT 3, 'purchase', CAST(count(*) AS BIGINT),
+                     CAST(coalesce(sum(epoch_us(t3)), 0) AS BIGINT) FROM f3
+            ) s
+            UNION ALL
+            SELECT 'retention', strftime(f.cohort, '%Y-%m-%d'),
+                   CAST(NULL AS VARCHAR),
+                   CAST(count(*) AS BIGINT), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(date_diff('day', f.cohort, a.p) AS BIGINT),
+                   CAST(sum(a.user_id) AS BIGINT)
+            FROM act a JOIN fst f ON a.user_id = f.user_id
+            GROUP BY f.cohort, date_diff('day', f.cohort, a.p)
         """,
         "temporal_asof_locf_gates": """
             WITH clicks AS (
