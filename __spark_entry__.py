@@ -2754,7 +2754,54 @@ def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree = sym_diff.agg(
         (F.count(F.lit(1)) == 0).cast("long").alias("bloom_agrees")
     )
-    return novel.select("doc_id").crossJoin(stats).crossJoin(agree)
+    # --- row-level snapshot diff (operators/diff.py) rides the same
+    # corpus-lifecycle slot: release v2 = documents minus %17 keys,
+    # text mutated on %13, lang on %11, %19 keys re-added shifted —
+    # the summary + per-column drill-down as 1-row crossJoin blocks
+    # (md5 digest mode: the engine-portable canonical-string path).
+    from trial_submission_studio_spark.operators.diff import (
+        column_change_counts,
+        snapshot_diff_summary,
+    )
+
+    old_rel = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    new_rel = (
+        old_rel.filter(F.col("doc_id") % 17 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("xx"))
+            .otherwise(F.col("lang"))
+            .alias("lang"),
+        )
+        .unionByName(
+            old_rel.filter(F.col("doc_id") % 19 == 0).select(
+                (F.col("doc_id") + 5_000_000).alias("doc_id"), "text", "lang"
+            )
+        )
+    )
+    sd = snapshot_diff_summary(
+        old_rel, new_rel, ["doc_id"], ["text", "lang"], digest="md5"
+    ).select(
+        F.col("n_added").alias("sd_added"),
+        F.col("n_removed").alias("sd_removed"),
+        F.col("n_changed").alias("sd_changed"),
+        F.col("n_unchanged").alias("sd_unchanged"),
+        F.col("n_old").alias("sd_n_old"),
+        F.col("n_new").alias("sd_n_new"),
+    )
+    ccc = column_change_counts(old_rel, new_rel, ["doc_id"], ["text", "lang"])
+    return (
+        novel.select("doc_id")
+        .crossJoin(stats)
+        .crossJoin(agree)
+        .crossJoin(F.broadcast(sd))
+        .crossJoin(F.broadcast(ccc))
+    )
 
 
 def sketch_distinct_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4722,10 +4769,52 @@ def oracle_sql() -> dict[str, str]:
             nf AS (
               SELECT CAST(count(DISTINCT text) AS BIGINT) AS n
               FROM (SELECT text FROM corpus UNION ALL SELECT text FROM novel)
+            ),
+            old_rel AS (SELECT doc_id, text, lang FROM documents),
+            new_rel AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
+                          ELSE text END AS text,
+                     CASE WHEN doc_id % 11 = 0 THEN 'xx' ELSE lang END AS lang
+              FROM old_rel WHERE doc_id % 17 != 0
+              UNION ALL
+              SELECT doc_id + 5000000, text, lang
+              FROM old_rel WHERE doc_id % 19 = 0
+            ),
+            cls AS (
+              SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+                          WHEN n.doc_id IS NULL THEN 'removed'
+                          WHEN o.text IS DISTINCT FROM n.text
+                            OR o.lang IS DISTINCT FROM n.lang THEN 'changed'
+                          ELSE 'unchanged' END AS ct
+              FROM old_rel o FULL OUTER JOIN new_rel n ON o.doc_id = n.doc_id
+            ),
+            sd AS (
+              SELECT CAST(sum(CASE WHEN ct = 'added' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS sd_added,
+                     CAST(sum(CASE WHEN ct = 'removed' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS sd_removed,
+                     CAST(sum(CASE WHEN ct = 'changed' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS sd_changed,
+                     CAST(sum(CASE WHEN ct = 'unchanged' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS sd_unchanged,
+                     CAST(sum(CASE WHEN ct != 'added' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS sd_n_old,
+                     CAST(sum(CASE WHEN ct != 'removed' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS sd_n_new
+              FROM cls
+            ),
+            ccc AS (
+              SELECT CAST(sum(CASE WHEN o.text IS DISTINCT FROM n.text
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS chg_text,
+                     CAST(sum(CASE WHEN o.lang IS DISTINCT FROM n.lang
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS chg_lang
+              FROM old_rel o JOIN new_rel n ON o.doc_id = n.doc_id
             )
             SELECT novel.doc_id, (SELECT n FROM nf) AS n_seen_fps,
-                   CAST(1 AS BIGINT) AS bloom_agrees
-            FROM novel
+                   CAST(1 AS BIGINT) AS bloom_agrees,
+                   sd.*, ccc.*
+            FROM novel CROSS JOIN sd CROSS JOIN ccc
         """,
         "corpus_split_gates": """
             WITH b AS (
