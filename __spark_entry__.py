@@ -1835,11 +1835,37 @@ def j_crossdomain_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def v_domain_check_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V1 required-empty + V4 invalid-date + V6 text-too-long
-    single-row gates merged (crossJoin of 1-row aggregates)."""
+    single-row gates merged (crossJoin of 1-row aggregates) onto the
+    7-row spine of the GENERIC declarative expectations engine
+    (operators/expectations.py — the table-agnostic sibling of the
+    V-family): every check type exercised against orders (not_null /
+    accepted_values / in_range / matches_regex / expression fold
+    into ONE aggregation pass; unique is a two-level count agg;
+    foreign_key an anti-join against a deliberately-thinned customer
+    ref so orphans are nonzero). Row count = 7 by construction —
+    a green table yields zero counts, never an empty frame."""
+    from trial_submission_studio_spark.operators.expectations import expect
+
+    o = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 7 != 0)
+    spec = [
+        {"check": "not_null", "col": "o_custkey"},
+        {"check": "accepted_values", "col": "o_orderstatus", "values": ["O", "F"]},
+        {"check": "in_range", "col": "o_totalprice", "min": 0, "max": 200000},
+        {"check": "matches_regex", "col": "o_orderpriority", "pattern": "^[1-3]-"},
+        {
+            "check": "expression",
+            "name": "price_band",
+            "expr": "o_totalprice < 400000",
+        },
+        {"check": "unique", "cols": ["o_custkey"]},
+        {"check": "foreign_key", "col": "o_custkey", "ref": cust, "ref_col": "c_custkey"},
+    ]
     return (
-        v1_required_empty(spark, sf_dir)
-        .crossJoin(v4_invalid_dates(spark, sf_dir))
-        .crossJoin(v6_text_too_long(spark, sf_dir))
+        expect(o, spec)
+        .crossJoin(F.broadcast(v1_required_empty(spark, sf_dir)))
+        .crossJoin(F.broadcast(v4_invalid_dates(spark, sf_dir)))
+        .crossJoin(F.broadcast(v6_text_too_long(spark, sf_dir)))
     )
 
 
@@ -4075,6 +4101,49 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             )
             SELECT * FROM
+              (SELECT CAST(1 AS BIGINT) AS check_idx,
+                      'not_null(o_custkey)' AS "check",
+                      CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_violations
+               FROM orders
+               UNION ALL
+               SELECT 2, 'accepted_values(o_orderstatus)',
+                      CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                                     AND o_orderstatus NOT IN ('O', 'F')
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+               FROM orders
+               UNION ALL
+               SELECT 3, 'in_range(o_totalprice)',
+                      CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                                     AND (o_totalprice < 0 OR o_totalprice > 200000)
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+               FROM orders
+               UNION ALL
+               SELECT 4, 'matches_regex(o_orderpriority)',
+                      CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+                                     AND NOT regexp_matches(o_orderpriority, '^[1-3]-')
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+               FROM orders
+               UNION ALL
+               SELECT 5, 'price_band',
+                      CAST(sum(CASE WHEN coalesce(o_totalprice < 400000, FALSE)
+                                    THEN 0 ELSE 1 END) AS BIGINT)
+               FROM orders
+               UNION ALL
+               SELECT 6, 'unique(o_custkey)',
+                      (SELECT CAST(coalesce(sum(CASE WHEN n > 1 THEN n ELSE 0 END), 0)
+                         AS BIGINT)
+                       FROM (SELECT count(*) AS n FROM orders GROUP BY o_custkey))
+               UNION ALL
+               SELECT 7, 'foreign_key(o_custkey)',
+                      (SELECT CAST(count(*) AS BIGINT) FROM orders
+                       WHERE o_custkey IS NOT NULL
+                         AND o_custkey NOT IN
+                             (SELECT c_custkey FROM customer
+                              WHERE c_custkey % 7 != 0 AND c_custkey IS NOT NULL)))
+            CROSS JOIN
+              (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders)
+            CROSS JOIN
               (SELECT CAST(sum(CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_blank,
                       CAST(sum(CASE WHEN c_custkey % 7 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_filled
                FROM customer)
