@@ -275,6 +275,16 @@ def main() -> None:
         "crosssource_overlap_gates",
         "unigram_encode_docs",
         "hits_bench",
+        # round-10 second-half additions: the extended family gates
+        # (k-anonymity rides pii_redaction_gates; record linkage rides
+        # dedup_group_resolution; funnel+retention ride
+        # events_stream_gates; snapshot diff rides
+        # incremental_dedup_docs; expectations ride
+        # v_domain_check_gates)
+        "dedup_group_resolution",
+        "events_stream_gates",
+        "incremental_dedup_docs",
+        "v_domain_check_gates",
     )
     # LLM-pipeline extras that ALSO run in the 10× scale sweep — these
     # carry the 100 TB design claims, so their curvature is measured,
@@ -295,6 +305,17 @@ def main() -> None:
         "crosssource_overlap_gates",
         "unigram_encode_docs",
         "hits_bench",
+        # round-10 second-half: extended family gates (see
+        # EXTRA_QUERIES note). dedup_group_resolution is deliberately
+        # NOT swept: its record-linkage block keys are fixed
+        # (nation, segment), so the key-shifted replicas pile into
+        # the same blocks and candidate pairs grow quadratically —
+        # an artifact of the synthetic replica shape, not of the
+        # operator (real blocking keys refine with the population;
+        # linkage.oversized_blocks is the guard).
+        "events_stream_gates",
+        "incremental_dedup_docs",
+        "v_domain_check_gates",
     )
     for name in EXTRA_QUERIES:
         if name not in qs:
