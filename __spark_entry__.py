@@ -2941,9 +2941,47 @@ def t_order_window_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def t_lineitem_transform_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T7 study day + T9 numeric parse merged on the shared
-    (l_orderkey, l_linenumber) key (slot economy; both standalone)."""
-    return t7_study_day(spark, sf_dir).join(
-        t9_numeric_parse(spark, sf_dir), ["l_orderkey", "l_linenumber"]
+    (l_orderkey, l_linenumber) key (slot economy; both standalone).
+
+    Also carries the group-wise IQR outlier screen
+    (operators/outliers.py) as an ol_* 1-row crossJoin block:
+    Tukey fences per l_returnflag on l_extendedprice. percentile_disc
+    quartiles are ACTUAL dataset values, so the fences (and flags)
+    are engine-exact — parity fuzzed against DuckDB over 120
+    n×p combinations before this gate was declared."""
+    from trial_submission_studio_spark.operators.outliers import (
+        flag_outliers,
+        outlier_bounds,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    b = outlier_bounds(li, "l_extendedprice", ["l_returnflag"], k=0.2)
+    fl = flag_outliers(li, "l_extendedprice", ["l_returnflag"], k=0.2)
+    ol = fl.agg(
+        F.coalesce(F.sum(F.col("is_outlier").cast("long")), F.lit(0))
+        .cast("long")
+        .alias("ol_n_outliers"),
+        F.count(F.lit(1)).cast("long").alias("ol_n_rows"),
+    ).crossJoin(
+        F.broadcast(
+            b.agg(
+                # fences are exact doubles (dataset values +- exact
+                # IEEE arithmetic): pin their per-group sum via a
+                # deterministic long reinterpretation-free e2 scale
+                F.sum(F.round(F.col("lo") * 100).cast("long"))
+                .cast("long")
+                .alias("ol_lo_e2_sum"),
+                F.sum(F.round(F.col("hi") * 100).cast("long"))
+                .cast("long")
+                .alias("ol_hi_e2_sum"),
+                F.count(F.lit(1)).cast("long").alias("ol_n_groups"),
+            )
+        )
+    )
+    return (
+        t7_study_day(spark, sf_dir)
+        .join(t9_numeric_parse(spark, sf_dir), ["l_orderkey", "l_linenumber"])
+        .crossJoin(F.broadcast(ol))
     )
 
 
@@ -3670,10 +3708,40 @@ def oracle_sql() -> dict[str, str]:
                      END AS val
               FROM lineitem
             )
-            SELECT t7.l_orderkey, t7.l_linenumber, t7.dy, t9.val
+            SELECT t7.l_orderkey, t7.l_linenumber, t7.dy, t9.val,
+                   ol.*
             FROM t7 JOIN t9
               ON t7.l_orderkey = t9.l_orderkey
              AND t7.l_linenumber = t9.l_linenumber
+            CROSS JOIN (
+              WITH fences AS (
+                SELECT l_returnflag,
+                       q1 - (q3 - q1) * 0.2 AS lo,
+                       q3 + (q3 - q1) * 0.2 AS hi
+                FROM (
+                  SELECT l_returnflag,
+                         percentile_disc(0.25) WITHIN GROUP
+                           (ORDER BY l_extendedprice) AS q1,
+                         percentile_disc(0.75) WITHIN GROUP
+                           (ORDER BY l_extendedprice) AS q3
+                  FROM lineitem GROUP BY l_returnflag
+                )
+              )
+              SELECT
+                (SELECT CAST(coalesce(sum(CASE WHEN l_extendedprice IS NOT NULL
+                              AND (l_extendedprice < lo OR l_extendedprice > hi)
+                             THEN 1 ELSE 0 END), 0) AS BIGINT)
+                 FROM lineitem JOIN fences USING (l_returnflag))
+                  AS ol_n_outliers,
+                (SELECT CAST(count(*) AS BIGINT)
+                 FROM lineitem JOIN fences USING (l_returnflag))
+                  AS ol_n_rows,
+                (SELECT CAST(sum(CAST(round(lo * 100) AS BIGINT)) AS BIGINT)
+                 FROM fences) AS ol_lo_e2_sum,
+                (SELECT CAST(sum(CAST(round(hi * 100) AS BIGINT)) AS BIGINT)
+                 FROM fences) AS ol_hi_e2_sum,
+                (SELECT CAST(count(*) AS BIGINT) FROM fences) AS ol_n_groups
+            ) ol
         """,
         "ct_family_gates": """
             SELECT t8.decoded, t8.n,
