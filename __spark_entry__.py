@@ -1126,7 +1126,7 @@ def events_stream_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         nl("long").alias("user_id"),
         nl("long").alias("n_sessions"),
         nl("long").alias("period_offset"),
-        nl("long").alias("pin_sum"),
+        nl("string").alias("pin_sum"),
     )
     s = events_sessionization(spark, sf_dir).select(
         F.lit("session").alias("component"),
@@ -1137,7 +1137,7 @@ def events_stream_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "n_sessions",
         nl("long").alias("period_offset"),
-        nl("long").alias("pin_sum"),
+        nl("string").alias("pin_sum"),
     )
     ev = _t(spark, sf_dir, "events")
     fr = funnel_counts(
@@ -1159,7 +1159,7 @@ def events_stream_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         nl("long").alias("user_id"),
         nl("long").alias("n_sessions"),
         F.col("step_idx").alias("period_offset"),
-        F.col("ts_us_sum").alias("pin_sum"),
+        F.col("ts_us_sum").cast("string").alias("pin_sum"),
     )
     ret = cohort_retention(
         ev.filter(F.col("value") >= 30), "user_id", "ts", period="day"
@@ -1172,7 +1172,7 @@ def events_stream_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         nl("long").alias("user_id"),
         nl("long").alias("n_sessions"),
         "period_offset",
-        F.col("user_id_sum").alias("pin_sum"),
+        F.col("user_id_sum").cast("string").alias("pin_sum"),
     )
     return t.unionByName(s).unionByName(fr).unionByName(ret)
 
@@ -4604,12 +4604,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS BIGINT) AS user_id,
                    CAST(NULL AS BIGINT) AS n_sessions,
                    CAST(NULL AS BIGINT) AS period_offset,
-                   CAST(NULL AS BIGINT) AS pin_sum
+                   CAST(NULL AS VARCHAR) AS pin_sum
             FROM events GROUP BY 2, 3
             UNION ALL
             SELECT 'session', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
                    n_events, CAST(NULL AS DOUBLE), user_id, n_sessions,
-                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+                   CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
             FROM (
               WITH lagged AS (
                 SELECT user_id, ts,
@@ -4635,14 +4635,14 @@ def oracle_sql() -> dict[str, str]:
             FROM (
               SELECT CAST(1 AS BIGINT) AS idx, 'view' AS step,
                      CAST(count(*) AS BIGINT) AS n,
-                     CAST(coalesce(sum(epoch_us(t1)), 0) AS BIGINT) AS ts_sum
+                     CAST(CAST(coalesce(sum(epoch_us(t1)), 0) AS DECIMAL(38,0)) AS VARCHAR) AS ts_sum
               FROM f1
               UNION ALL
               SELECT 2, 'click', CAST(count(*) AS BIGINT),
-                     CAST(coalesce(sum(epoch_us(t2)), 0) AS BIGINT) FROM f2
+                     CAST(CAST(coalesce(sum(epoch_us(t2)), 0) AS DECIMAL(38,0)) AS VARCHAR) FROM f2
               UNION ALL
               SELECT 3, 'purchase', CAST(count(*) AS BIGINT),
-                     CAST(coalesce(sum(epoch_us(t3)), 0) AS BIGINT) FROM f3
+                     CAST(CAST(coalesce(sum(epoch_us(t3)), 0) AS DECIMAL(38,0)) AS VARCHAR) FROM f3
             ) s
             UNION ALL
             SELECT 'retention', strftime(f.cohort, '%Y-%m-%d'),
@@ -4650,7 +4650,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT), CAST(NULL AS DOUBLE),
                    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
                    CAST(date_diff('day', f.cohort, a.p) AS BIGINT),
-                   CAST(sum(a.user_id) AS BIGINT)
+                   CAST(CAST(sum(a.user_id) AS DECIMAL(38,0)) AS VARCHAR)
             FROM act a JOIN fst f ON a.user_id = f.user_id
             GROUP BY f.cohort, date_diff('day', f.cohort, a.p)
         """,

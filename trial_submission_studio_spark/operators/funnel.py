@@ -130,15 +130,20 @@ def funnel_counts(
     based), ``step``, ``n_users`` who reached it, and
     ``ts_us_sum`` — the sum of the step's epoch-microsecond
     completion times (an exact-integer pin of every per-user
-    timestamp, not just the count). Built by unpivoting
-    :func:`funnel_users`."""
+    timestamp, not just the count), accumulated as DECIMAL(38,0):
+    epoch-µs values are ~1.7e15, so a LONG sum overflows past ~5400
+    users under ANSI mode — caught by the sf1 bench sweep. Built by
+    unpivoting :func:`funnel_users`."""
     seq = _steps(steps)
     users = funnel_users(df, user_col, ts_col, steps, within_seconds)
     rows = [
         users.agg(
             F.count(F.col(f"t_{name}")).cast("long").alias("n_users"),
-            F.coalesce(F.sum(_us(F.col(f"t_{name}"))), F.lit(0))
-            .cast("long")
+            F.coalesce(
+                F.sum(_us(F.col(f"t_{name}")).cast("decimal(38,0)")),
+                F.lit(0),
+            )
+            .cast("decimal(38,0)")
             .alias("ts_us_sum"),
         ).select(
             F.lit(i + 1).cast("long").alias("step_idx"),
@@ -166,7 +171,8 @@ def cohort_retention(
     each row is ``(cohort, period_offset, n_active, user_id_sum)``
     — distinct active users of that cohort at that offset, plus the
     exact sum of their distinct ids (a set pin counts alone can't
-    give). Offset 0 is the cohort size by construction.
+    give; DECIMAL(38,0) so huge id spaces cannot overflow the sum).
+    Offset 0 is the cohort size by construction.
 
     ``period``: ``day`` / ``week`` / ``month`` (``date_trunc``
     units; week is ISO Monday-start in both Spark and DuckDB).
@@ -197,6 +203,8 @@ def cohort_retention(
         .groupBy("cohort", "period_offset")
         .agg(
             F.countDistinct("__u").cast("long").alias("n_active"),
-            F.sum_distinct(F.col("__u")).cast("long").alias("user_id_sum"),
+            F.sum_distinct(F.col("__u").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("user_id_sum"),
         )
     )
