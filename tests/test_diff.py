@@ -168,3 +168,42 @@ def test_versioned_roundtrip_integration(spark, tmp_path):
     new = read_version(spark, root, 2)
     s = snapshot_diff_summary(old, new, ["id"]).collect()[0]
     assert (s.n_added, s.n_removed, s.n_changed, s.n_unchanged) == (2, 2, 1, 7)
+
+
+def test_property_diff_recovers_planted_mutations(spark):
+    """Property: for ANY base table and disjoint removed/changed/
+    added key sets, snapshot_diff classifies exactly those keys."""
+    from hypothesis import given, settings, strategies as st
+
+    ids = st.lists(st.integers(0, 40), min_size=1, max_size=25, unique=True)
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        ids,
+        st.sets(st.integers(0, 40), max_size=8),      # removed ∩ base
+        st.sets(st.integers(0, 40), max_size=8),      # changed ∩ base
+        st.sets(st.integers(41, 60), max_size=5),     # added (disjoint)
+    )
+    def run(base_ids, rm, chg, add):
+        rm = rm & set(base_ids)
+        chg = (chg & set(base_ids)) - rm
+        old_rows = [(i, f"v{i}") for i in base_ids]
+        new_rows = (
+            [(i, f"v{i}") for i in base_ids if i not in rm and i not in chg]
+            + [(i, f"CHANGED{i}") for i in sorted(chg)]
+            + [(i, f"v{i}") for i in sorted(add)]
+        )
+        old = spark.createDataFrame(old_rows, "id long, s string")
+        new = spark.createDataFrame(new_rows, "id long, s string")
+        got = {
+            r.id: r.change_type
+            for r in snapshot_diff(old, new, ["id"]).collect()
+        }
+        want = (
+            {i: "removed" for i in rm}
+            | {i: "changed" for i in chg}
+            | {i: "added" for i in add}
+        )
+        assert got == want
+
+    run()

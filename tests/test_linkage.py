@@ -161,3 +161,41 @@ def test_plan_no_cartesian_and_blocked_join(people):
     assert "CartesianProduct" not in plan
     assert "levenshtein" in plan  # JVM expression, no Python eval
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_property_similarity_bounds_and_identity(spark):
+    """Property: sim_<c> is in [0, 1]; equal strings score exactly 1;
+    the score is symmetric in the pair orientation."""
+    from hypothesis import given, settings, strategies as st
+
+    words = st.text(alphabet="abcdef ", min_size=0, max_size=12)
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(st.tuples(words, words), min_size=1, max_size=10))
+    def run(pairs):
+        rows = [
+            (i, a, i + 1000, b, "blk") for i, (a, b) in enumerate(pairs)
+        ]
+        df = spark.createDataFrame(
+            rows, "id_a long, name_a string, id_b long, name_b string, blk string"
+        )
+        scored = pair_scores(df, ["name"]).collect()
+        rev = pair_scores(
+            df.selectExpr(
+                "id_b AS id_a", "name_b AS name_a",
+                "id_a AS id_b", "name_a AS name_b", "blk",
+            ),
+            ["name"],
+        ).collect()
+        for r, rr in zip(
+            sorted(scored, key=lambda r: r.id_a),
+            sorted(rev, key=lambda r: r.id_b),
+        ):
+            assert 0.0 <= r.sim_name <= 1.0
+            assert r.sim == r.sim_name
+            assert r.sim_name == rr.sim_name  # symmetric
+        for r, (a, b) in zip(sorted(scored, key=lambda r: r.id_a), pairs):
+            if (a or "") == (b or ""):
+                assert r.sim_name == 1.0
+
+    run()
