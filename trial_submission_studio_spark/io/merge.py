@@ -1,0 +1,304 @@
+"""MERGE / upsert / delete on versioned snapshots — copy-on-write at
+FILE grain, the Delta-Lake ``MERGE INTO`` shape over the
+`io/versioned.py` manifest protocol.
+
+Why file-grain matters at 100 TB: a CDC batch of a few million
+changed keys touches a tiny fraction of a corpus's data files. A
+naive upsert (full outer join + full rewrite) shuffles and rewrites
+ALL 100 TB for a 0.01% change. The table-format answer — Delta,
+Iceberg, Hudi copy-on-write — is:
+
+1. find the data files that CONTAIN a matched key (one key-projection
+   semi join, with the CDC key set broadcast when small; untouched
+   files are never opened beyond their key column),
+2. rewrite ONLY those files (anti-join out the matched rows, union
+   the new row versions),
+3. commit = carry every untouched file forward in the manifest +
+   add the fresh files — one atomic pointer swap
+   (`versioned.publish_files`), so readers see the old or the new
+   snapshot, never a half-merge, and time travel keeps working.
+
+Work scales with |affected data| + |source|, not |table|. The only
+driver-side collect is the affected FILE LIST (bounded by the
+manifest's file count, metadata-scale).
+
+Reference parity note: the reference's persistence layer
+(`/root/reference/crates/tss-persistence`) saves whole projects
+atomically but has no record-level merge; this module is part of the
+LLM-pipeline extension layer (corpus lifecycle at scale).
+
+Semantics (Delta ``MERGE INTO`` defaults):
+
+- matched target row + source row        -> UPDATE (source replaces)
+- source row with no matched target row  -> INSERT
+- matched + source ``delete_col`` true   -> DELETE
+- source delete row with no match        -> no-op
+- two source rows with the same key      -> REFUSED loudly (a
+  nondeterministic merge is a corrupted corpus; same as Delta's
+  multiple-source-rows-matched error)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import versioned
+
+__all__ = ["merge_version", "delete_matching"]
+
+
+def _strip_uri(p: str) -> str:
+    return p[len("file:"):] if p.startswith("file:") else p
+
+
+def _parquet_paths(root: str, manifest: dict) -> list[str]:
+    files = manifest["files"]
+    bad = [f for f in files if not f.endswith(".parquet")]
+    if bad:
+        raise ValueError(
+            f"merge requires an all-parquet snapshot; found {bad[:3]}"
+        )
+    return [os.path.join(root, f) for f in files]
+
+
+def _affected_files(
+    target_keyed: DataFrame,
+    source_keys: DataFrame,
+    key_cols: list[str],
+    broadcast_keys: bool,
+) -> list[str]:
+    """Distinct ``_metadata.file_path`` values of target rows whose
+    key appears in the source — the copy-on-write rewrite set. The
+    target side is a key-column projection (parquet reads only the
+    key columns + footer metadata); collect size is bounded by the
+    snapshot's file count."""
+    sk = F.broadcast(source_keys) if broadcast_keys else source_keys
+    hit = (
+        target_keyed.join(sk, key_cols, "left_semi")
+        .select("__tss_fp")
+        .distinct()
+        .collect()
+    )
+    return [_strip_uri(r["__tss_fp"]) for r in hit]
+
+
+def merge_version(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    key_cols: str | list[str],
+    *,
+    version: int | None = None,
+    delete_col: str | None = None,
+    broadcast_keys: bool | str = "auto",
+    verify: bool = True,
+    metadata: dict | None = None,
+) -> dict:
+    """Upsert (and optionally delete) ``source`` rows into the
+    CURRENT (or ``version``) snapshot under ``root`` and publish the
+    result as a NEW version. Returns the new manifest; its
+    ``metadata.merge`` block carries the audit counts
+    (``files_rewritten`` / ``files_kept`` / ``rows_updated`` /
+    ``rows_inserted`` / ``rows_deleted``).
+
+    ``source`` must carry exactly the target's columns (any order),
+    plus ``delete_col`` (boolean; true rows are deletions) if given.
+    ``broadcast_keys="auto"`` probes the source key count with an
+    early-stopping ``limit(n+1).count()`` (the
+    `similarity._resolve_distributed_queries` discipline) and
+    broadcasts below 1M keys; pass True/False to force.
+
+    ``verify=True`` additionally checks (a) the source has at most
+    one row per key — refused loudly otherwise, because "which update
+    wins" would be nondeterministic — and (b) the published row count
+    equals the predicted ``old - deleted + inserted`` (counts run
+    over the affected slice + source only, never the whole table).
+    """
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    m = versioned.read_manifest(root, version)
+    all_paths = _parquet_paths(root, m)
+    target = spark.read.parquet(*all_paths)
+
+    data_cols = [c for c in source.columns if c != delete_col]
+    if sorted(data_cols) != sorted(target.columns):
+        raise ValueError(
+            "source/target schema mismatch: "
+            f"source={sorted(data_cols)} target={sorted(target.columns)}"
+        )
+    missing = [k for k in key_cols if k not in data_cols]
+    if missing:
+        raise ValueError(f"key columns missing from source: {missing}")
+
+    if delete_col is not None:
+        is_del = F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+        deletes = source.filter(is_del).select(*data_cols)
+        upserts = source.filter(~is_del).select(*data_cols)
+    else:
+        deletes = source.limit(0).select(*[c for c in source.columns if c != delete_col])
+        upserts = source
+
+    source_keys = source.select(*key_cols).distinct()
+    if broadcast_keys == "auto":
+        probe = 1_000_000
+        broadcast_keys = source_keys.limit(probe + 1).count() <= probe
+
+    if verify:
+        n_src = source.count()
+        n_src_keys = source.select(*key_cols).distinct().count()
+        if n_src != n_src_keys:
+            raise ValueError(
+                f"source has {n_src - n_src_keys} duplicate-key rows; "
+                "a multi-match merge is nondeterministic — dedupe first"
+            )
+
+    target_keyed = target.select(
+        *key_cols, F.col("_metadata.file_path").alias("__tss_fp")
+    )
+    affected_abs = _affected_files(
+        target_keyed, source_keys, key_cols, bool(broadcast_keys)
+    )
+    affected_rel = {os.path.relpath(p, root) for p in affected_abs}
+    kept_rel = [f for f in m["files"] if f not in affected_rel]
+
+    # rows of the affected files that do NOT match a source key are
+    # carried into the rewrite verbatim; matched rows are dropped
+    # (replaced by the upsert version, or deleted)
+    sk = F.broadcast(source_keys) if broadcast_keys else source_keys
+    if affected_abs:
+        affected_df = spark.read.parquet(*affected_abs)
+        survivors = affected_df.join(sk, key_cols, "left_anti")
+        out = survivors.unionByName(upserts.select(*target.columns))
+    else:
+        out = upserts.select(*target.columns)
+
+    stats = {"files_rewritten": len(affected_rel), "files_kept": len(kept_rel)}
+    if verify:
+        if affected_abs:
+            n_matched = (
+                spark.read.parquet(*affected_abs)
+                .select(*key_cols)
+                .join(sk, key_cols, "left_semi")
+                .count()
+            )
+        else:
+            n_matched = 0
+        n_del_src = deletes.count()
+        n_del_matched = (
+            spark.read.parquet(*affected_abs)
+            .select(*key_cols)
+            .join(F.broadcast(deletes.select(*key_cols).distinct())
+                  if broadcast_keys else deletes.select(*key_cols).distinct(),
+                  key_cols, "left_semi")
+            .count()
+            if affected_abs and n_del_src
+            else 0
+        )
+        n_upserts = n_src - n_del_src
+        stats.update(
+            rows_deleted=n_del_matched,
+            rows_updated=n_matched - n_del_matched,
+            rows_inserted=n_upserts - (n_matched - n_del_matched),
+        )
+
+    n_out_probe = out.limit(1).count()
+    if n_out_probe == 0 and not kept_rel:
+        raise ValueError(
+            "merge would publish an empty table (all rows deleted); "
+            "refusing — retire the table explicitly instead"
+        )
+
+    fresh_rel: list[str] = []
+    if n_out_probe:
+        run_dir = versioned.new_data_dir(root)
+        out.write.mode("overwrite").parquet(run_dir)
+        fresh_rel = [
+            os.path.relpath(p, root) for p in versioned.data_files(run_dir)
+        ]
+        if verify:
+            n_written = spark.read.parquet(run_dir).count()
+            expected = (
+                spark.read.parquet(*affected_abs).count() if affected_abs else 0
+            ) - stats["rows_updated"] - stats["rows_deleted"] + (
+                stats["rows_updated"] + stats["rows_inserted"]
+            )
+            if n_written != expected:
+                raise RuntimeError(
+                    f"merge row-count mismatch: wrote {n_written}, "
+                    f"expected {expected}"
+                )
+
+    meta = {"merge": {**stats, "base_version": m["version"]},
+            **(metadata or {})}
+    return versioned.publish_files(root, kept_rel + fresh_rel, metadata=meta)
+
+
+def delete_matching(
+    spark: SparkSession,
+    root: str,
+    keys: DataFrame,
+    key_cols: str | list[str],
+    *,
+    version: int | None = None,
+    broadcast_keys: bool | str = "auto",
+    verify: bool = True,
+    metadata: dict | None = None,
+) -> dict:
+    """Delete every row whose key appears in ``keys`` (a key-columns
+    DataFrame — e.g. a GDPR erasure list or a recalled-source id set)
+    and publish the result as a new version. Same copy-on-write
+    shape as :func:`merge_version`: only files that contain a doomed
+    key are rewritten; the rest ride the manifest."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    m = versioned.read_manifest(root, version)
+    all_paths = _parquet_paths(root, m)
+    target = spark.read.parquet(*all_paths)
+
+    dkeys = keys.select(*key_cols).distinct()
+    if broadcast_keys == "auto":
+        probe = 1_000_000
+        broadcast_keys = dkeys.limit(probe + 1).count() <= probe
+    dk = F.broadcast(dkeys) if broadcast_keys else dkeys
+
+    target_keyed = target.select(
+        *key_cols, F.col("_metadata.file_path").alias("__tss_fp")
+    )
+    affected_abs = _affected_files(
+        target_keyed, dkeys, key_cols, bool(broadcast_keys)
+    )
+    affected_rel = {os.path.relpath(p, root) for p in affected_abs}
+    kept_rel = [f for f in m["files"] if f not in affected_rel]
+
+    stats = {"files_rewritten": len(affected_rel), "files_kept": len(kept_rel)}
+    fresh_rel: list[str] = []
+    if affected_abs:
+        affected_df = spark.read.parquet(*affected_abs)
+        survivors = affected_df.join(dk, key_cols, "left_anti")
+        if verify:
+            n_aff = affected_df.count()
+            n_doomed = (
+                affected_df.select(*key_cols).join(dk, key_cols, "left_semi").count()
+            )
+            stats["rows_deleted"] = n_doomed
+        if survivors.limit(1).count():
+            run_dir = versioned.new_data_dir(root)
+            survivors.write.mode("overwrite").parquet(run_dir)
+            fresh_rel = [
+                os.path.relpath(p, root) for p in versioned.data_files(run_dir)
+            ]
+            if verify:
+                n_written = spark.read.parquet(run_dir).count()
+                if n_written != n_aff - n_doomed:
+                    raise RuntimeError(
+                        f"delete row-count mismatch: wrote {n_written}, "
+                        f"expected {n_aff - n_doomed}"
+                    )
+    if not kept_rel and not fresh_rel:
+        raise ValueError(
+            "delete would publish an empty table; refusing — retire the "
+            "table explicitly instead"
+        )
+    meta = {"merge": {**stats, "base_version": m["version"], "op": "delete"},
+            **(metadata or {})}
+    return versioned.publish_files(root, kept_rel + fresh_rel, metadata=meta)
