@@ -1,0 +1,216 @@
+"""Zone-map data skipping (io/zonemap.py): footer-stats harvest,
+manifest pruning soundness (pruned read ≡ filtered full read, always),
+skip effectiveness on clustered layouts, unknown-stats safety."""
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from trial_submission_studio_spark.io.versioned import (
+    new_data_dir,
+    read_manifest,
+    read_version,
+)
+from trial_submission_studio_spark.io.zonemap import (
+    collect_file_stats,
+    predicate_to_column,
+    prune_files,
+    pruning_audit,
+    publish_with_stats,
+    read_pruned,
+)
+
+
+def _publish_ranges(spark, root, n_files=8, rows_per=100, columns=None):
+    """n_files single-file runs, file i holding ids [i*rows, (i+1)*rows)
+    -> tight zone maps on id and everything derived from it.
+
+    Timestamps are written as TIMESTAMP_MICROS: Spark's default INT96
+    carries no parquet statistics at all (zonemap then correctly
+    never skips on that column — but here we want it stats'd)."""
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    os.makedirs(root, exist_ok=True)
+    dirs = []
+    for i in range(n_files):
+        d = new_data_dir(root)
+        (
+            spark.range(i * rows_per, (i + 1) * rows_per)
+            .selectExpr(
+                "id",
+                "CAST(id AS DOUBLE) / 10 AS score",
+                "concat('doc-', lpad(CAST(id AS STRING), 6, '0')) AS name",
+                "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id*3600) AS ts",
+                "CASE WHEN id % 7 = 0 THEN NULL ELSE concat('t', id) END AS text",
+            )
+            .repartition(1)
+            .write.parquet(d, mode="append")
+        )
+        dirs.append(d)
+    return publish_with_stats(root, dirs, columns, spark=None)
+
+
+PREDICATES = [
+    [("id", ">=", 550)],
+    [("id", "<", 120)],
+    [("id", "between", (250, 260))],
+    [("id", "=", 333)],
+    [("score", ">", 69.9)],
+    [("name", ">=", "doc-000700")],
+    [("name", "=", "doc-000042")],
+    [("ts", ">=", dt.datetime(2024, 1, 26))],
+    [("id", "in", [5, 705])],
+    [("text", "isnull"), ("id", "<", 100)],
+    [("text", "isnotnull")],
+    [("id", ">=", 100), ("id", "<", 200), ("score", "<", 15.0)],
+    [("id", ">", 100000)],  # nothing matches; every file skippable
+]
+
+
+def test_stats_harvest_shape(spark, tmp_path):
+    root = str(tmp_path / "t")
+    m = _publish_ranges(spark, root, n_files=2)
+    assert len(m["stats"]) == 2
+    entry = m["stats"][sorted(m["stats"])[0]]
+    assert entry["num_rows"] == 100
+    c = entry["columns"]
+    assert c["id"]["min"] in (0, 100) and c["id"]["t"] == "int"
+    assert c["score"]["t"] == "float"
+    assert c["name"]["t"] == "str"
+    assert c["ts"]["t"] == "timestamp"
+    assert c["text"]["nulls"] > 0
+
+
+@pytest.mark.parametrize("pred", PREDICATES)
+def test_pruned_read_equals_filtered_full_read(spark, tmp_path, pred):
+    root = str(tmp_path / "t")
+    _publish_ranges(spark, root)
+    full = read_version(spark, root).filter(predicate_to_column(pred))
+    pruned = read_pruned(spark, root, pred)
+    assert sorted(r.id for r in pruned.select("id").collect()) == sorted(
+        r.id for r in full.select("id").collect()
+    )
+
+
+def test_skipping_is_effective_on_clustered_layout(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _publish_ranges(spark, root, n_files=8)
+    a = pruning_audit(root, [("id", "between", (250, 260))])
+    assert a["files_total"] == 8
+    assert a["files_kept"] == 1  # ids 250-260 live in file 2 only
+    assert a["files_skipped"] == 7
+    assert a["rows_skipped_bound"] == 700
+    # and the pruned plan really scans one file
+    df = read_pruned(spark, root, [("id", "between", (250, 260))])
+    assert df.count() == 11
+
+
+def test_unknown_stats_never_skip(spark, tmp_path):
+    """A snapshot published WITHOUT stats prunes nothing but still
+    answers correctly."""
+    from trial_submission_studio_spark.io.versioned import publish_version
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    d = new_data_dir(root)
+    spark.range(0, 50).selectExpr("id").repartition(1).write.parquet(
+        d, mode="append"
+    )
+    publish_version(root, d)
+    pred = [("id", "<", 5)]
+    pruned = prune_files(read_manifest(root), pred)
+    assert pruned["skipped"] == [] and len(pruned["kept"]) == 1
+    assert read_pruned(spark, root, pred).count() == 5
+
+
+def test_long_strings_drop_stat_for_safety(spark, tmp_path):
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    d = new_data_dir(root)
+    (
+        spark.range(0, 10)
+        .selectExpr("id", "repeat('x', 200) AS blob")
+        .repartition(1)
+        .write.parquet(d, mode="append")
+    )
+    m = publish_with_stats(root, d)
+    entry = next(iter(m["stats"].values()))
+    assert "blob" not in entry["columns"]  # > MAX_STRING_STAT -> unknown
+    assert "id" in entry["columns"]
+    # and a predicate on the dropped column keeps the file
+    assert prune_files(m, [("blob", "=", "zzz")])["skipped"] == []
+
+
+def test_incremental_publish_carries_base_stats(spark, tmp_path):
+    root = str(tmp_path / "t")
+    m1 = _publish_ranges(spark, root, n_files=2)
+    d = new_data_dir(root)
+    spark.range(200, 300).selectExpr(
+        "id",
+        "CAST(id AS DOUBLE) / 10 AS score",
+        "concat('doc-', lpad(CAST(id AS STRING), 6, '0')) AS name",
+        "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id*3600) AS ts",
+        "CASE WHEN id % 7 = 0 THEN NULL ELSE concat('t', id) END AS text",
+    ).repartition(1).write.parquet(d, mode="append")
+    m2 = publish_with_stats(root, d, base_version=m1["version"])
+    assert len(m2["stats"]) == 3  # 2 carried + 1 fresh
+    assert set(m1["stats"]) < set(m2["stats"])
+    a = pruning_audit(root, [("id", ">=", 250)])
+    assert a["files_kept"] == 1 and a["files_skipped"] == 2
+
+
+def test_distributed_stats_identical(spark, tmp_path):
+    root = str(tmp_path / "t")
+    m = _publish_ranges(spark, root, n_files=4)
+    files = m["files"]
+    local = collect_file_stats(root, files)
+    dist = collect_file_stats(
+        root, files, spark=spark, distribute_threshold=0
+    )
+    assert local == dist
+
+
+def test_column_subset_limits_manifest(spark, tmp_path):
+    root = str(tmp_path / "t")
+    m = _publish_ranges(spark, root, n_files=2, columns=["id"])
+    entry = next(iter(m["stats"].values()))
+    assert set(entry["columns"]) == {"id"}
+    # un-stats'd column -> no skip; stats'd column -> skips
+    assert prune_files(m, [("score", ">", 1e9)])["skipped"] == []
+    assert len(prune_files(m, [("id", ">", 10**9)])["skipped"]) == 2
+
+
+def test_merge_preserves_zone_maps(spark, tmp_path):
+    """MERGE composition: kept files keep their stats entries
+    verbatim, rewrite files get fresh ones on the same columns, and
+    pruning still answers correctly on the merged snapshot."""
+    from trial_submission_studio_spark.io.merge import merge_version
+
+    root = str(tmp_path / "t")
+    m1 = _publish_ranges(spark, root, n_files=4, columns=["id", "score"])
+    src = spark.range(150, 160).selectExpr(
+        "id",
+        "CAST(-1 AS DOUBLE) AS score",
+        "concat('doc-', lpad(CAST(id AS STRING), 6, '0')) AS name",
+        "timestamp'2030-01-01 00:00:00' AS ts",
+        "CAST(NULL AS STRING) AS text",
+    )
+    m2 = merge_version(spark, root, src, "id")
+    assert m2["metadata"]["merge"]["files_rewritten"] == 1
+    assert len(m2["stats"]) == len(m2["files"])
+    carried = set(m1["files"]) & set(m2["files"])
+    for f in carried:
+        assert m2["stats"][f] == m1["stats"][f]
+    fresh = set(m2["files"]) - set(m1["files"])
+    for f in fresh:
+        assert set(m2["stats"][f]["columns"]) <= {"id", "score"}
+    # pruning on the merged snapshot: updated score=-1 rows must be
+    # found, and files that can't hold score<0 must be skipped
+    pred = [("score", "<", 0.0)]
+    got = sorted(r.id for r in read_pruned(spark, root, pred).collect())
+    assert got == list(range(150, 160))
+    a = pruning_audit(root, pred)
+    assert a["files_skipped"] >= 3

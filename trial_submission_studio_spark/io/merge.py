@@ -84,6 +84,28 @@ def _affected_files(
     return [_strip_uri(r["__tss_fp"]) for r in hit]
 
 
+def _carry_stats(
+    root: str, base_manifest: dict, kept_rel: list[str], fresh_rel: list[str]
+) -> dict | None:
+    """Zone-map continuity across a merge: if the base snapshot
+    carried `io/zonemap.py` stats, kept files keep their (immutable)
+    entries and the fresh rewrite files get theirs recomputed on the
+    same column set — a merged table prunes exactly as well as its
+    ancestor. Snapshots without stats stay without (None)."""
+    base_stats = base_manifest.get("stats")
+    if not base_stats:
+        return None
+    columns = sorted(
+        {c for e in base_stats.values() for c in e.get("columns", {})}
+    ) or None
+    from .zonemap import collect_file_stats
+
+    out = {f: base_stats[f] for f in kept_rel if f in base_stats}
+    if fresh_rel:
+        out.update(collect_file_stats(root, fresh_rel, columns))
+    return out
+
+
 def merge_version(
     spark: SparkSession,
     root: str,
@@ -231,7 +253,12 @@ def merge_version(
 
     meta = {"merge": {**stats, "base_version": m["version"]},
             **(metadata or {})}
-    return versioned.publish_files(root, kept_rel + fresh_rel, metadata=meta)
+    return versioned.publish_files(
+        root,
+        kept_rel + fresh_rel,
+        metadata=meta,
+        stats=_carry_stats(root, m, kept_rel, fresh_rel),
+    )
 
 
 def delete_matching(
@@ -301,4 +328,9 @@ def delete_matching(
         )
     meta = {"merge": {**stats, "base_version": m["version"], "op": "delete"},
             **(metadata or {})}
-    return versioned.publish_files(root, kept_rel + fresh_rel, metadata=meta)
+    return versioned.publish_files(
+        root,
+        kept_rel + fresh_rel,
+        metadata=meta,
+        stats=_carry_stats(root, m, kept_rel, fresh_rel),
+    )

@@ -131,12 +131,22 @@ def read_manifest(root: str, version: int | None = None) -> dict:
 
 
 def publish_files(
-    root: str, files: list[str], *, metadata: dict | None = None
+    root: str,
+    files: list[str],
+    *,
+    metadata: dict | None = None,
+    stats: dict | None = None,
 ) -> dict:
     """Atomically publish a new version from an EXPLICIT root-relative
     file list (the primitive under :func:`publish_version`; used
     directly by callers that compose the list themselves, e.g. the
     streaming ingest replacing one batch prefix on replay).
+
+    ``stats`` is an optional per-file column-statistics mapping
+    (rel-path -> zone-map entry, from `io/zonemap.py`) stored in the
+    manifest for data skipping; entries for files not in ``files``
+    are dropped, missing entries are fine (those files are simply
+    never skipped).
 
     Refuses duplicate entries and refuses to overwrite an existing
     manifest (two racing writers: second loses loudly, not
@@ -157,6 +167,9 @@ def publish_files(
         "n_files": len(files),
         "metadata": metadata or {},
     }
+    if stats:
+        fset = set(files)
+        manifest["stats"] = {f: s for f, s in stats.items() if f in fset}
     path = _manifest_path(root, version)
     if os.path.exists(path):
         raise FileExistsError(f"version {version} already published")

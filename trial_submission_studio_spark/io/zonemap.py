@@ -1,0 +1,405 @@
+"""Zone-map data skipping for versioned snapshots: per-file column
+min/max/null statistics harvested from parquet FOOTERS into the
+manifest, and manifest-level file pruning before Spark ever plans a
+scan.
+
+Why this exists at 100 TB: Spark's own parquet row-group filtering
+only kicks in AFTER every file has been listed, opened, and its
+footer read — 100k footer round-trips per query on an object store.
+The table-format answer (Delta/Iceberg data skipping) moves the stats
+INTO the commit metadata: one manifest read answers "which files can
+possibly contain ``ts > X``", and the query plans over the surviving
+explicit file list only. Pruning cost is metadata-scale and
+independent of data size.
+
+Correctness discipline: skipping is an OPTIMIZATION with a proof
+obligation — a file may be skipped only when its stats PROVE no row
+can match. Unknown stats (missing column, unsupported type,
+truncation-dropped string, NaN floats) always mean KEEP. And
+:func:`read_pruned` re-applies the predicate as a real ``.filter``
+regardless, so a stats bug can cost speed, never rows.
+
+Stats come from ``pyarrow.parquet`` footer metadata only — no data
+pages are read. For snapshots with many files,
+:func:`collect_file_stats` optionally distributes the footer reads
+over Spark (one task per path batch); the per-file entry is identical
+either way.
+
+Predicates are conjunctive lists of tuples, the same shapes the
+filter compiles to::
+
+    [("ts", ">=", datetime(2024, 1, 1)), ("lang", "=", "en")]
+    [("score", "between", (0.5, 0.9)), ("text", "isnotnull")]
+
+ops: ``= < <= > >= in between isnull isnotnull``.
+
+Writer note: Spark's default parquet timestamp encoding is legacy
+INT96, which carries NO footer statistics — timestamp columns in
+such files are simply never skipped (safe, but no speedup). Set
+``spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS`` on the
+writing session to get stats'd (and non-deprecated) timestamps.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+import os
+import sys
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from . import versioned
+
+try:  # allow mapInPandas kernels to reference module helpers by value
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover
+    pass
+
+__all__ = [
+    "collect_file_stats",
+    "publish_with_stats",
+    "prune_files",
+    "predicate_to_column",
+    "read_pruned",
+    "pruning_audit",
+]
+
+#: String min/max longer than this are dropped (entry -> unknown,
+#: file never skipped on that column). Delta truncates with a
+#: careful round-up of the max instead; dropping is strictly safe
+#: and keeps manifests bounded without bound-rounding subtleties.
+MAX_STRING_STAT = 64
+
+
+def _encode(v: Any) -> tuple[str, Any] | None:
+    """(type_tag, json_value) or None when the value can't carry a
+    sound, JSON-stable bound."""
+    if isinstance(v, bool):
+        return ("bool", v)
+    if isinstance(v, int):
+        return ("int", v)
+    if isinstance(v, float):
+        if math.isnan(v) or math.isinf(v):
+            return None
+        return ("float", v)
+    if isinstance(v, str):
+        if len(v) > MAX_STRING_STAT:
+            return None
+        return ("str", v)
+    if isinstance(v, _dt.datetime):
+        return ("timestamp", v.isoformat())
+    if isinstance(v, _dt.date):
+        return ("date", v.isoformat())
+    return None  # bytes, Decimal, nested — unsupported, never skip
+
+
+def _stats_for_file(path: str, columns: list[str] | None) -> dict:
+    """Zone-map entry for one parquet file from its footer: per-column
+    ``{t, min, max, nulls}`` (column absent => unknown) plus
+    ``num_rows``. Row groups merge as min-of-mins / max-of-maxes /
+    sum-of-nulls; any group without sound stats poisons the column to
+    unknown (correct direction: keep)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    ncols = md.num_columns
+    acc: dict[str, dict | None] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for i in range(ncols):
+            c = g.column(i)
+            name = c.path_in_schema
+            if columns is not None and name not in columns:
+                continue
+            if name in acc and acc[name] is None:
+                continue
+            st = c.statistics
+            if st is None or not st.has_min_max or st.null_count is None:
+                acc[name] = None
+                continue
+            lo, hi = _encode(st.min), _encode(st.max)
+            if lo is None or hi is None or lo[0] != hi[0]:
+                acc[name] = None
+                continue
+            cur = acc.get(name)
+            if cur is None:
+                acc[name] = {
+                    "t": lo[0], "min": lo[1], "max": hi[1],
+                    "nulls": st.null_count,
+                }
+            elif cur["t"] != lo[0]:
+                acc[name] = None
+            else:
+                cur["min"] = min(cur["min"], lo[1])
+                cur["max"] = max(cur["max"], hi[1])
+                cur["nulls"] += st.null_count
+    return {
+        "num_rows": md.num_rows,
+        "columns": {k: v for k, v in acc.items() if v is not None},
+    }
+
+
+def collect_file_stats(
+    root: str,
+    files: list[str],
+    columns: list[str] | None = None,
+    *,
+    spark: SparkSession | None = None,
+    distribute_threshold: int = 256,
+) -> dict[str, dict]:
+    """rel-path -> zone-map entry for ``files`` (root-relative parquet
+    paths). Footer reads only. With ``spark`` given and more than
+    ``distribute_threshold`` files, the reads fan out as one Spark job
+    over the path list (a 100k-file snapshot should not serialize
+    100k footer round-trips on the driver); results are identical."""
+    if spark is not None and len(files) > distribute_threshold:
+        import pandas as pd
+
+        def _kernel(batches):
+            for b in batches:
+                out = []
+                for rel in b["rel"]:
+                    s = _stats_for_file(os.path.join(root, rel), columns)
+                    import json as _json
+
+                    out.append((rel, _json.dumps(s)))
+                yield pd.DataFrame(out, columns=["rel", "stats"])
+
+        pdf = spark.createDataFrame(
+            [(f,) for f in files], "rel string"
+        ).repartition(min(len(files), 64))
+        rows = pdf.mapInPandas(_kernel, "rel string, stats string").collect()
+        import json as _json
+
+        return {r.rel: _json.loads(r.stats) for r in rows}
+    return {
+        rel: _stats_for_file(os.path.join(root, rel), columns)
+        for rel in files
+    }
+
+
+def publish_with_stats(
+    root: str,
+    run_dirs: str | list[str],
+    columns: list[str] | None = None,
+    *,
+    base_version: int | None = None,
+    metadata: dict | None = None,
+    spark: SparkSession | None = None,
+) -> dict:
+    """`versioned.publish_version` + zone maps in one commit: stats
+    are collected for the new run dirs' files and merged with the
+    base version's existing stats (carried files keep their entries —
+    stats are immutable alongside the immutable files)."""
+    if isinstance(run_dirs, str):
+        run_dirs = [run_dirs]
+    files: list[str] = []
+    stats: dict[str, dict] = {}
+    if base_version is not None:
+        base = versioned.read_manifest(root, base_version)
+        files.extend(base["files"])
+        stats.update(base.get("stats", {}))
+    fresh: list[str] = []
+    for rd in run_dirs:
+        rel = [
+            os.path.relpath(p, root) for p in versioned.data_files(rd)
+        ]
+        if not rel:
+            raise ValueError(f"no data files under {rd}")
+        fresh.extend(rel)
+    stats.update(collect_file_stats(root, fresh, columns, spark=spark))
+    return versioned.publish_files(
+        root, files + fresh, metadata=metadata, stats=stats
+    )
+
+
+def _coerce(tag: str, v: Any) -> Any:
+    """Bring a predicate literal into the stat's comparison domain.
+    Raises TypeError on hopeless mixes (caller treats as unknown)."""
+    if tag == "timestamp":
+        # normalize to NAIVE UTC: parquet stats are tz-aware when the
+        # writer marked isAdjustedToUTC, predicate literals usually
+        # naive; the engine pins the session TZ to UTC, so naive
+        # literals MEAN UTC (matching Spark's filter semantics)
+        if isinstance(v, str):
+            v = _dt.datetime.fromisoformat(v)
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return v
+        if isinstance(v, _dt.date):
+            return _dt.datetime(v.year, v.month, v.day)
+        raise TypeError(v)
+    if tag == "date":
+        if isinstance(v, _dt.datetime):
+            return v.date()
+        if isinstance(v, _dt.date):
+            return v
+        if isinstance(v, str):
+            return _dt.date.fromisoformat(v)
+        raise TypeError(v)
+    if tag == "int" or tag == "float":
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise TypeError(v)
+        return v
+    if tag == "str":
+        if not isinstance(v, str):
+            raise TypeError(v)
+        return v
+    if tag == "bool":
+        if not isinstance(v, bool):
+            raise TypeError(v)
+        return v
+    raise TypeError(tag)
+
+
+def _file_might_match(entry: dict, conjunct: tuple) -> bool:
+    """False ONLY when the zone map proves no row in the file can
+    satisfy the conjunct."""
+    col, op = conjunct[0], conjunct[1]
+    cols = entry.get("columns", {})
+    num_rows = entry.get("num_rows")
+    st = cols.get(col)
+    if op == "isnull":
+        return st is None or st["nulls"] > 0
+    if op == "isnotnull":
+        if st is None or num_rows is None:
+            return True
+        return st["nulls"] < num_rows
+    if st is None:
+        return True  # unknown stats: cannot prove anything
+    tag = st["t"]
+    try:
+        lo = _coerce(tag, st["min"]) if tag in ("timestamp", "date") else st["min"]
+        hi = _coerce(tag, st["max"]) if tag in ("timestamp", "date") else st["max"]
+        if op == "in":
+            vals = [_coerce(tag, x) for x in conjunct[2]]
+            return any(lo <= x <= hi for x in vals)
+        if op == "between":
+            a, b = (_coerce(tag, x) for x in conjunct[2])
+            return hi >= a and lo <= b
+        v = _coerce(tag, conjunct[2])
+    except (TypeError, ValueError):
+        return True
+    if op == "=":
+        return lo <= v <= hi
+    if op == "<":
+        return lo < v
+    if op == "<=":
+        return lo <= v
+    if op == ">":
+        return hi > v
+    if op == ">=":
+        return hi >= v
+    raise ValueError(f"unknown predicate op: {op!r}")
+
+
+def prune_files(manifest: dict, predicate: list[tuple]) -> dict:
+    """Split a manifest's file list by the zone maps: ``kept`` (might
+    match) vs ``skipped`` (provably cannot). Files without stats are
+    always kept. Returns ``{"kept", "skipped", "rows_skipped_bound"}``
+    — the bound is the sum of skipped files' row counts, i.e. rows
+    the scan provably never touches."""
+    stats = manifest.get("stats", {})
+    kept, skipped, rows_skipped = [], [], 0
+    for f in manifest["files"]:
+        entry = stats.get(f)
+        if entry is not None and not all(
+            _file_might_match(entry, c) for c in predicate
+        ):
+            skipped.append(f)
+            rows_skipped += entry.get("num_rows") or 0
+        else:
+            kept.append(f)
+    return {
+        "kept": kept,
+        "skipped": skipped,
+        "rows_skipped_bound": rows_skipped,
+    }
+
+
+def predicate_to_column(predicate: list[tuple]) -> Column:
+    """The same conjunctive predicate as a Spark Column, so the
+    pruned read still FILTERS (and Spark still pushes the filter into
+    the surviving scans) — correctness never rides on the stats."""
+    out = F.lit(True)
+    for c in predicate:
+        col, op = F.col(c[0]), c[1]
+        if op == "=":
+            term = col == F.lit(c[2])
+        elif op == "<":
+            term = col < F.lit(c[2])
+        elif op == "<=":
+            term = col <= F.lit(c[2])
+        elif op == ">":
+            term = col > F.lit(c[2])
+        elif op == ">=":
+            term = col >= F.lit(c[2])
+        elif op == "in":
+            term = col.isin(list(c[2]))
+        elif op == "between":
+            term = (col >= F.lit(c[2][0])) & (col <= F.lit(c[2][1]))
+        elif op == "isnull":
+            term = col.isNull()
+        elif op == "isnotnull":
+            term = col.isNotNull()
+        else:
+            raise ValueError(f"unknown predicate op: {op!r}")
+        out = out & term
+    return out
+
+
+def read_pruned(
+    spark: SparkSession,
+    root: str,
+    predicate: list[tuple],
+    *,
+    version: int | None = None,
+) -> DataFrame:
+    """Read a snapshot through the zone maps: plan over the pruned
+    explicit file list, then apply the predicate as a real filter.
+    Result rows are always identical to
+    ``read_version(...).filter(...)`` — skipping only shrinks the
+    scan."""
+    m = versioned.read_manifest(root, version)
+    pruned = prune_files(m, predicate)
+    if not pruned["kept"]:
+        # every file provably excluded: empty frame with the right schema
+        any_file = os.path.join(root, m["files"][0])
+        return (
+            spark.read.parquet(any_file)
+            .filter(predicate_to_column(predicate))
+            .limit(0)
+        )
+    paths = [os.path.join(root, f) for f in pruned["kept"]]
+    return spark.read.parquet(*paths).filter(predicate_to_column(predicate))
+
+
+def pruning_audit(
+    root: str, predicate: list[tuple], *, version: int | None = None
+) -> dict:
+    """Metadata-only answer to "how much does this predicate skip?":
+    file and row-bound counts from the manifest alone — the planning
+    tool for layout decisions (pair with `operators/layout.py`'s
+    Z-order: clustering exists precisely to make these zone maps
+    tight)."""
+    m = versioned.read_manifest(root, version)
+    pruned = prune_files(m, predicate)
+    stats = m.get("stats", {})
+    rows_total = sum(
+        (stats.get(f) or {}).get("num_rows") or 0 for f in m["files"]
+    )
+    return {
+        "files_total": len(m["files"]),
+        "files_kept": len(pruned["kept"]),
+        "files_skipped": len(pruned["skipped"]),
+        "rows_total_known": rows_total,
+        "rows_skipped_bound": pruned["rows_skipped_bound"],
+        "skip_fraction_files": (
+            len(pruned["skipped"]) / len(m["files"]) if m["files"] else 0.0
+        ),
+    }
