@@ -214,3 +214,49 @@ def test_merge_preserves_zone_maps(spark, tmp_path):
     assert got == list(range(150, 160))
     a = pruning_audit(root, pred)
     assert a["files_skipped"] >= 3
+
+
+def test_optimize_zorder_tightens_zone_maps(spark, tmp_path):
+    """OPTIMIZE ZORDER: a randomly-laid-out table prunes ~nothing;
+    after optimize_version both clustered columns prune files. Rows
+    identical, old version still time-travels."""
+    from trial_submission_studio_spark.io.zonemap import optimize_version
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    d = new_data_dir(root)
+    # hash-scatter ids so every file spans the whole x/y range
+    (
+        spark.range(0, 4000)
+        .selectExpr(
+            "id",
+            "CAST(xxhash64(id) % 1000 AS DOUBLE) AS x",
+            "CAST(xxhash64(id + 7) % 1000 AS DOUBLE) AS y",
+        )
+        .repartition(8)
+        .write.parquet(d, mode="append")
+    )
+    m1 = publish_with_stats(root, d, ["x", "y"])
+    pred = [("x", "between", (-100.0, 0.0)), ("y", "between", (-100.0, 0.0))]
+    before = pruning_audit(root, pred)
+    assert before["files_skipped"] == 0  # scattered: no file excludable
+
+    m2 = optimize_version(
+        spark, root, {"x": (-1000.0, 1000.0), "y": (-1000.0, 1000.0)},
+        num_partitions=8,
+    )
+    assert m2["metadata"]["optimize"]["zorder_by"] == ["x", "y"]
+    after = pruning_audit(root, pred)
+    assert after["files_skipped"] > 0
+    assert after["files_total"] >= 8
+    # correctness: same rows, pruned or not, and v1 still readable
+    got = sorted(r.id for r in read_pruned(spark, root, pred).collect())
+    want = sorted(
+        r.id
+        for r in read_version(spark, root, m1["version"])
+        .filter(predicate_to_column(pred))
+        .collect()
+    )
+    assert got == want and len(got) > 0
+    assert read_version(spark, root, m1["version"]).count() == 4000
+    assert read_version(spark, root).count() == 4000

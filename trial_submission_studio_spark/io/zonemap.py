@@ -65,6 +65,7 @@ __all__ = [
     "prune_files",
     "predicate_to_column",
     "read_pruned",
+    "optimize_version",
     "pruning_audit",
 ]
 
@@ -377,6 +378,68 @@ def read_pruned(
         )
     paths = [os.path.join(root, f) for f in pruned["kept"]]
     return spark.read.parquet(*paths).filter(predicate_to_column(predicate))
+
+
+def optimize_version(
+    spark: SparkSession,
+    root: str,
+    zorder_cols: dict[str, tuple[float, float]],
+    *,
+    bits: int = 8,
+    num_partitions: int | None = None,
+    columns: list[str] | None = None,
+    version: int | None = None,
+    verify: bool = True,
+    metadata: dict | None = None,
+) -> dict:
+    """Delta's ``OPTIMIZE ... ZORDER BY`` over the manifest protocol:
+    rewrite a snapshot clustered on the Z-order key of ``zorder_cols``
+    (pinned bucket bounds, `operators/layout.py:zorder_layout` — one
+    range shuffle + partition-local sort), then publish the rewrite
+    WITH fresh zone maps. Clustering is what makes zone maps tight:
+    after this commit, conjunctive range predicates on any subset of
+    the clustered columns prune files instead of just row groups.
+
+    Stats columns default to the clustered columns plus whatever the
+    base snapshot already tracked. Old versions stay readable (time
+    travel), same as compaction — this is just another append-only
+    commit; reclaim the old files later with ``retire_versions`` +
+    ``vacuum``.
+    """
+    from ..operators.layout import zorder_layout
+
+    m = versioned.read_manifest(root, version)
+    df = spark.read.parquet(*[os.path.join(root, f) for f in m["files"]])
+    clustered = zorder_layout(
+        df, zorder_cols, bits=bits, num_partitions=num_partitions
+    ).drop("_zkey")
+    run_dir = versioned.new_data_dir(root)
+    clustered.write.mode("overwrite").parquet(run_dir)
+    if verify:
+        n_in, n_out = df.count(), spark.read.parquet(run_dir).count()
+        if n_in != n_out:
+            raise RuntimeError(
+                f"optimize row-count mismatch: {n_in} in, {n_out} out"
+            )
+    if columns is None:
+        base_cols = {
+            c
+            for e in m.get("stats", {}).values()
+            for c in e.get("columns", {})
+        }
+        columns = sorted(base_cols | set(zorder_cols)) or None
+    fresh = [os.path.relpath(p, root) for p in versioned.data_files(run_dir)]
+    stats = collect_file_stats(root, fresh, columns, spark=spark)
+    meta = {
+        "optimize": {
+            "zorder_by": sorted(zorder_cols),
+            "base_version": m["version"],
+            "files_in": len(m["files"]),
+            "files_out": len(fresh),
+        },
+        **(metadata or {}),
+    }
+    return versioned.publish_files(root, fresh, metadata=meta, stats=stats)
 
 
 def pruning_audit(
