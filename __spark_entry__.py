@@ -18,6 +18,7 @@ Determinism rules used throughout (SURVEY.md §4.2):
 
 from __future__ import annotations
 
+import datetime
 import os
 import sys
 from collections.abc import Callable
@@ -2553,6 +2554,78 @@ def bloom_dedup_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
         inc, seen, "doc_id", "text", normalized=False, bloom=bf
     )
     return novel.select("doc_id")
+
+
+_ZONEMAP_BENCH_MEMO: dict = {}
+
+
+def _zonemap_bench_root(spark: SparkSession, sf_dir: str) -> str:
+    """One ts-clustered versioned snapshot of the events table with
+    zone maps (io/zonemap.py), memoized per sf_dir so the bench's
+    best-of-2 discipline times the SCAN, not the one-time build
+    (first timed run pays the build; min() drops it)."""
+    root = _ZONEMAP_BENCH_MEMO.get(sf_dir)
+    if root:
+        return root
+    import tempfile
+
+    from trial_submission_studio_spark.io.versioned import new_data_dir
+    from trial_submission_studio_spark.io.zonemap import publish_with_stats
+
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    root = tempfile.mkdtemp(prefix="tss-zonemap-bench-")
+    d = new_data_dir(root)
+    (
+        _t(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .repartitionByRange(16, "ts")
+        .sortWithinPartitions("ts")
+        .write.parquet(d, mode="append")
+    )
+    publish_with_stats(root, d, ["ts", "user_id"])
+    _ZONEMAP_BENCH_MEMO[sf_dir] = root
+    return root
+
+
+#: last-day slice of the events ts range (Jan 2024) — ~1/30 of rows,
+#: 1/16 of the clustered files
+_ZONEMAP_BENCH_PRED = [("ts", ">=", datetime.datetime(2024, 1, 30))]
+
+
+def zonemap_scan_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Control for zonemap_scan_pruned: the SAME filtered aggregate
+    over the same snapshot, planned over the FULL manifest file list
+    (Spark still gets the filter pushed down — the delta isolates
+    what manifest-level file skipping saves on top of parquet's own
+    row-group pruning). Benched extra, NOT in the 50-slot contract;
+    pruned ≡ filtered-full equivalence is pinned by
+    tests/test_zonemap.py."""
+    from trial_submission_studio_spark.io.versioned import read_version
+    from trial_submission_studio_spark.io.zonemap import predicate_to_column
+
+    root = _zonemap_bench_root(spark, sf_dir)
+    return (
+        read_version(spark, root)
+        .filter(predicate_to_column(_ZONEMAP_BENCH_PRED))
+        .groupBy("event_type")
+        .agg(F.sum("value").alias("v"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def zonemap_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruned scan (io/zonemap.py:read_pruned) of the
+    ts-clustered events snapshot: the manifest's footer stats exclude
+    ~15/16 files before Spark plans the scan. Benched extra."""
+    from trial_submission_studio_spark.io.zonemap import read_pruned
+
+    root = _zonemap_bench_root(spark, sf_dir)
+    return (
+        read_pruned(spark, root, _ZONEMAP_BENCH_PRED)
+        .groupBy("event_type")
+        .agg(F.sum("value").alias("v"), F.count(F.lit(1)).alias("n"))
+    )
 
 
 def bm25_retrieval_bench(spark: SparkSession, sf_dir: str) -> DataFrame:

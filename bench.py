@@ -285,6 +285,13 @@ def main() -> None:
         "events_stream_gates",
         "incremental_dedup_docs",
         "v_domain_check_gates",
+        # zone-map data skipping (io/zonemap.py): pruned vs full scan
+        # of the same ts-clustered versioned snapshot — the pair's
+        # delta is the measured manifest-level skipping win. Not in
+        # the sf1 sweep: the snapshot build is memoized per sf_dir,
+        # so the sweep's single-shot run would time the build.
+        "zonemap_scan_full",
+        "zonemap_scan_pruned",
     )
     # LLM-pipeline extras that ALSO run in the 10× scale sweep — these
     # carry the 100 TB design claims, so their curvature is measured,
