@@ -136,6 +136,7 @@ def publish_files(
     *,
     metadata: dict | None = None,
     stats: dict | None = None,
+    schema: list | None = None,
 ) -> dict:
     """Atomically publish a new version from an EXPLICIT root-relative
     file list (the primitive under :func:`publish_version`; used
@@ -170,6 +171,9 @@ def publish_files(
     if stats:
         fset = set(files)
         manifest["stats"] = {f: s for f, s in stats.items() if f in fset}
+    if schema:
+        # recorded contract for `io/table_schema.py`'s append gate
+        manifest["schema"] = schema
     path = _manifest_path(root, version)
     if os.path.exists(path):
         raise FileExistsError(f"version {version} already published")
