@@ -546,3 +546,93 @@ def test_broadcast_model_auto_switch(spark, monkeypatch):
         bigram_logprob_scores(
             df, unigrams, bigrams, "doc_id", "text", broadcast_model="yes"
         )
+
+
+def test_perplexity_buckets_global_terciles(spark):
+    """head/middle/tail respect percentile_disc cutoffs computed over
+    the scored population; exact-cutoff docs land in the LOWER
+    bucket; unscoreable docs are dropped."""
+    from trial_submission_studio_spark.operators.lm import perplexity_buckets
+
+    train = spark.createDataFrame(REF, "doc_id long, text string")
+    unigrams, bigrams = train_bigram_lm(train, "doc_id", "text")
+    docs = spark.createDataFrame(
+        REF
+        + [
+            (4, "the cat sat on the mat"),
+            (5, "zebra quux unseen walrus"),
+            (6, "dog"),  # 1 token: unscoreable
+        ],
+        "doc_id long, text string",
+    )
+    out = perplexity_buckets(
+        docs, unigrams, bigrams, "doc_id", "text"
+    ).collect()
+    got = {r.doc_id: r.bucket for r in out}
+    assert 6 not in got and len(got) == 5
+    ppls = {
+        r["doc_id"]: r["ppl"]
+        for r in bigram_logprob_scores(
+            docs, unigrams, bigrams, "doc_id", "text"
+        ).collect()
+        if r["ppl"] is not None
+    }
+    import math as _m
+
+    vals = sorted(ppls.values())
+    # percentile_disc(f): smallest value with cum. fraction >= f
+    def _disc(f):
+        return vals[_m.ceil(f * len(vals)) - 1]
+
+    c1, c2 = _disc(1 / 3), _disc(2 / 3)
+    for doc_id, p in ppls.items():
+        want = "head" if p <= c1 else ("middle" if p <= c2 else "tail")
+        assert got[doc_id] == want, (doc_id, p, c1, c2, got[doc_id])
+    assert set(got.values()) == {"head", "middle", "tail"}
+
+
+def test_perplexity_buckets_per_language(spark):
+    """Cutoffs are computed WITHIN each language group, so a doc's
+    bucket depends only on its own language's distribution."""
+    from trial_submission_studio_spark.operators.lm import perplexity_buckets
+
+    train = spark.createDataFrame(REF, "doc_id long, text string")
+    unigrams, bigrams = train_bigram_lm(train, "doc_id", "text")
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "en"),
+            (2, "the dog sat on the rug", "en"),
+            (3, "a cat and a dog", "en"),
+            # same texts tagged 'xx': same ppls, independent cutoffs
+            (11, "the cat sat on the mat", "xx"),
+            (12, "the dog sat on the rug", "xx"),
+            (13, "a cat and a dog", "xx"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = perplexity_buckets(
+        docs, unigrams, bigrams, "doc_id", "text",
+        lang_col="lang", fractions=(0.5,), labels=("head", "tail"),
+    ).collect()
+    got = {r.doc_id: (r.lang, r.bucket) for r in out}
+    assert len(got) == 6
+    # identical distributions -> identical bucketing per mirror pair
+    for a, b in ((1, 11), (2, 12), (3, 13)):
+        assert got[a][1] == got[b][1]
+    assert {v for _, v in got.values()} == {"head", "tail"}
+
+
+def test_perplexity_buckets_validations(spark):
+    from trial_submission_studio_spark.operators.lm import perplexity_buckets
+
+    train = spark.createDataFrame(REF, "doc_id long, text string")
+    unigrams, bigrams = train_bigram_lm(train, "doc_id", "text")
+    with pytest.raises(ValueError, match="labels"):
+        perplexity_buckets(
+            train, unigrams, bigrams, "doc_id", "text", labels=("a", "b")
+        )
+    with pytest.raises(ValueError, match="increasing"):
+        perplexity_buckets(
+            train, unigrams, bigrams, "doc_id", "text",
+            fractions=(0.6, 0.4), labels=("a", "b", "c"),
+        )

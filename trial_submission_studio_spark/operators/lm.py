@@ -512,3 +512,71 @@ def trigram_kn_scores(
         avg.alias("avg_logprob"),
         F.exp(-avg).alias("ppl"),
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    lang_col: str | None = None,
+    fractions: tuple[float, ...] = (1.0 / 3.0, 2.0 / 3.0),
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    scorer=None,
+    **score_kwargs,
+) -> DataFrame:
+    """CCNet's head/middle/tail split: bucket documents by perplexity
+    quantile, per language when ``lang_col`` is given (CCNet cuts
+    within each language because absolute perplexities aren't
+    comparable across reference LMs). Returns
+    ``(id_col[, lang_col], ppl, bucket)``; docs too short to score
+    are dropped, mirroring :func:`perplexity_filter`.
+
+    Cutoffs are ``percentile_disc`` — ACTUAL dataset values (the
+    `operators/outliers.py` discipline), so the same cut reproduces
+    bit-for-bit in any engine; a doc exactly ON a cutoff goes to the
+    lower bucket (``ppl <= cutoff``).
+
+    Scale shape: one corpus-grain scoring pass (the chosen scorer),
+    ONE aggregation to language grain for all cutoffs, a broadcast
+    join back (languages = config-sized), and a codegen CASE — no
+    window over the corpus, no global sort (an ntile() would need
+    one; quantile cutoffs don't)."""
+    if len(labels) != len(fractions) + 1:
+        raise ValueError("need exactly len(fractions)+1 labels")
+    if list(fractions) != sorted(set(fractions)) or not all(
+        0 < f < 1 for f in fractions
+    ):
+        raise ValueError("fractions must be strictly increasing, in (0,1)")
+    score_fn = scorer if scorer is not None else bigram_logprob_scores
+    scores = score_fn(df, unigrams, bigrams, id_col, text_col, **score_kwargs)
+    keyed = scores.filter(F.col("ppl").isNotNull()).select(id_col, "ppl")
+    if lang_col is not None:
+        keyed = keyed.join(df.select(id_col, lang_col), id_col)
+        grp = keyed.groupBy(lang_col)
+    else:
+        grp = keyed.groupBy()
+    cuts = grp.agg(
+        *[
+            F.expr(
+                f"percentile_disc({f!r}) WITHIN GROUP (ORDER BY ppl)"
+            ).alias(f"__cut{i}")
+            for i, f in enumerate(fractions)
+        ]
+    )
+    joined = (
+        keyed.join(F.broadcast(cuts), lang_col)
+        if lang_col is not None
+        else keyed.crossJoin(F.broadcast(cuts))
+    )
+    bucket = F.lit(labels[-1])
+    for i in range(len(fractions) - 1, -1, -1):
+        bucket = F.when(
+            F.col("ppl") <= F.col(f"__cut{i}"), F.lit(labels[i])
+        ).otherwise(bucket)
+    out_cols = [id_col] + ([lang_col] if lang_col else []) + [
+        F.col("ppl"), bucket.alias("bucket"),
+    ]
+    return joined.select(*out_cols)
