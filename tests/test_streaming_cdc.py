@@ -1,0 +1,154 @@
+"""Streaming CDC merge sink (streaming/cdc.py): bootstrap, upserts,
+deletes, final-image-per-key within a batch, replay fencing."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from trial_submission_studio_spark.io.versioned import (
+    current_version,
+    read_manifest,
+    read_version,
+)
+from trial_submission_studio_spark.streaming.cdc import (
+    apply_cdc_batch,
+    start_merge_sink,
+)
+
+SCHEMA = "k bigint, v string, seq bigint, is_del boolean"
+
+
+def _rows(spark, root):
+    return {(r.k, r.v) for r in read_version(spark, root).collect()}
+
+
+def _write_batch(spark, src, rows, n=1):
+    spark.createDataFrame(rows, SCHEMA).repartition(n).write.mode(
+        "append"
+    ).parquet(src)
+
+
+def test_end_to_end_two_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(
+        spark,
+        src,
+        [(1, "a", 1, False), (2, "b", 1, False), (3, "c", 1, False)],
+    )
+    stream = spark.readStream.schema(SCHEMA).option(
+        "maxFilesPerTrigger", "1000"
+    ).parquet(src)
+    q = start_merge_sink(
+        stream, root, "k", ckpt, delete_col="is_del", order_col="seq"
+    )
+    q.awaitTermination(120)
+    assert _rows(spark, root) == {(1, "a"), (2, "b"), (3, "c")}
+    v1 = current_version(root)
+    assert read_manifest(root, v1)["metadata"]["cdc"]["last_batch_id"] == 0
+
+    # batch 2: update k=1, delete k=2, insert k=4; two changes for
+    # k=4 -> the higher seq wins
+    _write_batch(
+        spark,
+        src,
+        [
+            (1, "a2", 2, False),
+            (2, None, 2, True),
+            (4, "WRONG", 2, False),
+            (4, "d", 3, False),
+        ],
+    )
+    q = start_merge_sink(
+        spark.readStream.schema(SCHEMA).parquet(src),
+        root, "k", ckpt, delete_col="is_del", order_col="seq",
+    )
+    q.awaitTermination(120)
+    assert _rows(spark, root) == {(1, "a2"), (3, "c"), (4, "d")}
+    v2 = current_version(root)
+    assert v2 > v1
+    # v1 still time-travels to the pre-CDC state
+    assert {(r.k, r.v) for r in read_version(spark, root, v1).collect()} == {
+        (1, "a"), (2, "b"), (3, "c")
+    }
+
+
+def test_replay_is_fenced(spark, tmp_path):
+    root = str(tmp_path / "table")
+    b0 = spark.createDataFrame(
+        [(1, "a", 1, False), (2, "b", 1, False)], SCHEMA
+    )
+    m0 = apply_cdc_batch(b0, 0, root, "k", delete_col="is_del", order_col="seq")
+    b1 = spark.createDataFrame([(1, "a2", 2, False)], SCHEMA)
+    m1 = apply_cdc_batch(b1, 1, root, "k", delete_col="is_del", order_col="seq")
+    assert m1["version"] > m0["version"]
+    # replay batch 0 AND batch 1: both skipped, nothing published
+    assert apply_cdc_batch(b0, 0, root, "k", delete_col="is_del",
+                           order_col="seq") is None
+    assert apply_cdc_batch(b1, 1, root, "k", delete_col="is_del",
+                           order_col="seq") is None
+    assert current_version(root) == m1["version"]
+    assert _rows(spark, root) == {(1, "a2"), (2, "b")}
+
+
+def test_fence_survives_interleaved_compaction(spark, tmp_path):
+    """A non-CDC commit (compaction) between batches must not reset
+    the watermark: _last_applied walks back to the newest CDC
+    commit."""
+    from trial_submission_studio_spark.io.versioned import compact_version
+
+    root = str(tmp_path / "table")
+    for i in range(3):
+        apply_cdc_batch(
+            spark.createDataFrame([(i, f"v{i}", 1, False)], SCHEMA),
+            i, root, "k", delete_col="is_del",
+        )
+    compact_version(spark, root, target_bytes=1 << 20)
+    assert "cdc" not in read_manifest(root)["metadata"]
+    # replaying an old batch after compaction: still fenced
+    assert apply_cdc_batch(
+        spark.createDataFrame([(0, "STALE", 9, False)], SCHEMA),
+        2, root, "k", delete_col="is_del",
+    ) is None
+    # a NEW batch applies fine
+    m = apply_cdc_batch(
+        spark.createDataFrame([(0, "fresh", 9, False)], SCHEMA),
+        3, root, "k", delete_col="is_del",
+    )
+    assert m is not None
+    assert _rows(spark, root) == {(0, "fresh"), (1, "v1"), (2, "v2")}
+
+
+def test_delete_only_first_batch_is_noop(spark, tmp_path):
+    root = str(tmp_path / "table")
+    b = spark.createDataFrame([(1, None, 1, True)], SCHEMA)
+    assert apply_cdc_batch(b, 0, root, "k", delete_col="is_del") is None
+    assert current_version(root) is None
+
+
+def test_empty_batch_skipped(spark, tmp_path):
+    root = str(tmp_path / "table")
+    b = spark.createDataFrame([], SCHEMA)
+    assert apply_cdc_batch(b, 0, root, "k", delete_col="is_del") is None
+
+
+def test_duplicate_keys_without_order_col_refused(spark, tmp_path):
+    root = str(tmp_path / "table")
+    apply_cdc_batch(
+        spark.createDataFrame([(1, "a", 1, False)], SCHEMA), 0, root, "k",
+        delete_col="is_del",
+    )
+    dup = spark.createDataFrame(
+        [(1, "x", 2, False), (1, "y", 3, False)], SCHEMA
+    )
+    with pytest.raises(ValueError, match="duplicate-key"):
+        apply_cdc_batch(dup, 1, root, "k", delete_col="is_del")
+
+
+def test_requires_streaming_frame(spark, tmp_path):
+    with pytest.raises(ValueError, match="must be a streaming"):
+        start_merge_sink(
+            spark.range(3), str(tmp_path / "t"), "id", str(tmp_path / "c")
+        )

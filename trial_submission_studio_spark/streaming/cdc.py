@@ -1,0 +1,143 @@
+"""Streaming CDC apply: a Structured Streaming sink that MERGEs each
+micro-batch into a versioned snapshot (`io/merge.py`) — the
+change-data-capture landing pattern (Kafka upsert topic / Debezium
+feed -> queryable, time-travelable table).
+
+Shape: ``foreachBatch`` + :func:`apply_cdc_batch`. Spark guarantees
+foreachBatch sees each batch_id at least once, NOT exactly once — so
+the apply is fenced: every commit records the batch id it applied
+(``metadata.cdc.last_batch_id``), and a replayed batch (id <= the
+recorded watermark) is skipped whole. Batch ids from one checkpoint
+are strictly monotonic, so the single watermark is a complete fence
+— and unlike blind re-merging (which IS value-idempotent but would
+publish a duplicate version per replay), the fence keeps history
+1:1 with effective batches.
+
+Within a batch, CDC feeds routinely carry several changes for one
+key; ``order_col`` (the source's sequence/LSN column) picks the
+final image per key BEFORE the merge — without it, duplicate keys
+are refused loudly (`merge_version`'s rule).
+
+At scale this inherits merge's copy-on-write: each micro-batch
+rewrites only the files its keys touch; a busy stream compacts later
+with `versioned.compact_version` like any other writer.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from ..io import versioned
+from ..io.merge import merge_version
+
+__all__ = ["apply_cdc_batch", "start_merge_sink"]
+
+
+def _last_applied(root: str) -> int:
+    """The newest version's recorded CDC batch id (walking back past
+    non-CDC commits like compaction/optimize), or -1."""
+    try:
+        versions = versioned.list_versions(root)
+    except FileNotFoundError:  # pragma: no cover
+        return -1
+    for v in sorted(versions, reverse=True):
+        cdc = versioned.read_manifest(root, v)["metadata"].get("cdc")
+        if cdc is not None:
+            return cdc["last_batch_id"]
+    return -1
+
+
+def apply_cdc_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    root: str,
+    key_cols: str | list[str],
+    *,
+    delete_col: str | None = None,
+    order_col: str | None = None,
+    broadcast_keys: bool | str = "auto",
+    verify: bool = True,
+) -> dict | None:
+    """Apply one micro-batch; returns the published manifest, or None
+    when the batch was empty or already applied (replay). Usable
+    directly for deterministic replay tests and backfills."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if batch_id <= _last_applied(root):
+        return None  # replayed batch: all effects already committed
+    if order_col is not None:
+        w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+        batch_df = (
+            batch_df.withColumn("__cdc_rn", F.row_number().over(w))
+            .filter(F.col("__cdc_rn") == 1)
+            .drop("__cdc_rn", order_col)
+        )
+    if batch_df.limit(1).count() == 0:
+        return None
+    meta = {"cdc": {"last_batch_id": batch_id}}
+    if versioned.current_version(root) is None:
+        # bootstrap: first effective batch creates the table
+        data_cols = [c for c in batch_df.columns if c != delete_col]
+        rows = batch_df
+        if delete_col is not None:
+            rows = rows.filter(
+                ~F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+            )
+        rows = rows.select(*data_cols)
+        if rows.limit(1).count() == 0:
+            return None  # a delete-only first batch has no table to touch
+        os.makedirs(root, exist_ok=True)
+        run_dir = versioned.new_data_dir(root)
+        rows.write.mode("overwrite").parquet(run_dir)
+        return versioned.publish_version(root, run_dir, metadata=meta)
+    return merge_version(
+        batch_df.sparkSession,
+        root,
+        batch_df,
+        key_cols,
+        delete_col=delete_col,
+        broadcast_keys=broadcast_keys,
+        verify=verify,
+        metadata=meta,
+    )
+
+
+def start_merge_sink(
+    stream_df: DataFrame,
+    root: str,
+    key_cols: str | list[str],
+    checkpoint_dir: str,
+    *,
+    delete_col: str | None = None,
+    order_col: str | None = None,
+    trigger_available_now: bool = True,
+    broadcast_keys: bool | str = "auto",
+    verify: bool = True,
+):
+    """Start the CDC-apply query; returns the StreamingQuery.
+    ``trigger_available_now`` drains what exists and stops (the
+    scheduled-incremental deployment mode); False runs continuously.
+    """
+    if not stream_df.isStreaming:
+        raise ValueError("stream_df must be a streaming DataFrame")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        apply_cdc_batch(
+            batch_df,
+            batch_id,
+            root,
+            key_cols,
+            delete_col=delete_col,
+            order_col=order_col,
+            broadcast_keys=broadcast_keys,
+            verify=verify,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
