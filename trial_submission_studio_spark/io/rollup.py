@@ -1,0 +1,230 @@
+"""Incrementally-maintained rollups (materialized aggregates) over
+versioned snapshots — the OLAP-cube refresh that never re-scans the
+corpus.
+
+The idea: every commit to a versioned table (`io/versioned.py`) is a
+file-list delta — appends add files, merges/deletes/compactions swap
+a few. An aggregate over the table therefore decomposes into
+PER-FILE partial aggregates, and a refresh only has to
+
+1. scan the files ADDED since the last refresh (one Spark job over
+   exactly those paths, tagged by ``_metadata.file_path``),
+2. drop the partial rows of files REMOVED since then (a file-grain
+   `io/merge.py:delete_matching` on the partial store — itself a
+   versioned table, so rollup history time-travels too), and
+3. re-reduce partials to the final aggregate at READ time
+   (partials-grain, not corpus-grain: sum-of-sums, min-of-mins...).
+
+Refresh cost is O(|added data| + |partials touched|); a nightly
+ingest into a 100 TB table refreshes its dashboards by scanning the
+night's files. This is sound because every supported measure is a
+commutative monoid over rows: ``count``, ``sum``, ``min``, ``max``,
+and ``avg`` (kept as sum+count, divided at read). Non-decomposable
+aggregates (exact distinct, medians) are refused — use
+`operators/sketches.py` (HLL/KLL rollups) for those.
+
+The measure spec is recorded in the partial store's manifests and
+later refreshes must match it exactly — a silently-different spec
+would merge incompatible partials.
+
+Spec shape::
+
+    dims     = ["lang", "source"]
+    measures = {"n": ("count", None),       # count(*)
+                "chars": ("sum", "length"),
+                "longest": ("max", "length"),
+                "mean_len": ("avg", "length")}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import versioned
+from .merge import delete_matching
+
+__all__ = ["refresh_rollup", "read_rollup", "rollup_status"]
+
+_OPS = ("count", "sum", "min", "max", "avg")
+_FILE = "__src_file"
+
+
+def _canon_spec(dims: list[str], measures: dict) -> dict:
+    for name, (op, col) in measures.items():
+        if op not in _OPS:
+            raise ValueError(
+                f"measure {name!r}: {op!r} is not decomposable here "
+                f"(supported: {_OPS}; for distinct counts use "
+                "operators/sketches.py)"
+            )
+        if op == "count" and col is not None and not isinstance(col, str):
+            raise ValueError(f"measure {name!r}: count column must be str|None")
+        if op != "count" and not isinstance(col, str):
+            raise ValueError(f"measure {name!r}: {op} needs a column")
+        if name in dims or name == _FILE:
+            raise ValueError(f"measure name {name!r} collides with a dim")
+    return {
+        "dims": list(dims),
+        "measures": {k: [op, col] for k, (op, col) in measures.items()},
+    }
+
+
+def _partial_aggs(measures: dict) -> list:
+    aggs = []
+    for name, (op, col) in measures.items():
+        if op == "count":
+            expr = F.count(F.lit(1)) if col is None else F.count(col)
+            aggs.append(expr.alias(f"{name}__cnt"))
+        elif op == "sum":
+            aggs.append(F.sum(col).alias(f"{name}__sum"))
+        elif op == "min":
+            aggs.append(F.min(col).alias(f"{name}__min"))
+        elif op == "max":
+            aggs.append(F.max(col).alias(f"{name}__max"))
+        elif op == "avg":
+            aggs.append(F.sum(col).alias(f"{name}__sum"))
+            aggs.append(F.count(col).alias(f"{name}__cnt"))
+    return aggs
+
+
+def _final_aggs(measures: dict) -> list:
+    aggs = []
+    for name, (op, col) in measures.items():
+        if op == "count":
+            aggs.append(F.sum(f"{name}__cnt").alias(name))
+        elif op == "sum":
+            aggs.append(F.sum(f"{name}__sum").alias(name))
+        elif op == "min":
+            aggs.append(F.min(f"{name}__min").alias(name))
+        elif op == "max":
+            aggs.append(F.max(f"{name}__max").alias(name))
+        elif op == "avg":
+            aggs.append(
+                (F.sum(f"{name}__sum") / F.sum(f"{name}__cnt")).alias(name)
+            )
+    return aggs
+
+
+def rollup_status(rollup_root: str) -> dict | None:
+    """{"base_version", "spec"} of the newest refresh, or None for a
+    never-refreshed store."""
+    if versioned.current_version(rollup_root) is None:
+        return None
+    meta = versioned.read_manifest(rollup_root)["metadata"]["rollup"]
+    return {"base_version": meta["base_version"], "spec": meta["spec"]}
+
+
+def refresh_rollup(
+    spark: SparkSession,
+    base_root: str,
+    rollup_root: str,
+    dims: list[str],
+    measures: dict,
+    *,
+    base_version: int | None = None,
+) -> dict:
+    """Bring the partial store under ``rollup_root`` up to date with
+    ``base_root``'s CURRENT (or ``base_version``) snapshot. Returns
+    the rollup manifest; ``metadata.rollup`` records the refreshed
+    base version plus the audit (``files_added`` — the only data
+    scanned — and ``files_removed``). Idempotent: refreshing an
+    already-refreshed version is a no-op returning the current
+    manifest."""
+    spec = _canon_spec(dims, measures)
+    base_m = versioned.read_manifest(base_root, base_version)
+    status = rollup_status(rollup_root)
+    if status is not None:
+        if status["spec"] != spec:
+            raise ValueError(
+                "rollup spec changed since last refresh; rebuild under a "
+                f"fresh rollup_root (recorded: {status['spec']})"
+            )
+        prev_files = set(
+            versioned.read_manifest(base_root, status["base_version"])["files"]
+        )
+        if status["base_version"] == base_m["version"]:
+            return versioned.read_manifest(rollup_root)
+    else:
+        prev_files = set()
+
+    cur_files = set(base_m["files"])
+    added = sorted(cur_files - prev_files)
+    removed = sorted(prev_files - cur_files)
+    meta = {
+        "rollup": {
+            "base_version": base_m["version"],
+            "base_root": os.path.abspath(base_root),
+            "spec": spec,
+            "files_added": len(added),
+            "files_removed": len(removed),
+        }
+    }
+
+    if not added and not removed:
+        if status is None:
+            raise ValueError(f"base snapshot {base_root} has no files")
+        # same file list under a new base version (e.g. a rollback
+        # commit): partials are already exact
+        return versioned.read_manifest(rollup_root)
+
+    # 1) ONE scan over exactly the added files -> their partials,
+    #    appended first (so a full-rewrite base commit — compaction,
+    #    optimize — never transits through an empty partial store)
+    out = None
+    if added:
+        # root-relative source path, extracted by position (no regex:
+        # paths are not patterns) — `file:<abs_base_root>/<rel>`
+        marker = os.path.abspath(base_root) + "/"
+        fresh = (
+            spark.read.parquet(*[os.path.join(base_root, f) for f in added])
+            .withColumn(_FILE, F.col("_metadata.file_path"))
+            .withColumn(
+                _FILE,
+                F.expr(
+                    f"substring({_FILE}, instr({_FILE}, '{marker}')"
+                    f" + {len(marker)})"
+                ),
+            )
+        )
+        partials = fresh.groupBy(_FILE, *spec["dims"]).agg(
+            *_partial_aggs(measures)
+        )
+        os.makedirs(rollup_root, exist_ok=True)
+        run_dir = versioned.new_data_dir(rollup_root)
+        partials.write.mode("overwrite").parquet(run_dir)
+        out = versioned.publish_version(
+            rollup_root,
+            run_dir,
+            base_version=versioned.current_version(rollup_root),
+            metadata=meta,
+        )
+
+    # 2) retire partials of files no longer in the snapshot —
+    #    file-grain copy-on-write on the (small) partial store.
+    #    NOTE: a refresh with both adds and removes is TWO commits;
+    #    CURRENT lands on the consistent final state, the
+    #    intermediate is only reachable by explicit time travel.
+    if removed and status is not None:
+        doomed = spark.createDataFrame(
+            [(f,) for f in removed], f"{_FILE} string"
+        )
+        out = delete_matching(
+            spark, rollup_root, doomed, _FILE, verify=False, metadata=meta
+        )
+    return out
+
+
+def read_rollup(
+    spark: SparkSession, rollup_root: str, *, version: int | None = None
+) -> DataFrame:
+    """The materialized aggregate: re-reduce the partial store to the
+    final per-dims frame (partials-grain work). ``version`` time-
+    travels the ROLLUP's own history."""
+    m = versioned.read_manifest(rollup_root, version)
+    spec = m["metadata"]["rollup"]["spec"]
+    measures = {k: tuple(v) for k, v in spec["measures"].items()}
+    partials = versioned.read_version(spark, rollup_root, version)
+    return partials.groupBy(*spec["dims"]).agg(*_final_aggs(measures))
