@@ -184,3 +184,39 @@ def test_rollup_status_and_time_travel(spark, tmp_path):
     assert v1_total == 100
     total = sum(r.n for r in read_rollup(spark, rroot).collect())
     assert total == 150
+
+
+def test_approx_distinct_measure(spark, tmp_path):
+    """HLL partials union across refreshes: the estimate over the
+    incrementally-maintained store matches the estimate of a direct
+    one-shot sketch (identical registers by associativity), and is
+    within 2% of exact distinct."""
+    root, rroot = str(tmp_path / "base"), str(tmp_path / "roll")
+    os.makedirs(root)
+    spec = {"users": ("approx_distinct", "doc_id"), "n": ("count", None)}
+    m1 = _append(spark, root, 0, 400)
+    refresh_rollup(spark, root, rroot, DIMS, spec)
+    _append(spark, root, 400, 600, base=m1["version"])
+    refresh_rollup(spark, root, rroot, DIMS, spec)
+    got = {r.lang: r.users for r in read_rollup(spark, rroot).collect()}
+    direct = {
+        r.lang: r.users
+        for r in read_version(spark, root)
+        .groupBy("lang")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("doc_id")
+            ).cast("long").alias("users")
+        )
+        .collect()
+    }
+    assert got == direct  # same registers -> identical estimate
+    exact = {
+        r.lang: r.d
+        for r in read_version(spark, root)
+        .groupBy("lang")
+        .agg(F.countDistinct("doc_id").alias("d"))
+        .collect()
+    }
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= max(2, 0.02 * exact[k]), (k, est, exact[k])

@@ -19,9 +19,12 @@ Refresh cost is O(|added data| + |partials touched|); a nightly
 ingest into a 100 TB table refreshes its dashboards by scanning the
 night's files. This is sound because every supported measure is a
 commutative monoid over rows: ``count``, ``sum``, ``min``, ``max``,
-and ``avg`` (kept as sum+count, divided at read). Non-decomposable
-aggregates (exact distinct, medians) are refused — use
-`operators/sketches.py` (HLL/KLL rollups) for those.
+``avg`` (kept as sum+count, divided at read), and
+``approx_distinct`` (a per-file HLL sketch via Spark's native
+``hll_sketch_agg``; read-time ``hll_union_agg`` merges registers —
+associative, so per-file partials lose nothing). EXACT distinct and
+medians are refused — they don't decompose; use
+`operators/sketches.py` directly for sketch-table workflows.
 
 The measure spec is recorded in the partial store's manifests and
 later refreshes must match it exactly — a silently-different spec
@@ -48,7 +51,7 @@ from .merge import delete_matching
 
 __all__ = ["refresh_rollup", "read_rollup", "rollup_status"]
 
-_OPS = ("count", "sum", "min", "max", "avg")
+_OPS = ("count", "sum", "min", "max", "avg", "approx_distinct")
 _FILE = "__src_file"
 
 
@@ -87,6 +90,8 @@ def _partial_aggs(measures: dict) -> list:
         elif op == "avg":
             aggs.append(F.sum(col).alias(f"{name}__sum"))
             aggs.append(F.count(col).alias(f"{name}__cnt"))
+        elif op == "approx_distinct":
+            aggs.append(F.hll_sketch_agg(col).alias(f"{name}__hll"))
     return aggs
 
 
@@ -104,6 +109,12 @@ def _final_aggs(measures: dict) -> list:
         elif op == "avg":
             aggs.append(
                 (F.sum(f"{name}__sum") / F.sum(f"{name}__cnt")).alias(name)
+            )
+        elif op == "approx_distinct":
+            aggs.append(
+                F.hll_sketch_estimate(
+                    F.hll_union_agg(f"{name}__hll", F.lit(True))
+                ).cast("long").alias(name)
             )
     return aggs
 
