@@ -41,7 +41,6 @@ Spec shape::
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
