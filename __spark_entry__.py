@@ -773,14 +773,30 @@ def text_analysis_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring — formerly four contract queries, merged to keep the
     contract inside the driver's 50-row window). quality sums exactly
     via e4 fixed-point (float summation order would differ between
-    engines)."""
+    engines).
+
+    r10 additions: Flesch reading ease (textstats.flesch_reading_ease
+    — per-doc doubles are bit-identical across engines because every
+    op is correctly rounded and the expression shape is mirrored;
+    only the SUM needs the e4 fixed-point), Latin-codepoint totals
+    (unicode_norm.script_count — Java ``\\p{IsLatin}`` ≡ RE2
+    ``\\p{Latin}``), and dominant-script classification counts. The
+    SQL twin resolves `dominant_script`'s struct-max tie-break in
+    integers: with letters L, latin A, thai T (Thai is the only
+    script name sorting after Latin), dominant=='Latin' iff
+    ``2A > L OR (2A = L AND 2T != L)``."""
     from trial_submission_studio_spark.operators.textstats import (
         alpha_word_fraction_e4,
         bullet_line_fraction_e4,
         dup_line_fraction_e4,
         dup_paragraph_fraction_e4,
         ellipsis_line_fraction_e4,
+        flesch_reading_ease,
         symbol_word_ratio_e4,
+    )
+    from trial_submission_studio_spark.operators.unicode_norm import (
+        dominant_script,
+        script_count,
     )
 
     d = _t(spark, sf_dir, "documents")
@@ -801,6 +817,13 @@ def text_analysis_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(bullet_line_fraction_e4("text")).cast("long").alias("bullet_e4_sum"),
         F.sum(ellipsis_line_fraction_e4("text")).cast("long").alias("ellipsis_e4_sum"),
         F.sum(alpha_word_fraction_e4("text")).cast("long").alias("alpha_e4_sum"),
+        F.sum(F.floor(flesch_reading_ease("text") * 10000).cast("long"))
+        .cast("long")
+        .alias("fre_e4_sum"),
+        F.sum(script_count("text", "Latin")).cast("long").alias("latin_cp_sum"),
+        F.sum((dominant_script("text") == "Latin").cast("long"))
+        .cast("long")
+        .alias("n_dom_latin"),
     )
 
 
@@ -4461,6 +4484,18 @@ def oracle_sql() -> dict[str, str]:
                                       x -> regexp_matches(x, '[A-Za-z]')))
                                     * 10000.0 / len(toks)) AS BIGINT)
                           ELSE 0 END AS alpha_e4,
+                     CASE WHEN ntok > 0
+                          THEN CAST(floor((206.835
+                               - 1.015 * (ntok * 1.0
+                                   / greatest(len(regexp_extract_all(s,
+                                       '[.!?。]+')), 1))
+                               - 84.6 * (len(regexp_extract_all(lower(s),
+                                       '[aeiouy]+')) * 1.0 / ntok)
+                               ) * 10000) AS BIGINT)
+                          END AS fre_e4,
+                     len(regexp_extract_all(s, '\\p{{Latin}}')) AS latin_cp,
+                     len(regexp_extract_all(s, '\\p{{Thai}}')) AS thai_cp,
+                     len(regexp_extract_all(s, '\\p{{L}}')) AS letters_cp,
                      round(
                        least(length(s) / 200.0, 1.0)
                        * greatest(0.0, 1.0 - (length(regexp_replace(s, '[A-Za-z0-9\\s]', '', 'g'))
@@ -4489,7 +4524,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(symbol_e4) AS BIGINT) AS symbol_e4_sum,
                    CAST(sum(bullet_e4) AS BIGINT) AS bullet_e4_sum,
                    CAST(sum(ellipsis_e4) AS BIGINT) AS ellipsis_e4_sum,
-                   CAST(sum(alpha_e4) AS BIGINT) AS alpha_e4_sum
+                   CAST(sum(alpha_e4) AS BIGINT) AS alpha_e4_sum,
+                   CAST(sum(fre_e4) AS BIGINT) AS fre_e4_sum,
+                   CAST(sum(latin_cp) AS BIGINT) AS latin_cp_sum,
+                   -- dominant_script == 'Latin' in integers: the only
+                   -- script name sorting after Latin is Thai, so the
+                   -- struct-max tie at exactly half the letters goes
+                   -- to Thai (see the query docstring)
+                   CAST(sum(CASE WHEN s IS NOT NULL AND (
+                          2 * latin_cp > letters_cp
+                          OR (letters_cp > 0
+                              AND 2 * latin_cp = letters_cp
+                              AND 2 * thai_cp != letters_cp))
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_dom_latin
             FROM q GROUP BY lang
         """,
         "dedup_group_resolution": """

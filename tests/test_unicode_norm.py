@@ -129,3 +129,53 @@ def test_skeleton_is_idempotent(spark, s):
     df2 = spark.createDataFrame([(once,)], "t string")
     twice = df2.select(confusable_skeleton(F.col("t")).alias("v")).collect()[0]["v"]
     assert twice == once
+
+
+def test_script_counts_and_dominant(spark):
+    from trial_submission_studio_spark.operators.unicode_norm import (
+        dominant_script,
+        script_count,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello world entirely latin text"),
+            (2, "Привет мир это кириллица"),
+            (3, "日本語のテキストです"),        # Han + Hiragana + Katakana mix
+            (4, "Hi Πας Да"),                   # 2/3/2 letters -> mixed
+            (5, "12345 !!!"),                   # no letters
+            (6, "한국어 텍스트 문서"),            # Hangul
+        ],
+        "i long, t string",
+    )
+    got = {
+        r.i: (r.d, r.lat, r.cyr)
+        for r in df.select(
+            "i",
+            dominant_script("t").alias("d"),
+            script_count("t", "Latin").alias("lat"),
+            script_count("t", "Cyrillic").alias("cyr"),
+        ).collect()
+    }
+    assert got[1] == ("Latin", 27, 0)
+    assert got[2][0] == "Cyrillic" and got[2][2] > 0
+    assert got[3][0] == "mixed"  # no single Japanese script >= 50%
+    assert got[4][0] == "mixed"
+    assert got[5][0] == "none"
+    assert got[6][0] == "Hangul"
+
+
+def test_dominant_script_threshold_and_plan(spark):
+    from trial_submission_studio_spark.operators.planaudit import plan_facts
+    from trial_submission_studio_spark.operators.unicode_norm import (
+        dominant_script,
+    )
+
+    df = spark.createDataFrame([(1, "日本語のテキストです")], "i long, t string")
+    # lowering the bar makes the plurality script win
+    r = df.select(
+        dominant_script("t", min_fraction=0.3).alias("d")
+    ).first()
+    assert r.d in ("Hiragana", "Han", "Katakana")
+    f = plan_facts(df.select(dominant_script("t").alias("d")))
+    assert f["python_evals"] == 0 and f["shuffle_exchanges"] == 0

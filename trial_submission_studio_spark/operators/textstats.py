@@ -323,3 +323,40 @@ def compression_filter(
     filters' no-evidence stance)."""
     r = compression_ratio(text_col, level)
     return df.filter((r >= min_ratio) & (r <= max_ratio))
+
+
+def sentence_count(c: Column | str) -> Column:
+    """Terminal-punctuation-run count, floored at 1 for non-empty
+    text (a fragment with no ``.!?`` is one sentence; empty/NULL
+    handled by callers). Codegen."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.greatest(
+        F.regexp_count(col, F.lit(r"[.!?。]+")), F.lit(1)
+    ).cast("long")
+
+
+def syllable_count(c: Column | str) -> Column:
+    """Vowel-group syllable approximation (``[aeiouy]+`` runs on the
+    lowercased text — the standard cheap English estimator; counts
+    within ~10% of dictionary syllabification on running prose).
+    Codegen."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.regexp_count(F.lower(col), F.lit("[aeiouy]+")).cast("long")
+
+
+def flesch_reading_ease(c: Column | str) -> Column:
+    """Flesch reading ease (Flesch 1948; the quality-signal variant
+    used by early web-corpus filters): ``206.835 − 1.015·(words/
+    sentences) − 84.6·(syllables/words)``. Higher = simpler; ~60-70
+    is plain English, <30 academic. English-centric by construction
+    (vowel-group syllables) — gate by language first. NULL for
+    wordless text. All codegen; mirrors to any SQL engine."""
+    col = F.col(c) if isinstance(c, str) else c
+    words = token_count(col).cast("double")
+    sents = sentence_count(col).cast("double")
+    sylls = syllable_count(col).cast("double")
+    return F.when(
+        words > 0,
+        F.lit(206.835) - F.lit(1.015) * (words / sents)
+        - F.lit(84.6) * (sylls / words),
+    )

@@ -178,3 +178,60 @@ def add_skeleton_fingerprint(
 ) -> DataFrame:
     """Column-append convenience for pipeline composition."""
     return df.withColumn(out_col, skeleton_fingerprint(text_col))
+
+
+#: scripts with a Java \p{Is<name>} class AND an RE2 \p{<name>} class
+#: (so the same counts mirror to DuckDB/Go engines verbatim)
+DEFAULT_SCRIPTS = (
+    "Latin", "Cyrillic", "Greek", "Arabic", "Hebrew", "Han",
+    "Hiragana", "Katakana", "Hangul", "Devanagari", "Thai",
+)
+
+
+def script_count(c: Column | str, script: str) -> Column:
+    """Codepoints of ``script`` in the text (Java regex script class,
+    whole-stage codegen)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.regexp_count(col, F.lit(f"\\p{{Is{script}}}")).cast("long")
+
+
+def dominant_script(
+    c: Column | str,
+    scripts: tuple[str, ...] = DEFAULT_SCRIPTS,
+    min_fraction: float = 0.5,
+) -> Column:
+    """The script owning at least ``min_fraction`` of the text's
+    LETTERS — the routing signal in front of language-ID (script
+    narrows the candidate languages and catches mixed-script spam
+    that n-gram langid mis-buckets). Returns the script name,
+    ``'mixed'`` when no script reaches the fraction, ``'none'`` for
+    letterless text. Ties at the max resolve to the alphabetically
+    LAST script name (struct max compares count then name —
+    deterministic everywhere).
+
+    All codegen: one regexp_count per script + an array_max over
+    (count, name) structs; no Python, no shuffle."""
+    col = F.col(c) if isinstance(c, str) else c
+    # NULL text counts as letterless -> 'none' (not a spurious 'mixed')
+    letters = F.coalesce(
+        F.regexp_count(col, F.lit(r"\p{L}")).cast("long"), F.lit(0)
+    )
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    script_count(col, s).alias("n"), F.lit(s).alias("s")
+                )
+                for s in scripts
+            ]
+        )
+    )
+    return (
+        F.when(letters == 0, F.lit("none"))
+        .when(
+            best["n"].cast("double")
+            >= F.lit(float(min_fraction)) * letters.cast("double"),
+            best["s"],
+        )
+        .otherwise(F.lit("mixed"))
+    )
