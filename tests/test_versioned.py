@@ -306,3 +306,42 @@ def test_compact_version_verify_and_noop(spark, tmp_path):
     v1 = publish_version(root, run)
     # single file → nothing to compact, same manifest back
     assert compact_version(spark, root)["version"] == v1["version"]
+
+
+def test_timestamp_time_travel(spark, tmp_path, monkeypatch):
+    """as_of resolves the newest commit at-or-before the instant;
+    date-only prefixes mean midnight; pre-table instants raise."""
+    import trial_submission_studio_spark.io.versioned as V
+
+    root = str(tmp_path / "corpus")
+    os.makedirs(root)
+    times = iter(
+        ["2026-01-01T10:00:00Z", "2026-01-02T10:00:00Z", "2026-01-03T10:00:00Z"]
+    )
+    real_strftime = V.time.strftime
+    monkeypatch.setattr(
+        V.time, "strftime", lambda fmt, *a: next(times)
+        if fmt == "%Y-%m-%dT%H:%M:%SZ"
+        else real_strftime(fmt, *a),
+    )
+    for lo, hi in ((0, 10), (10, 30), (30, 60)):
+        d = new_data_dir(root)
+        _docs(spark, lo, hi).write.parquet(d, mode="append")
+        publish_version(
+            root, d, base_version=V.current_version(root)
+        )
+    from trial_submission_studio_spark.io.versioned import (
+        read_version as rv,
+        version_as_of,
+    )
+
+    assert version_as_of(root, "2026-01-01T10:00:00Z") == 1
+    assert version_as_of(root, "2026-01-02T23:59:59") == 2
+    assert version_as_of(root, "2026-01-03") == 2  # midnight, before 10:00
+    assert version_as_of(root, "2027-01-01") == 3
+    assert rv(spark, root, as_of="2026-01-02T12:00:00").count() == 30
+    assert rv(spark, root).count() == 60
+    with pytest.raises(ValueError, match="existed at or before"):
+        version_as_of(root, "2025-12-31")
+    with pytest.raises(ValueError, match="not both"):
+        rv(spark, root, version=1, as_of="2026-01-02")

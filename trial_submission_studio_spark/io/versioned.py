@@ -210,12 +210,42 @@ def publish_version(
     return publish_files(root, files, metadata=metadata)
 
 
+def version_as_of(root: str, timestamp: str) -> int:
+    """The newest version whose commit time is <= ``timestamp``
+    (UTC, ISO ``YYYY-MM-DDTHH:MM:SSZ`` or any prefix — manifests
+    store ``created_utc`` in this form, so the comparison is
+    lexicographic on the normalized string). The Delta ``TIMESTAMP
+    AS OF`` shape. Raises if the table didn't exist yet."""
+    ts = timestamp.rstrip("Z").replace(" ", "T")
+    best = None
+    for v in list_versions(root):
+        created = read_manifest(root, v)["created_utc"].rstrip("Z")
+        # plain lexicographic: a prefix timestamp ("2026-08-15")
+        # means its zero-fill instant (midnight), because any longer
+        # same-prefix commit string sorts after it
+        if created <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no version of {root} existed at or before {timestamp}"
+        )
+    return best
+
+
 def read_version(
-    spark: SparkSession, root: str, version: int | None = None
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    *,
+    as_of: str | None = None,
 ) -> DataFrame:
-    """Read a published snapshot (CURRENT by default, or time-travel
-    to ``version``) from its EXPLICIT manifest file list — no
-    directory listing, no torn reads."""
+    """Read a published snapshot (CURRENT by default; time-travel by
+    ``version`` or by commit time with ``as_of``) from its EXPLICIT
+    manifest file list — no directory listing, no torn reads."""
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass version or as_of, not both")
+        version = version_as_of(root, as_of)
     m = read_manifest(root, version)
     paths = [os.path.join(root, f) for f in m["files"]]
     fmt = "json" if paths[0].endswith((".jsonl", ".jsonl.gz", ".json.gz")) else "parquet"
