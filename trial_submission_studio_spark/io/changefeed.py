@@ -1,0 +1,134 @@
+"""Row-level change feed between two versions of a snapshot —
+Delta's Change Data Feed shape WITHOUT write amplification, priced at
+the file-list delta instead of the full table.
+
+Key fact: under the manifest protocol every logical change is
+physically confined to swapped files. A row can differ between
+version A and version B only if its file was REMOVED (rewritten /
+deleted) or its row lives in an ADDED file — untouched files
+contribute only unchanged rows. So the exact row-level diff of two
+100 TB snapshots needs to read just ``removed ∪ added`` files, and
+`operators/diff.py:snapshot_diff` over those two slices is already
+exact:
+
+- a row only in the added slice  -> ``added`` (insert)
+- a row only in the removed slice -> ``removed`` (delete)
+- same key both sides, digest differs -> ``changed`` (update)
+- same key and digest (e.g. a compaction moved the row between
+  files with no logical change) -> ``unchanged`` — filtered out, so
+  pure-layout commits produce an EMPTY feed, which is the correct
+  CDC answer.
+
+Downstream incremental consumers (embedding encoders, index
+builders, replica sync) run
+``changes = change_feed(spark, root, last_seen, current, keys)``
+per cycle and touch only what moved.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import versioned
+
+__all__ = ["change_feed", "change_feed_summary"]
+
+
+def _slices(
+    spark: SparkSession, root: str, v_from: int, v_to: int
+) -> tuple[DataFrame | None, DataFrame | None, dict]:
+    a = versioned.read_manifest(root, v_from)
+    b = versioned.read_manifest(root, v_to)
+    fa, fb = set(a["files"]), set(b["files"])
+    removed = sorted(fa - fb)
+    added = sorted(fb - fa)
+    audit = {
+        "files_removed": len(removed),
+        "files_added": len(added),
+        "files_untouched": len(fa & fb),
+    }
+    old = (
+        spark.read.parquet(*[os.path.join(root, f) for f in removed])
+        if removed
+        else None
+    )
+    new = (
+        spark.read.parquet(*[os.path.join(root, f) for f in added])
+        if added
+        else None
+    )
+    return old, new, audit
+
+
+def change_feed(
+    spark: SparkSession,
+    root: str,
+    v_from: int,
+    v_to: int,
+    key_cols: str | list[str],
+    *,
+    compare_cols: list[str] | None = None,
+    digest: str = "xxhash64",
+) -> DataFrame:
+    """``(key_cols..., _change)`` with ``_change`` in
+    ``insert | update | delete`` for every row that logically changed
+    between the two versions. Scans only the file-list delta. Keys
+    must be unique per snapshot (the merge/CDC writers guarantee
+    this; `operators/diff.py` semantics otherwise).
+
+    ``compare_cols`` limits which columns count as a change
+    (default: all non-key columns); ``digest`` as in
+    ``snapshot_diff`` (``md5`` for the engine-portable canonical
+    form)."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    from ..operators.diff import snapshot_diff
+
+    old, new, _ = _slices(spark, root, v_from, v_to)
+    if old is None and new is None:
+        # pure-metadata delta (rollback to an identical list): empty
+        any_df = versioned.read_version(spark, root, v_to)
+        return (
+            any_df.select(*key_cols)
+            .withColumn("_change", F.lit("insert"))
+            .limit(0)
+        )
+    if old is None:
+        return new.select(*key_cols).withColumn("_change", F.lit("insert"))
+    if new is None:
+        return old.select(*key_cols).withColumn("_change", F.lit("delete"))
+    d = snapshot_diff(old, new, key_cols, compare_cols, digest)
+    return d.select(
+        *key_cols,
+        F.when(F.col("change_type") == "added", "insert")
+        .when(F.col("change_type") == "removed", "delete")
+        .otherwise("update")
+        .alias("_change"),
+    )
+
+
+def change_feed_summary(
+    spark: SparkSession,
+    root: str,
+    v_from: int,
+    v_to: int,
+    key_cols: str | list[str],
+    **kwargs,
+) -> dict:
+    """One-row counts + the file-delta audit — the cheap "is there
+    anything to do" probe an incremental consumer runs first."""
+    feed = change_feed(spark, root, v_from, v_to, key_cols, **kwargs)
+    _, _, audit = _slices(spark, root, v_from, v_to)
+    counts = {
+        r["_change"]: r["n"]
+        for r in feed.groupBy("_change")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    }
+    return {
+        "n_insert": counts.get("insert", 0),
+        "n_update": counts.get("update", 0),
+        "n_delete": counts.get("delete", 0),
+        **audit,
+    }
