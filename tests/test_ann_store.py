@@ -1,0 +1,101 @@
+"""Persisted IVF vector store (operators/ann_store.py): build /
+append / tombstone-delete / cell-pruned query; equivalence with the
+in-memory ivf_topk under frozen centroids."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from trial_submission_studio_spark.operators.ann_store import (
+    _pruned_vector_files,
+    append_ivf_corpus,
+    delete_ivf_vectors,
+    save_ivf_corpus,
+    saved_ivf_topk,
+)
+from trial_submission_studio_spark.operators.similarity import ivf_topk
+from trial_submission_studio_spark.io.versioned import read_manifest
+
+DIM = 8
+
+
+def _vecs(spark, lo, hi):
+    """Deterministic spread-out unit-ish vectors."""
+    return spark.range(lo, hi).selectExpr(
+        "id AS vec_id",
+        f"""transform(sequence(0, {DIM - 1}), j ->
+             CAST(sin(id * 0.7 + j * 1.3) + 0.1 * j AS DOUBLE))
+           AS embedding""",
+    )
+
+
+def _topk_rows(df):
+    return {
+        (r.query_id, r.rank): (r.vec_id, r.sim) for r in df.collect()
+    }
+
+
+def test_saved_matches_in_memory_ivf(spark, tmp_path):
+    root = str(tmp_path / "ann")
+    corpus = _vecs(spark, 0, 400)
+    queries = _vecs(spark, 1000, 1006)
+    m = save_ivf_corpus(corpus, root, n_centroids=8)
+    cents = m["metadata"]["ivf"]["centroids"]
+    got = saved_ivf_topk(spark, root, queries, k=5, n_probe=3)
+    want = ivf_topk(corpus, queries, k=5, n_probe=3, centroids=cents)
+    assert _topk_rows(got) == _topk_rows(want)
+
+
+def test_append_equals_build_all_at_once(spark, tmp_path):
+    """Frozen centroids make append ≡ rebuild: store(half)+append(half)
+    answers exactly like store(all) under the SAME centroids."""
+    root_a, root_b = str(tmp_path / "a"), str(tmp_path / "b")
+    all_v = _vecs(spark, 0, 300)
+    m = save_ivf_corpus(all_v, root_b, n_centroids=8)
+    cents = m["metadata"]["ivf"]["centroids"]
+    save_ivf_corpus(
+        _vecs(spark, 0, 150), root_a, centroids=cents
+    )
+    append_ivf_corpus(_vecs(spark, 150, 300), root_a)
+    queries = _vecs(spark, 2000, 2004)
+    a = saved_ivf_topk(spark, root_a, queries, k=7, n_probe=8)
+    b = saved_ivf_topk(spark, root_b, queries, k=7, n_probe=8)
+    assert _topk_rows(a) == _topk_rows(b)
+
+
+def test_query_prunes_to_probed_cells(spark, tmp_path):
+    root = str(tmp_path / "ann")
+    save_ivf_corpus(_vecs(spark, 0, 400), root, n_centroids=8)
+    m = read_manifest(root)
+    vec_files = [f for f in m["files"] if f.startswith("vectors/")]
+    pruned = _pruned_vector_files(m["files"], {0, 3})
+    assert 0 < len(pruned) < len(vec_files)
+    assert all(("__cell=0/" in f) or ("__cell=3/" in f) for f in pruned)
+
+
+def test_tombstone_delete_hides_ids(spark, tmp_path):
+    root = str(tmp_path / "ann")
+    corpus = _vecs(spark, 0, 200)
+    save_ivf_corpus(corpus, root, n_centroids=4)
+    queries = _vecs(spark, 0, 3)  # self-queries: id i's top-1 is i
+    before = saved_ivf_topk(spark, root, queries, k=1, n_probe=4)
+    assert {r.vec_id for r in before.collect()} == {0, 1, 2}
+    delete_ivf_vectors(
+        spark.createDataFrame([(0,), (2,)], "vec_id long"), root
+    )
+    after = saved_ivf_topk(spark, root, queries, k=1, n_probe=4)
+    got = {r.query_id: r.vec_id for r in after.collect()}
+    assert got[1] == 1 and got[0] != 0 and got[2] != 2
+
+
+def test_commits_are_versioned(spark, tmp_path):
+    root = str(tmp_path / "ann")
+    save_ivf_corpus(_vecs(spark, 0, 100), root, n_centroids=4)
+    append_ivf_corpus(_vecs(spark, 100, 150), root)
+    delete_ivf_vectors(spark.createDataFrame([(5,)], "vec_id long"), root)
+    assert read_manifest(root)["version"] == 3
+    # centroids identical across all commits (frozen)
+    c1 = read_manifest(root, 1)["metadata"]["ivf"]["centroids"]
+    c3 = read_manifest(root, 3)["metadata"]["ivf"]["centroids"]
+    assert c1 == c3
