@@ -89,6 +89,102 @@ def test_tombstone_delete_hides_ids(spark, tmp_path):
     assert got[1] == 1 and got[0] != 0 and got[2] != 2
 
 
+def test_upsert_replaces_across_cells_and_revives(spark, tmp_path):
+    """LSM semantics: an upserted id serves ONLY its newest vector
+    even when the replacement lands in a different cell, and a
+    delete followed by a later upsert revives the id."""
+    from trial_submission_studio_spark.operators.ann_store import (
+        upsert_ivf_vectors,
+    )
+
+    root = str(tmp_path / "ann")
+    save_ivf_corpus(_vecs(spark, 0, 200), root, n_centroids=4)
+    # replace id 1 with id 150's vector (very likely a different cell)
+    repl = _vecs(spark, 150, 151).selectExpr(
+        "CAST(1 AS LONG) AS vec_id", "embedding"
+    )
+    upsert_ivf_vectors(repl, root)
+    q = _vecs(spark, 150, 151)  # query WITH the replacement vector
+    top = saved_ivf_topk(spark, root, q, k=2, n_probe=4).collect()
+    ids = [r.vec_id for r in sorted(top, key=lambda r: r.rank)]
+    assert set(ids) == {150, 1}  # both the original and the clone
+    assert abs(top[0].sim - top[1].sim) < 1e-6
+    # the OLD vector of id 1 must be gone: querying it finds id 1
+    # only via the new position
+    q_old = _vecs(spark, 1, 2)
+    old_hits = {
+        r.vec_id
+        for r in saved_ivf_topk(spark, root, q_old, k=3, n_probe=4).collect()
+    }
+    assert 1 not in old_hits
+    # delete then revive
+    delete_ivf_vectors(spark.createDataFrame([(1,)], "vec_id long"), root)
+    assert 1 not in {
+        r.vec_id
+        for r in saved_ivf_topk(spark, root, q, k=5, n_probe=4).collect()
+    }
+    upsert_ivf_vectors(repl, root)
+    assert 1 in {
+        r.vec_id
+        for r in saved_ivf_topk(spark, root, q, k=5, n_probe=4).collect()
+    }
+
+
+def test_sync_from_versioned_embeddings(spark, tmp_path):
+    """Change-feed-driven incremental maintenance: merge into the
+    base table, sync, and the store answers for the new state."""
+    from trial_submission_studio_spark.io.merge import merge_version
+    from trial_submission_studio_spark.io.versioned import (
+        new_data_dir,
+        publish_version,
+    )
+    from trial_submission_studio_spark.operators.ann_store import (
+        sync_ivf_store,
+    )
+
+    base = str(tmp_path / "emb")
+    root = str(tmp_path / "ann")
+    os.makedirs(base)
+    d = new_data_dir(base)
+    _vecs(spark, 0, 200).repartition(2).write.parquet(d, mode="append")
+    v1 = publish_version(base, d)["version"]
+    from trial_submission_studio_spark.io.versioned import read_version
+
+    save_ivf_corpus(read_version(spark, base), root, n_centroids=4)
+
+    # base changes: id 3 gets id 170's vector; id 5 deleted; 300 new
+    changes = (
+        _vecs(spark, 170, 171)
+        .selectExpr("CAST(3 AS LONG) AS vec_id", "embedding")
+        .unionByName(_vecs(spark, 300, 301))
+        .withColumn("is_del", F.lit(False))
+        .unionByName(
+            _vecs(spark, 5, 6).withColumn("is_del", F.lit(True))
+        )
+    )
+    v2 = merge_version(spark, base, changes, "vec_id", delete_col="is_del")[
+        "version"
+    ]
+    s = sync_ivf_store(spark, base, root, v1, v2)
+    assert s["upserted"] == 2 and s["deleted"] == 1
+
+    hits = {
+        r.vec_id
+        for r in saved_ivf_topk(
+            spark, root, _vecs(spark, 170, 171), k=3, n_probe=4
+        ).collect()
+    }
+    assert 3 in hits and 170 in hits
+    all_q = saved_ivf_topk(spark, root, _vecs(spark, 5, 6), k=5, n_probe=4)
+    assert 5 not in {r.vec_id for r in all_q.collect()}
+    assert 300 in {
+        r.vec_id
+        for r in saved_ivf_topk(
+            spark, root, _vecs(spark, 300, 301), k=1, n_probe=4
+        ).collect()
+    }
+
+
 def test_commits_are_versioned(spark, tmp_path):
     root = str(tmp_path / "ann")
     save_ivf_corpus(_vecs(spark, 0, 100), root, n_centroids=4)

@@ -24,9 +24,15 @@ Layout (mirrors bm25's ``run=<id>/__tb=N``)::
   listing, on top of which the cell equi-join and bounded per-query
   window do the rest. A 100 TB vector table reads ~n_probe/
   n_centroids of its bytes per batch.
-- **Deletes are tombstones**: an id set appended under ``deletes/``,
-  anti-joined at query time (tombstone-sized). Terminal for those
-  ids — re-adding a deleted id requires a rebuild; the tombstone
+- **Mutations are LSM-style**: every commit carries a sequence
+  number (its manifest version). ``delete_ivf_vectors`` appends id
+  tombstones at that seq; ``upsert_ivf_vectors`` appends the new
+  rows AND a tombstone at the SAME seq (alive iff
+  ``row_seq >= newest tombstone seq`` for the id) — which is what
+  makes replacement correct even when the new vector lands in a
+  DIFFERENT cell: a probe that only sees the stale cell still sees
+  the (global, broadcast-sized) tombstone and drops the old row.
+  Re-adding a deleted id is just a later upsert. The tombstone
   table is the usual compaction candidate when it grows.
 - Every mutation is an atomic manifest swap (`io/versioned.py`):
   readers never see a torn index; crashed writers leave the
@@ -56,11 +62,14 @@ from .similarity import (
 __all__ = [
     "save_ivf_corpus",
     "append_ivf_corpus",
+    "upsert_ivf_vectors",
     "delete_ivf_vectors",
     "saved_ivf_topk",
+    "sync_ivf_store",
 ]
 
 _CELL = "__cell"
+_SEQ = "__seq"
 
 
 def _write_vector_run(
@@ -69,12 +78,14 @@ def _write_vector_run(
     centroids: list[list[float]],
     id_col: str,
     vec_col: str,
+    seq: int,
 ) -> list[str]:
     run_dir = f"{path}/vectors/run={uuid.uuid4().hex[:16]}"
     assigned = corpus.select(
         F.col(id_col),
         F.col(vec_col),
         _nearest_cells(centroids, 1)(F.col(vec_col))[0].alias(_CELL),
+        F.lit(seq).cast("long").alias(_SEQ),
     )
     (
         assigned.repartition(F.col(_CELL))
@@ -101,7 +112,7 @@ def save_ivf_corpus(
     cents = centroids or train_ivf_centroids(
         corpus, n_centroids, id_col=id_col, vec_col=vec_col
     )
-    files = _write_vector_run(corpus, path, cents, id_col, vec_col)
+    files = _write_vector_run(corpus, path, cents, id_col, vec_col, seq=1)
     meta = {
         "ivf": {
             "centroids": cents,
@@ -119,28 +130,55 @@ def _meta(path: str) -> tuple[dict, dict]:
 
 
 def append_ivf_corpus(new_vectors: DataFrame, path: str) -> dict:
-    """Assign new vectors to the FROZEN centroids, append a run,
-    commit. Same cells, same pruning, zero retraining."""
+    """Assign NEW-id vectors to the FROZEN centroids, append a run,
+    commit. Same cells, same pruning, zero retraining. For ids that
+    may already exist use :func:`upsert_ivf_vectors` (a bare append
+    of an existing id would serve both versions)."""
     m, ivf = _meta(path)
     files = _write_vector_run(
-        new_vectors, path, ivf["centroids"], ivf["id_col"], ivf["vec_col"]
+        new_vectors, path, ivf["centroids"], ivf["id_col"],
+        ivf["vec_col"], seq=m["version"] + 1,
     )
     return _ver.publish_files(
         path, m["files"] + files, metadata=m["metadata"]
     )
 
 
-def delete_ivf_vectors(ids: DataFrame, path: str) -> dict:
-    """Append an id tombstone run (single column named ``id_col``).
-    Deleted ids stop appearing in query results immediately;
-    re-adding them needs a rebuild (documented tombstone
-    semantics)."""
-    m, ivf = _meta(path)
+def _write_tombstones(ids: DataFrame, path: str, id_col: str, seq: int):
     run_dir = f"{path}/deletes/run={uuid.uuid4().hex[:16]}"
-    ids.select(ivf["id_col"]).write.parquet(run_dir)
-    fresh = sorted(os.path.relpath(p, path) for p in _ver.data_files(run_dir))
+    ids.select(
+        id_col, F.lit(seq).cast("long").alias(_SEQ)
+    ).write.parquet(run_dir)
+    return sorted(os.path.relpath(p, path) for p in _ver.data_files(run_dir))
+
+
+def delete_ivf_vectors(ids: DataFrame, path: str) -> dict:
+    """Append an id tombstone run at this commit's seq. Deleted ids
+    stop appearing immediately; a LATER upsert of the same id brings
+    it back (LSM rule: alive iff row_seq >= newest tombstone seq)."""
+    m, ivf = _meta(path)
+    fresh = _write_tombstones(ids, path, ivf["id_col"], m["version"] + 1)
     return _ver.publish_files(
         path, m["files"] + fresh, metadata=m["metadata"]
+    )
+
+
+def upsert_ivf_vectors(new_vectors: DataFrame, path: str) -> dict:
+    """Replace-or-insert: ONE commit appends the new rows AND an id
+    tombstone at the same seq, so any older version of these ids —
+    in whatever cell it sits — is dead, and the new rows (seq equal
+    to the tombstone) are alive."""
+    m, ivf = _meta(path)
+    seq = m["version"] + 1
+    files = _write_vector_run(
+        new_vectors, path, ivf["centroids"], ivf["id_col"],
+        ivf["vec_col"], seq=seq,
+    )
+    files += _write_tombstones(
+        new_vectors.select(ivf["id_col"]), path, ivf["id_col"], seq
+    )
+    return _ver.publish_files(
+        path, m["files"] + files, metadata=m["metadata"]
     )
 
 
@@ -194,10 +232,20 @@ def saved_ivf_topk(
     )
     del_files = [f for f in m["files"] if f.startswith("deletes/")]
     if del_files:
-        tombstones = spark.read.parquet(
-            *[os.path.join(path, f) for f in del_files]
-        ).select(id_col)
-        vectors = vectors.join(F.broadcast(tombstones), id_col, "left_anti")
+        # newest tombstone per id; a row survives iff its seq is >=
+        # that (upserts commit row+tombstone at the SAME seq)
+        tomb = (
+            spark.read.parquet(*[os.path.join(path, f) for f in del_files])
+            .groupBy(id_col)
+            .agg(F.max(_SEQ).alias("__tseq"))
+        )
+        vectors = (
+            vectors.join(F.broadcast(tomb), id_col, "left")
+            .filter(
+                F.col("__tseq").isNull() | (F.col(_SEQ) >= F.col("__tseq"))
+            )
+            .drop("__tseq")
+        )
     joined = q.join(vectors, _CELL).withColumn(
         "sim", cosine_pairwise(F.col("__qvec"), F.col(vec_col))
     )
@@ -207,3 +255,43 @@ def saved_ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, F.round("sim", 6).alias("sim"), "rank")
     )
+
+
+def sync_ivf_store(
+    spark: SparkSession,
+    base_root: str,
+    ann_root: str,
+    v_from: int,
+    v_to: int | None = None,
+) -> dict:
+    """Bring the vector store up to date with a versioned embeddings
+    table (`io/versioned.py` snapshot whose rows carry the store's
+    id and vector columns) using the row-level change feed
+    (`io/changefeed.py`) — the incremental-consumer loop:
+
+        inserts + updates -> upsert_ivf_vectors (fetched from the
+                             target version, so the feed only moves
+                             keys);  deletes -> tombstones.
+
+    Work scales with |changed rows|, not |corpus|. Returns
+    ``{"upserted", "deleted", "from", "to"}``."""
+    from ..io.changefeed import change_feed
+
+    _, ivf = _meta(ann_root)
+    id_col, vec_col = ivf["id_col"], ivf["vec_col"]
+    if v_to is None:
+        v_to = _ver.current_version(base_root)
+    feed = change_feed(spark, base_root, v_from, v_to, id_col)
+    ups = feed.filter(F.col("_change") != "delete").select(id_col)
+    dels = feed.filter(F.col("_change") == "delete").select(id_col)
+    n_up, n_del = ups.count(), dels.count()
+    if n_up:
+        rows = (
+            _ver.read_version(spark, base_root, v_to)
+            .join(F.broadcast(ups), id_col, "left_semi")
+            .select(id_col, vec_col)
+        )
+        upsert_ivf_vectors(rows, ann_root)
+    if n_del:
+        delete_ivf_vectors(dels, ann_root)
+    return {"upserted": n_up, "deleted": n_del, "from": v_from, "to": v_to}
