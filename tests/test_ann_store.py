@@ -195,3 +195,38 @@ def test_commits_are_versioned(spark, tmp_path):
     c1 = read_manifest(root, 1)["metadata"]["ivf"]["centroids"]
     c3 = read_manifest(root, 3)["metadata"]["ivf"]["centroids"]
     assert c1 == c3
+
+
+def test_compaction_preserves_answers_and_drops_tombstones(spark, tmp_path):
+    from trial_submission_studio_spark.operators.ann_store import (
+        compact_ivf_store,
+        upsert_ivf_vectors,
+    )
+
+    root = str(tmp_path / "ann")
+    save_ivf_corpus(_vecs(spark, 0, 150), root, n_centroids=4)
+    append_ivf_corpus(_vecs(spark, 150, 200), root)
+    upsert_ivf_vectors(
+        _vecs(spark, 170, 171).selectExpr(
+            "CAST(7 AS LONG) AS vec_id", "embedding"
+        ),
+        root,
+    )
+    delete_ivf_vectors(spark.createDataFrame([(9,)], "vec_id long"), root)
+    queries = _vecs(spark, 1000, 1005)
+    before = _topk_rows(saved_ivf_topk(spark, root, queries, k=8, n_probe=4))
+    m = compact_ivf_store(spark, root)
+    assert m["metadata"]["compaction_of"] == 4
+    assert not [f for f in m["files"] if f.startswith("deletes/")]
+    # exactly one vectors run remains
+    runs = {f.split("/")[1] for f in m["files"] if f.startswith("vectors/")}
+    assert len(runs) == 1
+    after = _topk_rows(saved_ivf_topk(spark, root, queries, k=8, n_probe=4))
+    assert before == after
+    # the dead id stays dead, the upsert stays upserted
+    assert 9 not in {
+        r.vec_id
+        for r in saved_ivf_topk(
+            spark, root, _vecs(spark, 9, 10), k=5, n_probe=4
+        ).collect()
+    }

@@ -66,6 +66,7 @@ __all__ = [
     "delete_ivf_vectors",
     "saved_ivf_topk",
     "sync_ivf_store",
+    "compact_ivf_store",
 ]
 
 _CELL = "__cell"
@@ -295,3 +296,43 @@ def sync_ivf_store(
     if n_del:
         delete_ivf_vectors(dels, ann_root)
     return {"upserted": n_up, "deleted": n_del, "from": v_from, "to": v_to}
+
+
+def compact_ivf_store(spark: SparkSession, path: str) -> dict:
+    """Fold the LSM state: resolve tombstones, rewrite the live rows
+    as ONE fresh run (same frozen centroids, same cell layout), drop
+    the tombstone files from the manifest. Query results are
+    unchanged; what changes is cost — a long-lived store accumulates
+    a run dir per mutation and a growing tombstone broadcast, and
+    this is the standard LSM answer. Old versions stay readable
+    until retired+vacuumed (append-only commit, like
+    `io/versioned.compact_version`)."""
+    m, ivf = _meta(path)
+    id_col, vec_col = ivf["id_col"], ivf["vec_col"]
+    vec_files = [f for f in m["files"] if f.startswith("vectors/")]
+    vectors = (
+        spark.read.option("basePath", os.path.join(path, "vectors"))
+        .parquet(*[os.path.join(path, f) for f in vec_files])
+        .drop("run")
+    )
+    del_files = [f for f in m["files"] if f.startswith("deletes/")]
+    if del_files:
+        tomb = (
+            spark.read.parquet(*[os.path.join(path, f) for f in del_files])
+            .groupBy(id_col)
+            .agg(F.max(_SEQ).alias("__tseq"))
+        )
+        vectors = (
+            vectors.join(F.broadcast(tomb), id_col, "left")
+            .filter(
+                F.col("__tseq").isNull() | (F.col(_SEQ) >= F.col("__tseq"))
+            )
+            .drop("__tseq")
+        )
+    live = vectors.select(id_col, vec_col)
+    files = _write_vector_run(
+        live, path, ivf["centroids"], id_col, vec_col, seq=m["version"] + 1
+    )
+    meta = dict(m["metadata"])
+    meta["compaction_of"] = m["version"]
+    return _ver.publish_files(path, files, metadata=meta)
