@@ -791,12 +791,7 @@ def text_analysis_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_line_fraction_e4,
         dup_paragraph_fraction_e4,
         ellipsis_line_fraction_e4,
-        flesch_reading_ease,
         symbol_word_ratio_e4,
-    )
-    from trial_submission_studio_spark.operators.unicode_norm import (
-        dominant_script,
-        script_count,
     )
 
     d = _t(spark, sf_dir, "documents")
@@ -817,13 +812,6 @@ def text_analysis_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(bullet_line_fraction_e4("text")).cast("long").alias("bullet_e4_sum"),
         F.sum(ellipsis_line_fraction_e4("text")).cast("long").alias("ellipsis_e4_sum"),
         F.sum(alpha_word_fraction_e4("text")).cast("long").alias("alpha_e4_sum"),
-        F.sum(F.floor(flesch_reading_ease("text") * 10000).cast("long"))
-        .cast("long")
-        .alias("fre_e4_sum"),
-        F.sum(script_count("text", "Latin")).cast("long").alias("latin_cp_sum"),
-        F.sum((dominant_script("text") == "Latin").cast("long"))
-        .cast("long")
-        .alias("n_dom_latin"),
     )
 
 
@@ -2377,10 +2365,32 @@ def langid_train_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     classify every document by argmax cosine (tie-break on lang).
     Weights derive from integer counts (identical doubles in both
     engines); the dot product is a float sum, so the score pins at
-    round-6 like the ANN sim columns."""
+    round-6 like the ANN sim columns.
+
+    The slot also carries the language-ROUTING companions as a 1-row
+    crossJoin block (r10): Flesch reading ease
+    (textstats.flesch_reading_ease — per-doc doubles bit-identical
+    across engines since every op is correctly rounded and the
+    expression shape is mirrored; the SUM rides e4 fixed-point),
+    Latin-codepoint totals (unicode_norm.script_count — Java
+    ``\p{IsLatin}`` ≡ RE2 ``\p{Latin}``), and dominant-script
+    counts. The SQL twin resolves `dominant_script`'s struct-max
+    tie-break in integers: with letters L, latin A, thai T (Thai is
+    the only candidate name sorting after Latin), dominant=='Latin'
+    iff ``2A > L OR (2A = L AND 2T != L)``. This slot is
+    deliberately NOT in the bench headline, so the extra regex
+    passes cost nothing there; the operators' full defaults are
+    pinned by tests/test_unicode_norm.py / test_textstats.py."""
     from trial_submission_studio_spark.operators.langid import (
         classify_language,
         train_language_profiles,
+    )
+    from trial_submission_studio_spark.operators.textstats import (
+        flesch_reading_ease,
+    )
+    from trial_submission_studio_spark.operators.unicode_norm import (
+        dominant_script,
+        script_count,
     )
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
@@ -2388,9 +2398,25 @@ def langid_train_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("lang", "text"), "lang", "text", n=3, top_k=200
     )
     out = classify_language(d, profiles, "doc_id", "text", n=3)
+    routing = d.agg(
+        F.sum(F.floor(flesch_reading_ease("text") * 10000).cast("long"))
+        .cast("long")
+        .alias("fre_e4_sum"),
+        F.sum(script_count("text", "Latin")).cast("long").alias("latin_cp_sum"),
+        F.sum(
+            (
+                dominant_script(
+                    "text", scripts=("Latin", "Cyrillic", "Han", "Thai")
+                )
+                == "Latin"
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("n_dom_latin"),
+    )
     return out.select(
         "doc_id", "lang", F.round("score", 6).alias("score")
-    )
+    ).crossJoin(F.broadcast(routing))
 
 
 def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4031,9 +4057,42 @@ def oracle_sql() -> dict[str, str]:
                 FROM sims s JOIN doc_norm n ON s.doc_id = n.doc_id)
               WHERE r = 1
             )
-            SELECT d.doc_id, b.lang, round(b.score, 6) AS score
+            SELECT d.doc_id, b.lang, round(b.score, 6) AS score,
+                   blk.fre_e4_sum, blk.latin_cp_sum, blk.n_dom_latin
             FROM (SELECT DISTINCT doc_id FROM documents) d
             LEFT JOIN best b ON d.doc_id = b.doc_id
+            CROSS JOIN (
+              SELECT
+                CAST(sum(CASE WHEN ntok > 0
+                     THEN CAST(floor((206.835
+                          - 1.015 * (ntok * 1.0
+                              / greatest(len(regexp_extract_all(s2,
+                                  '[.!?。]+')), 1))
+                          - 84.6 * (len(regexp_extract_all(lower(s2),
+                                  '[aeiouy]+')) * 1.0 / ntok)
+                          ) * 10000) AS BIGINT)
+                     END) AS BIGINT) AS fre_e4_sum,
+                CAST(sum(len(regexp_extract_all(s2, '\p{Latin}')))
+                     AS BIGINT) AS latin_cp_sum,
+                -- dominant_script == 'Latin' in integers: Thai is the
+                -- only candidate name sorting after Latin, so a tie at
+                -- exactly half the letters goes to Thai
+                CAST(sum(CASE WHEN s2 IS NOT NULL AND (
+                       2 * len(regexp_extract_all(s2, '\p{Latin}'))
+                         > len(regexp_extract_all(s2, '\p{L}'))
+                       OR (len(regexp_extract_all(s2, '\p{L}')) > 0
+                           AND 2 * len(regexp_extract_all(s2, '\p{Latin}'))
+                             = len(regexp_extract_all(s2, '\p{L}'))
+                           AND 2 * len(regexp_extract_all(s2, '\p{Thai}'))
+                             != len(regexp_extract_all(s2, '\p{L}'))))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dom_latin
+              FROM (
+                SELECT trim(text) AS s2,
+                       CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                            END AS ntok
+                FROM documents)
+            ) blk
         """,
         "a_profile_gates": """
             SELECT * FROM
@@ -4524,19 +4583,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(symbol_e4) AS BIGINT) AS symbol_e4_sum,
                    CAST(sum(bullet_e4) AS BIGINT) AS bullet_e4_sum,
                    CAST(sum(ellipsis_e4) AS BIGINT) AS ellipsis_e4_sum,
-                   CAST(sum(alpha_e4) AS BIGINT) AS alpha_e4_sum,
-                   CAST(sum(fre_e4) AS BIGINT) AS fre_e4_sum,
-                   CAST(sum(latin_cp) AS BIGINT) AS latin_cp_sum,
-                   -- dominant_script == 'Latin' in integers: the only
-                   -- script name sorting after Latin is Thai, so the
-                   -- struct-max tie at exactly half the letters goes
-                   -- to Thai (see the query docstring)
-                   CAST(sum(CASE WHEN s IS NOT NULL AND (
-                          2 * latin_cp > letters_cp
-                          OR (letters_cp > 0
-                              AND 2 * latin_cp = letters_cp
-                              AND 2 * thai_cp != letters_cp))
-                        THEN 1 ELSE 0 END) AS BIGINT) AS n_dom_latin
+                   CAST(sum(alpha_e4) AS BIGINT) AS alpha_e4_sum
             FROM q GROUP BY lang
         """,
         "dedup_group_resolution": """
