@@ -1,0 +1,124 @@
+"""Model-based test of the table-format stack: a seeded random
+sequence of commits (append / merge / delete / compact / optimize)
+runs against BOTH the real store and a plain dict model; after every
+commit the snapshot must equal the model, and at the end the change
+feed between every adjacent version pair must equal the model's
+recorded delta. One test, many composed code paths — the class of
+bug this hunts (a commit that silently loses or duplicates rows
+through some op interleaving) is the worst a table format can have.
+"""
+
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from trial_submission_studio_spark.io.changefeed import change_feed
+from trial_submission_studio_spark.io.merge import delete_matching, merge_version
+from trial_submission_studio_spark.io.versioned import (
+    compact_version,
+    current_version,
+    new_data_dir,
+    publish_version,
+    read_version,
+)
+from trial_submission_studio_spark.io.zonemap import optimize_version
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(k, v) for k, v in rows], "k long, v long"
+    )
+
+
+def _snapshot(spark, root, version=None):
+    return {
+        (r.k, r.v) for r in read_version(spark, root, version).collect()
+    }
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_random_commit_sequences_match_dict_model(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+
+    model: dict[int, int] = {k: k * 10 for k in range(40)}
+    d = new_data_dir(root)
+    _df(spark, model.items()).repartition(3).write.parquet(d, mode="append")
+    publish_version(root, d)
+    next_key = 40
+    history = [(current_version(root), dict(model))]
+
+    for step in range(10):
+        op = rng.choice(["append", "merge", "delete", "compact", "optimize"])
+        if op == "append":
+            fresh = {next_key + i: (next_key + i) * 10 for i in range(5)}
+            next_key += 5
+            d = new_data_dir(root)
+            _df(spark, fresh.items()).repartition(1).write.parquet(
+                d, mode="append"
+            )
+            publish_version(root, d, base_version=current_version(root))
+            model.update(fresh)
+        elif op == "merge":
+            keys = rng.sample(sorted(model), min(4, len(model)))
+            ups = {k: model[k] + 1 for k in keys[:2]}
+            ins = {next_key: next_key * 10}
+            next_key += 1
+            dels = keys[2:]
+            src = [(k, v, False) for k, v in {**ups, **ins}.items()] + [
+                (k, 0, True) for k in dels
+            ]
+            merge_version(
+                spark,
+                root,
+                spark.createDataFrame(src, "k long, v long, d boolean"),
+                "k",
+                delete_col="d",
+            )
+            model.update(ups)
+            model.update(ins)
+            for k in dels:
+                model.pop(k, None)
+        elif op == "delete":
+            if len(model) <= 5:
+                continue
+            dels = rng.sample(sorted(model), 3)
+            delete_matching(
+                spark, root, _df(spark, [(k, 0) for k in dels]).select("k"),
+                "k",
+            )
+            for k in dels:
+                model.pop(k)
+        elif op == "compact":
+            compact_version(spark, root, target_bytes=1 << 26)
+        elif op == "optimize":
+            optimize_version(
+                spark, root, {"k": (0.0, 2000.0)}, num_partitions=2
+            )
+        got = _snapshot(spark, root)
+        want = {(k, v) for k, v in model.items()}
+        assert got == want, (seed, step, op, got ^ want)
+        history.append((current_version(root), dict(model)))
+
+    # change feed between EVERY adjacent commit pair == model delta
+    for (v1, m1), (v2, m2) in zip(history, history[1:]):
+        feed = {
+            (r.k, r._change)
+            for r in change_feed(spark, root, v1, v2, "k").collect()
+        }
+        want = (
+            {(k, "insert") for k in m2.keys() - m1.keys()}
+            | {(k, "delete") for k in m1.keys() - m2.keys()}
+            | {
+                (k, "update")
+                for k in m1.keys() & m2.keys()
+                if m1[k] != m2[k]
+            }
+        )
+        assert feed == want, (seed, v1, v2, feed ^ want)
+    # and every historical snapshot still time-travels to its model
+    for v, m in history:
+        assert _snapshot(spark, root, v) == {(k, x) for k, x in m.items()}
