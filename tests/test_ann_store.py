@@ -230,3 +230,26 @@ def test_compaction_preserves_answers_and_drops_tombstones(spark, tmp_path):
             spark, root, _vecs(spark, 9, 10), k=5, n_probe=4
         ).collect()
     }
+
+
+def test_vacuum_reclaims_retired_runs(spark, tmp_path):
+    from trial_submission_studio_spark.io.versioned import retire_versions
+    from trial_submission_studio_spark.operators.ann_store import (
+        compact_ivf_store,
+        vacuum_ivf_store,
+    )
+
+    root = str(tmp_path / "ann")
+    save_ivf_corpus(_vecs(spark, 0, 100), root, n_centroids=4)
+    append_ivf_corpus(_vecs(spark, 100, 140), root)
+    delete_ivf_vectors(spark.createDataFrame([(3,)], "vec_id long"), root)
+    compact_ivf_store(spark, root)
+    queries = _vecs(spark, 1000, 1003)
+    before = _topk_rows(saved_ivf_topk(spark, root, queries, k=5, n_probe=4))
+    # young files are protected
+    assert vacuum_ivf_store(root, dry_run=True) == []
+    retire_versions(root, keep_latest=1)
+    doomed = vacuum_ivf_store(root, min_age_seconds=0)
+    assert doomed  # pre-compaction runs + tombstones reclaimed
+    after = _topk_rows(saved_ivf_topk(spark, root, queries, k=5, n_probe=4))
+    assert before == after

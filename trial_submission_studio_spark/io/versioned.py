@@ -433,3 +433,70 @@ def compact_version(
         **(metadata or {}),
     }
     return publish_files(root, keep + fresh, metadata=meta)
+
+
+def vacuum_tables(
+    root: str,
+    tables: tuple[str, ...],
+    *,
+    min_age_seconds: float = VACUUM_MIN_AGE_SECONDS,
+    dry_run: bool = False,
+) -> list[str]:
+    """:func:`vacuum` for stores whose data lives under named table
+    trees (``<table>/run=<id>/...``) instead of ``data/`` — the
+    layout the persisted BM25 and IVF indexes use. Same protocol:
+    delete files no surviving manifest references, never touch
+    anything younger than ``min_age_seconds`` (an in-flight writer's
+    run is unreferenced ON PURPOSE until its manifest swap), sweep
+    run dirs that end up fully dead. Refuses to run on a root with
+    no manifest at all (nothing would be 'live'). Returns the
+    root-relative deleted (or, with ``dry_run``, deletable) paths.
+    """
+    import shutil
+
+    live: set[str] = set()
+    for v in list_versions(root):
+        live.update(read_manifest(root, v)["files"])
+    if not live:
+        raise ValueError(
+            f"{root} has no published manifest - refusing to vacuum"
+        )
+    cutoff = time.time() - min_age_seconds
+    doomed: list[str] = []
+    young_runs: set[str] = set()
+    for table in tables:
+        troot = os.path.join(root, table)
+        if not os.path.isdir(troot):
+            continue
+        for cur, _dirs, names in os.walk(troot):
+            for n in names:
+                if n.startswith((".", "_")):
+                    continue
+                full = os.path.join(cur, n)
+                rel = os.path.relpath(full, root)
+                if rel in live:
+                    continue
+                parts = rel.split(os.sep)
+                run_key = os.sep.join(parts[:2])  # "<table>/run=<id>"
+                if os.path.getmtime(full) > cutoff:
+                    young_runs.add(run_key)
+                    continue
+                doomed.append(rel)
+    if not dry_run:
+        for rel in doomed:
+            os.remove(os.path.join(root, rel))
+        for table in tables:
+            troot = os.path.join(root, table)
+            if not os.path.isdir(troot):
+                continue
+            for run in os.listdir(troot):
+                if not run.startswith("run="):
+                    continue
+                key = os.path.join(table, run)
+                prefix = key + os.sep
+                if key in young_runs or any(
+                    f.startswith(prefix) for f in live
+                ):
+                    continue
+                shutil.rmtree(os.path.join(troot, run))
+    return sorted(doomed)

@@ -67,6 +67,7 @@ __all__ = [
     "saved_ivf_topk",
     "sync_ivf_store",
     "compact_ivf_store",
+    "vacuum_ivf_store",
 ]
 
 _CELL = "__cell"
@@ -336,3 +337,21 @@ def compact_ivf_store(spark: SparkSession, path: str) -> dict:
     meta = dict(m["metadata"])
     meta["compaction_of"] = m["version"]
     return _ver.publish_files(path, files, metadata=meta)
+
+
+def vacuum_ivf_store(
+    path: str,
+    *,
+    min_age_seconds: float = _ver.VACUUM_MIN_AGE_SECONDS,
+    dry_run: bool = False,
+) -> list[str]:
+    """Reclaim runs no surviving manifest references (crashed
+    writers; compacted-away history after
+    ``versioned.retire_versions``) — `versioned.vacuum_tables` over
+    this store's two table trees."""
+    return _ver.vacuum_tables(
+        path,
+        ("vectors", "deletes"),
+        min_age_seconds=min_age_seconds,
+        dry_run=dry_run,
+    )
