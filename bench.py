@@ -292,6 +292,10 @@ def main() -> None:
         # so the sweep's single-shot run would time the build.
         "zonemap_scan_full",
         "zonemap_scan_pruned",
+        # file-grain MERGE commit + change-feed summary on the same
+        # snapshot discipline (memoized build; per-run workload is
+        # identical, so best-of-2 timings compare across rounds)
+        "table_merge_bench",
     )
     # LLM-pipeline extras that ALSO run in the 10× scale sweep — these
     # carry the 100 TB design claims, so their curvature is measured,

@@ -234,6 +234,12 @@ def merge_version(
     fresh_rel: list[str] = []
     if n_out_probe:
         run_dir = versioned.new_data_dir(root)
+        # keep file granularity comparable to the input: the natural
+        # write parallelism is the session's shuffle-partition count,
+        # which shatters a few affected files into dozens of tiny
+        # outputs — each later merge/scan then pays that fan-out
+        # (the in-merge small-files problem)
+        out = out.repartition(max(1, len(affected_rel)))
         out.write.mode("overwrite").parquet(run_dir)
         fresh_rel = [
             os.path.relpath(p, root) for p in versioned.data_files(run_dir)
@@ -310,6 +316,7 @@ def delete_matching(
             stats["rows_deleted"] = n_doomed
         if survivors.limit(1).count():
             run_dir = versioned.new_data_dir(root)
+            survivors = survivors.repartition(max(1, len(affected_rel)))
             survivors.write.mode("overwrite").parquet(run_dir)
             fresh_rel = [
                 os.path.relpath(p, root) for p in versioned.data_files(run_dir)
