@@ -260,3 +260,83 @@ def test_optimize_zorder_tightens_zone_maps(spark, tmp_path):
     assert got == want and len(got) > 0
     assert read_version(spark, root, m1["version"]).count() == 4000
     assert read_version(spark, root).count() == 4000
+
+
+# --- property test (hypothesis) -----------------------------------------
+
+
+def test_pruning_soundness_over_random_stats_and_predicates():
+    """THE zone-map invariant, fuzzed: whenever _file_might_match
+    says False, NO row in the file satisfies the conjunct. (The
+    reverse — keeping a file with no matching rows — is allowed and
+    only costs speed.) Pure driver-side: stats entries are derived
+    from explicit row sets exactly as the footer harvest would."""
+    from hypothesis import given, settings, strategies as st
+
+    from trial_submission_studio_spark.io.zonemap import _file_might_match
+
+    values = st.one_of(
+        st.none(),
+        st.integers(-50, 50),
+        st.floats(-50, 50, allow_nan=False, allow_infinity=False),
+    )
+    rows = st.lists(values, min_size=1, max_size=12)
+    ops = st.sampled_from(["=", "<", "<=", ">", ">=", "in", "between",
+                           "isnull", "isnotnull"])
+    lits = st.one_of(
+        st.integers(-60, 60),
+        st.floats(-60, 60, allow_nan=False, allow_infinity=False),
+    )
+
+    def entry_for(vals):
+        nn = [v for v in vals if v is not None]
+        cols = {}
+        if nn and all(isinstance(v, int) for v in nn):
+            cols["x"] = {"t": "int", "min": min(nn), "max": max(nn),
+                         "nulls": len(vals) - len(nn)}
+        elif nn and all(isinstance(v, float) for v in nn):
+            cols["x"] = {"t": "float", "min": min(nn), "max": max(nn),
+                         "nulls": len(vals) - len(nn)}
+        # mixed types or all-null -> unknown stats (harvest poisons)
+        return {"num_rows": len(vals), "columns": cols}
+
+    def row_matches(v, conj):
+        op = conj[1]
+        if op == "isnull":
+            return v is None
+        if op == "isnotnull":
+            return v is not None
+        if v is None:
+            return False  # SQL comparison semantics
+        if op == "in":
+            return any(v == x for x in conj[2])
+        if op == "between":
+            return conj[2][0] <= v <= conj[2][1]
+        return {
+            "=": v == conj[2],
+            "<": v < conj[2],
+            "<=": v <= conj[2],
+            ">": v > conj[2],
+            ">=": v >= conj[2],
+        }[op]
+
+    @settings(max_examples=400, deadline=None)
+    @given(rows, ops, lits, st.lists(lits, min_size=1, max_size=4),
+           st.tuples(lits, lits))
+    def run(vals, op, lit, inlist, between):
+        if op == "in":
+            conj = ("x", "in", inlist)
+        elif op == "between":
+            lo, hi = sorted(between)
+            conj = ("x", "between", (lo, hi))
+        elif op in ("isnull", "isnotnull"):
+            conj = ("x", op)
+        else:
+            conj = ("x", op, lit)
+        entry = entry_for(vals)
+        if not _file_might_match(entry, conj):
+            assert not any(row_matches(v, conj) for v in vals), (
+                vals, conj, entry
+            )
+
+    run()
