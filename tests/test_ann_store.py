@@ -253,3 +253,59 @@ def test_vacuum_reclaims_retired_runs(spark, tmp_path):
     assert doomed  # pre-compaction runs + tombstones reclaimed
     after = _topk_rows(saved_ivf_topk(spark, root, queries, k=5, n_probe=4))
     assert before == after
+
+
+def test_ivfpq_store_matches_in_memory_and_upserts(spark, tmp_path):
+    """PQ mode: saved ADC answers ≡ similarity.ivfpq_topk under the
+    same frozen artifacts; upsert replaces codes across cells; the
+    persisted table holds CODES, never embeddings."""
+    from trial_submission_studio_spark.operators.ann_store import (
+        save_ivfpq_corpus,
+        saved_ivfpq_topk,
+        upsert_ivfpq_vectors,
+    )
+    from trial_submission_studio_spark.operators.similarity import ivfpq_topk
+
+    root = str(tmp_path / "pq")
+    corpus = _vecs(spark, 0, 300)
+    queries = _vecs(spark, 1000, 1004)
+    m = save_ivfpq_corpus(corpus, root, n_centroids=4, m=2, n_codes=8)
+    meta = m["metadata"]["ivfpq"]
+    got = saved_ivfpq_topk(spark, root, queries, k=5, n_probe=2)
+    want = ivfpq_topk(
+        corpus, queries, k=5, n_centroids=4, n_probe=2,
+        centroids=meta["centroids"], codebooks=meta["codebooks"],
+    )
+    assert {
+        (r.query_id, r.rank): (r.vec_id, r.adist) for r in got.collect()
+    } == {
+        (r.query_id, r.rank): (r.vec_id, r.adist) for r in want.collect()
+    }
+    # codes-only persistence: no embedding column on disk
+    vec_files = [f for f in m["files"] if f.startswith("vectors/")]
+    cols = {
+        f["name"]
+        for f in __import__(
+            "trial_submission_studio_spark.io.table_schema",
+            fromlist=["file_schema"],
+        ).file_schema(os.path.join(root, vec_files[0]))
+    }
+    assert "codes" in cols and "embedding" not in cols
+
+    # upsert id 7 with id 250's vector -> query near 250 finds 7
+    upsert_ivfpq_vectors(
+        _vecs(spark, 250, 251).selectExpr(
+            "CAST(7 AS LONG) AS vec_id", "embedding"
+        ),
+        root,
+    )
+    # _vec is ~periodic in id (sin(0.7 i): 0.7*9 ≈ 2π), so ~30 ids
+    # tie at the same coarse codes; ties break by id asc — assert
+    # membership at a k wide enough to cover the tie family
+    res = saved_ivfpq_topk(
+        spark, root, _vecs(spark, 250, 251), k=60, n_probe=4
+    ).collect()
+    hits = {r.vec_id for r in res}
+    assert 7 in hits and 250 in hits
+    ad = {r.vec_id: r.adist for r in res}
+    assert ad[7] == ad[250]  # identical codes -> identical distance

@@ -68,6 +68,9 @@ __all__ = [
     "sync_ivf_store",
     "compact_ivf_store",
     "vacuum_ivf_store",
+    "save_ivfpq_corpus",
+    "saved_ivfpq_topk",
+    "upsert_ivfpq_vectors",
 ]
 
 _CELL = "__cell"
@@ -127,8 +130,15 @@ def save_ivf_corpus(
 
 
 def _meta(path: str) -> tuple[dict, dict]:
+    """(manifest, store-meta) for either store kind; the meta dict
+    carries ``kind`` ∈ {"ivf", "ivfpq"}."""
     m = _ver.read_manifest(path)
-    return m, m["metadata"]["ivf"]
+    md = m["metadata"]
+    if "ivf" in md:
+        return m, {**md["ivf"], "kind": "ivf"}
+    if "ivfpq" in md:
+        return m, {**md["ivfpq"], "kind": "ivfpq"}
+    raise ValueError(f"{path} is not an ANN store (no ivf/ivfpq metadata)")
 
 
 def append_ivf_corpus(new_vectors: DataFrame, path: str) -> dict:
@@ -354,4 +364,161 @@ def vacuum_ivf_store(
         ("vectors", "deletes"),
         min_age_seconds=min_age_seconds,
         dry_run=dry_run,
+    )
+
+
+# --- IVF-PQ mode: codes-only persistence --------------------------------
+
+
+def _write_pq_run(
+    corpus: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+    seq: int,
+) -> list[str]:
+    """One immutable run of (id, codes, __cell, __seq) — floats are
+    consumed at encode time and never persisted."""
+    from .similarity import pq_encode
+
+    run_dir = f"{path}/vectors/run={uuid.uuid4().hex[:16]}"
+    codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    assigned = (
+        corpus.select(
+            F.col(id_col),
+            _nearest_cells(centroids, 1)(F.col(vec_col))[0].alias(_CELL),
+        )
+        .join(codes, id_col)
+        .withColumn(_SEQ, F.lit(seq).cast("long"))
+    )
+    (
+        assigned.repartition(F.col(_CELL))
+        .sortWithinPartitions(_CELL, id_col)
+        .write.partitionBy(_CELL)
+        .parquet(run_dir)
+    )
+    return sorted(
+        os.path.relpath(p, path) for p in _ver.data_files(run_dir)
+    )
+
+
+def save_ivfpq_corpus(
+    corpus: DataFrame,
+    path: str,
+    *,
+    n_centroids: int = 16,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> dict:
+    """The codes-only sibling of :func:`save_ivf_corpus` — FAISS
+    ``IVFx,PQy`` as a persisted table: the store holds m one-byte
+    codes per vector instead of dim floats (the 100 TB memory
+    story), under the same frozen-artifact + LSM + file-prune
+    machinery. Both artifacts (centroids AND codebooks) freeze at
+    build time: codes are only comparable under the codebooks that
+    produced them (`similarity.save_index` docstring), so a retrain
+    is a REBUILD, never an append."""
+    from .similarity import train_pq_codebooks
+
+    cents = centroids or train_ivf_centroids(
+        corpus, n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    books = codebooks or train_pq_codebooks(
+        corpus, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col
+    )
+    files = _write_pq_run(corpus, path, cents, books, id_col, vec_col, seq=1)
+    meta = {
+        "ivfpq": {
+            "centroids": cents,
+            "codebooks": books,
+            "id_col": id_col,
+            "vec_col": vec_col,
+        }
+    }
+    return _ver.publish_files(path, files, metadata=meta)
+
+
+def upsert_ivfpq_vectors(new_vectors: DataFrame, path: str) -> dict:
+    """LSM upsert for the PQ store: encode with the FROZEN codebooks,
+    assign with the frozen centroids, commit rows + same-seq
+    tombstone (see :func:`upsert_ivf_vectors` for why that is
+    correct across cells)."""
+    m, meta = _meta(path)
+    if meta["kind"] != "ivfpq":
+        raise ValueError("not an ivfpq store; use upsert_ivf_vectors")
+    seq = m["version"] + 1
+    files = _write_pq_run(
+        new_vectors, path, meta["centroids"], meta["codebooks"],
+        meta["id_col"], meta["vec_col"], seq,
+    )
+    files += _write_tombstones(
+        new_vectors.select(meta["id_col"]), path, meta["id_col"], seq
+    )
+    return _ver.publish_files(
+        path, m["files"] + files, metadata=m["metadata"]
+    )
+
+
+def saved_ivfpq_topk(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """ADC top-k from the persisted codes: probed-cell file pruning +
+    LSM tombstone resolution, then `similarity.pq_topk` over exactly
+    the surviving code rows — ``(query_id, <id_col>, adist, rank)``,
+    ascending distance. Identical contract to `similarity.ivfpq_topk`
+    under the same frozen artifacts."""
+    from .similarity import pq_topk
+
+    m, meta = _meta(path)
+    if meta["kind"] != "ivfpq":
+        raise ValueError("not an ivfpq store; use saved_ivf_topk")
+    cents, books = meta["centroids"], meta["codebooks"]
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    q_cells = queries.select(
+        F.explode(_nearest_cells(cents, n_probe)(F.col(vec_col))).alias(
+            _CELL
+        )
+    )
+    probed = {r[_CELL] for r in q_cells.distinct().collect()}
+    mine = _pruned_vector_files(m["files"], probed)
+    if not mine:
+        return (
+            queries.select(F.col(id_col).alias("query_id"))
+            .withColumn(id_col, F.lit(None).cast("long"))
+            .withColumn("adist", F.lit(0.0))
+            .withColumn("rank", F.lit(0))
+            .limit(0)
+        )
+    codes = (
+        spark.read.option("basePath", os.path.join(path, "vectors"))
+        .parquet(*[os.path.join(path, f) for f in mine])
+        .drop("run")
+    )
+    del_files = [f for f in m["files"] if f.startswith("deletes/")]
+    if del_files:
+        tomb = (
+            spark.read.parquet(*[os.path.join(path, f) for f in del_files])
+            .groupBy(id_col)
+            .agg(F.max(_SEQ).alias("__tseq"))
+        )
+        codes = (
+            codes.join(F.broadcast(tomb), id_col, "left")
+            .filter(
+                F.col("__tseq").isNull() | (F.col(_SEQ) >= F.col("__tseq"))
+            )
+            .drop("__tseq")
+        )
+    return pq_topk(
+        codes.select(id_col, "codes"), queries, books, k=k,
+        id_col=id_col, vec_col=vec_col,
     )
