@@ -23,7 +23,11 @@ from trial_submission_studio_spark.io.versioned import (
     publish_version,
     read_version,
 )
-from trial_submission_studio_spark.io.zonemap import optimize_version
+from trial_submission_studio_spark.io.zonemap import (
+    optimize_version,
+    publish_with_stats,
+    read_pruned,
+)
 
 
 def _df(spark, rows):
@@ -47,7 +51,7 @@ def test_random_commit_sequences_match_dict_model(spark, tmp_path, seed):
     model: dict[int, int] = {k: k * 10 for k in range(40)}
     d = new_data_dir(root)
     _df(spark, model.items()).repartition(3).write.parquet(d, mode="append")
-    publish_version(root, d)
+    publish_with_stats(root, d, ["k", "v"])
     next_key = 40
     history = [(current_version(root), dict(model))]
 
@@ -101,6 +105,20 @@ def test_random_commit_sequences_match_dict_model(spark, tmp_path, seed):
         got = _snapshot(spark, root)
         want = {(k, v) for k, v in model.items()}
         assert got == want, (seed, step, op, got ^ want)
+        # zone-map interplay: a pruned ranged read over whatever
+        # stats survived this op (merge/delete carry, optimize
+        # recomputes, compact drops them) must still equal the
+        # model filter — stats may only ever cost speed
+        lo = rng.randrange(0, 60)
+        hi = lo + rng.randrange(1, 30)
+        pred = [("k", "between", (lo, hi))]
+        pruned = {
+            (r.k, r.v)
+            for r in read_pruned(spark, root, pred).collect()
+        }
+        assert pruned == {
+            (k, v) for k, v in model.items() if lo <= k <= hi
+        }, (seed, step, op, pred)
         history.append((current_version(root), dict(model)))
 
     # change feed between EVERY adjacent commit pair == model delta
