@@ -119,12 +119,19 @@ def _final_aggs(measures: dict) -> list:
 
 
 def rollup_status(rollup_root: str) -> dict | None:
-    """{"base_version", "spec"} of the newest refresh, or None for a
-    never-refreshed store."""
+    """{"base_version", "spec", "pending_removed"} of the newest
+    refresh, or None for a never-refreshed store. A non-empty
+    ``pending_removed`` means a prior refresh appended the fresh
+    partials but crashed before retiring the removed files' partials
+    — the next :func:`refresh_rollup` finishes that delete first."""
     if versioned.current_version(rollup_root) is None:
         return None
     meta = versioned.read_manifest(rollup_root)["metadata"]["rollup"]
-    return {"base_version": meta["base_version"], "spec": meta["spec"]}
+    return {
+        "base_version": meta["base_version"],
+        "spec": meta["spec"],
+        "pending_removed": meta.get("pending_removed") or [],
+    }
 
 
 def refresh_rollup(
@@ -152,6 +159,17 @@ def refresh_rollup(
                 "rollup spec changed since last refresh; rebuild under a "
                 f"fresh rollup_root (recorded: {status['spec']})"
             )
+        if status["pending_removed"]:
+            # crash recovery: a prior refresh committed the fresh
+            # partials (and the target base_version) but died before
+            # the delete commit; without this, the idempotency fence
+            # below would skip the cleanup FOREVER and read_rollup
+            # would double-count rewritten files' rows.
+            _retire_partials(
+                spark, rollup_root, status["pending_removed"],
+                versioned.read_manifest(rollup_root)["metadata"]["rollup"],
+            )
+            status = rollup_status(rollup_root)
         prev_files = set(
             versioned.read_manifest(base_root, status["base_version"])["files"]
         )
@@ -182,22 +200,33 @@ def refresh_rollup(
 
     # 1) ONE scan over exactly the added files -> their partials,
     #    appended first (so a full-rewrite base commit — compaction,
-    #    optimize — never transits through an empty partial store)
+    #    optimize — never transits through an empty partial store).
+    #    A refresh with both adds and removes is TWO commits; the
+    #    intermediate one records `pending_removed` so a crash
+    #    between them is resumable (see rollup_status) — only the
+    #    FINAL commit is pending-free, and the idempotency fence
+    #    above refuses to treat a pending state as done.
     out = None
     if added:
-        # root-relative source path, extracted by position (no regex:
-        # paths are not patterns) — `file:<abs_base_root>/<rel>`
+        # root-relative source path, extracted by position with
+        # column functions (never string-interpolated SQL: a
+        # base_root containing a quote must not break parsing, and a
+        # non-matching path must fail loudly, not mis-key partials)
         marker = os.path.abspath(base_root) + "/"
+        path = F.col("_metadata.file_path")
+        pos = F.instr(path, F.lit(marker))
+        rel = F.when(
+            pos > 0,
+            path.substr(pos + F.lit(len(marker)), F.length(path)),
+        ).otherwise(
+            F.raise_error(F.concat(
+                F.lit(f"rollup: scanned path outside base_root {marker!r}: "),
+                path,
+            ))
+        )
         fresh = (
             spark.read.parquet(*[os.path.join(base_root, f) for f in added])
-            .withColumn(_FILE, F.col("_metadata.file_path"))
-            .withColumn(
-                _FILE,
-                F.expr(
-                    f"substring({_FILE}, instr({_FILE}, '{marker}')"
-                    f" + {len(marker)})"
-                ),
-            )
+            .withColumn(_FILE, rel)
         )
         partials = fresh.groupBy(_FILE, *spec["dims"]).agg(
             *_partial_aggs(measures)
@@ -205,26 +234,35 @@ def refresh_rollup(
         os.makedirs(rollup_root, exist_ok=True)
         run_dir = versioned.new_data_dir(rollup_root)
         partials.write.mode("overwrite").parquet(run_dir)
+        append_meta = meta
+        if removed and status is not None:
+            append_meta = {
+                "rollup": {**meta["rollup"], "pending_removed": removed}
+            }
         out = versioned.publish_version(
             rollup_root,
             run_dir,
             base_version=versioned.current_version(rollup_root),
-            metadata=meta,
+            metadata=append_meta,
         )
 
     # 2) retire partials of files no longer in the snapshot —
-    #    file-grain copy-on-write on the (small) partial store.
-    #    NOTE: a refresh with both adds and removes is TWO commits;
-    #    CURRENT lands on the consistent final state, the
-    #    intermediate is only reachable by explicit time travel.
+    #    file-grain copy-on-write on the (small) partial store. This
+    #    is the FINAL (pending-free) commit of the refresh.
     if removed and status is not None:
-        doomed = spark.createDataFrame(
-            [(f,) for f in removed], f"{_FILE} string"
-        )
-        out = delete_matching(
-            spark, rollup_root, doomed, _FILE, verify=False, metadata=meta
-        )
+        out = _retire_partials(spark, rollup_root, removed, meta["rollup"])
     return out
+
+
+def _retire_partials(
+    spark: SparkSession, rollup_root: str, removed: list[str], rollup_meta: dict
+) -> dict:
+    doomed = spark.createDataFrame([(f,) for f in removed], f"{_FILE} string")
+    clean = {k: v for k, v in rollup_meta.items() if k != "pending_removed"}
+    return delete_matching(
+        spark, rollup_root, doomed, _FILE, verify=False,
+        metadata={"rollup": clean},
+    )
 
 
 def read_rollup(
