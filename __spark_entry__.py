@@ -2359,7 +2359,7 @@ def substring_removal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def langid_train_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trainable language ID end-to-end (operators/langid.py): train
+    r"""Trainable language ID end-to-end (operators/langid.py): train
     per-lang mixed 1..3-char-gram profiles on the labeled documents
     table (top-200 grams, deterministic (tf desc, gram) rank), then
     classify every document by argmax cosine (tie-break on lang).
@@ -4065,11 +4065,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN params p ON d.lang = p.lang
             GROUP BY p.lang, p.target_e6
         """,
-        "langid_train_classify": """
+        "langid_train_classify": r"""
             WITH norm AS (
               SELECT doc_id, lang,
                      ' ' || regexp_replace(lower(trim(coalesce(text, ''))),
-                                           '\\s+', ' ', 'g') || ' ' AS s
+                                           '\s+', ' ', 'g') || ' ' AS s
               FROM documents
             ),
             pos AS (

@@ -220,3 +220,92 @@ def test_approx_distinct_measure(spark, tmp_path):
     }
     for k, est in got.items():
         assert abs(est - exact[k]) <= max(2, 0.02 * exact[k]), (k, est, exact[k])
+
+
+def test_crash_between_append_and_retire_commits(spark, tmp_path, monkeypatch):
+    """Kill the refresh between its two commits (fresh partials
+    appended, removed files' partials NOT yet retired — the
+    pending_removed state). The manifest must record the pending
+    delete, read_rollup must still answer correctly (anti-filtering
+    the stale partials), and the next refresh must heal the store so
+    it matches a from-scratch rebuild."""
+    import trial_submission_studio_spark.io.rollup as rollup_mod
+
+    root, rroot = str(tmp_path / "base"), str(tmp_path / "roll")
+    os.makedirs(root)
+    m = _append(spark, root, 0, 200)
+    _append(spark, root, 200, 300, base=m["version"])
+    refresh_rollup(spark, root, rroot, DIMS, MEASURES)
+    healthy_versions = rollup_status(rroot)
+
+    # a compaction rewrites every file: the next refresh has both
+    # adds and removes, i.e. exactly the two-commit shape
+    compact_version(spark, root, target_bytes=1 << 26)
+
+    real_retire = rollup_mod._retire_partials
+    calls = {"n": 0}
+
+    def _dying_retire(*a, **k):
+        calls["n"] += 1
+        raise RuntimeError("injected crash before the retire commit")
+
+    monkeypatch.setattr(rollup_mod, "_retire_partials", _dying_retire)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        refresh_rollup(spark, root, rroot, DIMS, MEASURES)
+    assert calls["n"] == 1  # it died at the FINAL commit, not recovery
+
+    # crashed state: pending recorded, base_version already advanced
+    st = rollup_status(rroot)
+    assert st["pending_removed"], "crash state must record pending delete"
+    assert st["base_version"] > healthy_versions["base_version"]
+
+    # reads of the crashed state are already correct: the stale
+    # partials are anti-filtered by the manifest's pending list
+    _assert_equal(spark, root, rroot)
+
+    # the idempotency fence must NOT treat the pending state as done:
+    # a recovered refresh retires the stale partials first
+    monkeypatch.setattr(rollup_mod, "_retire_partials", real_retire)
+    healed = refresh_rollup(spark, root, rroot, DIMS, MEASURES)
+    assert "pending_removed" not in healed["metadata"]["rollup"]
+    assert rollup_status(rroot)["pending_removed"] == []
+    _assert_equal(spark, root, rroot)
+
+    # healed store ≡ from-scratch rebuild, row for row
+    rroot2 = str(tmp_path / "roll2")
+    refresh_rollup(spark, root, rroot2, DIMS, MEASURES)
+    assert _materialized(spark, rroot) == _materialized(spark, rroot2)
+
+    # recovery is idempotent: another refresh is a pure no-op
+    again = refresh_rollup(spark, root, rroot, DIMS, MEASURES)
+    assert again["version"] == healed["version"]
+
+
+def test_crash_recovery_survives_second_crash(spark, tmp_path, monkeypatch):
+    """A crash DURING recovery (the retire raises again on the next
+    refresh) leaves the store still-pending and still-readable; a
+    third attempt heals it."""
+    import trial_submission_studio_spark.io.rollup as rollup_mod
+
+    root, rroot = str(tmp_path / "base"), str(tmp_path / "roll")
+    os.makedirs(root)
+    _append(spark, root, 0, 150)
+    refresh_rollup(spark, root, rroot, DIMS, MEASURES)
+    compact_version(spark, root, target_bytes=1 << 26)
+
+    real_retire = rollup_mod._retire_partials
+
+    def _dying_retire(*a, **k):
+        raise RuntimeError("injected crash")
+
+    monkeypatch.setattr(rollup_mod, "_retire_partials", _dying_retire)
+    for _ in range(2):  # first refresh crashes; so does its recovery
+        with pytest.raises(RuntimeError, match="injected crash"):
+            refresh_rollup(spark, root, rroot, DIMS, MEASURES)
+        assert rollup_status(rroot)["pending_removed"]
+        _assert_equal(spark, root, rroot)  # reads stay correct
+
+    monkeypatch.setattr(rollup_mod, "_retire_partials", real_retire)
+    refresh_rollup(spark, root, rroot, DIMS, MEASURES)
+    assert rollup_status(rroot)["pending_removed"] == []
+    _assert_equal(spark, root, rroot)

@@ -270,9 +270,21 @@ def read_rollup(
 ) -> DataFrame:
     """The materialized aggregate: re-reduce the partial store to the
     final per-dims frame (partials-grain work). ``version`` time-
-    travels the ROLLUP's own history."""
+    travels the ROLLUP's own history.
+
+    A version whose manifest carries ``pending_removed`` (a refresh
+    appended the rewritten files' partials but crashed before retiring
+    the removed files' rows) would naively double-count the rewritten
+    data — both the old and the new partials are in the store. The
+    manifest names exactly the stale files, so we anti-filter them
+    here: reads are correct even mid-crash, and the next
+    :func:`refresh_rollup` makes the store itself clean again."""
     m = versioned.read_manifest(rollup_root, version)
-    spec = m["metadata"]["rollup"]["spec"]
+    rmeta = m["metadata"]["rollup"]
+    spec = rmeta["spec"]
     measures = {k: tuple(v) for k, v in spec["measures"].items()}
     partials = versioned.read_version(spark, rollup_root, version)
+    pending = rmeta.get("pending_removed") or []
+    if pending:
+        partials = partials.filter(~F.col(_FILE).isin(pending))
     return partials.groupBy(*spec["dims"]).agg(*_final_aggs(measures))
