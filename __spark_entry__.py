@@ -2157,13 +2157,22 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     document against a planted 'benchmark' slice (doc_id % 97 == 0 —
     benchmark members must self-flag at 100 % overlap; unrelated docs
     must stay clean). Broadcast shingle-set join, never all-pairs
-    (operators/contamination.py)."""
+    (operators/contamination.py).
+
+    The benchmark slice is pinned to base-replica ids
+    (doc_id < 100M, a no-op at every contract SF where max doc_id is
+    4999): real eval benchmarks are FIXED-size while the corpus
+    grows, so the sf1 scale sweep must grow only the corpus side —
+    the unpinned slice made the sf1 ratio measure benchmark growth,
+    not data-plane curvature (r10/r11 verdicts)."""
     from trial_submission_studio_spark.operators.contamination import (
         contamination_overlap,
     )
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    benchmark = d.filter(F.col("doc_id") % 97 == 0)
+    benchmark = d.filter(
+        (F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 100_000_000)
+    )
     return contamination_overlap(
         d, benchmark, "doc_id", "text", n=8, threshold=0.5
     )
@@ -5229,7 +5238,8 @@ def oracle_sql() -> dict[str, str]:
               FROM t
             ),
             b AS (
-              SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0
+              SELECT DISTINCT unnest(grams) AS gram FROM g
+              WHERE doc_id % 97 = 0 AND doc_id < 100000000
             ),
             e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
             j AS (

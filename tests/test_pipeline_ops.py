@@ -4,6 +4,8 @@ embedding normalize/quantize."""
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from tests.conftest import rows
@@ -62,6 +64,48 @@ def test_contamination_flags_benchmark_members_and_borrowers(spark):
     assert n_sh == 5 and n_ov >= 2 and flag == (1 if n_ov >= 2.5 else 0)
     assert by_id[2] == (5, 0, 0)
     assert by_id[3] == (0, 0, 0)  # short docs report, never vanish
+
+
+def test_contamination_broadcast_regimes_equivalent(spark):
+    """The broadcast and shuffle join regimes are answer-identical,
+    and the default 'auto' probe picks broadcast for a small set /
+    shuffle past AUTO_BROADCAST_BENCH_GRAMS (monkeypatched to 1 so
+    the test exercises the real switch, not a giant fixture)."""
+    import trial_submission_studio_spark.operators.contamination as contam
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "intro words the quick brown fox jumps over closing"),
+            (2, "completely different text with no shared runs at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = docs.filter(F.col("doc_id") == 0)
+
+    def run(mode):
+        return sorted(
+            rows(
+                contamination_overlap(
+                    docs, bench, "doc_id", "text", n=5,
+                    threshold=0.5, broadcast_benchmark=mode,
+                )
+            )
+        )
+
+    expect = run(True)
+    assert run(False) == expect
+    assert run("auto") == expect  # small set -> broadcasts
+    old = contam.AUTO_BROADCAST_BENCH_GRAMS
+    try:
+        contam.AUTO_BROADCAST_BENCH_GRAMS = 1  # force the shuffle leg
+        assert run("auto") == expect
+    finally:
+        contam.AUTO_BROADCAST_BENCH_GRAMS = old
+    with pytest.raises(ValueError, match="broadcast_benchmark"):
+        contamination_overlap(
+            docs, bench, "doc_id", "text", broadcast_benchmark="yes"
+        )
 
 
 def test_contamination_distinct_shingles_no_self_double_count(spark):

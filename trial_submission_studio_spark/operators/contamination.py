@@ -19,9 +19,14 @@ Spark-first shape (all codegen, no Python in the hot path):
 
 At 100 TB the corpus streams through scan → explode → broadcast-join
 → partial agg; peak state per executor is the broadcast shingle set
-(bounded by benchmark size). Set ``broadcast_benchmark=False`` only
-if the benchmark itself is corpus-scale (then it's a plain shuffle
-semi-pattern and still never all-pairs).
+(bounded by benchmark size). The default ``broadcast_benchmark=
+"auto"`` probes the DISTINCT benchmark gram set with an
+early-stopping ``limit(n+1).count()`` (same discipline as
+``lm._resolve_broadcast_model`` / ``similarity.
+AUTO_DISTRIBUTE_QUERIES``) and falls back to the shuffle join when
+the set exceeds :data:`AUTO_BROADCAST_BENCH_GRAMS` — a corpus-scale
+"benchmark" can never OOM an executor through the default path, and
+it's still never all-pairs.
 """
 
 from __future__ import annotations
@@ -32,6 +37,13 @@ from pyspark.sql import functions as F
 
 def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
+
+
+#: auto-switch bound for the benchmark-side broadcast: up to this
+#: many DISTINCT n-grams broadcast (10⁶ 13-word grams ≈ tens of MB
+#: serialized — comfortably executor-resident); a bigger set takes
+#: the shuffle join automatically.
+AUTO_BROADCAST_BENCH_GRAMS = 1_000_000
 
 
 def word_ngrams(
@@ -70,7 +82,7 @@ def contamination_overlap(
     text_col: str,
     n: int = 13,
     threshold: float = 0.5,
-    broadcast_benchmark: bool = True,
+    broadcast_benchmark: bool | str = "auto",
     token_pattern: str | None = None,
 ) -> DataFrame:
     """Per-document benchmark-overlap report →
@@ -94,6 +106,14 @@ def contamination_overlap(
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
+    if broadcast_benchmark == "auto" or broadcast_benchmark is None:
+        bound = AUTO_BROADCAST_BENCH_GRAMS
+        broadcast_benchmark = bench.limit(bound + 1).count() <= bound
+    elif broadcast_benchmark not in (True, False):
+        raise ValueError(
+            "broadcast_benchmark must be True, False, or 'auto'; got "
+            f"{broadcast_benchmark!r}"
+        )
     if broadcast_benchmark:
         bench = F.broadcast(bench)
     from trial_submission_studio_spark.operators.dedup import _widen_if_narrow
