@@ -198,24 +198,37 @@ def main() -> None:
         except Exception:
             pass
 
-    # best-of-2 per query: a single-shot timing is hostage to host
-    # jitter (shared-VM CPU steal, JVM GC pauses) — one bad draw
-    # recorded a 12x outlier for a stage that reruns at 0.5s. Min of
-    # two back-to-back runs measures the plan, not the host.
+    # median-of-5 per query: the r11 A/A test (byte-identical engine,
+    # two rounds of best-of-2) showed ±28-39% per-query swings — pure
+    # host jitter (shared-VM CPU steal, JVM GC pauses). The median of
+    # five back-to-back runs measures the plan, not the host, and the
+    # reported min/median/max spread lets a reader judge whether a
+    # cross-round delta clears the noise floor before calling it a
+    # regression.
+    import statistics
+
+    HEADLINE_RUNS = 5
     timings: dict[str, float] = {}
     single_shot: dict[str, float] = {}
+    spread: dict[str, dict] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
-        best = float("inf")
-        for i in range(2):
+        runs: list[float] = []
+        for i in range(HEADLINE_RUNS):
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             elapsed = time.time() - t0
             if i == 0:
                 single_shot[name] = round(elapsed, 3)
-            best = min(best, elapsed)
-        timings[name] = round(best, 3)
+            runs.append(elapsed)
+        timings[name] = round(statistics.median(runs), 3)
+        spread[name] = {
+            "min": round(min(runs), 3),
+            "median": timings[name],
+            "max": round(max(runs), 3),
+            "runs": HEADLINE_RUNS,
+        }
         # gate queries localCheckpoint intermediates; dropping the
         # Python refs lets the ContextCleaner free those blocks so
         # later stages aren't squeezed out of storage memory
@@ -226,20 +239,32 @@ def main() -> None:
     # BASELINE.md-mapped stages (measured after the total so the
     # headline metric stays comparable across rounds); warm first at
     # the smallest SF so stage codegen/compile cost isn't in the
-    # timed pass, then best-of-2 at the benched SF
+    # timed pass, then median-of-3 at the benched SF (each repeat is a
+    # full import→build→validate→export pipeline, so 3 repeats bound
+    # the cost while still separating signal from one bad draw)
     spark.catalog.clearCache()
     gc.collect()
     try:
         _cdisc_stages(spark, "/root/testdata/sf0.001", {})
     except Exception:
         pass
-    first: dict[str, float] = {}
-    _cdisc_stages(spark, sf_dir, first)
-    second: dict[str, float] = {}
-    _cdisc_stages(spark, sf_dir, second)
-    for key in first:
-        timings[key] = min(first[key], second[key])
-        single_shot[key] = first[key]
+    CDISC_RUNS = 3
+    cdisc_runs: list[dict] = []
+    for _ in range(CDISC_RUNS):
+        t: dict[str, float] = {}
+        _cdisc_stages(spark, sf_dir, t)
+        cdisc_runs.append(t)
+    for key in cdisc_runs[0]:
+        vals = [r[key] for r in cdisc_runs]
+        timings[key] = round(statistics.median(vals), 3)
+        single_shot[key] = cdisc_runs[0][key]
+        if key != "cdisc_rows":
+            spread[key] = {
+                "min": round(min(vals), 3),
+                "median": timings[key],
+                "max": round(max(vals), 3),
+                "runs": CDISC_RUNS,
+            }
     # round-7 corpus-governance operators, measured OUTSIDE the
     # headline total so `value` stays comparable across rounds
     # (same warmup + best-of-2 discipline)
@@ -336,22 +361,48 @@ def main() -> None:
         except Exception as exc:  # surface, don't silently drop the metric
             print(f"bench: extra query {name} failed warmup: {exc!r}", file=sys.stderr)
             continue
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for _ in range(3):
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        extra[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        extra[name] = round(statistics.median(runs), 3)
+        spread[name] = {
+            "min": round(min(runs), 3),
+            "median": extra[name],
+            "max": round(max(runs), 3),
+            "runs": 3,
+        }
         gc.collect()
 
     # scale sweep: one order of magnitude above the benched SF
     # (sf0.1 × 10 ≈ sf1, key-shifted replicas so joins/dedup scale
     # realistically) — turns the 100×-scale plan-shape arguments into
-    # measured curvature. Single timed run per query (the JVM is warm
-    # and curvature doesn't need best-of-2 precision); ratio ≈ 10 is
-    # linear, ratio ≫ 10 flags super-linear cost.
+    # measured curvature. Three timed repeats per query with the
+    # median reported (the r11 A/A test showed single-shot sf1
+    # ratios swinging 3× between rounds on identical code — one run
+    # is not a scaling measurement); ratio ≈ 10 is linear,
+    # ratio ≫ 10 flags super-linear cost.
+    SF1_RUNS = 3
     sf1: dict[str, float] = {}
+    sf1_spread: dict[str, dict] = {}
     ratios: dict[str, float] = {}
+
+    def _sf1_timed(name: str, fn, sf1_dir: str) -> None:
+        runs = []
+        for _ in range(SF1_RUNS):
+            t0 = time.time()
+            fn(spark, sf1_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.time() - t0)
+            gc.collect()
+        sf1[name] = round(statistics.median(runs), 3)
+        sf1_spread[name] = {
+            "min": round(min(runs), 3),
+            "median": sf1[name],
+            "max": round(max(runs), 3),
+            "runs": SF1_RUNS,
+        }
+
     if os.environ.get("SPARK_GRAFT_SCALE_SWEEP", "1") == "1" and sf == "0.1":
         sf1_dir = os.path.join(REPO, ".benchdata", "sf1")
         from tools.make_scale_data import make_scale_data
@@ -360,21 +411,14 @@ def main() -> None:
         spark.catalog.clearCache()
         gc.collect()
         for name in BENCH_QUERIES:
-            t0 = time.time()
-            qs[name](spark, sf1_dir).write.format("noop").mode("overwrite").save()
-            sf1[name] = round(time.time() - t0, 3)
+            _sf1_timed(name, qs[name], sf1_dir)
             if timings.get(name):
                 ratios[name] = round(sf1[name] / timings[name], 1)
-            gc.collect()
         for name in SF1_EXTRAS:
             if name not in extra:
                 continue  # warmup failed above — already surfaced
             try:
-                t0 = time.time()
-                qs[name](spark, sf1_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                sf1[name] = round(time.time() - t0, 3)
+                _sf1_timed(name, qs[name], sf1_dir)
             except Exception as exc:
                 print(
                     f"bench: sf1 extra {name} failed: {exc!r}",
@@ -383,7 +427,6 @@ def main() -> None:
                 continue
             if extra.get(name):
                 ratios[name] = round(sf1[name] / extra[name], 1)
-            gc.collect()
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     full_payload = {
         "metric": "headline_queries_total_runtime",
@@ -395,16 +438,23 @@ def main() -> None:
         # from host noise (visible only in single-shot) when
         # comparing across rounds
         "queries_single_shot": single_shot,
+        # per-query min/median/max over the repeat runs — the noise
+        # floor; a cross-round delta inside a query's own spread is
+        # jitter, not a regression (the r11 A/A lesson)
+        "spread": spread,
         "queries_extra": extra,
-        # 10× scale sweep (single-shot at sf1-shaped data) +
+        # 10× scale sweep (median-of-3 at sf1-shaped data) +
         # per-query time ratio vs the benched SF: ~10 = linear
         "queries_sf1": sf1,
+        "sf1_spread": sf1_spread,
         "sf1_over_sf01_ratio": ratios,
         "sf": sf_val,
-        # fixed since r04 — keep stable so cross-round deltas
-        # compare like-for-like (r01/r02 were single-shot cold)
-        "methodology": "warmup-sf0.001 + best-of-2 min, noop sink"
-        " (+ single-shot first-run alongside)",
+        # r12: repeats raised after the r11 A/A test proved best-of-2
+        # resolves worse than the effects it measures (±30% swings on
+        # a frozen engine). Medians are reported so one slow OR one
+        # lucky draw can't move the number.
+        "methodology": "warmup-sf0.001 + median-of-5 headline /"
+        " median-of-3 stages+extras+sf1, noop sink, spreads reported",
     }
     # The driver keeps only a bounded TAIL of stdout; the round-8 line
     # grew past that window and its opening brace fell off, so the
@@ -423,8 +473,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
-                "methodology": "warmup-sf0.001 + best-of-2 min, noop sink;"
-                " single-shot/extra/sf1 sections in BENCH_FULL.json",
+                "methodology": "warmup-sf0.001 + median-of-5, noop sink;"
+                " spread/extra/sf1 sections in BENCH_FULL.json",
             }
         )
     )

@@ -113,14 +113,18 @@ def test_stream_info_walks_frames_and_tags():
 
 
 def test_unregistered_huffman_table_quarantines():
-    """Boundary #1 honesty: a frame selecting Huffman table 13 (or
-    count1 table A) must raise NotImplementedError naming the table —
-    never decode garbage."""
+    """Boundary #1 honesty: a frame selecting an absent Huffman
+    table (13, or the ESC family 16/24) must raise
+    NotImplementedError naming the table — never decode garbage."""
     bad = encode_mp3_tones(44100, lines=((40, 0.5),), n_frames=2, _table_select=13)
     with pytest.raises(NotImplementedError, match="table 13"):
         decode_mp3(bad)
-    with pytest.raises(NotImplementedError, match="count1 table A"):
-        _decode_count1(_BitReader(b"\x00\x00"), 0, 16)
+    bad = encode_mp3_tones(44100, lines=((40, 0.5),), n_frames=2, _table_select=19)
+    with pytest.raises(NotImplementedError, match="table 19.*table 16"):
+        decode_mp3(bad)
+    bad = encode_mp3_tones(44100, lines=((40, 0.5),), n_frames=2, _table_select=4)
+    with pytest.raises(NotImplementedError, match="table 4 is a reserved"):
+        decode_mp3(bad)
 
 
 def test_count1_table_b_is_involutive():
@@ -422,3 +426,132 @@ def test_block_type_transition_sequence():
     assert float(np.sqrt((x**2).mean())) > 0.3
     with pytest.raises(ValueError, match="block types"):
         encode_mp3_tones(block_type_sequence=(5,))
+
+
+# ---------------------------------------------------------------- B.7 registry
+
+
+def test_b7_registry_validates_and_names_boundary():
+    """Every registered Table B.7 table is a complete prefix code
+    (the transcription gate), linbits follow the published
+    progression, and the absent set is exactly the named one."""
+    from trial_submission_studio_spark.operators import mp3_tables as T
+
+    assert sorted(T.PAIR_TABLES) == [1, 2, 3, 5, 6, 7, 8, 9, 12, 15]
+    for tid, (hl, hc) in T.PAIR_TABLES.items():
+        T.validate_pair_table(hl, hc)  # raises on any corruption
+    T.validate_pair_table([T.COUNT1_A[0]], [T.COUNT1_A[1]])
+    assert [T.LINBITS[i] for i in range(16, 24)] == [1, 2, 3, 4, 6, 8, 10, 13]
+    assert [T.LINBITS[i] for i in range(24, 32)] == [4, 5, 6, 7, 8, 9, 11, 13]
+    assert all(T.CODE_ALIASES[i] == 16 for i in range(17, 24))
+    assert all(T.CODE_ALIASES[i] == 24 for i in range(25, 32))
+    assert T.RESERVED_TABLES == {4, 14}
+    assert T.UNVALIDATED_TABLES == {10, 11, 13, 16, 24}
+    # table 15 is the full-magnitude big-value table
+    assert len(T.PAIR_TABLES[15][0]) == 16
+
+
+@pytest.mark.parametrize("table", [2, 3, 5, 6, 7, 8, 9, 12, 15])
+def test_registered_tables_decode_identically_to_table1(table):
+    """The SAME ±1 spectrum coded through each registered table must
+    decode to byte-identical PCM — the is[] values are table-
+    independent, so any difference is a codeword-table error."""
+    tones = ((12, 0.5), (41, 0.5))
+    ref = decode_mp3(encode_mp3_tones(44100, lines=tones, n_frames=4))[2]
+    got = decode_mp3(
+        encode_mp3_tones(44100, lines=tones, n_frames=4, _table_select=table)
+    )[2]
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("mag", [2, 7, 15])
+def test_big_value_magnitudes_requantize_pow_4_3(mag):
+    """Integer magnitudes through table 15 (the 16x16 big-value
+    table): decoded amplitude scales as |is|^(4/3) — pins the
+    requantization power law against the unit-magnitude baseline."""
+    base = decode_mp3(
+        encode_mp3_tones(44100, lines=((40, 0.01),), n_frames=6,
+                         _table_select=15)
+    )[2]
+    scaled = decode_mp3(
+        encode_mp3_tones(44100, lines=((40, 0.01),), n_frames=6,
+                         _table_select=15, line_magnitudes={40: mag})
+    )[2]
+    want = mag ** (4.0 / 3.0)
+    steady = slice(1152, None)  # skip the synthesis warmup
+    ratio = np.sqrt(
+        np.mean(scaled[steady] ** 2) / np.mean(base[steady] ** 2)
+    )
+    assert abs(ratio - want) / want < 1e-6
+    assert abs(
+        expected_tone_amplitude(0.01, mag) / expected_tone_amplitude(0.01)
+        - want
+    ) < 1e-12
+
+
+def test_magnitude_exceeding_table_max_refused():
+    with pytest.raises(ValueError, match="exceeds table 1 max 1"):
+        encode_mp3_tones(44100, lines=((40, 0.5),), n_frames=1,
+                         line_magnitudes={40: 3})
+    with pytest.raises(ValueError, match="exceeds table 15 max 15.*16-31"):
+        encode_mp3_tones(44100, lines=((40, 0.5),), n_frames=1,
+                         _table_select=15, line_magnitudes={40: 16})
+
+
+def test_count1_region_decodes_with_both_tables():
+    """count1 quadruples above the big-value region: the coded lines
+    appear in the decoded spectrum, and table A (variable-length)
+    produces byte-identical PCM to table B (complement codes) for
+    the same values."""
+    kw = dict(
+        sample_rate=44100, lines=((10, 0.4),), n_frames=6,
+        count1_lines=(120, 121, 130),
+    )
+    rb, chb, pcm_b = decode_mp3(encode_mp3_tones(_count1_select=1, **kw))
+    ra, cha, pcm_a = decode_mp3(encode_mp3_tones(_count1_select=0, **kw))
+    np.testing.assert_array_equal(pcm_a, pcm_b)
+    # the count1 lines really landed: their tone dominates a band-pass
+    x = pcm_b[len(pcm_b) // 2 :]
+    spec = np.abs(np.fft.rfft(x * np.hanning(len(x))))
+    hz_of = lambda line: (line + 0.5) * 44100 / 1152  # noqa: E731
+    bin_of = lambda hz: int(round(hz * len(x) / 44100))  # noqa: E731
+    for line in (120, 130):
+        peak_bin = bin_of(hz_of(line))
+        window = spec[max(0, peak_bin - 2): peak_bin + 3]
+        assert window.max() > 5 * np.median(spec)
+    # placement below the big-value region is refused, not mis-coded
+    with pytest.raises(ValueError, match="above the big-value region"):
+        encode_mp3_tones(44100, lines=((10, 0.4),), n_frames=1,
+                         count1_lines=(4,))
+
+
+def test_large_table_stream_through_audio_fingerprint(spark):
+    """The r11 verdict's 'table-13-style stream' criterion: a
+    multi-magnitude spectrum coded through the 16x16 big-value table
+    (the same decode path shape tables 13/16/24 drive) survives the
+    Spark audio_fingerprint operator and near-dup-matches its
+    table-1-codable unit-magnitude re-encode at a different bitrate."""
+    from trial_submission_studio_spark.operators.multimodal import (
+        audio_fingerprint,
+    )
+
+    tones = ((30, 0.02), (75, 0.014), (140, 0.01))
+    rich = encode_mp3_tones(
+        44100, lines=tones, n_frames=10, _table_select=15,
+        line_magnitudes={30: 9, 75: 5, 140: 3},
+        count1_lines=(300, 304),
+    )
+    other = encode_mp3_tones(44100, lines=((400, 1.0),), n_frames=10)
+    rich2 = encode_mp3_tones(
+        44100, lines=tones, n_frames=10, bitrate_kbps=192,
+        _table_select=15, line_magnitudes={30: 9, 75: 5, 140: 3},
+        count1_lines=(300, 304),
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(rich)), (2, bytearray(rich2)), (3, bytearray(other))],
+        "media_id long, payload binary",
+    )
+    fps = {r["media_id"]: r["afp"] for r in audio_fingerprint(df).collect()}
+    ham = lambda x, y: bin(x ^ y).count("1")  # noqa: E731
+    assert ham(fps[1], fps[2]) <= 8
+    assert ham(fps[1], fps[3]) > 10

@@ -30,17 +30,24 @@ this container, and this module is explicit about the boundary
 (same honesty rule as the lossy-WebP/AAC stubs — see
 ``multimodal.py``):
 
-1. **Huffman code tables** (ISO Table B.7). The registry below
-   carries the tables whose codes are small enough to state with
-   confidence — table 0 (empty), table 1 (2×2 pairs) and count1
-   table B (fixed 4-bit complement codes). Streams whose granules
-   select an unregistered table raise ``NotImplementedError`` naming
-   the table, so corpus jobs quarantine them via ``on_error="null"``
-   instead of decoding garbage. The in-repo
-   :func:`encode_mp3_tones` correctness encoder emits
-   structurally-conformant frames restricted to the registered
-   tables — the vp8l/gifanim "correctness encoder" pattern — so the
-   whole decode pipeline is roundtrip-tested end to end.
+1. **Huffman code tables** (ISO Table B.7). The registry
+   (`mp3_tables.py`) carries every table that survives a hard
+   transcription-validation gate — prefix-freedom plus EXACT Kraft
+   completeness, a joint constraint misremembered constants cannot
+   realistically satisfy: pair tables 0-3, 5-9, 12 and 15 (the full
+   16×16 big-value table, magnitudes to 15) and count1 tables A and
+   B. Absent by name: 10, 11, 13 and the linbits ESC families 16-23
+   / 24-31, whose candidate transcriptions failed the gate
+   (`mp3_tables.UNVALIDATED_TABLES`); their LINBITS widths are
+   registered and the ESC arithmetic is implemented, only the
+   codeword tables are missing. Streams whose granules select an
+   absent table raise ``NotImplementedError`` naming the table, so
+   corpus jobs quarantine them via ``on_error="null"`` instead of
+   decoding garbage. The in-repo :func:`encode_mp3_tones`
+   correctness encoder codes payloads through ANY registered table
+   (integer magnitudes, count1 quadruples) — the vp8l/gifanim
+   "correctness encoder" pattern — so every registered decode path
+   is roundtrip-tested end to end.
 2. **The 512-tap synthesis window** (ISO Table B.3 / C.1). A
    near-perfect-reconstruction prototype of the same length and
    cutoff is DESIGNED here (Kaiser-windowed lowpass, DC-gain
@@ -133,26 +140,41 @@ def _pair_table(entries: dict) -> dict:
     return {"dec": dec, "max_len": max(h for h, _ in dec), "enc": dict(entries)}
 
 
-#: big-values tables: index → {(|x|,|y|): (code, hlen)}; linbits all 0
-#: for the registered subset. Unregistered indexes raise at decode.
+#: big-values tables: index → {(|x|,|y|): (code, hlen)} — built from
+#: the validated ISO Table B.7 subset in `mp3_tables.py` (tables 0-3,
+#: 5-9, 12, 15; see that module's docstring for the validation gate
+#: and the named-absent list). Unregistered indexes raise at decode.
+from .mp3_tables import (  # noqa: E402 - table data module
+    CODE_ALIASES,
+    COUNT1_A,
+    LINBITS as HUFFMAN_LINBITS,
+    PAIR_TABLES as _B7,
+    RESERVED_TABLES,
+    UNVALIDATED_TABLES,
+)
+
 HUFFMAN_PAIR_TABLES: dict[int, dict] = {
     0: {"dec": {}, "max_len": 0, "enc": {}},  # table 0: no bits, all zero
-    1: _pair_table({
-        (0, 0): (0b1, 1),
-        (1, 0): (0b01, 2),
-        (0, 1): (0b001, 3),
-        (1, 1): (0b000, 3),
-    }),
 }
-HUFFMAN_LINBITS = {0: 0, 1: 0}
+for _tid, (_hl, _hc) in _B7.items():
+    HUFFMAN_PAIR_TABLES[_tid] = _pair_table({
+        (x, y): (_hc[x][y], _hl[x][y])
+        for x in range(len(_hl)) for y in range(len(_hl[x]))
+    })
 
 #: count1 table B (count1table_select=1): every quadruple (v,w,x,y)
-#: is the 4-bit one's-complement of its value bits. Table A
-#: (variable-length) is NOT registered — select=0 quarantines.
+#: is the 4-bit one's-complement of its value bits.
 COUNT1_B_DEC = {
     (4, (~n) & 0xF): ((n >> 3) & 1, (n >> 2) & 1, (n >> 1) & 1, n & 1)
     for n in range(16)
 }
+#: count1 table A (count1table_select=0): variable-length codes
+COUNT1_A_DEC = {
+    (COUNT1_A[0][n], COUNT1_A[1][n]):
+        ((n >> 3) & 1, (n >> 2) & 1, (n >> 1) & 1, n & 1)
+    for n in range(16)
+}
+COUNT1_A_ENC = {n: (COUNT1_A[1][n], COUNT1_A[0][n]) for n in range(16)}
 
 
 # ----------------------------------------------------------------------------
@@ -317,9 +339,20 @@ def _read_scalefactors(br: _BitReader, gr: dict, scfsi, prev_sf, granule_idx):
 def _decode_pair(br: _BitReader, table: int, end_bit: int):
     tab = HUFFMAN_PAIR_TABLES.get(table)
     if tab is None:
+        base = CODE_ALIASES.get(table, table)
+        why = (
+            "a reserved id in ISO 11172-3 (no such table)"
+            if table in RESERVED_TABLES
+            else (
+                f"absent: its codeword table"
+                + (f" (shared with table {base})" if base != table else "")
+                + " could not be validated from available knowledge"
+                " (mp3_tables.py docstring boundary)"
+            )
+        )
         raise NotImplementedError(
-            f"MP3 Huffman table {table} is outside the registered subset "
-            "(module docstring boundary #1) - libmad/ffmpeg integration "
+            f"MP3 Huffman table {table} is {why} - registered subset: "
+            f"{sorted(HUFFMAN_PAIR_TABLES)}; libmad/ffmpeg integration "
             "point for full-coverage decode"
         )
     if not tab["dec"]:
@@ -348,16 +381,24 @@ def _decode_pair(br: _BitReader, table: int, end_bit: int):
 
 
 def _decode_count1(br: _BitReader, select: int, end_bit: int):
-    if select != 1:
-        raise NotImplementedError(
-            "MP3 count1 table A is outside the registered subset "
-            "(module docstring boundary #1); only table B decodes"
-        )
-    code, length = 0, 0
-    while length < 4:
-        code = (code << 1) | br.read(1)
-        length += 1
-    vals = list(COUNT1_B_DEC[(4, code)])
+    if select == 1:  # table B: fixed 4-bit complement codes
+        code, length = 0, 0
+        while length < 4:
+            code = (code << 1) | br.read(1)
+            length += 1
+        vals = list(COUNT1_B_DEC[(4, code)])
+    else:  # table A: variable-length (1..6 bits), validated complete
+        code, length = 0, 0
+        vals = None
+        while length < 6:
+            code = (code << 1) | br.read(1)
+            length += 1
+            hit = COUNT1_A_DEC.get((length, code))
+            if hit is not None:
+                vals = list(hit)
+                break
+        if vals is None:
+            raise ValueError("invalid count1 table A code")
     out = []
     for v in vals:
         if v and br.pos < end_bit and br.read(1):
@@ -779,6 +820,8 @@ def encode_mp3_tones(
     scalefacs: dict | None = None,
     scalefac_scale: int = 0,
     scfsi: bool = False,
+    line_magnitudes: dict | None = None,
+    count1_lines: tuple = (),
     _table_select: int = 1,
     _count1_select: int = 1,
 ) -> bytes:
@@ -797,11 +840,26 @@ def encode_mp3_tones(
     LOUDEST requested amplitude — compare decode output against
     :func:`expected_tone_amplitude`.
 
-    ``_table_select`` / ``_count1_select`` are test hooks for the
-    Huffman-boundary quarantine path: values outside the registered
-    subset produce frames whose DECODE must raise
-    ``NotImplementedError`` (the bitstream itself stays framed
-    correctly).
+    ``_table_select`` / ``_count1_select`` select the big-value /
+    count1 Huffman tables. A REGISTERED pair table (0-3, 5-9, 12, 15
+    — see `mp3_tables.py`) really codes the payload with that table,
+    so every registered table's decode path is exercisable;
+    ``_count1_select=0`` codes any ``count1_lines`` with count1
+    table A. An UNREGISTERED table id produces frames whose DECODE
+    must raise ``NotImplementedError`` (the bitstream stays framed
+    correctly; payload falls back to table-1 coding that the decoder
+    never reaches).
+
+    ``line_magnitudes`` ({line: |is| int}) codes integer magnitudes
+    above 1 through the selected table (long blocks only); lines not
+    listed default to magnitude 1. The decoded amplitude of a
+    magnitude-m line is ``m^(4/3) · 2^((gg-210)/4)`` — see
+    :func:`expected_tone_amplitude`'s ``magnitude`` argument.
+
+    ``count1_lines`` places additional ±1 values ABOVE the big-value
+    region, coded as count1 quadruples with the selected count1
+    table (both A and B decode) — the region real encoders use for
+    the spectrum's sparse top end.
 
     Decoder-path options (each forces one otherwise-unreachable
     decode path, the correctness-encoder discipline):
@@ -836,9 +894,12 @@ def encode_mp3_tones(
     if channels not in (1, 2):
         raise ValueError("channels must be 1 or 2")
     if (short_blocks or mixed_blocks or block_type_sequence) and (
-        scalefacs or scfsi
+        scalefacs or scfsi or line_magnitudes or count1_lines
     ):
-        raise ValueError("scalefacs/scfsi options are long-block-only here")
+        raise ValueError(
+            "scalefacs/scfsi/line_magnitudes/count1_lines options are "
+            "long-block-only here"
+        )
     if short_blocks and mixed_blocks:
         raise ValueError("pick one of short_blocks / mixed_blocks")
     if block_type_sequence:
@@ -901,7 +962,34 @@ def encode_mp3_tones(
     br_idx = BITRATES_V1_L3.index(bitrate_kbps)
     frame_len = 144 * bitrate_kbps * 1000 // sample_rate
     big_values = (max_line // 2) + 1
-    enc = HUFFMAN_PAIR_TABLES[1]["enc"]
+    # a REGISTERED table really codes the payload; an unregistered id
+    # is the quarantine hook — payload falls back to table-1 coding
+    # the decoder never reaches (it raises on the side-info id first)
+    enc = HUFFMAN_PAIR_TABLES.get(
+        _table_select, HUFFMAN_PAIR_TABLES[1]
+    )["enc"] or HUFFMAN_PAIR_TABLES[1]["enc"]  # table 0 codes nothing
+    xmax = max(x for x, _ in enc)
+    mags = {l: 1 for l in line_set}
+    for l, m in (line_magnitudes or {}).items():
+        if l not in line_set:
+            raise ValueError(f"line_magnitudes line {l} not in lines")
+        if not 1 <= int(m) <= xmax:
+            raise ValueError(
+                f"magnitude {m} exceeds table {_table_select} max {xmax}"
+                " (the linbits ESC families 16-31 are unregistered -"
+                " mp3_tables.py boundary)"
+            )
+        mags[l] = int(m)
+    c1_set = set(count1_lines)
+    if c1_set:
+        bv2 = 2 * big_values
+        if min(c1_set) < bv2:
+            raise ValueError(
+                f"count1_lines must sit above the big-value region "
+                f"(>= {bv2}); lines occupy it"
+            )
+        if max(c1_set) > 572:
+            raise ValueError("count1_lines are 0..572 (must fit a quad)")
     sf_compress = 9 if scalefacs else 0  # SLEN[9] = (2, 2)
     slen1, slen2 = SLEN[sf_compress]
     sf_vals = dict(scalefacs or {})
@@ -938,14 +1026,29 @@ def encode_mp3_tones(
         if with_sf:
             put_scalefacs(w)
         for p in range(bv):
-            x = 1 if 2 * p in ls else 0
-            y = 1 if 2 * p + 1 in ls else 0
+            x = mags.get(2 * p, 1) if 2 * p in ls else 0
+            y = mags.get(2 * p + 1, 1) if 2 * p + 1 in ls else 0
             code, hlen = enc[(x, y)]
             w.put(code, hlen)
             if x:
                 w.put(0, 1)  # positive sign
             if y:
                 w.put(0, 1)
+        if c1_set and bt == 0:
+            q = 2 * bv
+            top = max(c1_set)
+            while q <= top:
+                vals = tuple(1 if q + j in c1_set else 0 for j in range(4))
+                idx = vals[0] * 8 + vals[1] * 4 + vals[2] * 2 + vals[3]
+                if _count1_select == 1:
+                    w.put((~idx) & 0xF, 4)
+                else:
+                    c, hl = COUNT1_A_ENC[idx]
+                    w.put(c, hl)
+                for v in vals:
+                    if v:
+                        w.put(0, 1)  # positive sign
+                q += 4
 
     def part23_bits(granule: int, bt: int) -> int:
         probe = _BitWriter()
@@ -1018,11 +1121,13 @@ def encode_mp3_tones(
     return b"".join(frames)
 
 
-def expected_tone_amplitude(amplitude: float) -> float:
-    """The global_gain-quantized amplitude the ±1 coding of
-    :func:`encode_mp3_tones` can actually represent."""
+def expected_tone_amplitude(amplitude: float, magnitude: int = 1) -> float:
+    """The global_gain-quantized amplitude the integer-magnitude
+    coding of :func:`encode_mp3_tones` can actually represent:
+    ``|is|^(4/3) · 2^((gg-210)/4)`` with gg from the loudest
+    requested line amplitude."""
     gg = min(255, max(0, int(round(210 + 4 * math.log2(max(amplitude, 1e-9))))))
-    return 2.0 ** ((gg - 210) / 4.0)
+    return magnitude ** (4.0 / 3.0) * 2.0 ** ((gg - 210) / 4.0)
 
 
 try:  # register by value so Arrow kernels can ship this module
