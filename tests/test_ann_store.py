@@ -309,3 +309,97 @@ def test_ivfpq_store_matches_in_memory_and_upserts(spark, tmp_path):
     assert 7 in hits and 250 in hits
     ad = {r.vec_id: r.adist for r in res}
     assert ad[7] == ad[250]  # identical codes -> identical distance
+
+
+def _drift_vecs(spark, lo, hi, shift):
+    """Vectors concentrated in a shifted region — the drift shape:
+    later appends cluster somewhere the build-time sample never saw."""
+    return spark.range(lo, hi).selectExpr(
+        "id AS vec_id",
+        f"""transform(sequence(0, {DIM - 1}), j ->
+             CAST({shift} + 0.01 * sin(id * 0.7 + j * 1.3) AS DOUBLE))
+           AS embedding""",
+    )
+
+
+def test_retrain_restores_cell_balance_and_answers(spark, tmp_path):
+    """The r11 verdict task-6 contract: drifted appends degrade cell
+    balance; retrain_ivf_store restores it in ONE atomic commit;
+    answers stay ≡ brute-force cosine before AND after; the
+    pre-retrain version still time-travels with its OLD centroids."""
+    from trial_submission_studio_spark.operators.ann_store import (
+        ivf_cell_balance,
+        retrain_ivf_store,
+    )
+    from trial_submission_studio_spark.io import versioned as _ver
+
+    root = str(tmp_path / "ann")
+    base = _vecs(spark, 0, 200)
+    save_ivf_corpus(base, root, n_centroids=8)
+    balanced = ivf_cell_balance(spark, root)
+
+    # appends from a distribution the build never saw: they all land
+    # in whichever frozen cell is nearest to the drifted region
+    drift = _drift_vecs(spark, 200, 600, shift=5.0)
+    append_ivf_corpus(drift, root)
+    skewed = ivf_cell_balance(spark, root)
+    assert skewed["skew"] > 2 * balanced["skew"], (balanced, skewed)
+    assert skewed["n_rows"] == 600
+
+    pre_version = read_manifest(root)["version"]
+    pre_centroids = read_manifest(root)["metadata"]["ivf"]["centroids"]
+
+    corpus = base.unionByName(drift)
+    queries = _vecs(spark, 1000, 1004).unionByName(
+        _drift_vecs(spark, 2000, 2004, shift=5.0)
+    )
+    # exact baseline: full-probe in-memory IVF over the RAW corpus
+    # frame (every cell probed = brute-force cosine), independent of
+    # the persisted store and its centroids
+    m_now = read_manifest(root)["metadata"]["ivf"]
+    want = _topk_rows(
+        ivf_topk(corpus, queries, k=5, n_probe=8,
+                 centroids=m_now["centroids"])
+    )
+    # full-probe answers are exact vs brute force BEFORE retrain
+    got_pre = saved_ivf_topk(spark, root, queries, k=5, n_probe=8)
+    assert _topk_rows(got_pre) == want
+
+    m2 = retrain_ivf_store(spark, root)
+    assert m2["metadata"]["retrain_of"] == pre_version
+    assert m2["metadata"]["ivf"]["centroids"] != pre_centroids
+    healed = ivf_cell_balance(spark, root)
+    assert healed["skew"] < skewed["skew"] / 2, (skewed, healed)
+    assert healed["n_rows"] == 600  # nothing lost in the rewrite
+
+    # answers are exact vs brute force AFTER retrain too
+    got_post = saved_ivf_topk(spark, root, queries, k=5, n_probe=8)
+    assert _topk_rows(got_post) == want
+    # and the retrained index serves the drifted region from its own
+    # cells now: a LOW-probe query there is exact post-retrain
+    drift_q = _drift_vecs(spark, 2000, 2004, shift=5.0)
+    narrow = saved_ivf_topk(spark, root, drift_q, k=3, n_probe=2)
+    post_cents = read_manifest(root)["metadata"]["ivf"]["centroids"]
+    want_n = _topk_rows(
+        ivf_topk(corpus, drift_q, k=3, n_probe=len(post_cents),
+                 centroids=post_cents)
+    )
+    assert _topk_rows(narrow) == want_n
+
+    # time travel: the pre-retrain manifest still pairs OLD centroids
+    # with OLD files (mixed state never existed on disk)
+    old_m = _ver.read_manifest(root, pre_version)
+    assert old_m["metadata"]["ivf"]["centroids"] == pre_centroids
+    assert all(os.path.exists(os.path.join(root, f)) for f in old_m["files"])
+
+
+def test_retrain_refuses_ivfpq(spark, tmp_path):
+    from trial_submission_studio_spark.operators.ann_store import (
+        retrain_ivf_store,
+        save_ivfpq_corpus,
+    )
+
+    root = str(tmp_path / "pq")
+    save_ivfpq_corpus(_vecs(spark, 0, 100), root, n_centroids=4, m=4)
+    with pytest.raises(ValueError, match="rebuild via save_ivfpq_corpus"):
+        retrain_ivf_store(spark, root)

@@ -11,12 +11,15 @@ Layout (mirrors bm25's ``run=<id>/__tb=N``)::
       deletes/run=<id>/part-*.parquet            id tombstones
       _versions/...                              manifest swaps
 
-- **Centroids are FROZEN at build time** and ride the manifest
+- **Centroids are FROZEN between retrains** and ride the manifest
   metadata (KB-scale JSON for typical n_centroids×dim). Appends
   assign new vectors to the existing cells — this is how FAISS-style
   IVF serves streams too: the coarse quantizer is trained once;
-  drift is handled by periodic rebuild, not per-batch retrain
-  (retraining would silently invalidate every stored assignment).
+  drift is handled by PERIODIC retrain, never per-batch (a centroid
+  swap without rewriting assignments would silently invalidate every
+  stored row). :func:`retrain_ivf_store` is that periodic step — new
+  centroids + full clustered rewrite in ONE atomic commit, triggered
+  when :func:`ivf_cell_balance` reports skew.
 - **Queries prune at the FILE LIST**: the probed cells (n_probe
   nearest centroids per query, unioned over the batch) select
   ``__cell=N`` files from the explicit manifest list before Spark
@@ -67,6 +70,8 @@ __all__ = [
     "saved_ivf_topk",
     "sync_ivf_store",
     "compact_ivf_store",
+    "retrain_ivf_store",
+    "ivf_cell_balance",
     "vacuum_ivf_store",
     "save_ivfpq_corpus",
     "saved_ivfpq_topk",
@@ -309,17 +314,9 @@ def sync_ivf_store(
     return {"upserted": n_up, "deleted": n_del, "from": v_from, "to": v_to}
 
 
-def compact_ivf_store(spark: SparkSession, path: str) -> dict:
-    """Fold the LSM state: resolve tombstones, rewrite the live rows
-    as ONE fresh run (same frozen centroids, same cell layout), drop
-    the tombstone files from the manifest. Query results are
-    unchanged; what changes is cost — a long-lived store accumulates
-    a run dir per mutation and a growing tombstone broadcast, and
-    this is the standard LSM answer. Old versions stay readable
-    until retired+vacuumed (append-only commit, like
-    `io/versioned.compact_version`)."""
-    m, ivf = _meta(path)
-    id_col, vec_col = ivf["id_col"], ivf["vec_col"]
+def _live_rows(spark: SparkSession, path: str, m: dict, id_col: str):
+    """Tombstone-resolved view of the store's CURRENT rows (the LSM
+    read path shared by compact/retrain)."""
     vec_files = [f for f in m["files"] if f.startswith("vectors/")]
     vectors = (
         spark.read.option("basePath", os.path.join(path, "vectors"))
@@ -340,13 +337,113 @@ def compact_ivf_store(spark: SparkSession, path: str) -> dict:
             )
             .drop("__tseq")
         )
-    live = vectors.select(id_col, vec_col)
+    return vectors
+
+
+def compact_ivf_store(spark: SparkSession, path: str) -> dict:
+    """Fold the LSM state: resolve tombstones, rewrite the live rows
+    as ONE fresh run (same frozen centroids, same cell layout), drop
+    the tombstone files from the manifest. Query results are
+    unchanged; what changes is cost — a long-lived store accumulates
+    a run dir per mutation and a growing tombstone broadcast, and
+    this is the standard LSM answer. Old versions stay readable
+    until retired+vacuumed (append-only commit, like
+    `io/versioned.compact_version`)."""
+    m, ivf = _meta(path)
+    id_col, vec_col = ivf["id_col"], ivf["vec_col"]
+    live = _live_rows(spark, path, m, id_col).select(id_col, vec_col)
     files = _write_vector_run(
         live, path, ivf["centroids"], id_col, vec_col, seq=m["version"] + 1
     )
     meta = dict(m["metadata"])
     meta["compaction_of"] = m["version"]
     return _ver.publish_files(path, files, metadata=meta)
+
+
+def ivf_cell_balance(spark: SparkSession, path: str) -> dict:
+    """Cell-balance audit of the CURRENT (tombstone-resolved) store:
+    ``{"n_cells", "n_rows", "max_cell", "mean_cell", "skew"}`` where
+    ``skew = max/mean`` over the store's TRAINED cell count (empty
+    cells count toward the mean — a store whose appends all pile
+    into one cell must read as skewed, not as 'one perfectly
+    balanced cell'). Probe cost ≈ the skew: a 10x-overfull cell
+    makes every query probing it scan 10x its fair share, which is
+    the signal to :func:`retrain_ivf_store`."""
+    m, meta = _meta(path)
+    n_cells = len(meta["centroids"])
+    counts = {
+        r[_CELL]: r["n"]
+        for r in _live_rows(spark, path, m, meta["id_col"])
+        .groupBy(_CELL)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_rows = int(sum(counts.values()))
+    mean = n_rows / n_cells if n_cells else 0.0
+    mx = max(counts.values(), default=0)
+    return {
+        "n_cells": n_cells,
+        "n_rows": n_rows,
+        "max_cell": int(mx),
+        "mean_cell": mean,
+        "skew": (mx / mean) if mean else 0.0,
+    }
+
+
+def retrain_ivf_store(
+    spark: SparkSession,
+    path: str,
+    *,
+    n_centroids: int | None = None,
+    sample_size: int = 4096,
+) -> dict:
+    """Refresh the coarse quantizer against the store's CURRENT
+    distribution: sample-based spherical k-means retrain
+    (`similarity.train_ivf_centroids` over the live rows) + a full
+    clustered rewrite under the new centroids, committed ATOMICALLY
+    as one manifest swap that also replaces the recorded centroids —
+    the ``optimize_version`` shape (`io/versioned.py`). This is the
+    drift answer the frozen-at-build design defers to (module
+    docstring): appends that pile into a few stale cells degrade
+    probe pruning (watch :func:`ivf_cell_balance`); a retrain
+    restores balance WITHOUT ever serving mixed state, because
+    assignments and centroids swap in the same commit. Old versions
+    still time-travel: their manifests carry the OLD centroids with
+    the OLD files. IVF-PQ stores refuse — codes are only comparable
+    under the codebooks that produced them, so a PQ retrain is a
+    rebuild (`save_ivfpq_corpus` docstring)."""
+    m, meta = _meta(path)
+    if meta["kind"] != "ivf":
+        raise ValueError(
+            "retrain_ivf_store is float-IVF-only; an ivfpq retrain is a "
+            "rebuild via save_ivfpq_corpus (codes are codebook-bound)"
+        )
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    live = _live_rows(spark, path, m, id_col).select(id_col, vec_col)
+    live = live.persist()  # train samples it, the rewrite scans it
+    try:
+        cents = train_ivf_centroids(
+            live,
+            n_centroids or len(meta["centroids"]),
+            sample_size=sample_size,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        files = _write_vector_run(
+            live, path, cents, id_col, vec_col, seq=m["version"] + 1
+        )
+    finally:
+        live.unpersist()
+    new_meta = {
+        "ivf": {
+            "centroids": cents,
+            "n_centroids": len(cents),
+            "id_col": id_col,
+            "vec_col": vec_col,
+        },
+        "retrain_of": m["version"],
+    }
+    return _ver.publish_files(path, files, metadata=new_meta)
 
 
 def vacuum_ivf_store(
