@@ -2635,10 +2635,11 @@ def _zonemap_bench_root(spark: SparkSession, sf_dir: str) -> str:
     )
     root = tempfile.mkdtemp(prefix="tss-zonemap-bench-")
     d = new_data_dir(root)
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
     (
-        _t(spark, sf_dir, "events")
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-        .repartitionByRange(16, "ts")
+        ev.repartitionByRange(_bench_file_count(ev), "ts")
         .sortWithinPartitions("ts")
         .write.parquet(d, mode="append")
     )
@@ -2647,9 +2648,27 @@ def _zonemap_bench_root(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
-#: last-day slice of the events ts range (Jan 2024) — ~1/30 of rows,
-#: 1/16 of the clustered files
-_ZONEMAP_BENCH_PRED = [("ts", ">=", datetime.datetime(2024, 1, 30))]
+def _bench_file_count(df) -> int:
+    """File count for the table-format bench snapshots: rows/6250,
+    floor 16 — CONSTANT-SIZE files whose COUNT grows with the data
+    (16 at sf0.1, unchanged vs earlier rounds; 160 at sf1-shaped
+    data). This is what real table formats do, and it is what makes
+    the sf1 sweep read on the design: a fixed-window pruned scan and
+    a clustered-key merge touch a ~fixed number of ~fixed-size files
+    while the full scan grows linearly."""
+    return max(16, df.count() // 6250)
+
+
+#: one fixed DAY of events (the last day of the base replica's Jan
+#: 2024 range) — ~1/30 of base rows. CLOSED window: the sf1 replicas
+#: extend the time axis (tools/make_scale_data.py shifts ts), so an
+#: open >= predicate would match all later replicas and the pruned
+#: scan would stop measuring skipping. At the contract SFs nothing
+#: exists past Jan 31, so the added upper bound changes no rows.
+_ZONEMAP_BENCH_PRED = [
+    ("ts", ">=", datetime.datetime(2024, 1, 30)),
+    ("ts", "<", datetime.datetime(2024, 1, 31)),
+]
 
 
 _MERGE_BENCH_MEMO: dict = {}
@@ -2683,10 +2702,11 @@ def table_merge_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         _os.makedirs(root)
         d = new_data_dir(root)
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
         (
-            _t(spark, sf_dir, "events")
-            .select("event_id", "user_id", "event_type", "value")
-            .repartitionByRange(16, "event_id")
+            ev.repartitionByRange(_bench_file_count(ev), "event_id")
             .write.parquet(d, mode="append")
         )
         base = publish_version(root, d)["version"]
@@ -2759,6 +2779,104 @@ def zonemap_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum("value").alias("v"), F.count(F.lit(1)).alias("n"))
     )
+
+
+_ROLLUP_BENCH_MEMO: dict = {}
+
+
+def rollup_refresh_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance (io/rollup.py) as it runs in
+    production: per timed run, ONE fixed-size ingest batch (2k rows,
+    fresh ids via a per-root counter) appends to the versioned base
+    and `refresh_rollup` brings the materialized per-lang aggregate
+    up to date — scanning ONLY the batch. The base (documents-shaped,
+    built once per sf_dir from the documents table) grows across
+    runs, which is the point: refresh cost must track |batch|, not
+    |table|, so the sf1 ratio of this metric is the measured
+    incremental-maintenance claim (≈1, not ≈10). Benched extra, NOT
+    a contract slot — refresh ≡ direct-groupBy equivalence and crash
+    recovery are pinned by tests/test_rollup.py."""
+    import tempfile
+
+    from trial_submission_studio_spark.io.rollup import (
+        refresh_rollup,
+        rollup_status,
+    )
+    from trial_submission_studio_spark.io.versioned import (
+        new_data_dir,
+        publish_version,
+        current_version,
+    )
+
+    memo = _ROLLUP_BENCH_MEMO.get(sf_dir)
+    if memo is None:
+        base = tempfile.mkdtemp(prefix="tss-rollup-bench-") + "/t"
+        import os as _os
+
+        _os.makedirs(base)
+        d = new_data_dir(base)
+        (
+            _t(spark, sf_dir, "documents")
+            .select(
+                "doc_id", "lang",
+                F.length("text").cast("long").alias("length"),
+            )
+            .repartition(8)
+            .write.parquet(d, mode="append")
+        )
+        publish_version(base, d)
+        memo = {"base": base, "roll": base + "-roll", "next_id": 10**12}
+        _ROLLUP_BENCH_MEMO[sf_dir] = memo
+    base, roll = memo["base"], memo["roll"]
+    batch = spark.range(memo["next_id"], memo["next_id"] + 2000).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 3 = 0 THEN 'en' ELSE 'de' END AS lang",
+        "CAST(id % 997 AS LONG) AS length",
+    )
+    memo["next_id"] += 2000
+    d = new_data_dir(base)
+    batch.repartition(2).write.parquet(d, mode="append")
+    publish_version(base, d, base_version=current_version(base))
+    m = refresh_rollup(
+        spark, base, roll, ["lang"],
+        {"n": ("count", None), "chars": ("sum", "length"),
+         "longest": ("max", "length")},
+    )
+    st = rollup_status(roll)
+    au = m["metadata"]["rollup"]
+    return spark.createDataFrame(
+        [(au["files_added"], au["files_removed"], st["base_version"])],
+        "files_added int, files_removed int, base_version int",
+    )
+
+
+_ANN_BENCH_MEMO: dict = {}
+
+
+def ann_store_topk_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-IVF serving path (operators/ann_store.py): top-10
+    cosine for an 8-query batch against the saved, cell-partitioned
+    store (32 cells, n_probe=2 — the query plans over ~1/16 of the
+    manifest's files). Store build is memoized per sf_dir (the first
+    timed run pays it; the median-of-3 drops it). Benched extra, NOT
+    a contract slot — brute-force equivalence and the LSM semantics
+    are pinned by tests/test_ann_store.py; recall vs exact is the
+    contract slot ann_recall_gates."""
+    import tempfile
+
+    from trial_submission_studio_spark.operators.ann_store import (
+        save_ivf_corpus,
+        saved_ivf_topk,
+    )
+
+    root = _ANN_BENCH_MEMO.get(sf_dir)
+    vecs = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if root is None:
+        root = tempfile.mkdtemp(prefix="tss-annstore-bench-") + "/s"
+        save_ivf_corpus(vecs, root, n_centroids=32)
+        _ANN_BENCH_MEMO[sf_dir] = root
+    queries = vecs.filter(F.col("vec_id") % 251 == 0).limit(8)
+    return saved_ivf_topk(spark, root, queries, k=10, n_probe=2)
 
 
 def bm25_retrieval_bench(spark: SparkSession, sf_dir: str) -> DataFrame:

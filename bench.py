@@ -312,15 +312,20 @@ def main() -> None:
         "v_domain_check_gates",
         # zone-map data skipping (io/zonemap.py): pruned vs full scan
         # of the same ts-clustered versioned snapshot — the pair's
-        # delta is the measured manifest-level skipping win. Not in
-        # the sf1 sweep: the snapshot build is memoized per sf_dir,
-        # so the sweep's single-shot run would time the build.
+        # delta is the measured manifest-level skipping win. Snapshot
+        # builds are memoized per sf_dir; the build lands in the
+        # first of the 3 timed runs and the median drops it.
         "zonemap_scan_full",
         "zonemap_scan_pruned",
         # file-grain MERGE commit + change-feed summary on the same
         # snapshot discipline (memoized build; per-run workload is
-        # identical, so best-of-2 timings compare across rounds)
+        # identical, so timings compare across rounds)
         "table_merge_bench",
+        # round-12: the remaining table-format + vector-store serving
+        # paths, so the 100 TB claims of io/rollup.py and
+        # operators/ann_store.py are measured, not argued
+        "rollup_refresh_bench",
+        "ann_store_topk_bench",
     )
     # LLM-pipeline extras that ALSO run in the 10× scale sweep — these
     # carry the 100 TB design claims, so their curvature is measured,
@@ -352,6 +357,17 @@ def main() -> None:
         "events_stream_gates",
         "incremental_dedup_docs",
         "v_domain_check_gates",
+        # round-12 (r11 verdict task 5): table format + vector store.
+        # Expected curvature: merge ~flat (clustered keys touch a
+        # ~fixed number of constant-size files), pruned scan ~flat
+        # (fixed one-day window; replicas extend the time axis) vs
+        # full scan ~10x, rollup refresh ~flat (fixed ingest batch),
+        # saved-IVF ~(n_probe/cells) of a 10x table
+        "table_merge_bench",
+        "zonemap_scan_full",
+        "zonemap_scan_pruned",
+        "rollup_refresh_bench",
+        "ann_store_topk_bench",
     )
     for name in EXTRA_QUERIES:
         if name not in qs:

@@ -9,6 +9,14 @@ exact duplicate groups are bounded at K+1 members, the realistic
 crawl-corpus shape for the dedup operators. Dimension tables
 (region/nation) don't scale, like TPC-H.
 
+Event TIMESTAMPS shift by ``replica * 31 days`` so the time axis
+EXTENDS as the table grows — the realistic shape (a 10× events table
+is 10 more months of history, not 10× the density of one month).
+This is what makes the sf1 sweep meaningful for time-windowed
+operators: a fixed query window (the zonemap bench's last-day slice)
+keeps a fixed row count while the table grows, so manifest-level file
+skipping shows up as a ~flat pruned scan against a ~10× full scan.
+
 Usage: ``python tools/make_scale_data.py <base_sf_dir> <out_dir> <K>``
 (also importable: :func:`make_scale_data`).
 """
@@ -35,6 +43,9 @@ KEY_COLS = {
     "nation": (),
 }
 
+#: timestamp columns shifted by replica * 31 days (see module doc)
+TS_SHIFT_COLS = {"events": ("ts",)}
+
 
 def make_scale_data(spark, base_dir: str, out_dir: str, k: int) -> None:
     from pyspark.sql import functions as F
@@ -54,6 +65,10 @@ def make_scale_data(spark, base_dir: str, out_dir: str, k: int) -> None:
             rep = df
             for c in keys:
                 rep = rep.withColumn(c, F.col(c) + F.lit(i * OFFSET))
+            for c in TS_SHIFT_COLS.get(table, ()):
+                rep = rep.withColumn(
+                    c, F.col(c) + F.expr(f"INTERVAL {i * 31} DAY")
+                )
             parts.append(rep)
         out = parts[0]
         for p in parts[1:]:

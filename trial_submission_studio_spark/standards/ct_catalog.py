@@ -648,9 +648,25 @@ def registry_coverage(reg: TerminologyRegistry | None = None) -> dict:
     referenced by the SDTM-IG, SEND-IG and ADaM-IG registries
     (including ADaM wildcard patterns), resolved against ``reg``
     (default: :func:`builtin_registry`). Returns per-catalog
-    codelist/term counts plus the referenced/resolved/unresolved code
-    sets — the 'zero unresolved references' invariant the test suite
-    pins."""
+    codelist/term counts, per-code CITATION counts (how many IG
+    variables bind each code — the burn-down priority), and the
+    referenced/resolved/unresolved code sets with ``unresolved``
+    sorted most-cited-first — the 'zero unresolved references'
+    invariant the test suite pins, and the worklist ranking when it
+    ever breaks (e.g. after an IG registry extension).
+
+    Breadth boundary, documented once here: the container's reference
+    checkout declares ``SDTM_CT_{release}.csv`` embeds
+    (`/root/reference/crates/tss-standards/src/embedded.rs:53`) but
+    does NOT contain those files — its ``data/terminology/`` holds
+    only the ADaM/CDASH/DDF/Define-XML/Glossary/MRCT/Protocol/SEND
+    sets, all of which ship here IN FULL (`load_shipped_ct`). So
+    there is no in-container public source for the full SDTM
+    publishing set; the curated catalog (50 codelists) is the honest
+    stand-in, and it is exactly sufficient: the shipped sets alone
+    resolve 25/42 IG-cited codes, the curated catalog supplies the
+    remaining 17 (verified by this function against a curated-free
+    registry in tests)."""
     from trial_submission_studio_spark.standards.adam_ig import (
         ADAM_STRUCTURES,
         ADAM_WILDCARD_PATTERNS,
@@ -659,18 +675,23 @@ def registry_coverage(reg: TerminologyRegistry | None = None) -> dict:
     from trial_submission_studio_spark.standards.send_ig import SEND_DOMAINS
 
     reg = reg or builtin_registry()
-    referenced: set[str] = set()
+    citations: dict[str, int] = {}
     for registry in (DOMAINS, SEND_DOMAINS, ADAM_STRUCTURES):
         for d in registry.values():
             for v in d["variables"]:
                 for c in str(v.get("codelist_code") or "").replace(";", ",").split(","):
                     if c.strip():
-                        referenced.add(c.strip().upper())
+                        code = c.strip().upper()
+                        citations[code] = citations.get(code, 0) + 1
     for pats in ADAM_WILDCARD_PATTERNS.values():
         for p in pats:
             if p.get("codelist_code"):
-                referenced.add(p["codelist_code"].upper())
-    unresolved = sorted(c for c in referenced if reg.resolve(c) is None)
+                code = p["codelist_code"].upper()
+                citations[code] = citations.get(code, 0) + 1
+    unresolved = sorted(
+        (c for c in citations if reg.resolve(c) is None),
+        key=lambda c: (-citations[c], c),
+    )
     return {
         "catalogs": {
             label: {
@@ -679,8 +700,9 @@ def registry_coverage(reg: TerminologyRegistry | None = None) -> dict:
             }
             for label, cls in reg.catalogs.items()
         },
-        "referenced_codes": len(referenced),
-        "resolved_codes": len(referenced) - len(unresolved),
+        "referenced_codes": len(citations),
+        "resolved_codes": len(citations) - len(unresolved),
+        "citations": dict(sorted(citations.items(), key=lambda kv: (-kv[1], kv[0]))),
         "unresolved": unresolved,
     }
 
