@@ -1,0 +1,169 @@
+"""Bucket-spec'd versioned tables (io/bucketed_table.py + the
+merge/delete integration in io/merge.py): manifest contract,
+key-pruned reads, bucket-pruned merge planning, layout preservation
+across rewrites, and the documented exchange-free-join boundary."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from trial_submission_studio_spark.io.bucketed_table import (
+    BUCKET_COL,
+    bucket_files,
+    bucket_id,
+    bucket_spec,
+    probe_bucket_ids,
+    publish_bucketed,
+    read_bucketed_version,
+    read_key_pruned,
+)
+from trial_submission_studio_spark.io.merge import delete_matching, merge_version
+from trial_submission_studio_spark.io.versioned import read_manifest
+
+N_BUCKETS = 8
+
+
+def _rows(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr(
+        "id AS k", "CAST(id % 7 AS DOUBLE) AS v", "'x' || id AS payload"
+    )
+
+
+def _as_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def _assert_layout_consistent(spark, root):
+    """Every file's rows hash to the bucket named by its __kb dir —
+    the invariant key-pruned reads rely on."""
+    m = read_manifest(root)
+    spec = m["metadata"]["bucket_spec"]
+    for f in m["files"]:
+        assert f"{BUCKET_COL}=" in f, f
+        b = int(f.split(f"{BUCKET_COL}=")[1].split("/")[0])
+        got = (
+            spark.read.parquet(os.path.join(root, f))
+            .select(bucket_id(spec["key_cols"], spec["n_buckets"]).alias("b"))
+            .distinct()
+            .collect()
+        )
+        assert [r.b for r in got] == [b], (f, got)
+
+
+def test_publish_read_roundtrip_and_spec(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = _rows(spark, 0, 500)
+    m = publish_bucketed(spark, df, root, "k", N_BUCKETS)
+    assert m["metadata"]["bucket_spec"] == {
+        "key_cols": ["k"], "n_buckets": N_BUCKETS,
+    }
+    assert bucket_spec(root) == m["metadata"]["bucket_spec"]
+    got = read_bucketed_version(spark, root)
+    assert sorted(got.columns) == ["k", "payload", "v"]
+    assert _as_set(got) == _as_set(df)
+    _assert_layout_consistent(spark, root)
+
+
+def test_key_pruned_read_scans_only_probed_buckets(spark, tmp_path):
+    root = str(tmp_path / "t")
+    publish_bucketed(spark, _rows(spark, 0, 1000), root, "k", N_BUCKETS)
+    keys = spark.createDataFrame([(5,), (123,), (999,)], "k long")
+    spec = bucket_spec(root)
+    probed = probe_bucket_ids(keys, spec)
+    assert 1 <= len(probed) <= 3
+    m = read_manifest(root)
+    mine = bucket_files(m, probed)
+    assert 0 < len(mine) < len(m["files"])  # a real prune
+    got = read_key_pruned(spark, root, keys)
+    want = read_bucketed_version(spark, root).join(
+        keys, "k", "left_semi"
+    )
+    assert _as_set(got) == _as_set(want)
+    assert got.count() == 3
+    # empty probe set: no matching buckets -> empty frame, same schema
+    none = read_key_pruned(
+        spark, root, spark.createDataFrame([], "k long")
+    )
+    assert none.count() == 0
+    assert sorted(none.columns) == sorted(got.columns)
+
+
+def test_merge_preserves_layout_and_prunes_planning(spark, tmp_path):
+    root = str(tmp_path / "t")
+    publish_bucketed(spark, _rows(spark, 0, 1000), root, "k", N_BUCKETS)
+    # scattered updates + inserts (the hash-bucket workload shape)
+    src = spark.createDataFrame(
+        [(5, 100.0, "upd5"), (123, 100.0, "upd123"), (2000, 1.0, "new")],
+        "k long, v double, payload string",
+    )
+    m = merge_version(spark, root, src, "k")
+    au = m["metadata"]["merge"]
+    assert m["metadata"]["bucket_spec"] == bucket_spec(root)
+    # planning probed only the source keys' buckets, not all 8
+    assert 1 <= au["buckets_probed"] <= 3
+    assert au["rows_updated"] == 2 and au["rows_inserted"] == 1
+    _assert_layout_consistent(spark, root)
+    # answers: merged values visible, key-pruned read agrees
+    got = {
+        r.k: (r.v, r.payload)
+        for r in read_key_pruned(
+            spark, root, spark.createDataFrame([(5,), (2000,)], "k long")
+        ).collect()
+    }
+    assert got == {5: (100.0, "upd5"), 2000: (1.0, "new")}
+    assert read_bucketed_version(spark, root).count() == 1001
+
+
+def test_delete_preserves_layout(spark, tmp_path):
+    root = str(tmp_path / "t")
+    publish_bucketed(spark, _rows(spark, 0, 400), root, "k", N_BUCKETS)
+    doomed = spark.createDataFrame([(i,) for i in range(0, 40)], "k long")
+    m = delete_matching(spark, root, doomed, "k")
+    assert m["metadata"]["bucket_spec"] == bucket_spec(root)
+    assert m["metadata"]["merge"]["rows_deleted"] == 40
+    assert "buckets_probed" in m["metadata"]["merge"]
+    _assert_layout_consistent(spark, root)
+    assert read_bucketed_version(spark, root).count() == 360
+    assert read_key_pruned(
+        spark, root, spark.createDataFrame([(3,), (100,)], "k long")
+    ).count() == 1  # 3 deleted, 100 alive
+
+
+def test_spec_change_refused(spark, tmp_path):
+    root = str(tmp_path / "t")
+    publish_bucketed(spark, _rows(spark, 0, 50), root, "k", 4)
+    with pytest.raises(ValueError, match="bucket spec changed"):
+        publish_bucketed(spark, _rows(spark, 50, 60), root, "k", 8)
+
+
+def test_exchange_free_join_needs_catalog_or_dsv2(spark, tmp_path):
+    """The documented boundary (module docstring): path-based reads
+    of the bucketed file list DO plan an Exchange on a bucket-key
+    join — Catalyst only elides it when the scan reports hash
+    clustering, which needs the catalog bucketed-table route
+    (operators/bucketing.py, pinned exchange-free by
+    tests/test_bucketing.py) or a JVM DSv2 source. This test is the
+    'measured reason' of record: if a future Spark version starts
+    propagating it, this fails and the docstring gets to improve."""
+    from trial_submission_studio_spark.operators.bucketing import (
+        is_exchange_free_join,
+    )
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    publish_bucketed(spark, _rows(spark, 0, 300), a, "k", N_BUCKETS)
+    publish_bucketed(spark, _rows(spark, 0, 300), b, "k", N_BUCKETS)
+    # big-table regime: disable auto-broadcast so the planner must
+    # satisfy the join's distribution requirement from the scans
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = read_bucketed_version(spark, a).join(
+            read_bucketed_version(spark, b).withColumnRenamed("v", "v2")
+            .withColumnRenamed("payload", "p2"),
+            "k",
+        )
+        assert joined.count() == 300  # co-located files, correct join
+        assert not is_exchange_free_join(joined)  # the boundary, measured
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

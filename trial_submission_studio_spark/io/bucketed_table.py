@@ -1,0 +1,193 @@
+"""Bucket-spec'd versioned tables — the hash-dir layout of the bm25
+index (`operators/bm25.py` ``__tb=N``) generalized to the table
+format, recorded as a MANIFEST CONTRACT like the schema contract
+(`io/table_schema.py`).
+
+What the spec buys at 100 TB (each measured/pinned by tests):
+
+- **Key-pruned reads**: a point lookup / IN-list probe / semi-join
+  whose keys are known computes its bucket ids by hash arithmetic
+  and plans the scan over ONLY those buckets' files — 1/n_buckets of
+  the table per probed key, driver-side, no metastore, no listing
+  (`read_key_pruned`).
+- **Bucket-pruned merge planning**: `io/merge.py:merge_version`
+  consults the spec and restricts its affected-file probe (the
+  key-column scan that finds copy-on-write candidates) to the
+  buckets the source keys hash to — merge planning cost drops from
+  "scan every file's key column" to "scan matching buckets only",
+  which is the difference between O(table) and O(batch) at scale.
+- **Layout preservation**: merge/compaction rewrites re-partition
+  rewritten rows by the bucket key into ``__kb=N`` dirs and carry
+  the spec forward, so the table never silently degrades to
+  unbucketed; a run may add files to any bucket dir (LSM-style —
+  multiple files per bucket compose, exactly like bm25 runs).
+
+What the spec does NOT buy — documented, with the measured reason
+(`tests/test_bucketed_table.py::test_exchange_free_join_needs_catalog_or_dsv2`):
+an **exchange-free JOIN**. Catalyst only elides the shuffle when the
+SCAN reports a HashClusteredDistribution, and a path-based parquet
+read of an explicit file list never does — that metadata channel is
+the catalog bucketed table (`operators/bucketing.py:write_bucketed`,
+shipped) or a JVM DataSource-v2 implementing
+``SupportsReportPartitioning``, which cannot be expressed from
+Python. The file-level co-location is still exactly what a DSv2
+source would report; the layout is ready for one.
+
+Hash function: ``pmod(xxhash-free Murmur3 via F.hash, n)`` computed
+EXPLICITLY into the ``__kb`` column — pruning and placement use the
+same arithmetic on both the write and probe side, so correctness
+never depends on matching Spark's internal bucket-file naming.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from . import versioned as _ver
+
+__all__ = [
+    "BUCKET_COL",
+    "bucket_id",
+    "bucket_spec",
+    "publish_bucketed",
+    "read_bucketed_version",
+    "bucket_files",
+    "read_key_pruned",
+]
+
+BUCKET_COL = "__kb"
+
+
+def bucket_id(key_cols: Sequence[str], n_buckets: int) -> Column:
+    """The bucket id of a row: ``pmod(murmur3(key...), n)``."""
+    return F.pmod(F.hash(*[F.col(c) for c in key_cols]), F.lit(n_buckets))
+
+
+def _write_bucketed_run(
+    df: DataFrame, root: str, spec: dict
+) -> list[str]:
+    """One run of ``__kb=N/part-*.parquet`` files under a fresh data
+    dir; returns root-relative paths. One writer task per touched
+    bucket (repartition on __kb), so file count tracks bucket count,
+    not the session's shuffle-partition default."""
+    cols, n = spec["key_cols"], spec["n_buckets"]
+    run_dir = _ver.new_data_dir(root)
+    (
+        df.withColumn(BUCKET_COL, bucket_id(cols, n))
+        .repartition(F.col(BUCKET_COL))
+        .sortWithinPartitions(BUCKET_COL, *cols)
+        .write.partitionBy(BUCKET_COL)
+        .mode("overwrite")  # new_data_dir pre-creates the (empty) dir
+        .parquet(run_dir)
+    )
+    return sorted(
+        os.path.relpath(p, root) for p in _ver.data_files(run_dir)
+    )
+
+
+def _canon_spec(key_cols, n_buckets: int) -> dict:
+    cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if not cols:
+        raise ValueError("need at least one bucket key column")
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    return {"key_cols": cols, "n_buckets": int(n_buckets)}
+
+
+def publish_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    key_cols: str | Sequence[str],
+    n_buckets: int,
+    *,
+    metadata: dict | None = None,
+) -> dict:
+    """Write ``df`` hash-bucketed on ``key_cols`` and commit a
+    version whose manifest records the ``bucket_spec`` contract.
+    Later merges preserve the layout (see module docstring);
+    re-publishing over an existing root with a DIFFERENT spec is
+    refused — a mixed-layout table would prune incorrectly."""
+    spec = _canon_spec(key_cols, n_buckets)
+    prev = bucket_spec(root) if _ver.current_version(root) else None
+    if prev is not None and prev != spec:
+        raise ValueError(
+            f"bucket spec changed (recorded {prev}, got {spec}); "
+            "rebucket under a fresh root"
+        )
+    os.makedirs(root, exist_ok=True)
+    files = _write_bucketed_run(df, root, spec)
+    meta = {**(metadata or {}), "bucket_spec": spec}
+    return _ver.publish_files(root, files, metadata=meta)
+
+
+def bucket_spec(root: str, version: int | None = None) -> dict | None:
+    """The recorded spec, or None for an unbucketed table."""
+    if _ver.current_version(root) is None:
+        return None
+    return _ver.read_manifest(root, version)["metadata"].get("bucket_spec")
+
+
+def read_bucketed_version(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """The snapshot WITHOUT the layout column (user view)."""
+    return _ver.read_version(spark, root, version).drop(BUCKET_COL)
+
+
+def bucket_files(
+    manifest: dict, bucket_ids: set[int]
+) -> list[str]:
+    """Manifest entries belonging to the given buckets — the
+    driver-side file-grain prune (rel paths carry ``__kb=N/``)."""
+    keep = tuple(f"{BUCKET_COL}={b}/" for b in sorted(bucket_ids))
+    return [f for f in manifest["files"] if any(k in f for k in keep)]
+
+
+def probe_bucket_ids(
+    keys: DataFrame, spec: dict
+) -> set[int]:
+    """Distinct bucket ids of the probe keys (bounded by
+    n_buckets; the collect is id-sized, never key-sized)."""
+    return {
+        r["__b"]
+        for r in keys.select(
+            bucket_id(spec["key_cols"], spec["n_buckets"]).alias("__b")
+        )
+        .distinct()
+        .collect()
+    }
+
+
+def read_key_pruned(
+    spark: SparkSession,
+    root: str,
+    keys: DataFrame,
+    *,
+    version: int | None = None,
+) -> DataFrame:
+    """Rows of the snapshot whose bucket-key appears in ``keys`` —
+    planned over ONLY the probed buckets' files. Semantically
+    identical to ``read_bucketed_version(...).join(keys, key_cols,
+    "left_semi")`` (pinned by tests); the difference is the scan:
+    ~|probed buckets|/n_buckets of the table's files."""
+    spec = bucket_spec(root, version)
+    if spec is None:
+        raise ValueError(f"{root} carries no bucket_spec")
+    m = _ver.read_manifest(root, version)
+    mine = bucket_files(m, probe_bucket_ids(keys, spec))
+    if not mine:
+        return read_bucketed_version(spark, root, version).limit(0)
+    # the __kb dir is pure PATH layout (partitionBy consumed the
+    # column at write time); a plain read of the pruned leaf files
+    # yields the user schema directly — no partition inference, no
+    # basePath coupling across run dirs
+    df = spark.read.parquet(*[os.path.join(root, f) for f in mine])
+    return df.join(
+        F.broadcast(keys.select(*spec["key_cols"]).distinct()),
+        spec["key_cols"],
+        "left_semi",
+    )

@@ -142,6 +142,10 @@ def merge_version(
     m = versioned.read_manifest(root, version)
     all_paths = _parquet_paths(root, m)
     target = spark.read.parquet(*all_paths)
+    # bucket-spec'd snapshot (io/bucketed_table.py): the layout is a
+    # manifest contract — planning prunes with it below, and the
+    # rewrite preserves it
+    bspec = m["metadata"].get("bucket_spec")
 
     data_cols = [c for c in source.columns if c != delete_col]
     if sorted(data_cols) != sorted(target.columns):
@@ -175,12 +179,29 @@ def merge_version(
                 "a multi-match merge is nondeterministic — dedupe first"
             )
 
-    target_keyed = target.select(
-        *key_cols, F.col("_metadata.file_path").alias("__tss_fp")
-    )
-    affected_abs = _affected_files(
-        target_keyed, source_keys, key_cols, bool(broadcast_keys)
-    )
+    # bucket-pruned affected-file probe: when the merge key IS the
+    # bucket key, only the buckets the source keys hash to can hold
+    # matches — the key-column candidate scan shrinks from O(table)
+    # to O(matching buckets), by hash arithmetic alone
+    probe_paths = all_paths
+    buckets_probed = None
+    if bspec and bspec["key_cols"] == key_cols:
+        from .bucketed_table import bucket_files, probe_bucket_ids
+
+        probed = probe_bucket_ids(source_keys, bspec)
+        buckets_probed = len(probed)
+        probe_paths = [
+            os.path.join(root, f) for f in bucket_files(m, probed)
+        ]
+    if probe_paths:
+        target_keyed = spark.read.parquet(*probe_paths).select(
+            *key_cols, F.col("_metadata.file_path").alias("__tss_fp")
+        )
+        affected_abs = _affected_files(
+            target_keyed, source_keys, key_cols, bool(broadcast_keys)
+        )
+    else:
+        affected_abs = []
     affected_rel = {os.path.relpath(p, root) for p in affected_abs}
     kept_rel = [f for f in m["files"] if f not in affected_rel]
 
@@ -196,6 +217,8 @@ def merge_version(
         out = upserts.select(*target.columns)
 
     stats = {"files_rewritten": len(affected_rel), "files_kept": len(kept_rel)}
+    if buckets_probed is not None:
+        stats["buckets_probed"] = buckets_probed
     if verify:
         if affected_abs:
             n_matched = (
@@ -233,19 +256,34 @@ def merge_version(
 
     fresh_rel: list[str] = []
     if n_out_probe:
-        run_dir = versioned.new_data_dir(root)
-        # keep file granularity comparable to the input: the natural
-        # write parallelism is the session's shuffle-partition count,
-        # which shatters a few affected files into dozens of tiny
-        # outputs — each later merge/scan then pays that fan-out
-        # (the in-merge small-files problem)
-        out = out.repartition(max(1, len(affected_rel)))
-        out.write.mode("overwrite").parquet(run_dir)
-        fresh_rel = [
-            os.path.relpath(p, root) for p in versioned.data_files(run_dir)
-        ]
+        if bspec:
+            # layout preservation: rewritten + inserted rows go back
+            # into __kb=N dirs under the recorded spec (one file per
+            # touched bucket), so the table never silently degrades
+            # to unbucketed and key-pruned reads stay correct
+            from .bucketed_table import _write_bucketed_run
+
+            fresh_rel = _write_bucketed_run(
+                out.select(*target.columns), root, bspec
+            )
+        else:
+            run_dir = versioned.new_data_dir(root)
+            # keep file granularity comparable to the input: the
+            # natural write parallelism is the session's
+            # shuffle-partition count, which shatters a few affected
+            # files into dozens of tiny outputs — each later
+            # merge/scan then pays that fan-out (the in-merge
+            # small-files problem)
+            out = out.repartition(max(1, len(affected_rel)))
+            out.write.mode("overwrite").parquet(run_dir)
+            fresh_rel = [
+                os.path.relpath(p, root)
+                for p in versioned.data_files(run_dir)
+            ]
         if verify:
-            n_written = spark.read.parquet(run_dir).count()
+            n_written = spark.read.parquet(
+                *[os.path.join(root, f) for f in fresh_rel]
+            ).count()
             expected = (
                 spark.read.parquet(*affected_abs).count() if affected_abs else 0
             ) - stats["rows_updated"] - stats["rows_deleted"] + (
@@ -259,6 +297,8 @@ def merge_version(
 
     meta = {"merge": {**stats, "base_version": m["version"]},
             **(metadata or {})}
+    if bspec:
+        meta["bucket_spec"] = bspec
     return versioned.publish_files(
         root,
         kept_rel + fresh_rel,
@@ -288,22 +328,40 @@ def delete_matching(
     all_paths = _parquet_paths(root, m)
     target = spark.read.parquet(*all_paths)
 
+    bspec = m["metadata"].get("bucket_spec")
     dkeys = keys.select(*key_cols).distinct()
     if broadcast_keys == "auto":
         probe = 1_000_000
         broadcast_keys = dkeys.limit(probe + 1).count() <= probe
     dk = F.broadcast(dkeys) if broadcast_keys else dkeys
 
-    target_keyed = target.select(
-        *key_cols, F.col("_metadata.file_path").alias("__tss_fp")
-    )
-    affected_abs = _affected_files(
-        target_keyed, dkeys, key_cols, bool(broadcast_keys)
-    )
+    # bucket-pruned probe + layout-preserving rewrite, exactly as in
+    # merge_version (the spec is a manifest contract)
+    probe_paths = all_paths
+    buckets_probed = None
+    if bspec and bspec["key_cols"] == key_cols:
+        from .bucketed_table import bucket_files, probe_bucket_ids
+
+        probed = probe_bucket_ids(dkeys, bspec)
+        buckets_probed = len(probed)
+        probe_paths = [
+            os.path.join(root, f) for f in bucket_files(m, probed)
+        ]
+    if probe_paths:
+        target_keyed = spark.read.parquet(*probe_paths).select(
+            *key_cols, F.col("_metadata.file_path").alias("__tss_fp")
+        )
+        affected_abs = _affected_files(
+            target_keyed, dkeys, key_cols, bool(broadcast_keys)
+        )
+    else:
+        affected_abs = []
     affected_rel = {os.path.relpath(p, root) for p in affected_abs}
     kept_rel = [f for f in m["files"] if f not in affected_rel]
 
     stats = {"files_rewritten": len(affected_rel), "files_kept": len(kept_rel)}
+    if buckets_probed is not None:
+        stats["buckets_probed"] = buckets_probed
     fresh_rel: list[str] = []
     if affected_abs:
         affected_df = spark.read.parquet(*affected_abs)
@@ -315,14 +373,24 @@ def delete_matching(
             )
             stats["rows_deleted"] = n_doomed
         if survivors.limit(1).count():
-            run_dir = versioned.new_data_dir(root)
-            survivors = survivors.repartition(max(1, len(affected_rel)))
-            survivors.write.mode("overwrite").parquet(run_dir)
-            fresh_rel = [
-                os.path.relpath(p, root) for p in versioned.data_files(run_dir)
-            ]
+            if bspec:
+                from .bucketed_table import _write_bucketed_run
+
+                fresh_rel = _write_bucketed_run(
+                    survivors.select(*target.columns), root, bspec
+                )
+            else:
+                run_dir = versioned.new_data_dir(root)
+                survivors = survivors.repartition(max(1, len(affected_rel)))
+                survivors.write.mode("overwrite").parquet(run_dir)
+                fresh_rel = [
+                    os.path.relpath(p, root)
+                    for p in versioned.data_files(run_dir)
+                ]
             if verify:
-                n_written = spark.read.parquet(run_dir).count()
+                n_written = spark.read.parquet(
+                    *[os.path.join(root, f) for f in fresh_rel]
+                ).count()
                 if n_written != n_aff - n_doomed:
                     raise RuntimeError(
                         f"delete row-count mismatch: wrote {n_written}, "
@@ -335,6 +403,8 @@ def delete_matching(
         )
     meta = {"merge": {**stats, "base_version": m["version"], "op": "delete"},
             **(metadata or {})}
+    if bspec:
+        meta["bucket_spec"] = bspec
     return versioned.publish_files(
         root,
         kept_rel + fresh_rel,
