@@ -287,9 +287,11 @@ def _adts_stream(n_frames=5, sr_idx=4, payload_len=20):
 
 def test_probe_media_aac_adts_header_walk(spark):
     """AAC-ADTS classification + exact header-walk duration (1024
-    samples per frame) without touching payload bytes; the decoder
-    correctly does NOT decode it (payload decode is a documented
-    stub), so audio_features quarantines it under on_error='null'."""
+    samples per frame) without touching payload bytes. This stream's
+    zero-byte payloads are NOT a valid raw_data_block (no END
+    element), so the r12 AAC decoder (operators/aac.py) rejects it
+    and audio_features quarantines under on_error='null' — decodable
+    conformant streams are covered by tests/test_aac.py."""
     from trial_submission_studio_spark.operators.multimodal import (
         audio_features,
         probe_media,

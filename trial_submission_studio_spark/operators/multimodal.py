@@ -54,12 +54,18 @@ Codec coverage is explicit about what is REAL and what is stubbed:
   registered subset — streams selecting an unregistered table
   quarantine via ``NotImplementedError`` instead of decoding
   garbage (see the mp3 module docstring for the exact boundary).
-- **Stubbed integration points**: lossy-WebP (VP8 intra), AAC
-  payload decode, and inter-frame video codecs (H.264/VP9/AV1) need
-  PIL/torchaudio/ffmpeg, absent here (their entropy-code tables are
-  arbitrary published constants unavailable in this container, so a
-  from-scratch decoder cannot be honestly validated) — kernels raise
-  ``NotImplementedError`` naming the format, or produce seeded
+- **AAC-LC (ADTS) skeleton** (:mod:`.aac`, r12): ADTS framing,
+  raw_data_block/ics_info/section parse, the full four-window-shape
+  filterbank (PR-tested) — but only ZERO_HCB bands decode (silent
+  streams); its scalefactor/spectral Huffman codebooks are the same
+  unvalidatable-constants boundary as MP3's absent tables, so any
+  nonzero band quarantines by codebook name.
+- **Stubbed integration points**: lossy-WebP (VP8 intra), non-zero
+  AAC spectra (above), and inter-frame video codecs (H.264/VP9/AV1)
+  need PIL/torchaudio/ffmpeg, absent here (their entropy-code tables
+  are arbitrary published constants unavailable in this container,
+  so a from-scratch decoder cannot be honestly validated) — kernels
+  raise ``NotImplementedError`` naming the format, or produce seeded
   reproducible fakes with ``deterministic_fake=True`` so the
   Spark-side plumbing stays fully testable.
 """
@@ -891,6 +897,7 @@ def _make_audio_decoder():
     mono float64) contract. Closure-local so cloudpickle ships it by
     value (the adpcm/flac/mp3 modules are registered by-value at
     import)."""
+    from trial_submission_studio_spark.operators.aac import decode_aac
     from trial_submission_studio_spark.operators.adpcm import (
         decode_wav_compressed,
     )
@@ -901,6 +908,7 @@ def _make_audio_decoder():
     wav_compressed = decode_wav_compressed
     flac = decode_flac
     mp3 = decode_mp3
+    aac = decode_aac
 
     def decode(payload: bytes | None):
         hit = wav(payload)
@@ -915,6 +923,16 @@ def _make_audio_decoder():
                 return hit
         if payload and payload[:4] == b"fLaC":
             return flac(payload)
+        if (
+            payload
+            and len(payload) > 1
+            and payload[0] == 0xFF
+            and (payload[1] & 0xF6) == 0xF0
+        ):
+            # ADTS sync: 0xFFF + layer '00' — disjoint from the MPEG
+            # audio layer bits, so AAC never mis-routes to the MP3
+            # decoder (and vice versa)
+            return aac(payload)
         if payload and (
             payload[:3] == b"ID3"
             or (len(payload) > 1 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0)
@@ -1232,8 +1250,9 @@ def audio_features(
 ) -> DataFrame:
     """REAL audio featurization: sample rate, channel count,
     duration, RMS, peak and zero-crossing rate of the mono mix.
-    WAV-PCM/G.711/ADPCM, FLAC and MP3 (registered-subset — see
-    :mod:`.mp3`) payloads decode natively; everything else (AAC,
+    WAV-PCM/G.711/ADPCM, FLAC, MP3 (registered-subset — see
+    :mod:`.mp3`) and zero-spectrum AAC-LC (see :mod:`.aac`) payloads
+    decode natively; everything else (nonzero-band AAC,
     unregistered-table MP3) falls back per ``deterministic_fake``
     or ``on_error="null"``, which quarantines undecodable records
     as all-NULL rows instead of failing the job (filter
