@@ -132,3 +132,30 @@ def test_release_merge_rollup_feed_ann_optimize_cycle(spark, tmp_path):
         ).collect()
     }
     assert got == set(range(10, 21))  # (the deleted id 6 is outside)
+
+    # 6. r12: ANN drift management composes with the synced store —
+    #    balance audit, retrain (atomic centroid swap + rewrite),
+    #    answers preserved for the same probes
+    from trial_submission_studio_spark.operators.ann_store import (
+        ivf_cell_balance,
+        retrain_ivf_store,
+    )
+
+    before = ivf_cell_balance(spark, ann)
+    assert before["n_rows"] == 200
+    m_re = retrain_ivf_store(spark, ann)
+    assert "retrain_of" in m_re["metadata"]
+    after = ivf_cell_balance(spark, ann)
+    assert after["n_rows"] == 200  # nothing lost in the rewrite
+    hits_re = {
+        x.doc_id
+        for x in saved_ivf_topk(spark, ann, probe, k=3, n_probe=4).collect()
+    }
+    assert 5 in hits_re  # the upserted embedding still serves
+    assert 6 not in {
+        x.doc_id
+        for x in saved_ivf_topk(
+            spark, ann, _docs(spark, 6, 7).select("doc_id", "embedding"),
+            k=5, n_probe=4,
+        ).collect()
+    }  # the delete is still honored across the retrain rewrite
