@@ -202,14 +202,9 @@ def _parse_ics_info(br: _Bits, rate: int):
             "max_sfb": max_sfb, "grouping": grouping}
 
 
-def _num_window_groups(ics) -> int:
-    if ics["window_sequence"] != EIGHT_SHORT:
-        return 1
-    # grouping bit i says window i+1 belongs to the PREVIOUS group
-    return 1 + bin(ics["grouping"] & 0x7F).count("0") - (7 - 7)  # see below
-
-
 def _window_groups(ics) -> int:
+    """Short frames: grouping bit i set means window i+1 joins the
+    previous group; clear bits start new groups."""
     if ics["window_sequence"] != EIGHT_SHORT:
         return 1
     g = 1
