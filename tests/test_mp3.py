@@ -557,3 +557,41 @@ def test_large_table_stream_through_audio_fingerprint(spark):
     ham = lambda x, y: bin(x ^ y).count("1")  # noqa: E731
     assert ham(fps[1], fps[2]) <= 8
     assert ham(fps[1], fps[3]) > 10
+
+
+def test_per_region_table_selection_decodes_identically():
+    """A 3-tuple _table_select codes each region with its own
+    registered table (the mixed-table shape real encoders emit);
+    the decoded PCM is identical to single-table coding, and a
+    magnitude is validated against ITS region's table max."""
+    # lines spanning all three regions (region boundaries at the
+    # 44100 band index: band_idx[8]=46, band_idx[16]=162)
+    tones = ((12, 0.01), (80, 0.01), (300, 0.01))
+    ref = decode_mp3(
+        encode_mp3_tones(44100, lines=tones, n_frames=4, _table_select=15)
+    )[2]
+    mixed = decode_mp3(
+        encode_mp3_tones(
+            44100, lines=tones, n_frames=4, _table_select=(7, 9, 15)
+        )
+    )[2]
+    np.testing.assert_array_equal(mixed, ref)
+    # magnitudes validate per region: 7 in region0 (table 7, max 5)
+    # is fine; 7 in region1 against table 6 (max 3) is refused
+    decode_mp3(
+        encode_mp3_tones(
+            44100, lines=tones, n_frames=1,
+            _table_select=(7, 9, 15), line_magnitudes={12: 5},
+        )
+    )
+    with pytest.raises(ValueError, match="exceeds table 6 max 3"):
+        encode_mp3_tones(
+            44100, lines=tones, n_frames=1,
+            _table_select=(7, 6, 15), line_magnitudes={80: 7},
+        )
+    # a mixed tuple with ONE unregistered region quarantines by name
+    bad = encode_mp3_tones(
+        44100, lines=tones, n_frames=1, _table_select=(1, 13, 15)
+    )
+    with pytest.raises(NotImplementedError, match="table 13"):
+        decode_mp3(bad)

@@ -841,7 +841,9 @@ def encode_mp3_tones(
     :func:`expected_tone_amplitude`.
 
     ``_table_select`` / ``_count1_select`` select the big-value /
-    count1 Huffman tables. A REGISTERED pair table (0-3, 5-9, 12, 15
+    count1 Huffman tables; ``_table_select`` also accepts a 3-tuple
+    of per-region tables (long blocks — the mixed-table shape real
+    encoders emit). A REGISTERED pair table (0-3, 5-9, 12, 15
     — see `mp3_tables.py`) really codes the payload with that table,
     so every registered table's decode path is exercisable;
     ``_count1_select=0`` codes any ``count1_lines`` with count1
@@ -962,20 +964,43 @@ def encode_mp3_tones(
     br_idx = BITRATES_V1_L3.index(bitrate_kbps)
     frame_len = 144 * bitrate_kbps * 1000 // sample_rate
     big_values = (max_line // 2) + 1
-    # a REGISTERED table really codes the payload; an unregistered id
-    # is the quarantine hook — payload falls back to table-1 coding
-    # the decoder never reaches (it raises on the side-info id first)
-    enc = HUFFMAN_PAIR_TABLES.get(
-        _table_select, HUFFMAN_PAIR_TABLES[1]
-    )["enc"] or HUFFMAN_PAIR_TABLES[1]["enc"]  # table 0 codes nothing
-    xmax = max(x for x, _ in enc)
+    # per-region table selection: an int selects one table for every
+    # region; a 3-tuple selects (region0, region1, region2) — LONG
+    # blocks only, the shape real encoders emit. A REGISTERED table
+    # really codes its region's payload; an unregistered id is the
+    # quarantine hook — payload falls back to table-1 coding the
+    # decoder never reaches (it raises on the side-info id first).
+    if isinstance(_table_select, int):
+        tsel = (_table_select,) * 3
+    else:
+        tsel = tuple(_table_select)
+        if len(tsel) != 3:
+            raise ValueError("_table_select tuple must have 3 regions")
+        if short_blocks or mixed_blocks or block_type_sequence:
+            raise ValueError("per-region _table_select is long-block-only")
+
+    def _enc_for(t: int) -> dict:
+        got = HUFFMAN_PAIR_TABLES.get(t, HUFFMAN_PAIR_TABLES[1])["enc"]
+        return got or HUFFMAN_PAIR_TABLES[1]["enc"]  # table 0: no codes
+
+    enc_region = tuple(_enc_for(t) for t in tsel)
+    # region boundaries as the DECODER computes them from the side
+    # info this encoder writes (region0_count=7, region1_count=7)
+    _bidx = _long_band_index(sample_rate)
+    _r0_end, _r1_end = _bidx[8], _bidx[16]
+
+    def _region_of(line: int) -> int:
+        return 0 if line < _r0_end else (1 if line < _r1_end else 2)
+
     mags = {l: 1 for l in line_set}
     for l, m in (line_magnitudes or {}).items():
         if l not in line_set:
             raise ValueError(f"line_magnitudes line {l} not in lines")
+        t = tsel[_region_of(l)]
+        xmax = max(x for x, _ in _enc_for(t))
         if not 1 <= int(m) <= xmax:
             raise ValueError(
-                f"magnitude {m} exceeds table {_table_select} max {xmax}"
+                f"magnitude {m} exceeds table {t} max {xmax}"
                 " (the linbits ESC families 16-31 are unregistered -"
                 " mp3_tables.py boundary)"
             )
@@ -1028,7 +1053,10 @@ def encode_mp3_tones(
         for p in range(bv):
             x = mags.get(2 * p, 1) if 2 * p in ls else 0
             y = mags.get(2 * p + 1, 1) if 2 * p + 1 in ls else 0
-            code, hlen = enc[(x, y)]
+            # region of the pair = region of its first line, exactly
+            # as the decoder walks them (windowed shapes pass an int
+            # _table_select, so both entries agree there)
+            code, hlen = enc_region[_region_of(2 * p)][(x, y)]
             w.put(code, hlen)
             if x:
                 w.put(0, 1)  # positive sign
@@ -1075,15 +1103,15 @@ def encode_mp3_tones(
             side.put(1, 1)   # window_switching
             side.put(bt, 2)
             side.put(1 if mixed_blocks else 0, 1)  # mixed_block
-            side.put(_table_select, 5)   # table_select region0
-            side.put(_table_select, 5)   # region1
+            side.put(tsel[0], 5)   # table_select region0
+            side.put(tsel[1], 5)   # region1
             for sbg in subblock_gain:
                 side.put(sbg, 3)
         else:
             side.put(0, 1)   # window_switching 0 (long)
-            side.put(_table_select, 5)   # table_select region0
-            side.put(_table_select, 5)   # region1
-            side.put(_table_select, 5)   # region2
+            side.put(tsel[0], 5)   # table_select region0
+            side.put(tsel[1], 5)   # region1
+            side.put(tsel[2], 5)   # region2
             side.put(7, 4)   # region0_count
             side.put(7, 3)   # region1_count
         side.put(0, 1)   # preflag
