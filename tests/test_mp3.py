@@ -595,3 +595,60 @@ def test_per_region_table_selection_decodes_identically():
     )
     with pytest.raises(NotImplementedError, match="table 13"):
         decode_mp3(bad)
+
+
+def test_bit_reservoir_stream_decodes_identically():
+    """reservoir=True produces frames whose main data lives in
+    EARLIER frames' areas (nonzero main_data_begin back-pointers,
+    stuffing-pinned) — the decoder's reservoir path reconstructs
+    byte-identical PCM to the unpacked stream, for plain tones and
+    for the full magnitude/count1/multi-table shape."""
+    from trial_submission_studio_spark.operators.mp3 import (
+        _parse_header,
+        _parse_side_info,
+    )
+
+    kw = dict(sample_rate=44100, lines=((40, 0.3), (200, 0.2)), n_frames=6)
+    plain = encode_mp3_tones(**kw)
+    packed = encode_mp3_tones(reservoir=True, **kw)
+    assert len(plain) == len(packed)  # same framing, different packing
+    # the back-pointers are really nonzero from frame 1 on
+    mdbs = []
+    i = 0
+    while i < len(packed):
+        h = _parse_header(packed, i)
+        mdb, _, _ = _parse_side_info(packed[i + 4: i + 4 + 17], 1)
+        mdbs.append(mdb)
+        i += h["frame_len"]
+    assert mdbs[0] == 0 and all(m > 0 for m in mdbs[1:]), mdbs
+    assert all(m <= 511 for m in mdbs)
+    r1, c1, pcm_plain = decode_mp3(plain)
+    r2, c2, pcm_packed = decode_mp3(packed)
+    np.testing.assert_array_equal(pcm_packed, pcm_plain)
+
+    # the rich shape through the reservoir too
+    kw2 = dict(
+        sample_rate=48000, lines=((12, 0.01), (80, 0.01), (300, 0.01)),
+        n_frames=5, _table_select=(7, 9, 15),
+        line_magnitudes={12: 5, 80: 4}, count1_lines=(340, 344),
+    )
+    a = decode_mp3(encode_mp3_tones(**kw2))[2]
+    b = decode_mp3(encode_mp3_tones(reservoir=True, **kw2))[2]
+    np.testing.assert_array_equal(b, a)
+
+
+def test_reservoir_truncation_skips_underflow_frames():
+    """Cutting the stream mid-reservoir: a frame whose back-pointer
+    reaches data the decoder never saw (stream resync mid-file) is
+    skipped, never mis-decoded — drop the first frame and the walk
+    resumes cleanly."""
+    blob = encode_mp3_tones(
+        44100, lines=((40, 0.3),), n_frames=6, reservoir=True
+    )
+    from trial_submission_studio_spark.operators.mp3 import _parse_header
+
+    h = _parse_header(blob, 0)
+    got = decode_mp3(blob[h["frame_len"]:])
+    assert got is not None
+    r, ch, pcm = got
+    assert pcm.size % 1152 == 0 and pcm.size < 6 * 1152

@@ -822,7 +822,9 @@ def encode_mp3_tones(
     scfsi: bool = False,
     line_magnitudes: dict | None = None,
     count1_lines: tuple = (),
-    _table_select: int = 1,
+    reservoir: bool = False,
+    reservoir_target: int = 200,
+    _table_select: int | tuple = 1,
     _count1_select: int = 1,
 ) -> bytes:
     """Structurally-conformant MPEG-1 Layer III frames whose
@@ -862,6 +864,14 @@ def encode_mp3_tones(
     region, coded as count1 quadruples with the selected count1
     table (both A and B decode) — the region real encoders use for
     the spectrum's sparse top end.
+
+    ``reservoir=True`` packs the frames' main data through the BIT
+    RESERVOIR: every frame after the first carries a nonzero
+    ``main_data_begin`` back-pointer (held near ``reservoir_target``
+    bytes by ancillary stuffing, as real encoders do), so its main
+    data physically lives in earlier frames' areas — the decoder's
+    reservoir/back-pointer path decodes it to the SAME PCM as the
+    unpacked stream.
 
     Decoder-path options (each forces one otherwise-unreachable
     decode path, the correctness-encoder discipline):
@@ -1118,10 +1128,9 @@ def encode_mp3_tones(
         side.put(scalefac_scale & 1, 1)
         side.put(_count1_select & 1, 1)  # count1table_select
 
-    frames = []
-    for f_i in range(n_frames):
+    def build_side(f_i: int, mdb: int) -> bytes:
         side = _BitWriter()
-        side.put(0, 9)                       # main_data_begin: no reservoir
+        side.put(mdb, 9)                     # main_data_begin
         side.put(0, 5 if channels == 1 else 3)  # private
         scfsi_bits = 0b1111 if (scfsi and sf_compress) else 0
         for _c in range(channels):
@@ -1129,23 +1138,72 @@ def encode_mp3_tones(
         for g in range(2):
             for _c in range(channels):
                 put_channel_side(side, g, bt_for(f_i, g))
-        side_bytes = side.bytes_padded()
-        assert len(side_bytes) == (17 if channels == 1 else 32)
+        out = side.bytes_padded()
+        assert len(out) == (17 if channels == 1 else 32)
+        return out
+
+    def build_main(f_i: int) -> bytes:
         main = _BitWriter()
         for g in range(2):  # both granules, all channels: same spectrum
             for _c in range(channels):
                 put_granule_payload(main, _sf_in_granule(g), bt_for(f_i, g))
-        main_bytes = main.bytes_padded()
-        # header: sync, MPEG-1, Layer III, no CRC
-        h1 = 0xE0 | (3 << 3) | (1 << 1) | 1
-        h2 = (br_idx << 4) | (sr_idx << 2)
-        mode = 3 if channels == 1 else 0
-        h3 = (mode << 6) | (0 << 4) | 0x04  # original bit set
-        frame = bytearray([0xFF, h1, h2, h3]) + side_bytes + main_bytes
-        if len(frame) > frame_len:
+        return main.bytes_padded()
+
+    # header: sync, MPEG-1, Layer III, no CRC
+    h1 = 0xE0 | (3 << 3) | (1 << 1) | 1
+    h2 = (br_idx << 4) | (sr_idx << 2)
+    mode = 3 if channels == 1 else 0
+    h3 = (mode << 6) | (0 << 4) | 0x04  # original bit set
+    header = bytes([0xFF, h1, h2, h3])
+    side_len = 17 if channels == 1 else 32
+    cap = frame_len - 4 - side_len  # per-frame main-data capacity
+
+    if reservoir:
+        # BIT-RESERVOIR packing (main_data_begin > 0): each frame's
+        # logical main data is placed in the PHYSICAL main-data areas
+        # of earlier frames, exactly as real encoders do. The logical
+        # stream packs greedily with STUFFING (ancillary zero bytes
+        # after each frame's main data) holding the back-pointer at
+        # ``reservoir_target`` — unbounded slack would push
+        # main_data_begin past its 9-bit ceiling.
+        target = min(int(reservoir_target), 511)
+        mains = [build_main(f_i) for f_i in range(n_frames)]
+        starts, mdbs = [], []
+        p = 0  # global write position over the concatenated areas
+        for k in range(n_frames):
+            area = k * cap
+            mdb = area - p
+            if mdb < 0:
+                raise ValueError(
+                    "tone payload exceeds reservoir capacity"
+                )
+            assert mdb <= 511  # held by the stuffing below
+            starts.append(p)
+            mdbs.append(mdb)
+            p += len(mains[k])
+            nxt = (k + 1) * cap
+            if p > nxt:
+                raise ValueError("tone payload exceeds frame size")
+            if nxt - p > target:
+                p = nxt - target  # stuffing: pin the next back-pointer
+        buf = bytearray(n_frames * cap)
+        for k in range(n_frames):
+            buf[starts[k]: starts[k] + len(mains[k])] = mains[k]
+        return b"".join(
+            header + build_side(k, mdbs[k]) + bytes(buf[k * cap: (k + 1) * cap])
+            for k in range(n_frames)
+        )
+
+    frames = []
+    for f_i in range(n_frames):
+        main_bytes = build_main(f_i)
+        if len(main_bytes) > cap:
             raise ValueError("tone payload exceeds frame size")
-        frame += bytes(frame_len - len(frame))
-        frames.append(bytes(frame))
+        frame = (
+            header + build_side(f_i, 0) + main_bytes
+            + bytes(cap - len(main_bytes))
+        )
+        frames.append(frame)
     return b"".join(frames)
 
 
