@@ -652,3 +652,59 @@ def test_reservoir_truncation_skips_underflow_frames():
     assert got is not None
     r, ch, pcm = got
     assert pcm.size % 1152 == 0 and pcm.size < 6 * 1152
+
+
+def test_intensity_stereo_pans_by_position():
+    """Intensity stereo (mode_ext 01): the right channel's
+    scalefactor slots carry positions; the decoder pans the left
+    channel's band energy by tan(pos*pi/12). pos 0 -> all right,
+    6 -> all left, 3 -> equal split, 7 -> band not intensity-coded
+    (left stays, right silent). Amplitude is CONSERVED: L+R equals
+    the coded line for every position."""
+    def stereo(positions):
+        blob = encode_mp3_tones(
+            44100, lines=((40, 0.3),), n_frames=6, channels=2,
+            intensity_positions=positions,
+        )
+        r, ch, pcm = decode_mp3(blob, mix=False)
+        assert (r, ch) == (44100, 2)
+        x = pcm[pcm.shape[0] // 2:]
+        return (
+            float(np.sqrt((x[:, 0] ** 2).mean())),
+            float(np.sqrt((x[:, 1] ** 2).mean())),
+        )
+
+    # line 40 sits in long band 8 at 44100 (band_idx [36, 44))
+    l_off, r_off = stereo({8: 7})     # not intensity-coded
+    assert l_off > 0.05 and r_off < 1e-9
+    l0, r0 = stereo({8: 0})           # all right
+    assert l0 < 1e-9 and abs(r0 - l_off) / l_off < 1e-6
+    l6, r6 = stereo({8: 6})           # all left
+    assert r6 < 1e-12 * max(l6, 1) or r6 < 1e-9
+    assert abs(l6 - l_off) / l_off < 1e-6
+    l3, r3 = stereo({8: 3})           # equal split
+    assert abs(l3 - r3) / l3 < 1e-9
+    assert abs((l3 + r3) - l_off) / l_off < 1e-6  # amplitude conserved
+    # the mono MIX is position-independent (L+R conserved)
+    mono_a = decode_mp3(
+        encode_mp3_tones(44100, lines=((40, 0.3),), n_frames=6,
+                         channels=2, intensity_positions={8: 2})
+    )[2]
+    mono_b = decode_mp3(
+        encode_mp3_tones(44100, lines=((40, 0.3),), n_frames=6,
+                         channels=2, intensity_positions={8: 5})
+    )[2]
+    np.testing.assert_allclose(mono_a, mono_b, atol=1e-12)
+
+
+def test_intensity_encoder_validation():
+    with pytest.raises(ValueError, match="channels=2"):
+        encode_mp3_tones(44100, lines=((40, 0.3),), n_frames=1,
+                         intensity_positions={8: 3})
+    with pytest.raises(ValueError, match="bands 0..20"):
+        encode_mp3_tones(44100, lines=((40, 0.3),), n_frames=1,
+                         channels=2, intensity_positions={8: 9})
+    with pytest.raises(ValueError, match="long-block-only"):
+        encode_mp3_tones(44100, lines=((40, 0.3),), n_frames=1,
+                         channels=2, short_blocks=True,
+                         intensity_positions={8: 3})

@@ -14,7 +14,10 @@ because those stages are closed-form math:
   short / mixed block layouts);
 - requantization ``xr = sign·|is|^{4/3}·2^{(gg−210)/4}·
   2^{−(1+sfs)/2·(sf+pre)}·2^{−2·subblock_gain}``;
-- MS ("mid/side") stereo;
+- MS ("mid/side") stereo AND intensity stereo (per-band
+  tan(pos·π/12) panning from the right channel's scalefactor
+  slots, MS confined to the non-intensity region — long blocks;
+  short-block intensity quarantines);
 - alias reduction (the 8 published butterfly coefficients);
 - IMDCT with all four block types (36-point long/start/stop,
   3×12-point short with reorder), overlap-add, frequency inversion;
@@ -686,12 +689,14 @@ def mp3_stream_info(payload: bytes):
     }
 
 
-def decode_mp3(payload: bytes):
+def decode_mp3(payload: bytes, *, mix: bool = True):
     """MP3 bytes → (sample_rate, n_channels, float64 mono mix in
     [-1, 1]) — the `_make_audio_decoder` contract — or None when the
     payload is not an MPEG-1 Layer III stream. Raises
     ``NotImplementedError`` when a granule selects a Huffman table
-    outside the registered subset (quarantine path)."""
+    outside the registered subset (quarantine path).
+    ``mix=False`` returns the per-channel (n, nch) PCM instead of the
+    mono mix (joint-stereo tests need the channels)."""
     import numpy as np
 
     if not payload:
@@ -744,16 +749,14 @@ def decode_mp3(payload: bytes):
                 del reservoir[:-4096]
             continue
         br = _BitReader(bytes(reservoir), (res_before - mdb) * 8)
-        if h["mode"] == 1 and (h["mode_ext"] & 0x1):
-            raise NotImplementedError(
-                "MP3 intensity stereo is outside the implemented subset"
-            )
-        ms = h["mode"] == 1 and (h["mode_ext"] & 0x2)
+        intensity = h["mode"] == 1 and bool(h["mode_ext"] & 0x1)
+        ms = h["mode"] == 1 and bool(h["mode_ext"] & 0x2)
         frame_pcm = [np.zeros(1152) for _ in range(nch)]
         frame_sf = [None] * nch  # granule-0 long scalefactors per channel
         ok = True
         for g in range(2):
             xrs = []
+            raw = []  # (is_, sf_long) per channel, for joint stereo
             for c in range(nch):
                 gr = granules[g][c]
                 start_bit = br.pos
@@ -772,10 +775,46 @@ def decode_mp3(payload: bytes):
                     ok = False
                     break
                 br.pos = end_bit  # skip ancillary within part2_3
+                raw.append((is_, sf_long))
                 xrs.append(_requantize(is_, gr, sf_long, sf_short, rate))
             if not ok:
                 break
-            if ms and nch == 2:
+            if nch == 2 and intensity:
+                # intensity stereo (long blocks): bands at/above the
+                # RIGHT channel's zero boundary carry a POSITION in
+                # the right scalefactor slot; ratio = tan(pos*pi/12)
+                # pans the LEFT channel's line energy. pos 7 = band
+                # not intensity-coded (MS there if mode_ext & 2).
+                # All closed-form — no tabulated constants.
+                gr_r = granules[g][1]
+                if gr_r["window_switching"] and gr_r["block_type"] == 2:
+                    raise NotImplementedError(
+                        "MP3 short-block intensity stereo is outside "
+                        "the implemented subset"
+                    )
+                is_r, sf_r = raw[1]
+                rzero = 0
+                for idx in range(575, -1, -1):
+                    if is_r[idx]:
+                        rzero = idx + 1
+                        break
+                band_idx = _long_band_index(rate)
+                inv = 1.0 / math.sqrt(2.0)
+                for b in range(22):
+                    lo, hi = band_idx[b], band_idx[b + 1]
+                    in_intensity = lo >= rzero
+                    pos = sf_r[b] if b < len(sf_r) else 7
+                    if in_intensity and pos != 7:
+                        ratio = math.tan(pos * math.pi / 12.0)
+                        left = xrs[0][lo:hi].copy()
+                        xrs[0][lo:hi] = left * (ratio / (1.0 + ratio))
+                        xrs[1][lo:hi] = left * (1.0 / (1.0 + ratio))
+                    elif ms:
+                        m_ = xrs[0][lo:hi].copy()
+                        s_ = xrs[1][lo:hi].copy()
+                        xrs[0][lo:hi] = (m_ + s_) * inv
+                        xrs[1][lo:hi] = (m_ - s_) * inv
+            elif ms and nch == 2:
                 m, s = xrs
                 inv = 1.0 / math.sqrt(2.0)
                 xrs = [(m + s) * inv, (m - s) * inv]
@@ -798,6 +837,9 @@ def decode_mp3(payload: bytes):
     if not pcm_parts:
         return None
     pcm = np.concatenate(pcm_parts, axis=0)
+    if not mix:
+        np.clip(pcm, -1.0, 1.0, out=pcm)
+        return rate, nch, pcm
     mono = pcm.mean(axis=1)
     np.clip(mono, -1.0, 1.0, out=mono)
     return rate, nch, mono
@@ -824,6 +866,7 @@ def encode_mp3_tones(
     count1_lines: tuple = (),
     reservoir: bool = False,
     reservoir_target: int = 200,
+    intensity_positions: dict | None = None,
     _table_select: int | tuple = 1,
     _count1_select: int = 1,
 ) -> bytes:
@@ -873,6 +916,14 @@ def encode_mp3_tones(
     reservoir/back-pointer path decodes it to the SAME PCM as the
     unpacked stream.
 
+    ``intensity_positions`` ({long band: position 0..6, or 7 = band
+    not intensity-coded}) emits a JOINT-STEREO INTENSITY stream
+    (mode_ext 01): the left channel carries the tones, the right
+    channel's spectrum is empty and its scalefactor slots carry the
+    positions — the decoder pans each band by
+    ``ratio = tan(pos·π/12)`` (pos 0 = all right, 6 = all left,
+    3 = equal). Long blocks, channels=2.
+
     Decoder-path options (each forces one otherwise-unreachable
     decode path, the correctness-encoder discipline):
 
@@ -907,11 +958,26 @@ def encode_mp3_tones(
         raise ValueError("channels must be 1 or 2")
     if (short_blocks or mixed_blocks or block_type_sequence) and (
         scalefacs or scfsi or line_magnitudes or count1_lines
+        or intensity_positions
     ):
         raise ValueError(
-            "scalefacs/scfsi/line_magnitudes/count1_lines options are "
-            "long-block-only here"
+            "scalefacs/scfsi/line_magnitudes/count1_lines/intensity "
+            "options are long-block-only here"
         )
+    if intensity_positions is not None:
+        if channels != 2:
+            raise ValueError("intensity_positions needs channels=2")
+        if scalefacs or scfsi:
+            raise ValueError("intensity_positions excludes scalefacs/scfsi")
+        bad_pos = {
+            b: p for b, p in intensity_positions.items()
+            if not (0 <= int(b) <= 20 and 0 <= int(p) <= 7)
+        }
+        if bad_pos:
+            raise ValueError(
+                f"intensity positions are bands 0..20, values 0..7 "
+                f"(7 = band not intensity-coded); got {bad_pos}"
+            )
     if short_blocks and mixed_blocks:
         raise ValueError("pick one of short_blocks / mixed_blocks")
     if block_type_sequence:
@@ -1056,7 +1122,16 @@ def encode_mp3_tones(
             _layouts[bt] = got = (ls, max(ls) // 2 + 1)
         return got
 
-    def put_granule_payload(w: _BitWriter, with_sf: bool, bt: int) -> None:
+    def put_granule_payload(
+        w: _BitWriter, with_sf: bool, bt: int, ch: int = 0
+    ) -> None:
+        if intensity_positions is not None and ch == 1:
+            # the RIGHT channel of an intensity stream: no spectrum,
+            # its 21 "scalefactors" (slen 3/3) carry the positions;
+            # unlisted bands default 7 = not intensity-coded
+            for band in range(21):
+                w.put(int(intensity_positions.get(band, 7)), 3)
+            return
         ls, bv = layout(bt)
         if with_sf:
             put_scalefacs(w)
@@ -1088,9 +1163,9 @@ def encode_mp3_tones(
                         w.put(0, 1)  # positive sign
                 q += 4
 
-    def part23_bits(granule: int, bt: int) -> int:
+    def part23_bits(granule: int, bt: int, ch: int = 0) -> int:
         probe = _BitWriter()
-        put_granule_payload(probe, _sf_in_granule(granule), bt)
+        put_granule_payload(probe, _sf_in_granule(granule), bt, ch)
         return probe.bit_length()
 
     def _sf_in_granule(granule: int) -> bool:
@@ -1104,8 +1179,23 @@ def encode_mp3_tones(
             return seq[(2 * frame + granule) % len(seq)]
         return 2 if (short_blocks or mixed_blocks) else 0
 
-    def put_channel_side(side: _BitWriter, granule: int, bt: int) -> None:
-        side.put(part23_bits(granule, bt), 12)
+    def put_channel_side(
+        side: _BitWriter, granule: int, bt: int, ch: int = 0
+    ) -> None:
+        side.put(part23_bits(granule, bt, ch), 12)
+        if intensity_positions is not None and ch == 1:
+            side.put(0, 9)    # big_values: empty spectrum
+            side.put(gg, 8)
+            side.put(13, 4)   # scalefac_compress: SLEN[13] = (3, 3)
+            side.put(0, 1)    # long block
+            for _r in range(3):
+                side.put(1, 5)  # table_select (no data coded)
+            side.put(7, 4)    # region0_count
+            side.put(7, 3)    # region1_count
+            side.put(0, 1)    # preflag
+            side.put(0, 1)    # scalefac_scale
+            side.put(1, 1)    # count1table_select (unused)
+            return
         side.put(layout(bt)[1], 9)  # big_values
         side.put(gg, 8)
         side.put(sf_compress, 4)
@@ -1136,8 +1226,8 @@ def encode_mp3_tones(
         for _c in range(channels):
             side.put(scfsi_bits, 4)
         for g in range(2):
-            for _c in range(channels):
-                put_channel_side(side, g, bt_for(f_i, g))
+            for c in range(channels):
+                put_channel_side(side, g, bt_for(f_i, g), c)
         out = side.bytes_padded()
         assert len(out) == (17 if channels == 1 else 32)
         return out
@@ -1145,15 +1235,18 @@ def encode_mp3_tones(
     def build_main(f_i: int) -> bytes:
         main = _BitWriter()
         for g in range(2):  # both granules, all channels: same spectrum
-            for _c in range(channels):
-                put_granule_payload(main, _sf_in_granule(g), bt_for(f_i, g))
+            for c in range(channels):
+                put_granule_payload(main, _sf_in_granule(g), bt_for(f_i, g), c)
         return main.bytes_padded()
 
     # header: sync, MPEG-1, Layer III, no CRC
     h1 = 0xE0 | (3 << 3) | (1 << 1) | 1
     h2 = (br_idx << 4) | (sr_idx << 2)
-    mode = 3 if channels == 1 else 0
-    h3 = (mode << 6) | (0 << 4) | 0x04  # original bit set
+    if intensity_positions is not None:
+        mode, mode_ext = 1, 1  # joint stereo, intensity on
+    else:
+        mode, mode_ext = (3 if channels == 1 else 0), 0
+    h3 = (mode << 6) | (mode_ext << 4) | 0x04  # original bit set
     header = bytes([0xFF, h1, h2, h3])
     side_len = 17 if channels == 1 else 32
     cap = frame_len - 4 - side_len  # per-frame main-data capacity
