@@ -708,3 +708,19 @@ def test_intensity_encoder_validation():
         encode_mp3_tones(44100, lines=((40, 0.3),), n_frames=1,
                          channels=2, short_blocks=True,
                          intensity_positions={8: 3})
+
+
+def test_intensity_band21_reuses_band20_position():
+    """Band 21 transmits no scalefactor; its intensity position is
+    band 20's (the standard decoder rule) — a line in the top band
+    pans by the position written for band 20."""
+    # line 500 sits in band 21 at 44100 (band_idx [418, 576))
+    blob = encode_mp3_tones(
+        44100, lines=((500, 0.2),), n_frames=6, channels=2,
+        intensity_positions={20: 0},  # all right, inherited by band 21
+    )
+    _, _, pcm = decode_mp3(blob, mix=False)
+    x = pcm[pcm.shape[0] // 2:]
+    l = float(np.sqrt((x[:, 0] ** 2).mean()))
+    r = float(np.sqrt((x[:, 1] ** 2).mean()))
+    assert l < 1e-9 and r > 0.01

@@ -803,7 +803,9 @@ def decode_mp3(payload: bytes, *, mix: bool = True):
                 for b in range(22):
                     lo, hi = band_idx[b], band_idx[b + 1]
                     in_intensity = lo >= rzero
-                    pos = sf_r[b] if b < len(sf_r) else 7
+                    # band 21 transmits no scalefactor: it reuses
+                    # band 20's position (the standard decoder rule)
+                    pos = sf_r[b] if b < 21 else sf_r[20]
                     if in_intensity and pos != 7:
                         ratio = math.tan(pos * math.pi / 12.0)
                         left = xrs[0][lo:hi].copy()
