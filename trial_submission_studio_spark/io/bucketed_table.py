@@ -22,6 +22,14 @@ What the spec buys at 100 TB (each measured/pinned by tests):
   unbucketed; a run may add files to any bucket dir (LSM-style —
   multiple files per bucket compose, exactly like bm25 runs).
 
+Workload tradeoff, stated plainly: hash bucketing SCATTERS keys
+uniformly, so a large update batch touches ~min(|keys|, n_buckets)
+buckets — copy-on-write merge economics favor the range-clustered
+zonemap layout (`io/zonemap.py`) when CDC batches are key-clustered,
+and favor buckets when the workload is point lookups / key probes /
+co-located joins. They are complementary layout tools, not rivals
+(same split as Delta's Z-ORDER vs Hive bucketing).
+
 What the spec does NOT buy — documented, with the measured reason
 (`tests/test_bucketed_table.py::test_exchange_free_join_needs_catalog_or_dsv2`):
 an **exchange-free JOIN**. Catalyst only elides the shuffle when the
