@@ -167,3 +167,33 @@ def test_exchange_free_join_needs_catalog_or_dsv2(spark, tmp_path):
         assert not is_exchange_free_join(joined)  # the boundary, measured
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_compaction_preserves_bucket_layout(spark, tmp_path):
+    """compact_version on a bucket-spec'd root consolidates small
+    files WITHIN buckets (never emitting files outside __kb dirs)
+    and carries the spec — key-pruned reads keep answering after an
+    OPTIMIZE, with fewer files per bucket."""
+    from trial_submission_studio_spark.io.versioned import compact_version
+
+    root = str(tmp_path / "t")
+    publish_bucketed(spark, _rows(spark, 0, 400), root, "k", 4)
+    # scattered inserts pile extra small files into the bucket dirs
+    for lo in (1000, 2000, 3000):
+        src = spark.createDataFrame(
+            [(lo + i, 1.0, "ins") for i in range(8)],
+            "k long, v double, payload string",
+        )
+        merge_version(spark, root, src, "k")
+    m0 = read_manifest(root)
+    assert len(m0["files"]) > 4  # multiple runs per bucket now
+
+    m1 = compact_version(spark, root, target_bytes=1 << 26)
+    assert m1["metadata"]["bucket_spec"] == bucket_spec(root)
+    assert m1["metadata"]["compaction_of"] == m0["version"]
+    assert len(m1["files"]) == 4  # one file per bucket
+    _assert_layout_consistent(spark, root)
+    assert read_bucketed_version(spark, root).count() == 424
+    keys = spark.createDataFrame([(5,), (1003,), (3007,)], "k long")
+    got = read_key_pruned(spark, root, keys)
+    assert got.count() == 3

@@ -414,24 +414,47 @@ def compact_version(
             small_bytes += size
     if len(small) < 2:
         return m  # nothing worth rewriting
-    n_out = max(1, math.ceil(small_bytes / target_bytes))
-    run_dir = new_data_dir(root)
     small_df = spark.read.parquet(*[os.path.join(root, f) for f in small])
-    small_df.repartition(n_out).write.mode("overwrite").parquet(run_dir)
-    if verify:
-        n_in = small_df.count()
-        n_out_rows = spark.read.parquet(run_dir).count()
-        if n_in != n_out_rows:
-            raise RuntimeError(
-                f"compaction row-count mismatch: {n_in} in, {n_out_rows} out"
-            )
-    fresh = [os.path.relpath(p, root) for p in data_files(run_dir)]
+    bspec = m["metadata"].get("bucket_spec")
+    if bspec:
+        # bucket-spec'd snapshot (io/bucketed_table.py): the layout
+        # is a manifest contract — compaction consolidates small
+        # files WITHIN buckets (one output file per touched bucket)
+        # and carries the spec forward. A plain rewrite would emit
+        # files outside the __kb dirs and break key-pruned reads.
+        from .bucketed_table import _write_bucketed_run
+
+        fresh = _write_bucketed_run(small_df, root, bspec)
+        if verify:
+            n_in = small_df.count()
+            n_out_rows = spark.read.parquet(
+                *[os.path.join(root, f) for f in fresh]
+            ).count()
+            if n_in != n_out_rows:
+                raise RuntimeError(
+                    f"compaction row-count mismatch: {n_in} in, "
+                    f"{n_out_rows} out"
+                )
+    else:
+        n_out = max(1, math.ceil(small_bytes / target_bytes))
+        run_dir = new_data_dir(root)
+        small_df.repartition(n_out).write.mode("overwrite").parquet(run_dir)
+        if verify:
+            n_in = small_df.count()
+            n_out_rows = spark.read.parquet(run_dir).count()
+            if n_in != n_out_rows:
+                raise RuntimeError(
+                    f"compaction row-count mismatch: {n_in} in, {n_out_rows} out"
+                )
+        fresh = [os.path.relpath(p, root) for p in data_files(run_dir)]
     meta = {
         "compaction_of": m["version"],
         "files_in": len(small),
         "files_out": len(fresh),
         **(metadata or {}),
     }
+    if bspec:
+        meta["bucket_spec"] = bspec
     return publish_files(root, keep + fresh, metadata=meta)
 
 
