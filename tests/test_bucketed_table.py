@@ -197,3 +197,15 @@ def test_compaction_preserves_bucket_layout(spark, tmp_path):
     keys = spark.createDataFrame([(5,), (1003,), (3007,)], "k long")
     got = read_key_pruned(spark, root, keys)
     assert got.count() == 3
+
+
+def test_zorder_optimize_refuses_bucketed_root(spark, tmp_path):
+    """The two layouts compete for file placement: optimize_version
+    refuses a bucket-spec'd snapshot loudly instead of silently
+    scattering buckets across Z-ordered files."""
+    from trial_submission_studio_spark.io.zonemap import optimize_version
+
+    root = str(tmp_path / "t")
+    publish_bucketed(spark, _rows(spark, 0, 100), root, "k", 4)
+    with pytest.raises(ValueError, match="bucket-spec'd.*Z-order"):
+        optimize_version(spark, root, {"k": (0.0, 100.0)})

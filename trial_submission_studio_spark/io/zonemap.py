@@ -409,6 +409,18 @@ def optimize_version(
     from ..operators.layout import zorder_layout
 
     m = versioned.read_manifest(root, version)
+    if m["metadata"].get("bucket_spec"):
+        # the two layouts compete for file placement: a Z-order
+        # rewrite would scatter each hash bucket across every output
+        # file, breaking key-pruned reads. Refuse loudly —
+        # compact_version consolidates a bucketed table in place;
+        # range-clustering wants its own (unbucketed) root.
+        raise ValueError(
+            "snapshot is bucket-spec'd (io/bucketed_table.py); Z-order "
+            "would destroy the bucket layout - use compact_version "
+            "(bucket-preserving) or republish unbucketed under a fresh "
+            "root"
+        )
     df = spark.read.parquet(*[os.path.join(root, f) for f in m["files"]])
     clustered = zorder_layout(
         df, zorder_cols, bits=bits, num_partitions=num_partitions
