@@ -209,3 +209,68 @@ def test_zorder_optimize_refuses_bucketed_root(spark, tmp_path):
     publish_bucketed(spark, _rows(spark, 0, 100), root, "k", 4)
     with pytest.raises(ValueError, match="bucket-spec'd.*Z-order"):
         optimize_version(spark, root, {"k": (0.0, 100.0)})
+
+
+@pytest.mark.parametrize("seed", [5, 31])
+def test_random_sequences_match_dict_model(spark, tmp_path, seed):
+    """Model-based: a seeded random sequence of merge / delete /
+    compact commits against a bucket-spec'd root must equal a plain
+    dict model after every commit — snapshot rows, key-pruned
+    probes, AND the per-file hash-layout invariant. Hunts the worst
+    table-format bug class (an op interleaving that silently loses,
+    duplicates, or mis-buckets rows)."""
+    import random
+
+    from trial_submission_studio_spark.io.versioned import compact_version
+
+    rng = random.Random(seed)
+    root = str(tmp_path / "t")
+    model = {k: float(k % 7) for k in range(120)}
+    publish_bucketed(
+        spark,
+        spark.createDataFrame(
+            [(k, v, f"x{k}") for k, v in model.items()],
+            "k long, v double, payload string",
+        ),
+        root, "k", 4,
+    )
+    model = {k: (v, f"x{k}") for k, v in model.items()}
+
+    def check():
+        got = {
+            r.k: (r.v, r.payload)
+            for r in read_bucketed_version(spark, root).collect()
+        }
+        assert got == model
+        probe_keys = rng.sample(sorted(set(range(400)) | set(model)), 5)
+        probe = spark.createDataFrame([(k,) for k in probe_keys], "k long")
+        pruned = {
+            r.k: (r.v, r.payload)
+            for r in read_key_pruned(spark, root, probe).collect()
+        }
+        assert pruned == {k: model[k] for k in probe_keys if k in model}
+
+    for step in range(6):
+        op = rng.choice(["merge", "delete", "compact"])
+        if op == "merge" and model:
+            ks = rng.sample(sorted(model), min(7, len(model)))
+            ks += [rng.randrange(200, 400) for _ in range(3)]  # inserts
+            src = spark.createDataFrame(
+                [(k, float(step), f"s{step}-{k}") for k in set(ks)],
+                "k long, v double, payload string",
+            )
+            merge_version(spark, root, src, "k")
+            for k in set(ks):
+                model[k] = (float(step), f"s{step}-{k}")
+        elif op == "delete" and len(model) > 10:
+            ks = rng.sample(sorted(model), 5)
+            delete_matching(
+                spark, root,
+                spark.createDataFrame([(k,) for k in ks], "k long"), "k",
+            )
+            for k in ks:
+                del model[k]
+        else:
+            compact_version(spark, root, target_bytes=1 << 26)
+        check()
+        _assert_layout_consistent(spark, root)
