@@ -41,7 +41,7 @@ shipped) or a JVM DataSource-v2 implementing
 Python. The file-level co-location is still exactly what a DSv2
 source would report; the layout is ready for one.
 
-Hash function: ``pmod(xxhash-free Murmur3 via F.hash, n)`` computed
+Hash function: ``pmod(murmur3 via F.hash, n)`` computed
 EXPLICITLY into the ``__kb`` column — pruning and placement use the
 same arithmetic on both the write and probe side, so correctness
 never depends on matching Spark's internal bucket-file naming.
