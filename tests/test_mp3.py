@@ -724,3 +724,39 @@ def test_intensity_band21_reuses_band20_position():
     l = float(np.sqrt((x[:, 0] ** 2).mean()))
     r = float(np.sqrt((x[:, 1] ** 2).mean()))
     assert l < 1e-9 and r > 0.01
+
+
+def test_crc_protected_frames_validate_and_skip_corruption():
+    """Protected frames (protection bit 0): the decoder validates the
+    CRC-16 (poly 0x8005, init 0xFFFF, over header bytes 2-3 + side
+    info) before trusting the side info — a valid CRC stream decodes
+    byte-identically to its unprotected twin; a frame with corrupted
+    side info is SKIPPED (the stream survives), never decoded as
+    garbage."""
+    kw = dict(sample_rate=44100, lines=((40, 0.3),), n_frames=6)
+    plain = encode_mp3_tones(**kw)
+    prot = encode_mp3_tones(with_crc=True, **kw)
+    assert len(prot) == len(plain)  # same frame_len, smaller cap
+    r, ch, a = decode_mp3(plain)
+    _, _, b = decode_mp3(prot)
+    np.testing.assert_array_equal(b, a)
+
+    from trial_submission_studio_spark.operators.mp3 import _parse_header
+
+    h = _parse_header(prot, 0)
+    flen = h["frame_len"]
+    # corrupt one side-info byte of frame 2: its CRC no longer
+    # matches -> that frame is skipped, the rest still decode
+    bad = bytearray(prot)
+    bad[2 * flen + 9] ^= 0xFF
+    got = decode_mp3(bytes(bad))
+    assert got is not None
+    _, _, pcm = got
+    assert pcm.size == 5 * 1152  # 6 frames - 1 skipped
+    # corrupting the CRC FIELD itself also just skips the frame
+    bad2 = bytearray(prot)
+    bad2[3 * flen + 4] ^= 0x55
+    assert decode_mp3(bytes(bad2))[2].size == 5 * 1152
+    # CRC frames compose with the reservoir
+    pr = encode_mp3_tones(with_crc=True, reservoir=True, **kw)
+    np.testing.assert_array_equal(decode_mp3(pr)[2], a)

@@ -5,7 +5,8 @@ stage of Layer III decoding is implemented exactly as specified,
 because those stages are closed-form math:
 
 - frame sync / header fields (bitrate, sample-rate, mode, padding),
-  ID3v2/ID3v1 tag skip, CRC skip;
+  ID3v2/ID3v1 tag skip, CRC-16 VALIDATION of protected frames
+  (poly 0x8005; mismatching frames skip, never decode garbage);
 - side info (MPEG-1 mono 17-byte / stereo 32-byte layouts, both
   granules, window-switching and normal shapes);
 - the bit reservoir (``main_data_begin`` back-pointers across
@@ -122,6 +123,17 @@ def _long_band_index(fs: int) -> list[int]:
     for w in SFB_LONG[fs]:
         out.append(out[-1] + w)
     return out  # 23 boundaries, last = 576
+
+
+def _crc16(data: bytes, crc: int = 0xFFFF) -> int:
+    """MPEG-audio frame CRC: CRC-16 poly 0x8005, init 0xFFFF,
+    MSB-first, no reflection/final-xor — computed over header bytes
+    2-3 plus the whole side info (Layer III protected bits)."""
+    for byte in data:
+        crc ^= byte << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005 if crc & 0x8000 else crc << 1) & 0xFFFF
+    return crc
 
 
 # ----------------------------------------------------------------------------
@@ -733,6 +745,21 @@ def decode_mp3(payload: bytes, *, mix: bool = True):
         off = i + 4 + (2 if h["crc"] else 0)
         if off + side_len > end:
             break
+        if h["crc"]:
+            # protected frame: validate before trusting the side
+            # info — a corrupted frame is SKIPPED (its main data
+            # still enters the reservoir so later back-pointers keep
+            # their byte positions), never decoded into garbage
+            want = (payload[i + 4] << 8) | payload[i + 5]
+            got_crc = _crc16(
+                payload[i + 2: i + 4] + payload[off: off + side_len]
+            )
+            if got_crc != want:
+                reservoir.extend(payload[off + side_len: i + h["frame_len"]])
+                if len(reservoir) > 4096:
+                    del reservoir[:-4096]
+                i += h["frame_len"]
+                continue
         try:
             mdb, scfsi, granules = _parse_side_info(
                 payload[off : off + side_len], nch
@@ -869,6 +896,7 @@ def encode_mp3_tones(
     reservoir: bool = False,
     reservoir_target: int = 200,
     intensity_positions: dict | None = None,
+    with_crc: bool = False,
     _table_select: int | tuple = 1,
     _count1_select: int = 1,
 ) -> bytes:
@@ -925,6 +953,11 @@ def encode_mp3_tones(
     positions — the decoder pans each band by
     ``ratio = tan(pos·π/12)`` (pos 0 = all right, 6 = all left,
     3 = equal). Long blocks, channels=2.
+
+    ``with_crc=True`` emits PROTECTED frames (protection bit 0, a
+    real CRC-16 over the protected span) — the decoder validates and
+    SKIPS frames whose CRC mismatches instead of decoding corrupted
+    side info.
 
     Decoder-path options (each forces one otherwise-unreachable
     decode path, the correctness-encoder discipline):
@@ -1241,8 +1274,8 @@ def encode_mp3_tones(
                 put_granule_payload(main, _sf_in_granule(g), bt_for(f_i, g), c)
         return main.bytes_padded()
 
-    # header: sync, MPEG-1, Layer III, no CRC
-    h1 = 0xE0 | (3 << 3) | (1 << 1) | 1
+    # header: sync, MPEG-1, Layer III; protection bit 0 = CRC present
+    h1 = 0xE0 | (3 << 3) | (1 << 1) | (0 if with_crc else 1)
     h2 = (br_idx << 4) | (sr_idx << 2)
     if intensity_positions is not None:
         mode, mode_ext = 1, 1  # joint stereo, intensity on
@@ -1251,7 +1284,16 @@ def encode_mp3_tones(
     h3 = (mode << 6) | (mode_ext << 4) | 0x04  # original bit set
     header = bytes([0xFF, h1, h2, h3])
     side_len = 17 if channels == 1 else 32
-    cap = frame_len - 4 - side_len  # per-frame main-data capacity
+    crc_len = 2 if with_crc else 0
+    # per-frame main-data capacity
+    cap = frame_len - 4 - crc_len - side_len
+
+    def frame_prefix(side_bytes: bytes) -> bytes:
+        """header (+ CRC over its protected span + the side info)."""
+        if not with_crc:
+            return header + side_bytes
+        crc = _crc16(header[2:4] + side_bytes)
+        return header + crc.to_bytes(2, "big") + side_bytes
 
     if reservoir:
         # BIT-RESERVOIR packing (main_data_begin > 0): each frame's
@@ -1285,7 +1327,8 @@ def encode_mp3_tones(
         for k in range(n_frames):
             buf[starts[k]: starts[k] + len(mains[k])] = mains[k]
         return b"".join(
-            header + build_side(k, mdbs[k]) + bytes(buf[k * cap: (k + 1) * cap])
+            frame_prefix(build_side(k, mdbs[k]))
+            + bytes(buf[k * cap: (k + 1) * cap])
             for k in range(n_frames)
         )
 
@@ -1295,7 +1338,7 @@ def encode_mp3_tones(
         if len(main_bytes) > cap:
             raise ValueError("tone payload exceeds frame size")
         frame = (
-            header + build_side(f_i, 0) + main_bytes
+            frame_prefix(build_side(f_i, 0)) + main_bytes
             + bytes(cap - len(main_bytes))
         )
         frames.append(frame)
