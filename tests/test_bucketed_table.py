@@ -274,3 +274,75 @@ def test_random_sequences_match_dict_model(spark, tmp_path, seed):
             compact_version(spark, root, target_bytes=1 << 26)
         check()
         _assert_layout_consistent(spark, root)
+
+
+class TestKeyDtypeAlignment:
+    """ADVICE r12 (high): F.hash is dtype-sensitive — hash(5 INT) !=
+    hash(5 BIGINT) — so a probe/source whose key column differs in
+    numeric width used to hash to the WRONG bucket: merge silently
+    inserted a duplicate instead of updating, delete/read_key_pruned
+    silently dropped rows. Now safe widenings are cast to the target
+    dtype and unsafe mismatches are refused loudly."""
+
+    def _table(self, spark, tmp_path):
+        root = str(tmp_path / "dt")
+        publish_bucketed(spark, _rows(spark, 0, 200), root, "k", N_BUCKETS)
+        return root  # k is BIGINT
+
+    def test_int_keyed_merge_updates_not_duplicates(self, spark, tmp_path):
+        root = self._table(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(5, 99.0, "UPDATED")], "k int, v double, payload string"
+        )
+        merge_version(spark, root, src, "k")
+        got = (
+            read_bucketed_version(spark, root)
+            .filter(F.col("k") == 5)
+            .collect()
+        )
+        assert len(got) == 1, got
+        assert got[0].payload == "UPDATED"
+        _assert_layout_consistent(spark, root)
+
+    def test_int_keyed_delete_hits(self, spark, tmp_path):
+        root = self._table(spark, tmp_path)
+        delete_matching(
+            spark, root, spark.createDataFrame([(7,)], "k int"), "k"
+        )
+        assert (
+            read_bucketed_version(spark, root).filter(F.col("k") == 7).count()
+            == 0
+        )
+
+    def test_int_keyed_read_key_pruned_hits(self, spark, tmp_path):
+        root = self._table(spark, tmp_path)
+        got = read_key_pruned(
+            spark, root, spark.createDataFrame([(11,), (13,)], "k int")
+        )
+        assert sorted(r.k for r in got.collect()) == [11, 13]
+
+    def test_unsafe_key_dtype_refused(self, spark, tmp_path):
+        root = self._table(spark, tmp_path)
+        bad = spark.createDataFrame([("5",)], "k string")
+        with pytest.raises(ValueError, match="dtype mismatch"):
+            read_key_pruned(spark, root, bad)
+        with pytest.raises(ValueError, match="dtype mismatch"):
+            delete_matching(spark, root, bad, "k")
+
+    def test_narrowing_value_dtype_refused(self, spark, tmp_path):
+        root = self._table(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(5, float("1e40"), "x")], "k long, v double, payload string"
+        ).select("k", F.col("v").cast("double").alias("v"), "payload")
+        # v double -> double is fine; force a double source against a
+        # float target instead via a fresh narrow table
+        root2 = str(tmp_path / "narrow")
+        publish_bucketed(
+            spark,
+            _rows(spark, 0, 50).select(
+                "k", F.col("v").cast("float").alias("v"), "payload"
+            ),
+            root2, "k", N_BUCKETS,
+        )
+        with pytest.raises(ValueError, match="dtype mismatch"):
+            merge_version(spark, root2, src, "k")

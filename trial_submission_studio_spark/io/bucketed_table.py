@@ -186,6 +186,17 @@ def read_key_pruned(
     if spec is None:
         raise ValueError(f"{root} carries no bucket_spec")
     m = _ver.read_manifest(root, version)
+    # dtype gate BEFORE hashing: bucket_id uses F.hash, which is
+    # dtype-sensitive — an int probe against a bigint table would
+    # prune the wrong buckets and silently drop rows
+    from .table_schema import align_column_types
+
+    probe_schema = spark.read.parquet(
+        os.path.join(root, m["files"][0])
+    ).schema
+    keys = align_column_types(
+        keys, probe_schema, cols=spec["key_cols"], context="read_key_pruned"
+    )
     mine = bucket_files(m, probe_bucket_ids(keys, spec))
     if not mine:
         return read_bucketed_version(spark, root, version).limit(0)
@@ -194,8 +205,11 @@ def read_key_pruned(
     # yields the user schema directly — no partition inference, no
     # basePath coupling across run dirs
     df = spark.read.parquet(*[os.path.join(root, f) for f in mine])
-    return df.join(
-        F.broadcast(keys.select(*spec["key_cols"]).distinct()),
-        spec["key_cols"],
-        "left_semi",
-    )
+    dkeys = keys.select(*spec["key_cols"]).distinct()
+    # broadcast only under the same 1M-key probe discipline as
+    # merge_version's broadcast_keys="auto"; a corpus-scale key set
+    # falls back to a shuffle semi-join instead of OOMing executors
+    probe = 1_000_000
+    if dkeys.limit(probe + 1).count() <= probe:
+        dkeys = F.broadcast(dkeys)
+    return df.join(dkeys, spec["key_cols"], "left_semi")

@@ -156,6 +156,12 @@ def merge_version(
     missing = [k for k in key_cols if k not in data_cols]
     if missing:
         raise ValueError(f"key columns missing from source: {missing}")
+    # dtype gate: F.hash (bucket probe) and the rewrite union are
+    # both dtype-sensitive — align source columns to the target's
+    # exact types (safe widenings cast, anything else refused)
+    from .table_schema import align_column_types
+
+    source = align_column_types(source, target.schema, context="merge_version")
 
     if delete_col is not None:
         is_del = F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
@@ -329,6 +335,11 @@ def delete_matching(
     target = spark.read.parquet(*all_paths)
 
     bspec = m["metadata"].get("bucket_spec")
+    from .table_schema import align_column_types
+
+    keys = align_column_types(
+        keys, target.schema, cols=key_cols, context="delete_matching"
+    )
     dkeys = keys.select(*key_cols).distinct()
     if broadcast_keys == "auto":
         probe = 1_000_000

@@ -29,7 +29,69 @@ __all__ = [
     "snapshot_schema",
     "schema_violations",
     "publish_checked",
+    "align_column_types",
 ]
+
+#: Safe numeric widenings (value-preserving casts). Anything not
+#: listed must match the target type EXACTLY or the cast is refused.
+_WIDENS = {
+    "tinyint": {"smallint", "int", "bigint"},
+    "smallint": {"int", "bigint"},
+    "int": {"bigint"},
+    "float": {"double"},
+}
+
+
+def align_column_types(df, target_schema, *, cols=None, context="merge"):
+    """Cast ``df``'s columns to the target snapshot's EXACT Spark
+    dtypes, refusing anything but a value-preserving numeric widening.
+
+    Why this is a correctness gate, not a convenience: bucket pruning
+    hashes probe keys with ``F.hash``, which is dtype-sensitive —
+    ``hash(5 INT) != hash(5 BIGINT)`` — so an int-keyed source probing
+    a bigint-keyed table would scan the WRONG buckets and silently
+    miss its matches (merge inserts a duplicate instead of updating;
+    delete/read_key_pruned drop rows). And on the write side, a
+    source column narrower than the table's would drift the parquet
+    schema across files. Exact-match columns pass through untouched;
+    ``_WIDENS`` pairs are cast; everything else raises naming the
+    offending columns.
+
+    ``cols`` limits the check to a subset (e.g. just the key columns
+    of a probe frame); default is every ``df`` column present in the
+    target schema. Non-target columns (e.g. a merge ``delete_col``)
+    pass through untouched.
+    """
+    from pyspark.sql import functions as F
+
+    tmap = {f.name: f.dataType for f in target_schema.fields}
+    smap = {f.name: f.dataType for f in df.schema.fields}
+    check = [c for c in (cols if cols is not None else df.columns) if c in tmap]
+    bad, casts = [], {}
+    for c in check:
+        src, dst = smap[c], tmap[c]
+        if src == dst:
+            continue
+        s, d = src.simpleString(), dst.simpleString()
+        if d in _WIDENS.get(s, ()):
+            casts[c] = dst
+        else:
+            bad.append(f"{c}: source {s} vs target {d}")
+    if bad:
+        raise ValueError(
+            f"{context}: column dtype mismatch with the target snapshot "
+            "(a coerced key would hash to the wrong bucket; a narrowed "
+            "write would drift the table schema) — cast explicitly or "
+            "fix the source:\n  " + "\n  ".join(bad)
+        )
+    if casts:
+        df = df.select(
+            *[
+                F.col(c).cast(casts[c]).alias(c) if c in casts else F.col(c)
+                for c in df.columns
+            ]
+        )
+    return df
 
 
 def file_schema(path: str) -> list[dict]:
