@@ -190,3 +190,36 @@ def test_audio_features_consume_adts_stream(spark):
 def test_adts_rates_table_is_the_published_one():
     assert ADTS_RATES[3] == 48000 and ADTS_RATES[4] == 44100
     assert len(ADTS_RATES) == 13
+
+
+def test_protected_multiblock_frame_quarantines_explicitly():
+    """ADVICE r12 (low): with protection_absent=0 AND
+    number_of_raw_data_blocks_in_frame > 0 the ADTS header carries
+    raw_data_block_position entries plus per-block CRC words, which
+    the sequential parse does not implement — the decode must raise
+    NotImplementedError (quarantine), never misparse the first block
+    as if only the 2 fixed CRC bytes preceded it."""
+    import pytest
+
+    from trial_submission_studio_spark.operators.aac import (
+        _parse_adts_header,
+        decode_aac,
+    )
+
+    good = encode_aac_silence(44100, n_frames=1, channels=1)
+    # rewrite the header: protection_absent=0 (clear bit 0 of byte 1),
+    # n_blocks=2 (set number_of_raw_data_blocks_in_frame=1), extend
+    # frame_len by the 2 CRC bytes we splice in after the 7-byte header
+    b = bytearray(good)
+    b[1] &= 0xFE
+    b[6] = (b[6] & 0xFC) | 1
+    frame_len = ((b[3] & 0x3) << 11) | (b[4] << 3) | (b[5] >> 5)
+    frame_len += 2
+    b[3] = (b[3] & 0xFC) | (frame_len >> 11)
+    b[4] = (frame_len >> 3) & 0xFF
+    b[5] = (b[5] & 0x1F) | ((frame_len & 0x7) << 5)
+    b = b[:7] + b"\x00\x00" + b[7:]
+    h = _parse_adts_header(bytes(b), 0)
+    assert h is not None and h["crc"] and h["n_blocks"] == 2
+    with pytest.raises(NotImplementedError, match="multi-block"):
+        decode_aac(bytes(b))

@@ -470,6 +470,19 @@ def decode_aac(payload: bytes):
             rate, nch = h["rate"], max(1, h["channels"])
             per_chan_spectra = [[] for _ in range(nch)]
             per_chan_ics = [[] for _ in range(nch)]
+        if h["crc"] and h["n_blocks"] > 1:
+            # ISO 13818-7 §6.2: with protection_absent=0 and
+            # number_of_raw_data_blocks_in_frame > 0 the header also
+            # carries raw_data_block_position[1..n-1] (16 bits each)
+            # and a per-block CRC word follows EVERY block — a
+            # sequential parse that only skips the 2 fixed CRC bytes
+            # would misread the first block. Quarantine explicitly
+            # rather than decode garbage (ADVICE r12).
+            raise NotImplementedError(
+                "ADTS protected multi-block frame "
+                f"(n_blocks={h['n_blocks']}, protection_absent=0): "
+                "per-block CRC framing not implemented"
+            )
         body = payload[i + h["header_len"]: i + h["frame_len"]]
         br = _Bits(body)
         for _blk in range(h["n_blocks"]):
