@@ -15,6 +15,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from trial_submission_studio_spark.io.changefeed import change_feed
+from trial_submission_studio_spark.io.deletion_vectors import delete_matching_dv
 from trial_submission_studio_spark.io.merge import delete_matching, merge_version
 from trial_submission_studio_spark.io.versioned import (
     compact_version,
@@ -56,7 +57,9 @@ def test_random_commit_sequences_match_dict_model(spark, tmp_path, seed):
     history = [(current_version(root), dict(model))]
 
     for step in range(10):
-        op = rng.choice(["append", "merge", "delete", "compact", "optimize"])
+        op = rng.choice(
+            ["append", "merge", "delete", "dv_delete", "compact", "optimize"]
+        )
         if op == "append":
             fresh = {next_key + i: (next_key + i) * 10 for i in range(5)}
             next_key += 5
@@ -96,8 +99,23 @@ def test_random_commit_sequences_match_dict_model(spark, tmp_path, seed):
             )
             for k in dels:
                 model.pop(k)
+        elif op == "dv_delete":
+            if len(model) <= 5:
+                continue
+            # merge-on-read: same logical delete, tombstones instead
+            # of rewrites (deliberately overlaps already-dead keys)
+            dels = rng.sample(sorted(model), 2) + [rng.randrange(60)]
+            delete_matching_dv(
+                spark, root, _df(spark, [(k, 0) for k in dels]).select("k"),
+                "k",
+            )
+            for k in dels:
+                model.pop(k, None)
         elif op == "compact":
-            compact_version(spark, root, target_bytes=1 << 26)
+            compact_version(
+                spark, root, target_bytes=1 << 26,
+                include_dv_files=rng.random() < 0.5,
+            )
         elif op == "optimize":
             optimize_version(
                 spark, root, {"k": (0.0, 2000.0)}, num_partitions=2

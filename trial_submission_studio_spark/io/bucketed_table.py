@@ -203,8 +203,11 @@ def read_key_pruned(
     # the __kb dir is pure PATH layout (partitionBy consumed the
     # column at write time); a plain read of the pruned leaf files
     # yields the user schema directly — no partition inference, no
-    # basePath coupling across run dirs
-    df = spark.read.parquet(*[os.path.join(root, f) for f in mine])
+    # basePath coupling across run dirs. Deletion vectors compose:
+    # only the probed buckets' sidecar tombstones are applied.
+    from .deletion_vectors import read_with_dv
+
+    df = read_with_dv(spark, root, m, mine)
     dkeys = keys.select(*spec["key_cols"]).distinct()
     # broadcast only under the same 1M-key probe discipline as
     # merge_version's broadcast_keys="auto"; a corpus-scale key set

@@ -36,29 +36,86 @@ from . import versioned
 __all__ = ["change_feed", "change_feed_summary"]
 
 
+def _dv_delta_rows(
+    spark: SparkSession, root: str, a: dict, b: dict, common: set[str]
+) -> DataFrame | None:
+    """Full rows newly tombstoned between the two versions on files
+    PRESENT IN BOTH (`io/deletion_vectors.py` merge-on-read deletes:
+    the file list doesn't change, the manifest's dv map grows). These
+    rows were live at ``v_from`` (the writer never double-lists a
+    position) and dead at ``v_to`` — they belong to the OLD slice, so
+    `snapshot_diff` classifies them uniformly (a re-insert of the
+    same key elsewhere becomes ``update``, not delete+insert)."""
+    from .deletion_vectors import (
+        FILE_COL,
+        POS_COL,
+        dv_map,
+        rel_path_col,
+    )
+
+    dv_a, dv_b = dv_map(a), dv_map(b)
+    pairs = []  # (data file, delta sidecar)
+    for f in sorted(common):
+        seen = set(dv_a.get(f, {}).get("sidecars", ()))
+        for s in dv_b.get(f, {}).get("sidecars", ()):
+            if s not in seen:
+                pairs.append((f, s))
+    if not pairs:
+        return None
+    # sidecar rows tagged with their own sidecar path, then restricted
+    # to exactly the (file, sidecar) delta pairs — one sidecar can
+    # cover files outside the delta (e.g. since-rewritten ones)
+    sidecars = sorted({s for _, s in pairs})
+    dv = (
+        spark.read.parquet(*[os.path.join(root, s) for s in sidecars])
+        .select(FILE_COL, POS_COL, rel_path_col(root).alias("__tss_sc"))
+        .join(
+            F.broadcast(
+                spark.createDataFrame(
+                    pairs, f"{FILE_COL} string, __tss_sc string"
+                )
+            ),
+            [FILE_COL, "__tss_sc"],
+            "left_semi",
+        )
+        .select(FILE_COL, POS_COL)
+    )
+    files_hit = sorted({f for f, _ in pairs})
+    data = spark.read.parquet(
+        *[os.path.join(root, f) for f in files_hit]
+    ).select(
+        "*",
+        rel_path_col(root).alias(FILE_COL),
+        F.col("_metadata.row_index").alias(POS_COL),
+    )
+    return data.join(dv, [FILE_COL, POS_COL], "left_semi").drop(
+        FILE_COL, POS_COL
+    )
+
+
 def _slices(
     spark: SparkSession, root: str, v_from: int, v_to: int
 ) -> tuple[DataFrame | None, DataFrame | None, dict]:
+    from .deletion_vectors import read_with_dv
+
     a = versioned.read_manifest(root, v_from)
     b = versioned.read_manifest(root, v_to)
     fa, fb = set(a["files"]), set(b["files"])
     removed = sorted(fa - fb)
     added = sorted(fb - fa)
+    # slices read LIVE rows under their own version's tombstones: a
+    # row already dv-dead at v_from must not resurface as a delete
+    dv_delta = _dv_delta_rows(spark, root, a, b, fa & fb)
     audit = {
         "files_removed": len(removed),
         "files_added": len(added),
         "files_untouched": len(fa & fb),
+        "dv_delta": dv_delta is not None,
     }
-    old = (
-        spark.read.parquet(*[os.path.join(root, f) for f in removed])
-        if removed
-        else None
-    )
-    new = (
-        spark.read.parquet(*[os.path.join(root, f) for f in added])
-        if added
-        else None
-    )
+    old = read_with_dv(spark, root, a, removed) if removed else None
+    if dv_delta is not None:
+        old = old.unionByName(dv_delta) if old is not None else dv_delta
+    new = read_with_dv(spark, root, b, added) if added else None
     return old, new, audit
 
 

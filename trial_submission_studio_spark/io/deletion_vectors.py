@@ -1,0 +1,316 @@
+"""Merge-on-read deletion vectors for versioned snapshots — Delta's
+DV shape over the `io/versioned.py` manifest protocol.
+
+Why copy-on-write alone is not enough at 100 TB: `io/merge.py`'s
+``delete_matching`` rewrites every file that CONTAINS a doomed key.
+Hash-bucketed layouts (`io/bucketed_table.py`) deliberately SCATTER
+keys, so a GDPR erasure of k scattered keys touches ~min(k, n_files)
+files and pays O(file bytes) per touched file — the dominant cost of
+a small delete on a big table. The table-format answer (Delta
+deletion vectors, Iceberg positional delete files, Hudi MOR) is to
+make the delete a METADATA-plus-O(k) operation:
+
+1. find the doomed rows' physical positions — ``(file, row_index)``
+   pairs, where ``row_index`` is Spark's parquet ``_metadata.row_index``
+   (stable: it is the row's ordinal within its immutable file),
+2. write ONLY those pairs to a small parquet sidecar (O(k) bytes),
+3. commit a new version with the SAME data-file list plus a
+   ``dv`` map in the manifest: ``rel_file -> {sidecars: [...],
+   rows: n}``.
+
+Readers apply the map: files without DV entries are scanned plain;
+files with entries are anti-joined against their sidecar pairs on
+``(file, row_index)`` — the join side is O(total undeleted-yet
+tombstones), broadcast under the usual size discipline. Every read
+path composes: zone-map pruning and bucket key-pruning shrink the
+FILE list first, and only the surviving files' sidecars are loaded.
+
+The debt is repaid at rewrite time, exactly like an LSM: any commit
+that rewrites a file (CoW merge/delete, compaction, OPTIMIZE)
+materializes the survivors and DROPS the file's DV entries — the
+same seq-stamped-tombstone rule `operators/ann_store.py` uses, at
+file grain. ``io/versioned.py:compact_version(include_dv_files=True)``
+folds tombstone-heavy files eagerly.
+
+Reference parity note: the reference's persistence layer
+(`/root/reference/crates/tss-persistence`) has no record-level
+delete; this module is part of the LLM-pipeline extension layer
+(corpus lifecycle at scale — erasure requests, recalled sources).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from . import versioned
+
+__all__ = [
+    "FILE_COL",
+    "POS_COL",
+    "dv_map",
+    "dv_rows",
+    "read_dv",
+    "read_with_dv",
+    "delete_matching_dv",
+]
+
+#: lineage column names used in sidecars and by ``with_lineage`` reads
+FILE_COL = "__tss_file"
+POS_COL = "__tss_pos"
+
+_DV_DIR = "dv"
+
+#: broadcast the tombstone side of the anti-join below this many rows
+#: (same order as merge_version's 1M-key auto probe; tombstone rows
+#: are two narrow columns, so the bound is generous)
+_BROADCAST_DV_ROWS = 4_000_000
+
+
+def dv_map(manifest: dict) -> dict:
+    """The manifest's ``rel_file -> {"sidecars": [...], "rows": n}``
+    deletion-vector map ({} for a DV-free snapshot)."""
+    return manifest.get("dv") or {}
+
+
+def dv_rows(manifest: dict, rel_files: list[str] | None = None) -> int:
+    """Total tombstoned rows recorded for ``rel_files`` (default: the
+    whole snapshot) — driver-side, from the manifest alone."""
+    m = dv_map(manifest)
+    if rel_files is None:
+        return sum(e["rows"] for e in m.values())
+    return sum(m[f]["rows"] for f in rel_files if f in m)
+
+
+def rel_path_col(root: str) -> Column:
+    """Root-relative source path extracted from
+    ``_metadata.file_path`` by position with column functions (the
+    `io/rollup.py` pattern: never string-interpolated SQL, and a
+    non-matching path fails loudly instead of mis-keying rows)."""
+    marker = os.path.abspath(root) + "/"
+    path = F.col("_metadata.file_path")
+    pos = F.instr(path, F.lit(marker))
+    return F.when(
+        pos > 0,
+        path.substr(pos + F.lit(len(marker)), F.length(path)),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"deletion_vectors: path outside root {marker!r}: "),
+                path,
+            )
+        )
+    )
+
+
+def _paths(root: str, rel_files: list[str]) -> list[str]:
+    return [os.path.join(root, f) for f in rel_files]
+
+
+def read_dv(
+    spark: SparkSession,
+    root: str,
+    manifest: dict,
+    rel_files: list[str] | None = None,
+) -> DataFrame | None:
+    """The ``(FILE_COL, POS_COL)`` tombstone pairs relevant to
+    ``rel_files`` (default: all files), or None when none exist. May
+    contain pairs for OTHER files (one sidecar can cover many files)
+    — harmless in the anti-join, which matches on file + position."""
+    m = dv_map(manifest)
+    files = rel_files if rel_files is not None else manifest["files"]
+    sidecars = sorted(
+        {s for f in files for s in m.get(f, {}).get("sidecars", ())}
+    )
+    if not sidecars:
+        return None
+    dv = spark.read.parquet(*_paths(root, sidecars)).select(FILE_COL, POS_COL)
+    if dv_rows(manifest, list(files)) <= _BROADCAST_DV_ROWS:
+        dv = F.broadcast(dv)
+    return dv
+
+
+def read_with_dv(
+    spark: SparkSession,
+    root: str,
+    manifest: dict,
+    rel_files: list[str] | None = None,
+    *,
+    with_lineage: bool = False,
+) -> DataFrame:
+    """Live rows of ``rel_files`` (default: the whole snapshot) with
+    the manifest's deletion vectors applied. Files WITHOUT a DV entry
+    are scanned plain; files WITH one pay the anti-join. With
+    ``with_lineage`` the result keeps ``FILE_COL`` (root-relative
+    source path) and ``POS_COL`` (row ordinal within the file) — the
+    physical address a later ``delete_matching_dv`` tombstones."""
+    files = list(rel_files if rel_files is not None else manifest["files"])
+    if not files:
+        raise ValueError("read_with_dv: empty file list")
+    m = dv_map(manifest)
+    dv_files = [f for f in files if f in m]
+    plain = [f for f in files if f not in m]
+
+    def _lineage(df: DataFrame) -> DataFrame:
+        return df.select(
+            "*",
+            rel_path_col(root).alias(FILE_COL),
+            F.col("_metadata.row_index").alias(POS_COL),
+        )
+
+    parts: list[DataFrame] = []
+    if plain:
+        df = spark.read.parquet(*_paths(root, plain))
+        parts.append(_lineage(df) if with_lineage else df)
+    if dv_files:
+        df = _lineage(spark.read.parquet(*_paths(root, dv_files)))
+        dv = read_dv(spark, root, manifest, dv_files)
+        df = df.join(dv, [FILE_COL, POS_COL], "left_anti")
+        if not with_lineage:
+            df = df.drop(FILE_COL, POS_COL)
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def carry_dv(manifest: dict, kept_rel: list[str]) -> dict | None:
+    """The DV entries that survive a commit keeping exactly
+    ``kept_rel`` of the base's files (rewritten files drop theirs —
+    the rewrite materialized the survivors). None when nothing
+    survives, so DV-free tables stay DV-free in the manifest."""
+    m = dv_map(manifest)
+    out = {f: m[f] for f in kept_rel if f in m}
+    return out or None
+
+
+def delete_matching_dv(
+    spark: SparkSession,
+    root: str,
+    keys: DataFrame,
+    key_cols: str | list[str],
+    *,
+    version: int | None = None,
+    broadcast_keys: bool | str = "auto",
+    verify: bool = True,
+    metadata: dict | None = None,
+) -> dict:
+    """Delete every row whose key appears in ``keys`` by WRITING
+    TOMBSTONES, not rewriting files: the new version keeps the base's
+    data-file list verbatim and adds O(deleted rows) of sidecar bytes
+    — the merge-on-read dual of `io/merge.py:delete_matching`
+    (identical read-back semantics, pinned by the model test).
+
+    Planning reuses the copy-on-write machinery: bucket-spec'd
+    snapshots prune the probe to the buckets the keys hash to, and
+    the probe itself reads key columns + footer lineage only. Rows
+    already tombstoned are excluded by construction (the probe scans
+    LIVE rows), so repeated deletes never double-list a position.
+
+    Returns the new manifest; ``metadata.merge`` records
+    ``op="delete_dv"``, ``rows_deleted``, ``files_affected`` and the
+    cumulative ``dv_rows_total``. Deleting zero live rows publishes
+    nothing and returns the current manifest unchanged."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    m = versioned.read_manifest(root, version)
+    bad = [f for f in m["files"] if not f.endswith(".parquet")]
+    if bad:
+        raise ValueError(
+            f"deletion vectors require an all-parquet snapshot; found {bad[:3]}"
+        )
+
+    from .table_schema import align_column_types
+
+    probe_schema = spark.read.parquet(
+        *_paths(root, m["files"][:1])
+    ).schema
+    keys = align_column_types(
+        keys, probe_schema, cols=key_cols, context="delete_matching_dv"
+    )
+    dkeys = keys.select(*key_cols).distinct()
+    if broadcast_keys == "auto":
+        probe = 1_000_000
+        broadcast_keys = dkeys.limit(probe + 1).count() <= probe
+    dk = F.broadcast(dkeys) if broadcast_keys else dkeys
+
+    # bucket-pruned probe, exactly as in delete_matching
+    probe_rel = m["files"]
+    buckets_probed = None
+    bspec = m["metadata"].get("bucket_spec")
+    if bspec and bspec["key_cols"] == key_cols:
+        from .bucketed_table import bucket_files, probe_bucket_ids
+
+        probed = probe_bucket_ids(dkeys, bspec)
+        buckets_probed = len(probed)
+        probe_rel = bucket_files(m, probed)
+
+    if not probe_rel:
+        return m
+    doomed = (
+        read_with_dv(spark, root, m, probe_rel, with_lineage=True)
+        .select(*key_cols, FILE_COL, POS_COL)
+        .join(dk, key_cols, "left_semi")
+        .select(FILE_COL, POS_COL)
+    )
+    # per-file tombstone counts: bounded by the snapshot's file count
+    per_file = {
+        r[FILE_COL]: r["n"]
+        for r in doomed.groupBy(FILE_COL)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_doomed = sum(per_file.values())
+    if n_doomed == 0:
+        return m
+
+    # O(k) sidecar write into its own namespace (vacuum walks it)
+    run_dir = os.path.join(root, _DV_DIR, versioned._fresh_run_id())
+    os.makedirs(run_dir, exist_ok=False)
+    doomed.repartition(max(1, math.ceil(n_doomed / 5_000_000))).write.mode(
+        "overwrite"
+    ).parquet(run_dir)
+    sidecars = [
+        os.path.relpath(p, root) for p in versioned.data_files(run_dir)
+    ]
+
+    old = dv_map(m)
+    new_dv = {f: dict(e) for f, e in old.items()}
+    for f, n in per_file.items():
+        e = new_dv.setdefault(f, {"sidecars": [], "rows": 0})
+        e["sidecars"] = list(e["sidecars"]) + sidecars
+        e["rows"] += n
+
+    stats = {
+        "op": "delete_dv",
+        "rows_deleted": n_doomed,
+        "files_affected": len(per_file),
+        "files_kept": len(m["files"]),
+        "files_rewritten": 0,
+        "dv_rows_total": sum(e["rows"] for e in new_dv.values()),
+        "base_version": m["version"],
+    }
+    if buckets_probed is not None:
+        stats["buckets_probed"] = buckets_probed
+
+    out = versioned.publish_files(
+        root,
+        m["files"],
+        metadata={"merge": stats, **(metadata or {}),
+                  **({"bucket_spec": bspec} if bspec else {})},
+        stats=m.get("stats"),
+        schema=m.get("schema"),
+        dv=new_dv,
+    )
+    if verify:
+        affected = sorted(per_file)
+        n_live_before = read_with_dv(spark, root, m, affected).count()
+        n_live_after = read_with_dv(spark, root, out, affected).count()
+        if n_live_after != n_live_before - n_doomed:
+            raise RuntimeError(
+                f"dv delete mismatch: {n_live_before} live before, "
+                f"{n_doomed} tombstoned, but {n_live_after} live after"
+            )
+    return out

@@ -45,12 +45,9 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import versioned
+from .deletion_vectors import FILE_COL, carry_dv, read_with_dv
 
 __all__ = ["merge_version", "delete_matching"]
-
-
-def _strip_uri(p: str) -> str:
-    return p[len("file:"):] if p.startswith("file:") else p
 
 
 def _parquet_paths(root: str, manifest: dict) -> list[str]:
@@ -69,19 +66,19 @@ def _affected_files(
     key_cols: list[str],
     broadcast_keys: bool,
 ) -> list[str]:
-    """Distinct ``_metadata.file_path`` values of target rows whose
+    """Distinct root-relative source files of LIVE target rows whose
     key appears in the source — the copy-on-write rewrite set. The
-    target side is a key-column projection (parquet reads only the
-    key columns + footer metadata); collect size is bounded by the
-    snapshot's file count."""
+    target side is a key-column lineage projection (parquet reads
+    only the key columns + footer metadata, deletion vectors already
+    applied); collect size is bounded by the snapshot's file count."""
     sk = F.broadcast(source_keys) if broadcast_keys else source_keys
     hit = (
         target_keyed.join(sk, key_cols, "left_semi")
-        .select("__tss_fp")
+        .select(FILE_COL)
         .distinct()
         .collect()
     )
-    return [_strip_uri(r["__tss_fp"]) for r in hit]
+    return sorted(r[FILE_COL] for r in hit)
 
 
 def _carry_stats(
@@ -189,34 +186,36 @@ def merge_version(
     # bucket key, only the buckets the source keys hash to can hold
     # matches — the key-column candidate scan shrinks from O(table)
     # to O(matching buckets), by hash arithmetic alone
-    probe_paths = all_paths
+    probe_rel = m["files"]
     buckets_probed = None
     if bspec and bspec["key_cols"] == key_cols:
         from .bucketed_table import bucket_files, probe_bucket_ids
 
         probed = probe_bucket_ids(source_keys, bspec)
         buckets_probed = len(probed)
-        probe_paths = [
-            os.path.join(root, f) for f in bucket_files(m, probed)
-        ]
-    if probe_paths:
-        target_keyed = spark.read.parquet(*probe_paths).select(
-            *key_cols, F.col("_metadata.file_path").alias("__tss_fp")
-        )
-        affected_abs = _affected_files(
+        probe_rel = bucket_files(m, probed)
+    if probe_rel:
+        target_keyed = read_with_dv(
+            spark, root, m, probe_rel, with_lineage=True
+        ).select(*key_cols, FILE_COL)
+        affected = _affected_files(
             target_keyed, source_keys, key_cols, bool(broadcast_keys)
         )
     else:
-        affected_abs = []
-    affected_rel = {os.path.relpath(p, root) for p in affected_abs}
+        affected = []
+    affected_rel = set(affected)
     kept_rel = [f for f in m["files"] if f not in affected_rel]
 
     # rows of the affected files that do NOT match a source key are
     # carried into the rewrite verbatim; matched rows are dropped
-    # (replaced by the upsert version, or deleted)
+    # (replaced by the upsert version, or deleted). The rewrite reads
+    # LIVE rows — a rewritten file's deletion vectors are folded in
+    # here and its dv entries dropped from the new manifest below.
     sk = F.broadcast(source_keys) if broadcast_keys else source_keys
-    if affected_abs:
-        affected_df = spark.read.parquet(*affected_abs)
+    affected_df = (
+        read_with_dv(spark, root, m, affected) if affected else None
+    )
+    if affected_df is not None:
         survivors = affected_df.join(sk, key_cols, "left_anti")
         out = survivors.unionByName(upserts.select(*target.columns))
     else:
@@ -226,10 +225,9 @@ def merge_version(
     if buckets_probed is not None:
         stats["buckets_probed"] = buckets_probed
     if verify:
-        if affected_abs:
+        if affected_df is not None:
             n_matched = (
-                spark.read.parquet(*affected_abs)
-                .select(*key_cols)
+                affected_df.select(*key_cols)
                 .join(sk, key_cols, "left_semi")
                 .count()
             )
@@ -237,13 +235,12 @@ def merge_version(
             n_matched = 0
         n_del_src = deletes.count()
         n_del_matched = (
-            spark.read.parquet(*affected_abs)
-            .select(*key_cols)
+            affected_df.select(*key_cols)
             .join(F.broadcast(deletes.select(*key_cols).distinct())
                   if broadcast_keys else deletes.select(*key_cols).distinct(),
                   key_cols, "left_semi")
             .count()
-            if affected_abs and n_del_src
+            if affected_df is not None and n_del_src
             else 0
         )
         n_upserts = n_src - n_del_src
@@ -291,7 +288,7 @@ def merge_version(
                 *[os.path.join(root, f) for f in fresh_rel]
             ).count()
             expected = (
-                spark.read.parquet(*affected_abs).count() if affected_abs else 0
+                affected_df.count() if affected_df is not None else 0
             ) - stats["rows_updated"] - stats["rows_deleted"] + (
                 stats["rows_updated"] + stats["rows_inserted"]
             )
@@ -310,6 +307,8 @@ def merge_version(
         kept_rel + fresh_rel,
         metadata=meta,
         stats=_carry_stats(root, m, kept_rel, fresh_rel),
+        schema=m.get("schema"),
+        dv=carry_dv(m, kept_rel),
     )
 
 
@@ -348,34 +347,32 @@ def delete_matching(
 
     # bucket-pruned probe + layout-preserving rewrite, exactly as in
     # merge_version (the spec is a manifest contract)
-    probe_paths = all_paths
+    probe_rel = m["files"]
     buckets_probed = None
     if bspec and bspec["key_cols"] == key_cols:
         from .bucketed_table import bucket_files, probe_bucket_ids
 
         probed = probe_bucket_ids(dkeys, bspec)
         buckets_probed = len(probed)
-        probe_paths = [
-            os.path.join(root, f) for f in bucket_files(m, probed)
-        ]
-    if probe_paths:
-        target_keyed = spark.read.parquet(*probe_paths).select(
-            *key_cols, F.col("_metadata.file_path").alias("__tss_fp")
-        )
-        affected_abs = _affected_files(
+        probe_rel = bucket_files(m, probed)
+    if probe_rel:
+        target_keyed = read_with_dv(
+            spark, root, m, probe_rel, with_lineage=True
+        ).select(*key_cols, FILE_COL)
+        affected = _affected_files(
             target_keyed, dkeys, key_cols, bool(broadcast_keys)
         )
     else:
-        affected_abs = []
-    affected_rel = {os.path.relpath(p, root) for p in affected_abs}
+        affected = []
+    affected_rel = set(affected)
     kept_rel = [f for f in m["files"] if f not in affected_rel]
 
     stats = {"files_rewritten": len(affected_rel), "files_kept": len(kept_rel)}
     if buckets_probed is not None:
         stats["buckets_probed"] = buckets_probed
     fresh_rel: list[str] = []
-    if affected_abs:
-        affected_df = spark.read.parquet(*affected_abs)
+    if affected:
+        affected_df = read_with_dv(spark, root, m, affected)
         survivors = affected_df.join(dk, key_cols, "left_anti")
         if verify:
             n_aff = affected_df.count()
@@ -421,4 +418,6 @@ def delete_matching(
         kept_rel + fresh_rel,
         metadata=meta,
         stats=_carry_stats(root, m, kept_rel, fresh_rel),
+        schema=m.get("schema"),
+        dv=carry_dv(m, kept_rel),
     )

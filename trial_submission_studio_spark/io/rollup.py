@@ -153,6 +153,7 @@ def refresh_rollup(
     spec = _canon_spec(dims, measures)
     base_m = versioned.read_manifest(base_root, base_version)
     status = rollup_status(rollup_root)
+    prev_m = None
     if status is not None:
         if status["spec"] != spec:
             raise ValueError(
@@ -170,9 +171,8 @@ def refresh_rollup(
                 versioned.read_manifest(rollup_root)["metadata"]["rollup"],
             )
             status = rollup_status(rollup_root)
-        prev_files = set(
-            versioned.read_manifest(base_root, status["base_version"])["files"]
-        )
+        prev_m = versioned.read_manifest(base_root, status["base_version"])
+        prev_files = set(prev_m["files"])
         if status["base_version"] == base_m["version"]:
             return versioned.read_manifest(rollup_root)
     else:
@@ -181,6 +181,32 @@ def refresh_rollup(
     cur_files = set(base_m["files"])
     added = sorted(cur_files - prev_files)
     removed = sorted(prev_files - cur_files)
+    # merge-on-read deletes (`io/deletion_vectors.py`) change no
+    # files, only the manifest's dv map — a common file whose dv grew
+    # has STALE partials: retire the old generation, rescan the live
+    # rows. Partials are keyed by the generation TAG (rel path, or
+    # "rel@dvN" with N = the file's cumulative tombstone count, which
+    # is strictly monotone per file name), so old and new partials of
+    # the same file never collide in the pending_removed filter.
+    from .deletion_vectors import dv_map
+
+    dv_prev = dv_map(prev_m) if prev_m else {}
+    dv_cur = dv_map(base_m)
+    dv_changed = sorted(
+        f
+        for f in cur_files & prev_files
+        if dv_cur.get(f) != dv_prev.get(f)
+    )
+
+    def _tag(f: str, dvm: dict) -> str:
+        n = dvm.get(f, {}).get("rows", 0)
+        return f"{f}@dv{n}" if n else f
+
+    scan_files = sorted(set(added) | set(dv_changed))
+    retire_tags = sorted(
+        [_tag(f, dv_prev) for f in removed]
+        + [_tag(f, dv_prev) for f in dv_changed]
+    )
     meta = {
         "rollup": {
             "base_version": base_m["version"],
@@ -188,10 +214,11 @@ def refresh_rollup(
             "spec": spec,
             "files_added": len(added),
             "files_removed": len(removed),
+            "files_dv_changed": len(dv_changed),
         }
     }
 
-    if not added and not removed:
+    if not scan_files and not retire_tags:
         if status is None:
             raise ValueError(f"base snapshot {base_root} has no files")
         # same file list under a new base version (e.g. a rollback
@@ -207,26 +234,26 @@ def refresh_rollup(
     #    FINAL commit is pending-free, and the idempotency fence
     #    above refuses to treat a pending state as done.
     out = None
-    if added:
-        # root-relative source path, extracted by position with
-        # column functions (never string-interpolated SQL: a
-        # base_root containing a quote must not break parsing, and a
-        # non-matching path must fail loudly, not mis-key partials)
-        marker = os.path.abspath(base_root) + "/"
-        path = F.col("_metadata.file_path")
-        pos = F.instr(path, F.lit(marker))
-        rel = F.when(
-            pos > 0,
-            path.substr(pos + F.lit(len(marker)), F.length(path)),
-        ).otherwise(
-            F.raise_error(F.concat(
-                F.lit(f"rollup: scanned path outside base_root {marker!r}: "),
-                path,
-            ))
+    if scan_files:
+        # LIVE rows of the scan slice, each tagged with its source
+        # file's generation tag. The lineage column comes from
+        # `deletion_vectors.read_with_dv` (root-relative path
+        # extracted positionally with column functions — never
+        # string-interpolated SQL; a non-matching path fails loudly,
+        # not mis-keys partials); the rel->tag mapping is
+        # driver-sized (bounded by file count) and broadcast.
+        from .deletion_vectors import FILE_COL, POS_COL, read_with_dv
+
+        tags = spark.createDataFrame(
+            [(f, _tag(f, dv_cur)) for f in scan_files],
+            f"{FILE_COL} string, {_FILE} string",
         )
         fresh = (
-            spark.read.parquet(*[os.path.join(base_root, f) for f in added])
-            .withColumn(_FILE, rel)
+            read_with_dv(spark, base_root, base_m, scan_files,
+                         with_lineage=True)
+            .drop(POS_COL)
+            .join(F.broadcast(tags), FILE_COL)
+            .drop(FILE_COL)
         )
         partials = fresh.groupBy(_FILE, *spec["dims"]).agg(
             *_partial_aggs(measures)
@@ -235,9 +262,9 @@ def refresh_rollup(
         run_dir = versioned.new_data_dir(rollup_root)
         partials.write.mode("overwrite").parquet(run_dir)
         append_meta = meta
-        if removed and status is not None:
+        if retire_tags and status is not None:
             append_meta = {
-                "rollup": {**meta["rollup"], "pending_removed": removed}
+                "rollup": {**meta["rollup"], "pending_removed": retire_tags}
             }
         out = versioned.publish_version(
             rollup_root,
@@ -246,11 +273,12 @@ def refresh_rollup(
             metadata=append_meta,
         )
 
-    # 2) retire partials of files no longer in the snapshot —
-    #    file-grain copy-on-write on the (small) partial store. This
-    #    is the FINAL (pending-free) commit of the refresh.
-    if removed and status is not None:
-        out = _retire_partials(spark, rollup_root, removed, meta["rollup"])
+    # 2) retire partials of files no longer in the snapshot (or
+    #    superseded by a new dv generation) — file-grain
+    #    copy-on-write on the (small) partial store. This is the
+    #    FINAL (pending-free) commit of the refresh.
+    if retire_tags and status is not None:
+        out = _retire_partials(spark, rollup_root, retire_tags, meta["rollup"])
     return out
 
 

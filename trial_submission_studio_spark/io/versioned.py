@@ -80,11 +80,15 @@ def _atomic_write(path: str, payload: str) -> None:
         raise
 
 
+def _fresh_run_id() -> str:
+    return uuid.uuid4().hex[:16]
+
+
 def new_data_dir(root: str) -> str:
     """A fresh immutable data directory for one write run. Writers
     target this (e.g. ``write_corpus_shards(df, new_data_dir(root),
     ...)``) so no run ever overwrites another's files."""
-    d = os.path.join(root, "data", uuid.uuid4().hex[:16])
+    d = os.path.join(root, "data", _fresh_run_id())
     os.makedirs(d, exist_ok=False)
     return d
 
@@ -137,6 +141,7 @@ def publish_files(
     metadata: dict | None = None,
     stats: dict | None = None,
     schema: list | None = None,
+    dv: dict | None = None,
 ) -> dict:
     """Atomically publish a new version from an EXPLICIT root-relative
     file list (the primitive under :func:`publish_version`; used
@@ -148,6 +153,13 @@ def publish_files(
     manifest for data skipping; entries for files not in ``files``
     are dropped, missing entries are fine (those files are simply
     never skipped).
+
+    ``dv`` is an optional deletion-vector map (rel-path ->
+    ``{"sidecars": [...], "rows": n}``, from
+    `io/deletion_vectors.py`). Unlike stats, an entry for a file not
+    in ``files`` is REFUSED: dropping a tombstone silently would
+    resurrect deleted rows — callers that rewrite files must filter
+    with :func:`deletion_vectors.carry_dv` explicitly.
 
     Refuses duplicate entries and refuses to overwrite an existing
     manifest (two racing writers: second loses loudly, not
@@ -174,6 +186,14 @@ def publish_files(
     if schema:
         # recorded contract for `io/table_schema.py`'s append gate
         manifest["schema"] = schema
+    if dv:
+        orphans = sorted(set(dv) - set(files))
+        if orphans:
+            raise ValueError(
+                "dv entries for files not in this version (a dropped "
+                f"tombstone resurrects deleted rows): {orphans[:3]}"
+            )
+        manifest["dv"] = dv
     path = _manifest_path(root, version)
     if os.path.exists(path):
         raise FileExistsError(f"version {version} already published")
@@ -200,14 +220,21 @@ def publish_version(
     if isinstance(run_dirs, str):
         run_dirs = [run_dirs]
     files: list[str] = []
+    stats = dv = None
     if base_version is not None:
-        files.extend(read_manifest(root, base_version)["files"])
+        base = read_manifest(root, base_version)
+        files.extend(base["files"])
+        # carried files keep their (immutable) zone-map entries and
+        # deletion-vector tombstones — an append must not resurrect
+        # deleted rows or forget skipping stats
+        stats = base.get("stats")
+        dv = base.get("dv")
     for rd in run_dirs:
         rel = [os.path.relpath(p, root) for p in data_files(rd)]
         if not rel:
             raise ValueError(f"no data files under {rd}")
         files.extend(rel)
-    return publish_files(root, files, metadata=metadata)
+    return publish_files(root, files, metadata=metadata, stats=stats, dv=dv)
 
 
 def version_as_of(root: str, timestamp: str) -> int:
@@ -247,6 +274,13 @@ def read_version(
             raise ValueError("pass version or as_of, not both")
         version = version_as_of(root, as_of)
     m = read_manifest(root, version)
+    if m.get("dv"):
+        # merge-on-read: anti-join the tombstoned positions out of
+        # the files that carry deletion vectors (parquet-only —
+        # delete_matching_dv gates on that at write time)
+        from .deletion_vectors import read_with_dv
+
+        return read_with_dv(spark, root, m)
     paths = [os.path.join(root, f) for f in m["files"]]
     fmt = "json" if paths[0].endswith((".jsonl", ".jsonl.gz", ".json.gz")) else "parquet"
     return spark.read.format(fmt).load(paths)
@@ -254,20 +288,23 @@ def read_version(
 
 def rollback(root: str, to_version: int) -> dict:
     """Publish a NEW version with ``to_version``'s file list (history
-    stays append-only; the bad version remains inspectable)."""
+    stays append-only; the bad version remains inspectable). The
+    target's zone-map stats, schema contract, deletion vectors and
+    layout contract (``bucket_spec``) all travel with the file list —
+    restoring a snapshot restores its whole read contract, not just
+    its bytes."""
     m = read_manifest(root, to_version)
-    os.makedirs(_versions_dir(root), exist_ok=True)
-    version = max(list_versions(root), default=0) + 1
-    manifest = {
-        "version": version,
-        "created_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        "files": m["files"],
-        "n_files": m["n_files"],
-        "metadata": {"rollback_of": m["version"]},
-    }
-    _atomic_write(_manifest_path(root, version), json.dumps(manifest, indent=1))
-    _atomic_write(os.path.join(_versions_dir(root), _CURRENT), str(version))
-    return manifest
+    meta: dict = {"rollback_of": m["version"]}
+    if m["metadata"].get("bucket_spec"):
+        meta["bucket_spec"] = m["metadata"]["bucket_spec"]
+    return publish_files(
+        root,
+        m["files"],
+        metadata=meta,
+        stats=m.get("stats"),
+        schema=m.get("schema"),
+        dv=m.get("dv"),
+    )
 
 
 def diff_versions(root: str, v_from: int, v_to: int) -> dict:
@@ -324,27 +361,36 @@ def vacuum(
     concurrently would destroy the whole in-flight run. Pass
     ``min_age_seconds=0`` only when no writer can be active.
 
-    Walks ``root/data`` and the manifests only — metadata-scale work
-    regardless of data size."""
+    Walks ``root/data`` + ``root/dv`` (deletion-vector sidecars are
+    manifest-referenced files like any other) and the manifests only
+    — metadata-scale work regardless of data size."""
     live: set[str] = set()
     for v in list_versions(root):
-        live.update(read_manifest(root, v)["files"])
+        m = read_manifest(root, v)
+        live.update(m["files"])
+        for e in (m.get("dv") or {}).values():
+            live.update(e["sidecars"])
     cutoff = time.time() - min_age_seconds
     doomed: list[str] = []
-    young: set[str] = set()  # run dirs holding too-young files
-    data_root = os.path.join(root, "data")
-    for cur, _dirs, names in os.walk(data_root):
-        for n in names:
-            if n.startswith((".", "_")):  # _SUCCESS / .crc markers
-                continue
-            full = os.path.join(cur, n)
-            rel = os.path.relpath(full, root)
-            if rel in live:
-                continue
-            if os.path.getmtime(full) > cutoff:
-                young.add(rel.split(os.sep)[1] if os.sep in rel else rel)
-                continue
-            doomed.append(rel)
+    young: set[str] = set()  # "data/<run>" / "dv/<run>" holding young files
+    namespaces = [os.path.join(root, ns) for ns in ("data", "dv")]
+    for ns_root in namespaces:
+        for cur, _dirs, names in os.walk(ns_root):
+            for n in names:
+                if n.startswith((".", "_")):  # _SUCCESS / .crc markers
+                    continue
+                full = os.path.join(cur, n)
+                rel = os.path.relpath(full, root)
+                if rel in live:
+                    continue
+                if os.path.getmtime(full) > cutoff:
+                    young.add(
+                        os.sep.join(rel.split(os.sep)[:2])
+                        if os.sep in rel
+                        else rel
+                    )
+                    continue
+                doomed.append(rel)
     if not dry_run:
         import shutil
 
@@ -353,13 +399,17 @@ def vacuum(
         # a run dir with no live files left is dead wholesale —
         # remove it including writer markers (_SUCCESS, .crc) —
         # unless it still holds too-young (possibly in-flight) files
-        if os.path.isdir(data_root):
-            for run in os.listdir(data_root):
-                prefix = os.path.join("data", run) + os.sep
-                if run not in young and not any(
+        for ns_root in namespaces:
+            if not os.path.isdir(ns_root):
+                continue
+            ns = os.path.basename(ns_root)
+            for run in os.listdir(ns_root):
+                key = os.path.join(ns, run)
+                prefix = key + os.sep
+                if key not in young and not any(
                     f.startswith(prefix) for f in live
                 ):
-                    shutil.rmtree(os.path.join(data_root, run))
+                    shutil.rmtree(os.path.join(ns_root, run))
     return sorted(doomed)
 
 
@@ -370,6 +420,7 @@ def compact_version(
     *,
     version: int | None = None,
     small_threshold: int | None = None,
+    include_dv_files: bool = False,
     verify: bool = True,
     metadata: dict | None = None,
 ) -> dict:
@@ -395,26 +446,37 @@ def compact_version(
     of small-in vs compacted-out before publishing (two counts over
     the small slice only).
 
+    ``include_dv_files=True`` additionally rewrites every file that
+    carries deletion-vector tombstones (`io/deletion_vectors.py`),
+    folding the anti-join debt into clean files — the LSM
+    tombstone-collapse move; `maintain_table` triggers it from a
+    dv-fraction policy.
+
     Returns the new manifest; if nothing qualifies for compaction,
     returns the CURRENT manifest unchanged (no empty commit).
     """
     import math
 
+    from .deletion_vectors import carry_dv, dv_map, read_with_dv
+
     m = read_manifest(root, version)
+    dvm = dv_map(m)
     threshold = small_threshold if small_threshold is not None else target_bytes // 2
     keep: list[str] = []
     small: list[str] = []
     small_bytes = 0
     for rel in m["files"]:
         size = os.path.getsize(os.path.join(root, rel))
-        if size >= threshold:
-            keep.append(rel)
-        else:
+        if size < threshold or (include_dv_files and rel in dvm):
             small.append(rel)
             small_bytes += size
-    if len(small) < 2:
+        else:
+            keep.append(rel)
+    if len(small) < 2 and not any(f in dvm for f in small):
         return m  # nothing worth rewriting
-    small_df = spark.read.parquet(*[os.path.join(root, f) for f in small])
+    # rewrites materialize survivors: read the rewrite slice with its
+    # tombstones applied, and drop those files' dv entries below
+    small_df = read_with_dv(spark, root, m, small)
     bspec = m["metadata"].get("bucket_spec")
     if bspec:
         # bucket-spec'd snapshot (io/bucketed_table.py): the layout
@@ -453,9 +515,17 @@ def compact_version(
         "files_out": len(fresh),
         **(metadata or {}),
     }
+    from .deletion_vectors import dv_rows
+
+    folded = dv_rows(m, small)
+    if folded:
+        meta["dv_rows_folded"] = folded
     if bspec:
         meta["bucket_spec"] = bspec
-    return publish_files(root, keep + fresh, metadata=meta)
+    return publish_files(
+        root, keep + fresh, metadata=meta, dv=carry_dv(m, keep),
+        schema=m.get("schema"),
+    )
 
 
 def vacuum_tables(

@@ -376,6 +376,13 @@ def read_pruned(
             .filter(predicate_to_column(predicate))
             .limit(0)
         )
+    if m.get("dv"):
+        # merge-on-read tombstones compose with file pruning: only
+        # the surviving files' sidecars are loaded
+        from .deletion_vectors import read_with_dv
+
+        df = read_with_dv(spark, root, m, pruned["kept"])
+        return df.filter(predicate_to_column(predicate))
     paths = [os.path.join(root, f) for f in pruned["kept"]]
     return spark.read.parquet(*paths).filter(predicate_to_column(predicate))
 
@@ -421,7 +428,13 @@ def optimize_version(
             "(bucket-preserving) or republish unbucketed under a fresh "
             "root"
         )
-    df = spark.read.parquet(*[os.path.join(root, f) for f in m["files"]])
+    if m.get("dv"):
+        # a full rewrite folds every tombstone; the output is DV-free
+        from .deletion_vectors import read_with_dv
+
+        df = read_with_dv(spark, root, m)
+    else:
+        df = spark.read.parquet(*[os.path.join(root, f) for f in m["files"]])
     clustered = zorder_layout(
         df, zorder_cols, bits=bits, num_partitions=num_partitions
     ).drop("_zkey")
