@@ -277,11 +277,13 @@ def delete_matching_dv(
     ]
 
     old = dv_map(m)
-    new_dv = {f: dict(e) for f, e in old.items()}
+    dv_updates: dict = {}
     for f, n in per_file.items():
-        e = new_dv.setdefault(f, {"sidecars": [], "rows": 0})
-        e["sidecars"] = list(e["sidecars"]) + sidecars
+        e = {"sidecars": list(old.get(f, {}).get("sidecars", ())),
+             "rows": old.get(f, {}).get("rows", 0)}
+        e["sidecars"] += sidecars
         e["rows"] += n
+        dv_updates[f] = e
 
     stats = {
         "op": "delete_dv",
@@ -289,20 +291,22 @@ def delete_matching_dv(
         "files_affected": len(per_file),
         "files_kept": len(m["files"]),
         "files_rewritten": 0,
-        "dv_rows_total": sum(e["rows"] for e in new_dv.values()),
+        "dv_rows_total": sum(e["rows"] for e in old.values()) + n_doomed,
         "base_version": m["version"],
     }
     if buckets_probed is not None:
         stats["buckets_probed"] = buckets_probed
 
-    out = versioned.publish_files(
+    # key-dependent commit through the multi-writer loop: conflicts
+    # loudly if a concurrent commit rewrote or re-tombstoned the
+    # files these positions address (positions are file-bound)
+    out = versioned.commit_files(
         root,
-        m["files"],
+        base_version=m["version"],
+        kind="keyed",
+        dv_updates=dv_updates,
         metadata={"merge": stats, **(metadata or {}),
                   **({"bucket_spec": bspec} if bspec else {})},
-        stats=m.get("stats"),
-        schema=m.get("schema"),
-        dv=new_dv,
     )
     if verify:
         affected = sorted(per_file)

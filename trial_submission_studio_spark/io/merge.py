@@ -45,7 +45,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import versioned
-from .deletion_vectors import FILE_COL, carry_dv, read_with_dv
+from .deletion_vectors import FILE_COL, read_with_dv
 
 __all__ = ["merge_version", "delete_matching"]
 
@@ -81,26 +81,6 @@ def _affected_files(
     return sorted(r[FILE_COL] for r in hit)
 
 
-def _carry_stats(
-    root: str, base_manifest: dict, kept_rel: list[str], fresh_rel: list[str]
-) -> dict | None:
-    """Zone-map continuity across a merge: if the base snapshot
-    carried `io/zonemap.py` stats, kept files keep their (immutable)
-    entries and the fresh rewrite files get theirs recomputed on the
-    same column set — a merged table prunes exactly as well as its
-    ancestor. Snapshots without stats stay without (None)."""
-    base_stats = base_manifest.get("stats")
-    if not base_stats:
-        return None
-    columns = sorted(
-        {c for e in base_stats.values() for c in e.get("columns", {})}
-    ) or None
-    from .zonemap import collect_file_stats
-
-    out = {f: base_stats[f] for f in kept_rel if f in base_stats}
-    if fresh_rel:
-        out.update(collect_file_stats(root, fresh_rel, columns))
-    return out
 
 
 def merge_version(
@@ -302,13 +282,19 @@ def merge_version(
             **(metadata or {})}
     if bspec:
         meta["bucket_spec"] = bspec
-    return versioned.publish_files(
+    from .zonemap import stats_like
+
+    # key-dependent commit: auto-rebases over row-preserving
+    # maintenance only; a concurrent append/merge may hold rows this
+    # merge's key probe never saw -> typed conflict, re-plan + retry
+    return versioned.commit_files(
         root,
-        kept_rel + fresh_rel,
+        base_version=m["version"],
+        kind="keyed",
+        add_files=fresh_rel,
+        remove_files=affected_rel,
+        add_stats=stats_like(root, m, fresh_rel, spark=spark),
         metadata=meta,
-        stats=_carry_stats(root, m, kept_rel, fresh_rel),
-        schema=m.get("schema"),
-        dv=carry_dv(m, kept_rel),
     )
 
 
@@ -413,11 +399,14 @@ def delete_matching(
             **(metadata or {})}
     if bspec:
         meta["bucket_spec"] = bspec
-    return versioned.publish_files(
+    from .zonemap import stats_like
+
+    return versioned.commit_files(
         root,
-        kept_rel + fresh_rel,
+        base_version=m["version"],
+        kind="keyed",
+        add_files=fresh_rel,
+        remove_files=affected_rel,
+        add_stats=stats_like(root, m, fresh_rel, spark=spark),
         metadata=meta,
-        stats=_carry_stats(root, m, kept_rel, fresh_rel),
-        schema=m.get("schema"),
-        dv=carry_dv(m, kept_rel),
     )

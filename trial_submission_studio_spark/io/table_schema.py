@@ -196,8 +196,6 @@ def publish_checked(
         fresh.extend(rel)
     new_schema = snapshot_schema(root, fresh)
 
-    files: list[str] = []
-    stats: dict = {}
     schema = new_schema
     if base_version is not None:
         base = versioned.read_manifest(root, base_version)
@@ -211,24 +209,34 @@ def publish_checked(
             raise ValueError(
                 "schema-incompatible append refused:\n  " + "\n  ".join(bad)
             )
-        files.extend(base["files"])
-        stats.update(base.get("stats", {}))
         if allow_new_columns:
             merged = {f["name"]: f for f in base_schema}
             merged.update({f["name"]: f for f in new_schema})
             schema = sorted(merged.values(), key=lambda f: f["name"])
         else:
             schema = base_schema
+    fresh_stats = None
     if stats_columns is not None:
         from .zonemap import collect_file_stats
 
-        stats.update(
-            collect_file_stats(root, fresh, stats_columns, spark=spark)
+        fresh_stats = collect_file_stats(root, fresh, stats_columns, spark=spark)
+    if base_version is not None:
+        # the multi-writer commit loop: carried files keep the
+        # CURRENT manifest's stats + deletion vectors; the append
+        # auto-rebases over concurrent commits
+        return versioned.commit_files(
+            root,
+            base_version=base_version,
+            kind="append",
+            add_files=fresh,
+            add_stats=fresh_stats,
+            metadata=metadata,
+            schema=schema,
         )
     return versioned.publish_files(
         root,
-        files + fresh,
+        fresh,
         metadata=metadata,
-        stats=stats or None,
+        stats=fresh_stats or None,
         schema=schema,
     )

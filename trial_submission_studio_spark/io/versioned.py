@@ -21,13 +21,21 @@ Layout::
 Protocol:
 
 - :func:`publish_version` writes the manifest to a temp name and
-  ``os.rename``\\ s it into place, then swaps ``CURRENT`` the same
-  way. POSIX rename is atomic — a reader sees the old or the new
-  version, never a partial one. (On S3-style object stores the
-  equivalent is a conditional PUT of the pointer; the manifest
-  protocol is unchanged. Single concurrent writer assumed — the
-  publish itself refuses to reuse an existing version number, so two
-  racing writers cannot silently clobber each other's manifest.)
+  ``os.link``\\ s it into place — hard-link creation is atomic AND
+  exclusive, so of two writers racing for the same version number
+  exactly one wins and the other gets ``FileExistsError`` (the
+  POSIX equivalent of an object store's conditional PUT). The
+  ``CURRENT`` pointer is a rename-swapped hint; the source of truth
+  for "current" is the newest manifest, which is monotone under
+  races by construction.
+- :func:`commit_files` is the MULTI-WRITER protocol on top (the
+  Delta commit-loop shape): a writer states its base version, its
+  file delta, and its commit KIND; on discovering intervening
+  commits it auto-rebases when provably safe (appends over anything;
+  row-preserving maintenance when its inputs survived; key-dependent
+  writes over maintenance only) and raises a typed
+  :class:`TableConflictError` otherwise — the loser never corrupts,
+  and no longer just dies on safe races.
 - :func:`read_version` hands Spark the manifest's EXPLICIT file list
   — never a directory listing. Besides time travel, this kills the
   eventually-consistent-listing class of bugs and lets a 100k-file
@@ -58,6 +66,21 @@ _VERSIONS = "_versions"
 _CURRENT = "CURRENT"
 
 
+class TableConflictError(RuntimeError):
+    """A concurrent commit made this write unsafe to rebase: the
+    files it read/rewrote were themselves rewritten, tombstoned, or
+    (for key-dependent writes) potentially-matching rows were added.
+    Carries the reason and the contested files; the recovery is to
+    re-plan against the new current version and retry the operation
+    (never to force-publish — that would lose the other commit)."""
+
+    def __init__(self, reason: str, files: list[str] | None = None):
+        self.reason = reason
+        self.files = sorted(files or [])
+        detail = f" (contested: {self.files[:3]})" if self.files else ""
+        super().__init__(f"{reason}{detail}")
+
+
 def _versions_dir(root: str) -> str:
     return os.path.join(root, _VERSIONS)
 
@@ -78,6 +101,23 @@ def _atomic_write(path: str, payload: str) -> None:
         if os.path.exists(tmp):
             os.remove(tmp)
         raise
+
+
+def _atomic_create(path: str, payload: str) -> None:
+    """Write-then-LINK: atomic like rename, but EXCLUSIVE — raises
+    ``FileExistsError`` if ``path`` exists, where rename would
+    silently replace it. Two writers racing for the same version
+    number therefore cannot clobber each other's manifest; the loser
+    sees the error and re-enters the commit loop."""
+    d = os.path.dirname(path)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write(payload)
+        os.link(tmp, path)  # fails if path exists: exclusive create
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
 
 
 def _fresh_run_id() -> str:
@@ -118,11 +158,12 @@ def list_versions(root: str) -> list[int]:
 
 
 def current_version(root: str) -> int | None:
-    p = os.path.join(_versions_dir(root), _CURRENT)
-    if not os.path.exists(p):
-        return None
-    with open(p, encoding="utf-8") as f:
-        return int(f.read().strip())
+    """The newest published version. Source of truth is the manifest
+    list (monotone under concurrent writers — the ``CURRENT`` pointer
+    file is a rename-swapped HINT that a pathological interleave
+    could briefly leave one behind, so it is never read here)."""
+    versions = list_versions(root)
+    return versions[-1] if versions else None
 
 
 def read_manifest(root: str, version: int | None = None) -> dict:
@@ -142,6 +183,7 @@ def publish_files(
     stats: dict | None = None,
     schema: list | None = None,
     dv: dict | None = None,
+    _expect_version: int | None = None,
 ) -> dict:
     """Atomically publish a new version from an EXPLICIT root-relative
     file list (the primitive under :func:`publish_version`; used
@@ -173,6 +215,14 @@ def publish_files(
         raise ValueError(f"duplicate files in version: {sorted(dupes)[:3]}")
     os.makedirs(_versions_dir(root), exist_ok=True)
     version = (max(list_versions(root), default=0)) + 1
+    if _expect_version is not None and version != _expect_version:
+        # a concurrent commit landed between the caller's validation
+        # read and this publish: the caller's rebase reasoning is
+        # stale — fail exactly like a lost manifest-create race so
+        # commit_files re-validates against the new world
+        raise FileExistsError(
+            f"version {_expect_version} superseded (next is {version})"
+        )
     manifest = {
         "version": version,
         "created_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
@@ -195,11 +245,176 @@ def publish_files(
             )
         manifest["dv"] = dv
     path = _manifest_path(root, version)
-    if os.path.exists(path):
-        raise FileExistsError(f"version {version} already published")
-    _atomic_write(path, json.dumps(manifest, indent=1))
+    # exclusive create: of two writers racing for this version number
+    # exactly one wins; the loser's FileExistsError is the commit
+    # loop's retry signal (commit_files catches it)
+    _atomic_create(path, json.dumps(manifest, indent=1))
     _atomic_write(os.path.join(_versions_dir(root), _CURRENT), str(version))
     return manifest
+
+
+#: commit kinds for :func:`commit_files` — what a writer's result
+#: semantically depended on, which determines what it may rebase over
+_KINDS = ("append", "maintenance", "keyed")
+
+
+def _check_rebase(
+    kind: str,
+    base: dict,
+    target: dict,
+    intervening: list[dict],
+    remove: set[str],
+    dv_updates: dict | None,
+) -> None:
+    """Raise :class:`TableConflictError` unless rebasing this commit
+    from ``base`` onto ``target`` is provably safe.
+
+    - Any kind: files I rewrote/tombstoned must still be present and
+      must not have grown tombstones since base (my rewrite was
+      computed without them — publishing would resurrect deletes or
+      lose the concurrent ones).
+    - ``keyed`` (merge/delete/upsert — the result depends on which
+      rows exist): additionally, every intervening commit must be
+      row-preserving ``maintenance``; a concurrent ``append`` or
+      another ``keyed`` commit may have added/changed rows my key
+      probe never saw (the Delta WriteSerializable rule).
+    - ``append`` read nothing, ``maintenance`` is row-preserving of
+      its declared inputs — both rebase over anything that passes
+      the file checks above.
+    """
+    t_files = set(target["files"])
+    gone = remove - t_files
+    if gone:
+        raise TableConflictError(
+            "concurrent commit rewrote/removed files this commit "
+            "also rewrites", list(gone),
+        )
+    b_dv, t_dv = base.get("dv") or {}, target.get("dv") or {}
+    dv_grew = [f for f in remove if t_dv.get(f) != b_dv.get(f)]
+    if dv_updates:
+        for f in dv_updates:
+            if f not in t_files:
+                dv_grew.append(f)
+            elif t_dv.get(f) != b_dv.get(f):
+                dv_grew.append(f)
+    if dv_grew:
+        raise TableConflictError(
+            "concurrent tombstones on files this commit rewrites or "
+            "tombstones", dv_grew,
+        )
+    if kind == "keyed":
+        unsafe = [
+            m["version"]
+            for m in intervening
+            if m["metadata"].get("commit_kind") != "maintenance"
+        ]
+        if unsafe:
+            raise TableConflictError(
+                "key-dependent write raced a non-maintenance commit "
+                f"(versions {unsafe}); re-plan against the current "
+                "version and retry"
+            )
+
+
+def commit_files(
+    root: str,
+    *,
+    base_version: int,
+    kind: str,
+    add_files: list[str] | tuple = (),
+    remove_files: list[str] | set | tuple = (),
+    dv_updates: dict | None = None,
+    metadata: dict | None = None,
+    add_stats: dict | None = None,
+    schema: list | None = None,
+    max_retries: int = 10,
+) -> dict:
+    """Optimistic-concurrency commit (the Delta commit-loop shape):
+    publish "``base_version``'s files minus ``remove_files`` plus
+    ``add_files`` (and/or tombstone updates ``dv_updates``)" — and if
+    OTHER commits landed since ``base_version``, auto-rebase onto the
+    newest one when :func:`_check_rebase` can prove it safe for this
+    commit ``kind``, else raise :class:`TableConflictError`. A lost
+    manifest-create race (two writers picking the same version
+    number) just re-enters the loop.
+
+    Carried files keep the CURRENT manifest's stats/dv entries (not
+    the base's — a rebase must not undo the other writer's
+    metadata); ``add_stats``/``dv_updates`` apply on top for this
+    commit's own files. ``schema`` defaults to the rebase target's
+    recorded contract.
+
+    Safe-rebase matrix (writer kind × intervening kind)::
+
+        mine \\ theirs   append  maintenance  keyed/unknown
+        append           yes       yes          yes
+        maintenance      yes       yes*         yes*
+        keyed            no        yes*         no
+
+    (* = only when the file/tombstone checks pass — i.e. the commits
+    touched disjoint files.)
+    """
+    if kind not in _KINDS:
+        raise ValueError(f"kind must be one of {_KINDS}")
+    add_files = list(add_files)
+    remove = set(remove_files)
+    base = read_manifest(root, base_version)
+    meta = dict(metadata or {})
+    meta["commit_kind"] = kind
+    for _ in range(max_retries):
+        cur_v = current_version(root)
+        if cur_v == base_version:
+            target, intervening = base, []
+        else:
+            try:
+                target = read_manifest(root, cur_v)
+                intervening = [
+                    read_manifest(root, v)
+                    for v in list_versions(root)
+                    if base_version < v <= cur_v
+                ]
+            except FileNotFoundError as e:
+                # a racing retire_versions swallowed part of the
+                # history we'd need to prove safety
+                raise TableConflictError(
+                    f"cannot verify rebase safety: {e}"
+                ) from e
+            _check_rebase(kind, base, target, intervening, remove,
+                          dv_updates)
+        t_files = target["files"]
+        missing = remove - set(t_files)
+        if missing:
+            raise TableConflictError(
+                "remove_files not in the base snapshot", list(missing)
+            )
+        files = [f for f in t_files if f not in remove] + add_files
+        t_stats = target.get("stats") or {}
+        stats = {f: t_stats[f] for f in files if f in t_stats}
+        if add_stats:
+            stats.update(add_stats)
+        t_dv = target.get("dv") or {}
+        dv = {f: t_dv[f] for f in t_files
+              if f not in remove and f in t_dv}
+        if dv_updates:
+            dv.update(dv_updates)
+        try:
+            return publish_files(
+                root,
+                files,
+                metadata=meta,
+                stats=stats or None,
+                schema=schema if schema is not None else target.get("schema"),
+                dv=dv or None,
+                # pin the version this rebase was validated against:
+                # any commit sneaking in between validation and link
+                # turns into a loud retry, never a lost update
+                _expect_version=(cur_v or 0) + 1,
+            )
+        except FileExistsError:
+            continue  # lost the manifest-create race; re-examine world
+    raise TableConflictError(
+        f"gave up after {max_retries} commit attempts (livelock?)"
+    )
 
 
 def publish_version(
@@ -219,22 +434,26 @@ def publish_version(
     """
     if isinstance(run_dirs, str):
         run_dirs = [run_dirs]
-    files: list[str] = []
-    stats = dv = None
-    if base_version is not None:
-        base = read_manifest(root, base_version)
-        files.extend(base["files"])
-        # carried files keep their (immutable) zone-map entries and
-        # deletion-vector tombstones — an append must not resurrect
-        # deleted rows or forget skipping stats
-        stats = base.get("stats")
-        dv = base.get("dv")
+    fresh: list[str] = []
     for rd in run_dirs:
         rel = [os.path.relpath(p, root) for p in data_files(rd)]
         if not rel:
             raise ValueError(f"no data files under {rd}")
-        files.extend(rel)
-    return publish_files(root, files, metadata=metadata, stats=stats, dv=dv)
+        fresh.extend(rel)
+    if base_version is not None:
+        # incremental append: the multi-writer commit loop — carried
+        # files keep their (immutable) zone-map entries and
+        # deletion-vector tombstones, and the append auto-rebases
+        # over any commit that landed since base_version (it read
+        # nothing, so any rebase is safe)
+        return commit_files(
+            root,
+            base_version=base_version,
+            kind="append",
+            add_files=fresh,
+            metadata=metadata,
+        )
+    return publish_files(root, fresh, metadata=metadata)
 
 
 def version_as_of(root: str, timestamp: str) -> int:
@@ -457,7 +676,7 @@ def compact_version(
     """
     import math
 
-    from .deletion_vectors import carry_dv, dv_map, read_with_dv
+    from .deletion_vectors import dv_map, read_with_dv
 
     m = read_manifest(root, version)
     dvm = dv_map(m)
@@ -522,9 +741,19 @@ def compact_version(
         meta["dv_rows_folded"] = folded
     if bspec:
         meta["bucket_spec"] = bspec
-    return publish_files(
-        root, keep + fresh, metadata=meta, dv=carry_dv(m, keep),
-        schema=m.get("schema"),
+    from .zonemap import stats_like
+
+    # row-preserving maintenance commit: auto-rebases over concurrent
+    # appends/maintenance on other files; the compacted outputs get
+    # zone maps on the same columns the base tracked
+    return commit_files(
+        root,
+        base_version=m["version"],
+        kind="maintenance",
+        add_files=fresh,
+        remove_files=small,
+        add_stats=stats_like(root, m, fresh, spark=spark),
+        metadata=meta,
     )
 
 

@@ -183,6 +183,28 @@ def collect_file_stats(
     }
 
 
+def stats_like(
+    root: str,
+    base_manifest: dict,
+    fresh_rel: list[str],
+    *,
+    spark: SparkSession | None = None,
+) -> dict | None:
+    """Zone-map entries for freshly written files ON THE SAME column
+    set the base snapshot tracked — the continuity helper every
+    rewriting commit (merge, compaction, …) uses so a table prunes
+    exactly as well after the commit as before. None when the base
+    tracked nothing (stats stay off rather than appearing
+    surprisingly)."""
+    base_stats = base_manifest.get("stats")
+    if not base_stats or not fresh_rel:
+        return None
+    columns = sorted(
+        {c for e in base_stats.values() for c in e.get("columns", {})}
+    ) or None
+    return collect_file_stats(root, fresh_rel, columns, spark=spark)
+
+
 def publish_with_stats(
     root: str,
     run_dirs: str | list[str],
@@ -195,15 +217,11 @@ def publish_with_stats(
     """`versioned.publish_version` + zone maps in one commit: stats
     are collected for the new run dirs' files and merged with the
     base version's existing stats (carried files keep their entries —
-    stats are immutable alongside the immutable files)."""
+    stats are immutable alongside the immutable files). Appends onto
+    a base version go through the multi-writer commit loop
+    (`versioned.commit_files`)."""
     if isinstance(run_dirs, str):
         run_dirs = [run_dirs]
-    files: list[str] = []
-    stats: dict[str, dict] = {}
-    if base_version is not None:
-        base = versioned.read_manifest(root, base_version)
-        files.extend(base["files"])
-        stats.update(base.get("stats", {}))
     fresh: list[str] = []
     for rd in run_dirs:
         rel = [
@@ -212,9 +230,18 @@ def publish_with_stats(
         if not rel:
             raise ValueError(f"no data files under {rd}")
         fresh.extend(rel)
-    stats.update(collect_file_stats(root, fresh, columns, spark=spark))
+    fresh_stats = collect_file_stats(root, fresh, columns, spark=spark)
+    if base_version is not None:
+        return versioned.commit_files(
+            root,
+            base_version=base_version,
+            kind="append",
+            add_files=fresh,
+            add_stats=fresh_stats,
+            metadata=metadata,
+        )
     return versioned.publish_files(
-        root, files + fresh, metadata=metadata, stats=stats
+        root, fresh, metadata=metadata, stats=fresh_stats
     )
 
 
@@ -464,7 +491,19 @@ def optimize_version(
         },
         **(metadata or {}),
     }
-    return versioned.publish_files(root, fresh, metadata=meta, stats=stats)
+    # row-preserving maintenance commit: auto-rebases over concurrent
+    # appends (their files simply ride along, unclustered until the
+    # next OPTIMIZE); conflicts loudly with concurrent rewrites of
+    # the files it replaced
+    return versioned.commit_files(
+        root,
+        base_version=m["version"],
+        kind="maintenance",
+        add_files=fresh,
+        remove_files=m["files"],
+        add_stats=stats,
+        metadata=meta,
+    )
 
 
 def pruning_audit(
