@@ -169,6 +169,81 @@ def test_exchange_free_join_needs_catalog_or_dsv2(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_catalog_bridge_delivers_exchange_free_join(spark, tmp_path):
+    """The bridge across the measured boundary above:
+    sync_catalog_bucketed materializes published snapshots as catalog
+    bucketed tables; a bucket-key join between them plans with ZERO
+    shuffle Exchange, the sync is an idempotent no-op while the
+    snapshot is unchanged, and it survives merge + dv-delete commits
+    (re-sync refreshes the materialization)."""
+    import uuid
+
+    from trial_submission_studio_spark.io.bucketed_table import (
+        sync_catalog_bucketed,
+    )
+    from trial_submission_studio_spark.io.deletion_vectors import (
+        delete_matching_dv,
+    )
+    from trial_submission_studio_spark.operators.bucketing import (
+        is_exchange_free_join,
+    )
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    publish_bucketed(spark, _rows(spark, 0, 300), a, "k", N_BUCKETS)
+    publish_bucketed(spark, _rows(spark, 0, 300), b, "k", N_BUCKETS)
+    ta, tb = (f"snap_{uuid.uuid4().hex[:8]}" for _ in range(2))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        r1 = sync_catalog_bucketed(
+            spark, a, ta, path=str(tmp_path / "cat_a")
+        )
+        sync_catalog_bucketed(spark, b, tb, path=str(tmp_path / "cat_b"))
+        assert r1["refreshed"]
+
+        def joined():
+            return spark.table(ta).join(
+                spark.table(tb)
+                .withColumnRenamed("v", "v2")
+                .withColumnRenamed("payload", "p2"),
+                "k",
+            )
+
+        j = joined()
+        assert is_exchange_free_join(j)  # the payoff, measured
+        assert j.count() == 300
+
+        # unchanged snapshot -> metadata no-op
+        assert not sync_catalog_bucketed(
+            spark, a, ta, path=str(tmp_path / "cat_a")
+        )["refreshed"]
+
+        # survives a merge commit and a dv delete: re-sync refreshes
+        merge_version(
+            spark, a,
+            spark.createDataFrame(
+                [(500, 1.0, "new")], "k long, v double, payload string"
+            ),
+            "k",
+        )
+        delete_matching_dv(
+            spark, a, spark.createDataFrame([(3,)], "k long"), "k"
+        )
+        r = sync_catalog_bucketed(spark, a, ta, path=str(tmp_path / "cat_a"))
+        assert r["refreshed"]
+        j = joined()
+        assert is_exchange_free_join(j)
+        ks = {row.k for row in j.select("k").collect()}
+        assert 3 not in ks and len(ks) == 299  # 500 has no b match
+        assert {row.k for row in spark.table(ta).collect()} == (
+            set(range(300)) | {500}
+        ) - {3}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        for t in (ta, tb):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_compaction_preserves_bucket_layout(spark, tmp_path):
     """compact_version on a bucket-spec'd root consolidates small
     files WITHIN buckets (never emitting files outside __kb dirs)

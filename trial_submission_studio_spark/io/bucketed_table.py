@@ -64,6 +64,7 @@ __all__ = [
     "read_bucketed_version",
     "bucket_files",
     "read_key_pruned",
+    "sync_catalog_bucketed",
 ]
 
 BUCKET_COL = "__kb"
@@ -216,3 +217,83 @@ def read_key_pruned(
     if dkeys.limit(probe + 1).count() <= probe:
         dkeys = F.broadcast(dkeys)
     return df.join(dkeys, spec["key_cols"], "left_semi")
+
+
+_TABLE_RE = r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)?"
+
+
+def sync_catalog_bucketed(
+    spark: SparkSession,
+    root: str,
+    table: str,
+    *,
+    path: str | None = None,
+    sort_within: Sequence[str] | None = None,
+    force: bool = False,
+) -> dict:
+    """The catalog BRIDGE for exchange-free joins: materialize the
+    CURRENT snapshot as a catalog bucketed table (same key columns
+    and bucket count as the recorded ``bucket_spec``), so joins and
+    aggregations on the bucket key plan with ZERO shuffle Exchange on
+    this side — the payoff the write-once ``__kb`` layout cannot
+    deliver through a path-based read (the measured boundary:
+    Catalyst only elides the Exchange when the SCAN reports hash
+    clustering, which in Python is exactly the catalog route,
+    `operators/bucketing.py`).
+
+    Idempotent sync, not a one-shot CTAS: the snapshot version and
+    root are recorded as table properties; calling again after a
+    merge/compaction/delete commit rewrites the materialization
+    (``refreshed=True``), calling on an already-current table is a
+    metadata no-op (``refreshed=False``). Deletion vectors are
+    applied at materialization, so the catalog table holds live rows
+    only.
+
+    Cost model, stated plainly: the materialization is one
+    partition-local rewrite of the snapshot per refresh —
+    ``repartition(n, keys)`` hashes with the same murmur3 the ``__kb``
+    layout used, so rows do not change machines under a co-partitioned
+    scheduler, but a copy is written. Amortize it over the joins that
+    skip their shuffle; for one-off joins just pay the Exchange.
+
+    ``path`` makes the catalog table external at that location;
+    ``sort_within`` adds a within-bucket ``sortBy`` (one file per
+    bucket). Returns ``{"table", "version", "refreshed"}``."""
+    import re
+
+    if not re.fullmatch(_TABLE_RE, table):
+        raise ValueError(f"unsafe table name: {table!r}")
+    spec = bucket_spec(root)
+    if spec is None:
+        raise ValueError(f"{root} carries no bucket_spec")
+    cur = _ver.current_version(root)
+    root_abs = os.path.abspath(root)
+    if not force and spark.catalog.tableExists(table):
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+        }
+        if (
+            props.get("tss.snapshot_root") == root_abs
+            and props.get("tss.snapshot_version") == str(cur)
+        ):
+            return {"table": table, "version": cur, "refreshed": False}
+
+    from ..operators.bucketing import write_bucketed
+
+    df = read_bucketed_version(spark, root)
+    write_bucketed(
+        df,
+        table,
+        spec["key_cols"],
+        spec["n_buckets"],
+        sort_cols=sort_within,
+        path=path,
+    )
+    esc_root = root_abs.replace("'", "''")
+    spark.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES ("
+        f"'tss.snapshot_root'='{esc_root}', "
+        f"'tss.snapshot_version'='{cur}')"
+    )
+    return {"table": table, "version": cur, "refreshed": True}
