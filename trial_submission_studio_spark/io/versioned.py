@@ -757,6 +757,87 @@ def compact_version(
     )
 
 
+def table_health(
+    root: str,
+    *,
+    target_bytes: int = 128 * 1024 * 1024,
+    small_threshold: int | None = None,
+    version: int | None = None,
+) -> dict:
+    """Metadata-scale health probe of a snapshot — the SENSOR side of
+    :func:`maintain_table`: file counts, how many are under-sized
+    (footer+open cost, starved scan parallelism), and how much
+    merge-on-read tombstone debt readers are paying
+    (`io/deletion_vectors.py` anti-joins)."""
+    from .deletion_vectors import dv_map, dv_rows
+
+    m = read_manifest(root, version)
+    threshold = (
+        small_threshold if small_threshold is not None else target_bytes // 2
+    )
+    sizes = [os.path.getsize(os.path.join(root, f)) for f in m["files"]]
+    return {
+        "version": m["version"],
+        "n_files": len(m["files"]),
+        "n_small": sum(1 for s in sizes if s < threshold),
+        "total_bytes": sum(sizes),
+        "dv_files": len(dv_map(m)),
+        "dv_rows": dv_rows(m),
+    }
+
+
+def maintain_table(
+    spark: SparkSession,
+    root: str,
+    *,
+    target_bytes: int = 128 * 1024 * 1024,
+    small_threshold: int | None = None,
+    max_small_files: int = 8,
+    max_dv_rows: int = 100_000,
+    verify: bool = True,
+) -> dict:
+    """Policy-driven auto-maintenance — the ACTUATOR loop an ingest
+    pipeline calls after its commits instead of a human watching the
+    audits: when the small-file count exceeds ``max_small_files`` OR
+    the tombstone debt exceeds ``max_dv_rows`` rows, run ONE
+    :func:`compact_version` (folding deletion vectors whenever the dv
+    bound tripped). Does nothing when the table is healthy, so it is
+    safe (and cheap — one manifest read + file stats) to call every
+    cycle. Returns the health probe plus what was done::
+
+        {"health": {...}, "compacted": bool, "dv_folded": bool,
+         "version": <current after maintenance>}
+
+    Concurrency: compaction goes through the multi-writer commit loop
+    as a ``maintenance`` commit; if a racing writer rewrote the same
+    files this raises :class:`TableConflictError` — re-run on the
+    next cycle (maintenance is never urgent)."""
+    health = table_health(
+        root, target_bytes=target_bytes, small_threshold=small_threshold,
+    )
+    fold = health["dv_rows"] > max_dv_rows
+    compact = fold or health["n_small"] > max_small_files
+    out = {
+        "health": health,
+        "compacted": False,
+        "dv_folded": False,
+        "version": health["version"],
+    }
+    if compact:
+        m = compact_version(
+            spark,
+            root,
+            target_bytes=target_bytes,
+            small_threshold=small_threshold,
+            include_dv_files=fold,
+            verify=verify,
+        )
+        out["compacted"] = m["version"] != health["version"]
+        out["dv_folded"] = fold and out["compacted"]
+        out["version"] = m["version"]
+    return out
+
+
 def vacuum_tables(
     root: str,
     tables: tuple[str, ...],

@@ -280,6 +280,8 @@ def sync_ivf_store(
     ann_root: str,
     v_from: int,
     v_to: int | None = None,
+    *,
+    auto_retrain_skew: float | None = None,
 ) -> dict:
     """Bring the vector store up to date with a versioned embeddings
     table (`io/versioned.py` snapshot whose rows carry the store's
@@ -291,11 +293,27 @@ def sync_ivf_store(
                              keys);  deletes -> tombstones.
 
     Work scales with |changed rows|, not |corpus|. Returns
-    ``{"upserted", "deleted", "from", "to"}``."""
+    ``{"upserted", "deleted", "from", "to", "retrained"}``.
+
+    ``auto_retrain_skew`` wires the drift SENSOR to its ACTUATOR:
+    after applying the feed, :func:`ivf_cell_balance` is probed and
+    when ``skew`` (max/mean live cell size) exceeds the threshold the
+    store is atomically retrained (:func:`retrain_ivf_store`) — the
+    maintenance loop that keeps probe pruning honest without a human
+    watching the audit. Float-IVF stores only (a PQ retrain is a
+    rebuild — codes are codebook-bound), so asking for it on an
+    ivfpq store raises rather than silently skipping the policy.
+    A reasonable threshold is 3–5: below it a retrain buys little;
+    a pile-up cell reads 10x+."""
     from ..io.changefeed import change_feed
 
     _, ivf = _meta(ann_root)
     id_col, vec_col = ivf["id_col"], ivf["vec_col"]
+    if auto_retrain_skew is not None and ivf["kind"] != "ivf":
+        raise ValueError(
+            "auto_retrain_skew is float-IVF-only (ivfpq codes are "
+            "codebook-bound; rebuild via save_ivfpq_corpus)"
+        )
     if v_to is None:
         v_to = _ver.current_version(base_root)
     feed = change_feed(spark, base_root, v_from, v_to, id_col)
@@ -311,7 +329,16 @@ def sync_ivf_store(
         upsert_ivf_vectors(rows, ann_root)
     if n_del:
         delete_ivf_vectors(dels, ann_root)
-    return {"upserted": n_up, "deleted": n_del, "from": v_from, "to": v_to}
+    out = {"upserted": n_up, "deleted": n_del, "from": v_from, "to": v_to,
+           "retrained": False}
+    if auto_retrain_skew is not None and (n_up or n_del):
+        bal = ivf_cell_balance(spark, ann_root)
+        out["balance"] = bal
+        if bal["skew"] > auto_retrain_skew and bal["n_rows"]:
+            retrain_ivf_store(spark, ann_root)
+            out["retrained"] = True
+            out["balance_after"] = ivf_cell_balance(spark, ann_root)
+    return out
 
 
 def _live_rows(spark: SparkSession, path: str, m: dict, id_col: str):
