@@ -152,3 +152,98 @@ def test_requires_streaming_frame(spark, tmp_path):
         start_merge_sink(
             spark.range(3), str(tmp_path / "t"), "id", str(tmp_path / "c")
         )
+
+
+def test_rollup_rides_the_cdc_micro_batches(spark, tmp_path):
+    """Streaming rollup refresh (r13): materialized aggregates stay
+    fresh PER MICRO-BATCH under the same fences — after every
+    effective batch read_rollup ≡ a direct groupBy of the snapshot,
+    the refresh scans only the batch's file delta, a replayed batch
+    neither re-merges nor double-refreshes, and a crash between the
+    merge commit and the refresh heals on replay."""
+    from trial_submission_studio_spark.io.rollup import read_rollup
+
+    root = str(tmp_path / "table")
+    rroot = str(tmp_path / "rollup")
+    dims, measures = ["v"], {"n": ("count", None), "hi": ("max", "seq")}
+    rollups = [{"root": rroot, "dims": dims, "measures": measures}]
+
+    def direct():
+        return {
+            (r.v, r.n, r.hi)
+            for r in read_version(spark, root)
+            .groupBy("v")
+            .agg(
+                F.count(F.lit(1)).alias("n"), F.max("seq").alias("hi")
+            )
+            .collect()
+        }
+
+    def rolled():
+        return {
+            (r.v, r.n, r.hi) for r in read_rollup(spark, rroot).collect()
+        }
+
+    b0 = spark.createDataFrame(
+        [(1, "a", 1, False), (2, "a", 2, False), (3, "b", 3, False)], SCHEMA
+    )
+    assert apply_cdc_batch(
+        b0, 0, root, "k", delete_col="is_del", rollups=rollups
+    )
+    assert rolled() == direct() == {("a", 2, 2), ("b", 1, 3)}
+
+    # update + delete + insert: groups shrink AND grow
+    b1 = spark.createDataFrame(
+        [(1, "b", 4, False), (2, None, 5, True), (4, "b", 6, False)], SCHEMA
+    )
+    assert apply_cdc_batch(
+        b1, 1, root, "k", delete_col="is_del", rollups=rollups
+    )
+    assert rolled() == direct() == {("b", 3, 6)}
+    # scan audit: the refresh saw only the batch's file delta, never
+    # a full table rescan
+    rmeta = read_manifest(rroot)["metadata"]["rollup"]
+    assert rmeta["files_added"] <= 2 and rmeta["base_version"] == 2
+    r_version = current_version(rroot)
+
+    # replayed batch: merge fenced out AND no double-refresh commit
+    assert apply_cdc_batch(
+        b1, 1, root, "k", delete_col="is_del", rollups=rollups
+    ) is None
+    assert current_version(rroot) == r_version
+    assert rolled() == direct()
+
+    # crash between merge commit and refresh: batch 2 lands without
+    # the rollup hook (the crash), its replay runs the hook — the
+    # merge is fenced but the refresh catches the rollup up
+    b2 = spark.createDataFrame([(9, "c", 7, False)], SCHEMA)
+    assert apply_cdc_batch(b2, 2, root, "k", delete_col="is_del")
+    assert rolled() != direct()  # stale: the crash window
+    assert apply_cdc_batch(
+        b2, 2, root, "k", delete_col="is_del", rollups=rollups
+    ) is None
+    assert rolled() == direct() == {("b", 3, 6), ("c", 1, 7)}
+
+
+def test_rollup_in_real_stream(spark, tmp_path):
+    """The same wiring through an actual Structured Streaming query
+    (start_merge_sink(rollups=...))."""
+    from trial_submission_studio_spark.io.rollup import read_rollup
+
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "table")
+    rroot = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(
+        spark, src,
+        [(1, "a", 1, False), (2, "b", 2, False), (3, "b", 3, False)],
+    )
+    q = start_merge_sink(
+        spark.readStream.schema(SCHEMA).parquet(src),
+        root, "k", ckpt, delete_col="is_del", order_col="seq",
+        rollups=[{"root": rroot, "dims": ["v"],
+                  "measures": {"n": ("count", None)}}],
+    )
+    q.awaitTermination(120)
+    got = {(r.v, r.n) for r in read_rollup(spark, rroot).collect()}
+    assert got == {("a", 1), ("b", 2)}

@@ -60,11 +60,48 @@ def apply_cdc_batch(
     order_col: str | None = None,
     broadcast_keys: bool | str = "auto",
     verify: bool = True,
+    rollups: list[dict] | None = None,
 ) -> dict | None:
     """Apply one micro-batch; returns the published manifest, or None
     when the batch was empty or already applied (replay). Usable
-    directly for deterministic replay tests and backfills."""
+    directly for deterministic replay tests and backfills.
+
+    ``rollups`` keeps materialized aggregates (`io/rollup.py`) fresh
+    PER MICRO-BATCH: each spec ``{"root", "dims", "measures"}`` gets
+    a ``refresh_rollup`` after the merge commit, which scans only the
+    batch's file delta (the incremental contract). The refresh runs
+    even when the batch itself is a skipped replay — refresh has its
+    own base-version fence (idempotent no-op when current), and
+    running it on replay is what HEALS a crash that landed between
+    the merge commit and the refresh."""
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    out = _apply_batch(
+        batch_df, batch_id, root, key_cols,
+        delete_col=delete_col, order_col=order_col,
+        broadcast_keys=broadcast_keys, verify=verify,
+    )
+    if rollups and versioned.current_version(root) is not None:
+        from ..io.rollup import refresh_rollup
+
+        for spec in rollups:
+            refresh_rollup(
+                batch_df.sparkSession, root, spec["root"],
+                spec["dims"], spec["measures"],
+            )
+    return out
+
+
+def _apply_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    root: str,
+    key_cols: list[str],
+    *,
+    delete_col: str | None,
+    order_col: str | None,
+    broadcast_keys: bool | str,
+    verify: bool,
+) -> dict | None:
     if batch_id <= _last_applied(root):
         return None  # replayed batch: all effects already committed
     if order_col is not None:
@@ -115,11 +152,13 @@ def start_merge_sink(
     trigger_available_now: bool = True,
     broadcast_keys: bool | str = "auto",
     verify: bool = True,
+    rollups: list[dict] | None = None,
 ):
     """Start the CDC-apply query; returns the StreamingQuery.
     ``trigger_available_now`` drains what exists and stops (the
     scheduled-incremental deployment mode); False runs continuously.
-    """
+    ``rollups`` as in :func:`apply_cdc_batch` — materialized
+    aggregates ride the same micro-batch loop."""
     if not stream_df.isStreaming:
         raise ValueError("stream_df must be a streaming DataFrame")
 
@@ -133,6 +172,7 @@ def start_merge_sink(
             order_col=order_col,
             broadcast_keys=broadcast_keys,
             verify=verify,
+            rollups=rollups,
         )
 
     writer = stream_df.writeStream.foreachBatch(process_batch).option(
