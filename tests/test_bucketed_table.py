@@ -421,3 +421,73 @@ class TestKeyDtypeAlignment:
         )
         with pytest.raises(ValueError, match="dtype mismatch"):
             merge_version(spark, root2, src, "k")
+
+
+def test_sorted_bucket_spec_composes_zone_maps(spark, tmp_path):
+    """r13 composed layout: a sort-spec'd bucketed table prunes a
+    point lookup TWICE — to the probed bucket's files by hash
+    arithmetic, then to the matching sorted run by zone maps — with
+    the IN-filter pushed to parquet for row-group skipping below
+    that. Merge and dv-delete preserve both properties; compaction
+    folds runs into one zone-tight file per bucket."""
+    from trial_submission_studio_spark.io.bucketed_table import (
+        append_bucketed,
+        point_lookup_audit,
+        read_point_lookup,
+    )
+    from trial_submission_studio_spark.io.deletion_vectors import (
+        delete_matching_dv,
+    )
+    from trial_submission_studio_spark.io.versioned import compact_version
+
+    root = str(tmp_path / "t")
+    publish_bucketed(spark, _rows(spark, 0, 100), root, "k", 4,
+                     sort_cols="k")
+    append_bucketed(spark, _rows(spark, 100, 200), root)
+    append_bucketed(spark, _rows(spark, 200, 300), root)
+    m = read_manifest(root)
+    assert len(m["files"]) == 12  # 4 buckets x 3 runs
+    assert set(m["stats"]) == set(m["files"])  # zone maps on every file
+
+    audit = point_lookup_audit(spark, root, [150])
+    assert audit["files_total"] == 12
+    assert audit["files_after_bucket_prune"] == 3  # one bucket's runs
+    assert audit["files_read"] == 1  # zone maps pick the 100-199 run
+    assert audit["total_prune_fraction"] > 0.9
+
+    df = read_point_lookup(spark, root, [150])
+    assert {tuple(r) for r in df.collect()} == {
+        tuple(r) for r in _rows(spark, 150, 151).collect()
+    }
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and (
+        "In(k" in plan or "EqualTo(k" in plan
+    )
+
+    # merge preserves layout, sort, and zone-map continuity
+    src = spark.createDataFrame(
+        [(150, 9.9, "upd")], "k long, v double, payload string"
+    )
+    merge_version(spark, root, src, "k")
+    audit = point_lookup_audit(spark, root, [150])
+    assert audit["files_read"] <= 2  # fresh rewrite file got stats too
+    got = {tuple(r) for r in read_point_lookup(spark, root, [150]).collect()}
+    assert got == {(150, 9.9, "upd")}
+
+    # dv-delete composes: tombstoned row vanishes from the lookup
+    delete_matching_dv(
+        spark, root, spark.createDataFrame([(250,)], "k long"), "k"
+    )
+    assert read_point_lookup(spark, root, [250]).count() == 0
+
+    # compaction folds runs into one zone-tight file per bucket and
+    # keeps both prunes working
+    compact_version(spark, root, include_dv_files=True)
+    m = read_manifest(root)
+    assert len(m["files"]) == 4 and set(m["stats"]) == set(m["files"])
+    audit = point_lookup_audit(spark, root, [42])
+    assert audit["files_after_bucket_prune"] == 1
+    assert audit["files_read"] == 1
+    assert {tuple(r) for r in read_point_lookup(spark, root, [42]).collect()} \
+        == {tuple(r) for r in _rows(spark, 42, 43).collect()}
+    _assert_layout_consistent(spark, root)

@@ -64,6 +64,9 @@ __all__ = [
     "read_bucketed_version",
     "bucket_files",
     "read_key_pruned",
+    "append_bucketed",
+    "read_point_lookup",
+    "point_lookup_audit",
     "sync_catalog_bucketed",
 ]
 
@@ -81,13 +84,18 @@ def _write_bucketed_run(
     """One run of ``__kb=N/part-*.parquet`` files under a fresh data
     dir; returns root-relative paths. One writer task per touched
     bucket (repartition on __kb), so file count tracks bucket count,
-    not the session's shuffle-partition default."""
+    not the session's shuffle-partition default. When the spec
+    records ``sort_cols``, rows are sorted on them WITHIN each bucket
+    (the sort leads with the partition column so the writer's own
+    partition sort doesn't eliminate it — SPARK-44512 shape), making
+    the per-file parquet min/max and the manifest zone maps tight."""
     cols, n = spec["key_cols"], spec["n_buckets"]
+    order = spec.get("sort_cols") or cols
     run_dir = _ver.new_data_dir(root)
     (
         df.withColumn(BUCKET_COL, bucket_id(cols, n))
         .repartition(F.col(BUCKET_COL))
-        .sortWithinPartitions(BUCKET_COL, *cols)
+        .sortWithinPartitions(BUCKET_COL, *order)
         .write.partitionBy(BUCKET_COL)
         .mode("overwrite")  # new_data_dir pre-creates the (empty) dir
         .parquet(run_dir)
@@ -97,13 +105,27 @@ def _write_bucketed_run(
     )
 
 
-def _canon_spec(key_cols, n_buckets: int) -> dict:
+def _stats_cols(spec: dict) -> list[str] | None:
+    """Zone-map columns a spec'd table tracks: the within-bucket sort
+    columns plus the bucket keys. None for plain (unsorted) specs —
+    hash-scattered files have useless min/max, so stats stay off."""
+    if not spec.get("sort_cols"):
+        return None
+    return sorted(set(spec["sort_cols"]) | set(spec["key_cols"]))
+
+
+def _canon_spec(key_cols, n_buckets: int, sort_cols=None) -> dict:
     cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     if not cols:
         raise ValueError("need at least one bucket key column")
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
-    return {"key_cols": cols, "n_buckets": int(n_buckets)}
+    spec = {"key_cols": cols, "n_buckets": int(n_buckets)}
+    if sort_cols:
+        spec["sort_cols"] = (
+            [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        )
+    return spec
 
 
 def publish_bucketed(
@@ -113,14 +135,22 @@ def publish_bucketed(
     key_cols: str | Sequence[str],
     n_buckets: int,
     *,
+    sort_cols: str | Sequence[str] | None = None,
     metadata: dict | None = None,
 ) -> dict:
     """Write ``df`` hash-bucketed on ``key_cols`` and commit a
     version whose manifest records the ``bucket_spec`` contract.
     Later merges preserve the layout (see module docstring);
     re-publishing over an existing root with a DIFFERENT spec is
-    refused — a mixed-layout table would prune incorrectly."""
-    spec = _canon_spec(key_cols, n_buckets)
+    refused — a mixed-layout table would prune incorrectly.
+
+    ``sort_cols`` composes the two layout tools: rows are sorted on
+    them WITHIN each bucket and per-file zone maps (`io/zonemap.py`)
+    ride the manifest, so a point lookup prunes twice — to the probed
+    buckets' files by hash arithmetic, then to the matching sorted
+    runs inside them by min/max (and parquet prunes row groups below
+    that via the pushed filter; see :func:`read_point_lookup`)."""
+    spec = _canon_spec(key_cols, n_buckets, sort_cols)
     prev = bucket_spec(root) if _ver.current_version(root) else None
     if prev is not None and prev != spec:
         raise ValueError(
@@ -130,7 +160,47 @@ def publish_bucketed(
     os.makedirs(root, exist_ok=True)
     files = _write_bucketed_run(df, root, spec)
     meta = {**(metadata or {}), "bucket_spec": spec}
-    return _ver.publish_files(root, files, metadata=meta)
+    stats = None
+    cols = _stats_cols(spec)
+    if cols:
+        from .zonemap import collect_file_stats
+
+        stats = collect_file_stats(root, files, cols, spark=spark)
+    return _ver.publish_files(root, files, metadata=meta, stats=stats)
+
+
+def append_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    *,
+    metadata: dict | None = None,
+) -> dict:
+    """Append a new run to a bucket-spec'd table under its RECORDED
+    spec (LSM-style: each run adds at most one file per touched
+    bucket; runs compose and `versioned.compact_version` folds them).
+    Goes through the multi-writer commit loop as an ``append``; a
+    sort-spec'd table's fresh files get their zone maps collected on
+    the same columns."""
+    spec = bucket_spec(root)
+    if spec is None:
+        raise ValueError(f"{root} carries no bucket_spec")
+    base_v = _ver.current_version(root)
+    files = _write_bucketed_run(df, root, spec)
+    stats = None
+    cols = _stats_cols(spec)
+    if cols:
+        from .zonemap import collect_file_stats
+
+        stats = collect_file_stats(root, files, cols, spark=spark)
+    return _ver.commit_files(
+        root,
+        base_version=base_v,
+        kind="append",
+        add_files=files,
+        add_stats=stats,
+        metadata={**(metadata or {}), "bucket_spec": spec},
+    )
 
 
 def bucket_spec(root: str, version: int | None = None) -> dict | None:
@@ -217,6 +287,90 @@ def read_key_pruned(
     if dkeys.limit(probe + 1).count() <= probe:
         dkeys = F.broadcast(dkeys)
     return df.join(dkeys, spec["key_cols"], "left_semi")
+
+
+def _point_lookup_plan(
+    spark: SparkSession, root: str, values: list, version: int | None
+) -> tuple[dict, dict, list[str], dict]:
+    """Shared planning for :func:`read_point_lookup` /
+    :func:`point_lookup_audit`: (manifest, spec, files-to-read,
+    audit-counts). Two metadata-only prunes compose — bucket dirs by
+    hash arithmetic, then zone maps on the within-bucket sort order."""
+    spec = bucket_spec(root, version)
+    if spec is None:
+        raise ValueError(f"{root} carries no bucket_spec")
+    if len(spec["key_cols"]) != 1:
+        raise ValueError(
+            "read_point_lookup takes scalar values for single-column "
+            f"bucket keys; this table's key is {spec['key_cols']} — use "
+            "read_key_pruned with a keys DataFrame"
+        )
+    m = _ver.read_manifest(root, version)
+    key = spec["key_cols"][0]
+    from .table_schema import align_column_types
+
+    probe_schema = spark.read.parquet(
+        os.path.join(root, m["files"][0])
+    ).schema
+    keys = align_column_types(
+        spark.createDataFrame([(v,) for v in values]).toDF(key),
+        probe_schema, cols=[key], context="read_point_lookup",
+    )
+    mine = bucket_files(m, probe_bucket_ids(keys, spec))
+    audit = {"files_total": len(m["files"]),
+             "files_after_bucket_prune": len(mine)}
+    read = mine
+    if m.get("stats"):
+        from .zonemap import prune_files
+
+        sub = dict(m, files=mine,
+                   stats={f: s for f, s in m["stats"].items() if f in mine})
+        read = prune_files(sub, [(key, "in", list(values))])["kept"]
+    audit["files_read"] = len(read)
+    return m, spec, read, audit
+
+
+def read_point_lookup(
+    spark: SparkSession,
+    root: str,
+    values: list,
+    *,
+    version: int | None = None,
+) -> DataFrame:
+    """Rows whose (single-column) bucket key is in ``values`` —
+    planned with BOTH layout prunes: the probed buckets' files only
+    (hash arithmetic), then only the sorted runs whose zone maps can
+    contain a probed value, and the IN-filter pushed to parquet so
+    row groups inside the surviving files skip too. Semantically
+    identical to ``read_bucketed_version(...).filter(key.isin(...))``
+    (pinned by tests); deletion vectors apply."""
+    m, spec, read, _ = _point_lookup_plan(spark, root, values, version)
+    key = spec["key_cols"][0]
+    if not read:
+        return read_bucketed_version(spark, root, version).limit(0).filter(
+            F.col(key).isin(list(values))
+        )
+    from .deletion_vectors import read_with_dv
+
+    df = read_with_dv(spark, root, m, read)
+    return df.filter(F.col(key).isin(list(values)))
+
+
+def point_lookup_audit(
+    spark: SparkSession,
+    root: str,
+    values: list,
+    *,
+    version: int | None = None,
+) -> dict:
+    """Metadata-only answer to "how much does this lookup skip?":
+    file counts after each prune stage plus the composed fractions —
+    the planning tool for picking n_buckets and sort_cols."""
+    _, _, _, audit = _point_lookup_plan(spark, root, values, version)
+    total = audit["files_total"] or 1
+    audit["bucket_prune_fraction"] = 1 - audit["files_after_bucket_prune"] / total
+    audit["total_prune_fraction"] = 1 - audit["files_read"] / total
+    return audit
 
 
 _TABLE_RE = r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)?"
