@@ -2496,13 +2496,59 @@ _ZORDER_COLS = (
 _ZORDER_BITS = 8
 
 
+_DV_GATE_MEMO: dict = {}
+
+
+def _dv_gate_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read delete lifecycle for the layout gate fold
+    (io/deletion_vectors.py): publish the orders keys as a versioned
+    snapshot, tombstone every key divisible by 97 via
+    delete_matching_dv (O(k) sidecar, zero data files rewritten), and
+    hand back the post-delete READ — whose survivors the DuckDB
+    oracle mirrors as a plain WHERE. Build+delete memoized per
+    sf_dir; the read re-executes per call (that is the path under
+    test)."""
+    root = _DV_GATE_MEMO.get(sf_dir)
+    if root is None:
+        import os as _os
+        import tempfile
+
+        from trial_submission_studio_spark.io.deletion_vectors import (
+            delete_matching_dv,
+        )
+        from trial_submission_studio_spark.io.versioned import (
+            new_data_dir,
+            publish_version,
+        )
+
+        root = tempfile.mkdtemp(prefix="tss-dvgate-") + "/t"
+        _os.makedirs(root)
+        d = new_data_dir(root)
+        orders = _t(spark, sf_dir, "orders").select("o_orderkey")
+        orders.repartition(4).write.parquet(d, mode="append")
+        publish_version(root, d)
+        delete_matching_dv(
+            spark, root,
+            orders.filter(F.col("o_orderkey") % 97 == 0),
+            "o_orderkey", verify=False,
+        )
+        _DV_GATE_MEMO[sf_dir] = root
+    from trial_submission_studio_spark.io.versioned import read_version
+
+    return read_version(spark, root)
+
+
 def layout_zorder_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order (Morton) clustering-key gate (operators/layout.py):
-    bucketize three lineitem measures over pinned bounds and
-    interleave their bits — the key `zorder_layout` range-shuffles
-    on. The gate pins the key computation bit-exactly (count,
-    distinct keys, sum/min/max); the layout/pruning effect itself is
-    covered by tests/test_layout.py (file-layout assertions are not
+    """Z-order (Morton) clustering-key gate (operators/layout.py) +
+    the r13 deletion-vector fold (io/deletion_vectors.py): bucketize
+    three lineitem measures over pinned bounds and interleave their
+    bits — the key `zorder_layout` range-shuffles on — and, on the
+    same gate row, the survivor aggregate of a tombstone-deleted
+    versioned snapshot of the orders keys (count/sum/min/max of the
+    live keys after delete_matching_dv), which the oracle mirrors
+    with a WHERE. Pins the merge-on-read READ PATH against DuckDB;
+    file-layout and bytes-written assertions live in
+    tests/test_layout.py and tests/test_deletion_vectors.py (not
     SQL-expressible)."""
     from trial_submission_studio_spark.operators.layout import (
         bucketize,
@@ -2514,13 +2560,20 @@ def layout_zorder_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         [bucketize(c, lo, hi, _ZORDER_BITS) for c, lo, hi in _ZORDER_COLS],
         _ZORDER_BITS,
     )
-    return li.select(zk.alias("zkey")).agg(
+    z = li.select(zk.alias("zkey")).agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.countDistinct("zkey").cast("long").alias("n_keys"),
         F.sum("zkey").cast("long").alias("zkey_sum"),
         F.min("zkey").cast("long").alias("zkey_min"),
         F.max("zkey").cast("long").alias("zkey_max"),
     )
+    dv = _dv_gate_survivors(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("dv_n_rows"),
+        F.sum("o_orderkey").cast("long").alias("dv_key_sum"),
+        F.min("o_orderkey").cast("long").alias("dv_key_min"),
+        F.max("o_orderkey").cast("long").alias("dv_key_max"),
+    )
+    return z.crossJoin(dv)
 
 
 def _zorder_oracle_sql() -> str:
@@ -2547,12 +2600,20 @@ def _zorder_oracle_sql() -> str:
         z AS (
           SELECT {' | '.join(terms)} AS zkey FROM b
         )
-        SELECT count(*) AS n_rows,
-               count(DISTINCT zkey) AS n_keys,
-               CAST(sum(zkey) AS BIGINT) AS zkey_sum,
-               min(zkey) AS zkey_min,
-               max(zkey) AS zkey_max
-        FROM z
+        SELECT z.*, dv.* FROM (
+          SELECT count(*) AS n_rows,
+                 count(DISTINCT zkey) AS n_keys,
+                 CAST(sum(zkey) AS BIGINT) AS zkey_sum,
+                 min(zkey) AS zkey_min,
+                 max(zkey) AS zkey_max
+          FROM z
+        ) z CROSS JOIN (
+          SELECT count(*) AS dv_n_rows,
+                 CAST(sum(o_orderkey) AS BIGINT) AS dv_key_sum,
+                 min(o_orderkey) AS dv_key_min,
+                 max(o_orderkey) AS dv_key_max
+          FROM orders WHERE o_orderkey % 97 <> 0
+        ) dv
     """
 
 
@@ -2877,6 +2938,120 @@ def ann_store_topk_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ANN_BENCH_MEMO[sf_dir] = root
     queries = vecs.filter(F.col("vec_id") % 251 == 0).limit(8)
     return saved_ivf_topk(spark, root, queries, k=10, n_probe=2)
+
+
+_IVF_RETRAIN_BENCH_MEMO: dict = {}
+
+
+def ivf_retrain_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic IVF retrain (operators/ann_store.py:retrain_ivf_store):
+    per timed run, one sample-k-means retrain + full clustered
+    rewrite + centroid-swap commit of the persisted store — the
+    maintenance cost `sync_ivf_store(auto_retrain_skew=...)` pays
+    when drift trips it. Store build memoized per sf_dir (the first
+    timed run pays it; the median drops it). Benched extra, NOT a
+    contract slot — balance-restoration and answer equivalence are
+    pinned by tests/test_ann_store.py and test_maintenance.py."""
+    import tempfile
+
+    from trial_submission_studio_spark.operators.ann_store import (
+        ivf_cell_balance,
+        retrain_ivf_store,
+        save_ivf_corpus,
+    )
+
+    root = _IVF_RETRAIN_BENCH_MEMO.get(sf_dir)
+    if root is None:
+        vecs = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        root = tempfile.mkdtemp(prefix="tss-ivfretrain-bench-") + "/s"
+        save_ivf_corpus(vecs, root, n_centroids=32)
+        _IVF_RETRAIN_BENCH_MEMO[sf_dir] = root
+    m = retrain_ivf_store(spark, root)
+    bal = ivf_cell_balance(spark, root)
+    return spark.createDataFrame(
+        [(m["version"], bal["n_rows"], float(bal["skew"]))],
+        "version long, n_rows long, skew double",
+    )
+
+
+_DELETE_BENCH_MEMO: dict = {}
+
+
+def _delete_bench_next_keys(spark: SparkSession, sf_dir: str, mode: str):
+    """Shared fixture for the delete-pair benches: a versioned,
+    key-clustered events snapshot PER MODE (deletes mutate state, so
+    cow and dv get independent roots), plus a per-run cursor that
+    hands each timed run a fresh slice of ~500 live keys SCATTERED
+    across every file — the hash-scattered GDPR-erasure shape where
+    copy-on-write degenerates to a near-full rewrite and deletion
+    vectors stay O(k)."""
+    import tempfile
+
+    from trial_submission_studio_spark.io.versioned import (
+        new_data_dir,
+        publish_version,
+    )
+
+    memo = _DELETE_BENCH_MEMO.get((sf_dir, mode))
+    if memo is None:
+        root = tempfile.mkdtemp(prefix=f"tss-del-{mode}-bench-") + "/t"
+        import os as _os
+
+        _os.makedirs(root)
+        d = new_data_dir(root)
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        n = ev.count()
+        (
+            ev.repartitionByRange(_bench_file_count(ev), "event_id")
+            .write.parquet(d, mode="append")
+        )
+        publish_version(root, d)
+        memo = {"root": root, "stride": max(1, n // 500), "run": 0}
+        _DELETE_BENCH_MEMO[(sf_dir, mode)] = memo
+    r, stride = memo["run"], memo["stride"]
+    memo["run"] += 1
+    keys = spark.range(0, 500).selectExpr(
+        f"id * {stride} + {r % stride} AS event_id"
+    )
+    return memo["root"], keys
+
+
+def table_delete_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write control for table_delete_dv: the SAME scattered
+    500-key erasure via io/merge.py:delete_matching — every file
+    containing a doomed key is rewritten, so cost is O(touched file
+    bytes). Benched extra; semantics pinned by tests/test_merge.py."""
+    from trial_submission_studio_spark.io.merge import delete_matching
+
+    root, keys = _delete_bench_next_keys(spark, sf_dir, "cow")
+    m = delete_matching(spark, root, keys, "event_id", verify=False)
+    st = m["metadata"]["merge"]
+    return spark.createDataFrame(
+        [(st["files_rewritten"], st["files_kept"])],
+        "files_rewritten int, files_kept int",
+    )
+
+
+def table_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read deletion vectors
+    (io/deletion_vectors.py:delete_matching_dv): the SAME scattered
+    500-key erasure writes one O(k) tombstone sidecar and zero data
+    files — the pair's delta vs table_delete_cow is the measured
+    write-amplification win. Benched extra; read-equivalence and the
+    bytes-written audit are pinned by tests/test_deletion_vectors.py."""
+    from trial_submission_studio_spark.io.deletion_vectors import (
+        delete_matching_dv,
+    )
+
+    root, keys = _delete_bench_next_keys(spark, sf_dir, "dv")
+    m = delete_matching_dv(spark, root, keys, "event_id", verify=False)
+    st = m["metadata"]["merge"]
+    return spark.createDataFrame(
+        [(st["rows_deleted"], st["files_affected"], st["files_rewritten"])],
+        "rows_deleted long, files_affected int, files_rewritten int",
+    )
 
 
 def bm25_retrieval_bench(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -326,6 +326,13 @@ def main() -> None:
         # operators/ann_store.py are measured, not argued
         "rollup_refresh_bench",
         "ann_store_topk_bench",
+        # round-13: the delete pair (copy-on-write vs merge-on-read
+        # deletion vectors — same scattered 500-key erasure, the
+        # delta is the measured write-amplification win) and the
+        # atomic IVF retrain that auto-maintenance pays on drift
+        "table_delete_cow",
+        "table_delete_dv",
+        "ivf_retrain_bench",
     )
     # LLM-pipeline extras that ALSO run in the 10× scale sweep — these
     # carry the 100 TB design claims, so their curvature is measured,
@@ -368,6 +375,13 @@ def main() -> None:
         "zonemap_scan_pruned",
         "rollup_refresh_bench",
         "ann_store_topk_bench",
+        # round-13: expected curvature — cow erasure ~10x (rewrites
+        # every touched file; file count grows with data), dv erasure
+        # ~flat (O(k) sidecar regardless of table size), retrain ~10x
+        # (full clustered rewrite is honestly linear)
+        "table_delete_cow",
+        "table_delete_dv",
+        "ivf_retrain_bench",
     )
     for name in EXTRA_QUERIES:
         if name not in qs:
@@ -400,23 +414,31 @@ def main() -> None:
     # is not a scaling measurement); ratio ≈ 10 is linear,
     # ratio ≫ 10 flags super-linear cost.
     SF1_RUNS = 3
+    SF1_MAX_RUNS = 5
     sf1: dict[str, float] = {}
     sf1_spread: dict[str, dict] = {}
     ratios: dict[str, float] = {}
 
     def _sf1_timed(name: str, fn, sf1_dir: str) -> None:
+        # adaptive repeats (r12 verdict: t9's sf1 spread was 3.9x
+        # max/min at 3 runs — unreadable): take 3, and if max/min > 2
+        # the query is jitter-dominated at this duration, so extend
+        # to 5 and report the median of all runs. Sub-second queries
+        # get the extra draws; long stable ones don't pay for them.
         runs = []
-        for _ in range(SF1_RUNS):
+        for _ in range(SF1_MAX_RUNS):
             t0 = time.time()
             fn(spark, sf1_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
             gc.collect()
+            if len(runs) >= SF1_RUNS and max(runs) / max(min(runs), 1e-9) <= 2:
+                break
         sf1[name] = round(statistics.median(runs), 3)
         sf1_spread[name] = {
             "min": round(min(runs), 3),
             "median": sf1[name],
             "max": round(max(runs), 3),
-            "runs": SF1_RUNS,
+            "runs": len(runs),
         }
 
     if os.environ.get("SPARK_GRAFT_SCALE_SWEEP", "1") == "1" and sf == "0.1":
