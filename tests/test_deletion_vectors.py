@@ -292,3 +292,21 @@ def test_dv_verify_detects_tampering(spark, tmp_path):
     )
     assert m["metadata"]["merge"]["rows_deleted"] == 2
     assert len(_snap(spark, root)) == 38
+
+
+def test_diff_versions_surfaces_dv_deltas(spark, tmp_path):
+    """A dv-only commit changes no files; the manifest audit must not
+    read it as 'no change' — dv_changed names the touched files and
+    n_dv_rows_delta counts the new tombstones."""
+    from trial_submission_studio_spark.io.versioned import diff_versions
+
+    root = _publish(spark, tmp_path, n=40, n_files=2)
+    v0 = current_version(root)
+    delete_matching_dv(spark, root, _keys(spark, [5, 6]), "k")
+    v1 = current_version(root)
+    d = diff_versions(root, v0, v1)
+    assert d["added"] == [] and d["removed"] == []
+    assert len(d["dv_changed"]) >= 1
+    assert d["n_dv_rows_delta"] == 2
+    # reverse direction: the delta is negative
+    assert diff_versions(root, v1, v0)["n_dv_rows_delta"] == -2

@@ -247,3 +247,82 @@ def test_rollup_in_real_stream(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r.v, r.n) for r in read_rollup(spark, rroot).collect()}
     assert got == {("a", 1), ("b", 2)}
+
+
+def test_dv_delete_mode_tombstones_and_two_phase_fence(spark, tmp_path):
+    """delete_mode='dv' (r13): stream-borne erasures tombstone in
+    O(k) instead of rewriting files each micro-batch. A mixed batch
+    is two commits under a two-phase fence — the upsert merge marks
+    the batch PENDING, the tombstone commit applies it — so a crash
+    between the phases resumes at the delete step on replay without
+    re-merging, and rollups stay exact over the dv commits."""
+    from trial_submission_studio_spark.io.deletion_vectors import dv_map
+    from trial_submission_studio_spark.io.merge import merge_version
+    from trial_submission_studio_spark.io.rollup import read_rollup
+    from trial_submission_studio_spark.streaming.cdc import _last_applied
+
+    root = str(tmp_path / "table")
+    rroot = str(tmp_path / "rollup")
+    rollups = [{"root": rroot, "dims": [],
+                "measures": {"n": ("count", None)}}]
+    b0 = spark.createDataFrame(
+        [(k, f"v{k}", 1, False) for k in range(1, 5)], SCHEMA
+    )
+    apply_cdc_batch(b0, 0, root, "k", delete_col="is_del",
+                    delete_mode="dv", rollups=rollups)
+
+    # mixed batch: update k=1, delete k=2 and k=3, insert k=5
+    b1 = spark.createDataFrame(
+        [(1, "a2", 2, False), (2, None, 2, True), (3, None, 2, True),
+         (5, "e", 2, False)], SCHEMA
+    )
+    m = apply_cdc_batch(b1, 1, root, "k", delete_col="is_del",
+                        delete_mode="dv", rollups=rollups)
+    assert _rows(spark, root) == {(1, "a2"), (4, "v4"), (5, "e")}
+    assert m["metadata"]["cdc"]["last_batch_id"] == 1
+    assert m["metadata"]["merge"]["op"] == "delete_dv"
+    assert m["metadata"]["merge"]["files_rewritten"] == 0  # tombstones
+    assert dv_map(m)
+    # the intermediate upsert commit is marked pending, not applied
+    assert read_manifest(root, m["version"] - 1)["metadata"]["cdc"] == {
+        "pending_batch_id": 1
+    }
+    assert _last_applied(root) == 1
+    # rollup exact over the two-phase commits
+    assert read_rollup(spark, rroot).collect()[0]["n"] == 3
+
+    # replay: fenced whole, no new versions
+    v = current_version(root)
+    assert apply_cdc_batch(b1, 1, root, "k", delete_col="is_del",
+                           delete_mode="dv", rollups=rollups) is None
+    assert current_version(root) == v
+
+    # crash between the phases: phase 1 landed (pending marker),
+    # phase 2 never ran — emulate by committing the upsert merge by
+    # hand, then replaying the full batch
+    b2 = spark.createDataFrame(
+        [(4, "v4b", 3, False), (5, None, 3, True)], SCHEMA
+    )
+    merge_version(
+        spark, root,
+        b2.filter(~F.col("is_del")).drop("is_del"),
+        "k", metadata={"cdc": {"pending_batch_id": 2}},
+    )
+    assert _last_applied(root) == 1  # pending != applied
+    v_pending = current_version(root)
+    m2 = apply_cdc_batch(b2, 2, root, "k", delete_col="is_del",
+                         delete_mode="dv", rollups=rollups)
+    # resume: exactly ONE more commit (the tombstone phase) — the
+    # upserts were not re-merged
+    assert m2["version"] == v_pending + 1
+    assert _last_applied(root) == 2
+    assert _rows(spark, root) == {(1, "a2"), (4, "v4b")}
+    assert read_rollup(spark, rroot).collect()[0]["n"] == 2
+
+    # delete-only batch whose keys are already gone: still fenced
+    b3 = spark.createDataFrame([(5, None, 4, True)], SCHEMA)
+    m3 = apply_cdc_batch(b3, 3, root, "k", delete_col="is_del",
+                         delete_mode="dv")
+    assert m3["metadata"]["cdc"]["last_batch_id"] == 3
+    assert _last_applied(root) == 3
+    assert _rows(spark, root) == {(1, "a2"), (4, "v4b")}

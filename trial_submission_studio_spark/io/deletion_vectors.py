@@ -116,18 +116,25 @@ def read_dv(
     rel_files: list[str] | None = None,
 ) -> DataFrame | None:
     """The ``(FILE_COL, POS_COL)`` tombstone pairs relevant to
-    ``rel_files`` (default: all files), or None when none exist. May
-    contain pairs for OTHER files (one sidecar can cover many files)
-    — harmless in the anti-join, which matches on file + position."""
+    ``rel_files`` (default: all files), or None when none exist. A
+    sidecar can cover many files and keeps pairs for since-rewritten
+    ones until vacuum, so the rows are semi-filtered to exactly the
+    requested files (file-count-sized broadcast) — which also makes
+    the manifest's per-file ``rows`` counts an EXACT size estimate
+    for the broadcast decision."""
     m = dv_map(manifest)
-    files = rel_files if rel_files is not None else manifest["files"]
-    sidecars = sorted(
-        {s for f in files for s in m.get(f, {}).get("sidecars", ())}
-    )
+    files = [
+        f
+        for f in (rel_files if rel_files is not None else manifest["files"])
+        if f in m
+    ]
+    sidecars = sorted({s for f in files for s in m[f]["sidecars"]})
     if not sidecars:
         return None
     dv = spark.read.parquet(*_paths(root, sidecars)).select(FILE_COL, POS_COL)
-    if dv_rows(manifest, list(files)) <= _BROADCAST_DV_ROWS:
+    mine = spark.createDataFrame([(f,) for f in files], f"{FILE_COL} string")
+    dv = dv.join(F.broadcast(mine), FILE_COL, "left_semi")
+    if dv_rows(manifest, files) <= _BROADCAST_DV_ROWS:
         dv = F.broadcast(dv)
     return dv
 

@@ -14,9 +14,14 @@ Layout::
     root/
       data/<run-id>/part-*.parquet   immutable; each writer uses a
                                      fresh run-id, never overwrites
+      dv/<run-id>/part-*.parquet     deletion-vector sidecars
+                                     (io/deletion_vectors.py): O(k)
+                                     tombstone pairs per delete commit
       _versions/v00000001.json       manifest: explicit file list +
+                                     stats/schema/dv contracts +
                                      counts + user metadata
       _versions/CURRENT              pointer file -> version number
+                                     (hint only; newest manifest wins)
 
 Protocol:
 
@@ -529,10 +534,18 @@ def rollback(root: str, to_version: int) -> dict:
 def diff_versions(root: str, v_from: int, v_to: int) -> dict:
     """What changed between two snapshots — file-level audit from the
     manifests alone (metadata-scale at any corpus size): added and
-    removed file lists plus net file-count delta. The operational
-    answer to "what did last night's ingest actually publish?"."""
-    a = set(read_manifest(root, v_from)["files"])
-    b = set(read_manifest(root, v_to)["files"])
+    removed file lists, net file-count delta, and the files whose
+    deletion-vector state changed (a merge-on-read delete commit is
+    INVISIBLE at file grain — ``dv_changed`` is how the audit sees
+    it; `io/changefeed.py` gives the row-level answer). The
+    operational answer to "what did last night's ingest actually
+    publish?"."""
+    ma, mb = read_manifest(root, v_from), read_manifest(root, v_to)
+    a, b = set(ma["files"]), set(mb["files"])
+    dv_a, dv_b = ma.get("dv") or {}, mb.get("dv") or {}
+    dv_changed = sorted(
+        f for f in a & b if dv_a.get(f) != dv_b.get(f)
+    )
     return {
         "from": v_from,
         "to": v_to,
@@ -541,6 +554,9 @@ def diff_versions(root: str, v_from: int, v_to: int) -> dict:
         "n_added": len(b - a),
         "n_removed": len(a - b),
         "n_delta": len(b) - len(a),
+        "dv_changed": dv_changed,
+        "n_dv_rows_delta": sum(e["rows"] for e in dv_b.values())
+        - sum(e["rows"] for e in dv_a.values()),
     }
 
 

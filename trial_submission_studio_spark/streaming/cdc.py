@@ -45,7 +45,9 @@ def _last_applied(root: str) -> int:
         return -1
     for v in sorted(versions, reverse=True):
         cdc = versioned.read_manifest(root, v)["metadata"].get("cdc")
-        if cdc is not None:
+        if cdc is not None and "last_batch_id" in cdc:
+            # pending_batch_id-only commits (dv-mode phase 1) are NOT
+            # applied batches — the delete phase still has to run
             return cdc["last_batch_id"]
     return -1
 
@@ -61,6 +63,7 @@ def apply_cdc_batch(
     broadcast_keys: bool | str = "auto",
     verify: bool = True,
     rollups: list[dict] | None = None,
+    delete_mode: str = "cow",
 ) -> dict | None:
     """Apply one micro-batch; returns the published manifest, or None
     when the batch was empty or already applied (replay). Usable
@@ -73,12 +76,26 @@ def apply_cdc_batch(
     even when the batch itself is a skipped replay — refresh has its
     own base-version fence (idempotent no-op when current), and
     running it on replay is what HEALS a crash that landed between
-    the merge commit and the refresh."""
+    the merge commit and the refresh.
+
+    ``delete_mode="dv"`` applies the batch's delete rows as
+    merge-on-read tombstones (`io/deletion_vectors.py`) instead of
+    copy-on-write rewrites — the right steady-state for streams that
+    carry scattered erasures (GDPR feeds), where CoW would rewrite
+    the touched files EVERY micro-batch. A mixed batch becomes two
+    commits (upserts merge, then deletes tombstone) under a
+    two-phase fence: the upsert commit marks the batch id PENDING,
+    only the delete commit marks it applied, and a replay of a batch
+    whose pending marker is newest resumes at the delete step
+    (idempotent — tombstoning already-dead rows is a no-op)."""
+    if delete_mode not in ("cow", "dv"):
+        raise ValueError("delete_mode must be 'cow' or 'dv'")
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     out = _apply_batch(
         batch_df, batch_id, root, key_cols,
         delete_col=delete_col, order_col=order_col,
         broadcast_keys=broadcast_keys, verify=verify,
+        delete_mode=delete_mode,
     )
     if rollups and versioned.current_version(root) is not None:
         from ..io.rollup import refresh_rollup
@@ -91,6 +108,19 @@ def apply_cdc_batch(
     return out
 
 
+def _pending_batch(root: str) -> int:
+    """The NEWEST commit's pending CDC batch id (a dv-mode upsert
+    commit that crashed before its delete commit), or -1. Only the
+    newest commit counts: any later commit means the delete step
+    either completed (its commit carries last_batch_id) or the
+    pending batch was superseded."""
+    versions = versioned.list_versions(root)
+    if not versions:
+        return -1
+    cdc = versioned.read_manifest(root)["metadata"].get("cdc") or {}
+    return cdc.get("pending_batch_id", -1)
+
+
 def _apply_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -101,9 +131,11 @@ def _apply_batch(
     order_col: str | None,
     broadcast_keys: bool | str,
     verify: bool,
+    delete_mode: str = "cow",
 ) -> dict | None:
     if batch_id <= _last_applied(root):
         return None  # replayed batch: all effects already committed
+    resume_deletes = delete_mode == "dv" and _pending_batch(root) == batch_id
     if order_col is not None:
         w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
         batch_df = (
@@ -129,6 +161,47 @@ def _apply_batch(
         run_dir = versioned.new_data_dir(root)
         rows.write.mode("overwrite").parquet(run_dir)
         return versioned.publish_version(root, run_dir, metadata=meta)
+    if delete_mode == "dv" and delete_col is not None:
+        from ..io.deletion_vectors import delete_matching_dv
+
+        spark = batch_df.sparkSession
+        is_del = F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+        data_cols = [c for c in batch_df.columns if c != delete_col]
+        upserts = batch_df.filter(~is_del).select(*data_cols)
+        del_keys = batch_df.filter(is_del).select(*key_cols)
+        has_dels = del_keys.limit(1).count() > 0
+        out = None
+        if not resume_deletes and upserts.limit(1).count() > 0:
+            # phase 1: the upsert merge marks the batch PENDING when
+            # a delete phase follows — a crash between the commits
+            # replays into the delete step, never re-merges
+            phase_meta = (
+                {"cdc": {"pending_batch_id": batch_id}} if has_dels else meta
+            )
+            out = merge_version(
+                spark, root, upserts, key_cols,
+                broadcast_keys=broadcast_keys, verify=verify,
+                metadata=phase_meta,
+            )
+        if has_dels:
+            # phase 2: scattered erasures tombstone in O(k) — and
+            # carry the batch fence; re-tombstoning dead rows on a
+            # resume is a no-op, so this phase is idempotent. A
+            # no-op delete (all keys already gone) must still fence
+            # the batch, hence the explicit empty commit fallback.
+            out2 = delete_matching_dv(
+                spark, root, del_keys, key_cols,
+                broadcast_keys=broadcast_keys, verify=verify,
+                metadata=meta,
+            )
+            if out2["metadata"].get("cdc", {}).get("last_batch_id") != batch_id:
+                m = versioned.read_manifest(root)
+                out2 = versioned.commit_files(
+                    root, base_version=m["version"], kind="append",
+                    metadata=meta,
+                )
+            out = out2
+        return out
     return merge_version(
         batch_df.sparkSession,
         root,
@@ -153,12 +226,14 @@ def start_merge_sink(
     broadcast_keys: bool | str = "auto",
     verify: bool = True,
     rollups: list[dict] | None = None,
+    delete_mode: str = "cow",
 ):
     """Start the CDC-apply query; returns the StreamingQuery.
     ``trigger_available_now`` drains what exists and stops (the
     scheduled-incremental deployment mode); False runs continuously.
-    ``rollups`` as in :func:`apply_cdc_batch` — materialized
-    aggregates ride the same micro-batch loop."""
+    ``rollups`` and ``delete_mode`` as in :func:`apply_cdc_batch` —
+    materialized aggregates ride the same micro-batch loop, and
+    erasure-heavy streams can tombstone instead of rewrite."""
     if not stream_df.isStreaming:
         raise ValueError("stream_df must be a streaming DataFrame")
 
@@ -173,6 +248,7 @@ def start_merge_sink(
             broadcast_keys=broadcast_keys,
             verify=verify,
             rollups=rollups,
+            delete_mode=delete_mode,
         )
 
     writer = stream_df.writeStream.foreachBatch(process_batch).option(
