@@ -310,3 +310,25 @@ def test_diff_versions_surfaces_dv_deltas(spark, tmp_path):
     assert d["n_dv_rows_delta"] == 2
     # reverse direction: the delta is negative
     assert diff_versions(root, v1, v0)["n_dv_rows_delta"] == -2
+
+
+def test_dv_free_reads_plan_plain_scans(spark, tmp_path):
+    """Plan-shape guard: a table with NO tombstones must read as a
+    plain scan (zero joins — the dv machinery costs nothing until
+    used), and a dv'd table pays exactly one anti-join on the
+    tombstoned files' branch."""
+    root = _publish(spark, tmp_path, n=40, n_files=2)
+
+    def _plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    plan = _plan(read_version(spark, root))
+    assert "Join" not in plan
+
+    delete_matching_dv(spark, root, _keys(spark, [1]), "k")
+    plan = _plan(read_version(spark, root))
+    assert "LeftAnti" in plan
+    # only the dv'd file's branch pays the anti-join: the clean file
+    # still scans plain (union of plain + anti-joined branches)
+    m = read_manifest(root)
+    assert len(dv_map(m)) == 1 and len(m["files"]) == 2

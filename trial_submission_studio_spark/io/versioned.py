@@ -826,8 +826,9 @@ def maintain_table(
 
     Concurrency: compaction goes through the multi-writer commit loop
     as a ``maintenance`` commit; if a racing writer rewrote the same
-    files this raises :class:`TableConflictError` — re-run on the
-    next cycle (maintenance is never urgent)."""
+    files, the conflict is swallowed and reported
+    (``conflict=True``) — maintenance is never urgent, the next
+    cycle re-plans against the new current version."""
     health = table_health(
         root, target_bytes=target_bytes, small_threshold=small_threshold,
     )
@@ -837,17 +838,23 @@ def maintain_table(
         "health": health,
         "compacted": False,
         "dv_folded": False,
+        "conflict": False,
         "version": health["version"],
     }
     if compact:
-        m = compact_version(
-            spark,
-            root,
-            target_bytes=target_bytes,
-            small_threshold=small_threshold,
-            include_dv_files=fold,
-            verify=verify,
-        )
+        try:
+            m = compact_version(
+                spark,
+                root,
+                target_bytes=target_bytes,
+                small_threshold=small_threshold,
+                include_dv_files=fold,
+                verify=verify,
+            )
+        except TableConflictError:
+            out["conflict"] = True
+            out["version"] = current_version(root)
+            return out
         out["compacted"] = m["version"] != health["version"]
         out["dv_folded"] = fold and out["compacted"]
         out["version"] = m["version"]

@@ -388,13 +388,28 @@ def start_dedup_ingest(
             cur = V.current_version(corpus_dir)
             base = [] if cur is None else V.read_manifest(corpus_dir, cur)["files"]
             prefix = f"batch_id={batch_id}/"
-            keep = [f for f in base if not f.startswith(prefix)]
+            replaced = [f for f in base if f.startswith(prefix)]
             fresh = [
                 os.path.relpath(p, corpus_dir) for p in V.data_files(batch_dir)
             ]
-            if fresh:  # an all-duplicate batch publishes nothing new
+            if fresh and cur is None:
                 V.publish_files(
-                    corpus_dir, keep + fresh, metadata={"batch_id": batch_id}
+                    corpus_dir, fresh, metadata={"batch_id": batch_id}
+                )
+            elif fresh:
+                # multi-writer commit loop: a normal batch is a pure
+                # append (rebases over concurrent compaction); a
+                # REPLAY replaces its own prefix's files —
+                # row-preserving, so "maintenance" — and correctly
+                # conflicts if a concurrent compaction already folded
+                # those files into mixed-batch outputs
+                V.commit_files(
+                    corpus_dir,
+                    base_version=cur,
+                    kind="maintenance" if replaced else "append",
+                    add_files=fresh,
+                    remove_files=replaced,
+                    metadata={"batch_id": batch_id},
                 )
 
     writer = (
