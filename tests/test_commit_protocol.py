@@ -208,3 +208,43 @@ def test_rollback_restores_contracts(spark, tmp_path):
         ).collect()
     }
     assert got == {(7, 7)}
+
+
+def test_racing_rollup_refreshes_cannot_double_count(spark, tmp_path):
+    """Two refreshes computed against the same rollup state must not
+    both land (double-counted partials): the partials append is a
+    KEYED commit, so the stale writer conflicts loudly."""
+    from trial_submission_studio_spark.io.rollup import (
+        read_rollup,
+        refresh_rollup,
+    )
+
+    base = _publish(spark, tmp_path, [(k, k) for k in range(20)], name="b")
+    rroot = str(tmp_path / "r")
+    refresh_rollup(spark, base, rroot, [], {"n": ("count", None)})
+    v_r = current_version(rroot)
+
+    # a second base commit, refreshed normally — incremental partial
+    # appends commit as KEYED (they read the store state)
+    publish_version(
+        base, _write_run(spark, base, [(100, 1)]),
+        base_version=current_version(base),
+    )
+    m = refresh_rollup(spark, base, rroot, [], {"n": ("count", None)})
+    assert m["metadata"]["commit_kind"] == "keyed"
+    assert read_rollup(spark, rroot).collect()[0]["n"] == 21
+
+    # a stale writer that computed partials against v_r tries to land
+    # them now: refused (keyed-over-keyed), store unchanged
+    d = new_data_dir(rroot)
+    _kv(spark, [(0, 0)]).write.parquet(d, mode="append")
+    import os as _os
+
+    from trial_submission_studio_spark.io.versioned import data_files
+
+    with pytest.raises(TableConflictError):
+        commit_files(
+            rroot, base_version=v_r, kind="keyed",
+            add_files=[_os.path.relpath(p, rroot) for p in data_files(d)],
+        )
+    assert read_rollup(spark, rroot).collect()[0]["n"] == 21

@@ -266,12 +266,28 @@ def refresh_rollup(
             append_meta = {
                 "rollup": {**meta["rollup"], "pending_removed": retire_tags}
             }
-        out = versioned.publish_version(
-            rollup_root,
-            run_dir,
-            base_version=versioned.current_version(rollup_root),
-            metadata=append_meta,
-        )
+        base_v = versioned.current_version(rollup_root)
+        fresh_files = [
+            os.path.relpath(p, rollup_root)
+            for p in versioned.data_files(run_dir)
+        ]
+        if base_v is None:
+            out = versioned.publish_files(
+                rollup_root, fresh_files, metadata=append_meta
+            )
+        else:
+            # KEYED commit, not a plain append: the partials were
+            # computed against the store state read above, so two
+            # refreshes racing the same base must not both land —
+            # the loser gets a TableConflictError instead of
+            # silently double-counting the same source files
+            out = versioned.commit_files(
+                rollup_root,
+                base_version=base_v,
+                kind="keyed",
+                add_files=fresh_files,
+                metadata=append_meta,
+            )
 
     # 2) retire partials of files no longer in the snapshot (or
     #    superseded by a new dv generation) — file-grain

@@ -248,6 +248,12 @@ def publish_files(
                 "dv entries for files not in this version (a dropped "
                 f"tombstone resurrects deleted rows): {orphans[:3]}"
             )
+        non_parquet = [f for f in files if not f.endswith(".parquet")]
+        if non_parquet:
+            raise ValueError(
+                "deletion vectors need parquet row indexes; this "
+                f"version holds non-parquet files: {non_parquet[:3]}"
+            )
         manifest["dv"] = dv
     path = _manifest_path(root, version)
     # exclusive create: of two writers racing for this version number
