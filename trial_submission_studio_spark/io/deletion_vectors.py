@@ -85,10 +85,17 @@ def dv_rows(manifest: dict, rel_files: list[str] | None = None) -> int:
 
 
 def rel_path_col(root: str) -> Column:
-    """Root-relative source path extracted from
-    ``_metadata.file_path`` by position with column functions (the
-    `io/rollup.py` pattern: never string-interpolated SQL, and a
-    non-matching path fails loudly instead of mis-keying rows)."""
+    """The MANIFEST-ENTRY key of a scanned row's source file,
+    extracted from ``_metadata.file_path`` by position with column
+    functions (the `io/rollup.py` pattern — never
+    string-interpolated SQL). Files under ``root`` key by their
+    root-relative path; files OUTSIDE it (shallow-clone entries,
+    `versioned.shallow_clone` — the manifest records them as
+    ABSOLUTE paths) key by the scheme-stripped absolute path, which
+    is exactly how the clone's manifest names them. Both sides of
+    every (file, position) comparison — sidecar writes, anti-joins,
+    manifest dv maps, rollup partial tags — go through this one
+    function, so the keying is consistent by construction."""
     marker = os.path.abspath(root) + "/"
     path = F.col("_metadata.file_path")
     pos = F.instr(path, F.lit(marker))
@@ -96,12 +103,9 @@ def rel_path_col(root: str) -> Column:
         pos > 0,
         path.substr(pos + F.lit(len(marker)), F.length(path)),
     ).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(f"deletion_vectors: path outside root {marker!r}: "),
-                path,
-            )
-        )
+        # "file:/abs", "file:///abs" -> "/abs" (the absolute manifest
+        # entry a shallow clone records)
+        F.regexp_replace(path, r"^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
     )
 
 

@@ -537,6 +537,110 @@ def rollback(root: str, to_version: int) -> dict:
     )
 
 
+def shallow_clone(
+    src_root: str,
+    dst_root: str,
+    *,
+    version: int | None = None,
+    metadata: dict | None = None,
+    spark: SparkSession | None = None,
+) -> dict:
+    """Zero-copy clone (Delta ``SHALLOW CLONE``): publish a NEW table
+    at ``dst_root`` whose first manifest references the source
+    snapshot's data files (and deletion-vector sidecars) by ABSOLUTE
+    path — no bytes move. The clone is a real table from then on:
+    merges/deletes/compactions write THEIR files under ``dst_root``
+    and carry the untouched absolute references forward, so a dev
+    branch of a 100 TB table costs one manifest and localizes
+    copy-on-write — exactly the experiment/backfill workflow.
+
+    The whole read/write stack already resolves absolute entries
+    (``os.path.join(root, f)`` is ``f`` when ``f`` is absolute, and
+    lineage keys come from `deletion_vectors.rel_path_col`, which
+    names outside-root files by their absolute path): time travel,
+    dv reads, zone-map pruning, bucket key-pruning, merge planning
+    and the clone's own vacuum (which only ever walks ``dst_root``)
+    all compose.
+
+    Deletion vectors: the clone RE-MATERIALIZES the source's live
+    tombstones into one dst-local sidecar with the clone's (absolute)
+    file keys — sidecars are O(deleted rows), so this stays
+    effectively zero-copy while keeping a single key space per table
+    (later deletes on the clone just append more sidecars). Cloning
+    a dv'd version therefore needs the ``spark`` session.
+
+    Caveat, stated plainly (same as Delta's): the SOURCE's
+    ``retire_versions`` + ``vacuum`` do not know about clones —
+    vacuuming source files a clone still references breaks the
+    clone. Keep the cloned source version retired-but-unvacuumed, or
+    compact the clone (which localizes it) before vacuuming the
+    source."""
+    m = read_manifest(src_root, version)
+    if os.path.abspath(src_root) == os.path.abspath(dst_root):
+        raise ValueError("shallow_clone onto the source root")
+    if current_version(dst_root) is not None:
+        raise ValueError(
+            f"{dst_root} already has a published version; clone onto a "
+            "fresh root"
+        )
+
+    def _abs(f: str) -> str:
+        return os.path.abspath(os.path.join(src_root, f))
+
+    files = [_abs(f) for f in m["files"]]
+    stats = m.get("stats")
+    if stats:
+        stats = {_abs(f): s for f, s in stats.items()}
+    dv = m.get("dv")
+    if dv:
+        if spark is None:
+            raise ValueError(
+                "cloning a version with deletion vectors needs spark= "
+                "(the tombstones are re-keyed into one dst-local sidecar)"
+            )
+        from pyspark.sql import functions as F
+
+        from .deletion_vectors import FILE_COL, POS_COL, read_dv
+
+        os.makedirs(dst_root, exist_ok=True)
+        pairs = spark.createDataFrame(
+            [(f, _abs(f)) for f in dv], f"{FILE_COL} string, __abs string"
+        )
+        rekeyed = (
+            read_dv(spark, src_root, m)
+            .join(F.broadcast(pairs), FILE_COL)
+            .select(F.col("__abs").alias(FILE_COL), POS_COL)
+        )
+        run_dir = os.path.join(dst_root, "dv", _fresh_run_id())
+        os.makedirs(run_dir, exist_ok=False)
+        rekeyed.repartition(1).write.mode("overwrite").parquet(run_dir)
+        sidecars = [
+            os.path.relpath(p, dst_root) for p in data_files(run_dir)
+        ]
+        dv = {
+            _abs(f): {"sidecars": sidecars, "rows": e["rows"]}
+            for f, e in dv.items()
+        }
+    meta = {
+        "shallow_clone_of": {
+            "root": os.path.abspath(src_root),
+            "version": m["version"],
+        },
+        **(metadata or {}),
+    }
+    if m["metadata"].get("bucket_spec"):
+        meta["bucket_spec"] = m["metadata"]["bucket_spec"]
+    os.makedirs(dst_root, exist_ok=True)
+    return publish_files(
+        dst_root,
+        files,
+        metadata=meta,
+        stats=stats,
+        schema=m.get("schema"),
+        dv=dv,
+    )
+
+
 def diff_versions(root: str, v_from: int, v_to: int) -> dict:
     """What changed between two snapshots — file-level audit from the
     manifests alone (metadata-scale at any corpus size): added and
