@@ -148,3 +148,104 @@ def test_violation_listing_is_complete():
     assert any("nullability changed: b" in x for x in v)
     assert any("new column: c" in x for x in v)
     assert schema_violations(base, base) == []
+
+
+def test_check_constraints_enforced_at_commit(spark, tmp_path):
+    """CHECK constraints (r13): recorded once as a manifest contract,
+    enforced at the commit loop's choke point on every row-ADDING
+    commit's fresh files — merge upserts and appends refuse with
+    per-constraint counts; row-preserving maintenance skips the
+    re-check; the contract travels through rollback and clones."""
+    import os
+
+    import pytest
+
+    from trial_submission_studio_spark.io.merge import merge_version
+    from trial_submission_studio_spark.io.versioned import (
+        ConstraintViolationError,
+        compact_version,
+        current_version,
+        new_data_dir,
+        publish_version,
+        read_version,
+        set_table_constraints,
+        shallow_clone,
+        table_constraints,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    d = new_data_dir(root)
+    spark.createDataFrame(
+        [(k, float(k)) for k in range(1, 20)], "k long, v double"
+    ).repartition(2).write.parquet(d, mode="append")
+    publish_version(root, d)
+
+    cons = {"v_positive": "v > 0", "k_not_null": "k IS NOT NULL"}
+    set_table_constraints(spark, root, cons)
+    assert table_constraints(root) == cons
+
+    # violating merge refused with counts; nothing published
+    v = current_version(root)
+    with pytest.raises(ConstraintViolationError) as ei:
+        merge_version(
+            spark, root,
+            spark.createDataFrame([(1, -5.0), (99, 1.0)], "k long, v double"),
+            "k",
+        )
+    assert ei.value.counts == {"v_positive": 1}
+    assert current_version(root) == v
+
+    # clean merge passes; contract carried forward
+    merge_version(
+        spark, root,
+        spark.createDataFrame([(1, 11.0)], "k long, v double"), "k",
+    )
+    assert table_constraints(root) == cons
+
+    # violating APPEND refused too (fresh files validated)
+    d = new_data_dir(root)
+    spark.createDataFrame([(50, 0.0)], "k long, v double").write.parquet(
+        d, mode="append"
+    )
+    with pytest.raises(ConstraintViolationError):
+        publish_version(
+            root, d, base_version=current_version(root), spark=spark
+        )
+    # NULL check result counts as a violation (strict gate)
+    d2 = new_data_dir(root)
+    spark.createDataFrame([(51, None)], "k long, v double").write.parquet(
+        d2, mode="append"
+    )
+    with pytest.raises(ConstraintViolationError):
+        publish_version(
+            root, d2, base_version=current_version(root), spark=spark
+        )
+
+    # maintenance skips the re-check but carries the contract
+    m = compact_version(spark, root, target_bytes=1 << 26)
+    assert m.get("constraints") == cons
+
+    # recording a constraint the CURRENT rows already violate refuses
+    with pytest.raises(ConstraintViolationError):
+        set_table_constraints(spark, root, {"impossible": "v > 1000"})
+
+    # the contract travels with a shallow clone and keeps enforcing
+    dst = str(tmp_path / "c")
+    shallow_clone(root, dst)
+    assert table_constraints(dst) == cons
+    with pytest.raises(ConstraintViolationError):
+        merge_version(
+            spark, dst,
+            spark.createDataFrame([(2, -1.0)], "k long, v double"), "k",
+        )
+
+    # dropping constraints re-opens the gate
+    set_table_constraints(spark, root, {})
+    merge_version(
+        spark, root,
+        spark.createDataFrame([(60, -1.0)], "k long, v double"), "k",
+    )
+    assert (60, -1.0) in {
+        (r.k, r.v) for r in read_version(spark, root).collect()
+    }

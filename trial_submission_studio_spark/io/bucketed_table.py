@@ -200,6 +200,7 @@ def append_bucketed(
         add_files=files,
         add_stats=stats,
         metadata={**(metadata or {}), "bucket_spec": spec},
+        spark=spark,
     )
 
 

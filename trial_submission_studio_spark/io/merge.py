@@ -295,6 +295,7 @@ def merge_version(
         remove_files=affected_rel,
         add_stats=stats_like(root, m, fresh_rel, spark=spark),
         metadata=meta,
+        spark=spark,
     )
 
 
@@ -409,4 +410,5 @@ def delete_matching(
         remove_files=affected_rel,
         add_stats=stats_like(root, m, fresh_rel, spark=spark),
         metadata=meta,
+        spark=spark,
     )

@@ -287,6 +287,7 @@ def refresh_rollup(
                 kind="keyed",
                 add_files=fresh_files,
                 metadata=append_meta,
+                spark=spark,
             )
 
     # 2) retire partials of files no longer in the snapshot (or

@@ -232,6 +232,7 @@ def publish_checked(
             add_stats=fresh_stats,
             metadata=metadata,
             schema=schema,
+            spark=spark,
         )
     return versioned.publish_files(
         root,

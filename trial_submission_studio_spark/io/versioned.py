@@ -71,6 +71,19 @@ _VERSIONS = "_versions"
 _CURRENT = "CURRENT"
 
 
+class ConstraintViolationError(ValueError):
+    """A commit tried to add rows violating the table's CHECK
+    constraints (`set_table_constraints`). Carries per-constraint
+    violation counts; nothing was published."""
+
+    def __init__(self, counts: dict):
+        self.counts = dict(counts)
+        super().__init__(
+            "constraint violations in the rows being committed: "
+            + ", ".join(f"{k}: {v}" for k, v in sorted(counts.items()))
+        )
+
+
 class TableConflictError(RuntimeError):
     """A concurrent commit made this write unsafe to rebase: the
     files it read/rewrote were themselves rewritten, tombstoned, or
@@ -188,6 +201,7 @@ def publish_files(
     stats: dict | None = None,
     schema: list | None = None,
     dv: dict | None = None,
+    constraints: dict | None = None,
     _expect_version: int | None = None,
 ) -> dict:
     """Atomically publish a new version from an EXPLICIT root-relative
@@ -255,6 +269,10 @@ def publish_files(
                 f"version holds non-parquet files: {non_parquet[:3]}"
             )
         manifest["dv"] = dv
+    if constraints:
+        # recorded CHECK contract (set_table_constraints); enforced
+        # by commit_files on every row-adding commit's fresh files
+        manifest["constraints"] = constraints
     path = _manifest_path(root, version)
     # exclusive create: of two writers racing for this version number
     # exactly one wins; the loser's FileExistsError is the commit
@@ -338,6 +356,7 @@ def commit_files(
     metadata: dict | None = None,
     add_stats: dict | None = None,
     schema: list | None = None,
+    spark: SparkSession | None = None,
     max_retries: int = 10,
 ) -> dict:
     """Optimistic-concurrency commit (the Delta commit-loop shape):
@@ -372,6 +391,21 @@ def commit_files(
     base = read_manifest(root, base_version)
     meta = dict(metadata or {})
     meta["commit_kind"] = kind
+    # CHECK-constraint enforcement at the one commit choke point:
+    # row-ADDING commits validate exactly their fresh files against
+    # the table's recorded contract (maintenance commits are
+    # row-preserving — their rows already passed when first added)
+    cons = base.get("constraints")
+    if cons and add_files and kind != "maintenance":
+        if spark is None:
+            raise ValueError(
+                "this table has CHECK constraints; commit_files needs "
+                "spark= to enforce them on the fresh files"
+            )
+        _enforce_constraints(
+            spark, spark.read.parquet(*[os.path.join(root, f)
+                                        for f in add_files]), cons,
+        )
     for _ in range(max_retries):
         cur_v = current_version(root)
         if cur_v == base_version:
@@ -416,6 +450,7 @@ def commit_files(
                 stats=stats or None,
                 schema=schema if schema is not None else target.get("schema"),
                 dv=dv or None,
+                constraints=target.get("constraints"),
                 # pin the version this rebase was validated against:
                 # any commit sneaking in between validation and link
                 # turns into a loud retry, never a lost update
@@ -434,6 +469,7 @@ def publish_version(
     *,
     metadata: dict | None = None,
     base_version: int | None = None,
+    spark: SparkSession | None = None,
 ) -> dict:
     """Atomically publish a new version whose file list is every data
     file under ``run_dirs`` (one or more immutable run directories),
@@ -463,6 +499,7 @@ def publish_version(
             kind="append",
             add_files=fresh,
             metadata=metadata,
+            spark=spark,
         )
     return publish_files(root, fresh, metadata=metadata)
 
@@ -534,6 +571,72 @@ def rollback(root: str, to_version: int) -> dict:
         stats=m.get("stats"),
         schema=m.get("schema"),
         dv=m.get("dv"),
+        constraints=m.get("constraints"),
+    )
+
+
+def _enforce_constraints(spark, df: DataFrame, constraints: dict) -> None:
+    """ONE aggregate pass counting violators of every constraint;
+    raises :class:`ConstraintViolationError` with per-constraint
+    counts when any row fails. NULL results count as violations
+    (a CHECK that cannot be proven true is not true — stricter than
+    ANSI CHECK, which is the right default for a data gate)."""
+    from pyspark.sql import functions as F
+
+    aggs = [
+        F.sum(
+            F.when(F.coalesce(F.expr(expr).cast("boolean"), F.lit(False)),
+                   0).otherwise(1)
+        ).alias(name)
+        for name, expr in sorted(constraints.items())
+    ]
+    row = df.agg(*aggs).collect()[0]
+    bad = {k: int(v) for k, v in row.asDict().items() if v}
+    if bad:
+        raise ConstraintViolationError(bad)
+
+
+def table_constraints(root: str, version: int | None = None) -> dict:
+    """The recorded CHECK contract ({} when none)."""
+    return read_manifest(root, version).get("constraints") or {}
+
+
+def set_table_constraints(
+    spark: SparkSession,
+    root: str,
+    constraints: dict[str, str],
+    *,
+    validate_existing: bool = True,
+) -> dict:
+    """Record CHECK constraints (name -> boolean SQL expression) as a
+    manifest contract — Delta's ``ADD CONSTRAINT``: every later
+    row-adding commit (append, merge upserts, CDC batches) validates
+    its fresh files and refuses with per-constraint counts on
+    violation; row-preserving maintenance commits skip the re-check.
+    ``validate_existing`` first proves the CURRENT rows satisfy the
+    new contract (one scan), so a recorded constraint is never
+    already broken. Pass ``{}`` to drop all constraints."""
+    m = read_manifest(root)
+    for name, expr in constraints.items():
+        from pyspark.sql import functions as F
+
+        # parse errors surface now, not at some future commit
+        read_version(spark, root).limit(0).filter(F.expr(expr)).collect()
+        if not name or not isinstance(expr, str):
+            raise ValueError(f"bad constraint {name!r}: {expr!r}")
+    if constraints and validate_existing:
+        _enforce_constraints(spark, read_version(spark, root), constraints)
+    meta = {"set_constraints": sorted(constraints)}
+    if m["metadata"].get("bucket_spec"):
+        meta["bucket_spec"] = m["metadata"]["bucket_spec"]
+    return publish_files(
+        root,
+        m["files"],
+        metadata=meta,
+        stats=m.get("stats"),
+        schema=m.get("schema"),
+        dv=m.get("dv"),
+        constraints=constraints or None,
     )
 
 
@@ -638,6 +741,7 @@ def shallow_clone(
         stats=stats,
         schema=m.get("schema"),
         dv=dv,
+        constraints=m.get("constraints"),
     )
 
 
@@ -880,6 +984,7 @@ def compact_version(
         remove_files=small,
         add_stats=stats_like(root, m, fresh, spark=spark),
         metadata=meta,
+        spark=spark,
     )
 
 

@@ -239,6 +239,7 @@ def publish_with_stats(
             add_files=fresh,
             add_stats=fresh_stats,
             metadata=metadata,
+            spark=spark,
         )
     return versioned.publish_files(
         root, fresh, metadata=metadata, stats=fresh_stats
@@ -503,6 +504,7 @@ def optimize_version(
         remove_files=m["files"],
         add_stats=stats,
         metadata=meta,
+        spark=spark,
     )
 
 

@@ -410,6 +410,7 @@ def start_dedup_ingest(
                     add_files=fresh,
                     remove_files=replaced,
                     metadata={"batch_id": batch_id},
+                    spark=spark,
                 )
 
     writer = (
