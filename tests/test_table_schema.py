@@ -249,3 +249,41 @@ def test_check_constraints_enforced_at_commit(spark, tmp_path):
     assert (60, -1.0) in {
         (r.k, r.v) for r in read_version(spark, root).collect()
     }
+
+
+def test_constraint_change_conflicts_with_inflight_adds(spark, tmp_path):
+    """A commit whose rows were validated against the OLD contract
+    must not land after set_table_constraints changed it mid-flight."""
+    import os
+
+    import pytest
+
+    from trial_submission_studio_spark.io.versioned import (
+        TableConflictError,
+        commit_files,
+        current_version,
+        data_files,
+        new_data_dir,
+        publish_version,
+        set_table_constraints,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    d = new_data_dir(root)
+    spark.createDataFrame([(1, 2.0)], "k long, v double").write.parquet(
+        d, mode="append"
+    )
+    publish_version(root, d)
+    v0 = current_version(root)
+    d2 = new_data_dir(root)
+    spark.createDataFrame([(2, 3.0)], "k long, v double").write.parquet(
+        d2, mode="append"
+    )
+    rels = [os.path.relpath(p, root) for p in data_files(d2)]
+    set_table_constraints(spark, root, {"v_pos": "v > 0"})
+    with pytest.raises(TableConflictError, match="constraints changed"):
+        commit_files(
+            root, base_version=v0, kind="append", add_files=rels,
+            spark=spark,
+        )

@@ -294,6 +294,7 @@ def _check_rebase(
     intervening: list[dict],
     remove: set[str],
     dv_updates: dict | None,
+    adds_rows: bool = False,
 ) -> None:
     """Raise :class:`TableConflictError` unless rebasing this commit
     from ``base`` onto ``target`` is provably safe.
@@ -343,6 +344,15 @@ def _check_rebase(
                 f"(versions {unsafe}); re-plan against the current "
                 "version and retry"
             )
+    if adds_rows and kind != "maintenance" and (
+        (base.get("constraints") or {}) != (target.get("constraints") or {})
+    ):
+        # the CHECK contract changed mid-flight: this commit's rows
+        # were validated against the OLD contract — re-validate by
+        # re-running against the current version
+        raise TableConflictError(
+            "table constraints changed concurrently; re-plan and retry"
+        )
 
 
 def commit_files(
@@ -425,7 +435,7 @@ def commit_files(
                     f"cannot verify rebase safety: {e}"
                 ) from e
             _check_rebase(kind, base, target, intervening, remove,
-                          dv_updates)
+                          dv_updates, adds_rows=bool(add_files))
         t_files = target["files"]
         missing = remove - set(t_files)
         if missing:
