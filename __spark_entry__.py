@@ -3047,7 +3047,11 @@ def table_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root, keys = _delete_bench_next_keys(spark, sf_dir, "dv")
     m = delete_matching_dv(spark, root, keys, "event_id", verify=False)
-    st = m["metadata"]["merge"]
+    # a slice with zero live matches is a no-op returning the current
+    # manifest (whose metadata may carry no merge block)
+    st = m["metadata"].get("merge") or {
+        "rows_deleted": 0, "files_affected": 0, "files_rewritten": 0,
+    }
     return spark.createDataFrame(
         [(st["rows_deleted"], st["files_affected"], st["files_rewritten"])],
         "rows_deleted long, files_affected int, files_rewritten int",

@@ -332,3 +332,24 @@ def test_dv_free_reads_plan_plain_scans(spark, tmp_path):
     # still scans plain (union of plain + anti-joined branches)
     m = read_manifest(root)
     assert len(dv_map(m)) == 1 and len(m["files"]) == 2
+
+
+def test_change_feed_sees_dv_rollback_resurrection(spark, tmp_path):
+    """Rolling back a dv delete shrinks the dv map with an identical
+    file list; the feed must report the resurrected rows as inserts
+    (and value-identical re-inserts as nothing vs their pre-delete
+    state across the full span)."""
+    from trial_submission_studio_spark.io.versioned import rollback
+
+    root = _publish(spark, tmp_path)
+    v0 = current_version(root)
+    delete_matching_dv(spark, root, _keys(spark, [4, 8]), "k")
+    v1 = current_version(root)
+    rollback(root, v0)
+    v2 = current_version(root)
+    feed = {
+        (r.k, r._change) for r in change_feed(spark, root, v1, v2, "k").collect()
+    }
+    assert feed == {(4, "insert"), (8, "insert")}
+    # full span v0 -> v2 is a no-op (delete then resurrect)
+    assert change_feed(spark, root, v0, v2, "k").count() == 0

@@ -326,3 +326,42 @@ def test_dv_delete_mode_tombstones_and_two_phase_fence(spark, tmp_path):
     assert m3["metadata"]["cdc"]["last_batch_id"] == 3
     assert _last_applied(root) == 3
     assert _rows(spark, root) == {(1, "a2"), (4, "v4b")}
+
+
+def test_dv_pending_marker_survives_interleaved_maintenance(spark, tmp_path):
+    """A compaction landing between a dv-mode phase-1 crash and the
+    replay must not hide the pending marker: the replay still resumes
+    at the delete step instead of re-merging."""
+    from trial_submission_studio_spark.io.merge import merge_version
+    from trial_submission_studio_spark.io.versioned import compact_version
+    from trial_submission_studio_spark.streaming.cdc import (
+        _last_applied,
+        _pending_batch,
+    )
+
+    root = str(tmp_path / "table")
+    b0 = spark.createDataFrame(
+        [(k, f"v{k}", 1, False) for k in range(1, 9)], SCHEMA
+    )
+    apply_cdc_batch(b0, 0, root, "k", delete_col="is_del", delete_mode="dv")
+
+    # phase 1 of batch 1 lands, then the "crash"; a maintenance
+    # compaction commits before the stream restarts
+    b1 = spark.createDataFrame(
+        [(1, "a2", 2, False), (2, None, 2, True)], SCHEMA
+    )
+    merge_version(
+        spark, root, b1.filter(~F.col("is_del")).drop("is_del"),
+        "k", metadata={"cdc": {"pending_batch_id": 1}},
+    )
+    compact_version(spark, root, target_bytes=1 << 26)
+    assert _pending_batch(root) == 1 and _last_applied(root) == 0
+
+    v = current_version(root)
+    m = apply_cdc_batch(b1, 1, root, "k", delete_col="is_del",
+                        delete_mode="dv")
+    assert m["version"] == v + 1  # ONE commit: the delete phase only
+    assert _last_applied(root) == 1
+    assert _rows(spark, root) == {(1, "a2")} | {
+        (k, f"v{k}") for k in range(3, 9)
+    }

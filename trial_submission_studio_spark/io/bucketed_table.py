@@ -308,14 +308,17 @@ def _point_lookup_plan(
         )
     m = _ver.read_manifest(root, version)
     key = spec["key_cols"][0]
-    from .table_schema import align_column_types
+    # build the probe frame WITH the target key's exact type (an
+    # int-keyed table must not see bigint-inferred scalars — F.hash
+    # is dtype-sensitive, and the caller has no DataFrame to cast)
+    from pyspark.sql.types import StructType
 
     probe_schema = spark.read.parquet(
         os.path.join(root, m["files"][0])
     ).schema
-    keys = align_column_types(
-        spark.createDataFrame([(v,) for v in values]).toDF(key),
-        probe_schema, cols=[key], context="read_point_lookup",
+    key_field = next(f for f in probe_schema.fields if f.name == key)
+    keys = spark.createDataFrame(
+        [(v,) for v in values], StructType([key_field])
     )
     mine = bucket_files(m, probe_bucket_ids(keys, spec))
     audit = {"files_total": len(m["files"]),

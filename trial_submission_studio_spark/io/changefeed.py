@@ -66,9 +66,13 @@ def _dv_delta_rows(
     # to exactly the (file, sidecar) delta pairs — one sidecar can
     # cover files outside the delta (e.g. since-rewritten ones)
     sidecars = sorted({s for _, s in pairs})
+    ext = any(
+        os.path.isabs(p) for fs in pairs for p in fs
+    )
     dv = (
         spark.read.parquet(*[os.path.join(root, s) for s in sidecars])
-        .select(FILE_COL, POS_COL, rel_path_col(root).alias("__tss_sc"))
+        .select(FILE_COL, POS_COL,
+                rel_path_col(root, allow_external=ext).alias("__tss_sc"))
         .join(
             F.broadcast(
                 spark.createDataFrame(
@@ -85,7 +89,7 @@ def _dv_delta_rows(
         *[os.path.join(root, f) for f in files_hit]
     ).select(
         "*",
-        rel_path_col(root).alias(FILE_COL),
+        rel_path_col(root, allow_external=ext).alias(FILE_COL),
         F.col("_metadata.row_index").alias(POS_COL),
     )
     return data.join(dv, [FILE_COL, POS_COL], "left_semi").drop(
@@ -104,18 +108,28 @@ def _slices(
     removed = sorted(fa - fb)
     added = sorted(fb - fa)
     # slices read LIVE rows under their own version's tombstones: a
-    # row already dv-dead at v_from must not resurface as a delete
-    dv_delta = _dv_delta_rows(spark, root, a, b, fa & fb)
+    # row already dv-dead at v_from must not resurface as a delete.
+    # The dv delta is SYMMETRIC: tombstones added a->b are newly-dead
+    # rows (old slice); tombstones present at a but not at b (a
+    # rollback of a dv delete) are RESURRECTED rows (new slice).
+    dv_dead = _dv_delta_rows(spark, root, a, b, fa & fb)
+    dv_resurrected = _dv_delta_rows(spark, root, b, a, fa & fb)
     audit = {
         "files_removed": len(removed),
         "files_added": len(added),
         "files_untouched": len(fa & fb),
-        "dv_delta": dv_delta is not None,
+        "dv_delta": dv_dead is not None or dv_resurrected is not None,
     }
     old = read_with_dv(spark, root, a, removed) if removed else None
-    if dv_delta is not None:
-        old = old.unionByName(dv_delta) if old is not None else dv_delta
+    if dv_dead is not None:
+        old = old.unionByName(dv_dead) if old is not None else dv_dead
     new = read_with_dv(spark, root, b, added) if added else None
+    if dv_resurrected is not None:
+        new = (
+            new.unionByName(dv_resurrected)
+            if new is not None
+            else dv_resurrected
+        )
     return old, new, audit
 
 

@@ -84,29 +84,41 @@ def dv_rows(manifest: dict, rel_files: list[str] | None = None) -> int:
     return sum(m[f]["rows"] for f in rel_files if f in m)
 
 
-def rel_path_col(root: str) -> Column:
+def rel_path_col(root: str, *, allow_external: bool = False) -> Column:
     """The MANIFEST-ENTRY key of a scanned row's source file,
     extracted from ``_metadata.file_path`` by position with column
     functions (the `io/rollup.py` pattern — never
     string-interpolated SQL). Files under ``root`` key by their
-    root-relative path; files OUTSIDE it (shallow-clone entries,
-    `versioned.shallow_clone` — the manifest records them as
-    ABSOLUTE paths) key by the scheme-stripped absolute path, which
-    is exactly how the clone's manifest names them. Both sides of
-    every (file, position) comparison — sidecar writes, anti-joins,
-    manifest dv maps, rollup partial tags — go through this one
-    function, so the keying is consistent by construction."""
+    root-relative path. ``allow_external`` (set when the manifest
+    actually holds absolute entries — shallow clones,
+    `versioned.shallow_clone`) keys outside-root files by the
+    scheme-stripped absolute path, which is exactly how the clone's
+    manifest names them; WITHOUT it a non-matching path FAILS LOUDLY
+    — a silently mis-keyed row would drop from partial tags or dodge
+    its tombstones. Both sides of every (file, position) comparison
+    — sidecar writes, anti-joins, manifest dv maps, rollup partial
+    tags — go through this one function, so the keying is consistent
+    by construction."""
     marker = os.path.abspath(root) + "/"
     path = F.col("_metadata.file_path")
     pos = F.instr(path, F.lit(marker))
+    if allow_external:
+        # "file:/abs", "file:///abs" -> "/abs" (the absolute manifest
+        # entry a shallow clone records)
+        fallback = F.regexp_replace(
+            path, r"^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/"
+        )
+    else:
+        fallback = F.raise_error(
+            F.concat(
+                F.lit(f"manifest keying: path outside root {marker!r}: "),
+                path,
+            )
+        ).cast("string")
     return F.when(
         pos > 0,
         path.substr(pos + F.lit(len(marker)), F.length(path)),
-    ).otherwise(
-        # "file:/abs", "file:///abs" -> "/abs" (the absolute manifest
-        # entry a shallow clone records)
-        F.regexp_replace(path, r"^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
-    )
+    ).otherwise(fallback)
 
 
 def _paths(root: str, rel_files: list[str]) -> list[str]:
@@ -163,11 +175,12 @@ def read_with_dv(
     m = dv_map(manifest)
     dv_files = [f for f in files if f in m]
     plain = [f for f in files if f not in m]
+    external = any(os.path.isabs(f) for f in files)
 
     def _lineage(df: DataFrame) -> DataFrame:
         return df.select(
             "*",
-            rel_path_col(root).alias(FILE_COL),
+            rel_path_col(root, allow_external=external).alias(FILE_COL),
             F.col("_metadata.row_index").alias(POS_COL),
         )
 
@@ -186,16 +199,6 @@ def read_with_dv(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
-
-
-def carry_dv(manifest: dict, kept_rel: list[str]) -> dict | None:
-    """The DV entries that survive a commit keeping exactly
-    ``kept_rel`` of the base's files (rewritten files drop theirs —
-    the rewrite materialized the survivors). None when nothing
-    survives, so DV-free tables stay DV-free in the manifest."""
-    m = dv_map(manifest)
-    out = {f: m[f] for f in kept_rel if f in m}
-    return out or None
 
 
 def delete_matching_dv(
@@ -308,10 +311,23 @@ def delete_matching_dv(
     if buckets_probed is not None:
         stats["buckets_probed"] = buckets_probed
 
+    if verify:
+        # verify BEFORE publishing (a failed invariant must never
+        # leave a bad version live): re-read the affected slice under
+        # a CANDIDATE manifest carrying the merged dv map
+        affected = sorted(per_file)
+        cand = dict(m, dv={**old, **dv_updates})
+        n_live_before = read_with_dv(spark, root, m, affected).count()
+        n_live_after = read_with_dv(spark, root, cand, affected).count()
+        if n_live_after != n_live_before - n_doomed:
+            raise RuntimeError(
+                f"dv delete mismatch: {n_live_before} live before, "
+                f"{n_doomed} tombstoned, but {n_live_after} live after"
+            )
     # key-dependent commit through the multi-writer loop: conflicts
     # loudly if a concurrent commit rewrote or re-tombstoned the
     # files these positions address (positions are file-bound)
-    out = versioned.commit_files(
+    return versioned.commit_files(
         root,
         base_version=m["version"],
         kind="keyed",
@@ -319,13 +335,3 @@ def delete_matching_dv(
         metadata={"merge": stats, **(metadata or {}),
                   **({"bucket_spec": bspec} if bspec else {})},
     )
-    if verify:
-        affected = sorted(per_file)
-        n_live_before = read_with_dv(spark, root, m, affected).count()
-        n_live_after = read_with_dv(spark, root, out, affected).count()
-        if n_live_after != n_live_before - n_doomed:
-            raise RuntimeError(
-                f"dv delete mismatch: {n_live_before} live before, "
-                f"{n_doomed} tombstoned, but {n_live_after} live after"
-            )
-    return out

@@ -219,8 +219,9 @@ def publish_files(
     ``{"sidecars": [...], "rows": n}``, from
     `io/deletion_vectors.py`). Unlike stats, an entry for a file not
     in ``files`` is REFUSED: dropping a tombstone silently would
-    resurrect deleted rows — callers that rewrite files must filter
-    with :func:`deletion_vectors.carry_dv` explicitly.
+    resurrect deleted rows — rewriting callers must filter the map
+    to their kept files explicitly (:func:`commit_files` does this
+    carry for every writer routed through it).
 
     Refuses duplicate entries and refuses to overwrite an existing
     manifest (two racing writers: second loses loudly, not
@@ -366,6 +367,7 @@ def commit_files(
     metadata: dict | None = None,
     add_stats: dict | None = None,
     schema: list | None = None,
+    constraints: dict | str = "carry",
     spark: SparkSession | None = None,
     max_retries: int = 10,
 ) -> dict:
@@ -452,6 +454,23 @@ def commit_files(
               if f not in remove and f in t_dv}
         if dv_updates:
             dv.update(dv_updates)
+        if schema is not None and (target.get("schema") or []) != (
+            base.get("schema") or []
+        ):
+            # the caller derived its schema contract from ITS base; a
+            # concurrent schema evolution must not be clobbered by a
+            # stale merge of the contract — re-derive and retry
+            raise TableConflictError(
+                "schema contract changed concurrently; re-derive "
+                "against the current version and retry"
+            )
+        if constraints != "carry" and intervening:
+            # a constraint change races everything: intervening adds
+            # were never validated against the NEW contract
+            raise TableConflictError(
+                "constraint change raced other commits; re-validate "
+                "against the current version and retry"
+            )
         try:
             return publish_files(
                 root,
@@ -460,7 +479,11 @@ def commit_files(
                 stats=stats or None,
                 schema=schema if schema is not None else target.get("schema"),
                 dv=dv or None,
-                constraints=target.get("constraints"),
+                constraints=(
+                    target.get("constraints")
+                    if constraints == "carry"
+                    else (constraints or None)
+                ),
                 # pin the version this rebase was validated against:
                 # any commit sneaking in between validation and link
                 # turns into a loud retry, never a lost update
@@ -639,14 +662,17 @@ def set_table_constraints(
     meta = {"set_constraints": sorted(constraints)}
     if m["metadata"].get("bucket_spec"):
         meta["bucket_spec"] = m["metadata"]["bucket_spec"]
-    return publish_files(
+    # through the commit loop: the file list is the CURRENT one (a
+    # concurrent append's files must not be dropped), and a commit
+    # landing during the validation scan conflicts loudly (its rows
+    # were never checked against the new contract)
+    return commit_files(
         root,
-        m["files"],
+        base_version=m["version"],
+        kind="maintenance",
         metadata=meta,
-        stats=m.get("stats"),
-        schema=m.get("schema"),
-        dv=m.get("dv"),
-        constraints=constraints or None,
+        constraints=dict(constraints),
+        spark=spark,
     )
 
 

@@ -109,16 +109,17 @@ def apply_cdc_batch(
 
 
 def _pending_batch(root: str) -> int:
-    """The NEWEST commit's pending CDC batch id (a dv-mode upsert
-    commit that crashed before its delete commit), or -1. Only the
-    newest commit counts: any later commit means the delete step
-    either completed (its commit carries last_batch_id) or the
-    pending batch was superseded."""
-    versions = versioned.list_versions(root)
-    if not versions:
-        return -1
-    cdc = versioned.read_manifest(root)["metadata"].get("cdc") or {}
-    return cdc.get("pending_batch_id", -1)
+    """The pending CDC batch id of a dv-mode upsert commit that
+    crashed before its delete commit, or -1. Walks back past
+    NON-CDC commits (a compaction landing between the crash and the
+    replay must not hide the marker — same discipline as
+    `_last_applied`); the first commit WITH a cdc key decides: a
+    ``last_batch_id`` means the delete phase completed."""
+    for v in sorted(versioned.list_versions(root), reverse=True):
+        cdc = versioned.read_manifest(root, v)["metadata"].get("cdc")
+        if cdc is not None:
+            return cdc.get("pending_batch_id", -1)
+    return -1
 
 
 def _apply_batch(

@@ -386,7 +386,9 @@ def start_dedup_ingest(
             from trial_submission_studio_spark.io import versioned as V
 
             cur = V.current_version(corpus_dir)
-            base = [] if cur is None else V.read_manifest(corpus_dir, cur)["files"]
+            base_m = {} if cur is None else V.read_manifest(corpus_dir, cur)
+            base = base_m.get("files", [])
+            base_dv = base_m.get("dv") or {}
             prefix = f"batch_id={batch_id}/"
             replaced = [f for f in base if f.startswith(prefix)]
             fresh = [
@@ -396,6 +398,15 @@ def start_dedup_ingest(
                 V.publish_files(
                     corpus_dir, fresh, metadata={"batch_id": batch_id}
                 )
+            elif fresh and any(f in base_dv for f in replaced):
+                # a REPLAY of a batch whose files have since been
+                # TOMBSTONED (io/deletion_vectors.py — e.g. a GDPR
+                # erasure hit this batch): replacing them would drop
+                # their deletion vectors and resurrect the erased
+                # rows. The batch's content is already published, so
+                # the correct replay effect is nothing; the
+                # recomputed run dir stays unreferenced (vacuumable).
+                pass
             elif fresh:
                 # multi-writer commit loop: a normal batch is a pure
                 # append (rebases over concurrent compaction); a
