@@ -353,3 +353,91 @@ def test_change_feed_sees_dv_rollback_resurrection(spark, tmp_path):
     assert feed == {(4, "insert"), (8, "insert")}
     # full span v0 -> v2 is a no-op (delete then resurrect)
     assert change_feed(spark, root, v0, v2, "k").count() == 0
+
+
+def test_delete_where_drops_whole_files_by_metadata(spark, tmp_path):
+    """Retention delete (delete_where): on a clustered table the bulk
+    of the predicate range is dropped at FILE grain with zero reads
+    (zone-map proof), only the boundary file pays row-level
+    tombstones, untouched files are never opened — and the read,
+    time travel, and change feed all stay exact."""
+    from trial_submission_studio_spark.io.deletion_vectors import (
+        delete_where,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    d = new_data_dir(root)
+    # k-clustered: 4 files covering [0,25), [25,50), [50,75), [75,100)
+    _kv(spark, [(k, k) for k in range(100)]).repartitionByRange(
+        4, "k"
+    ).sortWithinPartitions("k").write.parquet(d, mode="append")
+    publish_with_stats(root, d, ["k"])
+    m0 = read_manifest(root)
+    v0 = m0["version"]
+
+    m1 = delete_where(spark, root, [("k", "<", 30)])
+    au = m1["metadata"]["merge"]
+    assert au["op"] == "delete_where"
+    assert au["files_dropped"] >= 1          # the fully-covered file(s)
+    assert au["rows_tombstoned"] > 0         # the boundary file
+    assert au["files_untouched"] >= 2        # upper files never opened
+    assert au["rows_dropped"] + au["rows_tombstoned"] == 30
+    assert _snap(spark, root) == {(k, k) for k in range(30, 100)}
+    assert _snap(spark, root, v0) == {(k, k) for k in range(100)}
+
+    feed = {
+        (r.k, r._change)
+        for r in change_feed(
+            spark, root, v0, m1["version"], "k"
+        ).collect()
+    }
+    assert feed == {(k, "delete") for k in range(30)}
+
+    # no-match predicate: no-op, no commit
+    m2 = delete_where(spark, root, [("k", ">=", 1000)])
+    assert m2["version"] == m1["version"]
+
+    # emptying the table is refused
+    import pytest
+
+    with pytest.raises(ValueError, match="empty the table"):
+        delete_where(spark, root, [("k", ">=", 0)])
+
+
+def test_delete_where_without_stats_falls_back_to_tombstones(
+    spark, tmp_path
+):
+    from trial_submission_studio_spark.io.deletion_vectors import (
+        delete_where,
+    )
+
+    root = _publish(spark, tmp_path, n=40, n_files=2)  # no stats
+    m = delete_where(spark, root, [("k", "between", (10, 19))])
+    au = m["metadata"]["merge"]
+    assert au["files_dropped"] == 0 and au["rows_tombstoned"] == 10
+    assert m["files"] == read_manifest(root, au["base_version"])["files"]
+    assert _snap(spark, root) == {
+        (k, k * 10) for k in range(40) if not 10 <= k <= 19
+    }
+
+
+def test_delete_where_null_rows_never_match_file_drop(spark, tmp_path):
+    """A file containing NULLs in the predicate column must not be
+    dropped wholesale under k < cutoff — NULL comparisons don't
+    satisfy the predicate, so those rows survive."""
+    from trial_submission_studio_spark.io.deletion_vectors import (
+        delete_where,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    d = new_data_dir(root)
+    spark.createDataFrame(
+        [(k, k) for k in range(10)] + [(None, 99)], "k long, v long"
+    ).repartition(1).write.parquet(d, mode="append")
+    publish_with_stats(root, d, ["k"])
+    m = delete_where(spark, root, [("k", "<", 100)])
+    assert m["metadata"]["merge"]["files_dropped"] == 0
+    got = {(r.k, r.v) for r in read_version(spark, root).collect()}
+    assert got == {(None, 99)}

@@ -340,3 +340,77 @@ def test_pruning_soundness_over_random_stats_and_predicates():
             )
 
     run()
+
+
+def test_all_match_soundness_over_random_stats_and_predicates():
+    """The dual invariant for retention deletes, fuzzed: whenever
+    _file_all_match says True, EVERY row in the file satisfies the
+    conjunct (NULLs never satisfy anything but isnull). The reverse —
+    failing to prove a fully-matching file — only costs a row-level
+    pass, never rows."""
+    from hypothesis import given, settings, strategies as st
+
+    from trial_submission_studio_spark.io.zonemap import _file_all_match
+
+    values = st.one_of(
+        st.none(),
+        st.integers(-50, 50),
+        st.floats(-50, 50, allow_nan=False, allow_infinity=False),
+    )
+    rows = st.lists(values, min_size=1, max_size=12)
+    ops = st.sampled_from(["=", "<", "<=", ">", ">=", "in", "between",
+                           "isnull", "isnotnull"])
+    lits = st.one_of(
+        st.integers(-60, 60),
+        st.floats(-60, 60, allow_nan=False, allow_infinity=False),
+    )
+
+    def entry_for(vals):
+        nn = [v for v in vals if v is not None]
+        cols = {}
+        if nn and all(isinstance(v, int) for v in nn):
+            cols["x"] = {"t": "int", "min": min(nn), "max": max(nn),
+                         "nulls": len(vals) - len(nn)}
+        elif nn and all(isinstance(v, float) for v in nn):
+            cols["x"] = {"t": "float", "min": min(nn), "max": max(nn),
+                         "nulls": len(vals) - len(nn)}
+        return {"num_rows": len(vals), "columns": cols}
+
+    def row_matches(v, conj):
+        op = conj[1]
+        if op == "isnull":
+            return v is None
+        if op == "isnotnull":
+            return v is not None
+        if v is None:
+            return False
+        if op == "in":
+            return any(v == x for x in conj[2])
+        if op == "between":
+            return conj[2][0] <= v <= conj[2][1]
+        return {
+            "=": v == conj[2],
+            "<": v < conj[2],
+            "<=": v <= conj[2],
+            ">": v > conj[2],
+            ">=": v >= conj[2],
+        }[op]
+
+    @settings(max_examples=400, deadline=None)
+    @given(rows, ops, lits, st.lists(lits, min_size=1, max_size=4),
+           st.tuples(lits, lits))
+    def check(vals, op, lit, inlist, pair):
+        if op == "in":
+            conj = ("x", "in", inlist)
+        elif op == "between":
+            a, b = sorted(pair)
+            conj = ("x", "between", (a, b))
+        elif op in ("isnull", "isnotnull"):
+            conj = ("x", op)
+        else:
+            conj = ("x", op, lit)
+        entry = entry_for(vals)
+        if _file_all_match(entry, conj):
+            assert all(row_matches(v, conj) for v in vals), (vals, conj)
+
+    check()

@@ -55,6 +55,7 @@ __all__ = [
     "read_dv",
     "read_with_dv",
     "delete_matching_dv",
+    "delete_where",
 ]
 
 #: lineage column names used in sidecars and by ``with_lineage`` reads
@@ -201,6 +202,138 @@ def read_with_dv(
     return out
 
 
+def _tombstone(
+    root: str, doomed: DataFrame, per_file: dict, old: dict
+) -> dict:
+    """Write the doomed ``(FILE_COL, POS_COL)`` pairs to one O(k)
+    sidecar run under ``root/dv`` (vacuum walks it) and return the
+    merged dv-map entries for the affected files."""
+    n = sum(per_file.values())
+    run_dir = os.path.join(root, _DV_DIR, versioned._fresh_run_id())
+    os.makedirs(run_dir, exist_ok=False)
+    doomed.repartition(max(1, math.ceil(n / 5_000_000))).write.mode(
+        "overwrite"
+    ).parquet(run_dir)
+    sidecars = [
+        os.path.relpath(p, root) for p in versioned.data_files(run_dir)
+    ]
+    out: dict = {}
+    for f, k in per_file.items():
+        e = {"sidecars": list(old.get(f, {}).get("sidecars", ())),
+             "rows": old.get(f, {}).get("rows", 0)}
+        e["sidecars"] += sidecars
+        e["rows"] += k
+        out[f] = e
+    return out
+
+
+def delete_where(
+    spark: SparkSession,
+    root: str,
+    predicate: list[tuple],
+    *,
+    version: int | None = None,
+    verify: bool = True,
+    metadata: dict | None = None,
+) -> dict:
+    """Predicate delete (``DELETE WHERE``) with METADATA-FIRST
+    planning — the retention/TTL operation at 100 TB scale
+    ("drop everything older than the cutoff"):
+
+    1. the zone maps three-way split the file list
+       (`zonemap.split_files_for_delete`): files whose stats PROVE
+       every row matches are DROPPED from the manifest wholesale —
+       zero bytes read for what is usually the vast bulk of a
+       retention delete on a time-clustered table;
+    2. boundary files that might hold matches get a row-level pass
+       (live rows only) and O(k) tombstones
+       (`delete_matching_dv`'s machinery);
+    3. provably-unaffected files are never opened.
+
+    ``predicate`` uses the `io/zonemap.py` conjunct shape, e.g.
+    ``[("ts", "<", cutoff)]``. Without stats everything lands in the
+    scan slice (correct, just not metadata-cheap). One keyed commit
+    through the multi-writer loop carries both effects; deleting
+    every row is refused (retire the table explicitly instead).
+    Returns the new manifest; ``metadata.merge`` records
+    ``files_dropped`` / ``rows_dropped`` / ``rows_tombstoned`` /
+    ``files_untouched``."""
+    from .zonemap import predicate_to_column, split_files_for_delete
+
+    m = versioned.read_manifest(root, version)
+    bad = [f for f in m["files"] if not f.endswith(".parquet")]
+    if bad:
+        raise ValueError(
+            f"deletion vectors require an all-parquet snapshot; found {bad[:3]}"
+        )
+    split = split_files_for_delete(m, predicate)
+    drop, scan = split["drop"], split["scan"]
+
+    old = dv_map(m)
+    dv_updates: dict = {}
+    n_tomb = 0
+    if scan:
+        doomed = (
+            read_with_dv(spark, root, m, scan, with_lineage=True)
+            .filter(predicate_to_column(predicate))
+            .select(FILE_COL, POS_COL)
+        )
+        per_file = {
+            r[FILE_COL]: r["n"]
+            for r in doomed.groupBy(FILE_COL)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_tomb = sum(per_file.values())
+        if n_tomb:
+            dv_updates = _tombstone(root, doomed, per_file, old)
+
+    if not drop and not n_tomb:
+        return m  # nothing matched: no empty commit
+
+    if verify and n_tomb:
+        affected = sorted(dv_updates)
+        cand = dict(m, dv={**old, **dv_updates})
+        before = read_with_dv(spark, root, m, affected).count()
+        after = read_with_dv(spark, root, cand, affected).count()
+        if after != before - n_tomb:
+            raise RuntimeError(
+                f"delete_where mismatch: {before} live before, "
+                f"{n_tomb} tombstoned, but {after} live after"
+            )
+
+    stats = m.get("stats") or {}
+    merge_meta = {
+        "op": "delete_where",
+        "files_dropped": len(drop),
+        "rows_dropped": sum(
+            (stats.get(f) or {}).get("num_rows") or 0 for f in drop
+        ),
+        "files_scanned": len(scan),
+        "rows_tombstoned": n_tomb,
+        "files_untouched": len(split["keep"]),
+        "base_version": m["version"],
+    }
+    bspec = m["metadata"].get("bucket_spec")
+    try:
+        return versioned.commit_files(
+            root,
+            base_version=m["version"],
+            kind="keyed",
+            remove_files=drop,
+            dv_updates=dv_updates,
+            metadata={"merge": merge_meta, **(metadata or {}),
+                      **({"bucket_spec": bspec} if bspec else {})},
+        )
+    except ValueError as e:
+        if "empty file list" in str(e):
+            raise ValueError(
+                "delete_where would empty the table; refusing — retire "
+                "the table explicitly instead"
+            ) from e
+        raise
+
+
 def delete_matching_dv(
     spark: SparkSession,
     root: str,
@@ -280,24 +413,8 @@ def delete_matching_dv(
     if n_doomed == 0:
         return m
 
-    # O(k) sidecar write into its own namespace (vacuum walks it)
-    run_dir = os.path.join(root, _DV_DIR, versioned._fresh_run_id())
-    os.makedirs(run_dir, exist_ok=False)
-    doomed.repartition(max(1, math.ceil(n_doomed / 5_000_000))).write.mode(
-        "overwrite"
-    ).parquet(run_dir)
-    sidecars = [
-        os.path.relpath(p, root) for p in versioned.data_files(run_dir)
-    ]
-
     old = dv_map(m)
-    dv_updates: dict = {}
-    for f, n in per_file.items():
-        e = {"sidecars": list(old.get(f, {}).get("sidecars", ())),
-             "rows": old.get(f, {}).get("rows", 0)}
-        e["sidecars"] += sidecars
-        e["rows"] += n
-        dv_updates[f] = e
+    dv_updates = _tombstone(root, doomed, per_file, old)
 
     stats = {
         "op": "delete_dv",

@@ -327,6 +327,77 @@ def _file_might_match(entry: dict, conjunct: tuple) -> bool:
     raise ValueError(f"unknown predicate op: {op!r}")
 
 
+def _file_all_match(entry: dict, conjunct: tuple) -> bool:
+    """True ONLY when the zone map proves EVERY row in the file
+    satisfies the conjunct — the dual of :func:`_file_might_match`,
+    used by retention deletes to drop whole files by metadata alone.
+    NULL comparison results do not satisfy a predicate, so every op
+    except ``isnull`` additionally requires a proven zero null count.
+    Unknown stats prove nothing (False — the safe direction here is
+    "cannot drop wholesale")."""
+    col, op = conjunct[0], conjunct[1]
+    cols = entry.get("columns", {})
+    num_rows = entry.get("num_rows")
+    st = cols.get(col)
+    if op == "isnull":
+        return (
+            st is not None
+            and num_rows is not None
+            and st["nulls"] == num_rows
+        )
+    if st is None or st["nulls"] > 0:
+        return False
+    if op == "isnotnull":
+        return True  # stats exist and nulls == 0
+    tag = st["t"]
+    try:
+        lo = _coerce(tag, st["min"]) if tag in ("timestamp", "date") else st["min"]
+        hi = _coerce(tag, st["max"]) if tag in ("timestamp", "date") else st["max"]
+        if op == "in":
+            vals = [_coerce(tag, x) for x in conjunct[2]]
+            return lo == hi and lo in vals
+        if op == "between":
+            a, b = (_coerce(tag, x) for x in conjunct[2])
+            return lo >= a and hi <= b
+        v = _coerce(tag, conjunct[2])
+    except (TypeError, ValueError):
+        return False
+    if op == "=":
+        return lo == hi == v
+    if op == "<":
+        return hi < v
+    if op == "<=":
+        return hi <= v
+    if op == ">":
+        return lo > v
+    if op == ">=":
+        return lo >= v
+    raise ValueError(f"unknown predicate op: {op!r}")
+
+
+def split_files_for_delete(
+    manifest: dict, predicate: list[tuple]
+) -> dict:
+    """Three-way split of a manifest's files for a predicate DELETE:
+    ``drop`` (stats prove every row matches — remove the file, zero
+    reads), ``scan`` (might hold matches — needs row-level work),
+    ``keep`` (provably no matches — untouched). Files without stats
+    land in ``scan``."""
+    stats = manifest.get("stats", {})
+    out = {"drop": [], "scan": [], "keep": []}
+    for f in manifest["files"]:
+        entry = stats.get(f)
+        if entry is None:
+            out["scan"].append(f)
+        elif all(_file_all_match(entry, c) for c in predicate):
+            out["drop"].append(f)
+        elif all(_file_might_match(entry, c) for c in predicate):
+            out["scan"].append(f)
+        else:
+            out["keep"].append(f)
+    return out
+
+
 def prune_files(manifest: dict, predicate: list[tuple]) -> dict:
     """Split a manifest's file list by the zone maps: ``kept`` (might
     match) vs ``skipped`` (provably cannot). Files without stats are
