@@ -192,3 +192,100 @@ def test_merge_then_read_via_manifest_only(spark, tmp_path):
         for f in read_manifest(root, m3["version"])["files"]
     )
     assert n_manifest == 200
+
+
+def test_update_where_rewrites_only_matching_files(spark, tmp_path):
+    """UPDATE ... WHERE (r13): zone maps prune the candidate scan,
+    only files containing matches rewrite, tombstoned rows never
+    update, set expressions cast back to the column's type, and CHECK
+    constraints gate the rewritten files."""
+    import pytest
+
+    from trial_submission_studio_spark.io.deletion_vectors import (
+        delete_matching_dv,
+    )
+    from trial_submission_studio_spark.io.merge import update_where
+    from trial_submission_studio_spark.io.versioned import (
+        ConstraintViolationError,
+        current_version,
+        new_data_dir,
+        read_version,
+        set_table_constraints,
+    )
+    from trial_submission_studio_spark.io.zonemap import publish_with_stats
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    d = new_data_dir(root)
+    # k-clustered: 4 files covering ranges of 25
+    spark.createDataFrame(
+        [(k, float(k)) for k in range(100)], "k long, v double"
+    ).repartitionByRange(4, "k").sortWithinPartitions("k").write.parquet(
+        d, mode="append"
+    )
+    publish_with_stats(root, d, ["k"])
+    # a tombstoned row inside the update range must stay deleted
+    delete_matching_dv(
+        spark, root, spark.createDataFrame([(12,)], "k long"), "k"
+    )
+
+    m = update_where(
+        spark, root, [("k", "between", (10, 20))], {"v": "v + 1000"}
+    )
+    au = m["metadata"]["merge"]
+    assert au["op"] == "update" and au["rows_updated"] == 10  # 12 is dead
+    assert au["files_rewritten"] == 1  # only the [0,25) file
+    assert au["files_pruned"] >= 2  # upper files never opened
+    got = {(r.k, r.v) for r in read_version(spark, root).collect()}
+    want = {
+        (k, float(k) + (1000 if 10 <= k <= 20 else 0))
+        for k in range(100)
+        if k != 12
+    }
+    assert got == want
+    # the rewritten file folded its tombstone; others carry nothing
+    assert not m.get("dv")
+
+    # type stability: the set expression casts back to the column type
+    m2 = update_where(spark, root, [("k", "=", 5)], {"v": "CAST(7 AS INT)"})
+    f = {x.name: x.dataType.simpleString()
+         for x in read_version(spark, root).schema.fields}
+    assert f["v"] == "double" and m2["metadata"]["merge"]["rows_updated"] == 1
+
+    # no-match: no-op commit
+    v = current_version(root)
+    assert update_where(
+        spark, root, [("k", ">=", 10_000)], {"v": "0.0"}
+    )["version"] == v
+
+    # constraints gate the rewrite
+    set_table_constraints(spark, root, {"v_nonneg": "v >= 0"})
+    with pytest.raises(ConstraintViolationError):
+        update_where(spark, root, [("k", "=", 30)], {"v": "-1.0"})
+    assert current_version(root) == v + 1  # only the contract commit
+
+
+def test_update_where_preserves_bucket_layout(spark, tmp_path):
+    from trial_submission_studio_spark.io.bucketed_table import (
+        publish_bucketed,
+        read_key_pruned,
+    )
+    from trial_submission_studio_spark.io.merge import update_where
+
+    root = str(tmp_path / "b")
+    publish_bucketed(
+        spark,
+        spark.createDataFrame(
+            [(k, float(k)) for k in range(40)], "k long, v double"
+        ),
+        root, "k", 4,
+    )
+    m = update_where(spark, root, [("k", "<", 5)], {"v": "v * 2"})
+    assert m["metadata"]["bucket_spec"]
+    got = {
+        (r.k, r.v)
+        for r in read_key_pruned(
+            spark, root, spark.createDataFrame([(2,), (30,)], "k long")
+        ).collect()
+    }
+    assert got == {(2, 4.0), (30, 30.0)}

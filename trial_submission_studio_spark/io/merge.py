@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from . import versioned
 from .deletion_vectors import FILE_COL, read_with_dv
 
-__all__ = ["merge_version", "delete_matching"]
+__all__ = ["merge_version", "delete_matching", "update_where"]
 
 
 def _parquet_paths(root: str, manifest: dict) -> list[str]:
@@ -408,6 +408,125 @@ def delete_matching(
         kind="keyed",
         add_files=fresh_rel,
         remove_files=affected_rel,
+        add_stats=stats_like(root, m, fresh_rel, spark=spark),
+        metadata=meta,
+        spark=spark,
+    )
+
+
+def update_where(
+    spark: SparkSession,
+    root: str,
+    predicate: list[tuple],
+    set_exprs: dict[str, str],
+    *,
+    version: int | None = None,
+    verify: bool = True,
+    metadata: dict | None = None,
+) -> dict:
+    """``UPDATE ... SET ... WHERE`` at file grain — the third DML
+    shape beside :func:`merge_version` and :func:`delete_matching`:
+
+    1. zone maps prune the candidate scan to files that MIGHT hold a
+       matching row (`io/zonemap.py` — on a clustered table the vast
+       majority of files are never opened),
+    2. a lineage probe finds the files that actually contain matches
+       (one key-free projection scan of the candidates, deletion
+       vectors applied — tombstoned rows never update),
+    3. ONLY those files rewrite: matching rows get each ``set_exprs``
+       column replaced by its SQL expression (evaluated per row, cast
+       back to the column's exact type so the schema contract cannot
+       drift), non-matching rows carry verbatim,
+    4. one keyed commit through the multi-writer loop (CHECK
+       constraints validate the rewritten files; bucket-spec'd
+       layouts are preserved; kept files keep stats + tombstones).
+
+    ``predicate`` uses the zonemap conjunct shape. Returns the new
+    manifest (``metadata.merge``: ``rows_updated`` /
+    ``files_rewritten`` / ``files_pruned``); updating zero rows is a
+    no-op returning the current manifest."""
+    from .deletion_vectors import POS_COL
+    from .zonemap import predicate_to_column, prune_files, stats_like
+
+    m = versioned.read_manifest(root, version)
+    _parquet_paths(root, m)  # all-parquet gate
+    target = spark.read.parquet(*[os.path.join(root, f) for f in m["files"]])
+    missing = [c for c in set_exprs if c not in target.columns]
+    if missing:
+        raise ValueError(f"set columns not in table: {missing}")
+    types = {f.name: f.dataType for f in target.schema.fields}
+
+    pruned = prune_files(m, predicate)
+    candidates = pruned["kept"]
+    cond = predicate_to_column(predicate)
+    if candidates:
+        probe = (
+            read_with_dv(spark, root, m, candidates, with_lineage=True)
+            .filter(cond)
+            .select(FILE_COL)
+            .distinct()
+            .collect()
+        )
+        affected = sorted(r[FILE_COL] for r in probe)
+    else:
+        affected = []
+    if not affected:
+        return m  # nothing matched: no empty commit
+
+    affected_df = read_with_dv(spark, root, m, affected)
+    n_updated = affected_df.filter(cond).count()
+    out = affected_df
+    for col, expr in set_exprs.items():
+        out = out.withColumn(
+            col,
+            F.when(cond, F.expr(expr).cast(types[col])).otherwise(
+                F.col(col)
+            ),
+        )
+    out = out.select(*target.columns)
+
+    bspec = m["metadata"].get("bucket_spec")
+    if bspec:
+        from .bucketed_table import _write_bucketed_run
+
+        fresh_rel = _write_bucketed_run(out, root, bspec)
+    else:
+        run_dir = versioned.new_data_dir(root)
+        out.repartition(max(1, len(affected))).write.mode(
+            "overwrite"
+        ).parquet(run_dir)
+        fresh_rel = [
+            os.path.relpath(p, root) for p in versioned.data_files(run_dir)
+        ]
+    if verify:
+        n_aff = affected_df.count()
+        n_written = spark.read.parquet(
+            *[os.path.join(root, f) for f in fresh_rel]
+        ).count()
+        if n_written != n_aff:
+            raise RuntimeError(
+                f"update row-count mismatch: {n_aff} in, {n_written} out"
+            )
+
+    meta = {
+        "merge": {
+            "op": "update",
+            "rows_updated": n_updated,
+            "files_rewritten": len(affected),
+            "files_pruned": len(pruned["skipped"]),
+            "files_kept": len(m["files"]) - len(affected),
+            "base_version": m["version"],
+        },
+        **(metadata or {}),
+    }
+    if bspec:
+        meta["bucket_spec"] = bspec
+    return versioned.commit_files(
+        root,
+        base_version=m["version"],
+        kind="keyed",
+        add_files=fresh_rel,
+        remove_files=affected,
         add_stats=stats_like(root, m, fresh_rel, spark=spark),
         metadata=meta,
         spark=spark,
