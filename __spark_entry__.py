@@ -3018,6 +3018,60 @@ def _delete_bench_next_keys(spark: SparkSession, sf_dir: str, mode: str):
     return memo["root"], keys
 
 
+_RETENTION_BENCH_MEMO: dict = {}
+
+
+def table_retention_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-first retention delete
+    (io/deletion_vectors.py:delete_where): per timed run, expire the
+    next oldest DAY of a ts-clustered versioned events snapshot —
+    whole files drop by zone-map proof, only the boundary file pays
+    row-level tombstones. The measured claim: retention cost tracks
+    the expired slice's file count, not table size. Benched extra;
+    drop/tombstone soundness is pinned by tests/test_deletion_vectors
+    and the zone-map all-match hypothesis fuzz."""
+    import tempfile
+
+    from trial_submission_studio_spark.io.deletion_vectors import (
+        delete_where,
+    )
+    from trial_submission_studio_spark.io.versioned import new_data_dir
+    from trial_submission_studio_spark.io.zonemap import publish_with_stats
+
+    memo = _RETENTION_BENCH_MEMO.get(sf_dir)
+    if memo is None:
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
+        root = tempfile.mkdtemp(prefix="tss-retention-bench-") + "/t"
+        import os as _os
+
+        _os.makedirs(root)
+        d = new_data_dir(root)
+        ev = _t(spark, sf_dir, "events").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        (
+            ev.repartitionByRange(_bench_file_count(ev), "ts")
+            .sortWithinPartitions("ts")
+            .write.parquet(d, mode="append")
+        )
+        publish_with_stats(root, d, ["ts"])
+        lo = ev.agg(F.min("ts")).collect()[0][0]
+        memo = {"root": root, "cutoff": lo, "run": 0}
+        _RETENTION_BENCH_MEMO[sf_dir] = memo
+    memo["run"] += 1
+    cutoff = memo["cutoff"] + datetime.timedelta(days=memo["run"])
+    m = delete_where(spark, memo["root"], [("ts", "<", cutoff)])
+    st = m["metadata"].get("merge") or {
+        "files_dropped": 0, "rows_dropped": 0, "rows_tombstoned": 0,
+    }
+    return spark.createDataFrame(
+        [(st["files_dropped"], st["rows_dropped"], st["rows_tombstoned"])],
+        "files_dropped int, rows_dropped long, rows_tombstoned long",
+    )
+
+
 def table_delete_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copy-on-write control for table_delete_dv: the SAME scattered
     500-key erasure via io/merge.py:delete_matching — every file

@@ -333,6 +333,8 @@ def main() -> None:
         "table_delete_cow",
         "table_delete_dv",
         "ivf_retrain_bench",
+        # retention TTL: whole-file drops by zone-map proof
+        "table_retention_bench",
     )
     # LLM-pipeline extras that ALSO run in the 10× scale sweep — these
     # carry the 100 TB design claims, so their curvature is measured,
@@ -378,10 +380,14 @@ def main() -> None:
         # round-13: expected curvature — cow erasure ~10x (rewrites
         # every touched file; file count grows with data), dv erasure
         # ~flat (O(k) sidecar regardless of table size), retrain ~10x
-        # (full clustered rewrite is honestly linear)
+        # (full clustered rewrite is honestly linear), retention
+        # ~flat (cost tracks the expired day's files, not table size
+        # — the sf1 replicas extend the time axis so a day stays a
+        # constant slice)
         "table_delete_cow",
         "table_delete_dv",
         "ivf_retrain_bench",
+        "table_retention_bench",
     )
     for name in EXTRA_QUERIES:
         if name not in qs:
