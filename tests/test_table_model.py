@@ -15,8 +15,15 @@ import pytest
 from pyspark.sql import functions as F
 
 from trial_submission_studio_spark.io.changefeed import change_feed
-from trial_submission_studio_spark.io.deletion_vectors import delete_matching_dv
-from trial_submission_studio_spark.io.merge import delete_matching, merge_version
+from trial_submission_studio_spark.io.deletion_vectors import (
+    delete_matching_dv,
+    delete_where,
+)
+from trial_submission_studio_spark.io.merge import (
+    delete_matching,
+    merge_version,
+    update_where,
+)
 from trial_submission_studio_spark.io.versioned import (
     compact_version,
     current_version,
@@ -43,7 +50,7 @@ def _snapshot(spark, root, version=None):
     }
 
 
-@pytest.mark.parametrize("seed", [7, 23])
+@pytest.mark.parametrize("seed", [7, 23, 41])
 def test_random_commit_sequences_match_dict_model(spark, tmp_path, seed):
     rng = random.Random(seed)
     root = str(tmp_path / "t")
@@ -56,9 +63,10 @@ def test_random_commit_sequences_match_dict_model(spark, tmp_path, seed):
     next_key = 40
     history = [(current_version(root), dict(model))]
 
-    for step in range(10):
+    for step in range(12):
         op = rng.choice(
-            ["append", "merge", "delete", "dv_delete", "compact", "optimize"]
+            ["append", "merge", "delete", "dv_delete", "update_where",
+             "delete_where", "compact", "optimize"]
         )
         if op == "append":
             fresh = {next_key + i: (next_key + i) * 10 for i in range(5)}
@@ -111,6 +119,24 @@ def test_random_commit_sequences_match_dict_model(spark, tmp_path, seed):
             )
             for k in dels:
                 model.pop(k, None)
+        elif op == "update_where":
+            lo = rng.randrange(0, 60)
+            hi = lo + rng.randrange(1, 15)
+            update_where(
+                spark, root, [("k", "between", (lo, hi))], {"v": "v + 1"}
+            )
+            for k in model:
+                if lo <= k <= hi:
+                    model[k] += 1
+        elif op == "delete_where":
+            lo = rng.randrange(0, 60)
+            hi = lo + rng.randrange(1, 10)
+            doomed = {k for k in model if lo <= k <= hi}
+            if not doomed or len(model) - len(doomed) < 3:
+                continue  # empty-table refusal / keep the model alive
+            delete_where(spark, root, [("k", "between", (lo, hi))])
+            for k in doomed:
+                model.pop(k)
         elif op == "compact":
             compact_version(
                 spark, root, target_bytes=1 << 26,
