@@ -248,3 +248,30 @@ def test_racing_rollup_refreshes_cannot_double_count(spark, tmp_path):
             add_files=[_os.path.relpath(p, rroot) for p in data_files(d)],
         )
     assert read_rollup(spark, rroot).collect()[0]["n"] == 21
+
+
+def test_table_history_describes_the_commit_log(spark, tmp_path):
+    from trial_submission_studio_spark.io.deletion_vectors import (
+        delete_matching_dv,
+    )
+    from trial_submission_studio_spark.io.versioned import (
+        compact_version,
+        table_history,
+    )
+
+    root = _publish(spark, tmp_path, [(k, k) for k in range(20)], n_files=3)
+    merge_version(spark, root, _kv(spark, [(1, 11)]), "k")
+    delete_matching_dv(spark, root, _kv(spark, [(2, 0)]).select("k"), "k")
+    compact_version(spark, root, target_bytes=1 << 26,
+                    include_dv_files=True)
+
+    h = table_history(root)
+    assert [e["op"] for e in h] == [
+        "compaction", "delete_dv", "merge", "write"
+    ]
+    assert [e["kind"] for e in h] == [
+        "maintenance", "keyed", "keyed", "unknown"
+    ]
+    assert h[1]["dv_rows"] == 1 and h[0]["dv_rows"] == 0
+    assert [e["version"] for e in h] == [4, 3, 2, 1]
+    assert table_history(root, limit=2)[-1]["op"] == "delete_dv"

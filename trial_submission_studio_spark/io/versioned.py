@@ -781,6 +781,51 @@ def shallow_clone(
     )
 
 
+def table_history(root: str, *, limit: int | None = None) -> list[dict]:
+    """Commit log, newest first — Delta's ``DESCRIBE HISTORY``: one
+    dict per surviving manifest with the version, commit time, commit
+    kind, the operation summary (merge/delete/compaction/optimize/
+    rollback/clone/constraint metadata, whichever the writer
+    recorded), and the file/tombstone footprint. Metadata-scale: one
+    manifest read per entry; ``limit`` bounds the walk."""
+    out = []
+    for v in reversed(list_versions(root)):
+        if limit is not None and len(out) >= limit:
+            break
+        m = read_manifest(root, v)
+        md = m["metadata"]
+        if "merge" in md:
+            op = md["merge"].get("op", "merge")
+        elif "compaction_of" in md:
+            op = "compaction"
+        elif "optimize" in md:
+            op = "optimize"
+        elif "rollback_of" in md:
+            op = "rollback"
+        elif "shallow_clone_of" in md:
+            op = "clone"
+        elif "set_constraints" in md:
+            op = "set_constraints"
+        elif "rollup" in md:
+            op = "rollup_refresh"
+        elif "cdc" in md:
+            op = "cdc"
+        else:
+            op = "write"
+        out.append({
+            "version": v,
+            "created_utc": m["created_utc"],
+            "kind": md.get("commit_kind", "unknown"),
+            "op": op,
+            "n_files": m["n_files"],
+            "dv_rows": sum(
+                e["rows"] for e in (m.get("dv") or {}).values()
+            ),
+            "metadata": md,
+        })
+    return out
+
+
 def diff_versions(root: str, v_from: int, v_to: int) -> dict:
     """What changed between two snapshots — file-level audit from the
     manifests alone (metadata-scale at any corpus size): added and
