@@ -138,3 +138,35 @@ def test_clone_of_bucketed_table_keeps_pruning(spark, tmp_path):
         (3, 333)
     }
     assert _snap(spark, src) == {(k, k) for k in range(40)}
+
+
+def test_chained_clone_and_history(spark, tmp_path):
+    """Clone-of-a-clone: absolute entries pass through unchanged, dv
+    state re-keys again, and table_history labels the lineage."""
+    from trial_submission_studio_spark.io.deletion_vectors import (
+        delete_matching_dv,
+    )
+    from trial_submission_studio_spark.io.versioned import table_history
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    d = new_data_dir(src)
+    _kv(spark, [(k, k) for k in range(30)]).repartition(2).write.parquet(
+        d, mode="append"
+    )
+    from trial_submission_studio_spark.io.versioned import publish_version
+
+    publish_version(src, d)
+    c1 = str(tmp_path / "c1")
+    shallow_clone(src, c1)
+    delete_matching_dv(spark, c1, _kv(spark, [(3, 0)]).select("k"), "k")
+    c2 = str(tmp_path / "c2")
+    shallow_clone(c1, c2, spark=spark)
+    assert {(r.k, r.v) for r in read_version(spark, c2).collect()} == {
+        (k, k) for k in range(30) if k != 3
+    }
+    # c2's manifest references the ORIGINAL data files (abs passthrough)
+    m2 = read_manifest(c2)
+    assert all(f.startswith("/") and "/src/" in f for f in m2["files"])
+    h = table_history(c2)
+    assert h[0]["op"] == "clone" and h[0]["dv_rows"] == 1
