@@ -170,3 +170,33 @@ def test_chained_clone_and_history(spark, tmp_path):
     assert all(f.startswith("/") and "/src/" in f for f in m2["files"])
     h = table_history(c2)
     assert h[0]["op"] == "clone" and h[0]["dv_rows"] == 1
+
+
+def test_delete_where_on_clone_drops_absolute_entries(spark, tmp_path):
+    """Retention delete composes with clones: zone-map file drops
+    remove ABSOLUTE (source-referenced) entries from the clone's
+    manifest while the source keeps every file and row."""
+    from trial_submission_studio_spark.io.deletion_vectors import (
+        delete_where,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    d = new_data_dir(src)
+    _kv(spark, [(k, k) for k in range(100)]).repartitionByRange(
+        4, "k"
+    ).sortWithinPartitions("k").write.parquet(d, mode="append")
+    publish_with_stats(src, d, ["k"])
+    dst = str(tmp_path / "dst")
+    shallow_clone(src, dst)
+
+    m = delete_where(spark, dst, [("k", "<", 30)])
+    au = m["metadata"]["merge"]
+    assert au["files_dropped"] >= 1  # whole source-referenced files gone
+    assert au["rows_dropped"] + au["rows_tombstoned"] == 30
+    assert _snap(spark, dst) == {(k, k) for k in range(30, 100)}
+    # the source is untouched: all files present, all rows live
+    assert _snap(spark, src) == {(k, k) for k in range(100)}
+    assert len(read_manifest(src)["files"]) == 4
+    # and the clone's vacuum still has nothing of the source to sweep
+    assert vacuum(dst, dry_run=True, min_age_seconds=0) == []
