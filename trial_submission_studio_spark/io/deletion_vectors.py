@@ -102,13 +102,16 @@ def rel_path_col(root: str, *, allow_external: bool = False) -> Column:
     by construction."""
     marker = os.path.abspath(root) + "/"
     path = F.col("_metadata.file_path")
-    pos = F.instr(path, F.lit(marker))
+    # strip the URI scheme first ("file:/abs", "file:///abs" ->
+    # "/abs"), then ANCHOR the root match with startswith semantics:
+    # an interior substring hit (root /data/t vs an external file
+    # /backup/data/t/...) must NOT be mis-keyed by its suffix — that
+    # row would dodge its tombstones or mis-key sidecar pairs
+    stripped = F.regexp_replace(path, r"^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
     if allow_external:
-        # "file:/abs", "file:///abs" -> "/abs" (the absolute manifest
-        # entry a shallow clone records)
-        fallback = F.regexp_replace(
-            path, r"^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/"
-        )
+        # outside-root files key by their scheme-stripped absolute
+        # path — exactly how a shallow clone's manifest names them
+        fallback = stripped
     else:
         fallback = F.raise_error(
             F.concat(
@@ -117,8 +120,8 @@ def rel_path_col(root: str, *, allow_external: bool = False) -> Column:
             )
         ).cast("string")
     return F.when(
-        pos > 0,
-        path.substr(pos + F.lit(len(marker)), F.length(path)),
+        stripped.startswith(F.lit(marker)),
+        stripped.substr(F.lit(len(marker) + 1), F.length(stripped)),
     ).otherwise(fallback)
 
 
@@ -306,8 +309,17 @@ def delete_where(
     merge_meta = {
         "op": "delete_where",
         "files_dropped": len(drop),
+        # LIVE rows removed by this commit: the zone-map num_rows
+        # counts physically present rows, so already-tombstoned ones
+        # must be subtracted or a table with prior dv deletes
+        # overstates the drop
         "rows_dropped": sum(
-            (stats.get(f) or {}).get("num_rows") or 0 for f in drop
+            max(
+                0,
+                ((stats.get(f) or {}).get("num_rows") or 0)
+                - old.get(f, {}).get("rows", 0),
+            )
+            for f in drop
         ),
         "files_scanned": len(scan),
         "rows_tombstoned": n_tomb,

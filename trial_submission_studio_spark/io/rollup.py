@@ -185,9 +185,13 @@ def refresh_rollup(
     # files, only the manifest's dv map — a common file whose dv grew
     # has STALE partials: retire the old generation, rescan the live
     # rows. Partials are keyed by the generation TAG (rel path, or
-    # "rel@dvN" with N = the file's cumulative tombstone count, which
-    # is strictly monotone per file name), so old and new partials of
-    # the same file never collide in the pending_removed filter.
+    # "rel@dv<hash>" with the hash derived from the dv ENTRY CONTENT
+    # — the sorted sidecar list + rows count). A rows-count tag would
+    # collide when a rollback to a dv-free version is followed by a
+    # delete of the same NUMBER of different rows (equal count,
+    # different sidecars): the retire tag would equal the fresh scan
+    # tag and phase 2 would delete the just-appended partials too.
+    # Content-derived tags make distinct dv generations collision-free.
     from .deletion_vectors import dv_map
 
     dv_prev = dv_map(prev_m) if prev_m else {}
@@ -199,8 +203,16 @@ def refresh_rollup(
     )
 
     def _tag(f: str, dvm: dict) -> str:
-        n = dvm.get(f, {}).get("rows", 0)
-        return f"{f}@dv{n}" if n else f
+        e = dvm.get(f)
+        if not e or not e.get("rows"):
+            return f
+        import hashlib
+        import json as _json
+
+        h = hashlib.sha256(
+            _json.dumps([sorted(e["sidecars"]), e["rows"]]).encode()
+        ).hexdigest()[:12]
+        return f"{f}@dv{h}"
 
     scan_files = sorted(set(added) | set(dv_changed))
     retire_tags = sorted(

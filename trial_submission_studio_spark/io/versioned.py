@@ -126,13 +126,34 @@ def _atomic_create(path: str, payload: str) -> None:
     ``FileExistsError`` if ``path`` exists, where rename would
     silently replace it. Two writers racing for the same version
     number therefore cannot clobber each other's manifest; the loser
-    sees the error and re-enters the commit loop."""
+    sees the error and re-enters the commit loop.
+
+    Filesystem requirements, stated plainly: exclusivity rides on
+    POSIX ``link(2)`` semantics, so the versions directory must live
+    on a local POSIX filesystem (or one with true atomic-exclusive
+    link). Object stores need their conditional-PUT equivalent
+    instead. On NFS, a retransmitted ``link`` can report ``EEXIST``
+    for the caller's OWN successful link — that self-race is absorbed
+    here by comparing the existing manifest's content to the payload:
+    identical content means this writer (or an idempotent twin) won,
+    so the create is treated as a success rather than a lost race."""
     d = os.path.dirname(path)
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
     try:
         with os.fdopen(fd, "w", encoding="utf-8") as f:
             f.write(payload)
-        os.link(tmp, path)  # fails if path exists: exclusive create
+        try:
+            os.link(tmp, path)  # fails if path exists: exclusive create
+        except FileExistsError:
+            try:
+                with open(path, encoding="utf-8") as f:
+                    existing = f.read()
+            except OSError:
+                raise FileExistsError(path) from None
+            if existing != payload:
+                raise
+            # NFS retransmit self-race (or idempotent twin): our
+            # exact payload is already in place — success
     finally:
         if os.path.exists(tmp):
             os.remove(tmp)
@@ -225,7 +246,10 @@ def publish_files(
 
     Refuses duplicate entries and refuses to overwrite an existing
     manifest (two racing writers: second loses loudly, not
-    silently)."""
+    silently). Commit atomicity requires the versions directory on a
+    local POSIX filesystem (exclusive ``link(2)``) — see
+    :func:`_atomic_create` for the NFS self-race absorption and the
+    object-store (conditional PUT) note."""
     if not files:
         raise ValueError("refusing to publish an empty file list")
     if len(files) != len(set(files)):
@@ -425,10 +449,16 @@ def commit_files(
         else:
             try:
                 target = read_manifest(root, cur_v)
+                # versions are dense by construction, so iterate the
+                # RANGE, not list_versions(): a concurrent
+                # retire_versions that deleted an intervening manifest
+                # must surface as FileNotFoundError -> conflict here,
+                # never as a silently shorter list (a keyed commit
+                # could otherwise rebase over a retired append and
+                # violate the WriteSerializable rule)
                 intervening = [
                     read_manifest(root, v)
-                    for v in list_versions(root)
-                    if base_version < v <= cur_v
+                    for v in range(base_version + 1, cur_v + 1)
                 ]
             except FileNotFoundError as e:
                 # a racing retire_versions swallowed part of the
