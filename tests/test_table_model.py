@@ -66,7 +66,7 @@ def test_random_commit_sequences_match_dict_model(spark, tmp_path, seed):
     for step in range(12):
         op = rng.choice(
             ["append", "merge", "delete", "dv_delete", "update_where",
-             "delete_where", "compact", "optimize"]
+             "delete_where", "compact", "optimize", "branch_roundtrip"]
         )
         if op == "append":
             fresh = {next_key + i: (next_key + i) * 10 for i in range(5)}
@@ -137,6 +137,50 @@ def test_random_commit_sequences_match_dict_model(spark, tmp_path, seed):
             delete_where(spark, root, [("k", "between", (lo, hi))])
             for k in doomed:
                 model.pop(k)
+        elif op == "branch_roundtrip":
+            # fork -> mutate the branch -> publish back: the landed
+            # source must equal the branch's model
+            from trial_submission_studio_spark.io.clones import (
+                publish_clone,
+            )
+            from trial_submission_studio_spark.io.versioned import (
+                shallow_clone,
+            )
+
+            branch = str(tmp_path / f"branch{step}")
+            shallow_clone(root, branch, spark=spark)
+            sub = rng.choice(["merge", "dv_delete", "delete_where"])
+            if sub == "merge":
+                keys = rng.sample(sorted(model), min(2, len(model)))
+                ups = {k: model[k] + 7 for k in keys}
+                ins = {next_key: next_key * 10}
+                next_key += 1
+                merge_version(
+                    spark, branch,
+                    _df(spark, {**ups, **ins}.items()), "k",
+                )
+                model.update(ups)
+                model.update(ins)
+            elif sub == "dv_delete":
+                if len(model) <= 5:
+                    continue
+                dels = rng.sample(sorted(model), 2)
+                delete_matching_dv(
+                    spark, branch,
+                    _df(spark, [(k, 0) for k in dels]).select("k"), "k",
+                )
+                for k in dels:
+                    model.pop(k)
+            else:
+                lo = rng.randrange(0, 60)
+                hi = lo + rng.randrange(1, 8)
+                doomed = {k for k in model if lo <= k <= hi}
+                if not doomed or len(model) - len(doomed) < 3:
+                    continue
+                delete_where(spark, branch, [("k", "between", (lo, hi))])
+                for k in doomed:
+                    model.pop(k)
+            publish_clone(spark, branch)
         elif op == "compact":
             compact_version(
                 spark, root, target_bytes=1 << 26,

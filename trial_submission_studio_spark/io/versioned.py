@@ -69,6 +69,25 @@ from pyspark.sql import DataFrame, SparkSession
 
 _VERSIONS = "_versions"
 _CURRENT = "CURRENT"
+_CLONES = "_clones"
+
+
+class ClonePinnedError(RuntimeError):
+    """A vacuum would delete files a live registered shallow clone
+    still references (`shallow_clone` registers a back-pointer under
+    the source's ``_clones/``). Carries the offending clone roots;
+    the recovery is to publish or retire+deregister the clones (or
+    pass ``ignore_clones=True`` to knowingly break them)."""
+
+    def __init__(self, clones: list[str], files: list[str]):
+        self.clones = sorted(clones)
+        self.files = sorted(files)
+        super().__init__(
+            "vacuum would delete files still referenced by live "
+            f"shallow clones {self.clones} (e.g. {self.files[:3]}); "
+            "publish or deregister the clones first, or pass "
+            "ignore_clones=True to break them knowingly"
+        )
 
 
 class ConstraintViolationError(ValueError):
@@ -320,6 +339,7 @@ def _check_rebase(
     remove: set[str],
     dv_updates: dict | None,
     adds_rows: bool = False,
+    adds: frozenset | set = frozenset(),
 ) -> None:
     """Raise :class:`TableConflictError` unless rebasing this commit
     from ``base`` onto ``target`` is provably safe.
@@ -348,6 +368,11 @@ def _check_rebase(
     dv_grew = [f for f in remove if t_dv.get(f) != b_dv.get(f)]
     if dv_updates:
         for f in dv_updates:
+            if f in adds:
+                # a dv entry for a file THIS commit adds (e.g. a
+                # published clone's tombstoned local files): nobody
+                # else can have touched a file that doesn't exist yet
+                continue
             if f not in t_files:
                 dv_grew.append(f)
             elif t_dv.get(f) != b_dv.get(f):
@@ -467,7 +492,8 @@ def commit_files(
                     f"cannot verify rebase safety: {e}"
                 ) from e
             _check_rebase(kind, base, target, intervening, remove,
-                          dv_updates, adds_rows=bool(add_files))
+                          dv_updates, adds_rows=bool(add_files),
+                          adds=set(add_files))
         t_files = target["files"]
         missing = remove - set(t_files)
         if missing:
@@ -738,12 +764,16 @@ def shallow_clone(
     (later deletes on the clone just append more sidecars). Cloning
     a dv'd version therefore needs the ``spark`` session.
 
-    Caveat, stated plainly (same as Delta's): the SOURCE's
-    ``retire_versions`` + ``vacuum`` do not know about clones —
-    vacuuming source files a clone still references breaks the
-    clone. Keep the cloned source version retired-but-unvacuumed, or
-    compact the clone (which localizes it) before vacuuming the
-    source."""
+    Vacuum safety is ENFORCED, not just documented: the clone
+    registers a back-pointer marker under the source's ``_clones/``
+    pinning the forked snapshot's file list, and the source's
+    :func:`vacuum` refuses (typed :class:`ClonePinnedError`) to
+    delete pinned files while the clone is registered.
+    `io/clones.py:publish_clone` (landing the branch) and
+    :func:`deregister_clone` (abandoning it) both release the pin.
+    Chained clones pin only their DIRECT source — compact an
+    intermediate clone (which localizes it) before vacuuming its
+    grandparent, same as before."""
     m = read_manifest(src_root, version)
     if os.path.abspath(src_root) == os.path.abspath(dst_root):
         raise ValueError("shallow_clone onto the source root")
@@ -800,15 +830,105 @@ def shallow_clone(
     if m["metadata"].get("bucket_spec"):
         meta["bucket_spec"] = m["metadata"]["bucket_spec"]
     os.makedirs(dst_root, exist_ok=True)
-    return publish_files(
-        dst_root,
-        files,
-        metadata=meta,
-        stats=stats,
-        schema=m.get("schema"),
-        dv=dv,
-        constraints=m.get("constraints"),
+    # register BEFORE the clone's first manifest exists: a vacuum
+    # racing the clone must already see the pin (a failed publish
+    # deregisters on the way out)
+    register_clone(src_root, dst_root, m)
+    try:
+        return publish_files(
+            dst_root,
+            files,
+            metadata=meta,
+            stats=stats,
+            schema=m.get("schema"),
+            dv=dv,
+            constraints=m.get("constraints"),
+        )
+    except BaseException:
+        deregister_clone(src_root, dst_root)
+        raise
+
+
+def _clones_dir(root: str) -> str:
+    return os.path.join(root, _CLONES)
+
+
+def _clone_marker_path(src_root: str, dst_root: str) -> str:
+    import hashlib
+
+    cid = hashlib.sha256(
+        os.path.abspath(dst_root).encode()
+    ).hexdigest()[:16]
+    return os.path.join(_clones_dir(src_root), cid + ".json")
+
+
+def register_clone(src_root: str, dst_root: str, manifest: dict) -> str:
+    """Write the clone back-pointer marker pinning ``manifest``'s
+    files (and dv sidecars) against the source's :func:`vacuum`.
+    Self-contained — the pinned FILE LIST lives in the marker, so the
+    pin survives :func:`retire_versions` of the forked manifest.
+    Called by :func:`shallow_clone`; idempotent per ``dst_root``."""
+    os.makedirs(_clones_dir(src_root), exist_ok=True)
+    sidecars = sorted(
+        {s for e in (manifest.get("dv") or {}).values()
+         for s in e["sidecars"]}
     )
+    payload = {
+        "dst_root": os.path.abspath(dst_root),
+        "src_version": manifest["version"],
+        "created_utc": time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+        ),
+        "files": manifest["files"],
+        "sidecars": sidecars,
+    }
+    path = _clone_marker_path(src_root, dst_root)
+    _atomic_write(path, json.dumps(payload, indent=1))
+    return path
+
+
+def list_clones(root: str) -> list[dict]:
+    """The live registered shallow clones of this table (markers
+    under ``_clones/``), each with ``dst_root`` / ``src_version`` /
+    pinned ``files``. Metadata-scale."""
+    d = _clones_dir(root)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for n in sorted(os.listdir(d)):
+        if n.endswith(".json"):
+            with open(os.path.join(d, n), encoding="utf-8") as f:
+                out.append(json.load(f))
+    return out
+
+
+def deregister_clone(src_root: str, dst_root: str) -> bool:
+    """Release a clone's vacuum pin (the clone was published back,
+    compacted to independence, or abandoned). Returns whether a
+    marker existed."""
+    path = _clone_marker_path(src_root, dst_root)
+    if os.path.exists(path):
+        os.remove(path)
+        return True
+    return False
+
+
+def _clone_pinned_files(root: str) -> dict[str, str]:
+    """root-relative pinned path -> pinning clone's dst_root, from
+    the live markers. Absolute marker entries outside this root
+    belong to a grandparent table and are skipped (a chained clone
+    pins only its direct source)."""
+    marker = os.path.abspath(root) + os.sep
+    pinned: dict[str, str] = {}
+    for c in list_clones(root):
+        for f in list(c.get("files", ())) + list(c.get("sidecars", ())):
+            if os.path.isabs(f):
+                af = os.path.abspath(f)
+                if not af.startswith(marker):
+                    continue
+                f = os.path.relpath(af, root)
+            pinned[f] = c["dst_root"]
+    return pinned
 
 
 def table_history(root: str, *, limit: int | None = None) -> list[dict]:
@@ -910,6 +1030,7 @@ def vacuum(
     dry_run: bool = False,
     *,
     min_age_seconds: float = VACUUM_MIN_AGE_SECONDS,
+    ignore_clones: bool = False,
 ) -> list[str]:
     """Delete data files referenced by NO surviving manifest (run
     after :func:`retire_versions`). Returns the deleted (or, with
@@ -920,6 +1041,14 @@ def vacuum(
     its ``publish_version`` commits, so an age-blind vacuum running
     concurrently would destroy the whole in-flight run. Pass
     ``min_age_seconds=0`` only when no writer can be active.
+
+    Live registered shallow clones (:func:`list_clones`) PIN the
+    files their fork snapshot references: a vacuum that would delete
+    a pinned file refuses with :class:`ClonePinnedError` (before
+    deleting anything) — publishing back or deregistering the clone
+    releases the pin; ``ignore_clones=True`` breaks the clones
+    knowingly. ``dry_run`` reports pinned files as deletable without
+    raising (planning view).
 
     Walks ``root/data`` + ``root/dv`` (deletion-vector sidecars are
     manifest-referenced files like any other) and the manifests only
@@ -951,6 +1080,13 @@ def vacuum(
                     )
                     continue
                 doomed.append(rel)
+    if not dry_run and not ignore_clones:
+        pinned = _clone_pinned_files(root)
+        hit = [rel for rel in doomed if rel in pinned]
+        if hit:
+            raise ClonePinnedError(
+                sorted({pinned[rel] for rel in hit}), hit
+            )
     if not dry_run:
         import shutil
 
