@@ -1,0 +1,180 @@
+"""`spark.read.format("tss")` / `readStream.format("tss")`
+(`io/datasource.py`): the Python DataSource veneer must return
+exactly what the explicit-file-list readers return — snapshots, time
+travel, deletion vectors, column mapping, partition/zonemap pruning
+via pushFilters — and the streaming change feed must be a consistent
+retract stream whose signed aggregate equals the batch aggregate of
+the final snapshot, across commits landing mid-stream and a
+checkpoint restart."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from trial_submission_studio_spark.io.datasource import plan_files, register
+from trial_submission_studio_spark.io.deletion_vectors import (
+    delete_matching_dv,
+    delete_where,
+)
+from trial_submission_studio_spark.io.merge import merge_version
+from trial_submission_studio_spark.io.table_schema import rename_column
+from trial_submission_studio_spark.io.versioned import (
+    current_version,
+    new_data_dir,
+    read_version,
+)
+from trial_submission_studio_spark.io.zonemap import publish_with_stats
+
+
+@pytest.fixture(scope="module")
+def tss(spark):
+    register(spark)
+    return spark
+
+
+def _mk(spark, tmp_path, n=40, n_files=4, name="t"):
+    root = str(tmp_path / name)
+    os.makedirs(root)
+    d = new_data_dir(root)
+    spark.createDataFrame(
+        [(k, k * 10) for k in range(n)], "k long, v long"
+    ).repartitionByRange(n_files, "k").sortWithinPartitions("k").write.parquet(
+        d, mode="append"
+    )
+    publish_with_stats(root, d, ["k"])
+    return root
+
+
+def _snap(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_batch_format_matches_explicit_readers(tss, tmp_path):
+    spark = tss
+    root = _mk(spark, tmp_path)
+    delete_matching_dv(spark, root, spark.createDataFrame([(3,)], "k long"), "k")
+    merge_version(spark, root, spark.createDataFrame([(5, 555)], "k long, v long"), "k")
+
+    df = spark.read.format("tss").option("root", root).load()
+    assert _snap(df) == _snap(read_version(spark, root))
+    # filters return exact rows (dv files anti-joined, filter re-applied)
+    assert _snap(df.filter("k < 10")) == _snap(
+        read_version(spark, root).filter("k < 10")
+    )
+    # time travel by version and by the recorded commit time
+    v1 = 1
+    assert _snap(
+        spark.read.format("tss").option("root", root)
+        .option("version", str(v1)).load()
+    ) == _snap(read_version(spark, root, v1))
+
+
+def test_pushed_filters_prune_files(tss, tmp_path):
+    spark = tss
+    root = _mk(spark, tmp_path, n=100, n_files=5)
+    # the plan the reader executes: range-clustered files prune
+    plan = plan_files(root, None, [("k", "<", 20)])
+    assert plan["files_skipped"] >= 3
+    assert 0 < len(plan["files"]) < plan["files_total"]
+    # and the format route returns the exact filtered rows
+    df = spark.read.format("tss").option("root", root).load()
+    assert _snap(df.filter("k < 20")) == {(k, k * 10) for k in range(20)}
+    # a fully-pruned predicate still returns a well-formed empty frame
+    assert df.filter("k < -5").count() == 0
+
+
+def test_column_mapping_and_partitions_through_format(tss, tmp_path):
+    spark = tss
+    root = _mk(spark, tmp_path, name="tm")
+    rename_column(spark, root, "v", "val")
+    df = spark.read.format("tss").option("root", root).load()
+    assert df.columns == ["k", "val"]
+    assert _snap(df) == {(k, k * 10) for k in range(40)}
+
+    from trial_submission_studio_spark.io.partitioned_table import (
+        publish_partitioned,
+    )
+
+    proot = str(tmp_path / "tp")
+    publish_partitioned(
+        spark,
+        spark.createDataFrame(
+            [(k, f"d{k % 3}", k) for k in range(30)],
+            "k long, day string, v long",
+        ),
+        proot,
+        "day",
+    )
+    # partition pseudo-stats prune inside the DS plan (no footer stats)
+    plan = plan_files(proot, None, [("day", "=", "d1")])
+    assert plan["files_skipped"] >= 2
+    got = _snap(
+        spark.read.format("tss").option("root", proot).load()
+        .filter("day = 'd1'")
+    )
+    assert got == {(k, "d1", k) for k in range(30) if k % 3 == 1}
+
+
+def test_stream_feed_signed_aggregate_and_restart(tss, tmp_path):
+    spark = tss
+    root = _mk(spark, tmp_path, n=20, n_files=2, name="ts")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def go():
+        return (
+            spark.readStream.format("tss")
+            .option("root", root).option("feed", "true").load()
+            .writeStream.format("parquet").option("path", sink)
+            .option("checkpointLocation", ckpt).start()
+        )
+
+    q = go()
+    try:
+        q.processAllAvailable()
+        # initial snapshot arrives as pure inserts
+        first = spark.read.parquet(sink)
+        assert _snap(first.select("_change").distinct()) == {("insert",)}
+        assert first.count() == 20
+        # commits land MID-STREAM
+        merge_version(
+            spark, root,
+            spark.createDataFrame([(1, 111), (50, 1)], "k long, v long"),
+            "k",
+        )
+        delete_matching_dv(
+            spark, root, spark.createDataFrame([(2,)], "k long"), "k"
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # a commit lands while the stream is DOWN; restart resumes from
+    # the checkpointed version offset (no duplicates, no gaps)
+    delete_where(spark, root, [("k", ">=", 15)])
+    q = go()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    feed = spark.read.parquet(sink)
+    sign = F.when(F.col("_change") == "insert", F.lit(1)).otherwise(-1)
+    agg = feed.agg(
+        F.sum(sign * F.col("v")).alias("s"), F.sum(sign).alias("n")
+    ).collect()[0]
+    snap = read_version(spark, root)
+    want = snap.agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    assert (agg.s, agg.n) == (want.s, want.n)
+    # dv-delete commits arrive as deletes of the exact rows
+    assert (2, 20, "delete") in _snap(feed)
+    # keyed net view: per-key signed count is 0 (gone) or 1 (live)
+    net = {
+        r.k: r.n
+        for r in feed.groupBy("k").agg(F.sum(sign).alias("n")).collect()
+    }
+    live = {r.k for r in snap.collect()}
+    assert {k for k, n in net.items() if n == 1} == live
+    assert all(n in (0, 1) for n in net.values())

@@ -38,15 +38,17 @@ from trial_submission_studio_spark.io.zonemap import (
 )
 
 
-def _df(spark, rows):
-    return spark.createDataFrame(
+def _df(spark, rows, vname="v"):
+    df = spark.createDataFrame(
         [(k, v) for k, v in rows], "k long, v long"
     )
+    return df.withColumnRenamed("v", vname) if vname != "v" else df
 
 
-def _snapshot(spark, root, version=None):
+def _snapshot(spark, root, version=None, vname="v"):
     return {
-        (r.k, r.v) for r in read_version(spark, root, version).collect()
+        (r["k"], r[vname])
+        for r in read_version(spark, root, version).collect()
     }
 
 
@@ -61,12 +63,14 @@ def test_random_commit_sequences_match_dict_model(spark, tmp_path, seed):
     _df(spark, model.items()).repartition(3).write.parquet(d, mode="append")
     publish_with_stats(root, d, ["k", "v"])
     next_key = 40
-    history = [(current_version(root), dict(model))]
+    vname = "v"  # logical name of the value column (rename op moves it)
+    history = [(current_version(root), dict(model), vname)]
 
     for step in range(12):
         op = rng.choice(
             ["append", "merge", "delete", "dv_delete", "update_where",
-             "delete_where", "compact", "optimize", "branch_roundtrip"]
+             "delete_where", "compact", "optimize", "branch_roundtrip",
+             "rename"]
         )
         if op == "append":
             fresh = {next_key + i: (next_key + i) * 10 for i in range(5)}
@@ -89,7 +93,9 @@ def test_random_commit_sequences_match_dict_model(spark, tmp_path, seed):
             merge_version(
                 spark,
                 root,
-                spark.createDataFrame(src, "k long, v long, d boolean"),
+                spark.createDataFrame(
+                    src, "k long, v long, d boolean"
+                ).withColumnRenamed("v", vname),
                 "k",
                 delete_col="d",
             )
@@ -123,7 +129,8 @@ def test_random_commit_sequences_match_dict_model(spark, tmp_path, seed):
             lo = rng.randrange(0, 60)
             hi = lo + rng.randrange(1, 15)
             update_where(
-                spark, root, [("k", "between", (lo, hi))], {"v": "v + 1"}
+                spark, root, [("k", "between", (lo, hi))],
+                {vname: f"{vname} + 1"},
             )
             for k in model:
                 if lo <= k <= hi:
@@ -157,7 +164,7 @@ def test_random_commit_sequences_match_dict_model(spark, tmp_path, seed):
                 next_key += 1
                 merge_version(
                     spark, branch,
-                    _df(spark, {**ups, **ins}.items()), "k",
+                    _df(spark, {**ups, **ins}.items(), vname), "k",
                 )
                 model.update(ups)
                 model.update(ins)
@@ -181,6 +188,14 @@ def test_random_commit_sequences_match_dict_model(spark, tmp_path, seed):
                 for k in doomed:
                     model.pop(k)
             publish_clone(spark, branch)
+        elif op == "rename":
+            from trial_submission_studio_spark.io.table_schema import (
+                rename_column,
+            )
+
+            new = f"v{step}"
+            rename_column(spark, root, vname, new)
+            vname = new
         elif op == "compact":
             compact_version(
                 spark, root, target_bytes=1 << 26,
@@ -190,7 +205,7 @@ def test_random_commit_sequences_match_dict_model(spark, tmp_path, seed):
             optimize_version(
                 spark, root, {"k": (0.0, 2000.0)}, num_partitions=2
             )
-        got = _snapshot(spark, root)
+        got = _snapshot(spark, root, vname=vname)
         want = {(k, v) for k, v in model.items()}
         assert got == want, (seed, step, op, got ^ want)
         # zone-map interplay: a pruned ranged read over whatever
@@ -201,16 +216,16 @@ def test_random_commit_sequences_match_dict_model(spark, tmp_path, seed):
         hi = lo + rng.randrange(1, 30)
         pred = [("k", "between", (lo, hi))]
         pruned = {
-            (r.k, r.v)
+            (r["k"], r[vname])
             for r in read_pruned(spark, root, pred).collect()
         }
         assert pruned == {
             (k, v) for k, v in model.items() if lo <= k <= hi
         }, (seed, step, op, pred)
-        history.append((current_version(root), dict(model)))
+        history.append((current_version(root), dict(model), vname))
 
     # change feed between EVERY adjacent commit pair == model delta
-    for (v1, m1), (v2, m2) in zip(history, history[1:]):
+    for (v1, m1, _n1), (v2, m2, _n2) in zip(history, history[1:]):
         feed = {
             (r.k, r._change)
             for r in change_feed(spark, root, v1, v2, "k").collect()
@@ -226,5 +241,7 @@ def test_random_commit_sequences_match_dict_model(spark, tmp_path, seed):
         )
         assert feed == want, (seed, v1, v2, feed ^ want)
     # and every historical snapshot still time-travels to its model
-    for v, m in history:
-        assert _snapshot(spark, root, v) == {(k, x) for k, x in m.items()}
+    for v, m, n in history:
+        assert _snapshot(spark, root, v, n) == {
+            (k, x) for k, x in m.items()
+        }

@@ -157,6 +157,15 @@ def publish_bucketed(
             f"bucket spec changed (recorded {prev}, got {spec}); "
             "rebucket under a fresh root"
         )
+    if _ver.current_version(root) is not None and _ver.read_manifest(
+        root
+    )["metadata"].get("partition_spec"):
+        raise ValueError(
+            "root is partition-spec'd (io/partitioned_table.py); a "
+            "flat bucketed run would break directory pruning — use "
+            "publish_partitioned(bucket_key=...) to nest buckets "
+            "inside partitions"
+        )
     os.makedirs(root, exist_ok=True)
     files = _write_bucketed_run(df, root, spec)
     meta = {**(metadata or {}), "bucket_spec": spec}

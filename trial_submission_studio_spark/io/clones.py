@@ -227,6 +227,13 @@ def publish_clone(
         schema = None
         if (cm.get("schema") or []) != (fork.get("schema") or []):
             schema = cm.get("schema")
+        mapping_arg: dict | str = "carry"
+        if (cm.get("column_mapping") or {}) != (
+            fork.get("column_mapping") or {}
+        ):
+            # the branch renamed/dropped columns: land the new map
+            # (conflicts typed if the source also changed its map)
+            mapping_arg = cm.get("column_mapping") or {}
         # a branch that only appended read nothing — it rebases over
         # anything; rewrites/tombstones are key-dependent
         kind = (
@@ -257,6 +264,7 @@ def publish_clone(
             dv_updates=dv_updates or None,
             add_stats=add_stats or None,
             schema=schema,
+            column_mapping=mapping_arg,
             metadata=meta,
             spark=spark,
         )

@@ -1,0 +1,509 @@
+"""`spark.read.format("tss")` — a PySpark 4 Python DataSource veneer
+over the versioned table format, batch AND streaming.
+
+Why a DataSource when every function already reads manifests: the
+format route moves snapshot resolution, zone-map/partition/mapping
+pruning and the dv anti-join INSIDE the planner —
+``spark.read.format("tss").option("root", ...).option("asOf", ...)``
+is the one-liner a downstream user expects, ``pushFilters`` receives
+the query's conjuncts and shrinks the FILE PARTITIONS before Spark
+schedules a task (the Python-DS equivalent of ``PushedFilters`` in a
+parquet scan), and ``readStream`` turns the commit log into a
+change-data-feed source with table VERSIONS as offsets.
+
+Boundaries, stated plainly (the same ones measured in r12/r13): the
+Python DataSource API cannot report hash clustering
+(``SupportsReportPartitioning`` is JVM-only), so bucketed joins via
+this route still shuffle — `io/bucketed_table.py:sync_catalog_bucketed`
+remains the exchange-free path. And rows flow through Arrow batches
+read by pyarrow in Python workers, which benchmarks slower than the
+JVM parquet scan — the explicit-file-list readers
+(`versioned.read_version` & co.) stay the hot path; this is the
+convenience/pushdown surface, priced honestly.
+
+Batch semantics: one :class:`InputPartition` per surviving data file
+(after `io/zonemap.py:prune_files` with the pushed conjuncts — which
+already composes footer stats, Hive-partition pseudo-stats and the
+column mapping). Files carrying deletion vectors read WITHOUT arrow
+predicate filtering (row ordinals must survive to apply tombstones),
+then mask; plain files let pyarrow skip row groups. Every pushed
+filter is also RETURNED to Spark for re-evaluation, so pruning can
+only cost speed, never rows — the module-wide discipline.
+
+Streaming semantics (the CDC-out dual of `streaming/cdc.py`'s
+CDC-in): offsets are ``{"version": N}``; each micro-batch is the
+RETRACT STREAM of commits ``(start, end]`` — live rows of removed
+files and newly-tombstoned rows emit ``_change="delete"``, live rows
+of added files and dv-rollback resurrections emit
+``_change="insert"`` (an update is delete+insert of the same key, the
+Flink retract model). A signed aggregate over the feed therefore
+equals the batch aggregate of the final snapshot, pinned by test.
+Reads run driver-side on the COMMIT DELTA only (the work a consumer
+must do anyway); history must be retained while consumers are behind
+(``retire_versions`` keeping their horizon), same rule as any CDC
+log. Restart resumes from the checkpointed version offset.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+    SimpleDataSourceStreamReader,
+)
+
+try:
+    # Pickle OUR classes by value: the streaming source runner worker
+    # receives the DataSource pickle WITHOUT the session's pyFiles on
+    # its path, so a by-reference class pickle would fail to import
+    # this package at unpickle time. By-value makes the pickle
+    # self-contained; the FEED reader additionally avoids package
+    # imports at call time (the stdlib manifest helpers below),
+    # while batch-side workers get the package via register()'s
+    # addPyFile and may import it freely.
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover
+    pass
+
+__all__ = ["TssDataSource", "register"]
+
+_CHANGE = "_change"
+
+
+def _ds_list_versions(root: str) -> list:
+    """Self-contained mirror of `versioned.list_versions` (stdlib
+    only — callable inside the no-pyFiles streaming runner)."""
+    vd = os.path.join(root, "_versions")
+    if not os.path.isdir(vd):
+        return []
+    return sorted(
+        int(n[1:-5])
+        for n in os.listdir(vd)
+        if n.startswith("v") and n.endswith(".json")
+    )
+
+
+def _ds_read_manifest(root: str, version: int) -> dict:
+    import json
+
+    path = os.path.join(root, "_versions", f"v{version:08d}.json")
+    with open(path, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def register(spark) -> None:
+    """Register the ``tss`` format on a session.
+
+    DataSource code runs in PYTHON WORKER processes (the planning
+    worker and the executors), which cannot import this package
+    unless it is shipped to them — cloudpickle by-value does not
+    help, because the package's lazy ``from . import ...`` statements
+    execute at CALL time inside the worker. So this ships the package
+    the standard deployment way: one source zip via ``sc.addPyFile``
+    (zipimport makes it importable in every worker), then registers
+    the format. Idempotent per session."""
+    import tempfile
+    import zipfile
+
+    import trial_submission_studio_spark as pkg
+
+    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), "tss_pkg_datasource.zip"
+    )
+    tmp = zip_path + f".{os.getpid()}.tmp"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+        for cur, _dirs, names in os.walk(pkg_dir):
+            if "__pycache__" in cur:
+                continue
+            for n in sorted(names):
+                if not n.endswith(".py"):
+                    continue
+                full = os.path.join(cur, n)
+                rel = os.path.join(
+                    os.path.basename(pkg_dir),
+                    os.path.relpath(full, pkg_dir),
+                )
+                zf.write(full, rel)
+    os.replace(tmp, zip_path)
+    spark.sparkContext.addPyFile(zip_path)
+    # pushFilters is gated behind this runtime conf (off by default)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(TssDataSource)
+
+
+def _filter_conjunct(f: Filter):
+    """Translate one Spark DS filter to a zonemap conjunct, or None
+    when out of the pruning vocabulary (nested column, Not, string
+    matchers...) — untranslatable filters simply don't prune."""
+    attr = getattr(f, "attribute", None)
+    if not attr or len(attr) != 1:
+        return None
+    col = attr[0]
+    if isinstance(f, EqualTo):
+        return (col, "=", f.value)
+    if isinstance(f, GreaterThan):
+        return (col, ">", f.value)
+    if isinstance(f, GreaterThanOrEqual):
+        return (col, ">=", f.value)
+    if isinstance(f, LessThan):
+        return (col, "<", f.value)
+    if isinstance(f, LessThanOrEqual):
+        return (col, "<=", f.value)
+    if isinstance(f, In):
+        return (col, "in", list(f.value))
+    if isinstance(f, IsNull):
+        return (col, "isnull")
+    if isinstance(f, IsNotNull):
+        return (col, "isnotnull")
+    return None
+
+
+def plan_files(
+    root: str, version: int | None, conjuncts: list[tuple]
+) -> dict:
+    """The driver-side plan the batch reader executes: manifest +
+    pruned file list (zone maps x partition dirs x column mapping).
+    Exposed for tests/audits — the `plan_facts` of the format route."""
+    from . import versioned
+    from .zonemap import prune_files
+
+    m = versioned.read_manifest(root, version)
+    pruned = prune_files(m, conjuncts) if conjuncts else None
+    return {
+        "manifest": m,
+        "files": pruned["kept"] if pruned else list(m["files"]),
+        "files_total": len(m["files"]),
+        "files_skipped": len(pruned["skipped"]) if pruned else 0,
+        "conjuncts": list(conjuncts),
+    }
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    path: str  # absolute
+    sidecars: tuple  # absolute sidecar paths holding this file's dv
+    dv_key: str  # the manifest key tombstones use for this file
+
+
+def _arrow_filters(conjuncts: list[tuple], mapping: dict | None):
+    """Zonemap conjuncts -> pyarrow DNF filters (physical names);
+    ops outside pyarrow's vocabulary are skipped (Spark re-applies
+    every filter anyway)."""
+    out = []
+    for c in conjuncts:
+        col = (mapping or {}).get(c[0], c[0])
+        op = c[1]
+        if op in ("=", "<", "<=", ">", ">="):
+            out.append((col, "==" if op == "=" else op, c[2]))
+        elif op == "in":
+            out.append((col, "in", list(c[2])))
+        elif op == "isnull":
+            out.append((col, "in", [None]))
+    return out or None
+
+
+def _read_file_arrow(
+    path: str,
+    phys_cols: list[str],
+    sidecars: tuple,
+    dv_key: str,
+    filters=None,
+):
+    """One file as a pyarrow Table of exactly ``phys_cols`` (missing
+    columns null-filled — add-column evolution), deletion-vector
+    ordinals masked out. Plain files pass ``filters`` to pyarrow for
+    row-group skipping; dv files must keep ordinals, so they read
+    unfiltered and rely on Spark's re-applied filter."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    avail = [c for c in phys_cols if c in pf.schema_arrow.names]
+    if sidecars:
+        t = pq.read_table(path, columns=avail)
+        doomed = set()
+        for s in sidecars:
+            sc = pq.read_table(
+                s,
+                columns=["__tss_file", "__tss_pos"],
+                filters=[("__tss_file", "==", dv_key)],
+            )
+            doomed.update(sc.column("__tss_pos").to_pylist())
+        if doomed:
+            mask = pa.array(
+                [i not in doomed for i in range(t.num_rows)]
+            )
+            t = t.filter(mask)
+    else:
+        t = pq.read_table(path, columns=avail, filters=filters)
+    for c in phys_cols:
+        if c not in t.column_names:
+            t = t.append_column(c, pa.nulls(t.num_rows))
+    return t.select(phys_cols)
+
+
+class _TssBatchReader(DataSourceReader):
+    """Everything ``read()`` needs is resolved in ``__init__`` (the
+    planning worker) or carried ON the partition objects — executor
+    copies of the reader may be pickled BEFORE ``partitions()`` runs,
+    so attributes set there must never be read-side state."""
+
+    def __init__(self, options, schema):
+        from . import versioned
+
+        self._root = options["root"]
+        v = options.get("version")
+        as_of = options.get("asof") or options.get("asOf")
+        if v is not None:
+            self._version = int(v)
+        elif as_of is not None:
+            self._version = versioned.version_as_of(self._root, as_of)
+        else:
+            self._version = versioned.current_version(self._root)
+        self._schema = schema
+        self._conjuncts: list[tuple] = []
+        m = versioned.read_manifest(self._root, self._version)
+        self._mapping = m.get("column_mapping") or None
+
+    def pushFilters(self, filters):
+        for f in filters:
+            c = _filter_conjunct(f)
+            if c is not None:
+                self._conjuncts.append(c)
+            # return EVERY filter: file-grain pruning is approximate,
+            # Spark must still evaluate the predicate on rows
+            yield f
+
+    def partitions(self):
+        plan = plan_files(self._root, self._version, self._conjuncts)
+        m = plan["manifest"]
+        dv = m.get("dv") or {}
+        out = []
+        for f in plan["files"]:
+            e = dv.get(f)
+            out.append(
+                _FilePartition(
+                    path=os.path.join(self._root, f),
+                    sidecars=tuple(
+                        os.path.join(self._root, s)
+                        for s in (e["sidecars"] if e else ())
+                    ),
+                    dv_key=f,
+                )
+            )
+        if not out:
+            # a fully-pruned read still needs >=1 partition; the
+            # sentinel tells read() to emit nothing
+            out.append(_FilePartition(path="", sidecars=(), dv_key=""))
+        return out
+
+    def read(self, partition):
+        if not partition.path:
+            return  # fully-pruned sentinel
+        logical = [f.name for f in self._schema.fields]
+        phys = [(self._mapping or {}).get(c, c) for c in logical]
+        t = _read_file_arrow(
+            partition.path,
+            phys,
+            partition.sidecars,
+            partition.dv_key,
+            filters=_arrow_filters(self._conjuncts, self._mapping),
+        )
+        t = t.rename_columns(logical)
+        yield from t.to_batches()
+
+
+class _TssFeedReader(SimpleDataSourceStreamReader):
+    """Retract-stream change feed: see module docstring."""
+
+    def __init__(self, options, schema):
+        self._root = options["root"]
+        self._start = int(options.get("startingVersion", 0))
+        self._schema = schema
+
+    def initialOffset(self):
+        return {"version": self._start}
+
+    def read(self, start):
+        vs = _ds_list_versions(self._root)
+        cur = vs[-1] if vs else None
+        v_from = int(start["version"])
+        if cur is None or cur <= v_from:
+            return iter(()), start
+        # materialized (commit-delta-sized): the prefetch cache
+        # copy.copy()s this iterator, which a generator cannot survive
+        rows = list(self._between(v_from, cur))
+        return iter(rows), {"version": cur}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            list(self._between(int(start["version"]), int(end["version"])))
+        )
+
+    # -- pure-Python feed computation (commit-delta-sized) ----------
+    def _manifest(self, v):
+        if v == 0:
+            return {"files": [], "metadata": {}}
+        return _ds_read_manifest(self._root, v)
+
+    def _live_rows(self, manifest, rel_files, phys):
+        for f in rel_files:
+            e = (manifest.get("dv") or {}).get(f)
+            t = _read_file_arrow(
+                os.path.join(self._root, f),
+                phys,
+                tuple(
+                    os.path.join(self._root, s)
+                    for s in (e["sidecars"] if e else ())
+                ),
+                f,
+            )
+            yield from zip(*[t.column(c).to_pylist() for c in phys])
+
+    def _dv_delta_rows(self, m_from, m_to, common, phys):
+        """Rows whose tombstone exists in m_to but not in m_from —
+        newly-dead (or, with the arguments swapped, resurrected)."""
+        import pyarrow.parquet as pq
+
+        dv_a = m_from.get("dv") or {}
+        dv_b = m_to.get("dv") or {}
+        for f in sorted(common):
+            seen = set(dv_a.get(f, {}).get("sidecars", ()))
+            fresh = [
+                s
+                for s in dv_b.get(f, {}).get("sidecars", ())
+                if s not in seen
+            ]
+            if not fresh:
+                continue
+            doomed = set()
+            for s in fresh:
+                sc = pq.read_table(
+                    os.path.join(self._root, s),
+                    columns=["__tss_file", "__tss_pos"],
+                    filters=[("__tss_file", "==", f)],
+                )
+                doomed.update(sc.column("__tss_pos").to_pylist())
+            # positions newly dead were LIVE at m_from: exclude ones
+            # already dead there
+            already = set()
+            for s in dv_a.get(f, {}).get("sidecars", ()):
+                sc = pq.read_table(
+                    os.path.join(self._root, s),
+                    columns=["__tss_file", "__tss_pos"],
+                    filters=[("__tss_file", "==", f)],
+                )
+                already.update(sc.column("__tss_pos").to_pylist())
+            doomed -= already
+            if not doomed:
+                continue
+            t = pq.read_table(
+                os.path.join(self._root, f),
+                columns=[
+                    c
+                    for c in phys
+                    if c
+                    in pq.ParquetFile(
+                        os.path.join(self._root, f)
+                    ).schema_arrow.names
+                ],
+            )
+            import pyarrow as pa
+
+            mask = pa.array(
+                [i in doomed for i in range(t.num_rows)]
+            )
+            t = t.filter(mask)
+            for c in phys:
+                if c not in t.column_names:
+                    t = t.append_column(c, pa.nulls(t.num_rows))
+            t = t.select(phys)
+            yield from zip(*[t.column(c).to_pylist() for c in phys])
+
+    def _between(self, v_from, v_to):
+        logical = [
+            f.name for f in self._schema.fields if f.name != _CHANGE
+        ]
+        a, b = self._manifest(v_from), self._manifest(v_to)
+
+        def _phys(m):
+            cm = m.get("column_mapping") or {}
+            return [cm.get(c, c) for c in logical]
+
+        fa, fb = set(a["files"]), set(b["files"])
+        removed, added, common = fa - fb, fb - fa, fa & fb
+        for row in self._live_rows(a, sorted(removed), _phys(a)):
+            yield row + ("delete",)
+        for row in self._dv_delta_rows(a, b, common, _phys(a)):
+            yield row + ("delete",)
+        for row in self._live_rows(b, sorted(added), _phys(b)):
+            yield row + ("insert",)
+        for row in self._dv_delta_rows(b, a, common, _phys(b)):
+            yield row + ("insert",)  # dv rollback resurrection
+
+
+class TssDataSource(DataSource):
+    """``format("tss")`` — options: ``root`` (required), ``version``
+    or ``asOf`` (batch time travel), ``feed=true`` + optional
+    ``startingVersion`` (streaming change feed)."""
+
+    @classmethod
+    def name(cls):
+        return "tss"
+
+    def _is_feed(self):
+        return str(self.options.get("feed", "")).lower() == "true"
+
+    def schema(self):
+        from pyspark.sql.pandas.types import from_arrow_schema
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        import pyarrow.parquet as pq
+
+        from . import versioned
+
+        root = self.options["root"]
+        v = self.options.get("version")
+        m = versioned.read_manifest(root, int(v) if v else None)
+        first = os.path.join(root, m["files"][0])
+        arrow = pq.ParquetFile(first).schema_arrow
+        phys = from_arrow_schema(arrow)
+        cm = m.get("column_mapping")
+        by_phys = {f.name: f for f in phys.fields}
+        if cm:
+            fields = [
+                StructField(lg, by_phys[ph].dataType, True)
+                for lg, ph in cm.items()
+                if ph in by_phys
+            ]
+        else:
+            fields = [
+                StructField(f.name, f.dataType, f.nullable)
+                for f in phys.fields
+            ]
+        if self._is_feed():
+            fields = fields + [StructField(_CHANGE, StringType(), False)]
+        return StructType(fields)
+
+    def reader(self, schema):
+        return _TssBatchReader(self.options, schema)
+
+    def simpleStreamReader(self, schema):
+        return _TssFeedReader(self.options, schema)

@@ -168,11 +168,15 @@ def read_with_dv(
     with_lineage: bool = False,
 ) -> DataFrame:
     """Live rows of ``rel_files`` (default: the whole snapshot) with
-    the manifest's deletion vectors applied. Files WITHOUT a DV entry
-    are scanned plain; files WITH one pay the anti-join. With
+    the manifest's deletion vectors applied, presented under the
+    table's LOGICAL schema (`io/table_schema.py` column mapping;
+    identity for unmapped tables). Files WITHOUT a DV entry are
+    scanned plain; files WITH one pay the anti-join. With
     ``with_lineage`` the result keeps ``FILE_COL`` (root-relative
     source path) and ``POS_COL`` (row ordinal within the file) — the
     physical address a later ``delete_matching_dv`` tombstones."""
+    from .table_schema import column_mapping, to_logical
+
     files = list(rel_files if rel_files is not None else manifest["files"])
     if not files:
         raise ValueError("read_with_dv: empty file list")
@@ -180,6 +184,17 @@ def read_with_dv(
     dv_files = [f for f in files if f in m]
     plain = [f for f in files if f not in m]
     external = any(os.path.isabs(f) for f in files)
+    cm = column_mapping(manifest)
+
+    def _read(rel: list[str]) -> DataFrame:
+        df = spark.read.parquet(*_paths(root, rel))
+        if cm and any(ph not in df.columns for ph in cm.values()):
+            # inference sampled a file predating an added column:
+            # merge footers so its values don't silently null out
+            df = spark.read.option("mergeSchema", "true").parquet(
+                *_paths(root, rel)
+            )
+        return df
 
     def _lineage(df: DataFrame) -> DataFrame:
         return df.select(
@@ -188,17 +203,19 @@ def read_with_dv(
             F.col("_metadata.row_index").alias(POS_COL),
         )
 
+    keep = (FILE_COL, POS_COL) if with_lineage else ()
     parts: list[DataFrame] = []
     if plain:
-        df = spark.read.parquet(*_paths(root, plain))
-        parts.append(_lineage(df) if with_lineage else df)
+        df = _read(plain)
+        df = _lineage(df) if with_lineage else df
+        parts.append(to_logical(df, manifest, keep=keep))
     if dv_files:
-        df = _lineage(spark.read.parquet(*_paths(root, dv_files)))
+        df = _lineage(_read(dv_files))
         dv = read_dv(spark, root, manifest, dv_files)
         df = df.join(dv, [FILE_COL, POS_COL], "left_anti")
         if not with_lineage:
             df = df.drop(FILE_COL, POS_COL)
-        parts.append(df)
+        parts.append(to_logical(df, manifest, keep=keep))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -381,11 +398,11 @@ def delete_matching_dv(
             f"deletion vectors require an all-parquet snapshot; found {bad[:3]}"
         )
 
-    from .table_schema import align_column_types
+    from .table_schema import align_column_types, logical_struct
 
-    probe_schema = spark.read.parquet(
-        *_paths(root, m["files"][:1])
-    ).schema
+    probe_schema = logical_struct(
+        spark.read.parquet(*_paths(root, m["files"][:1])).schema, m
+    )
     keys = align_column_types(
         keys, probe_schema, cols=key_cols, context="delete_matching_dv"
     )

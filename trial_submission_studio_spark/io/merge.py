@@ -124,11 +124,23 @@ def merge_version(
     # rewrite preserves it
     bspec = m["metadata"].get("bucket_spec")
 
+    # the user-facing schema is the LOGICAL one (column mapping,
+    # io/table_schema.py); reads below come back logical and writes
+    # translate back to the frozen physical names
+    from .table_schema import (
+        align_column_types,
+        logical_struct,
+        to_physical,
+    )
+
+    logical_schema = logical_struct(target.schema, m)
+    logical_cols = [f.name for f in logical_schema.fields]
+
     data_cols = [c for c in source.columns if c != delete_col]
-    if sorted(data_cols) != sorted(target.columns):
+    if sorted(data_cols) != sorted(logical_cols):
         raise ValueError(
             "source/target schema mismatch: "
-            f"source={sorted(data_cols)} target={sorted(target.columns)}"
+            f"source={sorted(data_cols)} target={sorted(logical_cols)}"
         )
     missing = [k for k in key_cols if k not in data_cols]
     if missing:
@@ -136,9 +148,7 @@ def merge_version(
     # dtype gate: F.hash (bucket probe) and the rewrite union are
     # both dtype-sensitive — align source columns to the target's
     # exact types (safe widenings cast, anything else refused)
-    from .table_schema import align_column_types
-
-    source = align_column_types(source, target.schema, context="merge_version")
+    source = align_column_types(source, logical_schema, context="merge_version")
 
     if delete_col is not None:
         is_del = F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
@@ -197,9 +207,9 @@ def merge_version(
     )
     if affected_df is not None:
         survivors = affected_df.join(sk, key_cols, "left_anti")
-        out = survivors.unionByName(upserts.select(*target.columns))
+        out = survivors.unionByName(upserts.select(*logical_cols))
     else:
-        out = upserts.select(*target.columns)
+        out = upserts.select(*logical_cols)
 
     stats = {"files_rewritten": len(affected_rel), "files_kept": len(kept_rel)}
     if buckets_probed is not None:
@@ -238,17 +248,26 @@ def merge_version(
         )
 
     fresh_rel: list[str] = []
+    pspec = m["metadata"].get("partition_spec")
     if n_out_probe:
-        if bspec:
+        out = to_physical(
+            out.select(*logical_cols), m, context="merge_version"
+        )
+        if pspec:
+            # Hive-partitioned snapshot: rewritten + inserted rows go
+            # back under partition (and nested bucket) dirs so the
+            # directory pruning contract survives the rewrite
+            from .partitioned_table import _write_partitioned_run
+
+            fresh_rel = _write_partitioned_run(out, root, pspec, bspec)
+        elif bspec:
             # layout preservation: rewritten + inserted rows go back
             # into __kb=N dirs under the recorded spec (one file per
             # touched bucket), so the table never silently degrades
             # to unbucketed and key-pruned reads stay correct
             from .bucketed_table import _write_bucketed_run
 
-            fresh_rel = _write_bucketed_run(
-                out.select(*target.columns), root, bspec
-            )
+            fresh_rel = _write_bucketed_run(out, root, bspec)
         else:
             run_dir = versioned.new_data_dir(root)
             # keep file granularity comparable to the input: the
@@ -321,10 +340,16 @@ def delete_matching(
     target = spark.read.parquet(*all_paths)
 
     bspec = m["metadata"].get("bucket_spec")
-    from .table_schema import align_column_types
+    from .table_schema import (
+        align_column_types,
+        logical_struct,
+        to_physical,
+    )
 
+    logical_schema = logical_struct(target.schema, m)
+    logical_cols = [f.name for f in logical_schema.fields]
     keys = align_column_types(
-        keys, target.schema, cols=key_cols, context="delete_matching"
+        keys, logical_schema, cols=key_cols, context="delete_matching"
     )
     dkeys = keys.select(*key_cols).distinct()
     if broadcast_keys == "auto":
@@ -368,12 +393,21 @@ def delete_matching(
             )
             stats["rows_deleted"] = n_doomed
         if survivors.limit(1).count():
-            if bspec:
+            survivors = to_physical(
+                survivors.select(*logical_cols), m,
+                context="delete_matching",
+            )
+            pspec = m["metadata"].get("partition_spec")
+            if pspec:
+                from .partitioned_table import _write_partitioned_run
+
+                fresh_rel = _write_partitioned_run(
+                    survivors, root, pspec, bspec
+                )
+            elif bspec:
                 from .bucketed_table import _write_bucketed_run
 
-                fresh_rel = _write_bucketed_run(
-                    survivors.select(*target.columns), root, bspec
-                )
+                fresh_rel = _write_bucketed_run(survivors, root, bspec)
             else:
                 run_dir = versioned.new_data_dir(root)
                 survivors = survivors.repartition(max(1, len(affected_rel)))
@@ -448,13 +482,17 @@ def update_where(
     from .deletion_vectors import POS_COL
     from .zonemap import predicate_to_column, prune_files, stats_like
 
+    from .table_schema import logical_struct, to_physical
+
     m = versioned.read_manifest(root, version)
     _parquet_paths(root, m)  # all-parquet gate
     target = spark.read.parquet(*[os.path.join(root, f) for f in m["files"]])
-    missing = [c for c in set_exprs if c not in target.columns]
+    logical_schema = logical_struct(target.schema, m)
+    logical_cols = [f.name for f in logical_schema.fields]
+    missing = [c for c in set_exprs if c not in logical_cols]
     if missing:
         raise ValueError(f"set columns not in table: {missing}")
-    types = {f.name: f.dataType for f in target.schema.fields}
+    types = {f.name: f.dataType for f in logical_schema.fields}
 
     pruned = prune_files(m, predicate)
     candidates = pruned["kept"]
@@ -483,10 +521,17 @@ def update_where(
                 F.col(col)
             ),
         )
-    out = out.select(*target.columns)
+    out = to_physical(
+        out.select(*logical_cols), m, context="update_where"
+    )
 
     bspec = m["metadata"].get("bucket_spec")
-    if bspec:
+    pspec = m["metadata"].get("partition_spec")
+    if pspec:
+        from .partitioned_table import _write_partitioned_run
+
+        fresh_rel = _write_partitioned_run(out, root, pspec, bspec)
+    elif bspec:
         from .bucketed_table import _write_bucketed_run
 
         fresh_rel = _write_bucketed_run(out, root, bspec)

@@ -1,0 +1,278 @@
+"""Hive-style partition directories as the THIRD layout tool of the
+table format — beside hash buckets (`io/bucketed_table.py`) and
+Z-order clustering (`io/zonemap.py:optimize_version`), recorded as
+the same kind of manifest contract (``partition_spec``).
+
+What directory partitioning buys at 100 TB (and the other two
+don't): the partition VALUE is readable from the file PATH alone, so
+
+- **reads prune with zero footer harvesting** — even a table that
+  never ran ``collect_file_stats`` skips whole ``day=`` directories
+  by string-parsing its manifest entries (the pseudo-stats below);
+- **retention deletes become pure directory-grain metadata** —
+  ``delete_where([("day", "<", cutoff)])`` drops every provably-
+  matching file without opening one, because a partition dir is an
+  EXACT zone (min == max == the dir value, zero nulls), not an
+  approximate one.
+
+Layout choice, stated plainly: the partition column is DUPLICATED
+into the directory name under an aux key (``__p_day=<v>/``) while the
+real column stays IN the file bytes. Spark's ``partitionBy`` strips
+the partition column from file contents, which would make every
+rewrite path (merge, compaction, clone publish) partition-aware and
+turn a plain file-list read into a basePath-coupled one; writing the
+aux copy instead costs ~nothing (an RLE constant column compresses
+to bytes) and keeps EVERY existing reader and rewriter correct with
+no changes — a rewritten file merely loses its directory pruning and
+falls back to ordinary zone maps, never loses data.
+
+The pruning mechanism is zone-map reuse, not a parallel engine:
+:func:`partition_pseudo_stats` turns each file's ``__p_<col>=<val>``
+path segments into exact per-file column stats, and
+`io/zonemap.py:prune_files` / ``split_files_for_delete`` merge them
+with any real footer stats — so partition pruning, bucket pruning
+(``__kb=N`` dirs compose inside partition dirs) and zone maps all
+shrink the same explicit file list before Spark plans a scan.
+
+Value typing is inference-with-a-safe-direction: dir strings parse
+as int, ISO date, ISO timestamp, or str; a predicate literal whose
+domain disagrees with the inferred tag makes the comparison raise
+inside the zone-map machinery, which treats it as "unknown —
+cannot prune / cannot drop". A mis-typed partition value can cost
+speed, never rows.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+import urllib.parse
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import versioned as _ver
+
+__all__ = [
+    "PART_PREFIX",
+    "partition_spec",
+    "publish_partitioned",
+    "append_partitioned",
+    "partition_values",
+    "partition_pseudo_stats",
+]
+
+#: aux directory-key prefix — keeps the dir name space disjoint from
+#: real column names so partition discovery can never collide with a
+#: data column on a plain read
+PART_PREFIX = "__p_"
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _canon_spec(cols) -> dict:
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    if not cols:
+        raise ValueError("need at least one partition column")
+    return {"cols": cols}
+
+
+def partition_spec(root: str, version: int | None = None) -> dict | None:
+    """The recorded spec, or None for an unpartitioned table."""
+    if _ver.current_version(root) is None:
+        return None
+    return _ver.read_manifest(root, version)["metadata"].get(
+        "partition_spec"
+    )
+
+
+def _write_partitioned_run(
+    df: DataFrame, root: str, spec: dict, bucket_spec: dict | None = None
+) -> list[str]:
+    """One run of ``__p_c=v/.../part-*.parquet`` files under a fresh
+    data dir; the real columns (including the partition columns) stay
+    in the file bytes — only the AUX copies feed ``partitionBy``.
+    With ``bucket_spec`` the hash-bucket dirs nest INSIDE the
+    partition dirs (the Hive partition/bucket layout proper), so both
+    path prunes compose on the same manifest entries."""
+    cols = spec["cols"]
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"partition columns not in frame: {missing}")
+    aux = [F.col(c).alias(PART_PREFIX + c) for c in cols]
+    part_keys = [PART_PREFIX + c for c in cols]
+    out = df.select("*", *aux)
+    if bucket_spec is not None:
+        from .bucketed_table import BUCKET_COL, bucket_id
+
+        out = out.withColumn(
+            BUCKET_COL,
+            bucket_id(bucket_spec["key_cols"], bucket_spec["n_buckets"]),
+        )
+        part_keys = part_keys + [BUCKET_COL]
+    run_dir = _ver.new_data_dir(root)
+    (
+        out.repartition(*[F.col(k) for k in part_keys])
+        .sortWithinPartitions(*part_keys)
+        .write.partitionBy(*part_keys)
+        .mode("overwrite")
+        .parquet(run_dir)
+    )
+    return sorted(
+        os.path.relpath(p, root) for p in _ver.data_files(run_dir)
+    )
+
+
+def publish_partitioned(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    cols: str | Sequence[str],
+    *,
+    bucket_key: str | Sequence[str] | None = None,
+    n_buckets: int | None = None,
+    stats_columns: list[str] | None = None,
+    metadata: dict | None = None,
+) -> dict:
+    """Write ``df`` under Hive-style partition directories on
+    ``cols`` and commit a version recording the ``partition_spec``
+    contract. ``bucket_key``/``n_buckets`` additionally hash-bucket
+    WITHIN each partition (both specs recorded; point lookups prune
+    by partition dir, then bucket dir, then zone map). Re-publishing
+    over an existing root with a different spec is refused."""
+    spec = _canon_spec(cols)
+    bspec = None
+    if bucket_key is not None:
+        if n_buckets is None:
+            raise ValueError("bucket_key needs n_buckets")
+        from .bucketed_table import _canon_spec as _canon_bucket
+
+        bspec = _canon_bucket(bucket_key, n_buckets)
+        overlap = set(bspec["key_cols"]) & set(spec["cols"])
+        if overlap:
+            raise ValueError(
+                f"columns cannot be both partition and bucket key: "
+                f"{sorted(overlap)} (a partition dir holds ONE value — "
+                "bucketing it is a no-op that just fragments files)"
+            )
+    prev = partition_spec(root) if _ver.current_version(root) else None
+    if prev is not None and prev != spec:
+        raise ValueError(
+            f"partition spec changed (recorded {prev}, got {spec}); "
+            "repartition under a fresh root"
+        )
+    os.makedirs(root, exist_ok=True)
+    files = _write_partitioned_run(df, root, spec, bspec)
+    meta = {**(metadata or {}), "partition_spec": spec}
+    if bspec:
+        meta["bucket_spec"] = bspec
+    stats = None
+    if stats_columns:
+        from .zonemap import collect_file_stats
+
+        stats = collect_file_stats(root, files, stats_columns, spark=spark)
+    return _ver.publish_files(root, files, metadata=meta, stats=stats)
+
+
+def append_partitioned(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    *,
+    metadata: dict | None = None,
+) -> dict:
+    """Append a new run under the RECORDED partition (and bucket)
+    spec through the multi-writer commit loop."""
+    spec = partition_spec(root)
+    if spec is None:
+        raise ValueError(f"{root} carries no partition_spec")
+    m = _ver.read_manifest(root)
+    bspec = m["metadata"].get("bucket_spec")
+    base_v = m["version"]
+    files = _write_partitioned_run(df, root, spec, bspec)
+    meta = {**(metadata or {}), "partition_spec": spec}
+    if bspec:
+        meta["bucket_spec"] = bspec
+    stats = None
+    base_stats = m.get("stats")
+    if base_stats:
+        from .zonemap import stats_like
+
+        stats = stats_like(root, m, files, spark=spark)
+    return _ver.commit_files(
+        root,
+        base_version=base_v,
+        kind="append",
+        add_files=files,
+        add_stats=stats,
+        metadata=meta,
+        spark=spark,
+    )
+
+
+def partition_values(rel_path: str, spec: dict) -> dict:
+    """{col: raw string value (URL-decoded) | None} parsed from one
+    manifest entry's ``__p_<col>=<val>`` path segments; cols whose
+    segment is absent (e.g. a rewritten file that lost its layout)
+    are omitted entirely."""
+    out: dict = {}
+    want = {PART_PREFIX + c: c for c in spec["cols"]}
+    for seg in rel_path.split("/"):
+        if "=" not in seg:
+            continue
+        k, _, v = seg.partition("=")
+        col = want.get(k)
+        if col is None:
+            continue
+        v = urllib.parse.unquote(v)
+        out[col] = None if v == _HIVE_NULL else v
+    return out
+
+
+def _typed(v: str) -> tuple[str, object] | None:
+    """(zone-map type tag, typed value) inferred from a partition dir
+    string — the same tag/coercion domain `io/zonemap.py` compares
+    in. None = don't claim stats for this value (safe: scan)."""
+    try:
+        return ("int", int(v))
+    except ValueError:
+        pass
+    try:
+        return ("date", _dt.date.fromisoformat(v).isoformat())
+    except ValueError:
+        pass
+    try:
+        return (
+            "timestamp",
+            _dt.datetime.fromisoformat(v.replace(" ", "T")).isoformat(),
+        )
+    except ValueError:
+        pass
+    if len(v) <= 64:  # MAX_STRING_STAT discipline
+        return ("str", v)
+    return None
+
+
+def partition_pseudo_stats(manifest: dict) -> dict:
+    """Per-file EXACT zone-map entries derived from partition dir
+    names alone (min == max == the dir value, zero nulls) — the
+    bridge that lets `io/zonemap.py` prune and `delete_where` drop
+    whole partitions with no footer ever read. Files without the
+    layout (rewritten by a non-partition-aware commit) contribute
+    nothing and fall back to their real stats."""
+    spec = manifest["metadata"].get("partition_spec")
+    if not spec:
+        return {}
+    out: dict = {}
+    for f in manifest["files"]:
+        vals = partition_values(f, spec)
+        cols = {}
+        for c, raw in vals.items():
+            if raw is None:
+                continue  # all-null dir: claim nothing (isnull keeps)
+            t = _typed(raw)
+            if t is not None:
+                cols[c] = {"t": t[0], "min": t[1], "max": t[1], "nulls": 0}
+        if cols:
+            out[f] = {"columns": cols}
+    return out

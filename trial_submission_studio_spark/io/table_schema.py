@@ -30,6 +30,12 @@ __all__ = [
     "schema_violations",
     "publish_checked",
     "align_column_types",
+    "column_mapping",
+    "to_logical",
+    "to_physical",
+    "logical_struct",
+    "rename_column",
+    "drop_column",
 ]
 
 #: Safe numeric widenings (value-preserving casts). Anything not
@@ -92,6 +98,193 @@ def align_column_types(df, target_schema, *, cols=None, context="merge"):
             ]
         )
     return df
+
+
+def column_mapping(manifest: dict) -> dict | None:
+    """The manifest's logical->physical column map (Delta
+    column-mapping shape), or None for an unmapped table. Physical
+    names are frozen at first write; :func:`rename_column` /
+    :func:`drop_column` edit only this map — zero data rewrites.
+    Dict order IS the logical column order readers present."""
+    return manifest.get("column_mapping") or None
+
+
+def to_logical(df, manifest: dict, *, keep: tuple = ()):
+    """Project a PHYSICAL frame (raw parquet read) to the table's
+    LOGICAL schema per the manifest's column mapping — identity for
+    unmapped tables. A live physical column absent from ``df``
+    (a column added by evolution after some files were written)
+    null-fills. ``keep`` passes lineage columns (``__tss_file`` /
+    ``__tss_pos``) through unmapped."""
+    cm = column_mapping(manifest)
+    if not cm:
+        return df
+    from pyspark.sql import functions as F
+
+    cols = [
+        (F.col(ph) if ph in df.columns else F.lit(None)).alias(lg)
+        for lg, ph in cm.items()
+    ]
+    cols += [F.col(c) for c in keep if c in df.columns]
+    return df.select(*cols)
+
+
+def to_physical(df, manifest: dict, *, context: str = "write"):
+    """Rename a LOGICAL frame's columns back to their frozen PHYSICAL
+    names for writing data files — the discipline that keeps every
+    file on disk in one (physical) name space regardless of renames.
+    Identity for unmapped tables; refuses columns the mapping does
+    not know (a silent passthrough would fork the name space)."""
+    cm = column_mapping(manifest)
+    if not cm:
+        return df
+    from pyspark.sql import functions as F
+
+    unknown = [c for c in df.columns if c not in cm]
+    if unknown:
+        raise ValueError(
+            f"{context}: columns not in the table's column mapping "
+            f"(logical names are {sorted(cm)}): {unknown}"
+        )
+    return df.select(
+        *[F.col(lg).alias(ph) for lg, ph in cm.items() if lg in df.columns]
+    )
+
+
+def logical_struct(physical_schema, manifest: dict):
+    """The LOGICAL Spark StructType corresponding to a physical file
+    schema under the manifest's mapping (identity when unmapped) —
+    what dtype gates compare user frames against."""
+    cm = column_mapping(manifest)
+    if not cm:
+        return physical_schema
+    from pyspark.sql.types import StructField, StructType
+
+    fields = {f.name: f for f in physical_schema.fields}
+    out = []
+    for lg, ph in cm.items():
+        if ph in fields:
+            f = fields[ph]
+            out.append(StructField(lg, f.dataType, f.nullable))
+    return StructType(out)
+
+
+def _live_mapping(root: str, manifest: dict) -> dict:
+    """The table's current mapping, initializing the identity map
+    from the recorded (or footer) schema for a pre-mapping table."""
+    cm = column_mapping(manifest)
+    if cm:
+        return dict(cm)
+    sch = manifest.get("schema") or snapshot_schema(
+        root, manifest["files"]
+    )
+    return {f["name"]: f["name"] for f in sch}
+
+
+def _guard_layout_and_constraints(
+    manifest: dict, col: str, op: str
+) -> None:
+    """Refuse renaming/dropping a column the table's OTHER contracts
+    lean on: bucket-spec key/sort columns (the hash layout and its
+    pruning arithmetic are keyed by physical=logical name today) and
+    CHECK constraint expressions (rewriting SQL text is not a
+    metadata operation — drop and re-add the constraint instead)."""
+    import re
+
+    bspec = manifest["metadata"].get("bucket_spec") or {}
+    if col in bspec.get("key_cols", ()) or col in bspec.get(
+        "sort_cols", ()
+    ):
+        raise ValueError(
+            f"cannot {op} {col!r}: it is a bucket-spec key/sort column "
+            "(the layout contract is keyed by this name); rebucket "
+            "under a fresh root instead"
+        )
+    pspec = manifest["metadata"].get("partition_spec") or {}
+    if col in pspec.get("cols", ()):
+        raise ValueError(
+            f"cannot {op} {col!r}: it is a partition-spec column (the "
+            "directory layout is keyed by this name); repartition "
+            "under a fresh root instead"
+        )
+    pat = re.compile(rf"\b{re.escape(col)}\b")
+    hit = sorted(
+        n for n, e in (manifest.get("constraints") or {}).items()
+        if pat.search(e)
+    )
+    if hit:
+        raise ValueError(
+            f"cannot {op} {col!r}: CHECK constraints reference it "
+            f"({hit}); drop those constraints first and re-add them "
+            "against the new name"
+        )
+
+
+def rename_column(spark, root: str, old: str, new: str) -> dict:
+    """Rename a LOGICAL column without touching a byte of data
+    (Delta ``RENAME COLUMN`` under column mapping): one maintenance
+    commit updating the manifest's logical->physical map. Old
+    versions keep their own map, so time travel reads the old name
+    at old versions; zone maps, deletion vectors and bucket layouts
+    are keyed by physical names and are untouched."""
+    m = versioned.read_manifest(root)
+    cm = _live_mapping(root, m)
+    if old not in cm:
+        raise ValueError(
+            f"no such column: {old!r} (logical columns: {sorted(cm)})"
+        )
+    if new in cm:
+        raise ValueError(f"column {new!r} already exists")
+    if not new or not isinstance(new, str):
+        raise ValueError(f"bad column name: {new!r}")
+    _guard_layout_and_constraints(m, old, "rename")
+    cm2 = {(new if k == old else k): v for k, v in cm.items()}
+    meta = {"rename_column": {"from": old, "to": new}}
+    if m["metadata"].get("bucket_spec"):
+        meta["bucket_spec"] = m["metadata"]["bucket_spec"]
+    return versioned.commit_files(
+        root,
+        base_version=m["version"],
+        kind="maintenance",
+        metadata=meta,
+        column_mapping=cm2,
+        spark=spark,
+    )
+
+
+def drop_column(spark, root: str, name: str) -> dict:
+    """Drop a LOGICAL column without rewriting files: remove it from
+    the mapping (readers stop projecting it) and from the recorded
+    schema contract (appends stop requiring it). The physical column
+    stays in existing files — invisible, reclaimed file-by-file as
+    rewrites happen — and time travel still reads it at old
+    versions. One maintenance commit."""
+    m = versioned.read_manifest(root)
+    cm = _live_mapping(root, m)
+    if name not in cm:
+        raise ValueError(
+            f"no such column: {name!r} (logical columns: {sorted(cm)})"
+        )
+    if len(cm) == 1:
+        raise ValueError("cannot drop the table's last column")
+    _guard_layout_and_constraints(m, name, "drop")
+    phys = cm[name]
+    cm2 = {k: v for k, v in cm.items() if k != name}
+    schema = m.get("schema")
+    if schema:
+        schema = [f for f in schema if f["name"] != phys]
+    meta = {"drop_column": {"name": name, "physical": phys}}
+    if m["metadata"].get("bucket_spec"):
+        meta["bucket_spec"] = m["metadata"]["bucket_spec"]
+    return versioned.commit_files(
+        root,
+        base_version=m["version"],
+        kind="maintenance",
+        metadata=meta,
+        column_mapping=cm2,
+        schema=schema,
+        spark=spark,
+    )
 
 
 def file_schema(path: str) -> list[dict]:

@@ -242,6 +242,7 @@ def publish_files(
     schema: list | None = None,
     dv: dict | None = None,
     constraints: dict | None = None,
+    column_mapping: dict | None = None,
     _expect_version: int | None = None,
 ) -> dict:
     """Atomically publish a new version from an EXPLICIT root-relative
@@ -317,6 +318,17 @@ def publish_files(
         # recorded CHECK contract (set_table_constraints); enforced
         # by commit_files on every row-adding commit's fresh files
         manifest["constraints"] = constraints
+    if column_mapping:
+        # logical->physical name map (`io/table_schema.py` renames/
+        # drops without rewrites); physical targets must be unique or
+        # two logical columns would read the same bytes
+        vals = list(column_mapping.values())
+        if len(vals) != len(set(vals)):
+            raise ValueError(
+                "column_mapping maps two logical columns to the same "
+                "physical column"
+            )
+        manifest["column_mapping"] = dict(column_mapping)
     path = _manifest_path(root, version)
     # exclusive create: of two writers racing for this version number
     # exactly one wins; the loser's FileExistsError is the commit
@@ -417,6 +429,7 @@ def commit_files(
     add_stats: dict | None = None,
     schema: list | None = None,
     constraints: dict | str = "carry",
+    column_mapping: dict | str = "carry",
     spark: SparkSession | None = None,
     max_retries: int = 10,
 ) -> dict:
@@ -463,9 +476,18 @@ def commit_files(
                 "this table has CHECK constraints; commit_files needs "
                 "spark= to enforce them on the fresh files"
             )
+        from .table_schema import to_logical
+
+        # constraint expressions name LOGICAL columns; the fresh
+        # files are physical — project through the mapping first
         _enforce_constraints(
-            spark, spark.read.parquet(*[os.path.join(root, f)
-                                        for f in add_files]), cons,
+            spark,
+            to_logical(
+                spark.read.parquet(*[os.path.join(root, f)
+                                     for f in add_files]),
+                base,
+            ),
+            cons,
         )
     for _ in range(max_retries):
         cur_v = current_version(root)
@@ -527,11 +549,26 @@ def commit_files(
                 "constraint change raced other commits; re-validate "
                 "against the current version and retry"
             )
+        if column_mapping != "carry" and intervening:
+            # two concurrent mapping edits (renames/drops) would
+            # last-write-win a lost update; re-derive and retry
+            raise TableConflictError(
+                "column-mapping change raced other commits; re-derive "
+                "against the current version and retry"
+            )
+        # layout contracts ride every commit automatically: a writer
+        # that forgot to re-attach the spec must not silently strip
+        # the table's pruning contract (callers may still override by
+        # passing their own value in metadata)
+        pub_meta = dict(meta)
+        for _k in ("bucket_spec", "partition_spec"):
+            if _k not in pub_meta and target["metadata"].get(_k):
+                pub_meta[_k] = target["metadata"][_k]
         try:
             return publish_files(
                 root,
                 files,
-                metadata=meta,
+                metadata=pub_meta,
                 stats=stats or None,
                 schema=schema if schema is not None else target.get("schema"),
                 dv=dv or None,
@@ -539,6 +576,11 @@ def commit_files(
                     target.get("constraints")
                     if constraints == "carry"
                     else (constraints or None)
+                ),
+                column_mapping=(
+                    target.get("column_mapping")
+                    if column_mapping == "carry"
+                    else (column_mapping or None)
                 ),
                 # pin the version this rebase was validated against:
                 # any commit sneaking in between validation and link
@@ -639,7 +681,18 @@ def read_version(
         return read_with_dv(spark, root, m)
     paths = [os.path.join(root, f) for f in m["files"]]
     fmt = "json" if paths[0].endswith((".jsonl", ".jsonl.gz", ".json.gz")) else "parquet"
-    return spark.read.format(fmt).load(paths)
+    df = spark.read.format(fmt).load(paths)
+    from .table_schema import column_mapping as _cmap, to_logical
+
+    cm = _cmap(m)
+    if cm and fmt == "parquet" and any(
+        ph not in df.columns for ph in cm.values()
+    ):
+        # schema inference sampled a file missing a live physical
+        # column (add-column evolution): merge all footers so no
+        # file's values silently null out
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    return to_logical(df, m)
 
 
 def rollback(root: str, to_version: int) -> dict:
@@ -651,8 +704,9 @@ def rollback(root: str, to_version: int) -> dict:
     its bytes."""
     m = read_manifest(root, to_version)
     meta: dict = {"rollback_of": m["version"]}
-    if m["metadata"].get("bucket_spec"):
-        meta["bucket_spec"] = m["metadata"]["bucket_spec"]
+    for _k in ("bucket_spec", "partition_spec"):
+        if m["metadata"].get(_k):
+            meta[_k] = m["metadata"][_k]
     return publish_files(
         root,
         m["files"],
@@ -661,6 +715,7 @@ def rollback(root: str, to_version: int) -> dict:
         schema=m.get("schema"),
         dv=m.get("dv"),
         constraints=m.get("constraints"),
+        column_mapping=m.get("column_mapping"),
     )
 
 
@@ -827,8 +882,9 @@ def shallow_clone(
         },
         **(metadata or {}),
     }
-    if m["metadata"].get("bucket_spec"):
-        meta["bucket_spec"] = m["metadata"]["bucket_spec"]
+    for _k in ("bucket_spec", "partition_spec"):
+        if m["metadata"].get(_k):
+            meta[_k] = m["metadata"][_k]
     os.makedirs(dst_root, exist_ok=True)
     # register BEFORE the clone's first manifest exists: a vacuum
     # racing the clone must already see the pin (a failed publish
@@ -843,6 +899,7 @@ def shallow_clone(
             schema=m.get("schema"),
             dv=dv,
             constraints=m.get("constraints"),
+            column_mapping=m.get("column_mapping"),
         )
     except BaseException:
         deregister_clone(src_root, dst_root)
@@ -1171,10 +1228,34 @@ def compact_version(
     if len(small) < 2 and not any(f in dvm for f in small):
         return m  # nothing worth rewriting
     # rewrites materialize survivors: read the rewrite slice with its
-    # tombstones applied, and drop those files' dv entries below
-    small_df = read_with_dv(spark, root, m, small)
+    # tombstones applied (LOGICAL view), and write it back under the
+    # frozen PHYSICAL names so the on-disk name space never forks
+    from .table_schema import to_physical
+
+    small_df = to_physical(
+        read_with_dv(spark, root, m, small), m, context="compact"
+    )
     bspec = m["metadata"].get("bucket_spec")
-    if bspec:
+    pspec = m["metadata"].get("partition_spec")
+    if pspec:
+        # Hive-partitioned snapshot (io/partitioned_table.py): the
+        # directory layout is a manifest contract — compaction
+        # consolidates small files WITHIN partition (and nested
+        # bucket) dirs and carries the spec forward
+        from .partitioned_table import _write_partitioned_run
+
+        fresh = _write_partitioned_run(small_df, root, pspec, bspec)
+        if verify:
+            n_in = small_df.count()
+            n_out_rows = spark.read.parquet(
+                *[os.path.join(root, f) for f in fresh]
+            ).count()
+            if n_in != n_out_rows:
+                raise RuntimeError(
+                    f"compaction row-count mismatch: {n_in} in, "
+                    f"{n_out_rows} out"
+                )
+    elif bspec:
         # bucket-spec'd snapshot (io/bucketed_table.py): the layout
         # is a manifest contract — compaction consolidates small
         # files WITHIN buckets (one output file per touched bucket)

@@ -375,6 +375,46 @@ def _file_all_match(entry: dict, conjunct: tuple) -> bool:
     raise ValueError(f"unknown predicate op: {op!r}")
 
 
+def _with_partition_stats(manifest: dict) -> dict:
+    """A manifest view whose stats are augmented with EXACT per-file
+    entries derived from Hive-style partition directories
+    (`io/partitioned_table.py`) — how partition pruning and
+    directory-grain retention drops ride the ordinary zone-map
+    machinery with zero footer reads. Identity for unpartitioned
+    tables; partition-derived columns take precedence over footer
+    stats for the same column (they are exact, not truncatable)."""
+    if not manifest["metadata"].get("partition_spec"):
+        return manifest
+    from .partitioned_table import partition_pseudo_stats
+
+    ps = partition_pseudo_stats(manifest)
+    if not ps:
+        return manifest
+    stats = dict(manifest.get("stats") or {})
+    for f, e in ps.items():
+        cur = stats.get(f)
+        if cur:
+            cols = dict(cur.get("columns") or {})
+            cols.update(e["columns"])
+            stats[f] = {**cur, "columns": cols}
+        else:
+            stats[f] = e
+    return dict(manifest, stats=stats)
+
+
+def _physical_conjuncts(
+    manifest: dict, predicate: list[tuple]
+) -> list[tuple]:
+    """Predicate column names translated LOGICAL -> PHYSICAL for
+    zone-map lookups (stats are footer-derived, so keyed by physical
+    names); identity for unmapped tables. An unknown name passes
+    through untouched — its stats simply never match (safe: keep)."""
+    cm = manifest.get("column_mapping")
+    if not cm:
+        return predicate
+    return [(cm.get(c[0], c[0]),) + tuple(c[1:]) for c in predicate]
+
+
 def split_files_for_delete(
     manifest: dict, predicate: list[tuple]
 ) -> dict:
@@ -382,8 +422,10 @@ def split_files_for_delete(
     ``drop`` (stats prove every row matches — remove the file, zero
     reads), ``scan`` (might hold matches — needs row-level work),
     ``keep`` (provably no matches — untouched). Files without stats
-    land in ``scan``."""
-    stats = manifest.get("stats", {})
+    land in ``scan``. Hive-partition dirs contribute exact entries
+    (whole-directory drops with zero reads)."""
+    predicate = _physical_conjuncts(manifest, predicate)
+    stats = _with_partition_stats(manifest).get("stats", {})
     out = {"drop": [], "scan": [], "keep": []}
     for f in manifest["files"]:
         entry = stats.get(f)
@@ -404,7 +446,8 @@ def prune_files(manifest: dict, predicate: list[tuple]) -> dict:
     always kept. Returns ``{"kept", "skipped", "rows_skipped_bound"}``
     — the bound is the sum of skipped files' row counts, i.e. rows
     the scan provably never touches."""
-    stats = manifest.get("stats", {})
+    predicate = _physical_conjuncts(manifest, predicate)
+    stats = _with_partition_stats(manifest).get("stats", {})
     kept, skipped, rows_skipped = [], [], 0
     for f in manifest["files"]:
         entry = stats.get(f)
@@ -465,25 +508,24 @@ def read_pruned(
     Result rows are always identical to
     ``read_version(...).filter(...)`` — skipping only shrinks the
     scan."""
+    from .deletion_vectors import read_with_dv
+
     m = versioned.read_manifest(root, version)
     pruned = prune_files(m, predicate)
     if not pruned["kept"]:
-        # every file provably excluded: empty frame with the right schema
-        any_file = os.path.join(root, m["files"][0])
+        # every file provably excluded: empty frame with the right
+        # (logical) schema
         return (
-            spark.read.parquet(any_file)
+            read_with_dv(spark, root, m, m["files"][:1])
             .filter(predicate_to_column(predicate))
             .limit(0)
         )
-    if m.get("dv"):
-        # merge-on-read tombstones compose with file pruning: only
-        # the surviving files' sidecars are loaded
-        from .deletion_vectors import read_with_dv
-
-        df = read_with_dv(spark, root, m, pruned["kept"])
-        return df.filter(predicate_to_column(predicate))
-    paths = [os.path.join(root, f) for f in pruned["kept"]]
-    return spark.read.parquet(*paths).filter(predicate_to_column(predicate))
+    # read_with_dv presents the LOGICAL schema (column mapping) and
+    # applies merge-on-read tombstones; only the surviving files'
+    # sidecars are loaded. The predicate re-applies as a real filter
+    # in LOGICAL names — stats may only ever cost speed.
+    df = read_with_dv(spark, root, m, pruned["kept"])
+    return df.filter(predicate_to_column(predicate))
 
 
 def optimize_version(
@@ -527,16 +569,27 @@ def optimize_version(
             "(bucket-preserving) or republish unbucketed under a fresh "
             "root"
         )
-    if m.get("dv"):
-        # a full rewrite folds every tombstone; the output is DV-free
-        from .deletion_vectors import read_with_dv
+    if m["metadata"].get("partition_spec"):
+        # same competition with Hive partition dirs
+        # (io/partitioned_table.py): a global Z-order rewrite would
+        # strip the directory layout and its zero-read pruning
+        raise ValueError(
+            "snapshot is partition-spec'd (io/partitioned_table.py); "
+            "Z-order would destroy the directory layout - use "
+            "compact_version (layout-preserving) or republish "
+            "unpartitioned under a fresh root"
+        )
+    from .deletion_vectors import read_with_dv
+    from .table_schema import to_physical
 
-        df = read_with_dv(spark, root, m)
-    else:
-        df = spark.read.parquet(*[os.path.join(root, f) for f in m["files"]])
+    # LOGICAL view (a full rewrite folds every tombstone; the output
+    # is DV-free); clustering expressions use logical names, the
+    # write goes back under the frozen physical names
+    df = read_with_dv(spark, root, m)
     clustered = zorder_layout(
         df, zorder_cols, bits=bits, num_partitions=num_partitions
     ).drop("_zkey")
+    clustered = to_physical(clustered, m, context="optimize")
     run_dir = versioned.new_data_dir(root)
     clustered.write.mode("overwrite").parquet(run_dir)
     if verify:
@@ -546,12 +599,17 @@ def optimize_version(
                 f"optimize row-count mismatch: {n_in} in, {n_out} out"
             )
     if columns is None:
+        cmap = m.get("column_mapping") or {}
         base_cols = {
             c
             for e in m.get("stats", {}).values()
             for c in e.get("columns", {})
         }
-        columns = sorted(base_cols | set(zorder_cols)) or None
+        # stats are keyed by PHYSICAL names: translate the (logical)
+        # clustering columns before unioning
+        columns = sorted(
+            base_cols | {cmap.get(c, c) for c in zorder_cols}
+        ) or None
     fresh = [os.path.relpath(p, root) for p in versioned.data_files(run_dir)]
     stats = collect_file_stats(root, fresh, columns, spark=spark)
     meta = {
