@@ -3072,6 +3072,114 @@ def table_retention_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RETENTION_PART_MEMO: dict = {}
+
+
+def table_retention_partitioned_bench(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Directory-grain retention on a Hive-partitioned snapshot
+    (io/partitioned_table.py): the same expire-next-day workload as
+    table_retention_bench, but the table collected ZERO footer stats
+    — the drop proof comes from the ``__p_day=`` path values alone
+    (exact pseudo-stats), so every expired day drops wholesale with
+    no file opened and nothing tombstoned. The measured claim:
+    partitioned retention is pure metadata + one commit, independent
+    of table size. Benched extra; drop soundness pinned by
+    tests/test_partitioned_table.py."""
+    import tempfile
+
+    from trial_submission_studio_spark.io.deletion_vectors import (
+        delete_where,
+    )
+    from trial_submission_studio_spark.io.partitioned_table import (
+        publish_partitioned,
+    )
+
+    memo = _RETENTION_PART_MEMO.get(sf_dir)
+    if memo is None:
+        root = tempfile.mkdtemp(prefix="tss-retention-part-") + "/t"
+        ev = _t(spark, sf_dir, "events").withColumn(
+            "day",
+            F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd"),
+        )
+        publish_partitioned(spark, ev, root, "day")
+        days = sorted(
+            r.day for r in ev.select("day").distinct().collect()
+        )
+        memo = {"root": root, "days": days, "run": 0}
+        _RETENTION_PART_MEMO[sf_dir] = memo
+    memo["run"] += 1
+    cutoff = memo["days"][min(memo["run"], len(memo["days"]) - 2)]
+    m = delete_where(spark, memo["root"], [("day", "<", cutoff)])
+    st = m["metadata"].get("merge") or {
+        "files_dropped": 0, "files_scanned": 0, "rows_tombstoned": 0,
+    }
+    return spark.createDataFrame(
+        [(st["files_dropped"], st["files_scanned"],
+          st["rows_tombstoned"])],
+        "files_dropped int, files_scanned int, rows_tombstoned long",
+    )
+
+
+_BRANCH_BENCH_MEMO: dict = {}
+
+
+def table_branch_publish_bench(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WAP branch lifecycle (io/clones.py): fork a zero-copy shallow
+    clone of a versioned events snapshot, tombstone ~0.1% scattered
+    keys on the branch (O(k) deletion-vector sidecar), and publish
+    the branch back through the multi-writer rebase loop. The
+    measured claim: fork + branch-DML + publish is metadata + O(k) —
+    cost tracks the change, not the table. Benched extra; semantics
+    pinned by tests/test_publish_clone.py (model equality vs direct
+    ops)."""
+    import tempfile
+
+    from trial_submission_studio_spark.io.clones import publish_clone
+    from trial_submission_studio_spark.io.deletion_vectors import (
+        delete_matching_dv,
+    )
+    from trial_submission_studio_spark.io.versioned import (
+        new_data_dir,
+        shallow_clone,
+    )
+    from trial_submission_studio_spark.io.zonemap import publish_with_stats
+
+    memo = _BRANCH_BENCH_MEMO.get(sf_dir)
+    if memo is None:
+        root = tempfile.mkdtemp(prefix="tss-branch-bench-") + "/t"
+        os.makedirs(root)
+        d = new_data_dir(root)
+        ev = _t(spark, sf_dir, "events")
+        (
+            ev.repartitionByRange(_bench_file_count(ev), "event_id")
+            .sortWithinPartitions("event_id")
+            .write.parquet(d, mode="append")
+        )
+        publish_with_stats(root, d, ["event_id"])
+        memo = {"root": root, "run": 0}
+        _BRANCH_BENCH_MEMO[sf_dir] = memo
+    memo["run"] += 1
+    branch = f"{memo['root']}-branch{memo['run']}"
+    shallow_clone(memo["root"], branch, spark=spark)
+    keys = (
+        _t(spark, sf_dir, "events")
+        .filter(F.pmod(F.col("event_id"), F.lit(997)) == memo["run"])
+        .select("event_id")
+    )
+    delete_matching_dv(spark, branch, keys, "event_id", verify=False)
+    m = publish_clone(spark, branch)
+    au = m["metadata"]["publish_clone"]
+    return spark.createDataFrame(
+        [(au["files_added"], au["files_removed"],
+          au["dv_files_changed"])],
+        "files_added int, files_removed int, dv_files_changed int",
+    )
+
+
 def table_delete_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copy-on-write control for table_delete_dv: the SAME scattered
     500-key erasure via io/merge.py:delete_matching — every file

@@ -335,6 +335,11 @@ def main() -> None:
         "ivf_retrain_bench",
         # retention TTL: whole-file drops by zone-map proof
         "table_retention_bench",
+        # round-14: directory-grain retention on a Hive-partitioned
+        # snapshot (zero footer stats, zero files scanned) and the
+        # WAP branch lifecycle (fork -> branch dv-delete -> publish)
+        "table_retention_partitioned_bench",
+        "table_branch_publish_bench",
     )
     # LLM-pipeline extras that ALSO run in the 10× scale sweep — these
     # carry the 100 TB design claims, so their curvature is measured,
@@ -388,6 +393,12 @@ def main() -> None:
         "table_delete_dv",
         "ivf_retrain_bench",
         "table_retention_bench",
+        # round-14: expected curvature — partitioned retention ~flat
+        # (directory-grain metadata; a day is a constant slice),
+        # branch publish ~flat (fork is one manifest, the dv delta is
+        # O(k), the landing is one commit)
+        "table_retention_partitioned_bench",
+        "table_branch_publish_bench",
     )
     for name in EXTRA_QUERIES:
         if name not in qs:
@@ -426,26 +437,38 @@ def main() -> None:
     ratios: dict[str, float] = {}
 
     def _sf1_timed(name: str, fn, sf1_dir: str) -> None:
-        # adaptive repeats (r12 verdict: t9's sf1 spread was 3.9x
-        # max/min at 3 runs — unreadable): take 3, and if max/min > 2
-        # the query is jitter-dominated at this duration, so extend
-        # to 5 and report the median of all runs. Sub-second queries
-        # get the extra draws; long stable ones don't pay for them.
+        # adaptive repeats with a discarded warm-up (r12: t9's sf1
+        # spread was 3.9x max/min at 3 runs; r13: the residual >2x
+        # spreads were all FIRST-run outliers — sf1-shape JIT /
+        # shuffle-service warm-up, not steady-state jitter). Take 3;
+        # if max/min > 2 keep drawing up to 6, and if the spread only
+        # closes without run #1, report trimmed stats over runs[1:]
+        # with the discarded warm-up recorded for transparency.
+        def _ok(xs):
+            return len(xs) >= SF1_RUNS and (
+                max(xs) / max(min(xs), 1e-9) <= 2
+            )
+
         runs = []
-        for _ in range(SF1_MAX_RUNS):
+        while len(runs) < SF1_MAX_RUNS + 1:
             t0 = time.time()
             fn(spark, sf1_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
             gc.collect()
-            if len(runs) >= SF1_RUNS and max(runs) / max(min(runs), 1e-9) <= 2:
+            if _ok(runs) or _ok(runs[1:]):
                 break
-        sf1[name] = round(statistics.median(runs), 3)
+        timed, discarded = runs, None
+        if not _ok(runs) and len(runs) > SF1_RUNS:
+            timed, discarded = runs[1:], runs[0]
+        sf1[name] = round(statistics.median(timed), 3)
         sf1_spread[name] = {
-            "min": round(min(runs), 3),
+            "min": round(min(timed), 3),
             "median": sf1[name],
-            "max": round(max(runs), 3),
-            "runs": len(runs),
+            "max": round(max(timed), 3),
+            "runs": len(timed),
         }
+        if discarded is not None:
+            sf1_spread[name]["discarded_warmup"] = round(discarded, 3)
 
     if os.environ.get("SPARK_GRAFT_SCALE_SWEEP", "1") == "1" and sf == "0.1":
         sf1_dir = os.path.join(REPO, ".benchdata", "sf1")
@@ -498,7 +521,9 @@ def main() -> None:
         # a frozen engine). Medians are reported so one slow OR one
         # lucky draw can't move the number.
         "methodology": "warmup-sf0.001 + median-of-5 headline /"
-        " median-of-3 stages+extras+sf1, noop sink, spreads reported",
+        " median-of-3 stages+extras; sf1 adaptive 3-6 runs with the"
+        " first discarded as warm-up when it alone blows the 2x"
+        " spread bound; noop sink, spreads reported",
     }
     # The driver keeps only a bounded TAIL of stdout; the round-8 line
     # grew past that window and its opening brace fell off, so the

@@ -245,3 +245,15 @@ def test_random_commit_sequences_match_dict_model(spark, tmp_path, seed):
         assert _snapshot(spark, root, v, n) == {
             (k, x) for k, x in m.items()
         }
+    # the format route returns the same final answers the explicit
+    # readers do — after the whole random op interleaving, including
+    # renames, tombstones and layout churn
+    from trial_submission_studio_spark.io.datasource import register
+
+    register(spark)
+    via_format = {
+        (r["k"], r[vname])
+        for r in spark.read.format("tss").option("root", root)
+        .load().collect()
+    }
+    assert via_format == {(k, v) for k, v in model.items()}
