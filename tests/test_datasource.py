@@ -84,6 +84,28 @@ def test_pushed_filters_prune_files(tss, tmp_path):
     assert df.filter("k < -5").count() == 0
 
 
+def test_format_reads_shallow_clone_abs_entries(tss, tmp_path):
+    """The format route resolves a clone's ABSOLUTE manifest entries
+    and its re-keyed dv sidecars exactly like the explicit readers."""
+    from trial_submission_studio_spark.io.versioned import shallow_clone
+
+    spark = tss
+    src = _mk(spark, tmp_path, n=30, n_files=2, name="csrc")
+    delete_matching_dv(
+        spark, src, spark.createDataFrame([(4,)], "k long"), "k"
+    )
+    clone = str(tmp_path / "cdst")
+    shallow_clone(src, clone, spark=spark)
+    delete_matching_dv(
+        spark, clone, spark.createDataFrame([(7,)], "k long"), "k"
+    )
+    df = spark.read.format("tss").option("root", clone).load()
+    assert _snap(df) == _snap(read_version(spark, clone))
+    assert _snap(df) == {
+        (k, k * 10) for k in range(30) if k not in (4, 7)
+    }
+
+
 def test_column_mapping_and_partitions_through_format(tss, tmp_path):
     spark = tss
     root = _mk(spark, tmp_path, name="tm")
@@ -114,6 +136,37 @@ def test_column_mapping_and_partitions_through_format(tss, tmp_path):
         .filter("day = 'd1'")
     )
     assert got == {(k, "d1", k) for k in range(30) if k % 3 == 1}
+
+
+def test_stream_feed_survives_midstream_rename(tss, tmp_path):
+    """A rename lands between feed batches: the stream's schema is
+    fixed at start (old logical name), and the retract rows keep
+    resolving through the FROZEN physical names — values must never
+    silently null out on either side of the rename commit."""
+    spark = tss
+    root = _mk(spark, tmp_path, n=10, n_files=1, name="tsr")
+    ckpt, sink = str(tmp_path / "rck"), str(tmp_path / "rsink")
+    q = (
+        spark.readStream.format("tss")
+        .option("root", root).option("feed", "true").load()
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt).start()
+    )
+    try:
+        q.processAllAvailable()
+        rename_column(spark, root, "v", "val")
+        merge_version(
+            spark, root,
+            spark.createDataFrame([(1, 999)], "k long, val long"), "k",
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    feed = spark.read.parquet(sink)
+    assert feed.filter("v is null").count() == 0
+    # the rewritten file retracts with the ORIGINAL values intact
+    assert (1, 10, "delete") in _snap(feed)
+    assert (1, 999, "insert") in _snap(feed)
 
 
 def test_stream_feed_signed_aggregate_and_restart(tss, tmp_path):

@@ -203,19 +203,28 @@ class _FilePartition(InputPartition):
 
 
 def _arrow_filters(conjuncts: list[tuple], mapping: dict | None):
-    """Zonemap conjuncts -> pyarrow DNF filters (physical names);
-    ops outside pyarrow's vocabulary are skipped (Spark re-applies
-    every filter anyway)."""
+    """Zonemap conjuncts -> pyarrow DNF filters (physical names).
+    CORRECTNESS NOTE: unlike manifest pruning, arrow-level filters
+    really drop rows and Spark cannot resurrect them — so only
+    conjuncts that are exactly re-expressible land here (numeric /
+    string / bool literals; datetime literals are skipped because a
+    tz-mismatch between the predicate and the file encoding could
+    over-filter). Everything skipped is still enforced by Spark's
+    re-applied filter; skipping only costs row-group skipping."""
+
+    def _safe(v):
+        return isinstance(v, (int, float, str, bool)) and not (
+            isinstance(v, float) and v != v
+        )
+
     out = []
     for c in conjuncts:
         col = (mapping or {}).get(c[0], c[0])
         op = c[1]
-        if op in ("=", "<", "<=", ">", ">="):
+        if op in ("=", "<", "<=", ">", ">=") and _safe(c[2]):
             out.append((col, "==" if op == "=" else op, c[2]))
-        elif op == "in":
+        elif op == "in" and all(_safe(x) for x in c[2]):
             out.append((col, "in", list(c[2])))
-        elif op == "isnull":
-            out.append((col, "in", [None]))
     return out or None
 
 
@@ -443,9 +452,16 @@ class _TssFeedReader(SimpleDataSourceStreamReader):
         ]
         a, b = self._manifest(v_from), self._manifest(v_to)
 
-        def _phys(m):
-            cm = m.get("column_mapping") or {}
-            return [cm.get(c, c) for c in logical]
+        # physical names are FROZEN, so the newest mapping resolves
+        # the stream's (fixed) logical schema for EVERY version in
+        # the range — a mid-stream rename must not null out the old
+        # slice (the old manifest maps the old logical name, not the
+        # stream's). Fallback order: newest, then oldest, identity.
+        cm_b = b.get("column_mapping") or {}
+        cm_a = a.get("column_mapping") or {}
+
+        def _phys(_m):
+            return [cm_b.get(c, cm_a.get(c, c)) for c in logical]
 
         fa, fb = set(a["files"]), set(b["files"])
         removed, added, common = fa - fb, fb - fa, fa & fb
