@@ -138,6 +138,66 @@ def test_column_mapping_and_partitions_through_format(tss, tmp_path):
     assert got == {(k, "d1", k) for k in range(30) if k % 3 == 1}
 
 
+def test_writer_create_append_overwrite(tss, tmp_path):
+    """df.write.format('tss'): create on a fresh root, append through
+    the commit loop, logical->physical translation on mapped tables,
+    snapshot-replace overwrite with history intact, and the loud
+    refusals for constraint/layout tables."""
+    spark = tss
+    root = str(tmp_path / "w")
+    spark.createDataFrame(
+        [(k, k) for k in range(10)], "k long, v long"
+    ).write.format("tss").option("root", root).mode("append").save()
+    assert current_version(root) == 1
+    spark.createDataFrame([(100, 1)], "k long, v long").write.format(
+        "tss"
+    ).option("root", root).mode("append").save()
+    assert _snap(read_version(spark, root)) == {
+        (k, k) for k in range(10)
+    } | {(100, 1)}
+
+    rename_column(spark, root, "v", "val")
+    spark.createDataFrame([(200, 2)], "k long, val long").write.format(
+        "tss"
+    ).option("root", root).mode("append").save()
+    df = read_version(spark, root)
+    assert df.columns == ["k", "val"] and (200, 2) in _snap(df)
+
+    spark.createDataFrame([(1, 9)], "k long, val long").write.format(
+        "tss"
+    ).option("root", root).mode("overwrite").save()
+    assert _snap(read_version(spark, root)) == {(1, 9)}
+    # history intact: the overwrite is one more commit, not a wipe
+    assert read_version(spark, root, 1).count() == 10
+
+    # refusals: constraint tables and layout-spec'd tables
+    from trial_submission_studio_spark.io.bucketed_table import (
+        publish_bucketed,
+    )
+    from trial_submission_studio_spark.io.versioned import (
+        set_table_constraints,
+    )
+
+    croot = str(tmp_path / "wc")
+    spark.createDataFrame([(1, 1)], "k long, v long").write.format(
+        "tss"
+    ).option("root", croot).mode("append").save()
+    set_table_constraints(spark, croot, {"v_pos": "v >= 0"})
+    with pytest.raises(Exception, match="CHECK constraints"):
+        spark.createDataFrame([(2, 2)], "k long, v long").write.format(
+            "tss"
+        ).option("root", croot).mode("append").save()
+    broot = str(tmp_path / "wb")
+    publish_bucketed(
+        spark, spark.createDataFrame([(1, 1)], "k long, v long"),
+        broot, "k", 2,
+    )
+    with pytest.raises(Exception, match="layout contract"):
+        spark.createDataFrame([(2, 2)], "k long, v long").write.format(
+            "tss"
+        ).option("root", broot).mode("append").save()
+
+
 def test_stream_feed_survives_midstream_rename(tss, tmp_path):
     """A rename lands between feed batches: the stream's schema is
     fixed at start (old logical name), and the retract rows keep

@@ -52,6 +52,7 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     Filter,
@@ -64,6 +65,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 try:
@@ -475,6 +477,161 @@ class _TssFeedReader(SimpleDataSourceStreamReader):
             yield row + ("insert",)  # dv rollback resurrection
 
 
+@dataclass
+class _WriteMessage(WriterCommitMessage):
+    rel_files: tuple
+    rows: int
+
+
+class _TssWriter(DataSourceArrowWriter):
+    """``df.write.format("tss")`` — the write half of the veneer.
+
+    ``mode("append")`` commits the tasks' fresh files onto the
+    current version through the multi-writer loop (creating the table
+    when the root has no version); ``mode("overwrite")`` publishes a
+    snapshot-replace commit (every previous file removed, history
+    intact — time travel still reads the old versions). Each task
+    writes ONE parquet file into a fresh immutable run dir; the
+    driver-side commit is a single atomic manifest swap, and an
+    aborted job removes the run dir so nothing half-written is ever
+    referenced.
+
+    Honest boundaries, refused loudly rather than silently degraded:
+    CHECK-constraint tables (enforcement needs a SparkSession, which
+    DataSource commit workers don't have — use
+    `versioned.commit_files(spark=...)`), and bucket-/partition-
+    spec'd tables (plain task files would break the layout contract —
+    use ``append_bucketed`` / ``append_partitioned``). Column-mapped
+    tables ARE supported: the logical input translates to the frozen
+    physical names per batch. When the table records a schema
+    contract, the fresh files are validated against it at commit
+    (same gate as `table_schema.publish_checked`)."""
+
+    def __init__(self, options, schema, overwrite):
+        from . import versioned
+
+        self._root = options["root"]
+        self._overwrite = bool(overwrite)
+        self._schema = schema
+        self._mapping = None
+        self._base_version = None
+        cur = versioned.current_version(self._root)
+        if cur is not None:
+            m = versioned.read_manifest(self._root)
+            self._base_version = m["version"]
+            self._mapping = m.get("column_mapping") or None
+            if m.get("constraints"):
+                raise ValueError(
+                    "table has CHECK constraints; the DataSource commit "
+                    "worker has no SparkSession to enforce them — write "
+                    "files and commit via versioned.commit_files(spark=...)"
+                )
+            md = m["metadata"]
+            if md.get("bucket_spec") or md.get("partition_spec"):
+                raise ValueError(
+                    "table carries a layout contract (bucket/partition "
+                    "spec); plain task files would break its pruning — "
+                    "use append_bucketed / append_partitioned"
+                )
+        os.makedirs(os.path.join(self._root, "data"), exist_ok=True)
+        import uuid
+
+        self._run_dir = os.path.join(
+            self._root, "data", uuid.uuid4().hex[:16]
+        )
+        os.makedirs(self._run_dir, exist_ok=False)
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        path = os.path.join(
+            self._run_dir, f"part-{uuid.uuid4().hex[:16]}.parquet"
+        )
+        writer = None
+        rows = 0
+        try:
+            for batch in iterator:
+                if self._mapping:
+                    # logical input -> frozen physical file names
+                    batch = batch.rename_columns(
+                        [
+                            self._mapping.get(c, c)
+                            for c in batch.schema.names
+                        ]
+                    )
+                if writer is None:
+                    writer = pq.ParquetWriter(path, batch.schema)
+                writer.write_batch(batch)
+                rows += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:
+            return _WriteMessage(rel_files=(), rows=0)
+        return _WriteMessage(
+            rel_files=(os.path.relpath(path, self._root),), rows=rows
+        )
+
+    def commit(self, messages):
+        from . import versioned
+        from .table_schema import schema_violations, snapshot_schema
+
+        files = [
+            f for msg in messages if msg is not None
+            for f in msg.rel_files
+        ]
+        if not files:
+            # empty frame: nothing to publish (manifests refuse empty
+            # lists; an overwrite-to-empty must be an explicit retire)
+            os.rmdir(self._run_dir)
+            return
+        base_schema = None
+        if self._base_version is not None:
+            base_schema = versioned.read_manifest(
+                self._root, self._base_version
+            ).get("schema")
+        if base_schema:
+            bad = schema_violations(
+                base_schema, snapshot_schema(self._root, files)
+            )
+            if bad:
+                self.abort(messages)
+                raise ValueError(
+                    "schema-incompatible write refused:\n  "
+                    + "\n  ".join(bad)
+                )
+        if self._base_version is None:
+            versioned.publish_files(
+                self._root, files, metadata={"writer": "tss-datasource"}
+            )
+        elif self._overwrite:
+            base = versioned.read_manifest(self._root, self._base_version)
+            versioned.commit_files(
+                self._root,
+                base_version=self._base_version,
+                kind="keyed",  # replaces rows: conflicts with any
+                # concurrent non-maintenance commit, never clobbers it
+                add_files=files,
+                remove_files=base["files"],
+                metadata={"writer": "tss-datasource", "overwrite": True},
+            )
+        else:
+            versioned.commit_files(
+                self._root,
+                base_version=self._base_version,
+                kind="append",
+                add_files=files,
+                metadata={"writer": "tss-datasource"},
+            )
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(self._run_dir, ignore_errors=True)
+
+
 class TssDataSource(DataSource):
     """``format("tss")`` — options: ``root`` (required), ``version``
     or ``asOf`` (batch time travel), ``feed=true`` + optional
@@ -523,3 +680,6 @@ class TssDataSource(DataSource):
 
     def simpleStreamReader(self, schema):
         return _TssFeedReader(self.options, schema)
+
+    def writer(self, schema, overwrite):
+        return _TssWriter(self.options, schema, overwrite)
