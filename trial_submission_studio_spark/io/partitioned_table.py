@@ -102,6 +102,7 @@ def _write_partitioned_run(
     aux = [F.col(c).alias(PART_PREFIX + c) for c in cols]
     part_keys = [PART_PREFIX + c for c in cols]
     out = df.select("*", *aux)
+    order: list[str] = []
     if bucket_spec is not None:
         from .bucketed_table import BUCKET_COL, bucket_id
 
@@ -110,10 +111,15 @@ def _write_partitioned_run(
             bucket_id(bucket_spec["key_cols"], bucket_spec["n_buckets"]),
         )
         part_keys = part_keys + [BUCKET_COL]
+        # within-bucket sort order travels with the bucket spec, so
+        # per-file min/max stay tight inside composed layouts too
+        order = list(
+            bucket_spec.get("sort_cols") or bucket_spec["key_cols"]
+        )
     run_dir = _ver.new_data_dir(root)
     (
         out.repartition(*[F.col(k) for k in part_keys])
-        .sortWithinPartitions(*part_keys)
+        .sortWithinPartitions(*part_keys, *order)
         .write.partitionBy(*part_keys)
         .mode("overwrite")
         .parquet(run_dir)
