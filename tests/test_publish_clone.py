@@ -200,6 +200,39 @@ def test_bucketed_branch_publish_keeps_layout(spark, tmp_path):
     assert got == {(3, 333), (99, 99)}
 
 
+def test_two_branches_second_publish_conflicts(spark, tmp_path):
+    """Two rewriting branches off the same fork: the first lands; the
+    second's publish sees a non-maintenance source commit since its
+    fork and refuses typed — never a silent double-apply."""
+    src = _make_src(spark, tmp_path, n=20, n_files=1)
+    b1, b2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    shallow_clone(src, b1)
+    shallow_clone(src, b2)
+    merge_version(spark, b1, _kv(spark, [(1, 111)]), "k")
+    merge_version(spark, b2, _kv(spark, [(2, 222)]), "k")
+    publish_clone(spark, b1)
+    with pytest.raises(TableConflictError):
+        publish_clone(spark, b2)
+    assert _snap(spark, src) == {(k, k) for k in range(20) if k != 1} | {
+        (1, 111)
+    }
+    # the losing branch still pins its files until resolved
+    assert len(list_clones(src)) == 1
+
+
+def test_publish_needs_surviving_fork_history(spark, tmp_path):
+    """Retiring the clone's own fork commit (its v1) makes the fork
+    unlocatable: publish refuses with a clear message instead of
+    guessing a base."""
+    src = _make_src(spark, tmp_path, n=10, n_files=1)
+    clone = str(tmp_path / "c")
+    shallow_clone(src, clone)
+    merge_version(spark, clone, _kv(spark, [(1, 5)]), "k")
+    retire_versions(clone, 1)  # drops the clone's fork manifest
+    with pytest.raises(ValueError, match="not a shallow clone|fork"):
+        publish_clone(spark, clone)
+
+
 def test_unchanged_branch_publish_is_noop(spark, tmp_path):
     src = _make_src(spark, tmp_path, n=10, n_files=1)
     v = current_version(src)
