@@ -3110,7 +3110,13 @@ def table_retention_partitioned_bench(
         memo = {"root": root, "days": days, "run": 0}
         _RETENTION_PART_MEMO[sf_dir] = memo
     memo["run"] += 1
-    cutoff = memo["days"][min(memo["run"], len(memo["days"]) - 2)]
+    if memo["run"] > len(memo["days"]) - 2:
+        # days exhausted across repeated draws: rebuild the snapshot
+        # rather than timing a matched-nothing no-op whose returned
+        # manifest still carries the PRIOR run's audit
+        del _RETENTION_PART_MEMO[sf_dir]
+        return table_retention_partitioned_bench(spark, sf_dir)
+    cutoff = memo["days"][memo["run"]]
     m = delete_where(spark, memo["root"], [("day", "<", cutoff)])
     st = m["metadata"].get("merge") or {
         "files_dropped": 0, "files_scanned": 0, "rows_tombstoned": 0,

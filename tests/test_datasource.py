@@ -68,6 +68,19 @@ def test_batch_format_matches_explicit_readers(tss, tmp_path):
         spark.read.format("tss").option("root", root)
         .option("version", str(v1)).load()
     ) == _snap(read_version(spark, root, v1))
+    # asOf resolves schema AND mapping from the SAME snapshot the
+    # reader reads: after a rename, an asOf read at a pre-rename
+    # instant must present the OLD name with real values
+    from trial_submission_studio_spark.io.versioned import read_manifest
+
+    pre_rename_ts = read_manifest(root)["created_utc"]
+    rename_column(spark, root, "v", "val")
+    old = (
+        spark.read.format("tss").option("root", root)
+        .option("asOf", pre_rename_ts).load()
+    )
+    assert old.columns == ["k", "v"]
+    assert old.filter("v is null").count() == 0
 
 
 def test_pushed_filters_prune_files(tss, tmp_path):

@@ -110,6 +110,58 @@ def test_dv_rekey_roundtrip_through_publish(spark, tmp_path):
     assert sum(e["rows"] for e in dv_map(m).values()) == 2
 
 
+def test_change_feed_across_publish_sees_only_branch_deletes(
+    spark, tmp_path
+):
+    """The landed dv state APPENDS to the source's fork-era sidecars
+    (never replaces them), so the source's change feed across the
+    publish commit shows exactly the branch's deletes — no phantom
+    resurrection+re-delete of rows that were already dead at fork."""
+    from trial_submission_studio_spark.io.changefeed import change_feed
+
+    src = _make_src(spark, tmp_path, n=40, n_files=2)
+    delete_matching_dv(
+        spark, src, _kv(spark, [(3, 0), (4, 0)]).select("k"), "k"
+    )
+    pre = current_version(src)
+    clone = str(tmp_path / "c")
+    shallow_clone(src, clone, spark=spark)
+    delete_matching_dv(spark, clone, _kv(spark, [(7, 0)]).select("k"), "k")
+    m = publish_clone(spark, clone)
+    feed = {
+        (r.k, r._change)
+        for r in change_feed(spark, src, pre, m["version"], "k").collect()
+    }
+    assert feed == {(7, "delete")}
+
+
+def test_metadata_only_branch_lands_contract_changes(spark, tmp_path):
+    """A branch whose only work is a rename (or constraint edit) must
+    LAND it — not deregister and silently drop the change."""
+    from trial_submission_studio_spark.io.table_schema import (
+        rename_column,
+    )
+    from trial_submission_studio_spark.io.versioned import (
+        set_table_constraints,
+        table_constraints,
+    )
+
+    src = _make_src(spark, tmp_path, n=10, n_files=1)
+    clone = str(tmp_path / "c")
+    shallow_clone(src, clone)
+    rename_column(spark, clone, "v", "val")
+    set_table_constraints(spark, clone, {"val_pos": "val >= 0"})
+    m = publish_clone(spark, clone)
+    assert m["column_mapping"] == {"k": "k", "val": "v"}
+    assert table_constraints(src) == {"val_pos": "val >= 0"}
+    df = read_version(spark, src)
+    assert df.columns == ["k", "val"]
+    assert {(r.k, r.val) for r in df.collect()} == {
+        (k, k) for k in range(10)
+    }
+    assert list_clones(src) == []
+
+
 def test_append_only_branch_rebases_over_source_append(spark, tmp_path):
     src = _make_src(spark, tmp_path, n=20, n_files=1)
     clone = str(tmp_path / "c")

@@ -54,7 +54,7 @@ import shutil
 from pyspark.sql import SparkSession, functions as F
 
 from . import versioned
-from .deletion_vectors import FILE_COL, POS_COL, read_dv
+from .deletion_vectors import FILE_COL, POS_COL
 
 __all__ = ["clone_delta", "publish_clone"]
 
@@ -182,65 +182,133 @@ def publish_clone(
         os.path.abspath(os.path.join(src_root, f)): f for f in fork["files"]
     }
 
-    if not delta["added"] and not delta["removed"] and not delta["dv_changed"]:
+    # contract deltas (rename/drop, schema evolution, constraint
+    # edits) are real branch work too — a metadata-only branch must
+    # LAND them, not silently vanish into a "no changes" return
+    schema_changed = (cm.get("schema") or []) != (fork.get("schema") or [])
+    mapping_changed = (cm.get("column_mapping") or {}) != (
+        fork.get("column_mapping") or {}
+    )
+    constraints_changed = (cm.get("constraints") or {}) != (
+        fork.get("constraints") or {}
+    )
+    if (
+        not delta["added"]
+        and not delta["removed"]
+        and not delta["dv_changed"]
+        and not (schema_changed or mapping_changed or constraints_changed)
+    ):
         versioned.deregister_clone(src_root, clone_root)
         return versioned.read_manifest(src_root)
 
     mapping, created = _migrate_files(clone_root, src_root, delta["added"])
     try:
-        # --- deletion vectors: re-key changed entries back to source keys
+        # --- deletion vectors: re-key POST-FORK tombstones back to
+        # source keys, APPENDING to the source's fork-era sidecars
+        # rather than replacing them — sidecar lists are append-only
+        # per file until a rewrite folds them, and the change feed's
+        # dv delta (io/changefeed.py) depends on that: a wholesale
+        # sidecar swap would read as a rollback-resurrection plus a
+        # re-delete of every long-dead row.
+        v1m, _info = _fork_info(clone_root)
+        v1_dv = v1m.get("dv") or {}
+        cm_dv = cm.get("dv") or {}
+        fork_dv = fork.get("dv") or {}
         dv_updates: dict = {}
         if delta["dv_changed"]:
             def _src_key(f: str) -> str:
                 return fork_abs[f] if os.path.isabs(f) else mapping[f]
 
-            trans = spark.createDataFrame(
-                [(f, _src_key(f)) for f in delta["dv_changed"]],
-                f"{FILE_COL} string, __src string",
-            )
-            pairs = read_dv(spark, clone_root, cm, delta["dv_changed"])
-            rekeyed = pairs.join(F.broadcast(trans), FILE_COL).select(
-                F.col("__src").alias(FILE_COL), POS_COL
-            )
-            run_dir = os.path.join(
-                src_root, "dv", versioned._fresh_run_id()
-            )
-            os.makedirs(run_dir, exist_ok=False)
-            created.append(run_dir)
-            rekeyed.repartition(1).write.mode("overwrite").parquet(run_dir)
-            sidecars = [
-                os.path.relpath(p, src_root)
-                for p in versioned.data_files(run_dir)
-            ]
-            cm_dv = cm.get("dv") or {}
-            dv_updates = {
-                _src_key(f): {"sidecars": sidecars,
-                              "rows": cm_dv[f]["rows"]}
-                for f in delta["dv_changed"]
-            }
+            fresh_pairs = []  # (clone file key, post-fork sidecar)
+            for f in delta["dv_changed"]:
+                base = set(v1_dv.get(f, {}).get("sidecars", ()))
+                for sc in cm_dv[f]["sidecars"]:
+                    if sc not in base:
+                        fresh_pairs.append((f, sc))
+            sidecar_rel = sorted({sc for _, sc in fresh_pairs})
+            new_sidecars: list[str] = []
+            if sidecar_rel:
+                from .deletion_vectors import rel_path_col
+
+                raw = (
+                    spark.read.parquet(
+                        *[os.path.join(clone_root, sc)
+                          for sc in sidecar_rel]
+                    )
+                    .select(
+                        FILE_COL,
+                        POS_COL,
+                        rel_path_col(clone_root).alias("__sc"),
+                    )
+                    .join(
+                        F.broadcast(
+                            spark.createDataFrame(
+                                fresh_pairs,
+                                f"{FILE_COL} string, __sc string",
+                            )
+                        ),
+                        [FILE_COL, "__sc"],
+                        "left_semi",
+                    )
+                )
+                trans = spark.createDataFrame(
+                    [(f, _src_key(f)) for f in delta["dv_changed"]],
+                    f"{FILE_COL} string, __src string",
+                )
+                rekeyed = raw.join(F.broadcast(trans), FILE_COL).select(
+                    F.col("__src").alias(FILE_COL), POS_COL
+                )
+                run_dir = os.path.join(
+                    src_root, "dv", versioned._fresh_run_id()
+                )
+                os.makedirs(run_dir, exist_ok=False)
+                created.append(run_dir)
+                rekeyed.repartition(1).write.mode("overwrite").parquet(
+                    run_dir
+                )
+                new_sidecars = [
+                    os.path.relpath(p, src_root)
+                    for p in versioned.data_files(run_dir)
+                ]
+            for f in delta["dv_changed"]:
+                carried = (
+                    list(
+                        fork_dv.get(fork_abs[f], {}).get("sidecars", ())
+                    )
+                    if os.path.isabs(f)
+                    else []
+                )
+                dv_updates[_src_key(f)] = {
+                    "sidecars": carried + new_sidecars,
+                    "rows": cm_dv[f]["rows"],
+                }
 
         add_files = [mapping[f] for f in delta["added"]]
         cm_stats = cm.get("stats") or {}
         add_stats = {
             mapping[f]: cm_stats[f] for f in delta["added"] if f in cm_stats
         }
-        schema = None
-        if (cm.get("schema") or []) != (fork.get("schema") or []):
-            schema = cm.get("schema")
-        mapping_arg: dict | str = "carry"
-        if (cm.get("column_mapping") or {}) != (
-            fork.get("column_mapping") or {}
-        ):
-            # the branch renamed/dropped columns: land the new map
-            # (conflicts typed if the source also changed its map)
-            mapping_arg = cm.get("column_mapping") or {}
-        # a branch that only appended read nothing — it rebases over
-        # anything; rewrites/tombstones are key-dependent
-        kind = (
-            "append"
-            if not delta["removed"] and not dv_updates
-            else "keyed"
+        schema = cm.get("schema") if schema_changed else None
+        # the branch renamed/dropped columns or edited constraints:
+        # land the new contracts (conflicts typed if the source also
+        # changed them concurrently)
+        mapping_arg: dict | str = (
+            (cm.get("column_mapping") or {}) if mapping_changed
+            else "carry"
         )
+        constraints_arg: dict | str = (
+            (cm.get("constraints") or {}) if constraints_changed
+            else "carry"
+        )
+        # a branch that only appended read nothing — it rebases over
+        # anything; rewrites/tombstones are key-dependent; a pure
+        # contract change is row-preserving maintenance
+        if delta["removed"] or dv_updates:
+            kind = "keyed"
+        elif delta["added"]:
+            kind = "append"
+        else:
+            kind = "maintenance"
         meta = {
             "publish_clone": {
                 "clone_root": os.path.abspath(clone_root),
@@ -265,6 +333,7 @@ def publish_clone(
             add_stats=add_stats or None,
             schema=schema,
             column_mapping=mapping_arg,
+            constraints=constraints_arg,
             metadata=meta,
             spark=spark,
         )

@@ -425,16 +425,10 @@ class _TssFeedReader(SimpleDataSourceStreamReader):
             doomed -= already
             if not doomed:
                 continue
+            fpath = os.path.join(self._root, f)
+            names = pq.ParquetFile(fpath).schema_arrow.names
             t = pq.read_table(
-                os.path.join(self._root, f),
-                columns=[
-                    c
-                    for c in phys
-                    if c
-                    in pq.ParquetFile(
-                        os.path.join(self._root, f)
-                    ).schema_arrow.names
-                ],
+                fpath, columns=[c for c in phys if c in names]
             )
             import pyarrow as pa
 
@@ -554,12 +548,23 @@ class _TssWriter(DataSourceArrowWriter):
         try:
             for batch in iterator:
                 if self._mapping:
-                    # logical input -> frozen physical file names
+                    # logical input -> frozen physical file names; an
+                    # unknown logical column must refuse like
+                    # to_physical does — a silent passthrough would
+                    # fork the on-disk name space with a column no
+                    # logical projection ever reads
+                    unknown = [
+                        c
+                        for c in batch.schema.names
+                        if c not in self._mapping
+                    ]
+                    if unknown:
+                        raise ValueError(
+                            "write: columns not in the table's column "
+                            f"mapping: {unknown}"
+                        )
                     batch = batch.rename_columns(
-                        [
-                            self._mapping.get(c, c)
-                            for c in batch.schema.names
-                        ]
+                        [self._mapping[c] for c in batch.schema.names]
                     )
                 if writer is None:
                     writer = pq.ParquetWriter(path, batch.schema)
@@ -654,7 +659,18 @@ class TssDataSource(DataSource):
 
         root = self.options["root"]
         v = self.options.get("version")
-        m = versioned.read_manifest(root, int(v) if v else None)
+        as_of = self.options.get("asof") or self.options.get("asOf")
+        if v is not None:
+            version = int(v)
+        elif as_of is not None:
+            # the schema AND column mapping must come from the same
+            # snapshot the reader will read — resolving asOf against
+            # CURRENT would present post-rename names over pre-rename
+            # data and silently null the column
+            version = versioned.version_as_of(root, as_of)
+        else:
+            version = None
+        m = versioned.read_manifest(root, version)
         first = os.path.join(root, m["files"][0])
         arrow = pq.ParquetFile(first).schema_arrow
         phys = from_arrow_schema(arrow)

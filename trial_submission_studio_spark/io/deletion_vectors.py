@@ -329,13 +329,20 @@ def delete_where(
         # LIVE rows removed by this commit: the zone-map num_rows
         # counts physically present rows, so already-tombstoned ones
         # must be subtracted or a table with prior dv deletes
-        # overstates the drop
+        # overstates the drop. Files dropped purely by partition
+        # pseudo-stats have NO recorded row count (the path doesn't
+        # know it) — rows_dropped_exact flags the audit as a lower
+        # bound rather than silently under-reporting as a fact.
         "rows_dropped": sum(
             max(
                 0,
                 ((stats.get(f) or {}).get("num_rows") or 0)
                 - old.get(f, {}).get("rows", 0),
             )
+            for f in drop
+        ),
+        "rows_dropped_exact": all(
+            (stats.get(f) or {}).get("num_rows") is not None
             for f in drop
         ),
         "files_scanned": len(scan),

@@ -167,6 +167,16 @@ def publish_partitioned(
             f"partition spec changed (recorded {prev}, got {spec}); "
             "repartition under a fresh root"
         )
+    if _ver.current_version(root) is not None:
+        prev_b = _ver.read_manifest(root)["metadata"].get("bucket_spec")
+        if prev_b != bspec:
+            # the mirror of publish_bucketed's guard: silently
+            # stripping or swapping the nested bucket contract would
+            # degrade key-pruned reads without an error
+            raise ValueError(
+                f"bucket spec changed (recorded {prev_b}, got {bspec}); "
+                "rebucket under a fresh root"
+            )
     os.makedirs(root, exist_ok=True)
     files = _write_partitioned_run(df, root, spec, bspec)
     meta = {**(metadata or {}), "partition_spec": spec}

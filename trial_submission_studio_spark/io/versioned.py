@@ -1245,16 +1245,6 @@ def compact_version(
         from .partitioned_table import _write_partitioned_run
 
         fresh = _write_partitioned_run(small_df, root, pspec, bspec)
-        if verify:
-            n_in = small_df.count()
-            n_out_rows = spark.read.parquet(
-                *[os.path.join(root, f) for f in fresh]
-            ).count()
-            if n_in != n_out_rows:
-                raise RuntimeError(
-                    f"compaction row-count mismatch: {n_in} in, "
-                    f"{n_out_rows} out"
-                )
     elif bspec:
         # bucket-spec'd snapshot (io/bucketed_table.py): the layout
         # is a manifest contract — compaction consolidates small
@@ -1264,28 +1254,21 @@ def compact_version(
         from .bucketed_table import _write_bucketed_run
 
         fresh = _write_bucketed_run(small_df, root, bspec)
-        if verify:
-            n_in = small_df.count()
-            n_out_rows = spark.read.parquet(
-                *[os.path.join(root, f) for f in fresh]
-            ).count()
-            if n_in != n_out_rows:
-                raise RuntimeError(
-                    f"compaction row-count mismatch: {n_in} in, "
-                    f"{n_out_rows} out"
-                )
     else:
         n_out = max(1, math.ceil(small_bytes / target_bytes))
         run_dir = new_data_dir(root)
         small_df.repartition(n_out).write.mode("overwrite").parquet(run_dir)
-        if verify:
-            n_in = small_df.count()
-            n_out_rows = spark.read.parquet(run_dir).count()
-            if n_in != n_out_rows:
-                raise RuntimeError(
-                    f"compaction row-count mismatch: {n_in} in, {n_out_rows} out"
-                )
         fresh = [os.path.relpath(p, root) for p in data_files(run_dir)]
+    if verify:
+        n_in = small_df.count()
+        n_out_rows = spark.read.parquet(
+            *[os.path.join(root, f) for f in fresh]
+        ).count()
+        if n_in != n_out_rows:
+            raise RuntimeError(
+                f"compaction row-count mismatch: {n_in} in, "
+                f"{n_out_rows} out"
+            )
     meta = {
         "compaction_of": m["version"],
         "files_in": len(small),
