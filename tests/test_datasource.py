@@ -242,6 +242,62 @@ def test_stream_feed_survives_midstream_rename(tss, tmp_path):
     assert (1, 999, "insert") in _snap(feed)
 
 
+def test_streaming_sink_exactly_once_append(tss, tmp_path):
+    """df.writeStream.format('tss'): each micro-batch is ONE fenced
+    append commit; a checkpoint restart commits nothing it already
+    landed; refusals for constraint/layout tables fire at start."""
+    spark = tss
+    src_dir = str(tmp_path / "in")
+    root = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(src_dir)
+    spark.createDataFrame([(1, 10)], "k long, v long").write.mode(
+        "append"
+    ).parquet(src_dir)
+
+    def go():
+        return (
+            spark.readStream.schema("k long, v long").parquet(src_dir)
+            .writeStream.format("tss").option("root", root)
+            .option("checkpointLocation", ckpt).start()
+        )
+
+    q = go()
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [(2, 20), (3, 30)], "k long, v long"
+        ).write.mode("append").parquet(src_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert _snap(read_version(spark, root)) == {(1, 10), (2, 20), (3, 30)}
+    # restart from checkpoint: exactly-once across the gap
+    spark.createDataFrame([(4, 40)], "k long, v long").write.mode(
+        "append"
+    ).parquet(src_dir)
+    q = go()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert _snap(read_version(spark, root)) == {
+        (1, 10), (2, 20), (3, 30), (4, 40),
+    }
+    from trial_submission_studio_spark.io.versioned import table_history
+
+    fences = [
+        h["metadata"]["stream_sink"]["batch_id"]
+        for h in table_history(root)
+        if "stream_sink" in h["metadata"]
+    ]
+    assert fences == sorted(fences, reverse=True)  # monotone commits
+    # and the sink's rows read back through every route
+    assert _snap(
+        spark.read.format("tss").option("root", root).load()
+    ) == {(1, 10), (2, 20), (3, 30), (4, 40)}
+
+
 def test_stream_feed_signed_aggregate_and_restart(tss, tmp_path):
     spark = tss
     root = _mk(spark, tmp_path, n=20, n_files=2, name="ts")

@@ -42,6 +42,12 @@ Reads run driver-side on the COMMIT DELTA only (the work a consumer
 must do anyway); history must be retained while consumers are behind
 (``retire_versions`` keeping their horizon), same rule as any CDC
 log. Restart resumes from the checkpointed version offset.
+
+Write symmetry: ``df.write.format("tss")`` (batch create / append /
+snapshot-replace overwrite through the commit loop) and
+``df.writeStream.format("tss")`` (exactly-once streaming APPEND sink
+— one fenced commit per micro-batch, replays commit nothing; see
+:class:`_TssStreamWriter`).
 """
 
 from __future__ import annotations
@@ -53,6 +59,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
     DataSourceReader,
     EqualTo,
     Filter,
@@ -637,6 +644,220 @@ class _TssWriter(DataSourceArrowWriter):
         shutil.rmtree(self._run_dir, ignore_errors=True)
 
 
+def _ds_append_commit(
+    root: str, files: list[str], meta: dict, max_retries: int = 10
+) -> dict | None:
+    """Self-contained append commit (stdlib only — the streaming
+    sink runner worker has no pyFiles): carry the CURRENT manifest's
+    files/stats/dv/schema/constraints/column-mapping/layout contracts
+    verbatim, add ``files``, publish with the exclusive hard-link
+    create, retry on a lost race. Mirrors the safe subset of
+    `versioned.commit_files(kind="append")` — appends read nothing,
+    so carrying the newest world is always a valid rebase."""
+    import json
+    import tempfile
+    import time as _time
+
+    vd = os.path.join(root, "_versions")
+    os.makedirs(vd, exist_ok=True)
+    for _ in range(max_retries):
+        vs = _ds_list_versions(root)
+        cur = _ds_read_manifest(root, vs[-1]) if vs else None
+        version = (vs[-1] if vs else 0) + 1
+        base_files = list(cur["files"]) if cur else []
+        all_files = sorted(base_files + files)
+        if len(all_files) != len(set(all_files)):
+            raise ValueError("duplicate files in streaming append")
+        manifest = {
+            "version": version,
+            "created_utc": _time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", _time.gmtime()
+            ),
+            "files": all_files,
+            "n_files": len(all_files),
+            "metadata": {**meta, "commit_kind": "append"},
+        }
+        if cur:
+            for k in ("stats", "schema", "dv", "constraints",
+                      "column_mapping"):
+                if cur.get(k):
+                    manifest[k] = cur[k]
+            for k in ("bucket_spec", "partition_spec"):
+                if cur["metadata"].get(k):
+                    manifest["metadata"][k] = cur["metadata"][k]
+        path = os.path.join(vd, f"v{version:08d}.json")
+        payload = json.dumps(manifest, indent=1)
+        fd, tmp = tempfile.mkstemp(dir=vd, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w", encoding="utf-8") as f:
+                f.write(payload)
+            try:
+                os.link(tmp, path)
+            except FileExistsError:
+                continue  # lost the create race: re-read the world
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+        cpath = os.path.join(vd, "CURRENT")
+        fd, tmp = tempfile.mkstemp(dir=vd, suffix=".tmp")
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write(str(version))
+        os.replace(tmp, cpath)
+        return manifest
+    raise RuntimeError("streaming append: gave up after retries")
+
+
+def _ds_last_sink_batch(root: str, run_id: str, lookback: int = 200):
+    """Newest recorded stream-sink batch id for this writer identity,
+    scanning at most ``lookback`` manifests newest-first (the fence
+    entry is normally in the last few; interleaved non-sink commits
+    push it back a little, never far)."""
+    vs = _ds_list_versions(root)
+    for v in reversed(vs[-lookback:]):
+        sk = _ds_read_manifest(root, v)["metadata"].get("stream_sink")
+        if sk and sk.get("run_id") == run_id:
+            return sk["batch_id"]
+    return None
+
+
+class _TssStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("tss")`` — exactly-once streaming
+    APPEND sink over the manifest protocol. Each micro-batch's task
+    files land as ONE append commit stamped with
+    ``metadata.stream_sink = {run_id, batch_id}``; on the at-least-
+    once replay Structured Streaming guarantees, a batch id at or
+    below the newest recorded one for this run COMMITS NOTHING (the
+    replayed task files stay unreferenced and age out via vacuum) —
+    the same batch-id fencing discipline as `streaming/cdc.py`, at
+    the sink layer. Everything here is stdlib+pyarrow self-contained:
+    the streaming sink runner worker carries no pyFiles.
+
+    Refusals at start (loud, with the right alternative): non-append
+    output modes, CHECK-constraint tables (no SparkSession to
+    enforce), layout-spec'd tables (plain task files would break
+    their pruning — use the CDC/foreachBatch route)."""
+
+    def __init__(self, options, schema, overwrite):
+        import uuid
+
+        if overwrite:
+            raise ValueError(
+                "tss streaming sink is append-only; complete/update "
+                "output modes need an aggregate-aware sink — use "
+                "foreachBatch with merge_version/refresh_rollup"
+            )
+        self._root = options["root"]
+        self._schema = schema
+        self._mapping = None
+        vs = _ds_list_versions(self._root)
+        if vs:
+            m = _ds_read_manifest(self._root, vs[-1])
+            self._mapping = m.get("column_mapping") or None
+            if m.get("constraints"):
+                raise ValueError(
+                    "table has CHECK constraints; the streaming sink "
+                    "cannot enforce them — use the foreachBatch CDC "
+                    "route (streaming/cdc.py) instead"
+                )
+            md = m["metadata"]
+            if md.get("bucket_spec") or md.get("partition_spec"):
+                raise ValueError(
+                    "table carries a layout contract; plain task files "
+                    "would break its pruning — use the foreachBatch "
+                    "CDC route with append_bucketed/append_partitioned"
+                )
+        # one immutable run dir per query run; files are uuid-named
+        # so replayed tasks can never collide
+        self._run_id = options.get("queryRunId") or uuid.uuid4().hex[:16]
+        os.makedirs(os.path.join(self._root, "data"), exist_ok=True)
+        self._run_dir = os.path.join(
+            self._root, "data", f"stream-{self._run_id}"
+        )
+        os.makedirs(self._run_dir, exist_ok=True)
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        path = os.path.join(
+            self._run_dir, f"part-{uuid.uuid4().hex[:16]}.parquet"
+        )
+        writer = None
+        rows = 0
+        try:
+            for batch in iterator:
+                if self._mapping:
+                    unknown = [
+                        c
+                        for c in batch.schema.names
+                        if c not in self._mapping
+                    ]
+                    if unknown:
+                        raise ValueError(
+                            "stream write: columns not in the table's "
+                            f"column mapping: {unknown}"
+                        )
+                    batch = batch.rename_columns(
+                        [self._mapping[c] for c in batch.schema.names]
+                    )
+                if writer is None:
+                    writer = pq.ParquetWriter(path, batch.schema)
+                writer.write_batch(batch)
+                rows += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:
+            return _WriteMessage(rel_files=(), rows=0)
+        return _WriteMessage(
+            rel_files=(os.path.relpath(path, self._root),), rows=rows
+        )
+
+    def commit(self, messages, batchId):
+        files = [
+            f for msg in messages if msg is not None
+            for f in msg.rel_files
+        ]
+        last = _ds_last_sink_batch(self._root, self._run_id)
+        if last is not None and batchId <= last:
+            # replayed batch: the fence says it already committed —
+            # drop the rewritten task files, publish nothing
+            for f in files:
+                try:
+                    os.remove(os.path.join(self._root, f))
+                except OSError:
+                    pass
+            return
+        if not files:
+            if _ds_list_versions(self._root):
+                # fence even an empty batch so a replay cannot
+                # double-commit an earlier one after a gap
+                _ds_append_commit(
+                    self._root,
+                    [],
+                    {"stream_sink": {"run_id": self._run_id,
+                                     "batch_id": batchId}},
+                )
+            return
+        _ds_append_commit(
+            self._root,
+            files,
+            {"stream_sink": {"run_id": self._run_id,
+                             "batch_id": batchId}},
+        )
+
+    def abort(self, messages, batchId):
+        for msg in messages or ():
+            if msg is None:
+                continue
+            for f in msg.rel_files:
+                try:
+                    os.remove(os.path.join(self._root, f))
+                except OSError:
+                    pass
+
+
 class TssDataSource(DataSource):
     """``format("tss")`` — options: ``root`` (required), ``version``
     or ``asOf`` (batch time travel), ``feed=true`` + optional
@@ -699,3 +920,6 @@ class TssDataSource(DataSource):
 
     def writer(self, schema, overwrite):
         return _TssWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite):
+        return _TssStreamWriter(self.options, schema, overwrite)
