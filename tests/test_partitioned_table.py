@@ -192,6 +192,37 @@ def test_typed_partition_values_prune_ranges(spark, tmp_path):
     assert got == {k for k in range(50) if k % 5 >= 3}
 
 
+def test_metadata_tables(spark, tmp_path):
+    """DESCRIBE DETAIL + files/partitions metadata tables: manifest-
+    only answers with the layout contracts visible."""
+    from trial_submission_studio_spark.io.partitioned_table import (
+        table_partitions,
+    )
+    from trial_submission_studio_spark.io.versioned import (
+        table_detail,
+        table_files,
+    )
+
+    root, rows = _mk(spark, tmp_path, name="pm")
+    delete_matching_dv(
+        spark, root, spark.createDataFrame([(0,)], "k long"), "k"
+    )
+    d = table_detail(root)
+    assert d["partition_spec"] == {"cols": ["day"]}
+    assert d["n_files"] >= 3 and d["dv_rows"] == 1
+    tf = table_files(spark, root)
+    assert tf.count() == d["n_files"]
+    got = {r.partition for r in tf.collect()}
+    assert '{"day": "2024-01-01"}' in got
+    tp = {r.partition: r.n_files for r in table_partitions(spark, root).collect()}
+    assert len(tp) == 3 and all(n >= 1 for n in tp.values())
+    dvp = {
+        r.partition: r.dv_rows
+        for r in table_partitions(spark, root).collect()
+    }
+    assert dvp['{"day": "2024-01-01"}'] == 1
+
+
 def test_spec_conflicts_refused_loudly(spark, tmp_path):
     root, _rows_ = _mk(spark, tmp_path, name="pc")
     with pytest.raises(ValueError, match="partition-spec"):

@@ -663,6 +663,25 @@ def _ds_append_commit(
     for _ in range(max_retries):
         vs = _ds_list_versions(root)
         cur = _ds_read_manifest(root, vs[-1]) if vs else None
+        if cur is not None and files:
+            # contracts can appear MID-STREAM (an operator adds a
+            # CHECK constraint or republishes a layout under the
+            # running sink): appending unvalidated plain files would
+            # silently bypass them — fail the stream loudly instead
+            if cur.get("constraints"):
+                raise ValueError(
+                    "table gained CHECK constraints mid-stream; the "
+                    "sink cannot enforce them — switch to the "
+                    "foreachBatch CDC route"
+                )
+            if cur["metadata"].get("bucket_spec") or cur[
+                "metadata"
+            ].get("partition_spec"):
+                raise ValueError(
+                    "table gained a layout contract mid-stream; plain "
+                    "task files would break its pruning — switch to "
+                    "the foreachBatch CDC route"
+                )
         version = (vs[-1] if vs else 0) + 1
         base_files = list(cur["files"]) if cur else []
         all_files = sorted(base_files + files)

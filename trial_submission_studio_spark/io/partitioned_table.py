@@ -269,6 +269,42 @@ def _typed(v: str) -> tuple[str, object] | None:
     return None
 
 
+def table_partitions(
+    spark: SparkSession, root: str, version: int | None = None
+) -> "DataFrame":
+    """Iceberg's ``partitions`` metadata table: one row per distinct
+    partition value tuple — file count, known row count (NULL when no
+    stats), and tombstoned rows. Manifest-only; the operational
+    answer to "which days are how big" with zero data reads."""
+    import json as _json
+
+    m = _ver.read_manifest(root, version)
+    spec = m["metadata"].get("partition_spec")
+    if spec is None:
+        raise ValueError(f"{root} carries no partition_spec")
+    stats = m.get("stats") or {}
+    dv = m.get("dv") or {}
+    agg: dict = {}
+    for f in m["files"]:
+        key = _json.dumps(partition_values(f, spec), sort_keys=True)
+        e = agg.setdefault(key, [0, 0, 0, True])
+        e[0] += 1
+        nr = (stats.get(f) or {}).get("num_rows")
+        if nr is None:
+            e[3] = False
+        else:
+            e[1] += nr
+        e[2] += dv.get(f, {}).get("rows", 0)
+    rows = [
+        (k, e[0], e[1] if e[3] else None, e[2])
+        for k, e in sorted(agg.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "partition string, n_files long, num_rows long, dv_rows long",
+    )
+
+
 def partition_pseudo_stats(manifest: dict) -> dict:
     """Per-file EXACT zone-map entries derived from partition dir
     names alone (min == max == the dir value, zero nulls) — the

@@ -1033,6 +1033,68 @@ def table_history(root: str, *, limit: int | None = None) -> list[dict]:
     return out
 
 
+def table_detail(root: str, version: int | None = None) -> dict:
+    """Delta's ``DESCRIBE DETAIL``: one dict summarizing a snapshot —
+    version, commit time, file/byte/tombstone footprint, and every
+    recorded contract (schema, constraints, column mapping, bucket
+    and partition specs). Metadata-scale: one manifest read plus file
+    stats."""
+    m = read_manifest(root, version)
+    sizes = [os.path.getsize(os.path.join(root, f)) for f in m["files"]]
+    return {
+        "root": os.path.abspath(root),
+        "version": m["version"],
+        "created_utc": m["created_utc"],
+        "n_files": len(m["files"]),
+        "total_bytes": sum(sizes),
+        "dv_rows": sum(e["rows"] for e in (m.get("dv") or {}).values()),
+        "schema": m.get("schema"),
+        "constraints": m.get("constraints") or {},
+        "column_mapping": m.get("column_mapping"),
+        "bucket_spec": m["metadata"].get("bucket_spec"),
+        "partition_spec": m["metadata"].get("partition_spec"),
+        "n_clones": len(list_clones(root)),
+    }
+
+
+def table_files(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Iceberg's ``files`` metadata table: one row per data file in
+    the snapshot — path, size, recorded row count (NULL when the
+    table never collected stats), tombstoned rows, and the parsed
+    partition values (JSON; NULL for unpartitioned layouts). Driver
+    builds it from the manifest + file stats alone; no data read."""
+    import json as _json
+
+    m = read_manifest(root, version)
+    stats = m.get("stats") or {}
+    dv = m.get("dv") or {}
+    pspec = m["metadata"].get("partition_spec")
+    rows = []
+    for f in m["files"]:
+        pv = None
+        if pspec:
+            from .partitioned_table import partition_values
+
+            vals = partition_values(f, pspec)
+            pv = _json.dumps(vals, sort_keys=True) if vals else None
+        rows.append(
+            (
+                f,
+                os.path.getsize(os.path.join(root, f)),
+                (stats.get(f) or {}).get("num_rows"),
+                dv.get(f, {}).get("rows", 0),
+                pv,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "file string, size_bytes long, num_rows long, dv_rows long, "
+        "partition string",
+    )
+
+
 def diff_versions(root: str, v_from: int, v_to: int) -> dict:
     """What changed between two snapshots — file-level audit from the
     manifests alone (metadata-scale at any corpus size): added and
