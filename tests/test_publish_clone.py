@@ -226,6 +226,32 @@ def test_vacuum_refuses_while_clone_pins_files(spark, tmp_path):
         _snap(spark, clone)  # the documented breakage, now opt-in
 
 
+def test_chained_clone_pins_the_grandparent(spark, tmp_path):
+    """c2 = clone(c1 = clone(src)): c2's absolute refs reach INTO
+    src, so src's vacuum must refuse until c2 deregisters — the
+    ancestor-chain registration closes the r13 chained-clone gap."""
+    from trial_submission_studio_spark.io.versioned import compact_version
+
+    src = _make_src(spark, tmp_path, n=20, n_files=1)
+    c1 = str(tmp_path / "c1")
+    shallow_clone(src, c1)
+    c2 = str(tmp_path / "c2")
+    shallow_clone(c1, c2)
+    # src rewrites everything; fork files become src-side garbage
+    merge_version(spark, src, _kv(spark, [(0, 9)]), "k")
+    compact_version(spark, src, small_threshold=10**9)
+    retire_versions(src, 1)
+    # c1 deregisters (e.g. abandoned) — c2 STILL pins src's files
+    assert deregister_clone(src, c1)
+    with pytest.raises(ClonePinnedError) as e:
+        vacuum(src, min_age_seconds=0)
+    assert os.path.abspath(c2) in e.value.clones
+    assert _snap(spark, c2) == {(k, k) for k in range(20)}
+    # releasing c2 (recorded at c1, cascades to src) unpins
+    assert deregister_clone(c1, c2)
+    assert vacuum(src, min_age_seconds=0) != []
+
+
 def test_bucketed_branch_publish_keeps_layout(spark, tmp_path):
     from trial_submission_studio_spark.io.bucketed_table import (
         bucket_spec,

@@ -826,9 +826,11 @@ def shallow_clone(
     delete pinned files while the clone is registered.
     `io/clones.py:publish_clone` (landing the branch) and
     :func:`deregister_clone` (abandoning it) both release the pin.
-    Chained clones pin only their DIRECT source — compact an
-    intermediate clone (which localizes it) before vacuuming its
-    grandparent, same as before."""
+    Chained clones register along the whole discoverable ancestor
+    chain (each root's vacuum filters the pin to its own files), so
+    a grandparent's vacuum refuses too; only ancestors whose fork
+    history was already retired fall back to the documented
+    compact-before-vacuum discipline."""
     m = read_manifest(src_root, version)
     if os.path.abspath(src_root) == os.path.abspath(dst_root):
         raise ValueError("shallow_clone onto the source root")
@@ -919,17 +921,53 @@ def _clone_marker_path(src_root: str, dst_root: str) -> str:
     return os.path.join(_clones_dir(src_root), cid + ".json")
 
 
+def _ancestor_clone_roots(root: str, limit: int = 16) -> list[str]:
+    """The chain of table roots this root was (transitively) cloned
+    from, walked through each root's earliest surviving manifest's
+    ``shallow_clone_of`` pointer. Bounded and cycle-guarded; a
+    retired fork commit simply ends the walk (those ancestors keep
+    the r13-era documented caveat)."""
+    out: list[str] = []
+    seen = {os.path.abspath(root)}
+    cur = root
+    while len(out) < limit:
+        vs = list_versions(cur)
+        if not vs:
+            break
+        info = read_manifest(cur, vs[0])["metadata"].get(
+            "shallow_clone_of"
+        )
+        if not info:
+            break
+        nxt = info["root"]
+        if os.path.abspath(nxt) in seen:
+            break
+        out.append(nxt)
+        seen.add(os.path.abspath(nxt))
+        cur = nxt
+    return out
+
+
 def register_clone(src_root: str, dst_root: str, manifest: dict) -> str:
     """Write the clone back-pointer marker pinning ``manifest``'s
     files (and dv sidecars) against the source's :func:`vacuum`.
     Self-contained — the pinned FILE LIST lives in the marker, so the
     pin survives :func:`retire_versions` of the forked manifest.
-    Called by :func:`shallow_clone`; idempotent per ``dst_root``."""
-    os.makedirs(_clones_dir(src_root), exist_ok=True)
+
+    Chained clones: when the source is ITSELF a clone, the manifest's
+    absolute entries reference ancestor tables — the marker is ALSO
+    registered at every discoverable ancestor root (each root's
+    vacuum filters the pinned list to its own files), and the source
+    marker records the ancestor list so :func:`deregister_clone`
+    cascades. Called by :func:`shallow_clone`; idempotent per
+    ``dst_root``."""
     sidecars = sorted(
         {s for e in (manifest.get("dv") or {}).values()
          for s in e["sidecars"]}
     )
+    ancestors = [
+        os.path.abspath(a) for a in _ancestor_clone_roots(src_root)
+    ]
     payload = {
         "dst_root": os.path.abspath(dst_root),
         "src_version": manifest["version"],
@@ -938,10 +976,13 @@ def register_clone(src_root: str, dst_root: str, manifest: dict) -> str:
         ),
         "files": manifest["files"],
         "sidecars": sidecars,
+        "ancestors": ancestors,
     }
-    path = _clone_marker_path(src_root, dst_root)
-    _atomic_write(path, json.dumps(payload, indent=1))
-    return path
+    blob = json.dumps(payload, indent=1)
+    for r in [src_root] + ancestors:
+        os.makedirs(_clones_dir(r), exist_ok=True)
+        _atomic_write(_clone_marker_path(r, dst_root), blob)
+    return _clone_marker_path(src_root, dst_root)
 
 
 def list_clones(root: str) -> list[dict]:
@@ -961,13 +1002,23 @@ def list_clones(root: str) -> list[dict]:
 
 def deregister_clone(src_root: str, dst_root: str) -> bool:
     """Release a clone's vacuum pin (the clone was published back,
-    compacted to independence, or abandoned). Returns whether a
-    marker existed."""
+    compacted to independence, or abandoned) — cascading to the
+    ancestor roots the marker recorded. Returns whether a marker
+    existed at the source."""
     path = _clone_marker_path(src_root, dst_root)
-    if os.path.exists(path):
-        os.remove(path)
-        return True
-    return False
+    if not os.path.exists(path):
+        return False
+    try:
+        with open(path, encoding="utf-8") as f:
+            ancestors = json.load(f).get("ancestors") or []
+    except (OSError, ValueError):
+        ancestors = []
+    os.remove(path)
+    for r in ancestors:
+        p = _clone_marker_path(r, dst_root)
+        if os.path.exists(p):
+            os.remove(p)
+    return True
 
 
 def _clone_pinned_files(root: str) -> dict[str, str]:
