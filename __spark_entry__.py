@@ -2538,6 +2538,72 @@ def _dv_gate_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_version(spark, root)
 
 
+_LIFECYCLE_GATE_MEMO: dict = {}
+
+
+def _lifecycle_gate_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14 table-lifecycle fold for the layout gate: one versioned
+    table that passes through the round's whole machinery before the
+    oracle-faced read —
+
+    1. Hive-partitioned publish on a derived ``day`` column
+       (io/partitioned_table.py; NO footer stats collected),
+    2. directory-grain retention: ``delete_where(day < 2024-01-10)``
+       drops whole partitions by path-derived pseudo-stats,
+    3. column-mapping rename ``value -> val`` (metadata-only),
+    4. a shallow-clone BRANCH tombstones ``event_id % 101 == 0`` and
+       lands back via ``publish_clone`` (dv re-keyed to source keys).
+
+    The read the oracle mirrors is the plain post-publish snapshot —
+    partition drops ≡ a WHERE on the day, the branch's dv deletes ≡ a
+    WHERE on the key, the rename ≡ an alias. Build memoized per
+    sf_dir; the read re-executes per call (the path under test)."""
+    root = _LIFECYCLE_GATE_MEMO.get(sf_dir)
+    if root is None:
+        import tempfile
+
+        from trial_submission_studio_spark.io.clones import publish_clone
+        from trial_submission_studio_spark.io.deletion_vectors import (
+            delete_matching_dv,
+            delete_where,
+        )
+        from trial_submission_studio_spark.io.partitioned_table import (
+            publish_partitioned,
+        )
+        from trial_submission_studio_spark.io.table_schema import (
+            rename_column,
+        )
+        from trial_submission_studio_spark.io.versioned import (
+            shallow_clone,
+        )
+
+        root = tempfile.mkdtemp(prefix="tss-lcgate-") + "/t"
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id",
+            F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd")
+            .alias("day"),
+            "event_type",
+            "value",
+        )
+        publish_partitioned(spark, ev, root, "day")
+        delete_where(spark, root, [("day", "<", "2024-01-10")])
+        rename_column(spark, root, "value", "val")
+        branch = root + "-branch"
+        shallow_clone(root, branch, spark=spark)
+        delete_matching_dv(
+            spark,
+            branch,
+            ev.filter(F.col("event_id") % 101 == 0).select("event_id"),
+            "event_id",
+            verify=False,
+        )
+        publish_clone(spark, branch)
+        _LIFECYCLE_GATE_MEMO[sf_dir] = root
+    from trial_submission_studio_spark.io.versioned import read_version
+
+    return read_version(spark, root)
+
+
 def layout_zorder_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering-key gate (operators/layout.py) +
     the r13 deletion-vector fold (io/deletion_vectors.py): bucketize
@@ -2573,7 +2639,20 @@ def layout_zorder_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").cast("long").alias("dv_key_min"),
         F.max("o_orderkey").cast("long").alias("dv_key_max"),
     )
-    return z.crossJoin(dv)
+    # r14 fold: the partitioned-retention + rename + branch-publish
+    # lifecycle table (see _lifecycle_gate_table), aggregated to one
+    # row the oracle mirrors with WHEREs + an alias; the e4-floored
+    # sum keeps the double engine-exact (the fre_e4_sum discipline)
+    lc = _lifecycle_gate_table(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("lc_n_rows"),
+        F.countDistinct("event_type").cast("long").alias("lc_types"),
+        F.sum(F.floor(F.col("val") * 10000).cast("long"))
+        .cast("long")
+        .alias("lc_val_e4"),
+        F.min("day").alias("lc_day_min"),
+        F.max("day").alias("lc_day_max"),
+    )
+    return z.crossJoin(dv).crossJoin(lc)
 
 
 def _zorder_oracle_sql() -> str:
@@ -2600,7 +2679,7 @@ def _zorder_oracle_sql() -> str:
         z AS (
           SELECT {' | '.join(terms)} AS zkey FROM b
         )
-        SELECT z.*, dv.* FROM (
+        SELECT z.*, dv.*, lc.* FROM (
           SELECT count(*) AS n_rows,
                  count(DISTINCT zkey) AS n_keys,
                  CAST(sum(zkey) AS BIGINT) AS zkey_sum,
@@ -2613,7 +2692,17 @@ def _zorder_oracle_sql() -> str:
                  min(o_orderkey) AS dv_key_min,
                  max(o_orderkey) AS dv_key_max
           FROM orders WHERE o_orderkey % 97 <> 0
-        ) dv
+        ) dv CROSS JOIN (
+          SELECT count(*) AS lc_n_rows,
+                 count(DISTINCT event_type) AS lc_types,
+                 CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT)
+                   AS lc_val_e4,
+                 min(strftime(ts, '%Y-%m-%d')) AS lc_day_min,
+                 max(strftime(ts, '%Y-%m-%d')) AS lc_day_max
+          FROM events
+          WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-10'
+            AND event_id % 101 <> 0
+        ) lc
     """
 
 
