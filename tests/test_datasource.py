@@ -95,6 +95,16 @@ def test_pushed_filters_prune_files(tss, tmp_path):
     assert _snap(df.filter("k < 20")) == {(k, k * 10) for k in range(20)}
     # a fully-pruned predicate still returns a well-formed empty frame
     assert df.filter("k < -5").count() == 0
+    # the plan audit SEES the DS scan (pushdown facts live in
+    # plan_files — the plan string carries no PushedFilters for a
+    # Python source)
+    from trial_submission_studio_spark.operators.planaudit import (
+        plan_facts,
+    )
+
+    facts = plan_facts(df.filter("k < 20"))
+    assert len(facts["datasource_scans"]) == 1
+    assert "tss" in facts["datasource_scans"][0]
 
 
 def test_format_reads_shallow_clone_abs_entries(tss, tmp_path):
@@ -149,6 +159,34 @@ def test_column_mapping_and_partitions_through_format(tss, tmp_path):
         .filter("day = 'd1'")
     )
     assert got == {(k, "d1", k) for k in range(30) if k % 3 == 1}
+
+
+def test_feed_starting_version_skips_history(tss, tmp_path):
+    """startingVersion pins the first offset: a consumer that only
+    wants commits AFTER the bootstrap snapshot never replays it."""
+    spark = tss
+    root = _mk(spark, tmp_path, n=12, n_files=1, name="tsv")
+    v0 = current_version(root)
+    merge_version(
+        spark, root, spark.createDataFrame([(99, 1)], "k long, v long"),
+        "k",
+    )
+    sink, ckpt = str(tmp_path / "vsink"), str(tmp_path / "vck")
+    q = (
+        spark.readStream.format("tss").option("root", root)
+        .option("feed", "true").option("startingVersion", str(v0))
+        .load()
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    feed = _snap(spark.read.parquet(sink))
+    # only the merge commit's delta — the 12-row bootstrap is absent
+    assert (99, 1, "insert") in feed
+    assert len([r for r in feed if r[2] == "insert"]) < 12
 
 
 def test_writer_create_append_overwrite(tss, tmp_path):

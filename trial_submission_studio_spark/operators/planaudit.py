@@ -69,6 +69,11 @@ def plan_facts(df: DataFrame) -> dict[str, Any]:
         "has_cartesian": False,
         "python_evals": 0,
         "scans": [],
+        # DataSource-v2 scans (e.g. the `tss` Python DataSource):
+        # their file pruning happens inside the source, so the plan
+        # string carries no PushedFilters — io/datasource.plan_files
+        # is the audit for those; this fact makes the scan VISIBLE
+        "datasource_scans": [],
     }
     for raw in lines:
         s = _node(raw)
@@ -81,6 +86,8 @@ def plan_facts(df: DataFrame) -> dict[str, Any]:
         elif s.startswith(("ArrowEvalPython", "BatchEvalPython",
                            "MapInPandas", "FlatMapGroupsInPandas")):
             facts["python_evals"] += 1
+        elif s.startswith("BatchScan"):
+            facts["datasource_scans"].append(s[:200])
         m = _JOIN_RE.search(s)
         if m and s.startswith(m.group(1)):
             facts["joins"][m.group(1)] = facts["joins"].get(m.group(1), 0) + 1
