@@ -38,10 +38,14 @@ of added files and dv-rollback resurrections emit
 ``_change="insert"`` (an update is delete+insert of the same key, the
 Flink retract model). A signed aggregate over the feed therefore
 equals the batch aggregate of the final snapshot, pinned by test.
-Reads run driver-side on the COMMIT DELTA only (the work a consumer
-must do anyway); history must be retained while consumers are behind
+Offset management runs driver-side on stdlib manifest mirrors; the
+DATA reads fan out to EXECUTORS, one task per changed file, so a
+bulk first snapshot or a large commit never materializes on the
+driver. History must be retained while consumers are behind
 (``retire_versions`` keeping their horizon), same rule as any CDC
-log. Restart resumes from the checkpointed version offset.
+log. Restart resumes from the checkpointed version offset and
+rebuilds identical batches (partitioning is deterministic from the
+manifests).
 
 Write symmetry: ``df.write.format("tss")`` (batch create / append /
 snapshot-replace overwrite through the commit loop) and
@@ -71,7 +75,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
-    SimpleDataSourceStreamReader,
+    DataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -348,8 +352,27 @@ class _TssBatchReader(DataSourceReader):
         yield from t.to_batches()
 
 
-class _TssFeedReader(SimpleDataSourceStreamReader):
-    """Retract-stream change feed: see module docstring."""
+@dataclass
+class _FeedPartition(InputPartition):
+    change: str  # "insert" | "delete"
+    kind: str  # "live" (whole file's live rows) | "dv_delta"
+    path: str  # absolute data file path
+    sidecars: tuple  # live: the file's dv sidecars; dv_delta: FRESH ones
+    exclude_sidecars: tuple  # dv_delta: sidecars already dead before
+    dv_key: str  # the manifest key tombstones use for this file
+    phys: tuple  # physical column names to read, in logical order
+
+
+class _TssFeedReader(DataSourceStreamReader):
+    """Retract-stream change feed (see module docstring), as a FULL
+    stream reader: offset management (initial/latest/partitions) runs
+    in the no-pyFiles streaming runner on stdlib manifest mirrors,
+    while the DATA reads fan out to executors — one task per changed
+    file — so a large first snapshot or a bulk commit never
+    materializes on the driver. Partitioning is deterministic from
+    the two manifests, so a replayed offset range rebuilds the exact
+    same batch (manifests must be retained while consumers are
+    behind, the usual CDC-log rule)."""
 
     def __init__(self, options, schema):
         self._root = options["root"]
@@ -359,123 +382,119 @@ class _TssFeedReader(SimpleDataSourceStreamReader):
     def initialOffset(self):
         return {"version": self._start}
 
-    def read(self, start):
+    def latestOffset(self):
         vs = _ds_list_versions(self._root)
         cur = vs[-1] if vs else None
-        v_from = int(start["version"])
-        if cur is None or cur <= v_from:
-            return iter(()), start
-        # materialized (commit-delta-sized): the prefetch cache
-        # copy.copy()s this iterator, which a generator cannot survive
-        rows = list(self._between(v_from, cur))
-        return iter(rows), {"version": cur}
+        return {"version": max(self._start, cur or 0)}
 
-    def readBetweenOffsets(self, start, end):
-        return iter(
-            list(self._between(int(start["version"]), int(end["version"])))
-        )
+    def commit(self, end):
+        pass
 
-    # -- pure-Python feed computation (commit-delta-sized) ----------
     def _manifest(self, v):
         if v == 0:
             return {"files": [], "metadata": {}}
         return _ds_read_manifest(self._root, v)
 
-    def _live_rows(self, manifest, rel_files, phys):
-        for f in rel_files:
-            e = (manifest.get("dv") or {}).get(f)
-            t = _read_file_arrow(
-                os.path.join(self._root, f),
-                phys,
-                tuple(
-                    os.path.join(self._root, s)
-                    for s in (e["sidecars"] if e else ())
-                ),
-                f,
-            )
-            yield from zip(*[t.column(c).to_pylist() for c in phys])
+    def partitions(self, start, end):
+        v_from, v_to = int(start["version"]), int(end["version"])
+        if v_to <= v_from:
+            return []
+        a, b = self._manifest(v_from), self._manifest(v_to)
+        logical = [
+            f.name for f in self._schema.fields if f.name != _CHANGE
+        ]
+        # physical names are FROZEN: the newest mapping resolves the
+        # stream's fixed logical schema for every version in range
+        cm_b = b.get("column_mapping") or {}
+        cm_a = a.get("column_mapping") or {}
+        phys = tuple(cm_b.get(c, cm_a.get(c, c)) for c in logical)
+        dv_a, dv_b = a.get("dv") or {}, b.get("dv") or {}
+        fa, fb = set(a["files"]), set(b["files"])
 
-    def _dv_delta_rows(self, m_from, m_to, common, phys):
-        """Rows whose tombstone exists in m_to but not in m_from —
-        newly-dead (or, with the arguments swapped, resurrected)."""
+        def _abs(rel):
+            return os.path.join(self._root, rel)
+
+        out = []
+        for f in sorted(fa - fb):  # removed: live-at-a rows retract
+            e = dv_a.get(f)
+            out.append(_FeedPartition(
+                change="delete", kind="live", path=_abs(f),
+                sidecars=tuple(_abs(x) for x in (e["sidecars"] if e else ())),
+                exclude_sidecars=(), dv_key=f, phys=phys,
+            ))
+        for f in sorted(fb - fa):  # added: live-at-b rows insert
+            e = dv_b.get(f)
+            out.append(_FeedPartition(
+                change="insert", kind="live", path=_abs(f),
+                sidecars=tuple(_abs(x) for x in (e["sidecars"] if e else ())),
+                exclude_sidecars=(), dv_key=f, phys=phys,
+            ))
+        for f in sorted(fa & fb):  # dv deltas, both directions
+            sa = tuple(dv_a.get(f, {}).get("sidecars", ()))
+            sb = tuple(dv_b.get(f, {}).get("sidecars", ()))
+            dead = tuple(x for x in sb if x not in sa)
+            if dead:  # newly tombstoned -> delete
+                out.append(_FeedPartition(
+                    change="delete", kind="dv_delta", path=_abs(f),
+                    sidecars=tuple(_abs(x) for x in dead),
+                    exclude_sidecars=tuple(_abs(x) for x in sa),
+                    dv_key=f, phys=phys,
+                ))
+            res = tuple(x for x in sa if x not in sb)
+            if res:  # dv rollback resurrection -> insert
+                out.append(_FeedPartition(
+                    change="insert", kind="dv_delta", path=_abs(f),
+                    sidecars=tuple(_abs(x) for x in res),
+                    exclude_sidecars=tuple(_abs(x) for x in sb),
+                    dv_key=f, phys=phys,
+                ))
+        return out
+
+    @staticmethod
+    def _doomed(sidecars, dv_key):
         import pyarrow.parquet as pq
 
-        dv_a = m_from.get("dv") or {}
-        dv_b = m_to.get("dv") or {}
-        for f in sorted(common):
-            seen = set(dv_a.get(f, {}).get("sidecars", ()))
-            fresh = [
-                s
-                for s in dv_b.get(f, {}).get("sidecars", ())
-                if s not in seen
-            ]
-            if not fresh:
-                continue
-            doomed = set()
-            for s in fresh:
-                sc = pq.read_table(
-                    os.path.join(self._root, s),
-                    columns=["__tss_file", "__tss_pos"],
-                    filters=[("__tss_file", "==", f)],
-                )
-                doomed.update(sc.column("__tss_pos").to_pylist())
-            # positions newly dead were LIVE at m_from: exclude ones
-            # already dead there
-            already = set()
-            for s in dv_a.get(f, {}).get("sidecars", ()):
-                sc = pq.read_table(
-                    os.path.join(self._root, s),
-                    columns=["__tss_file", "__tss_pos"],
-                    filters=[("__tss_file", "==", f)],
-                )
-                already.update(sc.column("__tss_pos").to_pylist())
-            doomed -= already
-            if not doomed:
-                continue
-            fpath = os.path.join(self._root, f)
-            names = pq.ParquetFile(fpath).schema_arrow.names
-            t = pq.read_table(
-                fpath, columns=[c for c in phys if c in names]
+        out = set()
+        for s in sidecars:
+            sc = pq.read_table(
+                s,
+                columns=["__tss_file", "__tss_pos"],
+                filters=[("__tss_file", "==", dv_key)],
             )
-            import pyarrow as pa
+            out.update(sc.column("__tss_pos").to_pylist())
+        return out
 
-            mask = pa.array(
-                [i in doomed for i in range(t.num_rows)]
+    def read(self, partition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        p = partition
+        phys = list(p.phys)
+        if p.kind == "live":
+            t = _read_file_arrow(p.path, phys, p.sidecars, p.dv_key)
+        else:
+            rows = self._doomed(p.sidecars, p.dv_key) - self._doomed(
+                p.exclude_sidecars, p.dv_key
             )
+            names = pq.ParquetFile(p.path).schema_arrow.names
+            t = pq.read_table(
+                p.path, columns=[c for c in phys if c in names]
+            )
+            mask = pa.array([i in rows for i in range(t.num_rows)])
             t = t.filter(mask)
             for c in phys:
                 if c not in t.column_names:
                     t = t.append_column(c, pa.nulls(t.num_rows))
             t = t.select(phys)
-            yield from zip(*[t.column(c).to_pylist() for c in phys])
-
-    def _between(self, v_from, v_to):
+        if t.num_rows == 0:
+            return
         logical = [
             f.name for f in self._schema.fields if f.name != _CHANGE
         ]
-        a, b = self._manifest(v_from), self._manifest(v_to)
-
-        # physical names are FROZEN, so the newest mapping resolves
-        # the stream's (fixed) logical schema for EVERY version in
-        # the range — a mid-stream rename must not null out the old
-        # slice (the old manifest maps the old logical name, not the
-        # stream's). Fallback order: newest, then oldest, identity.
-        cm_b = b.get("column_mapping") or {}
-        cm_a = a.get("column_mapping") or {}
-
-        def _phys(_m):
-            return [cm_b.get(c, cm_a.get(c, c)) for c in logical]
-
-        fa, fb = set(a["files"]), set(b["files"])
-        removed, added, common = fa - fb, fb - fa, fa & fb
-        for row in self._live_rows(a, sorted(removed), _phys(a)):
-            yield row + ("delete",)
-        for row in self._dv_delta_rows(a, b, common, _phys(a)):
-            yield row + ("delete",)
-        for row in self._live_rows(b, sorted(added), _phys(b)):
-            yield row + ("insert",)
-        for row in self._dv_delta_rows(b, a, common, _phys(b)):
-            yield row + ("insert",)  # dv rollback resurrection
+        t = t.rename_columns(logical).append_column(
+            _CHANGE, pa.array([p.change] * t.num_rows, type=pa.string())
+        )
+        yield from t.to_batches()
 
 
 @dataclass
@@ -934,7 +953,7 @@ class TssDataSource(DataSource):
     def reader(self, schema):
         return _TssBatchReader(self.options, schema)
 
-    def simpleStreamReader(self, schema):
+    def streamReader(self, schema):
         return _TssFeedReader(self.options, schema)
 
     def writer(self, schema, overwrite):
