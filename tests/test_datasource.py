@@ -161,6 +161,48 @@ def test_column_mapping_and_partitions_through_format(tss, tmp_path):
     assert got == {(k, "d1", k) for k in range(30) if k % 3 == 1}
 
 
+def test_metadata_views_through_format(tss, tmp_path):
+    """option('metadata', files|partitions|history): manifest-derived
+    views as DataFrames through the format route."""
+    from trial_submission_studio_spark.io.partitioned_table import (
+        publish_partitioned,
+    )
+
+    spark = tss
+    root = str(tmp_path / "meta")
+    publish_partitioned(
+        spark,
+        spark.createDataFrame(
+            [(k, f"d{k % 2}", k) for k in range(10)],
+            "k long, day string, v long",
+        ),
+        root,
+        "day",
+    )
+    delete_matching_dv(
+        spark, root, spark.createDataFrame([(1,)], "k long"), "k"
+    )
+    files = spark.read.format("tss").option("root", root).option(
+        "metadata", "files"
+    ).load()
+    assert files.count() >= 2
+    assert files.agg({"dv_rows": "sum"}).collect()[0][0] == 1
+    parts = spark.read.format("tss").option("root", root).option(
+        "metadata", "partitions"
+    ).load()
+    assert {r.partition for r in parts.collect()} == {
+        '{"day": "d0"}', '{"day": "d1"}',
+    }
+    hist = spark.read.format("tss").option("root", root).option(
+        "metadata", "history"
+    ).load()
+    assert [r.op for r in hist.collect()][0] == "cdc" or hist.count() == 2
+    with pytest.raises(Exception, match="unknown metadata view"):
+        spark.read.format("tss").option("root", root).option(
+            "metadata", "nope"
+        ).load().count()
+
+
 def test_feed_starting_version_skips_history(tss, tmp_path):
     """startingVersion pins the first offset: a consumer that only
     wants commits AFTER the bootstrap snapshot never replays it."""

@@ -896,10 +896,103 @@ class _TssStreamWriter(DataSourceStreamArrowWriter):
                     pass
 
 
+#: metadata views the format exposes (Iceberg's db.table.files /
+#: .history shape): option("metadata", <name>)
+_META_SCHEMAS = {
+    "files": "file string, size_bytes long, num_rows long, "
+             "dv_rows long, partition string",
+    "partitions": "partition string, n_files long, num_rows long, "
+                  "dv_rows long",
+    "history": "version long, created_utc string, kind string, "
+               "op string, n_files long, dv_rows long",
+}
+
+
+class _TssMetaReader(DataSourceReader):
+    """Reader for the metadata views: the rows are manifest-derived
+    and driver-sized, computed once in the planning worker and
+    carried on a single partition."""
+
+    def __init__(self, options, which):
+        from . import versioned
+
+        root = options["root"]
+        v = options.get("version")
+        version = int(v) if v is not None else None
+        if which == "files":
+            m = versioned.read_manifest(root, version)
+            stats = m.get("stats") or {}
+            dv = m.get("dv") or {}
+            pspec = m["metadata"].get("partition_spec")
+            rows = []
+            for f in m["files"]:
+                pv = None
+                if pspec:
+                    import json as _json
+
+                    from .partitioned_table import partition_values
+
+                    vals = partition_values(f, pspec)
+                    pv = (
+                        _json.dumps(vals, sort_keys=True)
+                        if vals else None
+                    )
+                rows.append((
+                    f,
+                    os.path.getsize(os.path.join(root, f)),
+                    (stats.get(f) or {}).get("num_rows"),
+                    dv.get(f, {}).get("rows", 0),
+                    pv,
+                ))
+        elif which == "partitions":
+            import json as _json
+
+            from .partitioned_table import partition_values
+
+            m = versioned.read_manifest(root, version)
+            spec = m["metadata"].get("partition_spec")
+            if spec is None:
+                raise ValueError(f"{root} carries no partition_spec")
+            stats = m.get("stats") or {}
+            dv = m.get("dv") or {}
+            agg: dict = {}
+            for f in m["files"]:
+                key = _json.dumps(
+                    partition_values(f, spec), sort_keys=True
+                )
+                e = agg.setdefault(key, [0, 0, 0, True])
+                e[0] += 1
+                nr = (stats.get(f) or {}).get("num_rows")
+                if nr is None:
+                    e[3] = False
+                else:
+                    e[1] += nr
+                e[2] += dv.get(f, {}).get("rows", 0)
+            rows = [
+                (k, e[0], e[1] if e[3] else None, e[2])
+                for k, e in sorted(agg.items())
+            ]
+        else:  # history
+            rows = [
+                (h["version"], h["created_utc"], h["kind"], h["op"],
+                 h["n_files"], h["dv_rows"])
+                for h in versioned.table_history(root)
+            ]
+        self._rows = rows
+
+    def partitions(self):
+        return [InputPartition(0)]
+
+    def read(self, partition):
+        yield from self._rows
+
+
 class TssDataSource(DataSource):
     """``format("tss")`` — options: ``root`` (required), ``version``
     or ``asOf`` (batch time travel), ``feed=true`` + optional
-    ``startingVersion`` (streaming change feed)."""
+    ``startingVersion`` (streaming change feed),
+    ``metadata=files|partitions|history`` (manifest-derived metadata
+    views, the Iceberg ``db.table.files`` shape)."""
 
     @classmethod
     def name(cls):
@@ -907,6 +1000,15 @@ class TssDataSource(DataSource):
 
     def _is_feed(self):
         return str(self.options.get("feed", "")).lower() == "true"
+
+    def _meta(self):
+        w = self.options.get("metadata")
+        if w and w not in _META_SCHEMAS:
+            raise ValueError(
+                f"unknown metadata view {w!r}; one of "
+                f"{sorted(_META_SCHEMAS)}"
+            )
+        return w
 
     def schema(self):
         from pyspark.sql.pandas.types import from_arrow_schema
@@ -916,6 +1018,8 @@ class TssDataSource(DataSource):
 
         from . import versioned
 
+        if self._meta():
+            return _META_SCHEMAS[self._meta()]
         root = self.options["root"]
         v = self.options.get("version")
         as_of = self.options.get("asof") or self.options.get("asOf")
@@ -951,6 +1055,8 @@ class TssDataSource(DataSource):
         return StructType(fields)
 
     def reader(self, schema):
+        if self._meta():
+            return _TssMetaReader(self.options, self._meta())
         return _TssBatchReader(self.options, schema)
 
     def streamReader(self, schema):
