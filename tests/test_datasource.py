@@ -291,6 +291,45 @@ def test_writer_create_append_overwrite(tss, tmp_path):
         ).option("root", broot).mode("append").save()
 
 
+def test_sink_commit_loop_serializes_racing_writers(tmp_path):
+    """The sink's stdlib commit loop under a real 8-thread race:
+    exclusive manifest creation serializes them, every append lands
+    exactly once (mirror of the commit_files race test, for the
+    self-contained path)."""
+    import threading
+
+    from trial_submission_studio_spark.io.datasource import (
+        _ds_append_commit,
+        _ds_list_versions,
+    )
+    from trial_submission_studio_spark.io.versioned import read_manifest
+
+    root = str(tmp_path / "r")
+    os.makedirs(root + "/data")
+
+    def mk(i):
+        p = f"data/f{i}.parquet"
+        with open(os.path.join(root, p), "wb") as f:
+            f.write(b"x")
+        return p
+
+    _ds_append_commit(root, [mk(0)], {"seed": True})
+    errs = []
+
+    def go(i):
+        try:
+            _ds_append_commit(root, [mk(i)], {"w": i})
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=go, args=(i,)) for i in range(1, 9)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    vs = _ds_list_versions(root)
+    assert not errs and len(vs) == 9
+    assert len(read_manifest(root, vs[-1])["files"]) == 9
+
+
 def test_stream_feed_survives_midstream_rename(tss, tmp_path):
     """A rename lands between feed batches: the stream's schema is
     fixed at start (old logical name), and the retract rows keep
