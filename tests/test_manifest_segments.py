@@ -1,0 +1,344 @@
+"""Manifest segmentation (`io/versioned.py`): above SEGMENT_MIN_FILES
+the per-file entries live in immutable content-addressed segment
+files and the manifest holds only segment refs — the Iceberg
+manifest-list shape. The segmented store must be OBSERVABLY IDENTICAL
+to the plain store (model test: same random op sequence, resolved
+manifests equal at every version), commits must write O(delta)
+metadata bytes while the plain format grows O(files), vacuum must GC
+orphaned segments but never live or clone-pinned ones, and the whole
+read stack (read_version, format route, feed, clones, publish-back)
+must work unchanged on a segmented table."""
+
+import json
+import os
+import random
+
+import pytest
+
+from trial_submission_studio_spark.io import versioned
+from trial_submission_studio_spark.io.versioned import (
+    commit_files,
+    current_version,
+    diff_versions,
+    list_versions,
+    new_data_dir,
+    publish_files,
+    read_manifest,
+    read_version,
+    retire_versions,
+    rollback,
+    shallow_clone,
+    table_history,
+    vacuum,
+)
+
+
+@pytest.fixture
+def seg_small(monkeypatch):
+    """Force segmentation on tiny tables (threshold 1, 4-entry
+    segments) for both the package and the stdlib datasource mirror."""
+    from trial_submission_studio_spark.io import datasource as ds
+
+    monkeypatch.setattr(versioned, "SEGMENT_MIN_FILES", 1)
+    monkeypatch.setattr(versioned, "SEGMENT_TARGET_ENTRIES", 4)
+    monkeypatch.setattr(ds, "_DS_SEGMENT_MIN_FILES", 1)
+    monkeypatch.setattr(ds, "_DS_SEGMENT_TARGET_ENTRIES", 4)
+
+
+def _mk_file(root, rel):
+    full = os.path.join(root, rel)
+    os.makedirs(os.path.dirname(full), exist_ok=True)
+    with open(full, "wb") as f:
+        f.write(b"x")
+    return rel
+
+
+def _replay(root, ops):
+    """Apply one op list (metadata-only — data files are 1-byte
+    stand-ins; nothing ever reads their bytes)."""
+    counter = [0]
+
+    def fresh(n):
+        out = []
+        for _ in range(n):
+            counter[0] += 1
+            out.append(
+                _mk_file(root, f"data/run{counter[0] % 7}/f{counter[0]:04d}.parquet")
+            )
+        return out
+
+    for op in ops:
+        kind = op[0]
+        if kind == "seed":
+            files = fresh(op[1])
+            publish_files(
+                root, files,
+                stats={f: {"num_rows": 10, "cols": {"k": [0, 9]}}
+                       for f in files},
+                schema=[{"name": "k", "type": "int64", "nullable": True}],
+            )
+        elif kind == "append":
+            files = fresh(op[1])
+            commit_files(
+                root, base_version=current_version(root), kind="append",
+                add_files=files,
+                add_stats={f: {"num_rows": 5, "cols": {"k": [5, 9]}}
+                           for f in files},
+            )
+        elif kind == "remove":
+            m = read_manifest(root)
+            rng = random.Random(op[1])
+            doomed = rng.sample(sorted(m["files"]), op[2])
+            commit_files(
+                root, base_version=m["version"], kind="keyed",
+                remove_files=doomed,
+            )
+        elif kind == "dv":
+            m = read_manifest(root)
+            rng = random.Random(op[1])
+            target = rng.choice(sorted(m["files"]))
+            sc = _mk_file(root, f"dv/run{op[1]}/sc.parquet")
+            commit_files(
+                root, base_version=m["version"], kind="keyed",
+                dv_updates={target: {"sidecars": [sc], "rows": op[2]}},
+            )
+        elif kind == "rewrite":  # compaction-shaped maintenance
+            m = read_manifest(root)
+            rng = random.Random(op[1])
+            undv = sorted(set(m["files"]) - set(m.get("dv") or ()))
+            doomed = rng.sample(undv, min(op[2], len(undv)))
+            commit_files(
+                root, base_version=m["version"], kind="maintenance",
+                add_files=fresh(1), remove_files=doomed,
+            )
+        elif kind == "respec":
+            from trial_submission_studio_spark.io.partitioned_table import (
+                repartition_spec,
+            )
+
+            repartition_spec(None, root, op[1])
+        elif kind == "rollback":
+            vs = list_versions(root)
+            rollback(root, vs[max(0, len(vs) - op[1])])
+        elif kind == "retire":
+            retire_versions(root, keep_latest=op[1])
+        elif kind == "vacuum":
+            vacuum(root, min_age_seconds=0)
+
+
+def _observe(root):
+    """Everything a reader can see, normalized (timestamps dropped)."""
+    out = {}
+    for v in list_versions(root):
+        m = read_manifest(root, v)
+        out[v] = {
+            "files": m["files"],
+            "stats": m.get("stats"),
+            "dv": m.get("dv"),
+            "schema": m.get("schema"),
+            "n_files": m["n_files"],
+            "kind": m["metadata"].get("commit_kind"),
+            "pspec": m["metadata"].get("partition_spec"),
+            "phist": m["metadata"].get("partition_spec_history"),
+        }
+    out["history"] = [
+        {k: h[k] for k in ("version", "kind", "op", "n_files", "dv_rows")}
+        for h in table_history(root)
+    ]
+    vs = list_versions(root)
+    if len(vs) >= 2:
+        out["diff"] = diff_versions(root, vs[0], vs[-1])
+    out["disk"] = sorted(
+        os.path.relpath(os.path.join(cur, n), root)
+        for ns in ("data", "dv")
+        for cur, _d, names in os.walk(os.path.join(root, ns))
+        for n in names
+    )
+    return out
+
+
+OPS = [
+    ("seed", 9),
+    ("append", 3), ("dv", 1, 2), ("append", 2), ("remove", 2, 3),
+    ("respec", ["k"]), ("rewrite", 3, 2), ("dv", 4, 1), ("append", 4),
+    ("rollback", 3), ("remove", 5, 2), ("append", 1), ("retire", 6),
+    ("vacuum",), ("append", 2), ("respec", None), ("dv", 6, 3),
+    ("rewrite", 7, 3), ("vacuum",),
+]
+
+
+def test_segmented_store_model_equals_plain(tmp_path, monkeypatch):
+    """The model test: one op sequence, two stores — plain (threshold
+    huge) and segmented (threshold 1) — every observable equal."""
+    plain = str(tmp_path / "plain")
+    seg = str(tmp_path / "seg")
+    os.makedirs(plain)
+    os.makedirs(seg)
+
+    monkeypatch.setattr(versioned, "SEGMENT_MIN_FILES", 10**9)
+    _replay(plain, OPS)
+    obs_plain = _observe(plain)
+
+    monkeypatch.setattr(versioned, "SEGMENT_MIN_FILES", 1)
+    monkeypatch.setattr(versioned, "SEGMENT_TARGET_ENTRIES", 4)
+    _replay(seg, OPS)
+    obs_seg = _observe(seg)
+
+    assert obs_plain == obs_seg
+    # and the segmented store really is segmented
+    raw = versioned._read_manifest_raw(seg, current_version(seg))
+    assert raw["segments"] and "files" not in raw
+
+
+def test_commit_metadata_bytes_are_o_delta(tmp_path, monkeypatch):
+    """The 100 TB claim, measured: after segmentation the bytes a
+    1-file append WRITES (manifest + fresh segments) stay ~flat as
+    the table grows, while the plain manifest grows O(files)."""
+    monkeypatch.setattr(versioned, "SEGMENT_MIN_FILES", 1)
+    monkeypatch.setattr(versioned, "SEGMENT_TARGET_ENTRIES", 64)
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+
+    def commit_bytes(n_before, n_after):
+        segdir = versioned._segments_dir(root)
+        before = set(os.listdir(segdir)) if os.path.isdir(segdir) else set()
+        f = _mk_file(root, f"data/r/f{n_after:05d}.parquet")
+        commit_files(
+            root, base_version=current_version(root), kind="append",
+            add_files=[f],
+            add_stats={f: {"num_rows": 3, "cols": {"k": [0, 1]}}},
+        )
+        new_segs = set(os.listdir(segdir)) - before
+        mbytes = os.path.getsize(
+            versioned._manifest_path(root, current_version(root))
+        )
+        return mbytes + sum(
+            os.path.getsize(os.path.join(segdir, s)) for s in new_segs
+        )
+
+    seed = [_mk_file(root, "data/r/f00000.parquet")]
+    publish_files(root, seed, stats={seed[0]: {"num_rows": 3}})
+    tail_bytes = []
+    for i in range(1, 650):
+        tail_bytes.append(commit_bytes(i, i + 1))
+    m = read_manifest(root)
+    assert len(m["files"]) == 650 and len(m["stats"]) == 650
+    # what the PLAIN format would have written for the last commit:
+    # the full inline manifest
+    plain_cost = len(
+        json.dumps({k: v for k, v in m.items() if k != "segments"})
+    )
+    # every late commit writes a small fraction of the plain cost
+    # (bounded by ~half a target segment + the ref list), and the
+    # segment count stays O(files/target), not O(commits)
+    assert max(tail_bytes[-50:]) < plain_cost / 4
+    raw = versioned._read_manifest_raw(root, current_version(root))
+    assert len(raw["segments"]) <= 650 // (64 // 2) + 2
+
+
+def test_segment_gc_and_clone_pins(tmp_path, seg_small):
+    """vacuum GCs segments no surviving manifest references, keeps
+    segments a clone marker pins, and _clone_pinned_files resolves
+    through segment refs (marker carries no copied file list)."""
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    files = [_mk_file(root, f"data/r/f{i}.parquet") for i in range(10)]
+    publish_files(root, files)
+    for i in range(3):
+        commit_files(
+            root, base_version=current_version(root), kind="keyed",
+            remove_files=[files[i]],
+        )
+    segdir = versioned._segments_dir(root)
+    n_before = len(os.listdir(segdir))
+    retire_versions(root, keep_latest=1)
+    vacuum(root, min_age_seconds=0)
+    n_after = len(
+        [n for n in os.listdir(segdir) if n.startswith("seg-")]
+    )
+    assert n_after < n_before
+    # surviving manifest fully readable after GC
+    assert len(read_manifest(root)["files"]) == 7
+
+    # clone pins: marker stores segment refs, vacuum refuses
+    clone = str(tmp_path / "c")
+    shallow_clone(root, clone)
+    marker = versioned.list_clones(root)[0]
+    assert marker.get("segments") and "files" not in marker
+    commit_files(
+        root, base_version=current_version(root), kind="keyed",
+        remove_files=[files[5]],
+    )
+    retire_versions(root, keep_latest=1)
+    with pytest.raises(versioned.ClonePinnedError):
+        vacuum(root, min_age_seconds=0)
+    # pinned file survives; deregistering releases it
+    assert os.path.exists(os.path.join(root, files[5]))
+    versioned.deregister_clone(root, clone)
+    assert files[5] in vacuum(root, min_age_seconds=0)
+
+
+def test_segmented_table_through_spark_stack(spark, tmp_path, seg_small):
+    """End-to-end on real data: a segmented table reads identically
+    through read_version, zonemap-pruned reads, dv deletes, the
+    format('tss') route, and the streaming sink's stdlib mirror."""
+    from trial_submission_studio_spark.io.datasource import (
+        _ds_append_commit,
+        register,
+    )
+    from trial_submission_studio_spark.io.deletion_vectors import (
+        delete_matching_dv,
+    )
+    from trial_submission_studio_spark.io.zonemap import (
+        prune_files,
+        publish_with_stats,
+    )
+
+    register(spark)
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    d = new_data_dir(root)
+    spark.createDataFrame(
+        [(k, k * 2) for k in range(40)], "k long, v long"
+    ).repartitionByRange(8, "k").write.parquet(d, mode="append")
+    publish_with_stats(root, d, ["k"])
+    raw = versioned._read_manifest_raw(root, 1)
+    assert raw.get("segments")
+
+    delete_matching_dv(
+        spark, root, spark.createDataFrame([(7,)], "k long"), "k"
+    )
+    got = {tuple(r) for r in read_version(spark, root).collect()}
+    assert got == {(k, k * 2) for k in range(40) if k != 7}
+
+    # zonemap pruning runs on the resolved stats
+    m = read_manifest(root)
+    pr = prune_files(m, [("k", "<", 10)])
+    assert pr["skipped"] and len(pr["kept"]) < len(m["files"])
+
+    # format route (planner + executor resolution of segments)
+    df = spark.read.format("tss").option("root", root).load()
+    assert {tuple(r) for r in df.filter("k < 10").collect()} == {
+        (k, k * 2) for k in range(10) if k != 7
+    }
+
+    # the stdlib sink mirror appends O(delta): all prior segments
+    # reused, exactly one fresh segment for the batch
+    segdir = versioned._segments_dir(root)
+    before = set(os.listdir(segdir))
+    extra = _mk_file(root, "data/sink/s1.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"k": pa.array([99], pa.int64()),
+                  "v": pa.array([198], pa.int64())}),
+        os.path.join(root, extra),
+    )
+    m2 = _ds_append_commit(root, [extra], {"w": 1})
+    raw2 = versioned._read_manifest_raw(root, m2["version"])
+    assert raw2.get("segments")
+    assert len(set(os.listdir(segdir)) - before) == 1
+    assert (99, 198) in {
+        tuple(r) for r in read_version(spark, root).collect()
+    }

@@ -94,9 +94,18 @@ try:
 except Exception:  # pragma: no cover
     pass
 
-__all__ = ["TssDataSource", "register"]
+__all__ = ["TssDataSource", "register", "FeedRetentionError"]
 
 _CHANGE = "_change"
+
+
+class FeedRetentionError(RuntimeError):
+    """A change-feed consumer's next batch needs a manifest that
+    ``retire_versions`` already deleted — the CDC-log retention rule
+    was broken while the consumer was behind. Named loudly (instead
+    of the raw FileNotFoundError) so the operator knows WHICH rule to
+    fix; registering the consumer with ``option("feedId", ...)`` lets
+    retention refuse up front (`versioned.FeedPinnedError`)."""
 
 
 def _ds_list_versions(root: str) -> list:
@@ -112,12 +121,51 @@ def _ds_list_versions(root: str) -> list:
     )
 
 
-def _ds_read_manifest(root: str, version: int) -> dict:
+def _ds_read_manifest_raw(root: str, version: int) -> dict:
     import json
 
     path = os.path.join(root, "_versions", f"v{version:08d}.json")
     with open(path, encoding="utf-8") as f:
         return json.load(f)
+
+
+#: stdlib mirror of `versioned.SEGMENT_MIN_FILES` /
+#: `SEGMENT_TARGET_ENTRIES` — the sink runner has no pyFiles, so the
+#: constants are duplicated rather than imported
+_DS_SEGMENT_MIN_FILES = 256
+_DS_SEGMENT_TARGET_ENTRIES = 1024
+
+
+def _ds_load_segment(root: str, sid: str) -> list:
+    import json
+
+    path = os.path.join(root, "_versions", "segments", sid + ".json")
+    with open(path, encoding="utf-8") as f:
+        return json.load(f)["entries"]
+
+
+def _ds_read_manifest(root: str, version: int) -> dict:
+    """Stdlib mirror of `versioned.read_manifest` incl. segment
+    resolution (see `versioned._resolve_manifest`)."""
+    raw = _ds_read_manifest_raw(root, version)
+    if "segments" not in raw:
+        return raw
+    m = dict(raw)
+    files, stats, dv = [], {}, {}
+    for sid in raw["segments"]:
+        for e in _ds_load_segment(root, sid):
+            f = e["file"]
+            files.append(f)
+            if "stats" in e:
+                stats[f] = e["stats"]
+            if "dv" in e:
+                dv[f] = e["dv"]
+    m["files"] = sorted(files)
+    if stats:
+        m["stats"] = stats
+    if dv:
+        m["dv"] = dv
+    return m
 
 
 def register(spark) -> None:
@@ -130,15 +178,24 @@ def register(spark) -> None:
     execute at CALL time inside the worker. So this ships the package
     the standard deployment way: one source zip via ``sc.addPyFile``
     (zipimport makes it importable in every worker), then registers
-    the format. Idempotent per session."""
+    the format. Idempotent per session.
+
+    Side effect, stated plainly: this enables the session-global
+    ``spark.sql.python.filterPushdown.enabled`` conf (off by default
+    in Spark 4) — without it ``pushFilters`` is never called and the
+    format route loses file pruning. It applies to every Python
+    DataSource on the session, not just ``tss``."""
     import tempfile
     import zipfile
 
     import trial_submission_studio_spark as pkg
 
     pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    # uid-scoped name: the temp dir is world-shared, and a second OS
+    # user's os.replace onto another's file is a PermissionError
+    uid = getattr(os, "getuid", lambda: "u")()
     zip_path = os.path.join(
-        tempfile.gettempdir(), "tss_pkg_datasource.zip"
+        tempfile.gettempdir(), f"tss_pkg_datasource_{uid}.zip"
     )
     tmp = zip_path + f".{os.getpid()}.tmp"
     with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
@@ -257,7 +314,15 @@ def _read_file_arrow(
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(path)
-    avail = [c for c in phys_cols if c in pf.schema_arrow.names]
+    present = set(pf.schema_arrow.names)
+    avail = [c for c in phys_cols if c in present]
+    if filters:
+        # a filter naming a column this file PREDATES (add-column
+        # evolution) would crash pq.read_table with ArrowInvalid
+        # ('No match for FieldRef.Name') — restrict to columns in
+        # this footer; Spark re-applies every conjunct, so skipping
+        # one only costs row-group skipping, never rows
+        filters = [f for f in filters if f[0] in present] or None
     if sidecars:
         t = pq.read_table(path, columns=avail)
         doomed = set()
@@ -279,6 +344,65 @@ def _read_file_arrow(
         if c not in t.column_names:
             t = t.append_column(c, pa.nulls(t.num_rows))
     return t.select(phys_cols)
+
+
+def _snapshot_arrow_fields(root: str, files: list, want):
+    """name -> Spark DataType resolved from parquet FOOTERS, plus the
+    first footer's field order. Reads footers until every ``want``
+    column is typed (early-stop: one footer for tables without
+    add-column evolution, a few when evolved files sort late);
+    ``want=None`` keeps the single-footer fast path for contract-less
+    unmapped tables, where every file shares one schema by
+    construction."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    types: dict = {}
+    order: list = []
+    for rel in files:
+        sch = from_arrow_schema(
+            pq.ParquetFile(os.path.join(root, rel)).schema_arrow
+        )
+        for f in sch.fields:
+            types.setdefault(f.name, f.dataType)
+        if not order:
+            order = [f.name for f in sch.fields]
+        if want is None or all(w in types for w in want):
+            break
+    return types, order
+
+
+def _spark_type_from_arrow_str(s: str):
+    """Arrow type-string (the exact form the manifest's schema
+    contract records — `table_schema.file_schema`) -> Spark DataType.
+    Only the fallback for a contract column NO surviving footer
+    carries; footer-resolved types always win."""
+    import re
+
+    from pyspark.sql import types as T
+
+    flat = {
+        "int8": T.ByteType(), "int16": T.ShortType(),
+        "int32": T.IntegerType(), "int64": T.LongType(),
+        "float": T.FloatType(), "double": T.DoubleType(),
+        "string": T.StringType(), "large_string": T.StringType(),
+        "bool": T.BooleanType(),
+        "binary": T.BinaryType(), "large_binary": T.BinaryType(),
+        "date32[day]": T.DateType(),
+    }
+    if s in flat:
+        return flat[s]
+    if s.startswith("timestamp["):
+        return T.TimestampType() if "tz=" in s else T.TimestampNTZType()
+    m = re.fullmatch(r"decimal128\((\d+),\s*(-?\d+)\)", s)
+    if m:
+        return T.DecimalType(int(m.group(1)), int(m.group(2)))
+    m = re.fullmatch(r"(?:large_)?list<item: (.+)>", s)
+    if m:
+        return T.ArrayType(_spark_type_from_arrow_str(m.group(1)))
+    raise ValueError(
+        f"cannot map arrow type string {s!r} to a Spark type"
+    )
 
 
 class _TssBatchReader(DataSourceReader):
@@ -378,6 +502,14 @@ class _TssFeedReader(DataSourceStreamReader):
         self._root = options["root"]
         self._start = int(options.get("startingVersion", 0))
         self._schema = schema
+        fid = options.get("feedid") or options.get("feedId")
+        if fid is not None and not all(
+            c.isalnum() or c in "_-" for c in str(fid)
+        ):
+            raise ValueError(
+                f"feedId must be [A-Za-z0-9_-]: {fid!r}"
+            )
+        self._feed_id = str(fid) if fid is not None else None
 
     def initialOffset(self):
         return {"version": self._start}
@@ -388,12 +520,44 @@ class _TssFeedReader(DataSourceStreamReader):
         return {"version": max(self._start, cur or 0)}
 
     def commit(self, end):
-        pass
+        # durable consumer low-water mark (option("feedId", ...)):
+        # records the newest version this consumer has fully
+        # committed, so `versioned.retire_versions` can refuse to
+        # delete the manifest a live consumer's next batch starts
+        # from instead of letting it die on FeedRetentionError
+        if self._feed_id is None:
+            return
+        import tempfile
+
+        vd = os.path.join(self._root, "_versions")
+        os.makedirs(vd, exist_ok=True)
+        path = os.path.join(vd, f"feed-{self._feed_id}")
+        v = int(end["version"])
+        try:
+            with open(path, encoding="utf-8") as f:
+                if int(f.read().strip()) >= v:
+                    return
+        except (OSError, ValueError):
+            pass
+        fd, tmp = tempfile.mkstemp(dir=vd, suffix=".tmp")
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write(str(v))
+        os.replace(tmp, path)
 
     def _manifest(self, v):
         if v == 0:
             return {"files": [], "metadata": {}}
-        return _ds_read_manifest(self._root, v)
+        try:
+            return _ds_read_manifest(self._root, v)
+        except FileNotFoundError:
+            raise FeedRetentionError(
+                f"change-feed offset {v} of {self._root} was retired "
+                "(retire_versions deleted its manifest) while this "
+                "consumer still needed it — retain manifests while "
+                "consumers are behind; pass option('feedId', ...) so "
+                "retire_versions can see and refuse this, or restart "
+                "the feed from a fresh checkpoint"
+            ) from None
 
     def partitions(self, start, end):
         v_from, v_to = int(start["version"]), int(end["version"])
@@ -480,8 +644,9 @@ class _TssFeedReader(DataSourceStreamReader):
             t = pq.read_table(
                 p.path, columns=[c for c in phys if c in names]
             )
-            mask = pa.array([i in rows for i in range(t.num_rows)])
-            t = t.filter(mask)
+            # take by sorted ordinal — vectorized in Arrow, replacing
+            # the O(rows) per-row Python mask comprehension
+            t = t.take(sorted(rows))
             for c in phys:
                 if c not in t.column_names:
                     t = t.append_column(c, pa.nulls(t.num_rows))
@@ -663,6 +828,127 @@ class _TssWriter(DataSourceArrowWriter):
         shutil.rmtree(self._run_dir, ignore_errors=True)
 
 
+def _ds_maybe_segment(root: str, manifest: dict, prev_raw) -> dict:
+    """Stdlib mirror of `versioned._maybe_segment`: above the
+    threshold, pack per-file entries into content-addressed segments,
+    reusing every predecessor segment whose entries all survive —
+    the sink's append reuses ALL of them and writes one delta
+    segment, keeping commit metadata O(batch) on a huge table."""
+    import hashlib
+    import json
+    import tempfile
+
+    files = manifest["files"]
+    if len(files) < _DS_SEGMENT_MIN_FILES:
+        return manifest
+    stats = manifest.get("stats") or {}
+    dv = manifest.get("dv") or {}
+    fset = set(files)
+    covered: set = set()
+    reused: list = []
+    for sid in (prev_raw or {}).get("segments", ()):
+        entries = _ds_load_segment(root, sid)
+        if all(
+            e["file"] in fset
+            and e.get("stats") == stats.get(e["file"])
+            and e.get("dv") == dv.get(e["file"])
+            for e in entries
+        ):
+            reused.append(sid)
+            covered.update(e["file"] for e in entries)
+    residual = [f for f in files if f not in covered]
+    # fold undersized tail segments (mirror of versioned's LSM-style
+    # fold — keeps segment count O(files/target) under 1-file batches)
+    while reused:
+        tail = _ds_load_segment(root, reused[-1])
+        if (
+            len(tail) >= _DS_SEGMENT_TARGET_ENTRIES // 2
+            or len(tail) + len(residual) > _DS_SEGMENT_TARGET_ENTRIES
+        ):
+            break
+        reused.pop()
+        residual = sorted(set(residual) | {e["file"] for e in tail})
+    segdir = os.path.join(root, "_versions", "segments")
+    os.makedirs(segdir, exist_ok=True)
+    fresh: list = []
+    for i in range(0, len(residual), _DS_SEGMENT_TARGET_ENTRIES):
+        entries = []
+        for f in residual[i : i + _DS_SEGMENT_TARGET_ENTRIES]:
+            e: dict = {"file": f}
+            if f in stats:
+                e["stats"] = stats[f]
+            if f in dv:
+                e["dv"] = dv[f]
+            entries.append(e)
+        payload = json.dumps(
+            {"entries": entries}, sort_keys=True, separators=(",", ":")
+        )
+        sid = (
+            "seg-" + hashlib.sha256(payload.encode()).hexdigest()[:32]
+        )
+        spath = os.path.join(segdir, sid + ".json")
+        if not os.path.exists(spath):
+            fd, tmp = tempfile.mkstemp(dir=segdir, suffix=".tmp")
+            try:
+                with os.fdopen(fd, "w", encoding="utf-8") as fh:
+                    fh.write(payload)
+                try:
+                    os.link(tmp, spath)
+                except FileExistsError:
+                    pass  # content-addressed: the twin is identical
+            finally:
+                if os.path.exists(tmp):
+                    os.remove(tmp)
+        fresh.append(sid)
+    out = {
+        k: v for k, v in manifest.items()
+        if k not in ("files", "stats", "dv")
+    }
+    out["segments"] = reused + fresh
+    out["dv_rows"] = sum(e["rows"] for e in dv.values())
+    return out
+
+
+def _ds_file_schema(path: str) -> list[dict]:
+    """Stdlib+pyarrow mirror of `table_schema.file_schema`: one
+    footer's ``[{"name","type","nullable"}, ...]`` sorted by name."""
+    import pyarrow.parquet as pq
+
+    sch = pq.ParquetFile(path).schema_arrow
+    return sorted(
+        (
+            {"name": f.name, "type": str(f.type), "nullable": f.nullable}
+            for f in sch
+        ),
+        key=lambda f: f["name"],
+    )
+
+
+def _ds_schema_violations(base: list[dict], new: list[dict]) -> list[str]:
+    """Stdlib mirror of `table_schema.schema_violations` (strict — the
+    sink has no evolution switch): dropped/new columns, exact type
+    text, nullability drift."""
+    b = {f["name"]: f for f in base}
+    n = {f["name"]: f for f in new}
+    out = []
+    for name in sorted(set(b) - set(n)):
+        out.append(f"column dropped: {name}")
+    for name in sorted(set(n) - set(b)):
+        out.append(f"new column: {name}")
+    for name in sorted(set(b) & set(n)):
+        if b[name]["type"] != n[name]["type"]:
+            out.append(
+                f"type changed: {name} {b[name]['type']} -> "
+                f"{n[name]['type']}"
+            )
+        elif b[name]["nullable"] != n[name]["nullable"]:
+            out.append(
+                f"nullability changed: {name} "
+                f"{b[name]['nullable']} -> {n[name]['nullable']}"
+            )
+    return out
+
+
 def _ds_append_commit(
     root: str, files: list[str], meta: dict, max_retries: int = 10
 ) -> dict | None:
@@ -679,9 +965,29 @@ def _ds_append_commit(
 
     vd = os.path.join(root, "_versions")
     os.makedirs(vd, exist_ok=True)
+    # fresh-file footers read ONCE and only when a contract exists
+    # (they don't change across retries); the contract they're checked
+    # against re-reads per retry, so one appearing mid-loop is caught
+    fresh_schemas: list | None = None
+
+    def _fresh_schemas():
+        nonlocal fresh_schemas
+        if fresh_schemas is None:
+            fresh_schemas = [
+                (f, _ds_file_schema(os.path.join(root, f)))
+                for f in files
+                if f.endswith(".parquet")
+            ]
+        return fresh_schemas
+
     for _ in range(max_retries):
         vs = _ds_list_versions(root)
-        cur = _ds_read_manifest(root, vs[-1]) if vs else None
+        cur_raw = _ds_read_manifest_raw(root, vs[-1]) if vs else None
+        cur = (
+            _ds_read_manifest(root, vs[-1])
+            if cur_raw is not None and "segments" in cur_raw
+            else cur_raw
+        )
         if cur is not None and files:
             # contracts can appear MID-STREAM (an operator adds a
             # CHECK constraint or republishes a layout under the
@@ -701,6 +1007,18 @@ def _ds_append_commit(
                     "task files would break its pruning — switch to "
                     "the foreachBatch CDC route"
                 )
+            if cur.get("schema"):
+                # a restarted stream whose input drifted must not
+                # append contract-violating files silently — the same
+                # gate the batch writer applies via schema_violations
+                for f, fsch in _fresh_schemas():
+                    bad = _ds_schema_violations(cur["schema"], fsch)
+                    if bad:
+                        raise ValueError(
+                            "stream append violates the table's "
+                            f"recorded schema contract ({f}):\n  "
+                            + "\n  ".join(bad)
+                        )
         version = (vs[-1] if vs else 0) + 1
         base_files = list(cur["files"]) if cur else []
         all_files = sorted(base_files + files)
@@ -720,11 +1038,13 @@ def _ds_append_commit(
                       "column_mapping"):
                 if cur.get(k):
                     manifest[k] = cur[k]
-            for k in ("bucket_spec", "partition_spec"):
+            for k in ("bucket_spec", "partition_spec",
+                      "partition_spec_history"):
                 if cur["metadata"].get(k):
                     manifest["metadata"][k] = cur["metadata"][k]
         path = os.path.join(vd, f"v{version:08d}.json")
-        payload = json.dumps(manifest, indent=1)
+        disk = _ds_maybe_segment(root, manifest, cur_raw)
+        payload = json.dumps(disk, indent=1)
         fd, tmp = tempfile.mkstemp(dir=vd, suffix=".tmp")
         try:
             with os.fdopen(fd, "w", encoding="utf-8") as f:
@@ -732,7 +1052,18 @@ def _ds_append_commit(
             try:
                 os.link(tmp, path)
             except FileExistsError:
-                continue  # lost the create race: re-read the world
+                # same absorb as versioned._atomic_create: an NFS
+                # retransmit can report EEXIST for our OWN successful
+                # link — identical content means we won; a retry would
+                # otherwise see its own files in base_files and die on
+                # the duplicate guard
+                try:
+                    with open(path, encoding="utf-8") as f:
+                        existing = f.read()
+                except OSError:
+                    existing = None
+                if existing != payload:
+                    continue  # lost the create race: re-read the world
         finally:
             if os.path.exists(tmp):
                 os.remove(tmp)
@@ -745,17 +1076,75 @@ def _ds_append_commit(
     raise RuntimeError("streaming append: gave up after retries")
 
 
-def _ds_last_sink_batch(root: str, run_id: str, lookback: int = 200):
-    """Newest recorded stream-sink batch id for this writer identity,
-    scanning at most ``lookback`` manifests newest-first (the fence
-    entry is normally in the last few; interleaved non-sink commits
-    push it back a little, never far)."""
-    vs = _ds_list_versions(root)
-    for v in reversed(vs[-lookback:]):
-        sk = _ds_read_manifest(root, v)["metadata"].get("stream_sink")
+def _ds_sink_fence_path(root: str, run_id: str) -> str:
+    # lives beside the manifests but matches neither the v*.json nor
+    # the feed-* patterns; retire_versions/vacuum never touch it
+    return os.path.join(root, "_versions", f"sink-{run_id}")
+
+
+def _ds_write_sink_fence(
+    root: str, run_id: str, batch_id: int, seen_version: int
+) -> None:
+    """Durably record this run's high-water batch id (monotone,
+    atomic-replace). Written AFTER each successful commit — so the
+    marker can lag the manifests by at most one batch (a crash in
+    between), which the manifest scan fallback absorbs; it can never
+    LEAD them, which would drop a batch. ``seen_version`` is the
+    newest table version at write time: every fence of this run at or
+    below it is covered by ``batch_id`` (batch ids are monotone), so
+    the fallback scan may stop there."""
+    import tempfile
+
+    path = _ds_sink_fence_path(root, run_id)
+    try:
+        with open(path, encoding="utf-8") as f:
+            if int(f.read().split()[0]) >= batch_id:
+                return
+    except (OSError, ValueError, IndexError):
+        pass
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+    with os.fdopen(fd, "w", encoding="utf-8") as f:
+        f.write(f"{batch_id} {seen_version}")
+    os.replace(tmp, path)
+
+
+def _ds_last_sink_batch(root: str, run_id: str):
+    """Newest recorded stream-sink batch id for this writer identity:
+    the durable per-run fence marker (survives ``retire_versions`` —
+    the retention escape the r14 manifest-only fence had), maxed with
+    a newest-first manifest scan covering the commit-then-crash-
+    before-marker window. The scan stops at the first fence hit for
+    this run (that IS the newest — batch ids are monotone) or at the
+    marker's recorded seen-version (older fences are already covered
+    by the marker), so arbitrarily many interleaved commits can never
+    push the fence out of view — the old 200-manifest cap silently
+    double-committed past it — while steady-state cost stays a few
+    manifest reads."""
+    best = None
+    floor = 0
+    try:
+        with open(_ds_sink_fence_path(root, run_id), encoding="utf-8") as f:
+            parts = f.read().split()
+        best = int(parts[0])
+        if len(parts) > 1:
+            floor = int(parts[1])
+    except (OSError, ValueError, IndexError):
+        pass
+    for v in reversed(_ds_list_versions(root)):
+        if v <= floor:
+            break
+        try:
+            sk = _ds_read_manifest_raw(root, v)["metadata"].get(
+                "stream_sink"
+            )
+        except FileNotFoundError:
+            break  # a racing retire swallowed it; the marker rules
         if sk and sk.get("run_id") == run_id:
-            return sk["batch_id"]
-    return None
+            if best is None or sk["batch_id"] > best:
+                best = sk["batch_id"]
+            break
+    return best
 
 
 class _TssStreamWriter(DataSourceStreamArrowWriter):
@@ -868,21 +1257,22 @@ class _TssStreamWriter(DataSourceStreamArrowWriter):
                     pass
             return
         if not files:
-            if _ds_list_versions(self._root):
-                # fence even an empty batch so a replay cannot
-                # double-commit an earlier one after a gap
-                _ds_append_commit(
-                    self._root,
-                    [],
-                    {"stream_sink": {"run_id": self._run_id,
-                                     "batch_id": batchId}},
-                )
+            # fence even an empty batch so a replay cannot double-
+            # commit an earlier one after a gap — the durable marker
+            # alone does it now; no junk manifest commit
+            vs = _ds_list_versions(self._root)
+            _ds_write_sink_fence(
+                self._root, self._run_id, batchId, vs[-1] if vs else 0
+            )
             return
-        _ds_append_commit(
+        m = _ds_append_commit(
             self._root,
             files,
             {"stream_sink": {"run_id": self._run_id,
                              "batch_id": batchId}},
+        )
+        _ds_write_sink_fence(
+            self._root, self._run_id, batchId, m["version"]
         )
 
     def abort(self, messages, batchId):
@@ -923,7 +1313,9 @@ class _TssMetaReader(DataSourceReader):
             m = versioned.read_manifest(root, version)
             stats = m.get("stats") or {}
             dv = m.get("dv") or {}
-            pspec = m["metadata"].get("partition_spec")
+            from .partitioned_table import merged_partition_spec
+
+            pspec = merged_partition_spec(m)
             rows = []
             for f in m["files"]:
                 pv = None
@@ -950,9 +1342,11 @@ class _TssMetaReader(DataSourceReader):
             from .partitioned_table import partition_values
 
             m = versioned.read_manifest(root, version)
-            spec = m["metadata"].get("partition_spec")
-            if spec is None:
+            if m["metadata"].get("partition_spec") is None:
                 raise ValueError(f"{root} carries no partition_spec")
+            from .partitioned_table import merged_partition_spec
+
+            spec = merged_partition_spec(m)
             stats = m.get("stats") or {}
             dv = m.get("dv") or {}
             agg: dict = {}
@@ -1011,10 +1405,7 @@ class TssDataSource(DataSource):
         return w
 
     def schema(self):
-        from pyspark.sql.pandas.types import from_arrow_schema
         from pyspark.sql.types import StringType, StructField, StructType
-
-        import pyarrow.parquet as pq
 
         from . import versioned
 
@@ -1034,22 +1425,41 @@ class TssDataSource(DataSource):
         else:
             version = None
         m = versioned.read_manifest(root, version)
-        first = os.path.join(root, m["files"][0])
-        arrow = pq.ParquetFile(first).schema_arrow
-        phys = from_arrow_schema(arrow)
         cm = m.get("column_mapping")
-        by_phys = {f.name: f for f in phys.fields}
+        # WHICH physical columns exist comes from the manifest's
+        # recorded schema contract when present (the same authority
+        # read_version's mergeSchema honors) — never from one sampled
+        # footer, whose coverage under add-column evolution depends on
+        # manifest sort order
+        contract = {f["name"]: f for f in (m.get("schema") or [])}
+        want = list(contract) if contract else (
+            list(cm.values()) if cm else None
+        )
+        by_phys, order = _snapshot_arrow_fields(root, m["files"], want)
+
+        def _field(name, phys_name):
+            f = by_phys.get(phys_name)
+            if f is not None:
+                return StructField(name, f, True)
+            c = contract.get(phys_name)
+            if c is None:
+                raise ValueError(
+                    f"column {phys_name!r} is in neither the schema "
+                    "contract nor any file footer"
+                )
+            # contract-only column (its files were since removed):
+            # every row reads NULL; the type still comes from the
+            # recorded arrow type string
+            return StructField(
+                name, _spark_type_from_arrow_str(c["type"]), True
+            )
+
         if cm:
-            fields = [
-                StructField(lg, by_phys[ph].dataType, True)
-                for lg, ph in cm.items()
-                if ph in by_phys
-            ]
+            fields = [_field(lg, ph) for lg, ph in cm.items()]
         else:
-            fields = [
-                StructField(f.name, f.dataType, f.nullable)
-                for f in phys.fields
-            ]
+            names = list(order)
+            names += [n for n in (want or []) if n not in set(names)]
+            fields = [_field(n, n) for n in names]
         if self._is_feed():
             fields = fields + [StructField(_CHANGE, StringType(), False)]
         return StructType(fields)

@@ -58,6 +58,8 @@ __all__ = [
     "partition_spec",
     "publish_partitioned",
     "append_partitioned",
+    "repartition_spec",
+    "merged_partition_spec",
     "partition_values",
     "partition_pseudo_stats",
 ]
@@ -226,6 +228,93 @@ def append_partitioned(
     )
 
 
+def repartition_spec(
+    spark: SparkSession,
+    root: str,
+    cols: str | Sequence[str] | None,
+    *,
+    metadata: dict | None = None,
+) -> dict:
+    """Iceberg-style PARTITION SPEC EVOLUTION on a live table: one
+    metadata-only maintenance commit switches the recorded spec (or
+    drops it with ``cols=None``). Not a rewrite — existing files keep
+    their old ``__p_`` directory layout and keep pruning through it
+    (pseudo-stats are parsed from each file's OWN path segments, not
+    the current spec), while :func:`append_partitioned` writes new
+    runs under the new layout. ``delete_where`` therefore still drops
+    whole directories of BOTH generations, and point lookups prune
+    each file by whichever layout it actually has; a file matching
+    neither simply falls back to its footer zone maps — pruning can
+    lose opportunity across an evolution, never rows.
+
+    The superseded spec is appended to ``partition_spec_history``
+    (carried by every later commit), so audits and the ``partitions``
+    metadata view can still name old-generation values."""
+    new = _canon_spec(cols) if cols is not None else None
+    m = _ver.read_manifest(root)
+    old = m["metadata"].get("partition_spec")
+    if old == new:
+        raise ValueError(f"partition spec unchanged: {new}")
+    bspec = m["metadata"].get("bucket_spec")
+    if new and bspec:
+        overlap = set(bspec["key_cols"]) & set(new["cols"])
+        if overlap:
+            raise ValueError(
+                "columns cannot be both partition and bucket key: "
+                f"{sorted(overlap)}"
+            )
+    cm = m.get("column_mapping")
+    known = (
+        set(cm)
+        if cm
+        else (
+            {f["name"] for f in m["schema"]} if m.get("schema") else None
+        )
+    )
+    if new and known is not None:
+        missing = [c for c in new["cols"] if c not in known]
+        if missing:
+            raise ValueError(
+                f"partition columns not in the table schema: {missing}"
+            )
+    history = list(m["metadata"].get("partition_spec_history") or [])
+    if old is not None and old not in history:
+        history.append(old)
+    meta = {
+        **(metadata or {}),
+        "repartition_spec": {"from": old, "to": new},
+        # explicit None DROPS the contract: commit_files's layout
+        # carry skips keys already present in the commit's metadata
+        "partition_spec": new,
+    }
+    if history:
+        meta["partition_spec_history"] = history
+    if bspec:
+        meta["bucket_spec"] = bspec
+    return _ver.commit_files(
+        root,
+        base_version=m["version"],
+        kind="maintenance",
+        metadata=meta,
+        spark=spark,
+    )
+
+
+def merged_partition_spec(manifest: dict) -> dict | None:
+    """The union of the current spec and every superseded one (spec
+    evolution) — what path-derived views parse with, so files of any
+    generation resolve their own layout. None when the table never
+    had a spec."""
+    md = manifest["metadata"]
+    cur = md.get("partition_spec")
+    cols = list(cur["cols"]) if cur else []
+    for h in md.get("partition_spec_history") or ():
+        for c in h["cols"]:
+            if c not in cols:
+                cols.append(c)
+    return {"cols": cols} if cols else None
+
+
 def partition_values(rel_path: str, spec: dict) -> dict:
     """{col: raw string value (URL-decoded) | None} parsed from one
     manifest entry's ``__p_<col>=<val>`` path segments; cols whose
@@ -279,9 +368,11 @@ def table_partitions(
     import json as _json
 
     m = _ver.read_manifest(root, version)
-    spec = m["metadata"].get("partition_spec")
-    if spec is None:
+    if m["metadata"].get("partition_spec") is None:
         raise ValueError(f"{root} carries no partition_spec")
+    # merged spec: under evolution, old-generation files group by
+    # their own (superseded) layout instead of collapsing into "{}"
+    spec = merged_partition_spec(m)
     stats = m.get("stats") or {}
     dv = m.get("dv") or {}
     agg: dict = {}
@@ -309,10 +400,13 @@ def partition_pseudo_stats(manifest: dict) -> dict:
     """Per-file EXACT zone-map entries derived from partition dir
     names alone (min == max == the dir value, zero nulls) — the
     bridge that lets `io/zonemap.py` prune and `delete_where` drop
-    whole partitions with no footer ever read. Files without the
-    layout (rewritten by a non-partition-aware commit) contribute
-    nothing and fall back to their real stats."""
-    spec = manifest["metadata"].get("partition_spec")
+    whole partitions with no footer ever read. Each file is parsed
+    against its OWN ``__p_`` segments (the prefix reserves the name
+    space), so under spec evolution old-generation files keep pruning
+    on their old layout while new files prune on the new one. Files
+    without any layout (rewritten by a non-partition-aware commit)
+    contribute nothing and fall back to their real stats."""
+    spec = merged_partition_spec(manifest)
     if not spec:
         return {}
     out: dict = {}

@@ -178,6 +178,173 @@ def _atomic_create(path: str, payload: str) -> None:
             os.remove(tmp)
 
 
+#: Manifests at or above this many files are stored SEGMENTED: the
+#: per-file entries (path + zone-map stats + dv ref) move into
+#: immutable content-addressed segment files under
+#: ``_versions/segments/``, and the manifest itself holds only the
+#: segment id list — the Iceberg manifest-list shape. An append then
+#: writes ONE new segment (O(delta) metadata bytes) and reuses every
+#: untouched segment by reference; a delete_where rewrites only the
+#: segments holding dropped entries. Below the threshold the plain
+#: inline-JSON wire format is kept (small tables stay single-file,
+#: human-inspectable, and every existing tool keeps working).
+SEGMENT_MIN_FILES = 256
+
+#: Entries per freshly-written segment. ~1k entries ≈ a few hundred
+#: KB of JSON: big enough that a 10^6-file table is ~10^3 segments
+#: (driver-side listing stays trivial), small enough that a partial
+#: rewrite (delete_where touching one region) stays cheap.
+SEGMENT_TARGET_ENTRIES = 1024
+
+_SEGMENTS_SUBDIR = "segments"
+
+
+def _segments_dir(root: str) -> str:
+    return os.path.join(_versions_dir(root), _SEGMENTS_SUBDIR)
+
+
+def _segment_path(root: str, sid: str) -> str:
+    return os.path.join(_segments_dir(root), sid + ".json")
+
+
+#: Process-level cache of segment payloads — segments are immutable
+#: and content-addressed, so a cache hit is always valid; bounded so
+#: a long-lived driver touching many tables can't grow unboundedly.
+_SEG_CACHE: dict = {}
+_SEG_CACHE_MAX = 256
+
+
+def _load_segment(root: str, sid: str) -> list[dict]:
+    key = (os.path.abspath(root), sid)
+    hit = _SEG_CACHE.get(key)
+    if hit is not None:
+        return hit
+    with open(_segment_path(root, sid), encoding="utf-8") as f:
+        entries = json.load(f)["entries"]
+    while len(_SEG_CACHE) >= _SEG_CACHE_MAX:
+        _SEG_CACHE.pop(next(iter(_SEG_CACHE)))
+    _SEG_CACHE[key] = entries
+    return entries
+
+
+def _write_segment(root: str, entries: list[dict]) -> str:
+    """Write one immutable segment, named by its content hash — two
+    writers (or a commit-loop retry) producing the same entries land
+    on the same file, which `_atomic_create` absorbs as idempotent."""
+    import hashlib
+
+    payload = json.dumps(
+        {"entries": entries}, sort_keys=True, separators=(",", ":")
+    )
+    sid = "seg-" + hashlib.sha256(payload.encode()).hexdigest()[:32]
+    os.makedirs(_segments_dir(root), exist_ok=True)
+    path = _segment_path(root, sid)
+    if not os.path.exists(path):
+        _atomic_create(path, payload)
+    return sid
+
+
+def _resolve_manifest(root: str, raw: dict) -> dict:
+    """Materialize a segmented manifest to the classic in-memory shape
+    (``files`` / ``stats`` / ``dv`` inline) every consumer speaks; the
+    ``segments`` key stays on the dict so re-publishers can reuse
+    unchanged segments. Treat resolved stats/dv values as immutable —
+    they are shared with the segment cache."""
+    m = dict(raw)
+    files: list[str] = []
+    stats: dict = {}
+    dv: dict = {}
+    for sid in raw["segments"]:
+        for e in _load_segment(root, sid):
+            f = e["file"]
+            files.append(f)
+            if "stats" in e:
+                stats[f] = e["stats"]
+            if "dv" in e:
+                dv[f] = e["dv"]
+    m["files"] = sorted(files)
+    if stats:
+        m["stats"] = stats
+    if dv:
+        m["dv"] = dv
+    return m
+
+
+def _maybe_segment(root: str, manifest: dict) -> dict:
+    """The on-disk form of a manifest: unchanged below
+    :data:`SEGMENT_MIN_FILES`; above it, per-file entries are packed
+    into content-addressed segments, REUSING every predecessor
+    segment whose entries all survive byte-identically (file kept,
+    stats entry equal, dv entry equal) — so commit metadata is
+    O(delta), not O(table). An append reuses all prior segments and
+    writes one new one; a delete_where or dv update rewrites only the
+    segments holding touched entries."""
+    files = manifest["files"]
+    if len(files) < SEGMENT_MIN_FILES:
+        return manifest
+    stats = manifest.get("stats") or {}
+    dv = manifest.get("dv") or {}
+    fset = set(files)
+    covered: set[str] = set()
+    reused: list[str] = []
+    prev_v = manifest["version"] - 1
+    if prev_v >= 1:
+        try:
+            prev = _read_manifest_raw(root, prev_v)
+        except FileNotFoundError:
+            prev = {}
+    else:
+        prev = {}
+    for sid in prev.get("segments", ()):
+        entries = _load_segment(root, sid)
+        if all(
+            e["file"] in fset
+            and e.get("stats") == stats.get(e["file"])
+            and e.get("dv") == dv.get(e["file"])
+            for e in entries
+        ):
+            reused.append(sid)
+            covered.update(e["file"] for e in entries)
+    residual = [f for f in files if f not in covered]
+    # fold undersized TAIL segments into this commit's fresh batch
+    # (LSM-style): without it, 1-file appends accumulate 1-entry
+    # segments and the manifest's ref list grows O(commits). With it,
+    # the tail grows to half-target then seals, so segment count is
+    # O(files/target) and per-commit bytes are bounded by ~half a
+    # target segment — still O(delta), amortized.
+    while reused:
+        tail = _load_segment(root, reused[-1])
+        if (
+            len(tail) >= SEGMENT_TARGET_ENTRIES // 2
+            or len(tail) + len(residual) > SEGMENT_TARGET_ENTRIES
+        ):
+            break
+        reused.pop()
+        # the tail's stats/dv entries are already in the manifest's
+        # full maps (the reuse check proved them identical), so only
+        # the file set moves
+        residual = sorted(set(residual) | {e["file"] for e in tail})
+    fresh: list[str] = []
+    for i in range(0, len(residual), SEGMENT_TARGET_ENTRIES):
+        entries = []
+        for f in residual[i : i + SEGMENT_TARGET_ENTRIES]:
+            e: dict = {"file": f}
+            if f in stats:
+                e["stats"] = stats[f]
+            if f in dv:
+                e["dv"] = dv[f]
+            entries.append(e)
+        fresh.append(_write_segment(root, entries))
+    out = {
+        k: v for k, v in manifest.items()
+        if k not in ("files", "stats", "dv")
+    }
+    out["segments"] = reused + fresh
+    # summary so history/audit walks stay metadata-only
+    out["dv_rows"] = sum(e["rows"] for e in dv.values())
+    return out
+
+
 def _fresh_run_id() -> str:
     return uuid.uuid4().hex[:16]
 
@@ -224,13 +391,23 @@ def current_version(root: str) -> int | None:
     return versions[-1] if versions else None
 
 
+def _read_manifest_raw(root: str, version: int) -> dict:
+    """The manifest exactly as stored — segmented manifests keep
+    their ``segments`` ref list unresolved. For metadata-only walks
+    (commit times, commit kinds) this skips segment loading."""
+    with open(_manifest_path(root, version), encoding="utf-8") as f:
+        return json.load(f)
+
+
 def read_manifest(root: str, version: int | None = None) -> dict:
     if version is None:
         version = current_version(root)
         if version is None:
             raise FileNotFoundError(f"no published version under {root}")
-    with open(_manifest_path(root, version), encoding="utf-8") as f:
-        return json.load(f)
+    raw = _read_manifest_raw(root, version)
+    if "segments" in raw:
+        return _resolve_manifest(root, raw)
+    return raw
 
 
 def publish_files(
@@ -330,11 +507,17 @@ def publish_files(
             )
         manifest["column_mapping"] = dict(column_mapping)
     path = _manifest_path(root, version)
+    # big manifests go SEGMENTED on disk (O(delta) commit metadata —
+    # see _maybe_segment); the in-memory return keeps the classic
+    # resolved shape callers expect, plus the segment refs
+    disk = _maybe_segment(root, manifest)
     # exclusive create: of two writers racing for this version number
     # exactly one wins; the loser's FileExistsError is the commit
     # loop's retry signal (commit_files catches it)
-    _atomic_create(path, json.dumps(manifest, indent=1))
+    _atomic_create(path, json.dumps(disk, indent=1))
     _atomic_write(os.path.join(_versions_dir(root), _CURRENT), str(version))
+    if disk is not manifest:
+        manifest["segments"] = disk["segments"]
     return manifest
 
 
@@ -561,7 +744,8 @@ def commit_files(
         # the table's pruning contract (callers may still override by
         # passing their own value in metadata)
         pub_meta = dict(meta)
-        for _k in ("bucket_spec", "partition_spec"):
+        for _k in ("bucket_spec", "partition_spec",
+                   "partition_spec_history"):
             if _k not in pub_meta and target["metadata"].get(_k):
                 pub_meta[_k] = target["metadata"][_k]
         try:
@@ -644,7 +828,7 @@ def version_as_of(root: str, timestamp: str) -> int:
     ts = timestamp.rstrip("Z").replace(" ", "T")
     best = None
     for v in list_versions(root):
-        created = read_manifest(root, v)["created_utc"].rstrip("Z")
+        created = _read_manifest_raw(root, v)["created_utc"].rstrip("Z")
         # plain lexicographic: a prefix timestamp ("2026-08-15")
         # means its zero-fill instant (midnight), because any longer
         # same-prefix commit string sorts after it
@@ -685,13 +869,19 @@ def read_version(
     from .table_schema import column_mapping as _cmap, to_logical
 
     cm = _cmap(m)
-    if cm and fmt == "parquet" and any(
-        ph not in df.columns for ph in cm.values()
-    ):
-        # schema inference sampled a file missing a live physical
-        # column (add-column evolution): merge all footers so no
-        # file's values silently null out
-        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    if fmt == "parquet":
+        # schema inference samples ONE footer; under add-column
+        # evolution the live column set is the mapping's physical
+        # names (mapped tables) or the recorded schema contract
+        # (unmapped) — when the sample missed any, merge all footers
+        # so no file's values silently null out
+        want = (
+            set(cm.values())
+            if cm
+            else {f["name"] for f in (m.get("schema") or ())}
+        )
+        if any(c not in df.columns for c in want):
+            df = spark.read.option("mergeSchema", "true").parquet(*paths)
     return to_logical(df, m)
 
 
@@ -704,7 +894,7 @@ def rollback(root: str, to_version: int) -> dict:
     its bytes."""
     m = read_manifest(root, to_version)
     meta: dict = {"rollback_of": m["version"]}
-    for _k in ("bucket_spec", "partition_spec"):
+    for _k in ("bucket_spec", "partition_spec", "partition_spec_history"):
         if m["metadata"].get(_k):
             meta[_k] = m["metadata"][_k]
     return publish_files(
@@ -884,7 +1074,7 @@ def shallow_clone(
         },
         **(metadata or {}),
     }
-    for _k in ("bucket_spec", "partition_spec"):
+    for _k in ("bucket_spec", "partition_spec", "partition_spec_history"):
         if m["metadata"].get(_k):
             meta[_k] = m["metadata"][_k]
     os.makedirs(dst_root, exist_ok=True)
@@ -934,7 +1124,7 @@ def _ancestor_clone_roots(root: str, limit: int = 16) -> list[str]:
         vs = list_versions(cur)
         if not vs:
             break
-        info = read_manifest(cur, vs[0])["metadata"].get(
+        info = _read_manifest_raw(cur, vs[0])["metadata"].get(
             "shallow_clone_of"
         )
         if not info:
@@ -974,10 +1164,19 @@ def register_clone(src_root: str, dst_root: str, manifest: dict) -> str:
         "created_utc": time.strftime(
             "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
         ),
-        "files": manifest["files"],
         "sidecars": sidecars,
         "ancestors": ancestors,
     }
+    if manifest.get("segments"):
+        # segmented fork: pin the SEGMENT REFS, not a copied file
+        # list — O(segments) marker bytes at any table size. The
+        # source's vacuum keeps marker-referenced segments alive
+        # (same pin discipline as the files themselves), so the pin
+        # still survives retire_versions of the forked manifest.
+        payload["segments"] = list(manifest["segments"])
+        payload["segments_root"] = os.path.abspath(src_root)
+    else:
+        payload["files"] = manifest["files"]
     blob = json.dumps(payload, indent=1)
     for r in [src_root] + ancestors:
         os.makedirs(_clones_dir(r), exist_ok=True)
@@ -1025,11 +1224,29 @@ def _clone_pinned_files(root: str) -> dict[str, str]:
     """root-relative pinned path -> pinning clone's dst_root, from
     the live markers. Absolute marker entries outside this root
     belong to a grandparent table and are skipped (a chained clone
-    pins only its direct source)."""
+    pins only its direct source). Segment-pinning markers resolve
+    their file list from the source's segment store; an unresolvable
+    marker raises LOUDLY (deleting possibly-pinned files on a broken
+    marker is the one unrecoverable direction)."""
     marker = os.path.abspath(root) + os.sep
     pinned: dict[str, str] = {}
     for c in list_clones(root):
-        for f in list(c.get("files", ())) + list(c.get("sidecars", ())):
+        files = list(c.get("files", ()))
+        if not files and c.get("segments"):
+            sroot = c.get("segments_root") or root
+            try:
+                for sid in c["segments"]:
+                    files.extend(
+                        e["file"] for e in _load_segment(sroot, sid)
+                    )
+            except FileNotFoundError as e:
+                raise RuntimeError(
+                    f"clone marker for {c.get('dst_root')} pins "
+                    f"segments under {sroot} that no longer resolve "
+                    f"({e}); deregister the clone if it is dead, or "
+                    "restore the segment store"
+                ) from e
+        for f in files + list(c.get("sidecars", ())):
             if os.path.isabs(f):
                 af = os.path.abspath(f)
                 if not af.startswith(marker):
@@ -1050,7 +1267,9 @@ def table_history(root: str, *, limit: int | None = None) -> list[dict]:
     for v in reversed(list_versions(root)):
         if limit is not None and len(out) >= limit:
             break
-        m = read_manifest(root, v)
+        m = _read_manifest_raw(root, v)  # metadata-only walk:
+        # segmented manifests carry n_files + dv_rows summaries, so
+        # history never loads segments
         md = m["metadata"]
         if "merge" in md:
             op = md["merge"].get("op", "merge")
@@ -1076,8 +1295,12 @@ def table_history(root: str, *, limit: int | None = None) -> list[dict]:
             "kind": md.get("commit_kind", "unknown"),
             "op": op,
             "n_files": m["n_files"],
-            "dv_rows": sum(
-                e["rows"] for e in (m.get("dv") or {}).values()
+            "dv_rows": (
+                m["dv_rows"]
+                if "segments" in m
+                else sum(
+                    e["rows"] for e in (m.get("dv") or {}).values()
+                )
             ),
             "metadata": md,
         })
@@ -1121,7 +1344,9 @@ def table_files(
     m = read_manifest(root, version)
     stats = m.get("stats") or {}
     dv = m.get("dv") or {}
-    pspec = m["metadata"].get("partition_spec")
+    from .partitioned_table import merged_partition_spec
+
+    pspec = merged_partition_spec(m)
     rows = []
     for f in m["files"]:
         pv = None
@@ -1175,14 +1400,70 @@ def diff_versions(root: str, v_from: int, v_to: int) -> dict:
     }
 
 
-def retire_versions(root: str, keep_latest: int) -> list[int]:
+class FeedPinnedError(RuntimeError):
+    """Retention would delete a manifest a REGISTERED change-feed
+    consumer (``readStream.format("tss").option("feedId", ...)``)
+    still needs as its next batch's start offset. Carries the
+    conflicting consumers; the recovery is to let them catch up, or
+    delete their stale ``_versions/feed-<id>`` markers (dead
+    consumers), or pass ``ignore_feeds=True`` to break them
+    knowingly."""
+
+    def __init__(self, conflicts: dict):
+        self.conflicts = dict(conflicts)  # feed id -> committed version
+        super().__init__(
+            "retire_versions would delete manifests live change-feed "
+            f"consumers still need (feedId -> committed offset: "
+            f"{self.conflicts}); let them catch up, remove their "
+            "_versions/feed-<id> markers if dead, or pass "
+            "ignore_feeds=True"
+        )
+
+
+def _feed_low_water(root: str) -> dict[str, int]:
+    """feed id -> newest committed version, from the durable consumer
+    markers the ``tss`` streaming source writes in ``commit()``."""
+    vd = _versions_dir(root)
+    out: dict[str, int] = {}
+    if not os.path.isdir(vd):
+        return out
+    for n in os.listdir(vd):
+        if not n.startswith("feed-"):
+            continue
+        try:
+            with open(os.path.join(vd, n), encoding="utf-8") as f:
+                out[n[len("feed-"):]] = int(f.read().strip())
+        except (OSError, ValueError):
+            continue
+    return out
+
+
+def retire_versions(
+    root: str, keep_latest: int, *, ignore_feeds: bool = False
+) -> list[int]:
     """Delete old manifests, keeping the newest ``keep_latest``. The
-    CURRENT version is always kept. Returns retired version numbers."""
+    CURRENT version is always kept. Returns retired version numbers.
+
+    Registered change-feed consumers pin their committed offset's
+    manifest (it is the next micro-batch's start snapshot): retiring
+    it raises :class:`FeedPinnedError` before deleting anything —
+    the CDC-log retention rule, enforced instead of documented.
+    ``ignore_feeds=True`` breaks behind consumers knowingly (they
+    fail with a typed ``FeedRetentionError`` on their next read)."""
     if keep_latest < 1:
         raise ValueError("keep_latest must be >= 1")
     versions = list_versions(root)
     cur = current_version(root)
     retire = [v for v in versions[:-keep_latest] if v != cur]
+    if retire and not ignore_feeds:
+        doomed = set(retire)
+        conflicts = {
+            fid: w
+            for fid, w in _feed_low_water(root).items()
+            if w in doomed
+        }
+        if conflicts:
+            raise FeedPinnedError(conflicts)
     for v in retire:
         os.remove(_manifest_path(root, v))
     return retire
@@ -1276,6 +1557,33 @@ def vacuum(
                     f.startswith(prefix) for f in live
                 ):
                     shutil.rmtree(os.path.join(ns_root, run))
+        # metadata-segment GC: content-addressed segments referenced
+        # by no surviving manifest and no clone marker are garbage
+        # (retire_versions orphans them). Same age guard as data
+        # files — a racing publish writes its segments BEFORE its
+        # manifest links into place.
+        segdir = _segments_dir(root)
+        if os.path.isdir(segdir):
+            live_segs: set[str] = set()
+            for v in list_versions(root):
+                live_segs.update(
+                    _read_manifest_raw(root, v).get("segments", ())
+                )
+            rootabs = os.path.abspath(root)
+            for c in list_clones(root):
+                if c.get("segments") and os.path.abspath(
+                    c.get("segments_root") or root
+                ) == rootabs:
+                    live_segs.update(c["segments"])
+            for n in os.listdir(segdir):
+                if not (n.startswith("seg-") and n.endswith(".json")):
+                    continue
+                full = os.path.join(segdir, n)
+                if n[:-5] in live_segs:
+                    continue
+                if os.path.getmtime(full) > cutoff:
+                    continue
+                os.remove(full)
     return sorted(doomed)
 
 

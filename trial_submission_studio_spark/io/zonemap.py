@@ -383,7 +383,10 @@ def _with_partition_stats(manifest: dict) -> dict:
     machinery with zero footer reads. Identity for unpartitioned
     tables; partition-derived columns take precedence over footer
     stats for the same column (they are exact, not truncatable)."""
-    if not manifest["metadata"].get("partition_spec"):
+    md = manifest["metadata"]
+    if not (md.get("partition_spec") or md.get("partition_spec_history")):
+        # history alone still prunes: a table evolved to unpartitioned
+        # keeps serving its old generations' directory stats
         return manifest
     from .partitioned_table import partition_pseudo_stats
 
