@@ -2604,6 +2604,36 @@ def _lifecycle_gate_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_version(spark, root)
 
 
+_DS_REGISTERED: set = set()
+
+
+def _lifecycle_gate_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 fold: the SAME lifecycle table read back through the
+    Python DataSource route — ``format("tss")``, version-pinned time
+    travel, a pushed ``day`` filter that prunes partition files in
+    the PLANNER (partition pseudo-stats x column mapping), dv files
+    anti-joined executor-side — so the DS read path is hash-pinned
+    against DuckDB at every SF, not just pytest-pinned."""
+    from trial_submission_studio_spark.io.datasource import register
+    from trial_submission_studio_spark.io.versioned import (
+        current_version,
+    )
+
+    _lifecycle_gate_table(spark, sf_dir)  # ensure the table exists
+    root = _LIFECYCLE_GATE_MEMO[sf_dir]
+    key = id(spark)
+    if key not in _DS_REGISTERED:
+        register(spark)
+        _DS_REGISTERED.add(key)
+    return (
+        spark.read.format("tss")
+        .option("root", root)
+        .option("version", str(current_version(root)))
+        .load()
+        .filter(F.col("day") >= "2024-01-15")
+    )
+
+
 def layout_zorder_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering-key gate (operators/layout.py) +
     the r13 deletion-vector fold (io/deletion_vectors.py): bucketize
@@ -2652,7 +2682,17 @@ def layout_zorder_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("day").alias("lc_day_min"),
         F.max("day").alias("lc_day_max"),
     )
-    return z.crossJoin(dv).crossJoin(lc)
+    # r15 fold: the lifecycle table AGAIN, but through the Python
+    # DataSource route with a pushed planner-pruned filter (see
+    # _lifecycle_gate_ds) — the format("tss") path faces the oracle
+    ds = _lifecycle_gate_ds(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("ds_n_rows"),
+        F.sum(F.floor(F.col("val") * 10000).cast("long"))
+        .cast("long")
+        .alias("ds_val_e4"),
+        F.min("day").alias("ds_day_min"),
+    )
+    return z.crossJoin(dv).crossJoin(lc).crossJoin(ds)
 
 
 def _zorder_oracle_sql() -> str:
@@ -2679,7 +2719,7 @@ def _zorder_oracle_sql() -> str:
         z AS (
           SELECT {' | '.join(terms)} AS zkey FROM b
         )
-        SELECT z.*, dv.*, lc.* FROM (
+        SELECT z.*, dv.*, lc.*, ds.* FROM (
           SELECT count(*) AS n_rows,
                  count(DISTINCT zkey) AS n_keys,
                  CAST(sum(zkey) AS BIGINT) AS zkey_sum,
@@ -2702,7 +2742,15 @@ def _zorder_oracle_sql() -> str:
           FROM events
           WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-10'
             AND event_id % 101 <> 0
-        ) lc
+        ) lc CROSS JOIN (
+          SELECT count(*) AS ds_n_rows,
+                 CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT)
+                   AS ds_val_e4,
+                 min(strftime(ts, '%Y-%m-%d')) AS ds_day_min
+          FROM events
+          WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-15'
+            AND event_id % 101 <> 0
+        ) ds
     """
 
 
