@@ -3323,6 +3323,101 @@ def table_branch_publish_bench(
     )
 
 
+_SEGMENT_BENCH_MEMO: dict = {}
+
+
+def table_manifest_segment_bench(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Manifest segmentation (io/versioned.py:_maybe_segment): one
+    16-file append commit on a MANY-FILE segmented table (file count
+    scales with the SF so the sf1 sweep measures curvature). The
+    measured claim: commit metadata is O(delta) — the bytes a commit
+    writes (manifest + fresh segments) and its latency stay ~flat as
+    the table grows 10x, where the plain inline format would rewrite
+    the whole O(files) JSON every commit (the ratio is returned on
+    the row). Metadata-only: the data files are 1-byte stand-ins,
+    because this path never opens them. Benched extra; plain ≡
+    segmented store equality is pinned by
+    tests/test_manifest_segments.py (random-op model test)."""
+    import json
+    import tempfile
+
+    from trial_submission_studio_spark.io import versioned as V
+
+    memo = _SEGMENT_BENCH_MEMO.get(sf_dir)
+    if memo is None:
+        import pyarrow.parquet as pq
+
+        n_rows = pq.ParquetFile(
+            os.path.join(sf_dir, "events.parquet")
+        ).metadata.num_rows
+        n_files = max(1000, n_rows // 100)
+        root = tempfile.mkdtemp(prefix="tss-seg-bench-") + "/t"
+        os.makedirs(os.path.join(root, "data", "r"), exist_ok=True)
+        files = []
+        stats = {}
+        for i in range(n_files):
+            rel = f"data/r/f{i:06d}.parquet"
+            with open(os.path.join(root, rel), "wb") as fh:
+                fh.write(b"x")
+            files.append(rel)
+            stats[rel] = {
+                "num_rows": 100,
+                "columns": {
+                    "k": {"t": "int", "min": i * 100,
+                          "max": i * 100 + 99, "nulls": 0}
+                },
+            }
+        V.publish_files(root, files, stats=stats)
+        memo = {"root": root, "i": n_files}
+        _SEGMENT_BENCH_MEMO[sf_dir] = memo
+    root = memo["root"]
+    segdir = V._segments_dir(root)
+    before = set(os.listdir(segdir)) if os.path.isdir(segdir) else set()
+    fresh = []
+    add_stats = {}
+    for _ in range(16):
+        memo["i"] += 1
+        i = memo["i"]
+        rel = f"data/r/f{i:06d}.parquet"
+        with open(os.path.join(root, rel), "wb") as fh:
+            fh.write(b"x")
+        fresh.append(rel)
+        add_stats[rel] = {
+            "num_rows": 100,
+            "columns": {
+                "k": {"t": "int", "min": i * 100,
+                      "max": i * 100 + 99, "nulls": 0}
+            },
+        }
+    m = V.commit_files(
+        root,
+        base_version=V.current_version(root),
+        kind="append",
+        add_files=fresh,
+        add_stats=add_stats,
+    )
+    new_segs = set(os.listdir(segdir)) - before
+    commit_bytes = os.path.getsize(
+        V._manifest_path(root, m["version"])
+    ) + sum(os.path.getsize(os.path.join(segdir, s)) for s in new_segs)
+    plain_bytes = len(
+        json.dumps({k: v for k, v in m.items() if k != "segments"})
+    )
+    return spark.createDataFrame(
+        [(
+            len(m["files"]),
+            len(m["segments"]),
+            int(commit_bytes),
+            int(plain_bytes),
+            float(round(plain_bytes / max(1, commit_bytes), 1)),
+        )],
+        "n_files long, n_segments long, commit_metadata_bytes long, "
+        "plain_equiv_bytes long, bytes_win double",
+    )
+
+
 def table_delete_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copy-on-write control for table_delete_dv: the SAME scattered
     500-key erasure via io/merge.py:delete_matching — every file
