@@ -2621,7 +2621,10 @@ def _lifecycle_gate_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _lifecycle_gate_table(spark, sf_dir)  # ensure the table exists
     root = _LIFECYCLE_GATE_MEMO[sf_dir]
-    key = id(spark)
+    # keyed by applicationId, not id(spark): a stopped session's id
+    # can be reused by a fresh one, which would silently skip the
+    # registration the fresh session still needs
+    key = spark.sparkContext.applicationId
     if key not in _DS_REGISTERED:
         register(spark)
         _DS_REGISTERED.add(key)

@@ -278,6 +278,40 @@ def test_segment_gc_and_clone_pins(tmp_path, seg_small):
     assert files[5] in vacuum(root, min_age_seconds=0)
 
 
+def test_vacuum_reports_segment_gc_and_resurrect_refreshes_mtime(
+    tmp_path, seg_small
+):
+    """r15 review fixes: (a) vacuum's segment GC appears in the
+    returned list and dry_run previews it without deleting; (b)
+    reusing an existing content-addressed segment refreshes its mtime
+    so a racing vacuum's age guard protects a resurrected orphan."""
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    files = [_mk_file(root, f"data/r/f{i}.parquet") for i in range(6)]
+    publish_files(root, files)
+    commit_files(
+        root, base_version=1, kind="keyed", remove_files=[files[0]]
+    )
+    retire_versions(root, keep_latest=1)
+    preview = vacuum(root, dry_run=True, min_age_seconds=0)
+    assert any("segments/seg-" in d for d in preview)
+    segdir = versioned._segments_dir(root)
+    n_before = len(os.listdir(segdir))
+    real = vacuum(root, min_age_seconds=0)
+    assert set(real) == set(preview)
+    assert len(
+        [n for n in os.listdir(segdir) if n.startswith("seg-")]
+    ) < n_before
+
+    # (b) mtime refresh on reuse
+    entries = [{"file": "data/r/x.parquet"}]
+    sid = versioned._write_segment(root, entries)
+    p = versioned._segment_path(root, sid)
+    os.utime(p, (1, 1))
+    assert versioned._write_segment(root, entries) == sid
+    assert os.path.getmtime(p) > 1
+
+
 def test_segmented_table_through_spark_stack(spark, tmp_path, seg_small):
     """End-to-end on real data: a segmented table reads identically
     through read_version, zonemap-pruned reads, dv deletes, the

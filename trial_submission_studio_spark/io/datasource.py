@@ -136,12 +136,30 @@ _DS_SEGMENT_MIN_FILES = 256
 _DS_SEGMENT_TARGET_ENTRIES = 1024
 
 
+#: segment payload cache (mirror of versioned._SEG_CACHE): segments
+#: are immutable and content-addressed, and the streaming sink runner
+#: persists across micro-batches — without this, every commit of a
+#: 10^3-segment table re-parses the whole store twice (resolve +
+#: reuse check), making commit LATENCY O(table) even though the
+#: written bytes are O(batch)
+_DS_SEG_CACHE: dict = {}
+_DS_SEG_CACHE_MAX = 256
+
+
 def _ds_load_segment(root: str, sid: str) -> list:
     import json
 
+    key = (os.path.abspath(root), sid)
+    hit = _DS_SEG_CACHE.get(key)
+    if hit is not None:
+        return hit
     path = os.path.join(root, "_versions", "segments", sid + ".json")
     with open(path, encoding="utf-8") as f:
-        return json.load(f)["entries"]
+        entries = json.load(f)["entries"]
+    while len(_DS_SEG_CACHE) >= _DS_SEG_CACHE_MAX:
+        _DS_SEG_CACHE.pop(next(iter(_DS_SEG_CACHE)))
+    _DS_SEG_CACHE[key] = entries
+    return entries
 
 
 def _ds_read_manifest(root: str, version: int) -> dict:
@@ -346,20 +364,21 @@ def _read_file_arrow(
     return t.select(phys_cols)
 
 
-def _snapshot_arrow_fields(root: str, files: list, want):
+def _snapshot_arrow_fields(root: str, files: list, want, max_footers=64):
     """name -> Spark DataType resolved from parquet FOOTERS, plus the
     first footer's field order. Reads footers until every ``want``
-    column is typed (early-stop: one footer for tables without
-    add-column evolution, a few when evolved files sort late);
-    ``want=None`` keeps the single-footer fast path for contract-less
-    unmapped tables, where every file shares one schema by
-    construction."""
+    column is typed, HARD-CAPPED at ``max_footers`` — schema() is a
+    metadata question and must never become an O(table) footer sweep
+    on a 100k-file table (the caller types any survivor from the
+    contract's recorded arrow type string instead). ``want=None`` is
+    the single-footer fast path for contract-less unmapped tables,
+    where every file shares one schema by construction."""
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import from_arrow_schema
 
     types: dict = {}
     order: list = []
-    for rel in files:
+    for rel in files[:max_footers]:
         sch = from_arrow_schema(
             pq.ParquetFile(os.path.join(root, rel)).schema_arrow
         )
@@ -549,7 +568,21 @@ class _TssFeedReader(DataSourceStreamReader):
             return {"files": [], "metadata": {}}
         try:
             return _ds_read_manifest(self._root, v)
-        except FileNotFoundError:
+        except FileNotFoundError as e:
+            mpath = os.path.join(
+                self._root, "_versions", f"v{v:08d}.json"
+            )
+            if os.path.exists(mpath):
+                # the manifest survives; what's missing is one of its
+                # SEGMENT files — that's store damage (or a broken
+                # segment GC), not the retention rule: don't send the
+                # operator chasing retire_versions
+                raise RuntimeError(
+                    f"manifest v{v} of {self._root} exists but a "
+                    f"metadata segment it references is missing ({e});"
+                    " the segment store is damaged — restore it or "
+                    "re-publish the snapshot"
+                ) from e
             raise FeedRetentionError(
                 f"change-feed offset {v} of {self._root} was retired "
                 "(retire_versions deleted its manifest) while this "
@@ -887,7 +920,14 @@ def _ds_maybe_segment(root: str, manifest: dict, prev_raw) -> dict:
             "seg-" + hashlib.sha256(payload.encode()).hexdigest()[:32]
         )
         spath = os.path.join(segdir, sid + ".json")
-        if not os.path.exists(spath):
+        if os.path.exists(spath):
+            # resurrected orphan: refresh mtime so a racing vacuum's
+            # age guard protects it (mirror of versioned._write_segment)
+            try:
+                os.utime(spath, None)
+            except OSError:
+                pass
+        else:
             fd, tmp = tempfile.mkstemp(dir=segdir, suffix=".tmp")
             try:
                 with os.fdopen(fd, "w", encoding="utf-8") as fh:
@@ -1435,31 +1475,65 @@ class TssDataSource(DataSource):
         want = list(contract) if contract else (
             list(cm.values()) if cm else None
         )
-        by_phys, order = _snapshot_arrow_fields(root, m["files"], want)
+        # one footer resolves everything for the common case; columns
+        # it misses (add-column evolution) type from the CONTRACT's
+        # recorded arrow type string — O(1) footer reads regardless of
+        # where the evolved files sort. Only an unparseable contract
+        # type (or a contract-less mapping hole) pays a capped footer
+        # scan.
+        by_phys, order = _snapshot_arrow_fields(
+            root, m["files"], want, max_footers=1
+        )
+        unresolved = []
+        for c in want or ():
+            if c in by_phys:
+                continue
+            e = contract.get(c)
+            if e is not None:
+                try:
+                    by_phys[c] = _spark_type_from_arrow_str(e["type"])
+                    continue
+                except ValueError:
+                    pass
+            unresolved.append(c)
+        if unresolved:
+            more, _ = _snapshot_arrow_fields(
+                root, m["files"], unresolved
+            )
+            for c, t in more.items():
+                by_phys.setdefault(c, t)
 
         def _field(name, phys_name):
-            f = by_phys.get(phys_name)
-            if f is not None:
-                return StructField(name, f, True)
-            c = contract.get(phys_name)
-            if c is None:
+            t = by_phys.get(phys_name)
+            if t is not None:
+                return StructField(name, t, True)
+            if contract:
                 raise ValueError(
                     f"column {phys_name!r} is in neither the schema "
-                    "contract nor any file footer"
+                    "contract's parseable types nor any scanned file "
+                    "footer"
                 )
-            # contract-only column (its files were since removed):
-            # every row reads NULL; the type still comes from the
-            # recorded arrow type string
-            return StructField(
-                name, _spark_type_from_arrow_str(c["type"]), True
-            )
+            # contract-less mapped table whose physical column
+            # survives in no scanned footer: skip it (the pre-r15 DS
+            # behavior — with no contract and no footer there is no
+            # type to present) rather than brick the read over a
+            # vanished column
+            return None
 
         if cm:
-            fields = [_field(lg, ph) for lg, ph in cm.items()]
+            fields = [
+                f
+                for f in (_field(lg, ph) for lg, ph in cm.items())
+                if f is not None
+            ]
         else:
             names = list(order)
             names += [n for n in (want or []) if n not in set(names)]
-            fields = [_field(n, n) for n in names]
+            fields = [
+                f
+                for f in (_field(n, n) for n in names)
+                if f is not None
+            ]
         if self._is_feed():
             fields = fields + [StructField(_CHANGE, StringType(), False)]
         return StructType(fields)

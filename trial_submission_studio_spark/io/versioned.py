@@ -239,7 +239,17 @@ def _write_segment(root: str, entries: list[dict]) -> str:
     sid = "seg-" + hashlib.sha256(payload.encode()).hexdigest()[:32]
     os.makedirs(_segments_dir(root), exist_ok=True)
     path = _segment_path(root, sid)
-    if not os.path.exists(path):
+    if os.path.exists(path):
+        # content-addressed reuse can RESURRECT an orphaned segment
+        # (same entries re-published after its manifests were retired)
+        # — refresh its mtime or a concurrently-running vacuum, which
+        # computed liveness before this commit's manifest links, would
+        # GC it past the age guard and brick the new version
+        try:
+            os.utime(path, None)
+        except OSError:
+            pass
+    else:
         _atomic_create(path, payload)
     return sid
 
@@ -1557,32 +1567,37 @@ def vacuum(
                     f.startswith(prefix) for f in live
                 ):
                     shutil.rmtree(os.path.join(ns_root, run))
-        # metadata-segment GC: content-addressed segments referenced
-        # by no surviving manifest and no clone marker are garbage
-        # (retire_versions orphans them). Same age guard as data
-        # files — a racing publish writes its segments BEFORE its
-        # manifest links into place.
-        segdir = _segments_dir(root)
-        if os.path.isdir(segdir):
-            live_segs: set[str] = set()
-            for v in list_versions(root):
-                live_segs.update(
-                    _read_manifest_raw(root, v).get("segments", ())
-                )
-            rootabs = os.path.abspath(root)
-            for c in list_clones(root):
-                if c.get("segments") and os.path.abspath(
-                    c.get("segments_root") or root
-                ) == rootabs:
-                    live_segs.update(c["segments"])
-            for n in os.listdir(segdir):
-                if not (n.startswith("seg-") and n.endswith(".json")):
-                    continue
-                full = os.path.join(segdir, n)
-                if n[:-5] in live_segs:
-                    continue
-                if os.path.getmtime(full) > cutoff:
-                    continue
+    # metadata-segment GC: content-addressed segments referenced by
+    # no surviving manifest and no clone marker are garbage
+    # (retire_versions orphans them). Same age guard as data files —
+    # a racing publish writes (or mtime-refreshes) its segments
+    # BEFORE its manifest links into place. Reported in the returned
+    # list and simulated under dry_run like everything else vacuum
+    # touches — an audit built from the return must see the whole
+    # deletion.
+    segdir = _segments_dir(root)
+    if os.path.isdir(segdir):
+        live_segs: set[str] = set()
+        for v in list_versions(root):
+            live_segs.update(
+                _read_manifest_raw(root, v).get("segments", ())
+            )
+        rootabs = os.path.abspath(root)
+        for c in list_clones(root):
+            if c.get("segments") and os.path.abspath(
+                c.get("segments_root") or root
+            ) == rootabs:
+                live_segs.update(c["segments"])
+        for n in sorted(os.listdir(segdir)):
+            if not (n.startswith("seg-") and n.endswith(".json")):
+                continue
+            full = os.path.join(segdir, n)
+            if n[:-5] in live_segs:
+                continue
+            if os.path.getmtime(full) > cutoff:
+                continue
+            doomed.append(os.path.relpath(full, root))
+            if not dry_run:
                 os.remove(full)
     return sorted(doomed)
 
