@@ -278,6 +278,100 @@ def test_segment_gc_and_clone_pins(tmp_path, seg_small):
     assert files[5] in vacuum(root, min_age_seconds=0)
 
 
+def test_two_level_pruning_skips_unloaded_segments(
+    tmp_path, seg_small, monkeypatch
+):
+    """Segment summaries (the Iceberg manifest-list shape): a
+    selective predicate must skip whole segments WITHOUT loading
+    them, agree exactly with full-resolution pruning on what it
+    keeps, and fold partition pseudo-stats into the summaries so a
+    stats-less partitioned table still prunes at segment grain."""
+    from trial_submission_studio_spark.io.zonemap import (
+        prune_files,
+        prune_manifest,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    # 16 files, k-ranges clustered per file -> 4-entry segments hold
+    # contiguous k ranges (residual fills sorted)
+    files = []
+    stats = {}
+    for i in range(16):
+        rel = _mk_file(root, f"data/r/f{i:02d}.parquet")
+        files.append(rel)
+        stats[rel] = {
+            "num_rows": 10,
+            "columns": {"k": {"t": "int", "min": i * 10,
+                              "max": i * 10 + 9, "nulls": 0}},
+        }
+    publish_files(root, files, stats=stats)
+    raw = versioned._read_manifest_raw(root, 1)
+    assert raw["segments"] and set(raw["segment_stats"]) == set(
+        raw["segments"]
+    )
+
+    loads = {"n": 0}
+    real_load = versioned._load_segment
+
+    def counting_load(r, sid):
+        loads["n"] += 1
+        return real_load(r, sid)
+
+    monkeypatch.setattr(versioned, "_load_segment", counting_load)
+    versioned._SEG_CACHE.clear()
+
+    pred = [("k", "<", 25)]
+    pr = prune_manifest(root, 1, pred)
+    # only the first segment(s) load; the rest skip on summaries
+    assert loads["n"] < len(raw["segments"])
+    assert pr["segments_skipped"] >= 2
+    assert pr["rows_skipped_bound"] >= 100
+    # exact agreement with full-resolution pruning
+    full = prune_files(read_manifest(root, 1), pred)
+    assert pr["kept"] == sorted(full["kept"])
+    assert pr["files_skipped"] == len(full["skipped"])
+
+    # dv refs of kept files travel on the plan
+    commit_files(
+        root, base_version=1, kind="keyed",
+        dv_updates={files[0]: {"sidecars": ["dv/a.parquet"], "rows": 1}},
+    )
+    pr2 = prune_manifest(root, 2, pred)
+    assert pr2["dv"] == {
+        files[0]: {"sidecars": ["dv/a.parquet"], "rows": 1}
+    }
+
+    # partitioned, ZERO footer stats: summaries come from the
+    # path-derived pseudo-stats alone
+    proot = str(tmp_path / "p")
+    os.makedirs(proot)
+    pfiles = [
+        _mk_file(proot, f"data/r/__p_day=d{i // 4}/f{i:02d}.parquet")
+        for i in range(16)
+    ]
+    publish_files(
+        proot, pfiles,
+        metadata={"partition_spec": {"cols": ["day"]}},
+    )
+    prp = prune_manifest(proot, 1, [("day", "=", "d0")])
+    assert prp["segments_skipped"] >= 2
+    assert prp["kept"] == sorted(pfiles[:4])
+
+    # plain manifests fall through with the same shape
+    monkeypatch.setattr(versioned, "SEGMENT_MIN_FILES", 10**9)
+    sroot = str(tmp_path / "s")
+    os.makedirs(sroot)
+    sfiles = [_mk_file(sroot, f"data/r/g{i}.parquet") for i in range(4)]
+    publish_files(sroot, sfiles, stats={
+        f: {"num_rows": 5, "columns": {"k": {"t": "int", "min": i,
+                                             "max": i, "nulls": 0}}}
+        for i, f in enumerate(sfiles)
+    })
+    prs = prune_manifest(sroot, 1, [("k", "=", 2)])
+    assert prs["segments_total"] == 0 and len(prs["kept"]) == 1
+
+
 def test_vacuum_reports_segment_gc_and_resurrect_refreshes_mtime(
     tmp_path, seg_small
 ):

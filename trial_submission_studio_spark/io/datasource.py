@@ -22,7 +22,7 @@ JVM parquet scan — the explicit-file-list readers
 convenience/pushdown surface, priced honestly.
 
 Batch semantics: one :class:`InputPartition` per surviving data file
-(after `io/zonemap.py:prune_files` with the pushed conjuncts — which
+(after `io/zonemap.py:prune_manifest` with the pushed conjuncts — which
 already composes footer stats, Hive-partition pseudo-stats and the
 column mapping). Files carrying deletion vectors read WITHOUT arrow
 predicate filtering (row ordinals must survive to apply tombstones),
@@ -266,19 +266,23 @@ def _filter_conjunct(f: Filter):
 def plan_files(
     root: str, version: int | None, conjuncts: list[tuple]
 ) -> dict:
-    """The driver-side plan the batch reader executes: manifest +
-    pruned file list (zone maps x partition dirs x column mapping).
+    """The driver-side plan the batch reader executes: the pruned
+    file list + the kept files' dv refs (zone maps x partition dirs x
+    column mapping), resolved TWO-LEVEL on segmented manifests —
+    segment summaries skip whole metadata segments before any of
+    their entries load (`zonemap.prune_manifest`), so a selective
+    read on a huge table never parses the non-matching metadata.
     Exposed for tests/audits — the `plan_facts` of the format route."""
-    from . import versioned
-    from .zonemap import prune_files
+    from .zonemap import prune_manifest
 
-    m = versioned.read_manifest(root, version)
-    pruned = prune_files(m, conjuncts) if conjuncts else None
+    pr = prune_manifest(root, version, list(conjuncts))
     return {
-        "manifest": m,
-        "files": pruned["kept"] if pruned else list(m["files"]),
-        "files_total": len(m["files"]),
-        "files_skipped": len(pruned["skipped"]) if pruned else 0,
+        "files": pr["kept"],
+        "dv": pr["dv"],
+        "files_total": pr["files_total"],
+        "files_skipped": pr["files_skipped"],
+        "segments_total": pr["segments_total"],
+        "segments_skipped": pr["segments_skipped"],
         "conjuncts": list(conjuncts),
     }
 
@@ -458,8 +462,7 @@ class _TssBatchReader(DataSourceReader):
 
     def partitions(self):
         plan = plan_files(self._root, self._version, self._conjuncts)
-        m = plan["manifest"]
-        dv = m.get("dv") or {}
+        dv = plan["dv"]
         out = []
         for f in plan["files"]:
             e = dv.get(f)
@@ -879,6 +882,8 @@ def _ds_maybe_segment(root: str, manifest: dict, prev_raw) -> dict:
     fset = set(files)
     covered: set = set()
     reused: list = []
+    prev_summaries = (prev_raw or {}).get("segment_stats") or {}
+    summaries: dict = {}
     for sid in (prev_raw or {}).get("segments", ()):
         entries = _ds_load_segment(root, sid)
         if all(
@@ -889,6 +894,10 @@ def _ds_maybe_segment(root: str, manifest: dict, prev_raw) -> dict:
         ):
             reused.append(sid)
             covered.update(e["file"] for e in entries)
+            if sid in prev_summaries:
+                # carry the two-level pruning summaries forward; a
+                # segment without one simply loads at plan time
+                summaries[sid] = prev_summaries[sid]
     residual = [f for f in files if f not in covered]
     # fold undersized tail segments (mirror of versioned's LSM-style
     # fold — keeps segment count O(files/target) under 1-file batches)
@@ -899,7 +908,7 @@ def _ds_maybe_segment(root: str, manifest: dict, prev_raw) -> dict:
             or len(tail) + len(residual) > _DS_SEGMENT_TARGET_ENTRIES
         ):
             break
-        reused.pop()
+        summaries.pop(reused.pop(), None)
         residual = sorted(set(residual) | {e["file"] for e in tail})
     segdir = os.path.join(root, "_versions", "segments")
     os.makedirs(segdir, exist_ok=True)
@@ -940,11 +949,14 @@ def _ds_maybe_segment(root: str, manifest: dict, prev_raw) -> dict:
                 if os.path.exists(tmp):
                     os.remove(tmp)
         fresh.append(sid)
+        summaries[sid] = {"n_files": len(entries)}
     out = {
         k: v for k, v in manifest.items()
         if k not in ("files", "stats", "dv")
     }
     out["segments"] = reused + fresh
+    if summaries:
+        out["segment_stats"] = summaries
     out["dv_rows"] = sum(e["rows"] for e in dv.values())
     return out
 

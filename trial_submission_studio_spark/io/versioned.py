@@ -280,6 +280,69 @@ def _resolve_manifest(root: str, raw: dict) -> dict:
     return m
 
 
+def _segment_summary(entries: list[dict], pseudo: dict) -> dict:
+    """Zone-map SUMMARY of one segment's member files — the same
+    entry shape `zonemap._file_might_match` consumes, so a predicate
+    can skip a whole metadata segment WITHOUT loading it (two-level
+    pruning, the Iceberg manifest-list shape). Soundness rules: a
+    column appears only when EVERY member file carries same-tagged
+    stats for it (min/max = global bounds, nulls summed); num_rows
+    only when every member records it; anything uncertain is simply
+    omitted, which the matcher treats as "might match" — a summary
+    can cost a segment load, never rows. ``pseudo`` is the
+    path-derived partition pseudo-stats map (exact values), merged
+    per file exactly like `zonemap._with_partition_stats` does."""
+    n_rows = 0
+    have_rows = True
+    cols_agg: dict = {}
+    first = True
+    for e in entries:
+        st = e.get("stats") or {}
+        fcols = dict(st.get("columns") or {})
+        ps = pseudo.get(e["file"])
+        if ps:
+            fcols.update(ps["columns"])
+        nr = st.get("num_rows")
+        if nr is None:
+            have_rows = False
+        else:
+            n_rows += nr
+        if first:
+            cols_agg = {c: dict(s) for c, s in fcols.items()}
+            first = False
+            continue
+        for c in list(cols_agg):
+            cur = cols_agg[c]
+            if cur is None:
+                continue
+            s = fcols.get(c)
+            if s is None or s.get("t") != cur["t"]:
+                cols_agg[c] = None
+                continue
+            try:
+                if s["min"] < cur["min"]:
+                    cur["min"] = s["min"]
+                if s["max"] > cur["max"]:
+                    cur["max"] = s["max"]
+            except TypeError:
+                cols_agg[c] = None
+                continue
+            cur["nulls"] += s["nulls"]
+    out: dict = {"n_files": len(entries)}
+    # lexicographic file-name range: entries are sorted chunks, so
+    # membership of any path in this segment implies
+    # file_min <= path <= file_max — what lets a commit prove a
+    # segment UNTOUCHED by its delta without loading it
+    out["file_min"] = entries[0]["file"]
+    out["file_max"] = entries[-1]["file"]
+    if have_rows:
+        out["num_rows"] = n_rows
+    cols = {c: s for c, s in cols_agg.items() if s is not None}
+    if cols:
+        out["columns"] = cols
+    return out
+
+
 def _maybe_segment(root: str, manifest: dict) -> dict:
     """The on-disk form of a manifest: unchanged below
     :data:`SEGMENT_MIN_FILES`; above it, per-file entries are packed
@@ -305,6 +368,27 @@ def _maybe_segment(root: str, manifest: dict) -> dict:
             prev = {}
     else:
         prev = {}
+    # path-derived partition pseudo-stats fold into the segment
+    # summaries so two-level pruning skips whole partitions' worth of
+    # segments without loading them (mirrors _with_partition_stats)
+    md = manifest.get("metadata") or {}
+    if md.get("partition_spec") or md.get("partition_spec_history"):
+        from .partitioned_table import partition_pseudo_stats
+
+        pseudo = partition_pseudo_stats(manifest)
+    else:
+        pseudo = {}
+    prev_summaries = prev.get("segment_stats") or {}
+    summaries: dict = {}
+
+    def _entry(f: str) -> dict:
+        e: dict = {"file": f}
+        if f in stats:
+            e["stats"] = stats[f]
+        if f in dv:
+            e["dv"] = dv[f]
+        return e
+
     for sid in prev.get("segments", ()):
         entries = _load_segment(root, sid)
         if all(
@@ -315,6 +399,9 @@ def _maybe_segment(root: str, manifest: dict) -> dict:
         ):
             reused.append(sid)
             covered.update(e["file"] for e in entries)
+            summaries[sid] = prev_summaries.get(sid) or _segment_summary(
+                entries, pseudo
+            )
     residual = [f for f in files if f not in covered]
     # fold undersized TAIL segments into this commit's fresh batch
     # (LSM-style): without it, 1-file appends accumulate 1-entry
@@ -329,27 +416,28 @@ def _maybe_segment(root: str, manifest: dict) -> dict:
             or len(tail) + len(residual) > SEGMENT_TARGET_ENTRIES
         ):
             break
-        reused.pop()
+        sid = reused.pop()
+        summaries.pop(sid, None)
         # the tail's stats/dv entries are already in the manifest's
         # full maps (the reuse check proved them identical), so only
         # the file set moves
         residual = sorted(set(residual) | {e["file"] for e in tail})
     fresh: list[str] = []
     for i in range(0, len(residual), SEGMENT_TARGET_ENTRIES):
-        entries = []
-        for f in residual[i : i + SEGMENT_TARGET_ENTRIES]:
-            e: dict = {"file": f}
-            if f in stats:
-                e["stats"] = stats[f]
-            if f in dv:
-                e["dv"] = dv[f]
-            entries.append(e)
-        fresh.append(_write_segment(root, entries))
+        entries = [
+            _entry(f) for f in residual[i : i + SEGMENT_TARGET_ENTRIES]
+        ]
+        sid = _write_segment(root, entries)
+        fresh.append(sid)
+        summaries[sid] = _segment_summary(entries, pseudo)
     out = {
         k: v for k, v in manifest.items()
         if k not in ("files", "stats", "dv")
     }
     out["segments"] = reused + fresh
+    out["segment_stats"] = {
+        sid: summaries[sid] for sid in out["segments"]
+    }
     # summary so history/audit walks stay metadata-only
     out["dv_rows"] = sum(e["rows"] for e in dv.values())
     return out
@@ -1328,6 +1416,7 @@ def table_detail(root: str, version: int | None = None) -> dict:
     return {
         "root": os.path.abspath(root),
         "version": m["version"],
+        "n_segments": len(m.get("segments") or ()),
         "created_utc": m["created_utc"],
         "n_files": len(m["files"]),
         "total_bytes": sum(sizes),

@@ -468,6 +468,112 @@ def prune_files(manifest: dict, predicate: list[tuple]) -> dict:
     }
 
 
+def prune_manifest(
+    root: str, version: int | None, predicate: list[tuple]
+) -> dict:
+    """TWO-LEVEL pruning straight off the metadata store (the Iceberg
+    manifest-list read path): on a segmented manifest, each segment's
+    recorded zone-map SUMMARY (`versioned._segment_summary`) is
+    checked first — a segment the predicate provably cannot match is
+    skipped WITHOUT loading it, so a selective read on a 10^6-file
+    table parses only the matching segments instead of resolving the
+    whole store; surviving segments then prune per-file exactly like
+    :func:`prune_files`. Plain manifests fall through to the classic
+    path. Returns ``{"kept", "dv", "files_total", "files_skipped",
+    "segments_total", "segments_skipped", "rows_skipped_bound"}`` —
+    skipped segments contribute their file/row counts from the
+    summary (their file NAMES are never materialized, by design).
+    Soundness is the summary's contract: bounds cover every member
+    file, uncertainty keeps — a summary can cost a load, never rows."""
+    from .versioned import (
+        _load_segment,
+        _read_manifest_raw,
+        current_version,
+        read_manifest,
+    )
+
+    if version is None:
+        version = current_version(root)
+    raw = _read_manifest_raw(root, version)
+    if "segments" not in raw:
+        m = read_manifest(root, version)
+        pr = prune_files(m, predicate) if predicate else None
+        kept = pr["kept"] if pr else list(m["files"])
+        dv = m.get("dv") or {}
+        return {
+            "kept": kept,
+            "dv": {f: dv[f] for f in kept if f in dv},
+            "files_total": len(m["files"]),
+            "files_skipped": len(pr["skipped"]) if pr else 0,
+            "segments_total": 0,
+            "segments_skipped": 0,
+            "rows_skipped_bound": pr["rows_skipped_bound"] if pr else 0,
+        }
+    pred = _physical_conjuncts(raw, predicate)
+    summaries = raw.get("segment_stats") or {}
+    kept: list = []
+    dv: dict = {}
+    files_total = raw.get("n_files", 0)
+    files_skipped = 0
+    segs_skipped = 0
+    rows_skipped = 0
+    from .partitioned_table import partition_pseudo_stats
+
+    md = raw.get("metadata") or {}
+    partitioned = bool(
+        md.get("partition_spec") or md.get("partition_spec_history")
+    )
+    for sid in raw["segments"]:
+        summ = summaries.get(sid)
+        if (
+            pred
+            and summ
+            and not all(_file_might_match(summ, c) for c in pred)
+        ):
+            segs_skipped += 1
+            files_skipped += summ.get("n_files", 0)
+            rows_skipped += summ.get("num_rows") or 0
+            continue
+        entries = _load_segment(root, sid)
+        seg_files = [e["file"] for e in entries]
+        stats = {
+            e["file"]: e["stats"] for e in entries if "stats" in e
+        }
+        if partitioned:
+            ps = partition_pseudo_stats(
+                {"files": seg_files, "metadata": md}
+            )
+            for f, e in ps.items():
+                cur = stats.get(f)
+                if cur:
+                    cols = dict(cur.get("columns") or {})
+                    cols.update(e["columns"])
+                    stats[f] = {**cur, "columns": cols}
+                else:
+                    stats[f] = e
+        for e in entries:
+            f = e["file"]
+            st = stats.get(f)
+            if pred and st is not None and not all(
+                _file_might_match(st, c) for c in pred
+            ):
+                files_skipped += 1
+                rows_skipped += st.get("num_rows") or 0
+                continue
+            kept.append(f)
+            if "dv" in e:
+                dv[f] = e["dv"]
+    return {
+        "kept": sorted(kept),
+        "dv": dv,
+        "files_total": files_total,
+        "files_skipped": files_skipped,
+        "segments_total": len(raw["segments"]),
+        "segments_skipped": segs_skipped,
+        "rows_skipped_bound": rows_skipped,
+    }
+
+
 def predicate_to_column(predicate: list[tuple]) -> Column:
     """The same conjunctive predicate as a Spark Column, so the
     pruned read still FILTERS (and Spark still pushes the filter into
