@@ -372,6 +372,87 @@ def test_two_level_pruning_skips_unloaded_segments(
     assert prs["segments_total"] == 0 and len(prs["kept"]) == 1
 
 
+def test_delta_reuse_appends_with_zero_loads(
+    tmp_path, seg_small, monkeypatch
+):
+    """commit_files passes its exact footprint to the segmenter: a
+    pure append proves every prior segment untouched via the summary
+    file-name ranges and reuses it with ZERO segment loads (a
+    delete loads only the segments whose range covers the doomed
+    path); a poisoned summary falls back to the full scan and stays
+    byte-correct."""
+    import json as _json
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    files = []
+    stats = {}
+    for i in range(16):
+        rel = _mk_file(root, f"data/r/f{i:02d}.parquet")
+        files.append(rel)
+        stats[rel] = {"num_rows": 3}
+    publish_files(root, files, stats=stats)
+
+    loads = {"n": 0}
+    real_load = versioned._load_segment
+
+    def counting_load(r, sid):
+        loads["n"] += 1
+        return real_load(r, sid)
+
+    monkeypatch.setattr(versioned, "_load_segment", counting_load)
+    versioned._SEG_CACHE.clear()
+
+    n_segs = len(versioned._read_manifest_raw(root, 1)["segments"])
+    extra = _mk_file(root, "data/r/zz.parquet")
+    commit_files(
+        root, base_version=1, kind="append", add_files=[extra],
+        add_stats={extra: {"num_rows": 3}},
+    )
+    # commit_files resolves the BASE manifest once (n_segs calls);
+    # the SEGMENTER itself contributes ZERO — before the delta fast
+    # path it re-walked every segment for the reuse check + the tail
+    assert loads["n"] == n_segs
+    m = read_manifest(root)
+    assert len(m["files"]) == 17 and extra in m["stats"]
+
+    # a targeted delete walks resolution + ONLY the covering segment
+    loads["n"] = 0
+    versioned._SEG_CACHE.clear()
+    commit_files(
+        root, base_version=2, kind="keyed", remove_files=[files[0]]
+    )
+    raw2 = versioned._read_manifest_raw(root, 2)
+    # resolution (n segs) + the one covering segment + possibly one
+    # undersized-tail fold load — never a second full walk
+    assert loads["n"] <= len(raw2["segments"]) + 2
+    assert files[0] not in read_manifest(root)["files"]
+
+    # poisoned summary (file_min stripped): books still balance via
+    # the full-scan fallback and the result is identical
+    vpath = versioned._manifest_path(root, versioned.current_version(root))
+    doc = _json.loads(open(vpath).read())
+    for summ in doc["segment_stats"].values():
+        summ.pop("file_min", None)
+        summ.pop("file_max", None)
+    os.chmod(vpath, 0o644)
+    with open(vpath, "w") as fh:
+        fh.write(_json.dumps(doc))
+    loads["n"] = 0
+    versioned._SEG_CACHE.clear()
+    extra2 = _mk_file(root, "data/r/zz2.parquet")
+    commit_files(
+        root,
+        base_version=versioned.current_version(root),
+        kind="append",
+        add_files=[extra2],
+    )
+    assert loads["n"] > 0  # fell back to loading
+    got = read_manifest(root)
+    assert extra2 in got["files"] and files[0] not in got["files"]
+    assert len(got["files"]) == 17
+
+
 def test_vacuum_reports_segment_gc_and_resurrect_refreshes_mtime(
     tmp_path, seg_small
 ):

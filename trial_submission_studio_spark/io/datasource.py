@@ -864,7 +864,9 @@ class _TssWriter(DataSourceArrowWriter):
         shutil.rmtree(self._run_dir, ignore_errors=True)
 
 
-def _ds_maybe_segment(root: str, manifest: dict, prev_raw) -> dict:
+def _ds_maybe_segment(
+    root: str, manifest: dict, prev_raw, added=None
+) -> dict:
     """Stdlib mirror of `versioned._maybe_segment`: above the
     threshold, pack per-file entries into content-addressed segments,
     reusing every predecessor segment whose entries all survive —
@@ -884,7 +886,18 @@ def _ds_maybe_segment(root: str, manifest: dict, prev_raw) -> dict:
     reused: list = []
     prev_summaries = (prev_raw or {}).get("segment_stats") or {}
     summaries: dict = {}
+    covered_n = 0
     for sid in (prev_raw or {}).get("segments", ()):
+        summ = prev_summaries.get(sid)
+        if added is not None and summ and "file_min" in summ:
+            # a sink commit is a PURE APPEND: every prior segment is
+            # untouched by construction, so a ranged summary reuses
+            # it with zero loads (mirror of versioned._maybe_segment's
+            # delta fast path with an empty touched set)
+            reused.append(sid)
+            summaries[sid] = summ
+            covered_n += summ["n_files"]
+            continue
         entries = _ds_load_segment(root, sid)
         if all(
             e["file"] in fset
@@ -893,21 +906,32 @@ def _ds_maybe_segment(root: str, manifest: dict, prev_raw) -> dict:
             for e in entries
         ):
             reused.append(sid)
+            covered_n += len(entries)
             covered.update(e["file"] for e in entries)
             if sid in prev_summaries:
                 # carry the two-level pruning summaries forward; a
                 # segment without one simply loads at plan time
                 summaries[sid] = prev_summaries[sid]
-    residual = [f for f in files if f not in covered]
+    if added is not None:
+        residual_set = set(added)
+        if covered_n + len(residual_set) != len(files):
+            # books don't balance (stale summary): full per-entry scan
+            return _ds_maybe_segment(root, manifest, prev_raw)
+        residual = sorted(residual_set)
+    else:
+        residual = [f for f in files if f not in covered]
     # fold undersized tail segments (mirror of versioned's LSM-style
     # fold — keeps segment count O(files/target) under 1-file batches)
     while reused:
-        tail = _ds_load_segment(root, reused[-1])
+        n_tail = (summaries.get(reused[-1]) or {}).get("n_files")
+        if n_tail is None:
+            n_tail = len(_ds_load_segment(root, reused[-1]))
         if (
-            len(tail) >= _DS_SEGMENT_TARGET_ENTRIES // 2
-            or len(tail) + len(residual) > _DS_SEGMENT_TARGET_ENTRIES
+            n_tail >= _DS_SEGMENT_TARGET_ENTRIES // 2
+            or n_tail + len(residual) > _DS_SEGMENT_TARGET_ENTRIES
         ):
             break
+        tail = _ds_load_segment(root, reused[-1])
         summaries.pop(reused.pop(), None)
         residual = sorted(set(residual) | {e["file"] for e in tail})
     segdir = os.path.join(root, "_versions", "segments")
@@ -1095,7 +1119,7 @@ def _ds_append_commit(
                 if cur["metadata"].get(k):
                     manifest["metadata"][k] = cur["metadata"][k]
         path = os.path.join(vd, f"v{version:08d}.json")
-        disk = _ds_maybe_segment(root, manifest, cur_raw)
+        disk = _ds_maybe_segment(root, manifest, cur_raw, added=files)
         payload = json.dumps(disk, indent=1)
         fd, tmp = tempfile.mkstemp(dir=vd, suffix=".tmp")
         try:

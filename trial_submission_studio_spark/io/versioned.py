@@ -343,7 +343,7 @@ def _segment_summary(entries: list[dict], pseudo: dict) -> dict:
     return out
 
 
-def _maybe_segment(root: str, manifest: dict) -> dict:
+def _maybe_segment(root: str, manifest: dict, delta: dict | None = None) -> dict:
     """The on-disk form of a manifest: unchanged below
     :data:`SEGMENT_MIN_FILES`; above it, per-file entries are packed
     into content-addressed segments, REUSING every predecessor
@@ -351,7 +351,16 @@ def _maybe_segment(root: str, manifest: dict) -> dict:
     stats entry equal, dv entry equal) — so commit metadata is
     O(delta), not O(table). An append reuses all prior segments and
     writes one new one; a delete_where or dv update rewrites only the
-    segments holding touched entries."""
+    segments holding touched entries.
+
+    ``delta`` (from `commit_files`, which knows its exact footprint:
+    ``{"touched": set, "added": list}``) upgrades the reuse CHECK to
+    O(delta) as well: a segment whose summary file-name range misses
+    every touched path is provably untouched and reuses WITHOUT
+    loading — a pure append re-reads zero prior metadata. A coverage
+    accounting check (covered + residual == n_files) falls back to
+    the full per-entry scan if the fast-path books don't balance, so
+    a stale or missing summary can cost loads, never correctness."""
     files = manifest["files"]
     if len(files) < SEGMENT_MIN_FILES:
         return manifest
@@ -389,7 +398,26 @@ def _maybe_segment(root: str, manifest: dict) -> dict:
             e["dv"] = dv[f]
         return e
 
+    touched = delta["touched"] if delta is not None else None
+    covered_n = 0
+    residual_set: set[str] = set()
     for sid in prev.get("segments", ()):
+        summ = prev_summaries.get(sid)
+        if (
+            touched is not None
+            and summ
+            and "file_min" in summ
+            and not any(
+                summ["file_min"] <= f <= summ["file_max"]
+                for f in touched
+            )
+        ):
+            # provably untouched by this commit's footprint: reuse
+            # segment AND summary with zero loads
+            reused.append(sid)
+            summaries[sid] = summ
+            covered_n += summ["n_files"]
+            continue
         entries = _load_segment(root, sid)
         if all(
             e["file"] in fset
@@ -398,11 +426,26 @@ def _maybe_segment(root: str, manifest: dict) -> dict:
             for e in entries
         ):
             reused.append(sid)
+            covered_n += len(entries)
             covered.update(e["file"] for e in entries)
             summaries[sid] = prev_summaries.get(sid) or _segment_summary(
                 entries, pseudo
             )
-    residual = [f for f in files if f not in covered]
+        else:
+            residual_set.update(
+                e["file"] for e in entries if e["file"] in fset
+            )
+    if touched is not None:
+        residual_set.update(delta["added"])
+        if covered_n + len(residual_set) != len(files):
+            # the fast-path books don't balance (stale summary, an
+            # out-of-contract delta): recompute with the full
+            # per-entry scan — loads, never wrong bytes
+            return _maybe_segment(root, manifest, delta=None)
+        residual = sorted(residual_set)
+    else:
+        residual_set.update(f for f in files if f not in covered)
+        residual = [f for f in files if f in residual_set]
     # fold undersized TAIL segments into this commit's fresh batch
     # (LSM-style): without it, 1-file appends accumulate 1-entry
     # segments and the manifest's ref list grows O(commits). With it,
@@ -410,12 +453,15 @@ def _maybe_segment(root: str, manifest: dict) -> dict:
     # O(files/target) and per-commit bytes are bounded by ~half a
     # target segment — still O(delta), amortized.
     while reused:
-        tail = _load_segment(root, reused[-1])
+        n_tail = (summaries.get(reused[-1]) or {}).get("n_files")
+        if n_tail is None:
+            n_tail = len(_load_segment(root, reused[-1]))
         if (
-            len(tail) >= SEGMENT_TARGET_ENTRIES // 2
-            or len(tail) + len(residual) > SEGMENT_TARGET_ENTRIES
+            n_tail >= SEGMENT_TARGET_ENTRIES // 2
+            or n_tail + len(residual) > SEGMENT_TARGET_ENTRIES
         ):
             break
+        tail = _load_segment(root, reused[-1])
         sid = reused.pop()
         summaries.pop(sid, None)
         # the tail's stats/dv entries are already in the manifest's
@@ -519,6 +565,7 @@ def publish_files(
     constraints: dict | None = None,
     column_mapping: dict | None = None,
     _expect_version: int | None = None,
+    _delta: dict | None = None,
 ) -> dict:
     """Atomically publish a new version from an EXPLICIT root-relative
     file list (the primitive under :func:`publish_version`; used
@@ -608,7 +655,7 @@ def publish_files(
     # big manifests go SEGMENTED on disk (O(delta) commit metadata —
     # see _maybe_segment); the in-memory return keeps the classic
     # resolved shape callers expect, plus the segment refs
-    disk = _maybe_segment(root, manifest)
+    disk = _maybe_segment(root, manifest, delta=_delta)
     # exclusive create: of two writers racing for this version number
     # exactly one wins; the loser's FileExistsError is the commit
     # loop's retry signal (commit_files catches it)
@@ -868,6 +915,14 @@ def commit_files(
                 # any commit sneaking in between validation and link
                 # turns into a loud retry, never a lost update
                 _expect_version=(cur_v or 0) + 1,
+                # the commit's exact metadata footprint: segments whose
+                # file-name range misses all of it reuse with ZERO loads
+                _delta={
+                    "touched": remove
+                    | set(dv_updates or ())
+                    | set(add_stats or ()),
+                    "added": list(add_files),
+                },
             )
         except FileExistsError:
             continue  # lost the manifest-create race; re-examine world
