@@ -2577,6 +2577,8 @@ def _lifecycle_gate_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             shallow_clone,
         )
 
+        from trial_submission_studio_spark.io import versioned as _V
+
         root = tempfile.mkdtemp(prefix="tss-lcgate-") + "/t"
         ev = _t(spark, sf_dir, "events").select(
             "event_id",
@@ -2585,19 +2587,32 @@ def _lifecycle_gate_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "value",
         )
-        publish_partitioned(spark, ev, root, "day")
-        delete_where(spark, root, [("day", "<", "2024-01-10")])
-        rename_column(spark, root, "value", "val")
-        branch = root + "-branch"
-        shallow_clone(root, branch, spark=spark)
-        delete_matching_dv(
-            spark,
-            branch,
-            ev.filter(F.col("event_id") % 101 == 0).select("event_id"),
-            "event_id",
-            verify=False,
-        )
-        publish_clone(spark, branch)
+        # r15: build the gate table SEGMENTED (the ~21-file table sits
+        # below the production threshold, so the oracle would never
+        # exercise the manifest-segment machinery) — every lifecycle
+        # commit below, the clone's segment-ref pin, and both read
+        # routes then resolve segments inside the hash-pinned path at
+        # all three SFs
+        old_seg = _V.SEGMENT_MIN_FILES, _V.SEGMENT_TARGET_ENTRIES
+        _V.SEGMENT_MIN_FILES, _V.SEGMENT_TARGET_ENTRIES = 8, 8
+        try:
+            publish_partitioned(spark, ev, root, "day")
+            delete_where(spark, root, [("day", "<", "2024-01-10")])
+            rename_column(spark, root, "value", "val")
+            branch = root + "-branch"
+            shallow_clone(root, branch, spark=spark)
+            delete_matching_dv(
+                spark,
+                branch,
+                ev.filter(F.col("event_id") % 101 == 0).select(
+                    "event_id"
+                ),
+                "event_id",
+                verify=False,
+            )
+            publish_clone(spark, branch)
+        finally:
+            _V.SEGMENT_MIN_FILES, _V.SEGMENT_TARGET_ENTRIES = old_seg
         _LIFECYCLE_GATE_MEMO[sf_dir] = root
     from trial_submission_studio_spark.io.versioned import read_version
 
