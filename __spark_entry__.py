@@ -3365,11 +3365,19 @@ def table_manifest_segment_bench(
 
     memo = _SEGMENT_BENCH_MEMO.get(sf_dir)
     if memo is None:
+        import glob
+
         import pyarrow.parquet as pq
 
-        n_rows = pq.ParquetFile(
-            os.path.join(sf_dir, "events.parquet")
-        ).metadata.num_rows
+        p = os.path.join(sf_dir, "events.parquet")
+        parts = (
+            sorted(glob.glob(os.path.join(p, "*.parquet")))
+            if os.path.isdir(p)  # sf1 replicas are Spark-written dirs
+            else [p]
+        )
+        n_rows = sum(
+            pq.ParquetFile(x).metadata.num_rows for x in parts
+        )
         n_files = max(1000, n_rows // 100)
         root = tempfile.mkdtemp(prefix="tss-seg-bench-") + "/t"
         os.makedirs(os.path.join(root, "data", "r"), exist_ok=True)

@@ -453,6 +453,35 @@ def test_delta_reuse_appends_with_zero_loads(
     assert len(got["files"]) == 17
 
 
+def test_incomplete_stats_entries_survive_segmentation(
+    tmp_path, seg_small
+):
+    """r15 review fix: caller-composed stats entries missing fields
+    the read path tolerates (no 'nulls', no 'min') must not crash a
+    segmented commit — the column is omitted from the summary (the
+    matcher keeps) and resolution returns the entries verbatim."""
+    from trial_submission_studio_spark.io.zonemap import prune_manifest
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    files = [_mk_file(root, f"data/r/f{i}.parquet") for i in range(6)]
+    stats = {
+        f: {"columns": {"k": {"t": "int", "min": i, "max": i}}}
+        for i, f in enumerate(files)  # no 'nulls', no num_rows
+    }
+    m = publish_files(root, files, stats=stats)
+    assert versioned._read_manifest_raw(root, 1).get("segments")
+    assert read_manifest(root)["stats"] == stats  # verbatim roundtrip
+    # summaries omit the incomplete column -> nothing skips, no crash
+    pr = prune_manifest(root, 1, [("k", "isnull")])
+    assert pr["kept"] == sorted(files)
+    commit_files(
+        root, base_version=m["version"], kind="append",
+        add_files=[_mk_file(root, "data/r/z.parquet")],
+    )
+    assert len(read_manifest(root)["files"]) == 7
+
+
 def test_vacuum_reports_segment_gc_and_resurrect_refreshes_mtime(
     tmp_path, seg_small
 ):

@@ -6,7 +6,6 @@ operator consumes resolved manifests, so this is the proof the
 segmentation layer is invisible to the whole machine, not just to the
 micro-ops the model test replays."""
 
-import os
 
 import pytest
 
@@ -81,9 +80,10 @@ def test_full_lifecycle_on_segmented_store(spark, tmp_path, seg_small):
     publish_clone(spark, branch)
     live -= {k for k in range(80) if k % 10 == 1}
     got = read_version(spark, root)
-    assert got.columns == ["event_id", "day", "val"] or set(
-        got.columns
-    ) == {"event_id", "day", "val"}
+    # column ORDER under a lazily-initialized mapping is the
+    # name-sorted identity map's, pinned by test_column_mapping —
+    # here the segmented read only needs the right column SET
+    assert set(got.columns) == {"event_id", "day", "val"}
     assert _snap(got.select("event_id")) == {(k,) for k in live}
 
     # spec evolution mid-lifecycle, then compaction (rewrites into

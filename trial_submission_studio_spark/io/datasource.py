@@ -448,7 +448,10 @@ class _TssBatchReader(DataSourceReader):
             self._version = versioned.current_version(self._root)
         self._schema = schema
         self._conjuncts: list[tuple] = []
-        m = versioned.read_manifest(self._root, self._version)
+        # RAW read: column_mapping is a top-level manifest key, so
+        # resolving every segment here would defeat the two-level
+        # pruning plan_files is about to do
+        m = versioned._read_manifest_raw(self._root, self._version)
         self._mapping = m.get("column_mapping") or None
 
     def pushFilters(self, filters):
@@ -973,7 +976,15 @@ def _ds_maybe_segment(
                 if os.path.exists(tmp):
                     os.remove(tmp)
         fresh.append(sid)
-        summaries[sid] = {"n_files": len(entries)}
+        # ranged summary (entries are sorted) so the NEXT micro-batch
+        # reuses this segment with zero loads; column summaries need
+        # stats the sink doesn't collect — a later batch-side commit
+        # upgrades them on its load-verify pass
+        summaries[sid] = {
+            "n_files": len(entries),
+            "file_min": entries[0]["file"],
+            "file_max": entries[-1]["file"],
+        }
     out = {
         k: v for k, v in manifest.items()
         if k not in ("files", "stats", "dv")

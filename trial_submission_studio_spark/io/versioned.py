@@ -307,8 +307,18 @@ def _segment_summary(entries: list[dict], pseudo: dict) -> dict:
             have_rows = False
         else:
             n_rows += nr
+        def _complete(s) -> bool:
+            # caller-composed stats may omit fields the read path
+            # tolerates; an incomplete entry can't summarize — omit
+            # the column (matcher keeps) rather than crash the commit
+            return isinstance(s, dict) and all(
+                k in s for k in ("t", "min", "max", "nulls")
+            )
+
         if first:
-            cols_agg = {c: dict(s) for c, s in fcols.items()}
+            cols_agg = {
+                c: dict(s) for c, s in fcols.items() if _complete(s)
+            }
             first = False
             continue
         for c in list(cols_agg):
@@ -316,7 +326,7 @@ def _segment_summary(entries: list[dict], pseudo: dict) -> dict:
             if cur is None:
                 continue
             s = fcols.get(c)
-            if s is None or s.get("t") != cur["t"]:
+            if not _complete(s) or s["t"] != cur["t"]:
                 cols_agg[c] = None
                 continue
             try:
@@ -428,9 +438,13 @@ def _maybe_segment(root: str, manifest: dict, delta: dict | None = None) -> dict
             reused.append(sid)
             covered_n += len(entries)
             covered.update(e["file"] for e in entries)
-            summaries[sid] = prev_summaries.get(sid) or _segment_summary(
-                entries, pseudo
-            )
+            summ = prev_summaries.get(sid)
+            if summ is None or "file_min" not in summ:
+                # entries are in hand anyway: upgrade a degraded
+                # summary (e.g. the sink's n_files-only one) so the
+                # segment regains zero-load reuse and pruning skips
+                summ = _segment_summary(entries, pseudo)
+            summaries[sid] = summ
         else:
             residual_set.update(
                 e["file"] for e in entries if e["file"] in fset

@@ -293,13 +293,16 @@ def _file_might_match(entry: dict, conjunct: tuple) -> bool:
     cols = entry.get("columns", {})
     num_rows = entry.get("num_rows")
     st = cols.get(col)
+    # caller-composed entries may omit fields (nulls, even min/max):
+    # a missing field is UNKNOWN, and unknown cannot prove "no match"
+    nulls = st.get("nulls") if st else None
     if op == "isnull":
-        return st is None or st["nulls"] > 0
+        return st is None or nulls is None or nulls > 0
     if op == "isnotnull":
-        if st is None or num_rows is None:
+        if st is None or num_rows is None or nulls is None:
             return True
-        return st["nulls"] < num_rows
-    if st is None:
+        return nulls < num_rows
+    if st is None or not all(k in st for k in ("t", "min", "max")):
         return True  # unknown stats: cannot prove anything
     tag = st["t"]
     try:
@@ -339,16 +342,20 @@ def _file_all_match(entry: dict, conjunct: tuple) -> bool:
     cols = entry.get("columns", {})
     num_rows = entry.get("num_rows")
     st = cols.get(col)
+    # a missing field is UNKNOWN, and unknown PROVES nothing here
+    nulls = st.get("nulls") if st else None
     if op == "isnull":
         return (
-            st is not None
+            nulls is not None
             and num_rows is not None
-            and st["nulls"] == num_rows
+            and nulls == num_rows
         )
-    if st is None or st["nulls"] > 0:
+    if st is None or nulls is None or nulls > 0:
         return False
     if op == "isnotnull":
         return True  # stats exist and nulls == 0
+    if not all(k in st for k in ("t", "min", "max")):
+        return False
     tag = st["t"]
     try:
         lo = _coerce(tag, st["min"]) if tag in ("timestamp", "date") else st["min"]
@@ -517,8 +524,6 @@ def prune_manifest(
     files_skipped = 0
     segs_skipped = 0
     rows_skipped = 0
-    from .partitioned_table import partition_pseudo_stats
-
     md = raw.get("metadata") or {}
     partitioned = bool(
         md.get("partition_spec") or md.get("partition_spec_history")
@@ -540,17 +545,11 @@ def prune_manifest(
             e["file"]: e["stats"] for e in entries if "stats" in e
         }
         if partitioned:
-            ps = partition_pseudo_stats(
-                {"files": seg_files, "metadata": md}
-            )
-            for f, e in ps.items():
-                cur = stats.get(f)
-                if cur:
-                    cols = dict(cur.get("columns") or {})
-                    cols.update(e["columns"])
-                    stats[f] = {**cur, "columns": cols}
-                else:
-                    stats[f] = e
+            # one copy of the pseudo-stat precedence rule: the same
+            # helper file-level pruning uses, on a per-segment shim
+            stats = _with_partition_stats(
+                {"files": seg_files, "metadata": md, "stats": stats}
+            ).get("stats", stats)
         for e in entries:
             f = e["file"]
             st = stats.get(f)
