@@ -446,6 +446,10 @@ class _TssBatchReader(DataSourceReader):
             self._version = versioned.version_as_of(self._root, as_of)
         else:
             self._version = versioned.current_version(self._root)
+        if self._version is None:
+            raise FileNotFoundError(
+                f"no published version under {self._root}"
+            )
         self._schema = schema
         self._conjuncts: list[tuple] = []
         # RAW read: column_mapping is a top-level manifest key, so
@@ -1511,7 +1515,17 @@ class TssDataSource(DataSource):
             version = versioned.version_as_of(root, as_of)
         else:
             version = None
-        m = versioned.read_manifest(root, version)
+        if version is None:
+            version = versioned.current_version(root)
+            if version is None:
+                raise FileNotFoundError(
+                    f"no published version under {root}"
+                )
+        # RAW manifest: mapping + contract are top-level keys, and
+        # footer sampling needs only a handful of file paths — on a
+        # segmented store, load segments lazily instead of resolving
+        # the whole metadata for a schema question
+        m = versioned._read_manifest_raw(root, version)
         cm = m.get("column_mapping")
         # WHICH physical columns exist comes from the manifest's
         # recorded schema contract when present (the same authority
@@ -1522,6 +1536,15 @@ class TssDataSource(DataSource):
         want = list(contract) if contract else (
             list(cm.values()) if cm else None
         )
+        if "segments" in m:
+            sample: list = []
+            for sid in m["segments"]:
+                sample.extend(
+                    e["file"] for e in versioned._load_segment(root, sid)
+                )
+                if len(sample) >= 64:
+                    break
+            m = dict(m, files=sample)
         # one footer resolves everything for the common case; columns
         # it misses (add-column evolution) type from the CONTRACT's
         # recorded arrow type string — O(1) footer reads regardless of
