@@ -116,7 +116,12 @@ def _replay(root, ops):
                 repartition_spec,
             )
 
-            repartition_spec(None, root, op[1])
+            try:
+                repartition_spec(None, root, op[1])
+            except ValueError:
+                # a rollback may have restored this spec already —
+                # deterministic, so both stores skip identically
+                pass
         elif kind == "rollback":
             vs = list_versions(root)
             rollback(root, vs[max(0, len(vs) - op[1])])
@@ -188,6 +193,68 @@ def test_segmented_store_model_equals_plain(tmp_path, monkeypatch):
     # and the segmented store really is segmented
     raw = versioned._read_manifest_raw(seg, current_version(seg))
     assert raw["segments"] and "files" not in raw
+
+
+def _random_ops(seed: int, n: int = 14) -> list:
+    """A seeded random op sequence over the full commit vocabulary —
+    every draw routes through commit_files, i.e. through the
+    delta-aware segment-reuse fast path."""
+    rng = random.Random(seed)
+    ops: list = [("seed", rng.randint(6, 12))]
+    n_live = ops[0][1]
+    spec = None
+    for i in range(n):
+        k = rng.choice(
+            ["append", "append", "dv", "remove", "rewrite",
+             "rollback", "respec", "retire_vacuum"]
+        )
+        if k == "append":
+            c = rng.randint(1, 4)
+            ops.append(("append", c))
+            n_live += c
+        elif k == "dv":
+            ops.append(("dv", seed * 100 + i, rng.randint(1, 4)))
+        elif k == "remove" and n_live > 4:
+            c = rng.randint(1, 3)
+            ops.append(("remove", seed * 100 + i, c))
+            n_live -= c
+        elif k == "rewrite":
+            ops.append(("rewrite", seed * 100 + i, rng.randint(1, 3)))
+        elif k == "rollback":
+            ops.append(("rollback", rng.randint(1, 3)))
+        elif k == "respec":
+            spec = None if spec else ["k"]  # flip, never a no-op
+            ops.append(("respec", spec))
+        elif k == "retire_vacuum":
+            ops.append(("retire", rng.randint(2, 5)))
+            ops.append(("vacuum",))
+    return ops
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_random_sequences_segmented_equals_plain(
+    tmp_path, monkeypatch, seed
+):
+    """Seeded RANDOM op interleavings (not just the fixed OPS list):
+    the delta-reuse fast path, tail folds, summary carries, retires
+    and vacuums must leave the segmented store observably identical
+    to the plain one under arbitrary histories."""
+    ops = _random_ops(seed)
+    plain = str(tmp_path / "plain")
+    seg = str(tmp_path / "seg")
+    os.makedirs(plain)
+    os.makedirs(seg)
+
+    monkeypatch.setattr(versioned, "SEGMENT_MIN_FILES", 10**9)
+    _replay(plain, ops)
+    obs_plain = _observe(plain)
+
+    monkeypatch.setattr(versioned, "SEGMENT_MIN_FILES", 1)
+    monkeypatch.setattr(versioned, "SEGMENT_TARGET_ENTRIES", 3)
+    _replay(seg, ops)
+    obs_seg = _observe(seg)
+
+    assert obs_plain == obs_seg, f"seed {seed} diverged"
 
 
 def test_commit_metadata_bytes_are_o_delta(tmp_path, monkeypatch):

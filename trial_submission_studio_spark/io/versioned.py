@@ -370,7 +370,15 @@ def _maybe_segment(root: str, manifest: dict, delta: dict | None = None) -> dict
     loading — a pure append re-reads zero prior metadata. A coverage
     accounting check (covered + residual == n_files) falls back to
     the full per-entry scan if the fast-path books don't balance, so
-    a stale or missing summary can cost loads, never correctness."""
+    a stale or missing summary can cost loads, never correctness.
+
+    Honest boundary: `commit_files` still RESOLVES its base manifest
+    once (carried stats/dv maps are materialized), an O(files) parse
+    amortized by the immutable segment cache — the same shape as
+    Delta reading its checkpoint or Iceberg planning over matching
+    manifests. The O(delta) claims are about commit WRITES and the
+    reuse check; selective READS get O(matching) via
+    `zonemap.prune_manifest`'s summary skips."""
     files = manifest["files"]
     if len(files) < SEGMENT_MIN_FILES:
         return manifest
