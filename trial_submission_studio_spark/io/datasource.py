@@ -346,6 +346,8 @@ def _read_file_arrow(
         # one only costs row-group skipping, never rows
         filters = [f for f in filters if f[0] in present] or None
     if sidecars:
+        import numpy as np
+
         t = pq.read_table(path, columns=avail)
         doomed = set()
         for s in sidecars:
@@ -356,10 +358,13 @@ def _read_file_arrow(
             )
             doomed.update(sc.column("__tss_pos").to_pylist())
         if doomed:
-            mask = pa.array(
-                [i not in doomed for i in range(t.num_rows)]
-            )
-            t = t.filter(mask)
+            # vectorized keep-mask (numpy fancy-index assignment +
+            # zero-copy arrow wrap) — the per-row Python list
+            # comprehension this replaces was the last row-at-a-time
+            # loop in a data-plane path
+            mask = np.ones(t.num_rows, dtype=bool)
+            mask[np.fromiter(doomed, count=len(doomed), dtype=np.int64)] = False
+            t = t.filter(pa.array(mask))
     else:
         t = pq.read_table(path, columns=avail, filters=filters)
     for c in phys_cols:
@@ -369,14 +374,15 @@ def _read_file_arrow(
 
 
 def _snapshot_arrow_fields(root: str, files: list, want, max_footers=64):
-    """name -> Spark DataType resolved from parquet FOOTERS, plus the
-    first footer's field order. Reads footers until every ``want``
-    column is typed, HARD-CAPPED at ``max_footers`` — schema() is a
-    metadata question and must never become an O(table) footer sweep
-    on a 100k-file table (the caller types any survivor from the
-    contract's recorded arrow type string instead). ``want=None`` is
-    the single-footer fast path for contract-less unmapped tables,
-    where every file shares one schema by construction."""
+    """name -> (Spark DataType, nullable) resolved from parquet
+    FOOTERS, plus the first footer's field order. Reads footers until
+    every ``want`` column is typed, HARD-CAPPED at ``max_footers`` —
+    schema() is a metadata question and must never become an O(table)
+    footer sweep on a 100k-file table (the caller types any survivor
+    from the contract's recorded arrow type string instead).
+    ``want=None`` is the single-footer fast path for contract-less
+    unmapped tables, where every file shares one schema by
+    construction."""
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import from_arrow_schema
 
@@ -387,7 +393,7 @@ def _snapshot_arrow_fields(root: str, files: list, want, max_footers=64):
             pq.ParquetFile(os.path.join(root, rel)).schema_arrow
         )
         for f in sch.fields:
-            types.setdefault(f.name, f.dataType)
+            types.setdefault(f.name, (f.dataType, f.nullable))
         if not order:
             order = [f.name for f in sch.fields]
         if want is None or all(w in types for w in want):
@@ -1433,11 +1439,13 @@ class _TssMetaReader(DataSourceReader):
             from .partitioned_table import partition_values
 
             m = versioned.read_manifest(root, version)
-            if m["metadata"].get("partition_spec") is None:
-                raise ValueError(f"{root} carries no partition_spec")
             from .partitioned_table import merged_partition_spec
 
+            # merged spec (current OR history): a dropped spec still
+            # answers from old-generation layouts
             spec = merged_partition_spec(m)
+            if spec is None:
+                raise ValueError(f"{root} carries no partition_spec")
             stats = m.get("stats") or {}
             dv = m.get("dv") or {}
             agg: dict = {}
@@ -1561,7 +1569,12 @@ class TssDataSource(DataSource):
             e = contract.get(c)
             if e is not None:
                 try:
-                    by_phys[c] = _spark_type_from_arrow_str(e["type"])
+                    by_phys[c] = (
+                        _spark_type_from_arrow_str(e["type"]),
+                        # the contract records nullability; default
+                        # nullable only when the entry predates it
+                        bool(e.get("nullable", True)),
+                    )
                     continue
                 except ValueError:
                     pass
@@ -1576,7 +1589,10 @@ class TssDataSource(DataSource):
         def _field(name, phys_name):
             t = by_phys.get(phys_name)
             if t is not None:
-                return StructField(name, t, True)
+                # nullability rides from the footer field / contract
+                # entry (pre-r15 behavior for unmapped tables) instead
+                # of a hard-coded True
+                return StructField(name, t[0], t[1])
             if contract:
                 raise ValueError(
                     f"column {phys_name!r} is in neither the schema "

@@ -368,11 +368,14 @@ def table_partitions(
     import json as _json
 
     m = _ver.read_manifest(root, version)
-    if m["metadata"].get("partition_spec") is None:
-        raise ValueError(f"{root} carries no partition_spec")
     # merged spec: under evolution, old-generation files group by
-    # their own (superseded) layout instead of collapsing into "{}"
+    # their own (superseded) layout instead of collapsing into "{}" —
+    # and a table whose CURRENT spec was dropped (repartition_spec(
+    # root, None)) still answers from its spec history, as the
+    # docstring promises
     spec = merged_partition_spec(m)
+    if spec is None:
+        raise ValueError(f"{root} carries no partition_spec")
     stats = m.get("stats") or {}
     dv = m.get("dv") or {}
     agg: dict = {}

@@ -254,12 +254,26 @@ def _write_segment(root: str, entries: list[dict]) -> str:
     return sid
 
 
+def _jcopy(v):
+    """Deep copy of a parsed-JSON value (dicts/lists/scalars only) —
+    cheaper than copy.deepcopy for this shape and sufficient because
+    segment payloads come straight from json.load."""
+    if isinstance(v, dict):
+        return {k: _jcopy(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_jcopy(x) for x in v]
+    return v
+
+
 def _resolve_manifest(root: str, raw: dict) -> dict:
     """Materialize a segmented manifest to the classic in-memory shape
     (``files`` / ``stats`` / ``dv`` inline) every consumer speaks; the
     ``segments`` key stays on the dict so re-publishers can reuse
-    unchanged segments. Treat resolved stats/dv values as immutable —
-    they are shared with the segment cache."""
+    unchanged segments. Stats/dv values are DEEP-COPIED out of the
+    segment cache: a caller mutating its resolved manifest (pre-r15
+    behavior — every read was a fresh JSON parse) must not poison the
+    process-wide cache or skew `_maybe_segment`'s entry-equality
+    reuse check."""
     m = dict(raw)
     files: list[str] = []
     stats: dict = {}
@@ -269,9 +283,9 @@ def _resolve_manifest(root: str, raw: dict) -> dict:
             f = e["file"]
             files.append(f)
             if "stats" in e:
-                stats[f] = e["stats"]
+                stats[f] = _jcopy(e["stats"])
             if "dv" in e:
-                dv[f] = e["dv"]
+                dv[f] = _jcopy(e["dv"])
     m["files"] = sorted(files)
     if stats:
         m["stats"] = stats
@@ -350,6 +364,13 @@ def _segment_summary(entries: list[dict], pseudo: dict) -> dict:
     cols = {c: s for c, s in cols_agg.items() if s is not None}
     if cols:
         out["columns"] = cols
+    else:
+        # explicit "no summarizable columns" marker: distinguishes a
+        # genuinely column-less summary from a DEGRADED one (the
+        # streaming sink writes file-range-only summaries), so the
+        # upgrade pass recomputes the latter exactly once instead of
+        # either never (pruning lost forever) or every commit
+        out["nocols"] = True
     return out
 
 
@@ -417,6 +438,21 @@ def _maybe_segment(root: str, manifest: dict, delta: dict | None = None) -> dict
         return e
 
     touched = delta["touched"] if delta is not None else None
+    # sorted once so each segment's [file_min, file_max] overlap test
+    # is a bisect (O(log touched)) instead of a full scan — a
+    # delete_where touching 10^5 files on a 10^3-segment table would
+    # otherwise do 10^8 driver-side comparisons before reusing anything
+    touched_sorted = sorted(touched) if touched is not None else None
+
+    def _range_hit(summ: dict) -> bool:
+        import bisect
+
+        i = bisect.bisect_left(touched_sorted, summ["file_min"])
+        return (
+            i < len(touched_sorted)
+            and touched_sorted[i] <= summ["file_max"]
+        )
+
     covered_n = 0
     residual_set: set[str] = set()
     for sid in prev.get("segments", ()):
@@ -425,10 +461,11 @@ def _maybe_segment(root: str, manifest: dict, delta: dict | None = None) -> dict
             touched is not None
             and summ
             and "file_min" in summ
-            and not any(
-                summ["file_min"] <= f <= summ["file_max"]
-                for f in touched
-            )
+            # degraded summaries (the sink's file-range-only form) are
+            # excluded from the zero-load path so the upgrade below
+            # runs exactly once and restores segment-level pruning
+            and ("columns" in summ or summ.get("nocols"))
+            and not _range_hit(summ)
         ):
             # provably untouched by this commit's footprint: reuse
             # segment AND summary with zero loads
@@ -447,9 +484,11 @@ def _maybe_segment(root: str, manifest: dict, delta: dict | None = None) -> dict
             covered_n += len(entries)
             covered.update(e["file"] for e in entries)
             summ = prev_summaries.get(sid)
-            if summ is None or "file_min" not in summ:
+            if summ is None or "file_min" not in summ or (
+                "columns" not in summ and not summ.get("nocols")
+            ):
                 # entries are in hand anyway: upgrade a degraded
-                # summary (e.g. the sink's n_files-only one) so the
+                # summary (e.g. the sink's range-only one) so the
                 # segment regains zero-load reuse and pruning skips
                 summ = _segment_summary(entries, pseudo)
             summaries[sid] = summ
