@@ -3428,12 +3428,19 @@ def table_manifest_segment_bench(
     commit_bytes = os.path.getsize(
         V._manifest_path(root, m["version"])
     ) + sum(os.path.getsize(os.path.join(segdir, s)) for s in new_segs)
+    # r16: segmented commits return the RAW manifest (the commit
+    # itself loads zero prior segments); the plain-format
+    # counterfactual resolves explicitly, outside the commit
+    mr = V.read_manifest(root, m["version"])
     plain_bytes = len(
-        json.dumps({k: v for k, v in m.items() if k != "segments"})
+        json.dumps({
+            k: v for k, v in mr.items()
+            if k not in ("segments", "segment_stats", "dv_rows")
+        })
     )
     return spark.createDataFrame(
         [(
-            len(m["files"]),
+            m["n_files"],
             len(m["segments"]),
             int(commit_bytes),
             int(plain_bytes),

@@ -73,6 +73,35 @@ def _prepare_cdisc_fixture(spark, sf_dir: str, out_csv: str) -> int:
     return int(n)
 
 
+def _host_control(spark) -> dict:
+    """Fixed-size CPU-bound A/B control (r15 verdict task 4): 400M
+    xxhash64 evaluations folded by bit_xor inside whole-stage codegen
+    — constant work, no I/O, no shuffle growth, independent of SF and
+    of any code in this repo. Run FIRST and LAST so cross-round
+    comparisons can separate host drift (control moves with the
+    headline) from real regressions (headline moves, control
+    doesn't). One discarded warmup, then median-of-5."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    def one() -> float:
+        t0 = time.time()
+        spark.range(0, 400_000_000, 1, 32).select(
+            F.expr("bit_xor(xxhash64(id))").alias("h")
+        ).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    one()  # discarded warmup (codegen compile)
+    runs = [one() for _ in range(5)]
+    return {
+        "min": round(min(runs), 3),
+        "median": round(statistics.median(runs), 3),
+        "max": round(max(runs), 3),
+        "runs": 5,
+    }
+
+
 def _cdisc_stages(spark, sf_dir: str, timings: dict) -> None:
     """The reference's three published targets, 1:1 (BASELINE.md:
     import 100K rows < 2 s, validate < 5 s, export < 3 s), over an
@@ -197,6 +226,13 @@ def main() -> None:
             qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
         except Exception:
             pass
+
+    # A/B host control bracketing the whole run: identical fixed-size
+    # CPU-bound work measured before the headline and again at the
+    # very end — two rounds of verdicts were adjudicated on
+    # uncommitted host-drift claims; this makes drift measurable on
+    # the record
+    control_first = _host_control(spark)
 
     # median-of-5 per query: the r11 A/A test (byte-identical engine,
     # two rounds of best-of-2) showed ±28-39% per-query swings — pure
@@ -516,6 +552,13 @@ def main() -> None:
                 continue
             if extra.get(name):
                 ratios[name] = round(sf1[name] / extra[name], 1)
+    control_last = _host_control(spark)
+    control_median = round(
+        statistics.median(
+            [control_first["median"], control_last["median"]]
+        ),
+        3,
+    )
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     full_payload = {
         "metric": "headline_queries_total_runtime",
@@ -537,6 +580,18 @@ def main() -> None:
         "queries_sf1": sf1,
         "sf1_spread": sf1_spread,
         "sf1_over_sf01_ratio": ratios,
+        # the A/B host control (fixed CPU-bound in-JVM work, no I/O):
+        # compare THIS round's headline/control to last round's — if
+        # both moved together it's host drift, if only the headline
+        # moved it's real. first vs last also bounds within-run drift.
+        "host_control": {
+            "first": control_first,
+            "last": control_last,
+            "median": control_median,
+            "workload": "range(4e8) -> bit_xor(xxhash64(id)), 32"
+            " partitions, noop sink, 1 warmup + median-of-5",
+        },
+        "value_over_control": round(total / control_median, 1),
         "sf": sf_val,
         # r12: repeats raised after the r11 A/A test proved best-of-2
         # resolves worse than the effects it measures (±30% swings on
@@ -564,7 +619,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "host_control_sec": control_median,
+                "value_over_control": round(total / control_median, 1),
                 "methodology": "warmup-sf0.001 + median-of-5, noop sink;"
+                " A/B host control bracketing the run;"
                 " spread/extra/sf1 sections in BENCH_FULL.json",
             }
         )

@@ -131,6 +131,35 @@ def _replay(root, ops):
             vacuum(root, min_age_seconds=0)
 
 
+def _feed_plan(root, v_from, v_to):
+    """Normalized change-feed partition plan between two versions —
+    driver-side, via the stream reader's segment-aware raw diff."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from trial_submission_studio_spark.io.datasource import (
+        _TssFeedReader,
+    )
+
+    reader = _TssFeedReader(
+        {"root": root},
+        StructType([
+            StructField("k", StringType(), True),
+            StructField("_change", StringType(), False),
+        ]),
+    )
+    return sorted(
+        (
+            p.change, p.kind, os.path.relpath(p.path, root),
+            tuple(os.path.relpath(s, root) for s in p.sidecars),
+            tuple(os.path.relpath(s, root) for s in p.exclude_sidecars),
+            p.dv_key, p.phys,
+        )
+        for p in reader.partitions(
+            {"version": v_from}, {"version": v_to}
+        )
+    )
+
+
 def _observe(root):
     """Everything a reader can see, normalized (timestamps dropped)."""
     out = {}
@@ -153,6 +182,12 @@ def _observe(root):
     vs = list_versions(root)
     if len(vs) >= 2:
         out["diff"] = diff_versions(root, vs[0], vs[-1])
+        # the change feed's planned batches, every adjacent pair —
+        # the segment-aware raw diff must plan identical batches on
+        # segmented and plain stores
+        out["feed"] = [
+            _feed_plan(root, a, b) for a, b in zip(vs, vs[1:])
+        ]
     out["disk"] = sorted(
         os.path.relpath(os.path.join(cur, n), root)
         for ns in ("data", "dv")
@@ -470,29 +505,26 @@ def test_delta_reuse_appends_with_zero_loads(
     monkeypatch.setattr(versioned, "_load_segment", counting_load)
     versioned._SEG_CACHE.clear()
 
-    n_segs = len(versioned._read_manifest_raw(root, 1)["segments"])
     extra = _mk_file(root, "data/r/zz.parquet")
     commit_files(
         root, base_version=1, kind="append", add_files=[extra],
         add_stats={extra: {"num_rows": 3}},
     )
-    # commit_files resolves the BASE manifest once (n_segs calls);
-    # the SEGMENTER itself contributes ZERO — before the delta fast
-    # path it re-walked every segment for the reuse check + the tail
-    assert loads["n"] == n_segs
+    # r16 raw commit path: a pure append reads ZERO prior segments
+    # end-to-end — no base resolve, no reuse re-verify, no tail load
+    # (the tail segment here is full enough not to fold)
+    assert loads["n"] == 0
     m = read_manifest(root)
     assert len(m["files"]) == 17 and extra in m["stats"]
 
-    # a targeted delete walks resolution + ONLY the covering segment
+    # a targeted delete loads ONLY the covering segment (plus at most
+    # one undersized-tail fold) — never a resolve walk
     loads["n"] = 0
     versioned._SEG_CACHE.clear()
     commit_files(
         root, base_version=2, kind="keyed", remove_files=[files[0]]
     )
-    raw2 = versioned._read_manifest_raw(root, 2)
-    # resolution (n segs) + the one covering segment + possibly one
-    # undersized-tail fold load — never a second full walk
-    assert loads["n"] <= len(raw2["segments"]) + 2
+    assert loads["n"] <= 2
     assert files[0] not in read_manifest(root)["files"]
 
     # poisoned summary (file_min stripped): books still balance via

@@ -36,8 +36,22 @@ from . import versioned
 __all__ = ["change_feed", "change_feed_summary"]
 
 
+def _dv_delta_pairs(
+    dv_old: dict, dv_new: dict, changed: list[str]
+) -> list[tuple]:
+    """(data file, delta sidecar) pairs: sidecars present in the new
+    dv entry but not the old, over the dv-changed common files."""
+    pairs = []
+    for f in changed:
+        seen = set(dv_old.get(f, {}).get("sidecars", ()))
+        for s in dv_new.get(f, {}).get("sidecars", ()):
+            if s not in seen:
+                pairs.append((f, s))
+    return pairs
+
+
 def _dv_delta_rows(
-    spark: SparkSession, root: str, a: dict, b: dict, common: set[str]
+    spark: SparkSession, root: str, pairs: list[tuple]
 ) -> DataFrame | None:
     """Full rows newly tombstoned between the two versions on files
     PRESENT IN BOTH (`io/deletion_vectors.py` merge-on-read deletes:
@@ -49,17 +63,9 @@ def _dv_delta_rows(
     from .deletion_vectors import (
         FILE_COL,
         POS_COL,
-        dv_map,
         rel_path_col,
     )
 
-    dv_a, dv_b = dv_map(a), dv_map(b)
-    pairs = []  # (data file, delta sidecar)
-    for f in sorted(common):
-        seen = set(dv_a.get(f, {}).get("sidecars", ()))
-        for s in dv_b.get(f, {}).get("sidecars", ()):
-            if s not in seen:
-                pairs.append((f, s))
     if not pairs:
         return None
     # sidecar rows tagged with their own sidecar path, then restricted
@@ -102,28 +108,60 @@ def _slices(
 ) -> tuple[DataFrame | None, DataFrame | None, dict]:
     from .deletion_vectors import read_with_dv
 
-    a = versioned.read_manifest(root, v_from)
-    b = versioned.read_manifest(root, v_to)
-    fa, fb = set(a["files"]), set(b["files"])
-    removed = sorted(fa - fb)
-    added = sorted(fb - fa)
+    raw_a = versioned._read_manifest_raw(root, v_from)
+    raw_b = versioned._read_manifest_raw(root, v_to)
+    # segment-aware raw diff: only the segments the two versions do
+    # NOT share load (`versioned._diff_raw`), so planning the feed is
+    # O(delta) metadata — matching the O(delta-files) data read below
+    d = versioned._diff_raw(root, raw_a, raw_b)
+    removed, added = d["removed"], d["added"]
     # slices read LIVE rows under their own version's tombstones: a
     # row already dv-dead at v_from must not resurface as a delete.
     # The dv delta is SYMMETRIC: tombstones added a->b are newly-dead
     # rows (old slice); tombstones present at a but not at b (a
     # rollback of a dv delete) are RESURRECTED rows (new slice).
-    dv_dead = _dv_delta_rows(spark, root, a, b, fa & fb)
-    dv_resurrected = _dv_delta_rows(spark, root, b, a, fa & fb)
+    dv_dead = _dv_delta_rows(
+        spark, root,
+        _dv_delta_pairs(d["dv_from"], d["dv_to"], d["dv_changed"]),
+    )
+    dv_resurrected = _dv_delta_rows(
+        spark, root,
+        _dv_delta_pairs(d["dv_to"], d["dv_from"], d["dv_changed"]),
+    )
     audit = {
         "files_removed": len(removed),
         "files_added": len(added),
-        "files_untouched": len(fa & fb),
+        "files_untouched": versioned._raw_n_files(raw_a) - len(removed),
         "dv_delta": dv_dead is not None or dv_resurrected is not None,
     }
-    old = read_with_dv(spark, root, a, removed) if removed else None
+    # pseudo-manifests scoped to the delta slice: read_with_dv needs
+    # only the slice's dv entries + the table's column mapping
+    old = (
+        read_with_dv(
+            spark, root,
+            {"files": removed,
+             "dv": {f: d["dv_from"][f]
+                    for f in removed if f in d["dv_from"]},
+             "column_mapping": raw_a.get("column_mapping")},
+            removed,
+        )
+        if removed
+        else None
+    )
     if dv_dead is not None:
         old = old.unionByName(dv_dead) if old is not None else dv_dead
-    new = read_with_dv(spark, root, b, added) if added else None
+    new = (
+        read_with_dv(
+            spark, root,
+            {"files": added,
+             "dv": {f: d["dv_to"][f]
+                    for f in added if f in d["dv_to"]},
+             "column_mapping": raw_b.get("column_mapping")},
+            added,
+        )
+        if added
+        else None
+    )
     if dv_resurrected is not None:
         new = (
             new.unionByName(dv_resurrected)

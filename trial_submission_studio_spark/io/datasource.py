@@ -186,6 +186,60 @@ def _ds_read_manifest(root: str, version: int) -> dict:
     return m
 
 
+def _ds_diff_manifests(root: str, raw_a: dict, raw_b: dict) -> dict:
+    """Stdlib mirror of `versioned._diff_raw`: file-grain diff of two
+    RAW manifests loading only the segments the two versions do NOT
+    share (shared ids are content-addressed, hence byte-identical).
+    This is what makes each change-feed trigger O(delta) metadata —
+    a 16-file micro-batch on a 10^6-file table resolves one or two
+    segments, never both full file sets."""
+
+    def entry_map(raw, skip):
+        out = {}
+        if "segments" in raw:
+            for sid in raw["segments"]:
+                if sid in skip:
+                    continue
+                for e in _ds_load_segment(root, sid):
+                    out[e["file"]] = e
+        else:
+            dv = raw.get("dv") or {}
+            for f in raw.get("files", ()):
+                e = {"file": f}
+                if f in dv:
+                    e["dv"] = dv[f]
+                out[f] = e
+        return out
+
+    shared = set()
+    if "segments" in raw_a and "segments" in raw_b:
+        shared = set(raw_a["segments"]) & set(raw_b["segments"])
+    map_a = entry_map(raw_a, shared)
+    map_b = entry_map(raw_b, shared)
+    added = sorted(set(map_b) - set(map_a))
+    removed = sorted(set(map_a) - set(map_b))
+    dv_changed = sorted(
+        f
+        for f in set(map_a) & set(map_b)
+        if map_a[f].get("dv") != map_b[f].get("dv")
+    )
+    return {
+        "added": added,
+        "removed": removed,
+        "dv_changed": dv_changed,
+        "dv_from": {
+            f: map_a[f]["dv"]
+            for f in removed + dv_changed
+            if "dv" in map_a[f]
+        },
+        "dv_to": {
+            f: map_b[f]["dv"]
+            for f in added + dv_changed
+            if "dv" in map_b[f]
+        },
+    }
+
+
 def register(spark) -> None:
     """Register the ``tss`` format on a session.
 
@@ -579,26 +633,16 @@ class _TssFeedReader(DataSourceStreamReader):
             f.write(str(v))
         os.replace(tmp, path)
 
-    def _manifest(self, v):
+    def _raw_manifest(self, v):
+        """RAW manifest (segment refs unresolved) with the feed's
+        error mapping: a missing manifest is the retention rule
+        broken; a missing SEGMENT (surfacing later, at diff time) is
+        store damage — `partitions` maps that separately."""
         if v == 0:
             return {"files": [], "metadata": {}}
         try:
-            return _ds_read_manifest(self._root, v)
-        except FileNotFoundError as e:
-            mpath = os.path.join(
-                self._root, "_versions", f"v{v:08d}.json"
-            )
-            if os.path.exists(mpath):
-                # the manifest survives; what's missing is one of its
-                # SEGMENT files — that's store damage (or a broken
-                # segment GC), not the retention rule: don't send the
-                # operator chasing retire_versions
-                raise RuntimeError(
-                    f"manifest v{v} of {self._root} exists but a "
-                    f"metadata segment it references is missing ({e});"
-                    " the segment store is damaged — restore it or "
-                    "re-publish the snapshot"
-                ) from e
+            return _ds_read_manifest_raw(self._root, v)
+        except FileNotFoundError:
             raise FeedRetentionError(
                 f"change-feed offset {v} of {self._root} was retired "
                 "(retire_versions deleted its manifest) while this "
@@ -612,7 +656,7 @@ class _TssFeedReader(DataSourceStreamReader):
         v_from, v_to = int(start["version"]), int(end["version"])
         if v_to <= v_from:
             return []
-        a, b = self._manifest(v_from), self._manifest(v_to)
+        a, b = self._raw_manifest(v_from), self._raw_manifest(v_to)
         logical = [
             f.name for f in self._schema.fields if f.name != _CHANGE
         ]
@@ -621,28 +665,43 @@ class _TssFeedReader(DataSourceStreamReader):
         cm_b = b.get("column_mapping") or {}
         cm_a = a.get("column_mapping") or {}
         phys = tuple(cm_b.get(c, cm_a.get(c, c)) for c in logical)
-        dv_a, dv_b = a.get("dv") or {}, b.get("dv") or {}
-        fa, fb = set(a["files"]), set(b["files"])
+        # segment-aware raw diff: each trigger loads only the
+        # segments the two offsets do NOT share — O(delta) metadata
+        # per micro-batch regardless of table size
+        try:
+            d = _ds_diff_manifests(self._root, a, b)
+        except FileNotFoundError as e:
+            # the manifests survive; what's missing is a SEGMENT file
+            # one of them references — that's store damage (or a
+            # broken segment GC), not the retention rule: don't send
+            # the operator chasing retire_versions
+            raise RuntimeError(
+                f"a manifest in ({v_from}, {v_to}] of {self._root} "
+                f"references a metadata segment that is missing ({e});"
+                " the segment store is damaged — restore it or "
+                "re-publish the snapshot"
+            ) from e
+        dv_a, dv_b = d["dv_from"], d["dv_to"]
 
         def _abs(rel):
             return os.path.join(self._root, rel)
 
         out = []
-        for f in sorted(fa - fb):  # removed: live-at-a rows retract
+        for f in d["removed"]:  # removed: live-at-a rows retract
             e = dv_a.get(f)
             out.append(_FeedPartition(
                 change="delete", kind="live", path=_abs(f),
                 sidecars=tuple(_abs(x) for x in (e["sidecars"] if e else ())),
                 exclude_sidecars=(), dv_key=f, phys=phys,
             ))
-        for f in sorted(fb - fa):  # added: live-at-b rows insert
+        for f in d["added"]:  # added: live-at-b rows insert
             e = dv_b.get(f)
             out.append(_FeedPartition(
                 change="insert", kind="live", path=_abs(f),
                 sidecars=tuple(_abs(x) for x in (e["sidecars"] if e else ())),
                 exclude_sidecars=(), dv_key=f, phys=phys,
             ))
-        for f in sorted(fa & fb):  # dv deltas, both directions
+        for f in d["dv_changed"]:  # dv deltas, both directions
             sa = tuple(dv_a.get(f, {}).get("sidecars", ()))
             sb = tuple(dv_b.get(f, {}).get("sidecars", ()))
             dead = tuple(x for x in sb if x not in sa)

@@ -732,6 +732,353 @@ def publish_files(
 _KINDS = ("append", "maintenance", "keyed")
 
 
+class _SegmentedFallback(Exception):
+    """Internal: the raw-segment commit path met a shape it does not
+    prove (e.g. first-ever dv on a table) — re-run this loop
+    iteration through the classic resolved path. Never escapes
+    :func:`commit_files`."""
+
+
+def _probe_segments(root: str, raw: dict, probe_sorted: list[str]):
+    """Walk a RAW segmented manifest loading only the segments whose
+    recorded file-name range may contain a probe path (plus any
+    segment without a usable summary). Returns
+    ``(plan, entry_map)`` where ``plan`` is ``[(sid, entries|None,
+    summary)]`` in ref order (``entries is None`` = skipped with zero
+    loads) and ``entry_map`` maps each loaded entry's file to it."""
+    import bisect
+
+    summaries = raw.get("segment_stats") or {}
+    plan = []
+    entry_map: dict = {}
+    for sid in raw["segments"]:
+        summ = summaries.get(sid)
+        usable = (
+            summ
+            and "file_min" in summ
+            # degraded (sink-written, range-only) summaries load once
+            # so the rebuilt manifest carries upgraded ones — same
+            # discipline as _maybe_segment's load-verify branch
+            and ("columns" in summ or summ.get("nocols"))
+        )
+        if usable:
+            i = bisect.bisect_left(probe_sorted, summ["file_min"])
+            if not (
+                i < len(probe_sorted)
+                and probe_sorted[i] <= summ["file_max"]
+            ):
+                plan.append((sid, None, summ))
+                continue
+        entries = _load_segment(root, sid)
+        for e in entries:
+            entry_map[e["file"]] = e
+        plan.append((sid, entries, summ))
+    return plan, entry_map
+
+
+def _probe_raw_dv(root: str, raw: dict, paths: set) -> dict:
+    """dv entries for ``paths`` from a RAW manifest, loading only the
+    covering segments (inline map for plain manifests)."""
+    if "segments" not in raw:
+        dv = raw.get("dv") or {}
+        return {f: dv[f] for f in paths if f in dv}
+    _, entry_map = _probe_segments(root, raw, sorted(paths))
+    return {
+        f: entry_map[f]["dv"]
+        for f in paths
+        if f in entry_map and "dv" in entry_map[f]
+    }
+
+
+def _commit_files_segmented(
+    root: str,
+    *,
+    base_raw: dict,
+    target_raw: dict,
+    cur_v: int,
+    base_version: int,
+    kind: str,
+    add_files: list,
+    remove: set,
+    dv_updates: dict | None,
+    add_stats: dict | None,
+    meta: dict,
+    schema: list | None,
+    constraints,
+    column_mapping,
+) -> dict:
+    """One :func:`commit_files` loop iteration against a SEGMENTED
+    target, O(delta) end-to-end: rebase validation and manifest
+    construction operate on the raw manifest + segment refs, loading
+    only segments whose file-name range can contain a touched or
+    added path — a pure append on a 10^6-file table reads two raw
+    manifests and ZERO prior segments. Returns the published RAW
+    manifest (``segments`` unresolved; ``read_manifest`` gives the
+    classic inline view). Raises ``FileExistsError`` on a lost
+    publish race (the caller's loop re-examines the world),
+    :class:`TableConflictError` on provably-unsafe rebases, and
+    :class:`_SegmentedFallback` when a shape needs the classic
+    resolved path (first dv on the table)."""
+    dv_updates = dv_updates or {}
+    add_stats = add_stats or {}
+    if dv_updates and target_raw.get("dv_rows", 0) == 0:
+        # first-ever tombstones: the classic path's "no non-parquet
+        # files anywhere" guard needs the full list once
+        raise _SegmentedFallback
+    if len(add_files) != len(set(add_files)):
+        raise ValueError("duplicate files in commit's add_files")
+    touched = remove | set(dv_updates) | set(add_stats)
+    probe = touched | set(add_files)
+    plan, entry_map = _probe_segments(root, target_raw, sorted(probe))
+
+    missing = remove - set(entry_map)
+    if missing:
+        raise TableConflictError(
+            "remove_files not in the base snapshot", list(missing)
+        )
+    dupes = [f for f in add_files if f in entry_map]
+    if dupes:
+        raise ValueError(
+            f"duplicate files in version: {sorted(dupes)[:3]}"
+        )
+    orphans = sorted(
+        f for f in dv_updates
+        if f not in entry_map and f not in set(add_files)
+    )
+
+    intervening_raw: list = []
+    if cur_v != base_version:
+        try:
+            intervening_raw = [
+                _read_manifest_raw(root, v)
+                for v in range(base_version + 1, cur_v + 1)
+            ]
+        except FileNotFoundError as e:
+            raise TableConflictError(
+                f"cannot verify rebase safety: {e}"
+            ) from e
+        # the dv-growth check (files I rewrite/tombstone must not
+        # have gained tombstones since MY base): probe both raws for
+        # exactly the touched files
+        check = remove | set(dv_updates)
+        if check:
+            b_dv = _probe_raw_dv(root, base_raw, check)
+            dv_grew = []
+            for f in check:
+                if f in set(add_files):
+                    continue
+                t_e = entry_map.get(f)
+                if f in dv_updates and t_e is None:
+                    dv_grew.append(f)
+                elif t_e is not None and t_e.get("dv") != b_dv.get(f):
+                    dv_grew.append(f)
+            if dv_grew:
+                raise TableConflictError(
+                    "concurrent tombstones on files this commit "
+                    "rewrites or tombstones", dv_grew,
+                )
+        if kind == "keyed":
+            unsafe = [
+                m["version"]
+                for m in intervening_raw
+                if m["metadata"].get("commit_kind") != "maintenance"
+            ]
+            if unsafe:
+                raise TableConflictError(
+                    "key-dependent write raced a non-maintenance "
+                    f"commit (versions {unsafe}); re-plan against "
+                    "the current version and retry"
+                )
+        if add_files and kind != "maintenance" and (
+            (base_raw.get("constraints") or {})
+            != (target_raw.get("constraints") or {})
+        ):
+            raise TableConflictError(
+                "table constraints changed concurrently; re-plan "
+                "and retry"
+            )
+    if orphans:
+        raise ValueError(
+            "dv entries for files not in this version (a dropped "
+            f"tombstone resurrects deleted rows): {orphans[:3]}"
+        )
+    if schema is not None and (target_raw.get("schema") or []) != (
+        base_raw.get("schema") or []
+    ):
+        raise TableConflictError(
+            "schema contract changed concurrently; re-derive "
+            "against the current version and retry"
+        )
+    if constraints != "carry" and intervening_raw:
+        raise TableConflictError(
+            "constraint change raced other commits; re-validate "
+            "against the current version and retry"
+        )
+    if column_mapping != "carry" and intervening_raw:
+        raise TableConflictError(
+            "column-mapping change raced other commits; re-derive "
+            "against the current version and retry"
+        )
+
+    dv_present = target_raw.get("dv_rows", 0) > 0 or dv_updates
+    if dv_present:
+        non_parquet = [
+            f for f in add_files if not f.endswith(".parquet")
+        ]
+        if non_parquet:
+            raise ValueError(
+                "deletion vectors need parquet row indexes; this "
+                f"version holds non-parquet files: {non_parquet[:3]}"
+            )
+
+    # ---- build the new segment list ----
+    md = target_raw.get("metadata") or {}
+    partitioned = bool(
+        md.get("partition_spec") or md.get("partition_spec_history")
+    )
+
+    def _pseudo(files: list) -> dict:
+        if not partitioned:
+            return {}
+        from .partitioned_table import partition_pseudo_stats
+
+        return partition_pseudo_stats(
+            {"files": files, "metadata": md}
+        )
+
+    reused: list = []
+    out_summaries: dict = {}
+    covered_n = 0
+    dv_rows_new = target_raw.get("dv_rows", 0)
+    residual_entries: dict = {}
+    for sid, entries, summ in plan:
+        if entries is None:
+            reused.append(sid)
+            out_summaries[sid] = summ
+            covered_n += summ["n_files"]
+            continue
+        if not any(e["file"] in probe for e in entries):
+            # loaded only because its summary was absent/degraded:
+            # reuse as-is with an upgraded summary
+            reused.append(sid)
+            out_summaries[sid] = _segment_summary(
+                entries, _pseudo([e["file"] for e in entries])
+            )
+            covered_n += len(entries)
+            continue
+        # a touched segment breaks up: surviving entries re-pack
+        for e in entries:
+            if "dv" in e:
+                dv_rows_new -= e["dv"]["rows"]
+            f = e["file"]
+            if f in remove:
+                continue
+            e2: dict = {"file": f}
+            st = add_stats.get(f, e.get("stats"))
+            if st is not None:
+                e2["stats"] = st
+            dvv = dv_updates.get(f, e.get("dv"))
+            if dvv is not None:
+                e2["dv"] = dvv
+            residual_entries[f] = e2
+    for f in add_files:
+        e2 = {"file": f}
+        if f in add_stats:
+            e2["stats"] = add_stats[f]
+        if f in dv_updates:
+            e2["dv"] = dv_updates[f]
+        residual_entries[f] = e2
+    # LSM-style tail fold (mirror of _maybe_segment): undersized tail
+    # segments merge into this commit's fresh batch so segment count
+    # stays O(files/target) under 1-file appends
+    while reused:
+        tail_summ = out_summaries.get(reused[-1]) or {}
+        n_tail = tail_summ.get("n_files")
+        if n_tail is None:
+            n_tail = len(_load_segment(root, reused[-1]))
+        if (
+            n_tail >= SEGMENT_TARGET_ENTRIES // 2
+            or n_tail + len(residual_entries) > SEGMENT_TARGET_ENTRIES
+        ):
+            break
+        sid_tail = reused.pop()
+        out_summaries.pop(sid_tail, None)
+        tail = _load_segment(root, sid_tail)
+        for e in tail:
+            if "dv" in e:
+                dv_rows_new -= e["dv"]["rows"]
+            residual_entries[e["file"]] = e
+        covered_n -= len(tail)
+    residual = sorted(residual_entries)
+    fresh: list = []
+    for i in range(0, len(residual), SEGMENT_TARGET_ENTRIES):
+        chunk = [
+            residual_entries[f]
+            for f in residual[i : i + SEGMENT_TARGET_ENTRIES]
+        ]
+        sid = _write_segment(root, chunk)
+        fresh.append(sid)
+        out_summaries[sid] = _segment_summary(
+            chunk, _pseudo([e["file"] for e in chunk])
+        )
+    for e in residual_entries.values():
+        if "dv" in e:
+            dv_rows_new += e["dv"]["rows"]
+    n_files = covered_n + len(residual)
+    if n_files == 0:
+        raise ValueError("refusing to publish an empty file list")
+
+    # ---- assemble + publish the raw manifest ----
+    pub_meta = dict(meta)
+    for _k in ("bucket_spec", "partition_spec",
+               "partition_spec_history"):
+        if _k not in pub_meta and md.get(_k):
+            pub_meta[_k] = md[_k]
+    out = {
+        "version": cur_v + 1,
+        "created_utc": time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+        ),
+        "n_files": n_files,
+        "metadata": pub_meta,
+    }
+    schema_val = schema if schema is not None else target_raw.get("schema")
+    if schema_val:
+        out["schema"] = schema_val
+    cons_val = (
+        target_raw.get("constraints")
+        if constraints == "carry"
+        else (constraints or None)
+    )
+    if cons_val:
+        out["constraints"] = cons_val
+    cm_val = (
+        target_raw.get("column_mapping")
+        if column_mapping == "carry"
+        else (column_mapping or None)
+    )
+    if cm_val:
+        vals = list(cm_val.values())
+        if len(vals) != len(set(vals)):
+            raise ValueError(
+                "column_mapping maps two logical columns to the same "
+                "physical column"
+            )
+        out["column_mapping"] = dict(cm_val)
+    out["segments"] = seg_list = reused + fresh
+    out["segment_stats"] = {
+        sid: out_summaries[sid] for sid in seg_list
+    }
+    out["dv_rows"] = dv_rows_new
+    path = _manifest_path(root, out["version"])
+    _atomic_create(path, json.dumps(out, indent=1))
+    _atomic_write(
+        os.path.join(_versions_dir(root), _CURRENT),
+        str(out["version"]),
+    )
+    return out
+
+
 def _check_rebase(
     kind: str,
     base: dict,
@@ -837,6 +1184,15 @@ def commit_files(
     commit's own files. ``schema`` defaults to the rebase target's
     recorded contract.
 
+    Return shape: plain targets return the classic resolved manifest
+    (``files``/``stats``/``dv`` inline). SEGMENTED targets take the
+    O(delta) raw path (`_commit_files_segmented` — validation and
+    construction on segment refs, zero prior-segment loads for a
+    pure append) and return the RAW manifest (``segments`` +
+    ``segment_stats`` + ``n_files``/``dv_rows`` summaries, no inline
+    file list — resolving it would cost the O(files) walk the path
+    exists to avoid); use :func:`read_manifest` for the inline view.
+
     Safe-rebase matrix (writer kind × intervening kind)::
 
         mine \\ theirs   append  maintenance  keyed/unknown
@@ -851,14 +1207,18 @@ def commit_files(
         raise ValueError(f"kind must be one of {_KINDS}")
     add_files = list(add_files)
     remove = set(remove_files)
-    base = read_manifest(root, base_version)
+    # RAW base: contracts (schema/constraints/column_mapping) are
+    # top-level keys; the inline file/stats/dv view resolves lazily
+    # only on the classic (plain-target) path below
+    base_raw = _read_manifest_raw(root, base_version)
+    base = None  # resolved on demand by the classic path
     meta = dict(metadata or {})
     meta["commit_kind"] = kind
     # CHECK-constraint enforcement at the one commit choke point:
     # row-ADDING commits validate exactly their fresh files against
     # the table's recorded contract (maintenance commits are
     # row-preserving — their rows already passed when first added)
-    cons = base.get("constraints")
+    cons = base_raw.get("constraints")
     if cons and add_files and kind != "maintenance":
         if spark is None:
             raise ValueError(
@@ -874,12 +1234,48 @@ def commit_files(
             to_logical(
                 spark.read.parquet(*[os.path.join(root, f)
                                      for f in add_files]),
-                base,
+                base_raw,
             ),
             cons,
         )
     for _ in range(max_retries):
         cur_v = current_version(root)
+        target_raw = (
+            base_raw
+            if cur_v == base_version
+            else _read_manifest_raw(root, cur_v)
+        )
+        if "segments" in target_raw:
+            # O(delta) raw path: rebase validation + manifest build on
+            # segment refs, loading only touched segments — a pure
+            # append reads ZERO prior metadata segments end-to-end
+            try:
+                return _commit_files_segmented(
+                    root,
+                    base_raw=base_raw,
+                    target_raw=target_raw,
+                    cur_v=cur_v,
+                    base_version=base_version,
+                    kind=kind,
+                    add_files=add_files,
+                    remove=remove,
+                    dv_updates=dv_updates,
+                    add_stats=add_stats,
+                    meta=meta,
+                    schema=schema,
+                    constraints=constraints,
+                    column_mapping=column_mapping,
+                )
+            except FileExistsError:
+                continue  # lost the publish race; re-examine world
+            except _SegmentedFallback:
+                pass  # classic resolved path for this iteration
+        if base is None:
+            base = (
+                _resolve_manifest(root, base_raw)
+                if "segments" in base_raw
+                else base_raw
+            )
         if cur_v == base_version:
             target, intervening = base, []
         else:
@@ -1586,6 +1982,84 @@ def table_files(
     )
 
 
+def _diff_entry_map(root: str, raw: dict, skip_sids: set) -> dict:
+    """file -> segment entry (``{"file", "stats"?, "dv"?}``) for one
+    RAW manifest, loading only segments outside ``skip_sids``. Plain
+    manifests synthesize entries from their inline maps."""
+    out: dict = {}
+    if "segments" in raw:
+        for sid in raw["segments"]:
+            if sid in skip_sids:
+                continue
+            for e in _load_segment(root, sid):
+                out[e["file"]] = e
+    else:
+        dv = raw.get("dv") or {}
+        for f in raw.get("files", ()):
+            e: dict = {"file": f}
+            if f in dv:
+                e["dv"] = dv[f]
+            out[f] = e
+    return out
+
+
+def _diff_raw(root: str, raw_a: dict, raw_b: dict) -> dict:
+    """File-grain diff of two RAW manifests, O(delta) metadata work
+    on segmented stores: a segment id referenced by BOTH versions is
+    content-addressed and therefore byte-identical — its entries
+    cannot differ and are never loaded; only the UNSHARED segments
+    resolve. A 16-file micro-batch on a 10^6-file table touches two
+    raw manifests plus the one or two segments that actually changed
+    (the completion of `_maybe_segment`'s O(delta) commit side, on
+    the read/CDC side). A plain manifest on either side falls back
+    to its inline maps (correct, O(files) for that side — the shape
+    a table crossing the segmentation threshold pays once).
+
+    Returns ``{"added", "removed", "dv_changed"`` (sorted file
+    lists) ``, "dv_from", "dv_to"}`` — the dv maps carry entries for
+    exactly the added/removed/dv_changed files, which is everything
+    the change feed and `io/changefeed.py` need."""
+    shared: set = set()
+    if "segments" in raw_a and "segments" in raw_b:
+        shared = set(raw_a["segments"]) & set(raw_b["segments"])
+    map_a = _diff_entry_map(root, raw_a, shared)
+    map_b = _diff_entry_map(root, raw_b, shared)
+    added = sorted(set(map_b) - set(map_a))
+    removed = sorted(set(map_a) - set(map_b))
+    dv_changed = sorted(
+        f
+        for f in set(map_a) & set(map_b)
+        if map_a[f].get("dv") != map_b[f].get("dv")
+    )
+    dv_from = {
+        f: map_a[f]["dv"]
+        for f in removed + dv_changed
+        if "dv" in map_a[f]
+    }
+    dv_to = {
+        f: map_b[f]["dv"]
+        for f in added + dv_changed
+        if "dv" in map_b[f]
+    }
+    return {
+        "added": added,
+        "removed": removed,
+        "dv_changed": dv_changed,
+        "dv_from": dv_from,
+        "dv_to": dv_to,
+    }
+
+
+def _raw_n_files(raw: dict) -> int:
+    return raw.get("n_files", len(raw.get("files", ())))
+
+
+def _raw_dv_rows(raw: dict) -> int:
+    if "segments" in raw:
+        return raw.get("dv_rows", 0)
+    return sum(e["rows"] for e in (raw.get("dv") or {}).values())
+
+
 def diff_versions(root: str, v_from: int, v_to: int) -> dict:
     """What changed between two snapshots — file-level audit from the
     manifests alone (metadata-scale at any corpus size): added and
@@ -1594,24 +2068,22 @@ def diff_versions(root: str, v_from: int, v_to: int) -> dict:
     INVISIBLE at file grain — ``dv_changed`` is how the audit sees
     it; `io/changefeed.py` gives the row-level answer). The
     operational answer to "what did last night's ingest actually
-    publish?"."""
-    ma, mb = read_manifest(root, v_from), read_manifest(root, v_to)
-    a, b = set(ma["files"]), set(mb["files"])
-    dv_a, dv_b = ma.get("dv") or {}, mb.get("dv") or {}
-    dv_changed = sorted(
-        f for f in a & b if dv_a.get(f) != dv_b.get(f)
-    )
+    publish?". Segment-aware: on a segmented store only the segments
+    the two versions do NOT share are loaded (`_diff_raw`), so the
+    audit is O(delta) even on a 10^6-file table."""
+    raw_a = _read_manifest_raw(root, v_from)
+    raw_b = _read_manifest_raw(root, v_to)
+    d = _diff_raw(root, raw_a, raw_b)
     return {
         "from": v_from,
         "to": v_to,
-        "added": sorted(b - a),
-        "removed": sorted(a - b),
-        "n_added": len(b - a),
-        "n_removed": len(a - b),
-        "n_delta": len(b) - len(a),
-        "dv_changed": dv_changed,
-        "n_dv_rows_delta": sum(e["rows"] for e in dv_b.values())
-        - sum(e["rows"] for e in dv_a.values()),
+        "added": d["added"],
+        "removed": d["removed"],
+        "n_added": len(d["added"]),
+        "n_removed": len(d["removed"]),
+        "n_delta": _raw_n_files(raw_b) - _raw_n_files(raw_a),
+        "dv_changed": d["dv_changed"],
+        "n_dv_rows_delta": _raw_dv_rows(raw_b) - _raw_dv_rows(raw_a),
     }
 
 
@@ -1691,6 +2163,72 @@ def retire_versions(
 VACUUM_MIN_AGE_SECONDS = 7 * 24 * 3600
 
 
+#: Default consumer-marker TTL (30 days): a feed consumer or stream
+#: sink that has not advanced its marker in a month is presumed dead.
+#: Deliberately much longer than any reasonable retention window — a
+#: paused-but-live consumer losing its marker means retention can
+#: break it (typed FeedRetentionError on resume), so the default errs
+#: far toward keeping markers.
+MARKER_TTL_SECONDS = 30 * 24 * 3600
+
+
+def gc_consumer_markers(
+    root: str,
+    *,
+    max_idle_seconds: float = MARKER_TTL_SECONDS,
+    feeds: bool = True,
+    sinks: bool = True,
+    dry_run: bool = False,
+) -> list[str]:
+    """Drop durable consumer markers idle past a TTL — the retention
+    hygiene for the two marker families that otherwise accumulate
+    forever: change-feed low-water marks (``_versions/feed-<id>``,
+    written by ``readStream.format("tss").option("feedId", ...)`` on
+    each commit) and streaming-sink replay fences
+    (``_versions/sink-<run_id>``, refreshed every micro-batch).
+
+    Idleness is the marker's mtime: every live consumer/run refreshes
+    its marker as it progresses, so "mtime older than
+    ``max_idle_seconds``" means no progress for that long. Markers
+    younger than the TTL are ALWAYS kept (a live-but-behind consumer
+    keeps its `retire_versions` pin; a live sink run keeps its
+    exactly-once fence) — same age-guard discipline as
+    :func:`vacuum`. Consequences of a drop, stated plainly: a dropped
+    FEED marker lets retention retire manifests the dead consumer
+    would have pinned (a zombie that resumes dies with the typed
+    ``FeedRetentionError``); a dropped SINK fence removes replay
+    protection for a run that would have to stay crashed for the
+    whole TTL and then replay — the manifest-scan fallback still
+    fences any batch whose commit survives in history.
+
+    Returns the dropped marker file names (with ``dry_run``, the
+    droppable ones). Called by :func:`maintain_table` when its
+    ``marker_ttl_seconds`` policy is set."""
+    if max_idle_seconds <= 0:
+        raise ValueError("max_idle_seconds must be > 0")
+    vd = _versions_dir(root)
+    if not os.path.isdir(vd):
+        return []
+    cutoff = time.time() - max_idle_seconds
+    dropped: list[str] = []
+    for n in sorted(os.listdir(vd)):
+        if not (
+            (feeds and n.startswith("feed-"))
+            or (sinks and n.startswith("sink-"))
+        ):
+            continue
+        full = os.path.join(vd, n)
+        try:
+            if os.path.getmtime(full) > cutoff:
+                continue
+            if not dry_run:
+                os.remove(full)
+        except OSError:
+            continue  # racing refresh/removal: the marker is live
+        dropped.append(n)
+    return dropped
+
+
 def vacuum(
     root: str,
     dry_run: bool = False,
@@ -1719,12 +2257,27 @@ def vacuum(
     Walks ``root/data`` + ``root/dv`` (deletion-vector sidecars are
     manifest-referenced files like any other) and the manifests only
     — metadata-scale work regardless of data size."""
+    # liveness from the UNION of unique segment ids across surviving
+    # manifests — each unique segment parses ONCE, so consecutive
+    # versions sharing almost all segments cost O(unique segments),
+    # not O(versions x files); plain manifests contribute inline
     live: set[str] = set()
+    live_segs: set[str] = set()
     for v in list_versions(root):
-        m = read_manifest(root, v)
-        live.update(m["files"])
-        for e in (m.get("dv") or {}).values():
-            live.update(e["sidecars"])
+        raw = _read_manifest_raw(root, v)
+        if "segments" in raw:
+            for sid in raw["segments"]:
+                if sid in live_segs:
+                    continue
+                live_segs.add(sid)
+                for e in _load_segment(root, sid):
+                    live.add(e["file"])
+                    if "dv" in e:
+                        live.update(e["dv"]["sidecars"])
+        else:
+            live.update(raw["files"])
+            for e in (raw.get("dv") or {}).values():
+                live.update(e["sidecars"])
     cutoff = time.time() - min_age_seconds
     doomed: list[str] = []
     young: set[str] = set()  # "data/<run>" / "dv/<run>" holding young files
@@ -1782,11 +2335,7 @@ def vacuum(
     # deletion.
     segdir = _segments_dir(root)
     if os.path.isdir(segdir):
-        live_segs: set[str] = set()
-        for v in list_versions(root):
-            live_segs.update(
-                _read_manifest_raw(root, v).get("segments", ())
-            )
+        # live_segs was already collected in the liveness walk above
         rootabs = os.path.abspath(root)
         for c in list_clones(root):
             if c.get("segments") and os.path.abspath(
@@ -1978,6 +2527,7 @@ def maintain_table(
     max_small_files: int = 8,
     max_dv_rows: int = 100_000,
     verify: bool = True,
+    marker_ttl_seconds: float | None = None,
 ) -> dict:
     """Policy-driven auto-maintenance — the ACTUATOR loop an ingest
     pipeline calls after its commits instead of a human watching the
@@ -1986,10 +2536,14 @@ def maintain_table(
     :func:`compact_version` (folding deletion vectors whenever the dv
     bound tripped). Does nothing when the table is healthy, so it is
     safe (and cheap — one manifest read + file stats) to call every
-    cycle. Returns the health probe plus what was done::
+    cycle. With ``marker_ttl_seconds`` set, also drops consumer
+    markers idle past that TTL (:func:`gc_consumer_markers` — dead
+    feed pins and sink fences stop accumulating). Returns the health
+    probe plus what was done::
 
         {"health": {...}, "compacted": bool, "dv_folded": bool,
-         "version": <current after maintenance>}
+         "markers_dropped": [...], "version": <current after
+         maintenance>}
 
     Concurrency: compaction goes through the multi-writer commit loop
     as a ``maintenance`` commit; if a racing writer rewrote the same
@@ -2006,6 +2560,13 @@ def maintain_table(
         "compacted": False,
         "dv_folded": False,
         "conflict": False,
+        "markers_dropped": (
+            gc_consumer_markers(
+                root, max_idle_seconds=marker_ttl_seconds
+            )
+            if marker_ttl_seconds is not None
+            else []
+        ),
         "version": health["version"],
     }
     if compact:
