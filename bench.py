@@ -467,10 +467,20 @@ def main() -> None:
             print(f"bench: extra query {name} failed warmup: {exc!r}", file=sys.stderr)
             continue
         runs = []
-        for _ in range(3):
-            t0 = time.time()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.time() - t0)
+        try:
+            for _ in range(3):
+                t0 = time.time()
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(time.time() - t0)
+        except Exception as exc:
+            # surface and move on: one failing extra (e.g. a fixture
+            # exhausted at a tiny smoke SF) must not abort the bench
+            # and lose the whole BENCH_FULL record
+            print(
+                f"bench: extra query {name} failed timed run: {exc!r}",
+                file=sys.stderr,
+            )
+            continue
         extra[name] = round(statistics.median(runs), 3)
         spread[name] = {
             "min": round(min(runs), 3),

@@ -130,6 +130,54 @@ def test_maybe_segment_mirror_parity(tmp_path, monkeypatch, poison):
     assert sorted(resolved_v) == all_files
 
 
+def test_sink_raw_append_parity_and_zero_loads(tmp_path, monkeypatch):
+    """r16: the sink's segmented append (`_ds_append_segmented`)
+    assembles the next raw manifest without resolving the table —
+    zero segment loads for a pure append — and lands on the SAME
+    segment ids as `commit_files`'s raw append given twin state."""
+    monkeypatch.setattr(versioned, "SEGMENT_MIN_FILES", 1)
+    monkeypatch.setattr(versioned, "SEGMENT_TARGET_ENTRIES", 4)
+    monkeypatch.setattr(ds, "_DS_SEGMENT_MIN_FILES", 1)
+    monkeypatch.setattr(ds, "_DS_SEGMENT_TARGET_ENTRIES", 4)
+    (ra, rb), files, _stats = _twin_roots(tmp_path)
+
+    loads = {"n": 0}
+    real = ds._ds_load_segment
+
+    def counting(r, sid):
+        loads["n"] += 1
+        return real(r, sid)
+
+    monkeypatch.setattr(ds, "_ds_load_segment", counting)
+    ds._DS_SEG_CACHE.clear()
+
+    added = ["data/stream-r1/p0.parquet", "data/stream-r1/p1.parquet"]
+    for r in (ra, rb):
+        for f in added:
+            _mk_file(r, f)
+    m_sink = ds._ds_append_commit(rb, list(added), {"writer": "sink"})
+    # the fresh batch prefix sorts OUTSIDE every prior range: the
+    # whole append (incl. the duplicate check) loaded zero segments
+    assert loads["n"] == 0
+    assert m_sink["n_files"] == 13 and "files" not in m_sink
+
+    versioned.commit_files(
+        ra, base_version=1, kind="append", add_files=list(added)
+    )
+    raw_a = versioned._read_manifest_raw(ra, 2)
+    raw_b = ds._ds_read_manifest_raw(rb, 2)
+    assert raw_a["segments"] == raw_b["segments"]
+    assert raw_a["n_files"] == raw_b["n_files"]
+    assert versioned.read_manifest(ra, 2)["files"] == sorted(
+        [e["file"] for sid in raw_b["segments"]
+         for e in ds._ds_load_segment(rb, sid)]
+    )
+
+    # a duplicate append is still refused (range hit -> load -> catch)
+    with pytest.raises(ValueError, match="duplicate"):
+        ds._ds_append_commit(rb, [added[0]], {"writer": "sink"})
+
+
 def test_schema_violations_mirror_parity():
     from trial_submission_studio_spark.io.table_schema import (
         schema_violations,

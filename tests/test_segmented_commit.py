@@ -198,6 +198,47 @@ def test_first_dv_falls_back_to_classic_and_works(
     assert raw["dv_rows"] == 4
 
 
+def _poison_n_files(root, version):
+    import json
+
+    path = versioned._manifest_path(root, version)
+    doc = json.loads(open(path).read())
+    for summ in doc["segment_stats"].values():
+        summ["n_files"] += 1
+    os.chmod(path, 0o644)
+    with open(path, "w") as fh:
+        fh.write(json.dumps(doc))
+
+
+def test_stale_summary_books_fall_back_to_classic(
+    tmp_path, seg_small
+):
+    """A corrupted summary n_files makes the raw path's books not
+    balance: both the batch commit and the sink append must fall back
+    to the fully-resolved path and still publish correct state."""
+    from trial_submission_studio_spark.io import datasource as ds
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    files = _seed(root)
+    _poison_n_files(root, 1)
+    extra = _mk_file(root, "data/r/zz.parquet")
+    m = commit_files(
+        root, base_version=1, kind="append", add_files=[extra]
+    )
+    got = read_manifest(root)
+    assert sorted(got["files"]) == sorted(files + [extra])
+    assert got["n_files"] == 13
+
+    _poison_n_files(root, current_version(root))
+    ds._DS_SEG_CACHE.clear()
+    sink = _mk_file(root, "data/stream-x/p0.parquet")
+    m2 = ds._ds_append_commit(root, [sink], {"writer": "sink"})
+    got2 = read_manifest(root)
+    assert sorted(got2["files"]) == sorted(files + [extra, sink])
+    assert got2["n_files"] == m2["n_files"] == 14
+
+
 def test_racing_segmented_appends_all_land(tmp_path, seg_small):
     root = str(tmp_path / "t")
     os.makedirs(root)

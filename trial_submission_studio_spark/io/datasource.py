@@ -162,9 +162,16 @@ def _ds_load_segment(root: str, sid: str) -> list:
     return entries
 
 
+class _DsSegmentMismatch(Exception):
+    """Internal: the sink's raw segmented append found books that
+    don't balance (stale/corrupt summary n_files) — the caller
+    re-runs the batch through the fully-resolved classic path."""
+
+
 def _ds_read_manifest(root: str, version: int) -> dict:
     """Stdlib mirror of `versioned.read_manifest` incl. segment
-    resolution (see `versioned._resolve_manifest`)."""
+    resolution — only the accounting-fallback path still pays this
+    full resolve; steady-state sink commits are raw."""
     raw = _ds_read_manifest_raw(root, version)
     if "segments" not in raw:
         return raw
@@ -810,7 +817,8 @@ class _TssWriter(DataSourceArrowWriter):
         self._base_version = None
         cur = versioned.current_version(self._root)
         if cur is not None:
-            m = versioned.read_manifest(self._root)
+            # RAW read: mapping/constraints/layout are top-level keys
+            m = versioned._read_manifest_raw(self._root, cur)
             self._base_version = m["version"]
             self._mapping = m.get("column_mapping") or None
             if m.get("constraints"):
@@ -893,7 +901,7 @@ class _TssWriter(DataSourceArrowWriter):
             return
         base_schema = None
         if self._base_version is not None:
-            base_schema = versioned.read_manifest(
+            base_schema = versioned._read_manifest_raw(
                 self._root, self._base_version
             ).get("schema")
         if base_schema:
@@ -944,10 +952,6 @@ def _ds_maybe_segment(
     reusing every predecessor segment whose entries all survive —
     the sink's append reuses ALL of them and writes one delta
     segment, keeping commit metadata O(batch) on a huge table."""
-    import hashlib
-    import json
-    import tempfile
-
     files = manifest["files"]
     if len(files) < _DS_SEGMENT_MIN_FILES:
         return manifest
@@ -1006,8 +1010,6 @@ def _ds_maybe_segment(
         tail = _ds_load_segment(root, reused[-1])
         summaries.pop(reused.pop(), None)
         residual = sorted(set(residual) | {e["file"] for e in tail})
-    segdir = os.path.join(root, "_versions", "segments")
-    os.makedirs(segdir, exist_ok=True)
     fresh: list = []
     for i in range(0, len(residual), _DS_SEGMENT_TARGET_ENTRIES):
         entries = []
@@ -1018,32 +1020,7 @@ def _ds_maybe_segment(
             if f in dv:
                 e["dv"] = dv[f]
             entries.append(e)
-        payload = json.dumps(
-            {"entries": entries}, sort_keys=True, separators=(",", ":")
-        )
-        sid = (
-            "seg-" + hashlib.sha256(payload.encode()).hexdigest()[:32]
-        )
-        spath = os.path.join(segdir, sid + ".json")
-        if os.path.exists(spath):
-            # resurrected orphan: refresh mtime so a racing vacuum's
-            # age guard protects it (mirror of versioned._write_segment)
-            try:
-                os.utime(spath, None)
-            except OSError:
-                pass
-        else:
-            fd, tmp = tempfile.mkstemp(dir=segdir, suffix=".tmp")
-            try:
-                with os.fdopen(fd, "w", encoding="utf-8") as fh:
-                    fh.write(payload)
-                try:
-                    os.link(tmp, spath)
-                except FileExistsError:
-                    pass  # content-addressed: the twin is identical
-            finally:
-                if os.path.exists(tmp):
-                    os.remove(tmp)
+        sid = _ds_write_segment_file(root, entries)
         fresh.append(sid)
         # ranged summary (entries are sorted) so the NEXT micro-batch
         # reuses this segment with zero loads; column summaries need
@@ -1063,6 +1040,145 @@ def _ds_maybe_segment(
         out["segment_stats"] = summaries
     out["dv_rows"] = sum(e["rows"] for e in dv.values())
     return out
+
+
+def _ds_append_segmented(
+    root: str, cur_raw: dict, files: list, version: int, meta: dict
+) -> dict:
+    """Assemble the next RAW manifest for a pure sink append onto a
+    SEGMENTED table without resolving it (stdlib mirror of the
+    pure-append case of `versioned._commit_files_segmented`): prior
+    segments whose recorded file-name range cannot contain any fresh
+    path reuse with zero loads (sink files live under a per-run
+    ``data/stream-<run>/`` prefix, so ranges practically never hit);
+    a range hit loads just that segment for the duplicate check. The
+    per-batch metadata cost is O(batch + segment refs), not
+    O(table-files)."""
+    import bisect
+
+    summaries = cur_raw.get("segment_stats") or {}
+    probe = sorted(files)
+    residual = {f: {"file": f} for f in files}
+    reused: list = []
+    out_summ: dict = {}
+    covered = 0
+    for sid in cur_raw["segments"]:
+        summ = summaries.get(sid)
+        if summ and "file_min" in summ:
+            i = bisect.bisect_left(probe, summ["file_min"])
+            if not (i < len(probe) and probe[i] <= summ["file_max"]):
+                reused.append(sid)
+                out_summ[sid] = summ
+                covered += summ["n_files"]
+                continue
+        entries = _ds_load_segment(root, sid)
+        if any(e["file"] in residual for e in entries):
+            raise ValueError("duplicate files in streaming append")
+        reused.append(sid)
+        # entries are sorted chunks by construction — a missing
+        # summary regains at least the range form
+        out_summ[sid] = summ if summ and "file_min" in summ else {
+            "n_files": len(entries),
+            "file_min": entries[0]["file"],
+            "file_max": entries[-1]["file"],
+        }
+        covered += len(entries)
+    # LSM tail fold (mirror of _ds_maybe_segment)
+    while reused:
+        n_tail = (out_summ.get(reused[-1]) or {}).get("n_files")
+        if n_tail is None:
+            n_tail = len(_ds_load_segment(root, reused[-1]))
+        if (
+            n_tail >= _DS_SEGMENT_TARGET_ENTRIES // 2
+            or n_tail + len(residual) > _DS_SEGMENT_TARGET_ENTRIES
+        ):
+            break
+        sid_tail = reused.pop()
+        out_summ.pop(sid_tail, None)
+        tail = _ds_load_segment(root, sid_tail)
+        for e in tail:
+            residual[e["file"]] = e
+        covered -= len(tail)
+    fresh: list = []
+    names = sorted(residual)
+    for i in range(0, len(names), _DS_SEGMENT_TARGET_ENTRIES):
+        chunk = [
+            residual[f]
+            for f in names[i : i + _DS_SEGMENT_TARGET_ENTRIES]
+        ]
+        sid = _ds_write_segment_file(root, chunk)
+        fresh.append(sid)
+        out_summ[sid] = {
+            "n_files": len(chunk),
+            "file_min": chunk[0]["file"],
+            "file_max": chunk[-1]["file"],
+        }
+    import time as _time
+
+    if covered + len(names) != cur_raw.get("n_files", 0) + len(files):
+        # stale/corrupt summary n_files: recompute through the
+        # classic fully-resolved path (loads, never wrong bytes)
+        raise _DsSegmentMismatch
+    out = {
+        "version": version,
+        "created_utc": _time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", _time.gmtime()
+        ),
+        "n_files": covered + len(names),
+        "metadata": {**meta, "commit_kind": "append"},
+    }
+    # stats/dv stay inside segments on this path; only the top-level
+    # contracts carry
+    for k in ("schema", "constraints", "column_mapping"):
+        if cur_raw.get(k):
+            out[k] = cur_raw[k]
+    for k in ("bucket_spec", "partition_spec",
+              "partition_spec_history"):
+        if cur_raw["metadata"].get(k):
+            out["metadata"][k] = cur_raw["metadata"][k]
+    out["segments"] = reused + fresh
+    out["segment_stats"] = {
+        sid: out_summ[sid] for sid in out["segments"]
+    }
+    out["dv_rows"] = cur_raw.get("dv_rows", 0)
+    return out
+
+
+def _ds_write_segment_file(root: str, entries: list) -> str:
+    """Write one immutable content-addressed segment (stdlib mirror
+    of `versioned._write_segment`, shared by the sink's segment
+    paths)."""
+    import hashlib
+    import json
+    import tempfile
+
+    segdir = os.path.join(root, "_versions", "segments")
+    os.makedirs(segdir, exist_ok=True)
+    payload = json.dumps(
+        {"entries": entries}, sort_keys=True, separators=(",", ":")
+    )
+    sid = "seg-" + hashlib.sha256(payload.encode()).hexdigest()[:32]
+    spath = os.path.join(segdir, sid + ".json")
+    if os.path.exists(spath):
+        # resurrected orphan: refresh mtime so a racing vacuum's age
+        # guard protects it
+        try:
+            os.utime(spath, None)
+        except OSError:
+            pass
+        return sid
+    fd, tmp = tempfile.mkstemp(dir=segdir, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as fh:
+            fh.write(payload)
+        try:
+            os.link(tmp, spath)
+        except FileExistsError:
+            pass  # content-addressed: the twin is identical
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+    return sid
 
 
 def _ds_file_schema(path: str) -> list[dict]:
@@ -1139,23 +1255,20 @@ def _ds_append_commit(
     for _ in range(max_retries):
         vs = _ds_list_versions(root)
         cur_raw = _ds_read_manifest_raw(root, vs[-1]) if vs else None
-        cur = (
-            _ds_read_manifest(root, vs[-1])
-            if cur_raw is not None and "segments" in cur_raw
-            else cur_raw
-        )
-        if cur is not None and files:
+        if cur_raw is not None and files:
             # contracts can appear MID-STREAM (an operator adds a
             # CHECK constraint or republishes a layout under the
             # running sink): appending unvalidated plain files would
-            # silently bypass them — fail the stream loudly instead
-            if cur.get("constraints"):
+            # silently bypass them — fail the stream loudly instead.
+            # All contract keys are TOP-LEVEL on the raw manifest, so
+            # no segment resolution is needed here.
+            if cur_raw.get("constraints"):
                 raise ValueError(
                     "table gained CHECK constraints mid-stream; the "
                     "sink cannot enforce them — switch to the "
                     "foreachBatch CDC route"
                 )
-            if cur["metadata"].get("bucket_spec") or cur[
+            if cur_raw["metadata"].get("bucket_spec") or cur_raw[
                 "metadata"
             ].get("partition_spec"):
                 raise ValueError(
@@ -1163,12 +1276,12 @@ def _ds_append_commit(
                     "task files would break its pruning — switch to "
                     "the foreachBatch CDC route"
                 )
-            if cur.get("schema"):
+            if cur_raw.get("schema"):
                 # a restarted stream whose input drifted must not
                 # append contract-violating files silently — the same
                 # gate the batch writer applies via schema_violations
                 for f, fsch in _fresh_schemas():
-                    bad = _ds_schema_violations(cur["schema"], fsch)
+                    bad = _ds_schema_violations(cur_raw["schema"], fsch)
                     if bad:
                         raise ValueError(
                             "stream append violates the table's "
@@ -1176,30 +1289,47 @@ def _ds_append_commit(
                             + "\n  ".join(bad)
                         )
         version = (vs[-1] if vs else 0) + 1
-        base_files = list(cur["files"]) if cur else []
-        all_files = sorted(base_files + files)
-        if len(all_files) != len(set(all_files)):
-            raise ValueError("duplicate files in streaming append")
-        manifest = {
-            "version": version,
-            "created_utc": _time.strftime(
-                "%Y-%m-%dT%H:%M:%SZ", _time.gmtime()
-            ),
-            "files": all_files,
-            "n_files": len(all_files),
-            "metadata": {**meta, "commit_kind": "append"},
-        }
-        if cur:
-            for k in ("stats", "schema", "dv", "constraints",
-                      "column_mapping"):
-                if cur.get(k):
-                    manifest[k] = cur[k]
-            for k in ("bucket_spec", "partition_spec",
-                      "partition_spec_history"):
-                if cur["metadata"].get(k):
-                    manifest["metadata"][k] = cur["metadata"][k]
+        raw_ok = cur_raw is not None and "segments" in cur_raw
+        if raw_ok:
+            # r16: segmented table — assemble the next raw manifest
+            # directly (O(batch + segment refs) per micro-batch); the
+            # duplicate check rides the segment ranges
+            try:
+                manifest = disk = _ds_append_segmented(
+                    root, cur_raw, files, version, meta
+                )
+            except _DsSegmentMismatch:
+                raw_ok = False
+        if not raw_ok:
+            cur = (
+                _ds_read_manifest(root, vs[-1])
+                if cur_raw is not None and "segments" in cur_raw
+                else cur_raw
+            )
+            base_files = list(cur["files"]) if cur else []
+            all_files = sorted(base_files + files)
+            if len(all_files) != len(set(all_files)):
+                raise ValueError("duplicate files in streaming append")
+            manifest = {
+                "version": version,
+                "created_utc": _time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", _time.gmtime()
+                ),
+                "files": all_files,
+                "n_files": len(all_files),
+                "metadata": {**meta, "commit_kind": "append"},
+            }
+            if cur:
+                for k in ("stats", "schema", "dv", "constraints",
+                          "column_mapping"):
+                    if cur.get(k):
+                        manifest[k] = cur[k]
+                for k in ("bucket_spec", "partition_spec",
+                          "partition_spec_history"):
+                    if cur["metadata"].get(k):
+                        manifest["metadata"][k] = cur["metadata"][k]
+            disk = _ds_maybe_segment(root, manifest, cur_raw, added=files)
         path = os.path.join(vd, f"v{version:08d}.json")
-        disk = _ds_maybe_segment(root, manifest, cur_raw, added=files)
         payload = json.dumps(disk, indent=1)
         fd, tmp = tempfile.mkstemp(dir=vd, suffix=".tmp")
         try:
@@ -1334,7 +1464,8 @@ class _TssStreamWriter(DataSourceStreamArrowWriter):
         self._mapping = None
         vs = _ds_list_versions(self._root)
         if vs:
-            m = _ds_read_manifest(self._root, vs[-1])
+            # RAW read: mapping/constraints/layout are top-level keys
+            m = _ds_read_manifest_raw(self._root, vs[-1])
             self._mapping = m.get("column_mapping") or None
             if m.get("constraints"):
                 raise ValueError(

@@ -1025,6 +1025,14 @@ def _commit_files_segmented(
         if "dv" in e:
             dv_rows_new += e["dv"]["rows"]
     n_files = covered_n + len(residual)
+    if n_files != _raw_n_files(target_raw) - len(remove) + len(
+        add_files
+    ):
+        # the books don't balance: a summary's recorded n_files is
+        # stale/corrupt — recompute through the classic resolved path
+        # (same discipline as _maybe_segment's accounting fallback:
+        # loads, never wrong bytes)
+        raise _SegmentedFallback
     if n_files == 0:
         raise ValueError("refusing to publish an empty file list")
 
