@@ -283,7 +283,29 @@ def test_ds_schema_carries_nullability(tmp_path):
     by_name = {f.name: f.nullable for f in sch.fields}
     assert by_name == {"k": False, "v": True}
 
-    # contract-recorded nullability wins for columns no footer shows
+    # a second file sharing the schema keeps the sound non-null claim
+    # (ALL footers scanned and agree)
+    rel2 = "data/r/f1.parquet"
+    pq.write_table(
+        pa.table(
+            {"k": pa.array([3], pa.int64()),
+             "v": pa.array(["b"], pa.string())},
+            schema=pa.schema([
+                pa.field("k", pa.int64(), nullable=False),
+                pa.field("v", pa.string(), nullable=True),
+            ]),
+        ),
+        os.path.join(root, rel2),
+    )
+    commit_files(root, base_version=1, kind="append", add_files=[rel2])
+    sch1b = TssDataSource(options={"root": root}).schema()
+    assert {f.name: f.nullable for f in sch1b.fields} == by_name
+
+    # a CONTRACT table presents nullable=True even for a footer-
+    # required column: the contract cannot prove the column exists in
+    # every file (add-column evolution null-fills it), and a false
+    # non-null claim lets the optimizer fold IS NULL to false —
+    # wrong results, not just wrong metadata (r16 review finding)
     from trial_submission_studio_spark.io.table_schema import file_schema
 
     contract = file_schema(os.path.join(root, rel))
@@ -291,7 +313,12 @@ def test_ds_schema_carries_nullability(tmp_path):
         "k": False, "v": True
     }
     commit_files(
-        root, base_version=1, kind="maintenance", schema=contract
+        root,
+        base_version=versioned.current_version(root),
+        kind="maintenance",
+        schema=contract,
     )
     sch2 = TssDataSource(options={"root": root}).schema()
-    assert {f.name: f.nullable for f in sch2.fields} == by_name
+    assert {f.name: f.nullable for f in sch2.fields} == {
+        "k": True, "v": True
+    }

@@ -422,9 +422,13 @@ def _read_file_arrow(
             # vectorized keep-mask (numpy fancy-index assignment +
             # zero-copy arrow wrap) — the per-row Python list
             # comprehension this replaces was the last row-at-a-time
-            # loop in a data-plane path
+            # loop in a data-plane path. Out-of-range ordinals (a
+            # corrupt sidecar, or a path republished with fewer rows)
+            # are dropped, matching the old mask's tolerance.
+            idx = np.fromiter(doomed, count=len(doomed), dtype=np.int64)
+            idx = idx[(idx >= 0) & (idx < t.num_rows)]
             mask = np.ones(t.num_rows, dtype=bool)
-            mask[np.fromiter(doomed, count=len(doomed), dtype=np.int64)] = False
+            mask[idx] = False
             t = t.filter(pa.array(mask))
     else:
         t = pq.read_table(path, columns=avail, filters=filters)
@@ -434,7 +438,10 @@ def _read_file_arrow(
     return t.select(phys_cols)
 
 
-def _snapshot_arrow_fields(root: str, files: list, want, max_footers=64):
+def _snapshot_arrow_fields(
+    root: str, files: list, want, max_footers=64,
+    union_nullability=False,
+):
     """name -> (Spark DataType, nullable) resolved from parquet
     FOOTERS, plus the first footer's field order. Reads footers until
     every ``want`` column is typed, HARD-CAPPED at ``max_footers`` —
@@ -443,22 +450,44 @@ def _snapshot_arrow_fields(root: str, files: list, want, max_footers=64):
     from the contract's recorded arrow type string instead).
     ``want=None`` is the single-footer fast path for contract-less
     unmapped tables, where every file shares one schema by
-    construction."""
+    construction.
+
+    ``union_nullability=True`` scans EVERY given footer (caller
+    bounds the list) and declares a column non-nullable only when it
+    is present and non-nullable in ALL of them — the only SOUND way
+    to claim non-nullability, because the reader null-fills a column
+    a file predates, and Spark's optimizer folds ``IS NULL`` on a
+    non-nullable attribute to false."""
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import from_arrow_schema
 
     types: dict = {}
     order: list = []
+    seen_in: dict = {}
+    n_read = 0
     for rel in files[:max_footers]:
         sch = from_arrow_schema(
             pq.ParquetFile(os.path.join(root, rel)).schema_arrow
         )
+        n_read += 1
         for f in sch.fields:
-            types.setdefault(f.name, (f.dataType, f.nullable))
+            if f.name in types:
+                t, nb = types[f.name]
+                types[f.name] = (t, nb or f.nullable)
+            else:
+                types[f.name] = (f.dataType, f.nullable)
+            seen_in[f.name] = seen_in.get(f.name, 0) + 1
         if not order:
             order = [f.name for f in sch.fields]
-        if want is None or all(w in types for w in want):
+        if not union_nullability and (
+            want is None or all(w in types for w in want)
+        ):
             break
+    if union_nullability:
+        types = {
+            n: (t, nb or seen_in.get(n, 0) < n_read)
+            for n, (t, nb) in types.items()
+        }
     return types, order
 
 
@@ -1064,7 +1093,7 @@ def _ds_append_segmented(
     covered = 0
     for sid in cur_raw["segments"]:
         summ = summaries.get(sid)
-        if summ and "file_min" in summ:
+        if summ and "file_min" in summ and "n_files" in summ:
             i = bisect.bisect_left(probe, summ["file_min"])
             if not (i < len(probe) and probe[i] <= summ["file_max"]):
                 reused.append(sid)
@@ -1734,6 +1763,7 @@ class TssDataSource(DataSource):
         want = list(contract) if contract else (
             list(cm.values()) if cm else None
         )
+        n_total = m.get("n_files", len(m.get("files") or ()))
         if "segments" in m:
             sample: list = []
             for sid in m["segments"]:
@@ -1743,15 +1773,40 @@ class TssDataSource(DataSource):
                 if len(sample) >= 64:
                     break
             m = dict(m, files=sample)
-        # one footer resolves everything for the common case; columns
-        # it misses (add-column evolution) type from the CONTRACT's
-        # recorded arrow type string — O(1) footer reads regardless of
-        # where the evolved files sort. Only an unparseable contract
-        # type (or a contract-less mapping hole) pays a capped footer
-        # scan.
-        by_phys, order = _snapshot_arrow_fields(
-            root, m["files"], want, max_footers=1
+        # Nullability soundness rule: the reader NULL-FILLS a column
+        # any file predates (add-column evolution / heterogeneous
+        # publishes), and Spark's optimizer constant-folds IS NULL on
+        # a non-nullable attribute — so declaring non-nullable is only
+        # safe when EVERY file provably carries the column
+        # non-nullable. That proof is affordable exactly for small
+        # contract-less unmapped tables (<= 64 footers, all scanned);
+        # everything else presents nullable=True, like Spark's own
+        # parquet relation does.
+        sound_nonnull = (
+            not cm
+            and not contract
+            and n_total == len(m["files"])
+            and n_total <= 64
         )
+        if sound_nonnull:
+            by_phys, order = _snapshot_arrow_fields(
+                root, m["files"], None,
+                max_footers=len(m["files"]),
+                union_nullability=True,
+            )
+        else:
+            # one footer resolves everything for the common case;
+            # columns it misses (add-column evolution) type from the
+            # CONTRACT's recorded arrow type string — O(1) footer
+            # reads regardless of where the evolved files sort. Only
+            # an unparseable contract type (or a contract-less
+            # mapping hole) pays a capped footer scan.
+            by_phys, order = _snapshot_arrow_fields(
+                root, m["files"], want, max_footers=1
+            )
+            by_phys = {
+                n: (t, True) for n, (t, _nb) in by_phys.items()
+            }
         unresolved = []
         for c in want or ():
             if c in by_phys:
@@ -1759,11 +1814,11 @@ class TssDataSource(DataSource):
             e = contract.get(c)
             if e is not None:
                 try:
+                    # typed from the contract, nullability forced True
+                    # (the contract cannot prove presence in every
+                    # file — an evolved column null-fills)
                     by_phys[c] = (
-                        _spark_type_from_arrow_str(e["type"]),
-                        # the contract records nullability; default
-                        # nullable only when the entry predates it
-                        bool(e.get("nullable", True)),
+                        _spark_type_from_arrow_str(e["type"]), True
                     )
                     continue
                 except ValueError:
@@ -1774,7 +1829,7 @@ class TssDataSource(DataSource):
                 root, m["files"], unresolved
             )
             for c, t in more.items():
-                by_phys.setdefault(c, t)
+                by_phys.setdefault(c, (t[0], True))
 
         def _field(name, phys_name):
             t = by_phys.get(phys_name)

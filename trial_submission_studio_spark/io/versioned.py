@@ -461,6 +461,7 @@ def _maybe_segment(root: str, manifest: dict, delta: dict | None = None) -> dict
             touched is not None
             and summ
             and "file_min" in summ
+            and "n_files" in summ  # consumed unguarded below
             # degraded summaries (the sink's file-range-only form) are
             # excluded from the zero-load path so the upgrade below
             # runs exactly once and restores segment-level pruning
@@ -756,6 +757,7 @@ def _probe_segments(root: str, raw: dict, probe_sorted: list[str]):
         usable = (
             summ
             and "file_min" in summ
+            and "n_files" in summ  # consumed unguarded downstream
             # degraded (sink-written, range-only) summaries load once
             # so the rebuilt manifest carries upgraded ones — same
             # discipline as _maybe_segment's load-verify branch
@@ -833,17 +835,30 @@ def _commit_files_segmented(
 
     missing = remove - set(entry_map)
     if missing:
+        if cur_v != base_version:
+            # mirror the classic rebase diagnosis: the file WAS in
+            # the caller's base but a concurrent commit took it —
+            # "re-plan and retry", not "your input list is wrong"
+            raise TableConflictError(
+                "concurrent commit rewrote/removed files this commit "
+                "also rewrites", list(missing),
+            )
         raise TableConflictError(
             "remove_files not in the base snapshot", list(missing)
         )
-    dupes = [f for f in add_files if f in entry_map]
+    # remove+re-add of the same path is the classic in-place-rewrite
+    # shape and stays legal — only an add of a SURVIVING path is a dup
+    dupes = [f for f in add_files if f in entry_map and f not in remove]
     if dupes:
         raise ValueError(
             f"duplicate files in version: {sorted(dupes)[:3]}"
         )
+    # a dv entry for a file this commit REMOVES (and does not re-add)
+    # is the classic orphan-dv refusal — never a silent drop
     orphans = sorted(
         f for f in dv_updates
-        if f not in entry_map and f not in set(add_files)
+        if f not in set(add_files)
+        and (f in remove or f not in entry_map)
     )
 
     intervening_raw: list = []
@@ -865,7 +880,11 @@ def _commit_files_segmented(
             b_dv = _probe_raw_dv(root, base_raw, check)
             dv_grew = []
             for f in check:
-                if f in set(add_files):
+                # a dv entry for a file this commit CREATES is
+                # race-free — but a re-added REMOVE is a rewrite of
+                # existing rows and must still see concurrent
+                # tombstones (classic checks every remove)
+                if f in set(add_files) and f not in remove:
                     continue
                 t_e = entry_map.get(f)
                 if f in dv_updates and t_e is None:
