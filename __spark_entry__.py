@@ -3451,6 +3451,62 @@ def table_manifest_segment_bench(
     )
 
 
+def table_version_diff_bench(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Segment-aware version diffing (r16,
+    io/versioned.py:_diff_raw): diff the newest adjacent version pair
+    of the many-file segmented store `table_manifest_segment_bench`
+    maintains — the pair differs by that bench's 16-file append, so
+    the measured claim is that the diff (the change feed's planning
+    cost per trigger) loads only the UNSHARED segments, not the
+    table: `segments_loaded` on the returned row is asserted < the
+    store's segment count, and latency stays ~flat at 10x files (sf1
+    sweep). Cold diff: the segment cache is cleared first so the
+    timing measures parses, not dict hits. Benched extra; equality
+    with full resolution is pinned by tests/test_segment_diff.py."""
+    from trial_submission_studio_spark.io import versioned as V
+
+    if _SEGMENT_BENCH_MEMO.get(sf_dir) is None:
+        table_manifest_segment_bench(spark, sf_dir)
+    memo = _SEGMENT_BENCH_MEMO[sf_dir]
+    root = memo["root"]
+    vs = V.list_versions(root)
+    if len(vs) < 2:  # fresh memo store: land one more commit to diff
+        table_manifest_segment_bench(spark, sf_dir)
+        vs = V.list_versions(root)
+    a, b = vs[-2], vs[-1]
+    n = {"loads": 0}
+    real = V._load_segment
+
+    def counting(r, sid):
+        n["loads"] += 1
+        return real(r, sid)
+
+    V._load_segment = counting
+    try:
+        V._SEG_CACHE.clear()
+        d = V.diff_versions(root, a, b)
+    finally:
+        V._load_segment = real
+    n_segs = len(V._read_manifest_raw(root, b)["segments"])
+    if n["loads"] >= n_segs:
+        raise AssertionError(
+            f"diff loaded {n['loads']} segments of {n_segs} — the "
+            "shared-segment skip is not engaging"
+        )
+    return spark.createDataFrame(
+        [(
+            d["n_added"],
+            d["n_removed"],
+            int(n["loads"]),
+            int(n_segs),
+        )],
+        "n_added long, n_removed long, segments_loaded long, "
+        "segments_total long",
+    )
+
+
 def table_delete_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copy-on-write control for table_delete_dv: the SAME scattered
     500-key erasure via io/merge.py:delete_matching — every file

@@ -457,6 +457,9 @@ def main() -> None:
         # round-15: expected curvature — ~flat commit latency/bytes
         # on a 10x-file table (segments reused; one delta segment)
         "table_manifest_segment_bench",
+        # round-16: expected curvature — ~flat diff latency at 10x
+        # files (only unshared segments load)
+        "table_version_diff_bench",
     )
     for name in EXTRA_QUERIES:
         if name not in qs:
