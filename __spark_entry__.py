@@ -3460,11 +3460,15 @@ def table_version_diff_bench(
     maintains — the pair differs by that bench's 16-file append, so
     the measured claim is that the diff (the change feed's planning
     cost per trigger) loads only the UNSHARED segments, not the
-    table: `segments_loaded` on the returned row is asserted < the
-    store's segment count, and latency stays ~flat at 10x files (sf1
-    sweep). Cold diff: the segment cache is cleared first so the
-    timing measures parses, not dict hits. Benched extra; equality
-    with full resolution is pinned by tests/test_segment_diff.py."""
+    table: `segments_loaded` on the returned row is asserted ==
+    the unshared-segment count across both sides (the tail-fold can
+    make BOTH tails unshared, so "< b's segment count" would be the
+    wrong bound on a 2-segment store), with >=1 shared segment
+    present so the skip provably engaged, and latency stays ~flat
+    at 10x files (sf1 sweep). Cold diff: the segment cache is
+    cleared first so the timing measures parses, not dict hits.
+    Benched extra; equality with full resolution is pinned by
+    tests/test_segment_diff.py."""
     from trial_submission_studio_spark.io import versioned as V
 
     if _SEGMENT_BENCH_MEMO.get(sf_dir) is None:
@@ -3489,12 +3493,17 @@ def table_version_diff_bench(
         d = V.diff_versions(root, a, b)
     finally:
         V._load_segment = real
-    n_segs = len(V._read_manifest_raw(root, b)["segments"])
-    if n["loads"] >= n_segs:
+    segs_a = set(V._read_manifest_raw(root, a)["segments"])
+    segs_b = set(V._read_manifest_raw(root, b)["segments"])
+    shared = segs_a & segs_b
+    unshared = len(segs_a - shared) + len(segs_b - shared)
+    if not shared or n["loads"] != unshared:
         raise AssertionError(
-            f"diff loaded {n['loads']} segments of {n_segs} — the "
+            f"diff loaded {n['loads']} segments, expected exactly "
+            f"{unshared} unshared (shared={len(shared)}) — the "
             "shared-segment skip is not engaging"
         )
+    n_segs = len(segs_b)
     return spark.createDataFrame(
         [(
             d["n_added"],

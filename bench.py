@@ -395,6 +395,10 @@ def main() -> None:
         # round-15: O(delta) commit metadata on a many-file segmented
         # manifest store (the 100 TB metadata-plane claim, measured)
         "table_manifest_segment_bench",
+        # round-16: O(delta) version DIFFING on the same store — the
+        # change feed's per-trigger planning cost; asserts the
+        # shared-segment skip engages (segments_loaded < total)
+        "table_version_diff_bench",
     )
     # LLM-pipeline extras that ALSO run in the 10× scale sweep — these
     # carry the 100 TB design claims, so their curvature is measured,
@@ -605,6 +609,26 @@ def main() -> None:
             " partitions, noop sink, 1 warmup + median-of-5",
         },
         "value_over_control": round(total / control_median, 1),
+        # per-query explanations for spreads that persistently exceed
+        # 2x max/min (r15 verdict task 4): these are measured
+        # properties of the workload shape, not regressions — each is
+        # dominated by a first-run cold effect its own median
+        # discards, and the min column is the steady-state number
+        "spread_notes": {
+            "zonemap_scan_full": "deliberately-cold full scan (the"
+            " control arm of the pruned/full pair); run 1 pays page-"
+            "cache population for every file, later runs are warm —"
+            " compare MEDIANS of the pair for the skipping win",
+            "table_retention_partitioned_bench": "directory-grain"
+            " drops: each run expires a DIFFERENT day partition, so"
+            " run-to-run variance tracks that day's file count +"
+            " dentry-cache state, not code",
+            "table_retention_bench": "same shape at file grain —"
+            " per-run workload is a different expired day",
+            "ann_store_topk_bench": "first run after a retrain pays"
+            " the store's manifest+centroid reload; later runs hit"
+            " the process cache",
+        },
         "sf": sf_val,
         # r12: repeats raised after the r11 A/A test proved best-of-2
         # resolves worse than the effects it measures (±30% swings on
