@@ -126,9 +126,44 @@ def _replay(root, ops):
             vs = list_versions(root)
             rollback(root, vs[max(0, len(vs) - op[1])])
         elif kind == "retire":
-            retire_versions(root, keep_latest=op[1])
+            try:
+                retire_versions(root, keep_latest=op[1])
+            except versioned.FeedPinnedError:
+                # a live feed marker pins an older manifest — the
+                # refusal is deterministic, so both stores skip
+                pass
         elif kind == "vacuum":
-            vacuum(root, min_age_seconds=0)
+            try:
+                vacuum(root, min_age_seconds=0)
+            except versioned.ClonePinnedError:
+                # a live clone pins orphaned files: the typed refusal
+                # IS the liveness protection — deterministic, so both
+                # stores skip identically
+                pass
+        elif kind == "clone":
+            try:
+                shallow_clone(root, f"{root}_c{op[1]}")
+            except ValueError:
+                # dv-carrying snapshot needs spark= to re-key the
+                # tombstones — skipped identically by both stores
+                pass
+        elif kind == "feed_marker":
+            vd = versioned._versions_dir(root)
+            os.makedirs(vd, exist_ok=True)
+            with open(os.path.join(vd, f"feed-{op[1]}"), "w") as f:
+                f.write(str(current_version(root)))
+        elif kind == "marker_gc":
+            # age every marker past the TTL first (GC soundly refuses
+            # a non-positive TTL; idleness is mtime-based)
+            vd = versioned._versions_dir(root)
+            if os.path.isdir(vd):
+                import time as _time
+
+                old = _time.time() - 1000
+                for n in os.listdir(vd):
+                    if n.startswith(("feed-", "sink-")):
+                        os.utime(os.path.join(vd, n), (old, old))
+            versioned.gc_consumer_markers(root, max_idle_seconds=500)
 
 
 def _feed_plan(root, v_from, v_to):
@@ -290,6 +325,107 @@ def test_random_sequences_segmented_equals_plain(
     obs_seg = _observe(seg)
 
     assert obs_plain == obs_seg, f"seed {seed} diverged"
+
+
+def _assert_live(root):
+    """Absolute liveness invariant: every artifact any SURVIVING
+    manifest can reach exists on disk. The plain-vs-segmented
+    equality check cannot catch a vacuum/GC over-deletion that hits
+    both stores identically — this can."""
+    for v in list_versions(root):
+        raw = versioned._read_manifest_raw(root, v)
+        for sid in raw.get("segments") or ():
+            assert os.path.exists(versioned._segment_path(root, sid)), (
+                root, v, "segment", sid,
+            )
+        m = read_manifest(root, v)
+        for f in m["files"]:
+            p = f if os.path.isabs(f) else os.path.join(root, f)
+            assert os.path.exists(p), (root, v, "file", f)
+        for f, dv in (m.get("dv") or {}).items():
+            for sc in dv.get("sidecars") or ():
+                p = sc if os.path.isabs(sc) else os.path.join(root, sc)
+                assert os.path.exists(p), (root, v, "sidecar", sc)
+
+
+def _random_ops_with_pins(seed: int, n: int = 16) -> list:
+    """The `_random_ops` vocabulary plus the retention-adjacent ops
+    (r16): shallow clones (vacuum pins), durable feed low-water
+    markers (retire pins), and TTL marker GC — interleaved with the
+    commit vocabulary so liveness holds under arbitrary histories,
+    not just the dedicated-scenario tests."""
+    rng = random.Random(seed)
+    ops: list = [("seed", rng.randint(6, 12))]
+    n_live = ops[0][1]
+    spec = None
+    for i in range(n):
+        k = rng.choice(
+            ["append", "append", "dv", "remove", "rewrite",
+             "rollback", "respec", "retire_vacuum",
+             "clone", "feed_marker", "marker_gc"]
+        )
+        if k == "append":
+            c = rng.randint(1, 4)
+            ops.append(("append", c))
+            n_live += c
+        elif k == "dv":
+            ops.append(("dv", seed * 100 + i, rng.randint(1, 4)))
+        elif k == "remove" and n_live > 4:
+            c = rng.randint(1, 3)
+            ops.append(("remove", seed * 100 + i, c))
+            n_live -= c
+        elif k == "rewrite":
+            ops.append(("rewrite", seed * 100 + i, rng.randint(1, 3)))
+        elif k == "rollback":
+            ops.append(("rollback", rng.randint(1, 3)))
+        elif k == "respec":
+            spec = None if spec else ["k"]
+            ops.append(("respec", spec))
+        elif k == "retire_vacuum":
+            ops.append(("retire", rng.randint(2, 5)))
+            ops.append(("vacuum",))
+        elif k == "clone":
+            ops.append(("clone", i))
+        elif k == "feed_marker":
+            ops.append(("feed_marker", f"c{rng.randint(0, 2)}"))
+        elif k == "marker_gc":
+            ops.append(("marker_gc",))
+    # always finish with the full retention gauntlet so every run
+    # exercises liveness under pins at least once
+    ops += [("retire", 2), ("vacuum",), ("marker_gc",),
+            ("retire", 2), ("vacuum",)]
+    return ops
+
+
+@pytest.mark.parametrize("seed", [5, 17, 83])
+def test_random_pins_markers_liveness(tmp_path, monkeypatch, seed):
+    """Seeded random interleavings of commits with clones, feed
+    markers, marker GC, retires and vacuums: the segmented store
+    stays observably identical to the plain one, AND every surviving
+    manifest (source and clones, both stores) still reaches all of
+    its files/sidecars/segments on disk afterwards."""
+    ops = _random_ops_with_pins(seed)
+    plain = str(tmp_path / "plain")
+    seg = str(tmp_path / "seg")
+    os.makedirs(plain)
+    os.makedirs(seg)
+
+    monkeypatch.setattr(versioned, "SEGMENT_MIN_FILES", 10**9)
+    _replay(plain, ops)
+    obs_plain = _observe(plain)
+
+    monkeypatch.setattr(versioned, "SEGMENT_MIN_FILES", 1)
+    monkeypatch.setattr(versioned, "SEGMENT_TARGET_ENTRIES", 3)
+    _replay(seg, ops)
+    obs_seg = _observe(seg)
+
+    assert obs_plain == obs_seg, f"seed {seed} diverged"
+    for root in (plain, seg):
+        _assert_live(root)
+        for entry in sorted(os.listdir(os.path.dirname(root))):
+            full = os.path.join(os.path.dirname(root), entry)
+            if entry.startswith(os.path.basename(root) + "_c"):
+                _assert_live(full)
 
 
 def test_commit_metadata_bytes_are_o_delta(tmp_path, monkeypatch):
