@@ -465,6 +465,10 @@ def main() -> None:
         # files (only unshared segments load)
         "table_version_diff_bench",
     )
+    # any extra that crashes is recorded here, so a metric can never
+    # SILENTLY vanish from the artifact (the r16 review caught the
+    # diff bench dropping its own measurement behind a stderr line)
+    dropped: dict[str, str] = {}
     for name in EXTRA_QUERIES:
         if name not in qs:
             qs[name] = getattr(entrymod, name)
@@ -472,6 +476,7 @@ def main() -> None:
             qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
         except Exception as exc:  # surface, don't silently drop the metric
             print(f"bench: extra query {name} failed warmup: {exc!r}", file=sys.stderr)
+            dropped[name] = f"warmup: {exc!r}"[:200]
             continue
         runs = []
         try:
@@ -487,6 +492,7 @@ def main() -> None:
                 f"bench: extra query {name} failed timed run: {exc!r}",
                 file=sys.stderr,
             )
+            dropped[name] = f"timed: {exc!r}"[:200]
             continue
         extra[name] = round(statistics.median(runs), 3)
         spread[name] = {
@@ -592,6 +598,10 @@ def main() -> None:
         # jitter, not a regression (the r11 A/A lesson)
         "spread": spread,
         "queries_extra": extra,
+        # non-empty ONLY when a registered extra failed and its
+        # metric is absent above — loud in the artifact, not just
+        # stderr (absence of this key == every extra ran)
+        **({"dropped_extras": dropped} if dropped else {}),
         # 10× scale sweep (median-of-3 at sf1-shaped data) +
         # per-query time ratio vs the benched SF: ~10 = linear
         "queries_sf1": sf1,
