@@ -88,7 +88,14 @@ def _replay(root, ops):
         elif kind == "remove":
             m = read_manifest(root)
             rng = random.Random(op[1])
-            doomed = rng.sample(sorted(m["files"]), op[2])
+            # clamp like "rewrite" and always leave one file (the
+            # engine loudly refuses to publish an empty table):
+            # rollbacks make the op-generator's live-count estimate
+            # approximate at longer histories
+            k = min(op[2], len(m["files"]) - 1)
+            if k <= 0:
+                continue
+            doomed = rng.sample(sorted(m["files"]), k)
             commit_files(
                 root, base_version=m["version"], kind="keyed",
                 remove_files=doomed,
