@@ -52,6 +52,17 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst targets total/defaultParallelism per
+        # post-shuffle partition but floors it at minPartitionSize
+        # (default 1m). Expression-dense stages here (ISO regex
+        # ladders, CT lookups, window functions) carry few bytes per
+        # row, so the 1m floor coalesces a 32-core stage down to a
+        # handful of tasks while each task is CPU-bound — r16
+        # measured e2e's post-shuffle stage AQE-coalesced to 5 tasks
+        # of 1.28m each. 64k keeps such stages at core-count
+        # parallelism; at real scale partitions are far above either
+        # floor and the setting is inert.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
