@@ -306,6 +306,10 @@ def _payload_kernel(specs: list[tuple[str, bool, int]], audit_chars: bool = Fals
             return out
 
         def char_bytes(col: "pd.Series", width: int) -> "np.ndarray":
+            # NOTE (r16): a "vectorized" U-dtype/UTF-32 rewrite of
+            # this loop measured 10x SLOWER than the join (the
+            # object->U conversion is per-element and far costlier
+            # than C-loop str.encode); the per-row encode stays.
             s = col.fillna("").astype(str).str.slice(0, width).str.ljust(width)
             joined = b"".join(v.encode("ascii", "replace") for v in s)
             return np.frombuffer(joined, dtype=np.uint8).reshape(len(s), width)
@@ -466,20 +470,44 @@ def write_xpt(
         total_obs_bytes = 0
         bad_counts: dict[str, int] = {}
         bad_samples: dict[str, set] = {}
-        # prefetch overlaps upstream encode jobs with the sequential
-        # driver write (plain toLocalIterator runs one job per
-        # partition, serially — ~2.5× slower end-to-end)
-        for prow in payload.toLocalIterator(prefetchPartitions=True):
-            blob = prow["xpt_bytes"]
-            fh.write(blob)
-            total_obs_bytes += len(blob)
-            for b in prow["bad"] or []:
-                bad_counts[b["name"]] = bad_counts.get(b["name"], 0) + b["n"]
-                # per-batch sorted first-3 ∪-merged → exact global first-3
-                merged = bad_samples.setdefault(b["name"], set())
-                merged.update(b["samples"])
-                if len(merged) > 3:
-                    bad_samples[b["name"]] = set(sorted(merged)[:3])
+        # Partition fetch (r16): toLocalIterator pays one SERIAL job
+        # round trip per partition even with prefetch (one ahead), so
+        # an 8-partition export spent ~8 x (job latency + kernel).
+        # Fetch in adaptively sized PARALLEL groups instead: one
+        # single-partition probe job, then group size targets 256 MB
+        # of observed blob bytes — encode tasks run concurrently,
+        # driver memory stays bounded (a 5 GB member never collects
+        # whole), and partition order (= row order) is preserved
+        # because runJob returns results in partition order.
+        sc = df.sparkSession.sparkContext
+        src_rdd = payload.rdd
+        n_pp = src_rdd.getNumPartitions()
+        fetched_bytes = 0
+        fetched_parts = 0
+        lo = 0
+        while lo < n_pp:
+            if fetched_parts == 0:
+                size = 1
+            else:
+                avg = max(fetched_bytes // fetched_parts, 1)
+                size = max(1, min(n_pp - lo, int(256 * 1024 * 1024 // avg)))
+            rows = sc.runJob(
+                src_rdd, lambda it: list(it), partitions=list(range(lo, lo + size))
+            )
+            lo += size
+            fetched_parts += size
+            for prow in rows:
+                blob = prow["xpt_bytes"]
+                fh.write(blob)
+                total_obs_bytes += len(blob)
+                fetched_bytes += len(blob)
+                for b in prow["bad"] or []:
+                    bad_counts[b["name"]] = bad_counts.get(b["name"], 0) + b["n"]
+                    # per-batch sorted first-3 ∪-merged → exact global first-3
+                    merged = bad_samples.setdefault(b["name"], set())
+                    merged.update(b["samples"])
+                    if len(merged) > 3:
+                        bad_samples[b["name"]] = set(sorted(merged)[:3])
         n_rows = total_obs_bytes // row_len
         # pad the final record block to 80 bytes with ASCII blanks
         fh.write(b" " * ((-total_obs_bytes) % 80))

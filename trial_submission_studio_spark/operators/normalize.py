@@ -159,6 +159,20 @@ def compile_pipeline(df: DataFrame, rules: list[Rule], ctx: NormalizationContext
     the already-built column: executor.rs:300-351).
     """
     work = df
+    # Stage A evaluates the regex ladders / CT probes on the INPUT
+    # partitioning (everything below the --SEQ window's exchange).
+    # A narrow local source (2-split CSV scan, single-row-group
+    # parquet) would run those CPU-dense expressions nearly serially,
+    # so widen first — a no-op whenever the input already carries
+    # cluster-width splits (operators/partitioning.py). Row values
+    # are per-row functions and --SEQ orders by the explicit keys, so
+    # results are partitioning-independent.
+    if ctx.order_col and ctx.order_col in df.columns:
+        from trial_submission_studio_spark.operators.partitioning import (
+            widen_if_narrow,
+        )
+
+        work = widen_if_narrow(work, ctx.order_col)
 
     # Pre-join 1: CT lookups rewrite their source column in place
     # (one broadcast join per CT-coded column; no shuffle).

@@ -63,6 +63,15 @@ def get_spark(
         # parallelism; at real scale partitions are far above either
         # floor and the setting is inert.
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        # Scan split sizing: the 4m default openCostInBytes was tuned
+        # for spinning-disk seek cost; it floors maxSplitBytes at 4m,
+        # which reads a whole single-file CSV/text source in 1-2
+        # tasks at local scale. 256k keeps the per-file packing guard
+        # (a 128m split still caps at ~500 tiny files) while letting
+        # splittable sources reach defaultParallelism splits — the
+        # bytes-per-core term, not this floor, governs real
+        # deployments.
+        .config("spark.sql.files.openCostInBytes", "262144")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
