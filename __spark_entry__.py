@@ -2187,7 +2187,11 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_planted, n_found = row["np"], row["nf"]
     n_fp = fp.filter(F.col("simhash64").isNotNull()).count()
-    n_docs = corpus.count()
+    # corpus ≡ d ∪ planted_docs with planted_docs exactly one row per
+    # planted pair, so |corpus| = |d| + n_planted by construction —
+    # and count() on the bare scan resolves from parquet footer
+    # statistics instead of re-running union+widen
+    n_docs = d.count() + n_planted
     return spark.range(1).select(
         F.lit(n_planted).cast("long").alias("n_planted"),
         F.lit(n_docs).cast("long").alias("n_docs"),
