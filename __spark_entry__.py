@@ -1010,7 +1010,11 @@ def dedup_group_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         a, b, id_col="id", block_cols=blocks, compare_cols=["name"]
     )
     scored = pair_scores(cand, ["name"])
-    m = scored.filter(F.col("sim") >= F.lit(0.9))
+    # the msum aggregate, resolve_entities' CC loop, and esum all
+    # consume the matches; materialize them once so the levenshtein
+    # scoring pass (the expensive subtree) doesn't re-run per
+    # consumer (r16: profiling showed 4 full scoring passes)
+    m = scored.filter(F.col("sim") >= F.lit(0.9)).localCheckpoint(eager=True)
     cand_n = cand.agg(F.count("*").cast("long").alias("rl_n_candidates"))
     msum = m.agg(
         F.count("*").cast("long").alias("rl_n_matches"),

@@ -113,6 +113,15 @@ def candidate_pairs(
         *[F.col(c).alias(f"{c}_a") for c in cmps],
         *blocks,
     )
+    # the block join's probe-side partitioning carries through to the
+    # downstream per-pair scoring (edit distances — CPU-dense); a
+    # narrow local scan would run it nearly serially, so widen the
+    # projected probe rows (no-op at real scale)
+    from trial_submission_studio_spark.operators.partitioning import (
+        widen_if_narrow,
+    )
+
+    left = widen_if_narrow(left, "id_a")
     right = b.select(
         F.col(id_col).alias("id_b"),
         *[F.col(c).alias(f"{c}_b") for c in cmps],

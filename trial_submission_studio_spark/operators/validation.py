@@ -36,6 +36,20 @@ ISSUE_SCHEMA = T.StructType(
     ]
 )
 
+
+def _issue_frame(spark, rows):
+    """Driver-local issue frame on ONE partition.
+
+    ``createDataFrame(list)`` parallelizes over defaultParallelism
+    slices, so every downstream action schedules one Python-worker
+    round trip PER SLICE for a handful of rows — profiled at ~6 s of
+    executor wait per collect on 32 slots. One slice carries the same
+    rows with one worker hop; content is identical.
+    """
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows or [], 1), ISSUE_SCHEMA
+    )
+
 #: variable-name suffixes that must hold ISO-8601 partial-precision
 #: values (reference: validate/checks/dates.rs:28)
 DATE_SUFFIXES = ("DTC", "DTM", "DT", "TM", "STDTC", "ENDTC", "STDT", "ENDT")
@@ -158,7 +172,7 @@ def validate_domain(
         if toolong:
             add(v.name, "Limit", "Warning", toolong)
 
-    return spark.createDataFrame(issues, ISSUE_SCHEMA)
+    return _issue_frame(spark, issues)
 
 
 def duplicate_sequence_issues(df: DataFrame, domain: str, subject_col: str = "USUBJID") -> DataFrame:
@@ -166,7 +180,7 @@ def duplicate_sequence_issues(df: DataFrame, domain: str, subject_col: str = "US
     spark = df.sparkSession
     seq_cols = [c for c in df.columns if c.upper() == f"{domain.upper()}SEQ"]
     if not seq_cols or subject_col not in df.columns:
-        return spark.createDataFrame([], ISSUE_SCHEMA)
+        return _issue_frame(spark, [])
     seq = seq_cols[0]
     dups = (
         df.groupBy(subject_col, seq)
@@ -179,11 +193,8 @@ def duplicate_sequence_issues(df: DataFrame, domain: str, subject_col: str = "US
         .collect()[0]
     )
     if not dups["extra"]:
-        return spark.createDataFrame([], ISSUE_SCHEMA)
-    return spark.createDataFrame(
-        [(domain, seq, "Consistency", "Error", int(dups["extra"]), dups["samples"])],
-        ISSUE_SCHEMA,
-    )
+        return _issue_frame(spark, [])
+    return _issue_frame(spark, [(domain, seq, "Consistency", "Error", int(dups["extra"]), dups["samples"])])
 
 
 # --- cross-domain checks (J1-J6) -------------------------------------------
@@ -203,18 +214,15 @@ def usubjid_not_in_dm(dom_df: DataFrame, dm_df: DataFrame, domain: str) -> DataF
     ).collect()[0]
     spark = dom_df.sparkSession
     if not agg["cnt"]:
-        return spark.createDataFrame([], ISSUE_SCHEMA)
-    return spark.createDataFrame(
-        [(domain, "USUBJID", "CrossReference", "Error", int(agg["cnt"]), agg["samples"])],
-        ISSUE_SCHEMA,
-    )
+        return _issue_frame(spark, [])
+    return _issue_frame(spark, [(domain, "USUBJID", "CrossReference", "Error", int(agg["cnt"]), agg["samples"])])
 
 
 def rdomain_invalid(df: DataFrame, domain: str, submitted_domains: list[str]) -> DataFrame:
     """J2/V10: RDOMAIN must be a submitted domain code."""
     spark = df.sparkSession
     if "RDOMAIN" not in df.columns:
-        return spark.createDataFrame([], ISSUE_SCHEMA)
+        return _issue_frame(spark, [])
     bad = df.filter(
         ~_blank(F.col("RDOMAIN"))
         & ~F.upper(F.trim("RDOMAIN")).isin([d.upper() for d in submitted_domains])
@@ -224,11 +232,8 @@ def rdomain_invalid(df: DataFrame, domain: str, submitted_domains: list[str]) ->
         _sample_agg(F.col("RDOMAIN"), F.lit(True)).alias("samples"),
     ).collect()[0]
     if not agg["cnt"]:
-        return spark.createDataFrame([], ISSUE_SCHEMA)
-    return spark.createDataFrame(
-        [(domain, "RDOMAIN", "CrossReference", "Error", int(agg["cnt"]), agg["samples"])],
-        ISSUE_SCHEMA,
-    )
+        return _issue_frame(spark, [])
+    return _issue_frame(spark, [(domain, "RDOMAIN", "CrossReference", "Error", int(agg["cnt"]), agg["samples"])])
 
 
 def rsubjid_not_in_dm(rel: DataFrame, dm_df: DataFrame, domain: str = "RELSUB") -> DataFrame:
@@ -237,7 +242,7 @@ def rsubjid_not_in_dm(rel: DataFrame, dm_df: DataFrame, domain: str = "RELSUB") 
     as J1 but probing RSUBJID."""
     spark = rel.sparkSession
     if "RSUBJID" not in rel.columns:
-        return spark.createDataFrame([], ISSUE_SCHEMA)
+        return _issue_frame(spark, [])
     dm_keys = dm_df.select(
         F.trim(F.col("USUBJID").cast("string")).alias("__dm_key")
     ).filter(F.col("__dm_key") != "").distinct()
@@ -252,11 +257,8 @@ def rsubjid_not_in_dm(rel: DataFrame, dm_df: DataFrame, domain: str = "RELSUB") 
         _sample_agg(F.col("__rsubj"), F.lit(True)).alias("samples"),
     ).collect()[0]
     if not agg["cnt"]:
-        return spark.createDataFrame([], ISSUE_SCHEMA)
-    return spark.createDataFrame(
-        [(domain, "RSUBJID", "CrossReference", "Error", int(agg["cnt"]), agg["samples"])],
-        ISSUE_SCHEMA,
-    )
+        return _issue_frame(spark, [])
+    return _issue_frame(spark, [(domain, "RSUBJID", "CrossReference", "Error", int(agg["cnt"]), agg["samples"])])
 
 
 def relspec_invalid_parents(relspec: DataFrame, domain: str = "RELSPEC") -> DataFrame:
@@ -264,7 +266,7 @@ def relspec_invalid_parents(relspec: DataFrame, domain: str = "RELSPEC") -> Data
     subject (reference checks/cross_domain.rs check_relspec)."""
     spark = relspec.sparkSession
     if not {"USUBJID", "REFID", "PARENT"} <= set(relspec.columns):
-        return spark.createDataFrame([], ISSUE_SCHEMA)
+        return _issue_frame(spark, [])
     probes = relspec.select(
         F.trim(F.col("USUBJID").cast("string")).alias("__usubj"),
         F.trim(F.col("PARENT").cast("string")).alias("__parent"),
@@ -279,11 +281,8 @@ def relspec_invalid_parents(relspec: DataFrame, domain: str = "RELSPEC") -> Data
         _sample_agg(F.concat_ws("/", "__usubj", "__parent"), F.lit(True)).alias("samples"),
     ).collect()[0]
     if not agg["cnt"]:
-        return spark.createDataFrame([], ISSUE_SCHEMA)
-    return spark.createDataFrame(
-        [(domain, "PARENT", "CrossReference", "Error", int(agg["cnt"]), agg["samples"])],
-        ISSUE_SCHEMA,
-    )
+        return _issue_frame(spark, [])
+    return _issue_frame(spark, [(domain, "PARENT", "CrossReference", "Error", int(agg["cnt"]), agg["samples"])])
 
 
 def relsub_not_bidirectional(rel: DataFrame, domain: str = "RELSUB") -> DataFrame:
@@ -301,11 +300,8 @@ def relsub_not_bidirectional(rel: DataFrame, domain: str = "RELSUB") -> DataFram
         _sample_agg(F.concat_ws("->", "USUBJID", "RSUBJID"), F.lit(True)).alias("samples"),
     ).collect()[0]
     if not agg["cnt"]:
-        return spark.createDataFrame([], ISSUE_SCHEMA)
-    return spark.createDataFrame(
-        [(domain, "RSUBJID", "CrossReference", "Warning", int(agg["cnt"]), agg["samples"])],
-        ISSUE_SCHEMA,
-    )
+        return _issue_frame(spark, [])
+    return _issue_frame(spark, [(domain, "RSUBJID", "CrossReference", "Warning", int(agg["cnt"]), agg["samples"])])
 
 
 def relrec_invalid_references(
@@ -333,7 +329,7 @@ def relrec_invalid_references(
         (domain, f"RDOMAIN={r['rd']}", "CrossReference", "Error", int(r["cnt"]), r["samples"])
         for r in grouped.collect()
     ]
-    return relrec.sparkSession.createDataFrame(rows, ISSUE_SCHEMA)
+    return _issue_frame(relrec.sparkSession, rows)
 
 
 def melt_domain_keys(frames: dict[str, DataFrame]) -> DataFrame:
