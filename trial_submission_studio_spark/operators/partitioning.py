@@ -6,53 +6,104 @@ next stage does real per-row CPU work — shingle explosion + hashing,
 regex ladders, Arrow kernel UDFs. These helpers widen such inputs
 conditionally, so the guard is a no-op wherever the data already
 arrives with enough splits (any real deployment).
+
+r16: the guard itself must be cheap. The original
+``df.rdd.getNumPartitions()`` probe forces full physical planning
+PLUS the Python-RDD conversion — measured ~0.55 s of driver time per
+call on a windowed frame, charged to every widened query per run.
+The guard now decides from the ANALYZED logical plan (cheap, cached
+on the DataFrame) and the source files:
+
+- a frame whose lineage contains a shuffle-introducing operator
+  (Window/Aggregate/Repartition/Sort/Deduplicate) already runs at
+  ``spark.sql.shuffle.partitions`` — never widen;
+- otherwise the frame is a narrow chain over its sources, and its
+  parallelism is the SCAN parallelism: for local parquet the total
+  row-group count (byte splits beyond the row-group grain are empty
+  tasks, not parallelism), for splittable text formats Spark's own
+  split formula;
+- remote/unknown sources fall back to the exact (expensive) probe —
+  rare, and real deployments take the many-files early exit first.
 """
 
 from __future__ import annotations
 
+import math
+import os
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: logical operators that introduce a shuffle boundary beneath the
+#: point of the probe (joins are deliberately absent: a broadcast
+#: join keeps the probe side's narrow scan parallelism, which is
+#: exactly the case that needs widening)
+_WIDE_NODE_RE = re.compile(
+    r"(?m)^[\s:+\-]*(Window|Aggregate|RepartitionByExpression|"
+    r"Repartition|RebalancePartitions|Deduplicate|Sort)\W"
+)
 
-def _effective_file_parallelism(df: DataFrame, slots: int) -> int | None:
-    """Best-effort TRUE scan parallelism for a file-backed frame.
 
-    Byte-range splits overstate parallelism: a parquet row group is
-    atomic, so a 32-split scan of a single-row-group file still runs
-    one real task (everything else is an empty split). When the frame
-    reads few local parquet files, count row groups — that is the
-    real upper bound on scan parallelism. Returns None when the
-    answer is unknowable cheaply (non-parquet, remote FS, many files
-    — all cases where the split count is trustworthy or the probe
-    would not be O(1)).
-    """
+def _local_paths(files: list[str]) -> list[str] | None:
+    """file:-scheme URIs → local paths; None if any file is remote."""
+    out = []
+    for uri in files:
+        if uri.startswith("file:"):
+            path = uri[5:]
+            while path.startswith("//"):
+                path = path[1:]
+            out.append(path)
+        elif "://" in uri:
+            return None
+        else:
+            out.append(uri)
+    return out
+
+
+def _scan_parallelism(spark, files: list[str], slots: int) -> int | None:
+    """Effective scan parallelism for a narrow file-backed frame;
+    None when unknowable cheaply."""
+    if len(files) >= slots:
+        return slots
+    paths = _local_paths(files)
+    if paths is None:
+        return None
+    if all(p.split("?")[0].endswith(".parquet") for p in paths):
+        try:
+            import pyarrow.parquet as pq
+
+            total = 0
+            for p in paths:
+                total += pq.ParquetFile(p).metadata.num_row_groups
+                if total >= slots:
+                    return slots
+            return total
+        except Exception:
+            return None
+    # splittable text sources: Spark's own split-size formula
     try:
-        files = df.inputFiles()
+        conf = spark.conf
+        max_pb = _to_bytes(conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+        open_cost = _to_bytes(conf.get("spark.sql.files.openCostInBytes", "4m"))
+        sizes = [os.path.getsize(p) for p in paths]
     except Exception:
         return None
-    if not files or len(files) >= slots:
-        return None
-    if not all(f.split("?")[0].endswith(".parquet") for f in files):
-        return None
-    try:
-        import pyarrow.parquet as pq
+    if any(p.endswith((".gz", ".zst", ".bz2")) for p in paths):
+        return len(paths)  # unsplittable compressed files: 1 task each
+    total_weighted = sum(sizes) + open_cost * len(sizes)
+    max_split = min(max_pb, max(open_cost, total_weighted // max(slots, 1)))
+    return sum(
+        max(1, math.ceil(s / max(max_split, 1))) for s in sizes
+    )
 
-        total = 0
-        for uri in files:
-            if uri.startswith("file:"):
-                path = uri[5:]
-                while path.startswith("//"):
-                    path = path[1:]
-            elif "://" in uri:
-                return None  # remote FS: don't probe from the driver
-            else:
-                path = uri
-            total += pq.ParquetFile(path).metadata.num_row_groups
-            if total >= slots:
-                return total
-        return total
-    except Exception:
-        return None
+
+def _to_bytes(v: str) -> int:
+    s = str(v).strip().lower()
+    for suf, mul in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+        if s.endswith(suf):
+            return int(float(s[: -len(suf)]) * mul)
+    return int(s)
 
 
 def widen_if_narrow(df: DataFrame, key_col: str) -> DataFrame:
@@ -61,16 +112,24 @@ def widen_if_narrow(df: DataFrame, key_col: str) -> DataFrame:
 
     The repartition shuffles the NARROW pre-explode rows once; at
     real scale (inputs with thousands of splits) the condition is
-    false and no shuffle is added. ``getNumPartitions`` plans but
-    does not execute. For few-file local parquet the split count is
-    cross-checked against the row-group count (byte splits beyond
-    the row-group grain are empty tasks, not parallelism).
-    """
+    false and no shuffle is added. See the module docstring for how
+    the probe stays O(ms)."""
     sc = df.sparkSession.sparkContext
     p = sc.defaultParallelism
-    n = df.rdd.getNumPartitions()
-    if n >= p:
-        eff = _effective_file_parallelism(df, p)
-        if eff is None or eff >= p:
-            return df
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        if _WIDE_NODE_RE.search(plan):
+            return df  # already behind a shuffle boundary
+        files = df.inputFiles()
+    except Exception:
+        files = None
+    eff = None
+    if files:
+        eff = _scan_parallelism(df.sparkSession, files, p)
+    if eff is None:
+        # unknown source shape (non-file relation, remote FS):
+        # exact-but-expensive fallback, the pre-r16 behavior
+        eff = df.rdd.getNumPartitions()
+    if eff >= p:
+        return df
     return df.repartition(p, F.col(key_col))
