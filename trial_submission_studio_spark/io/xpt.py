@@ -454,14 +454,14 @@ def write_xpt(
         audit = on_non_ascii in ("error", "issue") and any(
             not v.is_numeric for v in variables
         )
-        # Bound the partition count: the sequential tail pays one fetch
-        # job per partition even with prefetch (32 partitions cost ~4×
-        # more wall than 8 at 150K rows), while 8 encode tasks keep the
-        # numpy kernel parallel. coalesce is narrow — no shuffle, order
-        # preserved.
-        n_parts = work.rdd.getNumPartitions()
-        if n_parts > 8:
-            work = work.coalesce(8)
+        # r16: the old `coalesce(8)` partition cap is GONE. It existed
+        # to bound toLocalIterator's one-serial-job-per-partition cost,
+        # but DataFrame.coalesce assigns partitions to groups in
+        # locality order, which SCRAMBLES partition order ([0,3,13],
+        # [1,5,17], ... measured) — so >8-partition exports did not
+        # write frame row order. The grouped-parallel fetch below has
+        # no per-partition job cost to amortize, and fetching the raw
+        # partitions preserves frame order exactly.
         payload = work.mapInPandas(
             _payload_kernel(specs, audit_chars=audit),
             "xpt_bytes binary, "
