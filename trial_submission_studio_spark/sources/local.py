@@ -41,13 +41,28 @@ def values_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
         casts = ", ".join(
             f"CAST(NULL AS {t}) AS {n}" for n, t in zip(names, types)
         )
-        return spark.sql(f"SELECT {casts} WHERE 1=0")
+        out = spark.sql(f"SELECT {casts} WHERE 1=0")
+        _attach_local_rows(out, [], names)
+        return out
     value_rows = ", ".join(
         "(" + ", ".join(_sql_literal(v) for v in row) + ")" for row in rows
     )
     cols = ", ".join(
         f"CAST({n} AS {t}) AS {n}" for n, t in zip(names, types)
     )
-    return spark.sql(
+    out = spark.sql(
         f"SELECT {cols} FROM (VALUES {value_rows}) AS t({', '.join(names)})"
     )
+    _attach_local_rows(out, rows, names)
+    return out
+
+
+def _attach_local_rows(df: DataFrame, rows, names) -> None:
+    """Record the literal rows on the frame so consumers that can
+    compile a lookup into a constant expression (operators/
+    ct_lookup.py) skip the per-use build job + BroadcastExchange.
+    The attribute is best-effort provenance: any transformation
+    returns a new DataFrame without it, and every consumer must keep
+    the frame-based path as the fallback."""
+    df._tss_local_rows = [tuple(r) for r in rows]
+    df._tss_local_cols = tuple(names)

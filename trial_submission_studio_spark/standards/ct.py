@@ -96,13 +96,20 @@ def codelist_lookup_df(spark: SparkSession, codelists: dict[str, Codelist]) -> D
             for k in keys:
                 if k:
                     rows.append((cl.code, k, t.submission_value, cl.extensible))
-    from trial_submission_studio_spark.sources.local import values_df
+    from trial_submission_studio_spark.sources.local import _attach_local_rows, values_df
 
-    return values_df(
+    out = values_df(
         spark,
         rows,
         "codelist_code string, lookup_key string, submission_value string, extensible boolean",
     ).dropDuplicates(["codelist_code", "lookup_key"])
+    # re-attach the literal rows (dropDuplicates returns a fresh frame):
+    # consumers that compile the lookup to a constant expression dedup
+    # on the normalized key themselves (operators/ct_lookup.py)
+    _attach_local_rows(
+        out, rows, ("codelist_code", "lookup_key", "submission_value", "extensible")
+    )
+    return out
 
 
 #: catalog resolution priority (reference: ct/types.rs:377-394 — a
