@@ -2205,15 +2205,18 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = d.filter(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1000000).alias("id_b")
     )
-    # one action instead of two serial counts (both sides distinct
-    # pairs, so count(__hit) ≡ the old inner-join count)
+    # one action instead of three serial counts (both sides distinct
+    # pairs, so count(__hit) ≡ the old inner-join count; the n_fp
+    # non-null count rides the same job as a crossJoined 1-row
+    # aggregate over the checkpointed fingerprints — count(col)
+    # skips NULLs, ≡ the old filter(isNotNull).count())
     row = (
         planted.join(pairs.withColumn("__hit", F.lit(1)), ["id_a", "id_b"], "left")
         .agg(F.count(F.lit(1)).alias("np"), F.count("__hit").alias("nf"))
+        .crossJoin(fp.agg(F.count("simhash64").alias("nfp")))
         .collect()[0]
     )
-    n_planted, n_found = row["np"], row["nf"]
-    n_fp = fp.filter(F.col("simhash64").isNotNull()).count()
+    n_planted, n_found, n_fp = row["np"], row["nf"], row["nfp"]
     # corpus ≡ d ∪ planted_docs with planted_docs exactly one row per
     # planted pair, so |corpus| = |d| + n_planted by construction —
     # and count() on the bare scan resolves from parquet footer
