@@ -266,9 +266,15 @@ def t4_iso8601_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trial_submission_studio_spark.operators.dedup import _widen_if_narrow
 
     # regex-ladder work happens in the scan stage; a single-row-group
-    # local file would starve the cluster (no-op at real scale)
-    return _widen_if_narrow(o, "o_orderkey").select(
-        "o_orderkey", normalize_iso_datetime(raw).alias("dtc")
+    # local file would starve the cluster (no-op at real scale).
+    # The raw expression gets a NAME first so the ladder memo hits
+    # (string inputs cache the ~60-Column ladder tree; Catalyst
+    # collapses the extra projection, so the physical plan is
+    # unchanged).
+    return (
+        _widen_if_narrow(o, "o_orderkey")
+        .withColumn("__t4_raw", raw)
+        .select("o_orderkey", normalize_iso_datetime("__t4_raw").alias("dtc"))
     )
 
 
