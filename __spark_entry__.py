@@ -2029,7 +2029,11 @@ def _recall_gate(approx: DataFrame, exact: DataFrame, threshold: float) -> DataF
     n_exact = exact.count()
     n_hit = approx.join(exact, ["query_id", "vec_id"]).count()
     spark = approx.sparkSession
-    return spark.range(1).select(
+    # range(…, numPartitions=1) everywhere a gate returns a literal
+    # 1-row frame: the default range(1) carries defaultParallelism
+    # partitions, so every timed noop save of a gate ran a 32-task
+    # job (31 empty) just to emit one row
+    return spark.range(0, 1, 1, 1).select(
         F.lit(n_exact).cast("long").alias("n_exact"),
         F.lit(1 if n_hit >= threshold * n_exact else 0).cast("long").alias("recall_ok"),
     )
@@ -2090,7 +2094,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_planted = planted.count()
     n_found = pairs.join(planted, ["id_a", "id_b"]).count()
-    return spark.range(1).select(
+    return spark.range(0, 1, 1, 1).select(
         F.lit(n_planted).cast("long").alias("n_planted"),
         F.lit(1 if n_found == n_planted else 0).cast("long").alias("recall_ok"),
     )
@@ -2112,7 +2116,7 @@ def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_planted = planted.count()
     n_found = verified.join(planted, ["id_a", "id_b"]).count()
-    return spark.range(1).select(
+    return spark.range(0, 1, 1, 1).select(
         F.lit(n_planted).cast("long").alias("n_planted"),
         F.lit(1 if n_found == n_planted else 0).cast("long").alias("all_verified"),
     )
@@ -2179,7 +2183,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()[0]
     )
     n_planted, n_found = row["np"], row["nf"]
-    return spark.range(1).select(
+    return spark.range(0, 1, 1, 1).select(
         F.lit(n_planted).cast("long").alias("n_planted"),
         F.lit(1 if n_found >= 0.9 * n_planted else 0).cast("long").alias("recall_ok"),
     )
@@ -2228,7 +2232,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and count() on the bare scan resolves from parquet footer
     # statistics instead of re-running union+widen
     n_docs = d.count() + n_planted
-    return spark.range(1).select(
+    return spark.range(0, 1, 1, 1).select(
         F.lit(n_planted).cast("long").alias("n_planted"),
         F.lit(n_docs).cast("long").alias("n_docs"),
         F.lit(1 if n_fp == n_docs else 0).cast("long").alias("all_fingerprinted"),
@@ -2416,7 +2420,7 @@ def semantic_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     n_surv, n_planted_left = surv.agg(F.count(F.lit(1)), planted_flag).first()
     ok = n_surv == n_orig and (n_planted_left or 0) == 0
-    return spark.range(1).select(
+    return spark.range(0, 1, 1, 1).select(
         F.lit(int(n_planted)).cast("long").alias("n_planted"),
         F.lit(1 if ok else 0).cast("long").alias("dedup_exact_ok"),
     )
