@@ -109,6 +109,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(schema).parquet(path)
 
 
+def _parquet_row_count(path: str) -> int:
+    """Exact row count of a parquet file (or directory of part
+    files) from footer metadata — the number a full count() job
+    resolves split by split, read once on the driver instead.
+    Metadata only (same discipline as ``_events``' footer probe):
+    re-read per invocation, never cached across runs."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = (
+        sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 _EVENTS_SCHEMA = (
     "event_id bigint, ts bigint, user_id bigint, "
     "event_type string, value double, props string"
@@ -1617,13 +1635,24 @@ def e2e_cdisc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "codelist_code string, lookup_key string, submission_value string, extensible boolean",
     )
     # per-subject reference date as a window min over the native date
-    # column: single scan, one shuffle on the subject key (shared with
-    # the --SEQ window) — no self-join re-scan of the source
-    src = src.withColumn(
+    # column: single scan, ONE shuffle shared with the --SEQ window.
+    # The explicit repartition keys the exchange on the same USUBJID
+    # expression compile_pipeline later aliases as USUBJID, so the
+    # row_number window's clustering requirement is satisfied by this
+    # exchange (alias-aware output partitioning) instead of adding a
+    # second hashpartitioning(USUBJID) shuffle. The min window
+    # partitions by (usubjid(SUBJ), SUBJ) — identical groups to SUBJ
+    # alone because usubjid is a deterministic function of SUBJ — so
+    # hashpartitioning(usubjid) co-locates every group and REFDTC is
+    # byte-identical (oracle-pinned at all 3 SFs).
+    from trial_submission_studio_spark.functions.strings import usubjid_prefix
+
+    __usub = usubjid_prefix(F.col("SUBJ"), "STUDY01")
+    src = src.repartition(__usub).withColumn(
         "REFDTC",
         F.date_format(
             F.min(F.to_date("DTCRAW", "MM/dd/yyyy")).over(
-                Window.partitionBy("SUBJ")
+                Window.partitionBy(__usub, F.col("SUBJ"))
             ),
             "yyyy-MM-dd",
         ),
@@ -2228,10 +2257,13 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_planted, n_found, n_fp = row["np"], row["nf"], row["nfp"]
     # corpus ≡ d ∪ planted_docs with planted_docs exactly one row per
-    # planted pair, so |corpus| = |d| + n_planted by construction —
-    # and count() on the bare scan resolves from parquet footer
-    # statistics instead of re-running union+widen
-    n_docs = d.count() + n_planted
+    # planted pair, so |corpus| = |d| + n_planted by construction.
+    # |d| is the unfiltered documents table, whose exact row count is
+    # the parquet footer's num_rows — read it on the driver (the
+    # same metadata Spark's own count() job resolves per split)
+    # instead of scheduling a whole count job per gate run. Fresh
+    # footer read per invocation; no cross-run state.
+    n_docs = _parquet_row_count(f"{sf_dir}/documents.parquet") + n_planted
     return spark.range(0, 1, 1, 1).select(
         F.lit(n_planted).cast("long").alias("n_planted"),
         F.lit(n_docs).cast("long").alias("n_docs"),

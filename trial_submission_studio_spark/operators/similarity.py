@@ -97,11 +97,33 @@ def brute_force_topk(
     The query vector ships as a literal array (no join); the scan is
     one narrow stage; the global top-k is a TakeOrdered — no full
     sort, no shuffle of the corpus.
+
+    The whole similarity expression is ONE ``F.expr`` SQL string:
+    the Column-builder form (dim ``F.lit`` calls + six higher-order
+    lambdas) cost ~0.15 s of py4j round trips of pure driver time
+    per call. Values are bit-identical: literals route through
+    ``CAST('<repr>' AS DOUBLE)`` (correctly rounded, and Python
+    ``repr`` round-trips doubles exactly), and the lambda bodies are
+    the exact SQL forms of the old ``_dot``/``_norm`` Column ops.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    lits = ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in query_vec)
+    q = f"array({lits})"
+    v = f"`{vec_col}`"
+    dot = (
+        f"aggregate(zip_with({v}, {q}, (x, y) -> CAST(x AS DOUBLE) * "
+        f"CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, e) -> acc + e)"
+    )
+    norm_v = (
+        f"sqrt(aggregate(transform({v}, x -> CAST(x AS DOUBLE) * "
+        f"CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, e) -> acc + e))"
+    )
+    norm_q = (
+        f"sqrt(aggregate(transform({q}, x -> CAST(x AS DOUBLE) * "
+        f"CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, e) -> acc + e))"
+    )
     scored = corpus.select(
         F.col(id_col),
-        cosine_similarity(F.col(vec_col), q).alias("sim"),
+        F.expr(f"({dot}) / (({norm_v}) * ({norm_q}))").alias("sim"),
     )
     return scored.orderBy(F.desc("sim"), F.col(id_col)).limit(k)
 
