@@ -473,27 +473,66 @@ def write_xpt(
         # Partition fetch (r16): toLocalIterator pays one SERIAL job
         # round trip per partition even with prefetch (one ahead), so
         # an 8-partition export spent ~8 x (job latency + kernel).
-        # Fetch in adaptively sized PARALLEL groups instead: one
-        # single-partition probe job, then group size targets 256 MB
-        # of observed blob bytes — encode tasks run concurrently,
-        # driver memory stays bounded (a 5 GB member never collects
-        # whole), and partition order (= row order) is preserved
-        # because runJob returns results in partition order.
+        # Fetch in adaptively sized PARALLEL groups instead — encode
+        # tasks run concurrently, driver memory stays bounded (a 5 GB
+        # member never collects whole), and partition order (= row
+        # order) is preserved because runJob returns results in
+        # partition order.
+        #
+        # r17, two fixes the r16 driver record demanded (export 0.65x
+        # at 32 cores, 2-4x faster at 8 — pure per-Python-task
+        # latency):
+        # - NO second Python layer. `sc.runJob(payload.rdd, list)`
+        #   wrapped every fetched partition in ANOTHER Python worker
+        #   task (~250 ms protocol latency each, measured warm) just
+        #   to echo rows the JVM already had. The fetch now calls
+        #   PythonRDD.runJob on the pickled-Row JavaRDD directly —
+        #   the exact machinery RDD.runJob uses, minus its
+        #   mapPartitions Python hop — so the only Python tasks left
+        #   are the encode kernel's own.
+        # - NO single-partition probe job. The first group is sized
+        #   from the optimizer's size estimate for the projected
+        #   frame (a driver-side stats lookup, not a job), with an 8x
+        #   safety factor against under-estimation; later groups use
+        #   observed bytes exactly as before. Small exports (the
+        #   clinical-member norm) fetch in ONE job; a huge member
+        #   degrades gracefully to the old probe-then-ramp shape.
         sc = df.sparkSession.sparkContext
-        src_rdd = payload.rdd
-        n_pp = src_rdd.getNumPartitions()
+        jrdd = payload._jdf.javaToPython()
+        n_pp = jrdd.rdd().getNumPartitions()
+        slots = max(sc.defaultParallelism, 1)
+        budget = 256 * 1024 * 1024
+        try:
+            est_total = int(
+                str(payload._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            )
+        except Exception:
+            est_total = 0
+
+        from pyspark.rdd import _load_from_socket
+        from pyspark.serializers import BatchedSerializer, CPickleSerializer
+
+        _ser = BatchedSerializer(CPickleSerializer())
+
+        def _fetch(parts: list[int]) -> list:
+            sock_info = sc._jvm.PythonRDD.runJob(sc._jsc.sc(), jrdd, parts)
+            return list(_load_from_socket(sock_info, _ser))
+
+        if est_total > 0 and n_pp > 0:
+            est_pp = max(est_total // n_pp, 1)
+            first_size = max(1, min(min(n_pp, slots), int(budget // (8 * est_pp))))
+        else:
+            first_size = 1
         fetched_bytes = 0
         fetched_parts = 0
         lo = 0
         while lo < n_pp:
             if fetched_parts == 0:
-                size = 1
+                size = first_size
             else:
                 avg = max(fetched_bytes // fetched_parts, 1)
-                size = max(1, min(n_pp - lo, int(256 * 1024 * 1024 // avg)))
-            rows = sc.runJob(
-                src_rdd, lambda it: list(it), partitions=list(range(lo, lo + size))
-            )
+                size = max(1, min(n_pp - lo, int(budget // avg)))
+            rows = _fetch(list(range(lo, lo + size)))
             lo += size
             fetched_parts += size
             for prow in rows:

@@ -167,12 +167,39 @@ def compile_pipeline(df: DataFrame, rules: list[Rule], ctx: NormalizationContext
     # cluster-width splits (operators/partitioning.py). Row values
     # are per-row functions and --SEQ orders by the explicit keys, so
     # results are partitioning-independent.
-    if ctx.order_col and ctx.order_col in df.columns:
+    #
+    # r17: when the pipeline carries a --SEQ rule, the widen keys on
+    # the SAME expression the --SEQ window will partition by (the
+    # USUBJID derivation, or the carried subject column), so the one
+    # repartition satisfies the window's clustering requirement via
+    # alias-aware output partitioning and the plan carries ONE shuffle
+    # exchange instead of two (guide §2.4 — the r16 e2e win, now in
+    # the compiler itself so every registry pipeline gets it). At real
+    # scale the widen no-ops and the window pays its own single
+    # exchange, exactly as before.
+    seq_rules = [r for r in rules if r.transform == "sequence"]
+    widen_key = F.col(ctx.order_col) if ctx.order_col and ctx.order_col in df.columns else None
+    if seq_rules:
+        usub = next(
+            (
+                r
+                for r in rules
+                if r.transform == "usubjid_prefix"
+                and r.target == "USUBJID"
+                and r.source in df.columns
+            ),
+            None,
+        )
+        if usub is not None:
+            widen_key = usubjid_prefix(F.col(usub.source), ctx.study_id)
+        elif ctx.subject_col and ctx.subject_col in df.columns:
+            widen_key = F.col(ctx.subject_col)
+    if widen_key is not None:
         from trial_submission_studio_spark.operators.partitioning import (
             widen_if_narrow,
         )
 
-        work = widen_if_narrow(work, ctx.order_col)
+        work = widen_if_narrow(work, widen_key)
 
     # Pre-join 1: CT lookups rewrite their source column in place
     # (one broadcast join per CT-coded column; no shuffle).

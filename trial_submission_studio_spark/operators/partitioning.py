@@ -106,9 +106,13 @@ def _to_bytes(v: str) -> int:
     return int(s)
 
 
-def widen_if_narrow(df: DataFrame, key_col: str) -> DataFrame:
+def widen_if_narrow(df: DataFrame, key_col) -> DataFrame:
     """Repartition by key to the cluster's slot count ONLY when the
     input has fewer *effective* partitions than slots.
+
+    ``key_col`` may be a column name or a Column expression (r17: the
+    normalization compiler keys the widen on the --SEQ window's
+    partition expression so both share one exchange).
 
     The repartition shuffles the NARROW pre-explode rows once; at
     real scale (inputs with thousands of splits) the condition is
@@ -132,4 +136,5 @@ def widen_if_narrow(df: DataFrame, key_col: str) -> DataFrame:
         eff = df.rdd.getNumPartitions()
     if eff >= p:
         return df
-    return df.repartition(p, F.col(key_col))
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    return df.repartition(key)

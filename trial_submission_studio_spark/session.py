@@ -66,12 +66,21 @@ def get_spark(
         # Scan split sizing: the 4m default openCostInBytes was tuned
         # for spinning-disk seek cost; it floors maxSplitBytes at 4m,
         # which reads a whole single-file CSV/text source in 1-2
-        # tasks at local scale. 256k keeps the per-file packing guard
-        # (a 128m split still caps at ~500 tiny files) while letting
-        # splittable sources reach defaultParallelism splits — the
+        # tasks at local scale. r16 used 256k, which let a 7 MB CSV
+        # split defaultParallelism ways (~30 tasks of ~250 KB) — and
+        # the r16 driver run showed exactly the guide-§2.6 failure in
+        # reverse: ~30 near-empty tasks of scheduling + stage-barrier
+        # latency cost MORE than the parse (import 2-4x faster at 8
+        # cores than 32). r17 floors splits at 1m so TASK COUNT SCALES
+        # WITH BYTES, not with slots: a 7 MB CSV is ~8 tasks at any
+        # core count, a 500 MB CSV still reaches full width. The
         # bytes-per-core term, not this floor, governs real
-        # deployments.
-        .config("spark.sql.files.openCostInBytes", "262144")
+        # deployments (any file > cores MB). Env-parameterized for
+        # cluster tuning.
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST", str(1 << 20)),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

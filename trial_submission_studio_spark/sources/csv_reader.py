@@ -36,7 +36,7 @@ import io
 import os
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -171,9 +171,20 @@ def read_source_csv(
     # index follows byte offset, so monotonically_increasing_id is
     # monotone in file position. A dense 1-based _row_id is derived
     # WITHOUT a global window (which would move every row to one task
-    # — the round-1 formulation): per-partition row_number + a
+    # — the round-1 formulation): per-partition position + a
     # driver-computed cumulative offset per partition. The extra
     # count() pass is one parallel scan; numbering stays parallel.
+    #
+    # r17: the per-partition position comes straight from
+    # monotonically_increasing_id's documented layout (partition index
+    # in the upper 31 bits, a 0-based per-partition record counter in
+    # the lower 33), so the r16 `row_number() OVER (PARTITION BY
+    # __pid ORDER BY monotonically_increasing_id())` — a full shuffle
+    # on __pid plus a sort, re-parsing the CSV on the exchange's map
+    # side — collapses to `(mid & (2^33-1)) + 1` evaluated inside the
+    # scan stage. Values are bit-identical (the window ranked by mid
+    # within each partition, i.e. by that same lower-33-bit counter);
+    # the import plan loses its only Exchange (guide §2.4).
     df = df.withColumn("__pid", F.spark_partition_id())
     counts = {
         r["__pid"]: r["count"]
@@ -193,8 +204,8 @@ def read_source_csv(
         )
     else:
         offset_expr = F.lit(0)
-    local = F.row_number().over(
-        Window.partitionBy("__pid").orderBy(F.monotonically_increasing_id())
+    local = (
+        F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1)) + 1
     )
     df = df.withColumn(SourceTable.ROW_ID, (offset_expr + local).cast("long"))
     df = (

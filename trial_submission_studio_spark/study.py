@@ -42,8 +42,9 @@ from trial_submission_studio_spark.operators.normalize import (
 from trial_submission_studio_spark.operators.profiling import max_observed_length
 from trial_submission_studio_spark.operators.reshape import reciprocal_augment, supp_unpivot
 from trial_submission_studio_spark.operators.validation import (
-    ISSUE_SCHEMA,
+    ISSUE_SCHEMA,  # noqa: F401 (re-exported for callers)
     VariableSpec,
+    _issue_frame,
     duplicate_sequence_issues,
     melt_domain_keys,
     rdomain_invalid,
@@ -252,7 +253,9 @@ def validate_study(study: Study, frames: dict[str, DataFrame]) -> DataFrame:
     - J6 melted-key record references for RELREC
     """
     spark = study.spark
-    report = spark.createDataFrame([], ISSUE_SCHEMA)
+    # JVM-only empty frame: createDataFrame([]) parallelizes and pays
+    # a Python-worker task per downstream action (see _issue_frame)
+    report = _issue_frame(spark, [])
     dm = frames.get("DM")
     submitted = list(frames)
     for code, df in frames.items():
