@@ -42,7 +42,9 @@ def main() -> None:
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
     names = sys.argv[2:] or list(DEFAULT)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(REPO, "plans", "r16")
+    out_dir = os.path.join(
+        REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_TAG", "r17")
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="capture_plans")
     qs = dict(entrymod.queries())

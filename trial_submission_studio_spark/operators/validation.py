@@ -74,9 +74,13 @@ def _issue_frame(spark, rows):
             F.lit(r[2]).cast("string").alias("category"),
             F.lit(r[3]).cast("string").alias("severity"),
             F.lit(None if r[4] is None else int(r[4])).cast("long").alias("count"),
-            F.array(
-                *[F.lit(s).cast("string") for s in (r[5] or [])]
-            ).cast("array<string>").alias("samples"),
+            (
+                F.lit(None).cast("array<string>")
+                if r[5] is None
+                else F.array(
+                    *[F.lit(s).cast("string") for s in r[5]]
+                ).cast("array<string>")
+            ).alias("samples"),
         )
         for r in rows
     ]
