@@ -104,6 +104,9 @@ def test_issue_frame_jvm_literal_parity(spark):
         ("AE", "AESTDTC", "Format", "Error", 3, ["x", "y"]),
         ("AE", "AESEQ", "Consistency", "Error", 1, []),
         ("AE", "AETERM", "Presence", "Warning", 7, None),
+        # literal-escaping edges: quotes, backslashes, unicode,
+        # newline (the frame is one parsed SQL expression)
+        ("AE", "AEDECOD", "Format", "Error", 2, ["o'brien", "a\\b", "µ\n"]),
     ]
     fast = _issue_frame(spark, rows)
     ref = spark.createDataFrame(rows, ISSUE_SCHEMA)

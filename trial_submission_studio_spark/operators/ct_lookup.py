@@ -99,13 +99,22 @@ def apply_ct_normalization(
         # join (miss or NULL key → NULL → coalesce to the original).
         if not entries:
             return df.withColumn(out_col, F.col(src_col).cast("string"))
-        pairs: list[Column] = []
-        for k, v in entries.items():
-            pairs.append(F.lit(k))
-            pairs.append(F.lit(v).cast("string"))
-        mapped = F.try_element_at(F.create_map(*pairs), _normalized(src_col))
+
+        def _build() -> Column:
+            pairs: list[Column] = []
+            for k, v in entries.items():
+                pairs.append(F.lit(k))
+                pairs.append(F.lit(v).cast("string"))
+            mapped = F.try_element_at(F.create_map(*pairs), _normalized(src_col))
+            return F.coalesce(mapped, F.col(src_col).cast("string"))
+
+        # the expression is a pure function of (entries, source column
+        # name) — replay the built tree across compiles (exprmemo)
+        from trial_submission_studio_spark.functions.exprmemo import memo_column
+
         return df.withColumn(
-            out_col, F.coalesce(mapped, F.col(src_col).cast("string"))
+            out_col,
+            memo_column(("ctmap", src_col, tuple(entries.items())), _build),
         )
     lk = (
         lookup_df.filter(F.col("codelist_code") == codelist_code)

@@ -31,6 +31,7 @@ from trial_submission_studio_spark.functions import (
     study_day,
     usubjid_prefix,
 )
+from trial_submission_studio_spark.functions.exprmemo import memo_column
 from trial_submission_studio_spark.operators.ct_lookup import apply_ct_normalization
 
 #: transform kinds ≙ the reference's NormalizationType variants
@@ -191,7 +192,10 @@ def compile_pipeline(df: DataFrame, rules: list[Rule], ctx: NormalizationContext
             None,
         )
         if usub is not None:
-            widen_key = usubjid_prefix(F.col(usub.source), ctx.study_id)
+            widen_key = memo_column(
+                ("widen_usub", usub.source, ctx.study_id),
+                lambda: usubjid_prefix(F.col(usub.source), ctx.study_id),
+            )
         elif ctx.subject_col and ctx.subject_col in df.columns:
             widen_key = F.col(ctx.subject_col)
     if widen_key is not None:
@@ -238,26 +242,46 @@ def compile_pipeline(df: DataFrame, rules: list[Rule], ctx: NormalizationContext
     target_names = {r.target for r in rules}
     exprs: list[Column] = []
     stage_b: list[Rule] = []
-    for r in rules:
+
+    # Rule expressions are pure functions of (column names + literal
+    # params + study id), so each tree is built ONCE per session and
+    # replayed from the expression memo on later compiles — Column-API
+    # construction is ~10-60 py4j round trips per rule, which cProfile
+    # put at ~0.5 s of pure driver time per compile_pipeline call
+    # (guide §7.3). CT rules stay un-memoized: their expression
+    # depends on the lookup frame's contents, and the residual cost
+    # (an alias) is two round trips.
+    def _scalar(r: Rule) -> Column:
         t = r.target
         if r.transform == "constant":
-            exprs.append(F.lit(str(r.params["value"])).alias(t))
-        elif r.transform == "usubjid_prefix":
-            exprs.append(usubjid_prefix(F.col(r.source), ctx.study_id).alias(t))
-        elif r.transform in ("sequence", "study_day"):
+            return F.lit(str(r.params["value"])).alias(t)
+        if r.transform == "usubjid_prefix":
+            return usubjid_prefix(F.col(r.source), ctx.study_id).alias(t)
+        if r.transform == "iso_datetime":
+            return normalize_iso_datetime(r.source).alias(t)
+        if r.transform == "iso_date":
+            return normalize_iso_date(r.source).alias(t)
+        if r.transform == "iso_duration":
+            return normalize_iso_duration(F.col(r.source)).alias(t)
+        if r.transform == "numeric":
+            return parse_numeric(F.col(r.source)).alias(t)
+        return F.col(r.source).cast("string").alias(t)  # copy
+
+    for r in rules:
+        if r.transform in ("sequence", "study_day"):
             stage_b.append(r)
-        elif r.transform == "iso_datetime":
-            exprs.append(normalize_iso_datetime(r.source).alias(t))
-        elif r.transform == "iso_date":
-            exprs.append(normalize_iso_date(F.col(r.source)).alias(t))
-        elif r.transform == "iso_duration":
-            exprs.append(normalize_iso_duration(F.col(r.source)).alias(t))
         elif r.transform == "ct":
-            exprs.append(F.col(ct_out[t]).alias(t))
-        elif r.transform == "numeric":
-            exprs.append(parse_numeric(F.col(r.source)).alias(t))
-        elif r.transform == "copy":
-            exprs.append(F.col(r.source).cast("string").alias(t))
+            exprs.append(F.col(ct_out[r.target]).alias(r.target))
+        else:
+            key = (
+                "ruleA",
+                ctx.study_id,
+                r.target,
+                r.transform,
+                r.source,
+                tuple(sorted(r.params.items())),
+            )
+            exprs.append(memo_column(key, lambda r=r: _scalar(r)))
 
     # Carry what stage B needs (order/subject keys, raw sources whose
     # normalized form isn't a stage-A target, the joined ref date).
@@ -277,17 +301,31 @@ def compile_pipeline(df: DataFrame, rules: list[Rule], ctx: NormalizationContext
         if r.transform != "study_day":
             continue
         if r.source in target_names:
-            evt = F.col(r.source)  # reuse the normalized sibling --DTC
+            evt_kind = "tgt"  # reuse the normalized sibling --DTC
         elif f"__raw_{r.source}" in out.columns:
-            evt = normalize_iso_datetime(f"__raw_{r.source}")
+            evt_kind = "raw"
         else:
-            evt = F.lit(None).cast("string")
-        ref_expr = (
-            F.col(ref_col)
-            if have_ref
-            else F.lit(ctx.global_ref_date).cast("string")
+            evt_kind = "null"
+        ref_key = ("col", ref_col) if have_ref else ("lit", ctx.global_ref_date)
+
+        def _dy(r=r, evt_kind=evt_kind) -> Column:
+            if evt_kind == "tgt":
+                evt = F.col(r.source)
+            elif evt_kind == "raw":
+                evt = normalize_iso_datetime(f"__raw_{r.source}")
+            else:
+                evt = F.lit(None).cast("string")
+            ref_expr = (
+                F.col(ref_col)
+                if have_ref
+                else F.lit(ctx.global_ref_date).cast("string")
+            )
+            return study_day(evt, ref_expr)
+
+        out = out.withColumn(
+            r.target,
+            memo_column(("ruleB_dy", r.source, evt_kind, ref_key), _dy),
         )
-        out = out.withColumn(r.target, study_day(evt, ref_expr))
 
     for r in stage_b:
         if r.transform != "sequence":
@@ -301,9 +339,7 @@ def compile_pipeline(df: DataFrame, rules: list[Rule], ctx: NormalizationContext
             if f"__carry_{ctx.order_col}" in out.columns
             else part
         )
-        if part:
-            w = Window.partitionBy(*part).orderBy(*order)
-        else:
+        if not part:
             # global 1..N without a subject key matches reference
             # semantics but serializes into one task — surface it
             # (the caller should provide subject_col at scale)
@@ -314,8 +350,19 @@ def compile_pipeline(df: DataFrame, rules: list[Rule], ctx: NormalizationContext
                 "global window moves all rows to a single task",
                 stacklevel=2,
             )
-            w = Window.orderBy(*order)
-        out = out.withColumn(r.target, F.row_number().over(w).cast("long"))
+
+        def _seq(part=tuple(part), order=tuple(order)) -> Column:
+            w = (
+                Window.partitionBy(*part).orderBy(*order)
+                if part
+                else Window.orderBy(*order)
+            )
+            return F.row_number().over(w).cast("long")
+
+        out = out.withColumn(
+            r.target,
+            memo_column(("ruleB_seq", tuple(part), tuple(order)), _seq),
+        )
 
     ordered_targets = [r.target for r in sorted(rules, key=lambda r: r.order)]
     return out.select(*ordered_targets)

@@ -58,34 +58,43 @@ def _issue_frame(spark, rows):
         return spark.createDataFrame(
             spark.sparkContext.parallelize(rows, 1), ISSUE_SCHEMA
         )
+
+    # The whole frame is ONE parsed SQL expression (a single py4j
+    # round trip): the Column-API formulation cost ~100 ms of driver
+    # chatter per frame (~6 F.lit + casts + struct per row).
+    def _s(v) -> str:
+        if v is None:
+            return "CAST(NULL AS STRING)"
+        # Spark SQL string literals process backslash escapes, so
+        # escape the backslash itself first, then the quote
+        return "'" + str(v).replace("\\", "\\\\").replace("'", "\\'") + "'"
+
     if not rows:
-        return spark.range(0, 0, 1, 1).select(
-            F.lit(None).cast("string").alias("domain"),
-            F.lit(None).cast("string").alias("variable"),
-            F.lit(None).cast("string").alias("category"),
-            F.lit(None).cast("string").alias("severity"),
-            F.lit(None).cast("long").alias("count"),
-            F.lit(None).cast("array<string>").alias("samples"),
+        return spark.range(0, 0, 1, 1).selectExpr(
+            "CAST(NULL AS STRING) AS domain",
+            "CAST(NULL AS STRING) AS variable",
+            "CAST(NULL AS STRING) AS category",
+            "CAST(NULL AS STRING) AS severity",
+            "CAST(NULL AS BIGINT) AS count",
+            "CAST(NULL AS ARRAY<STRING>) AS samples",
         )
-    structs = [
-        F.struct(
-            F.lit(r[0]).cast("string").alias("domain"),
-            F.lit(r[1]).cast("string").alias("variable"),
-            F.lit(r[2]).cast("string").alias("category"),
-            F.lit(r[3]).cast("string").alias("severity"),
-            F.lit(None if r[4] is None else int(r[4])).cast("long").alias("count"),
-            (
-                F.lit(None).cast("array<string>")
-                if r[5] is None
-                else F.array(
-                    *[F.lit(s).cast("string") for s in r[5]]
-                ).cast("array<string>")
-            ).alias("samples"),
+    structs = []
+    for r in rows:
+        cnt = "CAST(NULL AS BIGINT)" if r[4] is None else f"CAST({int(r[4])} AS BIGINT)"
+        if r[5] is None:
+            samples = "CAST(NULL AS ARRAY<STRING>)"
+        elif len(r[5]) == 0:
+            samples = "CAST(ARRAY() AS ARRAY<STRING>)"
+        else:
+            samples = "ARRAY(" + ",".join(_s(str(x)) for x in r[5]) + ")"
+        structs.append(
+            "named_struct("
+            f"'domain',{_s(r[0])},'variable',{_s(r[1])},"
+            f"'category',{_s(r[2])},'severity',{_s(r[3])},"
+            f"'count',{cnt},'samples',{samples})"
         )
-        for r in rows
-    ]
     return spark.range(0, 1, 1, 1).select(
-        F.inline(F.array(*structs))
+        F.expr("inline(array(" + ",".join(structs) + "))")
     )
 
 #: variable-name suffixes that must hold ISO-8601 partial-precision
