@@ -13,3 +13,130 @@ def rows(df, *cols):
     """Sorted list-of-tuples helper for order-insensitive asserts."""
     sel = df.select(*cols) if cols else df
     return sorted(tuple(r) for r in sel.collect())
+
+
+# --- slow-test marking (r17, verdict task 2) -------------------------
+#
+# The full suite is ~40 min on a 32-core host; the external driver's
+# pytest budget is ~30 min, so its r16 run TIMED OUT at ~70% with
+# zero failures (VERIFY_r16 tests_ok:false). Tests that measured
+# >= 6 s each (96 of 1016, ~23 min of the total — heavyweight
+# model-fuzz sweeps, multi-writer races, end-to-end lifecycle
+# integrations) are auto-marked `slow` from the frozen list below and
+# EXCLUDED BY DEFAULT via addopts (-m "not slow"). Run them with:
+#
+#     python -m pytest tests/ -m slow          # the slow tier only
+#     python -m pytest tests/ -m ""            # everything
+#
+# The full suite (including slow) ran green at the start of r17:
+# 1016 passed, 1 skipped in 41m35s.
+
+import pytest as _pytest
+
+SLOW_TESTS = frozenset(
+    [
+        ("test_aac.py", "test_audio_features_consume_adts_stream"),
+        ("test_advice_r14.py", "test_delete_where_rows_dropped_counts_live_rows"),
+        ("test_advice_r14.py", "test_rel_path_col_interior_substring_not_miskeyed"),
+        ("test_advice_r14.py", "test_rollup_dv_tag_survives_rollback_equal_count_delete"),
+        ("test_advice_r15.py", "test_feed_retention_conflict_is_typed"),
+        ("test_advice_r15.py", "test_format_schema_honors_contract_not_one_footer"),
+        ("test_advice_r15.py", "test_pushed_filter_on_evolved_column_reads_old_files"),
+        ("test_ann_store.py", "test_append_equals_build_all_at_once"),
+        ("test_ann_store.py", "test_compaction_preserves_answers_and_drops_tombstones"),
+        ("test_ann_store.py", "test_ivfpq_store_matches_in_memory_and_upserts"),
+        ("test_ann_store.py", "test_retrain_restores_cell_balance_and_answers"),
+        ("test_ann_store.py", "test_saved_matches_in_memory_ivf"),
+        ("test_ann_store.py", "test_sync_from_versioned_embeddings"),
+        ("test_ann_store.py", "test_tombstone_delete_hides_ids"),
+        ("test_ann_store.py", "test_upsert_replaces_across_cells_and_revives"),
+        ("test_ann_store.py", "test_vacuum_reclaims_retired_runs"),
+        ("test_ann_store_model.py", "test_random_lsm_sequences_match_model"),
+        ("test_bm25.py", "test_append_crash_leaves_readable_consistent_index"),
+        ("test_bm25.py", "test_append_matches_full_rebuild"),
+        ("test_bm25.py", "test_append_refuses_legacy_layout"),
+        ("test_bm25.py", "test_append_saved_index_incremental"),
+        ("test_bm25.py", "test_append_twice_stays_exact"),
+        ("test_bm25.py", "test_compact_bm25_index_folds_increments"),
+        ("test_bm25.py", "test_concurrent_reader_isolated_from_append"),
+        ("test_bm25.py", "test_vacuum_reclaims_crashed_append_orphans"),
+        ("test_bpe.py", "test_bpe_encode_lossless_over_random_unicode"),
+        ("test_bpe.py", "test_bpe_encode_partition_invariant_and_counts"),
+        ("test_bpe.py", "test_bpe_token_ids_and_packing_composition"),
+        ("test_bucketed_table.py", "test_catalog_bridge_delivers_exchange_free_join"),
+        ("test_bucketed_table.py", "test_compaction_preserves_bucket_layout"),
+        ("test_bucketed_table.py", "test_merge_preserves_layout_and_prunes_planning"),
+        ("test_bucketed_table.py", "test_random_sequences_match_dict_model"),
+        ("test_bucketed_table.py", "test_sorted_bucket_spec_composes_zone_maps"),
+        ("test_column_mapping.py", "test_dml_families_on_renamed_column"),
+        ("test_column_mapping.py", "test_rollup_over_renamed_column"),
+        ("test_commit_protocol.py", "test_merge_rebases_over_maintenance_but_not_over_merge"),
+        ("test_commit_protocol.py", "test_table_history_describes_the_commit_log"),
+        ("test_corpus_ops.py", "test_paragraph_dedup_identity_property"),
+        ("test_corpus_ops.py", "test_remove_repeated_substrings_identity_property"),
+        ("test_corpus_ops.py", "test_semantic_dedup_drops_planted_keeps_min_id"),
+        ("test_corpus_pipeline.py", "test_crawl_to_training_shards_end_to_end"),
+        ("test_corpus_pipeline.py", "test_prepare_corpus_drop_attribution"),
+        ("test_corpus_pipeline.py", "test_prepare_corpus_each_stage_removes_its_defect"),
+        ("test_corpus_pipeline.py", "test_prepare_corpus_lang_substring_and_ppl_stages"),
+        ("test_datasource.py", "test_batch_format_matches_explicit_readers"),
+        ("test_datasource.py", "test_format_reads_shallow_clone_abs_entries"),
+        ("test_datasource.py", "test_stream_feed_signed_aggregate_and_restart"),
+        ("test_datasource.py", "test_stream_feed_survives_midstream_rename"),
+        ("test_datasource.py", "test_streaming_sink_exactly_once_append"),
+        ("test_datasource.py", "test_writer_create_append_overwrite"),
+        ("test_deletion_vectors.py", "test_merge_folds_dv_of_rewritten_files_and_carries_the_rest"),
+        ("test_deletion_vectors.py", "test_repeated_dv_deletes_never_double_list"),
+        ("test_deletion_vectors.py", "test_rollup_refresh_sees_dv_deletes"),
+        ("test_graph.py", "test_crawl_graph_composition"),
+        ("test_graph.py", "test_hits_tol_early_exit_converges"),
+        ("test_graph.py", "test_pagerank_convergence_early_exit"),
+        ("test_graph.py", "test_pagerank_tol_check_every_amortizes_probe"),
+        ("test_lifecycle_integration.py", "test_release_merge_rollup_feed_ann_optimize_cycle"),
+        ("test_lifecycle_r13.py", "test_constrained_dv_cdc_rollup_maintenance_clone"),
+        ("test_linkage.py", "test_property_similarity_bounds_and_identity"),
+        ("test_lm.py", "test_broadcast_model_auto_switch"),
+        ("test_lm.py", "test_short_docs_score_null_and_filter_drops_them"),
+        ("test_lm.py", "test_trigram_kn_distribution_and_short_docs"),
+        ("test_maintenance.py", "test_sync_auto_retrain_heals_drift_end_to_end"),
+        ("test_merge.py", "test_merge_then_read_via_manifest_only"),
+        ("test_merge.py", "test_shuffle_join_regime_equivalent"),
+        ("test_merge.py", "test_update_where_rewrites_only_matching_files"),
+        ("test_partition_evolution.py", "test_history_rides_every_commit_and_format_route"),
+        ("test_partitioned_table.py", "test_rewrites_preserve_the_directory_layout"),
+        ("test_plan_shapes.py", "test_no_cartesian_products_in_data_plane_queries"),
+        ("test_publish_clone.py", "test_change_feed_across_publish_sees_only_branch_deletes"),
+        ("test_publish_clone.py", "test_dv_rekey_roundtrip_through_publish"),
+        ("test_publish_clone.py", "test_publish_equals_direct_ops"),
+        ("test_publish_clone.py", "test_two_branches_second_publish_conflicts"),
+        ("test_publish_clone.py", "test_vacuum_refuses_while_clone_pins_files"),
+        ("test_review_r16.py", "test_evolved_column_stays_nullable_and_is_null_works"),
+        ("test_rollup.py", "test_refresh_after_merge_and_delete"),
+        ("test_shallow_clone.py", "test_clone_is_zero_copy_and_localizes_cow"),
+        ("test_shallow_clone.py", "test_clone_of_bucketed_table_keeps_pruning"),
+        ("test_sources_streaming.py", "test_ingest_state_compaction_bounds_files_preserves_replay"),
+        ("test_sources_streaming.py", "test_ingest_state_compaction_near_mode"),
+        ("test_sources_streaming.py", "test_prepare_media_governance_chain"),
+        ("test_streaming_cdc.py", "test_dv_delete_mode_tombstones_and_two_phase_fence"),
+        ("test_streaming_cdc.py", "test_dv_pending_marker_survives_interleaved_maintenance"),
+        ("test_streaming_cdc.py", "test_fence_survives_interleaved_compaction"),
+        ("test_streaming_cdc.py", "test_rollup_rides_the_cdc_micro_batches"),
+        ("test_streaming_expectations.py", "test_stream_end_to_end_matches_batch"),
+        ("test_streaming_expectations.py", "test_windowed_counts_on_real_stream"),
+        ("test_study_flow.py", "test_full_study_flow"),
+        ("test_study_flow.py", "test_golden_full_study_export"),
+        ("test_study_flow.py", "test_mockdata_shaped_wide_study"),
+        ("test_study_flow.py", "test_split_dataset_study_flow"),
+        ("test_table_model.py", "test_random_commit_sequences_match_dict_model"),
+        ("test_table_schema.py", "test_check_constraints_enforced_at_commit"),
+        ("test_temporal.py", "test_asof_join_sliced_equivalence"),
+        ("test_unicode_norm.py", "test_skeleton_is_idempotent"),
+    ]
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        base = item.name.split("[", 1)[0]
+        if (item.fspath.basename, base) in SLOW_TESTS:
+            item.add_marker(_pytest.mark.slow)

@@ -31,6 +31,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from trial_submission_studio_spark.sources.local import values_df as _values_df
+
 from . import versioned
 
 __all__ = ["change_feed", "change_feed_summary"]
@@ -81,9 +83,7 @@ def _dv_delta_rows(
                 rel_path_col(root, allow_external=ext).alias("__tss_sc"))
         .join(
             F.broadcast(
-                spark.createDataFrame(
-                    pairs, f"{FILE_COL} string, __tss_sc string"
-                )
+                _values_df(spark, pairs, f"{FILE_COL} string, __tss_sc string")
             ),
             [FILE_COL, "__tss_sc"],
             "left_semi",

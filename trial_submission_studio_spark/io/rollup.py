@@ -256,7 +256,11 @@ def refresh_rollup(
         # driver-sized (bounded by file count) and broadcast.
         from .deletion_vectors import FILE_COL, POS_COL, read_with_dv
 
-        tags = spark.createDataFrame(
+        from trial_submission_studio_spark.sources.local import values_df
+
+        # literal VALUES relation: pure JVM, no Python-worker task
+        tags = values_df(
+            spark,
             [(f, _tag(f, dv_cur)) for f in scan_files],
             f"{FILE_COL} string, {_FILE} string",
         )

@@ -61,7 +61,12 @@ def column_hints(df: DataFrame, columns: list[str] | None = None, exact: bool = 
                 float(row[f"{c}__avg_len"]) if row[f"{c}__avg_len"] is not None else None,
             )
         )
-    return spark.createDataFrame(
+    # literal VALUES relation (sources/local.py): pure JVM — a list
+    # createDataFrame pays a Python-worker task per downstream action
+    from trial_submission_studio_spark.sources.local import values_df
+
+    return values_df(
+        spark,
         out,
         "column string, n long, nulls long, null_ratio double, distinct long, "
         "unique_ratio double, numeric_ratio double, max_len int, avg_len double",
@@ -119,7 +124,10 @@ def numeric_profile(
                 [float(v) if v is not None else None for v in qs],
             )
         )
-    return df.sparkSession.createDataFrame(
+    from trial_submission_studio_spark.sources.local import values_df
+
+    return values_df(
+        df.sparkSession,
         out,
         "column string, n long, mean double, std double, min double, "
         "max double, quantiles array<double>",

@@ -293,8 +293,11 @@ def domain_blocklist_filter(
     blocklist entry ``example.com``."""
     spark = df.sparkSession
     if isinstance(blocked_domains, list):
-        blocked = spark.createDataFrame(
-            [(d,) for d in blocked_domains], f"{domain_col} string"
+        from trial_submission_studio_spark.sources.local import values_df
+
+        # literal VALUES relation: pure JVM, no Python-worker task
+        blocked = values_df(
+            spark, [(d,) for d in blocked_domains], f"{domain_col} string"
         )
     else:
         blocked = blocked_domains

@@ -19,7 +19,15 @@ def _sql_literal(v) -> str:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
-    if isinstance(v, (int, float)):
+    if isinstance(v, float):
+        import math
+
+        if math.isnan(v):
+            return "CAST('NaN' AS DOUBLE)"
+        if math.isinf(v):
+            return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
+        return repr(v)
+    if isinstance(v, int):
         return repr(v)
     if isinstance(v, bytes):
         return f"X'{v.hex()}'"
