@@ -137,4 +137,9 @@ def widen_if_narrow(df: DataFrame, key_col) -> DataFrame:
     if eff >= p:
         return df
     key = F.col(key_col) if isinstance(key_col, str) else key_col
-    return df.repartition(key)
+    # explicit numPartitions (REPARTITION_BY_NUM): the widen exists
+    # because the downstream stage is CPU-dense on byte-light rows —
+    # exactly the case AQE's byte-based coalescing mis-sizes (an r17
+    # trial with REPARTITION_BY_COL let AQE fold 0.9 MB shuffles to
+    # ~11 tasks and measurably slowed the regex/shingle extras).
+    return df.repartition(p, key)
