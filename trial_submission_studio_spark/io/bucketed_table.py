@@ -326,9 +326,22 @@ def _point_lookup_plan(
         os.path.join(root, m["files"][0])
     ).schema
     key_field = next(f for f in probe_schema.fields if f.name == key)
-    keys = spark.createDataFrame(
-        [(v,) for v in values], StructType([key_field])
-    )
+    if key_field.dataType.simpleString() in (
+        "int", "bigint", "smallint", "tinyint", "string", "double",
+        "float", "boolean",
+    ):
+        # literal VALUES relation: pure JVM, no Python-worker task
+        from trial_submission_studio_spark.sources.local import values_df
+
+        keys = values_df(
+            spark,
+            [(v,) for v in values],
+            f"{key} {key_field.dataType.simpleString()}",
+        )
+    else:
+        keys = spark.createDataFrame(
+            [(v,) for v in values], StructType([key_field])
+        )
     mine = bucket_files(m, probe_bucket_ids(keys, spec))
     audit = {"files_total": len(m["files"]),
              "files_after_bucket_prune": len(mine)}

@@ -53,6 +53,8 @@ import shutil
 
 from pyspark.sql import SparkSession, functions as F
 
+from trial_submission_studio_spark.sources.local import values_df as _values_df
+
 from . import versioned
 from .deletion_vectors import FILE_COL, POS_COL
 
@@ -242,7 +244,8 @@ def publish_clone(
                     )
                     .join(
                         F.broadcast(
-                            spark.createDataFrame(
+                            _values_df(
+                                spark,
                                 fresh_pairs,
                                 f"{FILE_COL} string, __sc string",
                             )
@@ -251,7 +254,8 @@ def publish_clone(
                         "left_semi",
                     )
                 )
-                trans = spark.createDataFrame(
+                trans = _values_df(
+                    spark,
                     [(f, _src_key(f)) for f in delta["dv_changed"]],
                     f"{FILE_COL} string, __src string",
                 )

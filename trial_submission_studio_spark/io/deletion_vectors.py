@@ -152,7 +152,11 @@ def read_dv(
     if not sidecars:
         return None
     dv = spark.read.parquet(*_paths(root, sidecars)).select(FILE_COL, POS_COL)
-    mine = spark.createDataFrame([(f,) for f in files], f"{FILE_COL} string")
+    from trial_submission_studio_spark.sources.local import values_df
+
+    # literal VALUES relation: a list createDataFrame schedules one
+    # Python-worker task per slice on EVERY downstream action
+    mine = values_df(spark, [(f,) for f in files], f"{FILE_COL} string")
     dv = dv.join(F.broadcast(mine), FILE_COL, "left_semi")
     if dv_rows(manifest, files) <= _BROADCAST_DV_ROWS:
         dv = F.broadcast(dv)

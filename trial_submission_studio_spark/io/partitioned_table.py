@@ -393,7 +393,10 @@ def table_partitions(
         (k, e[0], e[1] if e[3] else None, e[2])
         for k, e in sorted(agg.items())
     ]
-    return spark.createDataFrame(
+    from trial_submission_studio_spark.sources.local import values_df
+
+    return values_df(
+        spark,
         rows,
         "partition string, n_files long, num_rows long, dv_rows long",
     )

@@ -1686,8 +1686,10 @@ def shallow_clone(
         from .deletion_vectors import FILE_COL, POS_COL, read_dv
 
         os.makedirs(dst_root, exist_ok=True)
-        pairs = spark.createDataFrame(
-            [(f, _abs(f)) for f in dv], f"{FILE_COL} string, __abs string"
+        from trial_submission_studio_spark.sources.local import values_df
+
+        pairs = values_df(
+            spark, [(f, _abs(f)) for f in dv], f"{FILE_COL} string, __abs string"
         )
         rekeyed = (
             read_dv(spark, src_root, m)
@@ -2002,7 +2004,10 @@ def table_files(
                 pv,
             )
         )
-    return spark.createDataFrame(
+    from trial_submission_studio_spark.sources.local import values_df
+
+    return values_df(
+        spark,
         rows,
         "file string, size_bytes long, num_rows long, dv_rows long, "
         "partition string",
