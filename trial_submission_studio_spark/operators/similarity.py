@@ -453,6 +453,16 @@ def semantic_dup_pairs(
         F.col(vec_col),
         _nearest_cells(cents, 1)(F.col(vec_col))[0].alias("__cell"),
     )
+    # r17 measured-and-declined notes: (a) localCheckpoint-ing the
+    # assignment (so the kernel runs once instead of on both join
+    # sides) measured SLOWER at bench scale — the barrier + block
+    # write cost more than the second kernel pass, whose Python
+    # stages overlap in the un-checkpointed plan; (b) replacing the
+    # pair scoring's pandas cosine with a dim-unrolled JVM dot
+    # product measured ~8x MORE CPU — the 64-term expression tree
+    # falls out of whole-stage codegen into interpreted evaluation.
+    # The Arrow-batched numpy kernel and the shared-lineage self-join
+    # stay.
     a, b = assigned.alias("a"), assigned.alias("b")
     return (
         a.join(
