@@ -498,8 +498,6 @@ def write_xpt(
         #   clinical-member norm) fetch in ONE job; a huge member
         #   degrades gracefully to the old probe-then-ramp shape.
         sc = df.sparkSession.sparkContext
-        jrdd = payload._jdf.javaToPython()
-        n_pp = jrdd.rdd().getNumPartitions()
         slots = max(sc.defaultParallelism, 1)
         budget = 256 * 1024 * 1024
         try:
@@ -509,14 +507,28 @@ def write_xpt(
         except Exception:
             est_total = 0
 
-        from pyspark.rdd import _load_from_socket
-        from pyspark.serializers import BatchedSerializer, CPickleSerializer
+        try:
+            # fast path: serve the pickled-Row JavaRDD directly
+            # (pyspark-internal helpers, stable across 3.x/4.x — but
+            # guarded so a future relocation degrades to the slower
+            # public path instead of failing mid-file)
+            from pyspark.rdd import _load_from_socket
+            from pyspark.serializers import BatchedSerializer, CPickleSerializer
 
-        _ser = BatchedSerializer(CPickleSerializer())
+            jrdd = payload._jdf.javaToPython()
+            n_pp = jrdd.rdd().getNumPartitions()
+            _ser = BatchedSerializer(CPickleSerializer())
 
-        def _fetch(parts: list[int]) -> list:
-            sock_info = sc._jvm.PythonRDD.runJob(sc._jsc.sc(), jrdd, parts)
-            return list(_load_from_socket(sock_info, _ser))
+            def _fetch(parts: list[int]) -> list:
+                sock_info = sc._jvm.PythonRDD.runJob(sc._jsc.sc(), jrdd, parts)
+                return list(_load_from_socket(sock_info, _ser))
+
+        except ImportError:
+            src_rdd = payload.rdd
+            n_pp = src_rdd.getNumPartitions()
+
+            def _fetch(parts: list[int]) -> list:
+                return sc.runJob(src_rdd, lambda it: list(it), partitions=parts)
 
         if est_total > 0 and n_pp > 0:
             est_pp = max(est_total // n_pp, 1)
